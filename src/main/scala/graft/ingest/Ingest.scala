@@ -1,0 +1,146 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Delims
+import graft.ops.{KvOps, SaltExpr}
+
+/** MUPR measurement-file reader (S1): null-byte-delimited CSV, explicit
+  * 11-column schema, no inference pass — schema and nullability from the
+  * reference (Utils.scala:160-174).
+  */
+object MuprReader {
+  val schema: StructType = StructType(Seq(
+    StructField("Unit_Testing_Seq_Key", IntegerType, nullable = false),
+    StructField("Substructure_ID", StringType, nullable = false),
+    StructField("Sub_Session_Seq_Num", IntegerType, nullable = true),
+    StructField("Test_Result_Order_Num", IntegerType, nullable = false),
+    StructField("Test_Result_Array_Seq_Num", FloatType, nullable = true),
+    StructField("Test_ID", IntegerType, nullable = true),
+    StructField("Measurement_Value", FloatType, nullable = true),
+    StructField("Active_Inactive_Core_Vector", StringType, nullable = true),
+    StructField("Pass_Fail_Core_Vector", StringType, nullable = false),
+    StructField("Mask_Vector", StringType, nullable = false),
+    StructField("Test_Name", StringType, nullable = false)))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("csv")
+      .schema(schema)
+      .option("sep", Delims.Delim)
+      .option("header", "false")
+      .load(path)
+}
+
+/** MUCR counter-file reader (T1): raw text lines with a variable-length
+  * repeating group — 5 fixed leading fields, `number_of_counters` at
+  * position 6, then n × (id, occurrences, seqNum) triples
+  * (Utils.scala:504-515). The hex digit of `len(id)` is derived per the
+  * reference's qualifier scheme (Utils.scala:508-512).
+  *
+  * Implemented as a pure column plan: split + slice + transform +
+  * posexplode — no typed map, stays in codegen.
+  */
+object MucrReader {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parse(spark.read.text(path))
+
+  /** Parse a one-string-column DataFrame (`value`) of MUCR lines. */
+  def parse(lines: DataFrame): DataFrame = {
+    val f = split(col("value"), java.util.regex.Pattern.quote(Delims.Delim), -1)
+    lines
+      .select(
+        f.getItem(0).as("Unit_Testing_Seq_Key"),
+        f.getItem(1).as("Sub_Session_Seq_Num"),
+        f.getItem(2).as("Test_Program_Name"),
+        f.getItem(3).as("unit_counter_pass_fail_flg"),
+        f.getItem(4).as("Substructure_ID"),
+        f.getItem(5).cast(IntegerType).as("number_of_counters"),
+        slice(f, lit(7), greatest(size(f) - 6, lit(0))).as("rest"))
+      .select(col("*"),
+        explode(transform(sequence(lit(0), col("number_of_counters") - 1), i =>
+          struct(
+            element_at(col("rest"), i * 3 + 1).as("Unit_Counter_ID"),
+            element_at(col("rest"), i * 3 + 2).as("Repeating_Counter_Occurrences"),
+            element_at(col("rest"), i * 3 + 3).as("Unit_Counter_Seq_Num")))
+        ).as("counter"))
+      .select(
+        col("Unit_Testing_Seq_Key"), col("Sub_Session_Seq_Num"),
+        col("Test_Program_Name"), col("unit_counter_pass_fail_flg"),
+        col("Substructure_ID"), col("number_of_counters"),
+        col("counter.Unit_Counter_ID"),
+        col("counter.Repeating_Counter_Occurrences"),
+        col("counter.Unit_Counter_Seq_Num"))
+      // hex(len(id)) — reference derives a hex digit of the counter-id
+      // length for the qualifier (Utils.scala:508-512)
+      .withColumn("Unit_Counter_ID_hex_len", lower(hex(length(col("Unit_Counter_ID")))))
+  }
+
+  /** MUCR qualifier: `flg ++ hex(len(id)) ++ id` (Utils.scala:546-547).
+    * NOTE the reference then selects a nonexistent `Test_Name` column
+    * (latent bug, Utils.scala:555); we use the computed qualifier — the
+    * documented intent (SURVEY.md §3.2). */
+  def qualifierCol: Column =
+    concat(col("unit_counter_pass_fail_flg"), col("Unit_Counter_ID_hex_len"),
+      col("Unit_Counter_ID"))
+}
+
+/** Trigger-file metadata join (J1). The reference filters the metadata CSV
+  * to one row, collects it to the driver with `first()`, and re-attaches
+  * the values as literals (Utils.scala:186-197) — a manual broadcast join
+  * whose intent its own comment states (":181"). Here it is a real
+  * `broadcast` hash join, so the whole lifecycle is one LogicalPlan and
+  * the planner sees through it.
+  */
+object TriggerMeta {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** `data ⋈ broadcast(meta)` on File_Name; left join keeps data rows with
+    * missing metadata (the reference's missing-key fallback,
+    * Utils.scala:734-740). */
+  def enrich(data: DataFrame, meta: DataFrame, dataFileName: Column): DataFrame =
+    data.withColumn("File_Name", dataFileName)
+      .join(broadcast(meta.withColumn("Lots_seq_key",
+        col("Lots_seq_key").cast(IntegerType))), Seq("File_Name"), "left")
+}
+
+/** Parquet-modeled salted-KV store (K1 minus the RPC): schema
+  * (salt, rowKey, columnName, value) per FIXTURES.md A4. Writes are
+  * partitioned by salt — the same write-skew mitigation the 24-bucket
+  * salt buys HBase region servers (Utils.scala:82-96) buys balanced
+  * Parquet files here.
+  */
+object KvStore {
+  /** Pack a long-format DataFrame into KV cells.
+    * @param keyParts  columns forming the row key (delim-joined)
+    * @param qualifier column qualifier (dynamic, data-dependent)
+    * @param valueParts columns packed into the cell payload (delim-joined)
+    */
+  def pack(df: DataFrame, keyParts: Seq[Column], qualifier: Column,
+           valueParts: Seq[Column]): DataFrame =
+    df.select(
+        KvOps.rowKeyCol(keyParts).as("rowKey"),
+        qualifier.as("columnName"),
+        KvOps.rowKeyCol(valueParts).as("cellValue"))
+      .groupBy(col("rowKey"), col("columnName"))
+      .agg(KvOps.packAgg(col("cellValue")).as("value"))
+      .withColumn("salt", SaltExpr.saltCol(col("rowKey")))
+
+  def write(kv: DataFrame, path: String): Unit =
+    kv.repartition(col("salt"))
+      .write.mode(SaveMode.Overwrite).partitionBy("salt").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Batched point-get (S5/J2): the HBase bulkGet (batch=1000,
+    * Utils.scala:288-369) becomes an equi-join of the probe keys against
+    * the store — Catalyst picks broadcast vs shuffle by stats. */
+  def bulkGet(kv: DataFrame, keys: DataFrame): DataFrame =
+    keys.join(kv, Seq("rowKey", "columnName"), "inner")
+
+  /** Unpack back to long format (Utils.scala:377-402). */
+  def unpack(kv: DataFrame): DataFrame = KvOps.unpackCells(kv)
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Delims, Salt}
+
+/** Column-level operator library for the salted-KV data model — each §2
+  * operator of SURVEY.md re-expressed as a pure Catalyst expression so the
+  * whole lifecycle stays inside WholeStageCodegen (the reference broke
+  * codegen with typed maps at Utils.scala:229-233, 565-569 and an RDD hop
+  * at :417; none of those survive here).
+  *
+  * All functions take/return [[Column]] so they compose into a single
+  * LogicalPlan — nothing collects to the driver.
+  */
+object KvOps {
+
+  /** Reference-parity UDF form of the salt (Utils.scala:158, 495). Prefer
+    * [[SaltExpr.saltCol]] (codegen) in production plans. */
+  val saltUdf = udf((s: String) => Salt.bucket(s))
+
+  /** Row-key assembly: delim-joined key parts (Utils.scala:212-214).
+    * `concat_ws` drops nulls — matching the reference, whose key columns
+    * are declared non-nullable. */
+  def rowKeyCol(parts: Seq[Column], delim: String = Delims.Delim): Column =
+    concat_ws(delim, parts: _*)
+
+  /** Pack aggregation — the core "many measurement rows → one cell"
+    * operator. Fuses the reference's groupBy+collect_list (Utils.scala:
+    * 225-227), per-group sort (:53), count prefix (:56) and newline join
+    * (:229-233) into ONE aggregate expression:
+    *
+    *   `count(*) <delim> array_join(sort_array(collect_list(v)), "\n")`
+    *
+    * Map-side partial aggregation applies (collect_list supports partial
+    * merge), and the sort is per-group on the reduced list — no global
+    * sort, no typed map, no extra shuffle. Deterministic for the oracle.
+    */
+  def packAgg(value: Column, delim: String = Delims.Delim): Column =
+    concat(
+      count(lit(1)).cast("string"),
+      lit(delim),
+      array_join(sort_array(collect_list(value)), Delims.RowSep))
+
+  /** Strip the `n\0` count prefix from a packed cell (Utils.scala:325-326):
+    * everything after the first delimiter. */
+  def stripCountPrefix(cell: Column, delim: String = Delims.Delim): Column =
+    expr_substr_after(cell, delim)
+
+  private def expr_substr_after(c: Column, delim: String): Column =
+    c.substr(instr(c, delim) + 1, lit(Int.MaxValue))
+
+  /** Packed-row count from the cell prefix (the `n` of A4). */
+  def cellCount(cell: Column, delim: String = Delims.Delim): Column =
+    substring_index(cell, delim, 1).cast("int")
+
+  /** Unpack a packed KV table back to long format — the reference's
+    * `hbaseTableToDataFrame` + `hbaseDataFrameSplit` (Utils.scala:377-402)
+    * as split + explode. Input columns: (rowKey, columnName, value);
+    * output: one row per packed value.
+    *
+    * Splits use limit -1 so trailing empty fields survive — the exact
+    * semantics the reference hand-rolled in `getSplitsFromString`
+    * (Utils.scala:853-876).
+    */
+  def unpackCells(kv: DataFrame, delim: String = Delims.Delim): DataFrame =
+    kv.withColumn("__body", stripCountPrefix(col("value"), delim))
+      .withColumn("packedValue",
+        explode(split(col("__body"), java.util.regex.Pattern.quote(Delims.RowSep), -1)))
+      .drop("__body", "value")
+
+  /** Trailing-empty-preserving split (F12): `split(c, sep, -1)`. */
+  def splitKeepTrailing(c: Column, sep: String): Column =
+    split(c, java.util.regex.Pattern.quote(sep), -1)
+
+  /** Prefix scan (S6/P4): HBase `PrefixFilter` → `startsWith`, which
+    * Catalyst pushes to Parquet as a min/max range predicate. */
+  def prefixScan(df: DataFrame, keyCol: String, prefix: String): DataFrame =
+    df.filter(col(keyCol).startsWith(prefix))
+
+  /** k=v detail parser (F6, Utils.scala:112-115): array of "k=v" strings →
+    * map. Pure expression replacement for the reference's `getColumnsUDF`. */
+  def kvParse(details: Column): Column =
+    map_from_entries(transform(details, s =>
+      struct(
+        substring_index(s, "=", 1).as("key"),
+        expr_substr_after(s, "=").as("value"))))
+
+  /** SQL-fragment builders (F7, Utils.scala:607-624): emit `concat_ws`/
+    * `concat` SQL text for `selectExpr`/`expr` — proves the engine accepts
+    * queries as SQL-expression strings. */
+  def exprWs(delim: String, cols: String*): String =
+    cols.mkString(s"concat_ws('$delim', ", ", ", ")")
+  def exprConcat(cols: String*): String =
+    cols.mkString("concat(", ", ", ")")
+}

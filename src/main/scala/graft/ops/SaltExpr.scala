@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Salt
+
+/** Salt-bucket as a native Catalyst expression with whole-stage codegen.
+  *
+  * Semantics: Java-String-hash-with-seed-1 over the UTF-8 bytes of the
+  * input, 32-bit overflow arithmetic, `abs(hash % buckets)` — the
+  * reference's `getSaltValue` (Utils.scala:82-96, bucket count 24 at :93).
+  *
+  * A plain Scala UDF variant exists in [[KvOps.saltUdf]] for parity with
+  * the reference's `udf` registration (Utils.scala:158, 495); this
+  * expression is the performance path: it stays inside WholeStageCodegen
+  * (no ser/de, no closure dispatch) and, unlike a black-box UDF, does not
+  * make surrounding projections opaque to Catalyst.
+  */
+case class SaltBucket(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "salt_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    Salt.bucket(input.asInstanceOf[UTF8String].toString, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |int $h = 1;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = 31 * $h + (int) $bytes[$i];
+         |}
+         |${ev.value} = $bytes.length == 0 ? 0 : java.lang.Math.abs($h % $buckets);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SaltBucket =
+    copy(child = newChild)
+}
+
+object SaltExpr {
+  /** Column wrapper: `salt_bucket(keyCol)` ∈ [0, buckets). */
+  def saltCol(c: Column, buckets: Int = Salt.Buckets): Column =
+    ColumnBridge.column(SaltBucket(ColumnBridge.expression(c), buckets))
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Delims, Salt}
+import graft.ingest.{KvStore, MucrReader}
+import graft.ops.{KvOps, SaltExpr}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class KvOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("SaltBucket expression matches pure-core salt and the UDF") {
+    val df = Seq("lotA\u0000202032\u00002\u00001001", "", "B\u00001\u00002\u00003", "xyz")
+      .toDF("k")
+      .withColumn("exprSalt", SaltExpr.saltCol(col("k")))
+      .withColumn("udfSalt", KvOps.saltUdf(col("k")))
+    val rows = df.collect()
+    for (r <- rows) {
+      val k = r.getString(0)
+      assert(r.getInt(1) === Salt.bucket(k), s"expr for '$k'")
+      assert(r.getInt(2) === Salt.bucket(k), s"udf for '$k'")
+    }
+  }
+
+  test("pack → unpack round-trips a long-format table") {
+    val src = Seq(
+      ("lotA", 1, "t_a", "0.5\u0000P"),
+      ("lotA", 1, "t_a", "0.7\u0000F"),
+      ("lotA", 1, "t_b", "1.5\u0000P"),
+      ("lotA", 2, "t_a", "2.5\u0000P"),
+      ("lotB", 1, "t_c", "\u0000"), // empty fields survive
+    ).toDF("lot", "unit", "testName", "measure")
+
+    val kv = KvStore.pack(src,
+      keyParts = Seq(col("lot"), col("unit")),
+      qualifier = col("testName"),
+      valueParts = Seq(col("measure")))
+
+    // salt column is consistent with rowKey
+    for (r <- kv.select("rowKey", "salt").collect())
+      assert(r.getInt(1) === Salt.bucket(r.getString(0)))
+
+    val back = KvStore.unpack(kv)
+      .select(col("rowKey"), col("columnName"), col("packedValue"))
+    val expected = src.select(
+      KvOps.rowKeyCol(Seq(col("lot"), col("unit"))).as("rowKey"),
+      col("testName").as("columnName"),
+      col("measure").as("packedValue"))
+    assert(back.except(expected).count() === 0)
+    assert(expected.except(back).count() === 0)
+    assert(back.count() === expected.count())
+  }
+
+  test("cell count prefix matches group size") {
+    val src = Seq(("k", "q", "a"), ("k", "q", "b"), ("k", "q", "c"))
+      .toDF("k", "q", "v")
+    val kv = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")))
+    val n = kv.select(KvOps.cellCount(col("value"))).as[Int].head()
+    assert(n === 3)
+  }
+
+  test("bulkGet joins probe keys against the store") {
+    val src = Seq(("k1", "q1", "a"), ("k2", "q1", "b"), ("k3", "q2", "c"))
+      .toDF("k", "q", "v")
+    val kv = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")))
+    val probes = Seq(("k1", "q1"), ("k3", "q2"), ("k9", "q1"))
+      .toDF("rowKey", "columnName")
+    val got = KvStore.bulkGet(kv, probes)
+    assert(got.count() === 2) // absent keys yield nothing (inner)
+  }
+
+  test("MUCR repeating-group parse explodes counters") {
+    val lines = Seq(
+      "1001\u00003\u0000TP_A\u0000P\u0000SS01\u00002\u0000CNT_A\u00004\u00001\u0000CNT_LONG_B\u00009\u00002",
+      "1002\u00001\u0000TP_A\u0000F\u0000SS02\u00001\u0000C\u00002\u00001"
+    ).toDF("value")
+    val parsed = MucrReader.parse(lines)
+    assert(parsed.count() === 3)
+    val first = parsed.filter(col("Unit_Counter_ID") === "CNT_A").head()
+    assert(first.getAs[String]("Unit_Testing_Seq_Key") === "1001")
+    assert(first.getAs[String]("Repeating_Counter_Occurrences") === "4")
+    // hex(len("CNT_A")) = hex(5) = "5"; hex(len("CNT_LONG_B")) = hex(10) = "a"
+    val hexes = parsed.select("Unit_Counter_ID", "Unit_Counter_ID_hex_len")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(hexes("CNT_A") === "5")
+    assert(hexes("CNT_LONG_B") === "a")
+    // qualifier = flg ++ hexlen ++ id
+    val q = parsed.withColumn("q", MucrReader.qualifierCol)
+      .filter(col("Unit_Counter_ID") === "CNT_LONG_B")
+      .select("q").as[String].head()
+    assert(q === "PaCNT_LONG_B")
+  }
+
+  test("kvParse maps k=v arrays") {
+    val df = Seq(Seq("col1=a", "col2=b", "col3=c")).toDF("details")
+      .select(KvOps.kvParse(col("details")).as("m"))
+    val m = df.select(element_at(col("m"), "col2")).as[String].head()
+    assert(m === "b")
+  }
+
+  test("exprWs builds SQL text accepted by selectExpr") {
+    val df = Seq(("a", "b")).toDF("x", "y")
+      .selectExpr(KvOps.exprWs("|", "x", "y") + " as joined")
+    assert(df.as[String].head() === "a|b")
+  }
+
+  test("splitKeepTrailing preserves trailing empties in a column") {
+    val df = Seq("a\u0000\u0000").toDF("s")
+      .select(size(KvOps.splitKeepTrailing(col("s"), "\u0000")))
+    assert(df.as[Int].head() === 3)
+  }
+}
