@@ -70,6 +70,9 @@ def main():
         elif g != e:
             diff = next((a, b) for a, b in zip(g, e) if a != b)
             failures.append((name, f"value mismatch, first diff: {diff[0]} vs {diff[1]}"))
+    seen = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracle) - seen):
+        failures.append((name, "query produced no output directory"))
     print(f"checked={checked} rows_only={[(n, r) for n, r in rows_only]}")
     for n, r in rows_only:
         if r == 0:
