@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ParityQueries, ScalarQueries}
+import graft.queries.{ExtensionQueries, ParityQueries, ScalarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,8 @@ object SparkEntry {
     ParityQueries.queries("unpack_cells")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ ScalarQueries.queries
+    ParityQueries.queries ++ ScalarQueries.queries ++ ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ ScalarQueries.oracleSql
+    ParityQueries.oracleSql ++ ScalarQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

@@ -1,0 +1,189 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape of the problem:
+  *
+  *  - exact:     hash-groupBy — one shuffle on the content hash.
+  *  - minhash:   shingle → k-permutation MinHash signature → banded LSH
+  *               bucket join → exact-Jaccard verify. Candidate generation
+  *               is a self-join on (band, bandKey) so only near-collisions
+  *               shuffle, never the O(n²) pair space.
+  *  - simhash:   64-bit sign-aggregated token hash → 16-bit chunk bucket
+  *               join (any pair within Hamming distance 3 shares ≥1 of 4
+  *               chunks) → exact Hamming verify via bit_count(xor).
+  *  - ngram:     exact Jaccard via inverted-index join on shingles with a
+  *               document-frequency cutoff (hot shingles are dropped, the
+  *               standard guard against quadratic bucket blowup).
+  *  - embedding: random-hyperplane LSH signature → bucket join → exact
+  *               cosine verify (see [[graft.similarity.Ann]] for the
+  *               shared vector math).
+  *
+  * All operators are pure column plans — no driver-side state, no
+  * collect — so they scale with executors.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int = 2): Column = {
+    val toks = TextOps.tokens(TextOps.normalized(text))
+    array_distinct(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws("_", slice(toks, i, lit(n)))))
+  }
+
+  // ── Exact ────────────────────────────────────────────────────────────
+
+  /** Exact dedup: canonical = min id per content hash. Returns the input
+    * ids annotated with their canonical id and copy count; survivors are
+    * the rows where id == canonical. */
+  def exactCanonical(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(text)
+    val w = Window.partitionBy(col("__h"))
+    docs.select(id.as("doc_id"), h.as("__h"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .drop("__h")
+  }
+
+  // ── MinHash + LSH ────────────────────────────────────────────────────
+
+  /** k-permutation MinHash signature. One xxhash64 per shingle, then k
+    * cheap XOR-permutations `h ^ c_i` (bijective, overflow-free under
+    * ANSI arithmetic) — not k full passes over the text. The c_i are
+    * golden-ratio-mixed constants, giving k independent-enough orderings
+    * (standard XOR-permutation MinHash). */
+  def minhashSignature(shingleCol: Column, k: Int = 24): Column = {
+    val base = transform(shingleCol, s => xxhash64(s))
+    array(
+      (0 until k).map { i =>
+        val c = mix64(0x9E3779B97F4A7C15L * (i + 1) + 0x165667B19E3779F9L)
+        array_min(transform(base, h => h.bitwiseXOR(lit(c))))
+      }: _*)
+  }
+
+  /** SplitMix64 finalizer — decorrelates the per-permutation constants. */
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Banded-LSH candidate pairs verified with exact Jaccard.
+    * @param docs   (id, text) source
+    * @param bands  b bands of r = k/bands rows each; collision prob for
+    *               similarity s is 1-(1-s^r)^b
+    * @param threshold exact-Jaccard cutoff applied after verification
+    */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column,
+                   k: Int = 24, bands: Int = 8,
+                   threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigd = docs.select(id.as("doc_id"), shingles(text).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sigd.select(
+        col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          xxhash64(concat_ws(",", bnd,
+            array_join(transform(slice(col("sig"), bnd * r + 1, lit(r)),
+              _.cast("string")), "|"))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandKey")
+    val a = banded.select(col("band"), col("bandKey"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bandKey"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bandKey")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  // ── N-gram Jaccard via inverted index ────────────────────────────────
+
+  /** Exact pairwise Jaccard over shingles through an inverted-index join:
+    * explode (doc, shingle), drop shingles hotter than `maxDf` docs,
+    * self-join on shingle, count common shingles per pair. Only documents
+    * sharing a (rare) shingle ever meet — the scalable exact algorithm.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                        n: Int = 2, maxDf: Int = 100,
+                        threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    val rare = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("s"))
+    val pruned = sh.join(rare, Seq("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = pruned.as("x").join(pruned.as("y"), Seq("s"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ── SimHash ──────────────────────────────────────────────────────────
+
+  /** 64-bit SimHash: per bit j, sum +1/-1 over token-hash bit j; bit set
+    * if the sum is positive. Pure expression — O(64·T) adds per doc. */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(TextOps.tokens(TextOps.normalized(text)))
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => {
+        val vote = aggregate(hashes, lit(0L),
+          (s, h) => s + when(
+            call_function("shiftrightunsigned", h, j).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
+      })
+  }
+
+  /** Near-dup pairs within `maxHamming` of each other's SimHash. Candidate
+    * generation: any two signatures within Hamming distance d ≤ 7 agree on
+    * at least one of 8 8-bit chunks (pigeonhole), so bucket-join on
+    * (chunkIdx, chunkValue) and verify with bit_count(xor). Smaller chunks
+    * buy a larger radius at the cost of hotter buckets (2⁸ values per
+    * chunk) — at extreme corpus sizes, widen chunks and run multiple
+    * rotated tables instead. */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+                   maxHamming: Int = 7): DataFrame = {
+    val sigd = docs.select(id.as("doc_id"), simhash64(text).as("sig"))
+    val chunked = sigd.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(7)), i =>
+          call_function("shiftrightunsigned", col("sig"), i * 8)
+            .bitwiseAND(0xFFL))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video travel as opaque `binary` payloads with typed metadata, and the
+  * compute-heavy decode/feature steps run batched per partition — the
+  * Spark-side shape (schema, partitioning, batch iteration, checksums)
+  * is real and tested; only the codec kernels themselves are STUBBED
+  * (this container ships no image/audio libraries).
+  *
+  * STUB MARKERS: [[FakeCodec.decodeFeatures]], [[FakeCodec.resize]], and
+  * [[FakeCodec.sampleFrames]] are deterministic stand-ins. Swapping in a
+  * real decoder (JNI image lib, ffmpeg pipe, …) changes ONLY FakeCodec —
+  * the partition-batched execution plan stays identical.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata. At 100 TB the payload
+    * column dominates — keep it out of every shuffle that doesn't need
+    * it (the pipelines below only shuffle ids + features). */
+  case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
+                      meta: Map[String, String])
+
+  case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
+                           checksum: String, features: Array[Double])
+
+  /** Deterministic fake codec — stands in for image/audio decode. */
+  object FakeCodec {
+    /** STUB: a real implementation decodes the payload (JPEG/PNG/WAV…)
+      * and runs a feature extractor. Deterministic stand-in: normalized
+      * 16-bin byte histogram — shape-compatible (fixed-length
+      * Array[Double]) with a real embedding. */
+    def decodeFeatures(payload: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](16)
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xFF) >> 4) += 1; i += 1 }
+      val n = math.max(payload.length, 1).toDouble
+      hist.map(_ / n)
+    }
+
+    /** STUB for image resize: a real kernel rescales pixels; the
+      * deterministic stand-in re-buckets the byte stream to `target`
+      * bytes, preserving the plumbing contract (binary in → binary out). */
+    def resize(payload: Array[Byte], target: Int): Array[Byte] = {
+      if (payload.isEmpty) new Array[Byte](0)
+      else Array.tabulate(target)(i => payload((i.toLong * payload.length / target).toInt))
+    }
+
+    /** STUB for video frame sampling: returns `n` evenly-spaced "frames"
+      * (byte slices) of the payload. */
+    def sampleFrames(payload: Array[Byte], n: Int, frameLen: Int = 16): Seq[Array[Byte]] =
+      if (payload.isEmpty) Seq.empty
+      else (0 until n).map { i =>
+        val off = (i.toLong * payload.length / n).toInt
+        payload.slice(off, math.min(off + frameLen, payload.length))
+      }
+  }
+
+  /** Build a media table from the documents fixture: the text bytes stand
+    * in for an encoded payload; modality/meta are typed columns. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(lit("image/"), col("source")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      map(
+        lit("source"), col("source"),
+        lit("lang"), col("lang"),
+        lit("n_chars"), col("n_chars").cast("string")).as("meta"))
+
+  /** Partition-batched decode: the media rows are hash-repartitioned (so
+    * decode load spreads evenly regardless of input file layout), then
+    * each partition iterates in fixed-size batches — the exact execution
+    * shape a vectorized/Arrow decode path wants. Only ids + fixed-width
+    * features leave the stage; payloads never shuffle.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+                     batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload"), col("meta"))
+      .repartition(col("doc_id"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real codec would decode the whole batch in one native call
+          batch.iterator.map { m =>
+            val feats = FakeCodec.decodeFeatures(m.payload)
+            MediaFeatures(m.doc_id, m.modality, m.payload.length.toLong,
+              md5Hex(m.payload), feats)
+          }
+        }
+      }
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+}

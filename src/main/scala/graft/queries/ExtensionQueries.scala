@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextOps
+
+/** Training-data-pipeline extensions (BASELINE.json north star): dedup,
+  * similarity search, text analysis, multimodal plumbing — first-class
+  * operators alongside the SURVEY §2 parity surface.
+  *
+  * Oracle policy: SQL-expressible ops carry a DuckDB oracle; ops built on
+  * 64-bit engine hashes (xxhash64 minhash/simhash/LSH) are engine-verified
+  * by the scalatest suites (recall/agreement against exact algorithms)
+  * and get the driver's rows-only check.
+  */
+object ExtensionQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Deduplication ──────────────────────────────────────────────────
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactCanonical(Tables(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(Tables(s, dir, "documents"), col("doc_id"), col("text"),
+          k = 24, bands = 8, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), col("doc_id"),
+          col("text"), n = 2, maxDf = 100, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables(s, dir, "documents"), col("doc_id"), col("text"),
+          maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      Ann.cosineNearDupPairs(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"),
+          threshold = 0.3, bands = 16, bandBits = 2)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    // ── Similarity search ──────────────────────────────────────────────
+    "ann_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.bruteForceTopK(q, c, k = 10).orderBy(col("qid"), col("cid"))
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.lshTopK(q, c, k = 10, bands = 8, bandBits = 4)
+        .orderBy(col("qid"), col("cid"))
+    }),
+
+    // ── Text analysis ──────────────────────────────────────────────────
+    "text_tokens" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          size(TextOps.bpeishTokens(col("text"))).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+          TextOps.meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Multimodal ─────────────────────────────────────────────────────
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.fromDocuments(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("modality"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("checksum"),
+          element_at(col("meta"), "lang").as("meta_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
+      Multimodal.decodeFeatures(s, media)
+        .toDF()
+        .select(col("doc_id"), col("modality"), col("n_bytes"), col("checksum"),
+          size(col("features")).as("n_features"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact inverted-index n-gram Jaccard — mirrors the engine algorithm
+    "dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                          '\s+', ' ', 'g')), '\s+'),
+        |      w -> len(w) > 0) AS l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+        |      i -> l[i] || '_' || l[i+1]))) AS s
+        |  FROM toks),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |pruned AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+        |  FROM pruned x JOIN pruned y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(n_common / cast(ca.n_sh + cb.n_sh - n_common AS double), 6) AS jaccard
+        |FROM common
+        |JOIN sizes ca ON ca.doc_id = id_a
+        |JOIN sizes cb ON cb.doc_id = id_b
+        |WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, cast(embedding AS double[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT qid, vec_id AS cid,
+        |    round(list_cosine_similarity(qvec, cast(embedding AS double[])), 4) AS sim
+        |  FROM q, embeddings WHERE vec_id <> qid),
+        |r AS (
+        |  SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |  FROM s)
+        |SELECT qid, cid, sim FROM r WHERE rn <= 10 ORDER BY qid, cid""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS lt,
+        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ot,
+        |    text FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(lt, w -> list_contains(
+        |    ['the','a','of','and','to','in','is','that','it','for',
+        |     'on','was','as','with','be','by','at','this','are','or'], w)))
+        |    / greatest(len(lt), 1) AS stopword_ratio,
+        |  len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+        |  list_sum(list_transform(ot, w -> cast(len(w) AS bigint)))
+        |    / cast(greatest(len(ot), 1) AS double) AS mean_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, 'image/' || source AS modality,
+        |  octet_length(cast(text AS blob)) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  lang AS meta_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

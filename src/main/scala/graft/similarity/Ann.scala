@@ -1,0 +1,129 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`), designed
+  * for the "small query set × huge corpus" shape:
+  *
+  *  - brute force: broadcast the query vectors, one streaming pass over
+  *    the corpus computing cosine in-line (codegen'd `zip_with` +
+  *    `aggregate`), per-query top-k via a window. No corpus shuffle of
+  *    vector payloads — only (query, candidate, sim) tuples reach the
+  *    top-k exchange.
+  *  - LSH (random hyperplane): deterministic pseudo-random hyperplanes
+  *    (hash-derived, no RNG state to ship), sign-bit signature, bucket
+  *    join queries→corpus, exact cosine re-rank within buckets. Probes
+  *    every band so recall degrades gracefully.
+  *
+  * All math in double (embeddings cast up front) — float accumulation
+  * drifts across evaluation orders.
+  */
+object Ann {
+
+  def asDouble(vec: Column): Column = vec.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k: every query vs every corpus row.
+    * @param queries (qid, qvec) — must be small (it is broadcast)
+    * @param corpus  (cid, cvec)
+    * @param roundTo similarity decimals used for ranking (stable
+    *                tie-break by cid keeps the result deterministic
+    *                across fp evaluation orders)
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     roundTo: Int = 4): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
+          .as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    joined.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a hash of
+    * (plane, dim) mapped to [-0.5, 0.5). No RNG state — executors
+    * recompute identically everywhere. */
+  private def planeComponent(plane: Column, d: Column): Column =
+    (pmod(xxhash64(concat_ws(":", plane, d)), lit(1000000L)).cast("double")
+      / 1000000.0) - 0.5
+
+  /** Sign-bit LSH signature: one bit per hyperplane = sign of the dot
+    * product with that plane. Returns array<int> of 0/1, grouped into
+    * `bands` bucket keys by the caller. */
+  def lshSignature(vec: Column, planes: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), p => {
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), _ + _)
+      when(d >= 0, 1).otherwise(0)
+    })
+
+  /** LSH-bucketed approximate top-k: candidates are corpus rows sharing
+    * at least one signature band with the query; exact cosine re-ranks.
+    * planes = bands·bandBits; a pair colliding on any band becomes a
+    * candidate (multi-probe OR-construction → high recall).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bands: Int = 8, bandBits: Int = 4, roundTo: Int = 4): DataFrame = {
+    val planes = bands * bandBits
+    def banded(df: DataFrame, id: String, vec: String) = {
+      val sig = lshSignature(asDouble(col(vec)), planes)
+      df.select(col(id), col(vec), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)), bnd =>
+            array_join(transform(slice(sig, bnd * bandBits + 1, lit(bandBits)),
+              _.cast("string")), ""))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    }
+    val qb = banded(queries, "qid", "qvec")
+    val cb = banded(corpus, "cid", "cvec")
+    val cands = qb.join(cb, Seq("band", "bkey"))
+      .where(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    cands
+      .select(col("qid"), col("cid"),
+        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: LSH buckets (all bands) → exact
+    * cosine ≥ threshold. The O(n²) pair space is never materialized —
+    * only same-bucket pairs shuffle. */
+  def cosineNearDupPairs(corpus: DataFrame, id: Column, vec: Column,
+                         threshold: Double = 0.95,
+                         bands: Int = 8, bandBits: Int = 4): DataFrame = {
+    val planes = bands * bandBits
+    val sig = lshSignature(asDouble(vec), planes)
+    val banded = corpus.select(id.as("id"), vec.as("v"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          array_join(transform(slice(sig, bnd * bandBits + 1, lit(bandBits)),
+            _.cast("string")), ""))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bkey")).where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(cosine(asDouble(col("v_a")), asDouble(col("v_b"))), 6))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

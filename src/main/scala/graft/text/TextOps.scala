@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * column expressions (whole-stage codegen, no UDFs) so they run at
+  * full scan speed over a 100 TB documents table.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. `split` with a regex; empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-boundary token count: words, numbers, and single
+    * punctuation marks each count — the usual pre-tokenizer regex family
+    * (letters | digits | non-space symbol). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  // ── Quality scoring ──────────────────────────────────────────────────
+
+  private val enStopwords = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+    "on", "was", "as", "with", "be", "by", "at", "this", "are", "or")
+
+  /** Fraction of tokens that are (English) stopwords — high for natural
+    * prose, near 0 for boilerplate/code/gibberish. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(enStopwords: _*))) /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))) /
+      greatest(length(text), lit(1))
+
+  /** Fraction of characters that are alphabetic. */
+  def alphaRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))) /
+      greatest(length(text), lit(1))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _) /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  // ── Language ID (n-gram/stopword heuristic) ──────────────────────────
+
+  /** Tiny public stopword profiles; scored by hit count per language.
+    * CJK is detected by character class before the stopword vote. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> enStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+      "mit", "den", "von", "für", "auf", "im", "sich"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se",
+      "no", "por", "con", "para", "los", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans",
+      "ce", "pas", "au", "sur", "les", "des", "est"))
+
+  /** Heuristic language ID: argmax of per-language stopword hits
+    * (deterministic tie-break: lexicographically last language wins the
+    * tie via struct ordering), with a CJK character-ratio override.
+    * Returns a language code string.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = array(profiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    val cjkRatio = size(regexp_extract_all(text,
+      lit("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]"),
+      lit(0))) / greatest(length(text), lit(1))
+    when(cjkRatio > 0.2, lit("cjk"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // ── Fingerprinting ───────────────────────────────────────────────────
+
+  /** Canonical normalization before fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Whole-document fingerprint: 64-bit hash of the normalized text. */
+  def fingerprint(text: Column): Column = xxhash64(normalized(text))
+
+  /** Rolling (shingle-min) fingerprint: minimum 64-bit hash over the
+    * rolling word-window shingles of the normalized text — robust to
+    * local edits, unlike the whole-document hash. This is a 1-hash
+    * MinHash; [[graft.dedup.Dedup]] generalizes it to k hashes.
+    */
+  def rollingFingerprint(text: Column, window: Int = 4): Column = {
+    val toks = tokens(normalized(text))
+    val shingleCount = greatest(size(toks) - (window - 1), lit(1))
+    array_min(transform(sequence(lit(1), shingleCount), i =>
+      xxhash64(concat_ws(" ", slice(toks, i, lit(window))))))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextOps
+
+/** Engine-verified checks for the extension operators whose hashes are
+  * not expressible in the DuckDB oracle: MinHash/SimHash/LSH are compared
+  * against the exact algorithms on sf0.001 (fixed data → deterministic
+  * recall), fingerprints and the multimodal stubs against their
+  * contracts. */
+class ExtensionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, dir, "documents")
+  private def embeddings = Tables(spark, dir, "embeddings")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactPairs: Set[(Long, Long)] = pairSet(
+    Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 2, maxDf = 100, threshold = 0.8))
+
+  test("minhash pairs: exact precision, high recall vs exact jaccard") {
+    val mh = pairSet(Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      k = 24, bands = 8, threshold = 0.8))
+    assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
+    // post-verification makes every reported pair exactly-correct
+    assert(mh.subsetOf(exactPairs))
+    // banded LSH at s>=0.8, r=3,b=8: expected recall >~ 1-(1-0.8^3)^8 ≈ 0.995
+    val recall = mh.size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall (found ${mh.size}/${exactPairs.size})")
+  }
+
+  test("simhash finds the planted high-similarity pairs") {
+    val sh = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+      maxHamming = 7))
+    assert(sh.nonEmpty)
+    val strong = pairSet(Dedup.ngramJaccardPairs(docs, col("doc_id"),
+      col("text"), n = 2, maxDf = 100, threshold = 0.95))
+    if (strong.nonEmpty) {
+      val recall = strong.count(sh.contains).toDouble / strong.size
+      assert(recall >= 0.6, s"simhash recall on >=0.95-jaccard pairs: $recall")
+    }
+  }
+
+  test("lsh ann attains reasonable recall against brute force") {
+    val q = embeddings.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Ann.bruteForceTopK(q, c, k = 10))
+    val approx = resultSet(Ann.lshTopK(q, c, k = 10, bands = 8, bandBits = 4))
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"lsh recall $recall") // 32 planes on 64-dim noise
+  }
+
+  test("langId is deterministic and in-domain") {
+    val preds = docs.select(TextOps.langId(col("text"))).as[String].collect()
+    val allowed = Set("en", "de", "es", "fr", "cjk", "und")
+    assert(preds.forall(allowed.contains))
+    val again = docs.select(TextOps.langId(col("text"))).as[String].collect()
+    assert(preds.toSeq === again.toSeq)
+  }
+
+  test("fingerprints: identical normalized text → identical fp; edits change fp") {
+    val df = Seq(
+      ("a", "The quick brown fox jumps over the lazy dog"),
+      ("b", "the quick  brown fox jumps over the lazy dog!"), // normalizes equal
+      ("c", "an entirely different document about spark engines")
+    ).toDF("id", "text")
+      .select(col("id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("a") === df("b"))
+    assert(df("a") !== df("c"))
+  }
+
+  test("exact dedup canonical: duplicates map to min doc_id") {
+    val withDup = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") === 7)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val out = Dedup.exactCanonical(withDup, col("doc_id"), col("text"))
+    val dup = out.where(col("doc_id") === 10007).head()
+    assert(dup.getAs[Long]("canonical_id") === 7L)
+    assert(dup.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("multimodal stub codec honors its contracts") {
+    val payload = "hello multimodal world".getBytes("UTF-8")
+    val f = Multimodal.FakeCodec.decodeFeatures(payload)
+    assert(f.length === 16)
+    assert(math.abs(f.sum - 1.0) < 1e-9) // normalized histogram
+    assert(Multimodal.FakeCodec.resize(payload, 8).length === 8)
+    assert(Multimodal.FakeCodec.sampleFrames(payload, 4).size === 4)
+
+    val media = Multimodal.fromDocuments(docs.limit(20))
+    val feats = Multimodal.decodeFeatures(spark, media, batchSize = 8).collect()
+    assert(feats.length === 20)
+    assert(feats.forall(_.features.length === 16))
+    // checksum must equal md5 of the original text bytes
+    val one = feats.minBy(_.doc_id)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(docs.orderBy("doc_id").limit(1).select("text").as[String].head()
+        .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(one.checksum === expected)
+  }
+
+  test("cosine matches a hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(Ann.cosine(Ann.asDouble(col("a")), Ann.asDouble(col("b"))).as("c"))
+    val c = df.as[Double].head()
+    assert(math.abs(c - 8.0 / 9.0) < 1e-12)
+  }
+}
