@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.TextExprs
 import graft.text.TextOps
 
 /** Deduplication operators for training-data pipelines, each designed for
@@ -28,12 +29,10 @@ import graft.text.TextOps
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of the normalized text. */
-  def shingles(text: Column, n: Int = 2): Column = {
-    val toks = TextOps.tokens(TextOps.normalized(text))
-    array_distinct(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws("_", slice(toks, i, lit(n)))))
-  }
+  /** Distinct word n-gram shingles of the normalized text (native
+    * kernel — see [[graft.ops.TextKernels.wordNgrams]]). */
+  def shingles(text: Column, n: Int = 2): Column =
+    TextExprs.wordNgrams(TextOps.tokens(TextOps.normalized(text)), n)
 
   // ── Exact ────────────────────────────────────────────────────────────
 
@@ -52,27 +51,12 @@ object Dedup {
 
   // ── MinHash + LSH ────────────────────────────────────────────────────
 
-  /** k-permutation MinHash signature. One xxhash64 per shingle, then k
-    * cheap XOR-permutations `h ^ c_i` (bijective, overflow-free under
-    * ANSI arithmetic) — not k full passes over the text. The c_i are
-    * golden-ratio-mixed constants, giving k independent-enough orderings
-    * (standard XOR-permutation MinHash). */
-  def minhashSignature(shingleCol: Column, k: Int = 24): Column = {
-    val base = transform(shingleCol, s => xxhash64(s))
-    array(
-      (0 until k).map { i =>
-        val c = mix64(0x9E3779B97F4A7C15L * (i + 1) + 0x165667B19E3779F9L)
-        array_min(transform(base, h => h.bitwiseXOR(lit(c))))
-      }: _*)
-  }
-
-  /** SplitMix64 finalizer — decorrelates the per-permutation constants. */
-  private def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  /** k-permutation MinHash signature: one xxhash64 per shingle, then k
+    * XOR-permutations `h ^ c_i` (bijective, overflow-free under ANSI
+    * arithmetic; c_i are SplitMix64-decorrelated constants). Runs as a
+    * native kernel — [[graft.ops.TextKernels.minhashSig]]. */
+  def minhashSignature(shingleCol: Column, k: Int = 24): Column =
+    TextExprs.minhashSig(shingleCol, k)
 
   /** Banded-LSH candidate pairs verified with exact Jaccard.
     * @param docs   (id, text) source
@@ -145,21 +129,10 @@ object Dedup {
   // ── SimHash ──────────────────────────────────────────────────────────
 
   /** 64-bit SimHash: per bit j, sum +1/-1 over token-hash bit j; bit set
-    * if the sum is positive. Pure expression — O(64·T) adds per doc. */
-  def simhash64(text: Column): Column = {
-    val toks = array_distinct(TextOps.tokens(TextOps.normalized(text)))
-    val hashes = transform(toks, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => {
-        val vote = aggregate(hashes, lit(0L),
-          (s, h) => s + when(
-            call_function("shiftrightunsigned", h, j).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
-      })
-  }
+    * if the sum is positive. Native kernel (O(64·T) bit ops per doc) —
+    * [[graft.ops.TextKernels.simhash64]]. */
+  def simhash64(text: Column): Column =
+    TextExprs.simhash64(array_distinct(TextOps.tokens(TextOps.normalized(text))))
 
   /** Near-dup pairs within `maxHamming` of each other's SimHash. Candidate
     * generation: any two signatures within Hamming distance d ≤ 7 agree on

@@ -1,0 +1,223 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the hash-heavy text/vector operators. The declarative
+  * forms (nested `transform`/`aggregate` lambdas) evaluate O(tokens × bits)
+  * Catalyst expression nodes per row; these kernels run the same math as a
+  * tight Java loop inside whole-stage codegen — one static call per row.
+  *
+  * Hashing is Spark's own XXH64 (seed 42), bit-compatible with the SQL
+  * `xxhash64` function on strings.
+  */
+object TextKernels {
+  final val Seed = 42L
+
+  def hash(s: UTF8String): Long = XXH64.hashUTF8String(s, Seed)
+
+  /** 64-bit SimHash over a token array: per bit, majority vote of the
+    * token-hash bits (+1/-1); bit set if the vote is positive. */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash(tokens.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** SplitMix64 finalizer (public-domain constants). */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def permConstant(i: Int): Long =
+    mix64(0x9E3779B97F4A7C15L * (i + 1) + 0x165667B19E3779F9L)
+
+  /** k-permutation MinHash signature via XOR-permutations of one base
+    * xxhash64 per shingle — identical math to the declarative form. */
+  def minhashSig(shingles: ArrayData, k: Int): GenericArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val cs = Array.tabulate(k)(permConstant)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash(shingles.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val p = h ^ cs(j)
+        if (p < mins(j)) mins(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Word n-gram shingles: distinct `sep`-joined windows of `n` tokens.
+    * (Single pass, no per-window string-builder churn beyond the joined
+    * output UTF8Strings themselves.) */
+  def wordNgrams(tokens: ArrayData, n: Int): GenericArrayData = {
+    val t = tokens.numElements()
+    val sep = UTF8String.fromString("_")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (t == 0) return new GenericArrayData(Array.empty[Any])
+    if (t < n) {
+      // degenerate doc shorter than the window: one shingle of all tokens
+      val parts = Array.tabulate(t)(i => tokens.getUTF8String(i))
+      out.add(UTF8String.concatWs(sep, parts: _*))
+    } else {
+      var i = 0
+      while (i + n <= t) {
+        val parts = Array.tabulate(n)(j => tokens.getUTF8String(i + j))
+        out.add(UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Rolling (shingle-min) fingerprint: min xxhash64 over space-joined
+    * sliding word windows. */
+  def rollingMin(tokens: ArrayData, window: Int): Long = {
+    val t = tokens.numElements()
+    if (t == 0) return hash(UTF8String.EMPTY_UTF8)
+    val sep = UTF8String.fromString(" ")
+    val count = math.max(t - (window - 1), 1)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < count) {
+      val m = math.min(window, t - i)
+      val parts = Array.tabulate(m)(j => tokens.getUTF8String(i + j))
+      val h = hash(UTF8String.concatWs(sep, parts: _*))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  // ── Random-hyperplane LSH ────────────────────────────────────────────
+
+  private val planeCache = new ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) is a
+    * SplitMix64 of the indices mapped to [-0.5, 0.5). Cached per
+    * (planes, dim) — executors rebuild identically, no RNG state ships. */
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes, dim), { case (p, d) =>
+      Array.tabulate(p)(pi => Array.tabulate(d)(di =>
+        (java.lang.Math.floorMod(mix64((pi.toLong << 32) | di.toLong), 1000000L)
+          .toDouble / 1000000.0) - 0.5))
+    })
+
+  /** Sign-bit signature: bit p = sign of ⟨vec, plane_p⟩. Returns 0/1 ints. */
+  def lshBits(vec: ArrayData, planes: Int): GenericArrayData = {
+    val v = vec.toDoubleArray()
+    val m = planeMatrix(planes, v.length)
+    val bits = new Array[Int](planes)
+    var p = 0
+    while (p < planes) {
+      val row = m(p)
+      var acc = 0.0
+      var d = 0
+      val n = math.min(v.length, row.length)
+      while (d < n) { acc += v(d) * row(d); d += 1 }
+      bits(p) = if (acc >= 0) 1 else 0
+      p += 1
+    }
+    new GenericArrayData(bits)
+  }
+}
+
+/** Codegen wrapper: a unary expression whose value is one static kernel
+  * call — stays inside WholeStageCodegen, no lambda-tree interpretation. */
+abstract class KernelUnaryExpression extends UnaryExpression {
+  /** Java source for the kernel call, given the evaluated child variable. */
+  protected def kernelCall(childVar: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelCall(c)};")
+}
+
+case class SimHash64Expr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.simhash64(in.asInstanceOf[ArrayData])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.simhash64($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int) extends KernelUnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.minhashSig(in.asInstanceOf[ArrayData], k)
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.minhashSig($c, $k)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class WordNgramsExpr(child: Expression, n: Int) extends KernelUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.wordNgrams(in.asInstanceOf[ArrayData], n)
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.wordNgrams($c, $n)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class RollingMinExpr(child: Expression, window: Int) extends KernelUnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_min_fingerprint"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.rollingMin(in.asInstanceOf[ArrayData], window)
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.rollingMin($c, $window)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class LshBitsExpr(child: Expression, planes: Int) extends KernelUnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_sign_bits"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.lshBits(in.asInstanceOf[ArrayData], planes)
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.lshBits($c, $planes)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column-level API for the kernel expressions. */
+object TextExprs {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def simhash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
+  def minhashSig(shingles: Column, k: Int): Column = c(MinHashSigExpr(e(shingles), k))
+  def wordNgrams(tokens: Column, n: Int): Column = c(WordNgramsExpr(e(tokens), n))
+  def rollingMin(tokens: Column, window: Int): Column = c(RollingMinExpr(e(tokens), window))
+  def lshBits(vec: Column, planes: Int): Column = c(LshBitsExpr(e(vec), planes))
+}

@@ -37,7 +37,7 @@ object ExtensionQueries {
 
     "dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), col("doc_id"),
-          col("text"), n = 2, maxDf = 100, threshold = 0.8)
+          col("text"), n = 3, maxDf = 100, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -144,9 +144,10 @@ object ExtensionQueries {
         |      w -> len(w) > 0) AS l
         |  FROM documents),
         |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, greatest(len(l) - 1, 1) + 1),
-        |      i -> l[i] || '_' || l[i+1]))) AS s
+        |  SELECT doc_id, unnest(list_distinct(CASE
+        |    WHEN len(l) < 3 THEN [array_to_string(l, '_')]
+        |    ELSE list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2]) END)) AS s
         |  FROM toks),
         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
         |pruned AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),

@@ -52,24 +52,13 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: a hash of
-    * (plane, dim) mapped to [-0.5, 0.5). No RNG state — executors
-    * recompute identically everywhere. */
-  private def planeComponent(plane: Column, d: Column): Column =
-    (pmod(xxhash64(concat_ws(":", plane, d)), lit(1000000L)).cast("double")
-      / 1000000.0) - 0.5
-
   /** Sign-bit LSH signature: one bit per hyperplane = sign of the dot
-    * product with that plane. Returns array<int> of 0/1, grouped into
-    * `bands` bucket keys by the caller. */
+    * product with a deterministic hash-derived hyperplane (no RNG state
+    * ships — executors rebuild the plane matrix identically). Native
+    * kernel — [[graft.ops.TextKernels.lshBits]]. Returns array<int> of
+    * 0/1, grouped into `bands` bucket keys by the caller. */
   def lshSignature(vec: Column, planes: Int): Column =
-    transform(sequence(lit(0), lit(planes - 1)), p => {
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0), _ + _)
-      when(d >= 0, 1).otherwise(0)
-    })
+    graft.ops.TextExprs.lshBits(vec, planes)
 
   /** LSH-bucketed approximate top-k: candidates are corpus rows sharing
     * at least one signature band with the query; exact cosine re-ranks.

@@ -101,12 +101,9 @@ object TextOps {
   /** Rolling (shingle-min) fingerprint: minimum 64-bit hash over the
     * rolling word-window shingles of the normalized text — robust to
     * local edits, unlike the whole-document hash. This is a 1-hash
-    * MinHash; [[graft.dedup.Dedup]] generalizes it to k hashes.
+    * MinHash; [[graft.dedup.Dedup]] generalizes it to k hashes. Native
+    * kernel — [[graft.ops.TextKernels.rollingMin]].
     */
-  def rollingFingerprint(text: Column, window: Int = 4): Column = {
-    val toks = tokens(normalized(text))
-    val shingleCount = greatest(size(toks) - (window - 1), lit(1))
-    array_min(transform(sequence(lit(1), shingleCount), i =>
-      xxhash64(concat_ws(" ", slice(toks, i, lit(window))))))
-  }
+  def rollingFingerprint(text: Column, window: Int = 4): Column =
+    graft.ops.TextExprs.rollingMin(tokens(normalized(text)), window)
 }
