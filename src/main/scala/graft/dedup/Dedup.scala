@@ -134,20 +134,25 @@ object Dedup {
   def simhash64(text: Column): Column =
     TextExprs.simhash64(array_distinct(TextOps.tokens(TextOps.normalized(text))))
 
-  /** Near-dup pairs within `maxHamming` of each other's SimHash. Candidate
-    * generation: any two signatures within Hamming distance d ≤ 7 agree on
-    * at least one of 8 8-bit chunks (pigeonhole), so bucket-join on
-    * (chunkIdx, chunkValue) and verify with bit_count(xor). Smaller chunks
-    * buy a larger radius at the cost of hotter buckets (2⁸ values per
-    * chunk) — at extreme corpus sizes, widen chunks and run multiple
-    * rotated tables instead. */
+  /** Near-dup pairs within `maxHamming` of each other's SimHash.
+    * Candidate generation by pigeonhole: signatures within Hamming
+    * distance d agree on at least one of (d+1) equal chunks, so
+    * bucket-join on (chunkIdx, chunkValue) and verify with
+    * bit_count(xor). Chunk width adapts to the radius — r ≤ 3 uses 4
+    * 16-bit chunks (2¹⁶ buckets, few candidates), r ≤ 7 uses 8 8-bit
+    * chunks (hotter buckets, larger radius). At extreme corpus sizes,
+    * widen chunks and run multiple rotated tables instead. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "radius > 7 needs more than 8 chunks")
+    val nChunks = if (maxHamming <= 3) 4 else 8
+    val bits = 64 / nChunks
+    val mask = (1L << bits) - 1
     val sigd = docs.select(id.as("doc_id"), simhash64(text).as("sig"))
     val chunked = sigd.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(7)), i =>
-          call_function("shiftrightunsigned", col("sig"), i * 8)
-            .bitwiseAND(0xFFL))))
+        posexplode(transform(sequence(lit(0), lit(nChunks - 1)), i =>
+          call_function("shiftrightunsigned", col("sig"), i * bits)
+            .bitwiseAND(mask))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val a = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))

@@ -117,6 +117,49 @@ object TextKernels {
     min
   }
 
+  /** One-pass quality statistics. Semantics mirror the declarative/oracle
+    * forms exactly: tokens are maximal non-whitespace runs; stopword
+    * matching is on the lowercased token; alpha is ASCII [A-Za-z];
+    * lengths/ratios are in characters (code points).
+    * Returns (stopword_ratio, alpha_ratio, mean_token_len).
+    */
+  def qualityStats(text: UTF8String, stopwords: Array[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val set = new java.util.HashSet[UTF8String](stopwords.length * 2)
+    stopwords.foreach(set.add)
+    val s = text.toString
+    val len = s.codePointCount(0, s.length)
+    var nAlpha = 0
+    var nTok = 0
+    var nStop = 0
+    var sumTokLen = 0L
+    var i = 0
+    var tokStart = -1
+    def endToken(endExclusive: Int): Unit = if (tokStart >= 0) {
+      nTok += 1
+      sumTokLen += s.codePointCount(tokStart, endExclusive)
+      val tok = UTF8String.fromString(
+        s.substring(tokStart, endExclusive).toLowerCase(java.util.Locale.ROOT))
+      if (set.contains(tok)) nStop += 1
+      tokStart = -1
+    }
+    // \s of the regex dialects used by the oracle and by `split`: ASCII only
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) nAlpha += 1
+      if (isWs(c)) endToken(i)
+      else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    endToken(s.length)
+    val denTok = math.max(nTok, 1).toDouble
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nStop / denTok,
+      nAlpha / math.max(len, 1).toDouble,
+      sumTokLen / denTok))
+  }
+
   // ── Random-hyperplane LSH ────────────────────────────────────────────
 
   private val planeCache = new ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
@@ -200,6 +243,29 @@ case class RollingMinExpr(child: Expression, window: Int) extends KernelUnaryExp
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("alpha_ratio", DoubleType, nullable = false),
+    StructField("mean_token_len", DoubleType, nullable = false)))
+  override def prettyName: String = "quality_stats"
+
+  @transient private lazy val stopArr: Array[UTF8String] =
+    stopwords.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.qualityStats(in.asInstanceOf[UTF8String], stopArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.qualityStats($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class LshBitsExpr(child: Expression, planes: Int) extends KernelUnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "lsh_sign_bits"
@@ -220,4 +286,6 @@ object TextExprs {
   def wordNgrams(tokens: Column, n: Int): Column = c(WordNgramsExpr(e(tokens), n))
   def rollingMin(tokens: Column, window: Int): Column = c(RollingMinExpr(e(tokens), window))
   def lshBits(vec: Column, planes: Int): Column = c(LshBitsExpr(e(vec), planes))
+  def qualityStats(text: Column, stopwords: Seq[String]): Column =
+    c(QualityStatsExpr(e(text), stopwords))
 }

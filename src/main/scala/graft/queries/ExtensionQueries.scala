@@ -85,10 +85,9 @@ object ExtensionQueries {
 
     "text_quality" -> ((s, dir) => {
       Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
-          TextOps.alphaRatio(col("text")).as("alpha_ratio"),
-          TextOps.meanTokenLen(col("text")).as("mean_token_len"))
+        .select(col("doc_id"), TextOps.qualityStruct(col("text")).as("q"))
+        .select(col("doc_id"), col("q.stopword_ratio"), col("q.alpha_ratio"),
+          col("q.mean_token_len"))
         .orderBy(col("doc_id"))
     }),
 

@@ -24,7 +24,7 @@ object TextOps {
 
   // ── Quality scoring ──────────────────────────────────────────────────
 
-  private val enStopwords = Seq(
+  val enStopwords: Seq[String] = Seq(
     "the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
     "on", "was", "as", "with", "be", "by", "at", "this", "are", "or")
 
@@ -52,6 +52,13 @@ object TextOps {
     aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _) /
       greatest(size(toks), lit(1)).cast("double")
   }
+
+  /** All three quality ratios in ONE pass over the text (native kernel —
+    * [[graft.ops.TextKernels.qualityStats]]): returns a struct
+    * (stopword_ratio, alpha_ratio, mean_token_len) with semantics
+    * identical to the per-ratio columns above. */
+  def qualityStruct(text: Column): Column =
+    graft.ops.TextExprs.qualityStats(text, enStopwords)
 
   // ── Language ID (n-gram/stopword heuristic) ──────────────────────────
 
