@@ -1,6 +1,6 @@
 package graft.meta
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Regex log analytics — the reference's driver-only `MetricDetails`
@@ -19,16 +19,31 @@ object LogMetrics {
   /** `code <n>` tail (MetricDetails.scala:46-49). */
   final val ExitCodeRe = "([a-zA-Z]{4,5} [0-9]{1,3})"
 
-  def parse(lines: DataFrame, lineCol: String = "value"): DataFrame =
+  /** Missing-match fallbacks, verbatim from the reference
+    * (MetricDetails.scala:33-35, 42-43, 50-51). Note: on the documented
+    * log-line shape (`…job is <key> batch is successful…`) the status
+    * regex cannot match — the interposed numeric key breaks the 5-word
+    * alpha window — so the reference itself would return the status
+    * fallback there; reproduced faithfully. */
+  final val MissingJob = "Missing job_seq_key Number"
+  final val MissingStatus = "Missing status metrics"
+  final val MissingExit = "Missing Exit Code"
+
+  def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    def matched(re: String, pick: Column => Column, fallback: String) = {
+      val m = regexp_extract(col(lineCol), re, 1)
+      when(m =!= "", pick(m)).otherwise(lit(fallback))
+    }
     lines
       .filter(col(lineCol).contains("spark submit job is "))
       .filter(col(lineCol).contains("successful") || col(lineCol).contains("failed"))
       .select(
-        regexp_extract(col(lineCol), JobRe, 1).as("job_seq_key"),
-        element_at(split(regexp_extract(col(lineCol), StatusRe, 1), " "), 5)
+        matched(JobRe, identity, MissingJob).as("job_seq_key"),
+        matched(StatusRe, m => element_at(split(m, " "), 5), MissingStatus)
           .as("jobStatus"),
-        element_at(split(regexp_extract(col(lineCol), ExitCodeRe, 1), " "), 2)
+        matched(ExitCodeRe, m => element_at(split(m, " "), 2), MissingExit)
           .as("exitCode"))
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     parse(spark.read.text(path))

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Delims
+import graft.ingest.{KvStore, MuprReader, TriggerMeta}
+import graft.meta.LogMetrics
+import graft.ops.KvOps
+
+/** SURVEY.md §7.2 — the minimum end-to-end slice, as an executable spec:
+  * reference-shaped MUPR fixture (FIXTURES.md A1) + trigger CSV (A3) →
+  * explicit-schema \0-CSV scan → broadcast metadata join → row-key/value
+  * assembly → salt → pack → partitioned-parquet KV write → prefix-scan
+  * read-back → unpack → except(source projection) == ∅.
+  * Plus the job-log regex metrics pipeline (A5).
+  */
+class RoundTripSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val D = Delims.Delim
+
+  private def writeFixture(dir: Path): (String, String) = {
+    // 11-column MUPR rows (FIXTURES.md A1), two units, three tests
+    val rows = Seq(
+      Seq("1001", "SS01", "2", "1", "1.0", "7", "0.472", "AAIA", "PPFP", "MMMM", "t_vmin_core"),
+      Seq("1001", "SS01", "2", "2", "2.0", "8", "0.513", "AAIA", "PPFP", "MMMM", "t_vmin_core"),
+      Seq("1001", "SS02", "1", "1", "1.0", "9", "1.250", "IAIA", "FFPP", "MMMM", "t_freq"),
+      Seq("1002", "SS01", "3", "1", "1.0", "7", "0.333", "AAAA", "PPPP", "MMMM", "t_vmin_core"),
+      Seq("1002", "SS03", "1", "2", "4.0", "12", "9.875", "AAAA", "PPPP", "MMMM", "t_leak"))
+    val dataFile = dir.resolve("lotA_202032_mds_parametric_result.dat")
+    Files.writeString(dataFile, rows.map(_.mkString(D)).mkString("\n"))
+    val trigFile = dir.resolve("trigger.csv")
+    Files.writeString(trigFile,
+      """File_Name,Lot,Lato_Start_WW,Lots_seq_key
+        |lotA_202032_mds_parametric_result.dat,A,202032,2
+        |lotB_202032_mds_parametric_result.dat,B,202032,1
+        |""".stripMargin)
+    (dataFile.toString, trigFile.toString)
+  }
+
+  test("MUPR ingest → pack → KV parquet → prefix scan → unpack ≡ source") {
+    val dir = Files.createTempDirectory("graft_rt")
+    val (dataFile, trigFile) = writeFixture(dir)
+
+    // S1: explicit-schema \0-separated scan
+    val mupr = MuprReader.read(spark, dataFile)
+    assert(mupr.count() === 5)
+    // names+types (file scans surface everything nullable=true)
+    assert(mupr.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      MuprReader.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    // J1: trigger-metadata broadcast join on File_Name
+    val meta = TriggerMeta.read(spark, trigFile)
+    val enriched = TriggerMeta.enrich(mupr, meta,
+      lit("lotA_202032_mds_parametric_result.dat"))
+    assert(enriched.select("Lot").distinct().as[String].collect() === Array("A"))
+
+    // rowKey = Lot\0WW\0seq\0unit; value = measure tuple; qualifier = Test_Name
+    val valueCols = Seq(col("Substructure_ID"), col("Sub_Session_Seq_Num"),
+      col("Test_Result_Order_Num"), col("Test_Result_Array_Seq_Num"),
+      col("Test_ID"), col("Measurement_Value"), col("Active_Inactive_Core_Vector"),
+      col("Pass_Fail_Core_Vector"), col("Mask_Vector"))
+    val keyCols = Seq(col("Lot"), col("Lato_Start_WW"), col("Lots_seq_key"),
+      col("Unit_Testing_Seq_Key"))
+    val kv = KvStore.pack(enriched, keyCols, col("Test_Name"), valueCols)
+
+    // K1-modeled write: salt-partitioned parquet, then read back
+    val store = dir.resolve("kvstore").toString
+    KvStore.write(kv, store)
+    val back = KvStore.read(spark, store)
+    assert(back.select("salt").distinct().count() === kv.select("salt").distinct().count())
+
+    // S6: prefix scan (HBase PrefixFilter semantics) for lot A
+    val scanned = KvOps.prefixScan(back, "rowKey", "A" + D)
+    assert(scanned.count() === kv.count())
+
+    // unpack → long rows ≡ the source-side projection (the J3 diff)
+    val unpacked = KvStore.unpack(scanned)
+      .select(col("rowKey"), col("columnName"), col("packedValue"))
+    val source = enriched.select(
+      KvOps.rowKeyCol(keyCols).as("rowKey"),
+      col("Test_Name").as("columnName"),
+      KvOps.rowKeyCol(valueCols).as("packedValue"))
+    assert(unpacked.except(source).count() === 0)
+    assert(source.except(unpacked).count() === 0)
+    assert(unpacked.count() === source.count())
+
+    // A4/A2: cell payload carries the count prefix and sorted values
+    val cell = back.where(col("columnName") === "t_vmin_core"
+        && col("rowKey").startsWith("A" + D + "202032" + D + "2" + D + "1001"))
+      .select("value").as[String].head()
+    assert(cell.startsWith("2" + D))
+  }
+
+  test("missing trigger metadata leaves data rows intact (left join fallback)") {
+    val dir = Files.createTempDirectory("graft_rt2")
+    val (dataFile, trigFile) = writeFixture(dir)
+    val mupr = MuprReader.read(spark, dataFile)
+    val meta = TriggerMeta.read(spark, trigFile)
+    val enriched = TriggerMeta.enrich(mupr, meta, lit("unknown_file.dat"))
+    assert(enriched.count() === 5)
+    assert(enriched.where(col("Lot").isNull).count() === 5)
+  }
+
+  test("log metrics regex pipeline extracts job key, status, exit code") {
+    val lines = Seq(
+      "2022-12-07 23:03:10 INFO startup",
+      // A5-shaped line: the interposed numeric key defeats the reference's
+      // 5-word status regex → status falls back (reference-faithful)
+      "2022-12-07 23:03:11 INFO the spark submit job is 261050 batch is successful with exit code 0",
+      "2022-12-07 23:03:12 INFO shutdown",
+      // status phrase the regex CAN match: spark submit job is successful
+      "2022-12-08 10:00:00 WARN the spark submit job is successful with exit code 17 for 300999"
+    ).toDF("value")
+    val out = LogMetrics.parse(lines).orderBy("job_seq_key").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "261050")
+    assert(out(0).getString(1) === LogMetrics.MissingStatus)
+    assert(out(0).getString(2) === "0")
+    assert(out(1).getString(0) === "300999")
+    assert(out(1).getString(1) === "successful")
+    assert(out(1).getString(2) === "17")
+  }
+}
