@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Delims
+import graft.ingest.KvStore
+import graft.streaming.StreamingIngest
+
+/** Streaming extension specs: file-source micro-batch ingest with
+  * AvailableNow (the reference's drain-the-backlog batch model), windowed
+  * event-time aggregation equal to its batch twin, and keyed custom
+  * state. Memory/parquet sinks + processAllAvailable make the streams
+  * synchronous for the test. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val D = Delims.Delim
+
+  test("streaming MUPR ingest packs each file batch into the KV store") {
+    val dir = Files.createTempDirectory("graft_stream")
+    val inDir = dir.resolve("incoming"); Files.createDirectory(inDir)
+    val store = dir.resolve("store").toString
+
+    def fileFor(lot: String, unit: Int): String =
+      Seq(unit.toString, "SS01", "2", "1", "1.0", "7", "0.5", "A", "P", "M",
+        s"t_$lot").mkString(D)
+    Files.writeString(inDir.resolve(s"lot1_x.dat"), fileFor("a", 1001))
+    Files.writeString(inDir.resolve(s"lot2_x.dat"), fileFor("b", 2002))
+
+    val meta = Seq(
+      ("lot1_x.dat", "L1", 202032, 2),
+      ("lot2_x.dat", "L2", 202032, 3))
+      .toDF("File_Name", "Lot", "Lato_Start_WW", "Lots_seq_key")
+
+    val q = StreamingIngest.muprStream(spark, inDir.toString + "/*.dat", meta,
+        keyParts = Seq(col("Lot"), col("Lato_Start_WW"), col("Lots_seq_key"),
+          col("Unit_Testing_Seq_Key")),
+        qualifier = col("Test_Name"),
+        valueParts = Seq(col("Substructure_ID"), col("Measurement_Value")),
+        storePath = store)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+
+    val kv = KvStore.read(spark, store)
+    assert(kv.count() === 2)
+    val keys = kv.select("rowKey").as[String].collect().sorted
+    assert(keys(0).startsWith("L1" + D))
+    assert(keys(1).startsWith("L2" + D))
+    // cells carry the count prefix
+    assert(kv.select("value").as[String].collect().forall(_.startsWith("1" + D)))
+  }
+
+  test("windowed event counts equal the batch aggregation") {
+    val dir = Files.createTempDirectory("graft_stream2")
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+
+    // batch twin of the streaming plan
+    val expected = StreamingIngest.windowedEventCounts(events)
+      .orderBy("window_start", "event_type").collect()
+
+    // the file stream source wants a directory; stage the table file
+    val inDir = dir.resolve("events_in")
+    Files.createDirectory(inDir)
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(events.schema)
+      .parquet(inDir.toString)
+    val q = StreamingIngest.windowedEventCounts(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("win_counts")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    // append mode only emits windows the watermark has closed; every
+    // emitted row must match its batch twin, and the backlog (bounded
+    // input) closes all but the trailing watermark margin
+    val got = spark.sql("select * from win_counts")
+      .orderBy("window_start", "event_type").collect()
+    assert(got.nonEmpty)
+    val expectedMap = expected.map(r => (r.getTimestamp(0), r.getString(1)) -> r).toMap
+    got.foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      val e = expectedMap(k)
+      assert(r.getLong(2) === e.getLong(2), s"count for $k")
+      assert(r.getDouble(3) === e.getDouble(3), s"sum for $k")
+    }
+  }
+
+  test("mapGroupsWithState accumulates per-user running totals") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val out = StreamingIngest.runningUserTotals(spark, events)
+      .collect().map(s => s.user_id -> s).toMap
+    val expected = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(1 + 1))).toMap
+    assert(out.keySet === expected.keySet)
+    for ((uid, s) <- out) {
+      assert(s.n_events === expected(uid)._1, s"user $uid")
+      assert(math.abs(s.total_value - expected(uid)._2) < 1e-6, s"user $uid")
+    }
+  }
+}
