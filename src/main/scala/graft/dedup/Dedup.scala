@@ -71,21 +71,27 @@ object Dedup {
     val r = k / bands
     val sigd = docs.select(id.as("doc_id"), shingles(text).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
+    // Band join ships IDS ONLY — the shingle payloads would otherwise be
+    // replicated through every band's shuffle. Payloads re-attach after
+    // the candidate pairs are deduplicated (two slim hash joins).
     val banded = sigd.select(
-        col("doc_id"), col("sh"),
+        col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
           xxhash64(concat_ws(",", bnd,
             array_join(transform(slice(col("sig"), bnd * r + 1, lit(r)),
               _.cast("string")), "|"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandKey")
-    val a = banded.select(col("band"), col("bandKey"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bandKey"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bandKey")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val cands = banded.select(col("band"), col("bandKey"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bandKey"), col("doc_id").as("id_b")),
+        Seq("band", "bandKey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val payload = sigd.select(col("doc_id"), col("sh"))
+    cands
+      .join(payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

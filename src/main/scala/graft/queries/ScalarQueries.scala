@@ -188,6 +188,15 @@ object ScalarQueries {
         .orderBy(col("rowKey"))
     }),
 
+    // §2.11: whole-query SQL surface over registered temp views
+    "sql_api" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) AS total
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // A5: per-load operational counters (result_metric shape)
     "load_metrics" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -292,6 +301,11 @@ object ScalarQueries {
         |  FROM lineitem GROUP BY l_orderkey) t
         |ON f.o_orderkey = t.l_orderkey
         |ORDER BY rowKey""".stripMargin,
+
+    "sql_api" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "load_metrics" ->
       """SELECT count(*) AS row_count, count(DISTINCT o_custkey) AS unit_count,

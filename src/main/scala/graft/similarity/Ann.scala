@@ -76,14 +76,18 @@ object Ann {
               _.cast("string")), ""))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     }
-    val qb = banded(queries, "qid", "qvec")
-    val cb = banded(corpus, "cid", "cvec")
+    // ids-only band join; vectors re-attach after candidate dedup (the
+    // query side is tiny and broadcast, the corpus side is one slim join)
+    val qb = banded(queries, "qid", "qvec").drop("qvec")
+    val cb = banded(corpus, "cid", "cvec").drop("cvec")
     val cands = qb.join(cb, Seq("band", "bkey"))
       .where(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     cands
+      .join(broadcast(queries), Seq("qid"))
+      .join(corpus, Seq("cid"))
       .select(col("qid"), col("cid"),
         round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
           .as("sim"))
@@ -100,17 +104,22 @@ object Ann {
                          bands: Int = 8, bandBits: Int = 4): DataFrame = {
     val planes = bands * bandBits
     val sig = lshSignature(asDouble(vec), planes)
-    val banded = corpus.select(id.as("id"), vec.as("v"), posexplode(
+    // ids-only band join; vectors re-attach after candidate dedup
+    val banded = corpus.select(id.as("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), bnd =>
           array_join(transform(slice(sig, bnd * bandBits + 1, lit(bandBits)),
             _.cast("string")), ""))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.select(col("band"), col("bkey"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("band", "bkey")).where(col("id_a") < col("id_b"))
+    val cands = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val payload = corpus.select(id.as("id"), vec.as("v"))
+    cands
+      .join(payload.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(payload.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", round(cosine(asDouble(col("v_a")), asDouble(col("v_b"))), 6))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

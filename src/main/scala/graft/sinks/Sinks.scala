@@ -1,0 +1,43 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.core.Delims
+
+/** File-sink parity helpers (SURVEY.md §2.2).
+  *
+  *  - K2 (HDFS create/append writer, Utils.scala:656-679): a distributed
+  *    text sink — `SaveMode.Append` replaces the reference's driver-side
+  *    create-or-append loop.
+  *  - K3 (delimiter-rewrite CSV export, Utils.scala:273-286): translate
+  *    the \0 field delimiter to commas and optionally prepend the
+  *    `0..n-1` numeric header row the reference writes (cap 200 columns,
+  *    Utils.scala:277).
+  *  - K4 (recursive output cleanup, Utils.scala:244-265): subsumed by
+  *    `SaveMode.Overwrite` on every writer here.
+  */
+object Sinks {
+
+  /** K2: append one string column as text files. */
+  def appendText(lines: DataFrame, path: String): Unit =
+    lines.write.mode(SaveMode.Append).text(path)
+
+  /** K3: rewrite the \0-delimited single-column payload to comma-separated
+    * text. `withNumericHeader` prepends one `0,1,…,n-1` row (n capped at
+    * 200 like the reference's generated header). */
+  def delimiterRewriteCsv(lines: DataFrame, col0: String, path: String,
+                          withNumericHeader: Boolean = false,
+                          headerWidth: Int = 200): Unit = {
+    val rewritten = lines.select(
+      translate(col(col0), Delims.Delim, Delims.DelimComma).as("line"))
+    val out =
+      if (!withNumericHeader) rewritten
+      else {
+        val header = rewritten.sparkSession
+          .range(1).select(lit((0 until headerWidth).mkString(",")).as("line"))
+        header.unionByName(rewritten)
+      }
+    out.coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+  }
+}
