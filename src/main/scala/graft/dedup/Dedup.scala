@@ -164,10 +164,13 @@ object Dedup {
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    // signatures are 8 bytes — carry them through the band join and
+    // verify BEFORE the pair dedup, so only true near-dups (not every
+    // bucket collision) reach the distinct shuffle
     a.join(b, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

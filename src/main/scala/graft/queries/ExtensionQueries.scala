@@ -74,6 +74,36 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("cid"))
     }),
 
+    // ── Windowed / approximate analytics ───────────────────────────────
+    // top-N per group via a ranking window (the reference has no window
+    // operators — declared extension)
+    "window_topk_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // sketch aggregates: HLL distinct + approximate quantiles (values are
+    // approximate by construction → engine-verified in AggSpec, rows-only
+    // for the driver)
+    "approx_metrics" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ── Text analysis ──────────────────────────────────────────────────
     "text_tokens" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -162,6 +192,16 @@ object ExtensionQueries {
         |JOIN sizes cb ON cb.doc_id = id_b
         |WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "window_topk_group" ->
+      """SELECT c_mktsegment, rn, o_orderkey,
+        |  cast(o_totalprice AS decimal(12,2)) AS price
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (
