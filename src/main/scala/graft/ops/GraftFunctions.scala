@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.core.Salt
+
+/** SQL-surface registration for the engine's custom expressions, so the
+  * `spark.sql` entry point reaches them exactly like the DataFrame API
+  * (SURVEY.md §2.11):
+  *
+  *   SELECT salt_bucket(rowKey), simhash64(tokens) FROM …
+  *
+  * Two packagings: [[GraftFunctions.register]] for an existing session,
+  * and [[GraftExtensions]] for
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+object GraftFunctions {
+
+  private def one(args: Seq[Expression])(f: Expression => Expression): Expression = {
+    require(args.length == 1, "expected one argument")
+    f(args.head)
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "salt_bucket" -> (one(_)(SaltBucket(_, Salt.Buckets))),
+    "simhash64" -> (one(_)(SimHash64Expr)),
+    "minhash_sig" -> (one(_)(MinHashSigExpr(_, 24))),
+    "word_ngrams" -> (one(_)(WordNgramsExpr(_, 2))),
+    "rolling_min_fingerprint" -> (one(_)(RollingMinExpr(_, 4))),
+    "lsh_sign_bits" -> (one(_)(LshBitsExpr(_, 32))),
+    "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** Session-extension packaging: injects every graft SQL function at
+  * session build time. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}

