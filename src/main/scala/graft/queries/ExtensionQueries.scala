@@ -104,6 +104,15 @@ object ExtensionQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.ivfTopK(q, c, k = 10, nClusters = 16, nprobe = 4)
+        .orderBy(col("qid"), col("cid"))
+    }),
+
     // ── Text analysis ──────────────────────────────────────────────────
     "text_tokens" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -132,6 +141,26 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TextOps.fingerprint(col("text")).as("fp"),
           TextOps.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composite curation pipeline: exact-dedup survivors → quality gate →
+    // token statistics. The shape every training-data prep job takes;
+    // one declarative plan, no materialization between stages.
+    "curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val w = Window.partitionBy(md5(col("text")))
+      docs
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("text"),
+          TextOps.qualityStruct(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .where(col("q.alpha_ratio") > 0.5 && col("n_tokens") >= 30)
+        .select(col("doc_id"), col("n_tokens"),
+          col("q.stopword_ratio").as("stopword_ratio"),
+          col("q.mean_token_len").as("mean_token_len"))
         .orderBy(col("doc_id"))
     }),
 
@@ -238,6 +267,33 @@ object ExtensionQueries {
         |  list_sum(list_transform(ot, w -> cast(len(w) AS bigint)))
         |    / cast(greatest(len(ot), 1) AS double) AS mean_token_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        |    FROM documents)
+        |  WHERE doc_id = canonical_id),
+        |stats AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for',
+        |       'on','was','as','with','be','by','at','this','are','or'], w)))
+        |      / greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 w -> len(w) > 0)), 1) AS stopword_ratio,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+        |    list_sum(list_transform(list_filter(string_split_regex(text, '\s+'),
+        |                                        w -> len(w) > 0),
+        |                            w -> cast(len(w) AS bigint)))
+        |      / cast(greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |                                      w -> len(w) > 0)), 1) AS double)
+        |      AS mean_token_len
+        |  FROM survivors)
+        |SELECT doc_id, n_tokens, stopword_ratio, mean_token_len
+        |FROM stats WHERE alpha_ratio > 0.5 AND n_tokens >= 30
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'image/' || source AS modality,

@@ -96,6 +96,78 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"))
   }
 
+  // ── IVF (inverted-file) index ────────────────────────────────────────
+
+  /** L2-normalize, so dot product = cosine and k-means L2 ≈ angular. */
+  def normalize(vec: Column): Column = {
+    val n = norm(vec)
+    transform(vec, x => x / n)
+  }
+
+  /** Build an IVF index: k-means-lite over the corpus, expressed purely
+    * as DataFrame ops (assignment = cross with broadcast centroids +
+    * arg-max via struct ordering; update = per-dimension average after a
+    * posexplode). `iters` Lloyd rounds; deterministic seeding (first k
+    * rows by id). Returns (assignments(cid, cluster), centroids(cluster,
+    * centroid)). The assignment pass is one streaming scan per round —
+    * the shape that works when the corpus is 100 TB and centroids fit in
+    * a broadcast. */
+  def ivfIndex(corpus: DataFrame, nClusters: Int, iters: Int = 2)
+      : (DataFrame, DataFrame) = {
+    val normed = corpus.select(col("cid"), normalize(asDouble(col("cvec"))).as("v"))
+    var centroids = normed.orderBy(col("cid")).limit(nClusters)
+      .select((row_number().over(Window.orderBy(col("cid"))) - 1).as("cluster"),
+        col("v").as("centroid"))
+    var assign: DataFrame = null
+    for (_ <- 0 until iters) {
+      assign = normed.crossJoin(broadcast(centroids))
+        .select(col("cid"), col("v"),
+          struct(dot(col("v"), col("centroid")).as("sim"), col("cluster")).as("sc"))
+        .groupBy(col("cid"))
+        .agg(max(col("sc")).getField("cluster").as("cluster"),
+          first(col("v")).as("v"))
+      centroids = assign
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+    }
+    (assign.select(col("cid"), col("cluster")), centroids)
+  }
+
+  /** IVF-bucketed approximate top-k: probe the `nprobe` nearest clusters
+    * per query, exact cosine within the probed inverted lists. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              roundTo: Int = 4): DataFrame = {
+    val (assign, centroids) = ivfIndex(corpus, nClusters, iters)
+    val qn = queries.select(col("qid"), col("qvec"),
+      normalize(asDouble(col("qvec"))).as("qv"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val probes = qn.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cluster"),
+        dot(col("qv"), col("centroid")).as("csim"))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("cluster"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    probes
+      .join(assign, Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .join(corpus, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: LSH buckets (all bands) → exact
     * cosine ≥ threshold. The O(n²) pair space is never materialized —
     * only same-bucket pairs shuffle. */

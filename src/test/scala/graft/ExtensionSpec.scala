@@ -64,6 +64,18 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"lsh recall $recall") // 32 planes on 64-dim noise
   }
 
+  test("ivf ann attains reasonable recall against brute force") {
+    val q = embeddings.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Ann.bruteForceTopK(q, c, k = 10))
+    val approx = resultSet(Ann.ivfTopK(q, c, k = 10, nClusters = 16, nprobe = 4))
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"ivf recall $recall") // noise embeddings, 4/16 probes
+  }
+
   test("langId is deterministic and in-domain") {
     val preds = docs.select(TextOps.langId(col("text"))).as[String].collect()
     val allowed = Set("en", "de", "es", "fr", "cjk", "und")

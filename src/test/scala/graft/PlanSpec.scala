@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SaltExpr
+
+/** Plan-shape guards: the properties that make these operators scale are
+  * asserted on the optimized physical plan, so a refactor that silently
+  * drops a pushdown or flips a broadcast to a shuffle join fails CI, not
+  * a 100 TB run. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("prefix scan pushes StartsWith to the parquet source") {
+    val p = plan(SparkEntry.queries("prefix_scan")(spark, dir))
+    assert(p.contains("StringStartsWith"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("equality filter pushes to the parquet source") {
+    val p = plan(SparkEntry.queries("filter_eq")(spark, dir))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+  }
+
+  test("projection prunes the parquet read schema") {
+    val p = plan(SparkEntry.queries("project_alias")(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("metadata joins broadcast the small side") {
+    assert(plan(SparkEntry.queries("broadcast_join")(spark, dir))
+      .contains("BroadcastHashJoin"))
+    assert(plan(SparkEntry.queries("lookup_join")(spark, dir))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("pack aggregation runs map-side partial aggregation") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
+    // two HashAggregates (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("salt expression does not block filter pushdown through projection") {
+    val li = Tables(spark, dir, "lineitem")
+      .withColumn("salt", SaltExpr.saltCol(col("l_returnflag")))
+      .where(col("l_orderkey") === 42L)
+    val p = plan(li)
+    assert(p.contains("EqualTo(l_orderkey,42)"), "filter should reach the scan")
+  }
+
+  test("the KV lifecycle plans a single shuffle for the pack aggregation") {
+    val p = plan(SparkEntry.queries("pack_concat")(spark, dir))
+    // one exchange for the groupBy, one for the final orderBy — no more
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"unexpected exchange count:\n$p")
+  }
+}
