@@ -19,7 +19,8 @@ object Bench {
     "date_format_q", "regex_extract",
     "dedup_exact", "dedup_minhash", "dedup_ngram", "dedup_simhash",
     "ann_topk", "ann_lsh", "text_quality", "text_fingerprint",
-    "multimodal_features", "window_topk_group", "approx_metrics")
+    "multimodal_features", "window_topk_group", "approx_metrics",
+    "ann_ivf", "curation_pipeline", "events_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Event-time windowed aggregation (batch twin of the streaming plan —
+    // graft.streaming.StreamingIngest.windowedEventCounts)
+    "events_window" -> ((s, dir) => {
+      graft.streaming.StreamingIngest
+        .windowedEventCounts(Tables(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ── Multimodal ─────────────────────────────────────────────────────
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.fromDocuments(Tables(s, dir, "documents"))
@@ -267,6 +275,12 @@ object ExtensionQueries {
         |  list_sum(list_transform(ot, w -> cast(len(w) AS bigint)))
         |    / cast(greatest(len(ot), 1) AS double) AS mean_token_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', cast(ts AS timestamp)) AS window_start,
+        |  event_type, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "curation_pipeline" ->
       """WITH survivors AS (

@@ -96,6 +96,31 @@ class RoundTripSpec extends AnyFunSuite {
     assert(cell.startsWith("2" + D))
   }
 
+  test("MUCR ingest packs by the computed qualifier (reference bug fixed)") {
+    import graft.ingest.MucrReader
+    val lines = Seq(
+      Seq("1001", "3", "TP_A", "P", "SS01", "2",
+        "CNT_A", "4", "1", "CNT_LONG_B", "9", "2").mkString(D),
+      Seq("1001", "3", "TP_A", "F", "SS01", "1", "CNT_A", "7", "3").mkString(D)
+    ).toDF("value")
+    val parsed = MucrReader.parse(lines)
+      .withColumn("Lot", lit("A"))
+      .withColumn("Lato_Start_WW", lit(202032))
+      .withColumn("Lots_seq_key", lit(2))
+    // §3.2: the reference selects a nonexistent Test_Name here; the
+    // computed qualifier (flg+hexlen+id) is the documented intent
+    val kv = KvStore.pack(parsed,
+      keyParts = Seq(col("Lot"), col("Lato_Start_WW"), col("Lots_seq_key"),
+        col("Unit_Testing_Seq_Key")),
+      qualifier = MucrReader.qualifierCol,
+      valueParts = Seq(col("Repeating_Counter_Occurrences"),
+        col("Unit_Counter_Seq_Num")))
+    val quals = kv.select("columnName").as[String].collect().sorted
+    assert(quals === Array("F5CNT_A", "P5CNT_A", "PaCNT_LONG_B"))
+    val unpacked = KvStore.unpack(kv)
+    assert(unpacked.count() === 3)
+  }
+
   test("missing trigger metadata leaves data rows intact (left join fallback)") {
     val dir = Files.createTempDirectory("graft_rt2")
     val (dataFile, trigFile) = writeFixture(dir)
