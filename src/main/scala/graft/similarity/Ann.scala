@@ -133,6 +133,9 @@ object Ann {
         .groupBy(col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
+        // k×dim doubles — checkpoint so each Lloyd round starts from a
+        // materialized frame instead of replaying every prior round
+        .localCheckpoint(true)
     }
     (assign.select(col("cid"), col("cluster")), centroids)
   }
