@@ -31,6 +31,35 @@ object MuprReader {
       .option("sep", Delims.Delim)
       .option("header", "false")
       .load(path)
+
+  /** Malformed-line quarantine: text scan + `from_csv` per line, so bad
+    * rows land in a capture column instead of failing the load (the
+    * reference would throw mid-job; at 100 TB one bad line must not kill
+    * the batch). Implemented over the text source because raw CSV scans
+    * disallow corrupt-column-only queries. */
+  private val corruptSchema: StructType =
+    schema.add(StructField("_corrupt_record", StringType, nullable = true))
+  private val csvOpts = Map(
+    "sep" -> Delims.Delim,
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> "_corrupt_record")
+
+  private def parsed(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(from_csv(col("value"), corruptSchema, csvOpts).as("r"),
+        col("value"))
+
+  /** Clean rows only. */
+  def readClean(spark: SparkSession, path: String): DataFrame =
+    parsed(spark, path)
+      .where(col("r._corrupt_record").isNull)
+      .select(col("r.*")).drop("_corrupt_record")
+
+  /** Quarantined raw lines — route to a dead-letter sink, don't lose them. */
+  def readCorrupt(spark: SparkSession, path: String): DataFrame =
+    parsed(spark, path)
+      .where(col("r._corrupt_record").isNotNull)
+      .select(col("value").as("_corrupt_record"))
 }
 
 /** MUCR counter-file reader (T1): raw text lines with a variable-length

@@ -46,8 +46,8 @@ class RoundTripSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_rt")
     val (dataFile, trigFile) = writeFixture(dir)
 
-    // S1: explicit-schema \0-separated scan
-    val mupr = MuprReader.read(spark, dataFile)
+    // S1: explicit-schema \0-separated scan (clean rows)
+    val mupr = MuprReader.readClean(spark, dataFile)
     assert(mupr.count() === 5)
     // names+types (file scans surface everything nullable=true)
     assert(mupr.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
@@ -96,6 +96,44 @@ class RoundTripSpec extends AnyFunSuite {
     assert(cell.startsWith("2" + D))
   }
 
+  test("malformed MUPR lines are quarantined, not fatal") {
+    val dir = Files.createTempDirectory("graft_rt3")
+    val good = Seq("1001", "SS01", "2", "1", "1.0", "7", "0.5", "A", "P", "M",
+      "t_x").mkString(D)
+    val bad = "not a real line at all"
+    val f = dir.resolve("mixed.dat")
+    Files.writeString(f, good + "\n" + bad)
+    assert(MuprReader.readClean(spark, f.toString).count() === 1)
+    val corrupt = MuprReader.readCorrupt(spark, f.toString)
+      .as[String].collect()
+    assert(corrupt.length === 1)
+    assert(corrupt(0) === bad)
+  }
+
+  test("skew ops equal their unsalted twins") {
+    import graft.ops.SkewOps
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val salted = SkewOps.saltedSumCount(li, col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)"),
+        saltCols = Seq(col("l_orderkey"), col("l_linenumber")))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val plain = li.groupBy(col("l_returnflag").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("total"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    assert(salted.map(t => (t._1, t._2, t._3.doubleValue)).toSeq ===
+      plain.map(t => (t._1, t._2, t._3.doubleValue)).toSeq)
+
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val sj = SkewOps.saltedJoin(li, o, "l_orderkey",
+      saltCols = Seq(col("l_orderkey"), col("l_linenumber")))
+    val pj = li.join(o, Seq("l_orderkey"))
+    assert(sj.count() === pj.count())
+  }
+
   test("MUCR ingest packs by the computed qualifier (reference bug fixed)") {
     import graft.ingest.MucrReader
     val lines = Seq(
@@ -124,7 +162,7 @@ class RoundTripSpec extends AnyFunSuite {
   test("missing trigger metadata leaves data rows intact (left join fallback)") {
     val dir = Files.createTempDirectory("graft_rt2")
     val (dataFile, trigFile) = writeFixture(dir)
-    val mupr = MuprReader.read(spark, dataFile)
+    val mupr = MuprReader.readClean(spark, dataFile)
     val meta = TriggerMeta.read(spark, trigFile)
     val enriched = TriggerMeta.enrich(mupr, meta, lit("unknown_file.dat"))
     assert(enriched.count() === 5)
