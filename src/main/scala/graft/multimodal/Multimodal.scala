@@ -94,6 +94,28 @@ object Multimodal {
       }
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, n_bytes: Int,
+                      checksum: String)
+
+  /** Video-style frame sampling as a partition-batched pipeline: `n`
+    * evenly-spaced frames per payload (codec stubbed —
+    * [[FakeCodec.sampleFrames]]), emitting per-frame metadata. Frames
+    * explode AFTER the heavy decode stage; payloads never shuffle. */
+  def sampleFrameTable(spark: SparkSession, media: DataFrame,
+                       n: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload"), col("meta"))
+      .repartition(col("doc_id"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { m =>
+          FakeCodec.sampleFrames(m.payload, n).zipWithIndex.map {
+            case (frame, i) => FrameRow(m.doc_id, i, frame.length, md5Hex(frame))
+          }
+        }
+      }
+  }
+
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString

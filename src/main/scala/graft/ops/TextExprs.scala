@@ -160,6 +160,32 @@ object TextKernels {
       sumTokLen / denTok))
   }
 
+  /** Feature-hashing ("hashing trick") text embedding: tokens →
+    * L2-normalized signed-count vector of dimension `dim`. Bucket =
+    * hash mod dim; sign = one hash bit (debiases collisions). Connects
+    * the text corpus to every vector operator (ANN, embedding dedup)
+    * without a model. */
+  def hashEmbed(tokens: ArrayData, dim: Int): GenericArrayData = {
+    val v = new Array[Double](dim)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash(tokens.getUTF8String(i))
+      val b = java.lang.Math.floorMod(h, dim.toLong).toInt
+      v(b) += (if (((h >>> 62) & 1L) == 1L) 1.0 else -1.0)
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j) * v(j); j += 1 }
+    if (norm > 0) {
+      val inv = 1.0 / math.sqrt(norm)
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+    }
+    new GenericArrayData(v)
+  }
+
   // ── Random-hyperplane LSH ────────────────────────────────────────────
 
   private val planeCache = new ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
@@ -243,6 +269,16 @@ case class RollingMinExpr(child: Expression, window: Int) extends KernelUnaryExp
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class HashEmbedExpr(child: Expression, dim: Int) extends KernelUnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.hashEmbed(in.asInstanceOf[ArrayData], dim)
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.hashEmbed($c, $dim)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -288,4 +324,5 @@ object TextExprs {
   def lshBits(vec: Column, planes: Int): Column = c(LshBitsExpr(e(vec), planes))
   def qualityStats(text: Column, stopwords: Seq[String]): Column =
     c(QualityStatsExpr(e(text), stopwords))
+  def hashEmbed(tokens: Column, dim: Int): Column = c(HashEmbedExpr(e(tokens), dim))
 }

@@ -182,6 +182,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // text → hashed embedding → embedding near-dup (vector ops without a
+    // model; planted text near-dups surface as cosine≈1 vector pairs)
+    "text_embed_dedup" -> ((s, dir) => {
+      val embedded = Tables(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"),
+          graft.ops.TextExprs.hashEmbed(
+            TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
+      Ann.cosineNearDupPairs(embedded, col("vec_id"), col("embedding"),
+          threshold = 0.9, bands = 16, bandBits = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
+      Multimodal.sampleFrameTable(s, media, n = 4)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
       Multimodal.decodeFeatures(s, media)

@@ -126,6 +126,32 @@ class ExtensionSpec extends AnyFunSuite {
     assert(one.checksum === expected)
   }
 
+  test("hashed text embeddings surface the planted near-duplicate pairs") {
+    import graft.ops.TextExprs
+    import graft.text.TextOps
+    val embedded = docs.select(col("doc_id").as("vec_id"),
+      TextExprs.hashEmbed(TextOps.tokens(TextOps.normalized(col("text"))), 64)
+        .as("embedding"))
+    val pairs = Ann.cosineNearDupPairs(embedded, col("vec_id"), col("embedding"),
+        threshold = 0.9, bands = 16, bandBits = 2)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty)
+    val recall = exactPairs.count(pairs.contains).toDouble / exactPairs.size
+    assert(recall >= 0.6, s"text-embed recall on exact near-dups: $recall")
+  }
+
+  test("frame sampling emits n deterministic frames per document") {
+    val media = Multimodal.fromDocuments(docs.limit(10))
+    val frames = Multimodal.sampleFrameTable(spark, media, n = 4).collect()
+    assert(frames.length === 40)
+    assert(frames.groupBy(_.doc_id).forall(_._2.map(_.frame_idx).sorted.toSeq
+      === Seq(0, 1, 2, 3)))
+    val again = Multimodal.sampleFrameTable(spark, media, n = 4).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.checksum)).sorted.toSeq
+      === again.map(f => (f.doc_id, f.frame_idx, f.checksum)).sorted.toSeq)
+  }
+
   test("cosine matches a hand computation") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
       .toDF("a", "b")
