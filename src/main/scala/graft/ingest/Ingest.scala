@@ -154,7 +154,7 @@ object KvStore {
         qualifier.as("columnName"),
         KvOps.rowKeyCol(valueParts).as("cellValue"))
       .groupBy(col("rowKey"), col("columnName"))
-      .agg(KvOps.packAgg(col("cellValue")).as("value"))
+      .agg(graft.ops.PackAggregate.packAggNative(col("cellValue")).as("value"))
       .withColumn("salt", SaltExpr.saltCol(col("rowKey")))
 
   def write(kv: DataFrame, path: String): Unit =

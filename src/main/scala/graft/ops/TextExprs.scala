@@ -160,6 +160,31 @@ object TextKernels {
       sumTokLen / denTok))
   }
 
+  /** Dot product of two double vectors (length = min of the two). */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
+  /** L2-normalize a double vector (zero vectors pass through). */
+  def l2normalize(vec: ArrayData): GenericArrayData = {
+    val v = vec.toDoubleArray()
+    var norm = 0.0
+    var i = 0
+    while (i < v.length) { norm += v(i) * v(i); i += 1 }
+    if (norm > 0) {
+      val inv = 1.0 / math.sqrt(norm)
+      i = 0
+      while (i < v.length) { v(i) *= inv; i += 1 }
+    }
+    new GenericArrayData(v)
+  }
+
   /** Feature-hashing ("hashing trick") text embedding: tokens →
     * L2-normalized signed-count vector of dimension `dim`. Bucket =
     * hash mod dim; sign = one hash bit (debiases collisions). Connects
@@ -199,6 +224,51 @@ object TextKernels {
         (java.lang.Math.floorMod(mix64((pi.toLong << 32) | di.toLong), 1000000L)
           .toDouble / 1000000.0) - 0.5))
     })
+
+  /** Sign-bit signature packed into one long (planes ≤ 64): bit p =
+    * sign of ⟨vec, plane_p⟩. The packed form rides shuffles as 8 bytes
+    * and supports Hamming prefilters via bit_count(xor). */
+  def lshBitsPacked(vec: ArrayData, planes: Int): Long = {
+    val v = vec.toDoubleArray()
+    val m = planeMatrix(planes, v.length)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val row = m(p)
+      var acc = 0.0
+      var d = 0
+      val n = math.min(v.length, row.length)
+      while (d < n) { acc += v(d) * row(d); d += 1 }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Packed sign-bit signature of (vec − center): hyperplanes through
+    * the corpus mean split signs evenly, so buckets stay balanced even
+    * on internally-correlated corpora (raw sign bits skew hot there). */
+  def lshBitsPackedCentered(vec: ArrayData, planes: Int,
+                            center: Array[Double]): Long = {
+    val v = vec.toDoubleArray()
+    val m = planeMatrix(planes, v.length)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val row = m(p)
+      var acc = 0.0
+      var d = 0
+      val n = math.min(v.length, row.length)
+      while (d < n) {
+        val x = if (d < center.length) v(d) - center(d) else v(d)
+        acc += x * row(d)
+        d += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 
   /** Sign-bit signature: bit p = sign of ⟨vec, plane_p⟩. Returns 0/1 ints. */
   def lshBits(vec: ArrayData, planes: Int): GenericArrayData = {
@@ -269,6 +339,45 @@ case class RollingMinExpr(child: Expression, window: Int) extends KernelUnaryExp
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class VecDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ops.TextKernels.vecDot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class LshBitsPackedCenteredExpr(child: Expression, planes: Int,
+                                     center: Array[Double])
+    extends UnaryExpression {
+  require(planes <= 64, "packed signature holds at most 64 planes")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_bits_centered"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.lshBitsPackedCentered(in.asInstanceOf[ArrayData], planes, center)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("center", center, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.lshBitsPackedCentered($c, $planes, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class L2NormalizeExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.l2normalize(in.asInstanceOf[ArrayData])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.l2normalize($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class HashEmbedExpr(child: Expression, dim: Int) extends KernelUnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "hash_embed"
@@ -312,6 +421,18 @@ case class LshBitsExpr(child: Expression, planes: Int) extends KernelUnaryExpres
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class LshBitsPackedExpr(child: Expression, planes: Int)
+    extends KernelUnaryExpression {
+  require(planes <= 64, "packed signature holds at most 64 planes")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_bits_packed"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.lshBitsPacked(in.asInstanceOf[ArrayData], planes)
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.lshBitsPacked($c, $planes)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-level API for the kernel expressions. */
 object TextExprs {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -322,7 +443,13 @@ object TextExprs {
   def wordNgrams(tokens: Column, n: Int): Column = c(WordNgramsExpr(e(tokens), n))
   def rollingMin(tokens: Column, window: Int): Column = c(RollingMinExpr(e(tokens), window))
   def lshBits(vec: Column, planes: Int): Column = c(LshBitsExpr(e(vec), planes))
+  def lshBitsPacked(vec: Column, planes: Int): Column =
+    c(LshBitsPackedExpr(e(vec), planes))
   def qualityStats(text: Column, stopwords: Seq[String]): Column =
     c(QualityStatsExpr(e(text), stopwords))
   def hashEmbed(tokens: Column, dim: Int): Column = c(HashEmbedExpr(e(tokens), dim))
+  def l2normalize(vec: Column): Column = c(L2NormalizeExpr(e(vec)))
+  def vecDot(a: Column, b: Column): Column = c(VecDotExpr(e(a), e(b)))
+  def lshBitsPackedCentered(vec: Column, planes: Int, center: Array[Double]): Column =
+    c(LshBitsPackedCenteredExpr(e(vec), planes, center))
 }

@@ -190,7 +190,7 @@ object ExtensionQueries {
           graft.ops.TextExprs.hashEmbed(
             TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
       Ann.cosineNearDupPairs(embedded, col("vec_id"), col("embedding"),
-          threshold = 0.9, bands = 16, bandBits = 2)
+          threshold = 0.9, bands = 10, bandBits = 6)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

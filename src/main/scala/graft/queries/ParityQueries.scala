@@ -64,10 +64,12 @@ object ParityQueries {
     }),
 
     // Full packed-cell format: n | payload (count prefix, Utils.scala:56)
+    // — the native TypedImperativeAggregate form (PackAggregate)
     "pack_concat" -> ((s, dir) => {
       liKv(Tables(s, dir, "lineitem"))
         .groupBy(col("rowKey"), col("columnName"))
-        .agg(KvOps.packAgg(col("cellValue"), delim = "|").as("cell"))
+        .agg(graft.ops.PackAggregate.packAggNative(col("cellValue"), delim = "|")
+          .as("cell"))
         .orderBy(col("rowKey"), col("columnName"))
     }),
 

@@ -24,8 +24,9 @@ object Ann {
 
   def asDouble(vec: Column): Column = vec.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Native kernel dot — a declarative `aggregate(zip_with(...))` builds
+    * and folds an intermediate array per pair. */
+  def dot(a: Column, b: Column): Column = graft.ops.TextExprs.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -98,11 +99,10 @@ object Ann {
 
   // ── IVF (inverted-file) index ────────────────────────────────────────
 
-  /** L2-normalize, so dot product = cosine and k-means L2 ≈ angular. */
-  def normalize(vec: Column): Column = {
-    val n = norm(vec)
-    transform(vec, x => x / n)
-  }
+  /** L2-normalize, so dot product = cosine and k-means L2 ≈ angular.
+    * Native kernel — a declarative `transform(v, x => x / norm(v))`
+    * re-evaluates the norm aggregate per element (O(d²) per row). */
+  def normalize(vec: Column): Column = graft.ops.TextExprs.l2normalize(vec)
 
   /** Build an IVF index: k-means-lite over the corpus, expressed purely
     * as DataFrame ops (assignment = cross with broadcast centroids +
@@ -171,31 +171,74 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"))
   }
 
-  /** Embedding near-duplicate pairs: LSH buckets (all bands) → exact
-    * cosine ≥ threshold. The O(n²) pair space is never materialized —
-    * only same-bucket pairs shuffle. */
+  /** Hamming bound implied by a cosine threshold over `planes` sign
+    * bits: expected disagreement fraction is acos(t)/π; allow +3σ of
+    * the binomial so near-threshold pairs still pass the prefilter. */
+  def hammingBound(threshold: Double, planes: Int): Int = {
+    val f = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    math.min(planes,
+      math.ceil(planes * f + 2.5 * math.sqrt(planes * f * (1 - f))).toInt)
+  }
+
+  /** Embedding near-duplicate pairs: LSH buckets (all bands) → packed-
+    * signature Hamming prefilter → exact cosine ≥ threshold. The O(n²)
+    * pair space is never materialized, and when the corpus is internally
+    * correlated (hot buckets) the 8-byte-signature bit_count filter
+    * kills the flood before the pair-dedup shuffle and the vector math. */
   def cosineNearDupPairs(corpus: DataFrame, id: Column, vec: Column,
                          threshold: Double = 0.95,
-                         bands: Int = 8, bandBits: Int = 4): DataFrame = {
+                         bands: Int = 8, bandBits: Int = 4,
+                         centered: Boolean = true): DataFrame = {
     val planes = bands * bandBits
-    val sig = lshSignature(asDouble(vec), planes)
-    // ids-only band join; vectors re-attach after candidate dedup
-    val banded = corpus.select(id.as("id"), posexplode(
+    require(planes <= 64, "packed signature holds at most 64 planes")
+    val mask = (1L << bandBits) - 1
+    // Center the hyperplanes at the corpus mean: on an internally-
+    // correlated corpus the raw sign bits all skew the same way (hot
+    // buckets → quadratic join blowup). The mean is dim doubles — a
+    // deliberate tiny driver materialization, same class as a broadcast.
+    val center: Array[Double] =
+      if (!centered) Array.empty
+      else corpus.select(posexplode(asDouble(vec)))
+        .groupBy(col("pos")).agg(avg(col("col")).as("m"))
+        .orderBy(col("pos")).collect().map(_.getDouble(1))
+    val sigCol =
+      if (centered)
+        graft.ops.TextExprs.lshBitsPackedCentered(asDouble(vec), planes, center)
+      else graft.ops.TextExprs.lshBitsPacked(asDouble(vec), planes)
+    val packed = corpus.select(id.as("id"), sigCol.as("sig"))
+    val banded = packed.select(col("id"), col("sig"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          array_join(transform(slice(sig, bnd * bandBits + 1, lit(bandBits)),
-            _.cast("string")), ""))))
+          call_function("shiftrightunsigned", col("sig"), bnd * bandBits)
+            .bitwiseAND(mask))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val cands = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
-        Seq("band", "bkey"))
-      .where(col("id_a") < col("id_b"))
+    // Hamming prefilter only applies to UNcentered signatures (centered
+    // bit-agreement no longer tracks the raw cosine); with centering the
+    // balanced buckets already bound the candidate volume.
+    val prefiltered =
+      if (centered) banded.select(col("band"), col("bkey"),
+          col("id").as("id_a"), col("sig").as("sig_a"))
+        .join(banded.select(col("band"), col("bkey"),
+          col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bkey"))
+        .where(col("id_a") < col("id_b"))
+      else {
+        val bound = hammingBound(threshold, planes)
+        banded.select(col("band"), col("bkey"),
+            col("id").as("id_a"), col("sig").as("sig_a"))
+          .join(banded.select(col("band"), col("bkey"),
+            col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bkey"))
+          .where(col("id_a") < col("id_b"))
+          .where(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= bound)
+      }
+    val cands = prefiltered
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val payload = corpus.select(id.as("id"), vec.as("v"))
+    // normalize ONCE at the payload join; per-pair cosine is then a bare
+    // dot product (no per-pair norm recomputation)
+    val payload = corpus.select(id.as("id"), normalize(asDouble(vec)).as("v"))
     cands
       .join(payload.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(payload.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .withColumn("sim", round(cosine(asDouble(col("v_a")), asDouble(col("v_b"))), 6))
+      .withColumn("sim", round(dot(col("v_a"), col("v_b")), 6))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

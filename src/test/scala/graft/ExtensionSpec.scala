@@ -133,7 +133,7 @@ class ExtensionSpec extends AnyFunSuite {
       TextExprs.hashEmbed(TextOps.tokens(TextOps.normalized(col("text"))), 64)
         .as("embedding"))
     val pairs = Ann.cosineNearDupPairs(embedded, col("vec_id"), col("embedding"),
-        threshold = 0.9, bands = 16, bandBits = 2)
+        threshold = 0.9, bands = 10, bandBits = 6)
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactPairs.nonEmpty)
