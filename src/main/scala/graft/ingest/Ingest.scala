@@ -157,12 +157,27 @@ object KvStore {
       .agg(graft.ops.PackAggregate.packAggNative(col("cellValue")).as("value"))
       .withColumn("salt", SaltExpr.saltCol(col("rowKey")))
 
+  /** Salt-partitioned, rowKey-sorted layout: the salt spreads write load
+    * (HBase-region semantics), and sorting within each partition gives
+    * parquet row-group min/max pruning on rowKey predicates — the
+    * prefix scan (S6) reads only the row groups covering the prefix. */
   def write(kv: DataFrame, path: String): Unit =
     kv.repartition(col("salt"))
+      .sortWithinPartitions(col("rowKey"), col("columnName"))
       .write.mode(SaveMode.Overwrite).partitionBy("salt").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed variant: hash-bucket by rowKey into a catalog table so
+    * repeated lookups/joins on rowKey are CO-LOCATED — two tables
+    * bucketed the same way join with no shuffle at all. This is the
+    * layout for a store that serves constant bulkGet traffic at 100 TB. */
+  def writeBucketed(kv: DataFrame, table: String, buckets: Int = 24): Unit =
+    kv.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "rowKey")
+      .sortBy("rowKey")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 
   /** Batched point-get (S5/J2): the HBase bulkGet (batch=1000,
     * Utils.scala:288-369) becomes an equi-join of the probe keys against

@@ -56,6 +56,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(l_orderkey,42)"), "filter should reach the scan")
   }
 
+  test("bucketed KV tables join on rowKey without a shuffle") {
+    import graft.ingest.KvStore
+    import spark.implicits._
+    val src = Seq(("k1", "q1", "a"), ("k2", "q1", "b"), ("k3", "q2", "c"))
+      .toDF("k", "q", "v")
+    val kv = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")))
+    spark.sql("DROP TABLE IF EXISTS kv_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS kv_bucketed_b")
+    KvStore.writeBucketed(kv, "kv_bucketed_a", buckets = 4)
+    KvStore.writeBucketed(kv, "kv_bucketed_b", buckets = 4)
+    // force the merge path: a broadcast join would trivially avoid the
+    // shuffle for tables this small, proving nothing about bucketing
+    val joined = spark.table("kv_bucketed_a").hint("merge")
+      .join(spark.table("kv_bucketed_b"), Seq("rowKey"))
+    val p = plan(joined)
+    assert(!p.contains("Exchange"),
+      s"bucketed join must be shuffle-free:\n$p")
+    assert(joined.count() === 3)
+  }
+
   test("the KV lifecycle plans a single shuffle for the pack aggregation") {
     val p = plan(SparkEntry.queries("pack_concat")(spark, dir))
     // one exchange for the groupBy, one for the final orderBy — no more
