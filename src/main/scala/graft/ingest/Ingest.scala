@@ -163,7 +163,11 @@ object KvStore {
     * prefix scan (S6) reads only the row groups covering the prefix. */
   def write(kv: DataFrame, path: String): Unit =
     kv.repartition(col("salt"))
-      .sortWithinPartitions(col("rowKey"), col("columnName"))
+      // the sort MUST lead with the partition column: V1Writes requires
+      // ordering by salt and silently REPLACES (not extends) any user
+      // sort that doesn't satisfy it — sorting (rowKey, columnName) alone
+      // writes unsorted files and no row group ever prunes
+      .sortWithinPartitions(col("salt"), col("rowKey"), col("columnName"))
       .write.mode(SaveMode.Overwrite).partitionBy("salt").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -171,10 +175,17 @@ object KvStore {
 
   /** Bucketed variant: hash-bucket by rowKey into a catalog table so
     * repeated lookups/joins on rowKey are CO-LOCATED — two tables
-    * bucketed the same way join with no shuffle at all. This is the
-    * layout for a store that serves constant bulkGet traffic at 100 TB. */
+    * bucketed the same way join with no shuffle. Size `buckets` to the
+    * store: bucket count is frozen at write time and caps the
+    * parallelism of every shuffle-free read (Spark buckets don't split
+    * the way HBase regions do) — a 100 TB store wants thousands, not 24.
+    * The pre-repartition on rowKey uses the same hash as the bucketing,
+    * yielding exactly one sorted file per bucket; without it every
+    * upstream task writes a file per bucket it touches, and multi-file
+    * buckets make Spark distrust sortBy order and re-sort every join. */
   def writeBucketed(kv: DataFrame, table: String, buckets: Int = 24): Unit =
-    kv.write.mode(SaveMode.Overwrite)
+    kv.repartition(buckets, col("rowKey"))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "rowKey")
       .sortBy("rowKey")
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir

@@ -62,8 +62,6 @@ class PlanSpec extends AnyFunSuite {
     val src = Seq(("k1", "q1", "a"), ("k2", "q1", "b"), ("k3", "q2", "c"))
       .toDF("k", "q", "v")
     val kv = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")))
-    spark.sql("DROP TABLE IF EXISTS kv_bucketed_a")
-    spark.sql("DROP TABLE IF EXISTS kv_bucketed_b")
     KvStore.writeBucketed(kv, "kv_bucketed_a", buckets = 4)
     KvStore.writeBucketed(kv, "kv_bucketed_b", buckets = 4)
     // force the merge path: a broadcast join would trivially avoid the

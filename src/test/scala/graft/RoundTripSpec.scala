@@ -74,6 +74,18 @@ class RoundTripSpec extends AnyFunSuite {
     val back = KvStore.read(spark, store)
     assert(back.select("salt").distinct().count() === kv.select("salt").distinct().count())
 
+    // layout guard: within each written salt partition file, rows must be
+    // rowKey-sorted or prefix-scan row-group pruning silently dies (the
+    // writer REPLACES user sorts that don't lead with the partition col)
+    for (saltDir <- new java.io.File(store).listFiles()
+         if saltDir.getName.startsWith("salt=")) {
+      val keys = spark.read.parquet(saltDir.toString)
+        .select("rowKey", "columnName").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(keys.toSeq === keys.toSeq.sorted,
+        s"unsorted KV file in ${saltDir.getName}")
+    }
+
     // S6: prefix scan (HBase PrefixFilter semantics) for lot A
     val scanned = KvOps.prefixScan(back, "rowKey", "A" + D)
     assert(scanned.count() === kv.count())
