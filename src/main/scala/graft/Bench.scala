@@ -41,18 +41,24 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    run("q1_agg") // warmup: JVM/codegen/parquet-footer caches
+    // warmup: JVM/codegen/parquet-footer caches (non-fatal on failure)
+    try run("q1_agg") catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: $e")
+    }
 
+    // a failed query reports -1, never a bogus partial wall time
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(name); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

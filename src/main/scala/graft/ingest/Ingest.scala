@@ -88,11 +88,16 @@ object MucrReader {
         f.getItem(5).cast(IntegerType).as("number_of_counters"),
         slice(f, lit(7), greatest(size(f) - 6, lit(0))).as("rest"))
       .select(col("*"),
-        explode(transform(sequence(lit(0), col("number_of_counters") - 1), i =>
-          struct(
-            element_at(col("rest"), i * 3 + 1).as("Unit_Counter_ID"),
-            element_at(col("rest"), i * 3 + 2).as("Repeating_Counter_Occurrences"),
-            element_at(col("rest"), i * 3 + 3).as("Unit_Counter_Seq_Num")))
+        // guard n=0: two-arg sequence(0, -1) steps BACKWARDS ([0,-1]) and
+        // element_at(rest, 0) throws; a zero-counter line must emit zero
+        // rows (explode of an empty array), matching the reference loop
+        explode(when(col("number_of_counters") > 0,
+          transform(sequence(lit(0), col("number_of_counters") - 1), i =>
+            struct(
+              element_at(col("rest"), i * 3 + 1).as("Unit_Counter_ID"),
+              element_at(col("rest"), i * 3 + 2).as("Repeating_Counter_Occurrences"),
+              element_at(col("rest"), i * 3 + 3).as("Unit_Counter_Seq_Num"))))
+          .otherwise(array().cast("array<struct<Unit_Counter_ID:string,Repeating_Counter_Occurrences:string,Unit_Counter_Seq_Num:string>>"))
         ).as("counter"))
       .select(
         col("Unit_Testing_Seq_Key"), col("Sub_Session_Seq_Num"),

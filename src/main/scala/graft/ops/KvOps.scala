@@ -39,7 +39,10 @@ object KvOps {
     */
   def packAgg(value: Column, delim: String = Delims.Delim): Column =
     concat(
-      count(lit(1)).cast("string"),
+      // count(value), not count(*): collect_list drops nulls, and the
+      // prefix must equal the number of packed values (also keeps this
+      // form identical to PackAggregate, which skips nulls in update)
+      count(value).cast("string"),
       lit(delim),
       array_join(sort_array(collect_list(value)), Delims.RowSep))
 
@@ -66,8 +69,15 @@ object KvOps {
     */
   def unpackCells(kv: DataFrame, delim: String = Delims.Delim): DataFrame =
     kv.withColumn("__body", stripCountPrefix(col("value"), delim))
+      // a zero-count cell ("0<delim>") has an empty body that must yield
+      // ZERO rows — but split("", -1) returns [""], which is also the
+      // legitimate payload of a one-empty-value cell; the count prefix
+      // disambiguates
       .withColumn("packedValue",
-        explode(split(col("__body"), java.util.regex.Pattern.quote(Delims.RowSep), -1)))
+        explode(when(cellCount(col("value"), delim) === 0,
+          array().cast("array<string>"))
+          .otherwise(split(col("__body"),
+            java.util.regex.Pattern.quote(Delims.RowSep), -1))))
       .drop("__body", "value")
 
   /** Trailing-empty-preserving split (F12): `split(c, sep, -1)`. */

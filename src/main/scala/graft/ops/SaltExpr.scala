@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,25 +26,38 @@ case class SaltBucket(child: Expression, buckets: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
   override def prettyName: String = "salt_bucket"
 
-  override def nullSafeEval(input: Any): Any =
-    Salt.bucket(input.asInstanceOf[UTF8String].toString, buckets)
+  // Total function: null keys salt to bucket 0 (same as the empty
+  // string), matching Salt.bucket and the parity UDF — a null must not
+  // produce a null salt that writes a salt=null partition directory.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else Salt.bucket(v.asInstanceOf[UTF8String].toString, buckets)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val bytes = ctx.freshName("bytes")
-      val i = ctx.freshName("i")
-      val h = ctx.freshName("h")
-      s"""
-         |byte[] $bytes = $c.getBytes();
-         |int $h = 1;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = 31 * $h + (int) $bytes[$i];
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val bytes = ctx.freshName("bytes")
+    val i = ctx.freshName("i")
+    val h = ctx.freshName("h")
+    val code =
+      code"""
+         |${childGen.code}
+         |int ${ev.value} = 0;
+         |if (!${childGen.isNull}) {
+         |  byte[] $bytes = ${childGen.value}.getBytes();
+         |  int $h = 1;
+         |  for (int $i = 0; $i < $bytes.length; $i++) {
+         |    $h = 31 * $h + (int) $bytes[$i];
+         |  }
+         |  ${ev.value} = $bytes.length == 0 ? 0 : java.lang.Math.abs($h % $buckets);
          |}
-         |${ev.value} = $bytes.length == 0 ? 0 : java.lang.Math.abs($h % $buckets);
        """.stripMargin
-    })
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SaltBucket =
     copy(child = newChild)

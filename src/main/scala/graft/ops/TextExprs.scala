@@ -82,7 +82,9 @@ object TextKernels {
     val t = tokens.numElements()
     val sep = UTF8String.fromString("_")
     val out = new java.util.LinkedHashSet[UTF8String]()
-    if (t == 0) return new GenericArrayData(Array.empty[Any])
+    // t == 0 falls into the t < n branch and yields one empty-string
+    // shingle — matching the oracle's degenerate-doc branch, so empty
+    // documents dedup against each other instead of vanishing
     if (t < n) {
       // degenerate doc shorter than the window: one shingle of all tokens
       val parts = Array.tabulate(t)(i => tokens.getUTF8String(i))

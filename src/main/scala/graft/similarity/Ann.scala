@@ -118,14 +118,15 @@ object Ann {
     var centroids = normed.orderBy(col("cid")).limit(nClusters)
       .select((row_number().over(Window.orderBy(col("cid"))) - 1).as("cluster"),
         col("v").as("centroid"))
-    var assign: DataFrame = null
-    for (_ <- 0 until iters) {
-      assign = normed.crossJoin(broadcast(centroids))
+    def assignTo(cents: DataFrame): DataFrame =
+      normed.crossJoin(broadcast(cents))
         .select(col("cid"), col("v"),
           struct(dot(col("v"), col("centroid")).as("sim"), col("cluster")).as("sc"))
         .groupBy(col("cid"))
         .agg(max(col("sc")).getField("cluster").as("cluster"),
           first(col("v")).as("v"))
+    for (_ <- 0 until iters) {
+      val assign = assignTo(centroids)
       centroids = assign
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
@@ -137,7 +138,10 @@ object Ann {
         // materialized frame instead of replaying every prior round
         .localCheckpoint(true)
     }
-    (assign.select(col("cid"), col("cluster")), centroids)
+    // FINAL assignment against the FINAL centroids — the in-loop
+    // assignment predates the last centroid update, and probes ranked by
+    // the new centroids must match the inverted-list membership
+    (assignTo(centroids).select(col("cid"), col("cluster")), centroids)
   }
 
   /** IVF-bucketed approximate top-k: probe the `nprobe` nearest clusters
@@ -172,7 +176,7 @@ object Ann {
   }
 
   /** Hamming bound implied by a cosine threshold over `planes` sign
-    * bits: expected disagreement fraction is acos(t)/π; allow +3σ of
+    * bits: expected disagreement fraction is acos(t)/π; allow +2.5σ of
     * the binomial so near-threshold pairs still pass the prefilter. */
   def hammingBound(threshold: Double, planes: Int): Int = {
     val f = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi

@@ -52,7 +52,10 @@ object StreamingIngest {
   def windowedEventCounts(events: DataFrame, window_ : String = "1 hour",
                           watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integral division: `/` is double division, and epoch nanoseconds
+      // (~1.7e18) exceed double's exact-integer range — boundary events
+      // would mis-bucket
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -71,6 +71,42 @@ class KvOpsSpec extends AnyFunSuite {
     assert(back.count() === expected.count())
   }
 
+  test("null values: count prefix equals packed (non-null) values; salt total") {
+    val src = Seq(("k", "q", Some("a")), ("k", "q", None), ("k", "q", Some("b")))
+      .toDF("k", "q", "v")
+    val kv = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")))
+    // concat_ws drops the null part → "" packs; count must equal body size
+    val cell = kv.select("value").as[String].head()
+    val (n, vals) = graft.core.Cell.unpack(cell)
+    assert(n === vals.length)
+    // salt expression is total: null key → bucket 0, never a null salt
+    val s = Seq(Option.empty[String]).toDF("k")
+      .select(SaltExpr.saltCol(col("k"))).as[Int].head()
+    assert(s === 0)
+  }
+
+  test("zero-count cells unpack to zero rows; one-empty-value cells to one") {
+    val kv = Seq(
+      ("k1", "q", "0" + Delims.Delim),       // zero packed values
+      ("k2", "q", "1" + Delims.Delim)        // one packed empty value
+    ).toDF("rowKey", "columnName", "value")
+    val out = KvOps.unpackCells(kv)
+    assert(out.where(col("rowKey") === "k1").count() === 0)
+    val k2 = out.where(col("rowKey") === "k2").select("packedValue")
+      .as[String].collect()
+    assert(k2.toSeq === Seq(""))
+  }
+
+  test("MUCR zero-counter lines emit zero rows, not errors") {
+    val lines = Seq(
+      Seq("1001", "1", "TP", "P", "SS01", "0").mkString(Delims.Delim),
+      Seq("1002", "1", "TP", "P", "SS01", "1", "C", "2", "1").mkString(Delims.Delim)
+    ).toDF("value")
+    val parsed = MucrReader.parse(lines)
+    assert(parsed.count() === 1)
+    assert(parsed.select("Unit_Testing_Seq_Key").as[String].head() === "1002")
+  }
+
   test("cell count prefix matches group size") {
     val src = Seq(("k", "q", "a"), ("k", "q", "b"), ("k", "q", "c"))
       .toDF("k", "q", "v")
