@@ -91,6 +91,19 @@ object ExtensionQueries {
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
+    // exact corpus statistics incl. interpolated percentiles
+    "corpus_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          expr("percentile(n_tokens, 0.5)").as("median_tokens"),
+          expr("percentile(n_tokens, 0.9)").as("p90_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // sketch aggregates: HLL distinct + approximate quantiles (values are
     // approximate by construction → engine-verified in AggSpec, rows-only
     // for the driver)
@@ -258,6 +271,16 @@ object ExtensionQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |  quantile_cont(n_tokens, 0.5) AS median_tokens,
+        |  quantile_cont(n_tokens, 0.9) AS p90_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (

@@ -63,6 +63,17 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop documents whose content fingerprint was
+    * already seen, with state bounded by the watermark — the streaming
+    * twin of dedup_exact for continuously-arriving corpora. */
+  def streamingDedup(docs: DataFrame, tsCol: String = "event_ts",
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.text.TextOps.fingerprint(org.apache.spark.sql.functions.col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n_events: Long, total_value: Double)
   case class UserSummary(user_id: Long, n_events: Long, total_value: Double)
