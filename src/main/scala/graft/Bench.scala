@@ -46,6 +46,10 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup failed: $e")
     }
 
+    // a stale headline name must be loud, not silently dropped
+    headline.filterNot(SparkEntry.queries.contains).foreach(n =>
+      System.err.println(s"[bench] headline query '$n' not in SparkEntry.queries"))
+
     // a failed query reports -1, never a bogus partial wall time
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
@@ -56,10 +60,21 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Locale.ROOT: the default-locale f-interpolator writes a comma
+    // decimal separator on e.g. de_DE JVMs — invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

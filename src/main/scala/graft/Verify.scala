@@ -22,6 +22,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure before the write starts leaves a PREVIOUS run's
+        // output in place (mode=overwrite never ran) — delete it so the
+        // compare can't silently pass on stale results
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.exists()) rm(d)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

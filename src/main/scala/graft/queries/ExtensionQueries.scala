@@ -275,7 +275,7 @@ object ExtensionQueries {
     "corpus_stats" ->
       """WITH t AS (
         |  SELECT lang,
-        |    len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)) AS n_tokens
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
         |  quantile_cont(n_tokens, 0.5) AS median_tokens,
@@ -298,15 +298,15 @@ object ExtensionQueries {
 
     "text_tokens" ->
       """SELECT doc_id,
-        |  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |  len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS lt,
-        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ot,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0) AS lt,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0) AS ot,
         |    text FROM documents)
         |SELECT doc_id,
         |  len(list_filter(lt, w -> list_contains(
@@ -333,17 +333,17 @@ object ExtensionQueries {
         |  WHERE doc_id = canonical_id),
         |stats AS (
         |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> list_contains(
         |      ['the','a','of','and','to','in','is','that','it','for',
         |       'on','was','as','with','be','by','at','this','are','or'], w)))
-        |      / greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      / greatest(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
         |                                 w -> len(w) > 0)), 1) AS stopword_ratio,
         |    len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
-        |    list_sum(list_transform(list_filter(string_split_regex(text, '\s+'),
+        |    list_sum(list_transform(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
         |                                        w -> len(w) > 0),
         |                            w -> cast(len(w) AS bigint)))
-        |      / cast(greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |      / cast(greatest(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
         |                                      w -> len(w) > 0)), 1) AS double)
         |      AS mean_token_len
         |  FROM survivors)

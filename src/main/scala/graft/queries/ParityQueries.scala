@@ -35,7 +35,7 @@ object ParityQueries {
   private val liKvSql =
     """SELECT cast(l_orderkey AS varchar) AS rowKey,
       |       l_returnflag AS columnName,
-      |       l_linenumber || ',' || cast(cast(l_quantity AS decimal(12,2)) AS varchar) AS cellValue
+      |       concat_ws(',', l_linenumber, cast(cast(l_quantity AS decimal(12,2)) AS varchar)) AS cellValue
       |FROM lineitem""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

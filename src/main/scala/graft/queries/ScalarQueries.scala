@@ -74,11 +74,13 @@ object ScalarQueries {
         .orderBy(col("p_partkey"))
     }),
 
-    // F11: regex first-match extraction
+    // F11: regex first-match extraction. No-match yields '' in BOTH
+    // engines, and ''::int is an error under ANSI/DuckDB — null it out.
     "regex_extract" -> ((s, dir) => {
+      val m = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
       Tables(s, dir, "events")
         .select(col("event_id"),
-          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k"))
+          when(m =!= "", m.cast("int")).as("k"))
         .orderBy(col("event_id"))
     }),
 
@@ -132,11 +134,13 @@ object ScalarQueries {
         .orderBy(col("n_nationkey"))
     }),
 
-    // Extension (modern F6 analogue): JSON extraction over events.props
+    // Extension (modern F6 analogue): JSON extraction over events.props.
+    // try_cast keeps one malformed/non-numeric row from killing the
+    // query (get_json_object nulls on bad JSON; the cast must too).
     "json_extract" -> ((s, dir) => {
       Tables(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') AS int)").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("event_type"))
@@ -242,7 +246,7 @@ object ScalarQueries {
 
     "regex_extract" ->
       """SELECT event_id,
-        |  cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS integer) AS k
+        |  cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS integer) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
     "split_keep_trailing" ->
@@ -270,7 +274,8 @@ object ScalarQueries {
 
     "json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(cast(json_extract_string(props, '$.k') AS integer)) AS sum_k
+        |  sum(try_cast(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS integer)) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "explode_group" ->
