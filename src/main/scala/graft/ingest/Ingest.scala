@@ -152,15 +152,22 @@ object KvStore {
     * @param qualifier column qualifier (dynamic, data-dependent)
     * @param valueParts columns packed into the cell payload (delim-joined)
     */
+  /** @param escapeValues wire in the `<NB>` escape (the hatch the
+    *        reference declared but never connected) so payload values
+    *        containing the cell delimiters round-trip instead of
+    *        corrupting the cell. Off by default for byte-parity. */
   def pack(df: DataFrame, keyParts: Seq[Column], qualifier: Column,
-           valueParts: Seq[Column]): DataFrame =
+           valueParts: Seq[Column], escapeValues: Boolean = false): DataFrame = {
+    val raw = KvOps.rowKeyCol(valueParts)
+    val v = if (escapeValues) KvOps.escapeValue(raw) else raw
     df.select(
         KvOps.rowKeyCol(keyParts).as("rowKey"),
         qualifier.as("columnName"),
-        KvOps.rowKeyCol(valueParts).as("cellValue"))
+        v.as("cellValue"))
       .groupBy(col("rowKey"), col("columnName"))
       .agg(graft.ops.PackAggregate.packAggNative(col("cellValue")).as("value"))
       .withColumn("salt", SaltExpr.saltCol(col("rowKey")))
+  }
 
   /** Salt-partitioned, rowKey-sorted layout: the salt spreads write load
     * (HBase-region semantics), and sorting within each partition gives
@@ -202,5 +209,10 @@ object KvStore {
     keys.join(kv, Seq("rowKey", "columnName"), "inner")
 
   /** Unpack back to long format (Utils.scala:377-402). */
-  def unpack(kv: DataFrame): DataFrame = KvOps.unpackCells(kv)
+  def unpack(kv: DataFrame, unescapeValues: Boolean = false): DataFrame = {
+    val out = KvOps.unpackCells(kv)
+    if (unescapeValues)
+      out.withColumn("packedValue", KvOps.unescapeValue(col("packedValue")))
+    else out
+  }
 }

@@ -97,6 +97,32 @@ object KvOps {
         substring_index(s, "=", 1).as("key"),
         expr_substr_after(s, "=").as("value"))))
 
+  /** Escape/unescape payload values that contain the cell delimiters —
+    * wiring in the `<NB>` escape hatch the reference DECLARED
+    * (Utils.scala:33) but never connected, which left delimiter-bearing
+    * values silently corrupting cells. Escape order matters: the token
+    * itself first, then the delimiters. */
+  // prefix code: every escaped unit is "<NB>" + one tag char (e|0|n) and
+  // no raw "<NB>" survives escaping, so left-to-right decode is
+  // unambiguous (decode tags before the token itself)
+  def escapeValue(v: Column): Column = {
+    val esc = Delims.NullByteReplace
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(v, java.util.regex.Pattern.quote(esc), esc + "e"),
+        Delims.Delim, esc + "0"),
+      Delims.RowSep, esc + "n")
+  }
+
+  def unescapeValue(v: Column): Column = {
+    val esc = java.util.regex.Pattern.quote(Delims.NullByteReplace)
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(v, esc + "n", Delims.RowSep),
+        esc + "0", Delims.Delim),
+      esc + "e", Delims.NullByteReplace)
+  }
+
   /** SQL-fragment builders (F7, Utils.scala:607-624): emit `concat_ws`/
     * `concat` SQL text for `selectExpr`/`expr` — proves the engine accepts
     * queries as SQL-expression strings. */

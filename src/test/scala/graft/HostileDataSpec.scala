@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Delims
+import graft.dedup.Dedup
+import graft.ingest.KvStore
+import graft.ops.KvOps
+import graft.text.TextOps
+
+/** Adversarial-input net: operators must not throw (and should do
+  * something sensible) on empty text, exotic whitespace, unicode, nulls,
+  * and delimiter-bearing payload values. */
+class HostileDataSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val hostile = Seq(
+    (1L, ""),
+    (2L, "   \t  "),
+    (3L, "a\u000Bb vertical tab"),
+    (4L, "ünïcödé Ω≈ç √∫ emoji 🎉🎊 text"),
+    (5L, "x" * 5000),
+    (6L, "normal words in a normal document the end"),
+    (7L, "normal words in a normal document the end")
+  ).toDF("doc_id", "text")
+
+  test("text operators survive hostile documents") {
+    val out = hostile.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.qualityStruct(col("text")).as("q"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.rollingFingerprint(col("text")).as("rfp"),
+      Dedup.shingles(col("text")).as("sh")).collect()
+    assert(out.length === 7)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Int]("n") === 0)
+    assert(byId(2L).getAs[Int]("n") === 0)
+    // identical docs fingerprint identically
+    assert(byId(6L).getAs[Long]("fp") === byId(7L).getAs[Long]("fp"))
+  }
+
+  test("dedup pipelines survive hostile documents and pair the dupes") {
+    val pairs = Dedup.minhashPairs(hostile, col("doc_id"), col("text"),
+        k = 24, bands = 8, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((6L, 7L)))
+    // empty/whitespace docs normalize identically → they may pair too; no throw
+    Dedup.simhashPairs(hostile, col("doc_id"), col("text")).collect()
+    Dedup.ngramJaccardPairs(hostile, col("doc_id"), col("text")).collect()
+  }
+
+  test("delimiter-bearing values round-trip with escaping on") {
+    val D = Delims.Delim
+    val src = Seq(
+      ("k1", "q", s"value${D}with delim"),
+      ("k1", "q", "value\nwith newline"),
+      ("k1", "q", s"token ${Delims.NullByteReplace} inside"),
+      ("k1", "q", "plain")
+    ).toDF("k", "q", "v")
+    val kv = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")),
+      escapeValues = true)
+    val back = KvStore.unpack(kv, unescapeValues = true)
+      .select("packedValue").as[String].collect().toSet
+    val expected = src.select("v").as[String].collect().toSet
+    assert(back === expected)
+    // without escaping these values corrupt the cell (reference parity):
+    val kvRaw = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")))
+    val backRaw = KvStore.unpack(kvRaw)
+      .select("packedValue").as[String].collect().toSet
+    assert(backRaw !== expected)
+  }
+
+  test("escape/unescape is a lossless prefix code") {
+    val tricky = Seq(
+      Delims.NullByteReplace,                       // the token itself
+      Delims.NullByteReplace + "n",                 // token + tag char
+      Delims.NullByteReplace + Delims.NullByteReplace,
+      Delims.Delim + "\n" + Delims.NullByteReplace + "0",
+      "").toDF("v")
+    val out = tricky
+      .select(col("v"), KvOps.unescapeValue(KvOps.escapeValue(col("v"))).as("r"))
+      .collect()
+    for (r <- out) assert(r.getString(1) === r.getString(0), s"for ${r.getString(0)}")
+  }
+}
