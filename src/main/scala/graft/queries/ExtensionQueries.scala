@@ -91,6 +91,38 @@ object ExtensionQueries {
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
+    // as-of join (no built-in in Spark): latest order at-or-before each
+    // event, union+window implementation — one key shuffle, no range
+    // explosion. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "asof_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("ok"))
+      graft.ops.TemporalOps.asofJoin(e, o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          // o_orderdate is TIMESTAMP_NTZ; cast in the UTC session = same
+          // wall time, so unix_micros aligns with DuckDB's epoch_us
+          leftTs = col("ts_us"),
+          rightTs = unix_micros(col("o_orderdate").cast("timestamp")),
+          payload = col("ok"))
+        .orderBy(col("event_id"))
+    }),
+
+    // gap-based sessionization (30-minute gap) — lag + running break sum
+    "sessionize" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      graft.ops.TemporalOps.sessionize(e, col("user_id"), col("ts_us"),
+          gap = 1800000000L)
+        .groupBy(col("user_id"))
+        .agg((max(col("session_id")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // exact corpus statistics incl. interpolated percentiles
     "corpus_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -271,6 +303,32 @@ object ExtensionQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  cast(r.ok AS varchar) AS payload
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "sessionize" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |x AS (
+        |  SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |  FROM s)
+        |SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "corpus_stats" ->
       """WITH t AS (
