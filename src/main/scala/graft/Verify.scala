@@ -26,11 +26,15 @@ object Verify {
         // output in place (mode=overwrite never ran) — delete it so the
         // compare can't silently pass on stale results
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(); ()
         }
-        val d = new java.io.File(s"$outDir/$name")
-        if (d.exists()) rm(d)
+        try {
+          val d = new java.io.File(s"$outDir/$name")
+          if (d.exists()) rm(d)
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] cleanup of $name failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

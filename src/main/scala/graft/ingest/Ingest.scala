@@ -155,11 +155,16 @@ object KvStore {
   /** @param escapeValues wire in the `<NB>` escape (the hatch the
     *        reference declared but never connected) so payload values
     *        containing the cell delimiters round-trip instead of
-    *        corrupting the cell. Off by default for byte-parity. */
+    *        corrupting the cell. Each PART escapes before the join, so
+    *        structural field separators stay raw and field decode stays
+    *        unambiguous (escaping the joined tuple would make data-borne
+    *        and structural delimiters indistinguishable after unescape).
+    *        Off by default for byte-parity. */
   def pack(df: DataFrame, keyParts: Seq[Column], qualifier: Column,
            valueParts: Seq[Column], escapeValues: Boolean = false): DataFrame = {
-    val raw = KvOps.rowKeyCol(valueParts)
-    val v = if (escapeValues) KvOps.escapeValue(raw) else raw
+    val v =
+      if (escapeValues) KvOps.rowKeyCol(valueParts.map(KvOps.escapeValue))
+      else KvOps.rowKeyCol(valueParts)
     df.select(
         KvOps.rowKeyCol(keyParts).as("rowKey"),
         qualifier.as("columnName"),
@@ -208,11 +213,19 @@ object KvStore {
   def bulkGet(kv: DataFrame, keys: DataFrame): DataFrame =
     keys.join(kv, Seq("rowKey", "columnName"), "inner")
 
-  /** Unpack back to long format (Utils.scala:377-402). */
+  /** Unpack back to long format (Utils.scala:377-402).
+    * @param unescapeValues for stores packed with `escapeValues=true`:
+    *        adds a `fields` array column — the packed tuple split on the
+    *        (raw, structural) delimiter with each field unescaped.
+    *        `packedValue` keeps the escaped form; unescaping the joined
+    *        string before splitting would reintroduce the ambiguity the
+    *        per-part escape exists to prevent. */
   def unpack(kv: DataFrame, unescapeValues: Boolean = false): DataFrame = {
     val out = KvOps.unpackCells(kv)
     if (unescapeValues)
-      out.withColumn("packedValue", KvOps.unescapeValue(col("packedValue")))
+      out.withColumn("fields",
+        transform(KvOps.splitKeepTrailing(col("packedValue"), graft.core.Delims.Delim),
+          f => KvOps.unescapeValue(f)))
     else out
   }
 }

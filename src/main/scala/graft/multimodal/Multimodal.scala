@@ -79,8 +79,10 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession, media: DataFrame,
                      batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
+    // decode where the payloads already are — a repartition here would
+    // ship every payload byte through a shuffle, the one cost this
+    // design exists to avoid; file-source split sizing spreads the load
     media.select(col("doc_id"), col("modality"), col("payload"), col("meta"))
-      .repartition(col("doc_id"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
@@ -105,7 +107,6 @@ object Multimodal {
                        n: Int = 4): Dataset[FrameRow] = {
     import spark.implicits._
     media.select(col("doc_id"), col("modality"), col("payload"), col("meta"))
-      .repartition(col("doc_id"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { m =>

@@ -22,7 +22,11 @@ object SkewOps {
     * (key, salt) — spreading a hot key over `buckets` reducers — then
     * final-aggregate on the key. Expressed for the additive aggregates
     * (count/sum); Catalyst's own partial aggregation handles the map
-    * side, this handles reducer-side hot keys. */
+    * side, this handles reducer-side hot keys. Note the two-stage sum
+    * widens decimal precision (and reorders fp accumulation for
+    * doubles) relative to a single-stage sum — values agree for exact
+    * types but the result TYPE differs; compare numerically, not
+    * schema-byte-exactly. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      saltCols: Seq[Column], buckets: Int = 24): DataFrame =
     df.select(key.as("k"), value.as("v"),

@@ -24,18 +24,29 @@ object TemporalOps {
                leftKey: Column, rightKey: Column,
                leftTs: Column, rightTs: Column,
                payload: Column): DataFrame = {
+    // the fill marker is a STRUCT, not the payload itself: a right row
+    // with a legitimately-null payload must still win the forward fill
+    // (bare last(payload, ignoreNulls) would skip it and resurrect an
+    // older value — SQL ASOF semantics return the null)
     val l = left.select(leftKey.as("__k"), leftTs.as("__ts"),
-      lit(1).as("__isLeft"), lit(null).cast("string").as("__p"),
+      lit(1).as("__isLeft"),
+      lit(null).cast("struct<v:string>").as("__p"),
       struct(col("*")).as("__row"))
-    val r = right.select(rightKey.as("__k"), rightTs.as("__ts"),
-      lit(0).as("__isLeft"), payload.cast("string").as("__p"),
-      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val r = right
+      .select(rightKey.as("__k"), rightTs.as("__ts"),
+        lit(0).as("__isLeft"),
+        struct(payload.cast("string").as("v")).as("__p"),
+        lit(null).cast(l.schema("__row").dataType).as("__row"))
+      // null keys never equi-match — drop them or the keyed window
+      // would pair null-key left rows with null-key right rows
+      .where(rightKey.isNotNull)
     // at equal ts the right row sorts first, so ts >= rightTs is inclusive
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__isLeft"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("payload", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("payload",
+        last(col("__p"), ignoreNulls = true).over(w).getField("v"))
       .where(col("__isLeft") === 1)
       .select(col("__row.*"), col("payload"))
   }

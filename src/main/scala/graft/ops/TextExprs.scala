@@ -162,14 +162,18 @@ object TextKernels {
       sumTokLen / denTok))
   }
 
-  /** Dot product of two double vectors (length = min of the two). */
+  /** Dot product of two double vectors. Mismatched dimensions throw —
+    * truncating to the shorter vector would rank on a plausible-but-
+    * wrong similarity; schema drift (mixed embedding versions) must
+    * surface, not silently mis-rank. */
   def vecDot(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
+    require(x.length == y.length,
+      s"vector dimension mismatch: ${x.length} vs ${y.length}")
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x(i) * y(i); i += 1 }
+    while (i < x.length) { acc += x(i) * y(i); i += 1 }
     acc
   }
 

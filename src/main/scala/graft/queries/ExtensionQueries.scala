@@ -49,9 +49,11 @@ object ExtensionQueries {
     }),
 
     "dedup_embedding" -> ((s, dir) => {
+      // random synthetic embeddings are already balanced — uncentered
+      // keeps full recall at the cluster core (see cosineNearDupPairs)
       Ann.cosineNearDupPairs(Tables(s, dir, "embeddings"),
           col("vec_id"), col("embedding"),
-          threshold = 0.3, bands = 16, bandBits = 2)
+          threshold = 0.3, bands = 16, bandBits = 2, centered = false)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(50)
     }),

@@ -200,6 +200,11 @@ object Ann {
     // correlated corpus the raw sign bits all skew the same way (hot
     // buckets → quadratic join blowup). The mean is dim doubles — a
     // deliberate tiny driver materialization, same class as a broadcast.
+    // TRADEOFF: pairs sitting AT the mean have tiny centered vectors
+    // whose sign bits decorrelate — near-dups in the densest part of
+    // the corpus can be missed. Use centered=false when the corpus is
+    // already balanced (e.g. random/normalized model embeddings) or
+    // when recall at the cluster core matters more than join cost.
     val center: Array[Double] =
       if (!centered) Array.empty
       else corpus.select(posexplode(asDouble(vec)))
@@ -219,11 +224,13 @@ object Ann {
     // bit-agreement no longer tracks the raw cosine); with centering the
     // balanced buckets already bound the candidate volume.
     val prefiltered =
-      if (centered) banded.select(col("band"), col("bkey"),
-          col("id").as("id_a"), col("sig").as("sig_a"))
-        .join(banded.select(col("band"), col("bkey"),
-          col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bkey"))
-        .where(col("id_a") < col("id_b"))
+      if (centered)
+        // no Hamming prefilter on centered sigs (bit agreement no longer
+        // tracks raw cosine) — so don't ship the dead sig columns either
+        banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+          .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+            Seq("band", "bkey"))
+          .where(col("id_a") < col("id_b"))
       else {
         val bound = hammingBound(threshold, planes)
         banded.select(col("band"), col("bkey"),

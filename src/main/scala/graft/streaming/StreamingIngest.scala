@@ -71,7 +71,11 @@ object StreamingIngest {
     docs
       .withColumn("__fp", graft.text.TextOps.fingerprint(org.apache.spark.sql.functions.col("text")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__fp")
+      // dropDuplicatesWithinWatermark, NOT dropDuplicates: with an
+      // id-only key the plain variant never evicts state (eviction
+      // requires the event-time column among the keys) and the store
+      // grows unboundedly on a long-running stream
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

@@ -56,22 +56,29 @@ class HostileDataSpec extends AnyFunSuite {
   test("delimiter-bearing values round-trip with escaping on") {
     val D = Delims.Delim
     val src = Seq(
-      ("k1", "q", s"value${D}with delim"),
-      ("k1", "q", "value\nwith newline"),
-      ("k1", "q", s"token ${Delims.NullByteReplace} inside"),
-      ("k1", "q", "plain")
-    ).toDF("k", "q", "v")
-    val kv = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")),
-      escapeValues = true)
+      ("k1", "q", s"value${D}with delim", "second"),
+      ("k1", "q", "value\nwith newline", s"also${D}delim"),
+      ("k1", "q", s"token ${Delims.NullByteReplace} inside", "x"),
+      ("k1", "q", "plain", "y")
+    ).toDF("k", "q", "v1", "v2")
+    // per-part escaping: structural separators stay raw, so each FIELD
+    // decodes unambiguously even when parts contain the delimiter
+    val kv = KvStore.pack(src, Seq(col("k")), col("q"),
+      Seq(col("v1"), col("v2")), escapeValues = true)
     val back = KvStore.unpack(kv, unescapeValues = true)
-      .select("packedValue").as[String].collect().toSet
-    val expected = src.select("v").as[String].collect().toSet
+      .select(element_at(col("fields"), 1).as("v1"),
+        element_at(col("fields"), 2).as("v2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = src.select("v1", "v2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(back === expected)
-    // without escaping these values corrupt the cell (reference parity):
-    val kvRaw = KvStore.pack(src, Seq(col("k")), col("q"), Seq(col("v")))
+    // without escaping these values corrupt the field layout
+    val kvRaw = KvStore.pack(src, Seq(col("k")), col("q"),
+      Seq(col("v1"), col("v2")))
     val backRaw = KvStore.unpack(kvRaw)
-      .select("packedValue").as[String].collect().toSet
-    assert(backRaw !== expected)
+      .select("packedValue").as[String].collect()
+    assert(backRaw.exists(v =>
+      graft.core.Splits.keepTrailing(v, D).length != 2))
   }
 
   test("escape/unescape is a lossless prefix code") {

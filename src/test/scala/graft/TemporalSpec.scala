@@ -38,6 +38,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(6L) === null)
   }
 
+  test("asof join: null payloads win the fill; null keys never match") {
+    val left = Seq(
+      (1L, Option("u1"), 30L),  // right@20 has null payload → null, not "a"
+      (2L, Option.empty[String], 100L) // null key → no match despite null-key right row
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (Option("u1"), 10L, Option("a")),
+      (Option("u1"), 20L, Option.empty[String]),
+      (Option.empty[String], 1L, Option("ghost"))
+    ).toDF("k", "ts", "v")
+    val out = TemporalOps.asofJoin(left, right,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = col("v"))
+      .select("event_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === null, "null payload of the matched row must win")
+    assert(out(2L) === null, "null keys must not equi-match")
+  }
+
   test("sessionize: gap strictly-greater starts a new session") {
     val e = Seq(
       ("u1", 0L), ("u1", 100L),      // gap 100 == gap → same session
