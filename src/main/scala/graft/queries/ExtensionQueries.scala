@@ -183,6 +183,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // context-window chunking (window 64, stride 64) — the shaping step
+    // before training-example packing; one row per chunk
+    "chunk_tokens" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.tokenChunks(col("text"), window = 64, stride = 64)))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("chunk_len"),
+          array_join(col("col"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"),
@@ -410,6 +422,21 @@ object ExtensionQueries {
         |SELECT doc_id, n_tokens, stopword_ratio, mean_token_len
         |FROM stats WHERE alpha_ratio > 0.5 AND n_tokens >= 30
         |ORDER BY doc_id""".stripMargin,
+
+    "chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |                w -> len(w) > 0) AS l
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, greatest(len(l) - 63, 1) + 1, 64)) AS s, l
+        |  FROM t)
+        |SELECT doc_id, cast((s - 1) // 64 AS int) AS chunk_idx,
+        |  len(l[s:s+63]) AS chunk_len,
+        |  array_to_string(l[s:s+63], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'image/' || source AS modality,

@@ -94,6 +94,20 @@ object TextOps {
       .otherwise(lit("und"))
   }
 
+  // ── Context-window chunking ──────────────────────────────────────────
+
+  /** Chunk a document's tokens into fixed-size context windows with
+    * optional overlap (stride < window) — the standard shaping step
+    * before training-example packing. One output row per chunk via
+    * posexplode; embarrassingly parallel, no shuffle. */
+  def tokenChunks(text: Column, window: Int, stride: Int): Column = {
+    require(stride > 0 && stride <= window, "0 < stride <= window")
+    val toks = tokens(text)
+    val n = size(toks)
+    val starts = sequence(lit(1), greatest(n - (window - 1), lit(1)), lit(stride))
+    transform(starts, s => slice(toks, s, lit(window)))
+  }
+
   // ── Fingerprinting ───────────────────────────────────────────────────
 
   /** Canonical normalization before fingerprinting: lowercase, strip
