@@ -29,9 +29,15 @@ object Salt {
     * semantics, then `abs(result % buckets)` (Utils.scala:82-96).
     * Empty string → 0, matching the reference's early return.
     */
-  def bucket(s: String, buckets: Int = Buckets): Int = {
-    if (s == null || s.isEmpty) return 0
-    val a = s.getBytes("UTF-8")
+  def bucket(s: String, buckets: Int = Buckets): Int =
+    if (s == null) 0 else bucket(s.getBytes("UTF-8"), buckets)
+
+  /** Byte-level form — the ground truth both the interpreted and codegen
+    * paths of [[graft.ops.SaltBucket]] call, so hostile (non-UTF-8) key
+    * bytes hash identically everywhere (String round-trips would smear
+    * invalid sequences into U+FFFD first). */
+  def bucket(a: Array[Byte], buckets: Int): Int = {
+    if (a == null || a.length == 0) return 0
     var result = 1
     var i = 0
     while (i < a.length) {

@@ -14,9 +14,10 @@ import graft.text.TextOps
   *               bucket join → exact-Jaccard verify. Candidate generation
   *               is a self-join on (band, bandKey) so only near-collisions
   *               shuffle, never the O(n²) pair space.
-  *  - simhash:   64-bit sign-aggregated token hash → 16-bit chunk bucket
-  *               join (any pair within Hamming distance 3 shares ≥1 of 4
-  *               chunks) → exact Hamming verify via bit_count(xor).
+  *  - simhash:   64-bit sign-aggregated token hash → pigeonhole bucket
+  *               join (block-pair tables at radius 7, disjoint 16-bit
+  *               chunks at radius 3) → exact Hamming verify via
+  *               bit_count(xor).
   *  - ngram:     exact Jaccard via inverted-index join on shingles with a
   *               document-frequency cutoff (hot shingles are dropped, the
   *               standard guard against quadratic bucket blowup).
@@ -104,21 +105,34 @@ object Dedup {
 
   // ── N-gram Jaccard via inverted index ────────────────────────────────
 
-  /** Exact pairwise Jaccard over shingles through an inverted-index join:
-    * explode (doc, shingle), drop shingles hotter than `maxDf` docs,
+  /** Pairwise Jaccard over the RARE-shingle space through an inverted-index
+    * join: explode (doc, shingle), drop shingles hotter than `maxDf` docs,
     * self-join on shingle, count common shingles per pair. Only documents
-    * sharing a (rare) shingle ever meet — the scalable exact algorithm.
+    * sharing a rare shingle ever meet — the scalable exact algorithm.
+    *
+    * Semantics: hot shingles (document frequency > maxDf) are excluded
+    * from BOTH the intersection and the union, so the reported value is
+    * exact Jaccard over each document's rare shingles — the similarity
+    * signal boilerplate can't dilute. Blind spot (inherent to any df
+    * cutoff): a pair whose overlap consists ONLY of hot shingles yields
+    * no candidate and is never reported.
+    *
+    * Plan shape: ONE exchange of the exploded shingles (hash on shingle)
+    * feeds the df-annotating window, both self-join sides, and the size
+    * aggregate — Spark's ReuseExchange collapses the three consumers onto
+    * a single shuffle, so the shingle kernel and explode run once (the
+    * round-1 form re-computed them three times).
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         n: Int = 2, maxDf: Int = 100,
                         threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
-    val rare = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
+    val pruned = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .where(col("df") <= maxDf)
-      .select(col("s"))
-    val pruned = sh.join(rare, Seq("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .drop("df")
+    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = pruned.as("x").join(pruned.as("y"), Seq("s"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -142,24 +156,34 @@ object Dedup {
 
   /** Near-dup pairs within `maxHamming` of each other's SimHash.
     * Candidate generation by pigeonhole: signatures within Hamming
-    * distance d agree on at least one of (d+1) equal chunks, so
-    * bucket-join on (chunkIdx, chunkValue) and verify with
-    * bit_count(xor). Chunk width adapts to the radius — r ≤ 3 uses 4
-    * 16-bit chunks (2¹⁶ buckets, few candidates), r ≤ 7 uses 8 8-bit
-    * chunks (hotter buckets, larger radius). At extreme corpus sizes,
-    * widen chunks and run multiple rotated tables instead. */
+    * distance d agree exactly on some bucket key in at least one table,
+    * so bucket-join on (tableIdx, key) and verify with bit_count(xor).
+    *
+    * Table designs (all EXHAUSTIVE at their radius — recall is 1.0, the
+    * verify step only removes false candidates):
+    *  - r ≤ 3: 4 disjoint 16-bit chunks (d errors touch ≤ 3 chunks →
+    *    ≥ 1 clean).
+    *  - r ≤ 7, `wideTables` (default): 9 disjoint ~7-bit blocks keyed in
+    *    PAIRS — C(9,2) = 36 tables of 14-16-bit keys. d ≤ 7 errors touch
+    *    ≤ 7 blocks, leaving ≥ 2 clean, so some PAIR is clean — the same
+    *    hard guarantee as 8 single 8-bit chunks. The win is the
+    *    accidental-collision floor that dominates at corpus scale: for
+    *    unrelated (≈independent) signatures the expected spurious
+    *    candidates are n²·8/2⁸ with single chunks vs n²·36/2¹⁴ with
+    *    block pairs — ~16× fewer — at the cost of 4.5× more exploded
+    *    table rows.
+    *  - r ≤ 7, `wideTables = false`: the 8×8-bit single-chunk layout.
+    *    Fewer exploded rows, and on a strongly-correlated corpus (pairs
+    *    agreeing on ≫ 50% of bits without being near-dups) it can emit
+    *    FEWER candidates than block pairs (p⁸·8 < p¹⁴·36 once p ≳ 0.78)
+    *    — pick per corpus shape; results are identical either way.
+    */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 7): DataFrame = {
-    require(maxHamming <= 7, "radius > 7 needs more than 8 chunks")
-    val nChunks = if (maxHamming <= 3) 4 else 8
-    val bits = 64 / nChunks
-    val mask = (1L << bits) - 1
+                   maxHamming: Int = 7,
+                   wideTables: Boolean = true): DataFrame = {
+    require(maxHamming <= 7, "radius > 7 needs a wider table design")
     val sigd = docs.select(id.as("doc_id"), simhash64(text).as("sig"))
-    val chunked = sigd.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(nChunks - 1)), i =>
-          call_function("shiftrightunsigned", col("sig"), i * bits)
-            .bitwiseAND(mask))))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val chunked = simhashKeys(sigd, maxHamming, wideTables)
     val a = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"),
@@ -172,5 +196,31 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** One (chunk = tableIdx, ckey = bucket key) row per table per doc —
+    * exposed for the candidate-volume spec. */
+  private[graft] def simhashKeys(sigd: DataFrame, maxHamming: Int,
+                                 wideTables: Boolean): DataFrame = {
+    def block(off: Int, bits: Int): Column =
+      call_function("shiftrightunsigned", col("sig"), lit(off))
+        .bitwiseAND(lit((1L << bits) - 1))
+    val keys: Seq[Column] =
+      if (maxHamming <= 3)
+        (0 until 4).map(i => block(i * 16, 16))
+      else if (!wideTables)
+        (0 until 8).map(i => block(i * 8, 8))
+      else {
+        // 9 blocks: 8×7 bits + 1×8 bits; tables = all block pairs
+        val offs = Array(0, 7, 14, 21, 28, 35, 42, 49, 56)
+        val bits = Array(7, 7, 7, 7, 7, 7, 7, 7, 8)
+        for {
+          i <- 0 until 9
+          j <- (i + 1) until 9
+        } yield shiftleft(block(offs(i), bits(i)), 8)
+          .bitwiseOR(block(offs(j), bits(j)))
+      }
+    sigd.select(col("doc_id"), col("sig"), posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
   }
 }

@@ -177,15 +177,28 @@ object KvStore {
   /** Salt-partitioned, rowKey-sorted layout: the salt spreads write load
     * (HBase-region semantics), and sorting within each partition gives
     * parquet row-group min/max pruning on rowKey predicates — the
-    * prefix scan (S6) reads only the row groups covering the prefix. */
+    * prefix scan (S6) reads only the row groups covering the prefix.
+    *
+    * Scale note: the exchange ranges over (salt, rowKey), NOT salt alone —
+    * hashing on a 24-value column funnels the entire store through ≤24
+    * write tasks no matter the cluster size. Range partitioning scales the
+    * task count with `spark.sql.shuffle.partitions` (AQE can still
+    * coalesce small outputs), keeps each task's rows contiguous in
+    * (salt, rowKey) so a task usually writes one salt directory, and
+    * hands the writer pre-sorted runs. */
   def write(kv: DataFrame, path: String): Unit =
-    kv.repartition(col("salt"))
+    writeLayout(kv)
+      .write.mode(SaveMode.Overwrite).partitionBy("salt").parquet(path)
+
+  /** The pre-write exchange + sort, exposed so PlanSpec can assert the
+    * layout survives refactors (range partitioning, leading-salt sort). */
+  def writeLayout(kv: DataFrame): DataFrame =
+    kv.repartitionByRange(col("salt"), col("rowKey"))
       // the sort MUST lead with the partition column: V1Writes requires
       // ordering by salt and silently REPLACES (not extends) any user
       // sort that doesn't satisfy it — sorting (rowKey, columnName) alone
       // writes unsorted files and no row group ever prunes
       .sortWithinPartitions(col("salt"), col("rowKey"), col("columnName"))
-      .write.mode(SaveMode.Overwrite).partitionBy("salt").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

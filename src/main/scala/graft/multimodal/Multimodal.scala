@@ -70,11 +70,13 @@ object Multimodal {
         lit("lang"), col("lang"),
         lit("n_chars"), col("n_chars").cast("string")).as("meta"))
 
-  /** Partition-batched decode: the media rows are hash-repartitioned (so
-    * decode load spreads evenly regardless of input file layout), then
-    * each partition iterates in fixed-size batches — the exact execution
-    * shape a vectorized/Arrow decode path wants. Only ids + fixed-width
-    * features leave the stage; payloads never shuffle.
+  /** Partition-batched decode IN PLACE: each input partition iterates in
+    * fixed-size batches — the exact execution shape a vectorized/Arrow
+    * decode path wants. Deliberately NO repartition: shuffling would ship
+    * every payload byte across the cluster, the one cost this design
+    * exists to avoid; decode-load balance comes from file-source split
+    * sizing (`spark.sql.files.maxPartitionBytes`) instead. Only ids +
+    * fixed-width features leave the stage; payloads never shuffle.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
                      batchSize: Int = 64): Dataset[MediaFeatures] = {

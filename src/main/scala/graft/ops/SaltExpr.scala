@@ -32,10 +32,13 @@ case class SaltBucket(child: Expression, buckets: Int)
   // Total function: null keys salt to bucket 0 (same as the empty
   // string), matching Salt.bucket and the parity UDF — a null must not
   // produce a null salt that writes a salt=null partition directory.
+  // Hashes the RAW UTF8String bytes, same as the codegen path — a
+  // String round-trip would smear invalid byte sequences into U+FFFD
+  // and the two paths would disagree on hostile keys.
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) 0
-    else Salt.bucket(v.asInstanceOf[UTF8String].toString, buckets)
+    else Salt.bucket(v.asInstanceOf[UTF8String].getBytes, buckets)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

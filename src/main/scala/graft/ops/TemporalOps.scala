@@ -18,7 +18,11 @@ object TemporalOps {
   /** As-of join. `right` must be unique per (key, ts) — pre-aggregate it
     * if not, or ties make the filled value nondeterministic.
     * @return left rows + `payload` column holding the as-of right value
-    *         (null when no right row precedes the left row)
+    *         (null when no right row precedes the left row). The payload
+    *         is carried as a STRING — it is cast for the union-side fill
+    *         marker and returned as StringType whatever the input type;
+    *         cast it back (or join the original right row by key+ts) if
+    *         the native type matters downstream.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, rightKey: Column,

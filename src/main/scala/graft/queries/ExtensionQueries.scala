@@ -133,8 +133,10 @@ object ExtensionQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          expr("percentile(n_tokens, 0.5)").as("median_tokens"),
-          expr("percentile(n_tokens, 0.9)").as("p90_tokens"))
+          // interpolated percentiles are doubles — round to a fixed
+          // precision so engine/oracle ULP-level drift can't flip the gate
+          round(expr("percentile(n_tokens, 0.5)"), 4).as("median_tokens"),
+          round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"))
         .orderBy(col("lang"))
     }),
 
@@ -278,7 +280,9 @@ object ExtensionQueries {
         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // exact inverted-index n-gram Jaccard — mirrors the engine algorithm
+    // inverted-index n-gram Jaccard over the RARE-shingle space (shingles
+    // hotter than maxDf are dropped from intersection AND union) —
+    // mirrors the engine algorithm
     "dedup_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -295,7 +299,7 @@ object ExtensionQueries {
         |  FROM toks),
         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
         |pruned AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
         |common AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
         |  FROM pruned x JOIN pruned y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -310,7 +314,7 @@ object ExtensionQueries {
 
     "window_topk_group" ->
       """SELECT c_mktsegment, rn, o_orderkey,
-        |  cast(o_totalprice AS decimal(12,2)) AS price
+        |  cast(cast(o_totalprice AS varchar) AS decimal(12,2)) AS price
         |FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY c_mktsegment
@@ -341,7 +345,7 @@ object ExtensionQueries {
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
         |                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
         |  FROM s)
-        |SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+        |SELECT user_id, cast(max(session_id) + 1 AS bigint) AS n_sessions, count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "corpus_stats" ->
@@ -349,9 +353,9 @@ object ExtensionQueries {
         |  SELECT lang,
         |    len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)) AS n_tokens
         |  FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-        |  quantile_cont(n_tokens, 0.5) AS median_tokens,
-        |  quantile_cont(n_tokens, 0.9) AS p90_tokens
+        |SELECT lang, count(*) AS n_docs, cast(sum(n_tokens) AS bigint) AS total_tokens,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens,
+        |  round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "ann_topk" ->
@@ -431,7 +435,7 @@ object ExtensionQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id,
-        |    unnest(range(1, greatest(len(l) - 63, 1) + 1, 64)) AS s, l
+        |    unnest(range(1, 1 + 64 * cast(ceil(greatest(len(l) - 64, 0) / 64.0) AS int) + 1, 64)) AS s, l
         |  FROM t)
         |SELECT doc_id, cast((s - 1) // 64 AS int) AS chunk_idx,
         |  len(l[s:s+63]) AS chunk_len,

@@ -238,17 +238,22 @@ object ParityQueries {
         |WHERE c_name LIKE 'Customer#00000001%'
         |ORDER BY c_custkey""".stripMargin,
 
+    // double→decimal(12,2) dialect note: DuckDB casts the double's BINARY
+    // expansion (1013.185 stored as 1013.18499… rounds DOWN) while Spark
+    // rounds the double's shortest decimal representation ("1013.185"
+    // rounds UP). Round-tripping through varchar in the oracle reproduces
+    // Spark's shortest-repr-then-HALF_UP semantics exactly.
     "filter_eq" ->
-      """SELECT o_orderkey, cast(o_totalprice AS decimal(12,2)) AS price
+      """SELECT o_orderkey, cast(cast(o_totalprice AS varchar) AS decimal(12,2)) AS price
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
 
     "project_alias" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line,
-        |  cast(l_extendedprice AS decimal(12,2)) AS price
+        |  cast(cast(l_extendedprice AS varchar) AS decimal(12,2)) AS price
         |FROM lineitem ORDER BY okey, line""".stripMargin,
 
     "topk" ->
-      """SELECT o_orderkey, cast(o_totalprice AS decimal(12,2)) AS price
+      """SELECT o_orderkey, cast(cast(o_totalprice AS varchar) AS decimal(12,2)) AS price
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "limit1" ->

@@ -272,10 +272,12 @@ object ScalarQueries {
       """SELECT n_nationkey, concat_ws('|', n_name, n_regionkey) AS joined
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
+    // DuckDB sum(int) widens to HUGEINT (int128), which the driver's
+    // fetch path renders as float — cast to bigint to match Spark's sum.
     "json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(try_cast(CASE WHEN json_valid(props)
-        |      THEN json_extract_string(props, '$.k') END AS integer)) AS sum_k
+        |  cast(sum(try_cast(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS integer)) AS bigint) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "explode_group" ->

@@ -115,9 +115,18 @@ object Ann {
   def ivfIndex(corpus: DataFrame, nClusters: Int, iters: Int = 2)
       : (DataFrame, DataFrame) = {
     val normed = corpus.select(col("cid"), normalize(asDouble(col("cvec"))).as("v"))
-    var centroids = normed.orderBy(col("cid")).limit(nClusters)
-      .select((row_number().over(Window.orderBy(col("cid"))) - 1).as("cluster"),
-        col("v").as("centroid"))
+    // deterministic seeds: first nClusters rows by id, COLLECTED (k×dim
+    // doubles — broadcast-class) and re-created with driver-side ranks.
+    // A global Window.orderBy over the seed frame would plan a
+    // single-partition WindowExec and warn on every run; this shape is
+    // warning-free and identical in result.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = normed.orderBy(col("cid")).limit(nClusters)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var centroids = seeds.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+      .toDF("cluster", "centroid")
     def assignTo(cents: DataFrame): DataFrame =
       normed.crossJoin(broadcast(cents))
         .select(col("cid"), col("v"),
@@ -207,9 +216,20 @@ object Ann {
     // when recall at the cluster core matters more than join cost.
     val center: Array[Double] =
       if (!centered) Array.empty
-      else corpus.select(posexplode(asDouble(vec)))
-        .groupBy(col("pos")).agg(avg(col("col")).as("m"))
-        .orderBy(col("pos")).collect().map(_.getDouble(1))
+      else {
+        // one-pass native vector-sum aggregate: the corpus reduces to dim
+        // doubles via map-side combine — nothing but k×dim-double partial
+        // buffers ever move (the posexplode form shuffled n×dim rows)
+        val row = corpus
+          .agg(graft.ops.VecSumAggregate.vecSum(asDouble(vec)).as("s"),
+            count(vec).as("n"))
+          .head()
+        if (row.isNullAt(0) || row.getLong(1) == 0L) Array.empty
+        else {
+          val n = row.getLong(1).toDouble
+          row.getSeq[Double](0).map(_ / n).toArray
+        }
+      }
     val sigCol =
       if (centered)
         graft.ops.TextExprs.lshBitsPackedCentered(asDouble(vec), planes, center)

@@ -99,12 +99,21 @@ object TextOps {
   /** Chunk a document's tokens into fixed-size context windows with
     * optional overlap (stride < window) — the standard shaping step
     * before training-example packing. One output row per chunk via
-    * posexplode; embarrassingly parallel, no shuffle. */
+    * posexplode; embarrassingly parallel, no shuffle.
+    *
+    * Tail handling: the last chunk is the first stride-aligned window
+    * that reaches the document's end, so it may be PARTIAL — trailing
+    * tokens are never dropped (dropping the tail would silently lose
+    * training text from every long document), and a document shorter
+    * than `window` yields exactly one partial chunk. */
   def tokenChunks(text: Column, window: Int, stride: Int): Column = {
     require(stride > 0 && stride <= window, "0 < stride <= window")
     val toks = tokens(text)
     val n = size(toks)
-    val starts = sequence(lit(1), greatest(n - (window - 1), lit(1)), lit(stride))
+    // last start = smallest 1 + k·stride with start + window - 1 >= n
+    val lastStart = lit(1) + lit(stride) *
+      ceil(greatest(n - window, lit(0)).cast("double") / stride).cast("int")
+    val starts = sequence(lit(1), lastStart, lit(stride))
     transform(starts, s => slice(toks, s, lit(window)))
   }
 

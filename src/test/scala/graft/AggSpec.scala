@@ -39,6 +39,44 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_sum equals the posexplode reference plan") {
+    import spark.implicits._
+    import graft.ops.VecSumAggregate
+    val e = Tables(spark, dir, "embeddings")
+    val kernel = e.agg(VecSumAggregate.vecSum(col("embedding").cast("array<double>")))
+      .head().getSeq[Double](0)
+    val reference = e.select(posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"))
+      .orderBy(col("pos")).as[(Int, Double)].collect().map(_._2)
+    assert(kernel.length === reference.length)
+    kernel.zip(reference).foreach { case (k, r) =>
+      assert(math.abs(k - r) < 1e-6, s"$k vs $r")
+    }
+    // nulls are skipped, not poisoned
+    val withNull = Seq(Some(Seq(1.0, 2.0)), None, Some(Seq(3.0, 4.0)))
+      .toDF("v")
+    val s = withNull.agg(VecSumAggregate.vecSum(col("v"))).head().getSeq[Double](0)
+    assert(s === Seq(4.0, 6.0))
+  }
+
+  test("tokenChunks keeps trailing tokens in a final partial chunk") {
+    import spark.implicits._
+    import graft.text.TextOps
+    def chunksOf(text: String, window: Int, stride: Int): Seq[Seq[String]] =
+      Seq(text).toDF("text")
+        .select(TextOps.tokenChunks(col("text"), window, stride).as("c"))
+        .head().getSeq[scala.collection.Seq[String]](0).map(_.toSeq)
+    // 10 tokens, window 4, stride 4 → chunks of 4,4,2 — nothing dropped
+    val toksOf = chunksOf((1 to 10).map(i => s"t$i").mkString(" "), 4, 4)
+    assert(toksOf.map(_.length) === Seq(4, 4, 2))
+    assert(toksOf.flatten === (1 to 10).map(i => s"t$i"))
+    // overlap: window 4, stride 2 over 7 tokens → starts 1,3,5 (slice caps)
+    assert(chunksOf((1 to 7).map(i => s"t$i").mkString(" "), 4, 2)
+      .map(_.length) === Seq(4, 4, 3))
+    // doc shorter than the window → one partial chunk
+    assert(chunksOf("a b", 4, 4) === Seq(Seq("a", "b")))
+  }
+
   test("approx_metrics query is deterministic across runs") {
     val q = SparkEntry.queries("approx_metrics")
     val a = q(spark, dir).collect().map(_.toString)

@@ -52,6 +52,43 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash wide tables: identical pairs, candidates shrink at the bucket floor") {
+    // the 100 TB hazard the block-pair tables fix: with n diverse docs
+    // (≈uniform signatures), 8×8-bit chunk tables floor at ~n²·8/2⁸
+    // accidental bucket collisions; 36 ~14-bit block-pair tables floor
+    // ~16× lower (n²·36/2¹⁴). Unique-token docs give the uniform regime;
+    // 10 planted near-dups must still surface identically in both.
+    // NOTE tokens must survive normalization intact (no '_' — the
+    // normalizer splits on it) or every doc shares the numeric tokens
+    // and the signatures correlate
+    val docs = ((0 until 500).map { i =>
+      (i.toLong, (1 to 40).map(j => s"u${i}x$j").mkString(" "))
+    } ++ (0 until 10).map { i =>
+      (1000L + i, (1 to 40).map(j =>
+        if (j == 7) s"edited$i" else s"u${i}x$j").mkString(" "))
+    }).toDF("doc_id", "text")
+    val sigd = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+    def candidates(wide: Boolean): Long = {
+      val k = Dedup.simhashKeys(sigd, maxHamming = 7, wideTables = wide)
+      k.select(col("chunk"), col("ckey"), col("doc_id").as("id_a"))
+        .join(k.select(col("chunk"), col("ckey"), col("doc_id").as("id_b")),
+          Seq("chunk", "ckey"))
+        .where(col("id_a") < col("id_b"))
+        .count()
+    }
+    val narrow = candidates(wide = false)
+    val wide = candidates(wide = true)
+    assert(wide < narrow / 4,
+      s"block-pair tables should collapse the candidate flood: wide=$wide narrow=$narrow")
+    // both schemes are exhaustive at radius 7 → identical verified pairs
+    val pw = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+      maxHamming = 7, wideTables = true))
+    val pn = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+      maxHamming = 7, wideTables = false))
+    assert(pw === pn)
+    assert(pw.nonEmpty, "planted near-dups should be within radius 7")
+  }
+
   test("lsh ann attains reasonable recall against brute force") {
     val q = embeddings.where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

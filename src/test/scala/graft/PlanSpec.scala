@@ -74,6 +74,24 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.count() === 3)
   }
 
+  test("KV write exchange ranges over (salt, rowKey), not hash-on-salt") {
+    import graft.ingest.KvStore
+    val li = Tables(spark, dir, "lineitem")
+    val kv = KvStore.pack(li, Seq(col("l_orderkey")), col("l_returnflag"),
+      Seq(col("l_linenumber")))
+    val p = plan(KvStore.writeLayout(kv))
+    // hash-on-salt funnels the whole store through ≤24 write tasks at any
+    // cluster size; the exchange must RANGE over (salt, rowKey) so task
+    // count scales with spark.sql.shuffle.partitions
+    assert(p.contains("rangepartitioning(salt"), s"expected range exchange:\n$p")
+    assert(p.contains("rowKey"), "range keys must include rowKey")
+    assert(!p.contains("hashpartitioning(salt#"),
+      "write exchange must not hash on the 24-value salt column")
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(p.contains(s", $n)") || p.contains(s", $n,"),
+      s"range exchange should target $n partitions:\n$p")
+  }
+
   test("the KV lifecycle plans a single shuffle for the pack aggregation") {
     val p = plan(SparkEntry.queries("pack_concat")(spark, dir))
     // one exchange for the groupBy, one for the final orderBy — no more
