@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtensionQueries, ParityQueries, ScalarQueries}
+import graft.queries.{ExtensionQueries, IngestQueries, ParityQueries, ScalarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,10 @@ object SparkEntry {
     ParityQueries.queries("unpack_cells")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ ScalarQueries.queries ++ ExtensionQueries.queries
+    ParityQueries.queries ++ ScalarQueries.queries ++
+      ExtensionQueries.queries ++ IngestQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ ScalarQueries.oracleSql ++ ExtensionQueries.oracleSql
+    ParityQueries.oracleSql ++ ScalarQueries.oracleSql ++
+      ExtensionQueries.oracleSql ++ IngestQueries.oracleSql
 }

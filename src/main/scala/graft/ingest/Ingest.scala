@@ -25,10 +25,10 @@ object MuprReader {
     StructField("Mask_Vector", StringType, nullable = false),
     StructField("Test_Name", StringType, nullable = false)))
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String, sep: String = Delims.Delim): DataFrame =
     spark.read.format("csv")
       .schema(schema)
-      .option("sep", Delims.Delim)
+      .option("sep", sep)
       .option("header", "false")
       .load(path)
 
@@ -39,25 +39,27 @@ object MuprReader {
     * disallow corrupt-column-only queries. */
   private val corruptSchema: StructType =
     schema.add(StructField("_corrupt_record", StringType, nullable = true))
-  private val csvOpts = Map(
-    "sep" -> Delims.Delim,
+  private def csvOpts(sep: String) = Map(
+    "sep" -> sep,
     "mode" -> "PERMISSIVE",
     "columnNameOfCorruptRecord" -> "_corrupt_record")
 
-  private def parsed(spark: SparkSession, path: String): DataFrame =
+  private def parsed(spark: SparkSession, path: String, sep: String): DataFrame =
     spark.read.text(path)
-      .select(from_csv(col("value"), corruptSchema, csvOpts).as("r"),
+      .select(from_csv(col("value"), corruptSchema, csvOpts(sep)).as("r"),
         col("value"))
 
   /** Clean rows only. */
-  def readClean(spark: SparkSession, path: String): DataFrame =
-    parsed(spark, path)
+  def readClean(spark: SparkSession, path: String,
+                sep: String = Delims.Delim): DataFrame =
+    parsed(spark, path, sep)
       .where(col("r._corrupt_record").isNull)
       .select(col("r.*")).drop("_corrupt_record")
 
   /** Quarantined raw lines — route to a dead-letter sink, don't lose them. */
-  def readCorrupt(spark: SparkSession, path: String): DataFrame =
-    parsed(spark, path)
+  def readCorrupt(spark: SparkSession, path: String,
+                  sep: String = Delims.Delim): DataFrame =
+    parsed(spark, path, sep)
       .where(col("r._corrupt_record").isNotNull)
       .select(col("value").as("_corrupt_record"))
 }
@@ -72,12 +74,12 @@ object MuprReader {
   * posexplode — no typed map, stays in codegen.
   */
 object MucrReader {
-  def read(spark: SparkSession, path: String): DataFrame =
-    parse(spark.read.text(path))
+  def read(spark: SparkSession, path: String, sep: String = Delims.Delim): DataFrame =
+    parse(spark.read.text(path), sep)
 
   /** Parse a one-string-column DataFrame (`value`) of MUCR lines. */
-  def parse(lines: DataFrame): DataFrame = {
-    val f = split(col("value"), java.util.regex.Pattern.quote(Delims.Delim), -1)
+  def parse(lines: DataFrame, sep: String = Delims.Delim): DataFrame = {
+    val f = split(col("value"), java.util.regex.Pattern.quote(sep), -1)
     lines
       .select(
         f.getItem(0).as("Unit_Testing_Seq_Key"),
@@ -161,16 +163,17 @@ object KvStore {
     *        and structural delimiters indistinguishable after unescape).
     *        Off by default for byte-parity. */
   def pack(df: DataFrame, keyParts: Seq[Column], qualifier: Column,
-           valueParts: Seq[Column], escapeValues: Boolean = false): DataFrame = {
+           valueParts: Seq[Column], escapeValues: Boolean = false,
+           delim: String = Delims.Delim): DataFrame = {
     val v =
-      if (escapeValues) KvOps.rowKeyCol(valueParts.map(KvOps.escapeValue))
-      else KvOps.rowKeyCol(valueParts)
+      if (escapeValues) KvOps.rowKeyCol(valueParts.map(KvOps.escapeValue), delim)
+      else KvOps.rowKeyCol(valueParts, delim)
     df.select(
-        KvOps.rowKeyCol(keyParts).as("rowKey"),
+        KvOps.rowKeyCol(keyParts, delim).as("rowKey"),
         qualifier.as("columnName"),
         v.as("cellValue"))
       .groupBy(col("rowKey"), col("columnName"))
-      .agg(graft.ops.PackAggregate.packAggNative(col("cellValue")).as("value"))
+      .agg(graft.ops.PackAggregate.packAggNative(col("cellValue"), delim).as("value"))
       .withColumn("salt", SaltExpr.saltCol(col("rowKey")))
   }
 
@@ -233,11 +236,12 @@ object KvStore {
     *        `packedValue` keeps the escaped form; unescaping the joined
     *        string before splitting would reintroduce the ambiguity the
     *        per-part escape exists to prevent. */
-  def unpack(kv: DataFrame, unescapeValues: Boolean = false): DataFrame = {
-    val out = KvOps.unpackCells(kv)
+  def unpack(kv: DataFrame, unescapeValues: Boolean = false,
+             delim: String = Delims.Delim): DataFrame = {
+    val out = KvOps.unpackCells(kv, delim)
     if (unescapeValues)
       out.withColumn("fields",
-        transform(KvOps.splitKeepTrailing(col("packedValue"), graft.core.Delims.Delim),
+        transform(KvOps.splitKeepTrailing(col("packedValue"), delim),
           f => KvOps.unescapeValue(f)))
     else out
   }
