@@ -1,0 +1,231 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Salt
+
+/** DataSource V2 read connector over the salted-KV parquet layout
+  * (`KvStore.write` output: parquet files under `path/salt=N`, rowKey-sorted)
+  * — the connector boundary the reference's HBase client occupies
+  * (bulkGet `Utils.scala:288-369`, PrefixFilter scan
+  * `MetricDetails.scala:99-117`), so the store becomes swappable for a
+  * live KV backend without touching query code.
+  *
+  * Pushdown (SupportsPushDownFilters + SupportsPushDownRequiredColumns):
+  *
+  *  - `EqualTo(rowKey, k)` — point get: the connector derives the salt
+  *    bucket from the key (`Salt.bucket(k)`) and reads ONLY that salt
+  *    directory. The generic parquet source cannot do this (salt =
+  *    f(rowKey) is engine knowledge); it is exactly HBase's
+  *    region-locating get.
+  *  - `EqualTo(salt, n)` — explicit partition pruning.
+  *  - `StringStartsWith(rowKey, p)` — prefix scan: row groups whose
+  *    [min, max] rowKey statistics cannot intersect the prefix range are
+  *    skipped without decoding (HBase PrefixFilter + the rowKey-sorted
+  *    file layout doing its job).
+  *
+  * All pushed filters are ALSO returned as residuals, so Spark
+  * re-evaluates them post-scan — pruning here is an optimization, never
+  * a correctness dependency. Column pruning decodes only requested
+  * fields; `salt` is materialized from the directory name (partitionBy
+  * strips it from the files), so a salt-only projection decodes nothing.
+  *
+  * Usage: `spark.read.format("graft.sources.KvSource").load(path)`.
+  */
+class KvSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvConnector.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new KvTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object KvConnector {
+  /** The KV store schema (FIXTURES.md A4 / KvStore.pack output). */
+  val schema: StructType = StructType(Seq(
+    StructField("rowKey", StringType),
+    StructField("columnName", StringType),
+    StructField("value", StringType),
+    StructField("salt", IntegerType)))
+
+  /** Smallest string greater than every p-prefixed string, or None when
+    * every char of p is Char.MaxValue (no finite upper bound). */
+  private[graft] def prefixUpperBound(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
+  /** Conservative: can a row group with rowKey range [min, max] contain
+    * rows satisfying the pushed rowKey predicates? */
+  private[graft] def groupMayMatch(min: String, max: String,
+                                     filters: Seq[Filter]): Boolean =
+    filters.forall {
+      case EqualTo("rowKey", v: String) => min <= v && v <= max
+      case StringStartsWith("rowKey", p) =>
+        max >= p && prefixUpperBound(p).forall(min < _)
+      case _ => true
+    }
+}
+
+class KvTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_kv($path)"
+  override def schema(): StructType = KvConnector.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(path)
+}
+
+class KvScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = KvConnector.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("rowKey", _: String) => true
+      case EqualTo("salt", _) => true
+      case StringStartsWith("rowKey", _) => true
+      case _ => false
+    }
+    filters // everything stays a residual — pruning is best-effort
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new KvScan(path, pushed, required)
+}
+
+/** One InputPartition per parquet file, carrying the salt from its
+  * directory — at store scale the files are the parallelism units, and
+  * salt/point-get pruning happens here on the driver before any task
+  * launches. */
+case class KvInputPartition(file: String, salt: Int) extends InputPartition
+
+class KvScan(path: String, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_kv pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val saltEq: Set[Int] = pushed.collect {
+      case EqualTo("salt", n: Int) => n
+      // a point get knows its salt — HBase's region locating
+      case EqualTo("rowKey", k: String) => Salt.bucket(k)
+    }.toSet
+    val root = new java.io.File(path)
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("salt="))
+    for {
+      dir <- dirs
+      salt = dir.getName.stripPrefix("salt=").toInt
+      if saltEq.isEmpty || saltEq.contains(salt)
+      f <- dir.listFiles() if f.getName.endsWith(".parquet")
+    } yield KvInputPartition(f.getAbsolutePath, salt): InputPartition
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(pushed, required)
+}
+
+class KvReaderFactory(pushed: Array[Filter], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvInputPartition]
+    new KvPartitionReader(p.file, p.salt, pushed, required)
+  }
+}
+
+/** Reads one rowKey-sorted parquet file with row-group skipping on the
+  * rowKey min/max statistics. Local-FS Configuration is rebuilt per
+  * reader (cheap, nothing cluster-specific to ship). */
+class KvPartitionReader(file: String, salt: Int, pushed: Array[Filter],
+                        required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(file), new Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val dataFields = required.fieldNames.filter(_ != "salt")
+  private val requestedSchema = new MessageType(fileSchema.getName,
+    dataFields.map(f => fileSchema.getFields.asScala.find(_.getName == f)
+      .getOrElse(throw new IllegalArgumentException(s"no field $f in $file"))): _*)
+  reader.setRequestedSchema(requestedSchema)
+
+  private val rowKeyIdx = fileSchema.getFields.asScala
+    .indexWhere(_.getName == "rowKey")
+  private val blocks = reader.getFooter.getBlocks.asScala
+  private var blockIdx = 0
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var rowsLeftInGroup = 0L
+  private var current: Group = _
+
+  private def blockMayMatch(i: Int): Boolean = {
+    if (rowKeyIdx < 0) return true
+    val stats = blocks(i).getColumns.get(rowKeyIdx).getStatistics
+    if (stats == null || !stats.hasNonNullValue) return true
+    val min = new String(stats.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
+    val max = new String(stats.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
+    KvConnector.groupMayMatch(min, max, pushed.toSeq)
+  }
+
+  private def advanceGroup(): Boolean = {
+    while (blockIdx < blocks.length && !blockMayMatch(blockIdx)) {
+      reader.skipNextRowGroup()
+      blockIdx += 1
+    }
+    if (blockIdx >= blocks.length) return false
+    val pages = reader.readNextRowGroup()
+    rowsLeftInGroup = blocks(blockIdx).getRowCount
+    blockIdx += 1
+    val columnIO = new ColumnIOFactory().getColumnIO(requestedSchema)
+    recordReader = columnIO.getRecordReader(pages,
+      new GroupRecordConverter(requestedSchema))
+    true
+  }
+
+  override def next(): Boolean = {
+    while (rowsLeftInGroup == 0) if (!advanceGroup()) return false
+    current = recordReader.read()
+    rowsLeftInGroup -= 1
+    current != null || next()
+  }
+
+  override def get(): InternalRow = {
+    val values = required.fieldNames.map {
+      case "salt" => salt: Any
+      case f =>
+        val gi = requestedSchema.getFieldIndex(f)
+        if (current.getFieldRepetitionCount(gi) == 0) null
+        else UTF8String.fromBytes(current.getBinary(gi, 0).getBytes)
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Salt
+import graft.ingest.KvStore
+
+/** DSv2 KV connector: the prefix-scan / point-get semantics of the
+  * parquet path must survive the connector boundary unchanged, with
+  * connector-level pruning the generic source cannot do (salt derived
+  * from the probed rowKey). */
+class KvConnectorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val store: String = {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val kv = KvStore.pack(li, Seq(col("l_orderkey")), col("l_returnflag"),
+      Seq(col("l_linenumber"), col("l_quantity")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_kv").toString
+    KvStore.write(kv, dir)
+    dir
+  }
+
+  private def viaConnector: DataFrame =
+    spark.read.format("graft.sources.KvSource").load(store)
+  private def viaParquet: DataFrame = KvStore.read(spark, store)
+
+  private def asSet(df: DataFrame): Set[(String, String, String, Int)] =
+    df.select(col("rowKey"), col("columnName"), col("value"), col("salt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+
+  test("full scan through the connector equals the parquet path") {
+    val c = asSet(viaConnector)
+    assert(c.nonEmpty)
+    assert(c === asSet(viaParquet))
+  }
+
+  test("prefix scan: identical results, StartsWith pushed to the connector") {
+    val prefix = "10"
+    val c = viaConnector.where(col("rowKey").startsWith(prefix))
+    val p = viaParquet.where(col("rowKey").startsWith(prefix))
+    assert(asSet(c) === asSet(p))
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith"), s"pushdown missing:\n$plan")
+  }
+
+  test("point get prunes to the probed key's salt directory") {
+    val key = viaParquet.select(col("rowKey")).orderBy(col("rowKey"))
+      .head().getString(0)
+    val get = viaConnector.where(col("rowKey") === key)
+    assert(asSet(get) === asSet(viaParquet.where(col("rowKey") === key)))
+    // the connector plans only the files under salt=bucket(key)
+    val saltDirFiles = new java.io.File(s"$store/salt=${Salt.bucket(key)}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val allFiles = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("salt="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(get.rdd.getNumPartitions === saltDirFiles)
+    assert(viaConnector.rdd.getNumPartitions === allFiles)
+    assert(saltDirFiles < allFiles)
+  }
+
+  test("column pruning: salt-only projection decodes from directory names") {
+    val salts = viaConnector.select(col("salt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val expected = viaParquet.select(col("salt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(salts === expected)
+  }
+
+  test("prefix upper bound handles Char.MaxValue tails") {
+    import graft.sources.KvConnector.prefixUpperBound
+    assert(prefixUpperBound("ab") === Some("ac"))
+    assert(prefixUpperBound("a" + Char.MaxValue) === Some("b"))
+    assert(prefixUpperBound("" + Char.MaxValue) === None)
+  }
+}
