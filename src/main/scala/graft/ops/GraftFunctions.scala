@@ -22,6 +22,11 @@ object GraftFunctions {
     f(args.head)
   }
 
+  private def two(args: Seq[Expression])(f: (Expression, Expression) => Expression): Expression = {
+    require(args.length == 2, "expected two arguments")
+    f(args.head, args(1))
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "salt_bucket" -> (one(_)(SaltBucket(_, Salt.Buckets))),
     "simhash64" -> (one(_)(SimHash64Expr)),
@@ -29,7 +34,13 @@ object GraftFunctions {
     "word_ngrams" -> (one(_)(WordNgramsExpr(_, 2))),
     "rolling_min_fingerprint" -> (one(_)(RollingMinExpr(_, 4))),
     "lsh_sign_bits" -> (one(_)(LshBitsExpr(_, 32))),
-    "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))))
+    "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))),
+    "vec_dot" -> (two(_)(VecDotExpr)),
+    "l2_normalize" -> (one(_)(L2NormalizeExpr)),
+    "hash_embed" -> (one(_)(HashEmbedExpr(_, 64))),
+    // aggregates: the analyzer wraps AggregateFunction expressions
+    "vec_sum" -> (one(_)(VecSumAggregate(_))),
+    "pack_agg" -> (one(_)(PackAggregate(_))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -32,6 +32,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val ng = spark.sql(
       "SELECT size(word_ngrams(split('a b c d', ' '))) AS n").collect()(0).getInt(0)
     assert(ng === 3) // bigrams of 4 tokens
+
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot === 32.0)
+
+    // aggregate surface: vec_sum and pack_agg through plain SQL
+    val vs = spark.sql(
+      """SELECT vec_sum(v) AS s FROM VALUES (array(1d, 2d)), (array(3d, 4d)) t(v)""")
+      .collect()(0).getSeq[Double](0)
+    assert(vs === Seq(4.0, 6.0))
+
+    val pk = spark.sql(
+      """SELECT pack_agg(v) AS cell FROM VALUES ('b'), ('a') t(v)""")
+      .collect()(0).getString(0)
+    assert(pk === "2\u0000a\nb")
   }
 
   test("withExtensions injects the functions at session build") {
