@@ -21,9 +21,22 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (n <- names) {
+    // "-exec" as a query name: also RUN each query and print the final
+    // adaptive plan — AQE stage reuse (e.g. deduplicated identical
+    // shuffles) only shows post-execution
+    val (flags, qs) = names.partition(_.startsWith("-"))
+    val exec = flags.contains("-exec")
+    for (n <- qs) {
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      if (exec) {
+        // collect() drives THIS QueryExecution so the AdaptiveSparkPlan
+        // mutates to its final form (count()/.write plan a fresh QE)
+        val rows = df.collect().length
+        println(s"---------- $n: final adaptive plan ($rows rows) ----------")
+        println(df.queryExecution.executedPlan.toString.take(8000))
+      }
     }
     spark.stop()
   }

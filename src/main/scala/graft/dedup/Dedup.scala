@@ -119,9 +119,13 @@ object Dedup {
     *
     * Plan shape: ONE exchange of the exploded shingles (hash on shingle)
     * feeds the df-annotating window, both self-join sides, and the size
-    * aggregate — Spark's ReuseExchange collapses the three consumers onto
-    * a single shuffle, so the shingle kernel and explode run once (the
-    * round-1 form re-computed them three times).
+    * aggregate — Spark's ReuseExchange collapses the consumers onto a
+    * single shuffle, so the shingle kernel and explode run once (the
+    * round-1 form re-computed them three times). The pair self-join is
+    * pinned to sort-merge: Catalyst's post-filter size estimate can
+    * otherwise BROADCAST the exploded shingle frame — a misestimate that
+    * both breaks exchange reuse and ships the whole inverted index to
+    * every executor at corpus scale.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         n: Int = 2, maxDf: Int = 100,
@@ -133,7 +137,7 @@ object Dedup {
       .where(col("df") <= maxDf)
       .drop("df")
     val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = pruned.as("x").join(pruned.as("y"), Seq("s"))
+    val common = pruned.as("x").hint("merge").join(pruned.as("y"), Seq("s"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
