@@ -83,7 +83,13 @@ object Dedup {
               _.cast("string")), "|"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandKey")
+    // merge-pinned: both sides canonicalize onto ONE banded-signature
+    // exchange (AQE ReusedExchange → the shingle+minhash kernel runs
+    // once), and the exploded band frame is never broadcast — the
+    // static size estimate would happily broadcast it at small SF, a
+    // plan that cannot survive corpus scale
     val cands = banded.select(col("band"), col("bandKey"), col("doc_id").as("id_a"))
+      .hint("merge")
       .join(banded.select(col("band"), col("bandKey"), col("doc_id").as("id_b")),
         Seq("band", "bandKey"))
       .where(col("id_a") < col("id_b"))
@@ -194,8 +200,10 @@ object Dedup {
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
     // signatures are 8 bytes — carry them through the band join and
     // verify BEFORE the pair dedup, so only true near-dups (not every
-    // bucket collision) reach the distinct shuffle
-    a.join(b, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
+    // bucket collision) reach the distinct shuffle. Merge-pinned so both
+    // sides reuse one chunked-signature exchange (simhash kernel runs
+    // once) and the exploded chunk frame is never broadcast.
+    a.hint("merge").join(b, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")

@@ -243,11 +243,16 @@ object Ann {
     // Hamming prefilter only applies to UNcentered signatures (centered
     // bit-agreement no longer tracks the raw cosine); with centering the
     // balanced buckets already bound the candidate volume.
+    // merge-pinned self-joins: both sides reuse ONE banded-signature
+    // exchange (the LSH kernel runs once), and the exploded band frame
+    // is never broadcast — the static estimate would at small SF, a
+    // plan that cannot survive corpus scale
     val prefiltered =
       if (centered)
         // no Hamming prefilter on centered sigs (bit agreement no longer
         // tracks raw cosine) — so don't ship the dead sig columns either
         banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+          .hint("merge")
           .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
             Seq("band", "bkey"))
           .where(col("id_a") < col("id_b"))
@@ -255,6 +260,7 @@ object Ann {
         val bound = hammingBound(threshold, planes)
         banded.select(col("band"), col("bkey"),
             col("id").as("id_a"), col("sig").as("sig_a"))
+          .hint("merge")
           .join(banded.select(col("band"), col("bkey"),
             col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bkey"))
           .where(col("id_a") < col("id_b"))
