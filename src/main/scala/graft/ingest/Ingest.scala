@@ -166,7 +166,8 @@ object KvStore {
            valueParts: Seq[Column], escapeValues: Boolean = false,
            delim: String = Delims.Delim): DataFrame = {
     val v =
-      if (escapeValues) KvOps.rowKeyCol(valueParts.map(KvOps.escapeValue), delim)
+      if (escapeValues)
+        KvOps.rowKeyCol(valueParts.map(KvOps.escapeValue(_, delim)), delim)
       else KvOps.rowKeyCol(valueParts, delim)
     df.select(
         KvOps.rowKeyCol(keyParts, delim).as("rowKey"),
@@ -242,7 +243,7 @@ object KvStore {
     if (unescapeValues)
       out.withColumn("fields",
         transform(KvOps.splitKeepTrailing(col("packedValue"), delim),
-          f => KvOps.unescapeValue(f)))
+          f => KvOps.unescapeValue(f, delim)))
     else out
   }
 }

@@ -101,25 +101,28 @@ object KvOps {
     * wiring in the `<NB>` escape hatch the reference DECLARED
     * (Utils.scala:33) but never connected, which left delimiter-bearing
     * values silently corrupting cells. Escape order matters: the token
-    * itself first, then the delimiters. */
+    * itself first, then the delimiters. The pair is parameterized by the
+    * SAME field delimiter as pack/unpack — escaping the default NUL
+    * while packing with a custom delimiter would leave the custom
+    * delimiter unprotected. */
   // prefix code: every escaped unit is "<NB>" + one tag char (e|0|n) and
   // no raw "<NB>" survives escaping, so left-to-right decode is
   // unambiguous (decode tags before the token itself)
-  def escapeValue(v: Column): Column = {
+  def escapeValue(v: Column, delim: String = Delims.Delim): Column = {
     val esc = Delims.NullByteReplace
     regexp_replace(
       regexp_replace(
         regexp_replace(v, java.util.regex.Pattern.quote(esc), esc + "e"),
-        Delims.Delim, esc + "0"),
+        java.util.regex.Pattern.quote(delim), esc + "0"),
       Delims.RowSep, esc + "n")
   }
 
-  def unescapeValue(v: Column): Column = {
+  def unescapeValue(v: Column, delim: String = Delims.Delim): Column = {
     val esc = java.util.regex.Pattern.quote(Delims.NullByteReplace)
     regexp_replace(
       regexp_replace(
         regexp_replace(v, esc + "n", Delims.RowSep),
-        esc + "0", Delims.Delim),
+        esc + "0", java.util.regex.Matcher.quoteReplacement(delim)),
       esc + "e", Delims.NullByteReplace)
   }
 

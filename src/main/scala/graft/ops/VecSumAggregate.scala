@@ -45,7 +45,14 @@ case class VecSumAggregate(
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v == null) buf
-    else add(buf, v.asInstanceOf[ArrayData].toDoubleArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      // empty arrays contribute nothing (like posexplode of an empty
+      // array) rather than tripping the dimension-mismatch contract;
+      // callers averaging must count only non-empty vectors
+      if (arr.numElements() == 0) buf
+      else add(buf, arr.toDoubleArray())
+    }
   }
 
   override def merge(buf: Array[Double], other: Array[Double]): Array[Double] =

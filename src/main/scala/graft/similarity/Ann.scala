@@ -222,7 +222,10 @@ object Ann {
         // buffers ever move (the posexplode form shuffled n×dim rows)
         val row = corpus
           .agg(graft.ops.VecSumAggregate.vecSum(asDouble(vec)).as("s"),
-            count(vec).as("n"))
+            // count only vectors that contribute to the sum — empty
+            // arrays are skipped by vec_sum (posexplode parity), so
+            // counting them would deflate the mean
+            count(when(size(vec) > 0, 1)).as("n"))
           .head()
         if (row.isNullAt(0) || row.getLong(1) == 0L) Array.empty
         else {

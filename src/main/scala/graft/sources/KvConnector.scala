@@ -56,8 +56,12 @@ class KvSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KvConnector.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new KvTable(properties.get("path"))
+                        properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null,
+      "graft.sources.KvSource requires exactly one path: .load(<kvStoreDir>)")
+    new KvTable(path)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -69,25 +73,43 @@ object KvConnector {
     StructField("value", StringType),
     StructField("salt", IntegerType)))
 
-  /** Smallest string greater than every p-prefixed string, or None when
-    * every char of p is Char.MaxValue (no finite upper bound). */
-  private[graft] def prefixUpperBound(p: String): Option[String] = {
+  /** Smallest byte string greater than every p-prefixed byte string, or
+    * None when every byte of p is 0xFF (no finite upper bound). */
+  private[graft] def prefixUpperBound(p: Array[Byte]): Option[Array[Byte]] = {
     var i = p.length - 1
-    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    while (i >= 0 && p(i) == -1) i -= 1
     if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
   }
 
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   /** Conservative: can a row group with rowKey range [min, max] contain
-    * rows satisfying the pushed rowKey predicates? */
-  private[graft] def groupMayMatch(min: String, max: String,
-                                     filters: Seq[Filter]): Boolean =
+    * rows satisfying the pushed rowKey predicates? All comparisons are
+    * UNSIGNED BYTE order on raw UTF-8 — parquet computes binary min/max
+    * stats in byte order, and Java UTF-16 String order disagrees with it
+    * beyond ASCII (supplementary chars sort below U+E000 in UTF-16 but
+    * above in UTF-8), which would wrongly SKIP groups and silently drop
+    * rows — pruning must stay conservative for any key bytes. */
+  private[graft] def groupMayMatch(min: Array[Byte], max: Array[Byte],
+                                   filters: Seq[Filter]): Boolean = {
+    def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
     filters.forall {
-      case EqualTo("rowKey", v: String) => min <= v && v <= max
+      case EqualTo("rowKey", v: String) =>
+        val vb = utf8(v)
+        cmp(min, vb) <= 0 && cmp(vb, max) <= 0
       case StringStartsWith("rowKey", p) =>
-        max >= p && prefixUpperBound(p).forall(min < _)
+        val pb = utf8(p)
+        cmp(max, pb) >= 0 && prefixUpperBound(pb).forall(ub => cmp(min, ub) < 0)
       case _ => true
     }
+  }
 }
 
 class KvTable(path: String) extends Table with SupportsRead {
@@ -189,9 +211,10 @@ class KvPartitionReader(file: String, salt: Int, pushed: Array[Filter],
     if (rowKeyIdx < 0) return true
     val stats = blocks(i).getColumns.get(rowKeyIdx).getStatistics
     if (stats == null || !stats.hasNonNullValue) return true
-    val min = new String(stats.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
-    val max = new String(stats.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
-    KvConnector.groupMayMatch(min, max, pushed.toSeq)
+    // raw stat bytes, never decoded to String — a UTF-16 round-trip
+    // would smear invalid sequences to U+FFFD and change the ordering
+    KvConnector.groupMayMatch(stats.getMinBytes, stats.getMaxBytes,
+      pushed.toSeq)
   }
 
   private def advanceGroup(): Boolean = {

@@ -93,4 +93,17 @@ class HostileDataSpec extends AnyFunSuite {
       .collect()
     for (r <- out) assert(r.getString(1) === r.getString(0), s"for ${r.getString(0)}")
   }
+
+  test("escape pair protects a CUSTOM delimiter end to end") {
+    // pack with '|' and values CONTAINING '|' — the escape pair must
+    // shield the custom delimiter, not the default NUL
+    val df = Seq(("k1", "q", "a|b", "c"), ("k1", "q", "plain", "d|e"))
+      .toDF("k", "q", "v1", "v2")
+    val kv = KvStore.pack(df, Seq(col("k")), col("q"),
+      Seq(col("v1"), col("v2")), escapeValues = true, delim = "|")
+    val back = KvStore.unpack(kv, unescapeValues = true, delim = "|")
+      .select(col("fields")).collect()
+      .map(_.getSeq[String](0).toList).sortBy(_.mkString)
+    assert(back.toList === List(List("a|b", "c"), List("plain", "d|e")))
+  }
 }

@@ -72,10 +72,23 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(salts === expected)
   }
 
-  test("prefix upper bound handles Char.MaxValue tails") {
-    import graft.sources.KvConnector.prefixUpperBound
-    assert(prefixUpperBound("ab") === Some("ac"))
-    assert(prefixUpperBound("a" + Char.MaxValue) === Some("b"))
-    assert(prefixUpperBound("" + Char.MaxValue) === None)
+  test("prefix upper bound and stats compare operate on unsigned bytes") {
+    import graft.sources.KvConnector.{groupMayMatch, prefixUpperBound}
+    import org.apache.spark.sql.sources.{EqualTo, StringStartsWith}
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    assert(prefixUpperBound(b("ab")).map(_.toSeq) === Some(b("ac").toSeq))
+    assert(prefixUpperBound(Array(0x61.toByte, 0xFF.toByte)).map(_.toSeq)
+      === Some(b("b").toSeq))
+    assert(prefixUpperBound(Array(0xFF.toByte, 0xFF.toByte)) === None)
+    // UTF-16 String order would wrongly skip this group: U+10000 (4-byte
+    // UTF-8, sorts HIGH in byte order) vs U+E000 (sorts lower in UTF-8
+    // but higher in UTF-16)
+    val supp = new String(Character.toChars(0x10000))
+    val min = b("\uE000")
+    val max = b(supp)
+    assert(java.util.Arrays.compareUnsigned(min, max) < 0, "byte order sanity")
+    assert(groupMayMatch(min, max, Seq(EqualTo("rowKey", supp))))
+    assert(groupMayMatch(min, max, Seq(StringStartsWith("rowKey", "\uE000"))))
+    assert(!groupMayMatch(min, max, Seq(EqualTo("rowKey", "a"))))
   }
 }
