@@ -400,6 +400,37 @@ object ExtensionQueries {
         |    / cast(greatest(len(ot), 1) AS double) AS mean_token_len
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextOps.langId exactly: per-language stopword hit counts,
+    // argmax with lexicographically-last tie-break, CJK ratio override
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0) AS lt
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, u.lang AS lang,
+        |    len(list_filter(lt, w -> list_contains(u.words, w))) AS score
+        |  FROM t, unnest([
+        |    {'lang': 'en', 'words': ['the','a','of','and','to','in','is','that','it','for','on','was','as','with','be','by','at','this','are','or']},
+        |    {'lang': 'de', 'words': ['der','die','das','und','ist','nicht','ein','zu','mit','den','von','für','auf','im','sich']},
+        |    {'lang': 'es', 'words': ['el','la','de','que','y','en','un','ser','se','no','por','con','para','los','una']},
+        |    {'lang': 'fr', 'words': ['le','la','de','et','un','que','pour','dans','ce','pas','au','sur','les','des','est']}
+        |  ]) AS x(u)),
+        |best AS (
+        |  SELECT doc_id, lang, score FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1),
+        |cjk AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]'))
+        |      / greatest(length(text), 1) AS r
+        |  FROM documents)
+        |SELECT b.doc_id,
+        |  CASE WHEN c.r > 0.2 THEN 'cjk'
+        |       WHEN b.score > 0 THEN b.lang
+        |       ELSE 'und' END AS lang_pred
+        |FROM best b JOIN cjk c ON b.doc_id = c.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
     "events_window" ->
       """SELECT date_trunc('hour', cast(ts AS timestamp)) AS window_start,
         |  event_type, count(*) AS n,

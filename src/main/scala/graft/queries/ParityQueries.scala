@@ -95,7 +95,11 @@ object ParityQueries {
         .orderBy(col("rowKey"), col("columnName"))
     }),
 
-    // Salt distribution (F5) — engine-only, no portable SQL oracle
+    // Salt distribution (F5). The Java-hash-with-overflow salt is
+    // oracle-checked here because these rowKeys are ASCII (code point =
+    // UTF-8 byte): DuckDB folds (31·acc + byte) mod 2³² per character
+    // and re-signs — exactly the reference's 32-bit overflow arithmetic.
+    // Non-ASCII keys stay engine-verified (CodecSpec golden vectors).
     "salt_bucket" -> ((s, dir) => {
       liKv(Tables(s, dir, "lineitem"))
         .select(SaltExpr.saltCol(col("rowKey")).as("salt"))
@@ -259,5 +263,21 @@ object ParityQueries {
     "limit1" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 1""".stripMargin,
+
+    "salt_bucket" ->
+      """WITH kv AS (SELECT cast(l_orderkey AS varchar) AS rowKey FROM lineitem),
+        |h AS (
+        |  SELECT rowKey,
+        |    list_reduce(
+        |      list_prepend(CAST(1 AS BIGINT),
+        |        list_transform(range(1, len(rowKey) + 1),
+        |                       i -> CAST(ascii(substr(rowKey, i, 1)) AS BIGINT))),
+        |      (acc, b) -> (acc * 31 + b) % 4294967296) AS m
+        |  FROM kv),
+        |s AS (
+        |  SELECT cast(abs((CASE WHEN m >= 2147483648 THEN m - 4294967296
+        |                        ELSE m END) % 24) AS int) AS salt
+        |  FROM h)
+        |SELECT salt, count(*) AS n FROM s GROUP BY salt ORDER BY salt""".stripMargin,
   )
 }
