@@ -156,6 +156,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ── Cluster canonicalization ─────────────────────────────────────────
+
+  /** Collapse near-dup PAIRS into clusters: every id is labeled with the
+    * minimum id reachable through the pair graph (connected components)
+    * — the step that turns any pairwise dedup (minhash/simhash/ngram/
+    * embedding) into per-cluster canonical survivors.
+    *
+    * Iterative min-label propagation: each round is one slim join of
+    * (src, dst) edges against (id, label) — ids and labels only, no
+    * payloads — and rounds needed = cluster diameter (near-dup clusters
+    * are shallow; transitive chains longer than `maxIters` hops keep
+    * distinct labels and the method reports non-convergence). Edges and
+    * labels are localCheckpointed so each round starts from materialized
+    * frames instead of replaying the (possibly expensive) pair plan.
+    *
+    * @return (doc_id, canonical_id)
+    */
+  def canonicalFromPairs(ids: DataFrame, idCol: Column, pairs: DataFrame,
+                         maxIters: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(idCol.as("doc_id"), idCol.as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val incoming = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(incoming, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .where(col("label") =!= col("old"))
+        .limit(1).count()
+      converged = changed == 0L
+      labels = updated
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   // ── SimHash ──────────────────────────────────────────────────────────
 
   /** 64-bit SimHash: per bit j, sum +1/-1 over token-hash bit j; bit set

@@ -42,6 +42,29 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // pairwise near-dups → connected-component clusters: every doc gets
+    // the min doc_id reachable through the ngram-Jaccard pair graph
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, maxDf = 100, threshold = 0.8)
+      Dedup.canonicalFromPairs(docs.select(col("doc_id")), col("doc_id"), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic hash sampling + stable split assignment — selection
+    // is content-keyed (md5), so re-runs, retries and repartitioning
+    // cannot change which documents land in which split
+    "corpus_sample" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.text.Sampling.hashSample(docs, col("doc_id"), 0.5)
+        .withColumn("split", graft.text.Sampling.hashSplit(
+          concat(col("doc_id"), lit(":split")),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // the synthetic documents corpus is MUTUALLY similar (signature
       // bit-agreement ≫ 50% for unrelated pairs) — the regime where the
@@ -279,7 +302,65 @@ object ExtensionQueries {
     }),
   )
 
+  /** Shared CTE chain computing the rare-shingle ngram-Jaccard pairs
+    * (mirrors Dedup.ngramJaccardPairs; n=3, maxDf=100) — used by the
+    * dedup_ngram oracle and as the edge set of the dedup_clusters
+    * oracle. */
+  private val ngramPairCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(
+      |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |                          '\s+', ' ', 'g')), '\s+'),
+      |      w -> len(w) > 0) AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE
+      |    WHEN len(l) < 3 THEN [array_to_string(l, '_')]
+      |    ELSE list_transform(range(1, len(l) - 1),
+      |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2]) END)) AS s
+      |  FROM toks),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      |pruned AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+      |  FROM pruned x JOIN pruned y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |njpairs AS (
+      |  SELECT id_a, id_b,
+      |    n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) AS jac
+      |  FROM common
+      |  JOIN sizes ca ON ca.doc_id = id_a
+      |  JOIN sizes cb ON cb.doc_id = id_b
+      |  WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // connected components by recursive min-label closure: a label only
+    // propagates to larger-id nodes, and the component minimum is
+    // smaller than every member, so min(label) per node is exact
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM njpairs
+         |  UNION ALL SELECT id_b, id_a FROM njpairs),
+         |comp AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, c.label
+         |  FROM comp c JOIN edges e ON e.src = c.doc_id
+         |  WHERE c.label < e.dst)
+         |SELECT doc_id, cast(min(label) AS bigint) AS canonical_id
+         |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(cast(doc_id AS varchar) || ':split'), 1, 4) < 'e666' THEN 'train'
+        |       WHEN substr(md5(cast(doc_id AS varchar) || ':split'), 1, 4) < 'f333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |WHERE substr(md5(cast(doc_id AS varchar)), 1, 4) < '8000'
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
@@ -288,35 +369,11 @@ object ExtensionQueries {
 
     // inverted-index n-gram Jaccard over the RARE-shingle space (shingles
     // hotter than maxDf are dropped from intersection AND union) —
-    // mirrors the engine algorithm
+    // mirrors the engine algorithm; CTE chain shared with dedup_clusters
     "dedup_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(
-        |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-        |                          '\s+', ' ', 'g')), '\s+'),
-        |      w -> len(w) > 0) AS l
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE
-        |    WHEN len(l) < 3 THEN [array_to_string(l, '_')]
-        |    ELSE list_transform(range(1, len(l) - 1),
-        |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2]) END)) AS s
-        |  FROM toks),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
-        |pruned AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
-        |common AS (
-        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
-        |  FROM pruned x JOIN pruned y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(n_common / cast(ca.n_sh + cb.n_sh - n_common AS double), 6) AS jaccard
-        |FROM common
-        |JOIN sizes ca ON ca.doc_id = id_a
-        |JOIN sizes cb ON cb.doc_id = id_b
-        |WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $ngramPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM njpairs
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "window_topk_group" ->
       """SELECT c_mktsegment, rn, o_orderkey,

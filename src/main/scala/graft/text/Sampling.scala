@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling, splitting and mixing — the selection
+  * operators a training-data pipeline runs after curation. Everything is
+  * keyed on a content/id hash, never on RNG state, so results are stable
+  * across re-runs, retries, partitioning changes and cluster sizes, and
+  * every operator is a pure narrow column predicate: zero shuffles, full
+  * scan speed, trivially correct under AQE re-planning.
+  *
+  * Mechanism: the first 4 hex chars of md5(key) are uniform over 2¹⁶
+  * values, and LOWERCASE HEX compares lexicographically exactly like the
+  * number it encodes — so `substr(md5(k), 1, 4) < toHex4(p·2¹⁶)` keeps a
+  * p-fraction deterministically, portably across engines (the DuckDB
+  * oracle runs the same expression verbatim).
+  */
+object Sampling {
+
+  /** 4-hex-digit threshold for a fraction of the 2¹⁶ hash space.
+    * fraction = 1 returns "g", which sorts above every hex bucket, so
+    * `bucket < threshold` keeps everything (a 5-digit "10000" would
+    * compare LEXICOGRAPHICALLY and drop most buckets). */
+  private[graft] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    val n = math.round(fraction * 65536.0)
+    if (n >= 65536L) "g" else f"$n%04x"
+  }
+
+  private def bucket(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
+
+  /** Keep a deterministic `fraction` of rows, keyed on `key`. Sampling
+    * by document id keeps or drops WHOLE documents — the property
+    * train/eval hygiene needs (row-level rand() samples can split a
+    * document across sets on retry). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.where(bucket(key) < lit(hexThreshold(fraction)))
+
+  /** Assign a stable split label from cumulative fractions, e.g.
+    * `splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`.
+    * Fractions must sum to 1 (±1 hash step). */
+  def hashSplit(key: Column, splits: Seq[(String, Double)]): Column = {
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions sum to $total, not 1")
+    val b = bucket(key)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    splits.map(_._1).zip(cuts).foldRight(lit(splits.last._1)) {
+      case ((name, cut), rest) =>
+        when(b < lit(hexThreshold(cut)), lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Mix a corpus by per-source sampling rates (upweighting by repeat
+    * is a separate explode step): keep each row with its source's rate,
+    * defaulting to `defaultRate` for unlisted sources. One narrow pass. */
+  def mixBySource(df: DataFrame, source: Column, key: Column,
+                  rates: Map[String, Double],
+                  defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldRight(lit(hexThreshold(defaultRate))) {
+      case ((src, f), rest) =>
+        when(source === lit(src), lit(hexThreshold(f))).otherwise(rest)
+    }
+    df.where(bucket(key) < rate)
+  }
+}

@@ -113,6 +113,45 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ivf recall $recall") // noise embeddings, 4/16 probes
   }
 
+  test("canonicalFromPairs collapses transitive chains to the component min") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, singleton 20
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.canonicalFromPairs(ids, col("doc_id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("hash sampling/splitting is deterministic, disjoint, and near-rate") {
+    import graft.text.Sampling
+    val ids = spark.range(0, 2000).toDF("id")
+    val kept = Sampling.hashSample(ids, col("id"), 0.5)
+    val n = kept.count()
+    assert(math.abs(n - 1000L) < 120, s"$n not near 1000") // ±3.5σ
+    // deterministic: same rows every run
+    assert(kept.collect().map(_.getLong(0)).toSet ===
+      Sampling.hashSample(ids, col("id"), 0.5).collect().map(_.getLong(0)).toSet)
+    // nested fractions: the 0.25 sample is a subset of the 0.5 sample
+    val small = Sampling.hashSample(ids, col("id"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(kept.collect().map(_.getLong(0)).toSet))
+    // splits: total partition, stable, roughly proportioned
+    val split = ids.withColumn("split", Sampling.hashSplit(col("id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1700 && counts("val") > 50 && counts("test") > 50)
+    // mix: unlisted sources drop by default
+    val mixed = graft.text.Sampling.mixBySource(
+      ids.withColumn("src", when(col("id") % 2 === 0, "a").otherwise("b")),
+      col("src"), col("id"), Map("a" -> 1.0))
+    assert(mixed.where(col("src") === "b").count() === 0)
+    assert(mixed.where(col("src") === "a").count() === 1000)
+  }
+
   test("langId is deterministic and in-domain") {
     val preds = docs.select(TextOps.langId(col("text"))).as[String].collect()
     val allowed = Set("en", "de", "es", "fr", "cjk", "und")
