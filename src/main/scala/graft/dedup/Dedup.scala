@@ -229,18 +229,26 @@ object Dedup {
     *    candidates are n²·8/2⁸ with single chunks vs n²·36/2¹⁴ with
     *    block pairs — ~16× fewer — at the cost of 4.5× more exploded
     *    table rows.
-    *  - r ≤ 7, `wideTables = false`: the 8×8-bit single-chunk layout.
-    *    Fewer exploded rows, and on a strongly-correlated corpus (pairs
-    *    agreeing on ≫ 50% of bits without being near-dups) it can emit
-    *    FEWER candidates than block pairs (p⁸·8 < p¹⁴·36 once p ≳ 0.78)
-    *    — pick per corpus shape; results are identical either way.
+    *  - r ≤ 7, `wideTables = Some(false)`: the 8×8-bit single-chunk
+    *    layout. Fewer exploded rows, and on a strongly-correlated corpus
+    *    (pairs agreeing on ≫ 50% of bits without being near-dups) it
+    *    emits FEWER candidates than block pairs (p⁸·8 < p¹⁴·36 once
+    *    p ≳ 0.78).
+    *  - `wideTables = None` (default) MEASURES instead of guessing: a
+    *    bounded signature sample estimates the mean pairwise
+    *    bit-agreement p and picks whichever layout expects fewer
+    *    candidates. Results are identical whatever the choice — both
+    *    layouts are exhaustive — so the selection is purely a cost
+    *    decision and can never change the output.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 7,
-                   wideTables: Boolean = true): DataFrame = {
+                   wideTables: Option[Boolean] = None): DataFrame = {
     require(maxHamming <= 7, "radius > 7 needs a wider table design")
     val sigd = docs.select(id.as("doc_id"), simhash64(text).as("sig"))
-    val chunked = simhashKeys(sigd, maxHamming, wideTables)
+    val wide = wideTables.getOrElse(
+      maxHamming <= 3 || chooseWideTables(sigd))
+    val chunked = simhashKeys(sigd, maxHamming, wide)
     val a = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"),
@@ -255,6 +263,22 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Sampled layout selection: estimate the mean pairwise bit-agreement
+    * p from a bounded signature sample (1024 sigs = 8 KB to the driver,
+    * same class as a broadcast) and pick block pairs iff their expected
+    * spurious-candidate volume is lower: 36·p¹⁴ < 8·p⁸ ⇔ p < (8/36)^⅙ ≈
+    * 0.778. Diverse corpora (p ≈ 0.5) take the wide layout's ~16× win;
+    * internally-correlated corpora keep single chunks. */
+  private[graft] def chooseWideTables(sigd: DataFrame): Boolean = {
+    val sigs = sigd.select(col("sig")).limit(1024).collect().map(_.getLong(0))
+    if (sigs.length < 2) return true
+    val agreements = sigs.sliding(2).map { w =>
+      (64 - java.lang.Long.bitCount(w(0) ^ w(1))) / 64.0
+    }.toArray
+    val p = agreements.sum / agreements.length
+    36.0 * math.pow(p, 14) < 8.0 * math.pow(p, 8)
   }
 
   /** One (chunk = tableIdx, ckey = bucket key) row per table per doc —

@@ -66,14 +66,14 @@ object ExtensionQueries {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      // the synthetic documents corpus is MUTUALLY similar (signature
-      // bit-agreement ≫ 50% for unrelated pairs) — the regime where the
-      // 8×8-bit single-chunk tables emit fewer candidates (measured
-      // 4.7 s vs 9.9 s at sf0.1). Diverse corpora (the 100 TB default)
-      // want wideTables=true: ~16× fewer spurious candidates at the
-      // bucket-collision floor. Both are exhaustive — identical rows.
+      // table layout auto-selected from a sampled signature-correlation
+      // estimate: this synthetic corpus is mutually similar (p ≈ 0.85) →
+      // single 8-bit chunks (measured 4.7 s vs 9.9 s at sf0.1); a
+      // diverse corpus picks block-pair tables (~16× fewer candidates
+      // at the bucket floor). Both layouts are exhaustive at radius 7 —
+      // the choice can never change the rows.
       Dedup.simhashPairs(Tables(s, dir, "documents"), col("doc_id"), col("text"),
-          maxHamming = 7, wideTables = false)
+          maxHamming = 7)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

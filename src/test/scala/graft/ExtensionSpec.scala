@@ -82,11 +82,20 @@ class ExtensionSpec extends AnyFunSuite {
       s"block-pair tables should collapse the candidate flood: wide=$wide narrow=$narrow")
     // both schemes are exhaustive at radius 7 → identical verified pairs
     val pw = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text"),
-      maxHamming = 7, wideTables = true))
+      maxHamming = 7, wideTables = Some(true)))
     val pn = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text"),
-      maxHamming = 7, wideTables = false))
+      maxHamming = 7, wideTables = Some(false)))
     assert(pw === pn)
     assert(pw.nonEmpty, "planted near-dups should be within radius 7")
+    // auto-selection measures the corpus: uniform sigs → wide tables
+    assert(Dedup.chooseWideTables(sigd))
+    // a strongly-correlated corpus (one base doc, small edits) → narrow
+    val hotSigs = ((0 until 100).map { i =>
+      (i.toLong, (1 to 40).map(j =>
+        if (j == (i % 5) + 1) s"edit$i" else s"base$j").mkString(" "))
+    }).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+    assert(!Dedup.chooseWideTables(hotSigs))
   }
 
   test("lsh ann attains reasonable recall against brute force") {
