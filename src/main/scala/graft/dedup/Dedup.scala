@@ -25,8 +25,13 @@ import graft.text.TextOps
   *               cosine verify (see [[graft.similarity.Ann]] for the
   *               shared vector math).
   *
-  * All operators are pure column plans — no driver-side state, no
-  * collect — so they scale with executors.
+  * The operators are column plans that scale with executors; no payload
+  * ever collects. Two measured exceptions, both bounded and documented
+  * in place: [[simhashPairs]]'s default layout selection samples 1024
+  * signatures (8 KB) to the driver at plan-construction time, and
+  * [[canonicalFromPairs]] runs bounded label-propagation rounds with
+  * driver-side convergence probes. Pass `wideTables = Some(..)` for a
+  * construction-time-silent simhash plan.
   */
 object Dedup {
 
@@ -166,21 +171,25 @@ object Dedup {
     * Iterative min-label propagation: each round is one slim join of
     * (src, dst) edges against (id, label) — ids and labels only, no
     * payloads — and rounds needed = cluster diameter (near-dup clusters
-    * are shallow; transitive chains longer than `maxIters` hops keep
-    * distinct labels and the method reports non-convergence). Edges and
-    * labels are localCheckpointed so each round starts from materialized
-    * frames instead of replaying the (possibly expensive) pair plan.
+    * are shallow). Transitive chains longer than `maxIters` hops keep
+    * distinct labels; that non-convergence is logged as a warning (it
+    * means split clusters). Each round materializes its label frame and
+    * unpersists the superseded one, so storage holds TWO slim label
+    * copies, not maxIters; the edge frame is checkpointed once so the
+    * (possibly expensive) pair plan never replays.
     *
     * @return (doc_id, canonical_id)
     */
   def canonicalFromPairs(ids: DataFrame, idCol: Column, pairs: DataFrame,
                          maxIters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = ids.select(idCol.as("doc_id"), idCol.as("label"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -191,15 +200,23 @@ object Dedup {
       val updated = labels.join(incoming, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      updated.count() // materialize FULLY before dropping the old frame —
+      // a partial (limit-driven) materialization would leave uncomputed
+      // partitions whose lineage reaches back through unpersisted rounds
       val changed = updated
         .join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .where(col("label") =!= col("old"))
         .limit(1).count()
+      labels.unpersist()
       converged = changed == 0L
       labels = updated
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"canonicalFromPairs did not converge in $maxIters rounds — " +
+          "clusters wider than that diameter are split; raise maxIters")
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
@@ -265,20 +282,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Sampled layout selection: estimate the mean pairwise bit-agreement
-    * p from a bounded signature sample (1024 sigs = 8 KB to the driver,
-    * same class as a broadcast) and pick block pairs iff their expected
-    * spurious-candidate volume is lower: 36·p¹⁴ < 8·p⁸ ⇔ p < (8/36)^⅙ ≈
-    * 0.778. Diverse corpora (p ≈ 0.5) take the wide layout's ~16× win;
-    * internally-correlated corpora keep single chunks. */
+  /** Sampled layout selection: estimate the per-pair expected
+    * spurious-candidate volume from a bounded signature sample (1024
+    * sigs = 8 KB to the driver, same class as a broadcast) and pick
+    * block pairs iff their expectation is lower: mean(36·a¹⁴) <
+    * mean(8·a⁸) over sampled-pair bit agreements a (averaging the
+    * POWERED terms, not powering the mean — mixed corpora are
+    * Jensen-biased otherwise). Diverse corpora (a ≈ 0.5) take the wide
+    * layout's ~16× win; internally-correlated corpora keep single
+    * chunks. The sample is hash-ordered (TakeOrdered top-k, no full
+    * sort) so it is DETERMINISTIC and decorrelated from file layout —
+    * an unordered limit() would sample one partition of a
+    * source-clustered corpus and could flip the layout between runs. */
   private[graft] def chooseWideTables(sigd: DataFrame): Boolean = {
-    val sigs = sigd.select(col("sig")).limit(1024).collect().map(_.getLong(0))
+    val sigs = sigd.select(col("sig"))
+      .where(col("sig").isNotNull) // null text → null sig; never collect it
+      .orderBy(xxhash64(col("sig")))
+      .limit(1024)
+      .collect().map(_.getLong(0))
     if (sigs.length < 2) return true
-    val agreements = sigs.sliding(2).map { w =>
-      (64 - java.lang.Long.bitCount(w(0) ^ w(1))) / 64.0
-    }.toArray
-    val p = agreements.sum / agreements.length
-    36.0 * math.pow(p, 14) < 8.0 * math.pow(p, 8)
+    // pair across sample halves, NOT adjacently: hash order co-locates
+    // IDENTICAL signatures (exact dups), and adjacent pairing would let
+    // their a=1.0 terms dominate the estimate
+    val half = sigs.length / 2
+    val (narrowE, wideE) = (0 until half).map { i =>
+      val a = (64 - java.lang.Long.bitCount(sigs(i) ^ sigs(i + half))) / 64.0
+      (8.0 * math.pow(a, 8), 36.0 * math.pow(a, 14))
+    }.foldLeft((0.0, 0.0)) { case ((n, wi), (nn, ww)) => (n + nn, wi + ww) }
+    wideE < narrowE
   }
 
   /** One (chunk = tableIdx, ckey = bucket key) row per table per doc —

@@ -45,7 +45,9 @@ object Sampling {
     require(math.abs(total - 1.0) < 1e-9, s"split fractions sum to $total, not 1")
     val b = bucket(key)
     val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    splits.map(_._1).zip(cuts).foldRight(lit(splits.last._1)) {
+    // the last split is the catch-all (its cut is 1.0 by the require),
+    // so fold over init only — no dead when-branch
+    splits.map(_._1).zip(cuts).init.foldRight(lit(splits.last._1): Column) {
       case ((name, cut), rest) =>
         when(b < lit(hexThreshold(cut)), lit(name)).otherwise(rest)
     }

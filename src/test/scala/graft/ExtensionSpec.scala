@@ -87,8 +87,12 @@ class ExtensionSpec extends AnyFunSuite {
       maxHamming = 7, wideTables = Some(false)))
     assert(pw === pn)
     assert(pw.nonEmpty, "planted near-dups should be within radius 7")
-    // auto-selection measures the corpus: uniform sigs → wide tables
-    assert(Dedup.chooseWideTables(sigd))
+    // auto-selection measures the corpus: uniform sigs → wide tables;
+    // a null-text (null-signature) row must not crash the sampler
+    val withNull = sigd.unionByName(
+      Seq(Tuple1(9999L)).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("long").as("sig")))
+    assert(Dedup.chooseWideTables(withNull))
     // a strongly-correlated corpus (one base doc, small edits) → narrow
     val hotSigs = ((0 until 100).map { i =>
       (i.toLong, (1 to 40).map(j =>
