@@ -201,13 +201,15 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      updated.count() // materialize FULLY before dropping the old frame —
-      // a partial (limit-driven) materialization would leave uncomputed
-      // partitions whose lineage reaches back through unpersisted rounds
+      // ONE full action both materializes `updated` (the join consumes
+      // every partition, populating the persist before the old frame is
+      // dropped — a limit-driven probe would leave uncomputed partitions
+      // whose lineage reaches back through unpersisted rounds) and
+      // counts the changed labels for convergence
       val changed = updated
         .join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .where(col("label") =!= col("old"))
-        .limit(1).count()
+        .count()
       labels.unpersist()
       converged = changed == 0L
       labels = updated
