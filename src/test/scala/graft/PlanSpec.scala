@@ -92,6 +92,19 @@ class PlanSpec extends AnyFunSuite {
       s"range exchange should target $n partitions:\n$p")
   }
 
+  test("LSH-family self-joins stay sort-merge (never broadcast the band frame)") {
+    // the static size estimate would happily broadcast the exploded
+    // band/shingle/chunk frames at small SF — a plan that recomputes the
+    // signature kernels per side and cannot survive corpus scale; the
+    // merge pin keeps both sides on one reusable exchange
+    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
+        "text_embed_dedup")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("SortMergeJoin"),
+        s"$q lost its merge-pinned candidate join:\n${p.take(2000)}")
+    }
+  }
+
   test("the KV lifecycle plans a single shuffle for the pack aggregation") {
     val p = plan(SparkEntry.queries("pack_concat")(spark, dir))
     // one exchange for the groupBy, one for the final orderBy — no more
