@@ -65,6 +65,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // chunk → fixed-token-budget bin assignment (sequential packing):
+    // the example-shaping step between chunking and serialization
+    "pack_examples" -> ((s, dir) => {
+      import graft.text.{Packing, TextOps}
+      val chunks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(TextOps.tokenChunks(col("text"), window = 64, stride = 64)))
+        .select(col("doc_id"), col("lang"),
+          col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("n_tokens"))
+      Packing.packBins(chunks, col("lang"),
+          struct(col("doc_id"), col("chunk_idx")), col("n_tokens"),
+          budget = 256)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"), col("bin_id"))
+    }),
+
+    // weighted corpus mixing with repetition: sources upweighted by
+    // deterministic repeat (weights > 1) or hash-sampled down (< 1).
+    // Weights are exact 2^-16 fractions so engine and oracle agree.
+    "corpus_mix" -> ((s, dir) => {
+      import graft.text.Packing
+      val docs = Tables(s, dir, "documents")
+      val weight = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 2.5)
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 1.0)
+        .otherwise(0.25)
+      Packing.repeatByWeight(docs, concat(col("doc_id"), lit(":mix")), weight)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // table layout auto-selected from a sampled signature-correlation
       // estimate: this synthetic corpus is mutually similar (p ≈ 0.85) →
@@ -352,6 +384,49 @@ object ExtensionQueries {
          |  WHERE c.label < e.dst)
          |SELECT doc_id, cast(min(label) AS bigint) AS canonical_id
          |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pack_examples" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |                w -> len(w) > 0) AS l
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    unnest(range(1, 1 + 64 * cast(ceil(greatest(len(l) - 64, 0) / 64.0) AS int) + 1, 64)) AS s, l
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, lang, cast((s - 1) // 64 AS int) AS chunk_idx,
+        |         len(l[s:s+63]) AS n_tokens
+        |  FROM c),
+        |b AS (
+        |  SELECT lang, n_tokens,
+        |    cast(floor(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+        |      AS bigint) AS bin_id
+        |  FROM ch)
+        |SELECT lang, bin_id, count(*) AS n_chunks,
+        |       cast(sum(n_tokens) AS bigint) AS total_tokens
+        |FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+        |         ELSE 0.25 END AS wt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    cast(floor(wt) AS int) +
+        |    CASE WHEN substr(md5(cast(doc_id AS varchar) || ':mix'), 1, 4)
+        |              < lpad(lower(hex(cast((wt - floor(wt)) * 65536 AS int))), 4, '0')
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, source, unnest(range(0, n)) AS copy_idx
+        |FROM c
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     "corpus_sample" ->
       """SELECT doc_id, source,

@@ -165,6 +165,28 @@ class ExtensionSpec extends AnyFunSuite {
     assert(mixed.where(col("src") === "a").count() === 1000)
   }
 
+  test("packBins assigns contiguous budget bins; repeatByWeight hits exact counts") {
+    import graft.text.Packing
+    // 5 chunks of 100 tokens, budget 250: exclusive cumsums 0,100,200,
+    // 300,400 → bins 0,0,0,1,1 (overflow by at most one row's tokens)
+    val chunks = (1 to 5).map(i => ("k", i, 100)).toDF("k", "ord", "n")
+    val bins = Packing.packBins(chunks, col("k"), col("ord"), col("n"), 250)
+      .orderBy(col("ord")).collect().map(_.getAs[Long]("bin_id")).toSeq
+    assert(bins === Seq(0L, 0L, 0L, 1L, 1L))
+    // integer weights repeat exactly; fractional weights match the hash
+    // rate in aggregate and are deterministic per key
+    val ids = spark.range(0, 1000).toDF("id")
+    val doubled = Packing.repeatByWeight(ids, col("id"), lit(2.0))
+    assert(doubled.count() === 2000)
+    assert(doubled.groupBy("id").count().where(col("count") =!= 2).count() === 0)
+    val some = Packing.repeatByWeight(ids, col("id"), lit(1.5))
+    val n = some.count()
+    assert(n > 1400 && n < 1600, s"$n not near 1500")
+    assert(some.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ===
+      Packing.repeatByWeight(ids, col("id"), lit(1.5))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
   test("langId is deterministic and in-domain") {
     val preds = docs.select(TextOps.langId(col("text"))).as[String].collect()
     val allowed = Set("en", "de", "es", "fr", "cjk", "und")
