@@ -22,7 +22,8 @@ object Bench {
     "multimodal_features", "window_topk_group", "approx_metrics",
     "ann_ivf", "curation_pipeline", "events_window",
     "text_embed_dedup", "multimodal_frames", "asof_join", "sessionize",
-    "corpus_stats", "chunk_tokens", "dedup_clusters", "corpus_sample")
+    "corpus_stats", "chunk_tokens", "dedup_clusters", "corpus_sample",
+    "pack_examples", "corpus_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
