@@ -367,6 +367,21 @@ object ExtensionQueries {
       |  JOIN sizes cb ON cb.doc_id = id_b
       |  WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8)""".stripMargin
 
+  /** Shared tokenize-and-chunk CTEs (window 64, stride 64, partial tail
+    * kept — mirrors TextOps.tokenChunks): used by the chunk_tokens and
+    * pack_examples oracles so the chunking rule cannot drift between
+    * them. */
+  private val chunkCtes: String =
+    """t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+      |                w -> len(w) > 0) AS l
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang,
+      |    unnest(range(1, 1 + 64 * cast(ceil(greatest(len(l) - 64, 0) / 64.0) AS int) + 1, 64)) AS s, l
+      |  FROM t)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // connected components by recursive min-label closure: a label only
     // propagates to larger-id nodes, and the component minimum is
@@ -386,15 +401,7 @@ object ExtensionQueries {
          |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pack_examples" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
-        |                w -> len(w) > 0) AS l
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, lang,
-        |    unnest(range(1, 1 + 64 * cast(ceil(greatest(len(l) - 64, 0) / 64.0) AS int) + 1, 64)) AS s, l
-        |  FROM t),
+      s"""WITH $chunkCtes,
         |ch AS (
         |  SELECT doc_id, lang, cast((s - 1) // 64 AS int) AS chunk_idx,
         |         len(l[s:s+63]) AS n_tokens
@@ -419,9 +426,11 @@ object ExtensionQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source,
+        |    -- DuckDB cast(double AS int) ROUNDS, matching the engine's
+        |    -- round(frac * 65536); the 65535 cap mirrors the engine too
         |    cast(floor(wt) AS int) +
         |    CASE WHEN substr(md5(cast(doc_id AS varchar) || ':mix'), 1, 4)
-        |              < lpad(lower(hex(cast((wt - floor(wt)) * 65536 AS int))), 4, '0')
+        |              < lpad(lower(hex(least(cast((wt - floor(wt)) * 65536 AS int), 65535))), 4, '0')
         |         THEN 1 ELSE 0 END AS n
         |  FROM w)
         |SELECT doc_id, source, unnest(range(0, n)) AS copy_idx
@@ -597,15 +606,7 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "chunk_tokens" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
-        |                w -> len(w) > 0) AS l
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    unnest(range(1, 1 + 64 * cast(ceil(greatest(len(l) - 64, 0) / 64.0) AS int) + 1, 64)) AS s, l
-        |  FROM t)
+      s"""WITH $chunkCtes
         |SELECT doc_id, cast((s - 1) // 64 AS int) AS chunk_idx,
         |  len(l[s:s+63]) AS chunk_len,
         |  array_to_string(l[s:s+63], ' ') AS chunk_text

@@ -97,11 +97,17 @@ class PlanSpec extends AnyFunSuite {
     // band/shingle/chunk frames at small SF — a plan that recomputes the
     // signature kernels per side and cannot survive corpus scale; the
     // merge pin keeps both sides on one reusable exchange
+    // assert on the CANDIDATE join's own keys (band/chunk/shingle), not
+    // just "some SMJ exists" — another join staying sort-merge must not
+    // mask a broadcast regression of the guarded one
+    val bandKey = """BroadcastHashJoin \[(band|chunk|s)#""".r
     for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
         "text_embed_dedup")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(p.contains("SortMergeJoin"),
         s"$q lost its merge-pinned candidate join:\n${p.take(2000)}")
+      assert(bandKey.findFirstIn(p).isEmpty,
+        s"$q broadcasts its band/chunk/shingle frame:\n${p.take(2000)}")
     }
   }
 
