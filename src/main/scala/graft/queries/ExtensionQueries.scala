@@ -65,6 +65,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrub before serialization: md5 of the redacted text proves
+    // the transform byte-identical against the oracle running the same
+    // patterns; the count audits how much was scrubbed
+    "text_redact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextOps.redact(col("text"))).as("redacted_md5"),
+          TextOps.redactionCount(col("text")).as("n_redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // chunk → fixed-token-budget bin assignment (sequential packing):
     // the example-shaping step between chunking and serialization
     "pack_examples" -> ((s, dir) => {
@@ -399,6 +410,17 @@ object ExtensionQueries {
          |  WHERE c.label < e.dst)
          |SELECT doc_id, cast(min(label) AS bigint) AS canonical_id
          |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |  + len(regexp_extract_all(text, '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS n_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pack_examples" ->
       s"""WITH $chunkCtes,

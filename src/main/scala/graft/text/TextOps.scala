@@ -117,6 +117,28 @@ object TextOps {
     transform(starts, s => slice(toks, s, lit(window)))
   }
 
+  // ── PII redaction ────────────────────────────────────────────────────
+
+  /** Redaction patterns, applied IN ORDER (order matters: an email must
+    * be consumed before its digits could half-match the phone pattern).
+    * Regex subset common to Java and RE2 — no backrefs, no lookaround —
+    * so the DuckDB oracle runs the same patterns verbatim. */
+  val redactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b" -> "<PHONE>")
+
+  /** Scrub emails / IPv4s / phone-shaped numbers from text — the
+    * compliance pass before training-data serialization. Pure sequential
+    * regexp_replace column expressions; scan-speed, no shuffle. */
+  def redact(text: Column): Column =
+    redactions.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
+  /** Count of redactable spans (for corpus audit dashboards). */
+  def redactionCount(text: Column): Column =
+    redactions.map { case (re, _) => size(regexp_extract_all(text, lit(re), lit(0))) }
+      .reduce(_ + _)
+
   // ── Fingerprinting ───────────────────────────────────────────────────
 
   /** Canonical normalization before fingerprinting: lowercase, strip

@@ -187,6 +187,20 @@ class ExtensionSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
 
+  test("redaction scrubs emails, IPs, and phone-shaped numbers") {
+    val out = Seq(
+      "contact bob.smith+spam@example.co.uk or 192.168.1.254 now",
+      "call 555-123-4567 about a@b.io",
+      "clean text with version 1.2 and year 2024"
+    ).toDF("text")
+      .select(TextOps.redact(col("text")).as("r"),
+        TextOps.redactionCount(col("text")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out(0) === ("contact <EMAIL> or <IP> now", 2))
+    assert(out(1) === ("call <PHONE> about <EMAIL>", 2))
+    assert(out(2) === ("clean text with version 1.2 and year 2024", 0))
+  }
+
   test("langId is deterministic and in-domain") {
     val preds = docs.select(TextOps.langId(col("text"))).as[String].collect()
     val allowed = Set("en", "de", "es", "fr", "cjk", "und")

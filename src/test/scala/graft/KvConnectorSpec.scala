@@ -72,6 +72,31 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(salts === expected)
   }
 
+  test("row-group skipping never drops rows on a multi-row-group file") {
+    // tiny block size → many row groups per file → the stats-based skip
+    // path actually exercises; results must equal the parquet path for
+    // selective AND non-selective prefixes
+    import graft.ingest.KvStore
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val kv = KvStore.pack(li, Seq(col("l_orderkey")), col("l_returnflag"),
+      Seq(col("l_linenumber")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rg").toString
+    KvStore.writeLayout(kv).write
+      .option("parquet.block.size", "4096")
+      .mode("overwrite").partitionBy("salt").parquet(dir)
+    val c = spark.read.format("graft.sources.KvSource").load(dir)
+    val p = KvStore.read(spark, dir)
+    for (prefix <- Seq("1", "10", "103", "9", "nope")) {
+      val cs = asSet(c.where(col("rowKey").startsWith(prefix)))
+      val ps = asSet(p.where(col("rowKey").startsWith(prefix)))
+      assert(cs === ps, s"prefix '$prefix' diverged")
+    }
+    // a point get through the skip path
+    val key = p.select(col("rowKey")).orderBy(col("rowKey").desc).head().getString(0)
+    assert(asSet(c.where(col("rowKey") === key)) ===
+      asSet(p.where(col("rowKey") === key)))
+  }
+
   test("prefix upper bound and stats compare operate on unsigned bytes") {
     import graft.sources.KvConnector.{groupMayMatch, prefixUpperBound}
     import org.apache.spark.sql.sources.{EqualTo, StringStartsWith}
