@@ -161,7 +161,7 @@ object ExtensionQueries {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(12,2)").as("price"))
+          ParityQueries.cents(col("o_totalprice")).as("price_cents"))
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
@@ -483,7 +483,7 @@ object ExtensionQueries {
 
     "window_topk_group" ->
       """SELECT c_mktsegment, rn, o_orderkey,
-        |  cast(cast(o_totalprice AS varchar) AS decimal(12,2)) AS price
+        |  cast(round(o_totalprice * 100) AS bigint) AS price_cents
         |FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY c_mktsegment

@@ -23,6 +23,15 @@ object ParityQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
+  /** Price columns compared cell-by-cell with the oracle travel as integer
+    * cents: `round(x*100)` is the same IEEE product and the same
+    * half-away-from-zero rounding in Spark and DuckDB, and a BIGINT renders
+    * identically in every client — unlike double→decimal(12,2) casts, where
+    * the two engines round different representations of the double (Spark
+    * the shortest decimal repr, DuckDB the binary expansion) and drift on
+    * ~7% of the cells. Aggregates still go through decimal (exact sums). */
+  private[queries] def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
   /** Shared packed-cell building blocks over `lineitem`:
     * rowKey = l_orderkey, qualifier = l_returnflag,
     * payload tuple = l_linenumber,l_quantity (A1/A2/F1/F2 shapes). */
@@ -153,14 +162,14 @@ object ParityQueries {
     "filter_eq" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
         .orderBy(col("o_orderkey"))
     }),
 
     "project_alias" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
-          dec(col("l_extendedprice")).as("price"))
+          cents(col("l_extendedprice")).as("price_cents"))
         .orderBy(col("okey"), col("line"))
     }),
 
@@ -168,7 +177,7 @@ object ParityQueries {
       Tables(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
     }),
 
     "limit1" -> ((s, dir) => {
@@ -242,22 +251,21 @@ object ParityQueries {
         |WHERE c_name LIKE 'Customer#00000001%'
         |ORDER BY c_custkey""".stripMargin,
 
-    // double→decimal(12,2) dialect note: DuckDB casts the double's BINARY
-    // expansion (1013.185 stored as 1013.18499… rounds DOWN) while Spark
-    // rounds the double's shortest decimal representation ("1013.185"
-    // rounds UP). Round-tripping through varchar in the oracle reproduces
-    // Spark's shortest-repr-then-HALF_UP semantics exactly.
+    // Prices compared cell-by-cell travel as integer cents (see `cents`):
+    // round(x*100) is the same IEEE double product and the same
+    // half-away-from-zero rounding in both engines, and BIGINT rendering is
+    // client-independent — double→decimal casts drifted on boundary cells.
     "filter_eq" ->
-      """SELECT o_orderkey, cast(cast(o_totalprice AS varchar) AS decimal(12,2)) AS price
+      """SELECT o_orderkey, cast(round(o_totalprice * 100) AS bigint) AS price_cents
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
 
     "project_alias" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line,
-        |  cast(cast(l_extendedprice AS varchar) AS decimal(12,2)) AS price
+        |  cast(round(l_extendedprice * 100) AS bigint) AS price_cents
         |FROM lineitem ORDER BY okey, line""".stripMargin,
 
     "topk" ->
-      """SELECT o_orderkey, cast(cast(o_totalprice AS varchar) AS decimal(12,2)) AS price
+      """SELECT o_orderkey, cast(round(o_totalprice * 100) AS bigint) AS price_cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "limit1" ->
