@@ -113,7 +113,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { m =>
           FakeCodec.sampleFrames(m.payload, n).zipWithIndex.map {
-            case (frame, i) => FrameRow(m.doc_id, i, frame.length, md5Hex(frame))
+            case (frame, i) => FrameRow(m.doc_id, i, frame.length, md5OfHex(frame))
           }
         }
       }
@@ -122,4 +122,13 @@ object Multimodal {
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString
+
+  /** Frame checksums hash the LOWERCASE-HEX rendering of the bytes, not
+    * the raw bytes: hex is an injective byte encoding, and it keeps the
+    * checksum computable by any engine whose md5 takes only strings
+    * (arbitrary byte slices are not valid UTF-8, so they cannot travel
+    * as strings themselves) — which is what lets the driver's DuckDB
+    * oracle re-derive frame checksums from `substr(hex(payload), …)`. */
+  private def md5OfHex(bytes: Array[Byte]): String =
+    md5Hex(bytes.map(b => f"$b%02x").mkString.getBytes("UTF-8"))
 }

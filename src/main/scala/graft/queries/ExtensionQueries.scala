@@ -340,7 +340,12 @@ object ExtensionQueries {
         .toDF()
         .select(col("doc_id"), col("modality"), col("n_bytes"), col("checksum"),
           size(col("features")).as("n_features"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+          // histogram bin 6 (bytes 0x60-0x6f — most lowercase letters, the
+          // discriminating bin for text payloads) as parts-per-million
+          // BIGINT: the count/n division is the same IEEE double in both
+          // engines, and integer ppm survives any client's float rendering
+          // (see ParityQueries.cents)
+          round(element_at(col("features"), 7) * 1e6, 0).cast("long").as("f6_ppm"))
         .orderBy(col("doc_id"))
     }),
   )
@@ -640,5 +645,39 @@ object ExtensionQueries {
         |  md5(text) AS checksum,
         |  lang AS meta_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the payload is encode(text,'UTF-8'), so md5(text) IS the raw-byte
+    // checksum, and the stub features (16-bin high-nibble byte histogram)
+    // are re-derivable from the odd positions of hex(payload) — the whole
+    // partition-batched decode path gets a value-level oracle
+    "multimodal_features" ->
+      """WITH h AS (
+        |  SELECT doc_id, 'image/' || source AS modality,
+        |    octet_length(cast(text AS blob)) AS n_bytes,
+        |    md5(text) AS checksum,
+        |    lower(hex(cast(text AS blob))) AS hx
+        |  FROM documents)
+        |SELECT doc_id, modality, n_bytes, checksum, 16 AS n_features,
+        |  cast(round(len(list_filter(range(1, len(hx) + 1, 2),
+        |        i -> substr(hx, cast(i AS int), 1) = '6'))
+        |      / cast(greatest(n_bytes, 1) AS double) * 1000000) AS bigint)
+        |    AS f6_ppm
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // frame checksums hash the lowercase-hex rendering of the byte slice
+    // (arbitrary slices aren't valid UTF-8, so hex is the string-safe
+    // injective encoding both engines can md5 — Multimodal.md5OfHex)
+    "multimodal_frames" ->
+      """WITH h AS (
+        |  SELECT doc_id, octet_length(cast(text AS blob)) AS n_b,
+        |    lower(hex(cast(text AS blob))) AS hx
+        |  FROM documents
+        |  WHERE octet_length(cast(text AS blob)) > 0)
+        |SELECT doc_id, cast(i AS int) AS frame_idx,
+        |  cast(least(16, n_b - (i * n_b) // 4) AS int) AS n_bytes,
+        |  md5(substr(hx, cast((i * n_b) // 4 * 2 + 1 AS int),
+        |    cast(least(16, n_b - (i * n_b) // 4) * 2 AS int))) AS checksum
+        |FROM h, range(4) t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
