@@ -109,6 +109,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ── Incremental (cross-corpus) dedup ─────────────────────────────────
+
+  /** Exact incremental dedup: annotate each batch document with the
+    * minimum existing-corpus id sharing its content hash (`dup_of`,
+    * null when the batch doc is genuinely new, mirrored by `is_new` ∈
+    * {0,1}) — the shape of a rolling ingestion pipeline where yesterday's
+    * corpus never rewrites and only today's batch is judged.
+    *
+    * Scale shape: the existing corpus reduces to (hash, min id) — one
+    * map-side-combined aggregation — and the join is hash-partitioned on
+    * the 32-hex digest, so each side shuffles exactly once and no text
+    * payload moves at all. */
+  def exactAgainstExisting(batch: DataFrame, existing: DataFrame,
+                           id: Column, text: Column): DataFrame = {
+    val b = batch.select(id.as("doc_id"), md5(text).as("__h"))
+    val e = existing.select(id.as("doc_id"), md5(text).as("__h"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("dup_of"))
+    b.join(e, Seq("__h"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNull.cast("int").as("is_new"))
+  }
+
+  /** Near-dup pairs BETWEEN two corpora (batch × existing) via the same
+    * banded-MinHash LSH as [[minhashPairs]], emitting only cross-side
+    * pairs — incremental near-dedup without re-pairing the existing
+    * corpus against itself.
+    *
+    * Both sides band through ONE union-plan exchange (merge-pinned, same
+    * rationale as [[minhashPairs]]); candidate pairs are ids-only and
+    * shingle payloads re-attach just for the exact-Jaccard verify.
+    * @return (id_a = batch id, id_b = existing id, jaccard)
+    */
+  def minhashPairsAcross(batch: DataFrame, existing: DataFrame,
+                         id: Column, text: Column,
+                         k: Int = 24, bands: Int = 8,
+                         threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val tagged = batch.select(id.as("doc_id"), text.as("__t"), lit(1).as("isNew"))
+      .unionByName(existing.select(id.as("doc_id"), text.as("__t"), lit(0).as("isNew")))
+    val sigd = tagged
+      .select(col("doc_id"), col("isNew"), shingles(col("__t")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sigd.select(
+        col("doc_id"), col("isNew"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          xxhash64(concat_ws(",", bnd,
+            array_join(transform(slice(col("sig"), bnd * r + 1, lit(r)),
+              _.cast("string")), "|"))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandKey")
+    val cands = banded.where(col("isNew") === 1)
+      .select(col("band"), col("bandKey"), col("doc_id").as("id_a"))
+      .hint("merge")
+      .join(banded.where(col("isNew") === 0)
+        .select(col("band"), col("bandKey"), col("doc_id").as("id_b")),
+        Seq("band", "bandKey"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val payload = sigd.select(col("doc_id"), col("sh"))
+    cands
+      .join(payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) /

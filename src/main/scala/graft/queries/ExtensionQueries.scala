@@ -52,6 +52,50 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental ingestion: today's batch judged against the standing
+    // corpus — only the batch is annotated, the existing side reduces to
+    // (hash, min id) and never rewrites. The corpus has no exact dups,
+    // so the batch is new docs (doc_id % 3 == 0) PLUS re-keyed copies of
+    // some existing docs (% 7 == 0, id + 100000) — the match path is
+    // exercised, not vacuously green
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exactAgainstExisting(
+          batch, docs.where(col("doc_id") % 3 =!= 0),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: training docs sharing any 5-gram with
+    // the (broadcast) eval set are flagged before serialization
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.text.Decontaminate.flag(
+          docs.where(col("doc_id") % 17 =!= 0),
+          docs.where(col("doc_id") % 17 === 0),
+          col("doc_id"), col("text"), n = 5, minHits = 1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic training-order shuffle: content-keyed md5 assigns
+    // every doc a shard and a stable position within it — the export
+    // ordering a training run replays identically from any retry
+    "corpus_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat(col("doc_id").cast("string"), lit(":shuffle")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), key.as("__key"),
+          (conv(substring(key, 1, 4), 16, 10).cast("long") % 8).as("shard"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic hash sampling + stable split assignment — selection
     // is content-keyed (md5), so re-runs, retries and repartitioning
     // cannot change which documents land in which split
@@ -350,19 +394,24 @@ object ExtensionQueries {
     }),
   )
 
-  /** Shared CTE chain computing the rare-shingle ngram-Jaccard pairs
-    * (mirrors Dedup.ngramJaccardPairs; n=3, maxDf=100) — used by the
-    * dedup_ngram oracle and as the edge set of the dedup_clusters
-    * oracle. */
-  private val ngramPairCtes: String =
+  /** Normalize-and-tokenize CTE (mirrors TextOps.normalized + tokens) —
+    * the shared front of every shingle-based oracle. */
+  private val toksCte: String =
     """toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(
       |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
       |                          '\s+', ' ', 'g')), '\s+'),
       |      w -> len(w) > 0) AS l
-      |  FROM documents),
-      |sh AS (
+      |  FROM documents)""".stripMargin
+
+  /** Shared CTE chain computing the rare-shingle ngram-Jaccard pairs
+    * (mirrors Dedup.ngramJaccardPairs; n=3, maxDf=100) — used by the
+    * dedup_ngram oracle and as the edge set of the dedup_clusters
+    * oracle. */
+  private val ngramPairCtes: String =
+    s"$toksCte,\n" +
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(CASE
       |    WHEN len(l) < 3 THEN [array_to_string(l, '_')]
       |    ELSE list_transform(range(1, len(l) - 1),
@@ -477,6 +526,55 @@ object ExtensionQueries {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |e AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS dup_of FROM documents
+        |  WHERE doc_id % 3 <> 0 GROUP BY 1)
+        |SELECT b.doc_id, e.dup_of,
+        |  cast(e.dup_of IS NULL AS int) AS is_new
+        |FROM b LEFT JOIN e ON md5(b.text) = e.h
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // 5-gram benchmark-overlap check over the same normalized token
+    // stream as the dedup oracles; docs shorter than the window shingle
+    // to their whole text, so short exact copies are still caught
+    "decontaminate" ->
+      s"""WITH $toksCte,
+         |gl AS (
+         |  SELECT doc_id, list_distinct(CASE
+         |    WHEN len(l) < 5 THEN [array_to_string(l, '_')]
+         |    ELSE list_transform(range(1, len(l) - 3),
+         |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' ||
+         |           l[i+3] || '_' || l[i+4]) END) AS gs
+         |  FROM toks),
+         |g5 AS (SELECT doc_id, unnest(gs) AS g FROM gl),
+         |bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 17 = 0),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_hits FROM g5 JOIN bench USING (g)
+         |  WHERE doc_id % 17 <> 0 GROUP BY doc_id)
+         |SELECT gl.doc_id, len(gs) AS n_grams,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  cast(coalesce(h.n_hits, 0) >= 1 AS int) AS contaminated
+         |FROM gl LEFT JOIN hits h USING (doc_id)
+         |WHERE gl.doc_id % 17 <> 0
+         |ORDER BY gl.doc_id""".stripMargin,
+
+    "corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(cast(doc_id AS varchar) || ':shuffle') AS key
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(('0x' || substr(key, 1, 4)) AS int) % 8 AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY cast(('0x' || substr(key, 1, 4)) AS int) % 8
+        |    ORDER BY key, doc_id) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // inverted-index n-gram Jaccard over the RARE-shingle space (shingles
     // hotter than maxDf are dropped from intersection AND union) —

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Benchmark decontamination: flag training documents that share long
+  * word n-grams with an evaluation/benchmark set — the standard guard
+  * against test-set leakage before a training run (the GPT-3/PaLM-style
+  * "13-gram collision" check, window length configurable).
+  *
+  * Scale shape (100 TB corpus, benchmark ≪ corpus): the benchmark side
+  * collapses to its DISTINCT n-gram set — a few million short strings
+  * for a realistic eval suite — and is broadcast, so the corpus-side
+  * n-gram stream is filtered map-side and never shuffles. Only the rare
+  * matching (doc_id, gram) hits reach the counting aggregation; the
+  * per-document gram totals come from `size(...)` computed in place, not
+  * from the exploded stream. Pass `broadcastBench = false` when the
+  * benchmark set is too large to broadcast — the join then degrades to a
+  * hash-partitioned semi-join instead of failing at the driver.
+  */
+object Decontaminate {
+
+  /** Annotate every training document with its benchmark-overlap stats.
+    *
+    * @param train    training corpus (id + text)
+    * @param bench    benchmark/eval corpus (text; ids not needed — any
+    *                 overlap contaminates, whoever it is with)
+    * @param n        n-gram window (tokens); longer = stricter evidence
+    * @param minHits  distinct shared n-grams needed to set the flag
+    * @return one row per training doc: (doc_id, n_grams, n_hits,
+    *         contaminated ∈ {0,1}); docs shorter than `n` tokens shingle
+    *         to their whole text (see [[Dedup.shingles]]), so short exact
+    *         copies of benchmark items are still caught
+    */
+  def flag(train: DataFrame, bench: DataFrame, id: Column, text: Column,
+           n: Int = 5, minHits: Int = 1,
+           broadcastBench: Boolean = true): DataFrame = {
+    val trainGrams = train
+      .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
+    val benchGrams0 = bench.select(explode(Dedup.shingles(text, n)).as("g"))
+      .distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    // shingles are distinct per doc, so count(*) counts DISTINCT shared grams
+    val hits = trainGrams.join(benchGrams, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    train
+      .select(id.as("doc_id"), size(Dedup.shingles(text, n)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") >= minHits).cast("int"))
+  }
+
+  /** The filtering form: training docs with NO disqualifying benchmark
+    * overlap — the frame you feed to the serialization step. */
+  def clean(train: DataFrame, bench: DataFrame, id: Column, text: Column,
+            n: Int = 5, minHits: Int = 1,
+            broadcastBench: Boolean = true): DataFrame = {
+    val flagged = flag(train, bench, id, text, n, minHits, broadcastBench)
+      .where(col("contaminated") === 0)
+      .select(col("doc_id"))
+    train.join(flagged.withColumnRenamed("doc_id", "__keep"),
+        id === col("__keep"), "left_semi")
+  }
+}

@@ -42,6 +42,14 @@ class PlanSpec extends AnyFunSuite {
       .contains("BroadcastHashJoin"))
   }
 
+  test("decontamination broadcasts the benchmark n-gram set") {
+    // the corpus-side gram stream must be filtered map-side: the bench
+    // grams are pinned to a broadcast so no corpus payload ever shuffles
+    // through the overlap join
+    val p = plan(SparkEntry.queries("decontaminate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("pack aggregation runs map-side partial aggregation") {
     val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
     // two HashAggregates (partial + final) around one exchange
