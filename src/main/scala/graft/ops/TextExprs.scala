@@ -293,6 +293,41 @@ object TextKernels {
     }
     new GenericArrayData(bits)
   }
+
+  /** Unicode hygiene for ingested text: NFC-compose, then drop control
+    * characters (Cc except \t \n \r) and the zero-width code points
+    * (U+200B..U+200D, U+FEFF) that break tokenization and dedup (two
+    * visually-identical docs with different compositions or stray
+    * zero-widths must hash identically downstream). One pass after the
+    * (usually no-op) normalize; the NFC fast path for already-composed
+    * ASCII/Latin text is Normalizer.isNormalized, which scans without
+    * allocating. */
+  def nfcClean(s: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    val raw = s.toString
+    val composed =
+      if (Normalizer.isNormalized(raw, Normalizer.Form.NFC)) raw
+      else Normalizer.normalize(raw, Normalizer.Form.NFC)
+    var i = 0
+    val n = composed.length
+    var dirty = false
+    while (i < n && !dirty) { if (isStripped(composed.charAt(i))) dirty = true; i += 1 }
+    if (!dirty && (raw eq composed)) return s // untouched: keep original bytes
+    if (!dirty) return UTF8String.fromString(composed)
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val ch = composed.charAt(i)
+      if (!isStripped(ch)) sb.append(ch)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def isStripped(ch: Char): Boolean =
+    (ch < 0x20 && ch != '\t' && ch != '\n' && ch != '\r') ||
+      (ch >= 0x7F && ch <= 0x9F) ||
+      (ch >= 0x200B && ch <= 0x200D) || ch == 0xFEFF
 }
 
 /** Codegen wrapper: a unary expression whose value is one static kernel
@@ -332,6 +367,16 @@ case class WordNgramsExpr(child: Expression, n: Int) extends KernelUnaryExpressi
     TextKernels.wordNgrams(in.asInstanceOf[ArrayData], n)
   override protected def kernelCall(c: String): String =
     s"graft.ops.TextKernels.wordNgrams($c, $n)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class NfcCleanExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_clean"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.nfcClean(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.nfcClean($c)"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -448,6 +493,7 @@ object TextExprs {
   def minhashSig(shingles: Column, k: Int): Column = c(MinHashSigExpr(e(shingles), k))
   def wordNgrams(tokens: Column, n: Int): Column = c(WordNgramsExpr(e(tokens), n))
   def rollingMin(tokens: Column, window: Int): Column = c(RollingMinExpr(e(tokens), window))
+  def nfcClean(text: Column): Column = c(NfcCleanExpr(e(text)))
   def lshBits(vec: Column, planes: Int): Column = c(LshBitsExpr(e(vec), planes))
   def lshBitsPacked(vec: Column, planes: Int): Column =
     c(LshBitsPackedExpr(e(vec), planes))

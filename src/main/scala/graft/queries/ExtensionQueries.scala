@@ -81,6 +81,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // unicode hygiene before any hashing/dedup: NFC composition + strip
+    // of control/zero-width chars over a checked-in fixture of NFD,
+    // angstrom-sign, zero-width and control-char cases (native kernel —
+    // composition differences must not survive to the dedup hashes)
+    "text_nfc_clean" -> ((s, _) => {
+      s.read
+        .schema("id INT, text STRING")
+        .option("sep", "|").option("header", "false")
+        .csv("/root/repo/fixtures/unicode.csv")
+        .select(col("id"), TextOps.nfcClean(col("text")).as("clean"),
+          length(col("text")).as("n_in"),
+          length(TextOps.nfcClean(col("text"))).as("n_out"))
+        .orderBy(col("id"))
+    }),
+
     // deterministic training-order shuffle: content-keyed md5 assigns
     // every doc a shard and a stable position within it — the export
     // ordering a training run replays identically from any retry
@@ -564,6 +579,23 @@ object ExtensionQueries {
          |FROM gl LEFT JOIN hits h USING (doc_id)
          |WHERE gl.doc_id % 17 <> 0
          |ORDER BY gl.doc_id""".stripMargin,
+
+    // NFC-compose then strip Cc (except tab/newline/cr) and zero-width
+    // code points — mirrors TextKernels.nfcClean exactly (normalize
+    // first, strip second)
+    "text_nfc_clean" ->
+      """WITH src AS (
+        |  SELECT id, text, nfc_normalize(text) AS nf
+        |  FROM read_csv('/root/repo/fixtures/unicode.csv', delim='|',
+        |    header=false, quote='',
+        |    columns={'id':'INTEGER','text':'VARCHAR'})),
+        |cleaned AS (
+        |  SELECT id, text, regexp_replace(nf,
+        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}\x{200B}-\x{200D}\x{FEFF}]',
+        |    '', 'g') AS clean
+        |  FROM src)
+        |SELECT id, clean, length(text) AS n_in, length(clean) AS n_out
+        |FROM cleaned ORDER BY id""".stripMargin,
 
     "corpus_shuffle" ->
       """WITH k AS (

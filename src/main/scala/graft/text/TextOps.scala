@@ -141,6 +141,13 @@ object TextOps {
 
   // ── Fingerprinting ───────────────────────────────────────────────────
 
+  /** Unicode hygiene at ingest: NFC-compose and strip control/zero-width
+    * characters, so visually-identical docs with different compositions
+    * hash identically through every downstream dedup. Native kernel —
+    * [[graft.ops.TextKernels.nfcClean]]; run this BEFORE [[normalized]]
+    * (which is the lossy shingling normalization, not a hygiene pass). */
+  def nfcClean(text: Column): Column = graft.ops.TextExprs.nfcClean(text)
+
   /** Canonical normalization before fingerprinting: lowercase, strip
     * non-alphanumerics, collapse whitespace. */
   def normalized(text: Column): Column =
