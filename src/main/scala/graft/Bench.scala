@@ -23,7 +23,8 @@ object Bench {
     "ann_ivf", "curation_pipeline", "events_window",
     "text_embed_dedup", "multimodal_frames", "asof_join", "sessionize",
     "corpus_stats", "chunk_tokens", "dedup_clusters", "corpus_sample",
-    "pack_examples", "corpus_mix")
+    "pack_examples", "corpus_mix",
+    "decontaminate", "dedup_incremental", "corpus_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
