@@ -24,7 +24,8 @@ object Bench {
     "text_embed_dedup", "multimodal_frames", "asof_join", "sessionize",
     "corpus_stats", "chunk_tokens", "dedup_clusters", "corpus_sample",
     "pack_examples", "corpus_mix",
-    "decontaminate", "dedup_incremental", "corpus_shuffle")
+    "decontaminate", "dedup_incremental", "corpus_shuffle",
+    "training_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

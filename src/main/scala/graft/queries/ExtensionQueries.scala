@@ -111,6 +111,43 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the end-to-end training-data preparation flow as ONE declarative
+    // plan: unicode hygiene → exact-dedup survivors → benchmark
+    // decontamination → context-window chunking → token-budget packing.
+    // Every stage is an operator gated above on its own; this proves the
+    // composition stays a single Catalyst plan with no materialization
+    // barriers between stages
+    "training_pipeline" -> ((s, dir) => {
+      import graft.text.{Decontaminate, Packing}
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.nfcClean(col("text")).as("text"))
+      val bench = docs.where(col("doc_id") % 17 === 0)
+      val train = docs.where(col("doc_id") % 17 =!= 0)
+      val survivors = Dedup.exactCanonical(train, col("doc_id"), col("text"))
+        .where(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"))
+      val deduped = train.join(survivors, Seq("doc_id"), "left_semi")
+      val keep = Decontaminate
+        .flag(deduped, bench, col("doc_id"), col("text"), n = 5, minHits = 1)
+        .where(col("contaminated") === 0)
+        .select(col("doc_id"))
+      val kept = deduped.join(keep, Seq("doc_id"), "left_semi")
+      val chunks = kept
+        .select(col("doc_id"), col("lang"),
+          posexplode(TextOps.tokenChunks(col("text"), window = 64, stride = 64)))
+        .select(col("doc_id"), col("lang"),
+          col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("n_tokens"))
+      Packing.packBins(chunks, col("lang"),
+          struct(col("doc_id"), col("chunk_idx")), col("n_tokens"),
+          budget = 256)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("lang"), col("bin_id"))
+    }),
+
     // deterministic hash sampling + stable split assignment — selection
     // is content-keyed (md5), so re-runs, retries and repartitioning
     // cannot change which documents land in which split
@@ -596,6 +633,69 @@ object ExtensionQueries {
         |  FROM src)
         |SELECT id, clean, length(text) AS n_in, length(clean) AS n_out
         |FROM cleaned ORDER BY id""".stripMargin,
+
+    // self-contained mirror of the composed stages (the per-stage CTEs
+    // above run over `documents` directly, so they are restated here over
+    // the NFC-cleaned, filtered frames; formulas identical to the
+    // text_nfc_clean / dedup_exact / decontaminate / chunk_tokens /
+    // pack_examples oracles)
+    "training_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, regexp_replace(nfc_normalize(text),
+        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}\x{200B}-\x{200D}\x{FEFF}]',
+        |    '', 'g') AS text
+        |  FROM documents),
+        |tr AS (SELECT * FROM d WHERE doc_id % 17 <> 0),
+        |surv AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        |    FROM tr) WHERE doc_id = canon),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                          '\s+', ' ', 'g')), '\s+'),
+        |      w -> len(w) > 0) AS l
+        |  FROM d),
+        |gl AS (
+        |  SELECT doc_id, list_distinct(CASE
+        |    WHEN len(l) < 5 THEN [array_to_string(l, '_')]
+        |    ELSE list_transform(range(1, len(l) - 3),
+        |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' ||
+        |           l[i+3] || '_' || l[i+4]) END) AS gs
+        |  FROM toks),
+        |g5 AS (SELECT doc_id, unnest(gs) AS g FROM gl),
+        |bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 17 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT g5.doc_id FROM g5 JOIN bench USING (g)
+        |  WHERE g5.doc_id % 17 <> 0),
+        |kept AS (
+        |  SELECT s.doc_id, s.lang, s.text FROM surv s
+        |  WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |                w -> len(w) > 0) AS l
+        |  FROM kept),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    unnest(range(1, 1 + 64 * cast(ceil(greatest(len(l) - 64, 0) / 64.0) AS int) + 1, 64)) AS s, l
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, lang, cast((s - 1) // 64 AS int) AS chunk_idx,
+        |         len(l[s:s+63]) AS n_tokens
+        |  FROM c),
+        |b AS (
+        |  SELECT lang, n_tokens,
+        |    cast(floor(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+        |      AS bigint) AS bin_id
+        |  FROM ch)
+        |SELECT lang, bin_id, count(*) AS n_chunks,
+        |       cast(sum(n_tokens) AS bigint) AS total_tokens
+        |FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
 
     "corpus_shuffle" ->
       """WITH k AS (

@@ -23,6 +23,35 @@ object Sinks {
   def appendText(lines: DataFrame, path: String): Unit =
     lines.write.mode(SaveMode.Append).text(path)
 
+  /** Training-export sink: write `df` partitioned by `shardCol` with rows
+    * sorted by `orderCol` inside each shard (the deterministic replay
+    * order from [[graft.queries.ExtensionQueries]] `corpus_shuffle`), and
+    * a `_manifest` parquet beside the shards recording per-shard row
+    * counts — the file a training loader checks before consuming.
+    *
+    * Scale shape: `repartitionByRange(shard, order)` — NOT
+    * `repartition(shard)`, which would funnel the whole export through
+    * as many tasks as there are shards (the KvStore.write lesson). Range
+    * partitioning spreads each shard's rows over many tasks in order
+    * ranges; `partitionBy` still groups the files per shard, each file
+    * is sorted, and the row-level `orderCol` carries the total replay
+    * order across a shard's files. The sort leads with the partition
+    * column so the V1Writes partitioned-write rule keeps it. The
+    * manifest is a slim aggregate, not a driver loop. */
+  def shardedExport(df: DataFrame, shardCol: String, orderCol: String,
+                    path: String): Unit = {
+    df.repartitionByRange(col(shardCol), col(orderCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(shardCol)
+      .parquet(path)
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col(shardCol))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
+  }
+
   /** K3: rewrite the \0-delimited single-column payload to comma-separated
     * text. `withNumericHeader` prepends one `0,1,…,n-1` row (n capped at
     * 200 like the reference's generated header). */

@@ -25,6 +25,35 @@ class SinksSpec extends AnyFunSuite {
     assert(written.contains("0,1,2,3,4"))
   }
 
+  test("sharded export writes per-shard sorted files plus a manifest") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sinks3").resolve("export").toString
+    // shuffled input: the export must impose the (shard, pos) order itself
+    val rows = (0 until 400).map(i => (i.toLong, i % 7, (997 - i * 13) % 400))
+    val df = rows.toDF("doc_id", "shard", "pos").orderBy(rand(42))
+    Sinks.shardedExport(df, "shard", "pos", dir)
+
+    // partitioned layout + every shard's rows present
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 400)
+    assert(back.select("shard").distinct().count() === 7)
+
+    // rows inside each written FILE are sorted by pos (the replay order)
+    val files = back.select(col("shard"),
+        org.apache.spark.sql.functions.input_file_name().as("f"), col("pos"))
+      .collect().groupBy(r => (r.getInt(0), r.getString(1)))
+    files.foreach { case ((shard, f), rs) =>
+      val ps = rs.map(_.getInt(2)).toSeq
+      assert(ps === ps.sorted, s"file $f of shard $shard is not pos-sorted")
+    }
+
+    // manifest counts match the data
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(manifest === expected)
+  }
+
   test("append text sink accumulates batches") {
     val dir = Files.createTempDirectory("graft_sinks2").resolve("t").toString
     Sinks.appendText(Seq("x").toDF("v"), dir)
