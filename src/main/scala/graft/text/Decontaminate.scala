@@ -37,21 +37,32 @@ object Decontaminate {
   def flag(train: DataFrame, bench: DataFrame, id: Column, text: Column,
            n: Int = 5, minHits: Int = 1,
            broadcastBench: Boolean = true): DataFrame = {
+    train
+      .select(id.as("doc_id"), size(Dedup.shingles(text, n)).as("n_grams"))
+      .join(hitCounts(train, bench, id, text, n, broadcastBench),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") >= minHits).cast("int"))
+  }
+
+  /** The slim core: (doc_id, n_hits) for training docs with ≥ 1 shared
+    * benchmark n-gram — docs with zero hits are ABSENT (left-join this).
+    * Exposed separately so multi-stage pipelines can annotate one
+    * already-loaded corpus frame instead of re-joining against `train` a
+    * second time (every extra reference to the corpus frame is another
+    * full scan at 100 TB — see the training_pipeline gate query). */
+  def hitCounts(train: DataFrame, bench: DataFrame, id: Column, text: Column,
+                n: Int = 5, broadcastBench: Boolean = true): DataFrame = {
     val trainGrams = train
       .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
     val benchGrams0 = bench.select(explode(Dedup.shingles(text, n)).as("g"))
       .distinct()
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     // shingles are distinct per doc, so count(*) counts DISTINCT shared grams
-    val hits = trainGrams.join(benchGrams, Seq("g"))
+    trainGrams.join(benchGrams, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
-    train
-      .select(id.as("doc_id"), size(Dedup.shingles(text, n)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("contaminated", (col("n_hits") >= minHits).cast("int"))
   }
 
   /** The filtering form: training docs with NO disqualifying benchmark
