@@ -78,6 +78,32 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming incremental dedup against a STANDING corpus: each arriving
+    * micro-batch is annotated with [[graft.dedup.Dedup.exactAgainstExisting]]
+    * (dup_of / is_new) — the rolling-ingestion shape where yesterday's
+    * corpus is a static frame and only today's stream is judged.
+    * Within-stream repeats are handled by [[streamingDedup]] upstream;
+    * this stage only judges stream-vs-corpus.
+    *
+    * Scale shape: the existing corpus reduces to (hash, min id) ONCE per
+    * micro-batch via the static plan (Spark re-plans the static side each
+    * batch — pre-aggregate and persist `existing` to parquet keyed by
+    * hash if the corpus is large enough that re-reduction dominates).
+    * foreachBatch is the documented pattern for stream-static joins that
+    * need batch-only operators downstream (the sink writes annotated
+    * batches wherever the pipeline lands them). */
+  def incrementalDedupBatches(stream: DataFrame, existing: DataFrame,
+                              onBatch: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      onBatch(
+        graft.dedup.Dedup.exactAgainstExisting(
+          batch, existing,
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+        id)
+    }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n_events: Long, total_value: Double)
   case class UserSummary(user_id: Long, n_events: Long, total_value: Double)

@@ -44,4 +44,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     // doc 3 normalizes to the same fingerprint as doc 1 → dropped
     assert(ids === Seq(1L, 2L, 4L))
   }
+
+  test("streaming batches are annotated against the standing corpus") {
+    val dir = Files.createTempDirectory("graft_sincr")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    Files.writeString(in.resolve("b1.json"),
+      """{"doc_id":100,"text":"alpha beta gamma"}
+        |{"doc_id":101,"text":"fresh new content"}
+        |""".stripMargin)
+    Files.writeString(in.resolve("b2.json"),
+      """{"doc_id":102,"text":"delta epsilon zeta"}
+        |""".stripMargin)
+
+    val existing = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+
+    val seen = scala.collection.concurrent.TrieMap[Long, (Option[Long], Int)]()
+    val q = StreamingIngest.incrementalDedupBatches(stream, existing,
+        (annotated, _) =>
+          annotated.collect().foreach { r =>
+            seen.put(r.getAs[Long]("doc_id"),
+              (Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+                r.getAs[Int]("is_new")))
+          })
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(seen(100L) === ((Some(1L), 0))) // dup of standing corpus doc 1
+    assert(seen(101L) === ((None, 1)))     // genuinely new
+    assert(seen(102L) === ((Some(2L), 0))) // dup arriving in a later batch
+  }
 }
