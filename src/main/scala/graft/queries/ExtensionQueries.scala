@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Ann
+import graft.similarity.{Ann, Quantize}
 import graft.text.TextOps
 
 /** Training-data-pipeline extensions (BASELINE.json north star): dedup,
@@ -229,6 +229,18 @@ object ExtensionQueries {
           threshold = 0.3, bands = 16, bandBits = 2, centered = false)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(50)
+    }),
+
+    // int8 embedding quantization: scale surfaces as integer ppb and the
+    // codes as ints, so the gate compare is dialect-neutral (round(x/scale)
+    // is the same IEEE division and half-away rounding in both engines)
+    "embed_quantize" -> ((s, dir) => {
+      val q = Quantize.quantize(col("embedding"))
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(q.getField("scale") * 1e9, 0).cast("long").as("scale_ppb"),
+          q.getField("q").as("q"))
+        .orderBy(col("vec_id"))
     }),
 
     // ── Similarity search ──────────────────────────────────────────────
@@ -583,6 +595,25 @@ object ExtensionQueries {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS double)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0
+        |      AS scale
+        |  FROM v)
+        |SELECT vec_id,
+        |  cast(round(coalesce(scale, 0) * 1000000000) AS bigint) AS scale_ppb,
+        |  CASE WHEN scale IS NULL OR scale = 0
+        |       THEN list_transform(e, x -> 0)
+        |       ELSE list_transform(e, x ->
+        |         cast(least(127.0, greatest(-127.0, round(x / scale))) AS int))
+        |  END AS q
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH b AS (

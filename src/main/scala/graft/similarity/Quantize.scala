@@ -1,0 +1,39 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Symmetric linear int8 quantization for embedding columns — the 4×
+  * storage/shuffle cut that makes a 100 TB embedding corpus tractable
+  * (float32 → int8 + one scale per vector). Pure codegen builtins: the
+  * whole transform stays inside WholeStageCodegen and Catalyst can still
+  * prune/push around it.
+  *
+  * Scheme: `scale = max(|v|)/127`, `q_i = clamp(round(v_i/scale), ±127)`.
+  * Symmetric (no zero-point) keeps dot products linear: `a·b ≈
+  * scale_a·scale_b·(qa·qb)`, so ANN prefilters can run on the int8
+  * vectors and only the final rerank touches floats. A zero vector (or
+  * empty/null input) quantizes to scale 0 and all-zero codes.
+  */
+object Quantize {
+
+  /** (scale: double, q: array<int> ∈ [-127,127]) struct. `q` is int, not
+    * tinyint, to keep the gate comparison dialect-neutral; a storage
+    * writer should cast to tinyint/byte at the sink. */
+  def quantize(vec: Column): Column = {
+    val v = transform(vec, _.cast("double"))
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = amax / 127.0
+    val zeros = transform(v, _ => lit(0))
+    val q = when(scale.isNull || scale === 0.0, zeros)
+      .otherwise(transform(v, x =>
+        least(lit(127.0), greatest(lit(-127.0), round(x / scale))).cast("int")))
+    struct(coalesce(scale, lit(0.0)).as("scale"), q.as("q"))
+  }
+
+  /** Reconstruct doubles from a [[quantize]] struct. */
+  def dequantize(qs: Column): Column = {
+    val scale = qs.getField("scale")
+    transform(qs.getField("q"), x => x.cast("double") * scale)
+  }
+}

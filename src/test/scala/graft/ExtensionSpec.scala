@@ -231,6 +231,33 @@ class ExtensionSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("n_copies") === 2L)
   }
 
+  test("int8 quantization preserves cosine geometry and round-trips zeros") {
+    import graft.similarity.Quantize
+    val qs = Quantize.quantize(col("embedding"))
+    val back = embeddings
+      .select(col("vec_id"), col("embedding"),
+        Quantize.dequantize(qs).as("deq"),
+        qs.getField("q").as("q"))
+    // codes stay in range, dequantized cosine vs original >= 0.995
+    val rows = back.select(col("vec_id"),
+        graft.ops.TextExprs.vecDot(
+          graft.ops.TextExprs.l2normalize(col("embedding").cast("array<double>")),
+          graft.ops.TextExprs.l2normalize(col("deq"))).as("cos"),
+        array_max(col("q")).as("qmax"), array_min(col("q")).as("qmin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("qmax") <= 127 && r.getAs[Int]("qmin") >= -127)
+      assert(r.getAs[Double]("cos") >= 0.995,
+        s"vec ${r.getAs[Long]("vec_id")} cos ${r.getAs[Double]("cos")}")
+    }
+    // zero vector → scale 0, all-zero codes, zero reconstruction
+    val z = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Quantize.quantize(col("embedding")).as("s"))
+      .select(col("s.scale"), col("s.q")).head()
+    assert(z.getDouble(0) === 0.0)
+    assert(z.getSeq[Int](1).forall(_ == 0))
+  }
+
   test("multimodal stub codec honors its contracts") {
     val payload = "hello multimodal world".getBytes("UTF-8")
     val f = Multimodal.FakeCodec.decodeFeatures(payload)
