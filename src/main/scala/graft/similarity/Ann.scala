@@ -53,6 +53,55 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"))
   }
 
+  /** Two-stage brute-force top-k over int8-quantized vectors: an integer
+    * dot-product prefilter over the [[Quantize]] codes keeps the top
+    * `k × overscan` per query, and only those survivors get exact float
+    * cosine + final ranking. At 100 TB the corpus pass touches 4×-smaller
+    * int8 columns and the float vectors are read only for the
+    * re-rank join — the quantized store IS the scan, the float store is
+    * point-looked-up. Approximation enters ONLY through prefilter
+    * truncation (symmetric quantization keeps dot products linear, so
+    * int ranking ≈ float ranking); `overscan` buys recall.
+    */
+  def bruteForceTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+                              overscan: Int = 4, roundTo: Int = 4): DataFrame = {
+    val qq = queries.select(col("qid"),
+      Quantize.quantize(col("qvec")).getField("q").as("qcodes"))
+    val cq = corpus.select(col("cid"),
+      Quantize.quantize(col("cvec")).getField("q").as("ccodes"))
+    // int-dot ranking normalized by the corpus-side code norm: the query
+    // norm and the scale product are constant within a query partition,
+    // so this orders like cosine up to quantization error — overscan
+    // absorbs that slack before the exact re-rank
+    val intDot = aggregate(
+      zip_with(col("qcodes"), col("ccodes"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val pre = cq.crossJoin(broadcast(qq))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (intDot /
+          (sqrt(aggregate(col("ccodes"), lit(0L), (a, x) => a + x * x)
+            .cast("double")) + lit(1e-12))).as("iscore"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("iscore").desc, col("cid"))
+    val survivors = pre.withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= k * overscan)
+      .select(col("qid"), col("cid"))
+    // survivors are ids-only; floats re-attach here — the float store is
+    // point-joined for k·overscan rows per query, never scanned
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    survivors
+      .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
   /** Sign-bit LSH signature: one bit per hyperplane = sign of the dot
     * product with a deterministic hash-derived hyperplane (no RNG state
     * ships — executors rebuild the plane matrix identically). Native

@@ -102,6 +102,19 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!Dedup.chooseWideTables(hotSigs))
   }
 
+  test("quantized brute-force top-k attains high recall vs exact") {
+    import graft.similarity.Ann
+    val q = embeddings.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = embeddings.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Ann.bruteForceTopK(q, c, k = 10))
+    val quant = resultSet(Ann.bruteForceTopKQuantized(q, c, k = 10, overscan = 4))
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"int8-prefilter recall $recall")
+  }
+
   test("lsh ann attains reasonable recall against brute force") {
     val q = embeddings.where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
