@@ -294,34 +294,42 @@ object TextKernels {
     new GenericArrayData(bits)
   }
 
-  /** Unicode hygiene for ingested text: NFC-compose, then drop control
-    * characters (Cc except \t \n \r) and the zero-width code points
-    * (U+200B..U+200D, U+FEFF) that break tokenization and dedup (two
-    * visually-identical docs with different compositions or stray
-    * zero-widths must hash identically downstream). One pass after the
-    * (usually no-op) normalize; the NFC fast path for already-composed
-    * ASCII/Latin text is Normalizer.isNormalized, which scans without
-    * allocating. */
+  /** Unicode hygiene for ingested text: drop control characters (Cc
+    * except \t \n \r) and the zero-width code points (U+200B..U+200D,
+    * U+FEFF), THEN NFC-compose — two visually-identical docs with
+    * different compositions or stray zero-widths must hash identically
+    * downstream. Strip-before-compose is what makes the function
+    * IDEMPOTENT (found by the randomized property spec): composing first
+    * leaves sequences like `e + ZWNJ + combining-acute` un-composed —
+    * the zero-width blocks composition — and once the strip removes it,
+    * a second pass would compose `e + acute` and change the output
+    * again. Stripping first exposes every such pair to the one compose
+    * pass, and NFC never introduces stripped code points, so the output
+    * is a fixed point. The fast path for already-clean composed text is
+    * one scan + Normalizer.isNormalized, no allocation. */
   def nfcClean(s: UTF8String): UTF8String = {
     import java.text.Normalizer
     val raw = s.toString
-    val composed =
-      if (Normalizer.isNormalized(raw, Normalizer.Form.NFC)) raw
-      else Normalizer.normalize(raw, Normalizer.Form.NFC)
+    val n = raw.length
     var i = 0
-    val n = composed.length
     var dirty = false
-    while (i < n && !dirty) { if (isStripped(composed.charAt(i))) dirty = true; i += 1 }
-    if (!dirty && (raw eq composed)) return s // untouched: keep original bytes
-    if (!dirty) return UTF8String.fromString(composed)
-    val sb = new java.lang.StringBuilder(n)
-    i = 0
-    while (i < n) {
-      val ch = composed.charAt(i)
-      if (!isStripped(ch)) sb.append(ch)
-      i += 1
-    }
-    UTF8String.fromString(sb.toString)
+    while (i < n && !dirty) { if (isStripped(raw.charAt(i))) dirty = true; i += 1 }
+    val stripped =
+      if (!dirty) raw
+      else {
+        val sb = new java.lang.StringBuilder(n)
+        i = 0
+        while (i < n) {
+          val ch = raw.charAt(i)
+          if (!isStripped(ch)) sb.append(ch)
+          i += 1
+        }
+        sb.toString
+      }
+    val composed =
+      if (Normalizer.isNormalized(stripped, Normalizer.Form.NFC)) stripped
+      else Normalizer.normalize(stripped, Normalizer.Form.NFC)
+    if (composed eq raw) s else UTF8String.fromString(composed)
   }
 
   private def isStripped(ch: Char): Boolean =

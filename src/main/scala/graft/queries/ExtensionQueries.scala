@@ -653,19 +653,19 @@ object ExtensionQueries {
          |WHERE gl.doc_id % 17 <> 0
          |ORDER BY gl.doc_id""".stripMargin,
 
-    // NFC-compose then strip Cc (except tab/newline/cr) and zero-width
-    // code points — mirrors TextKernels.nfcClean exactly (normalize
-    // first, strip second)
+    // strip Cc (except tab/newline/cr) and zero-width code points, THEN
+    // NFC-compose — mirrors TextKernels.nfcClean exactly (strip-first is
+    // what makes the kernel idempotent; see its scaladoc)
     "text_nfc_clean" ->
       """WITH src AS (
-        |  SELECT id, text, nfc_normalize(text) AS nf
+        |  SELECT id, text, regexp_replace(text,
+        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}\x{200B}-\x{200D}\x{FEFF}]',
+        |    '', 'g') AS st
         |  FROM read_csv('/root/repo/fixtures/unicode.csv', delim='|',
         |    header=false, quote='',
         |    columns={'id':'INTEGER','text':'VARCHAR'})),
         |cleaned AS (
-        |  SELECT id, text, regexp_replace(nf,
-        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}\x{200B}-\x{200D}\x{FEFF}]',
-        |    '', 'g') AS clean
+        |  SELECT id, text, nfc_normalize(st) AS clean
         |  FROM src)
         |SELECT id, clean, length(text) AS n_in, length(clean) AS n_out
         |FROM cleaned ORDER BY id""".stripMargin,
@@ -677,9 +677,9 @@ object ExtensionQueries {
     // pack_examples oracles)
     "training_pipeline" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, regexp_replace(nfc_normalize(text),
+        |  SELECT doc_id, lang, nfc_normalize(regexp_replace(text,
         |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}\x{200B}-\x{200D}\x{FEFF}]',
-        |    '', 'g') AS text
+        |    '', 'g')) AS text
         |  FROM documents),
         |tr AS (SELECT * FROM d WHERE doc_id % 17 <> 0),
         |surv AS (

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextKernels
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Seeded randomized properties for the round-3 kernels: hundreds of
+  * adversarial inputs per law, deterministic across runs. */
+class KernelPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  /** Random BMP string biased toward the interesting ranges: ASCII,
+    * controls, combining marks, zero-widths, CJK, hangul jamo. */
+  private def randomText(len: Int): String = {
+    val ranges = Array(
+      (0x20, 0x7E), (0x00, 0x1F), (0x0300, 0x036F), (0x200B, 0x200D),
+      (0x4E00, 0x4E80), (0x1100, 0x1160), (0xC0, 0xFF), (0xFEFF, 0xFEFF))
+    val sb = new StringBuilder
+    (0 until len).foreach { _ =>
+      val (lo, hi) = ranges(rnd.nextInt(ranges.length))
+      sb.append((lo + rnd.nextInt(hi - lo + 1)).toChar)
+    }
+    sb.toString
+  }
+
+  private def clean(s: String): String =
+    TextKernels.nfcClean(UTF8String.fromString(s)).toString
+
+  test("nfcClean is idempotent and junk-free on adversarial unicode") {
+    (0 until 500).foreach { i =>
+      val s = randomText(1 + rnd.nextInt(40))
+      val once = clean(s)
+      assert(clean(once) === once, s"not idempotent on case $i: ${s.map(_.toInt)}")
+      assert(java.text.Normalizer.isNormalized(once, java.text.Normalizer.Form.NFC),
+        s"output not NFC on case $i")
+      once.foreach { ch =>
+        assert(!((ch < 0x20 && ch != '\t' && ch != '\n' && ch != '\r') ||
+          (ch >= 0x7F && ch <= 0x9F) ||
+          (ch >= 0x200B && ch <= 0x200D) || ch == 0xFEFF),
+          s"junk char ${ch.toInt} survived on case $i")
+      }
+    }
+  }
+
+  test("quantization error is bounded by half a step per element") {
+    import graft.similarity.Quantize
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6) - 3)))
+    }
+    val df = vecs.toDF("id", "v")
+    val qs = Quantize.quantize(col("v"))
+    val rows = df.select(col("id"), col("v"),
+        qs.getField("scale").as("scale"),
+        Quantize.dequantize(qs).as("deq"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val scale = r.getDouble(2)
+      val deq = r.getSeq[Double](3)
+      val amax = v.map(math.abs).max
+      assert(math.abs(scale - amax / 127.0) <= math.ulp(amax),
+        s"scale off for id ${r.getLong(0)}")
+      v.zip(deq).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + math.ulp(amax) * 4,
+          s"reconstruction error ${math.abs(x - y)} > step/2 $scale for id ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("trailing-split and salt stay total on hostile random bytes") {
+    // regression net: random strings through the byte-level parity ops
+    (0 until 300).foreach { _ =>
+      val s = randomText(rnd.nextInt(20))
+      val buckets = graft.core.Salt.bucket(s.getBytes("UTF-8"), 24)
+      assert(buckets >= 0 && buckets < 24)
+    }
+  }
+}
