@@ -81,6 +81,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // intra-document repetition: duplicate bigram/trigram fraction of
+    // the normalized token stream (ppm) — the Gopher-style quality
+    // threshold for boilerplate loops and degenerate text; per-row
+    // kernel counts, no shuffle
+    "text_repetition" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(TextOps.normalized(col("text")))).as("n_tokens"),
+          TextOps.repetitionPpm(col("text"), 2).as("dup2_ppm"),
+          TextOps.repetitionPpm(col("text"), 3).as("dup3_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // unicode hygiene before any hashing/dedup: NFC composition + strip
     // of control/zero-width chars over a checked-in fixture of NFD,
     // angstrom-sign, zero-width and control-char cases (native kernel —
@@ -652,6 +665,26 @@ object ExtensionQueries {
          |FROM gl LEFT JOIN hits h USING (doc_id)
          |WHERE gl.doc_id % 17 <> 0
          |ORDER BY gl.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH $toksCte,
+         |r AS (
+         |  SELECT doc_id, len(l) AS n_tokens,
+         |    CASE WHEN len(l) < 2 THEN 1 ELSE len(l) - 1 END AS t2,
+         |    len(list_distinct(CASE
+         |      WHEN len(l) < 2 THEN [array_to_string(l, '_')]
+         |      ELSE list_transform(range(1, len(l)),
+         |        i -> l[i] || '_' || l[i+1]) END)) AS d2,
+         |    CASE WHEN len(l) < 3 THEN 1 ELSE len(l) - 2 END AS t3,
+         |    len(list_distinct(CASE
+         |      WHEN len(l) < 3 THEN [array_to_string(l, '_')]
+         |      ELSE list_transform(range(1, len(l) - 1),
+         |        i -> l[i] || '_' || l[i+1] || '_' || l[i+2]) END)) AS d3
+         |  FROM toks)
+         |SELECT doc_id, n_tokens,
+         |  cast(round((1 - d2 / cast(t2 AS double)) * 1000000) AS bigint) AS dup2_ppm,
+         |  cast(round((1 - d3 / cast(t3 AS double)) * 1000000) AS bigint) AS dup3_ppm
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // strip Cc (except tab/newline/cr) and zero-width code points, THEN
     // NFC-compose — mirrors TextKernels.nfcClean exactly (strip-first is

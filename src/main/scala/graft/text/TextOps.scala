@@ -148,6 +148,20 @@ object TextOps {
     * (which is the lossy shingling normalization, not a hygiene pass). */
   def nfcClean(text: Column): Column = graft.ops.TextExprs.nfcClean(text)
 
+  /** Duplicate-n-gram fraction of the normalized token stream, in parts
+    * per million: `1 - distinct/total` over the doc's n-gram windows —
+    * the intra-document repetition signal (boilerplate loops, keyword
+    * stuffing, degenerate generations) the standard quality filters
+    * threshold on. Pure per-row columns (the distinct count rides the
+    * [[graft.ops.TextKernels.wordNgrams]] kernel, which dedups while
+    * shingling); no shuffle. Docs shorter than `n` tokens report 0. */
+  def repetitionPpm(text: Column, n: Int): Column = {
+    val toks = tokens(normalized(text))
+    val total = when(size(toks) < n, 1).otherwise(size(toks) - (n - 1))
+    val distinctN = size(graft.ops.TextExprs.wordNgrams(toks, n))
+    round((lit(1.0) - distinctN / total.cast("double")) * 1e6, 0).cast("long")
+  }
+
   /** Canonical normalization before fingerprinting: lowercase, strip
     * non-alphanumerics, collapse whitespace. */
   def normalized(text: Column): Column =
