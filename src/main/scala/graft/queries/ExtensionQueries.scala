@@ -111,15 +111,13 @@ object ExtensionQueries {
 
     // deterministic training-order shuffle: content-keyed md5 assigns
     // every doc a shard and a stable position within it — the export
-    // ordering a training run replays identically from any retry
+    // ordering a training run replays identically from any retry.
+    // nShards = 8 fits the 500-row test corpus; at scale shard count
+    // grows with the corpus (see Sampling.shuffleAssignment: size
+    // shards, don't count them)
     "corpus_shuffle" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val key = md5(concat(col("doc_id").cast("string"), lit(":shuffle")))
-      val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col("doc_id"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), key.as("__key"),
-          (conv(substring(key, 1, 4), 16, 10).cast("long") % 8).as("shard"))
-        .withColumn("pos", row_number().over(w))
+      graft.text.Sampling
+        .shuffleAssignment(Tables(s, dir, "documents"), col("doc_id"), nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
     }),

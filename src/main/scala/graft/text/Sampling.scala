@@ -53,6 +53,31 @@ object Sampling {
     }
   }
 
+  /** Deterministic training-order shuffle: assign every row a
+    * content-keyed shard and a stable position within it, so a training
+    * run replays the identical order from any retry (and
+    * [[graft.sinks.Sinks.shardedExport]] can lay the files out in it).
+    *
+    * SIZE SHARDS, DON'T COUNT THEM: the per-shard position is a
+    * row_number window — one sort task per shard — so `nShards` must
+    * scale with the corpus (fixed shard SIZE, e.g. corpus_rows /
+    * rows_per_shard), never stay a small constant. With thousands of
+    * shards each holding a bounded row count, the window sort is
+    * embarrassingly parallel; with 8 shards over 100 TB it would funnel
+    * the corpus through 8 sort tasks. The gate query uses 8 only because
+    * the test corpus is 500 rows. */
+  def shuffleAssignment(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "nShards must be positive")
+    val k = md5(concat(key.cast("string"), lit(":shuffle")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), key)
+    df.withColumn("__key", k)
+      .withColumn("shard",
+        conv(substring(col("__key"), 1, 4), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .drop("__key")
+  }
+
   /** Mix a corpus by per-source sampling rates (upweighting by repeat
     * is a separate explode step): keep each row with its source's rate,
     * defaulting to `defaultRate` for unlisted sources. One narrow pass. */
