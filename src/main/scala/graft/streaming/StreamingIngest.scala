@@ -104,6 +104,26 @@ object StreamingIngest {
         id)
     }
 
+  /** Streaming decontamination: each micro-batch flagged against a
+    * static benchmark corpus via
+    * [[graft.text.Decontaminate.flag]] — same foreachBatch shape as
+    * [[incrementalDedupBatches]]. The benchmark gram set is re-derived
+    * per batch from the static plan; for a large fixed benchmark,
+    * pre-compute its distinct grams once to parquet and pass that frame
+    * as `bench` so only the broadcast remains per batch. */
+  def decontaminateBatches(stream: DataFrame, bench: DataFrame,
+                           onBatch: (DataFrame, Long) => Unit,
+                           n: Int = 5, minHits: Int = 1):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      onBatch(
+        graft.text.Decontaminate.flag(
+          batch, bench,
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"), n, minHits),
+        id)
+    }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n_events: Long, total_value: Double)
   case class UserSummary(user_id: Long, n_events: Long, total_value: Double)

@@ -79,4 +79,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(seen(101L) === ((None, 1)))     // genuinely new
     assert(seen(102L) === ((Some(2L), 0))) // dup arriving in a later batch
   }
+
+  test("streaming batches are decontaminated against a static benchmark") {
+    val dir = Files.createTempDirectory("graft_sdecon")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    Files.writeString(in.resolve("b1.json"),
+      """{"doc_id":100,"text":"prefix the quick brown fox jumps over the lazy dog suffix"}
+        |{"doc_id":101,"text":"totally original writing about distributed query engines"}
+        |""".stripMargin)
+
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+
+    val flags = scala.collection.concurrent.TrieMap[Long, Int]()
+    val q = StreamingIngest.decontaminateBatches(stream, bench,
+        (flagged, _) =>
+          flagged.collect().foreach(r =>
+            flags.put(r.getAs[Long]("doc_id"), r.getAs[Int]("contaminated"))))
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(flags(100L) === 1) // embeds a full benchmark sentence
+    assert(flags(101L) === 0)
+  }
 }
