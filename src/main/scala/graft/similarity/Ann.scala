@@ -250,9 +250,11 @@ object Ann {
   def cosineNearDupPairs(corpus: DataFrame, id: Column, vec: Column,
                          threshold: Double = 0.95,
                          bands: Int = 8, bandBits: Int = 4,
-                         centered: Boolean = true): DataFrame = {
+                         centered: Boolean = true,
+                         meanSampleMod: Int = 16): DataFrame = {
     val planes = bands * bandBits
     require(planes <= 64, "packed signature holds at most 64 planes")
+    require(meanSampleMod >= 1, "meanSampleMod >= 1 (1 = exact mean)")
     val mask = (1L << bandBits) - 1
     // Center the hyperplanes at the corpus mean: on an internally-
     // correlated corpus the raw sign bits all skew the same way (hot
@@ -263,25 +265,37 @@ object Ann {
     // the corpus can be missed. Use centered=false when the corpus is
     // already balanced (e.g. random/normalized model embeddings) or
     // when recall at the cluster core matters more than join cost.
-    val center: Array[Double] =
-      if (!centered) Array.empty
-      else {
-        // one-pass native vector-sum aggregate: the corpus reduces to dim
-        // doubles via map-side combine — nothing but k×dim-double partial
-        // buffers ever move (the posexplode form shuffled n×dim rows)
-        val row = corpus
+    val center: Array[Double] = if (!centered) Array.empty else {
+      // one-pass native vector-sum aggregate: the corpus reduces to dim
+      // doubles via map-side combine — nothing but k×dim-double partial
+      // buffers ever move (the posexplode form shuffled n×dim rows).
+      // The mean only has to BALANCE the buckets, not be exact, so it is
+      // estimated from a deterministic 1/meanSampleMod id-hash sample:
+      // the modulo filter sits below the (possibly expensive, e.g.
+      // hash-embedding) vector projection, so the skipped rows never
+      // compute their vectors and the "extra corpus pass" costs 1/mod
+      // of one. meanSampleMod = 1 recovers the exact full-corpus mean.
+      def meanOf(frame: DataFrame): Option[Array[Double]] = {
+        val row = frame
           .agg(graft.ops.VecSumAggregate.vecSum(asDouble(vec)).as("s"),
             // count only vectors that contribute to the sum — empty
             // arrays are skipped by vec_sum (posexplode parity), so
             // counting them would deflate the mean
             count(when(size(vec) > 0, 1)).as("n"))
           .head()
-        if (row.isNullAt(0) || row.getLong(1) == 0L) Array.empty
+        if (row.isNullAt(0) || row.getLong(1) == 0L) None
         else {
           val n = row.getLong(1).toDouble
-          row.getSeq[Double](0).map(_ / n).toArray
+          Some(row.getSeq[Double](0).map(_ / n).toArray)
         }
       }
+      val sampled =
+        if (meanSampleMod == 1) corpus
+        else corpus.where(
+          pmod(xxhash64(id.cast("string")), lit(meanSampleMod)) === 0)
+      // a tiny corpus can miss the sample entirely — fall back to exact
+      meanOf(sampled).orElse(meanOf(corpus)).getOrElse(Array.empty)
+    }
     val sigCol =
       if (centered)
         graft.ops.TextExprs.lshBitsPackedCentered(asDouble(vec), planes, center)
