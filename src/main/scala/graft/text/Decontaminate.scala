@@ -66,14 +66,16 @@ object Decontaminate {
   }
 
   /** The filtering form: training docs with NO disqualifying benchmark
-    * overlap — the frame you feed to the serialization step. */
+    * overlap — the frame you feed to the serialization step. Anti-joins
+    * the slim [[hitCounts]] frame directly (one corpus reference, plus
+    * the gram stream), instead of semi-joining through [[flag]], which
+    * would re-expand the corpus plan two more times. */
   def clean(train: DataFrame, bench: DataFrame, id: Column, text: Column,
             n: Int = 5, minHits: Int = 1,
             broadcastBench: Boolean = true): DataFrame = {
-    val flagged = flag(train, bench, id, text, n, minHits, broadcastBench)
-      .where(col("contaminated") === 0)
-      .select(col("doc_id"))
-    train.join(flagged.withColumnRenamed("doc_id", "__keep"),
-        id === col("__keep"), "left_semi")
+    val bad = hitCounts(train, bench, id, text, n, broadcastBench)
+      .where(col("n_hits") >= minHits)
+      .withColumnRenamed("doc_id", "__bad")
+    train.join(bad, id === col("__bad"), "left_anti")
   }
 }
