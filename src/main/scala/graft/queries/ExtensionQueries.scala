@@ -102,7 +102,7 @@ object ExtensionQueries {
       s.read
         .schema("id INT, text STRING")
         .option("sep", "|").option("header", "false")
-        .csv("/root/repo/fixtures/unicode.csv")
+        .csv(s"${graft.Fixtures.dir}/unicode.csv")
         .select(col("id"), TextOps.nfcClean(col("text")).as("clean"),
           length(col("text")).as("n_in"),
           length(TextOps.nfcClean(col("text"))).as("n_out"))
@@ -244,13 +244,16 @@ object ExtensionQueries {
 
     // int8 embedding quantization: scale surfaces as integer ppb and the
     // codes as ints, so the gate compare is dialect-neutral (round(x/scale)
-    // is the same IEEE division and half-away rounding in both engines)
+    // is the same IEEE division and half-away rounding in both engines).
+    // Codes are serialized to one CSV string per row — the gate comparer
+    // sorts/hashes cells, and a raw array column is unhashable there.
     "embed_quantize" -> ((s, dir) => {
       val q = Quantize.quantize(col("embedding"))
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           round(q.getField("scale") * 1e9, 0).cast("long").as("scale_ppb"),
-          q.getField("q").as("q"))
+          array_join(transform(q.getField("q"), _.cast("string")), ",")
+            .as("q_csv"))
         .orderBy(col("vec_id"))
     }),
 
@@ -446,8 +449,12 @@ object ExtensionQueries {
         .select(col("doc_id").as("vec_id"),
           graft.ops.TextExprs.hashEmbed(
             TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
+      // meanSampleMod opts into the sampled centering mean — the 100 TB
+      // path (1/16 of the corpus computes vectors for the mean pass);
+      // the default is the exact mean so library callers' recall
+      // characteristics never shift without asking
       Ann.cosineNearDupPairs(embedded, col("vec_id"), col("embedding"),
-          threshold = 0.9, bands = 10, bandBits = 6)
+          threshold = 0.9, bands = 10, bandBits = 6, meanSampleMod = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -619,11 +626,11 @@ object ExtensionQueries {
         |  FROM v)
         |SELECT vec_id,
         |  cast(round(coalesce(scale, 0) * 1000000000) AS bigint) AS scale_ppb,
-        |  CASE WHEN scale IS NULL OR scale = 0
+        |  array_to_string(CASE WHEN scale IS NULL OR scale = 0
         |       THEN list_transform(e, x -> 0)
         |       ELSE list_transform(e, x ->
         |         cast(least(127.0, greatest(-127.0, round(x / scale))) AS int))
-        |  END AS q
+        |  END, ',') AS q_csv
         |FROM s ORDER BY vec_id""".stripMargin,
 
     "dedup_incremental" ->
@@ -688,11 +695,11 @@ object ExtensionQueries {
     // NFC-compose — mirrors TextKernels.nfcClean exactly (strip-first is
     // what makes the kernel idempotent; see its scaladoc)
     "text_nfc_clean" ->
-      """WITH src AS (
+      s"""WITH src AS (
         |  SELECT id, text, regexp_replace(text,
-        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}\x{200B}-\x{200D}\x{FEFF}]',
+        |    '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}\\x{200B}-\\x{200D}\\x{FEFF}]',
         |    '', 'g') AS st
-        |  FROM read_csv('/root/repo/fixtures/unicode.csv', delim='|',
+        |  FROM read_csv('${graft.Fixtures.dir}/unicode.csv', delim='|',
         |    header=false, quote='',
         |    columns={'id':'INTEGER','text':'VARCHAR'})),
         |cleaned AS (

@@ -8,7 +8,7 @@ import graft.ops.KvOps
 
 /** Driver-gate coverage for the ingest readers (SURVEY.md §2 S1/S2/T1 and
   * the §7.2 end-to-end slice) over the checked-in fixtures under
-  * /root/repo/fixtures — the reference's reason to exist
+  * [[graft.Fixtures.dir]] — the reference's reason to exist
   * (Utils.scala:154-236, 486-572), previously covered only by scalatest.
   *
   * The fixtures are '|'-delimited: the oracle runs in DuckDB, whose
@@ -18,7 +18,7 @@ import graft.ops.KvOps
   */
 object IngestQueries {
 
-  private val FixtureDir = "/root/repo/fixtures"
+  private val FixtureDir = graft.Fixtures.dir
   private val Sep = "|"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -251,7 +251,7 @@ object Ann {
                          threshold: Double = 0.95,
                          bands: Int = 8, bandBits: Int = 4,
                          centered: Boolean = true,
-                         meanSampleMod: Int = 16): DataFrame = {
+                         meanSampleMod: Int = 1): DataFrame = {
     val planes = bands * bandBits
     require(planes <= 64, "packed signature holds at most 64 planes")
     require(meanSampleMod >= 1, "meanSampleMod >= 1 (1 = exact mean)")

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * Symmetric (no zero-point) keeps dot products linear: `a·b ≈
   * scale_a·scale_b·(qa·qb)`, so ANN prefilters can run on the int8
   * vectors and only the final rerank touches floats. A zero vector (or
-  * empty/null input) quantizes to scale 0 and all-zero codes.
+  * empty input) quantizes to scale 0 and all-zero codes; a null input
+  * yields scale 0 with null codes (null propagates through the
+  * element-wise transform, so there is no length to emit zeros over).
   */
 object Quantize {
 

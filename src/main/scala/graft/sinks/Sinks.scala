@@ -36,8 +36,14 @@ object Sinks {
     * ranges; `partitionBy` still groups the files per shard, each file
     * is sorted, and the row-level `orderCol` carries the total replay
     * order across a shard's files. The sort leads with the partition
-    * column so the V1Writes partitioned-write rule keeps it. The
-    * manifest is a slim aggregate, not a driver loop. */
+    * column so the V1Writes partitioned-write rule keeps it.
+    *
+    * The manifest counts the WRITTEN shards (`spark.read.parquet(path)`
+    * — a footer-rowcount-only scan, no data pages), not a second pass
+    * over `df`: with a nondeterministic or concurrently-changing
+    * upstream, recomputing `df` could silently disagree with the files
+    * just written. `_manifest` is underscore-prefixed, so data readers
+    * of `path` never see it. */
   def shardedExport(df: DataFrame, shardCol: String, orderCol: String,
                     path: String): Unit = {
     df.repartitionByRange(col(shardCol), col(orderCol))
@@ -45,7 +51,8 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(shardCol)
       .parquet(path)
-    df.groupBy(col(shardCol))
+    df.sparkSession.read.parquet(path)
+      .groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col(shardCol))
       .coalesce(1)
