@@ -25,7 +25,8 @@ object Bench {
     "corpus_stats", "chunk_tokens", "dedup_clusters", "corpus_sample",
     "pack_examples", "corpus_mix",
     "decontaminate", "dedup_incremental", "corpus_shuffle",
-    "training_pipeline", "embed_quantize", "text_repetition")
+    "training_pipeline", "embed_quantize", "text_repetition",
+    "decontaminate_bloom", "range_join", "vocab_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -13,7 +13,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("prefix_scan", "filter_eq", "project_alias", "broadcast_join",
         "lookup_join", "q1_agg", "pack_concat", "dedup_simhash",
-        "decontaminate", "training_pipeline", "embed_quantize")
+        "decontaminate", "training_pipeline", "embed_quantize",
+        "decontaminate_bloom", "range_join", "vocab_topk")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Bloom-filter build/probe over Spark's native catalyst expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain` — the machinery
+  * behind runtime row-group filtering, exposed here as columns).
+  *
+  * The scale pattern this enables: a set-membership prefilter whose
+  * broadcastable state is O(bits), not O(items). A distinct-string join
+  * table over, say, 100 M benchmark n-grams is tens of GB and cannot
+  * broadcast; the bloom filter over the same set at 1% fpp is ~120 MB of
+  * bitmap — and probes run map-side inside codegen, so the 100 TB corpus
+  * side never shuffles for the membership test. False positives are then
+  * removed by an exact join on the (tiny) surviving subset.
+  *
+  * Values are hashed with xxhash64 on both the build and probe side —
+  * the aggregate inserts the 64-bit hash, `mightContain` probes with the
+  * same hash, so build and probe agree by construction.
+  */
+object BloomOps {
+
+  /** Bits for a target false-positive rate at `expectedItems` distinct
+    * insertions (standard optimum: m = -n·ln(p)/ln(2)²). */
+  def optimalNumBits(expectedItems: Long, fpp: Double): Long = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0.0 && fpp < 1.0, "fpp in (0,1)")
+    math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+  }
+
+  /** Aggregate column producing the serialized bloom filter (binary) of
+    * all input values. NOTE: Spark silently caps the sizing at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 64 Mbits) — raise those confs
+    * when building over larger benchmark sets, or the fpp degrades. */
+  def bloomAgg(value: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(value)),
+        Literal(expectedItems),
+        Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression())
+
+  /** Membership probe against a driver-held serialized filter (the few-MB
+    * binary rides the task closure to every executor exactly like a
+    * broadcast variable). A null `bloom` (empty build side) matches
+    * nothing. */
+  def mightContain(bloom: Array[Byte], value: Column): Column =
+    if (bloom == null) lit(false)
+    else ColumnBridge.column(
+      new BloomFilterMightContain(
+        Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(value))))
+}

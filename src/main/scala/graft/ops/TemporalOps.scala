@@ -55,6 +55,54 @@ object TemporalOps {
       .select(col("__row.*"), col("payload"))
   }
 
+  /** Interval/range join: every (left, right) pair on the same key with
+    * `rightTs ∈ [leftTs + lower, leftTs + upper]` — "orders placed in
+    * the 30 days before each event", the join Spark only plans as a
+    * key-equi join with the range as a post-filter, which degenerates to
+    * a per-key cross product when keys are hot.
+    *
+    * Scale shape — binned bucket join: timestamps are floor-divided into
+    * buckets of width `upper - lower + 1`, so every left row's target
+    * window spans AT MOST TWO buckets. The left side explodes to those
+    * ≤2 (key, bucket) coordinates, the right side computes its single
+    * bucket, and the join is equi on (key, bucket) with the exact range
+    * check as a filter — candidates are bounded by bucket co-residency
+    * (time-local rows), never the full per-key history. One shuffle on
+    * (key, bucket), which also spreads a hot key across its time range.
+    * Each right row lives in exactly one bucket, so no pair dedup is
+    * needed.
+    *
+    * @return left rows (unchanged columns) + the `rightCols` projection
+    *         of every matching right row; inner semantics (left rows
+    *         with no match are absent)
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftKey: Column, rightKey: Column,
+                leftTs: Column, rightTs: Column,
+                lower: Long, upper: Long,
+                rightCols: Seq[Column]): DataFrame = {
+    require(upper >= lower, "upper bound must be >= lower bound")
+    val w = upper - lower + 1 // window span fits in <= 2 buckets of this width
+    // floor division that stays exact on longs at any sign:
+    // (ts - pmod(ts, w)) is the largest multiple of w <= ts, and `div`
+    // is integral division (a double `/` would round past 2^53)
+    def fdiv(ts: Column): Column =
+      call_function("div", ts - pmod(ts, lit(w)), lit(w))
+    val l = left.select(struct(col("*")).as("__lrow"),
+        leftKey.as("__k"), leftTs.as("__lts"))
+      .where(col("__k").isNotNull && col("__lts").isNotNull)
+      .select(col("__lrow"), col("__k"), col("__lts"),
+        explode(sequence(fdiv(col("__lts") + lower),
+          fdiv(col("__lts") + upper))).as("__b"))
+    val r = right.select(struct(rightCols: _*).as("__rrow"),
+        rightKey.as("__k"), rightTs.as("__rts"))
+      .where(col("__k").isNotNull && col("__rts").isNotNull)
+      .withColumn("__b", fdiv(col("__rts")))
+    l.join(r, Seq("__k", "__b"))
+      .where(col("__rts").between(col("__lts") + lower, col("__lts") + upper))
+      .select(col("__lrow.*"), col("__rrow.*"))
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event on the same key exceeds `gap` (in the ts unit).
     * Adds `session_id` (0-based per key, by time order). */

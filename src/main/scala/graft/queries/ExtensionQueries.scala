@@ -81,6 +81,49 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the SAME decontamination through the bloom-filter prefilter —
+    // identical output by construction (the bloom only ADMITS candidates,
+    // the exact join removes its false positives), gated against the
+    // same oracle SQL: the proof that the too-big-to-broadcast-benchmark
+    // scale path stays exact
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.text.Decontaminate.flagBloom(
+          docs.where(col("doc_id") % 17 =!= 0),
+          docs.where(col("doc_id") % 17 === 0),
+          col("doc_id"), col("text"), n = 5, minHits = 1,
+          expectedBenchGrams = 1L << 16, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
+    // interval join via the binned bucket equi-join (TemporalOps
+    // scaladoc): orders placed in the 30 days at-or-before each event.
+    // Oracle: DuckDB's native inequality join over the same frames.
+    "range_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots_us"))
+      graft.ops.TemporalOps.rangeJoin(e, o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTs = col("ts_us"), rightTs = col("ots_us"),
+          lower = -30L * 86400L * 1000000L, upper = 0L,
+          rightCols = Seq(col("o_orderkey")))
+        .orderBy(col("event_id"), col("o_orderkey"))
+    }),
+
+    // corpus vocabulary (tokenizer-training / idf table): top tokens by
+    // total frequency with document frequency, via the two-stage
+    // (token, doc) → token aggregation that never holds per-token sets
+    "vocab_topk" -> ((s, dir) => {
+      graft.text.TextOps.termStats(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)
+    }),
+
     // intra-document repetition: duplicate bigram/trigram fraction of
     // the normalized token stream (ppm) — the Gopher-style quality
     // threshold for boilerplate loops and degenerate text; per-row
@@ -670,6 +713,47 @@ object ExtensionQueries {
          |FROM gl LEFT JOIN hits h USING (doc_id)
          |WHERE gl.doc_id % 17 <> 0
          |ORDER BY gl.doc_id""".stripMargin,
+
+    // bloom prefilter + exact verify ≡ exact decontamination, so the
+    // bloom path is held to the SAME oracle
+    "decontaminate_bloom" ->
+      s"""WITH $toksCte,
+         |gl AS (
+         |  SELECT doc_id, list_distinct(CASE
+         |    WHEN len(l) < 5 THEN [array_to_string(l, '_')]
+         |    ELSE list_transform(range(1, len(l) - 3),
+         |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' ||
+         |           l[i+3] || '_' || l[i+4]) END) AS gs
+         |  FROM toks),
+         |g5 AS (SELECT doc_id, unnest(gs) AS g FROM gl),
+         |bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 17 = 0),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_hits FROM g5 JOIN bench USING (g)
+         |  WHERE doc_id % 17 <> 0 GROUP BY doc_id)
+         |SELECT gl.doc_id, len(gs) AS n_grams,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  cast(coalesce(h.n_hits, 0) >= 1 AS int) AS contaminated
+         |FROM gl LEFT JOIN hits h USING (doc_id)
+         |WHERE gl.doc_id % 17 <> 0
+         |ORDER BY gl.doc_id""".stripMargin,
+
+    "range_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  o.o_orderkey
+        |FROM events e JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        | AND epoch_us(o.o_orderdate)
+        |     BETWEEN epoch_us(e.ts) - 2592000000000 AND epoch_us(e.ts)
+        |ORDER BY e.event_id, o.o_orderkey""".stripMargin,
+
+    "vocab_topk" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(l) AS token FROM toks),
+         |g AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY 1, 2),
+         |v AS (SELECT token, cast(sum(c) AS bigint) AS tf,
+         |        count(*) AS df FROM g GROUP BY 1)
+         |SELECT token, tf, df FROM v
+         |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
 
     "text_repetition" ->
       s"""WITH $toksCte,

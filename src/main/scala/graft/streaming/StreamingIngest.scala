@@ -124,6 +124,74 @@ object StreamingIngest {
         id)
     }
 
+  case class SessEvent(user_id: Long, event_ts: java.sql.Timestamp)
+  case class SessState(start: Long, end: Long, n: Long) // epoch millis
+  case class ClosedSession(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long)
+
+  /** Streaming gap-based sessionization — the streaming twin of
+    * [[graft.ops.TemporalOps.sessionize]]: a user's session closes when
+    * no event arrives within `gapMs`, and the CLOSED session (start, end,
+    * event count; epoch millis) is emitted exactly once.
+    *
+    * flatMapGroupsWithState with EventTimeTimeout: state per user is one
+    * open session (three longs — bounded however long the stream runs);
+    * the timeout fires when the watermark passes `session_end + gap`, so
+    * emission is driven by event time, not wall clock, and replays
+    * deterministically. Late events beyond the watermark are dropped by
+    * the watermark itself — the batch sessionizer is the backfill path
+    * for those. Input needs columns (user_id, event_ts). */
+  def streamingSessions(spark: SparkSession, events: DataFrame,
+                        gapMs: Long, watermark: String = "1 hour"):
+      Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_ts"))
+      .withWatermark("event_ts", watermark)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap with no new events: session closed
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start, s.end, s.n))
+          } else {
+            // fold this batch's events (in time order — a micro-batch
+            // group iterator has no order guarantee) into the open
+            // session, closing any session a >gap jump terminates
+            val ts = rows.map(_.event_ts.getTime).toArray.sorted
+            val closed = Array.newBuilder[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(SessState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start, s.end, s.n)
+                  Some(SessState(t, t, 1))
+                case None => Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              // the watermark may ALREADY be past this session's close
+              // point (e.g. the batch carried only barely-not-late data):
+              // setTimeoutTimestamp would reject a past timestamp, and the
+              // session is semantically over — close it now
+              if (s.end + gapMs <= state.getCurrentWatermarkMs) {
+                if (state.exists) state.remove()
+                closed += ClosedSession(uid, s.start, s.end, s.n)
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(s.end + gapMs)
+              }
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n_events: Long, total_value: Double)
   case class UserSummary(user_id: Long, n_events: Long, total_value: Double)

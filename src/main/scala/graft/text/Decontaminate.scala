@@ -36,11 +36,15 @@ object Decontaminate {
     */
   def flag(train: DataFrame, bench: DataFrame, id: Column, text: Column,
            n: Int = 5, minHits: Int = 1,
-           broadcastBench: Boolean = true): DataFrame = {
+           broadcastBench: Boolean = true): DataFrame =
+    annotate(train, hitCounts(train, bench, id, text, n, broadcastBench),
+      id, text, n, minHits)
+
+  private def annotate(train: DataFrame, hits: DataFrame, id: Column,
+                       text: Column, n: Int, minHits: Int): DataFrame = {
     train
       .select(id.as("doc_id"), size(Dedup.shingles(text, n)).as("n_grams"))
-      .join(hitCounts(train, bench, id, text, n, broadcastBench),
-        Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", (col("n_hits") >= minHits).cast("int"))
@@ -61,6 +65,48 @@ object Decontaminate {
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     // shingles are distinct per doc, so count(*) counts DISTINCT shared grams
     trainGrams.join(benchGrams, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Bloom-prefiltered [[flag]] — same output, different scale regime.
+    * [[hitCounts]] assumes the benchmark's distinct-gram set fits a
+    * broadcast join table; for a very large eval suite (hundreds of
+    * millions of grams = tens of GB of strings) that stops being true.
+    * Here the benchmark grams aggregate into a bloom filter binary —
+    * O(bits) however many grams, ~1.2 GB at 10⁹ grams/1% fpp — which
+    * rides the task closure; the corpus gram stream is probed MAP-SIDE
+    * and only the survivors (true hits + fpp of the stream) reach the
+    * exact verification join, now a shuffled semi-join whose corpus side
+    * is tiny. Exactness is preserved: the bloom can only admit extra
+    * candidates, and the verify join removes them. */
+  def flagBloom(train: DataFrame, bench: DataFrame, id: Column, text: Column,
+                n: Int = 5, minHits: Int = 1,
+                expectedBenchGrams: Long = 1L << 22,
+                fpp: Double = 0.01): DataFrame =
+    annotate(train,
+      hitCountsBloom(train, bench, id, text, n, expectedBenchGrams, fpp),
+      id, text, n, minHits)
+
+  /** [[hitCounts]] through the bloom prefilter (see [[flagBloom]]). */
+  def hitCountsBloom(train: DataFrame, bench: DataFrame, id: Column,
+                     text: Column, n: Int = 5,
+                     expectedBenchGrams: Long = 1L << 22,
+                     fpp: Double = 0.01): DataFrame = {
+    import graft.ops.BloomOps
+    val benchGrams = bench.select(explode(Dedup.shingles(text, n)).as("g"))
+    // one action to build the filter: a deliberate driver materialization
+    // of the serialized bitmap, the same class as a broadcast
+    val bfRow = benchGrams
+      .agg(BloomOps.bloomAgg(col("g"), expectedBenchGrams, fpp).as("bf"))
+      .head()
+    val bf = if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0)
+    val trainGrams = train
+      .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
+      .where(BloomOps.mightContain(bf, col("g")))
+    // exact verify over the survivors — NOT broadcast: this path exists
+    // precisely because the bench gram set is too big for that
+    trainGrams.join(benchGrams.distinct(), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -93,6 +93,29 @@ object TextOps {
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
+
+  // ── Vocabulary ───────────────────────────────────────────────────────
+
+  /** Corpus vocabulary: one row per token of the normalized stream with
+    * total term frequency (`tf`) and document frequency (`df`) — the
+    * tokenizer-training / idf-weighting / stopword-discovery table.
+    *
+    * Scale shape: two-stage aggregation. Stage 1 reduces the exploded
+    * token stream to (token, doc) with map-side partial counts, so the
+    * shuffle carries per-task-distinct pairs, not raw occurrences; stage
+    * 2 folds those into per-token (tf, df). A single-stage
+    * `countDistinct(doc)` would hold per-token doc-id sets in the
+    * aggregation buffers — unbounded state on a 100 TB corpus, where
+    * this shape's buffers stay scalar. `minDf` prunes the hapax tail
+    * (typically most of the vocabulary) before any top-k consumer. */
+  def termStats(docs: DataFrame, id: Column, text: Column,
+                minDf: Long = 1L): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(normalized(text))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("token"))
+      .agg(sum(col("__tf")).as("tf"), count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
 
   // ── Context-window chunking ──────────────────────────────────────────
 

@@ -58,6 +58,49 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) === null, "null keys must not equi-match")
   }
 
+  test("range join: inclusive bounds, bucket crossings, key isolation") {
+    val left = Seq(
+      (1L, "u1", 100L),
+      (2L, "u2", 100L),
+      (3L, "u3", 7L)   // window [-3, 7] crosses bucket boundary at 0
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("u1", 89L, "tooOld"),   // 100-10=90: just below → out
+      ("u1", 90L, "lowEdge"),  // inclusive lower bound
+      ("u1", 100L, "hiEdge"),  // inclusive upper bound
+      ("u1", 101L, "tooNew"),
+      ("u2", 95L, "otherKey"),
+      ("u3", -3L, "negTs"),    // negative ts must floor-div correctly
+      ("u3", 7L, "atEnd")
+    ).toDF("k", "ts", "v")
+    def run(lo: Long, hi: Long) = TemporalOps.rangeJoin(left, right,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTs = col("ts"), rightTs = col("ts"),
+        lower = lo, upper = hi, rightCols = Seq(col("v")))
+      .select("event_id", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(run(-10L, 0L) ===
+      Set(1L -> "lowEdge", 1L -> "hiEdge", 2L -> "otherKey",
+        3L -> "negTs", 3L -> "atEnd"))
+    // zero-width window: exact-ts equi join only
+    assert(run(0L, 0L) === Set(1L -> "hiEdge", 3L -> "atEnd"))
+  }
+
+  test("range join: each matching pair appears exactly once") {
+    // many rights inside ONE left window, spread across both candidate
+    // buckets — explode must not double-count pairs
+    val left = Seq((1L, "k", 1000L)).toDF("event_id", "k", "ts")
+    val right = (900L to 1000L by 10).map(t => ("k", t, t.toString))
+      .toDF("k", "ts", "v")
+    val out = TemporalOps.rangeJoin(left, right,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTs = col("ts"), rightTs = col("ts"),
+        lower = -100L, upper = 0L, rightCols = Seq(col("v")))
+      .select("v").as[String].collect().toSeq
+    assert(out.sorted === (900L to 1000L by 10).map(_.toString).sorted)
+    assert(out.size === out.distinct.size)
+  }
+
   test("sessionize: gap strictly-greater starts a new session") {
     val e = Seq(
       ("u1", 0L), ("u1", 100L),      // gap 100 == gap → same session
