@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.{Ann, Quantize}
+import graft.similarity.{Ann, Pq, Quantize}
 import graft.text.TextOps
 
 /** Training-data-pipeline extensions (BASELINE.json north star): dedup,
@@ -315,6 +315,18 @@ object ExtensionQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Ann.lshTopK(q, c, k = 10, bands = 8, bandBits = 4)
+        .orderBy(col("qid"), col("cid"))
+    }),
+
+    // PQ/ADC approximate top-k (rows-only gate: k-means codebooks aren't
+    // DuckDB-expressible; recall/determinism engine-verified in PqSpec)
+    "ann_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Pq.adcTopK(q, c, k = 10, dim = 64, m = 8, nCentroids = 16,
+          overscan = 8)
         .orderBy(col("qid"), col("cid"))
     }),
 

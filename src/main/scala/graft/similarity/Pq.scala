@@ -1,0 +1,168 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextExprs
+
+/** Product quantization (PQ) for embedding columns — the memory-side
+  * counterpart of [[Quantize]]: where int8 quantization cuts storage 4×,
+  * PQ cuts the SCAN to `m` one-byte codes per vector (64× at dim 64,
+  * m=8) by snapping each of `m` subvectors to its nearest trained
+  * centroid, and scores queries against codes without ever touching the
+  * float vectors (ADC — asymmetric distance computation).
+  *
+  * Spark-first decomposition:
+  *  - **train**: one k-means-lite over the exploded (sub, subvector)
+  *    frame — all `m` subspaces train in the SAME distributed Lloyd
+  *    rounds (assignment = broadcast-centroid join keyed by sub, update
+  *    = per-(sub, cluster, pos) average), not an m-way driver loop.
+  *  - **encode / score**: the trained codebook is m×k×(dim/m) doubles —
+  *    a few KB — so it travels as a nested array LITERAL inside the
+  *    expression tree. Encoding and ADC scoring are pure column
+  *    expressions (nested transform/aggregate lambdas): zero shuffle,
+  *    zero extra scan, whole-stage codegen over the 100 TB corpus.
+  *
+  * Dot products decompose exactly over subspaces (q·c = Σ q_sub·c_sub),
+  * so with L2-normalized inputs the ADC score `Σ qtab[sub][code]`
+  * approximates cosine with per-subspace quantization error; `overscan`
+  * buys back recall before the exact re-rank.
+  */
+object Pq {
+
+  /** Trained codebook: `centroids(sub)(cluster)` is a subdim-length
+    * centroid; clusters are dense-renumbered per sub (Lloyd can empty a
+    * cluster, so k' ≤ k may differ across subs). */
+  case class Model(m: Int, subdim: Int, centroids: Seq[Seq[Seq[Double]]])
+
+  private def sq(c: Column): Column = c * c
+
+  /** Squared L2 distance of two equal-length double arrays. */
+  private def l2dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => sq(x - y)), lit(0.0), _ + _)
+
+  /** The (id, sub, subvector) exploded frame over NORMALIZED vectors. */
+  private def subVectors(df: DataFrame, id: Column, vec: Column,
+                         m: Int, subdim: Int): DataFrame =
+    df.select(id.as("__id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(Ann.normalize(Ann.asDouble(vec)), i * subdim + 1, lit(subdim)))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+
+  /** Train the codebook: `iters` distributed Lloyd rounds over all
+    * subspaces at once, seeded deterministically from the first `k` rows
+    * by id. The returned model is m·k·subdim doubles — broadcast-class,
+    * collected once. */
+  def train(corpus: DataFrame, id: Column, vec: Column, dim: Int,
+            m: Int = 8, k: Int = 16, iters: Int = 2): Model = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 1, "k > 1 centroids per subspace")
+    val subdim = dim / m
+    val subv = subVectors(corpus, id, vec, m, subdim)
+    // seeds: subvectors of the first k rows by id — k·m rows total, the
+    // per-sub rank window runs over that bounded frame, never the corpus
+    val seedRows = subVectors(
+      corpus.orderBy(id).limit(k), id, vec, m, subdim)
+    val seedW = Window.partitionBy(col("sub")).orderBy(col("__id"))
+    var centroids = seedRows
+      .withColumn("cluster", row_number().over(seedW) - 1)
+      .select(col("sub"), col("cluster"), col("sv").as("centroid"))
+      .localCheckpoint(true)
+    def assign(cents: DataFrame): DataFrame =
+      subv.join(broadcast(cents), Seq("sub"))
+        .select(col("__id"), col("sub"), col("sv"),
+          struct(l2dist2(col("sv"), col("centroid")).as("d"),
+            col("cluster")).as("dc"))
+        .groupBy(col("__id"), col("sub"))
+        .agg(min(col("dc")).getField("cluster").as("cluster"),
+          first(col("sv")).as("sv"))
+    for (_ <- 0 until iters) {
+      centroids = assign(centroids)
+        .select(col("sub"), col("cluster"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .groupBy(col("sub"), col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+        // m·k·subdim doubles — materialize so each Lloyd round starts
+        // from a frame instead of replaying every prior round
+        .localCheckpoint(true)
+    }
+    val collected = centroids
+      .orderBy(col("sub"), col("cluster"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.toSeq.map(_.getSeq[Double](2)) }
+    Model(m, subdim, collected)
+  }
+
+  private def centroidsLit(model: Model): Column = typedlit(model.centroids)
+
+  /** PQ codes (array<int>, length m) for a vector — a pure column
+    * expression over the literal codebook; no shuffle, no join. */
+  def encode(vec: Column, model: Model): Column = {
+    val cents = centroidsLit(model)
+    val v = Ann.normalize(Ann.asDouble(vec))
+    transform(sequence(lit(0), lit(model.m - 1)), i => {
+      val sv = slice(v, i * model.subdim + 1, lit(model.subdim))
+      val subCents = element_at(cents, i + 1)
+      array_min(transform(sequence(lit(1), size(subCents)), j =>
+        struct(l2dist2(sv, element_at(subCents, j)).as("d"),
+          (j - 1).as("j"))))
+        .getField("j")
+    })
+  }
+
+  /** Per-query ADC table: `qtab(sub)(cluster) = q_sub · centroid` —
+    * computed as a column on the (tiny) query side. */
+  private def queryTable(qvec: Column, model: Model): Column = {
+    val cents = centroidsLit(model)
+    val qv = Ann.normalize(Ann.asDouble(qvec))
+    transform(sequence(lit(0), lit(model.m - 1)), i => {
+      val sv = slice(qv, i * model.subdim + 1, lit(model.subdim))
+      transform(element_at(cents, i + 1), c => TextExprs.vecDot(sv, c))
+    })
+  }
+
+  /** ADC score of a codes array against a query table: one table lookup
+    * per subspace, summed — m array accesses per corpus row. */
+  private def adcScore(codes: Column, qtab: Column): Column =
+    aggregate(zip_with(codes, qtab, (code, tbl) => element_at(tbl, code + 1)),
+      lit(0.0), _ + _)
+
+  /** Approximate top-k via PQ: train (or reuse) a codebook, encode the
+    * corpus in-line, rank by ADC score, keep k·overscan survivors, exact
+    * cosine re-rank — same ids-only survivor join as the int8 path.
+    * @param queries (qid, qvec) small + broadcast; corpus (cid, cvec) */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              m: Int = 8, nCentroids: Int = 16, iters: Int = 2,
+              overscan: Int = 4, roundTo: Int = 4,
+              model: Option[Model] = None): DataFrame = {
+    val mdl = model.getOrElse(
+      train(corpus, col("cid"), col("cvec"), dim, m, nCentroids, iters))
+    val coded = corpus.select(col("cid"), encode(col("cvec"), mdl).as("codes"))
+    val qt = queries.select(col("qid"), queryTable(col("qvec"), mdl).as("qtab"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("iscore").desc, col("cid"))
+    val survivors = coded.crossJoin(broadcast(qt))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        adcScore(col("codes"), col("qtab")).as("iscore"))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= k * overscan)
+      .select(col("qid"), col("cid"))
+    // floats re-attach for k·overscan rows per query only
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    survivors
+      .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(Ann.cosine(Ann.asDouble(col("qvec")), Ann.asDouble(col("cvec"))),
+          roundTo).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+}

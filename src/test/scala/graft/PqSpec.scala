@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{Ann, Pq}
+
+/** PQ codebook/encode/ADC contracts: code shape and range, exact
+  * reconstruction when the corpus has ≤k distinct subvectors, recall of
+  * the ADC prefilter against exact brute force, determinism. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def embeddings = Tables(spark, dir, "embeddings")
+
+  private def qc = {
+    val e = embeddings
+    (e.where(col("vec_id") < 8)
+       .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+     e.select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+  }
+
+  test("codes have length m with values in [0, k)") {
+    val (_, c) = qc
+    val mdl = Pq.train(c, col("cid"), col("cvec"), dim = 64, m = 8, k = 16)
+    assert(mdl.centroids.size === 8)
+    assert(mdl.centroids.forall(sub => sub.nonEmpty && sub.size <= 16))
+    assert(mdl.centroids.forall(_.forall(_.size === 8)))
+    val codes = c.select(Pq.encode(col("cvec"), mdl).as("codes"))
+      .select(explode(col("codes"))).as[Int].collect()
+    assert(codes.forall(j => j >= 0 && j < 16))
+    val lens = c.select(size(Pq.encode(col("cvec"), mdl))).as[Int].collect()
+    assert(lens.forall(_ === 8))
+  }
+
+  test("a corpus of k distinct vectors encodes losslessly after training") {
+    // with exactly k distinct subvectors per subspace, Lloyd converges to
+    // them and ADC reconstruction is exact: every vector's nearest
+    // centroid IS its own subvector
+    // distinct DIRECTIONS (not scalar multiples — those normalize to the
+    // same unit vector and must collapse to one code)
+    val base = (0 until 4).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 7 + d * 3) % 11 + 1).toFloat))
+    }
+    val c = base.toDF("cid", "cvec")
+    val mdl = Pq.train(c, col("cid"), col("cvec"), dim = 16, m = 4, k = 4,
+      iters = 3)
+    val recon = c.select(col("cid"), Pq.encode(col("cvec"), mdl).as("codes"))
+      .collect().map(r => r.getAs[Long]("cid") -> r.getSeq[Int](1)).toMap
+    // distinct vectors must get distinct codes (lossless separation)
+    assert(recon.values.toSet.size === 4)
+  }
+
+  test("ADC top-k recall vs exact brute force") {
+    val (q, c) = qc
+    val exact = Ann.bruteForceTopK(q, c, k = 10).select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.adcTopK(q, c, k = 10, dim = 64, m = 8, nCentroids = 16,
+        overscan = 8)
+      .select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.5,
+      s"PQ recall $recall (${exact.count(pq.contains)}/${exact.size})")
+  }
+
+  test("training and encoding are deterministic") {
+    val (_, c) = qc
+    def run() = {
+      val mdl = Pq.train(c, col("cid"), col("cvec"), dim = 64, m = 8, k = 16)
+      c.select(col("cid"), Pq.encode(col("cvec"), mdl).as("codes"))
+        .orderBy(col("cid")).collect().map(_.toSeq).toSeq
+    }
+    assert(run() === run())
+  }
+}
