@@ -26,7 +26,8 @@ object Bench {
     "pack_examples", "corpus_mix",
     "decontaminate", "dedup_incremental", "corpus_shuffle",
     "training_pipeline", "embed_quantize", "text_repetition",
-    "decontaminate_bloom", "range_join", "vocab_topk", "ann_pq")
+    "decontaminate_bloom", "range_join", "vocab_topk", "ann_pq",
+    "dedup_incremental_bloom", "doc_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -131,6 +131,36 @@ object Dedup {
         col("dup_of").isNull.cast("int").as("is_new"))
   }
 
+  /** [[exactAgainstExisting]] with a bloom prefilter on the EXISTING
+    * side — the asymmetry matters: the batch is small (today's arrivals),
+    * the standing corpus is the 100 TB side. The batch's content hashes
+    * aggregate into a tiny bloom bitmap; the existing corpus is probed
+    * MAP-SIDE and only hash-groups that might collide with the batch
+    * reach the (hash, min id) aggregation and the join — instead of
+    * reducing and shuffling the full standing corpus every batch.
+    *
+    * Output is identical to the exact path: the bloom has no false
+    * negatives, and a false positive merely lets a non-matching hash
+    * group through to the join, where it matches nothing. (Bloom
+    * membership is decided per HASH, so a surviving group keeps all its
+    * rows and `min(doc_id)` is unaffected.) */
+  def exactAgainstExistingBloom(batch: DataFrame, existing: DataFrame,
+                                id: Column, text: Column,
+                                expectedBatchDocs: Long = 1L << 20,
+                                fpp: Double = 0.01): DataFrame = {
+    import graft.ops.BloomOps
+    val b = batch.select(id.as("doc_id"), md5(text).as("__h"))
+    val bfRow = b.agg(
+      BloomOps.bloomAgg(col("__h"), expectedBatchDocs, fpp).as("bf")).head()
+    val bf = if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0)
+    val e = existing.select(id.as("doc_id"), md5(text).as("__h"))
+      .where(BloomOps.mightContain(bf, col("__h")))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("dup_of"))
+    b.join(e, Seq("__h"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNull.cast("int").as("is_new"))
+  }
+
   /** Near-dup pairs BETWEEN two corpora (batch × existing) via the same
     * banded-MinHash LSH as [[minhashPairs]], emitting only cross-side
     * pairs — incremental near-dedup without re-pairing the existing

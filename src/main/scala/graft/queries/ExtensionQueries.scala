@@ -70,6 +70,33 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the SAME incremental dedup with the batch-hash bloom prefiltering
+    // the standing-corpus side map-side — identical output (no false
+    // negatives; false positives die in the join), same oracle
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exactAgainstExistingBloom(
+          batch, docs.where(col("doc_id") % 3 =!= 0),
+          col("doc_id"), col("text"),
+          expectedBatchDocs = 1L << 12, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-document keyword extraction: tf · N/df (linear idf — exact
+    // integer ratio, bit-identical across engines) ranked per doc
+    "doc_keywords" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.text.TextOps.topTerms(docs, col("doc_id"), col("text"),
+          n = docs.count(), topK = 3)
+        .select(col("doc_id"), col("rank").as("rnk"), col("token"),
+          col("score_ppm"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // benchmark decontamination: training docs sharing any 5-gram with
     // the (broadcast) eval set are flagged before serialization
     "decontaminate" -> ((s, dir) => {
@@ -701,6 +728,41 @@ object ExtensionQueries {
         |  cast(e.dup_of IS NULL AS int) AS is_new
         |FROM b LEFT JOIN e ON md5(b.text) = e.h
         |ORDER BY b.doc_id""".stripMargin,
+
+    // bloom prefilter + exact join ≡ exact incremental dedup
+    "dedup_incremental_bloom" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |e AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS dup_of FROM documents
+        |  WHERE doc_id % 3 <> 0 GROUP BY 1)
+        |SELECT b.doc_id, e.dup_of,
+        |  cast(e.dup_of IS NULL AS int) AS is_new
+        |FROM b LEFT JOIN e ON md5(b.text) = e.h
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // linear-idf keyword extraction: the score is two correctly-rounded
+    // IEEE ops over exact integers — reproduces bit-identically here
+    "doc_keywords" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(l) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    cast(round(tf.tf * n.n / df.df * 1000000) AS bigint) AS score_ppm
+         |  FROM tf JOIN df USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS rnk
+         |  FROM s)
+         |SELECT doc_id, rnk, token, score_ppm FROM r
+         |WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     // 5-gram benchmark-overlap check over the same normalized token
     // stream as the dedup oracles; docs shorter than the window shingle

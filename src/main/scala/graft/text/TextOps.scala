@@ -117,6 +117,40 @@ object TextOps {
       .agg(sum(col("__tf")).as("tf"), count(lit(1)).as("df"))
       .where(col("df") >= minDf)
 
+  /** Per-document top keywords by rarity-weighted frequency: score =
+    * tf · N / df — tf-idf with a LINEAR idf. The linear form is chosen
+    * deliberately: tf, N and df are exact integers, so the score is two
+    * correctly-rounded IEEE operations that reproduce bit-identically in
+    * any engine (a log-idf would hang the correctness gate on libm
+    * last-ulp differences). Emitted as integer ppm for the same reason.
+    *
+    * Scale shape: [[termStats]] builds the df table (two bounded-state
+    * aggregations), the per-doc tf frame joins it ON TOKEN (hash join,
+    * one shuffle each side), and the top-k window partitions by doc —
+    * millions of small partitions, embarrassingly parallel. `n` is the
+    * corpus document count, passed in (the caller usually knows it from
+    * a manifest; computing it here would force an extra action).
+    *
+    * @return (doc_id, rank, token, score_ppm), `topK` rows per doc with
+    *         at least one token; ties break lexicographically */
+  def topTerms(docs: DataFrame, id: Column, text: Column, n: Long,
+               topK: Int = 3, minDf: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(id.as("doc_id"), explode(tokens(normalized(text))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = termStats(docs, id, text, minDf).select("token", "df")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("score_ppm",
+        round(col("tf") * lit(n) / col("df") * 1e6, 0).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("token"), col("score_ppm"))
+  }
+
   // ── Context-window chunking ──────────────────────────────────────────
 
   /** Chunk a document's tokens into fixed-size context windows with

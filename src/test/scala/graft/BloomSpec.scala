@@ -71,6 +71,30 @@ class BloomSpec extends AnyFunSuite {
     assert(flags(3L) === 1)
   }
 
+  test("exactAgainstExistingBloom is identical to the exact path") {
+    import graft.dedup.Dedup
+    val existing = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"), (5L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),   // dup of min-id 1
+      (11L, "brand new content"),  // new
+      (12L, "delta epsilon"))      // dup of 2
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val exact = Dedup.exactAgainstExisting(batch, existing,
+      col("doc_id"), col("text"))
+    val bloom = Dedup.exactAgainstExistingBloom(batch, existing,
+      col("doc_id"), col("text"), expectedBatchDocs = 64)
+    assert(norm(bloom) === norm(exact))
+    val m = bloom.collect().map(r => r.getAs[Long]("doc_id") ->
+      Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+    assert(m(10L) === Some(1L))
+    assert(m(11L) === None)
+    assert(m(12L) === Some(2L))
+  }
+
   test("flagBloom with an empty benchmark flags nothing") {
     val train = Seq((1L, "some training text here")).toDF("doc_id", "text")
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")

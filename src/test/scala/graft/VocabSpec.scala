@@ -26,6 +26,25 @@ class VocabSpec extends AnyFunSuite {
     assert(stats.size === 3)
   }
 
+  test("topTerms ranks rarity-weighted frequency with lexicographic ties") {
+    val docs = Seq(
+      (1L, "rare common common"),  // tf(common)=2 · N/df=3/3=1 → 2M ppm
+                                   // tf(rare)=1 · N/df=3/1=3   → 3M ppm
+      (2L, "common alpha"),
+      (3L, "common beta")
+    ).toDF("doc_id", "text")
+    val out = TextOps.topTerms(docs, col("doc_id"), col("text"), n = 3L,
+        topK = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("token"), r.getAs[Long]("score_ppm")))).toMap
+    assert(out((1L, 1)) === (("rare", 3000000L)))
+    assert(out((1L, 2)) === (("common", 2000000L)))
+    // doc 2: alpha (3M) beats common (1M)
+    assert(out((2L, 1)) === (("alpha", 3000000L)))
+    assert(out((2L, 2)) === (("common", 1000000L)))
+  }
+
   test("minDf prunes the hapax tail") {
     val docs = Seq(
       (1L, "common rare1"), (2L, "common rare2"), (3L, "common")
