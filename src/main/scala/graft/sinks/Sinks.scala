@@ -59,6 +59,17 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
   }
 
+  /** JSONL training-interchange export: one JSON object per line, the
+    * format most training loaders ingest. `to_json(struct(*))` is a
+    * codegen expression, so serialization runs at scan speed; column
+    * order inside each object follows the frame's schema, making the
+    * output deterministic given deterministic input. Pair with
+    * [[shardedExport]]'s repartitionByRange when replay order matters —
+    * this writer keeps whatever partitioning the frame arrives with. */
+  def jsonlExport(df: DataFrame, path: String): Unit =
+    df.select(to_json(struct(col("*"))).as("line"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
   /** K3: rewrite the \0-delimited single-column payload to comma-separated
     * text. `withNumericHeader` prepends one `0,1,…,n-1` row (n capped at
     * 200 like the reference's generated header). */

@@ -54,6 +54,17 @@ class SinksSpec extends AnyFunSuite {
     assert(manifest === expected)
   }
 
+  test("jsonl export round-trips through a json reader") {
+    val dir = Files.createTempDirectory("graft_sinks4").resolve("jl").toString
+    val df = Seq((1L, "alpha", 0.5), (2L, "beta \"quoted\"", -1.25))
+      .toDF("doc_id", "text", "score")
+    Sinks.jsonlExport(df, dir)
+    val back = spark.read.schema("doc_id LONG, text STRING, score DOUBLE")
+      .json(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back === Set((1L, "alpha", 0.5), (2L, "beta \"quoted\"", -1.25)))
+  }
+
   test("append text sink accumulates batches") {
     val dir = Files.createTempDirectory("graft_sinks2").resolve("t").toString
     Sinks.appendText(Seq("x").toDF("v"), dir)
