@@ -150,9 +150,7 @@ object Dedup {
                                 fpp: Double = 0.01): DataFrame = {
     import graft.ops.BloomOps
     val b = batch.select(id.as("doc_id"), md5(text).as("__h"))
-    val bfRow = b.agg(
-      BloomOps.bloomAgg(col("__h"), expectedBatchDocs, fpp).as("bf")).head()
-    val bf = if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0)
+    val bf = BloomOps.build(b, col("__h"), expectedBatchDocs, fpp)
     val e = existing.select(id.as("doc_id"), md5(text).as("__h"))
       .where(BloomOps.mightContain(bf, col("__h")))
       .groupBy(col("__h")).agg(min(col("doc_id")).as("dup_of"))

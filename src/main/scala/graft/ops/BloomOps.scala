@@ -44,6 +44,16 @@ object BloomOps {
         Literal(expectedItems),
         Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression())
 
+  /** Build the serialized filter over one column of `df` in a single
+    * action — the shared driver-materialization step of every bloom
+    * prefilter path. Returns null when `df` is empty (probe with
+    * [[mightContain]], which maps null to match-nothing). */
+  def build(df: org.apache.spark.sql.DataFrame, value: Column,
+            expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val row = df.agg(bloomAgg(value, expectedItems, fpp).as("bf")).head()
+    if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+  }
+
   /** Membership probe against a driver-held serialized filter (the few-MB
     * binary rides the task closure to every executor exactly like a
     * broadcast variable). A null `bloom` (empty build side) matches

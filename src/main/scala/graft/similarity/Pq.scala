@@ -81,7 +81,14 @@ object Pq {
       centroids = assign(centroids)
         .select(col("sub"), col("cluster"), posexplode(col("sv")))
         .groupBy(col("sub"), col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("mean"))
+        // decimal-exact mean, not avg(double): double partial sums merge
+        // in shuffle-fetch order and non-associative fp addition would
+        // make the codebook bit-unstable run-to-run; decimal addition is
+        // exact, so the mean is order-independent (components are
+        // normalized, |x| <= 1 — decimal(38,18) has 20 integer digits of
+        // headroom)
+        .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("mean"))
         .groupBy(col("sub"), col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("centroid"))

@@ -1,5 +1,7 @@
 package graft.sinks
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -51,7 +53,9 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(shardCol)
       .parquet(path)
-    df.sparkSession.read.parquet(path)
+    // pin the original schema: partition-column TYPE INFERENCE would
+    // otherwise rewrite e.g. a string shard '00' to int 0 in the manifest
+    df.sparkSession.read.schema(df.schema).parquet(path)
       .groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col(shardCol))
@@ -67,7 +71,11 @@ object Sinks {
     * [[shardedExport]]'s repartitionByRange when replay order matters —
     * this writer keeps whatever partitioning the frame arrives with. */
   def jsonlExport(df: DataFrame, path: String): Unit =
-    df.select(to_json(struct(col("*"))).as("line"))
+    // ignoreNullFields=false: every line carries every schema key (null
+    // included) — strict loaders and first-record schema inference rely
+    // on the uniform shape; Spark's default would DROP null-valued keys
+    df.select(to_json(struct(col("*")),
+        Map("ignoreNullFields" -> "false").asJava).as("line"))
       .write.mode(SaveMode.Overwrite).text(path)
 
   /** K3: rewrite the \0-delimited single-column payload to comma-separated

@@ -126,21 +126,31 @@ object StreamingIngest {
 
   case class SessEvent(user_id: Long, event_ts: java.sql.Timestamp)
   case class SessState(start: Long, end: Long, n: Long) // epoch millis
+  case class SessionsState(open: Seq[SessState])
   case class ClosedSession(user_id: Long, session_start: Long,
                            session_end: Long, n_events: Long)
 
   /** Streaming gap-based sessionization — the streaming twin of
     * [[graft.ops.TemporalOps.sessionize]]: a user's session closes when
-    * no event arrives within `gapMs`, and the CLOSED session (start, end,
-    * event count; epoch millis) is emitted exactly once.
+    * no event arrives within `gapMs` of its end, and the CLOSED session
+    * (start, end, event count; epoch millis) is emitted exactly once.
     *
-    * flatMapGroupsWithState with EventTimeTimeout: state per user is one
-    * open session (three longs — bounded however long the stream runs);
-    * the timeout fires when the watermark passes `session_end + gap`, so
-    * emission is driven by event time, not wall clock, and replays
-    * deterministically. Late events beyond the watermark are dropped by
-    * the watermark itself — the batch sessionizer is the backfill path
-    * for those. Input needs columns (user_id, event_ts). */
+    * State per user is the LIST of still-open sessions, and a session
+    * only closes when the WATERMARK passes its `end + gap` — never on a
+    * within-batch gap jump. Both are load-bearing for out-of-order
+    * streams: an event may arrive in a later micro-batch that is earlier
+    * than (or bridges) sessions already observed, as long as it is above
+    * the watermark; each batch therefore interval-merges state + new
+    * events and re-partitions into closed/open by the current watermark.
+    * Once the watermark passes `end + gap`, no admissible event (all
+    * have ts ≥ watermark) can be within `gap` of that session, so its
+    * emission is final and deterministic on replay. Events below the
+    * watermark are dropped by the watermark itself — the batch
+    * sessionizer is the backfill path for those.
+    *
+    * State is bounded: open sessions span at most the watermark horizon,
+    * so ≤ (watermark delay / gap) + 1 sessions per key. Input needs
+    * columns (user_id, event_ts). */
   def streamingSessions(spark: SparkSession, events: DataFrame,
                         gapMs: Long, watermark: String = "1 hour"):
       Dataset[ClosedSession] = {
@@ -149,46 +159,36 @@ object StreamingIngest {
       .withWatermark("event_ts", watermark)
       .as[SessEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, ClosedSession](
+      .flatMapGroupsWithState[SessionsState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end+gap with no new events: session closed
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(uid, s.start, s.end, s.n))
-          } else {
-            // fold this batch's events (in time order — a micro-batch
-            // group iterator has no order guarantee) into the open
-            // session, closing any session a >gap jump terminates
-            val ts = rows.map(_.event_ts.getTime).toArray.sorted
-            val closed = Array.newBuilder[ClosedSession]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur = cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  Some(SessState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(uid, s.start, s.end, s.n)
-                  Some(SessState(t, t, 1))
-                case None => Some(SessState(t, t, 1))
-              }
+        (uid: Long, rows: Iterator[SessEvent],
+         state: GroupState[SessionsState]) =>
+          // one code path for data and timeout invocations: on timeout
+          // `rows` is empty and the merge below is the identity
+          val wm = state.getCurrentWatermarkMs
+          val pts = rows
+            .map(e => SessState(e.event_ts.getTime, e.event_ts.getTime, 1L))
+            .toSeq
+          val all = (state.getOption.map(_.open).getOrElse(Seq.empty) ++ pts)
+            .sortBy(s => (s.start, s.end))
+          val merged = all.foldLeft(List.empty[SessState]) { (acc, s) =>
+            acc match {
+              case h :: t if s.start - h.end <= gapMs =>
+                SessState(h.start, math.max(h.end, s.end), h.n + s.n) :: t
+              case _ => s :: acc
             }
-            cur.foreach { s =>
-              // the watermark may ALREADY be past this session's close
-              // point (e.g. the batch carried only barely-not-late data):
-              // setTimeoutTimestamp would reject a past timestamp, and the
-              // session is semantically over — close it now
-              if (s.end + gapMs <= state.getCurrentWatermarkMs) {
-                if (state.exists) state.remove()
-                closed += ClosedSession(uid, s.start, s.end, s.n)
-              } else {
-                state.update(s)
-                state.setTimeoutTimestamp(s.end + gapMs)
-              }
-            }
-            closed.result().iterator
+          }.reverse
+          val (closed, open) = merged.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(SessionsState(open))
+            // wake when the earliest open session becomes closable
+            // (clamped above the watermark — required by the API)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end + gapMs).min, wm + 1))
           }
+          closed.iterator
+            .map(s => ClosedSession(uid, s.start, s.end, s.n))
       }
   }
 

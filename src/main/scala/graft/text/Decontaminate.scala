@@ -97,10 +97,7 @@ object Decontaminate {
     val benchGrams = bench.select(explode(Dedup.shingles(text, n)).as("g"))
     // one action to build the filter: a deliberate driver materialization
     // of the serialized bitmap, the same class as a broadcast
-    val bfRow = benchGrams
-      .agg(BloomOps.bloomAgg(col("g"), expectedBenchGrams, fpp).as("bf"))
-      .head()
-    val bf = if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0)
+    val bf = BloomOps.build(benchGrams, col("g"), expectedBenchGrams, fpp)
     val trainGrams = train
       .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
       .where(BloomOps.mightContain(bf, col("g")))

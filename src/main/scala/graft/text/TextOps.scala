@@ -124,12 +124,15 @@ object TextOps {
     * any engine (a log-idf would hang the correctness gate on libm
     * last-ulp differences). Emitted as integer ppm for the same reason.
     *
-    * Scale shape: [[termStats]] builds the df table (two bounded-state
-    * aggregations), the per-doc tf frame joins it ON TOKEN (hash join,
-    * one shuffle each side), and the top-k window partitions by doc —
-    * millions of small partitions, embarrassingly parallel. `n` is the
-    * corpus document count, passed in (the caller usually knows it from
-    * a manifest; computing it here would force an extra action).
+    * Scale shape: ONE tokenize/explode pass — the per-(doc, token) tf
+    * aggregation is computed once and the df table derives from IT
+    * (`tf.groupBy(token).count`), not from a second scan of the corpus
+    * (every extra reference to a 100 TB frame is another full scan).
+    * The tf frame then joins df ON TOKEN and the top-k window partitions
+    * by doc — millions of small partitions, embarrassingly parallel.
+    * `n` is the corpus document count, passed in (the caller usually
+    * knows it from a manifest; computing it here would force an extra
+    * action).
     *
     * @return (doc_id, rank, token, score_ppm), `topK` rows per doc with
     *         at least one token; ties break lexicographically */
@@ -140,7 +143,9 @@ object TextOps {
       .select(id.as("doc_id"), explode(tokens(normalized(text))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = termStats(docs, id, text, minDf).select("token", "df")
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_ppm").desc, col("token"))
     tf.join(df, Seq("token"))

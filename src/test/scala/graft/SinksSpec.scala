@@ -65,6 +65,16 @@ class SinksSpec extends AnyFunSuite {
     assert(back === Set((1L, "alpha", 0.5), (2L, "beta \"quoted\"", -1.25)))
   }
 
+  test("jsonl export keeps null-valued keys (uniform object shape)") {
+    val dir = Files.createTempDirectory("graft_sinks5").resolve("jl").toString
+    Sinks.jsonlExport(
+      Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("doc_id", "text"),
+      dir)
+    val lines = spark.read.text(dir).as[String].collect().sorted
+    assert(lines.exists(_.contains("\"text\":null")),
+      s"null field must be serialized, got: ${lines.mkString(" | ")}")
+  }
+
   test("append text sink accumulates batches") {
     val dir = Files.createTempDirectory("graft_sinks2").resolve("t").toString
     Sinks.appendText(Seq("x").toDF("v"), dir)
