@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextExprs
@@ -64,6 +64,17 @@ object Dedup {
   def minhashSignature(shingleCol: Column, k: Int = 24): Column =
     TextExprs.minhashSig(shingleCol, k)
 
+  /** One 64-bit LSH bucket key per band: xxhash64 over (band index,
+    * the band's signature rows). The band index is folded INTO the hash,
+    * so keys from different bands collide only by hash accident — and
+    * accidental candidates die in the exact verification every caller
+    * runs. */
+  private[graft] def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), bnd =>
+      xxhash64(concat_ws(",", bnd,
+        array_join(transform(slice(sig, bnd * r + 1, lit(r)),
+          _.cast("string")), "|"))))
+
   /** Banded-LSH candidate pairs verified with exact Jaccard.
     * @param docs   (id, text) source
     * @param bands  b bands of r = k/bands rows each; collision prob for
@@ -82,10 +93,7 @@ object Dedup {
     // the candidate pairs are deduplicated (two slim hash joins).
     val banded = sigd.select(
         col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(concat_ws(",", bnd,
-            array_join(transform(slice(col("sig"), bnd * r + 1, lit(r)),
-              _.cast("string")), "|"))))))
+        posexplode(bandKeys(col("sig"), bands, r)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandKey")
     // merge-pinned: both sides canonicalize onto ONE banded-signature
@@ -182,10 +190,7 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), k))
     val banded = sigd.select(
         col("doc_id"), col("isNew"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          xxhash64(concat_ws(",", bnd,
-            array_join(transform(slice(col("sig"), bnd * r + 1, lit(r)),
-              _.cast("string")), "|"))))))
+        posexplode(bandKeys(col("sig"), bands, r)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandKey")
     val cands = banded.where(col("isNew") === 1)
@@ -200,6 +205,92 @@ object Dedup {
     cands
       .join(payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ── Persistent MinHash LSH index ─────────────────────────────────────
+
+  private def idxName(path: String, part: String): String =
+    "graft_mhidx_" + java.lang.Integer.toHexString(path.hashCode) + "_" + part
+
+  /** Materialize a standing corpus's MinHash LSH index under `path`:
+    *
+    *  - `bands`:    (doc_id, band, bandKey), BUCKETED + sorted by
+    *                bandKey — the candidate join's index side reads
+    *                pre-partitioned, so querying never shuffles the
+    *                corpus-sized table (only the arriving batch moves);
+    *  - `shingles`: (doc_id, sh), bucketed by doc_id — the exact-verify
+    *                point join, same property;
+    *  - `params`:   one row (k, bands, n) — [[queryMinhashIndex]] reads
+    *                its configuration from here, so a query can never
+    *                band differently than the build.
+    *
+    * This is the amortization shape of rolling ingestion: the shingle +
+    * signature kernels run ONCE per corpus version (one corpus scan —
+    * the bands table derives from the stored shingles, not a second
+    * scan), and every arriving batch pays only its own kernels plus two
+    * slim joins. `buckets` must scale with the corpus (thousands at
+    * 100 TB), like every bucket count in this library. */
+  def writeMinhashIndex(docs: DataFrame, id: Column, text: Column,
+                        path: String, k: Int = 24, bands: Int = 8,
+                        n: Int = 2, buckets: Int = 32): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    val r = k / bands
+    docs.select(id.as("doc_id"), shingles(text, n).as("sh"))
+      .repartition(buckets, col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id")
+      .option("path", s"$path/shingles")
+      .saveAsTable(idxName(path, "shingles"))
+    // bands derive from the written shingles table: the corpus text is
+    // scanned exactly once however many index tables exist
+    spark.table(idxName(path, "shingles"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, r)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandKey")
+      .repartition(buckets, col("bandKey"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "bandKey")
+      .sortBy("bandKey")
+      .option("path", s"$path/bands")
+      .saveAsTable(idxName(path, "bands"))
+    import spark.implicits._
+    Seq((k, bands, n)).toDF("k", "bands", "n")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
+  }
+
+  /** Near-dup pairs of an arriving batch against a standing
+    * [[writeMinhashIndex]] index, exact-Jaccard verified — the
+    * indexed twin of [[minhashPairsAcross]] (identical output for the
+    * same corpus and parameters; tested equivalent). The candidate join
+    * runs on bandKey alone: the band index is folded into the hash, and
+    * the bucketed index side then joins WITHOUT a shuffle.
+    * @return (id_a = batch id, id_b = indexed id, jaccard) */
+  def queryMinhashIndex(batch: DataFrame, id: Column, text: Column,
+                        path: String, threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    val p = spark.read.parquet(s"$path/params").head()
+    val (k, bands, n) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
+      p.getAs[Int]("n"))
+    val r = k / bands
+    val bsig = batch.select(id.as("doc_id"), shingles(text, n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val bb = bsig
+      .select(col("doc_id").as("id_a"),
+        explode(bandKeys(col("sig"), bands, r)).as("bandKey"))
+    val cands = bb
+      .join(spark.table(idxName(path, "bands"))
+        .select(col("bandKey"), col("doc_id").as("id_b")), Seq("bandKey"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(bsig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(spark.table(idxName(path, "shingles"))
+        .select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -70,6 +70,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // persistent-index near-dedup (rows-only: xxhash signatures aren't
+    // DuckDB-expressible; equivalence to minhashPairsAcross is
+    // spec-verified): build the standing corpus's LSH index once, query
+    // the arriving batch against the bucketed tables
+    "dedup_index_query" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gate_mhidx").toString + "/idx"
+      Dedup.writeMinhashIndex(docs.where(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), path, buckets = 8)
+      Dedup.queryMinhashIndex(docs.where(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), path, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1e6, 0).cast("long").as("jacc_ppm"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // the SAME incremental dedup with the batch-hash bloom prefiltering
     // the standing-corpus side map-side — identical output (no false
     // negatives; false positives die in the join), same oracle

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Persistent MinHash index: query-vs-index output must equal the
+  * unindexed cross-corpus operator, the query must read the build's own
+  * parameters, and the index side of the candidate join must come from
+  * bucketed scans (the amortization property). */
+class MinhashIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, dir, "documents")
+
+  private def batchAndExisting = (
+    docs.where(col("doc_id") % 5 === 0),
+    docs.where(col("doc_id") % 5 =!= 0))
+
+  test("indexed query equals minhashPairsAcross") {
+    val (batch, existing) = batchAndExisting
+    val path = Files.createTempDirectory("graft_mhidx").toString + "/idx"
+    Dedup.writeMinhashIndex(existing, col("doc_id"), col("text"), path,
+      k = 24, bands = 8, buckets = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = pairs(Dedup.queryMinhashIndex(batch, col("doc_id"),
+      col("text"), path, threshold = 0.8))
+    val direct = pairs(Dedup.minhashPairsAcross(batch, existing,
+      col("doc_id"), col("text"), k = 24, bands = 8, threshold = 0.8))
+    assert(direct.nonEmpty, "fixture should contain cross-side near-dups")
+    assert(indexed === direct)
+  }
+
+  test("query reads the build parameters and the index scans are bucketed") {
+    val (batch, existing) = batchAndExisting
+    val path = Files.createTempDirectory("graft_mhidx2").toString + "/idx"
+    // NON-default parameters at build time; the query takes none
+    Dedup.writeMinhashIndex(existing, col("doc_id"), col("text"), path,
+      k = 12, bands = 6, n = 3, buckets = 4)
+    val q = Dedup.queryMinhashIndex(batch, col("doc_id"), col("text"), path,
+      threshold = 0.6)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"),
+      s"index side should scan bucketed tables:\n${plan.take(3000)}")
+    // and it still produces verified pairs under the build's n=3 shingles
+    val rows = q.collect()
+    assert(rows.forall(_.getDouble(2) >= 0.6))
+  }
+}
