@@ -374,6 +374,20 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("cid"))
     }),
 
+    // persistent-IVF-index ANN (rows-only; equivalence to ivfTopK is
+    // spec-verified): train + store the inverted lists once, probe them
+    "ann_index_query" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gate_ivfidx").toString + "/idx"
+      Ann.writeIvfIndex(c, path, nClusters = 16, iters = 2, buckets = 8)
+      Ann.queryIvfIndex(q, path, k = 10, nprobe = 4)
+        .orderBy(col("qid"), col("cid"))
+    }),
+
     // ── Windowed / approximate analytics ───────────────────────────────
     // top-N per group via a ranking window (the reference has no window
     // operators — declared extension)

@@ -188,7 +188,12 @@ object Ann {
       centroids = assign
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // decimal-exact mean (not avg(double)): fp partial sums merge in
+        // shuffle-fetch order and would make centroids bit-unstable
+        // run-to-run; normalized components are |x| <= 1, so
+        // decimal(38,18) has 20 integer digits of headroom
+        .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy(col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
@@ -225,6 +230,67 @@ object Ann {
       .where(col("qid") =!= col("cid"))
       .join(broadcast(queries), Seq("qid"))
       .join(corpus, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
+  // ── Persistent IVF index ─────────────────────────────────────────────
+
+  private def ivfName(path: String): String =
+    "graft_ivfidx_" + java.lang.Integer.toHexString(path.hashCode) + "_lists"
+
+  /** Materialize an IVF index for a standing corpus under `path`:
+    * `lists` — the inverted lists (cid, cluster, cvec) BUCKETED by
+    * cluster, so probing joins read the corpus-sized side
+    * pre-partitioned with no shuffle — and `centroids` (small parquet,
+    * broadcast at query time). The k-means training runs ONCE per
+    * corpus version; [[queryIvfIndex]] pays only the probe ranking and
+    * two slim joins. `buckets` scales with the corpus, and at very
+    * large scale the stored `cvec` would be the [[Quantize]]/[[Pq]]
+    * compressed form with a float re-rank — here it keeps floats for
+    * exactness within probed lists. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 16,
+                    iters: Int = 2, buckets: Int = 16): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val (assign, centroids) = ivfIndex(corpus, nClusters, iters)
+    corpus.join(assign, Seq("cid"))
+      .select(col("cid"), col("cluster"), col("cvec"))
+      .repartition(buckets, col("cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "cluster")
+      .option("path", s"$path/lists")
+      .saveAsTable(ivfName(path))
+    centroids.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Approximate top-k against a stored [[writeIvfIndex]] index —
+    * identical ranking semantics to [[ivfTopK]] over the same trained
+    * clustering, without re-training per query batch. */
+  def queryIvfIndex(queries: DataFrame, path: String, k: Int,
+                    nprobe: Int = 4, roundTo: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val qn = queries.select(col("qid"), col("qvec"),
+      normalize(asDouble(col("qvec"))).as("qv"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val probes = qn.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cluster"),
+        dot(col("qv"), col("centroid")).as("csim"))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("cluster"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    probes
+      .join(spark.table(ivfName(path)), Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col("cid"),
         round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
           .as("sim"))

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Ann
+
+/** Persistent IVF index: query-vs-index results must equal ivfTopK over
+  * the same (deterministically trained) clustering, and the inverted
+  * lists must scan bucketed. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def qc = {
+    val e = Tables(spark, dir, "embeddings")
+    (e.where(col("vec_id") < 8)
+       .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+     e.select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+  }
+
+  test("indexed query equals ivfTopK") {
+    val (q, c) = qc
+    val path = Files.createTempDirectory("graft_ivfidx").toString + "/idx"
+    Ann.writeIvfIndex(c, path, nClusters = 16, iters = 2, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "cid").collect().map(_.toSeq).toSeq
+    val indexed = rows(Ann.queryIvfIndex(q, path, k = 10, nprobe = 4))
+    val direct = rows(Ann.ivfTopK(q, c, k = 10, nClusters = 16,
+      nprobe = 4, iters = 2))
+    assert(indexed.nonEmpty)
+    assert(indexed === direct)
+  }
+
+  test("the inverted lists scan bucketed") {
+    val (q, _) = qc
+    val path = Files.createTempDirectory("graft_ivfidx2").toString + "/idx"
+    Ann.writeIvfIndex(qc._2, path, nClusters = 8, iters = 1, buckets = 4)
+    val plan = Ann.queryIvfIndex(q, path, k = 5, nprobe = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"),
+      s"lists table should scan bucketed:\n${plan.take(3000)}")
+  }
+}
