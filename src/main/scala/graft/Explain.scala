@@ -14,7 +14,8 @@ object Explain {
       else Seq("prefix_scan", "filter_eq", "project_alias", "broadcast_join",
         "lookup_join", "q1_agg", "pack_concat", "dedup_simhash",
         "decontaminate", "training_pipeline", "embed_quantize",
-        "decontaminate_bloom", "range_join", "vocab_topk")
+        "decontaminate_bloom", "range_join", "vocab_topk",
+        "ann_pq", "doc_keywords", "dedup_index_query")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

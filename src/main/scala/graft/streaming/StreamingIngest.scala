@@ -124,6 +124,27 @@ object StreamingIngest {
         id)
     }
 
+  /** Streaming near-dedup against a PERSISTENT MinHash index
+    * ([[graft.dedup.Dedup.writeMinhashIndex]]): each micro-batch queries
+    * the stored bucketed tables — the standing corpus's shingle/signature
+    * kernels ran once at index-build time, so the per-batch cost is the
+    * batch's own kernels plus two slim joins (the rolling-ingestion
+    * end-state of the foreachBatch family above; re-index on corpus
+    * versions, not per batch). */
+  def indexNearDupBatches(stream: DataFrame, indexPath: String,
+                          onBatch: (DataFrame, Long) => Unit,
+                          threshold: Double = 0.8):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      onBatch(
+        graft.dedup.Dedup.queryMinhashIndex(
+          batch,
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"),
+          indexPath, threshold),
+        id)
+    }
+
   case class SessEvent(user_id: Long, event_ts: java.sql.Timestamp)
   case class SessState(start: Long, end: Long, n: Long) // epoch millis
   case class SessionsState(open: Seq[SessState])

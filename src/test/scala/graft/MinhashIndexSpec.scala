@@ -37,6 +37,41 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(indexed === direct)
   }
 
+  test("streaming batches query the persistent index") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (batch, existing) = batchAndExisting
+    val idx = Files.createTempDirectory("graft_mhidx3").toString + "/idx"
+    Dedup.writeMinhashIndex(existing, col("doc_id"), col("text"), idx,
+      buckets = 4)
+    // the expected pairs: the same batch queried in batch mode
+    val expected = Dedup.queryMinhashIndex(batch, col("doc_id"), col("text"),
+        idx, threshold = 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should contain cross-side near-dups")
+
+    val dir = Files.createTempDirectory("graft_mhidx_stream")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    val rows = batch.select(col("doc_id"), col("text")).collect()
+    val json = rows.map { r =>
+      val t = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"doc_id":${r.getLong(0)},"text":"$t"}"""
+    }.mkString("", "\n", "\n")
+    Files.writeString(in.resolve("b1.json"), json)
+
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .json(in.toString)
+    val seen = scala.collection.concurrent.TrieMap[(Long, Long), Unit]()
+    val q = graft.streaming.StreamingIngest.indexNearDupBatches(stream, idx,
+        (pairs, _) => pairs.select("id_a", "id_b").collect()
+          .foreach(r => seen.put((r.getLong(0), r.getLong(1)), ())))
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(seen.keySet.toSet === expected)
+  }
+
   test("query reads the build parameters and the index scans are bucketed") {
     val (batch, existing) = batchAndExisting
     val path = Files.createTempDirectory("graft_mhidx2").toString + "/idx"
