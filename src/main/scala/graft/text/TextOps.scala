@@ -124,15 +124,16 @@ object TextOps {
     * any engine (a log-idf would hang the correctness gate on libm
     * last-ulp differences). Emitted as integer ppm for the same reason.
     *
-    * Scale shape: ONE tokenize/explode pass — the per-(doc, token) tf
-    * aggregation is computed once and the df table derives from IT
-    * (`tf.groupBy(token).count`), not from a second scan of the corpus
-    * (every extra reference to a 100 TB frame is another full scan).
-    * The tf frame then joins df ON TOKEN and the top-k window partitions
-    * by doc — millions of small partitions, embarrassingly parallel.
-    * `n` is the corpus document count, passed in (the caller usually
-    * knows it from a manifest; computing it here would force an extra
-    * action).
+    * Scale shape: ONE tokenize/explode pass, guaranteed by construction
+    * — df is a count-over-token WINDOW on the tf frame itself, not a
+    * second aggregation branch (a `tf.groupBy(token)` branch looks
+    * shared but canonicalizes differently after column pruning, so
+    * Catalyst re-scans and re-tokenizes the corpus for it — measured on
+    * the adaptive plan). Three shuffles over progressively smaller
+    * frames: (doc, token) tf aggregation, token window, per-doc top-k
+    * window. `n` is the corpus document count, passed in (the caller
+    * usually knows it from a manifest; computing it here would force an
+    * extra action).
     *
     * @return (doc_id, rank, token, score_ppm), `topK` rows per doc with
     *         at least one token; ties break lexicographically */
@@ -143,12 +144,12 @@ object TextOps {
       .select(id.as("doc_id"), explode(tokens(normalized(text))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("token"))))
       .where(col("df") >= minDf)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_ppm").desc, col("token"))
-    tf.join(df, Seq("token"))
+    tf
       .withColumn("score_ppm",
         round(col("tf") * lit(n) / col("df") * 1e6, 0).cast("long"))
       .withColumn("rank", row_number().over(w))
