@@ -70,6 +70,26 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // in-flight observe metrics: the counters ride the corpus pass as
+    // accumulators (no second scan) and surface here as a one-row frame;
+    // the oracle recomputes the same aggregates directly — proving the
+    // observe channel reports exactly what a dedicated query would
+    "pipeline_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val observedDf = graft.meta.PipelineMetrics.observed(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextOps.tokenCount(col("text")).as("n_toks")),
+        "corpus", Seq(
+          "n_docs" -> count(lit(1)),
+          "total_tokens" -> sum(col("n_toks")).cast("long"),
+          "max_doc_id" -> max(col("doc_id"))))
+      val m = graft.meta.PipelineMetrics.runAndCollect(observedDf)("corpus")
+      Seq((m.getAs[Long]("n_docs"), m.getAs[Long]("total_tokens"),
+          m.getAs[Long]("max_doc_id")))
+        .toDF("n_docs", "total_tokens", "max_doc_id")
+    }),
+
     // persistent-index near-dedup (rows-only: xxhash signatures aren't
     // DuckDB-expressible; equivalence to minhashPairsAcross is
     // spec-verified): build the standing corpus's LSH index once, query
@@ -759,6 +779,15 @@ object ExtensionQueries {
         |  cast(e.dup_of IS NULL AS int) AS is_new
         |FROM b LEFT JOIN e ON md5(b.text) = e.h
         |ORDER BY b.doc_id""".stripMargin,
+
+    // raw-whitespace tokenization (NOT the normalized stream): mirrors
+    // TextOps.tokens(text) = split on \s+, empties dropped
+    "pipeline_metrics" ->
+      """SELECT cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    w -> len(w) > 0))) AS bigint) AS total_tokens,
+        |  max(doc_id) AS max_doc_id
+        |FROM documents""".stripMargin,
 
     // bloom prefilter + exact join ≡ exact incremental dedup
     "dedup_incremental_bloom" ->
