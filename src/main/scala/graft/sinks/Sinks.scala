@@ -63,6 +63,36 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
   }
 
+  /** Compact a parquet dataset's small files: read `srcPath`, size the
+    * output from the ACTUAL on-disk bytes (Hadoop listing, no data
+    * scan), range-repartition on `orderCols` and rewrite to `destPath`
+    * sorted within files. Small files are the silent killer of big
+    * scans — every file costs a task, a footer read and an open/close;
+    * a 100 TB store accreted from streaming micro-batches wants
+    * ~`targetFileBytes` files, not millions of 1 MB ones.
+    *
+    * Range partitioning (not coalesce) is deliberate: it restores a
+    * global sort order that makes min/max footer stats selective for
+    * downstream range/prefix pruning, and it rebalances skewed inputs.
+    * Writes to a SEPARATE destination — compact-in-place would delete
+    * the input under its own scan; the caller swaps paths atomically in
+    * whatever way its storage supports. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession,
+                srcPath: String, destPath: String, orderCols: Seq[String],
+                targetFileBytes: Long = 512L << 20): Unit = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath))
+      .getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val cols = orderCols.map(col)
+    spark.read.parquet(srcPath)
+      .repartitionByRange(parts, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+  }
+
   /** JSONL training-interchange export: one JSON object per line, the
     * format most training loaders ingest. `to_json(struct(*))` is a
     * codegen expression, so serialization runs at scan speed; column

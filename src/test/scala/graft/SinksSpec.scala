@@ -75,6 +75,33 @@ class SinksSpec extends AnyFunSuite {
       s"null field must be serialized, got: ${lines.mkString(" | ")}")
   }
 
+  test("compaction merges small files into sorted range partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sinks6")
+    val src = dir.resolve("src").toString
+    // 20 tiny files, unsorted ids
+    (0 until 20).foreach { i =>
+      (0 until 50).map(j => (997L - (i * 50 + j) * 13 % 1000, s"v$i-$j"))
+        .toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val before = spark.read.parquet(src)
+    val beforeFiles = before.select(input_file_name()).distinct().count()
+    assert(beforeFiles >= 20)
+
+    val dest = dir.resolve("dest").toString
+    Sinks.compactTo(spark, src, dest, Seq("k"), targetFileBytes = 1L << 40)
+    val after = spark.read.parquet(dest)
+    assert(after.count() === before.count())
+    // content preserved exactly
+    assert(after.orderBy("k", "v").collect().map(_.toSeq).toSeq ===
+      before.orderBy("k", "v").collect().map(_.toSeq).toSeq)
+    // one target-sized file, sorted within
+    assert(after.select(input_file_name()).distinct().count() === 1)
+    val ks = after.select("k").collect().map(_.getLong(0)).toSeq
+    assert(ks === ks.sorted)
+  }
+
   test("append text sink accumulates batches") {
     val dir = Files.createTempDirectory("graft_sinks2").resolve("t").toString
     Sinks.appendText(Seq("x").toDF("v"), dir)
