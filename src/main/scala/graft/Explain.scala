@@ -13,9 +13,12 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("prefix_scan", "filter_eq", "project_alias", "broadcast_join",
         "lookup_join", "q1_agg", "pack_concat", "dedup_simhash",
+        // NOTE: dedup_index_query/ann_index_query are omitted — their
+        // plans require building the index tables first (write jobs),
+        // too heavy for a default plan listing; name them explicitly
         "decontaminate", "training_pipeline", "embed_quantize",
         "decontaminate_bloom", "range_join", "vocab_topk",
-        "ann_pq", "doc_keywords", "dedup_index_query")
+        "ann_pq", "doc_keywords")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

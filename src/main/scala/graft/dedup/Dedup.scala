@@ -109,12 +109,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val payload = sigd.select(col("doc_id"), col("sh"))
-    cands
-      .join(payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifiedPairs(cands,
+      payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+      payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+      threshold)
   }
 
   // ── Incremental (cross-corpus) dedup ─────────────────────────────────
@@ -202,18 +200,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val payload = sigd.select(col("doc_id"), col("sh"))
-    cands
-      .join(payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifiedPairs(cands,
+      payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+      payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+      threshold)
   }
 
   // ── Persistent MinHash LSH index ─────────────────────────────────────
 
   private def idxName(path: String, part: String): String =
-    "graft_mhidx_" + java.lang.Integer.toHexString(path.hashCode) + "_" + part
+    graft.sources.BucketedTables.tableName("graft_mhidx", path, part)
 
   /** Materialize a standing corpus's MinHash LSH index under `path`:
     *
@@ -223,16 +219,24 @@ object Dedup {
     *                corpus-sized table (only the arriving batch moves);
     *  - `shingles`: (doc_id, sh), bucketed by doc_id — the exact-verify
     *                point join, same property;
-    *  - `params`:   one row (k, bands, n) — [[queryMinhashIndex]] reads
-    *                its configuration from here, so a query can never
-    *                band differently than the build.
+    *  - `params`:   one row (k, bands, n, buckets) —
+    *                [[queryMinhashIndex]] reads its configuration from
+    *                here, so a query can never band differently than
+    *                the build, and a NEW application can re-register
+    *                the bucketed tables from the stored files
+    *                ([[graft.sources.BucketedTables.table]]).
     *
     * This is the amortization shape of rolling ingestion: the shingle +
     * signature kernels run ONCE per corpus version (one corpus scan —
     * the bands table derives from the stored shingles, not a second
     * scan), and every arriving batch pays only its own kernels plus two
     * slim joins. `buckets` must scale with the corpus (thousands at
-    * 100 TB), like every bucket count in this library. */
+    * 100 TB), like every bucket count in this library.
+    *
+    * VERSIONING: write each corpus version to a FRESH path and swap the
+    * pointer at the orchestration layer once the build completes — the
+    * three tables are written sequentially, so rebuilding IN PLACE
+    * leaves a mixed-version index if the job dies mid-write. */
   def writeMinhashIndex(docs: DataFrame, id: Column, text: Column,
                         path: String, k: Int = 24, bands: Int = 8,
                         n: Int = 2, buckets: Int = 32): Unit = {
@@ -258,42 +262,57 @@ object Dedup {
       .option("path", s"$path/bands")
       .saveAsTable(idxName(path, "bands"))
     import spark.implicits._
-    Seq((k, bands, n)).toDF("k", "bands", "n")
+    Seq((k, bands, n, buckets)).toDF("k", "bands", "n", "buckets")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
   }
+
+  /** Exact-Jaccard verification of slim candidate pairs: re-attach each
+    * side's shingles and keep pairs at/above `threshold` — the shared
+    * tail of every MinHash candidate generator. */
+  private def verifiedPairs(cands: DataFrame, shA: DataFrame,
+                            shB: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Near-dup pairs of an arriving batch against a standing
     * [[writeMinhashIndex]] index, exact-Jaccard verified — the
     * indexed twin of [[minhashPairsAcross]] (identical output for the
     * same corpus and parameters; tested equivalent). The candidate join
     * runs on bandKey alone: the band index is folded into the hash, and
-    * the bucketed index side then joins WITHOUT a shuffle.
+    * the bucketed index side then joins WITHOUT a shuffle. Works from
+    * any application — absent catalog registrations are rebuilt from
+    * the stored files and params.
     * @return (id_a = batch id, id_b = indexed id, jaccard) */
   def queryMinhashIndex(batch: DataFrame, id: Column, text: Column,
                         path: String, threshold: Double = 0.8): DataFrame = {
+    import graft.sources.BucketedTables
     val spark = batch.sparkSession
     val p = spark.read.parquet(s"$path/params").head()
-    val (k, bands, n) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
-      p.getAs[Int]("n"))
+    val (k, bands, n, buckets) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
+      p.getAs[Int]("n"), p.getAs[Int]("buckets"))
     val r = k / bands
+    val bandsTable = BucketedTables.table(spark, idxName(path, "bands"),
+      s"$path/bands", buckets, "bandKey", Seq("bandKey"))
+    val shinglesTable = BucketedTables.table(spark, idxName(path, "shingles"),
+      s"$path/shingles", buckets, "doc_id")
     val bsig = batch.select(id.as("doc_id"), shingles(text, n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
     val bb = bsig
       .select(col("doc_id").as("id_a"),
         explode(bandKeys(col("sig"), bands, r)).as("bandKey"))
     val cands = bb
-      .join(spark.table(idxName(path, "bands"))
-        .select(col("bandKey"), col("doc_id").as("id_b")), Seq("bandKey"))
+      .join(bandsTable.select(col("bandKey"), col("doc_id").as("id_b")),
+        Seq("bandKey"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
-      .join(bsig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(spark.table(idxName(path, "shingles"))
-        .select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifiedPairs(cands,
+      bsig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+      shinglesTable.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+      threshold)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */

@@ -207,12 +207,16 @@ object Ann {
     (assignTo(centroids).select(col("cid"), col("cluster")), centroids)
   }
 
-  /** IVF-bucketed approximate top-k: probe the `nprobe` nearest clusters
-    * per query, exact cosine within the probed inverted lists. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2,
-              roundTo: Int = 4): DataFrame = {
-    val (assign, centroids) = ivfIndex(corpus, nClusters, iters)
+  /** The shared IVF probe-and-rank tail: rank clusters per query
+    * against (broadcast) centroids, select the `nprobe` best clusters'
+    * MEMBERS from the slim `assign` (cid, cluster) side first — ids
+    * only, so unprobed clusters never ship vectors — then attach `vecs`
+    * (cid, cvec) and exact-cosine top-k. Factored so [[ivfTopK]] and
+    * [[queryIvfIndex]] cannot drift (their equivalence is
+    * spec-asserted). */
+  private def ivfProbeRank(queries: DataFrame, centroids: DataFrame,
+                           assign: DataFrame, vecs: DataFrame,
+                           k: Int, nprobe: Int, roundTo: Int): DataFrame = {
     val qn = queries.select(col("qid"), col("qvec"),
       normalize(asDouble(col("qvec"))).as("qv"))
     val probeW = Window.partitionBy(col("qid"))
@@ -229,7 +233,7 @@ object Ann {
       .join(assign, Seq("cluster"))
       .where(col("qid") =!= col("cid"))
       .join(broadcast(queries), Seq("qid"))
-      .join(corpus, Seq("cid"))
+      .join(vecs, Seq("cid"))
       .select(col("qid"), col("cid"),
         round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
           .as("sim"))
@@ -238,24 +242,41 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"))
   }
 
+  /** IVF-bucketed approximate top-k: probe the `nprobe` nearest clusters
+    * per query, exact cosine within the probed inverted lists. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              roundTo: Int = 4): DataFrame = {
+    val (assign, centroids) = ivfIndex(corpus, nClusters, iters)
+    ivfProbeRank(queries, centroids, assign,
+      corpus.select(col("cid"), col("cvec")), k, nprobe, roundTo)
+  }
+
   // ── Persistent IVF index ─────────────────────────────────────────────
 
   private def ivfName(path: String): String =
-    "graft_ivfidx_" + java.lang.Integer.toHexString(path.hashCode) + "_lists"
+    graft.sources.BucketedTables.tableName("graft_ivfidx", path, "lists")
 
   /** Materialize an IVF index for a standing corpus under `path`:
     * `lists` — the inverted lists (cid, cluster, cvec) BUCKETED by
-    * cluster, so probing joins read the corpus-sized side
-    * pre-partitioned with no shuffle — and `centroids` (small parquet,
-    * broadcast at query time). The k-means training runs ONCE per
-    * corpus version; [[queryIvfIndex]] pays only the probe ranking and
-    * two slim joins. `buckets` scales with the corpus, and at very
-    * large scale the stored `cvec` would be the [[Quantize]]/[[Pq]]
-    * compressed form with a float re-rank — here it keeps floats for
-    * exactness within probed lists. */
+    * cluster, so the probe join reads the corpus-sized side
+    * pre-partitioned with no shuffle — `centroids` (small parquet,
+    * broadcast at query time), and `params` (buckets) so a NEW
+    * application can re-register the bucketed table from the stored
+    * files ([[graft.sources.BucketedTables.table]]). The k-means
+    * training runs ONCE per corpus version; [[queryIvfIndex]] pays only
+    * the probe ranking and two slim joins. `buckets` scales with the
+    * corpus, and at very large scale the stored `cvec` would be the
+    * [[Quantize]]/[[Pq]] compressed form with a float re-rank — here it
+    * keeps floats for exactness within probed lists.
+    *
+    * VERSIONING: as with [[graft.dedup.Dedup.writeMinhashIndex]], write
+    * each corpus version to a FRESH path and swap pointers after the
+    * build — the tables are written sequentially, not atomically. */
   def writeIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 16,
                     iters: Int = 2, buckets: Int = 16): Unit = {
     import org.apache.spark.sql.SaveMode
+    val spark = corpus.sparkSession
     val (assign, centroids) = ivfIndex(corpus, nClusters, iters)
     corpus.join(assign, Seq("cid"))
       .select(col("cid"), col("cluster"), col("cvec"))
@@ -266,37 +287,26 @@ object Ann {
       .saveAsTable(ivfName(path))
     centroids.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    import spark.implicits._
+    Seq(Tuple1(buckets)).toDF("buckets")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
   }
 
   /** Approximate top-k against a stored [[writeIvfIndex]] index —
     * identical ranking semantics to [[ivfTopK]] over the same trained
-    * clustering, without re-training per query batch. */
+    * clustering (shared [[ivfProbeRank]] tail), without re-training per
+    * query batch. Works from any application — an absent catalog
+    * registration is rebuilt from the stored files and params. */
   def queryIvfIndex(queries: DataFrame, path: String, k: Int,
                     nprobe: Int = 4, roundTo: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    val buckets = spark.read.parquet(s"$path/params").head().getAs[Int]("buckets")
+    val lists = graft.sources.BucketedTables.table(spark, ivfName(path),
+      s"$path/lists", buckets, "cluster")
     val centroids = spark.read.parquet(s"$path/centroids")
-    val qn = queries.select(col("qid"), col("qvec"),
-      normalize(asDouble(col("qvec"))).as("qv"))
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("csim").desc, col("cluster"))
-    val probes = qn.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("cluster"),
-        dot(col("qv"), col("centroid")).as("csim"))
-      .withColumn("pr", row_number().over(probeW))
-      .where(col("pr") <= nprobe)
-      .select(col("qid"), col("cluster"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
-    probes
-      .join(spark.table(ivfName(path)), Seq("cluster"))
-      .where(col("qid") =!= col("cid"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("cid"),
-        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("sim"))
+    ivfProbeRank(queries, centroids,
+      lists.select(col("cid"), col("cluster")),
+      lists.select(col("cid"), col("cvec")), k, nprobe, roundTo)
   }
 
   /** Hamming bound implied by a cosine threshold over `planes` sign

@@ -81,6 +81,16 @@ object Sinks {
                 srcPath: String, destPath: String, orderCols: Seq[String],
                 targetFileBytes: Long = 512L << 20): Unit = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    // Spark's own overwrite guard only catches EXACT path equality; a
+    // destination nested in the source would land compacted copies
+    // inside the dataset and double-count every row on the next read
+    val srcU = new java.io.File(srcPath).toURI.normalize.getPath
+      .stripSuffix("/")
+    val dstU = new java.io.File(destPath).toURI.normalize.getPath
+      .stripSuffix("/")
+    require(dstU != srcU && !dstU.startsWith(srcU + "/") &&
+      !srcU.startsWith(dstU + "/"),
+      s"destPath must not equal or nest with srcPath ($srcPath vs $destPath)")
     val fs = new org.apache.hadoop.fs.Path(srcPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath))

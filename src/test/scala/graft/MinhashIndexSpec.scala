@@ -51,25 +51,48 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture should contain cross-side near-dups")
 
     val dir = Files.createTempDirectory("graft_mhidx_stream")
-    val in = dir.resolve("in"); Files.createDirectory(in)
-    val rows = batch.select(col("doc_id"), col("text")).collect()
-    val json = rows.map { r =>
-      val t = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"doc_id":${r.getLong(0)},"text":"$t"}"""
-    }.mkString("", "\n", "\n")
-    Files.writeString(in.resolve("b1.json"), json)
+    val in = dir.resolve("in").toString
+    // Spark's own JSON writer: hand-rolled escaping would NPE on null
+    // text and break on control characters
+    batch.select(col("doc_id"), col("text"))
+      .coalesce(1).write.json(in)
 
     val stream = spark.readStream.schema("doc_id LONG, text STRING")
-      .json(in.toString)
+      .json(in)
     val seen = scala.collection.concurrent.TrieMap[(Long, Long), Unit]()
     val q = graft.streaming.StreamingIngest.indexNearDupBatches(stream, idx,
         (pairs, _) => pairs.select("id_a", "id_b").collect()
           .foreach(r => seen.put((r.getLong(0), r.getLong(1)), ())))
-      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .option("checkpointLocation", Files.createTempDirectory("graft_mhidx_ck").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
     assert(seen.keySet.toSet === expected)
+  }
+
+  test("the index survives losing the session catalog (new application)") {
+    val (batch, existing) = batchAndExisting
+    val path = Files.createTempDirectory("graft_mhidx4").toString + "/idx"
+    Dedup.writeMinhashIndex(existing, col("doc_id"), col("text"), path,
+      buckets = 4)
+    def pairs() = Dedup.queryMinhashIndex(batch, col("doc_id"), col("text"),
+        path, threshold = 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    // simulate a fresh application: drop the (in-memory) registrations;
+    // the stored files under `path` are untouched
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_mhidx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val after = pairs()
+    assert(after === before)
+    // and the re-registered table is still bucketed
+    val plan = Dedup.queryMinhashIndex(batch, col("doc_id"), col("text"),
+        path, threshold = 0.8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"))
   }
 
   test("query reads the build parameters and the index scans are bucketed") {
