@@ -101,6 +101,9 @@ object Pq {
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.toSeq.map(_.getSeq[Double](2)) }
+    require(collected.nonEmpty,
+      "PQ training needs a non-empty corpus (no subvectors survived — " +
+        "empty input or all-null/empty vectors)")
     Model(m, subdim, collected)
   }
 

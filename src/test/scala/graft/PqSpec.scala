@@ -91,6 +91,13 @@ class PqSpec extends AnyFunSuite {
     assert(run() === pairs)
   }
 
+  test("training an empty corpus fails loudly, not downstream") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("cid", "cvec")
+    val e = intercept[IllegalArgumentException](
+      Pq.train(empty, col("cid"), col("cvec"), dim = 64, m = 8, k = 16))
+    assert(e.getMessage.contains("non-empty corpus"))
+  }
+
   test("training and encoding are deterministic") {
     val (_, c) = qc
     def run() = {
