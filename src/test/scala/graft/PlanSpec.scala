@@ -119,6 +119,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_keywords tokenizes the corpus exactly once") {
+    // df-as-aggregation-branch canonicalizes differently after column
+    // pruning and silently re-scans the corpus (caught on the adaptive
+    // plan in round 4); the window form must keep ONE scan
+    val p = plan(SparkEntry.queries("doc_keywords")(spark, dir))
+    // formatted explain lists each scan twice (tree node + detail header)
+    val scans = "Scan parquet".r.findAllIn(p).size / 2
+    assert(scans === 1, s"expected one corpus scan, got $scans:\n${p.take(1500)}")
+  }
+
+  test("range join is a bucketed equi-join, never a cross product") {
+    val p = plan(SparkEntry.queries("range_join")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join on (key, bucket):\n${p.take(1500)}")
+  }
+
+  test("bloom decontamination probes map-side, under the exact verify join") {
+    val p = plan(SparkEntry.queries("decontaminate_bloom")(spark, dir))
+    assert(p.contains("might_contain"),
+      s"bloom probe must appear as a filter expression:\n${p.take(1500)}")
+  }
+
+  test("pipeline metrics ride the plan as CollectMetrics (no extra scan)") {
+    val observed = graft.meta.PipelineMetrics.observed(
+      Tables(spark, dir, "documents"), "c",
+      graft.meta.PipelineMetrics.corpusCounters(
+        org.apache.spark.sql.functions.col("text")))
+    val p = plan(observed)
+    assert(p.contains("CollectMetrics"), p.take(1500))
+    val scans = "Scan parquet".r.findAllIn(p).size / 2
+    assert(scans === 1)
+  }
+
   test("the KV lifecycle plans a single shuffle for the pack aggregation") {
     val p = plan(SparkEntry.queries("pack_concat")(spark, dir))
     // one exchange for the groupBy, one for the final orderBy — no more
