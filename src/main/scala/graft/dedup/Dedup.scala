@@ -291,14 +291,20 @@ object Dedup {
                         path: String, threshold: Double = 0.8): DataFrame = {
     import graft.sources.BucketedTables
     val spark = batch.sparkSession
-    val p = spark.read.parquet(s"$path/params").head()
-    val (k, bands, n, buckets) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
-      p.getAs[Int]("n"), p.getAs[Int]("buckets"))
+    val pdf = spark.read.parquet(s"$path/params")
+    val p = pdf.head()
+    val (k, bands, n) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
+      p.getAs[Int]("n"))
+    // a params file predating the bucket record degrades to plain
+    // parquet reads — correct results, bucketing advantage lost
+    val buckets = if (pdf.columns.contains("buckets"))
+      Some(p.getAs[Int]("buckets")) else None
     val r = k / bands
-    val bandsTable = BucketedTables.table(spark, idxName(path, "bands"),
-      s"$path/bands", buckets, "bandKey", Seq("bandKey"))
-    val shinglesTable = BucketedTables.table(spark, idxName(path, "shingles"),
-      s"$path/shingles", buckets, "doc_id")
+    val bandsTable = BucketedTables.tableOrPlain(spark,
+      idxName(path, "bands"), s"$path/bands", buckets, "bandKey",
+      Seq("bandKey"))
+    val shinglesTable = BucketedTables.tableOrPlain(spark,
+      idxName(path, "shingles"), s"$path/shingles", buckets, "doc_id")
     val bsig = batch.select(id.as("doc_id"), shingles(text, n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
     val bb = bsig

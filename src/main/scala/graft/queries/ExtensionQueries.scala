@@ -29,40 +29,49 @@ object ExtensionQueries {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // synchronized: TrieMap.getOrElseUpdate can evaluate the thunk in two
+  // racing threads (parallel suites / concurrent gate runs), each paying
+  // the build and leaking the loser's temp dir + catalog tables
   private def mhIndexFor(s: SparkSession, dir: String): String =
-    mhIndexCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_gate_mhidx").toString + "/idx"
-      Dedup.writeMinhashIndex(
-        Tables(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
-        col("doc_id"), col("text"), path, buckets = 8)
-      path
-    })
+    mhIndexCache.synchronized {
+      mhIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_gate_mhidx").toString + "/idx"
+        Dedup.writeMinhashIndex(
+          Tables(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"), path, buckets = 8)
+        path
+      })
+    }
 
   private def ivfIndexFor(s: SparkSession, dir: String): String =
-    ivfIndexCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_gate_ivfidx").toString + "/idx"
-      Ann.writeIvfIndex(
-        Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        path, nClusters = 16, iters = 2, buckets = 8)
-      path
-    })
+    ivfIndexCache.synchronized {
+      ivfIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_gate_ivfidx").toString + "/idx"
+        Ann.writeIvfIndex(
+          Tables(s, dir, "embeddings")
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          path, nClusters = 16, iters = 2, buckets = 8)
+        path
+      })
+    }
 
   private val ivfpqIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def ivfpqIndexFor(s: SparkSession, dir: String): String =
-    ivfpqIndexCache.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_gate_ivfpq").toString + "/idx"
-      Pq.writeIvfPqIndex(
-        Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        path, dim = 64, m = 8, nCentroids = 16, nClusters = 16, buckets = 8)
-      path
-    })
+    ivfpqIndexCache.synchronized {
+      ivfpqIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_gate_ivfpq").toString + "/idx"
+        Pq.writeIvfPqIndex(
+          Tables(s, dir, "embeddings")
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          path, dim = 64, m = 8, nCentroids = 16, nClusters = 16, buckets = 8)
+        path
+      })
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

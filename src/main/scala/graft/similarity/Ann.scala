@@ -207,33 +207,34 @@ object Ann {
     (assignTo(centroids).select(col("cid"), col("cluster")), centroids)
   }
 
-  /** The shared IVF probe-and-rank tail: rank clusters per query
-    * against (broadcast) centroids, select the `nprobe` best clusters'
-    * MEMBERS from the slim `assign` (cid, cluster) side first — ids
-    * only, so unprobed clusters never ship vectors — then attach `vecs`
-    * (cid, cvec) and exact-cosine top-k. Factored so [[ivfTopK]] and
-    * [[queryIvfIndex]] cannot drift (their equivalence is
-    * spec-asserted). */
-  private def ivfProbeRank(queries: DataFrame, centroids: DataFrame,
-                           assign: DataFrame, vecs: DataFrame,
-                           k: Int, nprobe: Int, roundTo: Int): DataFrame = {
-    val qn = queries.select(col("qid"), col("qvec"),
+  /** The `nprobe` best clusters per query: (qid, cluster) ranked by
+    * centroid dot product, deterministic tie-break on cluster. Shared by
+    * every IVF flavor ([[ivfTopK]], [[queryIvfIndex]],
+    * [[Pq.queryIvfPqIndex]]) so probe semantics cannot drift between
+    * spec-equivalent twins. */
+  private[similarity] def probeClusters(queries: DataFrame,
+                                        centroids: DataFrame,
+                                        nprobe: Int): DataFrame = {
+    val qn = queries.select(col("qid"),
       normalize(asDouble(col("qvec"))).as("qv"))
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cluster"))
-    val probes = qn.crossJoin(broadcast(centroids))
+    qn.crossJoin(broadcast(centroids))
       .select(col("qid"), col("cluster"),
         dot(col("qv"), col("centroid")).as("csim"))
       .withColumn("pr", row_number().over(probeW))
       .where(col("pr") <= nprobe)
       .select(col("qid"), col("cluster"))
+  }
+
+  /** Exact-cosine top-k tail over candidates carrying (qid, cid, qvec,
+    * cvec): rounding and tie-break live HERE, once, for every ANN
+    * variant. */
+  private[similarity] def rankTopK(cands: DataFrame, k: Int,
+                                   roundTo: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
-    probes
-      .join(assign, Seq("cluster"))
-      .where(col("qid") =!= col("cid"))
-      .join(broadcast(queries), Seq("qid"))
-      .join(vecs, Seq("cid"))
+    cands
       .select(col("qid"), col("cid"),
         round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
           .as("sim"))
@@ -243,13 +244,24 @@ object Ann {
   }
 
   /** IVF-bucketed approximate top-k: probe the `nprobe` nearest clusters
-    * per query, exact cosine within the probed inverted lists. */
+    * per query, exact cosine within the probed inverted lists. Join
+    * wiring here is the IN-MEMORY shape: probes select members from the
+    * slim assignment first (ids only), vectors attach by cid after — so
+    * unprobed clusters never ship vectors. ([[queryIvfIndex]] wires the
+    * same probe + rank stages differently: its lists table is bucketed
+    * by cluster with vectors in place, so ONE bucketed join is optimal
+    * there.) */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2,
               roundTo: Int = 4): DataFrame = {
     val (assign, centroids) = ivfIndex(corpus, nClusters, iters)
-    ivfProbeRank(queries, centroids, assign,
-      corpus.select(col("cid"), col("cvec")), k, nprobe, roundTo)
+    rankTopK(
+      probeClusters(queries, centroids, nprobe)
+        .join(assign, Seq("cluster"))
+        .where(col("qid") =!= col("cid"))
+        .join(broadcast(queries), Seq("qid"))
+        .join(corpus.select(col("cid"), col("cvec")), Seq("cid")),
+      k, roundTo)
   }
 
   // ── Persistent IVF index ─────────────────────────────────────────────
@@ -294,19 +306,28 @@ object Ann {
 
   /** Approximate top-k against a stored [[writeIvfIndex]] index —
     * identical ranking semantics to [[ivfTopK]] over the same trained
-    * clustering (shared [[ivfProbeRank]] tail), without re-training per
-    * query batch. Works from any application — an absent catalog
-    * registration is rebuilt from the stored files and params. */
+    * clustering (shared [[probeClusters]]/[[rankTopK]] stages), without
+    * re-training per query batch. The lists table is bucketed by cluster
+    * with vectors in place, so the probe join is ONE shuffle-free
+    * bucketed read — probed clusters' vectors arrive in the same pass.
+    * Works from any application — an absent catalog registration is
+    * rebuilt from the stored files and params (a params file predating
+    * the bucket record degrades to a plain parquet read: correct
+    * results, bucketing advantage lost). */
   def queryIvfIndex(queries: DataFrame, path: String, k: Int,
                     nprobe: Int = 4, roundTo: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val buckets = spark.read.parquet(s"$path/params").head().getAs[Int]("buckets")
-    val lists = graft.sources.BucketedTables.table(spark, ivfName(path),
-      s"$path/lists", buckets, "cluster")
+    val lists = graft.sources.BucketedTables.tableOrPlain(spark,
+      ivfName(path), s"$path/lists",
+      graft.sources.BucketedTables.readBuckets(spark, s"$path/params"),
+      "cluster")
     val centroids = spark.read.parquet(s"$path/centroids")
-    ivfProbeRank(queries, centroids,
-      lists.select(col("cid"), col("cluster")),
-      lists.select(col("cid"), col("cvec")), k, nprobe, roundTo)
+    rankTopK(
+      probeClusters(queries, centroids, nprobe)
+        .join(lists, Seq("cluster"))
+        .where(col("qid") =!= col("cid"))
+        .join(broadcast(queries), Seq("qid")),
+      k, roundTo)
   }
 
   /** Hamming bound implied by a cosine threshold over `planes` sign

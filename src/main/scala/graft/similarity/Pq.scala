@@ -225,25 +225,17 @@ object Pq {
                       roundTo: Int = 4): DataFrame = {
     import graft.sources.BucketedTables
     val spark = queries.sparkSession
-    val buckets = spark.read.parquet(s"$path/params").head()
-      .getAs[Int]("buckets")
-    val lists = BucketedTables.table(spark, ivfpqName(path),
+    val buckets = BucketedTables.readBuckets(spark, s"$path/params")
+    val lists = BucketedTables.tableOrPlain(spark, ivfpqName(path),
       s"$path/lists", buckets, "cluster")
-    val vecs = BucketedTables.table(spark,
+    val vecs = BucketedTables.tableOrPlain(spark,
       BucketedTables.tableName("graft_ivfpq", path, "vecs"),
       s"$path/vecs", buckets, "cid")
     val centroids = spark.read.parquet(s"$path/centroids")
     val mdl = readModel(spark, s"$path/pq_model")
-    val qn = queries.select(col("qid"), col("qvec"),
-      Ann.normalize(Ann.asDouble(col("qvec"))).as("qv"))
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("csim").desc, col("cluster"))
-    val probes = qn.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("cluster"),
-        TextExprs.vecDot(col("qv"), col("centroid")).as("csim"))
-      .withColumn("pr", row_number().over(probeW))
-      .where(col("pr") <= nprobe)
-      .select(col("qid"), col("cluster"))
+    // probe stage shared with the IVF twins (Ann.probeClusters) — tie
+    // breaks and normalization cannot drift between variants
+    val probes = Ann.probeClusters(queries, centroids, nprobe)
     val qt = queries.select(col("qid"),
       queryTable(col("qvec"), mdl).as("qtab"))
     val pw = Window.partitionBy(col("qid"))
@@ -257,17 +249,12 @@ object Pq {
       .withColumn("prn", row_number().over(pw))
       .where(col("prn") <= k * overscan)
       .select(col("qid"), col("cid"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
-    survivors
-      .join(vecs, Seq("cid"))
-      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
-      .select(col("qid"), col("cid"),
-        round(Ann.cosine(Ann.asDouble(col("qvec")), Ann.asDouble(col("cvec"))),
-          roundTo).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("sim"))
+    // exact re-rank tail shared with every ANN variant (Ann.rankTopK)
+    Ann.rankTopK(
+      survivors
+        .join(vecs, Seq("cid"))
+        .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid")),
+      k, roundTo)
   }
 
   /** Approximate top-k via PQ: train (or reuse) a codebook, encode the

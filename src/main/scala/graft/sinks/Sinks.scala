@@ -83,11 +83,18 @@ object Sinks {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     // Spark's own overwrite guard only catches EXACT path equality; a
     // destination nested in the source would land compacted copies
-    // inside the dataset and double-count every row on the next read
-    val srcU = new java.io.File(srcPath).toURI.normalize.getPath
-      .stripSuffix("/")
-    val dstU = new java.io.File(destPath).toURI.normalize.getPath
-      .stripSuffix("/")
+    // inside the dataset and double-count every row on the next read.
+    // Qualify through Hadoop (NOT java.io.File, which mangles
+    // scheme-qualified paths like file:/ or s3a:// into cwd-relative
+    // ones and lets nested destinations slip past the check)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toUri.toString
+        .stripSuffix("/")
+    }
+    val srcU = qualified(srcPath)
+    val dstU = qualified(destPath)
     require(dstU != srcU && !dstU.startsWith(srcU + "/") &&
       !srcU.startsWith(dstU + "/"),
       s"destPath must not equal or nest with srcPath ($srcPath vs $destPath)")

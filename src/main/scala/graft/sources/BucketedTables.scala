@@ -29,7 +29,10 @@ object BucketedTables {
   /** The bucketed table `name` at `location`, re-registering it in this
     * session's catalog from the stored files if absent. `buckets` /
     * `bucketCol` / `sortCols` must match the build (the index params
-    * table records them for exactly this reason). */
+    * table records them for exactly this reason) — registering a WRONG
+    * bucket count would misroute bucketed joins into wrong results,
+    * which is why unknown-bucket legacy indexes must go through
+    * [[tableOrPlain]] instead. */
   def table(spark: SparkSession, name: String, location: String,
             buckets: Int, bucketCol: String,
             sortCols: Seq[String] = Nil): DataFrame = {
@@ -37,11 +40,36 @@ object BucketedTables {
       val schema = spark.read.parquet(location).schema.toDDL
       val sorted =
         if (sortCols.isEmpty) "" else s"SORTED BY (${sortCols.mkString(", ")}) "
+      // single quotes in the path must escape or the DDL can't parse —
+      // the builders accept any path the DataFrame writers accept
+      val loc = location.replace("'", "''")
       spark.sql(
         s"""CREATE TABLE $name ($schema) USING PARQUET
            |CLUSTERED BY ($bucketCol) ${sorted}INTO $buckets BUCKETS
-           |LOCATION '$location'""".stripMargin)
+           |LOCATION '$loc'""".stripMargin)
     }
     spark.table(name)
   }
+
+  /** [[table]] when the bucket count is known, a plain parquet read when
+    * it is not (an index persisted before bucket counts were recorded):
+    * results stay correct, only the shuffle-free join property is
+    * lost. */
+  def tableOrPlain(spark: SparkSession, name: String, location: String,
+                   buckets: Option[Int], bucketCol: String,
+                   sortCols: Seq[String] = Nil): DataFrame =
+    buckets match {
+      case Some(b) => table(spark, name, location, b, bucketCol, sortCols)
+      case None => spark.read.parquet(location)
+    }
+
+  /** The recorded bucket count of an index params table, if present —
+    * None for a missing params file or a pre-bucket-record schema. */
+  def readBuckets(spark: SparkSession, paramsPath: String): Option[Int] =
+    try {
+      val df = spark.read.parquet(paramsPath)
+      if (df.columns.contains("buckets"))
+        Some(df.head().getAs[Int]("buckets"))
+      else None
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 }

@@ -35,7 +35,7 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(indexed === direct)
   }
 
-  test("the inverted lists scan bucketed") {
+  test("the inverted lists scan bucketed, exactly once") {
     val (q, _) = qc
     val path = Files.createTempDirectory("graft_ivfidx2").toString + "/idx"
     Ann.writeIvfIndex(qc._2, path, nClusters = 8, iters = 1, buckets = 4)
@@ -44,5 +44,11 @@ class IvfIndexSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("Bucketed: true"),
       s"lists table should scan bucketed:\n${plan.take(3000)}")
+    // ONE bucketed join with vectors in place — a (cid, cluster)/(cid,
+    // cvec) split would scan the table twice and shuffle the full vector
+    // payload on cid (a column the table is not bucketed by)
+    val listScans = "Location.*idx/lists".r.findAllIn(plan).size
+    assert(listScans === 1,
+      s"lists must be scanned exactly once, got $listScans")
   }
 }
