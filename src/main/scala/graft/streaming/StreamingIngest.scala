@@ -124,6 +124,32 @@ object StreamingIngest {
         id)
     }
 
+  /** Watermarked STREAM-STREAM interval join: each left event pairs
+    * with right events on the same key within `[ts - window, ts]` —
+    * the streaming twin of [[graft.ops.TemporalOps.rangeJoin]]. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can evict join state as the watermarks advance
+    * — the state-bounded shape; an unconstrained stream-stream join
+    * would buffer both streams forever.
+    *
+    * @param left  columns (key, ts, ...) — `ts` an event-time timestamp
+    * @param right columns (key, ts, ...)
+    * @param window   how far back a right row may be (e.g. "30 minutes")
+    * @param watermark lateness bound applied to BOTH sides
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   window: String, watermark: String): DataFrame = {
+    val l = left.withColumnRenamed("key", "l_key")
+      .withColumnRenamed("ts", "l_ts")
+      .withWatermark("l_ts", watermark)
+    val r = right.withColumnRenamed("key", "r_key")
+      .withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""l_key = r_key AND
+         |r_ts BETWEEN l_ts - interval $window AND l_ts""".stripMargin))
+  }
+
   /** Streaming near-dedup against a PERSISTENT MinHash index
     * ([[graft.dedup.Dedup.writeMinhashIndex]]): each micro-batch queries
     * the stored bucketed tables — the standing corpus's shingle/signature
