@@ -146,6 +146,22 @@ object ScalarQueries {
         .orderBy(col("event_type"))
     }),
 
+    // the same extraction through Spark 4's native VARIANT type: parse
+    // once into the binary variant encoding, typed path extraction after
+    // — at scale the parse cost is paid once per row however many paths
+    // are read, where get_json_object re-parses the string per path.
+    // try_* variants: malformed JSON or a non-int k become null, exactly
+    // the json_extract semantics, so the same oracle shape holds.
+    "variant_extract" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
+            .as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // F4: explode of a computed array
     "explode_group" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -275,6 +291,14 @@ object ScalarQueries {
     // DuckDB sum(int) widens to HUGEINT (int128), which the driver's
     // fetch path renders as float — cast to bigint to match Spark's sum.
     "json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(try_cast(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS integer)) AS bigint) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // variant extraction ≡ string-path extraction on this data (valid
+    // JSON objects; nulls line up through the try_* chain)
+    "variant_extract" ->
       """SELECT event_type, count(*) AS n,
         |  cast(sum(try_cast(CASE WHEN json_valid(props)
         |      THEN json_extract_string(props, '$.k') END AS integer)) AS bigint) AS sum_k
