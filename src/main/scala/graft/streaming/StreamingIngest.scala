@@ -239,6 +239,56 @@ object StreamingIngest {
       }
   }
 
+  case class TypedEvent(user_id: Long, event_type: String)
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts through Spark 4's
+    * `transformWithState` (arbitrary-state API v2): state is a true
+    * `MapState[event_type -> count]`, so one arriving event touches ONE
+    * map entry in the state store — the old mapGroupsWithState API could
+    * only read-modify-write the user's whole state blob. Emits the
+    * updated (user, type, n) rows each micro-batch (Update mode). */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEvent, TypeCount] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        E.STRING, E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TypedEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { e =>
+        val next = touched.getOrElse(e.event_type,
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L) + 1L
+        touched.update(e.event_type, next)
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => TypeCount(uid, t, n) }
+    }
+  }
+
+  /** Wire [[TypeCountsProcessor]] over an event stream with columns
+    * (user_id, event_type). */
+  def runningTypeCounts(spark: SparkSession,
+                        events: DataFrame): Dataset[TypeCount] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n_events: Long, total_value: Double)
   case class UserSummary(user_id: Long, n_events: Long, total_value: Double)
