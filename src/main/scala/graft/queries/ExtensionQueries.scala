@@ -20,58 +20,41 @@ import graft.text.TextOps
   */
 object ExtensionQueries {
 
-  /** Build-once-per-JVM caches for the persistent-index gate queries:
+  /** Build-once-per-JVM cache for the persistent-index gate queries:
     * the index build is the amortized part of the feature, and repeated
     * query invocations (Verify + Bench + Explain in one session) must
-    * not leak temp dirs or catalog tables. */
-  private val mhIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  // synchronized: TrieMap.getOrElseUpdate can evaluate the thunk in two
-  // racing threads (parallel suites / concurrent gate runs), each paying
-  // the build and leaking the loser's temp dir + catalog tables
-  private def mhIndexFor(s: SparkSession, dir: String): String =
-    mhIndexCache.synchronized {
-      mhIndexCache.getOrElseUpdate(dir, {
+    * not leak temp dirs or catalog tables. Synchronized: a bare
+    * TrieMap.getOrElseUpdate can evaluate the thunk in two racing
+    * threads, each paying the build and leaking the loser's temp dir +
+    * catalog tables. */
+  private class IndexCache(prefix: String, build: (SparkSession, String, String) => Unit) {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def apply(s: SparkSession, dir: String): String = cache.synchronized {
+      cache.getOrElseUpdate(dir, {
         val path = java.nio.file.Files
-          .createTempDirectory("graft_gate_mhidx").toString + "/idx"
-        Dedup.writeMinhashIndex(
-          Tables(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
-          col("doc_id"), col("text"), path, buckets = 8)
+          .createTempDirectory(prefix).toString + "/idx"
+        build(s, dir, path)
         path
       })
     }
+  }
 
-  private def ivfIndexFor(s: SparkSession, dir: String): String =
-    ivfIndexCache.synchronized {
-      ivfIndexCache.getOrElseUpdate(dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_gate_ivfidx").toString + "/idx"
-        Ann.writeIvfIndex(
-          Tables(s, dir, "embeddings")
-            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-          path, nClusters = 16, iters = 2, buckets = 8)
-        path
-      })
-    }
+  private val mhIndexFor = new IndexCache("graft_gate_mhidx", (s, dir, path) =>
+    Dedup.writeMinhashIndex(
+      Tables(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), path, buckets = 8))
 
-  private val ivfpqIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ivfIndexFor = new IndexCache("graft_gate_ivfidx", (s, dir, path) =>
+    Ann.writeIvfIndex(
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      path, nClusters = 16, iters = 2, buckets = 8))
 
-  private def ivfpqIndexFor(s: SparkSession, dir: String): String =
-    ivfpqIndexCache.synchronized {
-      ivfpqIndexCache.getOrElseUpdate(dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_gate_ivfpq").toString + "/idx"
-        Pq.writeIvfPqIndex(
-          Tables(s, dir, "embeddings")
-            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-          path, dim = 64, m = 8, nCentroids = 16, nClusters = 16, buckets = 8)
-        path
-      })
-    }
+  private val ivfpqIndexFor = new IndexCache("graft_gate_ivfpq", (s, dir, path) =>
+    Pq.writeIvfPqIndex(
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      path, dim = 64, m = 8, nCentroids = 16, nClusters = 16, buckets = 8))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -150,13 +150,16 @@ object ScalarQueries {
     // once into the binary variant encoding, typed path extraction after
     // — at scale the parse cost is paid once per row however many paths
     // are read, where get_json_object re-parses the string per path.
-    // try_* variants: malformed JSON or a non-int k become null, exactly
-    // the json_extract semantics, so the same oracle shape holds.
+    // Extraction goes variant → STRING → try_cast int, NOT
+    // variant_get(..., 'int'): the direct int get would coerce booleans
+    // (true→1) and truncate doubles (3.7→3) where the DuckDB oracle's
+    // try_cast(varchar) nulls both — string-then-cast keeps the two
+    // engines bit-identical for every k type, not just today's ints.
     "variant_extract" -> ((s, dir) => {
       Tables(s, dir, "events")
         .select(col("event_type"),
-          expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
-            .as("k"))
+          expr("try_cast(try_variant_get(try_parse_json(props), " +
+            "'$.k', 'string') AS int)").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("event_type"))

@@ -88,20 +88,16 @@ object Sinks {
     // scheme-qualified paths like file:/ or s3a:// into cwd-relative
     // ones and lets nested destinations slip past the check)
     val conf = spark.sparkContext.hadoopConfiguration
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).makeQualified(hp).toUri.toString
-        .stripSuffix("/")
-    }
-    val srcU = qualified(srcPath)
-    val dstU = qualified(destPath)
+    val srcHP = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = srcHP.getFileSystem(conf)
+    def qualified(p: org.apache.hadoop.fs.Path): String =
+      p.getFileSystem(conf).makeQualified(p).toUri.toString.stripSuffix("/")
+    val srcU = qualified(srcHP)
+    val dstU = qualified(new org.apache.hadoop.fs.Path(destPath))
     require(dstU != srcU && !dstU.startsWith(srcU + "/") &&
       !srcU.startsWith(dstU + "/"),
       s"destPath must not equal or nest with srcPath ($srcPath vs $destPath)")
-    val fs = new org.apache.hadoop.fs.Path(srcPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath))
-      .getLength
+    val bytes = fs.getContentSummary(srcHP).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val cols = orderCols.map(col)
     spark.read.parquet(srcPath)

@@ -41,10 +41,13 @@ object BucketedTables {
       val sorted =
         if (sortCols.isEmpty) "" else s"SORTED BY (${sortCols.mkString(", ")}) "
       // single quotes in the path must escape or the DDL can't parse —
-      // the builders accept any path the DataFrame writers accept
+      // the builders accept any path the DataFrame writers accept;
+      // IF NOT EXISTS: two racing first-queries both pass the exists
+      // check above, and the loser must not crash on a table the winner
+      // just registered identically
       val loc = location.replace("'", "''")
       spark.sql(
-        s"""CREATE TABLE $name ($schema) USING PARQUET
+        s"""CREATE TABLE IF NOT EXISTS $name ($schema) USING PARQUET
            |CLUSTERED BY ($bucketCol) ${sorted}INTO $buckets BUCKETS
            |LOCATION '$loc'""".stripMargin)
     }

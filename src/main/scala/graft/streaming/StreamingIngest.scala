@@ -139,6 +139,13 @@ object StreamingIngest {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    window: String, watermark: String): DataFrame = {
+    // only key/ts are renamed; shared PAYLOAD names would emerge as
+    // ambiguous duplicate columns — fail fast with the fix in hand
+    val overlap = (left.columns.toSet - "key" - "ts")
+      .intersect(right.columns.toSet - "key" - "ts")
+    require(overlap.isEmpty,
+      s"rename payload columns shared by both sides first: " +
+        overlap.mkString(", "))
     val l = left.withColumnRenamed("key", "l_key")
       .withColumnRenamed("ts", "l_ts")
       .withWatermark("l_ts", watermark)
