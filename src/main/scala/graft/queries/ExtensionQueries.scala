@@ -251,6 +251,34 @@ object ExtensionQueries {
         .orderBy(col("id"))
     }),
 
+    // balanced per-source subset: exactly 40 docs per source by smallest
+    // content hash — the eval/ablation selector where fraction sampling
+    // would track source size
+    "stratified_take" -> ((s, dir) => {
+      graft.text.Sampling.takePerGroup(
+          Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), n = 40)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // one-pass column profiler over the biggest table: the null/distinct/
+    // range audit a pipeline runs before trusting a new data drop.
+    // approx_count_distinct stays OUT (approximate → not oracle-exact);
+    // exact distinct counts of three columns in one aggregation
+    "profile_table" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_orderkey"),
+          countDistinct(col("l_orderkey")).as("d_orderkey"),
+          countDistinct(col("l_returnflag")).as("d_returnflag"),
+          min(col("l_quantity").cast("decimal(12,2)")).cast("string")
+            .as("min_qty"),
+          max(col("l_quantity").cast("decimal(12,2)")).cast("string")
+            .as("max_qty"),
+          sum(col("l_linenumber")).as("sum_linenumber"))
+    }),
+
     // deterministic training-order shuffle: content-keyed md5 assigns
     // every doc a shard and a stable position within it — the export
     // ordering a training run replays identically from any retry.
@@ -777,6 +805,27 @@ object ExtensionQueries {
         |SELECT doc_id, source, unnest(range(0, n)) AS copy_idx
         |FROM c
         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "stratified_take" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 40
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // l_quantity is integral in this data, so the double->decimal cast
+    // cannot hit the binary-expansion rounding drift (memory: cents rule)
+    "profile_table" ->
+      """SELECT cast(count(*) AS bigint) AS n_rows,
+        |  cast(count(l_orderkey) AS bigint) AS n_orderkey,
+        |  cast(count(DISTINCT l_orderkey) AS bigint) AS d_orderkey,
+        |  cast(count(DISTINCT l_returnflag) AS bigint) AS d_returnflag,
+        |  cast(min(cast(l_quantity AS decimal(12,2))) AS varchar) AS min_qty,
+        |  cast(max(cast(l_quantity AS decimal(12,2))) AS varchar) AS max_qty,
+        |  cast(sum(l_linenumber) AS bigint) AS sum_linenumber
+        |FROM lineitem""".stripMargin,
 
     "corpus_sample" ->
       """SELECT doc_id, source,

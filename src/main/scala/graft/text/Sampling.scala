@@ -78,6 +78,26 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Exact-N-per-group deterministic sample: within each group, keep
+    * the `n` rows with the smallest md5(key) — the balanced-subset
+    * selector (equal docs per source for evals/ablations) where
+    * [[hashSample]]'s fraction form would track group SIZE. Stable
+    * across re-runs and partitioning like every selector here. One
+    * shuffle on the group column; the per-group sort is a window over
+    * bounded groups (at 100 TB, group count ≫ cores — embarrassingly
+    * parallel; a single giant group degrades to its one sort, same as
+    * any per-group top-N). */
+  def takePerGroup(df: DataFrame, group: Column, key: Column,
+                   n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(group)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Mix a corpus by per-source sampling rates (upweighting by repeat
     * is a separate explode step): keep each row with its source's rate,
     * defaulting to `defaultRate` for unlisted sources. One narrow pass. */

@@ -45,6 +45,21 @@ class VocabSpec extends AnyFunSuite {
     assert(out((2L, 2)) === (("common", 1000000L)))
   }
 
+  test("takePerGroup keeps exactly n per group, deterministically") {
+    import graft.text.Sampling
+    val docs = (1L to 100L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    def run() = Sampling.takePerGroup(docs, col("source"), col("doc_id"), n = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val out = run()
+    assert(out.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map("src0" -> 5, "src1" -> 5, "src2" -> 5))
+    assert(run() === out, "selection must be stable across runs")
+    // a group smaller than n yields all its rows, no error
+    val tiny = Seq((1L, "only")).toDF("doc_id", "source")
+    assert(Sampling.takePerGroup(tiny, col("source"), col("doc_id"), 5)
+      .count() === 1)
+  }
+
   test("minDf prunes the hapax tail") {
     val docs = Seq(
       (1L, "common rare1"), (2L, "common rare2"), (3L, "common")
