@@ -124,6 +124,29 @@ object StreamingIngest {
         id)
     }
 
+  /** [[decontaminateBatches]] through the bloom prefilter, with the
+    * benchmark bitmap built ONCE before the stream starts — inside the
+    * batch loop [[graft.text.Decontaminate.flagBloom]] would re-scan
+    * the benchmark and rebuild the bloom EVERY micro-batch; here each
+    * batch pays only its own gram kernels, the map-side probe, and the
+    * slim exact-verify join. The large-benchmark streaming shape. */
+  def decontaminateBloomBatches(stream: DataFrame, bench: DataFrame,
+                                onBatch: (DataFrame, Long) => Unit,
+                                n: Int = 5, minHits: Int = 1,
+                                expectedBenchGrams: Long = 1L << 22,
+                                fpp: Double = 0.01):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val bloom = graft.text.Decontaminate.benchBloom(
+      bench, col("text"), n, expectedBenchGrams, fpp)
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      onBatch(
+        graft.text.Decontaminate.flagPrebuiltBloom(
+          batch, bench, bloom, col("doc_id"), col("text"), n, minHits),
+        id)
+    }
+  }
+
   /** Watermarked STREAM-STREAM interval join: each left event pairs
     * with right events on the same key within `[ts - window, ts]` —
     * the streaming twin of [[graft.ops.TemporalOps.rangeJoin]]. Both

@@ -88,25 +88,50 @@ object Decontaminate {
       hitCountsBloom(train, bench, id, text, n, expectedBenchGrams, fpp),
       id, text, n, minHits)
 
+  /** The distinct benchmark-gram bloom bitmap — built ONCE per
+    * benchmark version and reusable across queries and micro-batches
+    * (rebuilding it inside a per-batch loop would re-scan the benchmark
+    * every batch). A deliberate driver materialization of the
+    * serialized bitmap, the same class as a broadcast. */
+  def benchBloom(bench: DataFrame, text: Column, n: Int = 5,
+                 expectedBenchGrams: Long = 1L << 22,
+                 fpp: Double = 0.01): Array[Byte] =
+    graft.ops.BloomOps.build(
+      bench.select(explode(Dedup.shingles(text, n)).as("g")),
+      col("g"), expectedBenchGrams, fpp)
+
   /** [[hitCounts]] through the bloom prefilter (see [[flagBloom]]). */
   def hitCountsBloom(train: DataFrame, bench: DataFrame, id: Column,
                      text: Column, n: Int = 5,
                      expectedBenchGrams: Long = 1L << 22,
-                     fpp: Double = 0.01): DataFrame = {
+                     fpp: Double = 0.01): DataFrame =
+    hitCountsPrebuiltBloom(train, bench,
+      benchBloom(bench, text, n, expectedBenchGrams, fpp), id, text, n)
+
+  /** [[hitCountsBloom]] with a [[benchBloom]] bitmap built elsewhere —
+    * the repeated-use form (streams, many corpora vs one benchmark). */
+  def hitCountsPrebuiltBloom(train: DataFrame, bench: DataFrame,
+                             bloom: Array[Byte], id: Column, text: Column,
+                             n: Int = 5): DataFrame = {
     import graft.ops.BloomOps
     val benchGrams = bench.select(explode(Dedup.shingles(text, n)).as("g"))
-    // one action to build the filter: a deliberate driver materialization
-    // of the serialized bitmap, the same class as a broadcast
-    val bf = BloomOps.build(benchGrams, col("g"), expectedBenchGrams, fpp)
     val trainGrams = train
       .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
-      .where(BloomOps.mightContain(bf, col("g")))
+      .where(BloomOps.mightContain(bloom, col("g")))
     // exact verify over the survivors — NOT broadcast: this path exists
     // precisely because the bench gram set is too big for that
     trainGrams.join(benchGrams.distinct(), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** [[flagBloom]] with a [[benchBloom]] bitmap built elsewhere. */
+  def flagPrebuiltBloom(train: DataFrame, bench: DataFrame,
+                        bloom: Array[Byte], id: Column, text: Column,
+                        n: Int = 5, minHits: Int = 1): DataFrame =
+    annotate(train,
+      hitCountsPrebuiltBloom(train, bench, bloom, id, text, n),
+      id, text, n, minHits)
 
   /** The filtering form: training docs with NO disqualifying benchmark
     * overlap — the frame you feed to the serialization step. Anti-joins

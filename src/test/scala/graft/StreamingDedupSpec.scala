@@ -80,6 +80,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(seen(102L) === ((Some(2L), 0))) // dup arriving in a later batch
   }
 
+  test("bloom-path streaming decontamination matches the broadcast path") {
+    val dir = Files.createTempDirectory("graft_sdecon_bloom")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    Files.writeString(in.resolve("b1.json"),
+      """{"doc_id":100,"text":"prefix the quick brown fox jumps over the lazy dog suffix"}
+        |{"doc_id":101,"text":"totally original writing about distributed query engines"}
+        |""".stripMargin)
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val flags = scala.collection.concurrent.TrieMap[Long, Int]()
+    val q = StreamingIngest.decontaminateBloomBatches(stream, bench,
+        (flagged, _) =>
+          flagged.collect().foreach(r =>
+            flags.put(r.getAs[Long]("doc_id"), r.getAs[Int]("contaminated"))),
+        expectedBenchGrams = 1024)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(flags(100L) === 1)
+    assert(flags(101L) === 0)
+  }
+
   test("streaming batches are decontaminated against a static benchmark") {
     val dir = Files.createTempDirectory("graft_sdecon")
     val in = dir.resolve("in"); Files.createDirectory(in)
