@@ -151,10 +151,11 @@ object ScalarQueries {
     // — at scale the parse cost is paid once per row however many paths
     // are read, where get_json_object re-parses the string per path.
     // Extraction goes variant → STRING → try_cast int, NOT
-    // variant_get(..., 'int'): the direct int get would coerce booleans
-    // (true→1) and truncate doubles (3.7→3) where the DuckDB oracle's
-    // try_cast(varchar) nulls both — string-then-cast keeps the two
-    // engines bit-identical for every k type, not just today's ints.
+    // variant_get(..., 'int') (which coerces booleans and truncates
+    // doubles). Cross-engine cast parity is subtle — Spark's
+    // try_cast('3.7' AS int) is NULL while DuckDB's ROUNDS to 4 — so
+    // the ORACLE guards with an integer-pattern regex to reproduce
+    // Spark's accept-integers-only semantics for every k type.
     "variant_extract" -> ((s, dir) => {
       Tables(s, dir, "events")
         .select(col("event_type"),
@@ -299,13 +300,20 @@ object ScalarQueries {
         |      THEN json_extract_string(props, '$.k') END AS integer)) AS bigint) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // variant extraction ≡ string-path extraction on this data (valid
-    // JSON objects; nulls line up through the try_* chain)
+    // variant extraction: the integer-pattern regex reproduces Spark's
+    // try_cast(string AS int) semantics — DuckDB's bare try_cast ROUNDS
+    // '3.7' to 4 where Spark nulls it, so an unguarded cast would
+    // silently diverge the day a non-integer k appears in the fixture
     "variant_extract" ->
-      """SELECT event_type, count(*) AS n,
-        |  cast(sum(try_cast(CASE WHEN json_valid(props)
-        |      THEN json_extract_string(props, '$.k') END AS integer)) AS bigint) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(props)
+        |         THEN json_extract_string(props, '$.k') END AS ks
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  cast(sum(CASE WHEN regexp_matches(trim(ks), '^[-+]?[0-9]+$')
+        |      THEN cast(trim(ks) AS integer) END) AS bigint) AS sum_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "explode_group" ->
       """SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS tok

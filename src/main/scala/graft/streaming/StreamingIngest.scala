@@ -124,12 +124,16 @@ object StreamingIngest {
         id)
     }
 
-  /** [[decontaminateBatches]] through the bloom prefilter, with the
-    * benchmark bitmap built ONCE before the stream starts — inside the
-    * batch loop [[graft.text.Decontaminate.flagBloom]] would re-scan
-    * the benchmark and rebuild the bloom EVERY micro-batch; here each
-    * batch pays only its own gram kernels, the map-side probe, and the
-    * slim exact-verify join. The large-benchmark streaming shape. */
+  /** [[decontaminateBatches]] through the bloom prefilter, with BOTH
+    * benchmark artifacts built ONCE before the stream starts: the bloom
+    * bitmap AND the persisted distinct-gram frame — inside the batch
+    * loop, [[graft.text.Decontaminate.flagBloom]] would re-scan the
+    * benchmark and rebuild both every micro-batch. Each batch then pays
+    * only its own gram kernels, the map-side probe, and the exact-verify
+    * join against the cached gram set (for a benchmark too large to
+    * persist in memory, materialize [[graft.text.Decontaminate.
+    * benchGramSet]] to parquet and pass that read back in as `bench`).
+    * The large-benchmark streaming shape. */
   def decontaminateBloomBatches(stream: DataFrame, bench: DataFrame,
                                 onBatch: (DataFrame, Long) => Unit,
                                 n: Int = 5, minHits: Int = 1,
@@ -139,10 +143,13 @@ object StreamingIngest {
     import org.apache.spark.sql.functions.col
     val bloom = graft.text.Decontaminate.benchBloom(
       bench, col("text"), n, expectedBenchGrams, fpp)
+    val benchGrams = graft.text.Decontaminate
+      .benchGramSet(bench, col("text"), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       onBatch(
         graft.text.Decontaminate.flagPrebuiltBloom(
-          batch, bench, bloom, col("doc_id"), col("text"), n, minHits),
+          batch, benchGrams, bloom, col("doc_id"), col("text"), n, minHits),
         id)
     }
   }
@@ -163,12 +170,20 @@ object StreamingIngest {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    window: String, watermark: String): DataFrame = {
     // only key/ts are renamed; shared PAYLOAD names would emerge as
-    // ambiguous duplicate columns — fail fast with the fix in hand
+    // ambiguous duplicate columns — fail fast with the fix in hand.
+    // Same for payloads that collide with the RENAME TARGETS: a left
+    // column literally named l_key would duplicate after the rename.
     val overlap = (left.columns.toSet - "key" - "ts")
       .intersect(right.columns.toSet - "key" - "ts")
     require(overlap.isEmpty,
       s"rename payload columns shared by both sides first: " +
         overlap.mkString(", "))
+    val reserved = Set("l_key", "l_ts", "r_key", "r_ts")
+    val clash = (left.columns.toSet ++ right.columns.toSet)
+      .intersect(reserved)
+    require(clash.isEmpty,
+      s"rename payload columns that collide with the join's internal " +
+        s"names first: ${clash.mkString(", ")}")
     val l = left.withColumnRenamed("key", "l_key")
       .withColumnRenamed("ts", "l_ts")
       .withWatermark("l_ts", watermark)

@@ -100,37 +100,47 @@ object Decontaminate {
       bench.select(explode(Dedup.shingles(text, n)).as("g")),
       col("g"), expectedBenchGrams, fpp)
 
+  /** The DISTINCT benchmark gram frame the exact-verify join runs
+    * against — like [[benchBloom]], prepare it ONCE per benchmark
+    * version for repeated use (persist it, or materialize to parquet
+    * for a very large benchmark: an unprepared frame re-scans and
+    * re-distincts the benchmark on EVERY consuming action). */
+  def benchGramSet(bench: DataFrame, text: Column, n: Int = 5): DataFrame =
+    bench.select(explode(Dedup.shingles(text, n)).as("g")).distinct()
+
   /** [[hitCounts]] through the bloom prefilter (see [[flagBloom]]). */
   def hitCountsBloom(train: DataFrame, bench: DataFrame, id: Column,
                      text: Column, n: Int = 5,
                      expectedBenchGrams: Long = 1L << 22,
                      fpp: Double = 0.01): DataFrame =
-    hitCountsPrebuiltBloom(train, bench,
+    hitCountsPrebuiltBloom(train, benchGramSet(bench, text, n),
       benchBloom(bench, text, n, expectedBenchGrams, fpp), id, text, n)
 
-  /** [[hitCountsBloom]] with a [[benchBloom]] bitmap built elsewhere —
-    * the repeated-use form (streams, many corpora vs one benchmark). */
-  def hitCountsPrebuiltBloom(train: DataFrame, bench: DataFrame,
+  /** [[hitCountsBloom]] with the [[benchBloom]] bitmap AND the
+    * [[benchGramSet]] frame prepared elsewhere — the repeated-use form
+    * (streams, many corpora vs one benchmark), where neither benchmark
+    * artifact is rebuilt per call. */
+  def hitCountsPrebuiltBloom(train: DataFrame, benchGrams: DataFrame,
                              bloom: Array[Byte], id: Column, text: Column,
                              n: Int = 5): DataFrame = {
     import graft.ops.BloomOps
-    val benchGrams = bench.select(explode(Dedup.shingles(text, n)).as("g"))
     val trainGrams = train
       .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
       .where(BloomOps.mightContain(bloom, col("g")))
     // exact verify over the survivors — NOT broadcast: this path exists
     // precisely because the bench gram set is too big for that
-    trainGrams.join(benchGrams.distinct(), Seq("g"))
+    trainGrams.join(benchGrams, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
 
-  /** [[flagBloom]] with a [[benchBloom]] bitmap built elsewhere. */
-  def flagPrebuiltBloom(train: DataFrame, bench: DataFrame,
+  /** [[flagBloom]] with the benchmark artifacts ([[benchBloom]] bitmap
+    * + [[benchGramSet]] frame) prepared elsewhere. */
+  def flagPrebuiltBloom(train: DataFrame, benchGrams: DataFrame,
                         bloom: Array[Byte], id: Column, text: Column,
                         n: Int = 5, minHits: Int = 1): DataFrame =
     annotate(train,
-      hitCountsPrebuiltBloom(train, bench, bloom, id, text, n),
+      hitCountsPrebuiltBloom(train, benchGrams, bloom, id, text, n),
       id, text, n, minHits)
 
   /** The filtering form: training docs with NO disqualifying benchmark

@@ -86,7 +86,13 @@ object Sampling {
     * shuffle on the group column; the per-group sort is a window over
     * bounded groups (at 100 TB, group count ≫ cores — embarrassingly
     * parallel; a single giant group degrades to its one sort, same as
-    * any per-group top-N). */
+    * any per-group top-N).
+    *
+    * PRECONDITION: `key` must be unique within each group (document ids
+    * are). Duplicate keys tie on both md5(key) and the key tie-break,
+    * and which of the tied ROWS survives the cut then follows
+    * partition-dependent arrival order — determinism holds at the key
+    * level only. */
   def takePerGroup(df: DataFrame, group: Column, key: Column,
                    n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
