@@ -477,8 +477,16 @@ object Dedup {
                    wideTables: Option[Boolean] = None): DataFrame = {
     require(maxHamming <= 7, "radius > 7 needs a wider table design")
     val sigd = docs.select(id.as("doc_id"), simhash64(text).as("sig"))
-    val wide = wideTables.getOrElse(
-      maxHamming <= 3 || chooseWideTables(sigd))
+    val wide = wideTables.getOrElse {
+      val chosen = maxHamming <= 3 || chooseWideTables(sigd)
+      // the sampled choice is a plan-shape decision — surface it, so a
+      // run-to-run cost difference is attributable to a layout flip
+      // instead of reading as an unexplained drift
+      System.err.println(
+        s"[graft] simhashPairs layout auto-selected: " +
+          s"${if (chosen) "block-pair (wide)" else "single-chunk"} tables")
+      chosen
+    }
     val chunked = simhashKeys(sigd, maxHamming, wide)
     val a = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))

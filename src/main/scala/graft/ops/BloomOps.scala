@@ -35,14 +35,38 @@ object BloomOps {
   /** Aggregate column producing the serialized bloom filter (binary) of
     * all input values. NOTE: Spark silently caps the sizing at
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
-    * `.maxNumBits` (defaults 4M items / 64 Mbits) — raise those confs
-    * when building over larger benchmark sets, or the fpp degrades. */
-  def bloomAgg(value: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    * `.maxNumBits` (defaults 4M items / 64 Mbits) — a request past the
+    * caps builds a SMALLER filter than asked for (fpp degrades with no
+    * error; results stay exact wherever a verify join follows, but the
+    * prefilter stops pulling its weight). [[bloomAgg]] checks the active
+    * session's caps and warns loudly instead of letting that happen
+    * silently. */
+  def bloomAgg(value: Column, expectedItems: Long, fpp: Double = 0.01): Column = {
+    val bits = optimalNumBits(expectedItems, fpp)
+    // surface the silent clamp: compare the request to the session caps
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      def cap(key: String, dflt: Long): Long =
+        try s.conf.get(key, dflt.toString).toLong catch {
+          case _: NumberFormatException => dflt
+        }
+      val maxItems =
+        cap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+      val maxBits =
+        cap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+      if (expectedItems > maxItems || bits > maxBits)
+        System.err.println(
+          s"[graft] bloomAgg request (items=$expectedItems, bits=$bits) " +
+            s"exceeds session caps (maxNumItems=$maxItems, " +
+            s"maxNumBits=$maxBits): Spark will clamp the filter and the " +
+            "effective fpp degrades — raise the " +
+            "spark.sql.optimizer.runtime.bloomFilter.* confs")
+    }
     ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(value)),
         Literal(expectedItems),
-        Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression())
+        Literal(bits)).toAggregateExpression())
+  }
 
   /** Build the serialized filter over one column of `df` in a single
     * action — the shared driver-materialization step of every bloom

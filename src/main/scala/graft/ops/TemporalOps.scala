@@ -18,11 +18,8 @@ object TemporalOps {
   /** As-of join. `right` must be unique per (key, ts) — pre-aggregate it
     * if not, or ties make the filled value nondeterministic.
     * @return left rows + `payload` column holding the as-of right value
-    *         (null when no right row precedes the left row). The payload
-    *         is carried as a STRING — it is cast for the union-side fill
-    *         marker and returned as StringType whatever the input type;
-    *         cast it back (or join the original right row by key+ts) if
-    *         the native type matters downstream.
+    *         in its NATIVE type (null when no right row precedes the
+    *         left row).
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, rightKey: Column,
@@ -31,15 +28,21 @@ object TemporalOps {
     // the fill marker is a STRUCT, not the payload itself: a right row
     // with a legitimately-null payload must still win the forward fill
     // (bare last(payload, ignoreNulls) would skip it and resurrect an
-    // older value — SQL ASOF semantics return the null)
+    // older value — SQL ASOF semantics return the null). The marker
+    // struct is parameterized on the payload's own type, so the filled
+    // value round-trips typed (a long stays a long, a timestamp a
+    // timestamp) instead of degrading to string.
+    val pType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "v", right.select(payload.as("v")).schema.head.dataType)))
     val l = left.select(leftKey.as("__k"), leftTs.as("__ts"),
       lit(1).as("__isLeft"),
-      lit(null).cast("struct<v:string>").as("__p"),
+      lit(null).cast(pType).as("__p"),
       struct(col("*")).as("__row"))
     val r = right
       .select(rightKey.as("__k"), rightTs.as("__ts"),
         lit(0).as("__isLeft"),
-        struct(payload.cast("string").as("v")).as("__p"),
+        struct(payload.as("v")).as("__p"),
         lit(null).cast(l.schema("__row").dataType).as("__row"))
       // null keys never equi-match — drop them or the keyed window
       // would pair null-key left rows with null-key right rows

@@ -123,10 +123,20 @@ object Sinks {
 
   /** K3: rewrite the \0-delimited single-column payload to comma-separated
     * text. `withNumericHeader` prepends one `0,1,…,n-1` row (n capped at
-    * 200 like the reference's generated header). */
+    * 200 like the reference's generated header).
+    *
+    * `singleFile = true` (the default, faithful to the reference's
+    * one-file export) funnels the WHOLE frame through one write task —
+    * correct for the report-sized exports this models, a scale hazard
+    * for anything else. The guard is explicit: a single-file request
+    * over more than `singleFileMaxRows` rows fails loudly instead of
+    * hanging a 100 TB frame on one task; pass `singleFile = false` to
+    * write sharded (use [[shardedExport]] when replay order matters). */
   def delimiterRewriteCsv(lines: DataFrame, col0: String, path: String,
                           withNumericHeader: Boolean = false,
-                          headerWidth: Int = 200): Unit = {
+                          headerWidth: Int = 200,
+                          singleFile: Boolean = true,
+                          singleFileMaxRows: Long = 10000000L): Unit = {
     val rewritten = lines.select(
       translate(col(col0), Delims.Delim, Delims.DelimComma).as("line"))
     val out =
@@ -136,6 +146,19 @@ object Sinks {
           .range(1).select(lit((0 until headerWidth).mkString(",")).as("line"))
         header.unionByName(rewritten)
       }
-    out.coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+    val shaped =
+      if (!singleFile) out
+      else {
+        // limit(max+1) bounds the probe itself — never a full count of
+        // an over-sized frame just to reject it
+        val probe = out.limit(
+          // +1 must not overflow, and limit() takes an Int
+          math.min(singleFileMaxRows, Int.MaxValue - 1L).toInt + 1).count()
+        require(probe <= singleFileMaxRows,
+          s"single-file export exceeds $singleFileMaxRows rows — " +
+            "pass singleFile = false (sharded) for frames this size")
+        out.coalesce(1)
+      }
+    shaped.write.mode(SaveMode.Overwrite).text(path)
   }
 }

@@ -270,6 +270,11 @@ object StreamingIngest {
               case _ => s :: acc
             }
           }.reverse
+          // close at end + gap <= wm is EXACT, not off by one: Spark's
+          // stateful late-data filter drops rows with ts <= watermark
+          // (verified by the boundary spec — an event at ts == wm never
+          // reaches this handler), so the earliest admissible event has
+          // ts > wm >= end + gap and cannot merge (its gap exceeds gapMs)
           val (closed, open) = merged.partition(_.end + gapMs <= wm)
           if (open.isEmpty) { if (state.exists) state.remove() }
           else {

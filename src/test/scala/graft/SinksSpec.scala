@@ -25,6 +25,21 @@ class SinksSpec extends AnyFunSuite {
     assert(written.contains("0,1,2,3,4"))
   }
 
+  test("delimiter-rewrite single-file guard rejects oversized frames") {
+    val dir = Files.createTempDirectory("graft_sinks_guard")
+    val lines = (1 to 10).map(i => s"r$i").toDF("line")
+    val err = intercept[IllegalArgumentException] {
+      Sinks.delimiterRewriteCsv(lines, "line", dir.resolve("one").toString,
+        singleFileMaxRows = 5L)
+    }
+    assert(err.getMessage.contains("singleFile = false"))
+    // the sharded escape hatch takes the same frame without the funnel
+    val sharded = dir.resolve("sharded").toString
+    Sinks.delimiterRewriteCsv(lines.repartition(4), "line", sharded,
+      singleFile = false, singleFileMaxRows = 5L)
+    assert(spark.read.text(sharded).count() === 10)
+  }
+
   test("sharded export writes per-shard sorted files plus a manifest") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_sinks3").resolve("export").toString

@@ -73,6 +73,64 @@ class StreamingSessionSpec extends AnyFunSuite {
       (1L, t0 + 90 * 60 * 1000L, t0 + 91 * 60 * 1000L, 2L)))
   }
 
+  test("close at end+gap == watermark is final: a ts == wm event is dropped by Spark") {
+    // Pins the boundary semantics the close condition relies on: Spark's
+    // stateful late-data filter drops rows with ts <= watermark, so an
+    // event at EXACTLY ts == wm never reaches the handler — which makes
+    // `end + gap <= wm` the exact close condition (the earliest
+    // admissible event has ts > wm >= end + gap and cannot merge). Gap
+    // 30 min, watermark delay 10 min: b1 (u1@00:00, u2@00:40) sets
+    // wm = 00:30; b2's u1@00:35 invokes u1's group at wm == end+gap ==
+    // 00:30, closing [00:00] finally; b3's u1@00:30 (ts == wm) is
+    // dropped by the watermark filter — it neither resurrects the
+    // closed session nor seeds a spurious singleton nor glues onto the
+    // open 00:35 session. If Spark admitted ts == wm events, this spec
+    // would fail with a (00:30, 00:35, n=2) remnant — the close
+    // condition would then need to tighten to strict <.
+    val dir = Files.createTempDirectory("graft_ssess3")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    writeBatches(in,
+      "b1.json" ->
+        """{"user_id":1,"event_ts":"2026-01-01T00:00:00.000Z"}
+          |{"user_id":2,"event_ts":"2026-01-01T00:40:00.000Z"}
+          |""".stripMargin,
+      "b2.json" ->
+        """{"user_id":1,"event_ts":"2026-01-01T00:35:00.000Z"}
+          |""".stripMargin,
+      "b3.json" ->
+        """{"user_id":1,"event_ts":"2026-01-01T00:30:00.000Z"}
+          |""".stripMargin,
+      "b4.json" ->
+        """{"user_id":2,"event_ts":"2026-01-01T01:30:00.000Z"}
+          |""".stripMargin,
+      "b5.json" ->
+        """{"user_id":2,"event_ts":"2026-01-01T02:30:00.000Z"}
+          |""".stripMargin)
+
+    val stream = spark.readStream
+      .schema("user_id LONG, event_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val q = StreamingIngest.streamingSessions(spark, stream,
+        gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out3")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+    val min = 60 * 1000L
+    val out = spark.sql("select * from sess_out3 where user_id = 1")
+      .collect()
+      .map(r => (r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events"))).toSet
+    // two singletons: the boundary event at ts == wm influenced NOTHING
+    assert(out === Set(
+      (t0, t0, 1L),
+      (t0 + 35 * min, t0 + 35 * min, 1L)))
+  }
+
   test("an out-of-order event in a later batch merges into the earlier session") {
     val dir = Files.createTempDirectory("graft_ssess2")
     val in = dir.resolve("in"); Files.createDirectory(in)

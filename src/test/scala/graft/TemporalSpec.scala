@@ -58,6 +58,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) === null, "null keys must not equi-match")
   }
 
+  test("asof join: payload keeps its native type (long, timestamp)") {
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 5L)).toDF("event_id", "k", "ts")
+    val longRight = Seq(("u1", 8L, 42L)).toDF("k", "ts", "v")
+    val longOut = TemporalOps.asofJoin(left, longRight,
+      leftKey = col("k"), rightKey = col("k"),
+      leftTs = col("ts"), rightTs = col("ts"), payload = col("v"))
+    assert(longOut.schema("payload").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val byId = longOut.select("event_id", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(byId(1L) === 42L)
+    assert(byId(2L) === null, "unmatched rows fill a typed null")
+
+    val tsRight = Seq(("u1", 8L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))
+      .toDF("k", "ts", "v")
+    val tsOut = TemporalOps.asofJoin(left, tsRight,
+      leftKey = col("k"), rightKey = col("k"),
+      leftTs = col("ts"), rightTs = col("ts"), payload = col("v"))
+    assert(tsOut.schema("payload").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(tsOut.where(col("event_id") === 1L)
+      .select("payload").collect().head.getTimestamp(0) ===
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))
+  }
+
   test("range join: inclusive bounds, bucket crossings, key isolation") {
     val left = Seq(
       (1L, "u1", 100L),
