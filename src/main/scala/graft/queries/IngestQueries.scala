@@ -74,6 +74,29 @@ object IngestQueries {
         .orderBy(col("rowKey"), col("columnName"), col("packedValue"))
     }),
 
+    // K1 through the DSv2 WRITE boundary: same lifecycle as kv_dsv2_scan
+    // (same oracle) but the store is written by
+    // `df.write.format("graft.sources.KvSource")` — the connector's
+    // SupportsWrite path, whose RequiresDistributionAndOrdering must
+    // reproduce the KvStore.write layout (salt dirs, rowKey-sorted
+    // files) for the read-side pruning to keep working.
+    "kv_dsv2_write" -> ((s, dir) => {
+      val li = graft.Tables(s, dir, "lineitem")
+      val kv = KvStore.pack(li,
+        keyParts = Seq(col("l_orderkey")),
+        qualifier = col("l_returnflag"),
+        valueParts = Seq(col("l_linenumber"),
+          col("l_quantity").cast("decimal(12,2)")),
+        delim = Sep)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_gate_dsv2w").toString
+      kv.write.format("graft.sources.KvSource").mode("overwrite").save(store)
+      val back = s.read.format("graft.sources.KvSource").load(store)
+      KvStore.unpack(KvOps.prefixScan(back, "rowKey", "10"), delim = Sep)
+        .select(col("rowKey"), col("columnName"), col("packedValue"))
+        .orderBy(col("rowKey"), col("columnName"), col("packedValue"))
+    }),
+
     // T1 (Utils.scala:504-515): variable-length repeating-group parse +
     // the MUCR qualifier flg++hex(len(id))++id (Utils.scala:546-547; the
     // reference's nonexistent-Test_Name bug at :555 fixed per SURVEY §3.2)
@@ -90,6 +113,22 @@ object IngestQueries {
           col("unit_counter_pass_fail_flg"), col("Unit_Counter_Seq_Num"))
     }),
   )
+
+  /** The pack → store → prefix-scan → unpack lifecycle recomputed
+    * straight from the source table — shared by the DSv2 scan and write
+    * gates (both must land on the same answer whatever side of the
+    * connector boundary did the work). */
+  private val kvLifecycleSql: String =
+    """WITH kv AS (
+      |  SELECT cast(l_orderkey AS varchar) AS rowKey,
+      |         l_returnflag AS columnName,
+      |         concat_ws('|', l_linenumber,
+      |                   cast(cast(l_quantity AS decimal(12,2)) AS varchar))
+      |           AS packedValue
+      |  FROM lineitem)
+      |SELECT rowKey, columnName, packedValue FROM kv
+      |WHERE rowKey LIKE '10%'
+      |ORDER BY rowKey, columnName, packedValue""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "mupr_roundtrip" ->
@@ -117,17 +156,11 @@ object IngestQueries {
          |                            Unit_Testing_Seq_Key), 'LOTA|202032|2|1')
          |ORDER BY rowKey, columnName, packedValue""".stripMargin,
 
-    "kv_dsv2_scan" ->
-      """WITH kv AS (
-        |  SELECT cast(l_orderkey AS varchar) AS rowKey,
-        |         l_returnflag AS columnName,
-        |         concat_ws('|', l_linenumber,
-        |                   cast(cast(l_quantity AS decimal(12,2)) AS varchar))
-        |           AS packedValue
-        |  FROM lineitem)
-        |SELECT rowKey, columnName, packedValue FROM kv
-        |WHERE rowKey LIKE '10%'
-        |ORDER BY rowKey, columnName, packedValue""".stripMargin,
+    "kv_dsv2_scan" -> kvLifecycleSql,
+    // the DSv2 WRITE path is held to the same from-source answer — a
+    // row lost or duplicated anywhere in write-distribute-sort-commit
+    // breaks this gate
+    "kv_dsv2_write" -> kvLifecycleSql,
 
     "mucr_parse" ->
       s"""WITH lines AS (

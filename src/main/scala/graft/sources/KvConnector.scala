@@ -14,9 +14,11 @@ import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -112,13 +114,16 @@ object KvConnector {
   }
 }
 
-class KvTable(path: String) extends Table with SupportsRead {
+class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_kv($path)"
   override def schema(): StructType = KvConnector.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(path, info)
 }
 
 class KvScanBuilder(path: String) extends ScanBuilder
@@ -251,4 +256,170 @@ class KvPartitionReader(file: String, salt: Int, pushed: Array[Filter],
   }
 
   override def close(): Unit = reader.close()
+}
+
+// ── DSv2 write path ────────────────────────────────────────────────────
+// The connector boundary is bidirectional, like the reference's
+// (BufferedMutator put, Utils.scala:68-74, 98-106): `df.write.format(
+// "graft.sources.KvSource").mode(...).save(path)` produces EXACTLY the
+// `KvStore.write` layout — parquet under path/salt=N, rows sorted by
+// (rowKey, columnName) within each file — so connector-written stores
+// are indistinguishable to the read path (row-group pruning included).
+//
+// The layout is requested FROM Spark, not hand-built: the Write declares
+// RequiresDistributionAndOrdering(ordered by salt, rowKey, columnName),
+// the V2 planner inserts the range exchange + sort (the V2-native twin
+// of KvStore.writeLayout's repartitionByRange + sortWithinPartitions,
+// with the same scale property — write tasks scale with
+// spark.sql.shuffle.partitions, never funnel through ≤24 salt values),
+// and each task just rolls to a new file when the salt changes.
+// Commit protocol: tasks write to a hidden staging dir, the driver
+// moves only committed tasks' files into place (truncating first on
+// overwrite), so readers never see a half-written store.
+
+class KvWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val names = info.schema().fieldNames.toSeq
+    require(Seq("rowKey", "columnName", "value", "salt").forall(names.contains),
+      s"graft.sources.KvSource write needs columns " +
+        s"(rowKey, columnName, value, salt); got ${names.mkString(", ")}")
+    new KvWrite(path, info.schema(), doTruncate, info.queryId())
+  }
+}
+
+class KvWrite(path: String, schema: StructType, truncate: Boolean,
+              queryId: String)
+    extends Write with RequiresDistributionAndOrdering {
+  private def asc(col: String): SortOrder =
+    Expressions.sort(Expressions.column(col), SortDirection.ASCENDING)
+  // ordered distribution = range partitioning over the sort key — tasks
+  // receive contiguous (salt, rowKey) runs, so a task writes whole
+  // sorted spans of at most a few salt directories
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(asc("salt"), asc("rowKey")))
+  override def requiredOrdering(): Array[SortOrder] =
+    Array(asc("salt"), asc("rowKey"), asc("columnName"))
+  override def toBatch: BatchWrite =
+    new KvBatchWrite(path, schema, truncate, queryId)
+  override def description(): String = s"graft_kv write path=$path"
+}
+
+case class KvCommitMessage(relFiles: Seq[String]) extends WriterCommitMessage
+
+class KvBatchWrite(path: String, schema: StructType, truncate: Boolean,
+                   queryId: String) extends BatchWrite {
+  private val staging = new java.io.File(path, s"_staging_$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(staging.getAbsolutePath, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new java.io.File(path)
+    if (truncate)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("salt="))
+        .foreach(deleteRec)
+    // move ONLY files named in committed task messages — a speculative
+    // attempt that lost the commit race leaves files in staging, and
+    // they die with it here
+    messages.foreach {
+      case KvCommitMessage(rels) => rels.foreach { rel =>
+        val src = new java.io.File(staging, rel)
+        val dst = new java.io.File(root, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    deleteRec(staging)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRec(staging)
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+}
+
+class KvWriterFactory(stagingPath: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(stagingPath, schema, partitionId, taskId)
+}
+
+/** Writes the incoming (salt, rowKey, columnName)-sorted run as one
+  * rowKey-sorted parquet file per salt directory (rolling on salt
+  * change), via parquet-hadoop's Group API — binary min/max statistics
+  * included, so [[KvPartitionReader]]'s row-group pruning works on
+  * connector-written files too. */
+class KvDataWriter(stagingPath: String, schema: StructType,
+                   partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  private val fileSchema: MessageType = Types.buildMessage()
+    .addField(Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("rowKey"))
+    .addField(Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("columnName"))
+    .addField(Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("value"))
+    .named("kv")
+  private val factory = new SimpleGroupFactory(fileSchema)
+  private val idx = Map(
+    "rowKey" -> schema.fieldIndex("rowKey"),
+    "columnName" -> schema.fieldIndex("columnName"),
+    "value" -> schema.fieldIndex("value"))
+  private val saltIdx = schema.fieldIndex("salt")
+
+  private var currentSalt: Int = Int.MinValue
+  private var writer: ParquetWriter[Group] = _
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def roll(salt: Int): Unit = {
+    if (writer != null) writer.close()
+    val rel = s"salt=$salt/part-$partitionId-$taskId.parquet"
+    val f = new java.io.File(stagingPath, rel)
+    f.getParentFile.mkdirs()
+    writer = ExampleParquetWriter.builder(new Path(f.getAbsolutePath))
+      .withConf(new Configuration())
+      .withType(fileSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    written += rel
+    currentSalt = salt
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val salt = row.getInt(saltIdx)
+    // rows arrive sorted by (salt, rowKey, columnName) — the ordering
+    // this Write REQUIRED — so each salt is one contiguous run
+    if (writer == null || salt != currentSalt) roll(salt)
+    val g = factory.newGroup()
+    idx.foreach { case (name, i) =>
+      if (!row.isNullAt(i)) g.append(name, row.getUTF8String(i).toString)
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    KvCommitMessage(written.toSeq)
+  }
+
+  override def abort(): Unit = if (writer != null) writer.close()
+  override def close(): Unit = ()
 }
