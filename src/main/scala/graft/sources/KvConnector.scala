@@ -19,6 +19,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -119,7 +120,8 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def schema(): StructType = KvConnector.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -304,6 +306,8 @@ class KvWrite(path: String, schema: StructType, truncate: Boolean,
     Array(asc("salt"), asc("rowKey"), asc("columnName"))
   override def toBatch: BatchWrite =
     new KvBatchWrite(path, schema, truncate, queryId)
+  override def toStreaming: StreamingWrite =
+    new KvStreamingWrite(path, schema, queryId)
   override def description(): String = s"graft_kv write path=$path"
 }
 
@@ -355,22 +359,133 @@ class KvWriterFactory(stagingPath: String, schema: StructType)
     new KvDataWriter(stagingPath, schema, partitionId, taskId)
 }
 
+// ── Streaming write ────────────────────────────────────────────────────
+// `df.writeStream.format("graft.sources.KvSource")` — the streaming twin
+// of the reference's BufferedMutator flush loop (Utils.scala:68-74): each
+// micro-batch lands as appended salt-directory files. Epoch replays are
+// IDEMPOTENT: file names carry (partition, epoch) — not the task attempt
+// — and the commit move replaces, so a batch re-executed after a failure
+// overwrites its own files instead of duplicating rows.
+//
+// Unlike the batch path, a micro-batch's rows arrive in whatever
+// distribution the streaming plan produced (micro-batch planning does
+// not honor RequiresDistributionAndOrdering), so the writer buffers the
+// partition's rows, groups by salt and sorts by (rowKey, columnName)
+// before writing — preserving the sorted-file contract the read path's
+// row-group pruning depends on. Micro-batches are small by construction;
+// the buffer is one partition of one batch, never the store.
+
+class KvStreamingWrite(path: String, schema: StructType, queryId: String)
+    extends StreamingWrite {
+  private def staging(epochId: Long) =
+    new java.io.File(path, s"_staging_${queryId}_e$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new KvStreamingWriterFactory(path, queryId, schema)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val root = new java.io.File(path)
+    messages.foreach {
+      case KvCommitMessage(rels) => rels.foreach { rel =>
+        val src = new java.io.File(staging(epochId), rel)
+        val dst = new java.io.File(root, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    deleteRec(staging(epochId))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    deleteRec(staging(epochId))
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+}
+
+class KvStreamingWriterFactory(path: String, queryId: String,
+                               schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new KvStreamingDataWriter(
+      new java.io.File(path, s"_staging_${queryId}_e$epochId").getAbsolutePath,
+      schema, partitionId, epochId)
+}
+
+/** Buffers one micro-batch partition, then writes one rowKey-sorted file
+  * per salt directory at commit — same file contract as the batch
+  * writer, same parquet schema/stats. */
+class KvStreamingDataWriter(stagingPath: String, schema: StructType,
+                            partitionId: Int, epochId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+
+  private val idx = Map(
+    "rowKey" -> schema.fieldIndex("rowKey"),
+    "columnName" -> schema.fieldIndex("columnName"),
+    "value" -> schema.fieldIndex("value"))
+  private val saltIdx = schema.fieldIndex("salt")
+  private val rows =
+    scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String)]
+
+  override def write(row: InternalRow): Unit = {
+    def str(i: Int): String =
+      if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+    rows += ((row.getInt(saltIdx), str(idx("rowKey")),
+      str(idx("columnName")), str(idx("value"))))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val factory = new SimpleGroupFactory(KvParquet.fileSchema)
+    val written = rows.groupBy(_._1).toSeq.map { case (salt, group) =>
+      val rel = s"salt=$salt/part-$partitionId-epoch$epochId.parquet"
+      val f = new java.io.File(stagingPath, rel)
+      f.getParentFile.mkdirs()
+      val writer = ExampleParquetWriter.builder(new Path(f.getAbsolutePath))
+        .withConf(new Configuration())
+        .withType(KvParquet.fileSchema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      try group.sortBy(r => (r._2, r._3)).foreach { case (_, k, c, v) =>
+        val g = factory.newGroup()
+        if (k != null) g.append("rowKey", k)
+        if (c != null) g.append("columnName", c)
+        if (v != null) g.append("value", v)
+        writer.write(g)
+      } finally writer.close()
+      rel
+    }
+    KvCommitMessage(written)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = rows.clear()
+}
+
 /** Writes the incoming (salt, rowKey, columnName)-sorted run as one
   * rowKey-sorted parquet file per salt directory (rolling on salt
   * change), via parquet-hadoop's Group API — binary min/max statistics
   * included, so [[KvPartitionReader]]'s row-group pruning works on
   * connector-written files too. */
-class KvDataWriter(stagingPath: String, schema: StructType,
-                   partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
-  import org.apache.parquet.hadoop.ParquetWriter
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
-  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+/** The store files' parquet schema (rowKey/columnName/value as optional
+  * UTF-8 binary — salt lives in the directory name), shared by the batch
+  * and streaming writers so the two paths cannot diverge. */
+private[sources] object KvParquet {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-
-  private val fileSchema: MessageType = Types.buildMessage()
+  val fileSchema: MessageType = Types.buildMessage()
     .addField(Types.optional(PrimitiveTypeName.BINARY)
       .as(LogicalTypeAnnotation.stringType()).named("rowKey"))
     .addField(Types.optional(PrimitiveTypeName.BINARY)
@@ -378,7 +493,17 @@ class KvDataWriter(stagingPath: String, schema: StructType,
     .addField(Types.optional(PrimitiveTypeName.BINARY)
       .as(LogicalTypeAnnotation.stringType()).named("value"))
     .named("kv")
-  private val factory = new SimpleGroupFactory(fileSchema)
+}
+
+class KvDataWriter(stagingPath: String, schema: StructType,
+                   partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+
+  private val factory = new SimpleGroupFactory(KvParquet.fileSchema)
   private val idx = Map(
     "rowKey" -> schema.fieldIndex("rowKey"),
     "columnName" -> schema.fieldIndex("columnName"),
@@ -396,7 +521,7 @@ class KvDataWriter(stagingPath: String, schema: StructType,
     f.getParentFile.mkdirs()
     writer = ExampleParquetWriter.builder(new Path(f.getAbsolutePath))
       .withConf(new Configuration())
-      .withType(fileSchema)
+      .withType(KvParquet.fileSchema)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
     written += rel

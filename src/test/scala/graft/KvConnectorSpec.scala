@@ -161,6 +161,35 @@ class KvConnectorSpec extends AnyFunSuite {
       asSet(viaParquet.where(col("rowKey").startsWith("10"))))
   }
 
+  test("streaming write: micro-batches land as the same sorted store layout") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_st")
+    val incoming = dir.resolve("incoming").toString
+    val store = dir.resolve("store").toString
+    val kv = packedKv
+    kv.write.mode("overwrite").parquet(incoming)
+    val q = spark.readStream.schema(kv.schema).parquet(incoming)
+      .writeStream.format("graft.sources.KvSource")
+      .option("path", store)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // identical rows through both read paths, identical layout contract
+    val viaConn = spark.read.format("graft.sources.KvSource").load(store)
+    assert(asSet(viaConn) === asSet(viaParquet))
+    val root = new java.io.File(store)
+    assert(root.listFiles().map(_.getName).forall(_.startsWith("salt=")))
+    for {
+      saltDir <- root.listFiles() if saltDir.isDirectory
+      f <- saltDir.listFiles() if f.getName.endsWith(".parquet")
+    } {
+      val keys = spark.read.parquet(f.getAbsolutePath)
+        .select(col("rowKey")).collect().map(_.getString(0)).toSeq
+      assert(keys === keys.sorted, s"${f.getName} not rowKey-sorted")
+    }
+  }
+
   test("DSv2 append adds rows; overwrite truncates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_a").toString
