@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.{expressions => cexp}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -52,6 +53,11 @@ import graft.core.Salt
   * a correctness dependency. Column pruning decodes only requested
   * fields; `salt` is materialized from the directory name (partitionBy
   * strips it from the files), so a salt-only projection decodes nothing.
+  *
+  * Runtime filtering (SupportsRuntimeV2Filtering): a broadcast join on
+  * rowKey replans the scan with the build side's keys after the build
+  * executes — point-lookup joins read only the matching salt
+  * directories and row groups, the bulkGet multiget at join level.
   *
   * Usage: `spark.read.format("graft.sources.KvSource").load(path)`.
   */
@@ -110,6 +116,15 @@ object KvConnector {
       case StringStartsWith("rowKey", p) =>
         val pb = utf8(p)
         cmp(max, pb) >= 0 && prefixUpperBound(pb).forall(ub => cmp(min, ub) < 0)
+      case org.apache.spark.sql.sources.In("rowKey", vs) =>
+        // runtime bulkGet keys: the group survives if ANY key falls in
+        // its [min, max] — disjunction, unlike the ANDed cases above
+        vs.exists {
+          case s: String =>
+            val vb = utf8(s)
+            cmp(min, vb) <= 0 && cmp(vb, max) <= 0
+          case _ => true
+        }
       case _ => true
     }
   }
@@ -155,31 +170,69 @@ class KvScanBuilder(path: String) extends ScanBuilder
 case class KvInputPartition(file: String, salt: Int) extends InputPartition
 
 class KvScan(path: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_kv pushed=[${pushed.mkString(", ")}]"
 
+  // ── Runtime (join-driven) filtering ──────────────────────────────────
+  // The DSv2 analogue of the reference's bulkGet region locating
+  // (Utils.scala:288-369): when this store is the probe side of a
+  // broadcast join on rowKey, Spark hands the build side's keys here as
+  // an IN predicate AFTER the build side executes, and the scan replans
+  // to ONLY the salt directories those keys hash to — a point-lookup
+  // join against a 24-salt (or 24,000-salt) store reads the matching
+  // directories, not the store. The keys also join the row-group
+  // statistics check, so within a directory only covering row groups
+  // decode. Conservative by design: an unrecognized predicate shape
+  // prunes nothing (the join still filters rows), never drops data.
+  private var runtimeKeys: Option[Array[String]] = None
+
+  override def filterAttributes(): Array[cexp.NamedReference] =
+    Array(Expressions.column("rowKey"))
+
+  override def filter(predicates: Array[cexp.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN") p.children().toSeq match {
+        case Seq(ref: cexp.NamedReference, values @ _*)
+            if ref.fieldNames().sameElements(Array("rowKey")) &&
+              values.forall(_.isInstanceOf[cexp.Literal[_]]) =>
+          runtimeKeys = Some(values
+            .map(_.asInstanceOf[cexp.Literal[_]].value())
+            .filter(_ != null).map(_.toString).toArray)
+        case _ => ()
+      }
+    }
+
+  private def effectiveFilters: Seq[Filter] =
+    pushed.toSeq ++ runtimeKeys.map(ks =>
+      org.apache.spark.sql.sources.In("rowKey", ks.toArray[Any]))
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val saltEq: Set[Int] = pushed.collect {
-      case EqualTo("salt", n: Int) => n
+    val saltEq: Set[Int] = (pushed.collect {
+      case EqualTo("salt", n: Int) => Set(n)
       // a point get knows its salt — HBase's region locating
-      case EqualTo("rowKey", k: String) => Salt.bucket(k)
-    }.toSet
+      case EqualTo("rowKey", k: String) => Set(Salt.bucket(k))
+    } ++ runtimeKeys.map(_.map(k => Salt.bucket(k)).toSet).toSeq)
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val pruneSalts = pushed.exists {
+      case EqualTo("salt", _) | EqualTo("rowKey", _) => true
+      case _ => false
+    } || runtimeKeys.isDefined
     val root = new java.io.File(path)
     val dirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("salt="))
     for {
       dir <- dirs
       salt = dir.getName.stripPrefix("salt=").toInt
-      if saltEq.isEmpty || saltEq.contains(salt)
+      if !pruneSalts || saltEq.contains(salt)
       f <- dir.listFiles() if f.getName.endsWith(".parquet")
     } yield KvInputPartition(f.getAbsolutePath, salt): InputPartition
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(pushed, required)
+    new KvReaderFactory(effectiveFilters.toArray, required)
 }
 
 class KvReaderFactory(pushed: Array[Filter], required: StructType)

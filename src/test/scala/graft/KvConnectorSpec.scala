@@ -117,6 +117,44 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(!groupMayMatch(min, max, Seq(EqualTo("rowKey", "a"))))
   }
 
+  test("runtime filtering: join keys prune to their salt directories") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import graft.sources.{KvInputPartition, KvScanBuilder}
+    // unit level: an IN(rowKey, ...) predicate delivered via
+    // SupportsRuntimeV2Filtering must replan to exactly the keys' salts
+    val keys = viaParquet.select(col("rowKey")).distinct()
+      .orderBy(col("rowKey")).limit(3).collect().map(_.getString(0))
+    val scan = new KvScanBuilder(store).build()
+      .asInstanceOf[graft.sources.KvScan]
+    val all = scan.planInputPartitions()
+    scan.filter(Array(new Predicate("IN",
+      (Expressions.column("rowKey") +:
+        keys.map(k => Expressions.literal(k)
+          : org.apache.spark.sql.connector.expressions.Expression)).toArray)))
+    val pruned = scan.planInputPartitions()
+    val expectSalts = keys.map(k => Salt.bucket(k)).toSet
+    assert(pruned.map(_.asInstanceOf[KvInputPartition].salt).toSet
+      === expectSalts)
+    assert(pruned.length < all.length)
+
+    // end to end: a broadcast lookup join on rowKey carries the build
+    // side's keys into the scan as a dynamic-pruning runtime filter
+    // (the DSv2 twin of the reference's bulkGet region locating), and
+    // results stay identical to the parquet path. The build side needs
+    // a selective predicate — Spark's PartitionPruning heuristic only
+    // plans DPP when the probe frame filters something.
+    val probe = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").cast("string").as("rowKey")).distinct()
+      .where(col("rowKey").startsWith("1"))
+    val viaConn = viaConnector.join(broadcast(probe), Seq("rowKey"))
+    val plan = viaConn.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"runtime filter not planned:\n$plan")
+    assert(asSet(viaConn) ===
+      asSet(viaParquet.join(broadcast(probe), Seq("rowKey"))))
+  }
+
   // ── DSv2 write path ──────────────────────────────────────────────────
 
   private def packedKv: DataFrame = {
