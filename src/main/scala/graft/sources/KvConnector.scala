@@ -98,6 +98,19 @@ object KvConnector {
   private def utf8(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Every (parquet file, salt) under the store — the listing every scan
+    * flavor prunes from. */
+  private[sources] def storeFiles(path: String): Seq[(java.io.File, Int)] = {
+    val root = new java.io.File(path)
+    for {
+      dir <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      if dir.isDirectory && dir.getName.startsWith("salt=")
+      salt = dir.getName.stripPrefix("salt=").toInt
+      f <- Option(dir.listFiles()).getOrElse(Array.empty)
+      if f.getName.endsWith(".parquet")
+    } yield (f, salt)
+  }
+
   /** Conservative: can a row group with rowKey range [min, max] contain
     * rows satisfying the pushed rowKey predicates? All comparisons are
     * UNSIGNED BYTE order on raw UTF-8 — parquet computes binary min/max
@@ -144,9 +157,11 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
 }
 
 class KvScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KvConnector.schema
+  private var countPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -160,8 +175,64 @@ class KvScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new KvScan(path, pushed, required)
+
+  // COUNT(*) answers from parquet footers without decoding a row — the
+  // metadata count an HBase RowCounter job pays a full scan for. Only a
+  // bare unfiltered un-grouped count qualifies: Spark refuses aggregate
+  // pushdown whenever post-scan filters exist (all our filters stay
+  // residual), and the builder additionally requires no pushed filters,
+  // so a filtered count always takes the normal decode path.
+  private def isBareCountStar(
+      agg: cexp.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[cexp.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: cexp.aggregate.Aggregation): Boolean = isBareCountStar(agg)
+  override def pushAggregation(
+      agg: cexp.aggregate.Aggregation): Boolean = {
+    countPushed = isBareCountStar(agg)
+    countPushed
+  }
+
+  override def build(): Scan =
+    if (countPushed) new KvCountScan(path)
+    else new KvScan(path, pushed, required)
 }
+
+/** Complete COUNT(*) pushdown: the driver sums footer record counts —
+  * zero tasks decode store bytes; one row comes back. */
+class KvCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_kv PushedAggregation=[COUNT(*)]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = KvConnector.storeFiles(path).map { case (f, _) =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
+      try r.getRecordCount finally r.close()
+    }.sum
+    Array(KvCountPartition(total))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              Array[Any](p.asInstanceOf[KvCountPartition].count))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class KvCountPartition(count: Long) extends InputPartition
 
 /** One InputPartition per parquet file, carrying the salt from its
   * directory — at store scale the files are the parallelism units, and
@@ -170,7 +241,8 @@ class KvScanBuilder(path: String) extends ScanBuilder
 case class KvInputPartition(file: String, salt: Int) extends InputPartition
 
 class KvScan(path: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -220,15 +292,39 @@ class KvScan(path: String, pushed: Array[Filter], required: StructType)
       case EqualTo("salt", _) | EqualTo("rowKey", _) => true
       case _ => false
     } || runtimeKeys.isDefined
-    val root = new java.io.File(path)
-    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("salt="))
-    for {
-      dir <- dirs
-      salt = dir.getName.stripPrefix("salt=").toInt
-      if !pruneSalts || saltEq.contains(salt)
-      f <- dir.listFiles() if f.getName.endsWith(".parquet")
-    } yield KvInputPartition(f.getAbsolutePath, salt): InputPartition
+    prunedFiles(saltEq, pruneSalts)
+      .map { case (f, salt) =>
+        KvInputPartition(f.getAbsolutePath, salt): InputPartition }
+      .toArray
+  }
+
+  private def prunedFiles(saltEq: Set[Int],
+                          pruneSalts: Boolean): Seq[(java.io.File, Int)] =
+    KvConnector.storeFiles(path)
+      .filter { case (_, salt) => !pruneSalts || saltEq.contains(salt) }
+
+  /** Post-pushdown size estimate from the pruned file set (mirroring the
+    * built-in file sources: on-disk bytes × the session compression
+    * factor). Without this a V2 relation costs `defaultSizeInBytes`
+    * (effectively infinite), so a point-get or small store could never
+    * win a broadcast-join decision. */
+  override def estimateStatistics(): Statistics = {
+    val saltEq: Set[Int] = pushed.collect {
+      case EqualTo("salt", n: Int) => Set(n)
+      case EqualTo("rowKey", k: String) => Set(Salt.bucket(k))
+    }.reduceOption(_ intersect _).getOrElse(Set.empty)
+    val pruneSalts = pushed.exists {
+      case EqualTo("salt", _) | EqualTo("rowKey", _) => true
+      case _ => false
+    }
+    val bytes = prunedFiles(saltEq, pruneSalts).map(_._1.length()).sum
+    val factor = org.apache.spark.sql.internal.SQLConf.get.fileCompressionFactor
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of((bytes * factor).toLong)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -155,6 +155,44 @@ class KvConnectorSpec extends AnyFunSuite {
       asSet(viaParquet.join(broadcast(probe), Seq("rowKey"))))
   }
 
+  test("reported statistics shrink under pruning and unlock broadcast joins") {
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.sources.{KvScan, KvScanBuilder}
+    val key = viaParquet.select(col("rowKey")).orderBy(col("rowKey"))
+      .head().getString(0)
+    val full = new KvScanBuilder(store).build().asInstanceOf[KvScan]
+    val b = new KvScanBuilder(store)
+    b.pushFilters(Array(EqualTo("rowKey", key)))
+    val pointGet = b.build().asInstanceOf[KvScan]
+    val fullBytes = full.estimateStatistics().sizeInBytes().getAsLong
+    val prunedBytes = pointGet.estimateStatistics().sizeInBytes().getAsLong
+    assert(fullBytes > 0 && prunedBytes > 0 && prunedBytes < fullBytes)
+    // without reported stats a V2 relation costs defaultSizeInBytes and
+    // could never win the broadcast decision; with them the small store
+    // side broadcasts WITHOUT a hint
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").cast("string").as("rowKey"),
+        col("l_linenumber"))
+    val j = li.join(viaConnector, Seq("rowKey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+  }
+
+  test("COUNT(*) answers from footer metadata; filtered counts decode") {
+    assert(viaConnector.count() === viaParquet.count())
+    val plan = viaConnector.groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[COUNT(*)]"),
+      s"count not pushed:\n$plan")
+    // a filtered count must NOT push (filters stay residual) and must
+    // still be exact through the decode path
+    val pred = col("rowKey").startsWith("10")
+    assert(viaConnector.where(pred).count() === viaParquet.where(pred).count())
+    val fplan = viaConnector.where(pred).groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(!fplan.contains("PushedAggregation=[COUNT"), s"pushed:\n$fplan")
+  }
+
   // ── DSv2 write path ──────────────────────────────────────────────────
 
   private def packedKv: DataFrame = {
