@@ -53,6 +53,25 @@ object RowKey {
     * (Utils.scala:212-214, 62-64). */
   def assemble(parts: Seq[String]): String = parts.mkString(Delims.Delim)
   def parse(key: String): Array[String] = Splits.keepTrailing(key, Delims.Delim)
+
+  /** Byte-level HBase rowkey (F14): ONE raw salt byte (0..23) prepended
+    * to the UTF-8 key bytes — `Bytes.add(Array(saltByte),
+    * rowKeyPart2.getBytes)` (Utils.scala:62-64, salt arithmetic
+    * :82-96). The string model used everywhere else in this library
+    * carries salt as a column instead (documented deviation); this codec
+    * closes the gap for callers that need byte-for-byte HBase key
+    * compatibility. */
+  def saltedBytes(key: String, buckets: Int = Salt.Buckets): Array[Byte] = {
+    val kb = if (key == null) Array.empty[Byte] else key.getBytes("UTF-8")
+    Salt.bucket(kb, buckets).toByte +: kb
+  }
+
+  /** Inverse of [[saltedBytes]]: (salt, key). Empty input is the
+    * degenerate empty-key encoding's prefix — rejected loudly. */
+  def fromSaltedBytes(bytes: Array[Byte]): (Int, String) = {
+    require(bytes != null && bytes.nonEmpty, "salted rowkey needs >= 1 byte")
+    (bytes(0).toInt, new String(bytes, 1, bytes.length - 1, "UTF-8"))
+  }
 }
 
 /** Packed-cell codec: a cell value is `<n>\0<v1>\n<v2>\n…\n<vn>` where n is

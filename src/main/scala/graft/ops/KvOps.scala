@@ -26,6 +26,17 @@ object KvOps {
   def rowKeyCol(parts: Seq[Column], delim: String = Delims.Delim): Column =
     concat_ws(delim, parts: _*)
 
+  /** Byte-parity HBase rowkey (F14): raw salt byte ++ UTF-8 key bytes
+    * (`Bytes.add(Array(saltByte), rowKeyPart2.getBytes)`,
+    * Utils.scala:62-64) as a BINARY column — for exports that must be
+    * byte-compatible with reference-written HBase keys. Pure builtins:
+    * salt < 24 < 0x80, so `encode(chr(salt))` is exactly the one raw
+    * byte, and the whole expression stays in codegen. Spec-pinned
+    * equivalent to [[graft.core.RowKey.saltedBytes]]. */
+  def hbaseKeyBytes(key: Column): Column =
+    concat(encode(chr(SaltExpr.saltCol(key)), "UTF-8"),
+      encode(key, "UTF-8"))
+
   /** Pack aggregation — the core "many measurement rows → one cell"
     * operator. Fuses the reference's groupBy+collect_list (Utils.scala:
     * 225-227), per-group sort (:53), count prefix (:56) and newline join

@@ -89,4 +89,31 @@ class CodecSpec extends AnyFunSuite {
     assert(Delims.DelimComma === ",")
     assert(Delims.NullByteReplace === "<NB>")
   }
+
+  test("byte-level salted rowkey: salt byte ++ UTF-8 key, round-trip") {
+    // reference shape: Bytes.add(Array(saltByte), key.getBytes)
+    // (Utils.scala:62-64); golden vectors cover ASCII, delimiters,
+    // non-ASCII and the empty-key early return (salt 0)
+    for (key <- Seq("LOTA\u0000202032\u00002\u00001", "", "a",
+        "k\u00e4se-key", "10023")) {
+      val bytes = RowKey.saltedBytes(key)
+      val kb = key.getBytes("UTF-8")
+      assert(bytes.length === kb.length + 1)
+      assert(bytes(0) === Salt.bucket(key).toByte)
+      assert(bytes.drop(1).toSeq === kb.toSeq)
+      if (key.nonEmpty || bytes.length == 1)
+        assert(RowKey.fromSaltedBytes(bytes) === ((Salt.bucket(key), key)))
+    }
+  }
+
+  test("Spark hbaseKeyBytes column equals the core codec") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("LOTA\u0000202032\u00002\u00001", "a", "x|y", "10023", "zz-9")
+    val got = keys.toDF("k")
+      .select(graft.ops.KvOps.hbaseKeyBytes(col("k")))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(got === keys.map(k => RowKey.saltedBytes(k).toSeq))
+  }
 }
