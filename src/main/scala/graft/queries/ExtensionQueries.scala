@@ -719,9 +719,11 @@ object ExtensionQueries {
     // surface. The oracle recomputes the same-set pairs from scratch.
     "dedup_simhash_recall" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // md5 of the canonical set rendering, not the raw string: the
+      // equality join ships 16-byte digests instead of whole token lists
       val sets = docs.select(col("doc_id"),
-        array_join(array_sort(array_distinct(
-          TextOps.tokens(TextOps.normalized(col("text"))))), "|").as("key"))
+        md5(array_join(array_sort(array_distinct(
+          TextOps.tokens(TextOps.normalized(col("text"))))), "|")).as("key"))
       Dedup.simhashPairs(docs, col("doc_id"), col("text"),
           maxHamming = 7, wideTables = Some(false))
         .join(sets.select(col("doc_id").as("id_a"), col("key").as("key_a")),
@@ -757,7 +759,7 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
         .where(size(col("toks")) > 0)
-        .select(col("doc_id"), array_join(col("toks"), "|").as("key"))
+        .select(col("doc_id"), md5(array_join(col("toks"), "|")).as("key"))
       val embedded = Tables(s, dir, "documents")
         .select(col("doc_id").as("vec_id"),
           graft.ops.TextExprs.hashEmbed(
