@@ -210,7 +210,11 @@ class KvCountScan(path: String) extends Scan with Batch {
   override def description(): String = s"graft_kv PushedAggregation=[COUNT(*)]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = KvConnector.storeFiles(path).map { case (f, _) =>
+    // footer reads are independent metadata fetches — parallelize on the
+    // driver so a many-file store pays listing-class latency, not a
+    // serial footer walk
+    import scala.collection.parallel.CollectionConverters._
+    val total = KvConnector.storeFiles(path).par.map { case (f, _) =>
       val r = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
       try r.getRecordCount finally r.close()
