@@ -43,7 +43,8 @@ object Bench {
     "decontaminate_bloom", "range_join", "vocab_topk", "ann_pq",
     "dedup_incremental_bloom", "doc_keywords", "dedup_index_query",
     "ann_index_query", "pipeline_metrics", "ann_ivfpq",
-    "variant_extract", "stratified_take", "profile_table")
+    "variant_extract", "stratified_take", "profile_table",
+    "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -373,6 +373,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment over the same rare-shingle inverted index:
+    * `containment(a in b) = |sh(a) ∩ sh(b)| / |sh(a)|` — the signal
+    * Jaccard misses when a document is QUOTED or embedded inside a
+    * larger one (high containment of the small side, low symmetric
+    * overlap). Emits one row per ordered (contained, container) pair at
+    * or above `threshold`.
+    *
+    * Same plan shape and df-cutoff semantics as [[ngramJaccardPairs]]
+    * (one exploded-shingle exchange, merge-pinned self-join, candidates
+    * only where a rare shingle is shared); the symmetric common counts
+    * compute once and fan out into both orientations afterwards — slim
+    * id/count rows, no second index pass.
+    * @return (doc_id, container_id, containment) */
+  def ngramContainmentPairs(docs: DataFrame, id: Column, text: Column,
+                            n: Int = 3, maxDf: Int = 100,
+                            threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    val pruned = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .where(col("df") <= maxDf)
+      .drop("df")
+    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = pruned.as("x").hint("merge").join(pruned.as("y"), Seq("s"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    val ab = common.select(col("id_a").as("doc_id"),
+      col("id_b").as("container_id"),
+      (col("n_common") / col("n_a").cast("double")).as("containment"))
+    val ba = common.select(col("id_b").as("doc_id"),
+      col("id_a").as("container_id"),
+      (col("n_common") / col("n_b").cast("double")).as("containment"))
+    ab.unionByName(ba).where(col("containment") >= threshold)
+  }
+
   // ── Cluster canonicalization ─────────────────────────────────────────
 
   /** Collapse near-dup PAIRS into clusters: every id is labeled with the

@@ -428,6 +428,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // asymmetric near-dup: a document quoted inside a larger one shows
+    // high containment where Jaccard stays low — the dedup signal for
+    // concatenated/wrapped training documents
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.ngramContainmentPairs(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, maxDf = 100, threshold = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy(col("doc_id"), col("container_id"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // layout PINNED to single 8-bit chunks: this synthetic corpus is
       // mutually similar (p ≈ 0.85), where single chunks measured 4.7 s
@@ -1008,6 +1018,35 @@ object ExtensionQueries {
          |JOIN sizes cb ON cb.doc_id = id_b
          |WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact containment over the rare 3-gram space: both orientations of
+    // the pruned inverted-index common counts (mirrors ngramPairCtes'
+    // shingle/rare/common semantics)
+    "dedup_containment" ->
+      s"""WITH $toksCte,
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE
+         |    WHEN len(l) < 3 THEN [array_to_string(l, '_')]
+         |    ELSE list_transform(range(1, len(l) - 1),
+         |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2]) END)) AS s
+         |  FROM toks),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+         |pruned AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+         |common AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+         |  FROM pruned x JOIN pruned y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |oriented AS (
+         |  SELECT id_a AS doc_id, id_b AS container_id,
+         |         n_common / cast(ca.n_sh AS double) AS c
+         |  FROM common JOIN sizes ca ON ca.doc_id = id_a
+         |  UNION ALL
+         |  SELECT id_b, id_a, n_common / cast(cb.n_sh AS double)
+         |  FROM common JOIN sizes cb ON cb.doc_id = id_b)
+         |SELECT doc_id, container_id, round(c, 6) AS containment
+         |FROM oriented WHERE c >= 0.8
+         |ORDER BY doc_id, container_id""".stripMargin,
 
     "dedup_simhash_recall" ->
       s"""WITH $toksCte,

@@ -40,6 +40,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall (found ${mh.size}/${exactPairs.size})")
   }
 
+  test("containment catches a quoted document that Jaccard misses") {
+    // B embeds A verbatim inside much more text: containment(A in B) = 1
+    // while jaccard(A, B) is far below any dedup threshold
+    val a = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val b = a + " " + (100 to 220).map(i => s"pad$i").mkString(" ")
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(two, col("doc_id"), col("text"),
+        n = 3, maxDf = 100, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)), s"got ${cont.toSeq}")
+    val jac = Dedup.ngramJaccardPairs(two, col("doc_id"), col("text"),
+      n = 3, maxDf = 100, threshold = 0.5)
+    assert(jac.count() === 0, "jaccard should miss the asymmetric pair")
+  }
+
   test("simhash finds the planted high-similarity pairs") {
     val sh = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text"),
       maxHamming = 7))
