@@ -352,7 +352,20 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         n: Int = 2, maxDf: Int = 100,
-                        threshold: Double = 0.8): DataFrame = {
+                        threshold: Double = 0.8): DataFrame =
+    rareShingleCommonCounts(docs, id, text, n, maxDf)
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** The shared inverted-index front of the exact n-gram family:
+    * (id_a < id_b, n_common, n_a, n_b) over the rare-shingle space —
+    * [[ngramJaccardPairs]] and [[ngramContainmentPairs]] differ only in
+    * the similarity they derive from these counts. */
+  private def rareShingleCommonCounts(docs: DataFrame, id: Column,
+                                      text: Column, n: Int,
+                                      maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
     val pruned = sh
@@ -360,17 +373,12 @@ object Dedup {
       .where(col("df") <= maxDf)
       .drop("df")
     val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = pruned.as("x").hint("merge").join(pruned.as("y"), Seq("s"))
+    pruned.as("x").hint("merge").join(pruned.as("y"), Seq("s"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Asymmetric containment over the same rare-shingle inverted index:
@@ -389,19 +397,7 @@ object Dedup {
   def ngramContainmentPairs(docs: DataFrame, id: Column, text: Column,
                             n: Int = 3, maxDf: Int = 100,
                             threshold: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
-    val pruned = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .where(col("df") <= maxDf)
-      .drop("df")
-    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = pruned.as("x").hint("merge").join(pruned.as("y"), Seq("s"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    val common = rareShingleCommonCounts(docs, id, text, n, maxDf)
     val ab = common.select(col("id_a").as("doc_id"),
       col("id_b").as("container_id"),
       (col("n_common") / col("n_a").cast("double")).as("containment"))
