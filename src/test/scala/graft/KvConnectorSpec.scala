@@ -266,6 +266,41 @@ class KvConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming epoch replay is idempotent (no duplicate rows)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.{KvConnector, KvTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_ep").toString
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "replay-test"
+      override def schema() = KvConnector.schema
+      override def options() =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+    }
+    val sw = new KvTable(dir).newWriteBuilder(info).build().toStreaming
+    val factory = sw.createStreamingWriterFactory(
+      new PhysicalWriteInfo { override def numPartitions(): Int = 1 })
+    def row(k: String, v: String): InternalRow =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(k),
+        UTF8String.fromString("q"), UTF8String.fromString(v),
+        Salt.bucket(k)))
+    def runEpoch(eid: Long, rows: Seq[(String, String)]): Unit = {
+      val w = factory.createWriter(0, /*taskId=*/ eid * 100, eid)
+      rows.foreach { case (k, v) => w.write(row(k, v)) }
+      sw.commit(eid, Array(w.commit()))
+    }
+    runEpoch(0, Seq("k1" -> "v1", "k2" -> "v2"))
+    runEpoch(0, Seq("k1" -> "v1", "k2" -> "v2")) // failure-recovery replay
+    runEpoch(1, Seq("k3" -> "v3"))
+    val got = spark.read.format("graft.sources.KvSource").load(dir)
+      .select(col("rowKey"), col("value")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+  }
+
   test("DSv2 append adds rows; overwrite truncates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_a").toString
