@@ -266,6 +266,53 @@ object Dedup {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
   }
 
+  /** Append an arriving batch into a standing [[writeMinhashIndex]]
+    * index WITHOUT rebuilding: the batch's shingles and bands are
+    * computed with the index's OWN stored params (a batch can never
+    * band differently than the corpus it joins) and appended to the
+    * bucketed tables — rolling ingestion pays one batch-sized kernel
+    * pass per day, not a corpus rebuild.
+    *
+    * Each append adds one file per touched bucket; co-location for the
+    * candidate join is preserved (bucket routing is by key hash), but
+    * Spark stops trusting per-bucket sort once buckets hold multiple
+    * files — after many appends, compact the index (re-run
+    * [[writeMinhashIndex]] on the union, fresh path) to restore the
+    * sorted-merge property. Requires an index with recorded buckets
+    * (anything written by this library's builder). */
+  def appendToMinhashIndex(docs: DataFrame, id: Column, text: Column,
+                           path: String): Unit = {
+    import graft.sources.BucketedTables
+    val spark = docs.sparkSession
+    val pdf = spark.read.parquet(s"$path/params")
+    val p = pdf.head()
+    val (k, bands, n) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
+      p.getAs[Int]("n"))
+    require(pdf.columns.contains("buckets"),
+      "appendToMinhashIndex needs an index with a recorded bucket count")
+    val buckets = p.getAs[Int]("buckets")
+    val r = k / bands
+    // ensure catalog registrations exist (a new application appends to
+    // re-registered external tables), with the build's exact spec
+    BucketedTables.table(spark, idxName(path, "shingles"),
+      s"$path/shingles", buckets, "doc_id")
+    BucketedTables.table(spark, idxName(path, "bands"),
+      s"$path/bands", buckets, "bandKey", Seq("bandKey"))
+    val sig = docs.select(id.as("doc_id"), shingles(text, n).as("sh"))
+    sig.repartition(buckets, col("doc_id"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc_id")
+      .saveAsTable(idxName(path, "shingles"))
+    sig.withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, r)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandKey")
+      .repartition(buckets, col("bandKey"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "bandKey")
+      .sortBy("bandKey")
+      .saveAsTable(idxName(path, "bands"))
+  }
+
   /** Exact-Jaccard verification of slim candidate pairs: re-attach each
     * side's shingles and keep pairs at/above `threshold` — the shared
     * tail of every MinHash candidate generator. */

@@ -304,6 +304,42 @@ object Ann {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
   }
 
+  /** Append a vector batch into a standing [[writeIvfIndex]] index
+    * WITHOUT retraining: new vectors are assigned to the STORED
+    * centroids (standard IVF rolling ingestion — the coarse clustering
+    * is frozen at build time) and appended to the bucketed lists.
+    * Exactness of query results over the grown corpus is unchanged —
+    * probes rank against the same centroids and the per-list scan is
+    * exact cosine — only recall-vs-nprobe drifts as the data
+    * distribution moves away from the training snapshot; re-train to a
+    * fresh path when it does. Same multi-file-bucket note as
+    * [[graft.dedup.Dedup.appendToMinhashIndex]]. */
+  def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.BucketedTables
+    val spark = batch.sparkSession
+    val buckets = BucketedTables.readBuckets(spark, s"$path/params")
+      .getOrElse(throw new IllegalArgumentException(
+        "appendToIvfIndex needs an index with a recorded bucket count"))
+    BucketedTables.table(spark, ivfName(path), s"$path/lists", buckets,
+      "cluster")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assignW = Window.partitionBy(col("cid"))
+      .orderBy(col("csim").desc, col("cluster"))
+    batch.select(col("cid"), normalize(asDouble(col("cvec"))).as("v"),
+        col("cvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"), col("cluster"),
+        dot(col("v"), col("centroid")).as("csim"))
+      .withColumn("rn", row_number().over(assignW))
+      .where(col("rn") === 1)
+      .select(col("cid"), col("cluster"), col("cvec"))
+      .repartition(buckets, col("cluster"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "cluster")
+      .saveAsTable(ivfName(path))
+  }
+
   /** Approximate top-k against a stored [[writeIvfIndex]] index —
     * identical ranking semantics to [[ivfTopK]] over the same trained
     * clustering (shared [[probeClusters]]/[[rankTopK]] stages), without

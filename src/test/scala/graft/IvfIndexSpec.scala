@@ -35,6 +35,22 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(indexed === direct)
   }
 
+  test("append: grown lists stay exact (all-probe equals brute force)") {
+    val (q, c) = qc
+    val half = c.where(col("cid") % 2 === 0)
+    val rest = c.where(col("cid") % 2 =!= 0)
+    val path = Files.createTempDirectory("graft_ivfidx_a").toString + "/idx"
+    Ann.writeIvfIndex(half, path, nClusters = 8, iters = 2, buckets = 4)
+    Ann.appendToIvfIndex(rest, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "cid").collect().map(_.toSeq).toSeq
+    // probing every cluster is exact whatever the centroids, so the
+    // grown index must reproduce brute force over the FULL corpus —
+    // proving the appended vectors landed exactly once in the lists
+    val grown = rows(Ann.queryIvfIndex(q, path, k = 10, nprobe = 8))
+    assert(grown === rows(Ann.bruteForceTopK(q, c, k = 10)))
+  }
+
   test("the inverted lists scan bucketed, exactly once") {
     val (q, _) = qc
     val path = Files.createTempDirectory("graft_ivfidx2").toString + "/idx"

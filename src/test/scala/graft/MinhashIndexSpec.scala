@@ -37,6 +37,29 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(indexed === direct)
   }
 
+  test("append ≡ rebuild: a grown index answers like one built whole") {
+    // standing corpus A, later arrival B: build(A) + append(B) must
+    // answer queries exactly like build(A ∪ B) — banding is param-frozen
+    // and deterministic, so the appended tables are row-identical
+    val a = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val grown = Files.createTempDirectory("graft_mhidx_g").toString + "/idx"
+    val whole = Files.createTempDirectory("graft_mhidx_w").toString + "/idx"
+    Dedup.writeMinhashIndex(a, col("doc_id"), col("text"), grown, buckets = 4)
+    Dedup.appendToMinhashIndex(b, col("doc_id"), col("text"), grown)
+    Dedup.writeMinhashIndex(a.unionByName(b), col("doc_id"), col("text"),
+      whole, buckets = 4)
+    def pairs(path: String) =
+      Dedup.queryMinhashIndex(batch, col("doc_id"), col("text"), path,
+          threshold = 0.8)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = pairs(grown)
+    assert(g.nonEmpty, "fixture should contain cross-side near-dups")
+    assert(g === pairs(whole))
+  }
+
   test("streaming batches query the persistent index") {
     import org.apache.spark.sql.streaming.Trigger
     val (batch, existing) = batchAndExisting
