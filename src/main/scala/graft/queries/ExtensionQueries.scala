@@ -79,6 +79,18 @@ object ExtensionQueries {
       Tables(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
       col("doc_id"), col("text"), path, buckets = 8))
 
+  // the SAME standing corpus, indexed in two installments: build on the
+  // even half, append the odd half — queries must be indistinguishable
+  // from the one-shot build (same oracle as dedup_index_query)
+  private val mhAppendIndexFor = new IndexCache("graft_gate_mhapp",
+    (s, dir, path) => {
+      val standing = Tables(s, dir, "documents").where(col("doc_id") % 5 =!= 0)
+      Dedup.writeMinhashIndex(standing.where(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), path, buckets = 8)
+      Dedup.appendToMinhashIndex(standing.where(col("doc_id") % 2 =!= 0),
+        col("doc_id"), col("text"), path)
+    })
+
   private val ivfIndexFor = new IndexCache("graft_gate_ivfidx", (s, dir, path) =>
     Ann.writeIvfIndex(
       Tables(s, dir, "embeddings")
@@ -172,6 +184,20 @@ object ExtensionQueries {
       val path = mhIndexFor(s, dir)
       Dedup.queryMinhashIndex(docs.where(col("doc_id") % 5 === 0),
           col("doc_id"), col("text"), path, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1e6, 0).cast("long").as("jacc_ppm"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the index-append lifecycle under the dedup_index_query oracle: an
+    // index grown in two installments must answer the batch exactly like
+    // the from-scratch DuckDB computation — cross-engine proof that
+    // append ≡ rebuild
+    "dedup_index_append" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.queryMinhashIndex(docs.where(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), mhAppendIndexFor(s, dir),
+          threshold = 0.8)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 1e6, 0).cast("long").as("jacc_ppm"))
         .orderBy(col("id_a"), col("id_b"))
@@ -980,6 +1006,25 @@ object ExtensionQueries {
       |  FROM toks),
       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id)""".stripMargin
 
+  /** Exact cross-side pairs (batch %5=0 × standing %5≠0) at 2-gram
+    * Jaccard ≥ 0.8 — the oracle for every persistent-MinHash-index query
+    * path, however the index was assembled. */
+  private val crossIndexPairSql: String =
+    s"""WITH $sh2Ctes,
+       |common AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+       |  FROM sh2 x JOIN sh2 y ON x.s = y.s
+       |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  cast(round(n_common / cast(ca.n_sh + cb.n_sh - n_common AS double)
+       |    * 1000000) AS bigint) AS jacc_ppm
+       |FROM common
+       |JOIN sizes ca ON ca.doc_id = id_a
+       |JOIN sizes cb ON cb.doc_id = id_b
+       |WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // ── Invariant oracles for the approximate families ────────────────
     // MinHash banding at (k=24, b=8, J≥0.8) has verified full recall on
@@ -1002,22 +1047,11 @@ object ExtensionQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // same exact side restricted to (batch %5=0) × (indexed %5<>0) —
-    // the persistent-index query path held to the from-scratch answer
-    "dedup_index_query" ->
-      s"""WITH $sh2Ctes,
-         |common AS (
-         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
-         |  FROM sh2 x JOIN sh2 y ON x.s = y.s
-         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  cast(round(n_common / cast(ca.n_sh + cb.n_sh - n_common AS double)
-         |    * 1000000) AS bigint) AS jacc_ppm
-         |FROM common
-         |JOIN sizes ca ON ca.doc_id = id_a
-         |JOIN sizes cb ON cb.doc_id = id_b
-         |WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
+    // the persistent-index query path held to the from-scratch answer,
+    // and the two-installment (build + append) index held to the SAME
+    // answer: cross-engine proof that append ≡ rebuild
+    "dedup_index_query" -> crossIndexPairSql,
+    "dedup_index_append" -> crossIndexPairSql,
 
     // exact containment over the rare 3-gram space: both orientations of
     // the pruned inverted-index common counts (mirrors ngramPairCtes'

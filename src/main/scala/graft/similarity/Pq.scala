@@ -215,6 +215,50 @@ object Pq {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
   }
 
+  /** Append a vector batch into a standing [[writeIvfPqIndex]] index
+    * WITHOUT retraining: assign to the STORED coarse centroids, encode
+    * with the STORED codebook, append to the bucketed lists and float
+    * store — the IVF+PQ face of the rolling-ingestion family
+    * ([[graft.dedup.Dedup.appendToMinhashIndex]],
+    * [[graft.similarity.Ann.appendToIvfIndex]]; same frozen-params and
+    * multi-file-bucket notes). Quantization error for appended vectors
+    * reflects the training snapshot; re-train to a fresh path when the
+    * distribution drifts. */
+  def appendToIvfPqIndex(batch: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.BucketedTables
+    val spark = batch.sparkSession
+    val buckets = BucketedTables.readBuckets(spark, s"$path/params")
+      .getOrElse(throw new IllegalArgumentException(
+        "appendToIvfPqIndex needs an index with a recorded bucket count"))
+    BucketedTables.table(spark, ivfpqName(path), s"$path/lists", buckets,
+      "cluster")
+    val vecsName = BucketedTables.tableName("graft_ivfpq", path, "vecs")
+    BucketedTables.table(spark, vecsName, s"$path/vecs", buckets, "cid")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val mdl = readModel(spark, s"$path/pq_model")
+    val assignW = Window.partitionBy(col("cid"))
+      .orderBy(col("csim").desc, col("cluster"))
+    batch.select(col("cid"), Ann.normalize(Ann.asDouble(col("cvec"))).as("v"),
+        col("cvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"), col("cluster"),
+        TextExprs.vecDot(col("v"), col("centroid")).as("csim"))
+      .withColumn("rn", row_number().over(assignW))
+      .where(col("rn") === 1)
+      .select(col("cid"), col("cluster"),
+        encode(col("cvec"), mdl).as("codes"))
+      .repartition(buckets, col("cluster"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "cluster")
+      .saveAsTable(ivfpqName(path))
+    batch.select(col("cid"), col("cvec"))
+      .repartition(buckets, col("cid"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "cid")
+      .saveAsTable(vecsName)
+  }
+
   /** Approximate top-k against a stored [[writeIvfPqIndex]] index:
     * probe the `nprobe` best coarse clusters, ADC-score their CODES,
     * keep k·overscan survivors, exact-cosine re-rank from the float

@@ -50,6 +50,14 @@ object BucketedTables {
         s"""CREATE TABLE IF NOT EXISTS $name ($schema) USING PARQUET
            |CLUSTERED BY ($bucketCol) ${sorted}INTO $buckets BUCKETS
            |LOCATION '$loc'""".stripMargin)
+    } else {
+      // the index tables are APPENDABLE (appendTo*Index), and appends
+      // can run in OTHER sessions — e.g. foreachBatch micro-batch
+      // clones, whose cache invalidation never reaches this session's
+      // tableRelationCache. Refresh so a query against a just-grown
+      // index sees the growth; the cost is one file listing, which a
+      // mutable table owes per query anyway.
+      spark.catalog.refreshTable(name)
     }
     spark.table(name)
   }

@@ -60,6 +60,39 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(g === pairs(whole))
   }
 
+  test("streaming batches GROW the persistent index (foreachBatch append)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // standing index over the odd half; the even half arrives as a
+    // stream and each micro-batch APPENDS — afterwards a query must see
+    // near-dups against streamed docs exactly as if they were built in
+    val a = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 =!= 0)
+    val b = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val idx = Files.createTempDirectory("graft_mhidx_sg").toString + "/idx"
+    Dedup.writeMinhashIndex(a, col("doc_id"), col("text"), idx, buckets = 4)
+    val dir = Files.createTempDirectory("graft_mhidx_sgs")
+    val in = dir.resolve("in").toString
+    b.select(col("doc_id"), col("text")).coalesce(2).write.json(in)
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream
+      .foreachBatch((mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.appendToMinhashIndex(mb, col("doc_id"), col("text"), idx))
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def pairs(path: String) =
+      Dedup.queryMinhashIndex(batch, col("doc_id"), col("text"), path,
+          threshold = 0.8)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = Files.createTempDirectory("graft_mhidx_sgw").toString + "/idx"
+    Dedup.writeMinhashIndex(a.unionByName(b), col("doc_id"), col("text"),
+      whole, buckets = 4)
+    assert(pairs(idx) === pairs(whole))
+  }
+
   test("streaming batches query the persistent index") {
     import org.apache.spark.sql.streaming.Trigger
     val (batch, existing) = batchAndExisting

@@ -91,6 +91,28 @@ class PqSpec extends AnyFunSuite {
     assert(run() === pairs)
   }
 
+  test("IVF+PQ append: grown index stays exact under full probe + overscan") {
+    import java.nio.file.Files
+    val (q, c) = qc
+    val half = c.where(col("cid") % 2 === 0)
+    val rest = c.where(col("cid") % 2 =!= 0)
+    val path = Files.createTempDirectory("graft_ivfpq_a").toString + "/idx"
+    Pq.writeIvfPqIndex(half, path, dim = 64, m = 8, nCentroids = 16,
+      nClusters = 8, buckets = 4)
+    Pq.appendToIvfPqIndex(rest, path)
+    // probing every cluster with an overscan that admits the whole
+    // corpus makes the exact re-rank total: the grown index must
+    // reproduce brute force over the FULL corpus exactly — proving each
+    // appended vector landed exactly once in lists AND float store
+    val n = c.count().toInt
+    val grown = Pq.queryIvfPqIndex(q, path, k = 10, nprobe = 8,
+        overscan = n / 10 + 1)
+      .orderBy("qid", "cid").collect().map(_.toSeq).toSeq
+    val exact = Ann.bruteForceTopK(q, c, k = 10)
+      .orderBy("qid", "cid").collect().map(_.toSeq).toSeq
+    assert(grown === exact)
+  }
+
   test("training an empty corpus fails loudly, not downstream") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("cid", "cvec")
     val e = intercept[IllegalArgumentException](
