@@ -51,6 +51,7 @@ class HostileDataSpec extends AnyFunSuite {
     // empty/whitespace docs normalize identically → they may pair too; no throw
     Dedup.simhashPairs(hostile, col("doc_id"), col("text")).collect()
     Dedup.ngramJaccardPairs(hostile, col("doc_id"), col("text")).collect()
+    Dedup.ngramContainmentPairs(hostile, col("doc_id"), col("text")).collect()
   }
 
   test("delimiter-bearing values round-trip with escaping on") {
