@@ -119,6 +119,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("containment derives both orientations from one common-counts pass") {
+    // a union of two oriented selections would plan the inverted-index
+    // subtree TWICE (measured 2x the scans, windows and self-joins).
+    // The df-cutoff Window is the subtree's signature node; containment
+    // must plan exactly as many as its Jaccard twin (the x/y/n_a/n_b
+    // consumers AQE collapses onto one exchange), not double.
+    def windows(q: String): Int = {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      "Window ".r.findAllIn(p).size
+    }
+    assert(windows("dedup_containment") === windows("dedup_ngram"),
+      "containment re-plans its inverted-index subtree vs the Jaccard twin")
+  }
+
   test("doc_keywords tokenizes the corpus exactly once") {
     // df-as-aggregation-branch canonicalizes differently after column
     // pruning and silently re-scans the corpus (caught on the adaptive
