@@ -458,6 +458,41 @@ object Dedup {
       .select(col("o.doc_id"), col("o.container_id"), col("o.containment"))
       .where(col("containment") >= threshold)
 
+  /** Line-level corpus dedup (the C4-style boilerplate filter: drop any
+    * LINE occurring more than `maxOccurrences` times across the corpus —
+    * navigation chrome, cookie banners, license headers — while keeping
+    * each document's surviving lines in order).
+    *
+    * Scale shape: lines reduce to a slim (16-byte md5, count) frame via
+    * a map-side-combined aggregation; the line stream joins it hash-keyed
+    * (one shuffle of the lines), and per-doc reassembly is the second,
+    * final shuffle. `collect_list` skips the nulls the `when` leaves for
+    * dropped lines, so every document survives — one whose lines are all
+    * boilerplate comes back as the empty string, not a dropped row.
+    *
+    * @return (doc_id, text = kept lines joined by \n, n_lines, n_removed)
+    */
+  def dedupLines(docs: DataFrame, id: Column, text: Column,
+                 maxOccurrences: Int = 2): DataFrame = {
+    // split(-1): trailing empty lines are lines too, and the default
+    // regex split would silently drop them (they are prime boilerplate)
+    val lines = docs.select(id.as("doc_id"),
+        posexplode(split(text, "\n", -1)))
+      .select(col("doc_id"), col("pos"), col("col").as("line"),
+        md5(col("col")).as("__h"))
+    val counts = lines.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+    lines.join(counts, Seq("__h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__n") <= maxOccurrences,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text"),
+        count(lit(1)).as("n_lines"),
+        sum((col("__n") > maxOccurrences).cast("int")).as("n_removed"))
+  }
+
   // ── Cluster canonicalization ─────────────────────────────────────────
 
   /** Collapse near-dup PAIRS into clusters: every id is labeled with the

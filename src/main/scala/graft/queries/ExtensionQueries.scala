@@ -454,6 +454,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // C4-style line-level boilerplate filter: lines occurring more than
+    // twice across the corpus are dropped, surviving lines keep order.
+    // The synthetic docs are single-line, so the gate frames each with a
+    // corpus-wide header and a per-source footer (the oracle builds the
+    // same frame): the header repeats 500x, footers ~50x — both must be
+    // stripped everywhere while each unique content line survives.
+    "text_line_dedup" -> ((s, dir) => {
+      val framed = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(lit("=== site header ===\n"), col("text"),
+          lit("\nfooter for "), col("source")).as("t"))
+      Dedup.dedupLines(framed, col("doc_id"), col("t"), maxOccurrences = 2)
+        .select(col("doc_id"), md5(col("text")).as("kept_md5"),
+          col("n_lines"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // asymmetric near-dup: a document quoted inside a larger one shows
     // high containment where Jaccard stays low — the dedup signal for
     // concatenated/wrapped training documents
@@ -1052,6 +1068,26 @@ object ExtensionQueries {
     // answer: cross-engine proof that append ≡ rebuild
     "dedup_index_query" -> crossIndexPairSql,
     "dedup_index_append" -> crossIndexPairSql,
+
+    "text_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(
+        |    '=== site header ===' || chr(10) || text || chr(10) ||
+        |      'footer for ' || source, chr(10)) AS ls
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM t),
+        |l2 AS (SELECT doc_id, pos, ls[cast(pos AS int)] AS line FROM l),
+        |c AS (SELECT line, count(*) AS n FROM l2 GROUP BY line)
+        |SELECT l2.doc_id,
+        |  md5(array_to_string(
+        |    coalesce(list(l2.line ORDER BY l2.pos) FILTER (WHERE c.n <= 2), []),
+        |    chr(10))) AS kept_md5,
+        |  count(*) AS n_lines,
+        |  cast(sum(cast(c.n > 2 AS int)) AS bigint) AS n_removed
+        |FROM l2 JOIN c USING (line)
+        |GROUP BY l2.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // exact containment over the rare 3-gram space: both orientations of
     // the pruned inverted-index common counts (mirrors ngramPairCtes'

@@ -40,6 +40,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall (found ${mh.size}/${exactPairs.size})")
   }
 
+  test("line dedup strips corpus-repeated lines, keeps order, keeps empty docs") {
+    val boiler = "accept our cookies"
+    val d = Seq(
+      (1L, s"$boiler\nunique alpha\nmiddle one\n$boiler"),
+      (2L, s"$boiler\nunique beta"),
+      (3L, s"$boiler"), // all-boilerplate doc must survive as empty text
+      (4L, "unique gamma\nunique delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, col("doc_id"), col("text"),
+        maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // boiler occurs 4x > 2 → dropped everywhere; survivors keep order
+    assert(out(1L) === (("unique alpha\nmiddle one", 4L, 2L)))
+    assert(out(2L) === (("unique beta", 2L, 1L)))
+    assert(out(3L) === (("", 1L, 1L)))
+    assert(out(4L) === (("unique gamma\nunique delta", 2L, 0L)))
+  }
+
   test("containment catches a quoted document that Jaccard misses") {
     // B embeds A verbatim inside much more text: containment(A in B) = 1
     // while jaccard(A, B) is far below any dedup threshold
