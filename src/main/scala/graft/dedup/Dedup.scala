@@ -493,6 +493,32 @@ object Dedup {
         sum((col("__n") > maxOccurrences).cast("int")).as("n_removed"))
   }
 
+  /** Cross-document duplicated-span statistics (the exact-substring-dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — window-hash form): for each
+    * document, how many of its distinct `n`-word spans occur in OTHER
+    * documents too. High dup_ppm docs are templated/syndicated content;
+    * the per-doc fraction is the audit signal before deciding a removal
+    * policy.
+    *
+    * df here counts DOCUMENTS containing the span (the shingle kernel
+    * emits per-doc distinct spans), so within-doc repetition — a
+    * different signal, [[graft.text.TextOps.repetitionPpm]] — cannot
+    * inflate it. One (doc, span) exchange, same shape as the n-gram
+    * family. @return (doc_id, n_spans, n_dup, dup_ppm) */
+  def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
+                      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("df") >= 2).cast("int")).as("n_dup"))
+      .withColumn("dup_ppm",
+        round(col("n_dup") / col("n_spans").cast("double") * 1e6, 0)
+          .cast("long"))
+  }
+
   // ── Cluster canonicalization ─────────────────────────────────────────
 
   /** Collapse near-dup PAIRS into clusters: every id is labeled with the

@@ -470,6 +470,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-doc duplicated-span audit: the exact-substring-dedup signal
+    // (5-word spans shared with other documents, as ppm of the doc's
+    // distinct spans)
+    "text_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(Tables(s, dir, "documents"), col("doc_id"),
+          col("text"), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // asymmetric near-dup: a document quoted inside a larger one shows
     // high containment where Jaccard stays low — the dedup signal for
     // concatenated/wrapped training documents
@@ -1068,6 +1077,26 @@ object ExtensionQueries {
     // answer: cross-engine proof that append ≡ rebuild
     "dedup_index_query" -> crossIndexPairSql,
     "dedup_index_append" -> crossIndexPairSql,
+
+    // same normalized 5-gram space as the decontaminate oracles; df
+    // counts documents (per-doc distinct spans)
+    "text_dup_spans" ->
+      s"""WITH $toksCte,
+         |gl AS (
+         |  SELECT doc_id, list_distinct(CASE
+         |    WHEN len(l) < 5 THEN [array_to_string(l, '_')]
+         |    ELSE list_transform(range(1, len(l) - 3),
+         |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' ||
+         |           l[i+3] || '_' || l[i+4]) END) AS gs
+         |  FROM toks),
+         |g5 AS (SELECT doc_id, unnest(gs) AS g FROM gl),
+         |df AS (SELECT g, count(*) AS n FROM g5 GROUP BY g)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  cast(sum(cast(df.n >= 2 AS int)) AS bigint) AS n_dup,
+         |  cast(round(sum(cast(df.n >= 2 AS int))
+         |    / cast(count(*) AS double) * 1000000) AS bigint) AS dup_ppm
+         |FROM g5 JOIN df USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_line_dedup" ->
       """WITH t AS (

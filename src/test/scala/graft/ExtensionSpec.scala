@@ -59,6 +59,22 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(4L) === (("unique gamma\nunique delta", 2L, 0L)))
   }
 
+  test("duplicated-span stats count cross-doc spans, not within-doc repeats") {
+    val d = Seq(
+      (1L, "one two three four five six"),      // shares 5-spans with doc 2
+      (2L, "one two three four five seven"),
+      (3L, "a b c d e a b c d e a b c d e"),    // only WITHIN-doc repetition
+      (4L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, col("doc_id"), col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1/2: spans = 2 distinct 5-grams each, exactly one shared
+    assert(out(1L) === ((2L, 1L)) && out(2L) === ((2L, 1L)))
+    // doc 3's spans repeat internally but appear in no OTHER doc
+    assert(out(3L)._2 === 0L)
+    assert(out(4L)._2 === 0L)
+  }
+
   test("containment catches a quoted document that Jaccard misses") {
     // B embeds A verbatim inside much more text: containment(A in B) = 1
     // while jaccard(A, B) is far below any dedup threshold
