@@ -97,6 +97,18 @@ object ExtensionQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
       path, nClusters = 16, iters = 2, buckets = 8))
 
+  // IVF index grown in two installments (build even cids, append odd) —
+  // probing every cluster of the grown index must reproduce brute force,
+  // whatever the centroids, so it shares the ann brute-force oracle
+  private val ivfAppendIndexFor = new IndexCache("graft_gate_ivfapp",
+    (s, dir, path) => {
+      val c = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.writeIvfIndex(c.where(col("cid") % 2 === 0), path,
+        nClusters = 16, iters = 2, buckets = 8)
+      Ann.appendToIvfIndex(c.where(col("cid") % 2 =!= 0), path)
+    })
+
   private val ivfpqIndexFor = new IndexCache("graft_gate_ivfpq", (s, dir, path) =>
     Pq.writeIvfPqIndex(
       Tables(s, dir, "embeddings")
@@ -860,6 +872,17 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("cid"))
     }),
 
+    // the grown-index twin of ann_index_query_full: build + append must
+    // be indistinguishable from brute force under full probing — the
+    // cross-engine proof that appended vectors landed exactly once
+    "ann_index_append" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.queryIvfIndex(q, ivfAppendIndexFor(s, dir), k = 10, nprobe = 16)
+        .orderBy(col("qid"), col("cid"))
+    }),
+
     // IVF+PQ probing every cluster with a wide overscan: the ADC
     // prefilter keeps 16·k of 500 candidates and the exact re-rank
     // finishes — equality with brute force proves the lists are
@@ -1184,6 +1207,7 @@ object ExtensionQueries {
 
     "ann_ivf_full" -> annBruteTopkSql,
     "ann_index_query_full" -> annBruteTopkSql,
+    "ann_index_append" -> annBruteTopkSql,
     "ann_ivfpq_full" -> annBruteTopkSql,
     "ann_lsh_full" -> annBruteTopkSql,
     "ann_pq_full" -> annBruteTopkSql,
