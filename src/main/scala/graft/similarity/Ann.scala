@@ -324,8 +324,11 @@ object Ann {
     BucketedTables.table(spark, ivfName(path), s"$path/lists", buckets,
       "cluster")
     val centroids = spark.read.parquet(s"$path/centroids")
+    // tie-break on the HIGHEST cluster id, matching the build's
+    // max(struct(sim, cluster)) assignment — an appended vector lands in
+    // exactly the list a rebuild would put it in
     val assignW = Window.partitionBy(col("cid"))
-      .orderBy(col("csim").desc, col("cluster"))
+      .orderBy(col("csim").desc, col("cluster").desc)
     batch.select(col("cid"), normalize(asDouble(col("cvec"))).as("v"),
         col("cvec"))
       .crossJoin(broadcast(centroids))

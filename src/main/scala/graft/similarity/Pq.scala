@@ -237,8 +237,11 @@ object Pq {
     BucketedTables.table(spark, vecsName, s"$path/vecs", buckets, "cid")
     val centroids = spark.read.parquet(s"$path/centroids")
     val mdl = readModel(spark, s"$path/pq_model")
+    // tie-break on the HIGHEST cluster id, matching the build's
+    // max(struct(sim, cluster)) assignment — an appended vector lands in
+    // exactly the list a rebuild would put it in
     val assignW = Window.partitionBy(col("cid"))
-      .orderBy(col("csim").desc, col("cluster"))
+      .orderBy(col("csim").desc, col("cluster").desc)
     batch.select(col("cid"), Ann.normalize(Ann.asDouble(col("cvec"))).as("v"),
         col("cvec"))
       .crossJoin(broadcast(centroids))
