@@ -764,10 +764,17 @@ object ExtensionQueries {
     // text → hashed embedding → embedding near-dup (vector ops without a
     // model; planted text near-dups surface as cosine≈1 vector pairs)
     "text_embed_dedup" -> ((s, dir) => {
+      // the near-dup operator consumes its input FOUR times (mean,
+      // banding, both payload joins) — by design, its joins ship ids
+      // only. A computed embedding column would re-run the hash-embed
+      // kernel per consumer (measured: 4 scans), so the caller
+      // materializes the slim (id, vec) frame once; the operator then
+      // reads blocks, not the kernel
       val embedded = Tables(s, dir, "documents")
         .select(col("doc_id").as("vec_id"),
           graft.ops.TextExprs.hashEmbed(
             TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
+        .localCheckpoint(true)
       // meanSampleMod opts into the sampled centering mean — the 100 TB
       // path (1/16 of the corpus computes vectors for the mean pass);
       // the default is the exact mean so library callers' recall
