@@ -840,10 +840,13 @@ object ExtensionQueries {
           TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
         .where(size(col("toks")) > 0)
         .select(col("doc_id"), md5(array_join(col("toks"), "|")).as("key"))
+      // materialized once for the operator's four consumers — same
+      // rationale as text_embed_dedup above
       val embedded = Tables(s, dir, "documents")
         .select(col("doc_id").as("vec_id"),
           graft.ops.TextExprs.hashEmbed(
             TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
+        .localCheckpoint(true)
       Ann.cosineNearDupPairs(embedded, col("vec_id"), col("embedding"),
           threshold = 0.9, bands = 10, bandBits = 6, meanSampleMod = 16)
         .join(streams.select(col("doc_id").as("id_a"), col("key").as("key_a")),
