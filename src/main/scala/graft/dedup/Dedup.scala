@@ -387,15 +387,24 @@ object Dedup {
     * cutoff): a pair whose overlap consists ONLY of hot shingles yields
     * no candidate and is never reported.
     *
-    * Plan shape: ONE exchange of the exploded shingles (hash on shingle)
-    * feeds the df-annotating window, both self-join sides, and the size
-    * aggregate — Spark's ReuseExchange collapses the consumers onto a
-    * single shuffle, so the shingle kernel and explode run once (the
-    * round-1 form re-computed them three times). The pair self-join is
-    * pinned to sort-merge: Catalyst's post-filter size estimate can
-    * otherwise BROADCAST the exploded shingle frame — a misestimate that
-    * both breaks exchange reuse and ships the whole inverted index to
-    * every executor at corpus scale.
+    * Plan shape: document frequency comes from a `groupBy(s).count()` —
+    * map-side partial aggregation collapses every occurrence of a hot
+    * shingle within its input partition BEFORE any shuffle, so "terms of
+    * service" never funnels into one task (the earlier window-function
+    * form had exactly that failure: WindowExec gets no partial
+    * aggregation, so at corpus scale each hot shingle became a one-task
+    * straggler). The slim (s, df) frame, pre-filtered to `df <= maxDf`,
+    * joins back onto the exploded stream; hot keys miss the join and are
+    * dropped, and the join itself is AQE-skew-split eligible. The price
+    * is the shingle kernel running twice (once into the df aggregate's
+    * partials, once into the join probe) — cheap CPU bought back a
+    * thousandfold in shuffle balance. The pruned exchange (hash on
+    * shingle) then feeds both self-join sides and the size aggregate via
+    * ReuseExchange. The pair self-join is pinned to sort-merge:
+    * Catalyst's post-filter size estimate can otherwise BROADCAST the
+    * exploded shingle frame — a misestimate that both breaks exchange
+    * reuse and ships the whole inverted index to every executor at
+    * corpus scale.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         n: Int = 2, maxDf: Int = 100,
@@ -413,12 +422,12 @@ object Dedup {
   private def rareShingleCommonCounts(docs: DataFrame, id: Column,
                                       text: Column, n: Int,
                                       maxDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
-    val pruned = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+    // df via aggregate+join, NOT a window: see the plan-shape note above
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-      .drop("df")
+      .select(col("s"))
+    val pruned = sh.join(rare, Seq("s"))
     val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     pruned.as("x").hint("merge").join(pruned.as("y"), Seq("s"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -504,13 +513,17 @@ object Dedup {
     * df here counts DOCUMENTS containing the span (the shingle kernel
     * emits per-doc distinct spans), so within-doc repetition — a
     * different signal, [[graft.text.TextOps.repetitionPpm]] — cannot
-    * inflate it. One (doc, span) exchange, same shape as the n-gram
-    * family. @return (doc_id, n_spans, n_dup, dup_ppm) */
+    * inflate it. df is an aggregate+join, not a window, for the same
+    * hot-key reason as [[ngramJaccardPairs]]: map-side partial
+    * aggregation collapses viral spans before the shuffle instead of
+    * funnelling every occurrence into one window task, and the join back
+    * onto the span stream is AQE-skew-split eligible.
+    * @return (doc_id, n_spans, n_dup, dup_ppm) */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
                       n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+    val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    val dfBySpan = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(dfBySpan, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum((col("df") >= 2).cast("int")).as("n_dup"))

@@ -121,17 +121,32 @@ class PlanSpec extends AnyFunSuite {
 
   test("containment derives both orientations from one common-counts pass") {
     // a union of two oriented selections would plan the inverted-index
-    // subtree TWICE (measured 2x the scans, windows and self-joins).
-    // The df-cutoff Window is the subtree's signature node; containment
-    // must plan exactly as many as its Jaccard twin (the x/y/n_a/n_b
-    // consumers AQE collapses onto one exchange), not double.
-    def windows(q: String): Int = {
+    // subtree TWICE (measured 2x the scans and self-joins). The pair
+    // self-join is the subtree's signature node; containment must plan
+    // exactly as many as its Jaccard twin, not double.
+    def joins(q: String): Int = {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
-      "Window ".r.findAllIn(p).size
+      "SortMergeJoin".r.findAllIn(p).size
     }
-    assert(windows("dedup_containment") === windows("dedup_ngram"),
+    assert(joins("dedup_containment") === joins("dedup_ngram"),
       "containment re-plans its inverted-index subtree vs the Jaccard twin")
+  }
+
+  test("shingle document frequency is an aggregate+join, never a window") {
+    // count(*) OVER (PARTITION BY shingle) gets no map-side partial
+    // aggregation and no AQE skew mitigation: every occurrence of a hot
+    // shingle ("terms of service") lands on ONE window task — invisible
+    // at test SF, a straggler/OOM at corpus scale. The df front must be
+    // groupBy(s).count() (partials collapse hot keys before the shuffle)
+    // joined back onto the stream (AQE-skew-split eligible).
+    for (q <- Seq("dedup_ngram", "dedup_containment", "text_dup_spans")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Window"),
+        s"$q routes its shingle-df through WindowExec:\n${p.take(2000)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q df aggregate lost its map-side partial:\n${p.take(2000)}")
+    }
   }
 
   test("doc_keywords tokenizes the corpus exactly once") {
