@@ -98,6 +98,13 @@ object KvConnector {
   private def utf8(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+  /** File-name-safe form of a caller-supplied identifier (query id,
+    * stream id) — staged and committed file names embed these, and a
+    * path separator smuggled through an option must not escape the
+    * store directory. */
+  private[sources] def sanitizeId(id: String): String =
+    id.replaceAll("[^A-Za-z0-9_.-]", "-")
+
   /** Every (parquet file, salt) under the store — the listing every scan
     * flavor prunes from. */
   private[sources] def storeFiles(path: String): Seq[(java.io.File, Int)] = {
@@ -429,8 +436,25 @@ class KvPartitionReader(file: String, salt: Int, pushed: Array[Filter],
 // spark.sql.shuffle.partitions, never funnel through ≤24 salt values),
 // and each task just rolls to a new file when the salt changes.
 // Commit protocol: tasks write to a hidden staging dir, the driver
-// moves only committed tasks' files into place (truncating first on
-// overwrite), so readers never see a half-written store.
+// moves only committed tasks' files into place, so readers never see a
+// half-written store. Committed file names embed the write's queryId:
+// partitionId and taskId both restart at 0 in every new SparkContext, so
+// without a per-job token two append jobs from separate applications
+// (e.g. a daily ETL) would deterministically stage the SAME names and
+// the later commit would silently replace the earlier one's files.
+// Appends additionally refuse to overwrite an existing destination —
+// a name collision is always a bug, never something to paper over.
+//
+// Overwrite (truncate) commits swap rather than delete-then-move: the
+// committed files assemble into a complete sibling `_new_<queryId>`
+// store first, then the old salt directories rename aside into
+// `_old_<queryId>` and the new ones rename in — directory renames, not
+// per-file moves, so the non-atomic window is metadata-sized. A crash
+// before the swap leaves the old store untouched; a crash inside it
+// leaves every old directory recoverable under `_old_<queryId>`
+// (readers ignore underscore-prefixed directories). Overwrite is NOT
+// crash-atomic across the swap itself — a concurrent reader during
+// those renames can observe a partially-swapped directory set.
 
 class KvWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -441,12 +465,17 @@ class KvWriteBuilder(path: String, info: LogicalWriteInfo)
     require(Seq("rowKey", "columnName", "value", "salt").forall(names.contains),
       s"graft.sources.KvSource write needs columns " +
         s"(rowKey, columnName, value, salt); got ${names.mkString(", ")}")
-    new KvWrite(path, info.schema(), doTruncate, info.queryId())
+    // stable stream identity for streaming writes (see KvStreamingWrite);
+    // batch writes key everything off the per-job queryId
+    val streamId = KvConnector.sanitizeId(
+      Option(info.options().get("streamId")).getOrElse("stream"))
+    new KvWrite(path, info.schema(), doTruncate,
+      KvConnector.sanitizeId(info.queryId()), streamId)
   }
 }
 
 class KvWrite(path: String, schema: StructType, truncate: Boolean,
-              queryId: String)
+              queryId: String, streamId: String)
     extends Write with RequiresDistributionAndOrdering {
   private def asc(col: String): SortOrder =
     Expressions.sort(Expressions.column(col), SortDirection.ASCENDING)
@@ -460,7 +489,7 @@ class KvWrite(path: String, schema: StructType, truncate: Boolean,
   override def toBatch: BatchWrite =
     new KvBatchWrite(path, schema, truncate, queryId)
   override def toStreaming: StreamingWrite =
-    new KvStreamingWrite(path, schema, queryId)
+    new KvStreamingWrite(path, schema, queryId, streamId)
   override def description(): String = s"graft_kv write path=$path"
 }
 
@@ -471,27 +500,51 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean,
   private val staging = new java.io.File(path, s"_staging_$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(staging.getAbsolutePath, schema)
+    new KvWriterFactory(staging.getAbsolutePath, schema, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new java.io.File(path)
-    if (truncate)
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("salt="))
-        .foreach(deleteRec)
-    // move ONLY files named in committed task messages — a speculative
+    // ONLY files named in committed task messages move — a speculative
     // attempt that lost the commit race leaves files in staging, and
     // they die with it here
-    messages.foreach {
-      case KvCommitMessage(rels) => rels.foreach { rel =>
-        val src = new java.io.File(staging, rel)
-        val dst = new java.io.File(root, rel)
-        dst.getParentFile.mkdirs()
-        java.nio.file.Files.move(src.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    val committed = messages.flatMap {
+      case KvCommitMessage(rels) => rels
       case other =>
         throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    if (truncate) {
+      // assemble the complete new store beside the old one, then swap
+      // directory-by-directory (see the commit-protocol note above)
+      val fresh = new java.io.File(path, s"_new_$queryId")
+      committed.foreach { rel =>
+        val src = new java.io.File(staging, rel)
+        val dst = new java.io.File(fresh, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(src.toPath, dst.toPath)
+      }
+      val old = new java.io.File(path, s"_old_$queryId")
+      old.mkdirs()
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("salt="))
+        .foreach(d => java.nio.file.Files.move(d.toPath,
+          new java.io.File(old, d.getName).toPath))
+      Option(fresh.listFiles()).getOrElse(Array.empty)
+        .foreach(d => java.nio.file.Files.move(d.toPath,
+          new java.io.File(root, d.getName).toPath))
+      deleteRec(old)
+      deleteRec(fresh)
+    } else committed.foreach { rel =>
+      val src = new java.io.File(staging, rel)
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      // names carry this job's queryId, so an existing destination means
+      // two writers share a query id — fail loudly, never replace
+      // another job's committed data
+      if (dst.exists())
+        throw new IllegalStateException(
+          s"graft_kv append collision: $dst already exists " +
+            "(two writes sharing a query id?); refusing to overwrite")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
     }
     deleteRec(staging)
   }
@@ -506,19 +559,38 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean,
   }
 }
 
-class KvWriterFactory(stagingPath: String, schema: StructType)
+class KvWriterFactory(stagingPath: String, schema: StructType,
+                      queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(stagingPath, schema, partitionId, taskId)
+    new KvDataWriter(stagingPath, schema, partitionId, taskId, queryId)
 }
 
 // ── Streaming write ────────────────────────────────────────────────────
 // `df.writeStream.format("graft.sources.KvSource")` — the streaming twin
 // of the reference's BufferedMutator flush loop (Utils.scala:68-74): each
-// micro-batch lands as appended salt-directory files. Epoch replays are
-// IDEMPOTENT: file names carry (partition, epoch) — not the task attempt
-// — and the commit move replaces, so a batch re-executed after a failure
-// overwrites its own files instead of duplicating rows.
+// micro-batch lands as appended salt-directory files.
+//
+// Epoch replays are IDEMPOTENT, via two mechanisms:
+//
+//  - committed-epoch markers: commit records `_commits_<streamId>/
+//    epoch-<N>` (written LAST) and a replay of an already-marked epoch
+//    is a no-op — the sink-side ledger, independent of the engine
+//    checkpoint.
+//  - stale-file sweep: an UNMARKED commit (the original attempt crashed
+//    mid-move) first deletes every committed file of this (stream,
+//    epoch) before moving its own. This also covers a replay that
+//    planned a DIFFERENT partition count than the crashed attempt —
+//    relying on name-overwrite alone would leave the extra partitions'
+//    files from the first attempt duplicating rows.
+//
+// File names carry (partition, epoch, streamId) — never the task
+// attempt. `streamId` defaults to "stream" and is overridable with
+// `.option("streamId", ...)`; it exists so the MARKERS and file names
+// of distinct streaming queries sharing one store stay disjoint — two
+// concurrent queries (or a query restarted from a FRESH checkpoint,
+// which resets epochs to 0) must set distinct streamIds or they will
+// treat each other's epochs as their own.
 //
 // Unlike the batch path, a micro-batch's rows arrive in whatever
 // distribution the streaming plan produced (micro-batch planning does
@@ -528,29 +600,45 @@ class KvWriterFactory(stagingPath: String, schema: StructType)
 // row-group pruning depends on. Micro-batches are small by construction;
 // the buffer is one partition of one batch, never the store.
 
-class KvStreamingWrite(path: String, schema: StructType, queryId: String)
+class KvStreamingWrite(path: String, schema: StructType, queryId: String,
+                       streamId: String)
     extends StreamingWrite {
   private def staging(epochId: Long) =
     new java.io.File(path, s"_staging_${queryId}_e$epochId")
+  private def marker(epochId: Long) =
+    new java.io.File(path, s"_commits_$streamId/epoch-$epochId")
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new KvStreamingWriterFactory(path, queryId, schema)
+    new KvStreamingWriterFactory(path, queryId, streamId, schema)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val root = new java.io.File(path)
+    if (marker(epochId).exists()) {
+      // this (stream, epoch) committed fully once already — replay no-op
+      deleteRec(staging(epochId))
+      return
+    }
+    // crashed-commit sweep: drop whatever a previous attempt of this
+    // (stream, epoch) already moved, whatever its partition count was
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("salt="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(s"-epoch$epochId-$streamId.parquet"))
+      .foreach(_.delete())
     messages.foreach {
       case KvCommitMessage(rels) => rels.foreach { rel =>
         val src = new java.io.File(staging(epochId), rel)
         val dst = new java.io.File(root, rel)
         dst.getParentFile.mkdirs()
-        java.nio.file.Files.move(src.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(src.toPath, dst.toPath)
       }
       case other =>
         throw new IllegalStateException(s"unexpected commit message $other")
     }
+    marker(epochId).getParentFile.mkdirs()
+    java.nio.file.Files.createFile(marker(epochId).toPath)
     deleteRec(staging(epochId))
   }
 
@@ -566,20 +654,21 @@ class KvStreamingWrite(path: String, schema: StructType, queryId: String)
 }
 
 class KvStreamingWriterFactory(path: String, queryId: String,
-                               schema: StructType)
+                               streamId: String, schema: StructType)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new KvStreamingDataWriter(
       new java.io.File(path, s"_staging_${queryId}_e$epochId").getAbsolutePath,
-      schema, partitionId, epochId)
+      schema, partitionId, epochId, streamId)
 }
 
 /** Buffers one micro-batch partition, then writes one rowKey-sorted file
   * per salt directory at commit — same file contract as the batch
   * writer, same parquet schema/stats. */
 class KvStreamingDataWriter(stagingPath: String, schema: StructType,
-                            partitionId: Int, epochId: Long)
+                            partitionId: Int, epochId: Long,
+                            streamId: String)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -603,7 +692,7 @@ class KvStreamingDataWriter(stagingPath: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     val factory = new SimpleGroupFactory(KvParquet.fileSchema)
     val written = rows.groupBy(_._1).toSeq.map { case (salt, group) =>
-      val rel = s"salt=$salt/part-$partitionId-epoch$epochId.parquet"
+      val rel = s"salt=$salt/part-$partitionId-epoch$epochId-$streamId.parquet"
       val f = new java.io.File(stagingPath, rel)
       f.getParentFile.mkdirs()
       val writer = ExampleParquetWriter.builder(new Path(f.getAbsolutePath))
@@ -649,7 +738,7 @@ private[sources] object KvParquet {
 }
 
 class KvDataWriter(stagingPath: String, schema: StructType,
-                   partitionId: Int, taskId: Long)
+                   partitionId: Int, taskId: Long, queryId: String)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
@@ -669,7 +758,10 @@ class KvDataWriter(stagingPath: String, schema: StructType,
 
   private def roll(salt: Int): Unit = {
     if (writer != null) writer.close()
-    val rel = s"salt=$salt/part-$partitionId-$taskId.parquet"
+    // queryId disambiguates across applications: partitionId AND taskId
+    // both restart at 0 in a new SparkContext, so without it two append
+    // jobs stage identical names (see the commit-protocol note)
+    val rel = s"salt=$salt/part-$partitionId-$taskId-$queryId.parquet"
     val f = new java.io.File(stagingPath, rel)
     f.getParentFile.mkdirs()
     writer = ExampleParquetWriter.builder(new Path(f.getAbsolutePath))

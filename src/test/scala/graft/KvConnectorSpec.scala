@@ -252,10 +252,13 @@ class KvConnectorSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(120000)
     // identical rows through both read paths, identical layout contract
+    // (plus the sink-side committed-epoch ledger, which readers ignore
+    // like any underscore-prefixed directory)
     val viaConn = spark.read.format("graft.sources.KvSource").load(store)
     assert(asSet(viaConn) === asSet(viaParquet))
     val root = new java.io.File(store)
-    assert(root.listFiles().map(_.getName).forall(_.startsWith("salt=")))
+    assert(root.listFiles().map(_.getName)
+      .forall(n => n.startsWith("salt=") || n.startsWith("_commits_")))
     for {
       saltDir <- root.listFiles() if saltDir.isDirectory
       f <- saltDir.listFiles() if f.getName.endsWith(".parquet")
@@ -299,6 +302,106 @@ class KvConnectorSpec extends AnyFunSuite {
       .select(col("rowKey"), col("value")).collect()
       .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
     assert(got === Seq("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+  }
+
+  // Shared rig for the commit-protocol tests: hand-built writer
+  // coordinates simulate conditions spark-submit can't produce in one
+  // JVM (two applications, a crash between file moves and the marker).
+  private object CommitRig {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.KvConnector
+    import scala.collection.JavaConverters._
+
+    def info(qid: String, opts: Map[String, String] = Map.empty): LogicalWriteInfo =
+      new LogicalWriteInfo {
+        override def queryId(): String = qid
+        override def schema() = KvConnector.schema
+        override def options() =
+          new CaseInsensitiveStringMap(opts.asJava)
+      }
+    def row(k: String, v: String): InternalRow =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(k),
+        UTF8String.fromString("q"), UTF8String.fromString(v),
+        Salt.bucket(k)))
+    def numPartitions(n: Int) = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = n
+    }
+  }
+
+  private def readPairs(dir: String): Seq[(String, String)] =
+    spark.read.format("graft.sources.KvSource").load(dir)
+      .select(col("rowKey"), col("value")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+
+  test("batch appends from separate applications never collide") {
+    import graft.sources.KvTable
+    // partitionId and taskId both restart at 0 in a fresh SparkContext:
+    // two append JOBS from separate applications produce identical
+    // writer coordinates. The per-job queryId in committed file names
+    // must keep them disjoint — before it, the second commit's
+    // REPLACE_EXISTING move silently swallowed the first append.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_apps").toString
+    def appendAs(qid: String, k: String, v: String): Unit = {
+      val bw = new KvTable(dir).newWriteBuilder(CommitRig.info(qid))
+        .build().toBatch
+      val w = bw.createBatchWriterFactory(CommitRig.numPartitions(1))
+        .createWriter(0, 0L)
+      w.write(CommitRig.row(k, v))
+      bw.commit(Array(w.commit()))
+    }
+    appendAs("app-1", "k1", "v1")
+    appendAs("app-2", "k2", "v2") // same (partitionId=0, taskId=0)
+    assert(readPairs(dir) === Seq("k1" -> "v1", "k2" -> "v2"))
+  }
+
+  test("epoch replay after a crashed commit sweeps the partial files") {
+    import graft.sources.KvTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_cr").toString
+    val sw = new KvTable(dir).newWriteBuilder(CommitRig.info("run-1"))
+      .build().toStreaming
+    val factory = sw.createStreamingWriterFactory(CommitRig.numPartitions(2))
+    // original attempt: epoch 0 over TWO partitions, commit completes
+    // its moves but "crashes" before the marker write (simulated by
+    // deleting the marker)
+    val w0 = factory.createWriter(0, 0L, 0); w0.write(CommitRig.row("k1", "v1"))
+    val w1 = factory.createWriter(1, 1L, 0); w1.write(CommitRig.row("k2", "v2"))
+    sw.commit(0, Array(w0.commit(), w1.commit()))
+    val marker = new java.io.File(dir, "_commits_stream/epoch-0")
+    assert(marker.exists(), "commit must record its epoch marker")
+    assert(marker.delete())
+    // recovery replay plans ONE partition (different routing than the
+    // crashed attempt) — without the sweep, the original attempt's
+    // part-1 file would survive beside the replay's and duplicate k2
+    val sw2 = new KvTable(dir).newWriteBuilder(CommitRig.info("run-2"))
+      .build().toStreaming
+    val f2 = sw2.createStreamingWriterFactory(CommitRig.numPartitions(1))
+    val rw = f2.createWriter(0, 7L, 0)
+    rw.write(CommitRig.row("k1", "v1")); rw.write(CommitRig.row("k2", "v2"))
+    sw2.commit(0, Array(rw.commit()))
+    assert(readPairs(dir) === Seq("k1" -> "v1", "k2" -> "v2"))
+  }
+
+  test("two streams with distinct streamIds share a store without clobbering") {
+    import graft.sources.KvTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_2s").toString
+    def epoch0(qid: String, streamId: String, k: String, v: String): Unit = {
+      val sw = new KvTable(dir)
+        .newWriteBuilder(CommitRig.info(qid, Map("streamId" -> streamId)))
+        .build().toStreaming
+      val w = sw.createStreamingWriterFactory(CommitRig.numPartitions(1))
+        .createWriter(0, 0L, 0)
+      w.write(CommitRig.row(k, v))
+      sw.commit(0, Array(w.commit()))
+    }
+    // both queries write THEIR OWN epoch 0 — names and markers must stay
+    // disjoint per stream or the second clobbers (or skips on) the first
+    epoch0("qa", "ingest-a", "k1", "v1")
+    epoch0("qb", "ingest-b", "k2", "v2")
+    assert(readPairs(dir) === Seq("k1" -> "v1", "k2" -> "v2"))
   }
 
   test("DSv2 append adds rows; overwrite truncates") {
