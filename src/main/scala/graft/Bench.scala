@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line with per-query wall seconds.
+/** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR,
+  * prints ONE compact JSON line (per-query min wall seconds) as the
+  * LAST stdout line, and writes the full record — per-rep runs included
+  * — to `bench_out.json` in the working directory.
   *
   * Queries are materialized through the `noop` sink (full execution, no
   * output cost) rather than `count()`, which would let Catalyst prune
@@ -123,7 +125,16 @@ object Bench {
     val builds = buildSec.map { case (k, v) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$allRuns,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}""")
+    // Two artifacts, truncation-proofed (the r5 record survived only as
+    // a log TAIL and lost its first queries to the cutoff):
+    //  - bench_out.json: the full record (per-rep runs included)
+    //  - stdout: ONE compact mins-only line, printed LAST, small enough
+    //    that any sane tail capture keeps it whole
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}"""
+    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$allRuns,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(compact)
     spark.stop()
   }
 }
