@@ -279,9 +279,14 @@ object Dedup {
     * files — after many appends, compact the index (re-run
     * [[writeMinhashIndex]] on the union, fresh path) to restore the
     * sorted-merge property. Requires an index with recorded buckets
-    * (anything written by this library's builder). */
+    * (anything written by this library's builder).
+    *
+    * Returns (and logs) the index's post-append
+    * [[graft.meta.PipelineMetrics.IndexHealth]] — band-list skew and
+    * file fragmentation, the rebuild/compaction signals a rolling
+    * ingestion operator watches. */
   def appendToMinhashIndex(docs: DataFrame, id: Column, text: Column,
-                           path: String): Unit = {
+                           path: String): graft.meta.PipelineMetrics.IndexHealth = {
     import graft.sources.BucketedTables
     val spark = docs.sparkSession
     val pdf = spark.read.parquet(s"$path/params")
@@ -298,7 +303,14 @@ object Dedup {
       s"$path/shingles", buckets, "doc_id")
     BucketedTables.table(spark, idxName(path, "bands"),
       s"$path/bands", buckets, "bandKey", Seq("bandKey"))
+    // materialize the batch's (doc_id, shingles) ONCE: the frame feeds
+    // two independent write actions (shingles table, then bands), and an
+    // unmaterialized plan would run the tokenize/shingle kernel twice
+    // over the batch text — the builder avoids this by deriving bands
+    // from the written shingles table, but an append must not re-read
+    // the whole standing table to find its own rows
     val sig = docs.select(id.as("doc_id"), shingles(text, n).as("sh"))
+      .localCheckpoint(true)
     sig.repartition(buckets, col("doc_id"))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "doc_id")
@@ -311,6 +323,10 @@ object Dedup {
       .bucketBy(buckets, "bandKey")
       .sortBy("bandKey")
       .saveAsTable(idxName(path, "bands"))
+    val health = graft.meta.PipelineMetrics.indexHealth(
+      spark.table(idxName(path, "bands")), col("bandKey"), s"$path/bands")
+    System.err.println(s"[graft] minhash index after append: $health")
+    health
   }
 
   /** Exact-Jaccard verification of slim candidate pairs: re-attach each
@@ -479,14 +495,25 @@ object Dedup {
     * dropped lines, so every document survives — one whose lines are all
     * boilerplate comes back as the empty string, not a dropped row.
     *
+    * BOUND: per-doc reassembly holds one document's surviving (pos,
+    * line) structs in a single aggregation buffer, so a pathological
+    * multi-GB single document would otherwise become one executor's
+    * problem. `maxLinesPerDoc` caps that buffer: only a document's
+    * first `maxLinesPerDoc` lines participate (in the counts AND the
+    * reassembly — the tail is truncated away, uniformly). The default,
+    * 2^20 lines, is far beyond natural documents; lower it to match
+    * executor memory when ingesting hostile corpora.
+    *
     * @return (doc_id, text = kept lines joined by \n, n_lines, n_removed)
     */
   def dedupLines(docs: DataFrame, id: Column, text: Column,
-                 maxOccurrences: Int = 2): DataFrame = {
+                 maxOccurrences: Int = 2,
+                 maxLinesPerDoc: Int = 1 << 20): DataFrame = {
     // split(-1): trailing empty lines are lines too, and the default
     // regex split would silently drop them (they are prime boilerplate)
     val lines = docs.select(id.as("doc_id"),
         posexplode(split(text, "\n", -1)))
+      .where(col("pos") < maxLinesPerDoc)
       .select(col("doc_id"), col("pos"), col("col").as("line"),
         md5(col("col")).as("__h"))
     val counts = lines.groupBy(col("__h"))
@@ -674,17 +701,29 @@ object Dedup {
     * chunks. The sample is hash-ordered (TakeOrdered top-k, no full
     * sort) so it is DETERMINISTIC and decorrelated from file layout —
     * an unordered limit() would sample one partition of a
-    * source-clustered corpus and could flip the layout between runs. */
+    * source-clustered corpus and could flip the layout between runs.
+    *
+    * The sample draws from the corpus's DISTINCT signatures: hash-order
+    * top-k over raw rows degrades under duplication (a corpus
+    * replicated 10× fills the 1024 slots with ~10 copies each of the
+    * ~100 lowest-hashed signatures, and the cross-half pairing then
+    * compares a signature mostly against its own copies — the a = 1.0
+    * terms swamp the estimate and the decision flips as the corpus
+    * grows). Distinct signatures make the choice a function of the
+    * signature-space SHAPE, invariant under exact replication;
+    * duplicate flood cost is bounded separately by the
+    * verify-before-dedup join design. */
   private[graft] def chooseWideTables(sigd: DataFrame): Boolean = {
     val sigs = sigd.select(col("sig"))
       .where(col("sig").isNotNull) // null text → null sig; never collect it
+      .distinct()
       .orderBy(xxhash64(col("sig")))
       .limit(1024)
       .collect().map(_.getLong(0))
     if (sigs.length < 2) return true
-    // pair across sample halves, NOT adjacently: hash order co-locates
-    // IDENTICAL signatures (exact dups), and adjacent pairing would let
-    // their a=1.0 terms dominate the estimate
+    // pair across sample halves, NOT adjacently: nearby hashes carry no
+    // similarity signal, but cross-half pairing keeps the estimate from
+    // any residual hash-order structure
     val half = sigs.length / 2
     val (narrowE, wideE) = (0 until half).map { i =>
       val a = (64 - java.lang.Long.bitCount(sigs(i) ^ sigs(i + half))) / 64.0

@@ -44,4 +44,44 @@ object PipelineMetrics {
     qe.toRdd.foreach(_ => ())
     qe.observedMetrics
   }
+
+  /** Standing-index health after an append: the two signals that say
+    * "this index needs a rebuild/compaction" —
+    *
+    *  - `skew` (max/avg list size): appends assign into lists trained
+    *    at build time, so as the data distribution drifts the hot lists
+    *    grow unboundedly while query cost is paced by the largest
+    *    probed list;
+    *  - `files` (parquet files under the table dir): every append adds
+    *    one file per touched bucket, and Spark stops trusting per-bucket
+    *    SORT once buckets hold multiple files — compaction restores the
+    *    sorted-merge property.
+    *
+    * Grouped maxima are outside `observe`'s aggregate constraint (no
+    * grouping allowed), so this is a dedicated probe rather than a
+    * rider — but a slim one: it scans ONLY the index's key column
+    * (column-pruned bucketed parquet), never signatures or vectors. */
+  case class IndexHealth(rows: Long, keys: Long, maxList: Long,
+                         avgList: Double, skew: Double, files: Int) {
+    override def toString: String =
+      f"rows=$rows keys=$keys maxList=$maxList avgList=$avgList%.1f " +
+        f"skew=$skew%.1f files=$files"
+  }
+
+  /** Probe `index`'s per-`key` list-size distribution + the file count
+    * under `dir` (both appended tables in this library keep their files
+    * directly under the table directory). */
+  def indexHealth(index: DataFrame, key: Column, dir: String): IndexHealth = {
+    val r = index.groupBy(key).count()
+      .agg(coalesce(sum(col("count")), lit(0L)).as("rows"),
+        count(lit(1)).as("keys"),
+        coalesce(max(col("count")), lit(0L)).as("max"),
+        coalesce(avg(col("count")), lit(0.0)).as("avg"))
+      .head()
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val (rows, keys, mx, av) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    IndexHealth(rows, keys, mx, av, if (av == 0.0) 0.0 else mx / av, files)
+  }
 }

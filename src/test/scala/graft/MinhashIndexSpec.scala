@@ -76,8 +76,10 @@ class MinhashIndexSpec extends AnyFunSuite {
     val q = spark.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 1).json(in)
       .writeStream
-      .foreachBatch((mb: org.apache.spark.sql.DataFrame, _: Long) =>
-        Dedup.appendToMinhashIndex(mb, col("doc_id"), col("text"), idx))
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.appendToMinhashIndex(mb, col("doc_id"), col("text"), idx)
+        ()
+      }
       .option("checkpointLocation", dir.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()

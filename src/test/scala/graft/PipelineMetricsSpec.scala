@@ -33,4 +33,36 @@ class PipelineMetricsSpec extends AnyFunSuite {
     assert(m("pre").getAs[Long]("n") === 10L,
       "pre-filter observation must count all rows")
   }
+
+  test("index appends report growing health telemetry (skew + files)") {
+    import graft.dedup.Dedup
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_health").toString + "/mh"
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    Dedup.writeMinhashIndex(docs.where(col("doc_id") < 300),
+      col("doc_id"), col("text"), path, buckets = 4)
+    val baseFiles = Option(new java.io.File(s"$path/bands").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+
+    val h1 = Dedup.appendToMinhashIndex(
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
+      col("doc_id"), col("text"), path)
+    val h2 = Dedup.appendToMinhashIndex(
+      docs.where(col("doc_id") >= 400),
+      col("doc_id"), col("text"), path)
+
+    // rows monotone across appends, and the numbers are REAL aggregates
+    // (cross-check h2 against a direct recount of the stored table)
+    assert(h1.rows > 0 && h2.rows > h1.rows)
+    val stored = spark.read.parquet(s"$path/bands")
+    assert(h2.rows === stored.count())
+    assert(h2.keys === stored.select(col("bandKey")).distinct().count())
+    // skew is max/avg of the band-list sizes — ≥ 1 whenever rows exist
+    assert(h1.skew >= 1.0 && h2.skew >= 1.0)
+    assert(h2.maxList >= h2.avgList && h2.avgList > 0.0)
+    // every append adds one file per touched bucket: the fragmentation
+    // counter must grow strictly with each append (the compaction signal)
+    assert(h1.files > baseFiles, s"append 1: ${h1.files} vs base $baseFiles")
+    assert(h2.files > h1.files, s"append 2: ${h2.files} vs ${h1.files}")
+  }
 }
