@@ -1,0 +1,134 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL pure-JVM container codecs for the two formats whose headers need
+  * no external library: WAV (RIFF chunk walk) and BMP (BITMAPFILEHEADER
+  * + BITMAPINFOHEADER). This is actual byte-level parsing of actual
+  * container bytes — it replaces the [[Multimodal.FakeCodec]] stub at
+  * the METADATA step of the multimodal pipeline; only sample/pixel
+  * decode (which needs codec libraries this container doesn't ship)
+  * remains stubbed.
+  *
+  * Both parsers are total: any malformed, truncated, or foreign payload
+  * returns None — a corrupt file in a 100 TB media crawl must become a
+  * classifiable row, never a task failure.
+  *
+  * The builders exist so fixtures and gates can synthesize REAL headers
+  * deterministically from table columns; they are also legitimate
+  * encoders (the WAV builder emits a canonical 44-byte-header PCM file,
+  * the BMP builder a canonical BI_RGB one).
+  */
+object Containers {
+
+  /** Parsed "fmt "+"data" facts of a PCM WAV. */
+  final case class WavInfo(channels: Int, sampleRate: Int,
+                           bitsPerSample: Int, dataBytes: Long) {
+    def byteRate: Long = sampleRate.toLong * channels * (bitsPerSample / 8)
+    def durationMs: Long =
+      if (byteRate == 0) 0L else dataBytes * 1000L / byteRate
+  }
+
+  /** Parsed BITMAPINFOHEADER facts of a BMP. `height` is the stored
+    * (signed) value — negative means top-down row order. `pixelBytes`
+    * comes from the file-header size fields (fileSize - pixelOffset). */
+  final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int,
+                           compression: Int, pixelBytes: Long)
+
+  private def le(payload: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+
+  // RIFF four-char codes as little-endian ints
+  private val RIFF = 0x46464952
+  private val WAVE = 0x45564157
+  private val FMT_ = 0x20746d66
+  private val DATA = 0x61746164
+
+  /** RIFF chunk walk: RIFF/WAVE magic, then scan chunks for "fmt " and
+    * "data" (tolerating any other chunks — LIST/INFO/cue are common —
+    * and the RIFF even-byte padding rule). */
+  def parseWav(payload: Array[Byte]): Option[WavInfo] = {
+    if (payload.length < 44) return None
+    val b = le(payload)
+    if (b.getInt(0) != RIFF || b.getInt(8) != WAVE) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataBytes = -1L
+    while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = b.getInt(off)
+      val size = b.getInt(off + 4)
+      if (size < 0 || off + 8 + size > payload.length) return None
+      if (id == FMT_) {
+        if (size < 16) return None
+        fmt = Some((b.getShort(off + 10) & 0xFFFF,
+          b.getInt(off + 12), b.getShort(off + 22) & 0xFFFF))
+      } else if (id == DATA) dataBytes = size.toLong
+      off += 8 + size + (size & 1) // chunks pad to even offsets
+    }
+    fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
+      WavInfo(ch, rate, bits, dataBytes)
+    }
+  }
+
+  /** BITMAPFILEHEADER ("BM", file size, pixel offset) +
+    * BITMAPINFOHEADER (or any later ≥40-byte DIB header, which extends
+    * it compatibly). */
+  def parseBmp(payload: Array[Byte]): Option[BmpInfo] = {
+    if (payload.length < 54) return None
+    val b = le(payload)
+    if (payload(0) != 'B' || payload(1) != 'M') return None
+    val fileSize = b.getInt(2).toLong & 0xFFFFFFFFL
+    val pixelOffset = b.getInt(10).toLong & 0xFFFFFFFFL
+    val dibSize = b.getInt(14)
+    if (dibSize < 40 || pixelOffset > fileSize) return None
+    Some(BmpInfo(
+      width = b.getInt(18),
+      height = b.getInt(22),
+      bitsPerPixel = b.getShort(28) & 0xFFFF,
+      compression = b.getInt(30),
+      pixelBytes = fileSize - pixelOffset))
+  }
+
+  /** Canonical 44-byte-header PCM WAV around `data`, RIFF pad byte
+    * included when the data length is odd. */
+  def buildWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+               data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    val out = ByteBuffer.allocate(44 + data.length + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * (bitsPerSample / 8)
+    out.putInt(RIFF).putInt(36 + data.length + pad).putInt(WAVE)
+    out.putInt(FMT_).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(byteRate)
+      .putShort((channels * (bitsPerSample / 8)).toShort) // block align
+      .putShort(bitsPerSample.toShort)
+    out.putInt(DATA).putInt(data.length).put(data)
+    if (pad == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  /** Canonical BI_RGB BMP: 54-byte headers + zeroed pixel rows at the
+    * 4-byte-aligned stride the format mandates. */
+  def buildBmp(width: Int, height: Int, bitsPerPixel: Int = 24): Array[Byte] = {
+    val rowBytes = ((bitsPerPixel * width + 31) / 32) * 4
+    val pixelBytes = rowBytes * height
+    val out = ByteBuffer.allocate(54 + pixelBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + pixelBytes) // file size
+      .putInt(0)               // reserved
+      .putInt(54)              // pixel offset
+    out.putInt(40)             // BITMAPINFOHEADER
+      .putInt(width).putInt(height)
+      .putShort(1)             // planes
+      .putShort(bitsPerPixel.toShort)
+      .putInt(0)               // BI_RGB
+      .putInt(pixelBytes)
+      .putInt(2835).putInt(2835) // 72 DPI
+      .putInt(0).putInt(0)
+    out.array()
+  }
+}

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * [[FakeCodec.sampleFrames]] are deterministic stand-ins. Swapping in a
   * real decoder (JNI image lib, ffmpeg pipe, …) changes ONLY FakeCodec —
   * the partition-batched execution plan stays identical.
+  *
+  * NOT stubbed: container METADATA parsing — [[Containers]] does real
+  * byte-level WAV (RIFF chunk walk) and BMP (BITMAPINFOHEADER) header
+  * parsing, surfaced here as [[containerMeta]]; only the sample/pixel
+  * decode step behind those headers remains a stand-in.
   */
 object Multimodal {
 
@@ -114,6 +119,45 @@ object Multimodal {
         rows.flatMap { m =>
           FakeCodec.sampleFrames(m.payload, n).zipWithIndex.map {
             case (frame, i) => FrameRow(m.doc_id, i, frame.length, md5OfHex(frame))
+          }
+        }
+      }
+  }
+
+  /** One media payload's parsed container facts; format ∈ {wav, bmp,
+    * unknown}, with the fields of the other formats null. */
+  case class ContainerInfo(doc_id: Long, format: String,
+                           channels: Option[Int], sample_rate: Option[Int],
+                           bits: Option[Int], data_bytes: Option[Long],
+                           duration_ms: Option[Long], width: Option[Int],
+                           height: Option[Int], bpp: Option[Int])
+
+  /** REAL container-metadata extraction over a media table: each
+    * payload's magic bytes route it to the matching [[Containers]]
+    * parser (WAV RIFF walk, BMP DIB header), malformed bytes classify
+    * as `unknown` instead of failing the task. Same placement rules as
+    * [[decodeFeatures]]: runs where the payloads already are, only slim
+    * typed metadata ever leaves the stage. */
+  def containerMeta(spark: SparkSession, media: DataFrame): Dataset[ContainerInfo] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          Containers.parseWav(p) match {
+            case Some(w) =>
+              ContainerInfo(id, "wav", Some(w.channels), Some(w.sampleRate),
+                Some(w.bitsPerSample), Some(w.dataBytes), Some(w.durationMs),
+                None, None, None)
+            case None => Containers.parseBmp(p) match {
+              case Some(m) =>
+                ContainerInfo(id, "bmp", None, None, None,
+                  Some(m.pixelBytes), None, Some(m.width), Some(m.height),
+                  Some(m.bitsPerPixel))
+              case None =>
+                ContainerInfo(id, "unknown", None, None, None, None, None,
+                  None, None, None)
+            }
           }
         }
       }

@@ -269,21 +269,26 @@ object ExtensionQueries {
     }),
 
     // interval join via the binned bucket equi-join (TemporalOps
-    // scaladoc): orders placed in the 30 days at-or-before each event.
-    // Oracle: DuckDB's native inequality join over the same frames.
+    // scaladoc): each event paired with the same user's events in the
+    // PRECEDING hour. Self-joins events on purpose — the fixture's
+    // orders live in a disjoint 1995-2001 era, so any events×orders
+    // interval is empty at every SF and the r4/r5 form of this gate
+    // passed vacuously on 0 == 0 rows; an events-to-events window
+    // overlaps by construction. Oracle: DuckDB's native inequality
+    // join over the same frames.
     "range_join" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000").as("ts_us"))
-      val o = Tables(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          unix_micros(col("o_orderdate").cast("timestamp")).as("ots_us"))
-      graft.ops.TemporalOps.rangeJoin(e, o,
-          leftKey = col("user_id"), rightKey = col("o_custkey"),
-          leftTs = col("ts_us"), rightTs = col("ots_us"),
-          lower = -30L * 86400L * 1000000L, upper = 0L,
-          rightCols = Seq(col("o_orderkey")))
-        .orderBy(col("event_id"), col("o_orderkey"))
+      val p = Tables(s, dir, "events")
+        .select(col("event_id").as("prior_id"), col("user_id"),
+          expr("ts div 1000").as("pts_us"))
+      graft.ops.TemporalOps.rangeJoin(e, p,
+          leftKey = col("user_id"), rightKey = col("user_id"),
+          leftTs = col("ts_us"), rightTs = col("pts_us"),
+          lower = -3600L * 1000000L, upper = -1L,
+          rightCols = Seq(col("prior_id")))
+        .orderBy(col("event_id"), col("prior_id"))
     }),
 
     // corpus vocabulary (tokenizer-training / idf table): top tokens by
@@ -776,9 +781,9 @@ object ExtensionQueries {
             TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
         .localCheckpoint(true)
       // meanSampleMod opts into the sampled centering mean — the 100 TB
-      // path (1/16 of the corpus computes vectors for the mean pass);
-      // the default is the exact mean so library callers' recall
-      // characteristics never shift without asking
+      // path (a content-keyed 1/16 sample feeds the mean pass, stable
+      // under corpus growth); the default is the exact mean so library
+      // callers' recall characteristics never shift without asking
       Ann.cosineNearDupPairs(embedded, col("vec_id"), col("embedding"),
           threshold = 0.9, bands = 10, bandBits = 6, meanSampleMod = 16)
         .orderBy(col("id_a"), col("id_b"))
@@ -834,15 +839,26 @@ object ExtensionQueries {
     // signatures (centered or not) → guaranteed candidates, and the
     // exact-cosine verify scores them 1.0. Empty streams are excluded
     // (zero vectors have no cosine).
+    //
+    // The natural fixture contains NO same-stream pair (it does contain
+    // token-SET duplicates — that's dedup_simhash_recall's population),
+    // so the r5 form of this gate passed vacuously on 0 == 0 rows. The
+    // gate now PLANTS its population: the 8 lowest-id documents re-enter
+    // the corpus under doc_id + 1000000, guaranteeing ≥8 same-stream
+    // pairs the operator must surface (the oracle plants identically).
     "text_embed_dedup_exactdups" -> ((s, dir) => {
-      val streams = Tables(s, dir, "documents")
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(base.where(col("doc_id") < 8)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val streams = corpus
         .select(col("doc_id"),
           TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
         .where(size(col("toks")) > 0)
         .select(col("doc_id"), md5(array_join(col("toks"), "|")).as("key"))
       // materialized once for the operator's four consumers — same
       // rationale as text_embed_dedup above
-      val embedded = Tables(s, dir, "documents")
+      val embedded = corpus
         .select(col("doc_id").as("vec_id"),
           graft.ops.TextExprs.hashEmbed(
             TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
@@ -976,6 +992,35 @@ object ExtensionQueries {
           // (see ParityQueries.cents)
           round(element_at(col("features"), 7) * 1e6, 0).cast("long").as("f6_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL container parsing (graft.multimodal.Containers): WAV/BMP
+    // bytes are synthesized from table columns (even doc_id → PCM WAV
+    // carrying the text bytes, odd → BI_RGB BMP sized by the doc), then
+    // parsed BACK by the byte-level header parsers. The oracle
+    // recomputes every parsed field from the SOURCE columns, so a
+    // builder/parser asymmetry in any header field cannot hide.
+    "multimodal_containers" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Containers
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("text"))
+        .as[(Long, Long, String)]
+        .mapPartitions(_.map { case (id, nChars, text) =>
+          val payload =
+            if (id % 2 == 0)
+              Containers.buildWav(
+                channels = (1 + (id / 2) % 2).toInt,
+                sampleRate = (8000 + (id % 5) * 1000).toInt,
+                bitsPerSample = 16,
+                data = Option(text).getOrElse("").getBytes("UTF-8"))
+            else Containers.buildBmp(
+              width = (1 + nChars % 64).toInt,
+              height = (1 + id % 48).toInt)
+          (id, payload)
+        }).toDF("doc_id", "payload")
+      Multimodal.containerMeta(s, media).toDF().orderBy(col("doc_id"))
     }),
   )
 
@@ -1204,16 +1249,29 @@ object ExtensionQueries {
     // identical normalized token STREAMS → identical hash-embeddings →
     // cosine exactly 1.0 after 6-decimal rounding, and identical LSH
     // signatures make the candidate guaranteed — so the approximate
-    // near-dup operator must report every such pair at sim 1.0
+    // near-dup operator must report every such pair at sim 1.0. The
+    // corpus plants its duplicate population (docs 0-7 re-added under
+    // doc_id + 1000000, mirroring the Spark side) — the natural fixture
+    // has no same-stream pair and the unplanted gate proved nothing.
     "text_embed_dedup_exactdups" ->
-      s"""WITH $toksCte,
-         |k AS (
-         |  SELECT doc_id, array_to_string(l, '|') AS key
-         |  FROM toks WHERE len(l) > 0)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  cast(1.0 AS double) AS sim
-         |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 8),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |                          '\s+', ' ', 'g')), '\s+'),
+        |      w -> len(w) > 0) AS l
+        |  FROM corpus),
+        |k AS (
+        |  SELECT doc_id, array_to_string(l, '|') AS key
+        |  FROM toks WHERE len(l) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  cast(1.0 AS double) AS sim
+        |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_ivf_full" -> annBruteTopkSql,
     "ann_index_query_full" -> annBruteTopkSql,
@@ -1466,12 +1524,12 @@ object ExtensionQueries {
 
     "range_join" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-        |  o.o_orderkey
-        |FROM events e JOIN orders o
-        |  ON e.user_id = o.o_custkey
-        | AND epoch_us(o.o_orderdate)
-        |     BETWEEN epoch_us(e.ts) - 2592000000000 AND epoch_us(e.ts)
-        |ORDER BY e.event_id, o.o_orderkey""".stripMargin,
+        |  p.event_id AS prior_id
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        | AND epoch_us(p.ts)
+        |     BETWEEN epoch_us(e.ts) - 3600000000 AND epoch_us(e.ts) - 1
+        |ORDER BY e.event_id, prior_id""".stripMargin,
 
     "vocab_topk" ->
       s"""WITH $toksCte,
@@ -1782,5 +1840,32 @@ object ExtensionQueries {
         |    cast(least(16, n_b - (i * n_b) // 4) * 2 AS int))) AS checksum
         |FROM h, range(4) t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // every field the Spark side PARSES out of real WAV/BMP header
+    // bytes, recomputed from the source columns the builder encoded
+    // them from (wav data bytes = UTF-8 text bytes; bmp pixel bytes =
+    // 4-byte-aligned stride × height; duration = bytes*1000 / byteRate,
+    // both engines on integer floor division)
+    "multimodal_containers" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  cast(1 + (doc_id // 2) % 2 AS int) AS channels,
+        |  cast(8000 + (doc_id % 5) * 1000 AS int) AS sample_rate,
+        |  cast(16 AS int) AS bits,
+        |  cast(strlen(text) AS bigint) AS data_bytes,
+        |  cast(strlen(text) * 1000 //
+        |    ((8000 + (doc_id % 5) * 1000) * (1 + (doc_id // 2) % 2) * 2)
+        |    AS bigint) AS duration_ms,
+        |  cast(NULL AS int) AS width, cast(NULL AS int) AS height,
+        |  cast(NULL AS int) AS bpp
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'bmp', NULL, NULL, NULL,
+        |  cast((((24 * (1 + n_chars % 64)) + 31) // 32) * 4
+        |    * (1 + doc_id % 48) AS bigint),
+        |  NULL,
+        |  cast(1 + n_chars % 64 AS int), cast(1 + doc_id % 48 AS int),
+        |  cast(24 AS int)
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Containers
+import graft.multimodal.Containers.{BmpInfo, WavInfo}
+
+/** Byte-level WAV/BMP codec: build→parse round-trips, chunk-walk
+  * tolerance, and total-function behavior on garbage — the parser runs
+  * inside media-crawl tasks where a malformed payload must classify,
+  * never throw. */
+class ContainersSpec extends AnyFunSuite {
+
+  test("WAV build/parse round-trips across parameter grid") {
+    for {
+      ch <- Seq(1, 2, 6)
+      rate <- Seq(8000, 16000, 44100, 48000)
+      bits <- Seq(8, 16, 24)
+      dataLen <- Seq(0, 1, 17, 4096) // odd lengths exercise the pad byte
+    } {
+      val data = Array.tabulate(dataLen)(i => (i * 31).toByte)
+      val parsed = Containers.parseWav(Containers.buildWav(ch, rate, bits, data))
+      assert(parsed === Some(WavInfo(ch, rate, bits, dataLen.toLong)),
+        s"ch=$ch rate=$rate bits=$bits len=$dataLen")
+    }
+  }
+
+  test("WAV duration derives from the parsed byte rate") {
+    val w = Containers.parseWav(
+      Containers.buildWav(2, 16000, 16, new Array[Byte](64000))).get
+    assert(w.byteRate === 64000L)
+    assert(w.durationMs === 1000L)
+  }
+
+  test("RIFF walk tolerates foreign chunks before fmt/data") {
+    // splice a LIST chunk (odd size → padded) between WAVE and fmt
+    val base = Containers.buildWav(1, 8000, 16, Array[Byte](1, 2, 3, 4))
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 9, 0) // 5 payload bytes + 1 pad
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    // fix the RIFF size field (little-endian at offset 4)
+    val riffSize = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = (riffSize >> (8 * i)).toByte
+    assert(Containers.parseWav(spliced) ===
+      Some(WavInfo(1, 8000, 16, 4L)))
+  }
+
+  test("BMP build/parse round-trips and reports aligned pixel bytes") {
+    for {
+      w <- Seq(1, 13, 64, 640)
+      h <- Seq(1, 47, 480)
+    } {
+      val parsed = Containers.parseBmp(Containers.buildBmp(w, h))
+      val stride = ((24 * w + 31) / 32) * 4
+      assert(parsed === Some(BmpInfo(w, h, 24, 0, stride.toLong * h)),
+        s"w=$w h=$h")
+    }
+  }
+
+  test("BMP negative height (top-down) passes through as stored") {
+    // hand-flip the height field of a built file to its negation
+    val bytes = Containers.buildBmp(4, 3)
+    val negH = -3
+    for (i <- 0 until 4) bytes(22 + i) = (negH >> (8 * i)).toByte
+    assert(Containers.parseBmp(bytes).map(_.height) === Some(-3))
+  }
+
+  test("both parsers are total on garbage, truncation, and cross-format bytes") {
+    val wav = Containers.buildWav(1, 8000, 16, Array[Byte](1, 2))
+    val bmp = Containers.buildBmp(8, 8)
+    assert(Containers.parseWav(Array.empty[Byte]) === None)
+    assert(Containers.parseBmp(Array.empty[Byte]) === None)
+    assert(Containers.parseWav("not a riff file, just text".getBytes) === None)
+    assert(Containers.parseBmp("BMx".getBytes) === None)
+    assert(Containers.parseWav(bmp) === None)
+    assert(Containers.parseBmp(wav) === None)
+    // truncation at every prefix length must return None, never throw
+    for (n <- 0 until wav.length) assert(Containers.parseWav(wav.take(n)) === None)
+    for (n <- 0 until 54) assert(Containers.parseBmp(bmp.take(n)) === None)
+    // a data-chunk size pointing past the buffer is malformed, not a read
+    val lying = wav.clone()
+    lying(wav.length - 6) = 127 // inflate the data chunk's size field
+    assert(Containers.parseWav(lying) === None)
+  }
+}
