@@ -1022,6 +1022,21 @@ object ExtensionQueries {
         }).toDF("doc_id", "payload")
       Multimodal.containerMeta(s, media).toDF().orderBy(col("doc_id"))
     }),
+
+    // corpus-LM typicality (integer-exact perplexity-filter stand-in):
+    // unigram model trained on the corpus itself, add-one smoothed,
+    // per-doc mean token ppm + rare-token count
+    "text_lm_score" -> ((s, dir) => {
+      TextOps.lmTypicality(Tables(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge-step statistics: top adjacent character pairs inside
+    // normalized tokens — the first counting pass of tokenizer training
+    "bpe_pairs" -> ((s, dir) => {
+      TextOps.bpePairStats(Tables(s, dir, "documents"), col("text"))
+    }),
   )
 
   /** Normalize-and-tokenize CTE (mirrors TextOps.normalized + tokens) —
@@ -1867,5 +1882,33 @@ object ExtensionQueries {
         |  cast(24 AS int)
         |FROM documents WHERE doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // unigram LM with add-one smoothing, all-integer arithmetic (the
+    // scaled division and the sums are exact, so the hash compare is
+    // immune to libm and reduction-order differences)
+    "text_lm_score" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(l) AS token FROM toks),
+         |c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+         |nv AS (SELECT sum(c) AS n_corpus, count(*) AS v_size FROM c),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |    (c.c + 1) * 1000000 // (nv.n_corpus + nv.v_size) AS tok_ppm,
+         |    CASE WHEN c.c < 2 THEN 1 ELSE 0 END AS is_rare
+         |  FROM t JOIN c USING (token), nv)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+         |  cast(sum(is_rare) AS bigint) AS rare_tokens,
+         |  cast(sum(tok_ppm) // count(*) AS bigint) AS mean_tok_ppm
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bpe_pairs" ->
+      s"""WITH $toksCte,
+         |wt AS (SELECT unnest(l) AS w FROM toks),
+         |p AS (
+         |  SELECT substr(w, cast(i AS int), 2) AS pair
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+         |        FROM wt WHERE len(w) >= 2))
+         |SELECT pair, cast(count(*) AS bigint) AS n
+         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 100""".stripMargin,
   )
 }

@@ -124,16 +124,24 @@ object TextOps {
     * any engine (a log-idf would hang the correctness gate on libm
     * last-ulp differences). Emitted as integer ppm for the same reason.
     *
-    * Scale shape: ONE tokenize/explode pass, guaranteed by construction
-    * — df is a count-over-token WINDOW on the tf frame itself, not a
-    * second aggregation branch (a `tf.groupBy(token)` branch looks
-    * shared but canonicalizes differently after column pruning, so
-    * Catalyst re-scans and re-tokenizes the corpus for it — measured on
-    * the adaptive plan). Three shuffles over progressively smaller
-    * frames: (doc, token) tf aggregation, token window, per-doc top-k
-    * window. `n` is the corpus document count, passed in (the caller
-    * usually knows it from a manifest; computing it here would force an
-    * extra action).
+    * Scale shape: df is a map-side-combined `groupBy(token)` aggregate
+    * over the tf frame, joined back on token. The r4 form computed df as
+    * a count-over-token WINDOW to guarantee a single tokenize pass (an
+    * aggregation branch canonicalizes differently after column pruning,
+    * so Catalyst re-tokenizes the corpus for it) — but a window
+    * partitioned by token funnels EVERY (doc, "the") row into one task:
+    * on a natural corpus the hottest token appears in nearly every
+    * document, so that partition scales with the corpus and the window
+    * buffers it whole. r6 takes the same trade mandated for the shingle
+    * family ([[graft.dedup.Dedup.ngramJaccardPairs]]): tokenize runs
+    * twice (cheap, embarrassingly parallel), hot tokens collapse in
+    * aggregate partials before any shuffle, and the join back is
+    * AQE-skew-split eligible. `n` is the corpus document count, passed
+    * in (the caller usually knows it from a manifest; computing it here
+    * would force an extra action).
+    *
+    * The remaining window partitions by doc_id — bounded by one
+    * document's distinct tokens, never by corpus size.
     *
     * @return (doc_id, rank, token, score_ppm), `topK` rows per doc with
     *         at least one token; ties break lexicographically */
@@ -144,18 +152,89 @@ object TextOps {
       .select(id.as("doc_id"), explode(tokens(normalized(text))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("token"))))
+    val dfByToken = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_ppm").desc, col("token"))
-    tf
+    tf.join(dfByToken, Seq("token"))
       .withColumn("score_ppm",
         round(col("tf") * lit(n) / col("df") * 1e6, 0).cast("long"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("token"), col("score_ppm"))
   }
+
+  /** Corpus-LM typicality score — the integer-exact stand-in for
+    * perplexity filtering (CCNet-style: score each document under a
+    * language model trained on the corpus itself; gibberish, boilerplate
+    * and wrong-language text score low). The "LM" is the corpus unigram
+    * model with add-one smoothing; each token scores its probability in
+    * parts-per-billion-scaled integer form:
+    *
+    *   tok_ppm(t) = (count(t) + 1) * 1_000_000 div (N + V)
+    *
+    * and a document reports the integer mean over its tokens plus its
+    * rare-token count. All arithmetic is exact integer (counts, one
+    * scaled division, long sums): a true log-probability would hang the
+    * correctness gate on libm last-ulp differences (see [[topTerms]]),
+    * and double sums are reduction-order-dependent — integer sums
+    * commute, so the score is bit-stable across engines AND runs. The
+    * ppm scale floors extremely rare tokens to 0 on very large corpora;
+    * `rare_tokens` (count with corpus frequency < `rareBelow`) carries
+    * that tail's signal undiminished.
+    *
+    * Scale shape: token counts reduce by one map-side-combined
+    * aggregation; the token stream joins the slim (token, c) frame
+    * hash-keyed — hot tokens are AQE-skew-split eligible in the join,
+    * never funnel into a window task — and (N, V) ride a broadcast
+    * one-row cross join. The tokenize kernel runs twice (count branch +
+    * probe branch), the same deliberate trade as
+    * [[graft.dedup.Dedup.ngramJaccardPairs]].
+    *
+    * @return (doc_id, n_tokens, rare_tokens, mean_tok_ppm) — documents
+    *         with at least one token */
+  def lmTypicality(docs: DataFrame, id: Column, text: Column,
+                   rareBelow: Long = 2L): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(tokens(normalized(text))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val nv = counts.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_corpus"),
+      count(lit(1)).as("v_size"))
+    toks.join(counts, Seq("token"))
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        call_function("div", (col("c") + 1) * lit(1000000L),
+          col("n_corpus") + col("v_size")).as("tok_ppm"),
+        (col("c") < rareBelow).cast("long").as("is_rare"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("is_rare")).as("rare_tokens"),
+        call_function("div", sum(col("tok_ppm")), count(lit(1)))
+          .as("mean_tok_ppm"))
+  }
+
+  /** Corpus-wide BPE merge-step statistics: the frequency of every
+    * adjacent CHARACTER pair inside the normalized tokens — exactly the
+    * count a byte-pair-encoding trainer maximizes at its first merge.
+    * Feeding a tokenizer trainer from a 100 TB corpus is a counting
+    * problem, and this is its one-pass distributed form: tokens explode
+    * to (len-1) two-char slices, and the pair counts collapse by
+    * map-side-combined aggregation (hot pairs like "th" combine inside
+    * every input partition before the one slim shuffle).
+    *
+    * @return (pair, n) — the `topK` most frequent pairs, count-desc,
+    *         ties lexicographic */
+  def bpePairStats(docs: DataFrame, text: Column, topK: Int = 100): DataFrame =
+    docs.select(explode(tokens(normalized(text))).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
 
   // ── Context-window chunking ──────────────────────────────────────────
 

@@ -40,6 +40,29 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall (found ${mh.size}/${exactPairs.size})")
   }
 
+  test("lmTypicality scores by hand-checkable integer unigram math") {
+    // corpus: "a a a b" and "a c" → counts a=4, b=1, c=1; N=6, V=3
+    val d = Seq((1L, "a a a b"), (2L, "a c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmTypicality(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val pA = (4L + 1) * 1000000L / 9   // (c+1)*1e6 / (N+V) = 555555
+    val p1 = (1L + 1) * 1000000L / 9   // 222222 for b and c
+    assert(out(1L) === ((4L, 1L, (3 * pA + p1) / 4)))
+    assert(out(2L) === ((2L, 1L, (pA + p1) / 2)))
+    assert(!out.contains(3L), "token-less docs are not scored")
+  }
+
+  test("bpePairStats counts the BPE first-merge pair frequencies") {
+    // "hello hello help" → pairs: he x3, el x3, ll x2, lo x2, lp x1
+    val d = Seq((1L, "hello hello"), (2L, "help!")).toDF("doc_id", "text")
+    val out = TextOps.bpePairStats(d, col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out === List("el" -> 3L, "he" -> 3L, "ll" -> 2L, "lo" -> 2L,
+      "lp" -> 1L))
+  }
+
   test("line dedup strips corpus-repeated lines, keeps order, keeps empty docs") {
     val boiler = "accept our cookies"
     val d = Seq(
