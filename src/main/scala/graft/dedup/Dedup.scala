@@ -44,15 +44,22 @@ object Dedup {
 
   /** Exact dedup: canonical = min id per content hash. Returns the input
     * ids annotated with their canonical id and copy count; survivors are
-    * the rows where id == canonical. */
+    * the rows where id == canonical.
+    *
+    * (canonical, copies) come from a map-side-combined aggregate joined
+    * back on the hash, NOT a window over the hash: a viral exact
+    * duplicate ("lorem ipsum", an empty string, a boilerplate error
+    * page) can have millions of copies at corpus scale, and a window
+    * would buffer that entire partition in one task, where the
+    * aggregate collapses it before the shuffle and the join back is
+    * AQE-skew-split eligible — the [[ngramJaccardPairs]] df-front
+    * argument, applied to the dedup family's simplest member. */
   def exactCanonical(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = md5(text)
-    val w = Window.partitionBy(col("__h"))
-    docs.select(id.as("doc_id"), h.as("__h"))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .drop("__h")
+    val h = docs.select(id.as("doc_id"), md5(text).as("__h"))
+    val g = h.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+    h.join(g, Seq("__h")).drop("__h")
   }
 
   // ── MinHash + LSH ────────────────────────────────────────────────────

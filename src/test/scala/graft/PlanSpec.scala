@@ -149,14 +149,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("doc_keywords tokenizes the corpus exactly once") {
-    // df-as-aggregation-branch canonicalizes differently after column
-    // pruning and silently re-scans the corpus (caught on the adaptive
-    // plan in round 4); the window form must keep ONE scan
-    val p = plan(SparkEntry.queries("doc_keywords")(spark, dir))
-    // formatted explain lists each scan twice (tree node + detail header)
+  test("doc_keywords: no token-partitioned window, bounded scan count") {
+    // r4 pinned ONE scan by computing df as a count-over-token window —
+    // but that window funnels every (doc, hot-token) row into one task,
+    // a partition that scales with the corpus. r6 trades a second
+    // tokenize pass (cheap, parallel) for an aggregate+join df front;
+    // the only window left partitions by doc_id (bounded by one doc's
+    // distinct tokens). Guard BOTH properties.
+    val q = SparkEntry.queries("doc_keywords")(spark, dir)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("windowspecdefinition(token#"),
+      s"df must not come from a token window:\n${exec.take(2000)}")
+    assert(exec.contains("windowspecdefinition(doc_id#"),
+      "the per-doc rank window should remain")
+    val p = plan(q)
     val scans = "Scan parquet".r.findAllIn(p).size / 2
-    assert(scans === 1, s"expected one corpus scan, got $scans:\n${p.take(1500)}")
+    assert(scans <= 2, s"expected at most two corpus scans, got $scans")
+  }
+
+  test("exact dedup annotates via aggregate+join, never a hash window") {
+    // a viral exact duplicate has corpus-scale copy counts; a window
+    // over the content hash would buffer that whole partition in one
+    // task (same argument as the shingle df front)
+    val p = plan(SparkEntry.queries("dedup_exact")(spark, dir))
+    assert(!p.contains("Window"),
+      s"dedup_exact routes copies through WindowExec:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "canonical/copy aggregate lost its map-side partial")
   }
 
   test("range join is a bucketed equi-join, never a cross product") {
