@@ -732,11 +732,15 @@ object ExtensionQueries {
     // token statistics. The shape every training-data prep job takes;
     // one declarative plan, no materialization between stages.
     "curation_pipeline" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // canonical via aggregate+join, not a hash window — a viral exact
+      // duplicate would funnel its whole copy set into one window task
+      // (the Dedup.exactCanonical argument, inlined here to keep the
+      // text column flowing through the one shuffle)
       val docs = Tables(s, dir, "documents")
-      val w = Window.partitionBy(md5(col("text")))
-      docs
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
+      val h = docs.withColumn("__h", md5(col("text")))
+      val canon = h.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("canonical_id"))
+      h.join(canon, Seq("__h")).drop("__h")
         .where(col("doc_id") === col("canonical_id"))
         .select(col("doc_id"), col("text"),
           TextOps.qualityStruct(col("text")).as("q"),
@@ -824,12 +828,12 @@ object ExtensionQueries {
     // equality classes (xxhash64 is injective on this corpus unless a
     // 64-bit collision appears — which this gate would catch)
     "text_fingerprint_classes" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("fp"))
-      Tables(s, dir, "documents")
+      val f = Tables(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
-        .withColumn("n_copies", count(lit(1)).over(w))
+      val g = f.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+      f.join(g, Seq("fp"))
         .select(col("doc_id"), col("canonical_id"), col("n_copies"))
         .orderBy(col("doc_id"))
     }),

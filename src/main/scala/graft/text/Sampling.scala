@@ -82,11 +82,17 @@ object Sampling {
     * the `n` rows with the smallest md5(key) — the balanced-subset
     * selector (equal docs per source for evals/ablations) where
     * [[hashSample]]'s fraction form would track group SIZE. Stable
-    * across re-runs and partitioning like every selector here. One
-    * shuffle on the group column; the per-group sort is a window over
-    * bounded groups (at 100 TB, group count ≫ cores — embarrassingly
-    * parallel; a single giant group degrades to its one sort, same as
-    * any per-group top-N).
+    * across re-runs and partitioning like every selector here.
+    *
+    * Two-phase salted top-N: a single-window form sorts each group in
+    * ONE task, so a giant group (half the corpus from "common-crawl")
+    * becomes a straggler sort at scale. Phase 1 splits every group
+    * across `salts` deterministic key-hash slices and takes each
+    * slice's top n — window partitions bounded by groupsize/salts;
+    * phase 2 re-ranks the survivors, at most salts·n rows per group.
+    * Any global top-n row is its slice's top-n too, so the result is
+    * IDENTICAL to the single-window form, at two bounded windows
+    * instead of one unbounded one.
     *
     * PRECONDITION: `key` must be unique within each group (document ids
     * are). Duplicate keys tie on both md5(key) and the key tie-break,
@@ -94,14 +100,19 @@ object Sampling {
     * partition-dependent arrival order — determinism holds at the key
     * level only. */
   def takePerGroup(df: DataFrame, group: Column, key: Column,
-                   n: Int): DataFrame = {
+                   n: Int, salts: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, "n must be positive")
-    val w = Window.partitionBy(group)
-      .orderBy(md5(key.cast("string")), key)
-    df.withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+    require(salts > 0, "salts must be positive")
+    val rank = Seq(md5(key.cast("string")), key)
+    val w1 = Window.partitionBy(group, col("__salt")).orderBy(rank: _*)
+    val w2 = Window.partitionBy(group).orderBy(rank: _*)
+    df.withColumn("__salt", pmod(xxhash64(key.cast("string")), lit(salts)))
+      .withColumn("__rk1", row_number().over(w1))
+      .where(col("__rk1") <= n)
+      .withColumn("__rk", row_number().over(w2))
       .where(col("__rk") <= n)
-      .drop("__rk")
+      .drop("__salt", "__rk1", "__rk")
   }
 
   /** Mix a corpus by per-source sampling rates (upweighting by repeat

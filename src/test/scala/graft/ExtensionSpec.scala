@@ -40,6 +40,34 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall (found ${mh.size}/${exactPairs.size})")
   }
 
+  test("salted takePerGroup equals the single-window form on a skewed frame") {
+    import graft.text.Sampling
+    // one giant group (the scale hazard) + small groups + a group
+    // smaller than n
+    val rows = (1L to 5000L).map(i => ("giant", i)) ++
+      (1L to 40L).map(i => ("small", 100000L + i)) ++
+      Seq(("tiny", 999999L))
+    val df = rows.toDF("src", "id")
+    val got = Sampling.takePerGroup(df, col("src"), col("id"), n = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // expected: per group, the 7 smallest (md5(id), id) keys — computed
+    // independently of any window machinery
+    val md5hex = (l: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(l.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy { case (_, i) => (md5hex(i), i) }.take(7)
+    }.toSet
+    assert(got === expected)
+    assert(got.count(_._1 == "giant") === 7)
+    assert(got.count(_._1 == "small") === 7)
+    assert(got.count(_._1 == "tiny") === 1)
+    // and the salt count must not change the answer
+    val withFewSalts = Sampling.takePerGroup(df, col("src"), col("id"),
+        n = 7, salts = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(withFewSalts === expected)
+  }
+
   test("lmTypicality scores by hand-checkable integer unigram math") {
     // corpus: "a a a b" and "a c" → counts a=4, b=1, c=1; N=6, V=3
     val d = Seq((1L, "a a a b"), (2L, "a c"), (3L, "   "))
