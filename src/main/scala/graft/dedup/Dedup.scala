@@ -248,16 +248,24 @@ object Dedup {
                         path: String, k: Int = 24, bands: Int = 8,
                         n: Int = 2, buckets: Int = 32): Unit = {
     require(k % bands == 0, "bands must divide k")
-    val spark = docs.sparkSession
+    writeIndexTables(docs.sparkSession,
+      docs.select(id.as("doc_id"), shingles(text, n).as("sh")),
+      path, k, bands, n, buckets)
+  }
+
+  /** The builder's write tail, shared with [[compactMinhashIndex]]:
+    * store the (doc_id, sh) frame bucketed, derive+store bands from the
+    * WRITTEN shingles (one pass over the input however many tables the
+    * index holds), record params. */
+  private def writeIndexTables(spark: org.apache.spark.sql.SparkSession,
+                               sh: DataFrame, path: String, k: Int,
+                               bands: Int, n: Int, buckets: Int): Unit = {
     val r = k / bands
-    docs.select(id.as("doc_id"), shingles(text, n).as("sh"))
-      .repartition(buckets, col("doc_id"))
+    sh.repartition(buckets, col("doc_id"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "doc_id")
       .option("path", s"$path/shingles")
       .saveAsTable(idxName(path, "shingles"))
-    // bands derive from the written shingles table: the corpus text is
-    // scanned exactly once however many index tables exist
     spark.table(idxName(path, "shingles"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, r)))
@@ -271,6 +279,24 @@ object Dedup {
     import spark.implicits._
     Seq((k, bands, n, buckets)).toDF("k", "bands", "n", "buckets")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
+  }
+
+  /** Compact an appended [[writeMinhashIndex]] index into a FRESH path
+    * WITHOUT the corpus: the stored shingles table already holds every
+    * document's kernel output, so compaction re-buckets it and
+    * re-derives bands — one index-sized pass, no corpus scan, no
+    * re-tokenize. This is the response to a rising `files` count in the
+    * append telemetry ([[appendToMinhashIndex]]): many append files per
+    * bucket cost Spark its per-bucket sorted-merge trust; the compacted
+    * index holds one file per bucket again. Same pointer-swap
+    * versioning note as the builder. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, dest: String): Unit = {
+    require(path != dest, "compact to a FRESH path, then swap pointers")
+    val p = spark.read.parquet(s"$path/params").head()
+    writeIndexTables(spark, spark.read.parquet(s"$path/shingles"),
+      dest, p.getAs[Int]("k"), p.getAs[Int]("bands"), p.getAs[Int]("n"),
+      p.getAs[Int]("buckets"))
   }
 
   /** Append an arriving batch into a standing [[writeMinhashIndex]]

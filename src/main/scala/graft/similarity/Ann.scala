@@ -352,6 +352,33 @@ object Ann {
     health
   }
 
+  /** Compact an appended [[writeIvfIndex]] index into a FRESH path
+    * without the corpus OR retraining: the lists table already holds
+    * every (cid, cluster, cvec) assignment, so compaction re-buckets it
+    * and carries the centroids/params over — one index-sized pass. The
+    * response to a rising `files` count in the append telemetry; the
+    * cluster-size `skew` signal still requires a true re-train against
+    * the corpus. Same pointer-swap versioning note as the builder. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, dest: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    require(path != dest, "compact to a FRESH path, then swap pointers")
+    val buckets = graft.sources.BucketedTables
+      .readBuckets(spark, s"$path/params")
+      .getOrElse(throw new IllegalArgumentException(
+        "compactIvfIndex needs an index with a recorded bucket count"))
+    spark.read.parquet(s"$path/lists")
+      .repartition(buckets, col("cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "cluster")
+      .option("path", s"$dest/lists")
+      .saveAsTable(ivfName(dest))
+    spark.read.parquet(s"$path/centroids").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/centroids")
+    spark.read.parquet(s"$path/params").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dest/params")
+  }
+
   /** Approximate top-k against a stored [[writeIvfIndex]] index —
     * identical ranking semantics to [[ivfTopK]] over the same trained
     * clustering (shared [[probeClusters]]/[[rankTopK]] stages), without

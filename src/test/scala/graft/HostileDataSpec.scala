@@ -54,6 +54,22 @@ class HostileDataSpec extends AnyFunSuite {
     Dedup.ngramContainmentPairs(hostile, col("doc_id"), col("text")).collect()
   }
 
+  test("LM scoring and BPE stats survive hostile documents") {
+    val lm = TextOps.lmTypicality(hostile, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // token-less docs (empty, whitespace) are unscored, not crashed
+    assert(!lm.contains(1L) && !lm.contains(2L))
+    // identical docs score identically; every score is a valid ppm
+    assert(lm(6L) === lm(7L))
+    assert(lm.values.forall(v => v >= 0L && v <= 1000000L))
+    val bp = TextOps.bpePairStats(hostile, col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bp.nonEmpty)
+    assert(bp.forall(_._1.length == 2))
+    // the 5000-char "xxxx…" doc dominates the pair counts
+    assert(bp.head._1 === "xx")
+  }
+
   test("dedupLines bounds a pathological million-line document") {
     // one document whose line count dwarfs the corpus — the per-doc
     // reassembly buffer must stay bounded by maxLinesPerDoc, and the

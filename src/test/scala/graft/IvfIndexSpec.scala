@@ -51,6 +51,28 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(grown === rows(Ann.bruteForceTopK(q, c, k = 10)))
   }
 
+  test("compaction re-buckets the lists: same answers, one file per bucket") {
+    val (q, c) = qc
+    val half = c.where(col("cid") % 2 === 0)
+    val rest = c.where(col("cid") % 2 =!= 0)
+    val root = Files.createTempDirectory("graft_ivfidx_c").toString
+    val (src, dst) = (s"$root/idx", s"$root/compact")
+    Ann.writeIvfIndex(half, src, nClusters = 8, iters = 2, buckets = 4)
+    Ann.appendToIvfIndex(rest, src)
+    Ann.compactIvfIndex(spark, src, dst)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "cid").collect().map(_.toSeq).toSeq
+    assert(rows(Ann.queryIvfIndex(q, dst, k = 10, nprobe = 8)) ===
+      rows(Ann.queryIvfIndex(q, src, k = 10, nprobe = 8)))
+    // at most one file per bucket (a hash-empty bucket writes none),
+    // strictly fewer than the appended source — fragmentation healed
+    def files(p: String) = Option(new java.io.File(p).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(files(s"$dst/lists") <= 4 && files(s"$dst/lists") >= 1,
+      s"got ${files(s"$dst/lists")}")
+    assert(files(s"$src/lists") > files(s"$dst/lists"))
+  }
+
   test("the inverted lists scan bucketed, exactly once") {
     val (q, _) = qc
     val path = Files.createTempDirectory("graft_ivfidx2").toString + "/idx"

@@ -60,6 +60,31 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(g === pairs(whole))
   }
 
+  test("compaction rebuilds from the stored tables: same answers, one file per bucket") {
+    val a = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val root = Files.createTempDirectory("graft_mhidx_c").toString
+    val (src, dst) = (s"$root/idx", s"$root/compact")
+    Dedup.writeMinhashIndex(a, col("doc_id"), col("text"), src, buckets = 4)
+    Dedup.appendToMinhashIndex(b, col("doc_id"), col("text"), src)
+    Dedup.compactMinhashIndex(spark, src, dst)
+    def pairs(path: String) =
+      Dedup.queryMinhashIndex(batch, col("doc_id"), col("text"), path,
+          threshold = 0.8)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compacted = pairs(dst)
+    assert(compacted.nonEmpty && compacted === pairs(src))
+    // fragmentation healed: exactly one file per bucket again (the
+    // appended source holds strictly more)
+    def files(p: String) = Option(new java.io.File(p).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(files(s"$dst/bands") === 4, s"got ${files(s"$dst/bands")}")
+    assert(files(s"$dst/shingles") === 4)
+    assert(files(s"$src/bands") > 4)
+  }
+
   test("streaming batches GROW the persistent index (foreachBatch append)") {
     import org.apache.spark.sql.streaming.Trigger
     // standing index over the odd half; the even half arrives as a
