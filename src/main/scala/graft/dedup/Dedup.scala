@@ -59,7 +59,9 @@ object Dedup {
     val g = h.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
-    h.join(g, Seq("__h")).drop("__h")
+    // merge-pinned: g holds one row per DISTINCT document — corpus-scale
+    // — but the static post-aggregate estimate broadcasts it at small SF
+    h.join(g.hint("merge"), Seq("__h")).drop("__h")
   }
 
   // ── MinHash + LSH ────────────────────────────────────────────────────
@@ -472,18 +474,28 @@ object Dedup {
                                       text: Column, n: Int,
                                       maxDf: Int): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
-    // df via aggregate+join, NOT a window: see the plan-shape note above
+    // df via aggregate+join, NOT a window: see the plan-shape note above.
+    // The join is merge-pinned for the same reason as the pair self-join
+    // below: the static estimate happily BROADCASTS the rare-shingle set
+    // at small SF — but that set is most of the shingle vocabulary
+    // (corpus-scale at 100 TB), and a broadcast also denies the probe
+    // side its exchange, so every downstream consumer re-runs the
+    // shingle kernel instead of reusing one shuffle
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
       .select(col("s"))
-    val pruned = sh.join(rare, Seq("s"))
+    val pruned = sh.join(rare.hint("merge"), Seq("s"))
     val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     pruned.as("x").hint("merge").join(pruned.as("y"), Seq("s"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      // sizes is one row per document — corpus-scale, merge-pinned like
+      // every aggregate frame in this family
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+        .hint("merge"), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+        .hint("merge"), Seq("id_b"))
   }
 
   /** Asymmetric containment over the same rare-shingle inverted index:
@@ -551,7 +563,9 @@ object Dedup {
         md5(col("col")).as("__h"))
     val counts = lines.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"))
-    lines.join(counts, Seq("__h"))
+    // merge-pinned: distinct-line counts are corpus-scale (see the
+    // rareShingleCommonCounts note)
+    lines.join(counts.hint("merge"), Seq("__h"))
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(
@@ -583,7 +597,9 @@ object Dedup {
                       n: Int = 5): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
     val dfBySpan = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    sh.join(dfBySpan, Seq("s"))
+    // merge-pinned: the span-df frame is corpus-scale (see the
+    // rareShingleCommonCounts note)
+    sh.join(dfBySpan.hint("merge"), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum((col("df") >= 2).cast("int")).as("n_dup"))

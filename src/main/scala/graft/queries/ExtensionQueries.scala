@@ -740,7 +740,7 @@ object ExtensionQueries {
       val h = docs.withColumn("__h", md5(col("text")))
       val canon = h.groupBy(col("__h"))
         .agg(min(col("doc_id")).as("canonical_id"))
-      h.join(canon, Seq("__h")).drop("__h")
+      h.join(canon.hint("merge"), Seq("__h")).drop("__h")
         .where(col("doc_id") === col("canonical_id"))
         .select(col("doc_id"), col("text"),
           TextOps.qualityStruct(col("text")).as("q"),
@@ -833,7 +833,7 @@ object ExtensionQueries {
       val g = f.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("canonical_id"),
           count(lit(1)).as("n_copies"))
-      f.join(g, Seq("fp"))
+      f.join(g.hint("merge"), Seq("fp"))
         .select(col("doc_id"), col("canonical_id"), col("n_copies"))
         .orderBy(col("doc_id"))
     }),

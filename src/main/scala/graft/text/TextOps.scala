@@ -157,7 +157,10 @@ object TextOps {
       .where(col("df") >= minDf)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_ppm").desc, col("token"))
-    tf.join(dfByToken, Seq("token"))
+    // merge-pinned: the df frame is the corpus VOCABULARY — the static
+    // post-aggregate estimate broadcasts it at small SF, a plan that
+    // cannot survive corpus scale (and denies tf its reusable exchange)
+    tf.join(dfByToken.hint("merge"), Seq("token"))
       .withColumn("score_ppm",
         round(col("tf") * lit(n) / col("df") * 1e6, 0).cast("long"))
       .withColumn("rank", row_number().over(w))
@@ -202,7 +205,9 @@ object TextOps {
     val nv = counts.agg(
       coalesce(sum(col("c")), lit(0L)).as("n_corpus"),
       count(lit(1)).as("v_size"))
-    toks.join(counts, Seq("token"))
+    // merge-pinned: the count frame is the corpus vocabulary (see the
+    // topTerms note); only the one-row (N, V) frame broadcasts
+    toks.join(counts.hint("merge"), Seq("token"))
       .crossJoin(broadcast(nv))
       .select(col("doc_id"),
         call_function("div", (col("c") + 1) * lit(1000000L),

@@ -149,6 +149,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-scale aggregate frames never broadcast (merge-pinned joins)") {
+    // the static post-aggregate estimate looks tiny at test SF, but
+    // these frames are the corpus vocabulary / one-row-per-document at
+    // production scale — a broadcast both ships them to every executor
+    // and denies the probe side its reusable exchange (the kernel then
+    // re-runs per consumer)
+    for (q <- Seq("dedup_ngram", "dedup_containment", "text_dup_spans",
+        "dedup_exact", "text_line_dedup", "text_lm_score", "doc_keywords",
+        "curation_pipeline", "text_fingerprint_classes")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("BroadcastHashJoin") || q == "text_lm_score",
+        s"$q broadcasts a corpus-scale frame:\n${p.take(2000)}")
+      if (q == "text_lm_score")
+        // the one legitimate broadcast is the ONE-ROW (N, V) frame; the
+        // vocabulary join must stay sort-merge
+        assert(p.contains("SortMergeJoin"), s"$q lost its merge pin")
+    }
+  }
+
   test("doc_keywords: no token-partitioned window, bounded scan count") {
     // r4 pinned ONE scan by computing df as a count-over-token window —
     // but that window funnels every (doc, hot-token) row into one task,
