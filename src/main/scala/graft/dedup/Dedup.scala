@@ -549,15 +549,24 @@ object Dedup {
     * 2^20 lines, is far beyond natural documents; lower it to match
     * executor memory when ingesting hostile corpora.
     *
-    * @return (doc_id, text = kept lines joined by \n, n_lines, n_removed)
+    * `delimiter` is a regex; the default "\n" dedups LINES, "\n{2,}"
+    * dedups PARAGRAPHS (the C4 companion granularity — a boilerplate
+    * block repeated with internal line breaks intact). Units re-join
+    * with `joiner` (a literal), which should render the delimiter: the
+    * default pair is identity for line mode.
+    *
+    * @return (doc_id, text = kept units joined by `joiner`, n_lines,
+    *         n_removed)
     */
   def dedupLines(docs: DataFrame, id: Column, text: Column,
                  maxOccurrences: Int = 2,
-                 maxLinesPerDoc: Int = 1 << 20): DataFrame = {
+                 maxLinesPerDoc: Int = 1 << 20,
+                 delimiter: String = "\n",
+                 joiner: String = "\n"): DataFrame = {
     // split(-1): trailing empty lines are lines too, and the default
     // regex split would silently drop them (they are prime boilerplate)
     val lines = docs.select(id.as("doc_id"),
-        posexplode(split(text, "\n", -1)))
+        posexplode(split(text, delimiter, -1)))
       .where(col("pos") < maxLinesPerDoc)
       .select(col("doc_id"), col("pos"), col("col").as("line"),
         md5(col("col")).as("__h"))
@@ -571,7 +580,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(when(col("__n") <= maxOccurrences,
             struct(col("pos"), col("line"))))),
-          s => s.getField("line")), "\n").as("text"),
+          s => s.getField("line")), joiner).as("text"),
         count(lit(1)).as("n_lines"),
         sum((col("__n") > maxOccurrences).cast("int")).as("n_removed"))
   }

@@ -600,16 +600,25 @@ object ExtensionQueries {
     }),
 
     // ── Windowed / approximate analytics ───────────────────────────────
-    // top-N per group via a ranking window (the reference has no window
-    // operators — declared extension)
+    // top-N per group via ranking windows (the reference has no window
+    // operators — declared extension), in the two-phase salted shape of
+    // Sampling.takePerGroup: five segments would otherwise each sort a
+    // fifth of the corpus in ONE window task; phase 1 ranks per
+    // (segment, key-hash slice), phase 2 re-ranks at most 3·salts rows
+    // per segment — identical rows, bounded tasks at any scale
     "window_topk_group" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val rank = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      val w1 = Window.partitionBy(col("c_mktsegment"), col("__salt"))
+        .orderBy(rank: _*)
+      val w2 = Window.partitionBy(col("c_mktsegment")).orderBy(rank: _*)
       val o = Tables(s, dir, "orders")
       val c = Tables(s, dir, "customer")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("__salt", pmod(xxhash64(col("o_orderkey")), lit(16)))
+        .withColumn("__rk1", row_number().over(w1))
+        .where(col("__rk1") <= 3)
+        .withColumn("rn", row_number().over(w2))
         .where(col("rn") <= 3)
         .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
           ParityQueries.cents(col("o_totalprice")).as("price_cents"))

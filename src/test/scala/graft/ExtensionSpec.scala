@@ -68,6 +68,23 @@ class ExtensionSpec extends AnyFunSuite {
     assert(withFewSalts === expected)
   }
 
+  test("paragraph-granularity dedupLines drops repeated multi-line blocks") {
+    val block = "about us\ncontact\nlegal"
+    val d = Seq(
+      (1L, s"$block\n\nreal paragraph one"),
+      (2L, s"$block\n\nreal paragraph two"),
+      (3L, s"$block\n\nanother body")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, col("doc_id"), col("text"),
+        maxOccurrences = 2, delimiter = "\\n{2,}", joiner = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the 3-line nav block repeats 3x ACROSS docs — line mode would see
+    // its lines; paragraph mode drops the block as one unit
+    assert(out(1L) === "real paragraph one")
+    assert(out(2L) === "real paragraph two")
+    assert(out(3L) === "another body")
+  }
+
   test("lmTypicality scores by hand-checkable integer unigram math") {
     // corpus: "a a a b" and "a c" → counts a=4, b=1, c=1; N=6, V=3
     val d = Seq((1L, "a a a b"), (2L, "a c"), (3L, "   "))
