@@ -56,12 +56,18 @@ object Dedup {
     * argument, applied to the dedup family's simplest member. */
   def exactCanonical(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val h = docs.select(id.as("doc_id"), md5(text).as("__h"))
+    // groupBy keeps the null-hash (null text) rows as their own group —
+    // and the join back must too, so it is NULL-SAFE (<=>): a plain
+    // equi-join silently drops every null-text document, where the
+    // contract is to annotate ALL input ids
     val g = h.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
+      .withColumnRenamed("__h", "__gh")
     // merge-pinned: g holds one row per DISTINCT document — corpus-scale
     // — but the static post-aggregate estimate broadcasts it at small SF
-    h.join(g.hint("merge"), Seq("__h")).drop("__h")
+    h.join(g.hint("merge"), col("__h") <=> col("__gh"))
+      .drop("__h", "__gh")
   }
 
   // ── MinHash + LSH ────────────────────────────────────────────────────
@@ -319,9 +325,14 @@ object Dedup {
     * Returns (and logs) the index's post-append
     * [[graft.meta.PipelineMetrics.IndexHealth]] — band-list skew and
     * file fragmentation, the rebuild/compaction signals a rolling
-    * ingestion operator watches. */
+    * ingestion operator watches. The probe aggregates the WHOLE index's
+    * key column (one slim column scan), so high-frequency micro-batch
+    * ingestion should pass `probeHealth = false` and pace its own
+    * [[graft.meta.PipelineMetrics.indexHealth]] calls — an O(index)
+    * probe per O(batch) append would dominate at scale. */
   def appendToMinhashIndex(docs: DataFrame, id: Column, text: Column,
-                           path: String): graft.meta.PipelineMetrics.IndexHealth = {
+                           path: String, probeHealth: Boolean = true)
+      : Option[graft.meta.PipelineMetrics.IndexHealth] = {
     import graft.sources.BucketedTables
     val spark = docs.sparkSession
     val pdf = spark.read.parquet(s"$path/params")
@@ -358,10 +369,12 @@ object Dedup {
       .bucketBy(buckets, "bandKey")
       .sortBy("bandKey")
       .saveAsTable(idxName(path, "bands"))
-    val health = graft.meta.PipelineMetrics.indexHealth(
-      spark.table(idxName(path, "bands")), col("bandKey"), s"$path/bands")
-    System.err.println(s"[graft] minhash index after append: $health")
-    health
+    if (!probeHealth) None else {
+      val health = graft.meta.PipelineMetrics.indexHealth(
+        spark.table(idxName(path, "bands")), col("bandKey"), s"$path/bands")
+      System.err.println(s"[graft] minhash index after append: $health")
+      Some(health)
+    }
   }
 
   /** Exact-Jaccard verification of slim candidate pairs: re-attach each

@@ -70,7 +70,10 @@ object PipelineMetrics {
 
   /** Probe `index`'s per-`key` list-size distribution + the file count
     * under `dir` (both appended tables in this library keep their files
-    * directly under the table directory). */
+    * directly under the table directory). The listing goes through the
+    * session's Hadoop FileSystem, not java.io.File — an HDFS/S3 index
+    * path would otherwise silently report files = 0 forever and the
+    * compaction signal would never fire. */
   def indexHealth(index: DataFrame, key: Column, dir: String): IndexHealth = {
     val r = index.groupBy(key).count()
       .agg(coalesce(sum(col("count")), lit(0L)).as("rows"),
@@ -78,8 +81,13 @@ object PipelineMetrics {
         coalesce(max(col("count")), lit(0L)).as("max"),
         coalesce(avg(col("count")), lit(0.0)).as("avg"))
       .head()
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(
+      index.sparkSession.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.exists(hp))
+        fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet"))
+      else 0
     val (rows, keys, mx, av) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
     IndexHealth(rows, keys, mx, av, if (av == 0.0) 0.0 else mx / av, files)

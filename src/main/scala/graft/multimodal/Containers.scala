@@ -51,19 +51,24 @@ object Containers {
     if (payload.length < 44) return None
     val b = le(payload)
     if (b.getInt(0) != RIFF || b.getInt(8) != WAVE) return None
-    var off = 12
+    // offsets walk in LONG: a crafted chunk size near Int.MaxValue
+    // overflows `off + 8 + size` in Int, slips past the bounds check
+    // with a wrapped-negative offset, and turns the promised None into
+    // an IndexOutOfBounds task failure
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var dataBytes = -1L
     while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
-      val id = b.getInt(off)
-      val size = b.getInt(off + 4)
+      val i = off.toInt
+      val id = b.getInt(i)
+      val size = b.getInt(i + 4)
       if (size < 0 || off + 8 + size > payload.length) return None
       if (id == FMT_) {
         if (size < 16) return None
-        fmt = Some((b.getShort(off + 10) & 0xFFFF,
-          b.getInt(off + 12), b.getShort(off + 22) & 0xFFFF))
+        fmt = Some((b.getShort(i + 10) & 0xFFFF,
+          b.getInt(i + 12), b.getShort(i + 22) & 0xFFFF))
       } else if (id == DATA) dataBytes = size.toLong
-      off += 8 + size + (size & 1) // chunks pad to even offsets
+      off += 8L + size + (size & 1) // chunks pad to even offsets
     }
     fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
       WavInfo(ch, rate, bits, dataBytes)

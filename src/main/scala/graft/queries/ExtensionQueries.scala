@@ -749,7 +749,11 @@ object ExtensionQueries {
       val h = docs.withColumn("__h", md5(col("text")))
       val canon = h.groupBy(col("__h"))
         .agg(min(col("doc_id")).as("canonical_id"))
-      h.join(canon.hint("merge"), Seq("__h")).drop("__h")
+        .withColumnRenamed("__h", "__gh")
+      // null-safe join: null-text docs keep their (single) group instead
+      // of silently dropping — Dedup.exactCanonical's contract
+      h.join(canon.hint("merge"), col("__h") <=> col("__gh"))
+        .drop("__h", "__gh")
         .where(col("doc_id") === col("canonical_id"))
         .select(col("doc_id"), col("text"),
           TextOps.qualityStruct(col("text")).as("q"),
@@ -842,7 +846,9 @@ object ExtensionQueries {
       val g = f.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("canonical_id"),
           count(lit(1)).as("n_copies"))
-      f.join(g.hint("merge"), Seq("fp"))
+        .withColumnRenamed("fp", "gfp")
+      // null-safe for the same reason as curation_pipeline above
+      f.join(g.hint("merge"), col("fp") <=> col("gfp"))
         .select(col("doc_id"), col("canonical_id"), col("n_copies"))
         .orderBy(col("doc_id"))
     }),

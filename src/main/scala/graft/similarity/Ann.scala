@@ -318,8 +318,13 @@ object Ann {
     * Returns (and logs) the index's post-append
     * [[graft.meta.PipelineMetrics.IndexHealth]]: rising list skew IS
     * the "distribution drifted, re-train" signal quantified, and the
-    * file count paces compaction. */
-  def appendToIvfIndex(batch: DataFrame, path: String): graft.meta.PipelineMetrics.IndexHealth = {
+    * file count paces compaction. The probe scans the whole lists
+    * table's key column — high-frequency micro-batch ingestion should
+    * pass `probeHealth = false` and pace its own
+    * [[graft.meta.PipelineMetrics.indexHealth]] calls. */
+  def appendToIvfIndex(batch: DataFrame, path: String,
+                       probeHealth: Boolean = true)
+      : Option[graft.meta.PipelineMetrics.IndexHealth] = {
     import org.apache.spark.sql.SaveMode
     import graft.sources.BucketedTables
     val spark = batch.sparkSession
@@ -346,10 +351,12 @@ object Ann {
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "cluster")
       .saveAsTable(ivfName(path))
-    val health = graft.meta.PipelineMetrics.indexHealth(
-      spark.table(ivfName(path)), col("cluster"), s"$path/lists")
-    System.err.println(s"[graft] ivf index after append: $health")
-    health
+    if (!probeHealth) None else {
+      val health = graft.meta.PipelineMetrics.indexHealth(
+        spark.table(ivfName(path)), col("cluster"), s"$path/lists")
+      System.err.println(s"[graft] ivf index after append: $health")
+      Some(health)
+    }
   }
 
   /** Compact an appended [[writeIvfIndex]] index into a FRESH path

@@ -549,8 +549,17 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean,
     deleteRec(staging)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     deleteRec(staging)
+    // a commit that failed during _new ASSEMBLY (swap not started: no
+    // _old dir yet) leaves a partial _new — clean it. Once the swap has
+    // begun, _old and _new together are the only complete copy of the
+    // data, so BOTH must survive for operator recovery; and _old is
+    // never touched here under any circumstance.
+    val old = new java.io.File(path, s"_old_$queryId")
+    if (!old.exists())
+      deleteRec(new java.io.File(path, s"_new_$queryId"))
+  }
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory)
@@ -616,16 +625,32 @@ class KvStreamingWrite(path: String, schema: StructType, queryId: String,
                       messages: Array[WriterCommitMessage]): Unit = {
     val root = new java.io.File(path)
     if (marker(epochId).exists()) {
-      // this (stream, epoch) committed fully once already — replay no-op
+      // this (stream, epoch) committed fully once already — replay
+      // no-op. LOUD on purpose: a checkpoint-recovery replay lands here
+      // legitimately, but so does a NEW query pointed at a store whose
+      // (default) streamId already committed these epochs — that
+      // misconfiguration would silently discard every batch, and the
+      // sink cannot tell the two apart (that is exactly what a distinct
+      // .option("streamId", ...) per logical stream is for).
+      System.err.println(
+        s"[graft] kv sink: epoch $epochId of stream '$streamId' already " +
+          "committed — skipping as a replay. If this is a NEW query " +
+          "(not a checkpoint recovery), set a distinct streamId option " +
+          "or its batches will be dropped.")
       deleteRec(staging(epochId))
       return
     }
     // crashed-commit sweep: drop whatever a previous attempt of this
-    // (stream, epoch) already moved, whatever its partition count was
+    // (stream, epoch) already moved, whatever its partition count was.
+    // Exact-name match, not endsWith: with '-' legal in streamIds, a
+    // suffix match would let stream "a" sweep files of stream
+    // "x-epoch0-a" sharing the store
+    val stale = java.util.regex.Pattern.compile(
+      s"part-\\d+-epoch$epochId-${java.util.regex.Pattern.quote(streamId)}\\.parquet")
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("salt="))
       .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(_.getName.endsWith(s"-epoch$epochId-$streamId.parquet"))
+      .filter(f => stale.matcher(f.getName).matches())
       .foreach(_.delete())
     messages.foreach {
       case KvCommitMessage(rels) => rels.foreach { rel =>

@@ -81,5 +81,12 @@ class ContainersSpec extends AnyFunSuite {
     val lying = wav.clone()
     lying(wav.length - 6) = 127 // inflate the data chunk's size field
     assert(Containers.parseWav(lying) === None)
+    // a chunk size near Int.MaxValue must not WRAP the bounds math into
+    // a negative offset (Int arithmetic did: off + 8 + size overflowed
+    // past the check and getInt(negative) threw on hostile bytes)
+    val huge = wav.clone()
+    for ((v, i) <- Seq(0xF0, 0xFF, 0xFF, 0x7F).zipWithIndex)
+      huge(16 + i) = v.toByte // fmt chunk size := 0x7FFFFFF0
+    assert(Containers.parseWav(huge) === None)
   }
 }

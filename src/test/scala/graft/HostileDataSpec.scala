@@ -54,6 +54,20 @@ class HostileDataSpec extends AnyFunSuite {
     Dedup.ngramContainmentPairs(hostile, col("doc_id"), col("text")).collect()
   }
 
+  test("exactCanonical annotates null-text documents instead of dropping them") {
+    // md5(null) is null, and a plain equi-join back would silently drop
+    // every null-text row — the null-safe join keeps them as one group
+    val d = Seq((1L, "same"), (2L, "same"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactCanonical(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "every input id annotated")
+    assert(out(1L) === ((1L, 2L)) && out(2L) === ((1L, 2L)))
+    assert(out(3L) === ((3L, 2L)) && out(4L) === ((3L, 2L)))
+  }
+
   test("LM scoring and BPE stats survive hostile documents") {
     val lm = TextOps.lmTypicality(hostile, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap

@@ -102,7 +102,10 @@ class MinhashIndexSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1).json(in)
       .writeStream
       .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
-        Dedup.appendToMinhashIndex(mb, col("doc_id"), col("text"), idx)
+        // per-micro-batch appends skip the O(index) health probe — the
+        // operator paces its own indexHealth calls (see the scaladoc)
+        Dedup.appendToMinhashIndex(mb, col("doc_id"), col("text"), idx,
+          probeHealth = false)
         ()
       }
       .option("checkpointLocation", dir.resolve("ckpt").toString)

@@ -46,10 +46,10 @@ class PipelineMetricsSpec extends AnyFunSuite {
 
     val h1 = Dedup.appendToMinhashIndex(
       docs.where(col("doc_id") >= 300 && col("doc_id") < 400),
-      col("doc_id"), col("text"), path)
+      col("doc_id"), col("text"), path).get
     val h2 = Dedup.appendToMinhashIndex(
       docs.where(col("doc_id") >= 400),
-      col("doc_id"), col("text"), path)
+      col("doc_id"), col("text"), path).get
 
     // rows monotone across appends, and the numbers are REAL aggregates
     // (cross-check h2 against a direct recount of the stored table)
@@ -64,5 +64,9 @@ class PipelineMetricsSpec extends AnyFunSuite {
     // counter must grow strictly with each append (the compaction signal)
     assert(h1.files > baseFiles, s"append 1: ${h1.files} vs base $baseFiles")
     assert(h2.files > h1.files, s"append 2: ${h2.files} vs ${h1.files}")
+    // high-frequency ingestion opts out of the O(index) probe
+    assert(Dedup.appendToMinhashIndex(
+      docs.where(col("doc_id") < 10), col("doc_id"), col("text"), path,
+      probeHealth = false).isEmpty)
   }
 }
