@@ -77,28 +77,48 @@ object MucrReader {
   def read(spark: SparkSession, path: String, sep: String = Delims.Delim): DataFrame =
     parse(spark.read.text(path), sep)
 
-  /** Parse a one-string-column DataFrame (`value`) of MUCR lines. */
+  /** Parse a one-string-column DataFrame (`value`) of MUCR lines.
+    *
+    * TOTAL under ANSI mode (the Spark 4 default, which this repo never
+    * disables): every array access is the null-safe `get` (never
+    * `element_at`/`getItem`, which throw INVALID_ARRAY_INDEX on a
+    * truncated line), the counter count is `try_cast` (a non-numeric
+    * count nulls out and the `when(n > 0)` guard yields zero counter
+    * rows instead of CAST_INVALID_INPUT killing the job), and the
+    * counter sequence is CLAMPED to the triples actually present (a line
+    * declaring 2 counters but carrying 1 emits 1, not an
+    * index-past-the-end error). At 100 TB one bad line must not kill the
+    * batch — [[MuprReader.readClean]]'s rationale; route
+    * [[parseCorrupt]] to a dead-letter sink to keep the bad lines. */
   def parse(lines: DataFrame, sep: String = Delims.Delim): DataFrame = {
     val f = split(col("value"), java.util.regex.Pattern.quote(sep), -1)
+    // clamp the loop bound to the triples present: short lines emit what
+    // they carry; the declared-vs-present mismatch itself is surfaced by
+    // parseCorrupt, not by a task-killing exception here. The isNotNull
+    // gate matters: least() SKIPS nulls, so an unparseable count would
+    // otherwise inherit the other operand and emit garbage rows
+    val nEff = when(col("number_of_counters").isNotNull,
+      least(col("number_of_counters"),
+        floor(size(col("rest")) / 3).cast(IntegerType)))
     lines
       .select(
-        f.getItem(0).as("Unit_Testing_Seq_Key"),
-        f.getItem(1).as("Sub_Session_Seq_Num"),
-        f.getItem(2).as("Test_Program_Name"),
-        f.getItem(3).as("unit_counter_pass_fail_flg"),
-        f.getItem(4).as("Substructure_ID"),
-        f.getItem(5).cast(IntegerType).as("number_of_counters"),
+        get(f, lit(0)).as("Unit_Testing_Seq_Key"),
+        get(f, lit(1)).as("Sub_Session_Seq_Num"),
+        get(f, lit(2)).as("Test_Program_Name"),
+        get(f, lit(3)).as("unit_counter_pass_fail_flg"),
+        get(f, lit(4)).as("Substructure_ID"),
+        get(f, lit(5)).try_cast(IntegerType).as("number_of_counters"),
         slice(f, lit(7), greatest(size(f) - 6, lit(0))).as("rest"))
       .select(col("*"),
-        // guard n=0: two-arg sequence(0, -1) steps BACKWARDS ([0,-1]) and
-        // element_at(rest, 0) throws; a zero-counter line must emit zero
+        // guard n=0: two-arg sequence(0, -1) steps BACKWARDS ([0,-1]);
+        // a zero-counter (or unparseable-count) line must emit zero
         // rows (explode of an empty array), matching the reference loop
-        explode(when(col("number_of_counters") > 0,
-          transform(sequence(lit(0), col("number_of_counters") - 1), i =>
+        explode(when(nEff > 0,
+          transform(sequence(lit(0), nEff - 1), i =>
             struct(
-              element_at(col("rest"), i * 3 + 1).as("Unit_Counter_ID"),
-              element_at(col("rest"), i * 3 + 2).as("Repeating_Counter_Occurrences"),
-              element_at(col("rest"), i * 3 + 3).as("Unit_Counter_Seq_Num"))))
+              get(col("rest"), i * 3).as("Unit_Counter_ID"),
+              get(col("rest"), i * 3 + 1).as("Repeating_Counter_Occurrences"),
+              get(col("rest"), i * 3 + 2).as("Unit_Counter_Seq_Num"))))
           .otherwise(array().cast("array<struct<Unit_Counter_ID:string,Repeating_Counter_Occurrences:string,Unit_Counter_Seq_Num:string>>"))
         ).as("counter"))
       .select(
@@ -112,6 +132,26 @@ object MucrReader {
       // length for the qualifier (Utils.scala:508-512)
       .withColumn("Unit_Counter_ID_hex_len", lower(hex(length(col("Unit_Counter_ID")))))
   }
+
+  /** A MUCR line is well-formed when it carries the 6 fixed fields, an
+    * integral non-negative counter count, and at least `count` × 3
+    * trailing fields. [[parse]] degrades gracefully on everything else
+    * (null fields / clamped triples); these two split the stream so the
+    * degraded lines are quarantined, not silently half-read. */
+  private def wellFormed(sep: String): Column = {
+    val f = split(col("value"), java.util.regex.Pattern.quote(sep), -1)
+    val n = get(f, lit(5)).try_cast(IntegerType)
+    size(f) >= lit(6) && n.isNotNull && n >= 0 && (size(f) - 6) >= n * 3
+  }
+
+  /** Well-formed lines only — the streaming/batch ingest path. */
+  def parseClean(lines: DataFrame, sep: String = Delims.Delim): DataFrame =
+    parse(lines.where(wellFormed(sep)), sep)
+
+  /** Malformed raw lines — route to a dead-letter sink, don't lose them
+    * (same contract as [[MuprReader.readCorrupt]]). */
+  def parseCorrupt(lines: DataFrame, sep: String = Delims.Delim): DataFrame =
+    lines.where(!wellFormed(sep)).select(col("value").as("_corrupt_record"))
 
   /** MUCR qualifier: `flg ++ hex(len(id)) ++ id` (Utils.scala:546-547).
     * NOTE the reference then selects a nonexistent `Test_Name` column
@@ -196,13 +236,24 @@ object KvStore {
 
   /** The pre-write exchange + sort, exposed so PlanSpec can assert the
     * layout survives refactors (range partitioning, leading-salt sort). */
-  def writeLayout(kv: DataFrame): DataFrame =
+  def writeLayout(kv: DataFrame): DataFrame = writeLayout(kv, Nil)
+
+  /** [[writeLayout]] with extra CONSTANT partition columns sorted ahead of
+    * salt (e.g. a streaming `batch_id`): V1Writes requires the sort to
+    * lead with ALL `partitionBy` columns in order and silently REPLACES
+    * (not extends) any user sort that doesn't satisfy it — a
+    * `partitionBy(batch_id, salt)` write fed the plain (salt, rowKey, …)
+    * sort would write unsorted files and no row group would ever prune.
+    * `leading` must be constant within each write (a literal batch id),
+    * so the range exchange on (salt, rowKey) is unaffected. */
+  def writeLayout(kv: DataFrame, leading: Seq[Column]): DataFrame =
     kv.repartitionByRange(col("salt"), col("rowKey"))
       // the sort MUST lead with the partition column: V1Writes requires
       // ordering by salt and silently REPLACES (not extends) any user
       // sort that doesn't satisfy it — sorting (rowKey, columnName) alone
       // writes unsorted files and no row group ever prunes
-      .sortWithinPartitions(col("salt"), col("rowKey"), col("columnName"))
+      .sortWithinPartitions(
+        leading ++ Seq(col("salt"), col("rowKey"), col("columnName")): _*)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -65,9 +65,13 @@ object KvOps {
   private def expr_substr_after(c: Column, delim: String): Column =
     c.substr(instr(c, delim) + 1, lit(Int.MaxValue))
 
-  /** Packed-row count from the cell prefix (the `n` of A4). */
+  /** Packed-row count from the cell prefix (the `n` of A4). try_cast,
+    * not cast: unpack is a public API over externally-readable parquet,
+    * and under ANSI mode (the Spark 4 default) a corrupt cell's
+    * non-numeric prefix would otherwise kill the whole job instead of
+    * yielding a null count for that one cell. */
   def cellCount(cell: Column, delim: String = Delims.Delim): Column =
-    substring_index(cell, delim, 1).cast("int")
+    substring_index(cell, delim, 1).try_cast("int")
 
   /** Unpack a packed KV table back to long format — the reference's
     * `hbaseTableToDataFrame` + `hbaseDataFrameSplit` (Utils.scala:377-402)

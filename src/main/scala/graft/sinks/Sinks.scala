@@ -149,14 +149,21 @@ object Sinks {
     val shaped =
       if (!singleFile) out
       else {
-        // limit(max+1) bounds the probe itself — never a full count of
+        // the probe is capped at Int.MaxValue-1 (limit() takes an Int),
+        // so the ENFORCED bound is min(requested, Int.MaxValue-1): a
+        // request above the cap must tighten to it, not silently disable
+        // the check (probe <= Int.MaxValue <= requested would hold for
+        // ANY frame size — the exact one-task hang the guard rejects)
+        val cap = math.min(singleFileMaxRows, Int.MaxValue - 1L)
+        // limit(cap+1) bounds the probe itself — never a full count of
         // an over-sized frame just to reject it
-        val probe = out.limit(
-          // +1 must not overflow, and limit() takes an Int
-          math.min(singleFileMaxRows, Int.MaxValue - 1L).toInt + 1).count()
-        require(probe <= singleFileMaxRows,
-          s"single-file export exceeds $singleFileMaxRows rows — " +
-            "pass singleFile = false (sharded) for frames this size")
+        val probe = out.limit(cap.toInt + 1).count()
+        require(probe <= cap,
+          s"single-file export exceeds $cap rows" +
+            (if (cap < singleFileMaxRows)
+              s" (requested $singleFileMaxRows, enforced cap ${Int.MaxValue - 1})"
+            else "") +
+            " — pass singleFile = false (sharded) for frames this size")
         out.coalesce(1)
       }
     shaped.write.mode(SaveMode.Overwrite).text(path)

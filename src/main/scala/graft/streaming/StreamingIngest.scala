@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -20,10 +20,29 @@ import graft.ops.KvOps
 object StreamingIngest {
 
   /** Streaming MUPR ingest: watch `pathGlob` for new measurement files,
-    * enrich each batch from the (static, broadcast) trigger metadata by
-    * the file's own name, and pack into KV cells per micro-batch — pack
-    * aggregation is per-batch by design (the reference packs per file
-    * load), so no cross-batch state store is needed. */
+    * enrich each batch through [[graft.ingest.TriggerMeta.enrich]] — the
+    * SAME code path the batch ingest uses, so rowKeys/salts cannot
+    * diverge between modes (an inline re-implementation here once
+    * dropped enrich's Lots_seq_key int cast: a trigger CSV whose seq key
+    * inferred as double built `…\x002.0\x00…` streaming rowKeys next to
+    * `…\x002\x00…` batch ones, and prefix scans keyed to the batch
+    * format silently missed every streaming row) — and pack into KV
+    * cells per micro-batch. Pack aggregation is per-batch by design (the
+    * reference packs per file load), so no cross-batch state store is
+    * needed.
+    *
+    * Replay-safe: foreachBatch is at-least-once, so the store write is
+    * keyed by `batch_id` and committed via DYNAMIC partition overwrite —
+    * a replayed micro-batch (driver died after the parquet commit but
+    * before the checkpoint recorded the batch) overwrites ONLY its own
+    * `batch_id=…` partitions with identical content (the file source
+    * pins each batch's input files in the offset log, and pack is
+    * deterministic) instead of appending a second copy of every cell.
+    * Files route through [[KvStore.writeLayout]] with `batch_id` leading
+    * the sort, so each batch's files stay (salt, rowKey)-sorted and
+    * row-group pruning serves prefix scans — the plain `.write.append`
+    * this replaces wrote arrival-order files whose min/max stats spanned
+    * the whole key range. */
   def muprStream(spark: SparkSession, pathGlob: String, meta: DataFrame,
                  keyParts: Seq[Column], qualifier: Column,
                  valueParts: Seq[Column], storePath: String) = {
@@ -32,16 +51,26 @@ object StreamingIngest {
       .option("sep", graft.core.Delims.Delim)
       .option("header", "false")
       .csv(pathGlob)
-      .withColumn("File_Name",
-        element_at(split(input_file_name(), "/"), -1))
-    val enriched = lines.join(broadcast(meta), Seq("File_Name"), "left")
+    val enriched = TriggerMeta.enrich(lines, meta,
+      element_at(split(input_file_name(), "/"), -1))
     enriched.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val kv = KvStore.pack(batch, keyParts, qualifier, valueParts)
-          kv.withColumn("batch_id", lit(batchId))
-            .write.mode("append").partitionBy("salt").parquet(storePath)
+            .withColumn("batch_id", lit(batchId))
+          val sess = batch.sparkSession
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = sess.conf.getOption(key)
+          sess.conf.set(key, "dynamic")
+          try
+            KvStore.writeLayout(kv, Seq(col("batch_id")))
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("batch_id", "salt").parquet(storePath)
+          finally prev match {
+            case Some(v) => sess.conf.set(key, v)
+            case None    => sess.conf.unset(key)
+          }
         }
       }
   }
@@ -59,17 +88,39 @@ object StreamingIngest {
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        // decimal, not double, so the sum is order-independent across
+        // replays and partitions; 38,4 (not 18,4) because 18,4 holds only
+        // 14 integer digits — one |value| ≥ 1e14 event would throw
+        // CAST_OVERFLOW under ANSI (Spark 4 default), and a streaming
+        // query that dies on a cast re-reads the same batch from the
+        // checkpoint and dies again: a poison-pill crash loop
+        sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Streaming exact dedup: drop documents whose content fingerprint was
-    * already seen, with state bounded by the watermark — the streaming
-    * twin of dedup_exact for continuously-arriving corpora. */
+  /** Streaming dedup: drop documents whose content key was already seen,
+    * with state bounded by the watermark.
+    *
+    * Two key modes — they are NOT the same operator:
+    *  - `normalized = true` (default, pinned by StreamingDedupSpec):
+    *    keys on [[graft.text.TextOps.fingerprint]] — xxhash64 of the
+    *    lowercased, punctuation-stripped, whitespace-collapsed text.
+    *    NEAR-exact: "Hello, World!" after "hello world" is dropped.
+    *    The 64-bit key can collide for unrelated docs within the
+    *    watermark horizon (birthday odds ~n²/2⁶⁵ over the horizon's doc
+    *    count — negligible per-day, not per-exabyte), silently dropping
+    *    a non-duplicate; acceptable for corpus curation, not for audit.
+    *  - `normalized = false`: keys on md5 of the RAW text — byte-exact,
+    *    128-bit; THIS is the streaming twin of `dedup_exact` (same key
+    *    the batch `Dedup.exactAgainstExisting` partitions on). */
   def streamingDedup(docs: DataFrame, tsCol: String = "event_ts",
-                     watermark: String = "1 hour"): DataFrame =
+                     watermark: String = "1 hour",
+                     normalized: Boolean = true): DataFrame = {
+    val key =
+      if (normalized) graft.text.TextOps.fingerprint(col("text"))
+      else md5(col("text"))
     docs
-      .withColumn("__fp", graft.text.TextOps.fingerprint(org.apache.spark.sql.functions.col("text")))
+      .withColumn("__fp", key)
       .withWatermark(tsCol, watermark)
       // dropDuplicatesWithinWatermark, NOT dropDuplicates: with an
       // id-only key the plain variant never evicts state (eviction
@@ -77,6 +128,7 @@ object StreamingIngest {
       // grows unboundedly on a long-running stream
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+  }
 
   /** Streaming incremental dedup against a STANDING corpus: each arriving
     * micro-batch is annotated with [[graft.dedup.Dedup.exactAgainstExisting]]
@@ -143,9 +195,17 @@ object StreamingIngest {
     import org.apache.spark.sql.functions.col
     val bloom = graft.text.Decontaminate.benchBloom(
       bench, col("text"), n, expectedBenchGrams, fpp)
+    // eager localCheckpoint, not persist(): persist is LAZY (the gram set
+    // would actually materialize inside the first micro-batch, belying
+    // "built once before the stream starts") and a Dataset.persist entry
+    // lives in the CacheManager until explicitly unpersisted — with no
+    // handle returned, each call would leak one MEMORY_AND_DISK frame for
+    // the application's lifetime. A checkpointed frame materializes HERE,
+    // and its storage is released by the ContextCleaner when the stream
+    // holding it is garbage-collected — the exact lifetime we want.
     val benchGrams = graft.text.Decontaminate
       .benchGramSet(bench, col("text"), n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       onBatch(
         graft.text.Decontaminate.flagPrebuiltBloom(

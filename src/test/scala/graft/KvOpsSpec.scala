@@ -107,6 +107,31 @@ class KvOpsSpec extends AnyFunSuite {
     assert(parsed.select("Unit_Testing_Seq_Key").as[String].head() === "1002")
   }
 
+  test("MUCR parse is total under ANSI: malformed lines degrade, never throw") {
+    val lines = Seq(
+      // well-formed: 1 counter
+      Seq("1001", "1", "TP", "P", "SS01", "1", "C", "2", "1").mkString(Delims.Delim),
+      // declares 2 counters, carries ONE triple → clamped to 1 row
+      Seq("1002", "1", "TP", "P", "SS01", "2", "C", "2", "1").mkString(Delims.Delim),
+      // non-numeric count → null n → zero counter rows (not CAST_INVALID_INPUT)
+      Seq("1003", "1", "TP", "P", "SS01", "X", "C", "2", "1").mkString(Delims.Delim),
+      // fewer than 6 fixed fields → null fields, zero counter rows
+      Seq("1004", "1").mkString(Delims.Delim)
+    ).toDF("value")
+    // the whole frame parses without a task failure (ANSI is on by default)
+    val parsed = MucrReader.parse(lines)
+    assert(parsed.count() === 2) // 1001's counter + 1002's clamped counter
+    assert(parsed.select("Unit_Testing_Seq_Key").as[String].collect().sorted
+      === Array("1001", "1002"))
+    // quarantine split: parse keeps the well-formed, corrupt keeps the rest
+    val clean = MucrReader.parseClean(lines)
+    assert(clean.select("Unit_Testing_Seq_Key").as[String].collect().toSeq
+      === Seq("1001"))
+    val corrupt = MucrReader.parseCorrupt(lines)
+      .as[String].collect().map(_.split(Delims.Delim)(0)).sorted
+    assert(corrupt.toSeq === Seq("1002", "1003", "1004"))
+  }
+
   test("cell count prefix matches group size") {
     val src = Seq(("k", "q", "a"), ("k", "q", "b"), ("k", "q", "c"))
       .toDF("k", "q", "v")

@@ -38,6 +38,13 @@ class SinksSpec extends AnyFunSuite {
     Sinks.delimiterRewriteCsv(lines.repartition(4), "line", sharded,
       singleFile = false, singleFileMaxRows = 5L)
     assert(spark.read.text(sharded).count() === 10)
+    // a cap beyond Int.MaxValue tightens to the enforceable bound instead
+    // of silently disabling the guard; the probe arithmetic (cap+1 as an
+    // Int) must not overflow on the way
+    val big = dir.resolve("bigcap").toString
+    Sinks.delimiterRewriteCsv(lines, "line", big,
+      singleFileMaxRows = Long.MaxValue)
+    assert(spark.read.text(big).count() === 10)
   }
 
   test("sharded export writes per-shard sorted files plus a manifest") {

@@ -45,6 +45,37 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(ids === Seq(1L, 2L, 4L))
   }
 
+  test("exact-raw mode keys on md5 of the raw text, like dedup_exact") {
+    val dir = Files.createTempDirectory("graft_sdedup_raw")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    Files.writeString(in.resolve("b1.json"),
+      """{"doc_id":1,"text":"alpha beta","ts":"2026-01-01T00:00:00.000Z"}
+        |{"doc_id":2,"text":"gamma delta","ts":"2026-01-01T00:01:00.000Z"}
+        |""".stripMargin)
+    Files.writeString(in.resolve("b2.json"),
+      """{"doc_id":3,"text":"alpha beta","ts":"2026-01-01T00:02:00.000Z"}
+        |{"doc_id":4,"text":"Alpha, Beta!","ts":"2026-01-01T00:03:00.000Z"}
+        |""".stripMargin)
+
+    val schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+      .withColumnRenamed("ts", "event_ts")
+    val q = StreamingIngest.streamingDedup(stream, normalized = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_raw_out")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val ids = spark.sql("select doc_id from dedup_raw_out")
+      .as[Long].collect().sorted.toSeq
+    // doc 3 is a byte-exact repeat of doc 1 → dropped; doc 4 differs
+    // only after normalization → KEPT (the normalized mode would drop it)
+    assert(ids === Seq(1L, 2L, 4L))
+  }
+
   test("streaming batches are annotated against the standing corpus") {
     val dir = Files.createTempDirectory("graft_sincr")
     val in = dir.resolve("in"); Files.createDirectory(in)

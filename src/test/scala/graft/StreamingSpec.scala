@@ -32,29 +32,52 @@ class StreamingSpec extends AnyFunSuite {
     Files.writeString(inDir.resolve(s"lot1_x.dat"), fileFor("a", 1001))
     Files.writeString(inDir.resolve(s"lot2_x.dat"), fileFor("b", 2002))
 
+    // Lots_seq_key DOUBLE-typed on purpose: TriggerMeta.read's
+    // inferSchema does this to a "2.0"-valued column, and the stream
+    // must build the same int-cast rowKey the batch path does (an
+    // inline enrich re-implementation once produced "…\x002.0\x00…"
+    // streaming keys that batch-format prefix scans silently missed)
     val meta = Seq(
-      ("lot1_x.dat", "L1", 202032, 2),
-      ("lot2_x.dat", "L2", 202032, 3))
+      ("lot1_x.dat", "L1", 202032, 2.0),
+      ("lot2_x.dat", "L2", 202032, 3.0))
       .toDF("File_Name", "Lot", "Lato_Start_WW", "Lots_seq_key")
 
-    val q = StreamingIngest.muprStream(spark, inDir.toString + "/*.dat", meta,
-        keyParts = Seq(col("Lot"), col("Lato_Start_WW"), col("Lots_seq_key"),
-          col("Unit_Testing_Seq_Key")),
-        qualifier = col("Test_Name"),
-        valueParts = Seq(col("Substructure_ID"), col("Measurement_Value")),
-        storePath = store)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", dir.resolve("ckpt").toString)
-      .start()
-    q.awaitTermination(60000)
+    def run(): Unit = {
+      val q = StreamingIngest.muprStream(spark, inDir.toString + "/*.dat", meta,
+          keyParts = Seq(col("Lot"), col("Lato_Start_WW"), col("Lots_seq_key"),
+            col("Unit_Testing_Seq_Key")),
+          qualifier = col("Test_Name"),
+          valueParts = Seq(col("Substructure_ID"), col("Measurement_Value")),
+          storePath = store)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
 
     val kv = KvStore.read(spark, store)
     assert(kv.count() === 2)
     val keys = kv.select("rowKey").as[String].collect().sorted
     assert(keys(0).startsWith("L1" + D))
     assert(keys(1).startsWith("L2" + D))
+    // the int-cast seq key, not the raw double rendering
+    assert(keys(0).contains(D + "2" + D) && !keys(0).contains("2.0"))
     // cells carry the count prefix
     assert(kv.select("value").as[String].collect().forall(_.startsWith("1" + D)))
+
+    // REPLAY idempotence: drop the commit marker so the restarted stream
+    // re-executes batch 0 from the pinned offsets — the at-least-once
+    // path a driver crash between parquet commit and checkpoint commit
+    // takes. Dynamic batch_id-partition overwrite must leave the store
+    // with ONE copy of each cell (the old append path doubled them).
+    val commit0 = dir.resolve("ckpt/commits/0")
+    assert(Files.deleteIfExists(commit0), "commit marker to replay")
+    // the local checkpoint FS shadows each file with a .crc; a stale one
+    // blocks the re-written marker's rename
+    Files.deleteIfExists(dir.resolve("ckpt/commits/.0.crc"))
+    run()
+    assert(KvStore.read(spark, store).count() === 2)
   }
 
   test("windowed event counts equal the batch aggregation") {
