@@ -45,8 +45,12 @@ object TemporalOps {
         struct(payload.as("v")).as("__p"),
         lit(null).cast(l.schema("__row").dataType).as("__row"))
       // null keys never equi-match — drop them or the keyed window
-      // would pair null-key left rows with null-key right rows
-      .where(rightKey.isNotNull)
+      // would pair null-key left rows with null-key right rows. Null
+      // TIMESTAMPS go too: `rightTs <= leftTs` is unknown for them, and
+      // a null-ts right row sorts FIRST in the ascending window (nulls
+      // first), so its payload would forward-fill into left rows that
+      // have no true preceding right row; ASOF semantics want null there
+      .where(rightKey.isNotNull && rightTs.isNotNull)
     // at equal ts the right row sorts first, so ts >= rightTs is inclusive
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__isLeft"))

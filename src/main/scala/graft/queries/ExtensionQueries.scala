@@ -1679,9 +1679,9 @@ object ExtensionQueries {
         |  SELECT doc_id, md5(cast(doc_id AS varchar) || ':shuffle') AS key
         |  FROM documents)
         |SELECT doc_id,
-        |  cast(('0x' || substr(key, 1, 4)) AS int) % 8 AS shard,
+        |  cast(('0x' || substr(key, 1, 15)) AS bigint) % 8 AS shard,
         |  row_number() OVER (
-        |    PARTITION BY cast(('0x' || substr(key, 1, 4)) AS int) % 8
+        |    PARTITION BY cast(('0x' || substr(key, 1, 15)) AS bigint) % 8
         |    ORDER BY key, doc_id) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
 

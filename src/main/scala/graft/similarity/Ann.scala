@@ -40,18 +40,10 @@ object Ann {
     *                across fp evaluation orders)
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     roundTo: Int = 4): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
-          .as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
-    joined.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("sim"))
-  }
+                     roundTo: Int = 4): DataFrame =
+    rankTopK(
+      corpus.crossJoin(broadcast(queries)).where(col("qid") =!= col("cid")),
+      k, roundTo)
 
   /** Two-stage brute-force top-k over int8-quantized vectors: an integer
     * dot-product prefilter over the [[Quantize]] codes keeps the top
@@ -89,17 +81,11 @@ object Ann {
       .select(col("qid"), col("cid"))
     // survivors are ids-only; floats re-attach here — the float store is
     // point-joined for k·overscan rows per query, never scanned
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
-    survivors
-      .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
-      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
-      .select(col("qid"), col("cid"),
-        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("sim"))
+    rankTopK(
+      survivors
+        .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
+        .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid")),
+      k, roundTo)
   }
 
   /** Sign-bit LSH signature: one bit per hyperplane = sign of the dot
@@ -133,17 +119,9 @@ object Ann {
     val cands = qb.join(cb, Seq("band", "bkey"))
       .where(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
-    cands
-      .join(broadcast(queries), Seq("qid"))
-      .join(corpus, Seq("cid"))
-      .select(col("qid"), col("cid"),
-        round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("sim"))
+    rankTopK(
+      cands.join(broadcast(queries), Seq("qid")).join(corpus, Seq("cid")),
+      k, roundTo)
   }
 
   // ── IVF (inverted-file) index ────────────────────────────────────────

@@ -42,13 +42,38 @@ object Pq {
   private def l2dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => sq(x - y)), lit(0.0), _ + _)
 
+  /** Fail LOUDLY on a vector whose length isn't the trained dim.
+    * Without this, a dimension-drifted vector (mixed embedding versions
+    * in an append batch) slices to SHORT subvectors, [[l2dist2]]'s
+    * zip_with null-pads them, every cluster distance goes null, and
+    * array_min's nulls-first struct ordering silently emits code 0 —
+    * the row joins cluster 0's list forever with no error anywhere.
+    * The dot-product query path already throws (TextExprs.vecDot);
+    * encode and train must be just as strict. A NULL vector passes
+    * through (null codes), matching the rest of the library's
+    * null-propagation. */
+  private def checkedDim(v: Column, dim: Int, who: String): Column =
+    when(v.isNull || size(v) === dim, v)
+      .otherwise(raise_error(concat(
+        lit(s"$who: vector of dim "), size(v).cast("string"),
+        lit(s" does not match the trained dim $dim"))))
+
   /** The (id, sub, subvector) exploded frame over NORMALIZED vectors. */
   private def subVectors(df: DataFrame, id: Column, vec: Column,
-                         m: Int, subdim: Int): DataFrame =
+                         m: Int, subdim: Int): DataFrame = {
+    val v = checkedDim(Ann.normalize(Ann.asDouble(vec)), m * subdim,
+      "Pq subvectors")
+    // the null gate matters: transform() runs over the SEQUENCE, not the
+    // vector, so a null vector would otherwise explode to m null
+    // subvectors that train/assign silently into cluster 0 (same
+    // nulls-first array_min failure checkedDim guards against) — a null
+    // here must contribute NOTHING (posexplode of null emits no rows)
     df.select(id.as("__id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          i => slice(Ann.normalize(Ann.asDouble(vec)), i * subdim + 1, lit(subdim)))))
+        posexplode(when(v.isNotNull,
+          transform(sequence(lit(0), lit(m - 1)),
+            i => slice(v, i * subdim + 1, lit(subdim))))))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+  }
 
   /** Train the codebook: `iters` distributed Lloyd rounds over all
     * subspaces at once, seeded deterministically from the first `k` rows
@@ -110,18 +135,24 @@ object Pq {
   private def centroidsLit(model: Model): Column = typedlit(model.centroids)
 
   /** PQ codes (array<int>, length m) for a vector — a pure column
-    * expression over the literal codebook; no shuffle, no join. */
+    * expression over the literal codebook; no shuffle, no join. Raises
+    * on a dimension-mismatched vector (see [[checkedDim]]). */
   def encode(vec: Column, model: Model): Column = {
     val cents = centroidsLit(model)
-    val v = Ann.normalize(Ann.asDouble(vec))
-    transform(sequence(lit(0), lit(model.m - 1)), i => {
-      val sv = slice(v, i * model.subdim + 1, lit(model.subdim))
-      val subCents = element_at(cents, i + 1)
-      array_min(transform(sequence(lit(1), size(subCents)), j =>
-        struct(l2dist2(sv, element_at(subCents, j)).as("d"),
-          (j - 1).as("j"))))
-        .getField("j")
-    })
+    val v = checkedDim(Ann.normalize(Ann.asDouble(vec)),
+      model.m * model.subdim, "Pq.encode")
+    // null-gated for the same reason as subVectors: transform() runs
+    // over the sequence, so a bare null vector would encode as [0,0,…]
+    // instead of null codes
+    when(v.isNotNull,
+      transform(sequence(lit(0), lit(model.m - 1)), i => {
+        val sv = slice(v, i * model.subdim + 1, lit(model.subdim))
+        val subCents = element_at(cents, i + 1)
+        array_min(transform(sequence(lit(1), size(subCents)), j =>
+          struct(l2dist2(sv, element_at(subCents, j)).as("d"),
+            (j - 1).as("j"))))
+          .getField("j")
+      }))
   }
 
   /** Per-query ADC table: `qtab(sub)(cluster) = q_sub · centroid` —
@@ -223,8 +254,19 @@ object Pq {
     * [[graft.similarity.Ann.appendToIvfIndex]]; same frozen-params and
     * multi-file-bucket notes). Quantization error for appended vectors
     * reflects the training snapshot; re-train to a fresh path when the
-    * distribution drifts. */
-  def appendToIvfPqIndex(batch: DataFrame, path: String): Unit = {
+    * distribution drifts.
+    *
+    * Returns (and logs) the post-append
+    * [[graft.meta.PipelineMetrics.IndexHealth]] of the CODES lists —
+    * same telemetry contract as [[Ann.appendToIvfIndex]]: `files` paces
+    * [[compactIvfPqIndex]], rising `skew` is the re-train signal. The
+    * float `vecs` table fragments at the same rate (one append = one
+    * write to each), so one probe serves both. High-frequency
+    * micro-batch ingestion should pass `probeHealth = false` and pace
+    * its own [[graft.meta.PipelineMetrics.indexHealth]] calls. */
+  def appendToIvfPqIndex(batch: DataFrame, path: String,
+                         probeHealth: Boolean = true)
+      : Option[graft.meta.PipelineMetrics.IndexHealth] = {
     import org.apache.spark.sql.SaveMode
     import graft.sources.BucketedTables
     val spark = batch.sparkSession
@@ -260,6 +302,46 @@ object Pq {
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "cid")
       .saveAsTable(vecsName)
+    if (!probeHealth) None else {
+      val health = graft.meta.PipelineMetrics.indexHealth(
+        spark.table(ivfpqName(path)), col("cluster"), s"$path/lists")
+      System.err.println(s"[graft] ivfpq index after append: $health")
+      Some(health)
+    }
+  }
+
+  /** Compact an appended [[writeIvfPqIndex]] index into a FRESH path
+    * without the corpus OR retraining — the IVF+PQ face of
+    * [[Ann.compactIvfIndex]]: the lists and vecs tables already hold
+    * every row, so compaction re-buckets both and carries
+    * centroids/params/codebook over. One index-sized pass; the response
+    * to a rising `files` count in the append telemetry (the `skew`
+    * signal still requires a true re-train). Same pointer-swap
+    * versioning note as the builder. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, dest: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    require(path != dest, "compact to a FRESH path, then swap pointers")
+    val buckets = graft.sources.BucketedTables
+      .readBuckets(spark, s"$path/params")
+      .getOrElse(throw new IllegalArgumentException(
+        "compactIvfPqIndex needs an index with a recorded bucket count"))
+    spark.read.parquet(s"$path/lists")
+      .repartition(buckets, col("cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "cluster")
+      .option("path", s"$dest/lists")
+      .saveAsTable(ivfpqName(dest))
+    spark.read.parquet(s"$path/vecs")
+      .repartition(buckets, col("cid"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "cid")
+      .option("path", s"$dest/vecs")
+      .saveAsTable(
+        graft.sources.BucketedTables.tableName("graft_ivfpq", dest, "vecs"))
+    for (part <- Seq("centroids", "pq_model", "params"))
+      spark.read.parquet(s"$path/$part").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dest/$part")
   }
 
   /** Approximate top-k against a stored [[writeIvfPqIndex]] index:
@@ -325,17 +407,12 @@ object Pq {
       .withColumn("prn", row_number().over(pw))
       .where(col("prn") <= k * overscan)
       .select(col("qid"), col("cid"))
-    // floats re-attach for k·overscan rows per query only
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
-    survivors
-      .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
-      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
-      .select(col("qid"), col("cid"),
-        round(Ann.cosine(Ann.asDouble(col("qvec")), Ann.asDouble(col("cvec"))),
-          roundTo).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("sim"))
+    // floats re-attach for k·overscan rows per query only; ranking tail
+    // shared with every ANN variant (Ann.rankTopK)
+    Ann.rankTopK(
+      survivors
+        .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
+        .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid")),
+      k, roundTo)
   }
 }

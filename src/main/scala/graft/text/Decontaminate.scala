@@ -60,8 +60,7 @@ object Decontaminate {
                 n: Int = 5, broadcastBench: Boolean = true): DataFrame = {
     val trainGrams = train
       .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
-    val benchGrams0 = bench.select(explode(Dedup.shingles(text, n)).as("g"))
-      .distinct()
+    val benchGrams0 = benchGramSet(bench, text, n)
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     // shingles are distinct per doc, so count(*) counts DISTINCT shared grams
     trainGrams.join(benchGrams, Seq("g"))
@@ -96,17 +95,25 @@ object Decontaminate {
   def benchBloom(bench: DataFrame, text: Column, n: Int = 5,
                  expectedBenchGrams: Long = 1L << 22,
                  fpp: Double = 0.01): Array[Byte] =
-    graft.ops.BloomOps.build(
-      bench.select(explode(Dedup.shingles(text, n)).as("g")),
+    graft.ops.BloomOps.build(benchGramSet(bench, text, n),
       col("g"), expectedBenchGrams, fpp)
 
   /** The DISTINCT benchmark gram frame the exact-verify join runs
     * against — like [[benchBloom]], prepare it ONCE per benchmark
     * version for repeated use (persist it, or materialize to parquet
     * for a very large benchmark: an unprepared frame re-scans and
-    * re-distincts the benchmark on EVERY consuming action). */
+    * re-distincts the benchmark on EVERY consuming action).
+    *
+    * The DEGENERATE empty shingle is excluded: [[Dedup.shingles]]
+    * deliberately emits one "" shingle for a zero-token text (dedup
+    * wants empty docs to match each other), but a benchmark row that
+    * normalizes to nothing — "---", "N/A" — shares no actual text with
+    * anything, and keeping its "" gram would flag EVERY pure-punctuation
+    * training doc as contaminated and silently drop them all in
+    * [[clean]]. Contamination requires a real shared n-gram. */
   def benchGramSet(bench: DataFrame, text: Column, n: Int = 5): DataFrame =
-    bench.select(explode(Dedup.shingles(text, n)).as("g")).distinct()
+    bench.select(explode(Dedup.shingles(text, n)).as("g"))
+      .where(col("g") =!= "").distinct()
 
   /** [[hitCounts]] through the bloom prefilter (see [[flagBloom]]). */
   def hitCountsBloom(train: DataFrame, bench: DataFrame, id: Column,

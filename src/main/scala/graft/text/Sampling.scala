@@ -28,7 +28,19 @@ object Sampling {
     if (n >= 65536L) "g" else f"$n%04x"
   }
 
-  private def bucket(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
+  /** Stringified sampling key: a NULL key hashes as the empty string,
+    * so every operator in this module gives null-key rows ONE
+    * deterministic bucket. Bare md5(null)=null would instead produce
+    * three different silent behaviors — [[hashSample]] dropping the
+    * rows even at fraction 1, [[hashSplit]] routing them all into the
+    * last (eval!) split, and [[takePerGroup]]'s nulls-first rank letting
+    * them beat every real key nondeterministically. Colliding with a
+    * genuine "" key is deliberate: both are degenerate keys and land in
+    * the same deterministic bucket. */
+  private def keyStr(key: Column): Column =
+    coalesce(key.cast("string"), lit(""))
+
+  private def bucket(key: Column): Column = substring(md5(keyStr(key)), 1, 4)
 
   /** Keep a deterministic `fraction` of rows, keyed on `key`. Sampling
     * by document id keeps or drops WHOLE documents — the property
@@ -69,11 +81,20 @@ object Sampling {
   def shuffleAssignment(df: DataFrame, key: Column, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0, "nShards must be positive")
-    val k = md5(concat(key.cast("string"), lit(":shuffle")))
+    val k = md5(concat(keyStr(key), lit(":shuffle")))
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), key)
     df.withColumn("__key", k)
+      // 15 hex chars = 60 hash bits, NOT the 4 the fraction samplers use:
+      // the doc above mandates nShards that scale with the corpus, and a
+      // 16-bit value caps effective shards at 65536 with heavy modulo
+      // bias well below that (at nShards=40000, shards 0..25535 would
+      // get 2 hash values each vs 1 — 2× window-sort skew; above 65536
+      // every extra shard would stay permanently empty). 60 bits keeps
+      // the modulo near-uniform at any plausible shard count and still
+      // fits both engines' signed 64-bit ints (the DuckDB oracle runs
+      // the same substr(md5, 1, 15) expression).
       .withColumn("shard",
-        conv(substring(col("__key"), 1, 4), 16, 10).cast("long") % nShards)
+        conv(substring(col("__key"), 1, 15), 16, 10).cast("long") % nShards)
       .withColumn("pos", row_number().over(w))
       .drop("__key")
   }
@@ -104,10 +125,10 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, "n must be positive")
     require(salts > 0, "salts must be positive")
-    val rank = Seq(md5(key.cast("string")), key)
+    val rank = Seq(md5(keyStr(key)), key)
     val w1 = Window.partitionBy(group, col("__salt")).orderBy(rank: _*)
     val w2 = Window.partitionBy(group).orderBy(rank: _*)
-    df.withColumn("__salt", pmod(xxhash64(key.cast("string")), lit(salts)))
+    df.withColumn("__salt", pmod(xxhash64(keyStr(key)), lit(salts)))
       .withColumn("__rk1", row_number().over(w1))
       .where(col("__rk1") <= n)
       .withColumn("__rk", row_number().over(w2))

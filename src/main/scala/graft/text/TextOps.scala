@@ -144,7 +144,11 @@ object TextOps {
     * document's distinct tokens, never by corpus size.
     *
     * @return (doc_id, rank, token, score_ppm), `topK` rows per doc with
-    *         at least one token; ties break lexicographically */
+    *         at least one token whose df clears `minDf`; ties break
+    *         lexicographically. NOTE: with `minDf > 1` a document whose
+    *         EVERY token is corpus-rare (df < minDf) has no qualifying
+    *         terms and is absent from the output entirely — left-join
+    *         the result when downstream needs every doc represented. */
   def topTerms(docs: DataFrame, id: Column, text: Column, n: Long,
                topK: Int = 3, minDf: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -210,8 +214,17 @@ object TextOps {
     toks.join(counts.hint("merge"), Seq("token"))
       .crossJoin(broadcast(nv))
       .select(col("doc_id"),
-        call_function("div", (col("c") + 1) * lit(1000000L),
-          col("n_corpus") + col("v_size")).as("tok_ppm"),
+        // the multiply runs in decimal(38,0), not long: at ~100 TB of
+        // text the hottest token's count is ~1e12, so (c+1)*1e6 ~ 1e18
+        // sits within 10× of Long.Max — a few-hundred-TB corpus (or a
+        // degenerate one-token corpus) would overflow: ANSI kills the
+        // job, non-ANSI silently corrupts the filter with negative ppm.
+        // div on decimals still returns an exact integral long, and
+        // tok_ppm ≤ 1e6 so everything downstream stays long-sized.
+        call_function("div",
+          (col("c") + 1).cast("decimal(38,0)") * lit(1000000L),
+          (col("n_corpus") + col("v_size")).cast("decimal(38,0)"))
+          .as("tok_ppm"),
         (col("c") < rareBelow).cast("long").as("is_rare"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

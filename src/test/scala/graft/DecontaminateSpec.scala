@@ -38,6 +38,25 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept === Set(11L, 12L))
   }
 
+  test("empty-normalizing benchmark rows contaminate nothing") {
+    // "---" and "???" both normalize to zero tokens and shingle to the
+    // degenerate "" gram (deliberate in Dedup.shingles so empty docs can
+    // near-dup-match each other) — but sharing NO actual text must not
+    // count as contamination, or clean() would silently drop every
+    // pure-punctuation training doc
+    val bench = mkDocs(Seq((1L, "---"), (2L, "N/A")))
+    val train = mkDocs(Seq((10L, "???"), (11L, "real prose about real things")))
+    for (flagged <- Seq(
+        Decontaminate.flag(train, bench, col("doc_id"), col("text"), n = 5),
+        Decontaminate.flagBloom(train, bench, col("doc_id"), col("text"),
+          n = 5, expectedBenchGrams = 64))) {
+      val out = flagged.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("contaminated")).toMap
+      assert(out(10L) === 0)
+      assert(out(11L) === 0)
+    }
+  }
+
   test("short exact copies of benchmark items are caught via whole-doc shingles") {
     val bench = mkDocs(Seq((1L, "two words")))
     val train = mkDocs(Seq((10L, "two words"), (11L, "other words")))

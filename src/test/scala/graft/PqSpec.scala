@@ -113,6 +113,49 @@ class PqSpec extends AnyFunSuite {
     assert(grown === exact)
   }
 
+  test("encode raises on a dimension-mismatched vector, not code 0") {
+    val (_, c) = qc
+    val mdl = Pq.train(c, col("cid"), col("cvec"), dim = 64, m = 8, k = 16)
+    // a short vector must fail loudly — zip_with null-padding used to
+    // null every cluster distance and array_min's nulls-first struct
+    // ordering silently emitted code 0 for every subspace
+    val bad = Seq((1L, Array.tabulate(8)(_.toFloat))).toDF("cid", "cvec")
+    val e = intercept[Exception](
+      bad.select(Pq.encode(col("cvec"), mdl)).collect())
+    assert(e.getMessage.contains("does not match the trained dim"))
+    // a NULL vector still passes through as null codes
+    val nul = Seq((1L, null.asInstanceOf[Array[Float]])).toDF("cid", "cvec")
+    assert(nul.select(Pq.encode(col("cvec"), mdl)).head().isNullAt(0))
+  }
+
+  test("append telemetry + compaction close the IVF+PQ index lifecycle") {
+    import java.nio.file.Files
+    val (q, c) = qc
+    val half = c.where(col("cid") % 2 === 0)
+    val rest = c.where(col("cid") % 2 =!= 0)
+    val base = Files.createTempDirectory("graft_ivfpq_c").toString
+    val path = base + "/idx"
+    Pq.writeIvfPqIndex(half, path, dim = 64, m = 8, nCentroids = 16,
+      nClusters = 8, buckets = 4)
+    val health = Pq.appendToIvfPqIndex(rest, path)
+    assert(health.nonEmpty)
+    assert(health.get.rows === c.count())
+    // an append writes a second file set into the lists buckets — the
+    // compaction pacer must see the fragmentation
+    assert(health.get.files > 4)
+    val before = Pq.queryIvfPqIndex(q, path, k = 10, nprobe = 8)
+      .orderBy("qid", "cid").collect().map(_.toSeq).toSeq
+    val dest = base + "/compact"
+    Pq.compactIvfPqIndex(spark, path, dest)
+    val after = Pq.queryIvfPqIndex(q, dest, k = 10, nprobe = 8)
+      .orderBy("qid", "cid").collect().map(_.toSeq).toSeq
+    assert(after === before)
+    val compactHealth = graft.meta.PipelineMetrics.indexHealth(
+      spark.read.parquet(s"$dest/lists"), col("cluster"), s"$dest/lists")
+    assert(compactHealth.files <= 4)
+    assert(compactHealth.rows === c.count())
+  }
+
   test("training an empty corpus fails loudly, not downstream") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("cid", "cvec")
     val e = intercept[IllegalArgumentException](

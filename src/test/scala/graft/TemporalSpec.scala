@@ -58,6 +58,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) === null, "null keys must not equi-match")
   }
 
+  test("asof join: a null-timestamp right row never forward-fills") {
+    // rightTs <= leftTs is UNKNOWN for a null ts; the null-ts row would
+    // sort first in the ascending window (nulls first) and poison every
+    // left row before the first real right row with its payload
+    val left = Seq((1L, "u1", 5L), (2L, "u1", 15L))
+      .toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("u1", Option.empty[Long], "poison"),
+      ("u1", Option(10L), "a"))
+      .toDF("k", "ts", "v")
+    val out = TemporalOps.asofJoin(left, right,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = col("v"))
+      .select("event_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === null, "no true preceding right row → null")
+    assert(out(2L) === "a")
+  }
+
   test("asof join: payload keeps its native type (long, timestamp)") {
     val left = Seq((1L, "u1", 10L), (2L, "u1", 5L)).toDF("event_id", "k", "ts")
     val longRight = Seq(("u1", 8L, 42L)).toDF("k", "ts", "v")
