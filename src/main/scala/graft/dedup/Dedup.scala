@@ -147,7 +147,13 @@ object Dedup {
     val b = batch.select(id.as("doc_id"), md5(text).as("__h"))
     val e = existing.select(id.as("doc_id"), md5(text).as("__h"))
       .groupBy(col("__h")).agg(min(col("doc_id")).as("dup_of"))
-    b.join(e, Seq("__h"), "left")
+      .withColumnRenamed("__h", "__eh")
+    // null-SAFE hash join: md5(null) is null, and a plain equi-join
+    // would report every null-text batch doc is_new even when the
+    // standing corpus holds null-text docs — [[exactCanonical]] in this
+    // family deliberately groups them, so the incremental path must too
+    // (the DuckDB oracle mirrors with IS NOT DISTINCT FROM)
+    b.join(e, col("__h") <=> col("__eh"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNull.cast("int").as("is_new"))
   }
@@ -173,9 +179,14 @@ object Dedup {
     val b = batch.select(id.as("doc_id"), md5(text).as("__h"))
     val bf = BloomOps.build(b, col("__h"), expectedBatchDocs, fpp)
     val e = existing.select(id.as("doc_id"), md5(text).as("__h"))
-      .where(BloomOps.mightContain(bf, col("__h")))
+      // null hashes pass the prefilter: mightContain(null) is null and a
+      // bare where() would drop the null-text corpus rows the null-safe
+      // join below exists to match
+      .where(col("__h").isNull || BloomOps.mightContain(bf, col("__h")))
       .groupBy(col("__h")).agg(min(col("doc_id")).as("dup_of"))
-    b.join(e, Seq("__h"), "left")
+      .withColumnRenamed("__h", "__eh")
+    // null-safe join — see [[exactAgainstExisting]]
+    b.join(e, col("__h") <=> col("__eh"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNull.cast("int").as("is_new"))
   }
@@ -214,10 +225,19 @@ object Dedup {
         Seq("band", "bandKey"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val payload = sigd.select(col("doc_id"), col("sh"))
+    // payload joins are SIDE-SPLIT, not the bare union frame: nothing in
+    // the API requires the two corpora's id spaces to be disjoint, and a
+    // batch doc_id colliding with an existing doc_id would otherwise
+    // match BOTH payload rows — attaching the wrong side's shingles and
+    // emitting duplicate pairs with conflicting jaccard values. The
+    // filters sit after the shared union exchange, so the kernel still
+    // runs once.
+    val payload = sigd.select(col("doc_id"), col("isNew"), col("sh"))
     verifiedPairs(cands,
-      payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-      payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+      payload.where(col("isNew") === 1)
+        .select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+      payload.where(col("isNew") === 0)
+        .select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
       threshold)
   }
 
@@ -302,7 +322,11 @@ object Dedup {
                           path: String, dest: String): Unit = {
     require(path != dest, "compact to a FRESH path, then swap pointers")
     val p = spark.read.parquet(s"$path/params").head()
-    writeIndexTables(spark, spark.read.parquet(s"$path/shingles"),
+    // full-row dropDuplicates HEALS a replayed append (the only source
+    // of byte-identical (doc_id, sh) rows — see the appendToMinhashIndex
+    // atomicity note); legitimately distinct rows are never merged
+    writeIndexTables(spark,
+      spark.read.parquet(s"$path/shingles").dropDuplicates(),
       dest, p.getAs[Int]("k"), p.getAs[Int]("bands"), p.getAs[Int]("n"),
       p.getAs[Int]("buckets"))
   }
@@ -313,6 +337,15 @@ object Dedup {
     * band differently than the corpus it joins) and appended to the
     * bucketed tables — rolling ingestion pays one batch-sized kernel
     * pass per day, not a corpus rebuild.
+    *
+    * NOT atomic, NOT idempotent: the shingles and bands appends are two
+    * sequential jobs, so a crash between them (or an orchestrator
+    * retry of a succeeded append) leaves duplicated batch rows in the
+    * stored tables. [[queryMinhashIndex]] stays CORRECT over such a
+    * store (its output dedup collapses the repeated verifies), and
+    * [[compactMinhashIndex]] heals the storage (full-row
+    * dropDuplicates) — but pace retries at the orchestration layer:
+    * append-at-most-once per batch, compact after any doubtful run.
     *
     * Each append adds one file per touched bucket; co-location for the
     * candidate join is preserved (bucket routing is by key hash), but
@@ -430,6 +463,12 @@ object Dedup {
       bsig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
       shinglesTable.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
       threshold)
+      // output-sized dedup: a replayed append leaves duplicated shingle
+      // rows in the store (see the appendToMinhashIndex atomicity note),
+      // and each would re-verify into a duplicate output pair — the
+      // collapsed rows are identical, so this keeps query results
+      // correct over a store awaiting compaction
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -577,9 +616,12 @@ object Dedup {
                  delimiter: String = "\n",
                  joiner: String = "\n"): DataFrame = {
     // split(-1): trailing empty lines are lines too, and the default
-    // regex split would silently drop them (they are prime boilerplate)
+    // regex split would silently drop them (they are prime boilerplate).
+    // coalesce: split(null) is null and posexplode of null emits NO rows
+    // — a null-text doc would vanish, breaking the every-document-
+    // survives contract; it reads as an empty doc instead (one "" line)
     val lines = docs.select(id.as("doc_id"),
-        posexplode(split(text, delimiter, -1)))
+        posexplode(split(coalesce(text, lit("")), delimiter, -1)))
       .where(col("pos") < maxLinesPerDoc)
       .select(col("doc_id"), col("pos"), col("col").as("line"),
         md5(col("col")).as("__h"))
@@ -688,7 +730,16 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"canonicalFromPairs did not converge in $maxIters rounds — " +
           "clusters wider than that diameter are split; raise maxIters")
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
+    // detach the result from the loop's CacheManager entry: a persisted
+    // frame with no returned handle would pin executor storage for the
+    // application's lifetime (Dataset.unpersist on the returned wrapper
+    // cannot release the INTERNAL persist). The checkpointed result is
+    // released by the ContextCleaner when the caller drops it — the
+    // lifetime a library return value should have.
+    val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   // ── SimHash ──────────────────────────────────────────────────────────
@@ -735,14 +786,20 @@ object Dedup {
     require(maxHamming <= 7, "radius > 7 needs a wider table design")
     val sigd = docs.select(id.as("doc_id"), simhash64(text).as("sig"))
     val wide = wideTables.getOrElse {
-      val chosen = maxHamming <= 3 || chooseWideTables(sigd)
-      // the sampled choice is a plan-shape decision — surface it, so a
-      // run-to-run cost difference is attributable to a layout flip
-      // instead of reading as an unexplained drift
-      System.err.println(
-        s"[graft] simhashPairs layout auto-selected: " +
-          s"${if (chosen) "block-pair (wide)" else "single-chunk"} tables")
-      chosen
+      // r ≤ 3 always takes the 4×16-bit chunk layout (simhashKeys
+      // ignores the flag there) — don't sample, and don't LOG a layout
+      // that isn't the plan being run
+      if (maxHamming <= 3) false
+      else {
+        val chosen = chooseWideTables(sigd)
+        // the sampled choice is a plan-shape decision — surface it, so a
+        // run-to-run cost difference is attributable to a layout flip
+        // instead of reading as an unexplained drift
+        System.err.println(
+          s"[graft] simhashPairs layout auto-selected: " +
+            s"${if (chosen) "block-pair (wide)" else "single-chunk"} tables")
+        chosen
+      }
     }
     val chunked = simhashKeys(sigd, maxHamming, wide)
     val a = chunked.select(col("chunk"), col("ckey"),

@@ -58,10 +58,16 @@ object KvOps {
       array_join(sort_array(collect_list(value)), Delims.RowSep))
 
   /** Strip the `n\0` count prefix from a packed cell (Utils.scala:325-326):
-    * everything after the first delimiter. */
+    * everything after the first delimiter. NULL when the cell has no
+    * delimiter at all — that's not a packed cell, and echoing its whole
+    * content back as "the body" would launder what should have been the
+    * count prefix into payload (the reference UDF at least failed
+    * loudly there; fabricating values is worse). */
   def stripCountPrefix(cell: Column, delim: String = Delims.Delim): Column =
-    expr_substr_after(cell, delim)
+    when(instr(cell, delim) > 0, expr_substr_after(cell, delim))
 
+  // the caller guards delimiter presence: instr = 0 would make this
+  // substr(1, MAX) — the WHOLE input
   private def expr_substr_after(c: Column, delim: String): Column =
     c.substr(instr(c, delim) + 1, lit(Int.MaxValue))
 
@@ -89,7 +95,11 @@ object KvOps {
       // legitimate payload of a one-empty-value cell; the count prefix
       // disambiguates
       .withColumn("packedValue",
-        explode(when(cellCount(col("value"), delim) === 0,
+        // a null count means a corrupt prefixless cell (cellCount is
+        // try_cast): emit NO payload rows for it rather than exploding
+        // garbage — find such cells with where(cellCount(value).isNull)
+        explode(when(cellCount(col("value"), delim) === 0
+            || cellCount(col("value"), delim).isNull,
           array().cast("array<string>"))
           .otherwise(split(col("__body"),
             java.util.regex.Pattern.quote(Delims.RowSep), -1))))
@@ -105,12 +115,15 @@ object KvOps {
     df.filter(col(keyCol).startsWith(prefix))
 
   /** k=v detail parser (F6, Utils.scala:112-115): array of "k=v" strings →
-    * map. Pure expression replacement for the reference's `getColumnsUDF`. */
+    * map. Pure expression replacement for the reference's `getColumnsUDF`.
+    * An entry with NO '=' maps its token to a null value — the old
+    * fall-through returned the whole token as its own value ("debug" →
+    * "debug"), indistinguishable from a genuine `debug=debug` entry. */
   def kvParse(details: Column): Column =
     map_from_entries(transform(details, s =>
       struct(
         substring_index(s, "=", 1).as("key"),
-        expr_substr_after(s, "=").as("value"))))
+        when(s.contains("="), expr_substr_after(s, "=")).as("value"))))
 
   /** Escape/unescape payload values that contain the cell delimiters —
     * wiring in the `<NB>` escape hatch the reference DECLARED

@@ -55,11 +55,19 @@ object TextKernels {
   private def permConstant(i: Int): Long =
     mix64(0x9E3779B97F4A7C15L * (i + 1) + 0x165667B19E3779F9L)
 
+  // row-invariant, cached per k like planeMatrix: rebuilding the k
+  // SplitMix64 chains (+ an array allocation) on EVERY row of the
+  // hottest dedup kernel is pure per-row waste at corpus scale
+  private val permCache = new ConcurrentHashMap[Integer, Array[Long]]()
+  private def permConstants(k: Int): Array[Long] =
+    permCache.computeIfAbsent(k, (kk: Integer) =>
+      Array.tabulate(kk)(permConstant))
+
   /** k-permutation MinHash signature via XOR-permutations of one base
     * xxhash64 per shingle — identical math to the declarative form. */
   def minhashSig(shingles: ArrayData, k: Int): GenericArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
-    val cs = Array.tabulate(k)(permConstant)
+    val cs = permConstants(k)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
@@ -411,16 +419,24 @@ case class VecDotExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+// center is a Seq, NOT an Array: case-class equality on an Array field
+// compares by REFERENCE, so two semantically identical centered-LSH
+// expressions built from separately collected means would never be
+// semanticEquals — losing common-subexpression elimination and
+// ReusedExchange dedup (the signature kernel and its exchange would run
+// twice at corpus scale). A Seq compares by content.
 case class LshBitsPackedCenteredExpr(child: Expression, planes: Int,
-                                     center: Array[Double])
+                                     center: Seq[Double])
     extends UnaryExpression {
   require(planes <= 64, "packed signature holds at most 64 planes")
+  @transient private lazy val centerArr: Array[Double] = center.toArray
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_sign_bits_centered"
   override def nullSafeEval(in: Any): Any =
-    TextKernels.lshBitsPackedCentered(in.asInstanceOf[ArrayData], planes, center)
+    TextKernels.lshBitsPackedCentered(in.asInstanceOf[ArrayData], planes,
+      centerArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("center", center, "double[]")
+    val ref = ctx.addReferenceObj("center", centerArr, "double[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.ops.TextKernels.lshBitsPackedCentered($c, $planes, $ref);")
   }
@@ -511,5 +527,6 @@ object TextExprs {
   def l2normalize(vec: Column): Column = c(L2NormalizeExpr(e(vec)))
   def vecDot(a: Column, b: Column): Column = c(VecDotExpr(e(a), e(b)))
   def lshBitsPackedCentered(vec: Column, planes: Int, center: Array[Double]): Column =
-    c(LshBitsPackedCenteredExpr(e(vec), planes, center))
+    c(LshBitsPackedCenteredExpr(e(vec), planes,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(center)))
 }

@@ -322,6 +322,11 @@ object ExtensionQueries {
       s.read
         .schema("id INT, text STRING")
         .option("sep", "|").option("header", "false")
+        // the DuckDB oracle reads this fixture with quote='' — pin the
+        // Spark parser to match, or a future fixture row containing a
+        // double-quote would parse differently per engine and fail the
+        // gate on a parser asymmetry instead of a kernel regression
+        .option("quote", "\u0000")
         .csv(s"${graft.Fixtures.dir}/unicode.csv")
         .select(col("id"), TextOps.nfcClean(col("text")).as("clean"),
           length(col("text")).as("n_in"),
@@ -1462,7 +1467,7 @@ object ExtensionQueries {
         |  WHERE doc_id % 3 <> 0 GROUP BY 1)
         |SELECT b.doc_id, e.dup_of,
         |  cast(e.dup_of IS NULL AS int) AS is_new
-        |FROM b LEFT JOIN e ON md5(b.text) = e.h
+        |FROM b LEFT JOIN e ON md5(b.text) IS NOT DISTINCT FROM e.h
         |ORDER BY b.doc_id""".stripMargin,
 
     // raw-whitespace tokenization (NOT the normalized stream): mirrors
@@ -1486,7 +1491,7 @@ object ExtensionQueries {
         |  WHERE doc_id % 3 <> 0 GROUP BY 1)
         |SELECT b.doc_id, e.dup_of,
         |  cast(e.dup_of IS NULL AS int) AS is_new
-        |FROM b LEFT JOIN e ON md5(b.text) = e.h
+        |FROM b LEFT JOIN e ON md5(b.text) IS NOT DISTINCT FROM e.h
         |ORDER BY b.doc_id""".stripMargin,
 
     // linear-idf keyword extraction: the score is two correctly-rounded

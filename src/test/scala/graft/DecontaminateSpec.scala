@@ -98,4 +98,40 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a >= 100L && b < 100L },
       s"only batch x existing pairs allowed: $pairs")
   }
+
+  test("cross-corpus minhash survives a doc_id shared by both sides") {
+    // nothing requires disjoint id spaces: batch doc 5 must verify with
+    // ITS OWN shingles, not the existing doc 5's — the shared-payload
+    // form attached both and emitted conflicting jaccard rows
+    val base = (1 to 60).map(j => s"token$j").mkString(" ")
+    val existing = mkDocs(Seq(
+      (1L, base),
+      (5L, (1 to 60).map(j => s"other$j").mkString(" "))))
+    val batch = mkDocs(Seq((5L, base.replace("token7", "edited"))))
+    val rows = Dedup.minhashPairsAcross(batch, existing,
+        col("doc_id"), col("text"), k = 24, bands = 8, threshold = 0.8)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard")))
+    // exactly one row: batch 5 ≈ existing 1; no duplicate/conflicting
+    // rows, and no self-pair against existing doc 5
+    assert(rows.map(_._1).toSeq === Seq((5L, 1L)), rows.mkString(", "))
+    assert(rows.head._2 > 0.9)
+  }
+
+  test("null-text docs match null-text corpus docs (null-safe hash join)") {
+    val existing = mkDocs(Seq((1L, "real text"),
+      (3L, null.asInstanceOf[String])))
+    val batch = mkDocs(Seq((100L, null.asInstanceOf[String]),
+      (101L, "real text")))
+    for (out <- Seq(
+        Dedup.exactAgainstExisting(batch, existing, col("doc_id"), col("text")),
+        Dedup.exactAgainstExistingBloom(batch, existing, col("doc_id"),
+          col("text"), expectedBatchDocs = 64))) {
+      val m = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("dup_of")), r.getAs[Int]("is_new"))).toMap
+      assert(m(100L) === ((Some(java.lang.Long.valueOf(3L)), 0)),
+        "null text must dup against the standing null-text doc")
+      assert(m(101L) === ((Some(java.lang.Long.valueOf(1L)), 0)))
+    }
+  }
 }

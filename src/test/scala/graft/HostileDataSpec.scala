@@ -109,6 +109,19 @@ class HostileDataSpec extends AnyFunSuite {
       (0 until 1000).map(i => s"line $i").mkString("\n"))
   }
 
+  test("dedupLines keeps null-text documents as empty docs") {
+    // split(null) is null and posexplode of null emits no rows — a
+    // null-text doc would silently vanish, breaking the documented
+    // every-document-survives contract; it must read as an empty doc
+    val docs = Seq((1L, "a\nb"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(2L) === "")
+  }
+
   test("delimiter-bearing values round-trip with escaping on") {
     val D = Delims.Delim
     val src = Seq(

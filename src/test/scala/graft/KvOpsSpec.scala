@@ -140,6 +140,22 @@ class KvOpsSpec extends AnyFunSuite {
     assert(n === 3)
   }
 
+  test("corrupt cells degrade to null/zero rows instead of fabricated payload") {
+    // a cell missing the count prefix entirely (no delimiter): count is
+    // null, the body is null, and unpack emits NO payload rows — never
+    // the raw cell content laundered as a value
+    val corrupt = Seq(("k1", "q1", "no-delimiter-here")).toDF("rowKey", "columnName", "value")
+    assert(corrupt.select(KvOps.cellCount(col("value"))).head().isNullAt(0))
+    assert(corrupt.select(KvOps.stripCountPrefix(col("value"))).head().isNullAt(0))
+    assert(KvStore.unpack(corrupt).count() === 0)
+    // corrupt cells remain FINDABLE for a dead-letter audit
+    assert(corrupt.where(KvOps.cellCount(col("value")).isNull).count() === 1)
+    // a non-numeric prefix likewise: null count, no rows, no ANSI crash
+    val badPrefix = Seq(("k1", "q1", "x" + graft.core.Delims.Delim + "payload"))
+      .toDF("rowKey", "columnName", "value")
+    assert(KvStore.unpack(badPrefix).count() === 0)
+  }
+
   test("bulkGet joins probe keys against the store") {
     val src = Seq(("k1", "q1", "a"), ("k2", "q1", "b"), ("k3", "q2", "c"))
       .toDF("k", "q", "v")
@@ -177,6 +193,12 @@ class KvOpsSpec extends AnyFunSuite {
       .select(KvOps.kvParse(col("details")).as("m"))
     val m = df.select(element_at(col("m"), "col2")).as[String].head()
     assert(m === "b")
+    // a bare token (no '=') maps to a NULL value — the old fall-through
+    // fabricated value == key, indistinguishable from "debug=debug"
+    val bare = Seq(Seq("debug", "k=v")).toDF("details")
+      .select(KvOps.kvParse(col("details")).as("m"))
+    assert(bare.select(element_at(col("m"), "debug")).head().isNullAt(0))
+    assert(bare.select(element_at(col("m"), "k")).as[String].head() === "v")
   }
 
   test("exprWs builds SQL text accepted by selectExpr") {

@@ -85,6 +85,38 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(files(s"$src/bands") > 4)
   }
 
+  test("a replayed append leaves query results correct; compaction heals the store") {
+    // appends are not atomic/idempotent (two sequential table writes) —
+    // an orchestrator retry duplicates the batch's stored rows. The
+    // query's output dedup must keep results identical, and compaction's
+    // full-row dropDuplicates must restore a clean store.
+    val a = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val root = Files.createTempDirectory("graft_mhidx_r").toString
+    val (src, clean, dst) = (s"$root/idx", s"$root/clean", s"$root/compact")
+    Dedup.writeMinhashIndex(a, col("doc_id"), col("text"), src, buckets = 4)
+    Dedup.appendToMinhashIndex(b, col("doc_id"), col("text"), src)
+    Dedup.appendToMinhashIndex(b, col("doc_id"), col("text"), src) // replay
+    Dedup.writeMinhashIndex(a.unionByName(b), col("doc_id"), col("text"),
+      clean, buckets = 4)
+    def rows(path: String) =
+      Dedup.queryMinhashIndex(batch, col("doc_id"), col("text"), path,
+          threshold = 0.8)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"),
+          col("jaccard"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+    val expected = rows(clean)
+    assert(expected.nonEmpty)
+    assert(rows(src) === expected, "duplicated store rows must not leak " +
+      "into duplicate output pairs")
+    Dedup.compactMinhashIndex(spark, src, dst)
+    assert(rows(dst) === expected)
+    // the healed shingles table holds each doc once
+    val sh = spark.read.parquet(s"$dst/shingles")
+    assert(sh.count() === sh.select("doc_id").distinct().count())
+  }
+
   test("streaming batches GROW the persistent index (foreachBatch append)") {
     import org.apache.spark.sql.streaming.Trigger
     // standing index over the odd half; the even half arrives as a
