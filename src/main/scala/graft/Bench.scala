@@ -106,13 +106,7 @@ object Bench {
     // decimal separator on e.g. de_DE JVMs — invalid JSON
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.core.Json.str(s)
     // headline number per query = min over reps (load-robust); any rep
     // failure is loud (-1), never silently papered over by a good rep
     val mins = results.map { case (k, runs) =>

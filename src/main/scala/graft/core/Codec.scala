@@ -104,6 +104,9 @@ object Splits {
     * (non-regex) separators.
     */
   def keepTrailing(s: String, sep: String): Array[String] = {
+    // indexOf("", start) returns start, so an empty separator would spin
+    // the loop forever appending "" — fail the misuse loudly instead
+    require(sep != null && sep.nonEmpty, "separator must be non-empty")
     if (s == null) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0
@@ -116,4 +119,22 @@ object Splits {
     out += s.substring(start)
     out.toArray
   }
+}
+
+/** Minimal JSON string escaper shared by the Bench and Verify mains —
+  * one implementation, so an escape-class fix reaches both artifact
+  * writers (two hand-rolled copies had already drifted on which escape
+  * form newlines took). Escapes backslash, quote, and ALL control chars
+  * below 0x20; a tab or CR in builder-authored SQL must not break the
+  * driver's json.load. */
+object Json {
+  def str(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

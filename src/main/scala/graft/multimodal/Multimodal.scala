@@ -92,12 +92,19 @@ object Multimodal {
     media.select(col("doc_id"), col("modality"), col("payload"), col("meta"))
       .as[MediaRow]
       .mapPartitions { rows =>
+        // ONE digest per partition, not per row — getInstance pays a
+        // provider lookup, and this loop is the documented 100 TB path
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.grouped(batchSize).flatMap { batch =>
           // a real codec would decode the whole batch in one native call
           batch.iterator.map { m =>
-            val feats = FakeCodec.decodeFeatures(m.payload)
-            MediaFeatures(m.doc_id, m.modality, m.payload.length.toLong,
-              md5Hex(m.payload), feats)
+            // null payload = empty payload: the contract everywhere in
+            // this module is that malformed input degrades, never NPEs a
+            // task (payload columns are nullable parquet binary)
+            val p = if (m.payload == null) Array.emptyByteArray else m.payload
+            val feats = FakeCodec.decodeFeatures(p)
+            MediaFeatures(m.doc_id, m.modality, p.length.toLong,
+              md5Hex(md, p), feats)
           }
         }
       }
@@ -116,9 +123,12 @@ object Multimodal {
     media.select(col("doc_id"), col("modality"), col("payload"), col("meta"))
       .as[MediaRow]
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { m =>
-          FakeCodec.sampleFrames(m.payload, n).zipWithIndex.map {
-            case (frame, i) => FrameRow(m.doc_id, i, frame.length, md5OfHex(frame))
+          val p = if (m.payload == null) Array.emptyByteArray else m.payload
+          FakeCodec.sampleFrames(p, n).zipWithIndex.map {
+            case (frame, i) =>
+              FrameRow(m.doc_id, i, frame.length, md5OfHex(md, frame))
           }
         }
       }
@@ -143,7 +153,10 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, p) =>
+        rows.map { case (id, p0) =>
+          // null payload parses as nothing — classify "unknown", the
+          // same degradation path as malformed bytes
+          val p = if (p0 == null) Array.emptyByteArray else p0
           Containers.parseWav(p) match {
             case Some(w) =>
               ContainerInfo(id, "wav", Some(w.channels), Some(w.sampleRate),
@@ -163,9 +176,28 @@ object Multimodal {
       }
   }
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map(b => f"$b%02x").mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  // lookup-table hex, not a per-byte f-interpolator: the formatter form
+  // instantiates a java.util.Formatter PER BYTE — measurable waste on
+  // the per-row/per-frame hashing loops
+  private def hexOf(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Digest is caller-supplied (one per partition); `digest()` leaves it
+    * reset for the next row. */
+  private def md5Hex(md: java.security.MessageDigest,
+                     bytes: Array[Byte]): String =
+    hexOf(md.digest(bytes))
 
   /** Frame checksums hash the LOWERCASE-HEX rendering of the bytes, not
     * the raw bytes: hex is an injective byte encoding, and it keeps the
@@ -173,6 +205,7 @@ object Multimodal {
     * (arbitrary byte slices are not valid UTF-8, so they cannot travel
     * as strings themselves) — which is what lets the driver's DuckDB
     * oracle re-derive frame checksums from `substr(hex(payload), …)`. */
-  private def md5OfHex(bytes: Array[Byte]): String =
-    md5Hex(bytes.map(b => f"$b%02x").mkString.getBytes("UTF-8"))
+  private def md5OfHex(md: java.security.MessageDigest,
+                       bytes: Array[Byte]): String =
+    md5Hex(md, hexOf(bytes).getBytes("UTF-8"))
 }

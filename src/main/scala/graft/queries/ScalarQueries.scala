@@ -294,11 +294,24 @@ object ScalarQueries {
 
     // DuckDB sum(int) widens to HUGEINT (int128), which the driver's
     // fetch path renders as float — cast to bigint to match Spark's sum.
+    // the SAME integer-pattern guard as variant_extract: DuckDB's bare
+    // try_cast ROUNDS '3.7' to 4 (and parses '1e3' to 1000) where Spark
+    // nulls both — an unguarded oracle diverges the day a non-integer k
+    // lands in the fixture. trim's explicit char set mirrors Spark's
+    // cast, which strips tabs/newlines too (DuckDB trim() is space-only).
     "json_extract" ->
-      """SELECT event_type, count(*) AS n,
-        |  cast(sum(try_cast(CASE WHEN json_valid(props)
-        |      THEN json_extract_string(props, '$.k') END AS integer)) AS bigint) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(props)
+        |         THEN json_extract_string(props, '$.k') END AS ks
+        |  FROM events),
+        |t AS (SELECT event_type,
+        |        trim(ks, concat(' ', chr(9), chr(10), chr(13))) AS ks
+        |      FROM x)
+        |SELECT event_type, count(*) AS n,
+        |  cast(sum(CASE WHEN regexp_matches(ks, '^[-+]?[0-9]+$')
+        |      THEN try_cast(ks AS integer) END) AS bigint) AS sum_k
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // variant extraction: the integer-pattern regex reproduces Spark's
     // try_cast(string AS int) semantics — DuckDB's bare try_cast ROUNDS
@@ -311,8 +324,10 @@ object ScalarQueries {
         |         THEN json_extract_string(props, '$.k') END AS ks
         |  FROM events)
         |SELECT event_type, count(*) AS n,
-        |  cast(sum(CASE WHEN regexp_matches(trim(ks), '^[-+]?[0-9]+$')
-        |      THEN cast(trim(ks) AS integer) END) AS bigint) AS sum_k
+        |  cast(sum(CASE WHEN regexp_matches(
+        |        trim(ks, concat(' ', chr(9), chr(10), chr(13))), '^[-+]?[0-9]+$')
+        |      THEN try_cast(trim(ks, concat(' ', chr(9), chr(10), chr(13)))
+        |                    AS integer) END) AS bigint) AS sum_k
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "explode_group" ->

@@ -67,6 +67,13 @@ class CodecSpec extends AnyFunSuite {
     assert(vals === Seq("a", "", ""))
   }
 
+  test("keepTrailing rejects an empty separator instead of spinning forever") {
+    // indexOf("", start) == start: the loop would never advance and the
+    // buffer would grow to OOM
+    val e = intercept[IllegalArgumentException](Splits.keepTrailing("abc", ""))
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("keepTrailing matches split(-1) semantics") {
     assert(Splits.keepTrailing("a\u0000\u0000b\u0000\u0000", "\u0000").toSeq ===
       Seq("a", "", "b", "", ""))

@@ -409,6 +409,24 @@ class ExtensionSpec extends AnyFunSuite {
     assert(one.checksum === expected)
   }
 
+  test("null payloads degrade to empty/unknown instead of NPEing the task") {
+    // payload is a nullable binary column; the module's contract is that
+    // malformed input degrades — a null row must not kill the stage
+    val media = Seq(
+      (1L, "text", "real".getBytes("UTF-8"), Map("k" -> "v")),
+      (2L, "text", null.asInstanceOf[Array[Byte]], Map.empty[String, String]))
+      .toDF("doc_id", "modality", "payload", "meta")
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(2L).n_bytes === 0L)
+    assert(feats(2L).features.length === 16)
+    val metaRows = Multimodal.containerMeta(spark, media).collect()
+      .map(c => c.doc_id -> c.format).toMap
+    assert(metaRows(2L) === "unknown")
+    val frames = Multimodal.sampleFrameTable(spark, media, n = 2)
+    assert(frames.where(col("doc_id") === 2L).count() >= 0) // no NPE
+  }
+
   test("hashed text embeddings surface the planted near-duplicate pairs") {
     import graft.ops.TextExprs
     import graft.text.TextOps
