@@ -141,7 +141,11 @@ object MucrReader {
   private def wellFormed(sep: String): Column = {
     val f = split(col("value"), java.util.regex.Pattern.quote(sep), -1)
     val n = get(f, lit(5)).try_cast(IntegerType)
-    size(f) >= lit(6) && n.isNotNull && n >= 0 && (size(f) - 6) >= n * 3
+    // n * 3 in LONG: a hostile line declaring ~2^30 counters would
+    // overflow IntegerType and ANSI-throw — one bad line killing the
+    // batch, the exact failure this predicate exists to quarantine
+    size(f) >= lit(6) && n.isNotNull && n >= 0 &&
+      (size(f) - 6).cast("long") >= n.cast("long") * 3
   }
 
   /** Well-formed lines only — the streaming/batch ingest path. */

@@ -79,6 +79,15 @@ object KvOps {
   def cellCount(cell: Column, delim: String = Delims.Delim): Column =
     substring_index(cell, delim, 1).try_cast("int")
 
+  /** Audit predicate for [[unpackCells]]' quarantine semantics: true for
+    * every cell that unpack drops without payload rows — a non-numeric
+    * count prefix OR no delimiter at all (a bare numeric like "5" parses
+    * as a count but carries no body; it is just as corrupt). Route
+    * `kv.where(isCorruptPackedCell(col("value")))` to a dead-letter sink
+    * so quarantined cells stay findable. */
+  def isCorruptPackedCell(cell: Column, delim: String = Delims.Delim): Column =
+    cellCount(cell, delim).isNull || instr(cell, delim) === 0
+
   /** Unpack a packed KV table back to long format — the reference's
     * `hbaseTableToDataFrame` + `hbaseDataFrameSplit` (Utils.scala:377-402)
     * as split + explode. Input columns: (rowKey, columnName, value);
@@ -95,11 +104,12 @@ object KvOps {
       // legitimate payload of a one-empty-value cell; the count prefix
       // disambiguates
       .withColumn("packedValue",
-        // a null count means a corrupt prefixless cell (cellCount is
-        // try_cast): emit NO payload rows for it rather than exploding
-        // garbage — find such cells with where(cellCount(value).isNull)
+        // corrupt cells (non-numeric prefix, or a delimiter-less cell —
+        // whose __body is null even when its bare content parses as a
+        // count) emit NO payload rows rather than exploding garbage;
+        // find them with where(isCorruptPackedCell(col("value")))
         explode(when(cellCount(col("value"), delim) === 0
-            || cellCount(col("value"), delim).isNull,
+            || isCorruptPackedCell(col("value"), delim),
           array().cast("array<string>"))
           .otherwise(split(col("__body"),
             java.util.regex.Pattern.quote(Delims.RowSep), -1))))

@@ -297,8 +297,10 @@ object ScalarQueries {
     // the SAME integer-pattern guard as variant_extract: DuckDB's bare
     // try_cast ROUNDS '3.7' to 4 (and parses '1e3' to 1000) where Spark
     // nulls both — an unguarded oracle diverges the day a non-integer k
-    // lands in the fixture. trim's explicit char set mirrors Spark's
-    // cast, which strips tabs/newlines too (DuckDB trim() is space-only).
+    // lands in the fixture. The edge trim mirrors Spark's cast EXACTLY:
+    // UTF8String.trimAll strips every char <= 0x20 (probe-verified:
+    // \f, \v, NUL all trim to 42; NEL 0x85 does NOT), so a char-set
+    // trim of just space/tab/CR/LF would diverge on a form-feed-padded k.
     "json_extract" ->
       """WITH x AS (
         |  SELECT event_type,
@@ -306,7 +308,7 @@ object ScalarQueries {
         |         THEN json_extract_string(props, '$.k') END AS ks
         |  FROM events),
         |t AS (SELECT event_type,
-        |        trim(ks, concat(' ', chr(9), chr(10), chr(13))) AS ks
+        |        regexp_replace(ks, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS ks
         |      FROM x)
         |SELECT event_type, count(*) AS n,
         |  cast(sum(CASE WHEN regexp_matches(ks, '^[-+]?[0-9]+$')
@@ -316,19 +318,21 @@ object ScalarQueries {
     // variant extraction: the integer-pattern regex reproduces Spark's
     // try_cast(string AS int) semantics — DuckDB's bare try_cast ROUNDS
     // '3.7' to 4 where Spark nulls it, so an unguarded cast would
-    // silently diverge the day a non-integer k appears in the fixture
+    // silently diverge the day a non-integer k appears in the fixture;
+    // edge trim = [\x00-\x20] for the json_extract trimAll-parity reason
     "variant_extract" ->
       """WITH x AS (
         |  SELECT event_type,
         |    CASE WHEN json_valid(props)
         |         THEN json_extract_string(props, '$.k') END AS ks
-        |  FROM events)
+        |  FROM events),
+        |t AS (SELECT event_type,
+        |        regexp_replace(ks, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS ks
+        |      FROM x)
         |SELECT event_type, count(*) AS n,
-        |  cast(sum(CASE WHEN regexp_matches(
-        |        trim(ks, concat(' ', chr(9), chr(10), chr(13))), '^[-+]?[0-9]+$')
-        |      THEN try_cast(trim(ks, concat(' ', chr(9), chr(10), chr(13)))
-        |                    AS integer) END) AS bigint) AS sum_k
-        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |  cast(sum(CASE WHEN regexp_matches(ks, '^[-+]?[0-9]+$')
+        |      THEN try_cast(ks AS integer) END) AS bigint) AS sum_k
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "explode_group" ->
       """SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS tok

@@ -46,6 +46,24 @@ object StreamingIngest {
   def muprStream(spark: SparkSession, pathGlob: String, meta: DataFrame,
                  keyParts: Seq[Column], qualifier: Column,
                  valueParts: Seq[Column], storePath: String) = {
+    // Store layout is v2: batch_id=…/salt=…. Refuse a pre-existing v1
+    // store (salt=… at the top level): Spark partition discovery on the
+    // mixed tree throws "conflicting directory structures" for EVERY
+    // reader of the store, and v1 files sit outside any batch_id
+    // partition, so a replayed pre-upgrade batch could never overwrite
+    // its old copy — the duplicate the batch_id keying exists to
+    // prevent. Migrate by moving the v1 salt=* dirs under a single
+    // batch_id=-1/ (one rename each, content untouched) or point the
+    // stream at a fresh storePath.
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith("salt=")))
+      throw new IllegalStateException(
+        s"muprStream store at $storePath uses the pre-batch_id v1 layout " +
+          "(top-level salt=… directories); move them under batch_id=-1/ " +
+          "or use a fresh storePath — mixing layouts breaks partition " +
+          "discovery for every reader")
     val lines = spark.readStream
       .schema(graft.ingest.MuprReader.schema)
       .option("sep", graft.core.Delims.Delim)
@@ -176,6 +194,15 @@ object StreamingIngest {
         id)
     }
 
+  /** A built decontamination stream: `writer` to start; call `release()`
+    * after the stream stops to drop the benchmark gram cache (one
+    * MEMORY_AND_DISK entry per build — it lives in the CacheManager, not
+    * per-batch, so the cost is bounded by streams built, but a
+    * long-running application cycling many streams should release). */
+  final case class DecontaminateStream(
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      release: () => Unit)
+
   /** [[decontaminateBatches]] through the bloom prefilter, with BOTH
     * benchmark artifacts built ONCE before the stream starts: the bloom
     * bitmap AND the persisted distinct-gram frame — inside the batch
@@ -185,33 +212,37 @@ object StreamingIngest {
     * join against the cached gram set (for a benchmark too large to
     * persist in memory, materialize [[graft.text.Decontaminate.
     * benchGramSet]] to parquet and pass that read back in as `bench`).
-    * The large-benchmark streaming shape. */
+    * The large-benchmark streaming shape.
+    *
+    * The gram frame is `persist(MEMORY_AND_DISK)` + an eager count — NOT
+    * `localCheckpoint`: a checkpointed frame's lineage is truncated and
+    * its blocks unreplicated, so losing ANY executor holding one
+    * (decommission, spot kill, OOM) during the stream's lifetime makes
+    * every later micro-batch fail on a missing block until the query is
+    * externally restarted. Persist keeps the lineage: a lost partition
+    * recomputes transparently from `bench`, and the eager count still
+    * materializes the set before the first batch. The price is the cache
+    * entry outliving the stream unless [[DecontaminateStream.release]]
+    * is called — the bounded, recoverable trade. */
   def decontaminateBloomBatches(stream: DataFrame, bench: DataFrame,
                                 onBatch: (DataFrame, Long) => Unit,
                                 n: Int = 5, minHits: Int = 1,
                                 expectedBenchGrams: Long = 1L << 22,
-                                fpp: Double = 0.01):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                                fpp: Double = 0.01): DecontaminateStream = {
     import org.apache.spark.sql.functions.col
     val bloom = graft.text.Decontaminate.benchBloom(
       bench, col("text"), n, expectedBenchGrams, fpp)
-    // eager localCheckpoint, not persist(): persist is LAZY (the gram set
-    // would actually materialize inside the first micro-batch, belying
-    // "built once before the stream starts") and a Dataset.persist entry
-    // lives in the CacheManager until explicitly unpersisted — with no
-    // handle returned, each call would leak one MEMORY_AND_DISK frame for
-    // the application's lifetime. A checkpointed frame materializes HERE,
-    // and its storage is released by the ContextCleaner when the stream
-    // holding it is garbage-collected — the exact lifetime we want.
     val benchGrams = graft.text.Decontaminate
       .benchGramSet(bench, col("text"), n)
-      .localCheckpoint(true)
-    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    benchGrams.count() // materialize before the stream starts
+    val writer = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       onBatch(
         graft.text.Decontaminate.flagPrebuiltBloom(
           batch, benchGrams, bloom, col("doc_id"), col("text"), n, minHits),
         id)
     }
+    DecontaminateStream(writer, () => { benchGrams.unpersist(); () })
   }
 
   /** Watermarked STREAM-STREAM interval join: each left event pairs

@@ -116,20 +116,26 @@ class KvOpsSpec extends AnyFunSuite {
       // non-numeric count → null n → zero counter rows (not CAST_INVALID_INPUT)
       Seq("1003", "1", "TP", "P", "SS01", "X", "C", "2", "1").mkString(Delims.Delim),
       // fewer than 6 fixed fields → null fields, zero counter rows
-      Seq("1004", "1").mkString(Delims.Delim)
+      Seq("1004", "1").mkString(Delims.Delim),
+      // hostile declared count near Int.MaxValue: n*3 must not overflow
+      // IntegerType (ANSI would throw, killing the whole batch) — the
+      // line routes to corrupt like any other declared-vs-present gap
+      Seq("1005", "1", "TP", "P", "SS01", "1000000000", "C", "2", "1")
+        .mkString(Delims.Delim)
     ).toDF("value")
     // the whole frame parses without a task failure (ANSI is on by default)
     val parsed = MucrReader.parse(lines)
-    assert(parsed.count() === 2) // 1001's counter + 1002's clamped counter
+    // 1001's counter + the clamped single counters of 1002 and 1005
+    assert(parsed.count() === 3)
     assert(parsed.select("Unit_Testing_Seq_Key").as[String].collect().sorted
-      === Array("1001", "1002"))
+      === Array("1001", "1002", "1005"))
     // quarantine split: parse keeps the well-formed, corrupt keeps the rest
     val clean = MucrReader.parseClean(lines)
     assert(clean.select("Unit_Testing_Seq_Key").as[String].collect().toSeq
       === Seq("1001"))
     val corrupt = MucrReader.parseCorrupt(lines)
       .as[String].collect().map(_.split(Delims.Delim)(0)).sorted
-    assert(corrupt.toSeq === Seq("1002", "1003", "1004"))
+    assert(corrupt.toSeq === Seq("1002", "1003", "1004", "1005"))
   }
 
   test("cell count prefix matches group size") {
@@ -154,6 +160,20 @@ class KvOpsSpec extends AnyFunSuite {
     val badPrefix = Seq(("k1", "q1", "x" + graft.core.Delims.Delim + "payload"))
       .toDF("rowKey", "columnName", "value")
     assert(KvStore.unpack(badPrefix).count() === 0)
+    // a BARE-NUMERIC cell ("5", no delimiter): the prefix parses as a
+    // count, so cellCount.isNull misses it — but it has no body and must
+    // still quarantine (zero rows) and stay findable via the audit
+    // predicate that covers the whole dropped class
+    val bare = Seq(("k1", "q1", "5")).toDF("rowKey", "columnName", "value")
+    assert(KvStore.unpack(bare).count() === 0)
+    assert(bare.where(KvOps.cellCount(col("value")).isNull).count() === 0)
+    assert(bare.where(KvOps.isCorruptPackedCell(col("value"))).count() === 1)
+    // …while the audit predicate stays FALSE for every healthy shape
+    val healthy = Seq(
+      ("k", "q", "0" + graft.core.Delims.Delim),
+      ("k", "q", "1" + graft.core.Delims.Delim + "payload"))
+      .toDF("rowKey", "columnName", "value")
+    assert(healthy.where(KvOps.isCorruptPackedCell(col("value"))).count() === 0)
   }
 
   test("bulkGet joins probe keys against the store") {

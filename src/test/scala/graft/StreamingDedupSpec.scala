@@ -123,15 +123,17 @@ class StreamingDedupSpec extends AnyFunSuite {
     val stream = spark.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 1).json(in.toString)
     val flags = scala.collection.concurrent.TrieMap[Long, Int]()
-    val q = StreamingIngest.decontaminateBloomBatches(stream, bench,
+    val built = StreamingIngest.decontaminateBloomBatches(stream, bench,
         (flagged, _) =>
           flagged.collect().foreach(r =>
             flags.put(r.getAs[Long]("doc_id"), r.getAs[Int]("contaminated"))),
         expectedBenchGrams = 1024)
+    val q = built.writer
       .option("checkpointLocation", dir.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(60000)
+    built.release()
     assert(flags(100L) === 1)
     assert(flags(101L) === 0)
   }

@@ -80,6 +80,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(KvStore.read(spark, store).count() === 2)
   }
 
+  test("muprStream refuses a pre-batch_id v1 store layout") {
+    val dir = Files.createTempDirectory("graft_stream_v1")
+    val store = dir.resolve("store")
+    // a v1 store: salt=… directly under the root, no batch_id level
+    Files.createDirectories(store.resolve("salt=0"))
+    val meta = Seq(("f.dat", "L1", 202032, 2.0))
+      .toDF("File_Name", "Lot", "Lato_Start_WW", "Lots_seq_key")
+    val e = intercept[IllegalStateException] {
+      StreamingIngest.muprStream(spark, dir.toString + "/in/*.dat", meta,
+        keyParts = Seq(col("Lot")), qualifier = col("Test_Name"),
+        valueParts = Seq(col("Substructure_ID")),
+        storePath = store.toString)
+    }
+    assert(e.getMessage.contains("batch_id=-1"))
+  }
+
   test("windowed event counts equal the batch aggregation") {
     val dir = Files.createTempDirectory("graft_stream2")
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
