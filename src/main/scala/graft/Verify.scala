@@ -49,7 +49,14 @@ object Verify {
     // SQL would otherwise make the driver's json.load fail and silently
     // zero the round's correctness
     def q(s: String): String = graft.core.Json.str(s)
-    val json = SparkEntry.oracleSql
+    // under VERIFY_ONLY the oracle dump must shrink with the selection:
+    // a full oracle_sql.json makes the checker fail every unselected
+    // query as "no output", burying the one result being iterated on
+    val oracles = only match {
+      case Some(names) => SparkEntry.oracleSql.filter(o => names(o._1))
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

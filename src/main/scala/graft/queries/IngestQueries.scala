@@ -21,6 +21,28 @@ object IngestQueries {
   private val FixtureDir = graft.Fixtures.dir
   private val Sep = "|"
 
+  /** One packed store per (gate, data dir) per JVM: for the SCAN-side
+    * gates the store write is setup, not the operator under test, so
+    * repeated Verify/Bench invocations reuse the first build (pack is
+    * deterministic — identical store every time). Every temp dir —
+    * memoized or not — registers with the shared gate cleanup hook, so
+    * a session leaves no graft_gate_* residue on disk. */
+  private val storeCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cachedStore(key: String, prefix: String)(build: String => Unit): String =
+    storeCache.synchronized {
+      storeCache.getOrElseUpdate(key, {
+        val path = freshStore(prefix)
+        build(path)
+        path
+      })
+    }
+
+  private def freshStore(prefix: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    ExtensionQueries.IndexCache.cleanupAtExit(tmp)
+    tmp.toString + "/store"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §7.2 slice (Utils.scala:154-236 → 377-402): explicit-schema CSV
@@ -41,9 +63,8 @@ object IngestQueries {
         col("Mask_Vector"))
       val kv = KvStore.pack(enriched, keyCols, col("Test_Name"), valueCols,
         delim = Sep)
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_gate_kv").toString
-      KvStore.write(kv, store)
+      val store = cachedStore("mupr_roundtrip", "graft_gate_kv")(
+        KvStore.write(kv, _))
       // selective prefix: units starting with '1' in lot LOTA
       val scanned = KvOps.prefixScan(KvStore.read(s, store),
         "rowKey", "LOTA|202032|2|1")
@@ -65,9 +86,8 @@ object IngestQueries {
         valueParts = Seq(col("l_linenumber"),
           col("l_quantity").cast("decimal(12,2)")),
         delim = Sep)
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_gate_dsv2").toString
-      KvStore.write(kv, store)
+      val store = cachedStore(s"kv_dsv2_scan|$dir", "graft_gate_dsv2")(
+        KvStore.write(kv, _))
       val back = s.read.format("graft.sources.KvSource").load(store)
       KvStore.unpack(KvOps.prefixScan(back, "rowKey", "10"), delim = Sep)
         .select(col("rowKey"), col("columnName"), col("packedValue"))
@@ -88,8 +108,9 @@ object IngestQueries {
         valueParts = Seq(col("l_linenumber"),
           col("l_quantity").cast("decimal(12,2)")),
         delim = Sep)
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_gate_dsv2w").toString
+      // the WRITE is this gate's operator — rebuilt per invocation on
+      // purpose; only the dir registration keeps it from leaking
+      val store = freshStore("graft_gate_dsv2w")
       kv.write.format("graft.sources.KvSource").mode("overwrite").save(store)
       val back = s.read.format("graft.sources.KvSource").load(store)
       KvStore.unpack(KvOps.prefixScan(back, "rowKey", "10"), delim = Sep)
