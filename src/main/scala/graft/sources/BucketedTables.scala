@@ -36,30 +36,51 @@ object BucketedTables {
   def table(spark: SparkSession, name: String, location: String,
             buckets: Int, bucketCol: String,
             sortCols: Seq[String] = Nil): DataFrame = {
-    if (!spark.catalog.tableExists(name)) {
-      val schema = spark.read.parquet(location).schema.toDDL
-      val sorted =
-        if (sortCols.isEmpty) "" else s"SORTED BY (${sortCols.mkString(", ")}) "
-      // single quotes in the path must escape or the DDL can't parse —
-      // the builders accept any path the DataFrame writers accept;
-      // IF NOT EXISTS: two racing first-queries both pass the exists
-      // check above, and the loser must not crash on a table the winner
-      // just registered identically
-      val loc = location.replace("'", "''")
-      spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS $name ($schema) USING PARQUET
-           |CLUSTERED BY ($bucketCol) ${sorted}INTO $buckets BUCKETS
-           |LOCATION '$loc'""".stripMargin)
-    } else {
-      // the index tables are APPENDABLE (appendTo*Index), and appends
-      // can run in OTHER sessions — e.g. foreachBatch micro-batch
-      // clones, whose cache invalidation never reaches this session's
-      // tableRelationCache. Refresh so a query against a just-grown
-      // index sees the growth; the cost is one file listing, which a
-      // mutable table owes per query anyway.
-      spark.catalog.refreshTable(name)
+    if (!spark.catalog.tableExists(name)) register(spark, name, location,
+      buckets, bucketCol, sortCols)
+    else {
+      // a registration can go STALE: another application rebuilds or
+      // compacts the index at the same path with a different bucket
+      // count, updates params, and this session's next table() call
+      // arrives with the new count while the catalog still holds the
+      // old spec — planning bucketed joins against the wrong modulus is
+      // wrong results, not an error. Compare and re-register on any
+      // mismatch; on match, refresh (the index tables are APPENDABLE —
+      // appendTo*Index — and appends can run in OTHER sessions, e.g.
+      // foreachBatch micro-batch clones, whose cache invalidation never
+      // reaches this session's tableRelationCache; one file listing is
+      // what a mutable table owes per query anyway).
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .bucketSpec
+      val matches = spec.exists(bs => bs.numBuckets == buckets &&
+        bs.bucketColumnNames == Seq(bucketCol) &&
+        bs.sortColumnNames == sortCols)
+      if (!matches) {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        register(spark, name, location, buckets, bucketCol, sortCols)
+      } else spark.catalog.refreshTable(name)
     }
     spark.table(name)
+  }
+
+  private def register(spark: SparkSession, name: String, location: String,
+                       buckets: Int, bucketCol: String,
+                       sortCols: Seq[String]): Unit = {
+    val schema = spark.read.parquet(location).schema.toDDL
+    val sorted =
+      if (sortCols.isEmpty) "" else s"SORTED BY (${sortCols.mkString(", ")}) "
+    // single quotes in the path must escape or the DDL can't parse —
+    // the builders accept any path the DataFrame writers accept;
+    // IF NOT EXISTS: two racing first-queries both pass the exists
+    // check above, and the loser must not crash on a table the winner
+    // just registered identically
+    val loc = location.replace("'", "''")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name ($schema) USING PARQUET
+         |CLUSTERED BY ($bucketCol) ${sorted}INTO $buckets BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    ()
   }
 
   /** [[table]] when the bucket count is known, a plain parquet read when
@@ -79,8 +100,15 @@ object BucketedTables {
   def readBuckets(spark: SparkSession, paramsPath: String): Option[Int] =
     try {
       val df = spark.read.parquet(paramsPath)
-      if (df.columns.contains("buckets"))
-        Some(df.head().getAs[Int]("buckets"))
-      else None
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (!df.columns.contains("buckets")) None
+      else
+        // take(1), not head(): a crashed writeIndex can leave a params
+        // table that reads fine but holds zero rows (or a null cell) —
+        // the contract is "None when unreadable as params", which must
+        // cover half-written just like missing (callers then degrade to
+        // the plain, bucketing-less read; correctness is unaffected)
+        df.take(1).headOption
+          .filter(r => !r.isNullAt(r.fieldIndex("buckets")))
+          .map(_.getAs[Int]("buckets"))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -106,16 +106,69 @@ object KvConnector {
     id.replaceAll("[^A-Za-z0-9_.-]", "-")
 
   /** Every (parquet file, salt) under the store — the listing every scan
-    * flavor prunes from. */
+    * flavor prunes from.
+    *
+    * LOCAL paths only, loudly: the connector's whole commit protocol is
+    * java.io atomic renames, and `File.listFiles` on an `hdfs://`/`s3a://`
+    * URI returns null — every scan (and COUNT(*)) of a remote store
+    * would silently report an EMPTY store. Remote stores go through the
+    * plain parquet source (`KvStore.read`), which speaks Hadoop FS. */
   private[sources] def storeFiles(path: String): Seq[(java.io.File, Int)] = {
+    schemeOf(path).foreach { s =>
+      throw new IllegalArgumentException(
+        s"graft.sources.KvSource is a local-filesystem connector; got " +
+          s"scheme '$s' in $path — read remote stores with the parquet " +
+          "source (KvStore.read) instead")
+    }
     val root = new java.io.File(path)
     for {
       dir <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
       if dir.isDirectory && dir.getName.startsWith("salt=")
-      salt = dir.getName.stripPrefix("salt=").toInt
+      salt = dir.getName.stripPrefix("salt=") match {
+        // guard, don't toInt: a null salt written around the connector
+        // leaves salt=__HIVE_DEFAULT_PARTITION__, and a raw toInt would
+        // make EVERY scan of the store throw NumberFormatException with
+        // no hint which directory is at fault
+        case s if s.nonEmpty && s.length <= 9 && s.forall(_.isDigit) => s.toInt
+        case bad => throw new IllegalStateException(
+          s"KV store at $path contains a non-numeric salt partition " +
+            s"'salt=$bad' — the invariant salt = Salt.bucket(rowKey) is " +
+            "broken (null salt, or a stray directory?); quarantine or " +
+            "rewrite that directory before scanning")
+      }
       f <- Option(dir.listFiles()).getOrElse(Array.empty)
       if f.getName.endsWith(".parquet")
     } yield (f, salt)
+  }
+
+  /** URI scheme of a store path, None for plain local paths. */
+  private def schemeOf(path: String): Option[String] =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://".r.findFirstMatchIn(path).map(_.group(1))
+
+  private[sources] def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Operator utility: delete crashed writes' leftover underscore dirs
+    * (`_staging_*`, `_new_*`, `_old_*`) older than `olderThanMillis`.
+    * Readers ignore underscore dirs, so leftovers are invisible to
+    * queries — this bounds DISK growth across crashes. Age-gated because
+    * a live concurrent writer's staging is indistinguishable from a dead
+    * one's by name alone; pick a threshold longer than any plausible
+    * write (streaming epoch staging is swept automatically and exactly —
+    * see KvStreamingWrite — so this is for crashed BATCH jobs). */
+  def sweepStaleStaging(path: String, olderThanMillis: Long): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val stale = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        (d.getName.startsWith("_staging_") || d.getName.startsWith("_new_") ||
+          d.getName.startsWith("_old_")) &&
+        d.lastModified() < cutoff)
+    stale.foreach(deleteRec)
+    stale.length
   }
 
   /** Conservative: can a row group with rowKey range [min, max] contain
@@ -293,20 +346,31 @@ class KvScan(path: String, pushed: Array[Filter], required: StructType)
       org.apache.spark.sql.sources.In("rowKey", ks.toArray[Any]))
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val saltEq: Set[Int] = (pushed.collect {
-      case EqualTo("salt", n: Int) => Set(n)
-      // a point get knows its salt — HBase's region locating
-      case EqualTo("rowKey", k: String) => Set(Salt.bucket(k))
-    } ++ runtimeKeys.map(_.map(k => Salt.bucket(k)).toSet).toSeq)
-      .reduceOption(_ intersect _).getOrElse(Set.empty)
-    val pruneSalts = pushed.exists {
-      case EqualTo("salt", _) | EqualTo("rowKey", _) => true
-      case _ => false
-    } || runtimeKeys.isDefined
+    val (saltEq, pruneSalts) = saltPruning(runtimeKeys)
     prunedFiles(saltEq, pruneSalts)
       .map { case (f, salt) =>
         KvInputPartition(f.getAbsolutePath, salt): InputPartition }
       .toArray
+  }
+
+  /** Shared salt-pruning derivation: the set of salts the pushed
+    * filters (and optional runtime point-get keys) pin the scan to, and
+    * whether pruning applies at all. ONE implementation on purpose —
+    * planInputPartitions and estimateStatistics both use it, so the
+    * stats a join planner sees always describe the file set the scan
+    * will actually read. */
+  private def saltPruning(runtime: Option[Array[String]]): (Set[Int], Boolean) = {
+    val saltEq: Set[Int] = (pushed.collect {
+      case EqualTo("salt", n: Int) => Set(n)
+      // a point get knows its salt — HBase's region locating
+      case EqualTo("rowKey", k: String) => Set(Salt.bucket(k))
+    } ++ runtime.map(_.map(k => Salt.bucket(k)).toSet).toSeq)
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val prune = pushed.exists {
+      case EqualTo("salt", _) | EqualTo("rowKey", _) => true
+      case _ => false
+    } || runtime.isDefined
+    (saltEq, prune)
   }
 
   private def prunedFiles(saltEq: Set[Int],
@@ -320,14 +384,9 @@ class KvScan(path: String, pushed: Array[Filter], required: StructType)
     * (effectively infinite), so a point-get or small store could never
     * win a broadcast-join decision. */
   override def estimateStatistics(): Statistics = {
-    val saltEq: Set[Int] = pushed.collect {
-      case EqualTo("salt", n: Int) => Set(n)
-      case EqualTo("rowKey", k: String) => Set(Salt.bucket(k))
-    }.reduceOption(_ intersect _).getOrElse(Set.empty)
-    val pruneSalts = pushed.exists {
-      case EqualTo("salt", _) | EqualTo("rowKey", _) => true
-      case _ => false
-    }
+    // stats run at planning time, before runtime filtering delivers the
+    // point-get keys — static pruning only
+    val (saltEq, pruneSalts) = saltPruning(runtime = None)
     val bytes = prunedFiles(saltEq, pruneSalts).map(_._1.length()).sum
     val factor = org.apache.spark.sql.internal.SQLConf.get.fileCompressionFactor
     new Statistics {
@@ -561,11 +620,7 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean,
       deleteRec(new java.io.File(path, s"_new_$queryId"))
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(); ()
-  }
+  private def deleteRec(f: java.io.File): Unit = KvConnector.deleteRec(f)
 }
 
 class KvWriterFactory(stagingPath: String, schema: StructType,
@@ -612,10 +667,33 @@ class KvWriterFactory(stagingPath: String, schema: StructType,
 class KvStreamingWrite(path: String, schema: StructType, queryId: String,
                        streamId: String)
     extends StreamingWrite {
+  // '=' separators: sanitizeId never emits '=', so the name parses
+  // unambiguously even when streamId/queryId contain '_' — and a stream
+  // named "a" can never mistake stream "a_b"'s staging for its own
   private def staging(epochId: Long) =
-    new java.io.File(path, s"_staging_${queryId}_e$epochId")
+    new java.io.File(path, KvStreamingWrite.stagingName(streamId, queryId, epochId))
   private def marker(epochId: Long) =
     new java.io.File(path, s"_commits_$streamId/epoch-$epochId")
+
+  /** Staging dirs of THIS stream left by earlier epochs under any
+    * (crashed) run's queryId. Epochs commit in order, so at epoch N
+    * every staged dir of this stream with epoch <= N is dead — either
+    * committed long ago or an abandoned attempt a restart superseded.
+    * Other streams' staging (different streamId prefix) is never
+    * touched: concurrent queries legitimately share a store. Without
+    * this sweep, a crash between staging and commit leaks the staged
+    * parquet forever — the restarted run gets a fresh queryId and its
+    * own cleanup paths never match the old names. */
+  private def staleStagingDirs(epochId: Long): Seq[java.io.File] = {
+    val pat = java.util.regex.Pattern.compile(
+      s"_staging_${java.util.regex.Pattern.quote(streamId)}=[^=]*=e(\\d+)")
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty).toSeq
+      .filter { d =>
+        val m = pat.matcher(d.getName)
+        d.isDirectory && m.matches() &&
+          scala.util.Try(m.group(1).toLong).toOption.exists(_ <= epochId)
+      }
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -637,7 +715,7 @@ class KvStreamingWrite(path: String, schema: StructType, queryId: String,
           "committed — skipping as a replay. If this is a NEW query " +
           "(not a checkpoint recovery), set a distinct streamId option " +
           "or its batches will be dropped.")
-      deleteRec(staging(epochId))
+      staleStagingDirs(epochId).foreach(KvConnector.deleteRec)
       return
     }
     // crashed-commit sweep: drop whatever a previous attempt of this
@@ -664,18 +742,19 @@ class KvStreamingWrite(path: String, schema: StructType, queryId: String,
     }
     marker(epochId).getParentFile.mkdirs()
     java.nio.file.Files.createFile(marker(epochId).toPath)
-    deleteRec(staging(epochId))
+    // the current epoch's staging plus any crashed predecessor's
+    staleStagingDirs(epochId).foreach(KvConnector.deleteRec)
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
-    deleteRec(staging(epochId))
+    KvConnector.deleteRec(staging(epochId))
+}
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(); ()
-  }
+object KvStreamingWrite {
+  private[sources] def stagingName(streamId: String, queryId: String,
+                                   epochId: Long): String =
+    s"_staging_$streamId=$queryId=e$epochId"
 }
 
 class KvStreamingWriterFactory(path: String, queryId: String,
@@ -684,7 +763,8 @@ class KvStreamingWriterFactory(path: String, queryId: String,
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new KvStreamingDataWriter(
-      new java.io.File(path, s"_staging_${queryId}_e$epochId").getAbsolutePath,
+      new java.io.File(path,
+        KvStreamingWrite.stagingName(streamId, queryId, epochId)).getAbsolutePath,
       schema, partitionId, epochId, streamId)
 }
 
@@ -696,8 +776,6 @@ class KvStreamingDataWriter(stagingPath: String, schema: StructType,
                             streamId: String)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
-  import org.apache.parquet.hadoop.metadata.CompressionCodecName
 
   private val idx = Map(
     "rowKey" -> schema.fieldIndex("rowKey"),
@@ -710,7 +788,7 @@ class KvStreamingDataWriter(stagingPath: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     def str(i: Int): String =
       if (row.isNullAt(i)) null else row.getUTF8String(i).toString
-    rows += ((row.getInt(saltIdx), str(idx("rowKey")),
+    rows += ((KvParquet.requireSalt(row, saltIdx), str(idx("rowKey")),
       str(idx("columnName")), str(idx("value"))))
   }
 
@@ -718,13 +796,7 @@ class KvStreamingDataWriter(stagingPath: String, schema: StructType,
     val factory = new SimpleGroupFactory(KvParquet.fileSchema)
     val written = rows.groupBy(_._1).toSeq.map { case (salt, group) =>
       val rel = s"salt=$salt/part-$partitionId-epoch$epochId-$streamId.parquet"
-      val f = new java.io.File(stagingPath, rel)
-      f.getParentFile.mkdirs()
-      val writer = ExampleParquetWriter.builder(new Path(f.getAbsolutePath))
-        .withConf(new Configuration())
-        .withType(KvParquet.fileSchema)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+      val writer = KvParquet.writerFor(new java.io.File(stagingPath, rel))
       try group.sortBy(r => (r._2, r._3)).foreach { case (_, k, c, v) =>
         val g = factory.newGroup()
         if (k != null) g.append("rowKey", k)
@@ -760,6 +832,33 @@ private[sources] object KvParquet {
     .addField(Types.optional(PrimitiveTypeName.BINARY)
       .as(LogicalTypeAnnotation.stringType()).named("value"))
     .named("kv")
+
+  /** One store-file writer (snappy, binary stats), shared by the batch
+    * and streaming DataWriters so their file format cannot drift. */
+  def writerFor(f: java.io.File): org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group] = {
+    f.getParentFile.mkdirs()
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new Path(f.getAbsolutePath))
+      .withConf(new Configuration())
+      .withType(fileSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  /** A null salt violates the store invariant salt = Salt.bucket(rowKey)
+    * — filed anywhere (getInt on a null slot reads 0) the row becomes
+    * invisible to salt-pruned point gets while full scans still see it:
+    * silent wrong data. Reject loudly at the writer boundary. */
+  def requireSalt(row: org.apache.spark.sql.catalyst.InternalRow,
+                  saltIdx: Int): Int = {
+    if (row.isNullAt(saltIdx))
+      throw new IllegalArgumentException(
+        "graft.sources.KvSource: null salt — compute salt = " +
+          "Salt.bucket(rowKey) (KvStore.pack does) before writing")
+    row.getInt(saltIdx)
+  }
 }
 
 class KvDataWriter(stagingPath: String, schema: StructType,
@@ -767,8 +866,6 @@ class KvDataWriter(stagingPath: String, schema: StructType,
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
-  import org.apache.parquet.hadoop.metadata.CompressionCodecName
 
   private val factory = new SimpleGroupFactory(KvParquet.fileSchema)
   private val idx = Map(
@@ -787,19 +884,13 @@ class KvDataWriter(stagingPath: String, schema: StructType,
     // both restart at 0 in a new SparkContext, so without it two append
     // jobs stage identical names (see the commit-protocol note)
     val rel = s"salt=$salt/part-$partitionId-$taskId-$queryId.parquet"
-    val f = new java.io.File(stagingPath, rel)
-    f.getParentFile.mkdirs()
-    writer = ExampleParquetWriter.builder(new Path(f.getAbsolutePath))
-      .withConf(new Configuration())
-      .withType(KvParquet.fileSchema)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+    writer = KvParquet.writerFor(new java.io.File(stagingPath, rel))
     written += rel
     currentSalt = salt
   }
 
   override def write(row: InternalRow): Unit = {
-    val salt = row.getInt(saltIdx)
+    val salt = KvParquet.requireSalt(row, saltIdx)
     // rows arrive sorted by (salt, rowKey, columnName) — the ordering
     // this Write REQUIRED — so each salt is one contiguous run
     if (writer == null || salt != currentSalt) roll(salt)

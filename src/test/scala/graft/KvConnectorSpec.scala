@@ -421,4 +421,88 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(after.select(col("rowKey")).collect().map(_.getString(0)).toSet
       === Set("k2"))
   }
+
+  test("remote-scheme store paths are rejected loudly, not scanned as empty") {
+    // File.listFiles on an hdfs:// path is null — before the guard, a
+    // remote store read 0 rows (and COUNT(*) = 0) with no error
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.KvSource")
+        .load("hdfs://namenode/store").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        Option(x.getCause).toSeq.flatMap(messages))
+    assert(messages(e).exists(_.contains("local-filesystem connector")))
+  }
+
+  test("a non-numeric salt directory fails the scan with a named culprit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_bad").toString
+    import spark.implicits._
+    Seq(("k1", "q", "v1")).toDF("rowKey", "columnName", "value")
+      .withColumn("salt", graft.ops.SaltExpr.saltCol(col("rowKey")))
+      .write.format("graft.sources.KvSource").mode("overwrite").save(dir)
+    // the directory a null salt written around the connector leaves
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "salt=__HIVE_DEFAULT_PARTITION__"))
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.KvSource").load(dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        Option(x.getCause).toSeq.flatMap(messages))
+    assert(messages(e).exists(m =>
+      m.contains("salt=__HIVE_DEFAULT_PARTITION__")))
+  }
+
+  test("a null salt is rejected at the writer, never filed under salt=0") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.KvTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_ns").toString
+    val bw = new KvTable(dir).newWriteBuilder(CommitRig.info("nullsalt"))
+      .build().toBatch
+    val w = bw.createBatchWriterFactory(CommitRig.numPartitions(1))
+      .createWriter(0, 0)
+    val nullSalt = new GenericInternalRow(Array[Any](
+      UTF8String.fromString("k1"), UTF8String.fromString("q"),
+      UTF8String.fromString("v"), null))
+    val e = intercept[IllegalArgumentException] { w.write(nullSalt) }
+    assert(e.getMessage.contains("null salt"))
+    w.abort()
+  }
+
+  test("a crashed run's staging is swept by the restarted stream's commits") {
+    import graft.sources.KvTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_sw").toString
+    // a dead attempt of epoch 0 under a queryId no restart will reuse
+    val dead = new java.io.File(dir, "_staging_ingest=dead-query=e0")
+    new java.io.File(dead, "salt=0").mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dead, "salt=0/part-0-epoch0-ingest.parquet").toPath, "x")
+    // an UNRELATED stream's staging must survive the sweep
+    val other = new java.io.File(dir, "_staging_other=live-query=e0")
+    other.mkdirs()
+    val sw = new KvTable(dir)
+      .newWriteBuilder(CommitRig.info("fresh-query", Map("streamId" -> "ingest")))
+      .build().toStreaming
+    val factory = sw.createStreamingWriterFactory(CommitRig.numPartitions(1))
+    val w = factory.createWriter(0, 0, 0)
+    w.write(CommitRig.row("k1", "v1"))
+    sw.commit(0, Array(w.commit()))
+    assert(!dead.exists(), "dead staging of the same stream must be swept")
+    assert(other.exists(), "another stream's staging must not be touched")
+    assert(readPairs(dir) === Seq("k1" -> "v1"))
+  }
+
+  test("sweepStaleStaging is age-gated and counts what it deletes") {
+    import graft.sources.KvConnector
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_age").toString
+    val stale = new java.io.File(dir, "_staging_crashed-job")
+    stale.mkdirs()
+    stale.setLastModified(System.currentTimeMillis() - 100000)
+    val live = new java.io.File(dir, "_staging_running-job")
+    live.mkdirs()
+    assert(KvConnector.sweepStaleStaging(dir, olderThanMillis = 50000) === 1)
+    assert(!stale.exists() && live.exists())
+  }
 }
