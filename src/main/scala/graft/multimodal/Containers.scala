@@ -65,6 +65,11 @@ object Containers {
       if (size < 0 || off + 8 + size > payload.length) return None
       if (id == FMT_) {
         if (size < 16) return None
+        // wFormatTag must say PCM: WavInfo's byte-rate duration math is
+        // PCM math, and an ADPCM/MP3-in-WAV payload would otherwise
+        // parse as a "valid wav" with confidently wrong duration —
+        // classify non-PCM as unparseable instead
+        if ((b.getShort(i + 8) & 0xFFFF) != 1) return None
         fmt = Some((b.getShort(i + 10) & 0xFFFF,
           b.getInt(i + 12), b.getShort(i + 22) & 0xFFFF))
       } else if (id == DATA) dataBytes = size.toLong
@@ -85,7 +90,12 @@ object Containers {
     val fileSize = b.getInt(2).toLong & 0xFFFFFFFFL
     val pixelOffset = b.getInt(10).toLong & 0xFFFFFFFFL
     val dibSize = b.getInt(14)
-    if (dibSize < 40 || pixelOffset > fileSize) return None
+    // the header's OWN size claims must fit the actual bytes: a lying
+    // fileSize (crafted or truncated payload) would otherwise report
+    // pixelBytes in the gigabytes for a 54-byte payload — the WAV path
+    // validates every chunk against payload.length for the same reason
+    if (dibSize < 40 || pixelOffset > fileSize ||
+        fileSize > payload.length || pixelOffset < 54) return None
     Some(BmpInfo(
       width = b.getInt(18),
       height = b.getInt(22),

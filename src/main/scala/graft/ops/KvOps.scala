@@ -81,12 +81,15 @@ object KvOps {
 
   /** Audit predicate for [[unpackCells]]' quarantine semantics: true for
     * every cell that unpack drops without payload rows — a non-numeric
-    * count prefix OR no delimiter at all (a bare numeric like "5" parses
-    * as a count but carries no body; it is just as corrupt). Route
+    * count prefix, no delimiter at all (a bare numeric like "5" parses
+    * as a count but carries no body), or a ZERO count prefix over a
+    * non-empty body ("0<delim>x": unpack trusts the count and emits no
+    * rows, so the stray payload must stay findable). Route
     * `kv.where(isCorruptPackedCell(col("value")))` to a dead-letter sink
     * so quarantined cells stay findable. */
   def isCorruptPackedCell(cell: Column, delim: String = Delims.Delim): Column =
-    cellCount(cell, delim).isNull || instr(cell, delim) === 0
+    cellCount(cell, delim).isNull || instr(cell, delim) === 0 ||
+      (cellCount(cell, delim) === 0 && stripCountPrefix(cell, delim) =!= "")
 
   /** Unpack a packed KV table back to long format — the reference's
     * `hbaseTableToDataFrame` + `hbaseDataFrameSplit` (Utils.scala:377-402)
@@ -128,12 +131,23 @@ object KvOps {
     * map. Pure expression replacement for the reference's `getColumnsUDF`.
     * An entry with NO '=' maps its token to a null value — the old
     * fall-through returned the whole token as its own value ("debug" →
-    * "debug"), indistinguishable from a genuine `debug=debug` entry. */
-  def kvParse(details: Column): Column =
-    map_from_entries(transform(details, s =>
+    * "debug"), indistinguishable from a genuine `debug=debug` entry.
+    *
+    * Total on dirty arrays, like the reference's `toMap`: null entries
+    * are skipped, and a DUPLICATE key keeps its LAST value — a bare
+    * `map_from_entries` instead throws DUPLICATED_MAP_KEY (the Spark
+    * default dedup policy), letting one malformed log line kill a
+    * corpus-scale job. The dedup filter is O(n²) in the entry count;
+    * detail lists are a handful of fields (the reference's are 4-6). */
+  def kvParse(details: Column): Column = {
+    val entries = transform(filter(details, s => s.isNotNull), s =>
       struct(
         substring_index(s, "=", 1).as("key"),
-        when(s.contains("="), expr_substr_after(s, "=")).as("value"))))
+        when(s.contains("="), expr_substr_after(s, "=")).as("value")))
+    map_from_entries(filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, size(entries)),
+        later => later.getField("key") === e.getField("key"))))
+  }
 
   /** Escape/unescape payload values that contain the cell delimiters —
     * wiring in the `<NB>` escape hatch the reference DECLARED

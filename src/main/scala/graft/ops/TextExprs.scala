@@ -30,11 +30,18 @@ object TextKernels {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = hash(tokens.getUTF8String(i))
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      // null tokens are SKIPPED, not hashed: the SQL surface exposes
+      // these kernels to arbitrary arrays, and hashing a null NPEs the
+      // task — skipping matches concatWs (wordNgrams/rollingMin), so
+      // every sibling kernel treats a null element the same way
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val h = hash(t)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -71,12 +78,15 @@ object TextKernels {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val h = hash(shingles.getUTF8String(i))
-      var j = 0
-      while (j < k) {
-        val p = h ^ cs(j)
-        if (p < mins(j)) mins(j) = p
-        j += 1
+      val t = shingles.getUTF8String(i)
+      if (t != null) { // null-skip: see simhash64
+        val h = hash(t)
+        var j = 0
+        while (j < k) {
+          val p = h ^ cs(j)
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
       }
       i += 1
     }
@@ -133,9 +143,8 @@ object TextKernels {
     * lengths/ratios are in characters (code points).
     * Returns (stopword_ratio, alpha_ratio, mean_token_len).
     */
-  def qualityStats(text: UTF8String, stopwords: Array[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
-    val set = new java.util.HashSet[UTF8String](stopwords.length * 2)
-    stopwords.foreach(set.add)
+  def qualityStats(text: UTF8String,
+                   set: java.util.HashSet[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
     val s = text.toString
     val len = s.codePointCount(0, s.length)
     var nAlpha = 0
@@ -209,9 +218,12 @@ object TextKernels {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = hash(tokens.getUTF8String(i))
-      val b = java.lang.Math.floorMod(h, dim.toLong).toInt
-      v(b) += (if (((h >>> 62) & 1L) == 1L) 1.0 else -1.0)
+      val t = tokens.getUTF8String(i)
+      if (t != null) { // null-skip: see simhash64
+        val h = hash(t)
+        val b = java.lang.Math.floorMod(h, dim.toLong).toInt
+        v(b) += (if (((h >>> 62) & 1L) == 1L) 1.0 else -1.0)
+      }
       i += 1
     }
     var norm = 0.0
@@ -265,6 +277,15 @@ object TextKernels {
   def lshBitsPackedCentered(vec: ArrayData, planes: Int,
                             center: Array[Double]): Long = {
     val v = vec.toDoubleArray()
+    // empty center = intentionally uncentered; any OTHER length mismatch
+    // (a stale persisted mean after an embedding-dim change) would
+    // center some dimensions and not others — signatures neither
+    // centered nor raw, buckets silently skewed. Same drift contract as
+    // vecDot: surface it.
+    if (center.length != 0 && center.length != v.length)
+      throw new IllegalArgumentException(
+        s"lsh center dim ${center.length} != vector dim ${v.length} — " +
+          "stale persisted mean? rebuild the index or re-derive the center")
     val m = planeMatrix(planes, v.length)
     var sig = 0L
     var p = 0
@@ -471,15 +492,21 @@ case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
     StructField("mean_token_len", DoubleType, nullable = false)))
   override def prettyName: String = "quality_stats"
 
-  @transient private lazy val stopArr: Array[UTF8String] =
-    stopwords.map(UTF8String.fromString).toArray
+  // the SET is the row-invariant reference object, built once per task —
+  // building it inside the kernel was a per-row HashSet allocation +
+  // full re-insert on the corpus-scan hot path (the same waste class
+  // permConstants/planeMatrix caching exists for)
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val set = new java.util.HashSet[UTF8String](stopwords.length * 2)
+    stopwords.foreach(w => set.add(UTF8String.fromString(w)))
+    set
+  }
 
   override def nullSafeEval(in: Any): Any =
-    TextKernels.qualityStats(in.asInstanceOf[UTF8String], stopArr)
+    TextKernels.qualityStats(in.asInstanceOf[UTF8String], stopSet)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("stopwords", stopArr,
-      "org.apache.spark.unsafe.types.UTF8String[]")
+    val ref = ctx.addReferenceObj("stopwords", stopSet, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.ops.TextKernels.qualityStats($c, $ref);")
   }

@@ -51,7 +51,22 @@ case class VecSumAggregate(
       // array) rather than tripping the dimension-mismatch contract;
       // callers averaging must count only non-empty vectors
       if (arr.numElements() == 0) buf
-      else add(buf, arr.toDoubleArray())
+      else {
+        // toDoubleArray reads a NULL slot as 0.0 (the raw region copy
+        // ignores the null bitmap) — a null element would silently bend
+        // the corpus mean. Same surface-the-drift contract as the
+        // dimension check.
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (arr.isNullAt(i))
+            throw new IllegalArgumentException(
+              s"vec_sum: null element at index $i of a ${n}-dim vector — " +
+                "filter or repair null slots before aggregating")
+          i += 1
+        }
+        add(buf, arr.toDoubleArray())
+      }
     }
   }
 

@@ -52,11 +52,22 @@ class AggSpec extends AnyFunSuite {
     kernel.zip(reference).foreach { case (k, r) =>
       assert(math.abs(k - r) < 1e-6, s"$k vs $r")
     }
-    // nulls are skipped, not poisoned
+    // null VECTORS are skipped, not poisoned
     val withNull = Seq(Some(Seq(1.0, 2.0)), None, Some(Seq(3.0, 4.0)))
       .toDF("v")
     val s = withNull.agg(VecSumAggregate.vecSum(col("v"))).head().getSeq[Double](0)
     assert(s === Seq(4.0, 6.0))
+    // a null ELEMENT surfaces loudly: toDoubleArray would read the slot
+    // as 0.0 and silently bend the corpus mean
+    val withNullSlot = Seq(Seq(Some(1.0), None, Some(3.0)))
+      .toDF("v")
+    val e2 = intercept[Exception] {
+      withNullSlot.agg(VecSumAggregate.vecSum(col("v"))).head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        Option(x.getCause).toSeq.flatMap(messages))
+    assert(messages(e2).exists(_.contains("null element")))
   }
 
   test("tokenChunks keeps trailing tokens in a final partial chunk") {

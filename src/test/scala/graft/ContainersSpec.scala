@@ -65,6 +65,23 @@ class ContainersSpec extends AnyFunSuite {
     assert(Containers.parseBmp(bytes).map(_.height) === Some(-3))
   }
 
+  test("non-PCM WAVs and lying BMP headers classify as unparseable") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // a valid PCM file with the format tag rewritten to ADPCM (0x11):
+    // PCM byte-rate duration math would be confidently wrong for it
+    val adpcm = Containers.buildWav(1, 8000, 16, Array.fill[Byte](32)(7))
+    ByteBuffer.wrap(adpcm).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 0x11.toShort)
+    assert(Containers.parseWav(adpcm).isEmpty)
+    // a BMP whose header claims 4 GiB of pixels for a 54-byte payload:
+    // pixelBytes must not be reported off the lying fileSize field
+    val bmp = Containers.buildBmp(4, 4)
+    val lying = java.util.Arrays.copyOf(bmp, 54)
+    ByteBuffer.wrap(lying).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(2, Int.MinValue) // fileSize 0x80000000 = 2 GiB unsigned
+    assert(Containers.parseBmp(lying).isEmpty)
+  }
+
   test("both parsers are total on garbage, truncation, and cross-format bytes") {
     val wav = Containers.buildWav(1, 8000, 16, Array[Byte](1, 2))
     val bmp = Containers.buildBmp(8, 8)

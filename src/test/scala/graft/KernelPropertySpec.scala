@@ -72,6 +72,41 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hash kernels skip null tokens instead of NPEing the task") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Any*): GenericArrayData =
+      new GenericArrayData(xs.map {
+        case s: String => UTF8String.fromString(s)
+        case null => null
+      }.toArray[Any])
+    // the SQL surface exposes these kernels to arbitrary arrays, where
+    // a null element is one cast away; a null must act like an absent
+    // token (concatWs semantics), identically across the siblings
+    val clean = arr("a", "b")
+    val dirty = arr("a", null, "b")
+    assert(TextKernels.simhash64(dirty) === TextKernels.simhash64(clean))
+    assert(TextKernels.minhashSig(dirty, 8).array.toSeq
+      === TextKernels.minhashSig(clean, 8).array.toSeq)
+    assert(TextKernels.hashEmbed(dirty, 16).array.toSeq
+      === TextKernels.hashEmbed(clean, 16).array.toSeq)
+    assert(TextKernels.rollingMin(arr("a", null), 2)
+      === TextKernels.rollingMin(arr("a"), 2))
+  }
+
+  test("centered LSH surfaces a stale center instead of half-centering") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec = new GenericArrayData(Array.tabulate(8)(_.toDouble))
+    // matching center and the intentional empty (=uncentered) case work
+    TextKernels.lshBitsPackedCentered(vec, 4, Array.fill(8)(0.5))
+    TextKernels.lshBitsPackedCentered(vec, 4, Array.emptyDoubleArray)
+    // a center of the WRONG dim (stale persisted mean after an
+    // embedding upgrade) must throw, not center half the dimensions
+    val e = intercept[IllegalArgumentException] {
+      TextKernels.lshBitsPackedCentered(vec, 4, Array.fill(4)(0.5))
+    }
+    assert(e.getMessage.contains("center dim"))
+  }
+
   test("trailing-split and salt stay total on hostile random bytes") {
     // regression net: random strings through the byte-level parity ops
     (0 until 300).foreach { _ =>

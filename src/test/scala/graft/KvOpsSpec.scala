@@ -174,6 +174,12 @@ class KvOpsSpec extends AnyFunSuite {
       ("k", "q", "1" + graft.core.Delims.Delim + "payload"))
       .toDF("rowKey", "columnName", "value")
     assert(healthy.where(KvOps.isCorruptPackedCell(col("value"))).count() === 0)
+    // a ZERO count over a non-empty body: unpack trusts the count (no
+    // rows), so the stray payload must be flagged, not laundered or lost
+    val zeroBody = Seq(("k1", "q1", "0" + graft.core.Delims.Delim + "stray"))
+      .toDF("rowKey", "columnName", "value")
+    assert(KvStore.unpack(zeroBody).count() === 0)
+    assert(zeroBody.where(KvOps.isCorruptPackedCell(col("value"))).count() === 1)
   }
 
   test("bulkGet joins probe keys against the store") {
@@ -219,6 +225,14 @@ class KvOpsSpec extends AnyFunSuite {
       .select(KvOps.kvParse(col("details")).as("m"))
     assert(bare.select(element_at(col("m"), "debug")).head().isNullAt(0))
     assert(bare.select(element_at(col("m"), "k")).as[String].head() === "v")
+    // dirty arrays must DEGRADE like the reference's toMap, not throw:
+    // duplicate keys keep the LAST value (bare map_from_entries raises
+    // DUPLICATED_MAP_KEY), and null entries are skipped
+    val dirty = Seq(Seq("mode=a", null, "mode=b", "x=1")).toDF("details")
+      .select(KvOps.kvParse(col("details")).as("m"))
+    assert(dirty.select(element_at(col("m"), "mode")).as[String].head() === "b")
+    assert(dirty.select(element_at(col("m"), "x")).as[String].head() === "1")
+    assert(dirty.select(size(map_keys(col("m")))).as[Int].head() === 2)
   }
 
   test("exprWs builds SQL text accepted by selectExpr") {
