@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep a `runMain graft.Bench` invocation's compact JSON metrics line as
+// the TRUE last stdout line: sbt's "[success] Total time: …" trailer
+// otherwise follows it and defeats last-line parsers (BENCH_r06 recorded
+// "parsed": null for exactly this reason). Cosmetic-only for other tasks.
+showSuccess := false
+// …and pass the forked JVM's output through verbatim: the default
+// LoggedOutput strategy prefixes every relayed line with "[info] ",
+// which a strict JSON last-line parser would also choke on.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -92,9 +92,13 @@ object Bench {
       System.err.println(s"[bench] headline query '$n' not in SparkEntry.queries"))
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // iteration aid (mirrors SPARK_GRAFT_VERIFY_ONLY): bench a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a failed query reports -1, never a bogus partial wall time; a
     // failure short-circuits the remaining reps (failures persist)
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val runs = Iterator.continually(timed(name))
         .take(reps).takeWhile(_ >= 0).toSeq match {
         case ok if ok.size == reps => ok
@@ -129,7 +133,11 @@ object Bench {
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$allRuns,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(compact)
+    // stop FIRST, print LAST: anything Spark logs during shutdown (and
+    // sbt's own trailer, suppressed via showSuccess := false) must not
+    // land after the line a last-line parser reads
     spark.stop()
+    println(compact)
+    Console.out.flush()
   }
 }

@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextExprs
+import graft.ops.{BoundedCollect, TextExprs}
 import graft.text.TextOps
 
 /** Deduplication operators for training-data pipelines, each designed for
@@ -490,24 +490,26 @@ object Dedup {
     * cutoff): a pair whose overlap consists ONLY of hot shingles yields
     * no candidate and is never reported.
     *
-    * Plan shape: document frequency comes from a `groupBy(s).count()` —
-    * map-side partial aggregation collapses every occurrence of a hot
-    * shingle within its input partition BEFORE any shuffle, so "terms of
-    * service" never funnels into one task (the earlier window-function
-    * form had exactly that failure: WindowExec gets no partial
-    * aggregation, so at corpus scale each hot shingle became a one-task
-    * straggler). The slim (s, df) frame, pre-filtered to `df <= maxDf`,
-    * joins back onto the exploded stream; hot keys miss the join and are
-    * dropped, and the join itself is AQE-skew-split eligible. The price
-    * is the shingle kernel running twice (once into the df aggregate's
-    * partials, once into the join probe) — cheap CPU bought back a
-    * thousandfold in shuffle balance. The pruned exchange (hash on
-    * shingle) then feeds both self-join sides and the size aggregate via
-    * ReuseExchange. The pair self-join is pinned to sort-merge:
-    * Catalyst's post-filter size estimate can otherwise BROADCAST the
-    * exploded shingle frame — a misestimate that both breaks exchange
-    * reuse and ships the whole inverted index to every executor at
-    * corpus scale.
+    * Plan shape: ONE aggregation of the exploded shingle stream builds,
+    * per shingle, both its document frequency and its posting list —
+    * the list via [[graft.ops.BoundedCollectAgg]], whose aggregation
+    * buffer is capped at `maxDf + 1` ids, so a viral shingle ("terms of
+    * service" in 10⁸ documents) costs O(maxDf) memory per partial, never
+    * O(df), and map-side partials collapse it before the shuffle (the
+    * earlier window-function form funneled every occurrence of a hot
+    * shingle into one task; the earlier aggregate+join form fixed that
+    * but sorted the full exploded stream twice through merge-pinned
+    * joins and ran the shingle kernel twice). Candidate pairs then
+    * explode directly out of each rare shingle's posting list — bounded
+    * by construction at maxDf·(maxDf−1)/2 pairs per shingle — and
+    * per-document rare-shingle counts explode out of the same posting
+    * frame, so the shingle kernel runs ONCE, nothing ever sorts the
+    * exploded stream, and no join touches it. The two consumers of the
+    * posting frame share the shingle-hash exchange via ReuseExchange.
+    * The only joins left attach the per-document size frame to the pair
+    * counts — corpus-scale aggregate frames, merge-pinned because the
+    * static post-aggregate estimate would happily broadcast what is
+    * one-row-per-document at production scale.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         n: Int = 2, maxDf: Int = 100,
@@ -526,21 +528,34 @@ object Dedup {
                                       text: Column, n: Int,
                                       maxDf: Int): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
-    // df via aggregate+join, NOT a window: see the plan-shape note above.
-    // The join is merge-pinned for the same reason as the pair self-join
-    // below: the static estimate happily BROADCASTS the rare-shingle set
-    // at small SF — but that set is most of the shingle vocabulary
-    // (corpus-scale at 100 TB), and a broadcast also denies the probe
-    // side its exchange, so every downstream consumer re-runs the
-    // shingle kernel instead of reusing one shuffle
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-      .select(col("s"))
-    val pruned = sh.join(rare.hint("merge"), Seq("s"))
-    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    pruned.as("x").hint("merge").join(pruned.as("y"), Seq("s"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    // ONE pass over the shingle stream: df (count, map-side combined)
+    // plus the posting list via the buffer-bounded collect — see the
+    // plan-shape note above. The df filter and the null sentinel are
+    // redundant for non-null ids (BoundedCollectAgg scaladoc); keeping
+    // both means a future maxDf/cap drift can only DROP pairs loudly
+    // (empty result) rather than unbound a buffer silently.
+    val postings = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"),
+        BoundedCollect.boundedCollect(col("doc_id"), maxDf).as("ids"))
+      .where(col("df") <= maxDf && col("ids").isNotNull)
+      .select(col("ids"))
+    // per-doc rare-shingle counts, from the SAME posting frame (no
+    // second kernel pass, no join against the exploded stream)
+    val sizes = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // ordered pairs straight out of each posting list: ids is sorted
+    // ascending (BoundedCollectAgg evals sorted), so (ids[i], ids[j])
+    // with i < j already satisfies id_a < id_b; the residual filter
+    // only guards the degenerate duplicate-id case
+    val ids = col("ids")
+    val pairs = postings
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), size(ids)), b => array(a, b)))))
+        .as("p"))
+      .select(element_at(col("p"), 1).as("id_a"),
+        element_at(col("p"), 2).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    pairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
       // sizes is one row per document — corpus-scale, merge-pinned like
       // every aggregate frame in this family
@@ -558,10 +573,10 @@ object Dedup {
     * or above `threshold`.
     *
     * Same plan shape and df-cutoff semantics as [[ngramJaccardPairs]]
-    * (one exploded-shingle exchange, merge-pinned self-join, candidates
-    * only where a rare shingle is shared); the symmetric common counts
-    * compute once and fan out into both orientations afterwards — slim
-    * id/count rows, no second index pass.
+    * (one aggregation of the shingle stream into bounded posting lists,
+    * candidates only where a rare shingle is shared); the symmetric
+    * common counts compute once and fan out into both orientations
+    * afterwards — slim id/count rows, no second index pass.
     * @return (doc_id, container_id, containment) */
   def ngramContainmentPairs(docs: DataFrame, id: Column, text: Column,
                             n: Int = 3, maxDf: Int = 100,
@@ -651,22 +666,35 @@ object Dedup {
     * df here counts DOCUMENTS containing the span (the shingle kernel
     * emits per-doc distinct spans), so within-doc repetition — a
     * different signal, [[graft.text.TextOps.repetitionPpm]] — cannot
-    * inflate it. df is an aggregate+join, not a window, for the same
-    * hot-key reason as [[ngramJaccardPairs]]: map-side partial
-    * aggregation collapses viral spans before the shuffle instead of
-    * funnelling every occurrence into one window task, and the join back
-    * onto the span stream is AQE-skew-split eligible.
+    * inflate it.
+    *
+    * Plan shape: no window (a hot span would funnel into one task) and
+    * no join against the exploded span stream either (the earlier
+    * aggregate+join form was scale-safe but sorted the full stream for
+    * its merge-pinned join). Instead, n_dup inverts: a span is
+    * duplicated iff df ≥ 2, so `n_dup = n_spans − n_unique`, and a
+    * UNIQUE span's one posting is recoverable from the df aggregate
+    * itself as `min(doc_id)` — a fixed-width buffer, no collect. Two
+    * map-side-combined aggregations of the span stream (by doc, by
+    * span), then one merge-pinned join of two slim per-document frames.
+    * The per-doc join is null-SAFE so a dirty null id groups
+    * consistently on both sides.
     * @return (doc_id, n_spans, n_dup, dup_ppm) */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
                       n: Int = 5): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
-    val dfBySpan = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // merge-pinned: the span-df frame is corpus-scale (see the
-    // rareShingleCommonCounts note)
-    sh.join(dfBySpan.hint("merge"), Seq("s"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum((col("df") >= 2).cast("int")).as("n_dup"))
+    val nSpans = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    // min over a df=1 group IS that span's single posting (min also
+    // yields null for a lone null id, matching the null-safe join)
+    val nUnique = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .where(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+    nSpans.as("t")
+      .join(nUnique.as("u").hint("merge"),
+        col("t.doc_id") <=> col("u.doc_id"), "left")
+      .select(col("t.doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"))
       .withColumn("dup_ppm",
         round(col("n_dup") / col("n_spans").cast("double") * 1e6, 0)
           .cast("long"))
