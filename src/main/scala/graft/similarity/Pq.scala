@@ -84,7 +84,14 @@ object Pq {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(k > 1, "k > 1 centroids per subspace")
     val subdim = dim / m
-    val subv = subVectors(corpus, id, vec, m, subdim)
+    // materialize the normalized subvector frame ONCE: every Lloyd round
+    // (and the seed scan) would otherwise replay the parquet scan, the
+    // normalize, and the dim-guard kernel per round — and each round's
+    // plan would carry the whole kernel through codegen again. Training
+    // input is bounded by contract (train on a sample at corpus scale —
+    // the codebook is m·k·subdim doubles regardless), so the checkpoint
+    // is a bounded materialization, not a corpus copy.
+    val subv = subVectors(corpus, id, vec, m, subdim).localCheckpoint(true)
     // seeds: subvectors of the first k rows by id — k·m rows total, the
     // per-sub rank window runs over that bounded frame, never the corpus
     val seedRows = subVectors(
