@@ -101,6 +101,14 @@ object ExtensionQueries {
         col("doc_id"), col("text"), path)
     })
 
+  // the grown two-installment index, COMPACTED to a fresh path: one
+  // index-sized pass over the stored shingles table (no corpus scan) —
+  // queries must be indistinguishable from the grown index AND from the
+  // from-scratch oracle (compacted ≡ grown ≡ rebuilt)
+  private val mhCompactIndexFor = new IndexCache("graft_gate_mhcmp",
+    (s, dir, path) =>
+      Dedup.compactMinhashIndex(s, mhAppendIndexFor(s, dir), path))
+
   private val ivfIndexFor = new IndexCache("graft_gate_ivfidx", (s, dir, path) =>
     Ann.writeIvfIndex(
       Tables(s, dir, "embeddings")
@@ -227,6 +235,20 @@ object ExtensionQueries {
       val docs = Tables(s, dir, "documents")
       Dedup.queryMinhashIndex(docs.where(col("doc_id") % 5 === 0),
           col("doc_id"), col("text"), mhAppendIndexFor(s, dir),
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1e6, 0).cast("long").as("jacc_ppm"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the index COMPACTION lifecycle under the same oracle: an index
+    // grown in two installments then compacted (fresh path, no corpus
+    // scan) must still answer the batch exactly like the from-scratch
+    // DuckDB computation — closes the build → append → compact loop
+    "dedup_index_compacted" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.queryMinhashIndex(docs.where(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), mhCompactIndexFor(s, dir),
           threshold = 0.8)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 1e6, 0).cast("long").as("jacc_ppm"))
@@ -1216,6 +1238,7 @@ object ExtensionQueries {
     // answer: cross-engine proof that append ≡ rebuild
     "dedup_index_query" -> crossIndexPairSql,
     "dedup_index_append" -> crossIndexPairSql,
+    "dedup_index_compacted" -> crossIndexPairSql,
 
     // same normalized 5-gram space as the decontaminate oracles; df
     // counts documents (per-doc distinct spans)

@@ -11,6 +11,54 @@ import graft.multimodal.Containers.{BmpInfo, WavInfo}
   * never throw. */
 class ContainersSpec extends AnyFunSuite {
 
+  test("fuzz: parsers are total over 10k+ hostile payloads (None, never throw)") {
+    // deterministic PRNG: a failure reproduces by seed; the corpus mixes
+    // pure noise, truncations/extensions of VALID files, single-byte
+    // corruptions, and crafted near-Int.MaxValue chunk/size fields (the
+    // Int-overflow class the WAV walk's long offsets exist for)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def check(p: Array[Byte]): Unit = {
+      val w = Containers.parseWav(p) // Option or bust — any throw fails
+      val m = Containers.parseBmp(p)
+      assert(w == null || w.isInstanceOf[Option[_]])
+      assert(m == null || m.isInstanceOf[Option[_]])
+    }
+    // 5k pure-noise payloads across the size spectrum (incl. the empty
+    // and sub-header sizes the guards special-case)
+    for (i <- 0 until 5000) {
+      val len = if (i < 100) i else rnd.nextInt(600)
+      val p = new Array[Byte](len); rnd.nextBytes(p); check(p)
+    }
+    val wav = Containers.buildWav(2, 44100, 16, Array.tabulate(101)(_.toByte))
+    val bmp = Containers.buildBmp(7, 5)
+    // 2k truncations/extensions of valid files at every boundary
+    for (base <- Seq(wav, bmp); cut <- 0 to base.length)
+      check(base.take(cut))
+    for (base <- Seq(wav, bmp); pad <- 1 to 400)
+      check(base ++ Array.fill(pad)(rnd.nextInt().toByte))
+    // 5k single-field corruptions of valid files: flip a random byte
+    for (_ <- 0 until 2500; base <- Seq(wav, bmp)) {
+      val p = base.clone()
+      p(rnd.nextInt(p.length)) = rnd.nextInt().toByte
+      check(p)
+    }
+    // crafted overflow payloads: chunk/size fields at and around
+    // Int.MaxValue, where `off + 8 + size` wraps negative in Int math
+    for (evil <- Seq(Int.MaxValue, Int.MaxValue - 1, Int.MaxValue - 7,
+        Int.MinValue, -1, -8)) {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0x46464952).putInt(evil).putInt(0x45564157) // RIFF/size/WAVE
+      b.putInt(0x20746d66).putInt(evil)                    // "fmt " size=evil
+      check(b.array())
+      val c = bmp.clone()
+      val cb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      cb.putInt(2, evil)  // lying fileSize
+      cb.putInt(10, evil) // lying pixelOffset
+      check(c)
+    }
+  }
+
   test("WAV build/parse round-trips across parameter grid") {
     for {
       ch <- Seq(1, 2, 6)

@@ -385,6 +385,74 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(readPairs(dir) === Seq("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("epoch replay with a different partition count after a MID-MOVE crash leaves no duplicates") {
+    import graft.sources.{KvCommitMessage, KvTable}
+    // the sharpest replay scenario: the original commit crashed PARTWAY
+    // through its file moves — some partitions' files are already
+    // visible in the store, others still in staging, no marker. The
+    // recovery replay then plans a DIFFERENT partition count, so rows
+    // route to different (partition, file) coordinates and name
+    // overwrite alone could never reconcile the two attempts.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_mid").toString
+    val sw = new KvTable(dir).newWriteBuilder(CommitRig.info("run-1"))
+      .build().toStreaming
+    val factory = sw.createStreamingWriterFactory(CommitRig.numPartitions(3))
+    val msgs = (0 until 3).map { p =>
+      val w = factory.createWriter(p, p.toLong, 0)
+      w.write(CommitRig.row(s"k$p", s"v$p"))
+      w.commit().asInstanceOf[KvCommitMessage]
+    }
+    // crash simulation: move partitions 0 and 1 by hand (exactly what
+    // commit() does), skip partition 2 and the marker
+    val staging = new java.io.File(dir, "_staging_stream=run-1=e0")
+    assert(staging.isDirectory, "writers must stage under the documented name")
+    msgs.take(2).flatMap(_.relFiles).foreach { rel =>
+      val src = new java.io.File(staging, rel)
+      val dst = new java.io.File(dir, rel)
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+    }
+    // recovery replay: SAME rows, TWO partitions (different routing)
+    val sw2 = new KvTable(dir).newWriteBuilder(CommitRig.info("run-2"))
+      .build().toStreaming
+    val f2 = sw2.createStreamingWriterFactory(CommitRig.numPartitions(2))
+    val r0 = f2.createWriter(0, 10L, 0)
+    r0.write(CommitRig.row("k0", "v0")); r0.write(CommitRig.row("k1", "v1"))
+    val r1 = f2.createWriter(1, 11L, 0)
+    r1.write(CommitRig.row("k2", "v2"))
+    sw2.commit(0, Array(r0.commit(), r1.commit()))
+    // every row exactly once: the crashed attempt's landed files were
+    // swept, its staging (incl. the never-moved partition 2) deleted
+    assert(readPairs(dir) === Seq("k0" -> "v0", "k1" -> "v1", "k2" -> "v2"))
+    assert(!staging.exists(),
+      "replay commit must sweep the crashed attempt's staging dir")
+    assert(new java.io.File(dir, "_commits_stream/epoch-0").exists())
+  }
+
+  test("committed-epoch markers age out beyond the retention window") {
+    import graft.sources.KvTable
+    // one marker per epoch, forever, is unbounded tiny-file growth on a
+    // long-running stream; commits age out markers far enough below the
+    // committing epoch that only a regressed (fresh) checkpoint — a
+    // misconfiguration, not a crash recovery — could ever miss them
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_ret").toString
+    val sw = new KvTable(dir).newWriteBuilder(CommitRig.info("ret-1"))
+      .build().toStreaming
+    val f = sw.createStreamingWriterFactory(CommitRig.numPartitions(1))
+    def commitEpoch(e: Long, k: String): Unit = {
+      val w = f.createWriter(0, e, e)
+      w.write(CommitRig.row(k, "v"))
+      sw.commit(e, Array(w.commit()))
+    }
+    commitEpoch(0, "a"); commitEpoch(1, "b")
+    commitEpoch(2000, "c") // retention 1024: epochs < 976 age out
+    val markers = new java.io.File(dir, "_commits_stream")
+      .listFiles().map(_.getName).toSet
+    assert(markers === Set("epoch-2000"), s"got $markers")
+    // aging markers must never touch data
+    assert(readPairs(dir).map(_._1) === Seq("a", "b", "c"))
+  }
+
   test("two streams with distinct streamIds share a store without clobbering") {
     import graft.sources.KvTable
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_2s").toString
