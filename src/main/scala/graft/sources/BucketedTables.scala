@@ -36,6 +36,15 @@ object BucketedTables {
   def table(spark: SparkSession, name: String, location: String,
             buckets: Int, bucketCol: String,
             sortCols: Seq[String] = Nil): DataFrame = {
+    // serialize the whole exists/compare/drop+recreate sequence per
+    // table name (intern'd → one JVM-wide monitor per logical table):
+    // the mismatch branch below DROPs before it re-registers, and a
+    // concurrent table() call — another thread of this session, or a
+    // foreachBatch session clone, all sharing this JVM's catalog —
+    // could otherwise land in the drop window and fail transiently.
+    // JVM scope is the full concurrency surface: the catalog these
+    // registrations live in is itself in-memory per JVM.
+    name.intern.synchronized {
     if (!spark.catalog.tableExists(name)) register(spark, name, location,
       buckets, bucketCol, sortCols)
     else {
@@ -62,6 +71,7 @@ object BucketedTables {
       } else spark.catalog.refreshTable(name)
     }
     spark.table(name)
+    } // name.intern.synchronized
   }
 
   private def register(spark: SparkSession, name: String, location: String,

@@ -592,18 +592,27 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean,
           new java.io.File(root, d.getName).toPath))
       deleteRec(old)
       deleteRec(fresh)
-    } else committed.foreach { rel =>
-      val src = new java.io.File(staging, rel)
-      val dst = new java.io.File(root, rel)
-      dst.getParentFile.mkdirs()
+    } else {
       // names carry this job's queryId, so an existing destination means
       // two writers share a query id — fail loudly, never replace
-      // another job's committed data
-      if (dst.exists())
+      // another job's committed data. Pre-scan EVERY destination before
+      // moving ANY file: a collision discovered mid-loop would leave a
+      // partially applied append visible to readers (abort only deletes
+      // the remaining staging files; it cannot un-move). Failing up
+      // front fails the commit with the store unchanged.
+      val clash = committed.find(rel => new java.io.File(root, rel).exists())
+      clash.foreach { rel =>
         throw new IllegalStateException(
-          s"graft_kv append collision: $dst already exists " +
-            "(two writes sharing a query id?); refusing to overwrite")
-      java.nio.file.Files.move(src.toPath, dst.toPath)
+          s"graft_kv append collision: ${new java.io.File(root, rel)} " +
+            "already exists (two writes sharing a query id?); refusing " +
+            "to overwrite — commit aborted with the store unchanged")
+      }
+      committed.foreach { rel =>
+        val src = new java.io.File(staging, rel)
+        val dst = new java.io.File(root, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(src.toPath, dst.toPath)
+      }
     }
     deleteRec(staging)
   }
@@ -744,6 +753,23 @@ class KvStreamingWrite(path: String, schema: StructType, queryId: String,
     java.nio.file.Files.createFile(marker(epochId).toPath)
     // the current epoch's staging plus any crashed predecessor's
     staleStagingDirs(epochId).foreach(KvConnector.deleteRec)
+    // marker retention: one tiny marker per epoch accumulates unbounded
+    // on a long-running stream (a 10s-trigger year is ~3M files).
+    // Markers far below the committing epoch are dead weight — epochs
+    // commit in order and recovery replays only the tail near the
+    // checkpoint, so a marker markerRetention epochs back could only
+    // matter to a checkpoint regressed that far, which is the
+    // fresh-checkpoint misconfiguration the streamId warning above
+    // covers, not a crash recovery. The listing is O(retained), itself
+    // bounded by this sweep.
+    Option(marker(epochId).getParentFile.listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        val n = f.getName
+        if (n.startsWith("epoch-"))
+          n.stripPrefix("epoch-").toLongOption
+            .filter(_ < epochId - KvStreamingWrite.markerRetention)
+            .foreach(_ => f.delete())
+      }
   }
 
   override def abort(epochId: Long,
@@ -755,6 +781,10 @@ object KvStreamingWrite {
   private[sources] def stagingName(streamId: String, queryId: String,
                                    epochId: Long): String =
     s"_staging_$streamId=$queryId=e$epochId"
+
+  /** Committed-epoch markers older than this many epochs below the
+    * latest commit are aged out (see the retention note in commit). */
+  private[sources] val markerRetention: Long = 1024L
 }
 
 class KvStreamingWriterFactory(path: String, queryId: String,

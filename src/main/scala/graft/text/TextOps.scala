@@ -177,7 +177,7 @@ object TextOps {
     * language model trained on the corpus itself; gibberish, boilerplate
     * and wrong-language text score low). The "LM" is the corpus unigram
     * model with add-one smoothing; each token scores its probability in
-    * parts-per-billion-scaled integer form:
+    * parts-per-million-scaled integer form:
     *
     *   tok_ppm(t) = (count(t) + 1) * 1_000_000 div (N + V)
     *
