@@ -16,6 +16,9 @@ run / fork := true
 // otherwise follows it and defeats last-line parsers (BENCH_r06 recorded
 // "parsed": null for exactly this reason). Cosmetic-only for other tasks.
 showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see
+Global / excludeLintKeys += showSuccess
 // …and pass the forked JVM's output through verbatim: the default
 // LoggedOutput strategy prefixes every relayed line with "[info] ",
 // which a strict JSON last-line parser would also choke on.
