@@ -75,28 +75,42 @@ object Bench {
       }
     }
 
+    // iteration aid (mirrors SPARK_GRAFT_VERIFY_ONLY): bench a subset.
+    // Read up front so the warmup and index builds honor it too — a
+    // developer timing one cheap query must not pay 4 index builds
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(n: String): Boolean = only.forall(_.contains(n))
+
     // warmup: JVM/codegen/parquet-footer caches (non-fatal on failure)
-    try run("q1_agg") catch {
-      case e: Throwable => System.err.println(s"[bench] warmup failed: $e")
-    }
+    if (selected("q1_agg"))
+      try run("q1_agg") catch {
+        case e: Throwable => System.err.println(s"[bench] warmup failed: $e")
+      }
     // pre-pay the memoized one-time index/codebook builds so the timed
     // runs below measure the steady-state query; the first (build-
     // inclusive) invocation is reported separately as build_sec.
     val indexBacked = Seq(
       "dedup_index_query", "ann_index_query", "ann_ivfpq", "ann_pq")
+      .filter(selected)
     // build_sec is a SINGLE invocation (no min-of-3 to shed warmup), so
     // first pay the janino/codegen compile of these plans against the
     // tiny sibling dataset — the generated code is data-independent, so
     // the compile cache is hot when the real build runs and build_sec
     // measures build work, not the compiler. History shows single cold
     // runs swing the number ±40%.
-    sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+    if (indexBacked.nonEmpty) sys.env.get("SPARK_GRAFT_WARMUP_DIR")
       .orElse {
         val sib = new java.io.File(
           new java.io.File(sfDir).getParentFile, "sf0.001")
         if (sib.isDirectory) Some(sib.toString) else None
       }
-      .filter(_ != sfDir)
+      // canonical compare: a trailing slash / symlink / relative
+      // spelling of sfDir must not turn the "tiny sibling" warmup into
+      // a second full-scale build of the benchmark dataset itself
+      // (IndexCache keys on the raw dir string, so it would not dedupe)
+      .filter(wd => new java.io.File(wd).getCanonicalFile !=
+        new java.io.File(sfDir).getCanonicalFile)
       .foreach { wd =>
         indexBacked.filter(SparkEntry.queries.contains).foreach { n =>
           try SparkEntry.queries(n)(spark, wd)
@@ -113,13 +127,10 @@ object Bench {
       System.err.println(s"[bench] headline query '$n' not in SparkEntry.queries"))
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    // iteration aid (mirrors SPARK_GRAFT_VERIFY_ONLY): bench a subset
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // a failed query reports -1, never a bogus partial wall time; a
     // failure short-circuits the remaining reps (failures persist)
     val results = headline.filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.contains(n))).map { name =>
+      .filter(selected).map { name =>
       val runs = Iterator.continually(timed(name))
         .take(reps).takeWhile(_ >= 0).toSeq match {
         case ok if ok.size == reps => ok
@@ -156,8 +167,11 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stop FIRST, print LAST: anything Spark logs during shutdown (and
     // sbt's own trailer, suppressed via showSuccess := false) must not
-    // land after the line a last-line parser reads
-    spark.stop()
+    // land after the line a last-line parser reads. A stop-time failure
+    // must not eat the line — the bench itself already succeeded
+    try spark.stop() catch {
+      case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e")
+    }
     println(compact)
     Console.out.flush()
   }

@@ -544,16 +544,19 @@ object Dedup {
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // ordered pairs straight out of each posting list: ids is sorted
-    // ascending (BoundedCollectAgg evals sorted), so (ids[i], ids[j])
-    // with i < j already satisfies id_a < id_b; the residual filter
-    // only guards the degenerate duplicate-id case
-    val ids = col("ids")
+    // ascending (BoundedCollectAgg evals sorted), so pairing each
+    // element with its strict suffix already satisfies id_a < id_b; the
+    // residual filter only guards the degenerate duplicate-id case.
+    // TWO chained explodes, not one flattened pair array: a single
+    // expression materializing all maxDf·(maxDf−1)/2 pairs of a shingle
+    // inside one row value is a memory cliff when a caller raises maxDf
+    // (50M pair structs at maxDf=10k) — the chained form streams pairs
+    // through the Generate operators with O(maxDf) per-row state
     val pairs = postings
-      .select(explode(flatten(transform(ids, (a, i) =>
-        transform(slice(ids, i + lit(2), size(ids)), b => array(a, b)))))
-        .as("p"))
-      .select(element_at(col("p"), 1).as("id_a"),
-        element_at(col("p"), 2).as("id_b"))
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("id_a"),
+        slice(col("ids"), col("pos") + lit(2), size(col("ids"))).as("rest"))
+      .select(col("id_a"), explode(col("rest")).as("id_b"))
       .where(col("id_a") < col("id_b"))
     pairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -726,8 +729,14 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = ids.select(idCol.as("doc_id"), idCol.as("label"))
+    // `persisted` tracks the cached handle (unpersist must target the
+    // EXACT plan that was persisted — calling it on a derived select is
+    // a silent no-op that leaks a cache entry per round); `labels` is
+    // the (doc_id, label) view the joins consume, which CacheManager
+    // serves from the persisted parent
+    var persisted = ids.select(idCol.as("doc_id"), idCol.as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
     labels.count()
     var converged = false
     var i = 0
@@ -736,22 +745,24 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
+      // the convergence flag rides IN the updated frame (new label wins
+      // iff nlabel < label) — counting changes from the old-vs-new
+      // frames would add a third corpus-scale join per round
       val updated = labels.join(incoming, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          coalesce(col("nlabel") < col("label"), lit(false)).as("chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE full action both materializes `updated` (the join consumes
+      // ONE full action both materializes `updated` (the filter scans
       // every partition, populating the persist before the old frame is
       // dropped — a limit-driven probe would leave uncomputed partitions
       // whose lineage reaches back through unpersisted rounds) and
       // counts the changed labels for convergence
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .where(col("label") =!= col("old"))
-        .count()
-      labels.unpersist()
+      val changed = updated.where(col("chg")).count()
+      persisted.unpersist()
+      persisted = updated
+      labels = updated.select(col("doc_id"), col("label"))
       converged = changed == 0L
-      labels = updated
       i += 1
     }
     if (!converged)
@@ -766,7 +777,7 @@ object Dedup {
     // lifetime a library return value should have.
     val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
       .localCheckpoint(true)
-    labels.unpersist()
+    persisted.unpersist()
     out
   }
 

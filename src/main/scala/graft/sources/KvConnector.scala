@@ -596,10 +596,13 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean,
       // names carry this job's queryId, so an existing destination means
       // two writers share a query id — fail loudly, never replace
       // another job's committed data. Pre-scan EVERY destination before
-      // moving ANY file: a collision discovered mid-loop would leave a
-      // partially applied append visible to readers (abort only deletes
-      // the remaining staging files; it cannot un-move). Failing up
-      // front fails the commit with the store unchanged.
+      // moving ANY file (a collision discovered mid-loop would leave a
+      // partially applied append visible to readers), and if a move
+      // still fails — a CONCURRENT same-queryId commit can land a file
+      // after the scan (check-then-act), or the filesystem can error —
+      // roll the already-moved files back to staging so the store is
+      // unchanged either way. The non-REPLACE move makes the concurrent
+      // race fail-loud, never silent clobber.
       val clash = committed.find(rel => new java.io.File(root, rel).exists())
       clash.foreach { rel =>
         throw new IllegalStateException(
@@ -607,11 +610,22 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean,
             "already exists (two writes sharing a query id?); refusing " +
             "to overwrite — commit aborted with the store unchanged")
       }
-      committed.foreach { rel =>
+      val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+      try committed.foreach { rel =>
         val src = new java.io.File(staging, rel)
         val dst = new java.io.File(root, rel)
         dst.getParentFile.mkdirs()
         java.nio.file.Files.move(src.toPath, dst.toPath)
+        moved += rel
+      } catch {
+        case e: Throwable =>
+          moved.foreach { rel =>
+            try java.nio.file.Files.move(
+              new java.io.File(root, rel).toPath,
+              new java.io.File(staging, rel).toPath)
+            catch { case r: Throwable => e.addSuppressed(r) }
+          }
+          throw e
       }
     }
     deleteRec(staging)
