@@ -47,7 +47,7 @@ object Bench {
     "ann_index_query", "pipeline_metrics", "ann_ivfpq",
     "variant_extract", "stratified_take", "profile_table",
     "dedup_containment", "text_line_dedup", "text_dup_spans",
-    "multimodal_containers", "text_lm_score", "bpe_pairs")
+    "multimodal_containers", "text_lm_score", "bpe_pairs", "semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

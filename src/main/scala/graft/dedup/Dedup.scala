@@ -715,29 +715,32 @@ object Dedup {
     * payloads — and rounds needed = cluster diameter (near-dup clusters
     * are shallow). Transitive chains longer than `maxIters` hops keep
     * distinct labels; that non-convergence is logged as a warning (it
-    * means split clusters). Each round materializes its label frame and
-    * unpersists the superseded one, so storage holds TWO slim label
-    * copies, not maxIters; the edge frame is checkpointed once so the
-    * (possibly expensive) pair plan never replays.
+    * means split clusters). Each round eagerly checkpoints its label
+    * frame — truncating the plan, which otherwise doubles per round
+    * (see the in-loop note) — and superseded rounds' blocks are
+    * reclaimed by the ContextCleaner as their references drop; the edge
+    * frame is checkpointed once so the (possibly expensive) pair plan
+    * never replays.
     *
     * @return (doc_id, canonical_id)
     */
   def canonicalFromPairs(ids: DataFrame, idCol: Column, pairs: DataFrame,
                          maxIters: Int = 10): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    // `persisted` tracks the cached handle (unpersist must target the
-    // EXACT plan that was persisted — calling it on a derived select is
-    // a silent no-op that leaks a cache entry per round); `labels` is
-    // the (doc_id, label) view the joins consume, which CacheManager
-    // serves from the persisted parent
-    var persisted = ids.select(idCol.as("doc_id"), idCol.as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = persisted
-    labels.count()
+    // every round LOCAL-CHECKPOINTS its label frame (eager, stored
+    // MEMORY_AND_DISK like the old persist) so the next round's plan
+    // starts from a LEAF. This is load-bearing, not hygiene: a round's
+    // plan references the prior frame twice (incoming + the left join),
+    // so without truncation the logical plan DOUBLES per round and the
+    // driver dies analyzing ~2^rounds nodes once the pair graph's
+    // diameter passes ~15 — independent of data size. Superseded
+    // checkpoint blocks are reclaimed by the ContextCleaner as the
+    // loop drops its references.
+    var labels = ids.select(idCol.as("doc_id"), idCol.as("label"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -747,20 +750,18 @@ object Dedup {
         .agg(min(col("label")).as("nlabel"))
       // the convergence flag rides IN the updated frame (new label wins
       // iff nlabel < label) — counting changes from the old-vs-new
-      // frames would add a third corpus-scale join per round
+      // frames would add a third corpus-scale join per round. The
+      // checkpoint is LAZY (the plan becomes a leaf either way): the
+      // count below is the one action, scanning every partition (the
+      // filter prunes nothing), so compute, block storage, and the
+      // convergence tally all happen in a single pass — a limit-driven
+      // probe instead of the count would leave uncomputed partitions
       val updated = labels.join(incoming, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           coalesce(col("nlabel") < col("label"), lit(false)).as("chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE full action both materializes `updated` (the filter scans
-      // every partition, populating the persist before the old frame is
-      // dropped — a limit-driven probe would leave uncomputed partitions
-      // whose lineage reaches back through unpersisted rounds) and
-      // counts the changed labels for convergence
+        .localCheckpoint(false)
       val changed = updated.where(col("chg")).count()
-      persisted.unpersist()
-      persisted = updated
       labels = updated.select(col("doc_id"), col("label"))
       converged = changed == 0L
       i += 1
@@ -769,16 +770,11 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"canonicalFromPairs did not converge in $maxIters rounds — " +
           "clusters wider than that diameter are split; raise maxIters")
-    // detach the result from the loop's CacheManager entry: a persisted
-    // frame with no returned handle would pin executor storage for the
-    // application's lifetime (Dataset.unpersist on the returned wrapper
-    // cannot release the INTERNAL persist). The checkpointed result is
-    // released by the ContextCleaner when the caller drops it — the
-    // lifetime a library return value should have.
-    val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
-      .localCheckpoint(true)
-    persisted.unpersist()
-    out
+    // the final frame is already a projection over a checkpoint leaf —
+    // the caller's reference keeps the blocks alive, the ContextCleaner
+    // reclaims them when the caller drops it: the lifetime a library
+    // return value should have
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
   // ── SimHash ──────────────────────────────────────────────────────────

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.{Ann, Pq, Quantize}
+import graft.similarity.{Ann, Pq, Quantize, SemDedup}
 import graft.text.TextOps
 
 /** Training-data-pipeline extensions (BASELINE.json north star): dedup,
@@ -577,6 +577,59 @@ object ExtensionQueries {
           threshold = 0.3, bands = 16, bandBits = 2, centered = false)
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(50)
+    }),
+
+    // ── SemDeDup (cluster-then-prune semantic dedup) ──────────────────
+    // nClusters = 1 collapses k-means to one cluster, so within-cluster
+    // pairs ≡ exact all-pairs cosine, recomputed from scratch by the
+    // DuckDB oracle (the same brute-force SQL that pins the LSH front:
+    // the two candidate fronts are interchangeable above a threshold,
+    // and this gate proves it). A dropped or double-assigned vector in
+    // the k-means plumbing would break equality.
+    "semdedup_pairs" -> ((s, dir) => {
+      SemDedup.semanticNearDupPairs(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), nClusters = 1, threshold = 0.3)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    // the component-label tail over the SAME lossless front: min-id
+    // canonical labels vs DuckDB's exact recursive closure
+    "semdedup_canonical" -> ((s, dir) => {
+      SemDedup.semanticDedup(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), nClusters = 1, threshold = 0.3,
+          maxIters = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    // production-parameter variant: 8 clusters — approximate by design
+    // (a near-dup pair k-means separates is invisible), so rows-only in
+    // the driver; exactness twins are semdedup_pairs/_canonical above
+    // and semdedup_exactdups below. Output is one row per document —
+    // never vacuous.
+    "semdedup" -> ((s, dir) => {
+      SemDedup.semanticDedup(Tables(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), nClusters = 8, threshold = 0.3,
+          maxIters = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    // planted exact duplicates must survive ANY clustering: identical
+    // vectors produce identical assignment argmaxes, so each planted
+    // pair is always co-clustered and scores cosine 1.0 — the oracle
+    // enumerates the plants directly. Non-vacuous by construction (8
+    // planted pairs), and it runs at the PRODUCTION cluster count.
+    "semdedup_exactdups" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val planted = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id") < 8)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding")))
+      SemDedup.semanticNearDupPairs(planted, col("vec_id"), col("embedding"),
+          nClusters = 8, threshold = 0.95)
+        .where(col("id_b") === col("id_a") + lit(1000000L) &&
+          col("id_a") < 8)
+        .orderBy(col("id_a"))
     }),
 
     // int8 embedding quantization: scale surfaces as integer ppb and the
@@ -1381,6 +1434,45 @@ object ExtensionQueries {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
         |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // SemDeDup at nClusters=1 ≡ the same exact all-pairs computation
+    // that pins the LSH front — deliberately the identical oracle
+    "semdedup_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.e, b.e), 6) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
+        |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // connected components over the full (no LIMIT) exact pair set —
+    // same recursive min-label closure as the dedup_clusters oracle
+    "semdedup_canonical" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |comp AS (
+        |  SELECT vec_id AS doc_id, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.dst AS doc_id, c.label
+        |  FROM comp c JOIN edges e ON e.src = c.doc_id
+        |  WHERE c.label < e.dst)
+        |SELECT doc_id, cast(min(label) AS bigint) AS canonical_id
+        |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the plants are enumerable without running the operator: identical
+    // vectors always co-cluster and score exactly 1.0 after rounding
+    "semdedup_exactdups" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS sim
+        |FROM embeddings WHERE vec_id < 8 ORDER BY id_a""".stripMargin,
 
     "approx_metrics_bounds" ->
       """SELECT l_returnflag, cast(1 AS int) AS ok_distinct,

@@ -119,6 +119,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup candidate join stays sort-merge on the cluster key") {
+    // the (cluster, id) assignment is one row per corpus document; the
+    // static post-aggregate estimate would broadcast it at small SF — a
+    // plan that cannot survive corpus scale. Centroids, by contrast,
+    // MUST broadcast (k x dim doubles riding the assignment cross).
+    // Asserted on the pairs front (semdedup_exactdups runs it at the
+    // production cluster count): the canonical variant checkpoints
+    // eagerly, so its final plan is a leaf with the joins already run.
+    val clusterKey = """BroadcastHashJoin \[cluster#""".r
+    val p = plan(SparkEntry.queries("semdedup_exactdups")(spark, dir))
+    assert(p.contains("SortMergeJoin"),
+      s"semdedup lost its merge-pinned candidate join:\n${p.take(2000)}")
+    assert(clusterKey.findFirstIn(p).isEmpty,
+      s"semdedup broadcasts its assignment frame:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid assignment lost its broadcast")
+  }
+
   test("containment derives both orientations from one common-counts pass") {
     // a union of two oriented selections would plan the inverted-index
     // subtree TWICE (measured 2x the scans and self-joins). The pair

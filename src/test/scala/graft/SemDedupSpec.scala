@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.similarity.{Ann, SemDedup}
+
+/** SemDeDup (cluster-then-prune semantic dedup): the nClusters=1
+  * degenerate case must equal exact all-pairs cosine, planted identical
+  * vectors must survive any cluster count, and the canonical tail must
+  * collapse components. Plus the high-diameter regression guard for the
+  * label-propagation loop these operators exposed. */
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic synthetic corpus: hash-derived pseudo-random 8-dim
+  // vectors — no RNG state, same rows every run
+  private def corpus(n: Int) = {
+    val dims = (0 until 8).map(d =>
+      (pmod(xxhash64(col("vec_id"), lit(d)), lit(1000)) / lit(500.0) - lit(1.0))
+        .cast("float"))
+    spark.range(n).select(col("id").as("vec_id"),
+      array(dims: _*).as("embedding"))
+  }
+
+  test("nClusters=1 reproduces exact brute-force all-pairs cosine") {
+    val c = corpus(60).localCheckpoint(true)
+    val got = SemDedup.semanticNearDupPairs(c, col("vec_id"), col("embedding"),
+        nClusters = 1, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact reference: normalized dot over the full cross, same rounding
+    val v = c.select(col("vec_id"),
+      Ann.normalize(Ann.asDouble(col("embedding"))).as("v"))
+    val want = v.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+      .crossJoin(v.select(col("vec_id").as("id_b"), col("v").as("v_b")))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Ann.dot(col("v_a"), col("v_b")), 6))
+      .where(col("sim") >= 0.6)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "degenerate fixture: no pairs at the threshold")
+    assert(got === want)
+  }
+
+  test("planted identical vectors pair up under every cluster count") {
+    val base = corpus(60)
+    val planted = base.unionByName(base.where(col("vec_id") < 5)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    for (k <- Seq(1, 4, 16)) {
+      val plantPairs = SemDedup.semanticNearDupPairs(planted,
+          col("vec_id"), col("embedding"), nClusters = k, threshold = 0.95)
+        .where(col("id_b") === col("id_a") + 1000L && col("id_a") < 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(plantPairs.map(_._1).toSet === Set(0L, 1L, 2L, 3L, 4L),
+        s"nClusters=$k lost a planted identical pair")
+      assert(plantPairs.forall(_._2 === 1.0),
+        s"nClusters=$k: identical vectors must score cosine 1.0")
+    }
+  }
+
+  test("semanticDedup collapses components and is deterministic") {
+    val base = corpus(60)
+    val planted = base.unionByName(base.where(col("vec_id") < 5)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    def run() = SemDedup.semanticDedup(planted, col("vec_id"),
+        col("embedding"), nClusters = 4, threshold = 0.95, maxIters = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = run()
+    assert(labels.size === 65)
+    // each planted copy joins its original's component (sim 1.0 edge)
+    for (i <- 0L until 5L)
+      assert(labels(i + 1000L) === labels(i),
+        s"planted copy of $i not in its original's component")
+    assert(labels === run(), "labels drifted between identical runs")
+  }
+
+  test("label propagation survives a high-diameter pair graph") {
+    // a 40-hop chain needs 40 propagation rounds: the loop's per-round
+    // plan doubles without lineage truncation (incoming + left join both
+    // reference the prior frame), so pre-fix this died analyzing
+    // ~2^40 plan nodes long before any data moved. REGRESSION GUARD for
+    // the checkpoint-per-round form.
+    val n = 41
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain,
+        maxIters = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === n)
+    assert(out.forall(_._2 === 0L), "chain did not collapse to the min id")
+  }
+}
