@@ -47,7 +47,8 @@ object Bench {
     "ann_index_query", "pipeline_metrics", "ann_ivfpq",
     "variant_extract", "stratified_take", "profile_table",
     "dedup_containment", "text_line_dedup", "text_dup_spans",
-    "multimodal_containers", "text_lm_score", "bpe_pairs", "semdedup")
+    "multimodal_containers", "text_lm_score", "bpe_pairs", "semdedup",
+    "bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,7 +164,10 @@ object Bench {
     //    that any sane tail capture keeps it whole
     val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}"""
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$allRuns,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // a BENCH_ONLY subset run must not clobber the round's full record
+    val outFile =
+      if (only.isEmpty) "bench_out.json" else "bench_out_subset.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stop FIRST, print LAST: anything Spark logs during shutdown (and
     // sbt's own trailer, suppressed via showSuccess := false) must not

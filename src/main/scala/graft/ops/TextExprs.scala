@@ -137,6 +137,65 @@ object TextKernels {
     min
   }
 
+  /** A word longer than this many code points skips the BPE merge
+    * search and emits bare code points: the greedy loop is O(L²) per
+    * word and a hostile megaword must not quadratic-blowup a corpus
+    * scan. Unmerged is always a valid encoding, so the roundtrip and
+    * count invariants hold either way. */
+  val MaxBpeWord = 1024
+
+  /** Apply a trained BPE merge table to a pre-tokenized word stream:
+    * each word starts as code points and greedily merges the
+    * LOWEST-RANK adjacent pair until none applies — the standard
+    * byte-pair-encoding inference loop (rank = training merge order).
+    * `ranks` keys are "left right" (space-separated, the convention of
+    * public GPT-2-style merge files) — collision-free because parts are
+    * substrings of whitespace-split words and can never contain a
+    * space. Null words are skipped (parity with the null-skipping
+    * declarative token pipeline). */
+  def bpeEncode(tokens: ArrayData,
+                ranks: java.util.HashMap[String, Integer]): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val w = tokens.getUTF8String(t)
+      if (w != null) {
+        val s = w.toString
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < s.length) {
+          val cc = Character.charCount(s.codePointAt(i))
+          parts += s.substring(i, i + cc)
+          i += cc
+        }
+        if (!ranks.isEmpty && parts.length <= MaxBpeWord) {
+          var done = false
+          while (!done) {
+            var best = -1
+            var bestRank = Int.MaxValue
+            var j = 0
+            while (j < parts.length - 1) {
+              val r = ranks.get(parts(j) + " " + parts(j + 1))
+              if (r != null && r.intValue < bestRank) {
+                bestRank = r.intValue; best = j
+              }
+              j += 1
+            }
+            if (best < 0) done = true
+            else {
+              parts(best) = parts(best) + parts(best + 1)
+              parts.remove(best + 1)
+            }
+          }
+        }
+        parts.foreach(p => out += UTF8String.fromString(p))
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** One-pass quality statistics. Semantics mirror the declarative/oracle
     * forms exactly: tokens are maximal non-whitespace runs; stopword
     * matching is on the lowercased token; alpha is ASCII [A-Za-z];
@@ -464,6 +523,37 @@ case class LshBitsPackedCenteredExpr(child: Expression, planes: Int,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+// merges is a Seq of pairs, NOT an Array, for the same content-equality
+// reason as LshBitsPackedCenteredExpr's center: two expressions built
+// from separately trained (identical) merge tables must semanticEquals
+// or CSE/ReusedExchange dedup is lost.
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.forall { case (a, b) =>
+    a.nonEmpty && b.nonEmpty && !(a + b).exists(Character.isWhitespace(_)) },
+    "BPE merge parts must be non-empty and whitespace-free " +
+      "(parts come from whitespace-split words)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  // row-invariant reference object, built once per task (the same waste
+  // class QualityStatsExpr's stopword set avoids); first (lowest) rank
+  // wins if a caller passes a duplicate merge pair
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i)) }
+    m
+  }
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.bpeEncode(in.asInstanceOf[ArrayData], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.bpeEncode($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class L2NormalizeExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "l2_normalize"
@@ -556,4 +646,6 @@ object TextExprs {
   def lshBitsPackedCentered(vec: Column, planes: Int, center: Array[Double]): Column =
     c(LshBitsPackedCenteredExpr(e(vec), planes,
       scala.collection.immutable.ArraySeq.unsafeWrapArray(center)))
+  def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
+    c(BpeEncodeExpr(e(tokens), merges))
 }

@@ -1158,7 +1158,53 @@ object ExtensionQueries {
     "bpe_pairs" -> ((s, dir) => {
       TextOps.bpePairStats(Tables(s, dir, "documents"), col("text"))
     }),
+
+    // BPE encode with ZERO merges degenerates to a code-point split —
+    // per-doc token count must equal the summed character count of the
+    // normalized tokens, which DuckDB computes exactly
+    "bpe_encode_nomerge" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.bpeTokenCount(col("text"), Nil).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // full train+encode at production parameters: 50 corpus-trained
+    // merges applied to every document. The merge table is data-derived
+    // (not SQL-recomputable), so the gate pins the machine-checkable
+    // invariants instead — lossless roundtrip (concatenating a word's
+    // subword tokens reproduces the word, for ANY table) and the count
+    // bounds (merges only ever shrink, one-token-per-word floor) — plus
+    // the word/char counts DuckDB verifies exactly. BpeSpec holds the
+    // merge loop itself to hand-computed examples.
+    "bpe_encode" -> ((s, dir) => {
+      val merges = bpeMergesFor(s, dir)
+      val toks = TextOps.tokens(TextOps.normalized(col("text")))
+      val bpe = TextOps.bpeTokens(col("text"), merges)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          TextOps.bpeTokenCount(col("text"), Nil).cast("long").as("n_chars"),
+          when(array_join(bpe, "") === array_join(toks, ""), 1)
+            .otherwise(0).as("ok_roundtrip"),
+          when(size(bpe).between(size(toks),
+            TextOps.bpeTokenCount(col("text"), Nil)), 1)
+            .otherwise(0).as("ok_bounds"))
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** Memoized per-dataset BPE merge table (driver-side training is
+    * deterministic; Verify + Bench + plan audits in one session must not
+    * retrain per invocation). */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.synchronized {
+      bpeMergeCache.getOrElseUpdate(dir,
+        TextOps.trainBpeMerges(Tables(s, dir, "documents"), col("text"),
+          numMerges = 50, maxVocabWords = 5000))
+    }
 
   /** Normalize-and-tokenize CTE (mirrors TextOps.normalized + tokens) —
     * the shared front of every shingle-based oracle. */
@@ -2076,5 +2122,28 @@ object ExtensionQueries {
          |        FROM wt WHERE len(w) >= 2))
          |SELECT pair, cast(count(*) AS bigint) AS n
          |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+
+    // zero merges = code-point split: count parity is exact (normalized
+    // tokens are pure [a-z0-9], so code points = DuckDB len characters)
+    "bpe_encode_nomerge" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  cast(coalesce(list_aggregate(list_transform(l, w -> len(w)),
+         |    'sum'), 0) AS bigint) AS n_bpe
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // the merge table is data-derived, so DuckDB verifies the exact
+    // word/char counts and the engine-computed invariant flags must be
+    // all-ones (roundtrip losslessness + count bounds hold for ANY
+    // merge table — a kernel bug, not a table choice, breaks them)
+    "bpe_encode" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  cast(len(l) AS bigint) AS n_words,
+         |  cast(coalesce(list_aggregate(list_transform(l, w -> len(w)),
+         |    'sum'), 0) AS bigint) AS n_chars,
+         |  cast(1 AS int) AS ok_roundtrip,
+         |  cast(1 AS int) AS ok_bounds
+         |FROM toks ORDER BY doc_id""".stripMargin,
   )
 }

@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.TextExprs
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, fingerprinting. All pure
   * column expressions (whole-stage codegen, no UDFs) so they run at
@@ -253,6 +255,92 @@ object TextOps {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
+
+  /** Train a BPE merge table: the corpus reduces to (word, count) by one
+    * map-side-combined aggregation — the only distributed pass — and the
+    * classic merge loop (count adjacent pairs weighted by word frequency,
+    * merge the argmax, repeat) runs driver-side over the top
+    * `maxVocabWords` words. Same sample-train/full-apply split as the PQ
+    * codebooks: training state is a bounded driver materialization
+    * (top-N word list), while [[bpeTokens]] applies the table at full
+    * corpus scale as a codegen kernel. Deterministic: ties break on the
+    * lexicographically smallest pair, and the word-frequency cutoff
+    * breaks count ties by word.
+    *
+    * Words longer than [[graft.ops.TextKernels.MaxBpeWord]] code points
+    * are excluded (the encode kernel won't merge them either — see its
+    * scaladoc), and merges stop early when no pair repeats.
+    *
+    * @return merge pairs in rank order (rank 0 = first/highest-priority)
+    */
+  def trainBpeMerges(docs: DataFrame, text: Column, numMerges: Int = 100,
+                     maxVocabWords: Int = 10000): Seq[(String, String)] = {
+    val top = docs.select(explode(tokens(normalized(text))).as("w"))
+      .where(length(col("w")) <= graft.ops.TextKernels.MaxBpeWord)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver-side merge loop over the bounded word-frequency table
+    var words: Array[(Array[String], Long)] = top.map { case (w, n) =>
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        parts += w.substring(i, i + cc)
+        i += cc
+      }
+      (parts.toArray, n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (parts, n) =>
+        var i = 0
+        while (i < parts.length - 1) {
+          val k = (parts(i), parts(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      // a merge must REDUCE tokens somewhere more than once, or the
+      // table is pure memorization of singleton words — stop
+      val candidates = counts.filter(_._2 >= 2)
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val best = candidates.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        words = words.map { case (parts, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < parts.length) {
+            if (i < parts.length - 1 && parts(i) == best._1 &&
+                parts(i + 1) == best._2) {
+              out += parts(i) + parts(i + 1); i += 2
+            } else { out += parts(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode text with a trained BPE merge table: whitespace-split words
+    * each become one or more subword tokens (native codegen kernel —
+    * [[graft.ops.TextExprs.bpeEncode]]). Concatenating the tokens of a
+    * word reproduces the word exactly, for ANY merge table — the
+    * invariant the gate pins. An empty table degenerates to a
+    * code-point split. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    TextExprs.bpeEncode(tokens(normalized(text)), merges)
+
+  /** Per-document BPE token count under a trained merge table — the
+    * budget metric token-aware pipelines (packing, chunking, pricing)
+    * key on. Bounded by chars-per-doc above and words-per-doc below. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokens(text, merges))
 
   // ── Context-window chunking ──────────────────────────────────────────
 
