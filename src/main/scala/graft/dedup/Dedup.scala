@@ -715,12 +715,12 @@ object Dedup {
     * payloads — and rounds needed = cluster diameter (near-dup clusters
     * are shallow). Transitive chains longer than `maxIters` hops keep
     * distinct labels; that non-convergence is logged as a warning (it
-    * means split clusters). Each round eagerly checkpoints its label
-    * frame — truncating the plan, which otherwise doubles per round
-    * (see the in-loop note) — and superseded rounds' blocks are
-    * reclaimed by the ContextCleaner as their references drop; the edge
-    * frame is checkpointed once so the (possibly expensive) pair plan
-    * never replays.
+    * means split clusters). Each round checkpoints its label frame —
+    * truncating the plan, which otherwise doubles per round (see the
+    * in-loop note) — and explicitly releases the superseded round's
+    * blocks, so storage holds two slim label copies, not maxIters; the
+    * edge frame is checkpointed once so the (possibly expensive) pair
+    * plan never replays.
     *
     * @return (doc_id, canonical_id)
     */
@@ -730,17 +730,22 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    // every round LOCAL-CHECKPOINTS its label frame (eager, stored
-    // MEMORY_AND_DISK like the old persist) so the next round's plan
-    // starts from a LEAF. This is load-bearing, not hygiene: a round's
-    // plan references the prior frame twice (incoming + the left join),
-    // so without truncation the logical plan DOUBLES per round and the
+    // every round LOCAL-CHECKPOINTS its label frame (stored
+    // MEMORY_AND_DISK like a persist) so the next round's plan starts
+    // from a LEAF. This is load-bearing, not hygiene: a round's plan
+    // references the prior frame twice (incoming + the left join), so
+    // without truncation the logical plan DOUBLES per round and the
     // driver dies analyzing ~2^rounds nodes once the pair graph's
-    // diameter passes ~15 — independent of data size. Superseded
-    // checkpoint blocks are reclaimed by the ContextCleaner as the
-    // loop drops its references.
+    // diameter passes ~15 — independent of data size. The superseded
+    // round's blocks are released EXPLICITLY each round (storage holds
+    // two label copies, not maxIters — the ContextCleaner alone would
+    // only reclaim at driver-GC cadence). Reliability tradeoff, same
+    // class as the edges checkpoint above: truncated lineage cannot
+    // recompute on executor loss — the operator restarts instead, the
+    // standard localCheckpoint contract for iterative loops.
     var labels = ids.select(idCol.as("doc_id"), idCol.as("label"))
       .localCheckpoint(true)
+    var prev = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -762,6 +767,11 @@ object Dedup {
           coalesce(col("nlabel") < col("label"), lit(false)).as("chg"))
         .localCheckpoint(false)
       val changed = updated.where(col("chg")).count()
+      // the count materialized `updated` into its own blocks — the
+      // previous round's are now dead weight; the FINAL round's frame
+      // is never released here (the caller's reference owns it)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.releaseCheckpoint(prev)
+      prev = updated
       labels = updated.select(col("doc_id"), col("label"))
       converged = changed == 0L
       i += 1

@@ -144,6 +144,20 @@ object TextKernels {
     * count invariants hold either way. */
   val MaxBpeWord = 1024
 
+  /** Code-point split (surrogate-pair safe). Training and encoding MUST
+    * split identically or the merge table silently desynchronizes from
+    * the encode kernel — this is the single shared implementation. */
+  def splitCodePoints(s: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val cc = Character.charCount(s.codePointAt(i))
+      parts += s.substring(i, i + cc)
+      i += cc
+    }
+    parts
+  }
+
   /** Apply a trained BPE merge table to a pre-tokenized word stream:
     * each word starts as code points and greedily merges the
     * LOWEST-RANK adjacent pair until none applies — the standard
@@ -161,14 +175,7 @@ object TextKernels {
     while (t < n) {
       val w = tokens.getUTF8String(t)
       if (w != null) {
-        val s = w.toString
-        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < s.length) {
-          val cc = Character.charCount(s.codePointAt(i))
-          parts += s.substring(i, i + cc)
-          i += cc
-        }
+        val parts = splitCodePoints(w.toString)
         if (!ranks.isEmpty && parts.length <= MaxBpeWord) {
           var done = false
           while (!done) {

@@ -281,16 +281,10 @@ object TextOps {
       .orderBy(col("n").desc, col("w"))
       .limit(maxVocabWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // driver-side merge loop over the bounded word-frequency table
+    // driver-side merge loop over the bounded word-frequency table;
+    // the split is the kernel's own (train/encode must never diverge)
     var words: Array[(Array[String], Long)] = top.map { case (w, n) =>
-      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < w.length) {
-        val cc = Character.charCount(w.codePointAt(i))
-        parts += w.substring(i, i + cc)
-        i += cc
-      }
-      (parts.toArray, n)
+      (graft.ops.TextKernels.splitCodePoints(w).toArray, n)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false

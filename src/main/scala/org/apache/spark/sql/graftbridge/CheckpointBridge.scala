@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Bridge to the block storage behind `Dataset.localCheckpoint`: the
+  * checkpoint's persisted RDD sits inside the returned frame's
+  * `LogicalRDD` leaf, and `Dataset.unpersist` cannot release it (it only
+  * talks to the CacheManager, which never saw this RDD). Iterative
+  * operators that checkpoint per round need a deterministic release for
+  * the superseded round — waiting for the ContextCleaner means storage
+  * grows with rounds between driver GCs (default periodic GC: 30 min).
+  *
+  * Lives under `org.apache.spark.sql` solely because `LogicalRDD` is
+  * `private[sql]` — the same pattern as [[ColumnBridge]].
+  */
+object CheckpointBridge {
+  /** Release the checkpoint blocks behind `df` if its analyzed plan is
+    * a `LogicalRDD` leaf (what `localCheckpoint` returns). No-op —
+    * never an error — for any other plan, so callers can hold a mix of
+    * checkpointed and plain frames. Non-blocking. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

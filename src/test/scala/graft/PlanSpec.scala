@@ -100,23 +100,43 @@ class PlanSpec extends AnyFunSuite {
       s"range exchange should target $n partitions:\n$p")
   }
 
+  /** Simple (non-formatted) physical plan string: join KEYS render
+    * inline here (`SortMergeJoin [band#85, ...]`), where formatted
+    * explain puts them on detached "Left keys" detail lines — a
+    * formatted-output grep for `BroadcastHashJoin [band#` can never
+    * match, making the guard vacuous. */
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** The key-specific join-shape guard: `key` must appear in a
+    * SortMergeJoin's key list (POSITIVE control — if Spark's plan
+    * rendering changes, this fails loudly instead of silently blinding
+    * the negative check) and in no BroadcastHashJoin's. The key is
+    * matched anywhere inside the bracket list: pushed-down predicates
+    * can rewrite a key to an expression (`[(id_a#4L + 1000000),
+    * cluster#43]`), so anchoring to the first position under-matches. */
+  private def assertKeyedJoinStaysSortMerge(q: String, key: String): Unit = {
+    val p = physical(SparkEntry.queries(q)(spark, dir))
+    val smj = ("""SortMergeJoin \[[^\]]*\b""" + key + "#").r
+    val bhj = ("""BroadcastHashJoin \[[^\]]*\b""" + key + "#").r
+    assert(smj.findFirstIn(p).isDefined,
+      s"$q: no sort-merge join keyed on $key (lost the pin, or the " +
+        s"rendering this guard greps changed):\n${p.take(2000)}")
+    assert(bhj.findFirstIn(p).isEmpty,
+      s"$q broadcasts its $key frame:\n${p.take(2000)}")
+  }
+
   test("LSH-family self-joins stay sort-merge (never broadcast the band frame)") {
     // the static size estimate would happily broadcast the exploded
-    // band/shingle/chunk frames at small SF — a plan that recomputes the
+    // band/chunk frames at small SF — a plan that recomputes the
     // signature kernels per side and cannot survive corpus scale; the
-    // merge pin keeps both sides on one reusable exchange
-    // assert on the CANDIDATE join's own keys (band/chunk/shingle), not
-    // just "some SMJ exists" — another join staying sort-merge must not
-    // mask a broadcast regression of the guarded one
-    val bandKey = """BroadcastHashJoin \[(band|chunk|s)#""".r
-    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
-        "text_embed_dedup")) {
-      val p = plan(SparkEntry.queries(q)(spark, dir))
-      assert(p.contains("SortMergeJoin"),
-        s"$q lost its merge-pinned candidate join:\n${p.take(2000)}")
-      assert(bandKey.findFirstIn(p).isEmpty,
-        s"$q broadcasts its band/chunk/shingle frame:\n${p.take(2000)}")
-    }
+    // merge pin keeps both sides on one reusable exchange. (dedup_ngram
+    // left this guard when its front became posting-list pair
+    // generation — it no longer joins on the shingle at all; its shape
+    // is pinned by the no-window and merge-pin tests below.)
+    assertKeyedJoinStaysSortMerge("dedup_minhash", "band")
+    assertKeyedJoinStaysSortMerge("dedup_simhash", "chunk")
+    assertKeyedJoinStaysSortMerge("text_embed_dedup", "band")
   }
 
   test("semdedup candidate join stays sort-merge on the cluster key") {
@@ -127,13 +147,9 @@ class PlanSpec extends AnyFunSuite {
     // Asserted on the pairs front (semdedup_exactdups runs it at the
     // production cluster count): the canonical variant checkpoints
     // eagerly, so its final plan is a leaf with the joins already run.
-    val clusterKey = """BroadcastHashJoin \[cluster#""".r
-    val p = plan(SparkEntry.queries("semdedup_exactdups")(spark, dir))
-    assert(p.contains("SortMergeJoin"),
-      s"semdedup lost its merge-pinned candidate join:\n${p.take(2000)}")
-    assert(clusterKey.findFirstIn(p).isEmpty,
-      s"semdedup broadcasts its assignment frame:\n${p.take(2000)}")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+    assertKeyedJoinStaysSortMerge("semdedup_exactdups", "cluster")
+    val p = physical(SparkEntry.queries("semdedup_exactdups")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
       "centroid assignment lost its broadcast")
   }
 

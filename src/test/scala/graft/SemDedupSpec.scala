@@ -88,10 +88,17 @@ class SemDedupSpec extends AnyFunSuite {
     val ids = spark.range(n).select(col("id").as("doc_id"))
     val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
     val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain,
         maxIters = 64)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(out.length === n)
     assert(out.forall(_._2 === 0L), "chain did not collapse to the min id")
+    // superseded rounds release their checkpoint blocks EXPLICITLY —
+    // 40 rounds must leave only the edges + final-labels checkpoints
+    // behind, not one RDD per round waiting on a driver GC
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2,
+      s"$leaked checkpoint RDDs left behind by a 40-round propagation")
   }
 }
