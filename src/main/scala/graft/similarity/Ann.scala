@@ -141,7 +141,12 @@ object Ann {
     * a broadcast. */
   def ivfIndex(corpus: DataFrame, nClusters: Int, iters: Int = 2)
       : (DataFrame, DataFrame) = {
-    val normed = corpus.select(col("cid"), normalize(asDouble(col("cvec"))).as("v"))
+    // rows with EMPTY vectors are excluded from training AND assignment
+    // (no cosine to any centroid exists — they would crash the dot
+    // kernel and cannot be searched); mismatched non-empty dims still
+    // throw, the deliberate schema-drift contract
+    val normed = corpus.where(size(col("cvec")) > 0)
+      .select(col("cid"), normalize(asDouble(col("cvec"))).as("v"))
     // deterministic seeds: first nClusters rows by id, COLLECTED (k×dim
     // doubles — broadcast-class) and re-created with driver-side ranks.
     // A global Window.orderBy over the seed frame would plan a
@@ -193,8 +198,8 @@ object Ann {
   private[similarity] def probeClusters(queries: DataFrame,
                                         centroids: DataFrame,
                                         nprobe: Int): DataFrame = {
-    val qn = queries.select(col("qid"),
-      normalize(asDouble(col("qvec"))).as("qv"))
+    val qn = queries.where(size(col("qvec")) > 0)
+      .select(col("qid"), normalize(asDouble(col("qvec"))).as("qv"))
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cluster"))
     qn.crossJoin(broadcast(centroids))
@@ -207,12 +212,16 @@ object Ann {
 
   /** Exact-cosine top-k tail over candidates carrying (qid, cid, qvec,
     * cvec): rounding and tie-break live HERE, once, for every ANN
-    * variant. */
+    * variant. EMPTY vectors are excluded (a missing embedding has no
+    * cosine — routine dirty data must not kill a corpus job); non-empty
+    * MISMATCHED dimensions still throw ([[graft.ops.TextKernels.vecDot]]'s
+    * schema-drift contract). */
   private[similarity] def rankTopK(cands: DataFrame, k: Int,
                                    roundTo: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     cands
+      .where(size(col("qvec")) > 0 && size(col("cvec")) > 0)
       .select(col("qid"), col("cid"),
         round(cosine(asDouble(col("qvec")), asDouble(col("cvec"))), roundTo)
           .as("sim"))
@@ -413,6 +422,11 @@ object Ann {
     require(planes <= 64, "packed signature holds at most 64 planes")
     require(meanSampleMod >= 1, "meanSampleMod >= 1 (1 = exact mean)")
     val mask = (1L << bandBits) - 1
+    // EMPTY vectors are excluded up front: they have no cosine, and
+    // their all-zero projections would share a signature with any
+    // all-negative-projection real vector — a candidate pair whose
+    // verify dot would then throw on the 0-vs-dim mismatch
+    val live = corpus.where(size(vec) > 0)
     // Center the hyperplanes at the corpus mean: on an internally-
     // correlated corpus the raw sign bits all skew the same way (hot
     // buckets → quadratic join blowup). The mean is dim doubles — a
@@ -455,17 +469,17 @@ object Ann {
         }
       }
       val sampled =
-        if (meanSampleMod == 1) corpus
-        else corpus.where(
+        if (meanSampleMod == 1) live
+        else live.where(
           pmod(xxhash64(asDouble(vec)), lit(meanSampleMod)) === 0)
       // a tiny corpus can miss the sample entirely — fall back to exact
-      meanOf(sampled).orElse(meanOf(corpus)).getOrElse(Array.empty)
+      meanOf(sampled).orElse(meanOf(live)).getOrElse(Array.empty)
     }
     val sigCol =
       if (centered)
         graft.ops.TextExprs.lshBitsPackedCentered(asDouble(vec), planes, center)
       else graft.ops.TextExprs.lshBitsPacked(asDouble(vec), planes)
-    val packed = corpus.select(id.as("id"), sigCol.as("sig"))
+    val packed = live.select(id.as("id"), sigCol.as("sig"))
     val banded = packed.select(col("id"), col("sig"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), bnd =>
           call_function("shiftrightunsigned", col("sig"), bnd * bandBits)
@@ -502,7 +516,7 @@ object Ann {
       .dropDuplicates("id_a", "id_b")
     // normalize ONCE at the payload join; per-pair cosine is then a bare
     // dot product (no per-pair norm recomputation)
-    val payload = corpus.select(id.as("id"), normalize(asDouble(vec)).as("v"))
+    val payload = live.select(id.as("id"), normalize(asDouble(vec)).as("v"))
     cands
       .join(payload.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(payload.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

@@ -84,6 +84,54 @@ class HostileDataSpec extends AnyFunSuite {
     assert(bp.head._1 === "xx")
   }
 
+  test("BPE train and encode survive hostile documents") {
+    val withNull = hostile.unionByName(
+      Seq((8L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val merges = TextOps.trainBpeMerges(withNull, col("text"),
+      numMerges = 10, maxVocabWords = 100)
+    // the duplicated normal docs guarantee at least one repeated pair
+    assert(merges.nonEmpty)
+    val out = withNull.select(col("doc_id"),
+        TextOps.bpeTokens(col("text"), merges).as("t"),
+        TextOps.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getSeq[String](1)), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .toMap
+    assert(out.size === 8)
+    assert(out(1L)._2 === 0)                  // empty text: zero tokens
+    assert(out(8L)._1.isEmpty && out(8L)._2 === -1) // null stays null
+    // lossless on the unicode doc: concatenated tokens rebuild the
+    // normalized words ("unicode-hostile" chars are normalized away,
+    // which is the tokenize contract, not a BPE property)
+    assert(out(4L)._1.get.mkString("").nonEmpty)
+    assert(out(6L) === out(7L), "identical docs must encode identically")
+  }
+
+  test("semantic dedup survives null, empty, and zero embeddings") {
+    import graft.similarity.SemDedup
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),          // exact dup of 1
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),          // zero vector
+      (4L, Array.empty[Float]),                      // empty vector
+      (5L, null.asInstanceOf[Array[Float]]),         // null vector
+      (6L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = SemDedup.semanticNearDupPairs(vecs, col("vec_id"),
+        col("embedding"), nClusters = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the exact dup surfaces; no degenerate vector ever pairs (a zero
+    // or missing vector has no cosine) and nothing throws
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => a < b && a <= 2L && b <= 2L })
+    val labels = SemDedup.semanticDedup(vecs, col("vec_id"),
+        col("embedding"), nClusters = 2, threshold = 0.95, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 6)
+    assert(labels(2L) === 1L)                 // dup collapses to min id
+    assert(Seq(3L, 4L, 5L, 6L).forall(i => labels(i) === i))
+  }
+
   test("dedupLines bounds a pathological million-line document") {
     // one document whose line count dwarfs the corpus — the per-doc
     // reassembly buffer must stay bounded by maxLinesPerDoc, and the
