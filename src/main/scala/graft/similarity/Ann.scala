@@ -326,7 +326,12 @@ object Ann {
     // exactly the list a rebuild would put it in
     val assignW = Window.partitionBy(col("cid"))
       .orderBy(col("csim").desc, col("cluster").desc)
-    batch.select(col("cid"), normalize(asDouble(col("cvec"))).as("v"),
+    // EMPTY vectors are excluded, matching the build ([[ivfIndex]]) and
+    // query surfaces: an appended batch is the same routine-dirty corpus
+    // data, and a missing embedding must not kill the ingest job (while
+    // non-empty dim mismatches still throw — the schema-drift contract)
+    batch.where(size(col("cvec")) > 0)
+      .select(col("cid"), normalize(asDouble(col("cvec"))).as("v"),
         col("cvec"))
       .crossJoin(broadcast(centroids))
       .select(col("cid"), col("cvec"), col("cluster"),
@@ -514,14 +519,26 @@ object Ann {
     val cands = prefiltered
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // normalize ONCE at the payload join; per-pair cosine is then a bare
-    // dot product (no per-pair norm recomputation)
-    val payload = live.select(id.as("id"), normalize(asDouble(vec)).as("v"))
+    verifyCosinePairs(cands,
+      live.select(id.as("id"), normalize(asDouble(vec)).as("v")), threshold)
+  }
+
+  /** The exact-cosine verify tail shared by every near-dup front
+    * ([[cosineNearDupPairs]], [[SemDedup.semanticNearDupPairs]]):
+    * attach the normalize-ONCE payload to (id_a, id_b) candidates, bare
+    * dot product per pair, round to 6, threshold filter. ONE
+    * implementation on purpose — the fronts are interchangeable
+    * upstream of a threshold only while their rounding and comparison
+    * are bit-identical, and a shared tail makes that a structural
+    * property instead of a copy-paste discipline.
+    * @param payload (id, v) with `v` ALREADY normalized */
+  private[similarity] def verifyCosinePairs(cands: DataFrame,
+                                            payload: DataFrame,
+                                            threshold: Double): DataFrame =
     cands
       .join(payload.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(payload.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", round(dot(col("v_a"), col("v_b")), 6))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-  }
 }

@@ -79,11 +79,16 @@ object Pq {
     * subspaces at once, seeded deterministically from the first `k` rows
     * by id. The returned model is m·k·subdim doubles — broadcast-class,
     * collected once. */
-  def train(corpus: DataFrame, id: Column, vec: Column, dim: Int,
+  def train(rawCorpus: DataFrame, id: Column, vec: Column, dim: Int,
             m: Int = 8, k: Int = 16, iters: Int = 2): Model = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(k > 1, "k > 1 centroids per subspace")
     val subdim = dim / m
+    // EMPTY vectors are excluded from training and seeding (a missing
+    // embedding carries no geometry and would trip checkedDim's 0-vs-dim
+    // throw); non-empty mismatched dims still throw — the same exclusion
+    // contract as every query/build surface (Ann.rankTopK note)
+    val corpus = rawCorpus.where(size(vec) > 0)
     // materialize the normalized subvector frame ONCE: every Lloyd round
     // (and the seed scan) would otherwise replay the parquet scan, the
     // normalize, and the dim-guard kernel per round — and each round's
@@ -238,7 +243,11 @@ object Pq {
       .bucketBy(buckets, "cluster")
       .option("path", s"$path/lists")
       .saveAsTable(ivfpqName(path))
-    corpus.select(col("cid"), col("cvec"))
+    // empty vectors never enter the index (the assign join above already
+    // excludes them from the lists); keep the float store consistent so
+    // a compaction or rebuild from vecs sees the same corpus
+    corpus.where(size(col("cvec")) > 0)
+      .select(col("cid"), col("cvec"))
       .repartition(buckets, col("cid"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "cid")
@@ -291,7 +300,12 @@ object Pq {
     // exactly the list a rebuild would put it in
     val assignW = Window.partitionBy(col("cid"))
       .orderBy(col("csim").desc, col("cluster").desc)
-    batch.select(col("cid"), Ann.normalize(Ann.asDouble(col("cvec"))).as("v"),
+    // EMPTY vectors excluded, matching the build and query surfaces
+    // (Ann.appendToIvfIndex note): missing embeddings are routine dirty
+    // data and must not kill the ingest; encode's checkedDim would
+    // otherwise throw on the 0-vs-dim mismatch
+    val cleaned = batch.where(size(col("cvec")) > 0)
+    cleaned.select(col("cid"), Ann.normalize(Ann.asDouble(col("cvec"))).as("v"),
         col("cvec"))
       .crossJoin(broadcast(centroids))
       .select(col("cid"), col("cvec"), col("cluster"),
@@ -304,7 +318,7 @@ object Pq {
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "cluster")
       .saveAsTable(ivfpqName(path))
-    batch.select(col("cid"), col("cvec"))
+    cleaned.select(col("cid"), col("cvec"))
       .repartition(buckets, col("cid"))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "cid")
@@ -372,8 +386,11 @@ object Pq {
     // probe stage shared with the IVF twins (Ann.probeClusters) — tie
     // breaks and normalization cannot drift between variants
     val probes = Ann.probeClusters(queries, centroids, nprobe)
-    val qt = queries.select(col("qid"),
-      queryTable(col("qvec"), mdl).as("qtab"))
+    // empty qvecs are already probe-excluded (probeClusters); the ADC
+    // table must skip them too or queryTable's checkedDim throws while
+    // BUILDING the broadcast, killing the query job
+    val qt = queries.where(size(col("qvec")) > 0)
+      .select(col("qid"), queryTable(col("qvec"), mdl).as("qtab"))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("iscore").desc, col("cid"))
     val survivors = probes
@@ -403,8 +420,13 @@ object Pq {
               model: Option[Model] = None): DataFrame = {
     val mdl = model.getOrElse(
       train(corpus, col("cid"), col("cvec"), dim, m, nCentroids, iters))
-    val coded = corpus.select(col("cid"), encode(col("cvec"), mdl).as("codes"))
-    val qt = queries.select(col("qid"), queryTable(col("qvec"), mdl).as("qtab"))
+    // EMPTY vectors excluded on both sides before the codec kernels
+    // (encode/queryTable checkedDim would throw on 0-vs-dim) — same
+    // exclusion contract as Ann.rankTopK
+    val coded = corpus.where(size(col("cvec")) > 0)
+      .select(col("cid"), encode(col("cvec"), mdl).as("codes"))
+    val qt = queries.where(size(col("qvec")) > 0)
+      .select(col("qid"), queryTable(col("qvec"), mdl).as("qtab"))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("iscore").desc, col("cid"))
     val survivors = coded.crossJoin(broadcast(qt))

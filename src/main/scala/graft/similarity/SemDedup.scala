@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * this is a scale extension in the same family as the ANN surface.
   */
 object SemDedup {
-  import Ann.{asDouble, dot, normalize}
+  import Ann.{asDouble, normalize}
 
   /** Within-cluster near-duplicate pairs: (id_a < id_b, sim) with exact
     * cosine ≥ `threshold`, candidates bounded by k-means co-membership
@@ -55,16 +55,12 @@ object SemDedup {
       .join(slim.select(col("cluster"), col("cid").as("id_b")), Seq("cluster"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    // normalize ONCE at the payload join; per-pair cosine is then a
-    // bare dot product (cosineNearDupPairs parity — same rounding, so
-    // the two fronts are interchangeable upstream of a threshold)
-    val payload = c.select(col("cid"), normalize(asDouble(col("cvec"))).as("v"))
-    cands
-      .join(payload.select(col("cid").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(payload.select(col("cid").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .withColumn("sim", round(dot(col("v_a"), col("v_b")), 6))
-      .where(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    // verify tail shared with cosineNearDupPairs (Ann.verifyCosinePairs)
+    // — same normalize-once payload join and rounding by construction,
+    // so the two fronts stay interchangeable upstream of a threshold
+    Ann.verifyCosinePairs(cands,
+      c.select(col("cid").as("id"), normalize(asDouble(col("cvec"))).as("v")),
+      threshold)
   }
 
   /** Canonical survivor labels over the within-cluster pair graph:

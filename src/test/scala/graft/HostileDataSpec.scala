@@ -93,18 +93,27 @@ class HostileDataSpec extends AnyFunSuite {
     assert(merges.nonEmpty)
     val out = withNull.select(col("doc_id"),
         TextOps.bpeTokens(col("text"), merges).as("t"),
-        TextOps.bpeTokenCount(col("text"), merges).as("n"))
+        TextOps.bpeTokenCount(col("text"), merges).as("n"),
+        concat_ws("", TextOps.tokens(TextOps.normalized(col("text"))))
+          .as("joined_words"))
       .collect().map(r => r.getLong(0) ->
-        (Option(r.getSeq[String](1)), if (r.isNullAt(2)) -1 else r.getInt(2)))
+        ((Option(r.getSeq[String](1)), if (r.isNullAt(2)) -1 else r.getInt(2)),
+          r.getString(3)))
       .toMap
     assert(out.size === 8)
-    assert(out(1L)._2 === 0)                  // empty text: zero tokens
-    assert(out(8L)._1.isEmpty && out(8L)._2 === -1) // null stays null
-    // lossless on the unicode doc: concatenated tokens rebuild the
-    // normalized words ("unicode-hostile" chars are normalized away,
-    // which is the tokenize contract, not a BPE property)
-    assert(out(4L)._1.get.mkString("").nonEmpty)
-    assert(out(6L) === out(7L), "identical docs must encode identically")
+    assert(out(1L)._1._2 === 0)               // empty text: zero tokens
+    assert(out(8L)._1._1.isEmpty && out(8L)._1._2 === -1) // null stays null
+    // lossless on EVERY doc: concatenated subword tokens rebuild the
+    // concatenated normalized words exactly ("unicode-hostile" chars are
+    // normalized away, which is the tokenize contract, not a BPE
+    // property) — the invariant the bpe_encode gate pins
+    (1L to 7L).foreach { d =>
+      assert(out(d)._1._1.get.mkString("") === out(d)._2,
+        s"doc $d: BPE roundtrip lost or mangled content")
+    }
+    assert(out(4L)._1._1.get.mkString("").nonEmpty,
+      "unicode doc must survive with content, not normalize to nothing")
+    assert(out(6L)._1 === out(7L)._1, "identical docs must encode identically")
   }
 
   test("semantic dedup survives null, empty, and zero embeddings") {
@@ -130,6 +139,48 @@ class HostileDataSpec extends AnyFunSuite {
     assert(labels.size === 6)
     assert(labels(2L) === 1L)                 // dup collapses to min id
     assert(Seq(3L, 4L, 5L, 6L).forall(i => labels(i) === i))
+  }
+
+  test("rolling-ingestion and PQ surfaces tolerate empty vectors") {
+    // the ingest face of the empty-vector contract: a missing embedding
+    // in an APPEND batch (or an inline-trained corpus) is the same
+    // routine dirty data the query surfaces already exclude — it must
+    // be skipped, never indexed, and never crash the job via the
+    // dot/encode kernels' 0-vs-dim throw
+    import java.nio.file.Files
+    import graft.similarity.{Ann, Pq}
+    val clean = (1L to 12L).map(i => (i,
+      Array.tabulate(8)(d => if (d == (i % 8).toInt) 1.0f else 0.01f * i)))
+      .toDF("cid", "cvec")
+    val dirty = Seq(
+      (13L, Array.tabulate(8)(_ => 0.5f)),
+      (14L, Array.empty[Float])).toDF("cid", "cvec")
+    val q = Seq(
+      (1L, Array.tabulate(8)(d => if (d == 1) 1.0f else 0.0f)),
+      (2L, Array.empty[Float])).toDF("qid", "qvec")
+
+    val ivfPath = Files.createTempDirectory("graft_dirty_ivf").toString + "/i"
+    Ann.writeIvfIndex(clean, ivfPath, nClusters = 4, iters = 1, buckets = 2)
+    Ann.appendToIvfIndex(dirty, ivfPath)
+    val grown = Ann.queryIvfIndex(q, ivfPath, k = 3, nprobe = 4).collect()
+    assert(grown.nonEmpty)
+    assert(grown.forall(_.getLong(0) == 1L), "empty-qvec query excluded")
+    assert(grown.forall(_.getLong(1) != 14L), "empty vector never indexed")
+
+    val pqPath = Files.createTempDirectory("graft_dirty_ivfpq").toString + "/i"
+    Pq.writeIvfPqIndex(clean.unionByName(dirty), pqPath, dim = 8, m = 4,
+      nCentroids = 4, nClusters = 4, iters = 1, buckets = 2)
+    Pq.appendToIvfPqIndex(dirty, pqPath)
+    val pq = Pq.queryIvfPqIndex(q, pqPath, k = 3, nprobe = 4).collect()
+    assert(pq.nonEmpty)
+    assert(pq.forall(r => r.getLong(0) == 1L && r.getLong(1) != 14L))
+
+    // in-line train + encode over the dirty corpus (adcTopK trains its
+    // own codebook here — the path that walks every kernel)
+    val adc = Pq.adcTopK(q, clean.unionByName(dirty), k = 3, dim = 8,
+      m = 4, nCentroids = 4, iters = 1).collect()
+    assert(adc.nonEmpty)
+    assert(adc.forall(r => r.getLong(0) == 1L && r.getLong(1) != 14L))
   }
 
   test("dedupLines bounds a pathological million-line document") {

@@ -115,8 +115,16 @@ class PlanSpec extends AnyFunSuite {
     * matched anywhere inside the bracket list: pushed-down predicates
     * can rewrite a key to an expression (`[(id_a#4L + 1000000),
     * cluster#43]`), so anchoring to the first position under-matches. */
-  private def assertKeyedJoinStaysSortMerge(q: String, key: String): Unit = {
-    val p = physical(SparkEntry.queries(q)(spark, dir))
+  private def assertKeyedJoinStaysSortMerge(q: String, key: String): Unit =
+    assertPlanKeyedSortMerge(q, key,
+      physical(SparkEntry.queries(q)(spark, dir)))
+
+  /** Same guard over an ALREADY-rendered plan string — for tests that
+    * make further assertions on the same plan, so a query whose
+    * construction is expensive (e.g. semdedup's k-means training runs
+    * real driver jobs at plan-build time) renders once, not per check. */
+  private def assertPlanKeyedSortMerge(q: String, key: String,
+                                       p: String): Unit = {
     val smj = ("""SortMergeJoin \[[^\]]*\b""" + key + "#").r
     val bhj = ("""BroadcastHashJoin \[[^\]]*\b""" + key + "#").r
     assert(smj.findFirstIn(p).isDefined,
@@ -147,8 +155,8 @@ class PlanSpec extends AnyFunSuite {
     // Asserted on the pairs front (semdedup_exactdups runs it at the
     // production cluster count): the canonical variant checkpoints
     // eagerly, so its final plan is a leaf with the joins already run.
-    assertKeyedJoinStaysSortMerge("semdedup_exactdups", "cluster")
     val p = physical(SparkEntry.queries("semdedup_exactdups")(spark, dir))
+    assertPlanKeyedSortMerge("semdedup_exactdups", "cluster", p)
     assert(p.contains("BroadcastNestedLoopJoin"),
       "centroid assignment lost its broadcast")
   }
