@@ -19,11 +19,16 @@ object Explain {
         "decontaminate", "training_pipeline", "embed_quantize",
         "decontaminate_bloom", "range_join", "vocab_topk",
         "ann_pq", "doc_keywords")
+    // "-noaqe": plan with AQE disabled — separates a static-planner
+    // ReuseExchange miss (plans don't canonicalize equal) from an AQE
+    // stage-cache miss (they do, but stage reuse didn't fire)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled",
+        (!args.contains("-noaqe")).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -31,6 +36,7 @@ object Explain {
     // adaptive plan — AQE stage reuse (e.g. deduplicated identical
     // shuffles) only shows post-execution
     val (flags, qs) = names.partition(_.startsWith("-"))
+    require(flags.forall(Set("-exec", "-noaqe")), s"unknown flag in $flags")
     val exec = flags.contains("-exec")
     for (n <- qs) {
       println(s"\n========== $n ==========")
@@ -41,7 +47,7 @@ object Explain {
         // mutates to its final form (count()/.write plan a fresh QE)
         val rows = df.collect().length
         println(s"---------- $n: final adaptive plan ($rows rows) ----------")
-        println(df.queryExecution.executedPlan.toString.take(8000))
+        println(df.queryExecution.executedPlan.toString.take(120000))
       }
     }
     spark.stop()

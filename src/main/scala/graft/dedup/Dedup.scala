@@ -504,12 +504,19 @@ object Dedup {
     * by construction at maxDf·(maxDf−1)/2 pairs per shingle — and
     * per-document rare-shingle counts explode out of the same posting
     * frame, so the shingle kernel runs ONCE, nothing ever sorts the
-    * exploded stream, and no join touches it. The two consumers of the
-    * posting frame share the shingle-hash exchange via ReuseExchange.
-    * The only joins left attach the per-document size frame to the pair
-    * counts — corpus-scale aggregate frames, merge-pinned because the
-    * static post-aggregate estimate would happily broadcast what is
-    * one-row-per-document at production scale.
+    * exploded stream, and no join touches it. The posting frame is
+    * materialized once (eager localCheckpoint) for its two consumers —
+    * AQE's stage cache does not reliably deduplicate the kernel subtree
+    * across them (measured: the static planner reuses the exchange with
+    * AQE off, the adaptive plan re-runs it), and the frame is bounded
+    * by the rare-shingle stream, the same magnitude the shuffle already
+    * spills. The only joins left attach the per-document size frame to
+    * the pair counts — corpus-scale aggregate frames, shuffle-hash-
+    * pinned with the slim size frame as build side: never broadcast
+    * (the static post-aggregate estimate would happily broadcast what
+    * is one-row-per-document at production scale), and never a sort of
+    * the pair-count frame either (the merge-pinned form sorted it twice
+    * — measured as the dominant tail cost).
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         n: Int = 2, maxDf: Int = 100,
@@ -524,9 +531,14 @@ object Dedup {
     * (id_a < id_b, n_common, n_a, n_b) over the rare-shingle space —
     * [[ngramJaccardPairs]] and [[ngramContainmentPairs]] differ only in
     * the similarity they derive from these counts. */
-  private def rareShingleCommonCounts(docs: DataFrame, id: Column,
-                                      text: Column, n: Int,
-                                      maxDf: Int): DataFrame = {
+  /** The UN-materialized rare-shingle posting frame — split out so
+    * PlanSpec can assert the front's shape (no window, map-side partial
+    * aggregation) directly: the eager checkpoint in
+    * [[rareShingleCommonCounts]] makes this subtree invisible in the
+    * downstream plan. */
+  private[graft] def shinglePostings(docs: DataFrame, id: Column,
+                                     text: Column, n: Int,
+                                     maxDf: Int): DataFrame = {
     val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
     // ONE pass over the shingle stream: df (count, map-side combined)
     // plus the posting list via the buffer-bounded collect — see the
@@ -534,11 +546,24 @@ object Dedup {
     // redundant for non-null ids (BoundedCollectAgg scaladoc); keeping
     // both means a future maxDf/cap drift can only DROP pairs loudly
     // (empty result) rather than unbound a buffer silently.
-    val postings = sh.groupBy(col("s"))
+    sh.groupBy(col("s"))
       .agg(count(lit(1)).as("df"),
         BoundedCollect.boundedCollect(col("doc_id"), maxDf).as("ids"))
       .where(col("df") <= maxDf && col("ids").isNotNull)
       .select(col("ids"))
+  }
+
+  private def rareShingleCommonCounts(docs: DataFrame, id: Column,
+                                      text: Column, n: Int,
+                                      maxDf: Int): DataFrame = {
+    val postings = shinglePostings(docs, id, text, n, maxDf)
+      // eager: one kernel+shuffle pass feeds both consumers below (see
+      // the plan-shape note). Truncated lineage means executor loss
+      // restarts the operator instead of recomputing — the documented
+      // localCheckpoint tradeoff this codebase already takes for
+      // iterative/multi-consumer frames (canonicalFromPairs, embedding
+      // dedup).
+      .localCheckpoint(true)
     // per-doc rare-shingle counts, from the SAME posting frame (no
     // second kernel pass, no join against the exploded stream)
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
@@ -560,12 +585,21 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
     pairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
-      // sizes is one row per document — corpus-scale, merge-pinned like
-      // every aggregate frame in this family
+      // sizes is one row per document — corpus-scale, so it must never
+      // broadcast (the static post-aggregate estimate would happily
+      // broadcast what is one-row-per-document at production scale).
+      // SHUFFLE-HASH-pinned rather than merge-pinned: a sort-merge join
+      // here sorts the pair-count frame TWICE (once per key side) —
+      // measured as the dominant tail cost — while a shuffled hash join
+      // builds on the slim (id, count) side, 16 bytes a row, bounded
+      // per partition by |docs|/shuffle-partitions, and streams the
+      // pair counts unsorted. Same no-broadcast scale guarantee, no
+      // sort of the big side. The build side arrives pre-partitioned
+      // by its aggregation key, so the pin adds no exchange.
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
-        .hint("merge"), Seq("id_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
-        .hint("merge"), Seq("id_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
   }
 
   /** Asymmetric containment over the same rare-shingle inverted index:
@@ -677,16 +711,31 @@ object Dedup {
     * its merge-pinned join). Instead, n_dup inverts: a span is
     * duplicated iff df ≥ 2, so `n_dup = n_spans − n_unique`, and a
     * UNIQUE span's one posting is recoverable from the df aggregate
-    * itself as `min(doc_id)` — a fixed-width buffer, no collect. Two
-    * map-side-combined aggregations of the span stream (by doc, by
-    * span), then one merge-pinned join of two slim per-document frames.
-    * The per-doc join is null-SAFE so a dirty null id groups
-    * consistently on both sides.
+    * itself as `min(doc_id)` — a fixed-width buffer, no collect.
+    * n_spans never explodes at all: the shingle kernel emits DISTINCT
+    * spans per row, so `size()` of the unexploded array is the row's
+    * span count and the per-doc frame is a slim map-side projection
+    * plus a one-row-per-doc aggregation — the exploded stream shuffles
+    * ONCE (by span), not twice. The final join of the two slim
+    * per-document frames is shuffle-hash-pinned (build = the unique-
+    * counts side): same never-broadcast guarantee as merge-pinning,
+    * without sorting either frame. The per-doc join is null-SAFE so a
+    * dirty null id groups consistently on both sides.
     * @return (doc_id, n_spans, n_dup, dup_ppm) */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
                       n: Int = 5): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
-    val nSpans = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val base = docs.select(id.as("doc_id"), shingles(text, n).as("shs"))
+    // size() counts the kernel's distinct spans without exploding; the
+    // filter drops exactly the rows explode() would have dropped (null
+    // kernel output — size(null) is null, never > 0; the kernel never
+    // emits an empty array, even a token-less doc gets its one
+    // degenerate shingle). groupBy collapses duplicate-id rows and the
+    // null-id group identically to the exploded form.
+    val nSpans = base
+      .select(col("doc_id"), size(col("shs")).as("k"))
+      .where(col("k") > 0)
+      .groupBy(col("doc_id")).agg(sum(col("k")).as("n_spans"))
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("s"))
     // min over a df=1 group IS that span's single posting (min also
     // yields null for a lone null id, matching the null-safe join)
     val nUnique = sh.groupBy(col("s"))
@@ -694,7 +743,7 @@ object Dedup {
       .where(col("df") === 1)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
     nSpans.as("t")
-      .join(nUnique.as("u").hint("merge"),
+      .join(nUnique.as("u").hint("shuffle_hash"),
         col("t.doc_id") <=> col("u.doc_id"), "left")
       .select(col("t.doc_id"), col("n_spans"),
         (col("n_spans") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"))

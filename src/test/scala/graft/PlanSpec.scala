@@ -169,9 +169,15 @@ class PlanSpec extends AnyFunSuite {
     def joins(q: String): Int = {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
-      "SortMergeJoin".r.findAllIn(p).size
+      "ShuffledHashJoin".r.findAllIn(p).size
     }
-    assert(joins("dedup_containment") === joins("dedup_ngram"),
+    val ngramJoins = joins("dedup_ngram")
+    // non-vacuous: the two size-attach joins of the shared front must
+    // be present (and be hash, not sort-merge — the merge form sorted
+    // the pair-count frame twice)
+    assert(ngramJoins === 2,
+      s"expected the front's two shuffle-hash size joins, got $ngramJoins")
+    assert(joins("dedup_containment") === ngramJoins,
       "containment re-plans its inverted-index subtree vs the Jaccard twin")
   }
 
@@ -182,6 +188,17 @@ class PlanSpec extends AnyFunSuite {
     // at test SF, a straggler/OOM at corpus scale. The df front must be
     // groupBy(s).count() (partials collapse hot keys before the shuffle)
     // joined back onto the stream (AQE-skew-split eligible).
+    // the ngram/containment front materializes early (eager checkpoint),
+    // so its df subtree is asserted directly on the un-materialized
+    // posting frame; text_dup_spans keeps its whole plan inspectable
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    val front = plan(graft.dedup.Dedup.shinglePostings(
+      docs, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), 2, 100))
+    assert(!front.contains("Window"),
+      s"shingle posting front routes df through WindowExec:\n${front.take(2000)}")
+    assert("Aggregate".r.findAllIn(front).size >= 2,
+      s"shingle posting front lost its map-side partial:\n${front.take(2000)}")
     for (q <- Seq("dedup_ngram", "dedup_containment", "text_dup_spans")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("Window"),
