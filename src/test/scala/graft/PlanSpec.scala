@@ -191,7 +191,7 @@ class PlanSpec extends AnyFunSuite {
     // the ngram/containment front materializes early (eager checkpoint),
     // so its df subtree is asserted directly on the un-materialized
     // posting frame; text_dup_spans keeps its whole plan inspectable
-    val docs = graft.sources.Tables(spark, dir, "documents")
+    val docs = graft.Tables(spark, dir, "documents")
     val front = plan(graft.dedup.Dedup.shinglePostings(
       docs, org.apache.spark.sql.functions.col("doc_id"),
       org.apache.spark.sql.functions.col("text"), 2, 100))
@@ -254,6 +254,24 @@ class PlanSpec extends AnyFunSuite {
       s"dedup_exact routes copies through WindowExec:\n${p.take(2000)}")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "canonical/copy aggregate lost its map-side partial")
+  }
+
+  test("ANN top-k tails keep the WindowGroupLimit pushdown") {
+    // rankTopK filters row_number() <= k, which InferWindowGroupLimit
+    // rewrites into a WindowGroupLimit pair: a PARTIAL node that
+    // truncates each map task's candidates to top-k BEFORE the qid
+    // shuffle, and a FINAL node after it. At corpus scale the partial
+    // is the difference between shuffling every candidate pair and
+    // shuffling k rows per query per task — losing it (e.g. by breaking
+    // the filter's rank-predicate shape, or raising k past
+    // spark.sql.window.group.limit.threshold) silently re-inflates the
+    // exchange. Asserted >= 2 occurrences: the partial is the one that
+    // matters and it only ever appears alongside the final.
+    for (q <- Seq("ann_topk", "ann_lsh", "ann_ivf")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$q lost the partial WindowGroupLimit pushdown:\n${p.take(2000)}")
+    }
   }
 
   test("range join is a bucketed equi-join, never a cross product") {
