@@ -11,8 +11,6 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as Long nanos
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,11 +23,18 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // failures must be LOUD: a deleted output makes the failed gate
+    // vanish from the driver's CORRECTNESS compare entirely (a shrunken
+    // all-green file reads as perfect), which is how a 4-operator
+    // regression once survived two rounds unflagged. Record every
+    // failure machine-readably and reconcile registry vs outputs at exit.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
         // a failure before the write starts leaves a PREVIOUS run's
         // output in place (mode=overwrite never ran) — delete it so the
         // compare can't silently pass on stale results
@@ -59,6 +64,20 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // failure artifact + reconciliation: _errors.json lists query →
+    // exception for every gate that died, and the missing line compares
+    // the selected registry against what actually landed on disk, so an
+    // absent output can never masquerade as "not registered"
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    val produced = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    val missing = selected.keySet -- produced
+    println(s"[verify] queries=${selected.size} produced=${produced.intersect(selected.keySet).size} " +
+      s"failed=${errors.size} missing=${missing.toSeq.sorted.mkString(",")}")
+    // exit 0 even on failures: the driver must still DuckDB-compare the
+    // gates that did land; _errors.json + the line above carry the alarm
     spark.stop()
   }
 }

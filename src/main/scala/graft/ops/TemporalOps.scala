@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object TemporalOps {
 
+  /** Epoch-microseconds projection of an event-time column, tolerant of
+    * fixture vintage: a `LongType` column is epoch NANOS (the legacy
+    * `nanosAsLong` parquet read) → integral `div 1000`; a
+    * TIMESTAMP / TIMESTAMP_NTZ column (the current `timestamp[us]`
+    * fixture) → `unix_micros`, exact in a UTC session because the cast
+    * from NTZ preserves wall time. Branching on the ACTUAL dtype means a
+    * fixture regeneration in either direction cannot silently break the
+    * temporal operators again. */
+  def epochMicros(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"`$name` div 1000")
+      case _ => unix_micros(col(name).cast("timestamp"))
+    }
+
+  /** TIMESTAMP projection of the same column, for event-time operators
+    * (watermarks, windows) that want a native timestamp rather than
+    * epoch micros. Same dtype branch as [[epochMicros]]. */
+  def eventTime(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"`$name` div 1000"))
+      case _ => col(name).cast("timestamp")
+    }
+
   /** As-of join. `right` must be unique per (key, ts) — pre-aggregate it
     * if not, or ties make the filled value nondeterministic.
     * @return left rows + `payload` column holding the as-of right value

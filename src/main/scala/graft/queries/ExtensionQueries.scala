@@ -321,12 +321,11 @@ object ExtensionQueries {
     // overlaps by construction. Oracle: DuckDB's native inequality
     // join over the same frames.
     "range_join" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"))
-      val p = Tables(s, dir, "events")
-        .select(col("event_id").as("prior_id"), col("user_id"),
-          expr("ts div 1000").as("pts_us"))
+      val ev = Tables(s, dir, "events")
+      val tsUs = graft.ops.TemporalOps.epochMicros(ev)
+      val e = ev.select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+      val p = ev.select(col("event_id").as("prior_id"), col("user_id"),
+          tsUs.as("pts_us"))
       graft.ops.TemporalOps.rangeJoin(e, p,
           leftKey = col("user_id"), rightKey = col("user_id"),
           leftTs = col("ts_us"), rightTs = col("pts_us"),
@@ -731,9 +730,9 @@ object ExtensionQueries {
     // event, union+window implementation — one key shuffle, no range
     // explosion. Oracle: DuckDB's native ASOF LEFT JOIN.
     "asof_join" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"))
+      val ev = Tables(s, dir, "events")
+      val e = ev.select(col("event_id"), col("user_id"),
+          graft.ops.TemporalOps.epochMicros(ev).as("ts_us"))
       val o = Tables(s, dir, "orders")
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max(col("o_orderkey")).as("ok"))
@@ -749,8 +748,9 @@ object ExtensionQueries {
 
     // gap-based sessionization (30-minute gap) — lag + running break sum
     "sessionize" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      val ev = Tables(s, dir, "events")
+      val e = ev.select(col("user_id"),
+          graft.ops.TemporalOps.epochMicros(ev).as("ts_us"))
       graft.ops.TemporalOps.sessionize(e, col("user_id"), col("ts_us"),
           gap = 1800000000L)
         .groupBy(col("user_id"))

@@ -94,15 +94,17 @@ object StreamingIngest {
   }
 
   /** Event-time windowed counts with a watermark — the standing
-    * aggregation a metrics stream wants. `ts` arrives as Long
-    * nanoseconds (nanosAsLong read of the events table). */
+    * aggregation a metrics stream wants. `ts` is either a native
+    * TIMESTAMP/TIMESTAMP_NTZ (current events fixture) or Long epoch
+    * nanoseconds (legacy nanosAsLong read) — the projection branches on
+    * the actual dtype ([[graft.ops.TemporalOps.eventTime]]), with
+    * integral `div` in the Long branch because epoch nanos (~1.7e18)
+    * exceed double's exact-integer range and boundary events would
+    * mis-bucket under double division. */
   def windowedEventCounts(events: DataFrame, window_ : String = "1 hour",
                           watermark: String = "2 hours"): DataFrame =
     events
-      // integral division: `/` is double division, and epoch nanoseconds
-      // (~1.7e18) exceed double's exact-integer range — boundary events
-      // would mis-bucket
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", graft.ops.TemporalOps.eventTime(events))
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"),
