@@ -281,6 +281,23 @@ class PlanSpec extends AnyFunSuite {
       s"range join must stay an equi-join on (key, bucket):\n${p.take(1500)}")
   }
 
+  test("as-of join is union+window — no join operator in the plan at all") {
+    // the scale property of the union+window formulation: ONE key shuffle
+    // feeds a window forward-fill, so no join node (and hence no range
+    // candidate explosion) can appear. A refactor that reintroduces a
+    // join — even an equi-join — silently re-opens the per-key blowup.
+    val p = plan(SparkEntry.queries("asof_join")(spark, dir))
+    assert(!p.contains("Join"),
+      s"as-of must stay join-free (union + keyed window):\n${p.take(1500)}")
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("sessionize is pure windows — no join, no cross product") {
+    val p = plan(SparkEntry.queries("sessionize")(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"sessionize must stay lag + running-sum windows:\n${p.take(1500)}")
+  }
+
   test("bloom decontamination probes map-side, under the exact verify join") {
     val p = plan(SparkEntry.queries("decontaminate_bloom")(spark, dir))
     assert(p.contains("might_contain"),

@@ -163,4 +163,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(("u1", 250L)) === 1L)
     assert(out(("u2", 0L)) === 0L)
   }
+
+  // Both fixture vintages of the event-time projection. The testdata's
+  // events.ts is currently timestamp[us], so the Long-nanos branch has
+  // no fixture exercising it — these pin it (and the exactness of
+  // integral div on values past double's 2^53 range) against the next
+  // regeneration in either direction.
+  test("epochMicros: Long column is nanos div 1000, exact past 2^53") {
+    val big = 1767225600123456789L // ~2026 epoch nanos; > 2^53
+    val df = Seq((1L, big)).toDF("id", "ts")
+    val out = df.select(TemporalOps.epochMicros(df).as("us"))
+      .collect().head.getLong(0)
+    assert(out === big / 1000L) // 1767225600123456; double div would round
+  }
+
+  test("epochMicros/eventTime: timestamp column matches DuckDB epoch_us") {
+    // built from a UTC Instant, not Timestamp.valueOf, so the test does
+    // not depend on the JVM default timezone
+    val inst = java.time.Instant.parse("2026-01-01T00:00:00.123456Z")
+    val df = Seq((1L, java.sql.Timestamp.from(inst))).toDF("id", "ts")
+    val us = df.select(TemporalOps.epochMicros(df).as("us"))
+      .collect().head.getLong(0)
+    assert(us === 1767225600123456L)
+    val ts = df.select(TemporalOps.eventTime(df).as("t"))
+      .collect().head.getTimestamp(0)
+    assert(ts.toInstant === inst)
+  }
+
+  test("eventTime: Long nanos column yields the same instant") {
+    val df = Seq((1L, 1767225600123456000L)).toDF("id", "ts")
+    val ts = df.select(TemporalOps.eventTime(df).as("t"))
+      .collect().head.getTimestamp(0)
+    assert(ts.toInstant ===
+      java.time.Instant.parse("2026-01-01T00:00:00.123456Z"))
+  }
 }
