@@ -136,38 +136,57 @@ object Ann {
     * arg-max via struct ordering; update = per-dimension average after a
     * posexplode). `iters` Lloyd rounds; deterministic seeding (first k
     * rows by id). Returns (assignments(cid, cluster), centroids(cluster,
-    * centroid)). The assignment pass is one streaming scan per round —
-    * the shape that works when the corpus is 100 TB and centroids fit in
-    * a broadcast. */
-  def ivfIndex(corpus: DataFrame, nClusters: Int, iters: Int = 2)
-      : (DataFrame, DataFrame) = {
+    * centroid)).
+    *
+    * Lloyd trains on a BOUNDED deterministic sample (hash-ordered
+    * top-`maxTrainRows`, default `max(256·k, 4096)` — the FAISS-class
+    * points-per-centroid guidance), so each training round scans the
+    * sample, not the corpus: at 100 TB the training cost is fixed by the
+    * cap while the FINAL assignment stays one full streaming scan
+    * against the broadcast centroids. Every oracled consumer is
+    * centroid-robust by construction — the `*_full` gates probe all
+    * clusters and re-rank with exact cosine, and SemDeDup's lossless
+    * twin runs `nClusters = 1` — so sampling shifts only the
+    * recall/latency trade of the approximate production-parameter
+    * variants, never an exact result. Pass `Int.MaxValue` to train on
+    * the full corpus. */
+  def ivfIndex(corpus: DataFrame, nClusters: Int, iters: Int = 2,
+               maxTrainRows: Int = 0): (DataFrame, DataFrame) = {
     // rows with EMPTY vectors are excluded from training AND assignment
     // (no cosine to any centroid exists — they would crash the dot
     // kernel and cannot be searched); mismatched non-empty dims still
     // throw, the deliberate schema-drift contract
     val normed = corpus.where(size(col("cvec")) > 0)
       .select(col("cid"), normalize(asDouble(col("cvec"))).as("v"))
-    // deterministic seeds: first nClusters rows by id, COLLECTED (k×dim
-    // doubles — broadcast-class) and re-created with driver-side ranks.
-    // A global Window.orderBy over the seed frame would plan a
+    val cap = if (maxTrainRows > 0) maxTrainRows
+      else math.max(256 * nClusters, 4096)
+    // hash-ordered top-N: deterministic (xxhash64 total-ordered with an
+    // id tie-break), planned as a partial per-partition top-N — no full
+    // sort — and materialized once so every Lloyd round reuses it
+    val train = if (cap == Int.MaxValue) normed
+      else normed.orderBy(xxhash64(col("cid")), col("cid")).limit(cap)
+        .select(col("cid"), col("v")).localCheckpoint(true)
+    // deterministic seeds: first nClusters training rows by id, COLLECTED
+    // (k×dim doubles — broadcast-class) and re-created with driver-side
+    // ranks. A global Window.orderBy over the seed frame would plan a
     // single-partition WindowExec and warn on every run; this shape is
     // warning-free and identical in result.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val seeds = normed.orderBy(col("cid")).limit(nClusters)
+    val seeds = train.orderBy(col("cid")).limit(nClusters)
       .select(col("v")).collect().map(_.getSeq[Double](0))
     var centroids = seeds.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq
       .toDF("cluster", "centroid")
-    def assignTo(cents: DataFrame): DataFrame =
-      normed.crossJoin(broadcast(cents))
+    def assignTo(rows: DataFrame, cents: DataFrame): DataFrame =
+      rows.crossJoin(broadcast(cents))
         .select(col("cid"), col("v"),
           struct(dot(col("v"), col("centroid")).as("sim"), col("cluster")).as("sc"))
         .groupBy(col("cid"))
         .agg(max(col("sc")).getField("cluster").as("cluster"),
           first(col("v")).as("v"))
     for (_ <- 0 until iters) {
-      val assign = assignTo(centroids)
+      val assign = assignTo(train, centroids)
       centroids = assign
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
@@ -184,10 +203,11 @@ object Ann {
         // materialized frame instead of replaying every prior round
         .localCheckpoint(true)
     }
-    // FINAL assignment against the FINAL centroids — the in-loop
-    // assignment predates the last centroid update, and probes ranked by
-    // the new centroids must match the inverted-list membership
-    (assignTo(centroids).select(col("cid"), col("cluster")), centroids)
+    // FINAL assignment of the FULL corpus against the FINAL centroids —
+    // the in-loop assignment covered only the training sample, and
+    // probes ranked by the new centroids must match the inverted-list
+    // membership
+    (assignTo(normed, centroids).select(col("cid"), col("cluster")), centroids)
   }
 
   /** The `nprobe` best clusters per query: (qid, cluster) ranked by
