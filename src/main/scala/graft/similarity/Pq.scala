@@ -80,7 +80,8 @@ object Pq {
     * by id. The returned model is m·k·subdim doubles — broadcast-class,
     * collected once. */
   def train(rawCorpus: DataFrame, id: Column, vec: Column, dim: Int,
-            m: Int = 8, k: Int = 16, iters: Int = 2): Model = {
+            m: Int = 8, k: Int = 16, iters: Int = 2,
+            maxTrainRows: Int = 0): Model = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(k > 1, "k > 1 centroids per subspace")
     val subdim = dim / m
@@ -88,14 +89,23 @@ object Pq {
     // embedding carries no geometry and would trip checkedDim's 0-vs-dim
     // throw); non-empty mismatched dims still throw — the same exclusion
     // contract as every query/build surface (Ann.rankTopK note)
-    val corpus = rawCorpus.where(size(vec) > 0)
+    val filtered = rawCorpus.where(size(vec) > 0)
+    // the sample-at-scale contract, ENFORCED (same shape as
+    // Ann.ivfIndex): Lloyd trains on a deterministic hash-ordered sample
+    // capped at max(256·k, 4096) rows — points-per-centroid guidance —
+    // so training cost is fixed by the cap at any corpus size. The
+    // codebook is m·k·subdim doubles regardless; encode/ADC over the
+    // full corpus are unaffected pure columns. Pass Int.MaxValue to
+    // train on everything.
+    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(256 * k, 4096)
+    val corpus = if (cap == Int.MaxValue) filtered
+      else filtered.orderBy(xxhash64(id), id).limit(cap)
     // materialize the normalized subvector frame ONCE: every Lloyd round
     // (and the seed scan) would otherwise replay the parquet scan, the
     // normalize, and the dim-guard kernel per round — and each round's
-    // plan would carry the whole kernel through codegen again. Training
-    // input is bounded by contract (train on a sample at corpus scale —
-    // the codebook is m·k·subdim doubles regardless), so the checkpoint
-    // is a bounded materialization, not a corpus copy.
+    // plan would carry the whole kernel through codegen again. The
+    // sample cap bounds it, so the checkpoint is a bounded
+    // materialization, not a corpus copy.
     val subv = subVectors(corpus, id, vec, m, subdim).localCheckpoint(true)
     // seeds: subvectors of the first k rows by id — k·m rows total, the
     // per-sub rank window runs over that bounded frame, never the corpus
