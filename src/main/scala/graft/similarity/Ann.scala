@@ -260,8 +260,8 @@ object Ann {
     * there.) */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nClusters: Int = 16, nprobe: Int = 4, iters: Int = 2,
-              roundTo: Int = 4): DataFrame = {
-    val (assign, centroids) = ivfIndex(corpus, nClusters, iters)
+              roundTo: Int = 4, maxTrainRows: Int = 0): DataFrame = {
+    val (assign, centroids) = ivfIndex(corpus, nClusters, iters, maxTrainRows)
     rankTopK(
       probeClusters(queries, centroids, nprobe)
         .join(assign, Seq("cluster"))
