@@ -293,10 +293,11 @@ object Ann {
     * each corpus version to a FRESH path and swap pointers after the
     * build — the tables are written sequentially, not atomically. */
   def writeIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 16,
-                    iters: Int = 2, buckets: Int = 16): Unit = {
+                    iters: Int = 2, buckets: Int = 16,
+                    maxTrainRows: Int = 0): Unit = {
     import org.apache.spark.sql.SaveMode
     val spark = corpus.sparkSession
-    val (assign, centroids) = ivfIndex(corpus, nClusters, iters)
+    val (assign, centroids) = ivfIndex(corpus, nClusters, iters, maxTrainRows)
     corpus.join(assign, Seq("cid"))
       .select(col("cid"), col("cluster"), col("cvec"))
       .repartition(buckets, col("cluster"))

@@ -240,11 +240,12 @@ object Pq {
   def writeIvfPqIndex(corpus: DataFrame, path: String, dim: Int,
                       m: Int = 8, nCentroids: Int = 16,
                       nClusters: Int = 16, iters: Int = 2,
-                      buckets: Int = 16): Unit = {
+                      buckets: Int = 16, maxTrainRows: Int = 0): Unit = {
     import org.apache.spark.sql.SaveMode
     val spark = corpus.sparkSession
-    val (assign, centroids) = Ann.ivfIndex(corpus, nClusters, iters)
-    val mdl = train(corpus, col("cid"), col("cvec"), dim, m, nCentroids, iters)
+    val (assign, centroids) = Ann.ivfIndex(corpus, nClusters, iters, maxTrainRows)
+    val mdl = train(corpus, col("cid"), col("cvec"), dim, m, nCentroids, iters,
+      maxTrainRows)
     corpus.join(assign, Seq("cid"))
       .select(col("cid"), col("cluster"),
         encode(col("cvec"), mdl).as("codes"))
@@ -427,9 +428,11 @@ object Pq {
   def adcTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               m: Int = 8, nCentroids: Int = 16, iters: Int = 2,
               overscan: Int = 4, roundTo: Int = 4,
-              model: Option[Model] = None): DataFrame = {
+              model: Option[Model] = None,
+              maxTrainRows: Int = 0): DataFrame = {
     val mdl = model.getOrElse(
-      train(corpus, col("cid"), col("cvec"), dim, m, nCentroids, iters))
+      train(corpus, col("cid"), col("cvec"), dim, m, nCentroids, iters,
+        maxTrainRows))
     // EMPTY vectors excluded on both sides before the codec kernels
     // (encode/queryTable checkedDim would throw on 0-vs-dim) — same
     // exclusion contract as Ann.rankTopK

@@ -46,9 +46,9 @@ object SemDedup {
     */
   def semanticNearDupPairs(corpus: DataFrame, id: Column, vec: Column,
                            nClusters: Int = 16, threshold: Double = 0.95,
-                           iters: Int = 2): DataFrame = {
+                           iters: Int = 2, maxTrainRows: Int = 0): DataFrame = {
     val c = corpus.select(id.as("cid"), vec.as("cvec"))
-    val (assign, _) = Ann.ivfIndex(c, nClusters, iters)
+    val (assign, _) = Ann.ivfIndex(c, nClusters, iters, maxTrainRows)
     val slim = assign.select(col("cluster"), col("cid"))
     val cands = slim.select(col("cluster"), col("cid").as("id_a"))
       .hint("merge")
@@ -76,9 +76,11 @@ object SemDedup {
     * each component. */
   def semanticDedup(corpus: DataFrame, id: Column, vec: Column,
                     nClusters: Int = 16, threshold: Double = 0.95,
-                    iters: Int = 2, maxIters: Int = 10): DataFrame =
+                    iters: Int = 2, maxIters: Int = 10,
+                    maxTrainRows: Int = 0): DataFrame =
     graft.dedup.Dedup.canonicalFromPairs(
       corpus.select(id.as("doc_id")), col("doc_id"),
-      semanticNearDupPairs(corpus, id, vec, nClusters, threshold, iters),
+      semanticNearDupPairs(corpus, id, vec, nClusters, threshold, iters,
+        maxTrainRows),
       maxIters)
 }
