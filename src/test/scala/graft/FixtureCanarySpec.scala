@@ -34,4 +34,26 @@ class FixtureCanarySpec extends AnyFunSuite {
       s"${failures.size} gate(s) no longer resolve against $dir:\n" +
         failures.mkString("\n"))
   }
+
+  test("table schemas agree across every scale factor") {
+    // the analysis canary above runs at sf0.001 only; a regeneration
+    // that drifts just sf0.01 (where the driver verifies) or sf0.1
+    // (where the bench runs) would slip past it. Schema identity across
+    // SFs makes one-SF analysis representative of all three.
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val drifted = tables.flatMap { t =>
+      val schemas = sfs.map(sf =>
+        sf -> spark.read.parquet(s"$sf/$t.parquet").schema)
+      val distinct = schemas.map(_._2).distinct
+      if (distinct.size == 1) None
+      else Some(s"$t: " + schemas.map { case (sf, sc) =>
+        s"$sf -> ${sc.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}"
+      }.mkString(" | "))
+    }
+    assert(drifted.isEmpty,
+      s"fixture schema drift across scale factors:\n${drifted.mkString("\n")}")
+  }
 }
