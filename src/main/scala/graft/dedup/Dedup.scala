@@ -29,8 +29,8 @@ import graft.text.TextOps
   * ever collects. Two measured exceptions, both bounded and documented
   * in place: [[simhashPairs]]'s default layout selection samples 1024
   * signatures (8 KB) to the driver at plan-construction time, and
-  * [[canonicalFromPairs]] runs bounded label-propagation rounds with
-  * driver-side convergence probes. Pass `wideTables = Some(..)` for a
+  * [[canonicalFromPairs]] runs O(log n) large-star/small-star rounds
+  * with driver-side convergence probes. Pass `wideTables = Some(..)` for a
   * construction-time-silent simhash plan.
   */
 object Dedup {
@@ -759,81 +759,118 @@ object Dedup {
     * — the step that turns any pairwise dedup (minhash/simhash/ngram/
     * embedding) into per-cluster canonical survivors.
     *
-    * Iterative min-label propagation: each round is one slim join of
-    * (src, dst) edges against (id, label) — ids and labels only, no
-    * payloads — and rounds needed = cluster diameter (near-dup clusters
-    * are shallow). Transitive chains longer than `maxIters` hops keep
-    * distinct labels; that non-convergence is logged as a warning (it
-    * means split clusters). Each round checkpoints its label frame —
-    * truncating the plan, which otherwise doubles per round (see the
-    * in-loop note) — and explicitly releases the superseded round's
-    * blocks, so storage holds two slim label copies, not maxIters; the
-    * edge frame is checkpointed once so the (possibly expensive) pair
-    * plan never replays.
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): each
+    * round rewires the slim (u, v) edge frame — ids only, no payloads —
+    * toward the component minimum, and the round count is O(log n) in
+    * the component size, INDEPENDENT of cluster diameter. (The previous
+    * min-label propagation needed one round per diameter hop, so a
+    * duplicate chain longer than `maxIters` silently split behind a log
+    * warning — the exact failure a boilerplate-template chain hits at
+    * corpus scale.) At the fixed point the edge set is a star per
+    * component, every non-minimum node pointing straight at its
+    * component minimum; labels are then a single left join.
+    *
+    * Each round checkpoints its edge frame — truncating the plan, which
+    * otherwise doubles per round — and explicitly releases the
+    * superseded round's blocks, so storage holds two slim edge copies,
+    * not maxIters. Convergence is detected by an order-independent
+    * (count, xor-of-hash) signature of the distinct edge set, computed
+    * by the same action that materializes the round's checkpoint.
+    *
+    * `maxIters` is a safety valve, not a tuning knob: 50 rounds covers
+    * components far beyond any physical corpus (the bound grows
+    * exponentially), and converged loops exit early so headroom is
+    * free. Non-convergence still warns rather than throws.
     *
     * @return (doc_id, canonical_id)
     */
   def canonicalFromPairs(ids: DataFrame, idCol: Column, pairs: DataFrame,
-                         maxIters: Int = 10): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    // every round LOCAL-CHECKPOINTS its label frame (stored
+                         maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+
+    // large-star: per node a over the FULL neighborhood, connect every
+    // strictly-larger neighbor to m = min(Γ(a) ∪ {a}). Input orientation
+    // is irrelevant (the neighborhood is symmetrized here); output edges
+    // are oriented u > v because m ≤ a < b for every emitted (b, m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val mins = bidir.groupBy(col("a"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      bidir.join(mins, Seq("a"))
+        .where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: per node u over its SMALLER neighbors N (edges are
+    // oriented u > v), connect every v ∈ N ∪ {u} to m = min(N). Output
+    // stays oriented u > v (v ≥ m with v = m filtered; u > m always).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val nbr = e.join(mins, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      nbr.unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // one aggregate action per round both materializes the lazy
+    // checkpoint AND yields the convergence signature — no second pass.
+    // The signature is set-equality with 64-bit-collision probability:
+    // edges are distinct, so (count, xor of xxhash64(u, v)) differing is
+    // proof of change, and matching is overwhelming evidence of none.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"),
+        lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // every round LOCAL-CHECKPOINTS its edge frame (stored
     // MEMORY_AND_DISK like a persist) so the next round's plan starts
-    // from a LEAF. This is load-bearing, not hygiene: a round's plan
-    // references the prior frame twice (incoming + the left join), so
-    // without truncation the logical plan DOUBLES per round and the
-    // driver dies analyzing ~2^rounds nodes once the pair graph's
-    // diameter passes ~15 — independent of data size. The superseded
-    // round's blocks are released EXPLICITLY each round (storage holds
-    // two label copies, not maxIters — the ContextCleaner alone would
-    // only reclaim at driver-GC cadence). Reliability tradeoff, same
-    // class as the edges checkpoint above: truncated lineage cannot
-    // recompute on executor loss — the operator restarts instead, the
-    // standard localCheckpoint contract for iterative loops.
-    var labels = ids.select(idCol.as("doc_id"), idCol.as("label"))
-      .localCheckpoint(true)
-    var prev = labels
+    // from a LEAF. Load-bearing, not hygiene: a round references the
+    // prior frame several times (bidir union + both join sides), so
+    // without truncation the logical plan grows geometrically and the
+    // driver dies analyzing it — independent of data size. The
+    // superseded round's blocks are released EXPLICITLY (storage holds
+    // two slim edge copies, not maxIters — the ContextCleaner alone
+    // reclaims only at driver-GC cadence). Reliability tradeoff:
+    // truncated lineage cannot recompute on executor loss — the
+    // operator restarts instead, the standard localCheckpoint contract
+    // for iterative loops.
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var sig = signature(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val incoming = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nlabel"))
-      // the convergence flag rides IN the updated frame (new label wins
-      // iff nlabel < label) — counting changes from the old-vs-new
-      // frames would add a third corpus-scale join per round. The
-      // checkpoint is LAZY (the plan becomes a leaf either way): the
-      // count below is the one action, scanning every partition (the
-      // filter prunes nothing), so compute, block storage, and the
-      // convergence tally all happen in a single pass — a limit-driven
-      // probe instead of the count would leave uncomputed partitions
-      val updated = labels.join(incoming, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          coalesce(col("nlabel") < col("label"), lit(false)).as("chg"))
-        .localCheckpoint(false)
-      val changed = updated.where(col("chg")).count()
-      // the count materialized `updated` into its own blocks — the
-      // previous round's are now dead weight; the FINAL round's frame
-      // is never released here (the caller's reference owns it)
-      org.apache.spark.sql.graftbridge.CheckpointBridge.releaseCheckpoint(prev)
-      prev = updated
-      labels = updated.select(col("doc_id"), col("label"))
-      converged = changed == 0L
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nsig = signature(next)
+      CheckpointBridge.releaseCheckpoint(edges)
+      edges = next
+      converged = nsig == sig
+      sig = nsig
       i += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"canonicalFromPairs did not converge in $maxIters rounds — " +
-          "clusters wider than that diameter are split; raise maxIters")
-    // the final frame is already a projection over a checkpoint leaf —
-    // the caller's reference keeps the blocks alive, the ContextCleaner
-    // reclaims them when the caller drops it: the lifetime a library
-    // return value should have
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
+          "unconverged components keep split labels; raise maxIters")
+    // the converged frame is a star: (node, component-min) for every
+    // non-min node. The final checkpoint's blocks stay alive through
+    // the returned frame's reference; the ContextCleaner reclaims them
+    // when the caller drops it — the lifetime a library return value
+    // should have
+    ids.select(idCol.as("doc_id"))
+      .join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("v"), col("doc_id")).as("canonical_id"))
   }
 
   // ── SimHash ──────────────────────────────────────────────────────────

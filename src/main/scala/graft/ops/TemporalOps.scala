@@ -26,7 +26,14 @@ object TemporalOps {
   def epochMicros(df: DataFrame, name: String = "ts"): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType => expr(s"`$name` div 1000")
-      case _ => unix_micros(col(name).cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(name).cast("timestamp"))
+      // any other dtype (e.g. a StringType from a malformed fixture
+      // regeneration) must fail ANALYSIS, not cast-to-null silently
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$name` has unsupported dtype $other — " +
+          "expected LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ")
     }
 
   /** TIMESTAMP projection of the same column, for event-time operators
@@ -36,7 +43,12 @@ object TemporalOps {
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr(s"`$name` div 1000"))
-      case _ => col(name).cast("timestamp")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        col(name).cast("timestamp")
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$name` has unsupported dtype $other — " +
+          "expected LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ")
     }
 
   /** As-of join. `right` must be unique per (key, ts) — pre-aggregate it

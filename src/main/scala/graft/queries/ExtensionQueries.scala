@@ -161,15 +161,12 @@ object ExtensionQueries {
       val docs = Tables(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
         n = 3, maxDf = 100, threshold = 0.8)
-      // maxIters bounds label propagation at the pair-graph DIAMETER,
-      // not the pair count: the oracle computes the exact recursive
-      // closure, so a >default-length near-dup chain (a–b–c–… each pair
-      // similar only to its neighbors) would converge in the oracle but
-      // split in the engine. 64 covers any plausible fixture/corpus
-      // chain; convergence earlier exits the loop, so the headroom
-      // costs nothing
+      // large-star/small-star converges in O(log n) rounds regardless
+      // of pair-chain diameter, matching the oracle's exact recursive
+      // closure; the default maxIters is a safety valve, not a
+      // diameter bound
       Dedup.canonicalFromPairs(docs.select(col("doc_id")), col("doc_id"),
-          pairs, maxIters = 64)
+          pairs)
         .orderBy(col("doc_id"))
     }),
 

@@ -160,6 +160,11 @@ object Ann {
       .select(col("cid"), normalize(asDouble(col("cvec"))).as("v"))
     val cap = if (maxTrainRows > 0) maxTrainRows
       else math.max(256 * nClusters, 4096)
+    // a cap below k starves the seed scan (fewer than nClusters seeds →
+    // silently fewer clusters than requested) — fail loudly instead
+    require(cap >= nClusters,
+      s"maxTrainRows=$cap must be >= nClusters=$nClusters: the training " +
+        "sample seeds one centroid per cluster")
     // hash-ordered top-N: deterministic (xxhash64 total-ordered with an
     // id tie-break), planned as a partial per-partition top-N — no full
     // sort — and materialized once so every Lloyd round reuses it

@@ -98,6 +98,11 @@ object Pq {
     // full corpus are unaffected pure columns. Pass Int.MaxValue to
     // train on everything.
     val cap = if (maxTrainRows > 0) maxTrainRows else math.max(256 * k, 4096)
+    // a cap below k starves the seed scan (fewer than k seeds per
+    // subspace → silently fewer centroids than requested) — fail loudly
+    require(cap >= k,
+      s"maxTrainRows=$cap must be >= k=$k: the training sample seeds " +
+        "one centroid per subspace cluster")
     val corpus = if (cap == Int.MaxValue) filtered
       else filtered.orderBy(xxhash64(id), id).limit(cap)
     // materialize the normalized subvector frame ONCE: every Lloyd round
@@ -236,7 +241,14 @@ object Pq {
     * Query cost at 100 TB: probe ranking over k coarse centroids,
     * an ADC scan of nprobe/nClusters of the CODES bytes, and a float
     * point-join for k·overscan rows per query. VERSIONING: fresh path
-    * per corpus version, as with the other index writers. */
+    * per corpus version, as with the other index writers.
+    *
+    * `maxTrainRows` is SHARED by both training stages — the IVF coarse
+    * k-means (k = nClusters) and the PQ codebook (k = nCentroids): an
+    * explicit cap tuned as points-per-centroid for one stage also
+    * applies to the other. The default (0) resolves per-stage to
+    * max(256·k, 4096), which keeps the points-per-centroid budget right
+    * for each; prefer the default unless you need a hard ceiling. */
   def writeIvfPqIndex(corpus: DataFrame, path: String, dim: Int,
                       m: Int = 8, nCentroids: Int = 16,
                       nClusters: Int = 16, iters: Int = 2,

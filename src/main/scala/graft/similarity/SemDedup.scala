@@ -66,7 +66,7 @@ object SemDedup {
   /** Canonical survivor labels over the within-cluster pair graph:
     * (doc_id, canonical_id), every document labeled with the minimum id
     * reachable through [[semanticNearDupPairs]] — keep-min-id via
-    * bounded label propagation
+    * large-star/small-star connected components
     * ([[graft.dedup.Dedup.canonicalFromPairs]]), consistent with every
     * pairwise dedup family in the engine. The paper's
     * keep-lowest-centroid-similarity policy is a different choice
@@ -76,7 +76,7 @@ object SemDedup {
     * each component. */
   def semanticDedup(corpus: DataFrame, id: Column, vec: Column,
                     nClusters: Int = 16, threshold: Double = 0.95,
-                    iters: Int = 2, maxIters: Int = 10,
+                    iters: Int = 2, maxIters: Int = 50,
                     maxTrainRows: Int = 0): DataFrame =
     graft.dedup.Dedup.canonicalFromPairs(
       corpus.select(id.as("doc_id")), col("doc_id"),

@@ -10,7 +10,7 @@ import graft.similarity.{Ann, SemDedup}
   * degenerate case must equal exact all-pairs cosine, planted identical
   * vectors must survive any cluster count, and the canonical tail must
   * collapse components. Plus the high-diameter regression guard for the
-  * label-propagation loop these operators exposed. */
+  * connected-components loop these operators exposed. */
 class SemDedupSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -78,27 +78,30 @@ class SemDedupSpec extends AnyFunSuite {
     assert(labels === run(), "labels drifted between identical runs")
   }
 
-  test("label propagation survives a high-diameter pair graph") {
-    // a 40-hop chain needs 40 propagation rounds: the loop's per-round
-    // plan doubles without lineage truncation (incoming + left join both
-    // reference the prior frame), so pre-fix this died analyzing
-    // ~2^40 plan nodes long before any data moved. REGRESSION GUARD for
-    // the checkpoint-per-round form.
-    val n = 41
+  test("connected components collapse a 10k-hop path graph at default maxIters") {
+    // a 10,000-node duplicate CHAIN (each doc near-dup only to its
+    // neighbors) has pair-graph diameter 9,999: the old min-label
+    // propagation needed one round per hop, so any default-bounded run
+    // provably split it behind a log warning. Large-star/small-star
+    // contracts it in O(log n) rounds — this asserts full collapse at
+    // the DEFAULT maxIters, plus the per-round plan truncation
+    // (geometric plan growth without checkpointing dies in driver
+    // analysis long before data moves) and the explicit block release
+    // of superseded rounds. REGRESSION GUARD for all three properties.
+    val n = 10000
     val ids = spark.range(n).select(col("id").as("doc_id"))
-    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
-      .toDF("id_a", "id_b")
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
     val before = spark.sparkContext.getPersistentRDDs.size
-    val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain,
-        maxIters = 64)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    assert(out.length === n)
-    assert(out.forall(_._2 === 0L), "chain did not collapse to the min id")
+    val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain)
+    assert(out.count() === n.toLong)
+    assert(out.where(col("canonical_id") =!= 0L).count() === 0L,
+      "path graph did not collapse to the component min")
     // superseded rounds release their checkpoint blocks EXPLICITLY —
-    // 40 rounds must leave only the edges + final-labels checkpoints
-    // behind, not one RDD per round waiting on a driver GC
+    // only the final edge-star checkpoint may remain, not one RDD per
+    // round waiting on a driver GC
     val leaked = spark.sparkContext.getPersistentRDDs.size - before
     assert(leaked <= 2,
-      s"$leaked checkpoint RDDs left behind by a 40-round propagation")
+      s"$leaked checkpoint RDDs left behind by the CC loop")
   }
 }
