@@ -47,7 +47,14 @@ object Containers {
   /** RIFF chunk walk: RIFF/WAVE magic, then scan chunks for "fmt " and
     * "data" (tolerating any other chunks — LIST/INFO/cue are common —
     * and the RIFF even-byte padding rule). */
-  def parseWav(payload: Array[Byte]): Option[WavInfo] = {
+  def parseWav(payload: Array[Byte]): Option[WavInfo] =
+    wavWithDataOffset(payload).map(_._1)
+
+  /** The chunk walk behind [[parseWav]], also yielding the byte offset
+    * of the "data" chunk payload — the decode entry point
+    * ([[pcmSamples]]) needs it, the metadata surface doesn't. */
+  private def wavWithDataOffset(
+      payload: Array[Byte]): Option[(WavInfo, Int)] = {
     if (payload.length < 44) return None
     val b = le(payload)
     if (b.getInt(0) != RIFF || b.getInt(8) != WAVE) return None
@@ -58,6 +65,7 @@ object Containers {
     var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var dataBytes = -1L
+    var dataOff = -1
     while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
       val i = off.toInt
       val id = b.getInt(i)
@@ -72,13 +80,42 @@ object Containers {
         if ((b.getShort(i + 8) & 0xFFFF) != 1) return None
         fmt = Some((b.getShort(i + 10) & 0xFFFF,
           b.getInt(i + 12), b.getShort(i + 22) & 0xFFFF))
-      } else if (id == DATA) dataBytes = size.toLong
+      } else if (id == DATA) { dataBytes = size.toLong; dataOff = i + 8 }
       off += 8L + size + (size & 1) // chunks pad to even offsets
     }
     fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
-      WavInfo(ch, rate, bits, dataBytes)
+      (WavInfo(ch, rate, bits, dataBytes), dataOff)
     }
   }
+
+  /** REAL PCM sample decode: the data-chunk bytes of a [[parseWav]]-
+    * valid payload as integer sample values — 16-bit → signed
+    * little-endian (a trailing odd byte is ignored, per block-align),
+    * 8-bit → unsigned re-centered to [-128, 127]. Interleaved channel
+    * samples each count as one value (stats over them are
+    * channel-agnostic). None for anything parseWav rejects and for bit
+    * depths this decoder doesn't cover (24/32-bit containers exist but
+    * the fixtures never build them — decline rather than guess). */
+  def pcmSamples(payload: Array[Byte]): Option[Array[Int]] =
+    wavWithDataOffset(payload).flatMap { case (w, off) =>
+      w.bitsPerSample match {
+        case 16 =>
+          val n = (w.dataBytes / 2).toInt
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val lo = payload(off + 2 * i) & 0xFF
+            val hi = payload(off + 2 * i + 1) // signed → sign-extends
+            out(i) = (hi << 8) | lo
+            i += 1
+          }
+          Some(out)
+        case 8 =>
+          Some(Array.tabulate(w.dataBytes.toInt)(i =>
+            (payload(off + i) & 0xFF) - 128))
+        case _ => None
+      }
+    }
 
   /** BITMAPFILEHEADER ("BM", file size, pixel offset) +
     * BITMAPINFOHEADER (or any later ≥40-byte DIB header, which extends
@@ -104,6 +141,44 @@ object Containers {
       pixelBytes = fileSize - pixelOffset))
   }
 
+  /** REAL pixel decode of an uncompressed (BI_RGB) BMP: the pixel-array
+    * bytes as unsigned values in visual top-down row-major order,
+    * EXCLUDING the per-row 4-byte-alignment padding the format mandates
+    * (padding is container framing, not image content). Bottom-up
+    * storage (positive height) is re-ordered; negative height is the
+    * format's top-down flag. None for anything [[parseBmp]] rejects,
+    * compressed pixel formats, bit depths without whole-byte samples
+    * (1/4-bit palettes), or a pixel array the payload doesn't actually
+    * contain. */
+  def bmpPixelValues(payload: Array[Byte]): Option[Array[Int]] =
+    parseBmp(payload).flatMap { m =>
+      val bpp = m.bitsPerPixel
+      val w = m.width
+      val hAbs = math.abs(m.height)
+      val stride = ((bpp.toLong * w + 31) / 32 * 4).toInt
+      val pixelOffset = le(payload).getInt(10).toLong & 0xFFFFFFFFL
+      val decodable = m.compression == 0 &&
+        (bpp == 8 || bpp == 24 || bpp == 32) && w > 0 && hAbs > 0 &&
+        pixelOffset + stride.toLong * hAbs <= payload.length
+      if (!decodable) None
+      else {
+        val rowBytes = w * (bpp / 8)
+        val out = new Array[Int](rowBytes * hAbs)
+        var vr = 0 // visual row, top-down
+        while (vr < hAbs) {
+          val sr = if (m.height < 0) vr else hAbs - 1 - vr // stored row
+          val base = pixelOffset.toInt + sr * stride
+          var p = 0
+          while (p < rowBytes) {
+            out(vr * rowBytes + p) = payload(base + p) & 0xFF
+            p += 1
+          }
+          vr += 1
+        }
+        Some(out)
+      }
+    }
+
   /** Canonical 44-byte-header PCM WAV around `data`, RIFF pad byte
     * included when the data length is odd. */
   def buildWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
@@ -125,9 +200,13 @@ object Containers {
     out.array()
   }
 
-  /** Canonical BI_RGB BMP: 54-byte headers + zeroed pixel rows at the
-    * 4-byte-aligned stride the format mandates. */
-  def buildBmp(width: Int, height: Int, bitsPerPixel: Int = 24): Array[Byte] = {
+  /** Canonical BI_RGB BMP: 54-byte headers + pixel rows at the
+    * 4-byte-aligned stride the format mandates. `fill` supplies the
+    * pixel-array byte at each index (padding positions included — they
+    * are in the array, just not image content); the default zero fill
+    * keeps the historical all-black output. */
+  def buildBmp(width: Int, height: Int, bitsPerPixel: Int = 24,
+               fill: Int => Byte = _ => 0): Array[Byte] = {
     val rowBytes = ((bitsPerPixel * width + 31) / 32) * 4
     val pixelBytes = rowBytes * height
     val out = ByteBuffer.allocate(54 + pixelBytes)
@@ -144,6 +223,8 @@ object Containers {
       .putInt(pixelBytes)
       .putInt(2835).putInt(2835) // 72 DPI
       .putInt(0).putInt(0)
+    var i = 0
+    while (i < pixelBytes) { out.put(fill(i)); i += 1 }
     out.array()
   }
 }

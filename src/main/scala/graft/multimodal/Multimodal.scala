@@ -5,20 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
   * video travel as opaque `binary` payloads with typed metadata, and the
-  * compute-heavy decode/feature steps run batched per partition — the
-  * Spark-side shape (schema, partitioning, batch iteration, checksums)
-  * is real and tested; only the codec kernels themselves are STUBBED
-  * (this container ships no image/audio libraries).
+  * compute-heavy decode/feature steps run batched per partition.
   *
-  * STUB MARKERS: [[FakeCodec.decodeFeatures]], [[FakeCodec.resize]], and
-  * [[FakeCodec.sampleFrames]] are deterministic stand-ins. Swapping in a
-  * real decoder (JNI image lib, ffmpeg pipe, …) changes ONLY FakeCodec —
-  * the partition-batched execution plan stays identical.
+  * REAL, not stubbed: container metadata parsing AND sample/pixel
+  * decode for the two formats whose codecs are pure JVM — [[Containers]]
+  * walks WAV RIFF chunks and BMP DIB headers ([[containerMeta]]) and
+  * decodes their PCM samples / pixel-array bytes
+  * ([[Containers.pcmSamples]], [[Containers.bmpPixelValues]]), which
+  * [[decodeFeatures]] turns into integer-exact sample statistics.
   *
-  * NOT stubbed: container METADATA parsing — [[Containers]] does real
-  * byte-level WAV (RIFF chunk walk) and BMP (BITMAPINFOHEADER) header
-  * parsing, surfaced here as [[containerMeta]]; only the sample/pixel
-  * decode step behind those headers remains a stand-in.
+  * STUB MARKERS — the remaining stand-ins, each for a codec the
+  * container genuinely doesn't ship (JPEG/PNG/MP3/MP4 need native
+  * libraries): [[FakeCodec.decodeFeatures]] (the fallback feature
+  * vector for payloads that aren't WAV/BMP), [[FakeCodec.resize]], and
+  * [[FakeCodec.sampleFrames]]. Swapping in a real decoder (JNI image
+  * lib, ffmpeg pipe, …) changes ONLY FakeCodec — the partition-batched
+  * execution plan stays identical.
   */
 object Multimodal {
 
@@ -31,12 +33,15 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
                            checksum: String, features: Array[Double])
 
-  /** Deterministic fake codec — stands in for image/audio decode. */
+  /** Deterministic fake codec — stands in for the COMPRESSED-format
+    * decoders (JPEG/PNG/MP3/MP4) this container can't ship; WAV/BMP
+    * decode is real ([[Containers]]). */
   object FakeCodec {
-    /** STUB: a real implementation decodes the payload (JPEG/PNG/WAV…)
+    /** STUB: a real implementation decodes the payload (JPEG/PNG/…)
       * and runs a feature extractor. Deterministic stand-in: normalized
       * 16-bin byte histogram — shape-compatible (fixed-length
-      * Array[Double]) with a real embedding. */
+      * Array[Double]) with a real embedding. Only reached for payloads
+      * [[Containers]] cannot decode. */
     def decodeFeatures(payload: Array[Byte]): Array[Double] = {
       val hist = new Array[Double](16)
       var i = 0
@@ -75,6 +80,24 @@ object Multimodal {
         lit("lang"), col("lang"),
         lit("n_chars"), col("n_chars").cast("string")).as("meta"))
 
+  /** Integer-exact decoded-sample statistics: (count, sum, min, max)
+    * over PCM samples (WAV) or pixel-array bytes (BMP) — values exact
+    * in doubles (sums bounded by payload size × 2^15), so downstream
+    * casts to long round-trip and an external engine can recompute them
+    * bit-identically. Empty decodes pin min/max to 0 so the vector
+    * shape is constant. */
+  private def unitStats(units: Array[Int]): Array[Double] =
+    if (units.isEmpty) Array(0d, 0d, 0d, 0d)
+    else {
+      var sum = 0L; var mn = units(0); var mx = units(0); var i = 0
+      while (i < units.length) {
+        val v = units(i)
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      Array(units.length.toDouble, sum.toDouble, mn.toDouble, mx.toDouble)
+    }
+
   /** Partition-batched decode IN PLACE: each input partition iterates in
     * fixed-size batches — the exact execution shape a vectorized/Arrow
     * decode path wants. Deliberately NO repartition: shuffling would ship
@@ -82,6 +105,12 @@ object Multimodal {
     * exists to avoid; decode-load balance comes from file-source split
     * sizing (`spark.sql.files.maxPartitionBytes`) instead. Only ids +
     * fixed-width features leave the stage; payloads never shuffle.
+    *
+    * Feature semantics per payload: a decodable WAV or BMP yields REAL
+    * decoded-sample statistics ([[unitStats]] over
+    * [[Containers.pcmSamples]] / [[Containers.bmpPixelValues]]);
+    * anything else falls back to the STUB histogram
+    * ([[FakeCodec.decodeFeatures]]) — the compressed-codec stand-in.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
                      batchSize: Int = 64): Dataset[MediaFeatures] = {
@@ -102,7 +131,11 @@ object Multimodal {
             // this module is that malformed input degrades, never NPEs a
             // task (payload columns are nullable parquet binary)
             val p = if (m.payload == null) Array.emptyByteArray else m.payload
-            val feats = FakeCodec.decodeFeatures(p)
+            val feats = Containers.pcmSamples(p)
+              .orElse(Containers.bmpPixelValues(p)) match {
+                case Some(units) => unitStats(units)
+                case None => FakeCodec.decodeFeatures(p)
+              }
             MediaFeatures(m.doc_id, m.modality, p.length.toLong,
               md5Hex(md, p), feats)
           }

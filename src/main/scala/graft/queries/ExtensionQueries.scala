@@ -1097,18 +1097,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL sample decode over REAL container bytes: the synthetic
+    // WAV/BMP media (syntheticMedia) runs through the partition-batched
+    // decode, whose features for decodable payloads are integer-exact
+    // statistics of the ACTUAL decoded units — 16-bit LE PCM samples
+    // for WAV, stride-aware pixel-array bytes (padding excluded) for
+    // BMP. The oracle recomputes the same stats from the SOURCE columns
+    // byte-for-byte (samples re-assembled from the text's UTF-8 hex
+    // rendering; pixels from the fill pattern over (row, pos) with the
+    // format's 4-byte-aligned stride), so a bug in sample assembly,
+    // signedness, stride math, or padding handling cannot hide.
     "multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
+      val media = syntheticMedia(s, dir)
       Multimodal.decodeFeatures(s, media)
         .toDF()
-        .select(col("doc_id"), col("modality"), col("n_bytes"), col("checksum"),
-          size(col("features")).as("n_features"),
-          // histogram bin 6 (bytes 0x60-0x6f — most lowercase letters, the
-          // discriminating bin for text payloads) as parts-per-million
-          // BIGINT: the count/n division is the same IEEE double in both
-          // engines, and integer ppm survives any client's float rendering
-          // (see ParityQueries.cents)
-          round(element_at(col("features"), 7) * 1e6, 0).cast("long").as("f6_ppm"))
+        .select(col("doc_id"), col("modality"), col("n_bytes"),
+          element_at(col("features"), 1).cast("long").as("n_units"),
+          element_at(col("features"), 2).cast("long").as("unit_sum"),
+          element_at(col("features"), 3).cast("long").as("unit_min"),
+          element_at(col("features"), 4).cast("long").as("unit_max"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1119,26 +1126,8 @@ object ExtensionQueries {
     // recomputes every parsed field from the SOURCE columns, so a
     // builder/parser asymmetry in any header field cannot hide.
     "multimodal_containers" -> ((s, dir) => {
-      import s.implicits._
-      import graft.multimodal.Containers
-      val media = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-          col("text"))
-        .as[(Long, Long, String)]
-        .mapPartitions(_.map { case (id, nChars, text) =>
-          val payload =
-            if (id % 2 == 0)
-              Containers.buildWav(
-                channels = (1 + (id / 2) % 2).toInt,
-                sampleRate = (8000 + (id % 5) * 1000).toInt,
-                bitsPerSample = 16,
-                data = Option(text).getOrElse("").getBytes("UTF-8"))
-            else Containers.buildBmp(
-              width = (1 + nChars % 64).toInt,
-              height = (1 + id % 48).toInt)
-          (id, payload)
-        }).toDF("doc_id", "payload")
-      Multimodal.containerMeta(s, media).toDF().orderBy(col("doc_id"))
+      Multimodal.containerMeta(s, syntheticMedia(s, dir))
+        .toDF().orderBy(col("doc_id"))
     }),
 
     // corpus-LM typicality (integer-exact perplexity-filter stand-in):
@@ -1190,6 +1179,39 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
   )
+
+  /** Shared synthetic media table for the container/decode gates: REAL
+    * WAV/BMP payloads built from the documents columns — even doc_id →
+    * 16-bit PCM WAV carrying the text's UTF-8 bytes (channels/rate
+    * varied by id), odd → 24bpp BI_RGB BMP sized by the doc whose
+    * pixel-array bytes follow a deterministic linear fill (padding
+    * positions included; the decoder must exclude them). Every header
+    * field and every content byte is a pure function of the source
+    * columns, which is what lets the DuckDB oracles recompute both the
+    * parsed metadata AND the decoded sample statistics. */
+  private def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Containers
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("text"))
+      .as[(Long, Long, String)]
+      .mapPartitions(_.map { case (id, nChars, text) =>
+        val payload =
+          if (id % 2 == 0)
+            Containers.buildWav(
+              channels = (1 + (id / 2) % 2).toInt,
+              sampleRate = (8000 + (id % 5) * 1000).toInt,
+              bitsPerSample = 16,
+              data = Option(text).getOrElse("").getBytes("UTF-8"))
+          else Containers.buildBmp(
+            width = (1 + nChars % 64).toInt,
+            height = (1 + id % 48).toInt,
+            fill = i => ((i.toLong * 31 + id * 7) % 256).toByte)
+        (id, if (id % 2 == 0) "audio/wav" else "image/bmp", payload,
+          Map.empty[String, String])
+      }).toDF("doc_id", "modality", "payload", "meta")
+  }
 
   /** Memoized per-dataset BPE merge table (driver-side training is
     * deterministic; Verify + Bench + plan audits in one session must not
@@ -2031,23 +2053,63 @@ object ExtensionQueries {
         |  lang AS meta_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // the payload is encode(text,'UTF-8'), so md5(text) IS the raw-byte
-    // checksum, and the stub features (16-bin high-nibble byte histogram)
-    // are re-derivable from the odd positions of hex(payload) — the whole
-    // partition-batched decode path gets a value-level oracle
+    // the decoded units are re-assembled from the SOURCE columns: WAV
+    // 16-bit LE signed samples from consecutive hex-pair bytes of the
+    // text blob (lo byte first; a trailing odd byte is ignored, and the
+    // RIFF pad byte is outside the data chunk); BMP pixel bytes from
+    // the builder's linear fill over (row, pos) with the 4-byte-aligned
+    // stride — padding positions excluded, exactly what the decoder
+    // must skip. All stats integer-exact, so the hash compare is free
+    // of fp concerns.
     "multimodal_features" ->
-      """WITH h AS (
-        |  SELECT doc_id, 'image/' || source AS modality,
-        |    octet_length(cast(text AS blob)) AS n_bytes,
-        |    md5(text) AS checksum,
-        |    lower(hex(cast(text AS blob))) AS hx
-        |  FROM documents)
-        |SELECT doc_id, modality, n_bytes, checksum, 16 AS n_features,
-        |  cast(round(len(list_filter(range(1, len(hx) + 1, 2),
-        |        i -> substr(hx, cast(i AS int), 1) = '6'))
-        |      / cast(greatest(n_bytes, 1) AS double) * 1000000) AS bigint)
-        |    AS f6_ppm
-        |FROM h ORDER BY doc_id""".stripMargin,
+      """WITH wav AS (
+        |  SELECT doc_id, lower(hex(cast(text AS blob))) AS hx,
+        |    coalesce(octet_length(cast(text AS blob)), 0) AS nb
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ws AS (SELECT doc_id, hx, unnest(range(nb // 2)) AS i FROM wav),
+        |wv AS (
+        |  SELECT doc_id,
+        |    (16 * (instr('0123456789abcdef',
+        |             substr(hx, cast(4*i+1 AS int), 1)) - 1)
+        |       + instr('0123456789abcdef',
+        |             substr(hx, cast(4*i+2 AS int), 1)) - 1)
+        |    + 256 * (16 * (instr('0123456789abcdef',
+        |             substr(hx, cast(4*i+3 AS int), 1)) - 1)
+        |       + instr('0123456789abcdef',
+        |             substr(hx, cast(4*i+4 AS int), 1)) - 1) AS u
+        |  FROM ws),
+        |wsv AS (SELECT doc_id,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM wv),
+        |wagg AS (SELECT doc_id, count(*) AS n, sum(v) AS s,
+        |    min(v) AS mn, max(v) AS mx FROM wsv GROUP BY doc_id),
+        |wout AS (
+        |  SELECT w.doc_id, 'audio/wav' AS modality,
+        |    cast(44 + nb + nb % 2 AS bigint) AS n_bytes,
+        |    cast(coalesce(a.n, 0) AS bigint) AS n_units,
+        |    cast(coalesce(a.s, 0) AS bigint) AS unit_sum,
+        |    cast(coalesce(a.mn, 0) AS bigint) AS unit_min,
+        |    cast(coalesce(a.mx, 0) AS bigint) AS unit_max
+        |  FROM wav w LEFT JOIN wagg a USING (doc_id)),
+        |bmp AS (
+        |  SELECT doc_id, 1 + n_chars % 64 AS w, 1 + doc_id % 48 AS h
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |b1 AS (SELECT doc_id, w, h, ((3 * w + 3) // 4) * 4 AS stride
+        |  FROM bmp),
+        |br AS (SELECT doc_id, w, h, stride, unnest(range(h)) AS r FROM b1),
+        |bp AS (SELECT doc_id, h, stride, r, unnest(range(3 * w)) AS p
+        |  FROM br),
+        |bv AS (SELECT doc_id, h, stride,
+        |    ((r * stride + p) * 31 + doc_id * 7) % 256 AS v FROM bp),
+        |bout AS (
+        |  SELECT doc_id, 'image/bmp' AS modality,
+        |    cast(54 + stride * h AS bigint) AS n_bytes,
+        |    cast(count(*) AS bigint) AS n_units,
+        |    cast(sum(v) AS bigint) AS unit_sum,
+        |    cast(min(v) AS bigint) AS unit_min,
+        |    cast(max(v) AS bigint) AS unit_max
+        |  FROM bv GROUP BY doc_id, stride, h)
+        |SELECT * FROM wout UNION ALL SELECT * FROM bout
+        |ORDER BY doc_id""".stripMargin,
 
     // frame checksums hash the lowercase-hex rendering of the byte slice
     // (arbitrary slices aren't valid UTF-8, so hex is the string-safe

@@ -154,4 +154,65 @@ class ContainersSpec extends AnyFunSuite {
       huge(16 + i) = v.toByte // fmt chunk size := 0x7FFFFFF0
     assert(Containers.parseWav(huge) === None)
   }
+
+  test("PCM decode: 16-bit LE signed samples round-trip through the builder") {
+    // hand-built samples spanning the signed range, incl. the
+    // sign-extension boundary values
+    val samples = Array(0, 1, -1, 32767, -32768, 256, -257, 12345, -12345)
+    val data = new Array[Byte](samples.length * 2)
+    for ((s, i) <- samples.zipWithIndex) {
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val wav = Containers.buildWav(1, 8000, 16, data)
+    assert(Containers.pcmSamples(wav).map(_.toSeq) === Some(samples.toSeq))
+    // a trailing odd byte is outside any whole sample — ignored, and the
+    // RIFF pad byte the builder appends must not leak into the decode
+    val odd = Containers.buildWav(2, 44100, 16, data :+ 9.toByte)
+    assert(Containers.pcmSamples(odd).map(_.toSeq) === Some(samples.toSeq))
+  }
+
+  test("PCM decode: 8-bit recenters unsigned bytes; unsupported depths decline") {
+    val data = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte, 64)
+    val wav = Containers.buildWav(1, 8000, 8, data)
+    assert(Containers.pcmSamples(wav).map(_.toSeq) ===
+      Some(Seq(-128, -1, 0, 127, -64)))
+    // 24-bit is a real container the decoder deliberately declines
+    val deep = Containers.buildWav(1, 8000, 24, Array[Byte](1, 2, 3))
+    assert(Containers.parseWav(deep).isDefined)
+    assert(Containers.pcmSamples(deep) === None)
+    assert(Containers.pcmSamples(Array.empty[Byte]) === None)
+  }
+
+  test("BMP decode: stride padding excluded, bottom-up rows reordered") {
+    // 3×2 @24bpp: rowBytes 9, stride 12 — three padding bytes per row.
+    // fill = array index, so padding positions hold values the decode
+    // must NOT emit, and row order distinguishes stored from visual.
+    val bmp = Containers.buildBmp(3, 2, fill = i => i.toByte)
+    val px = Containers.bmpPixelValues(bmp).get
+    // bottom-up storage: stored row 1 (indices 12-20) is the TOP visual
+    // row; stored row 0 (0-8) the bottom. Padding (9-11, 21-23) absent.
+    assert(px.toSeq === ((12 to 20) ++ (0 to 8)).map(_ % 256))
+    // negative height flips to top-down: stored order IS visual order
+    val neg = Containers.buildBmp(3, 2, fill = i => i.toByte)
+    for (i <- 0 until 4) neg(22 + i) = ((-2) >> (8 * i)).toByte
+    assert(Containers.bmpPixelValues(neg).get.toSeq ===
+      ((0 to 8) ++ (12 to 20)).map(_ % 256))
+    // values are unsigned byte readings
+    val dark = Containers.buildBmp(1, 1, fill = _ => 0xF0.toByte)
+    assert(Containers.bmpPixelValues(dark).get.toSeq === Seq(240, 240, 240))
+    // declines: compressed flag (still header-parseable), and a pixel
+    // array the payload doesn't fully contain even when the header's
+    // own size fields are internally consistent
+    val comp = Containers.buildBmp(3, 2)
+    java.nio.ByteBuffer.wrap(comp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1) // BI_RLE8
+    assert(Containers.bmpPixelValues(comp) === None)
+    assert(Containers.parseBmp(comp).isDefined)
+    val short = java.util.Arrays.copyOf(Containers.buildBmp(3, 2), 70)
+    java.nio.ByteBuffer.wrap(short).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(2, 70) // fileSize matches the truncated payload
+    assert(Containers.parseBmp(short).isDefined)
+    assert(Containers.bmpPixelValues(short) === None)
+  }
 }
