@@ -992,6 +992,39 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // centered-LSH recall across the DENSITY SPECTRUM: every 10th
+    // embedding re-enters under vec_id + 1000000 — a uniform corpus
+    // sample, so the planted copies sit at every distance from the
+    // corpus mean, including the densest core where the centered
+    // signature's documented soft spot lives (NEAR-dups at the mean
+    // have tiny decorrelated residuals and can be missed — the
+    // Ann.cosineNearDupPairs tradeoff note). IDENTICAL vectors,
+    // however, center to IDENTICAL residuals at ANY density —
+    // bit-for-bit equal signatures, guaranteed candidacy, exact cosine
+    // 1.0 — so full recall on this population is a hard invariant the
+    // oracle recomputes from scratch, not a tuning property.
+    // AnnRecallSpec measures the soft near-dup spectrum this gate
+    // deliberately excludes.
+    "text_embed_dedup_recall" -> ((s, dir) => {
+      val base = Tables(s, dir, "embeddings")
+        .where(size(col("embedding")) > 0)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.unionByName(
+          base.where(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              col("embedding")))
+        .localCheckpoint(true)
+      Ann.cosineNearDupPairs(corpus, col("vec_id"), col("embedding"),
+          threshold = 0.9, bands = 10, bandBits = 6, meanSampleMod = 16)
+        .join(corpus.select(col("vec_id").as("id_a"),
+          col("embedding").as("va")), Seq("id_a"))
+        .join(corpus.select(col("vec_id").as("id_b"),
+          col("embedding").as("vb")), Seq("id_b"))
+        .where(col("va") === col("vb"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // IVF probing every cluster ≡ brute force (same exact-cosine rank
     // tail) — the gate proves the coarse partitioning is LOSSLESS: a
     // vector dropped or double-assigned by the k-means assignment would
@@ -1499,6 +1532,22 @@ object ExtensionQueries {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
         |ORDER BY sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // the identical-vector pair set over the planted corpus, from
+    // scratch — list equality on the raw floats, no hashing involved
+    "text_embed_dedup_recall" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE len(embedding) > 0),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM base
+        |  WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM corpus a JOIN corpus b
+        |  ON a.vec_id < b.vec_id AND a.embedding = b.embedding
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // SemDeDup at nClusters=1 ≡ the same exact all-pairs computation
     // that pins the LSH front — deliberately the identical oracle
