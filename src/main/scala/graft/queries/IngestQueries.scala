@@ -118,6 +118,39 @@ object IngestQueries {
         .orderBy(col("rowKey"), col("columnName"), col("packedValue"))
     }),
 
+    // the <NB> escape hatch END-TO-END (pack escape → salted store
+    // write → read → unpack unescape): the values carry the exact
+    // corruption classes the reference left unhandled — a data-borne
+    // FIELD delimiter, a data-borne ROW separator, and the literal
+    // escape token itself. The oracle recomputes the unescaped fields
+    // straight from the source columns, so one mis-ordered replace in
+    // either codec direction (or a split that sees a data delimiter as
+    // structure) breaks the gate. Raw NUL bytes stay in scalatest
+    // (RoundTripSpec/HostileDataSpec) per the note above — DuckDB
+    // varchars cannot carry them; with '|' as the structural delimiter
+    // here, the data-borne '|' is the live collision.
+    "pack_escaped_roundtrip" -> ((s, dir) => {
+      val hostile = graft.Tables(s, dir, "nation")
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit("|mid|"), col("n_name")).as("v1"),
+          concat(lit("<NB>"), col("n_name"), lit("\nrow")).as("v2"),
+          concat(lit("a|b<NB>c\n"), col("n_name")).as("v3"))
+      val kv = KvStore.pack(hostile,
+        keyParts = Seq(col("n_nationkey")),
+        qualifier = lit("q"),
+        valueParts = Seq(col("v1"), col("v2"), col("v3")),
+        escapeValues = true, delim = Sep)
+      val store = cachedStore(s"pack_escaped_roundtrip|$dir",
+        "graft_gate_esc")(KvStore.write(kv, _))
+      KvStore.unpack(KvStore.read(s, store),
+          unescapeValues = true, delim = Sep)
+        .select(col("rowKey"),
+          element_at(col("fields"), 1).as("f1"),
+          element_at(col("fields"), 2).as("f2"),
+          element_at(col("fields"), 3).as("f3"))
+        .orderBy(col("rowKey"))
+    }),
+
     // T1 (Utils.scala:504-515): variable-length repeating-group parse +
     // the MUCR qualifier flg++hex(len(id))++id (Utils.scala:546-547; the
     // reference's nonexistent-Test_Name bug at :555 fixed per SURVEY §3.2)
@@ -182,6 +215,17 @@ object IngestQueries {
     // row lost or duplicated anywhere in write-distribute-sort-commit
     // breaks this gate
     "kv_dsv2_write" -> kvLifecycleSql,
+
+    // the unescaped fields recomputed straight from the source columns:
+    // the whole escape→pack→store→unpack→unescape pipeline must be the
+    // identity on delimiter-bearing values
+    "pack_escaped_roundtrip" ->
+      """SELECT cast(n_nationkey AS varchar) AS rowKey,
+        |  n_name || '|mid|' || n_name AS f1,
+        |  '<NB>' || n_name || chr(10) || 'row' AS f2,
+        |  'a|b<NB>c' || chr(10) || n_name AS f3
+        |FROM nation
+        |ORDER BY rowKey""".stripMargin,
 
     "mucr_parse" ->
       s"""WITH lines AS (

@@ -249,6 +249,34 @@ class HostileDataSpec extends AnyFunSuite {
       graft.core.Splits.keepTrailing(v, D).length != 2))
   }
 
+  test("escaped NUL-bearing values survive the FULL store lifecycle") {
+    // the parquet leg the in-memory round-trip above cannot cover: raw
+    // NUL payload bytes (the DEFAULT field delimiter) through
+    // pack(escape) → salted store WRITE → READ → unpack(unescape). The
+    // oracle gate pack_escaped_roundtrip drives the same lifecycle with
+    // '|' because DuckDB varchars cannot carry NUL — this test is the
+    // NUL leg of that pair.
+    val D = Delims.Delim
+    val src = Seq(
+      ("k1", "q", s"value${D}with delim", "second"),
+      ("k2", "q", "value\nwith newline", s"also${D}delim"),
+      ("k3", "q", s"token ${Delims.NullByteReplace} inside", D + D))
+      .toDF("k", "q", "v1", "v2")
+    val kv = KvStore.pack(src, Seq(col("k")), col("q"),
+      Seq(col("v1"), col("v2")), escapeValues = true)
+    val store = java.nio.file.Files.createTempDirectory("graft_esc_store")
+      .resolve("store").toString
+    KvStore.write(kv, store)
+    val back = KvStore.unpack(KvStore.read(spark, store),
+        unescapeValues = true)
+      .select(element_at(col("fields"), 1).as("v1"),
+        element_at(col("fields"), 2).as("v2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = src.select("v1", "v2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === expected)
+  }
+
   test("escape/unescape is a lossless prefix code") {
     val tricky = Seq(
       Delims.NullByteReplace,                       // the token itself
