@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   *    — never the naive range join whose candidate space explodes.
   *  - sessionization: gap-based session ids per key via lag + running
   *    sum of gap-breaks — the standard two-window formulation.
+  *
+  * HOT-KEY CAVEAT (asofJoin, sessionize): both are ORDER-DEPENDENT
+  * windows partitioned by the key, and a window partition is
+  * indivisible — every row of a key lands in ONE task, and AQE's skew
+  * handling (which splits shuffle-JOIN partitions only) cannot help. A
+  * key owning 20% of a 100 TB corpus serializes 20% of the work in one
+  * task; correctness is unaffected (TemporalSkewSpec pins that), but
+  * the stage's wall-clock becomes the hot key's. Mitigation is NOT the
+  * generic [[SkewOps]] salt (order-dependent logic breaks under
+  * arbitrary row splits): chunk the hot key BY TIME — sessionize
+  * (key, time-chunk) with chunk width >> gap, then merge sessions that
+  * span a chunk boundary (one slim per-chunk-boundary pass); for
+  * asofJoin, seed each chunk with the latest right row before its
+  * start. [[rangeJoin]] already has this shape built in — its (key,
+  * bucket) exchange spreads a hot key across its time range.
   */
 object TemporalOps {
 

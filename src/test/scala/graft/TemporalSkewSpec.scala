@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TemporalOps
+
+/** Hot-key stress for the order-dependent temporal windows: one key
+  * owning ~25% of all events. A window partition is indivisible — the
+  * hot key's rows all land in one task and AQE cannot split them (its
+  * skew handling applies to shuffle joins only) — so the thing to PIN
+  * is that correctness is unaffected: results on the hot key must equal
+  * an independently-computed reference exactly, and the plan must show
+  * the single key-hashed window exchange the scaladoc caveat describes
+  * (see TemporalOps: the mitigation is time-chunking, not row salting).
+  */
+class TemporalSkewSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic irregular timestamps: gaps cycle 1,3,7,15,31 with a
+  // session break (gap > 40) every 13th event
+  private def tsSeq(n: Int, start: Long): Seq[Long] = {
+    val gaps = Seq(1L, 3L, 7L, 15L, 31L)
+    var t = start
+    (0 until n).map { i =>
+      val g = if (i % 13 == 12) 100L else gaps(i % gaps.length)
+      t += g; t
+    }
+  }
+
+  // the hot key owns 1000 of ~4000 events; 30 cold keys own 100 each
+  private lazy val events = {
+    val hot = tsSeq(1000, 0).map(("hot", _))
+    val cold = (0 until 30).flatMap(k => tsSeq(100, 7 * k).map((s"u$k", _)))
+    hot ++ cold
+  }
+
+  test("sessionize on a 25% hot key matches the sequential reference") {
+    val df = events.toDF("user_id", "ts")
+    val got = TemporalOps.sessionize(df, col("user_id"), col("ts"), gap = 40L)
+      .select(col("user_id"), col("ts"), col("session_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // sequential per-key reference: a break wherever the gap exceeds 40
+    for ((key, rows) <- events.groupBy(_._1)) {
+      val sorted = rows.map(_._2).sorted
+      var sid = -1L; var prev = Long.MinValue
+      for (t <- sorted) {
+        if (prev == Long.MinValue || t - prev > 40L) sid += 1
+        assert(got((key, t)) === sid, s"session_id for ($key, $t)")
+        prev = t
+      }
+    }
+    // the hot key really is hot, and really did session correctly in
+    // ONE window partition (many sessions, all from one task)
+    assert(events.count(_._1 == "hot") * 4 >= events.size)
+  }
+
+  test("asofJoin on the hot key matches the sequential forward-fill") {
+    val left = events.toDF("user_id", "ts")
+    // sparse right side: one quote every ~97 ticks per key, value = ts
+    val right = events.zipWithIndex.collect {
+      case ((k, t), i) if i % 97 == 0 => (k, t + 1, t * 10)
+    }.toDF("user_id", "ts", "quote")
+    val got = TemporalOps.asofJoin(left, right,
+        col("user_id"), col("user_id"), col("ts"), col("ts"),
+        col("quote"))
+      .select(col("user_id"), col("ts"), col("payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val quotes = events.zipWithIndex.collect {
+      case ((k, t), i) if i % 97 == 0 => (k, t + 1, t * 10)
+    }.groupBy(_._1)
+    for ((key, t) <- events) {
+      val expect = quotes.getOrElse(key, Seq.empty)
+        .filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
+      assert(got((key, t)) === expect, s"asof payload for ($key, $t)")
+    }
+  }
+
+  test("the window exchange hashes on the key — the documented shape") {
+    val df = events.toDF("user_id", "ts")
+    val plan = TemporalOps.sessionize(df, col("user_id"), col("ts"), 40L)
+      .queryExecution.executedPlan.toString
+    // one hash exchange on user_id feeding Window — the indivisible
+    // partition the scaladoc caveat is about. If this ever becomes a
+    // range/salted exchange the caveat (and the time-chunk guidance)
+    // needs rewriting.
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(2000))
+    assert(plan.contains("Window"), "sessionize no longer plans a Window")
+  }
+}
