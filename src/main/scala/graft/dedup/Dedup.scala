@@ -793,6 +793,10 @@ object Dedup {
     // strictly-larger neighbor to m = min(Γ(a) ∪ {a}). Input orientation
     // is irrelevant (the neighborhood is symmetrized here); output edges
     // are oriented u > v because m ≤ a < b for every emitted (b, m).
+    // Deliberately NO distinct here: duplicate edges only fatten the
+    // small-star aggregation that follows (min absorbs them), and the
+    // round's one distinct — in smallStar, where the signature needs a
+    // canonical set anyway — costs one shuffle instead of two.
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.select(col("u").as("a"), col("v").as("b"))
         .unionByName(e.select(col("v").as("a"), col("u").as("b")))
@@ -802,7 +806,6 @@ object Dedup {
       bidir.join(mins, Seq("a"))
         .where(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     // small-star: per node u over its SMALLER neighbors N (edges are
