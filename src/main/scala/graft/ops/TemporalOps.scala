@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   * task; correctness is unaffected (TemporalSkewSpec pins that), but
   * the stage's wall-clock becomes the hot key's. Mitigation is NOT the
   * generic [[SkewOps]] salt (order-dependent logic breaks under
-  * arbitrary row splits): chunk the hot key BY TIME — sessionize
-  * (key, time-chunk) with chunk width >> gap, then merge sessions that
-  * span a chunk boundary (one slim per-chunk-boundary pass); for
-  * asofJoin, seed each chunk with the latest right row before its
-  * start. [[rangeJoin]] already has this shape built in — its (key,
-  * bucket) exchange spreads a hot key across its time range.
+  * arbitrary row splits) but chunking the hot key BY TIME:
+  * [[sessionizeChunked]] implements it for sessionization — local
+  * sessions per (key, time-chunk), then a slim boundary-merge pass —
+  * with output identical to [[sessionize]]; for asofJoin the same
+  * shape seeds each chunk with the latest right row before its start.
+  * [[rangeJoin]] already has this built in — its (key, bucket)
+  * exchange spreads a hot key across its time range.
   */
 object TemporalOps {
 
@@ -175,5 +176,71 @@ object TemporalOps {
         sum(col("__break")).over(byKey.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)) - 1)
       .drop("__prev", "__break")
+  }
+
+  /** [[sessionize]] with BOUNDED window partitions — the time-chunk
+    * mitigation the hot-key caveat above prescribes, as a first-class
+    * operator. Events shuffle on (key, chunk = ts div chunkWidth) and
+    * session locally per chunk; a second window over the SLIM per-chunk
+    * summary frame — (first ts, last ts, session count) per occupied
+    * (key, chunk), chunk-occupancy times smaller than the event stream —
+    * decides which chunk-boundary sessions bridge (boundary gap ≤ `gap`)
+    * and offsets every chunk's local ids into the global numbering.
+    *
+    * Output is IDENTICAL to [[sessionize]] at ANY chunkWidth ≥ 1
+    * (bridging is per-adjacent-occupied-chunk and composes through the
+    * running offset, so even sessions spanning many chunks merge;
+    * TemporalSkewSpec pins equivalence on hot-key and hostile corpora).
+    * chunkWidth is purely a performance knob: the largest event-window
+    * partition shrinks from "the hot key's whole history" to "the hot
+    * key's events in one chunk". The summary window is still keyed, but
+    * over bounded rows — at 100 TB pick chunkWidth so a hot key's
+    * per-chunk event count fits a task comfortably; the summary frame
+    * then fits trivially. */
+  def sessionizeChunked(events: DataFrame, key: Column, ts: Column,
+                        gap: Long, chunkWidth: Long): DataFrame = {
+    require(chunkWidth >= 1, "chunkWidth must be >= 1")
+    // sign-exact floor division (the rangeJoin bucketing trick): `div`
+    // on (ts - pmod) stays integral where a double `/` would round
+    val chunk = call_function("div",
+      ts - pmod(ts, lit(chunkWidth)), lit(chunkWidth))
+    val prepared = events.withColumn("__k", key).withColumn("__c", chunk)
+    val byChunk = Window.partitionBy(col("__k"), col("__c")).orderBy(ts)
+    val local = prepared
+      .withColumn("__prev", lag(ts, 1).over(byChunk))
+      .withColumn("__break",
+        when(col("__prev").isNull || ts - col("__prev") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("__lsid",
+        sum(col("__break")).over(byChunk.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__prev", "__break")
+    // slim summary: one row per OCCUPIED (key, chunk); empty chunks
+    // simply don't appear, and the lag below bridges across the hole
+    // with the true boundary timestamps
+    val summary = local.groupBy(col("__k"), col("__c"))
+      .agg(min(ts).as("__first"), max(ts).as("__last"),
+        (max(col("__lsid")) + 1).as("__nsess"))
+    val byKey = Window.partitionBy(col("__k")).orderBy(col("__c"))
+    val offsets = summary
+      .withColumn("__prevLast", lag(col("__last"), 1).over(byKey))
+      // a null boundary ts (null-ts rows chunk together and sort first)
+      // never bridges — matching the unchunked form, where a null gap
+      // comparison starts a fresh session
+      .withColumn("__bridge",
+        when(col("__first") - col("__prevLast") <= gap, 1L).otherwise(0L))
+      .withColumn("__base",
+        coalesce(sum(col("__nsess")).over(byKey.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L))
+          - sum(col("__bridge")).over(byKey.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__k").as("__ok"), col("__c").as("__oc"), col("__base"))
+    // null-safe equi-join: null keys and null-ts chunks are legitimate
+    // groups in both frames (a plain equi-join would silently drop
+    // every null-key event the unchunked operator keeps)
+    local
+      .join(offsets, col("__k") <=> col("__ok") && col("__c") <=> col("__oc"))
+      .withColumn("session_id", col("__lsid") + col("__base"))
+      .drop("__k", "__c", "__lsid", "__ok", "__oc", "__base")
   }
 }

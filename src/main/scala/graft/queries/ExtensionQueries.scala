@@ -756,6 +756,22 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     }),
 
+    // the hot-key-safe variant MUST land on the identical answer (same
+    // oracle SQL): 2-hour chunks against the 30-minute gap, so real
+    // sessions regularly cross chunk boundaries and the boundary-merge
+    // pass is genuinely exercised at fixture scale
+    "sessionize_chunked" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val e = ev.select(col("user_id"),
+          graft.ops.TemporalOps.epochMicros(ev).as("ts_us"))
+      graft.ops.TemporalOps.sessionizeChunked(e, col("user_id"),
+          col("ts_us"), gap = 1800000000L, chunkWidth = 7200000000L)
+        .groupBy(col("user_id"))
+        .agg((max(col("session_id")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // exact corpus statistics incl. interpolated percentiles
     "corpus_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -1361,6 +1377,24 @@ object ExtensionQueries {
        |JOIN sizes cb ON cb.doc_id = id_b
        |WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Gap-sessionization recomputed from scratch — shared by the keyed
+    * and the chunked plan, which must be indistinguishable in output. */
+  private val sessionizeSql: String =
+    """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |x AS (
+      |  SELECT user_id,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      |  FROM s)
+      |SELECT user_id, cast(max(session_id) + 1 AS bigint) AS n_sessions, count(*) AS n_events
+      |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // ── Invariant oracles for the approximate families ────────────────
@@ -1974,21 +2008,10 @@ object ExtensionQueries {
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY event_id""".stripMargin,
 
-    "sessionize" ->
-      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-        |s AS (
-        |  SELECT user_id, ts_us,
-        |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |              OR ts_us - lag(ts_us) OVER w > 1800000000
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-        |x AS (
-        |  SELECT user_id,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
-        |                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
-        |  FROM s)
-        |SELECT user_id, cast(max(session_id) + 1 AS bigint) AS n_sessions, count(*) AS n_events
-        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sessionize" -> sessionizeSql,
+    // identical answer demanded of the chunked plan — the whole point
+    // of the variant is that chunking is invisible in the output
+    "sessionize_chunked" -> sessionizeSql,
 
     "corpus_stats" ->
       """WITH t AS (

@@ -79,6 +79,61 @@ class TemporalSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeChunked equals sessionize at every chunk width") {
+    // the mitigation must be a pure plan change: identical output at a
+    // width smaller than the gap (sessions span MANY chunks and every
+    // boundary bridges), comparable to the gap, much larger (most keys
+    // one chunk), and effectively-unchunked
+    val df = events.toDF("user_id", "ts")
+    val want = TemporalOps.sessionize(df, col("user_id"), col("ts"), 40L)
+      .select("user_id", "ts", "session_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for (w <- Seq(7L, 40L, 64L, 1000L, Long.MaxValue / 4)) {
+      val got = TemporalOps.sessionizeChunked(df, col("user_id"),
+          col("ts"), gap = 40L, chunkWidth = w)
+        .select("user_id", "ts", "session_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got === want, s"chunkWidth=$w diverged from sessionize")
+    }
+  }
+
+  test("sessionizeChunked equivalence survives hostile keys and timestamps") {
+    // null keys, null timestamps, negative timestamps (sign-exact floor
+    // division), and duplicate (key, ts) rows — the degradation paths
+    // where a plain equi-join or Int-floor chunking would silently
+    // diverge from the unchunked operator
+    val hostile = Seq[(String, java.lang.Long)](
+      (null, 5L), (null, 50L), (null, null),
+      ("a", null), ("a", -100L), ("a", -95L), ("a", -10L), ("a", 0L),
+      ("a", 1L), ("a", 1L), ("a", 200L),
+      ("b", Long.MinValue / 4), ("b", Long.MinValue / 4 + 30L))
+      .toDF("user_id", "ts")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "ts", "session_id").collect()
+        .map(r => (Option(r.getString(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    val want = render(TemporalOps.sessionize(hostile, col("user_id"),
+      col("ts"), 40L))
+    for (w <- Seq(7L, 64L, 10000L)) {
+      val got = render(TemporalOps.sessionizeChunked(hostile,
+        col("user_id"), col("ts"), gap = 40L, chunkWidth = w))
+      assert(got === want, s"chunkWidth=$w diverged on hostile input")
+    }
+  }
+
+  test("the chunked window exchange hashes on (key, chunk)") {
+    // the point of the operator: the event-scale window partitions by
+    // (key, chunk), so a hot key's history splits across chunks instead
+    // of serializing in one task; only the slim summary window is keyed
+    val df = events.toDF("user_id", "ts")
+    val plan = TemporalOps.sessionizeChunked(df, col("user_id"),
+        col("ts"), 40L, 64L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__k"), plan.take(2000))
+    assert(plan.contains("__c"), "chunk column missing from the plan")
+  }
+
   test("the window exchange hashes on the key — the documented shape") {
     val df = events.toDF("user_id", "ts")
     val plan = TemporalOps.sessionize(df, col("user_id"), col("ts"), 40L)
