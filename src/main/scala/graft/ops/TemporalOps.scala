@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * arbitrary row splits) but chunking the hot key BY TIME:
   * [[sessionizeChunked]] implements it for sessionization — local
   * sessions per (key, time-chunk), then a slim boundary-merge pass —
-  * with output identical to [[sessionize]]; for asofJoin the same
-  * shape seeds each chunk with the latest right row before its start.
+  * and [[asofJoinChunked]] for the as-of fill — per-chunk windows
+  * seeded by a carry of the latest earlier right row. Both are
+  * output-identical to their keyed forms at any chunk width.
   * [[rangeJoin]] already has this built in — its (key, bucket)
   * exchange spreads a hot key across its time range.
   */
@@ -108,6 +109,90 @@ object TemporalOps {
       .orderBy(col("__ts"), col("__isLeft"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
+      .withColumn("payload",
+        last(col("__p"), ignoreNulls = true).over(w).getField("v"))
+      .where(col("__isLeft") === 1)
+      .select(col("__row.*"), col("payload"))
+  }
+
+  /** [[asofJoin]] with BOUNDED window partitions — the hot-key
+    * mitigation of [[sessionizeChunked]] applied to the as-of fill.
+    * Both sides shuffle on (key, chunk = ts div chunkWidth) and the
+    * forward fill runs per chunk; left rows whose as-of right row lives
+    * in an EARLIER chunk are served by a CARRY — the latest right row
+    * of any preceding chunk, computed on the slim per-chunk summary
+    * frame (one row per occupied (key, chunk), chunk-occupancy times
+    * smaller than the event stream) and injected into each chunk's
+    * window as a synthetic right row that sorts first. Output is
+    * IDENTICAL to [[asofJoin]] at ANY chunkWidth ≥ 1 (TemporalSkewSpec
+    * pins equivalence, hostile input included); chunkWidth bounds the
+    * largest event-scale window partition by the hot key's per-chunk
+    * row count. */
+  def asofJoinChunked(left: DataFrame, right: DataFrame,
+                      leftKey: Column, rightKey: Column,
+                      leftTs: Column, rightTs: Column,
+                      payload: Column, chunkWidth: Long): DataFrame = {
+    require(chunkWidth >= 1, "chunkWidth must be >= 1")
+    def chunkOf(c: Column): Column = call_function("div",
+      c - pmod(c, lit(chunkWidth)), lit(chunkWidth))
+    val pType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "v", right.select(payload.as("v")).schema.head.dataType)))
+    val l = left.select(leftKey.as("__k"), leftTs.as("__ts"),
+        lit(1).as("__isLeft"),
+        lit(null).cast(pType).as("__p"),
+        struct(col("*")).as("__row"))
+      .withColumn("__c", chunkOf(col("__ts")))
+    val rowType = l.schema("__row").dataType
+    // same exclusions as the unchunked form (see its note): null right
+    // keys never match, null right timestamps must not forward-fill
+    val r0 = right
+      .select(rightKey.as("__k"), rightTs.as("__ts"),
+        struct(payload.as("v")).as("__p"))
+      .where(rightKey.isNotNull && rightTs.isNotNull)
+      .withColumn("__c", chunkOf(col("__ts")))
+    val r = r0.select(col("__k"), col("__ts"), lit(0).as("__isLeft"),
+      col("__p"), lit(null).cast(rowType).as("__row"), col("__c"))
+    // per-(key, chunk) LATEST right row — the summary frame. row_number
+    // over the bounded (key, chunk) partition, not a global per-key
+    // window; ties on ts are the caller's contract violation, same as
+    // the unchunked form.
+    val latestW = Window.partitionBy(col("__k"), col("__c"))
+      .orderBy(col("__ts").desc)
+    val summaries = r0
+      .withColumn("__rn", row_number().over(latestW))
+      .where(col("__rn") === 1)
+      .select(col("__k"), col("__c"), col("__p"))
+    // carry per occupied LEFT chunk: the latest summary of any STRICTLY
+    // earlier chunk, via the same union+forward-fill trick on the slim
+    // frames — targets sort before the same chunk's summary, so a
+    // same-chunk right row never rides the carry (it is already in the
+    // chunk's own window)
+    val targets = l.select(col("__k"), col("__c")).distinct()
+    val carryW = Window.partitionBy(col("__k"))
+      .orderBy(col("__c"), col("__srt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = targets
+      .select(col("__k"), col("__c"), lit(0).as("__srt"),
+        lit(null).cast(pType).as("__sp"))
+      .unionByName(summaries.select(col("__k"), col("__c"),
+        lit(1).as("__srt"), col("__p").as("__sp")))
+      .withColumn("__carry",
+        last(col("__sp"), ignoreNulls = true).over(carryW))
+      .where(col("__srt") === 0 && col("__carry").isNotNull)
+      .select(col("__k"), col("__c"),
+        lit(null).cast(l.schema("__ts").dataType).as("__ts"),
+        lit(0).as("__isLeft"), col("__carry").as("__p"),
+        lit(null).cast(rowType).as("__row"))
+    // within a chunk every real ts is non-null, so the null-ts carry
+    // sorts first (asc = nulls first) and seeds the fill; at equal ts
+    // the right row still sorts before the left (inclusive semantics)
+    val w = Window.partitionBy(col("__k"), col("__c"))
+      .orderBy(col("__ts"), col("__isLeft"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r).unionByName(carries.select(
+        col("__k"), col("__ts"), col("__isLeft"), col("__p"),
+        col("__row"), col("__c")))
       .withColumn("payload",
         last(col("__p"), ignoreNulls = true).over(w).getField("v"))
       .where(col("__isLeft") === 1)

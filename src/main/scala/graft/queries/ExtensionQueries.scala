@@ -743,6 +743,24 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // the hot-key-safe as-of variant MUST land on the identical answer
+    // (same DuckDB ASOF oracle): 2-hour chunks, so most events' as-of
+    // order sits chunks away and the carry path is genuinely exercised
+    "asof_join_chunked" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val e = ev.select(col("event_id"), col("user_id"),
+          graft.ops.TemporalOps.epochMicros(ev).as("ts_us"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("ok"))
+      graft.ops.TemporalOps.asofJoinChunked(e, o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTs = col("ts_us"),
+          rightTs = unix_micros(col("o_orderdate").cast("timestamp")),
+          payload = col("ok"), chunkWidth = 7200000000L)
+        .orderBy(col("event_id"))
+    }),
+
     // gap-based sessionization (30-minute gap) — lag + running break sum
     "sessionize" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
@@ -1378,6 +1396,19 @@ object ExtensionQueries {
        |WHERE n_common / cast(ca.n_sh + cb.n_sh - n_common AS double) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** As-of join recomputed by DuckDB's native ASOF — shared by the keyed
+    * and the chunked-carry plan, which must be indistinguishable in
+    * output. */
+  private val asofJoinSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |  cast(r.ok AS bigint) AS payload
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   /** Gap-sessionization recomputed from scratch — shared by the keyed
     * and the chunked plan, which must be indistinguishable in output. */
   private val sessionizeSql: String =
@@ -1998,15 +2029,9 @@ object ExtensionQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
 
-    "asof_join" ->
-      """WITH r AS (
-        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-        |  cast(r.ok AS bigint) AS payload
-        |FROM events e ASOF LEFT JOIN r
-        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
-        |ORDER BY event_id""".stripMargin,
+    "asof_join" -> asofJoinSql,
+    // identical answer demanded of the chunked carry plan
+    "asof_join_chunked" -> asofJoinSql,
 
     "sessionize" -> sessionizeSql,
     // identical answer demanded of the chunked plan — the whole point

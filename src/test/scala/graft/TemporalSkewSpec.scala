@@ -122,6 +122,56 @@ class TemporalSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinChunked equals asofJoin at every chunk width") {
+    val left = events.toDF("user_id", "ts")
+    val right = events.zipWithIndex.collect {
+      case ((k, t), i) if i % 97 == 0 => (k, t + 1, t * 10)
+    }.toDF("user_id", "ts", "quote")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("ts"), col("payload")).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val want = render(TemporalOps.asofJoin(left, right,
+      col("user_id"), col("user_id"), col("ts"), col("ts"), col("quote")))
+    // widths below the quote spacing (carry does all the work), around
+    // it, and effectively-unchunked
+    for (w <- Seq(13L, 97L, 5000L, Long.MaxValue / 4)) {
+      val got = render(TemporalOps.asofJoinChunked(left, right,
+        col("user_id"), col("user_id"), col("ts"), col("ts"),
+        col("quote"), chunkWidth = w))
+      assert(got === want, s"chunkWidth=$w diverged from asofJoin")
+    }
+  }
+
+  test("asofJoinChunked equivalence survives hostile keys and timestamps") {
+    val left = Seq[(String, java.lang.Long)](
+      (null, 5L), (null, null), ("a", null), ("a", -100L), ("a", -1L),
+      ("a", 0L), ("a", 3L), ("a", 3L), ("a", 500L), ("c", 7L))
+      .toDF("user_id", "ts")
+    val right = Seq[(String, java.lang.Long, java.lang.Long)](
+      (null, 1L, 111L), ("a", null, 222L), ("a", -50L, 1L), ("a", 0L, 2L),
+      ("a", 3L, null), ("a", 400L, 4L), ("b", 1L, 5L))
+      .toDF("user_id", "ts", "quote")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("ts"), col("payload")).collect()
+        .map(r => (Option(r.getString(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val want = render(TemporalOps.asofJoin(left, right,
+      col("user_id"), col("user_id"), col("ts"), col("ts"), col("quote")))
+    // includes a right row with a NULL payload at ts 3 — the carry must
+    // preserve "filled with null", not resurrect an older value
+    assert(want.exists(t => t._2 === Some(3L) && t._3 === None))
+    for (w <- Seq(7L, 64L, 10000L)) {
+      val got = render(TemporalOps.asofJoinChunked(left, right,
+        col("user_id"), col("user_id"), col("ts"), col("ts"),
+        col("quote"), chunkWidth = w))
+      assert(got === want, s"chunkWidth=$w diverged on hostile input")
+    }
+  }
+
   test("the chunked window exchange hashes on (key, chunk)") {
     // the point of the operator: the event-scale window partitions by
     // (key, chunk), so a hot key's history splits across chunks instead
