@@ -114,4 +114,45 @@ class TemporalPropertySpec extends AnyFunSuite {
       assert(got === expected, s"sessionize mismatch on round $round")
     }
   }
+
+  test("chunked temporal variants equal their keyed twins on adversarial data") {
+    // the twins above are reference-checked; the chunked forms need only
+    // EQUALITY TO THE TWIN, across random chunk widths including widths
+    // smaller than the gap (sessions/fills spanning many chunks)
+    for (round <- 0 until 5) {
+      val widths = Seq(1L + rnd.nextInt(5), 7L + rnd.nextInt(20),
+        100L + rnd.nextInt(1000)).map(_.toLong)
+      val evRows = randomRows(150, 2000000L + 1000L * round)
+      val ev = evRows.map { case (id, k, ts) =>
+        (id, k, ts.map(java.lang.Long.valueOf).orNull) }
+        .toDF("event_id", "k", "ts")
+      val sWant = TemporalOps.sessionize(ev, col("k"), col("ts"), gap = 5L)
+        .select("event_id", "session_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rightRows = randomRows(100, 3000000L + 1000L * round)
+        .filter(r => r._2 != null && r._3.isDefined)
+        .groupBy(r => (r._2, r._3.get)).map { case (_, rs) => rs.maxBy(_._1) }
+        .map(r => (r._2, r._3.get,
+          if (rnd.nextInt(5) == 0) null else s"v${r._1}"))
+        .toSeq
+      val right = rightRows.toDF("k", "ts", "v")
+      val aWant = TemporalOps.asofJoin(ev, right,
+          col("k"), col("k"), col("ts"), col("ts"), col("v"))
+        .select("event_id", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      for (w <- widths) {
+        val sGot = TemporalOps.sessionizeChunked(ev, col("k"), col("ts"),
+            gap = 5L, chunkWidth = w)
+          .select("event_id", "session_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(sGot === sWant, s"sessionizeChunked(w=$w) round $round")
+        val aGot = TemporalOps.asofJoinChunked(ev, right,
+            col("k"), col("k"), col("ts"), col("ts"), col("v"),
+            chunkWidth = w)
+          .select("event_id", "payload")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(aGot === aWant, s"asofJoinChunked(w=$w) round $round")
+      }
+    }
+  }
 }
