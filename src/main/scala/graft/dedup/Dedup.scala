@@ -865,13 +865,19 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"canonicalFromPairs did not converge in $maxIters rounds — " +
           "unconverged components keep split labels; raise maxIters")
-    // the converged frame is a star: (node, component-min) for every
-    // non-min node. The final checkpoint's blocks stay alive through
-    // the returned frame's reference; the ContextCleaner reclaims them
-    // when the caller drops it — the lifetime a library return value
-    // should have
+    // the converged frame is a star: ONE (node, component-min) edge per
+    // non-min node. The min-aggregate before the join is for the
+    // UNconverged exit only — a mid-algorithm edge set can hold several
+    // edges per node, and a bare join would then emit duplicate doc_id
+    // rows (the contract is one labeled row per input id, split labels
+    // at worst); on a converged star it reduces to a no-op over
+    // already-unique keys. The final checkpoint's blocks stay alive
+    // through the returned frame's reference; the ContextCleaner
+    // reclaims them when the caller drops it — the lifetime a library
+    // return value should have
     ids.select(idCol.as("doc_id"))
-      .join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .join(edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("v")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("v"), col("doc_id")).as("canonical_id"))
   }

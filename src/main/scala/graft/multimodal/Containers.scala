@@ -154,23 +154,30 @@ object Containers {
     parseBmp(payload).flatMap { m =>
       val bpp = m.bitsPerPixel
       val w = m.width
-      val hAbs = math.abs(m.height)
-      val stride = ((bpp.toLong * w + 31) / 32 * 4).toInt
+      // EVERY size stays in Long until after the bounds check: a
+      // hostile width near Int.MaxValue overflows an Int stride to a
+      // small/negative number, slips the guard, and turns the promised
+      // None into a NegativeArraySize/IndexOutOfBounds task failure —
+      // the same overflow class the WAV chunk walk guards against
+      val hAbs = math.abs(m.height.toLong)
+      val stride = (bpp.toLong * w + 31) / 32 * 4
+      val rowBytes = w.toLong * (bpp / 8)
       val pixelOffset = le(payload).getInt(10).toLong & 0xFFFFFFFFL
       val decodable = m.compression == 0 &&
         (bpp == 8 || bpp == 24 || bpp == 32) && w > 0 && hAbs > 0 &&
-        pixelOffset + stride.toLong * hAbs <= payload.length
+        pixelOffset + stride * hAbs <= payload.length &&
+        rowBytes * hAbs <= Int.MaxValue
       if (!decodable) None
       else {
-        val rowBytes = w * (bpp / 8)
-        val out = new Array[Int](rowBytes * hAbs)
+        val out = new Array[Int]((rowBytes * hAbs).toInt)
+        val rb = rowBytes.toInt
         var vr = 0 // visual row, top-down
         while (vr < hAbs) {
-          val sr = if (m.height < 0) vr else hAbs - 1 - vr // stored row
-          val base = pixelOffset.toInt + sr * stride
+          val sr = if (m.height < 0) vr else hAbs.toInt - 1 - vr // stored
+          val base = (pixelOffset + sr.toLong * stride).toInt
           var p = 0
-          while (p < rowBytes) {
-            out(vr * rowBytes + p) = payload(base + p) & 0xFF
+          while (p < rb) {
+            out(vr * rb + p) = payload(base + p) & 0xFF
             p += 1
           }
           vr += 1

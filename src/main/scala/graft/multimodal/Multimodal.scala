@@ -39,9 +39,10 @@ object Multimodal {
   object FakeCodec {
     /** STUB: a real implementation decodes the payload (JPEG/PNG/…)
       * and runs a feature extractor. Deterministic stand-in: normalized
-      * 16-bin byte histogram — shape-compatible (fixed-length
-      * Array[Double]) with a real embedding. Only reached for payloads
-      * [[Containers]] cannot decode. */
+      * 16-bin byte histogram. Only reached for payloads [[Containers]]
+      * cannot decode — NOTE the shape contract on
+      * [[Multimodal.decodeFeatures]]: this fallback emits length 16,
+      * the real WAV/BMP decode emits length 4. */
     def decodeFeatures(payload: Array[Byte]): Array[Double] = {
       val hist = new Array[Double](16)
       var i = 0
@@ -111,7 +112,15 @@ object Multimodal {
     * [[Containers.pcmSamples]] / [[Containers.bmpPixelValues]]);
     * anything else falls back to the STUB histogram
     * ([[FakeCodec.decodeFeatures]]) — the compressed-codec stand-in.
-    */
+    *
+    * SHAPE CONTRACT: `features` is per-modality, NOT a fixed-dimension
+    * embedding — length 4 (count, sum, min, max) on the real-decode
+    * paths, length 16 on the histogram fallback. A consumer wanting a
+    * uniform vector space (ANN, cosine math) must first partition by
+    * decode path (e.g. on `size(features)` or the modality column);
+    * feeding mixed shapes into a fixed-dim kernel is a caller error
+    * this column deliberately surfaces rather than papers over with
+    * zero-padding. */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
                      batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -78,13 +78,39 @@ object TemporalOps {
                leftKey: Column, rightKey: Column,
                leftTs: Column, rightTs: Column,
                payload: Column): DataFrame = {
-    // the fill marker is a STRUCT, not the payload itself: a right row
-    // with a legitimately-null payload must still win the forward fill
-    // (bare last(payload, ignoreNulls) would skip it and resurrect an
-    // older value — SQL ASOF semantics return the null). The marker
-    // struct is parameterized on the payload's own type, so the filled
-    // value round-trips typed (a long stays a long, a timestamp a
-    // timestamp) instead of degrading to string.
+    val (l, r0, _, rowType) =
+      asofFrames(left, right, leftKey, rightKey, leftTs, rightTs, payload)
+    asofFill(l.unionByName(asRightRows(r0, rowType)), Seq(col("__k")))
+  }
+
+  /** The framed union sides shared by [[asofJoin]] and
+    * [[asofJoinChunked]] — ONE home for the marker-struct and
+    * null-exclusion semantics, so a fix to either cannot silently skip
+    * the twin (their outputs are contractually identical).
+    *
+    * The fill marker is a STRUCT, not the payload itself: a right row
+    * with a legitimately-null payload must still win the forward fill
+    * (bare last(payload, ignoreNulls) would skip it and resurrect an
+    * older value — SQL ASOF semantics return the null). The marker
+    * struct is parameterized on the payload's own type, so the filled
+    * value round-trips typed (a long stays a long, a timestamp a
+    * timestamp) instead of degrading to string.
+    *
+    * Null right keys never equi-match — dropped, or the keyed window
+    * would pair null-key left rows with null-key right rows. Null right
+    * TIMESTAMPS go too: `rightTs <= leftTs` is unknown for them, and a
+    * null-ts right row sorts FIRST in the ascending window (nulls
+    * first), so its payload would forward-fill into left rows that have
+    * no true preceding right row; ASOF semantics want null there.
+    *
+    * @return (left frame `__k/__ts/__isLeft/__p/__row`, filtered right
+    *         frame `__k/__ts/__p`, payload marker type, row struct type)
+    */
+  private def asofFrames(left: DataFrame, right: DataFrame,
+                         leftKey: Column, rightKey: Column,
+                         leftTs: Column, rightTs: Column, payload: Column)
+      : (DataFrame, DataFrame, org.apache.spark.sql.types.StructType,
+         org.apache.spark.sql.types.DataType) = {
     val pType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
         "v", right.select(payload.as("v")).schema.head.dataType)))
@@ -92,23 +118,28 @@ object TemporalOps {
       lit(1).as("__isLeft"),
       lit(null).cast(pType).as("__p"),
       struct(col("*")).as("__row"))
-    val r = right
+    val r0 = right
       .select(rightKey.as("__k"), rightTs.as("__ts"),
-        lit(0).as("__isLeft"),
-        struct(payload.as("v")).as("__p"),
-        lit(null).cast(l.schema("__row").dataType).as("__row"))
-      // null keys never equi-match — drop them or the keyed window
-      // would pair null-key left rows with null-key right rows. Null
-      // TIMESTAMPS go too: `rightTs <= leftTs` is unknown for them, and
-      // a null-ts right row sorts FIRST in the ascending window (nulls
-      // first), so its payload would forward-fill into left rows that
-      // have no true preceding right row; ASOF semantics want null there
+        struct(payload.as("v")).as("__p"))
       .where(rightKey.isNotNull && rightTs.isNotNull)
-    // at equal ts the right row sorts first, so ts >= rightTs is inclusive
-    val w = Window.partitionBy(col("__k"))
+    (l, r0, pType, l.schema("__row").dataType)
+  }
+
+  /** Widen a filtered right frame to the union row shape. */
+  private def asRightRows(r0: DataFrame,
+                          rowType: org.apache.spark.sql.types.DataType)
+      : DataFrame =
+    r0.withColumn("__isLeft", lit(0))
+      .withColumn("__row", lit(null).cast(rowType))
+
+  /** The forward-fill tail shared by both as-of forms: at equal ts the
+    * right row sorts first, so ts >= rightTs is inclusive. */
+  private def asofFill(unioned: DataFrame,
+                       partCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col("__ts"), col("__isLeft"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    unioned
       .withColumn("payload",
         last(col("__p"), ignoreNulls = true).over(w).getField("v"))
       .where(col("__isLeft") === 1)
@@ -135,24 +166,13 @@ object TemporalOps {
     require(chunkWidth >= 1, "chunkWidth must be >= 1")
     def chunkOf(c: Column): Column = call_function("div",
       c - pmod(c, lit(chunkWidth)), lit(chunkWidth))
-    val pType = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "v", right.select(payload.as("v")).schema.head.dataType)))
-    val l = left.select(leftKey.as("__k"), leftTs.as("__ts"),
-        lit(1).as("__isLeft"),
-        lit(null).cast(pType).as("__p"),
-        struct(col("*")).as("__row"))
-      .withColumn("__c", chunkOf(col("__ts")))
-    val rowType = l.schema("__row").dataType
-    // same exclusions as the unchunked form (see its note): null right
-    // keys never match, null right timestamps must not forward-fill
-    val r0 = right
-      .select(rightKey.as("__k"), rightTs.as("__ts"),
-        struct(payload.as("v")).as("__p"))
-      .where(rightKey.isNotNull && rightTs.isNotNull)
-      .withColumn("__c", chunkOf(col("__ts")))
-    val r = r0.select(col("__k"), col("__ts"), lit(0).as("__isLeft"),
-      col("__p"), lit(null).cast(rowType).as("__row"), col("__c"))
+    // the framing (marker struct, null exclusions) is the SHARED
+    // asofFrames — the chunked form only adds the chunk coordinate
+    val (l0, rBase, pType, rowType) =
+      asofFrames(left, right, leftKey, rightKey, leftTs, rightTs, payload)
+    val l = l0.withColumn("__c", chunkOf(col("__ts")))
+    val r0 = rBase.withColumn("__c", chunkOf(col("__ts")))
+    val r = asRightRows(r0, rowType)
     // per-(key, chunk) LATEST right row — the summary frame. row_number
     // over the bounded (key, chunk) partition, not a global per-key
     // window; ties on ts are the caller's contract violation, same as
@@ -185,18 +205,13 @@ object TemporalOps {
         lit(0).as("__isLeft"), col("__carry").as("__p"),
         lit(null).cast(rowType).as("__row"))
     // within a chunk every real ts is non-null, so the null-ts carry
-    // sorts first (asc = nulls first) and seeds the fill; at equal ts
-    // the right row still sorts before the left (inclusive semantics)
-    val w = Window.partitionBy(col("__k"), col("__c"))
-      .orderBy(col("__ts"), col("__isLeft"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r).unionByName(carries.select(
+    // sorts first (asc = nulls first) and seeds the fill; the shared
+    // asofFill keeps the equal-ts inclusive semantics
+    asofFill(
+      l.unionByName(r).unionByName(carries.select(
         col("__k"), col("__ts"), col("__isLeft"), col("__p"),
-        col("__row"), col("__c")))
-      .withColumn("payload",
-        last(col("__p"), ignoreNulls = true).over(w).getField("v"))
-      .where(col("__isLeft") === 1)
-      .select(col("__row.*"), col("payload"))
+        col("__row"), col("__c"))),
+      Seq(col("__k"), col("__c")))
   }
 
   /** Interval/range join: every (left, right) pair on the same key with
@@ -247,21 +262,29 @@ object TemporalOps {
       .select(col("__lrow.*"), col("__rrow.*"))
   }
 
+  /** The lag/break/running-sum session core over an arbitrary partition
+    * spec — ONE home for the gap semantics, shared by [[sessionize]]
+    * (key) and [[sessionizeChunked]] (key, chunk) so a fix to either
+    * cannot silently skip the twin. */
+  private def localSessions(events: DataFrame, partCols: Seq[Column],
+                            ts: Column, gap: Long, out: String): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(ts)
+    events
+      .withColumn("__prev", lag(ts, 1).over(w))
+      .withColumn("__break",
+        when(col("__prev").isNull || ts - col("__prev") > gap, 1L).otherwise(0L))
+      .withColumn(out,
+        sum(col("__break")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - 1)
+      .drop("__prev", "__break")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event on the same key exceeds `gap` (in the ts unit).
     * Adds `session_id` (0-based per key, by time order). */
   def sessionize(events: DataFrame, key: Column, ts: Column,
-                 gap: Long): DataFrame = {
-    val byKey = Window.partitionBy(key).orderBy(ts)
-    events
-      .withColumn("__prev", lag(ts, 1).over(byKey))
-      .withColumn("__break",
-        when(col("__prev").isNull || ts - col("__prev") > gap, 1L).otherwise(0L))
-      .withColumn("session_id",
-        sum(col("__break")).over(byKey.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)) - 1)
-      .drop("__prev", "__break")
-  }
+                 gap: Long): DataFrame =
+    localSessions(events, Seq(key), ts, gap, "session_id")
 
   /** [[sessionize]] with BOUNDED window partitions — the time-chunk
     * mitigation the hot-key caveat above prescribes, as a first-class
@@ -281,7 +304,13 @@ object TemporalOps {
     * key's events in one chunk". The summary window is still keyed, but
     * over bounded rows — at 100 TB pick chunkWidth so a hot key's
     * per-chunk event count fits a task comfortably; the summary frame
-    * then fits trivially. */
+    * then fits trivially.
+    *
+    * Cost: the events cross TWO exchanges (the chunked window, then the
+    * offsets join when AQE picks a shuffle join over broadcasting the
+    * slim offsets frame) vs the keyed form's one — the premium that
+    * buys the bounded partitions. Prefer [[sessionize]] when no key is
+    * hot enough to serialize a task. */
   def sessionizeChunked(events: DataFrame, key: Column, ts: Column,
                         gap: Long, chunkWidth: Long): DataFrame = {
     require(chunkWidth >= 1, "chunkWidth must be >= 1")
@@ -290,16 +319,10 @@ object TemporalOps {
     val chunk = call_function("div",
       ts - pmod(ts, lit(chunkWidth)), lit(chunkWidth))
     val prepared = events.withColumn("__k", key).withColumn("__c", chunk)
-    val byChunk = Window.partitionBy(col("__k"), col("__c")).orderBy(ts)
-    val local = prepared
-      .withColumn("__prev", lag(ts, 1).over(byChunk))
-      .withColumn("__break",
-        when(col("__prev").isNull || ts - col("__prev") > gap, 1L)
-          .otherwise(0L))
-      .withColumn("__lsid",
-        sum(col("__break")).over(byChunk.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)) - 1)
-      .drop("__prev", "__break")
+    // the gap semantics live in the SHARED localSessions core — the
+    // chunked form only narrows the partition to (key, chunk)
+    val local = localSessions(prepared, Seq(col("__k"), col("__c")),
+      ts, gap, "__lsid")
     // slim summary: one row per OCCUPIED (key, chunk); empty chunks
     // simply don't appear, and the lag below bridges across the hole
     // with the true boundary timestamps

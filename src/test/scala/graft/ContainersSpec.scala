@@ -214,5 +214,16 @@ class ContainersSpec extends AnyFunSuite {
       .putInt(2, 70) // fileSize matches the truncated payload
     assert(Containers.parseBmp(short).isDefined)
     assert(Containers.bmpPixelValues(short) === None)
+    // hostile width near Int.MaxValue: an Int stride wraps negative,
+    // slips the bounds check, and crashes on array allocation — the
+    // decode must keep its size math in Long and decline
+    val evil = java.util.Arrays.copyOf(Containers.buildBmp(1, 1, 32), 58)
+    val eb = java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    eb.putInt(2, 58)            // fileSize = payload length
+    eb.putInt(18, Int.MaxValue) // width
+    eb.putInt(22, 2)            // height
+    assert(Containers.parseBmp(evil).isDefined)
+    assert(Containers.bmpPixelValues(evil) === None)
   }
 }

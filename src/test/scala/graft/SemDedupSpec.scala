@@ -104,4 +104,23 @@ class SemDedupSpec extends AnyFunSuite {
     assert(leaked <= 2,
       s"$leaked checkpoint RDDs left behind by the CC loop")
   }
+
+  test("non-convergence keeps one labeled row per id (split, never duplicated)") {
+    // force the maxIters exit: a 200-hop path cannot star-contract in
+    // one round. Mid-algorithm edge sets hold SEVERAL edges per node,
+    // so the final labeling must still aggregate to the one-row-per-id
+    // contract — split labels are the documented degradation, duplicate
+    // rows would silently inflate every downstream count
+    val n = 200
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain,
+        maxIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === n, "one row per input id, even unconverged")
+    assert(out.map(_._1).distinct.length === n, "no duplicated doc_id")
+    // every label must still be a valid reachable minimum candidate
+    assert(out.forall { case (d, c) => c <= d })
+  }
 }
