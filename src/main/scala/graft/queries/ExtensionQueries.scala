@@ -23,19 +23,15 @@ object ExtensionQueries {
   /** Build-once-per-JVM cache for the persistent-index gate queries:
     * the index build is the amortized part of the feature, and repeated
     * query invocations (Verify + Bench + Explain in one session) must
-    * not leak temp dirs or catalog tables. Synchronized: a bare
-    * TrieMap.getOrElseUpdate can evaluate the thunk in two racing
-    * threads, each paying the build and leaking the loser's temp dir +
-    * catalog tables. */
+    * not leak temp dirs or catalog tables. Race safety lives in the
+    * shared [[Memo]]. */
   private class IndexCache(prefix: String, build: (SparkSession, String, String) => Unit) {
-    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
-    def apply(s: SparkSession, dir: String): String = cache.synchronized {
-      cache.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory(prefix)
-        IndexCache.cleanupAtExit(tmp)
-        build(s, dir, tmp.toString + "/idx")
-        tmp.toString + "/idx"
-      })
+    private val cache = new Memo[String, String]
+    def apply(s: SparkSession, dir: String): String = cache(dir) {
+      val tmp = java.nio.file.Files.createTempDirectory(prefix)
+      IndexCache.cleanupAtExit(tmp)
+      build(s, dir, tmp.toString + "/idx")
+      tmp.toString + "/idx"
     }
   }
 
@@ -62,10 +58,9 @@ object ExtensionQueries {
     * constant several gates feed into integer-exact scoring. One scan
     * per JVM per dir; in production this is a manifest value. */
   private val docCountFor = {
-    val cache = scala.collection.concurrent.TrieMap.empty[String, Long]
-    (s: SparkSession, dir: String) => cache.synchronized {
-      cache.getOrElseUpdate(dir, Tables(s, dir, "documents").count())
-    }
+    val cache = new Memo[String, Long]
+    (s: SparkSession, dir: String) =>
+      cache(dir)(Tables(s, dir, "documents").count())
   }
 
   /** Memoized PQ codebook per data dir: training is the one-time
@@ -75,13 +70,11 @@ object ExtensionQueries {
     * the encode/ADC query. Deterministic (decimal-exact Lloyd), so the
     * memoized model is identical to a fresh train. */
   private val pqModelFor = {
-    val cache = scala.collection.concurrent.TrieMap.empty[String, Pq.Model]
-    (s: SparkSession, dir: String) => cache.synchronized {
-      cache.getOrElseUpdate(dir, Pq.train(
-        Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        col("cid"), col("cvec"), dim = 64, m = 8, k = 16, iters = 2))
-    }
+    val cache = new Memo[String, Pq.Model]
+    (s: SparkSession, dir: String) => cache(dir)(Pq.train(
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      col("cid"), col("cvec"), dim = 64, m = 8, k = 16, iters = 2))
   }
 
   private val mhIndexFor = new IndexCache("graft_gate_mhidx", (s, dir, path) =>
@@ -1283,14 +1276,11 @@ object ExtensionQueries {
   /** Memoized per-dataset BPE merge table (driver-side training is
     * deterministic; Verify + Bench + plan audits in one session must not
     * retrain per invocation). */
-  private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private val bpeMergeCache = new Memo[String, Seq[(String, String)]]
   private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeMergeCache.synchronized {
-      bpeMergeCache.getOrElseUpdate(dir,
-        TextOps.trainBpeMerges(Tables(s, dir, "documents"), col("text"),
-          numMerges = 50, maxVocabWords = 5000))
-    }
+    bpeMergeCache(dir)(
+      TextOps.trainBpeMerges(Tables(s, dir, "documents"), col("text"),
+        numMerges = 50, maxVocabWords = 5000))
 
   /** Normalize-and-tokenize CTE (mirrors TextOps.normalized + tokens) —
     * the shared front of every shingle-based oracle. */

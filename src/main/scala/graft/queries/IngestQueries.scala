@@ -27,14 +27,12 @@ object IngestQueries {
     * deterministic — identical store every time). Every temp dir —
     * memoized or not — registers with the shared gate cleanup hook, so
     * a session leaves no graft_gate_* residue on disk. */
-  private val storeCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val storeCache = new Memo[String, String]
   private def cachedStore(key: String, prefix: String)(build: String => Unit): String =
-    storeCache.synchronized {
-      storeCache.getOrElseUpdate(key, {
-        val path = freshStore(prefix)
-        build(path)
-        path
-      })
+    storeCache(key) {
+      val path = freshStore(prefix)
+      build(path)
+      path
     }
 
   private def freshStore(prefix: String): String = {

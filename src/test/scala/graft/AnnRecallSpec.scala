@@ -32,10 +32,9 @@ class AnnRecallSpec extends AnyFunSuite {
     def noise(a: Double): Array[Double] =
       Array.fill(dim)((rnd.nextDouble() * 2 - 1) * a)
     // position s·1⃗ + delta; the all-ones direction is the corpus axis
-    def at(s: Double, delta: Array[Double]): Array[Double] =
-      delta.zipWithIndex.map { case (d, _) => s + d }
+    def at(s: Double, delta: Array[Double]): Array[Double] = delta.map(s + _)
 
-    // the cloud dominates the corpus (1200 of 1296 vectors) so the
+    // the cloud dominates the corpus (1200 of 1284 vectors) so the
     // corpus mean stays pinned at ≈ 1.02·1⃗ — the s = 1.0 bucket really
     // sits in the decorrelated zone instead of riding a mean offset
     val cloud = (0 until 1200).map { i =>
@@ -53,7 +52,9 @@ class AnnRecallSpec extends AnyFunSuite {
       p <- 0 until pairsPerScale
     } yield {
       val idA = 10000L + si * 1000 + p * 2
-      val a = 0.15 * s * math.sqrt(3.0 / dim) * 4 // jitter amplitude
+      // jitter amplitude: norm ≈ 0.15·s·|1⃗| — √dim is the |1⃗| factor,
+      // so the planted geometry tracks `dim` instead of assuming 16
+      val a = 0.15 * s * math.sqrt(3.0 / dim) * math.sqrt(dim)
       ((s, idA, idA + 1),
         Seq((idA, at(s, noise(a))), (idA + 1, at(s, noise(a)))))
     }

@@ -36,6 +36,14 @@ class TemporalSkewSpec extends AnyFunSuite {
     hot ++ cold
   }
 
+  // sparse quote side shared by every as-of test AND its reference —
+  // one definition, so the operator and the reference can never be
+  // compared against different quotes
+  private lazy val quoteRows: Seq[(String, Long, Long)] =
+    events.zipWithIndex.collect {
+      case ((k, t), i) if i % 97 == 0 => (k, t + 1, t * 10)
+    }
+
   test("sessionize on a 25% hot key matches the sequential reference") {
     val df = events.toDF("user_id", "ts")
     val got = TemporalOps.sessionize(df, col("user_id"), col("ts"), gap = 40L)
@@ -59,19 +67,14 @@ class TemporalSkewSpec extends AnyFunSuite {
 
   test("asofJoin on the hot key matches the sequential forward-fill") {
     val left = events.toDF("user_id", "ts")
-    // sparse right side: one quote every ~97 ticks per key, value = ts
-    val right = events.zipWithIndex.collect {
-      case ((k, t), i) if i % 97 == 0 => (k, t + 1, t * 10)
-    }.toDF("user_id", "ts", "quote")
+    val right = quoteRows.toDF("user_id", "ts", "quote")
     val got = TemporalOps.asofJoin(left, right,
         col("user_id"), col("user_id"), col("ts"), col("ts"),
         col("quote"))
       .select(col("user_id"), col("ts"), col("payload"))
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
         (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
-    val quotes = events.zipWithIndex.collect {
-      case ((k, t), i) if i % 97 == 0 => (k, t + 1, t * 10)
-    }.groupBy(_._1)
+    val quotes = quoteRows.groupBy(_._1)
     for ((key, t) <- events) {
       val expect = quotes.getOrElse(key, Seq.empty)
         .filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
@@ -124,9 +127,7 @@ class TemporalSkewSpec extends AnyFunSuite {
 
   test("asofJoinChunked equals asofJoin at every chunk width") {
     val left = events.toDF("user_id", "ts")
-    val right = events.zipWithIndex.collect {
-      case ((k, t), i) if i % 97 == 0 => (k, t + 1, t * 10)
-    }.toDF("user_id", "ts", "quote")
+    val right = quoteRows.toDF("user_id", "ts", "quote")
     def render(df: org.apache.spark.sql.DataFrame) =
       df.select(col("user_id"), col("ts"), col("payload")).collect()
         .map(r => (r.getString(0), r.getLong(1),
