@@ -18,7 +18,8 @@ object Explain {
         // too heavy for a default plan listing; name them explicitly
         "decontaminate", "training_pipeline", "embed_quantize",
         "decontaminate_bloom", "range_join", "vocab_topk",
-        "ann_pq", "doc_keywords")
+        "ann_pq", "doc_keywords", "sessionize_chunked",
+        "asof_join_chunked")
     // "-noaqe": plan with AQE disabled — separates a static-planner
     // ReuseExchange miss (plans don't canonicalize equal) from an AQE
     // stage-cache miss (they do, but stage reuse didn't fire)
