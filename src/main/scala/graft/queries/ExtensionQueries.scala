@@ -54,26 +54,28 @@ object ExtensionQueries {
     def cleanupAtExit(p: java.nio.file.Path): Unit = { hook; tmpDirs.add(p) }
   }
 
-  /** Memoized documents row count per data dir — the corpus-size
-    * constant several gates feed into integer-exact scoring. One scan
-    * per JVM per dir; in production this is a manifest value. */
-  private val docCountFor = {
-    val cache = new Memo[String, Long]
-    (s: SparkSession, dir: String) =>
-      cache(dir)(Tables(s, dir, "documents").count())
+  /** Memoized row count per (data dir, table) — the corpus-size
+    * constant gates feed into integer-exact scoring and fraction-scaled
+    * overscans. One scan per JVM per (dir, table); in production this
+    * is a manifest value. */
+  private val tableCountFor = {
+    val cache = new Memo[(String, String), Long]
+    (s: SparkSession, dir: String, table: String) =>
+      cache((dir, table))(Tables(s, dir, table).count())
   }
 
-  /** Memoized embeddings row count per data dir — sizes the `_full`
-    * ANN gates' overscan as a corpus FRACTION, so their
-    * equality-with-brute-force premise survives a scale-factor change
-    * instead of silently decaying (a fixed overscan that kept 48% of
-    * the sf0.01 corpus keeps 12% at sf0.1, and borderline true
-    * neighbors fall below the ADC line). */
-  private val embedCountFor = {
-    val cache = new Memo[String, Long]
-    (s: SparkSession, dir: String) =>
-      cache(dir)(Tables(s, dir, "embeddings").count())
-  }
+  /** Overscan for the `_full` ANN gates, sized so the ADC prefilter
+    * keeps 64% of the corpus as candidates at ANY fixture SF —
+    * `overscan·k = 0.64·N` — instead of a fixed count whose
+    * equality-with-brute-force premise silently decays with scale (a
+    * fixed overscan that kept 48% of the sf0.01 corpus keeps 12% at
+    * sf0.1, and borderline true neighbors fall below the ADC line).
+    * 64% is MEASURED, not guessed: on this near-uniform corpus a 48%
+    * keep-rate drops 2 true neighbors at sf0.1 (ADC percentile
+    * displacement grows as the similarity distribution densifies), 64%
+    * drops none at any fixture SF. */
+  private def fullProbeOverscan(s: SparkSession, dir: String, k: Int): Int =
+    math.ceil(0.64 * tableCountFor(s, dir, "embeddings") / k).toInt
 
   /** Memoized PQ codebook per data dir: training is the one-time
     * amortized part of the PQ feature (the analogue of the persistent
@@ -282,7 +284,7 @@ object ExtensionQueries {
     "doc_keywords" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       graft.text.TextOps.topTerms(docs, col("doc_id"), col("text"),
-          n = docCountFor(s, dir), topK = 3)
+          n = tableCountFor(s, dir, "documents"), topK = 3)
         .select(col("doc_id"), col("rank").as("rnk"), col("token"),
           col("score_ppm"))
         .orderBy(col("doc_id"), col("rnk"))
@@ -1099,20 +1101,17 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("cid"))
     }),
 
-    // IVF+PQ probing every cluster with a wide overscan: the ADC
-    // prefilter keeps 64% of the corpus as candidates (overscan·k
-    // scaled to the corpus size — 32·10 of 500 at the gate's original
-    // calibration, the same FRACTION at any SF) and the exact re-rank
-    // finishes — equality with brute force proves the lists are
-    // lossless AND the ADC ranking never drops a true top-k below the
-    // overscan line at that keep-rate
+    // IVF+PQ probing every cluster with the fraction-scaled overscan
+    // (fullProbeOverscan: 64% of the corpus kept at any SF) — equality
+    // with brute force proves the lists are lossless AND the ADC
+    // ranking never drops a true top-k below the overscan line at that
+    // keep-rate
     "ann_ivfpq_full" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val over = math.ceil(0.064 * embedCountFor(s, dir)).toInt
       Pq.queryIvfPqIndex(q, ivfpqIndexFor(s, dir), k = 10, nprobe = 16,
-          overscan = over)
+          overscan = fullProbeOverscan(s, dir, k = 10))
         .orderBy(col("qid"), col("cid"))
     }),
 
@@ -1130,21 +1129,18 @@ object ExtensionQueries {
     }),
 
     // wide-overscan PQ: the ADC prefilter must rank every true top-10
-    // into its top-64% of the corpus (overscan·k scaled to the corpus
-    // size, so the premise holds at any SF) — equality with brute
-    // force proves the encode → ADC-score → exact-re-rank pipeline end
-    // to end. 64% is MEASURED, not guessed: on this near-uniform
-    // corpus a 48% keep-rate drops 2 true neighbors at sf0.1 (ADC
-    // percentile displacement grows as the similarity distribution
-    // densifies), 64% drops none at any fixture SF.
+    // into the fraction-scaled overscan window (fullProbeOverscan: the
+    // top-64% of the corpus at any SF) — equality with brute force
+    // proves the encode → ADC-score → exact-re-rank pipeline end to
+    // end.
     "ann_pq_full" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val over = math.ceil(0.064 * embedCountFor(s, dir)).toInt
       Pq.adcTopK(q, c, k = 10, dim = 64, m = 8, nCentroids = 16,
-          overscan = over, model = Some(pqModelFor(s, dir)))
+          overscan = fullProbeOverscan(s, dir, k = 10),
+          model = Some(pqModelFor(s, dir)))
         .orderBy(col("qid"), col("cid"))
     }),
 
