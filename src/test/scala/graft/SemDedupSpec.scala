@@ -123,4 +123,38 @@ class SemDedupSpec extends AnyFunSuite {
     // every label must still be a valid reachable minimum candidate
     assert(out.forall { case (d, c) => c <= d })
   }
+
+  test("random graphs match a union-find oracle across topologies") {
+    // the chain tests pin the worst-case DIAMETER; this pins arbitrary
+    // TOPOLOGY — sparse forests, dense blobs, self-loop-adjacent
+    // duplicate edges — against a local union-find computing the exact
+    // same min-reachable-id labeling. Seeded RNG: same graphs every run.
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(150)
+      val m = rnd.nextInt(3 * n)
+      val edgeList = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find with path compression — the sequential oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => (i.toLong, find(i).toLong)).toSet
+
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val pairs = edgeList.toDF("id_a", "id_b")
+      val got = Dedup.canonicalFromPairs(ids, col("doc_id"), pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"trial $trial: n=$n m=$m mismatched the oracle")
+    }
+  }
 }
