@@ -54,6 +54,35 @@ class HostileDataSpec extends AnyFunSuite {
     Dedup.ngramContainmentPairs(hostile, col("doc_id"), col("text")).collect()
   }
 
+  test("lone surrogates survive every byte-level kernel deterministically") {
+    // malformed UTF-16 — unpaired high/low surrogates and an inverted
+    // pair — exercises the String→UTF8String conversion boundary under
+    // every codegen kernel: the kernels must neither throw nor produce
+    // run-dependent bytes (Spark substitutes the replacement char at
+    // conversion, so two evaluations of the same row must agree)
+    val weird = Seq(
+      (1L, "\uD83C incomplete high surrogate"),
+      (2L, "trailing lone low \uDC00"),
+      (3L, "inverted \uDC00\uD800 pair"),
+      (4L, "🎉 proper astral pair"))
+      .toDF("doc_id", "text")
+    def pass() = weird.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n"),
+        TextOps.qualityStruct(col("text")).as("q"),
+        TextOps.langId(col("text")).as("lang"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.nfcClean(col("text")).as("clean"),
+        Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n"), r.getAs[String]("lang"),
+          r.getAs[Long]("fp"), r.getAs[Long]("sig"))))
+      .toMap
+    val a = pass()
+    assert(a.size === 4)
+    assert(a.values.forall(_._1 > 0), "surrogate docs still carry tokens")
+    assert(pass() === a, "malformed input must evaluate deterministically")
+  }
+
   test("exactCanonical annotates null-text documents instead of dropping them") {
     // md5(null) is null, and a plain equi-join back would silently drop
     // every null-text row — the null-safe join keeps them as one group
