@@ -46,11 +46,14 @@ object TemporalOps {
       case org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType =>
         unix_micros(col(name).cast("timestamp"))
+      // DATE → midnight in the (UTC) session: lossless, never null
+      case org.apache.spark.sql.types.DateType =>
+        unix_micros(col(name).cast("timestamp"))
       // any other dtype (e.g. a StringType from a malformed fixture
       // regeneration) must fail ANALYSIS, not cast-to-null silently
       case other => throw new IllegalArgumentException(
         s"event-time column `$name` has unsupported dtype $other — " +
-          "expected LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ")
+          "expected LONG (epoch nanos), TIMESTAMP, TIMESTAMP_NTZ, or DATE")
     }
 
   /** TIMESTAMP projection of the same column, for event-time operators
@@ -61,12 +64,28 @@ object TemporalOps {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr(s"`$name` div 1000"))
       case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType =>
         col(name).cast("timestamp")
       case other => throw new IllegalArgumentException(
         s"event-time column `$name` has unsupported dtype $other — " +
-          "expected LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ")
+          "expected LONG (epoch nanos), TIMESTAMP, TIMESTAMP_NTZ, or DATE")
     }
+
+  /** Sign-exact floor division of a Long timestamp column by a positive
+    * width — the chunk/bucket coordinate shared by [[rangeJoin]],
+    * [[sessionizeChunked]], and [[asofJoinChunked]]. The classic
+    * `(ts - pmod(ts, w)) div w` idiom underflows when ts is within
+    * pmod-of-w of Long.MinValue (the subtraction wraps positive and the
+    * earliest events land in the LAST chunk); truncating `div` plus a
+    * remainder-sign correction computes the same floor with no wrapping
+    * intermediate — q·w = ts − r with r ∈ (−w, w) sharing ts's sign, so
+    * q·w and q − 1 stay in range for EVERY representable ts. A double
+    * `/` is not an option either: it rounds past 2^53. */
+  private[graft] def floorDivChunk(ts: Column, w: Long): Column = {
+    val q = call_function("div", ts, lit(w))
+    when(ts - q * lit(w) < 0, q - lit(1L)).otherwise(q)
+  }
 
   /** As-of join. `right` must be unique per (key, ts) — pre-aggregate it
     * if not, or ties make the filled value nondeterministic.
@@ -164,8 +183,7 @@ object TemporalOps {
                       leftTs: Column, rightTs: Column,
                       payload: Column, chunkWidth: Long): DataFrame = {
     require(chunkWidth >= 1, "chunkWidth must be >= 1")
-    def chunkOf(c: Column): Column = call_function("div",
-      c - pmod(c, lit(chunkWidth)), lit(chunkWidth))
+    def chunkOf(c: Column): Column = floorDivChunk(c, chunkWidth)
     // the framing (marker struct, null exclusions) is the SHARED
     // asofFrames — the chunked form only adds the chunk coordinate
     val (l0, rBase, pType, rowType) =
@@ -242,11 +260,7 @@ object TemporalOps {
                 rightCols: Seq[Column]): DataFrame = {
     require(upper >= lower, "upper bound must be >= lower bound")
     val w = upper - lower + 1 // window span fits in <= 2 buckets of this width
-    // floor division that stays exact on longs at any sign:
-    // (ts - pmod(ts, w)) is the largest multiple of w <= ts, and `div`
-    // is integral division (a double `/` would round past 2^53)
-    def fdiv(ts: Column): Column =
-      call_function("div", ts - pmod(ts, lit(w)), lit(w))
+    def fdiv(ts: Column): Column = floorDivChunk(ts, w)
     val l = left.select(struct(col("*")).as("__lrow"),
         leftKey.as("__k"), leftTs.as("__lts"))
       .where(col("__k").isNotNull && col("__lts").isNotNull)
@@ -314,10 +328,7 @@ object TemporalOps {
   def sessionizeChunked(events: DataFrame, key: Column, ts: Column,
                         gap: Long, chunkWidth: Long): DataFrame = {
     require(chunkWidth >= 1, "chunkWidth must be >= 1")
-    // sign-exact floor division (the rangeJoin bucketing trick): `div`
-    // on (ts - pmod) stays integral where a double `/` would round
-    val chunk = call_function("div",
-      ts - pmod(ts, lit(chunkWidth)), lit(chunkWidth))
+    val chunk = floorDivChunk(ts, chunkWidth)
     val prepared = events.withColumn("__k", key).withColumn("__c", chunk)
     // the gap semantics live in the SHARED localSessions core — the
     // chunked form only narrows the partition to (key, chunk)

@@ -109,7 +109,12 @@ class TemporalSkewSpec extends AnyFunSuite {
       (null, 5L), (null, 50L), (null, null),
       ("a", null), ("a", -100L), ("a", -95L), ("a", -10L), ("a", 0L),
       ("a", 1L), ("a", 1L), ("a", 200L),
-      ("b", Long.MinValue / 4), ("b", Long.MinValue / 4 + 30L))
+      ("b", Long.MinValue / 4), ("b", Long.MinValue / 4 + 30L),
+      // the wrap zone: ts within pmod-of-width of Long.MinValue, where
+      // the old (ts - pmod) idiom underflowed and chunked the EARLIEST
+      // events into the LAST chunk
+      ("c", Long.MinValue), ("c", Long.MinValue + 10L),
+      ("c", Long.MinValue + 100L))
       .toDF("user_id", "ts")
     def render(df: org.apache.spark.sql.DataFrame) =
       df.select("user_id", "ts", "session_id").collect()
@@ -148,11 +153,16 @@ class TemporalSkewSpec extends AnyFunSuite {
   test("asofJoinChunked equivalence survives hostile keys and timestamps") {
     val left = Seq[(String, java.lang.Long)](
       (null, 5L), (null, null), ("a", null), ("a", -100L), ("a", -1L),
-      ("a", 0L), ("a", 3L), ("a", 3L), ("a", 500L), ("c", 7L))
+      ("a", 0L), ("a", 3L), ("a", 3L), ("a", 500L), ("c", 7L),
+      ("d", Long.MinValue + 5L), ("d", Long.MinValue + 200L))
       .toDF("user_id", "ts")
     val right = Seq[(String, java.lang.Long, java.lang.Long)](
       (null, 1L, 111L), ("a", null, 222L), ("a", -50L, 1L), ("a", 0L, 2L),
-      ("a", 3L, null), ("a", 400L, 4L), ("b", 1L, 5L))
+      ("a", 3L, null), ("a", 400L, 4L), ("b", 1L, 5L),
+      // wrap zone: a quote at the very bottom of the Long domain must
+      // still carry forward in ts order, not chunk-sort after its
+      // consumers (the old (ts - pmod) idiom underflowed here)
+      ("d", Long.MinValue, 7L))
       .toDF("user_id", "ts", "quote")
     def render(df: org.apache.spark.sql.DataFrame) =
       df.select(col("user_id"), col("ts"), col("payload")).collect()
