@@ -249,6 +249,12 @@ object TemporalOps {
     * Each right row lives in exactly one bucket, so no pair dedup is
     * needed.
     *
+    * Domain: `leftTs + lower` and `leftTs + upper` must not overflow
+    * Long (the bucket explode adds the bounds before flooring). With
+    * epoch-micros timestamps and physical window widths this holds by
+    * ~290,000 years of margin; only synthetic timestamps within
+    * `|lower|`/`upper` of the Long extremes can wrap.
+    *
     * @return left rows (unchanged columns) + the `rightCols` projection
     *         of every matching right row; inner semantics (left rows
     *         with no match are absent)
