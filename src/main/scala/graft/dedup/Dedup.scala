@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{BoundedCollect, TextExprs}
@@ -422,19 +422,20 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Near-dup pairs of an arriving batch against a standing
-    * [[writeMinhashIndex]] index, exact-Jaccard verified — the
-    * indexed twin of [[minhashPairsAcross]] (identical output for the
-    * same corpus and parameters; tested equivalent). The candidate join
-    * runs on bandKey alone: the band index is folded into the hash, and
-    * the bucketed index side then joins WITHOUT a shuffle. Works from
-    * any application — absent catalog registrations are rebuilt from
-    * the stored files and params.
-    * @return (id_a = batch id, id_b = indexed id, jaccard) */
-  def queryMinhashIndex(batch: DataFrame, id: Column, text: Column,
-                        path: String, threshold: Double = 0.8): DataFrame = {
+  /** A MinHash index's driver-side resolution — stored params plus the
+    * (possibly bucketed) band/shingle frames — separated from the query
+    * so a repeated caller (a streaming micro-batch loop) pays the
+    * params-parquet read and catalog registration ONCE at stream start,
+    * not one driver job per trigger. */
+  final case class ResolvedMinhashIndex(k: Int, bands: Int, n: Int,
+      bandsTable: DataFrame, shinglesTable: DataFrame)
+
+  /** Resolve a [[writeMinhashIndex]] index for repeated querying. Works
+    * from any application — absent catalog registrations are rebuilt
+    * from the stored files and params. */
+  def resolveMinhashIndex(spark: SparkSession,
+                          path: String): ResolvedMinhashIndex = {
     import graft.sources.BucketedTables
-    val spark = batch.sparkSession
     val pdf = spark.read.parquet(s"$path/params")
     val p = pdf.head()
     val (k, bands, n) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
@@ -443,12 +444,33 @@ object Dedup {
     // parquet reads — correct results, bucketing advantage lost
     val buckets = if (pdf.columns.contains("buckets"))
       Some(p.getAs[Int]("buckets")) else None
+    ResolvedMinhashIndex(k, bands, n,
+      BucketedTables.tableOrPlain(spark,
+        idxName(path, "bands"), s"$path/bands", buckets, "bandKey",
+        Seq("bandKey")),
+      BucketedTables.tableOrPlain(spark,
+        idxName(path, "shingles"), s"$path/shingles", buckets, "doc_id"))
+  }
+
+  /** Near-dup pairs of an arriving batch against a standing
+    * [[writeMinhashIndex]] index, exact-Jaccard verified — the
+    * indexed twin of [[minhashPairsAcross]] (identical output for the
+    * same corpus and parameters; tested equivalent). The candidate join
+    * runs on bandKey alone: the band index is folded into the hash, and
+    * the bucketed index side then joins WITHOUT a shuffle.
+    * @return (id_a = batch id, id_b = indexed id, jaccard) */
+  def queryMinhashIndex(batch: DataFrame, id: Column, text: Column,
+                        path: String, threshold: Double = 0.8): DataFrame =
+    queryMinhashIndexResolved(batch, id, text,
+      resolveMinhashIndex(batch.sparkSession, path), threshold)
+
+  /** [[queryMinhashIndex]] against an index resolved once up front —
+    * the repeated-caller form. */
+  def queryMinhashIndexResolved(batch: DataFrame, id: Column, text: Column,
+                                idx: ResolvedMinhashIndex,
+                                threshold: Double = 0.8): DataFrame = {
+    val ResolvedMinhashIndex(k, bands, n, bandsTable, shinglesTable) = idx
     val r = k / bands
-    val bandsTable = BucketedTables.tableOrPlain(spark,
-      idxName(path, "bands"), s"$path/bands", buckets, "bandKey",
-      Seq("bandKey"))
-    val shinglesTable = BucketedTables.tableOrPlain(spark,
-      idxName(path, "shingles"), s"$path/shingles", buckets, "doc_id")
     val bsig = batch.select(id.as("doc_id"), shingles(text, n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
     val bb = bsig

@@ -56,6 +56,16 @@ object MuprReader {
       .where(col("r._corrupt_record").isNull)
       .select(col("r.*")).drop("_corrupt_record")
 
+  /** [[readClean]] over an already-loaded text frame (column `value`) —
+    * the form the STREAMING file source needs (it reads raw lines);
+    * sharing the parse + quarantine keeps batch and stream clean-row
+    * semantics on one code path. */
+  def cleanFrom(lines: DataFrame, sep: String = Delims.Delim): DataFrame =
+    lines
+      .select(from_csv(col("value"), corruptSchema, csvOpts(sep)).as("r"))
+      .where(col("r._corrupt_record").isNull)
+      .select(col("r.*")).drop("_corrupt_record")
+
   /** Quarantined raw lines — route to a dead-letter sink, don't lose them. */
   def readCorrupt(spark: SparkSession, path: String,
                   sep: String = Delims.Delim): DataFrame =

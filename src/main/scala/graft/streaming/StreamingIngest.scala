@@ -1,11 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ingest.{KvStore, TriggerMeta}
-import graft.ops.KvOps
 
 /** Streaming extension (SURVEY.md §2.10). The reference is batch-only —
   * its incrementality is an external scheduler dropping ~2000-file
@@ -64,11 +63,13 @@ object StreamingIngest {
           "(top-level salt=… directories); move them under batch_id=-1/ " +
           "or use a fresh storePath — mixing layouts breaks partition " +
           "discovery for every reader")
-    val lines = spark.readStream
-      .schema(graft.ingest.MuprReader.schema)
-      .option("sep", graft.core.Delims.Delim)
-      .option("header", "false")
-      .csv(pathGlob)
+    // text source + the SHARED MuprReader parse/quarantine: a raw CSV
+    // stream would PERMISSIVE-parse corrupt lines into null-field rows
+    // whose shortened rowKeys land as garbage cells, while the batch
+    // path (readClean) quarantines the same line — one parse path, so
+    // clean-row semantics cannot diverge between modes either
+    val lines = graft.ingest.MuprReader.cleanFrom(
+      spark.readStream.text(pathGlob))
     val enriched = TriggerMeta.enrich(lines, meta,
       element_at(split(input_file_name(), "/"), -1))
     enriched.writeStream
@@ -166,13 +167,11 @@ object StreamingIngest {
     * batches wherever the pipeline lands them). */
   def incrementalDedupBatches(stream: DataFrame, existing: DataFrame,
                               onBatch: (DataFrame, Long) => Unit):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       onBatch(
         graft.dedup.Dedup.exactAgainstExisting(
-          batch, existing,
-          org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("text")),
+          batch, existing, col("doc_id"), col("text")),
         id)
     }
 
@@ -186,13 +185,11 @@ object StreamingIngest {
   def decontaminateBatches(stream: DataFrame, bench: DataFrame,
                            onBatch: (DataFrame, Long) => Unit,
                            n: Int = 5, minHits: Int = 1):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       onBatch(
         graft.text.Decontaminate.flag(
-          batch, bench,
-          org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("text"), n, minHits),
+          batch, bench, col("doc_id"), col("text"), n, minHits),
         id)
     }
 
@@ -202,7 +199,7 @@ object StreamingIngest {
     * per-batch, so the cost is bounded by streams built, but a
     * long-running application cycling many streams should release). */
   final case class DecontaminateStream(
-      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      writer: DataStreamWriter[Row],
       release: () => Unit)
 
   /** [[decontaminateBatches]] through the bloom prefilter, with BOTH
@@ -231,7 +228,6 @@ object StreamingIngest {
                                 n: Int = 5, minHits: Int = 1,
                                 expectedBenchGrams: Long = 1L << 22,
                                 fpp: Double = 0.01): DecontaminateStream = {
-    import org.apache.spark.sql.functions.col
     val bloom = graft.text.Decontaminate.benchBloom(
       bench, col("text"), n, expectedBenchGrams, fpp)
     val benchGrams = graft.text.Decontaminate
@@ -294,20 +290,23 @@ object StreamingIngest {
     * kernels ran once at index-build time, so the per-batch cost is the
     * batch's own kernels plus two slim joins (the rolling-ingestion
     * end-state of the foreachBatch family above; re-index on corpus
-    * versions, not per batch). */
+    * versions, not per batch). The index is RESOLVED once before the
+    * stream starts — params read + table registration are driver work
+    * that would otherwise repeat every trigger (the
+    * [[decontaminateBloomBatches]] hoisting discipline). */
   def indexNearDupBatches(stream: DataFrame, indexPath: String,
                           onBatch: (DataFrame, Long) => Unit,
                           threshold: Double = 0.8):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      DataStreamWriter[Row] = {
+    val idx = graft.dedup.Dedup.resolveMinhashIndex(
+      stream.sparkSession, indexPath)
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       onBatch(
-        graft.dedup.Dedup.queryMinhashIndex(
-          batch,
-          org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("text"),
-          indexPath, threshold),
+        graft.dedup.Dedup.queryMinhashIndexResolved(
+          batch, col("doc_id"), col("text"), idx, threshold),
         id)
     }
+  }
 
   case class SessEvent(user_id: Long, event_ts: java.sql.Timestamp)
   case class SessState(start: Long, end: Long, n: Long) // epoch millis
@@ -340,7 +339,14 @@ object StreamingIngest {
                         gapMs: Long, watermark: String = "1 hour"):
       Dataset[ClosedSession] = {
     import spark.implicits._
+    // null key/event-time rows are DROPPED, not crashed on: the
+    // watermark's late-data filter keeps null-event-time rows (a null
+    // ts never compares <= wm), so without this filter one such record
+    // NPEs the handler and the restarted query replays the same pinned
+    // batch — a poison-pill crash loop. No event time → no session is
+    // the only coherent semantics anyway.
     events.select(col("user_id"), col("event_ts"))
+      .where(col("user_id").isNotNull && col("event_ts").isNotNull)
       .withWatermark("event_ts", watermark)
       .as[SessEvent]
       .groupByKey(_.user_id)
@@ -350,7 +356,7 @@ object StreamingIngest {
          state: GroupState[SessionsState]) =>
           // one code path for data and timeout invocations: on timeout
           // `rows` is empty and the merge below is the identity
-          val wm = state.getCurrentWatermarkMs
+          val wm = state.getCurrentWatermarkMs()
           val pts = rows
             .map(e => SessState(e.event_ts.getTime, e.event_ts.getTime, 1L))
             .toSeq
@@ -420,11 +426,19 @@ object StreamingIngest {
   }
 
   /** Wire [[TypeCountsProcessor]] over an event stream with columns
-    * (user_id, event_type). */
+    * (user_id, event_type). Rows with a null user_id or event_type are
+    * dropped: the primitive key decode and the MapState key both reject
+    * null, and a streaming crash on one garbage record replays into a
+    * poison-pill loop — [[windowedEventCounts]] is the twin that counts
+    * null types as a group. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...RocksDBStateStoreProvider`) — `transformWithState` rejects the
+    * default HDFS-backed provider at query start. */
   def runningTypeCounts(spark: SparkSession,
                         events: DataFrame): Dataset[TypeCount] = {
     import spark.implicits._
     events.select(col("user_id"), col("event_type"))
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
       .as[TypedEvent]
       .groupByKey(_.user_id)
       .transformWithState(new TypeCountsProcessor,
@@ -438,10 +452,16 @@ object StreamingIngest {
 
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * count and value total, emitted each micro-batch — the pattern for
-    * session/entity state the built-in aggregates can't express. */
+    * session/entity state the built-in aggregates can't express.
+    * Null-tolerant like the built-in aggregates it mirrors: null-key
+    * rows are dropped (primitive key decode would crash-loop the query
+    * on one garbage record), a null value counts the event and
+    * contributes 0 to the total. */
   def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserSummary] = {
     import spark.implicits._
-    events.select(col("user_id"), col("event_type"), col("value"))
+    events.select(col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .where(col("user_id").isNotNull)
       .as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout) {

@@ -73,6 +73,48 @@ class StreamingSessionSpec extends AnyFunSuite {
       (1L, t0 + 90 * 60 * 1000L, t0 + 91 * 60 * 1000L, 2L)))
   }
 
+  test("null-key and null-timestamp events are dropped, not a crash loop") {
+    // the watermark's late-data filter KEEPS null-event-time rows (null
+    // never compares <= wm), so before the input filter one such record
+    // NPE'd the handler and the restarted query replayed the same batch
+    // forever — the poison-pill class. Garbage rows must vanish without
+    // changing any session.
+    val dir = Files.createTempDirectory("graft_ssess_null")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    writeBatches(in,
+      "b1.json" ->
+        """{"user_id":1,"event_ts":"2026-01-01T00:00:00.000Z"}
+          |{"user_id":1,"event_ts":null}
+          |{"user_id":null,"event_ts":"2026-01-01T00:02:00.000Z"}
+          |{"user_id":1,"event_ts":"2026-01-01T00:05:00.000Z"}
+          |""".stripMargin,
+      "b2.json" ->
+        """{"user_id":2,"event_ts":"2026-01-01T06:00:00.000Z"}
+          |{"user_id":2,"event_ts":null}
+          |""".stripMargin)
+
+    val stream = spark.readStream
+      .schema("user_id LONG, event_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val q = StreamingIngest.streamingSessions(spark, stream,
+        gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_null_out")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+    val out = spark.sql("select * from sess_null_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events"))).toSet
+    // u1's session closes when u2 pushes the watermark; the null-keyed
+    // and null-ts rows contribute to NOTHING (no null-user session, no
+    // extra count on u1)
+    assert(out === Set((1L, t0, t0 + 5 * 60 * 1000L, 2L)))
+  }
+
   test("close at end+gap == watermark is final: a ts == wm event is dropped by Spark") {
     // Pins the boundary semantics the close condition relies on: Spark's
     // stateful late-data filter drops rows with ts <= watermark, so an

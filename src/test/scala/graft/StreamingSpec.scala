@@ -80,6 +80,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(KvStore.read(spark, store).count() === 2)
   }
 
+  test("muprStream quarantines corrupt lines exactly like batch readClean") {
+    // before the shared-parse fix, the raw CSV stream PERMISSIVE-parsed
+    // a corrupt line into a null-field row whose shortened rowKey landed
+    // as a garbage cell — while the batch path quarantined the same
+    // line. One parse path now; only the clean line may reach the store.
+    val dir = Files.createTempDirectory("graft_stream_q")
+    val inDir = dir.resolve("incoming"); Files.createDirectory(inDir)
+    val store = dir.resolve("store").toString
+    val good = Seq("1001", "SS01", "2", "1", "1.0", "7", "0.5", "A", "P",
+      "M", "t_a").mkString(D)
+    val corrupt = "not_an_int" + D + "truncated_line"
+    val file = inDir.resolve("lot1_x.dat")
+    Files.writeString(file, good + "\n" + corrupt + "\n")
+    // batch parity reference: readClean keeps exactly the good line
+    assert(graft.ingest.MuprReader.readClean(
+      spark, file.toString, sep = D).count() === 1)
+    val meta = Seq(("lot1_x.dat", "L1", 202032, 2.0))
+      .toDF("File_Name", "Lot", "Lato_Start_WW", "Lots_seq_key")
+    val q = StreamingIngest.muprStream(spark, inDir.toString + "/*.dat", meta,
+        keyParts = Seq(col("Lot"), col("Lato_Start_WW"), col("Lots_seq_key"),
+          col("Unit_Testing_Seq_Key")),
+        qualifier = col("Test_Name"),
+        valueParts = Seq(col("Substructure_ID"), col("Measurement_Value")),
+        storePath = store)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val kv = KvStore.read(spark, store)
+    assert(kv.count() === 1, "only the clean line may become a cell")
+    val key = kv.select("rowKey").as[String].head()
+    assert(key.startsWith("L1" + D) && key.contains(D + "1001"))
+  }
+
   test("muprStream refuses a pre-batch_id v1 store layout") {
     val dir = Files.createTempDirectory("graft_stream_v1")
     val store = dir.resolve("store")
@@ -148,5 +182,18 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.n_events === expected(uid)._1, s"user $uid")
       assert(math.abs(s.total_value - expected(uid)._2) < 1e-6, s"user $uid")
     }
+  }
+
+  test("runningUserTotals tolerates null keys and values like an aggregate") {
+    // a null user_id would crash the primitive key decode (a poison
+    // pill on a stream); a null value must count the event with +0 —
+    // the same semantics as count(*) + sum(value)
+    val events = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "click", 2.5), (1L, "view", null), (null, "click", 9.9),
+      (2L, "click", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val out = StreamingIngest.runningUserTotals(spark, events)
+      .collect().map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
+    assert(out === Map(1L -> ((2L, 2.5)), 2L -> ((1L, 1.0))))
   }
 }

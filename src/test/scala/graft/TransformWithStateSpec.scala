@@ -64,4 +64,44 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("null user or type rows are dropped, not a MapState crash loop") {
+    // a null event_type reaching MapState.containsKey/updateValue (or a
+    // null user_id hitting the primitive key decode) kills the query,
+    // and the restarted checkpoint replays the same batch — garbage
+    // records must be dropped at the input, leaving real counts intact
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_tws_null")
+      val in = dir.resolve("in"); Files.createDirectory(in)
+      Files.writeString(in.resolve("b1.json"),
+        """{"user_id":1,"event_type":"click"}
+          |{"user_id":1,"event_type":null}
+          |{"user_id":null,"event_type":"view"}
+          |{"user_id":1,"event_type":"click"}
+          |""".stripMargin)
+      val stream = spark.readStream
+        .schema("user_id LONG, event_type STRING")
+        .json(in.toString)
+      val q = StreamingIngest.runningTypeCounts(spark, stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_null_out")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val rows = spark.sql("select * from tws_null_out").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      assert(rows === Map((1L, "click") -> 2L))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
