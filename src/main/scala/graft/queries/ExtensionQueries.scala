@@ -523,6 +523,26 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // token-budget curation: keep the highest-alpha-ratio documents
+    // until 25% of the corpus's tokens are spent — the exact greedy
+    // prefix over (quality DESC, doc_id), computed by histogram cutoff
+    // + boundary-level refinement instead of the global sort +
+    // single-task running-sum window the semantics naively suggest
+    // (BudgetSelect scaladoc has the 100 TB argument). The ppm quality
+    // score keeps the levels discrete; the oracle recomputes the same
+    // prefix with DuckDB's window form from scratch, so the cutoff
+    // arithmetic has no self-confirmation anywhere.
+    "corpus_budget_select" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.text.BudgetSelect.budgetSelectFraction(scored, col("doc_id"),
+          col("q_ppm"), col("n_tokens"), fraction = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style line-level boilerplate filter: lines occurring more than
     // twice across the corpus are dropped, surviving lines keep order.
     // The synthetic docs are single-line, so the gate frames each with a
@@ -1736,6 +1756,25 @@ object ExtensionQueries {
         |SELECT doc_id, source, unnest(range(0, n)) AS copy_idx
         |FROM c
         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // the oracle IS the naive plan the engine refuses to run: a global
+    // running-sum window over (quality DESC, doc_id) — fine at oracle
+    // scale, single-task at corpus scale
+    "corpus_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm,
+        |    cast(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |      w -> len(w) > 0)) AS bigint) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT cast(floor(0.25 * sum(n_tokens)) AS bigint) AS budget FROM t),
+        |r AS (SELECT doc_id, q_ppm, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY q_ppm DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT r.doc_id, r.q_ppm, r.n_tokens FROM r, b
+        |WHERE r.cum <= b.budget ORDER BY r.doc_id""".stripMargin,
 
     "stratified_take" ->
       """WITH r AS (

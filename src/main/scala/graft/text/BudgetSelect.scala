@@ -1,0 +1,207 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TemporalOps.floorDivChunk
+
+/** Token-budget corpus selection: keep the highest-quality documents
+  * whose cumulative cost (tokens) fits a budget — the curation step that
+  * turns "score every document" ([[TextOps]]) into "the best N tokens
+  * for this training run".
+  *
+  * Semantics are the exact greedy prefix: order the corpus by
+  * (quality DESC, id ASC) and keep every row whose INCLUSIVE running
+  * cost sum is ≤ budget. Costs are non-negative, so the kept set is a
+  * prefix of that order — the same answer as the obvious
+  * `SUM(cost) OVER (ORDER BY quality DESC, id)` window, which is NOT how
+  * it is computed:
+  *
+  * Scale shape (100 TB): a global running sum is a total-order sort plus
+  * a single-task window — the canonical unscalable plan. Instead the
+  * selection threshold is found by HISTOGRAM CUTOFF:
+  *
+  *  1. one aggregation keyed on the quality level (map-side combined;
+  *     bounded by `maxQualityLevels` — the house ppm convention gives
+  *     ≤ 1e6+1 levels) → the driver finds the boundary level q*: every
+  *     level above it is kept whole, every level below dropped whole —
+  *     a narrow filter, no sort;
+  *  2. only the SINGLE boundary level needs row resolution. Its rows are
+  *     id-chunked (floor-div on the id span, ≤ `fanout` occupied chunks),
+  *     the per-chunk cost histogram picks the boundary CHUNK the same
+  *     way, and the loop recurses into it — the span shrinks ×`fanout`
+  *     per round, so ≤ ~6 rounds cover the full Long id range;
+  *  3. when the unresolved remainder is ≤ `smallCap` rows it is resolved
+  *     exactly with one running-sum window over that BOUNDED frame (the
+  *     only window in the plan, single partition by construction ≤
+  *     smallCap rows), and the kept ids come back as a broadcast-class
+  *     semi-join side.
+  *
+  * Driver state is the level histogram (≤ maxQualityLevels slim rows —
+  * manifest-class, tens of MB at the 1M-level worst case; quantize
+  * coarser if that is too much) plus ≤ fanout chunk rows per round.
+  * Nothing scales with corpus size.
+  *
+  * Preconditions (the [[Sampling.takePerGroup]] discipline):
+  *  - `quality` is an INTEGRAL score (the ppm house convention —
+  *    `round(x * 1e6)` a continuous score first); it is cast to long.
+  *  - `cost` is integral and NON-NEGATIVE (token counts); negative costs
+  *    break prefix monotonicity and throw.
+  *  - `id` is integral and unique; ties on (quality, id) would make the
+  *    boundary cut nondeterministic.
+  *  - Rows with a null id, quality, or cost are DROPPED: a null has no
+  *    place in a total order, and every engine orders/sums it
+  *    differently — no coherent greedy semantics exists for them.
+  *  - Computed quality/cost columns are re-evaluated by each of the
+  *    (≤ ~8) passes here; materialize expensive scores first (the
+  *    [[graft.similarity.Ann.cosineNearDupPairs]] note).
+  */
+object BudgetSelect {
+
+  /** Keep the greedy quality-prefix of `df` whose cost sum fits
+    * `budget`. Returns the kept rows with `df`'s columns unchanged (row
+    * order unspecified, like any filter). */
+  def budgetSelect(df: DataFrame, id: Column, quality: Column, cost: Column,
+                   budget: Long, maxQualityLevels: Int = 1 << 20): DataFrame =
+    budgetSelectImpl(df, id, quality, cost, budget, maxQualityLevels,
+      fanout = 4096, smallCap = 1 << 16)
+
+  /** [[budgetSelect]] with the budget as a fraction of the corpus's own
+    * total cost — "keep the best 25% of tokens". The budget is
+    * `floor(fraction * total)` computed in double (exact below 2^53
+    * total cost — every physical corpus; the DuckDB-oracle-portable
+    * arithmetic). */
+  def budgetSelectFraction(df: DataFrame, id: Column, quality: Column,
+                           cost: Column, fraction: Double,
+                           maxQualityLevels: Int = 1 << 20): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    val live = liveRows(df, id, quality, cost)
+    val total = live.agg(sum(cost.cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    budgetSelect(df, id, quality, cost,
+      math.floor(fraction * total.toDouble).toLong, maxQualityLevels)
+  }
+
+  /** The null-drop contract, in one place for every pass. */
+  private def liveRows(df: DataFrame, id: Column, quality: Column,
+                       cost: Column): DataFrame =
+    df.where(id.isNotNull && quality.isNotNull && cost.isNotNull)
+
+  /** `fanout` (id chunks per refinement round) and `smallCap` (max rows
+    * the final window may see) are test seams: production callers use
+    * the defaults, the spec shrinks them to force deep refinement on a
+    * 200-row corpus. */
+  private[graft] def budgetSelectImpl(df: DataFrame, id: Column,
+                                      quality: Column, cost: Column,
+                                      budget: Long, maxQualityLevels: Int,
+                                      fanout: Int, smallCap: Int): DataFrame = {
+    require(budget >= 0L, "budget must be >= 0")
+    require(fanout >= 2, "fanout must be >= 2")
+    require(smallCap >= 1, "smallCap must be >= 1")
+    val idL = id.cast("long")
+    val qL = quality.cast("long")
+    val cL = cost.cast("long")
+    val live = liveRows(df, id, quality, cost)
+
+    // 1. quality-level histogram — the one corpus-wide aggregation. The
+    // limit caps the COLLECT (and fails loudly past the cap) so a
+    // continuous score passed by mistake cannot OOM the driver.
+    val hist = live.groupBy(qL.as("__q"))
+      .agg(sum(cL).as("__t"), min(cL).as("__mn"))
+      .limit(maxQualityLevels + 1)
+      .collect()
+    require(hist.length <= maxQualityLevels,
+      s"more than $maxQualityLevels distinct quality levels — quantize " +
+        "the score (ppm convention) or raise maxQualityLevels")
+    if (hist.isEmpty) return live // no selectable rows; empty result
+    require(hist.forall(r => r.getLong(2) >= 0L),
+      "negative cost values break greedy-prefix monotonicity")
+
+    // 2. driver cutoff: levels sorted best-first (reverse Ordering, not
+    // sortBy(-q) — negating Long.MinValue is itself); q* is the first
+    // level the running total cannot swallow whole
+    val levels = hist.map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)(Ordering[Long].reverse)
+    var acc = 0L
+    var qStar = Option.empty[Long]
+    var before = 0L
+    levels.foreach { case (q, t) =>
+      if (qStar.isEmpty && acc + t > budget) { qStar = Some(q); before = acc }
+      acc += t
+    }
+    if (qStar.isEmpty) return live // the whole corpus fits the budget
+    val qs = qStar.get
+
+    // 3. refine the boundary level by id chunks until the remainder is
+    // window-small. `kept` accumulates the fully-kept predicate;
+    // `pending` pins the still-unresolved remainder.
+    var kept: Column = qL > lit(qs)
+    var pending: Column = qL === lit(qs)
+    var remaining = budget - before
+    var resolved = false
+    var finalFrame: DataFrame = null
+    while (!resolved) {
+      val stats = live.where(pending)
+        .agg(min(idL).as("lo"), max(idL).as("hi"), count(lit(1)).as("n"))
+        .head()
+      val n = stats.getLong(2)
+      if (n <= smallCap) {
+        // 4. exact running sum over the BOUNDED remainder — single
+        // partition by construction (≤ smallCap rows), the only window
+        // in the operator. (n == 0 cannot happen — q* guarantees
+        // boundary rows — but falls through here harmlessly if it did.)
+        val w = Window.orderBy(col("__bid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val keptIds = live.where(pending)
+          .select(idL.as("__bid"), cL.as("__bc"))
+          .withColumn("__cum", sum(col("__bc")).over(w))
+          .where(col("__cum") <= lit(remaining))
+          .select(col("__bid"))
+        finalFrame = live.where(pending)
+          .join(broadcast(keptIds), idL === col("__bid"), "left_semi")
+        resolved = true
+      } else {
+        // chunk width from the BigInt span: ids may legitimately span
+        // the full Long range, where hi - lo overflows. width < span
+        // always (fanout ≥ 2, span ≥ n ≥ 2), and hi - lo ≥ width then
+        // forces ≥ 2 occupied chunks — every round strictly shrinks the
+        // pending span to ≤ width, so the loop provably terminates in
+        // O(log_fanout(span)) rounds.
+        val lo = stats.getLong(0)
+        val hi = stats.getLong(1)
+        val span = BigInt(hi) - BigInt(lo) + 1
+        // the 2^62 clamp keeps width a positive Long even at the
+        // full-2^64 span with a tiny fanout (ceil(2^64 / 2) overflows);
+        // clamped rounds still cut the span ≥ 4× — the bound only
+        // rises from log_fanout to log_4 for the first round or two
+        val width = ((span + fanout - 1) / fanout).max(1)
+          .min(BigInt(Long.MaxValue / 2)).toLong
+        val chunk = floorDivChunk(idL, width)
+        val chunks = live.where(pending)
+          .groupBy(chunk.as("__c")).agg(sum(cL).as("__t"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)
+        // the boundary chunk exists: the pending cost exceeds
+        // `remaining` by the q*/c* invariant carried down the loop
+        var cacc = 0L
+        var cStar = Option.empty[Long]
+        var cbefore = 0L
+        chunks.foreach { case (c, t) =>
+          if (cStar.isEmpty && cacc + t > remaining) {
+            cStar = Some(c); cbefore = cacc
+          }
+          cacc += t
+        }
+        val cs = cStar.get
+        kept = kept || (pending && chunk < lit(cs))
+        pending = pending && chunk === lit(cs)
+        remaining -= cbefore
+      }
+    }
+    live.where(kept).unionByName(finalFrame)
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.BudgetSelect
+
+/** BudgetSelect vs the semantics it promises: the kept set must equal
+  * the naive global running-sum window's prefix (quality DESC, id ASC,
+  * inclusive cum ≤ budget) — across budgets, tie pile-ups, zero costs,
+  * and with fanout/smallCap shrunk so a 200-row corpus exercises
+  * multi-round boundary refinement (the production path a 100 TB
+  * boundary level would take). The mainline is also oracled end-to-end
+  * by the `corpus_budget_select` DuckDB gate. */
+class BudgetSelectSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** The spec's independent answer: the single-window form. */
+  private def bruteKept(df: DataFrame, budget: Long): Set[Long] = {
+    val w = Window.orderBy(col("q").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.where(col("id").isNotNull && col("q").isNotNull && col("c").isNotNull)
+      .withColumn("__cum", sum(col("c")).over(w))
+      .where(col("__cum") <= budget)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+  }
+
+  private def gotKept(df: DataFrame, budget: Long,
+                      fanout: Int = 4096, smallCap: Int = 1 << 16): Set[Long] = {
+    val r = BudgetSelect.budgetSelectImpl(df, col("id"), col("q"), col("c"),
+      budget, maxQualityLevels = 1 << 20, fanout = fanout, smallCap = smallCap)
+    val ids = r.select(col("id")).collect().map(_.getLong(0))
+    assert(ids.length === ids.toSet.size, "a kept row must appear exactly once")
+    ids.toSet
+  }
+
+  /** Deterministic pseudo-random corpus: heavy quality ties (11 levels
+    * over 200 rows) and small costs so budgets cut mid-level. */
+  private def corpus(n: Int, seed: Long): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong * 7 % 1000, rng.nextInt(11).toLong, rng.nextInt(5).toLong)
+    }.toDF("id", "q", "c")
+  }
+
+  test("matches the running-sum window across the budget spectrum") {
+    val df = corpus(200, seed = 1).cache()
+    val total = df.agg(sum(col("c"))).head().getLong(0)
+    for (budget <- Seq(0L, 1L, 7L, total / 4, total / 2, total - 1, total,
+        total + 100)) {
+      assert(gotKept(df, budget) === bruteKept(df, budget),
+        s"budget=$budget")
+    }
+  }
+
+  test("deep refinement (fanout 4, smallCap 2) is output-identical") {
+    // smallCap 2 forces the id-chunk loop to recurse until two rows
+    // remain — every boundary level resolves through multiple rounds
+    val df = corpus(200, seed = 2).cache()
+    val total = df.agg(sum(col("c"))).head().getLong(0)
+    for (budget <- Seq(3L, total / 5, total / 3, total / 2))
+      assert(gotKept(df, budget, fanout = 4, smallCap = 2) ===
+        bruteKept(df, budget), s"budget=$budget")
+  }
+
+  test("all-one-quality corpus: the cut is purely the id prefix") {
+    val df = (0 until 50).map(i => (i.toLong, 5L, 10L)).toDF("id", "q", "c")
+    assert(gotKept(df, 95L, fanout = 4, smallCap = 2) ===
+      (0L until 9L).toSet) // 9 rows * 10 = 90 <= 95 < 100
+  }
+
+  test("zero-cost rows ride any budget, including zero") {
+    val df = Seq((1L, 9L, 0L), (2L, 9L, 5L), (3L, 1L, 0L), (4L, 1L, 3L))
+      .toDF("id", "q", "c")
+    // budget 0: the greedy order is (9,id1)(9,id2)(1,id3)(1,id4); id1
+    // fits at cum 0, id2 overflows, and the PREFIX semantics mean
+    // everything after the overflow is out — id3's zero cost does not
+    // resurrect it (cum stays 5)
+    assert(gotKept(df, 0L) === Set(1L))
+    assert(bruteKept(df, 0L) === Set(1L))
+  }
+
+  test("null id/quality/cost rows are dropped, not ordered") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(9L), java.lang.Long.valueOf(1L)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)),
+      (java.lang.Long.valueOf(4L), java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "q", "c")
+    assert(gotKept(df, 100L) === Set(1L))
+  }
+
+  test("negative costs fail loudly") {
+    val df = Seq((1L, 5L, 2L), (2L, 4L, -1L)).toDF("id", "q", "c")
+    val e = intercept[IllegalArgumentException](gotKept(df, 10L))
+    assert(e.getMessage.contains("negative cost"))
+  }
+
+  test("too many quality levels fail loudly, not OOM the driver") {
+    val df = (0 until 40).map(i => (i.toLong, i.toLong, 1L)).toDF("id", "q", "c")
+    val e = intercept[IllegalArgumentException] {
+      BudgetSelect.budgetSelectImpl(df, col("id"), col("q"), col("c"),
+        budget = 10L, maxQualityLevels = 10, fanout = 4096, smallCap = 1 << 16)
+    }
+    assert(e.getMessage.contains("quality levels"))
+  }
+
+  test("fraction form: floor(fraction * total) and the zero/one poles") {
+    val df = (0 until 20).map(i => (i.toLong, (i % 3).toLong, 4L)).toDF("id", "q", "c")
+    // total 80; fraction .25 -> budget 20 -> 5 rows of the best levels
+    val kept = BudgetSelect.budgetSelectFraction(df, col("id"), col("q"),
+      col("c"), 0.25).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept === bruteKept(df, 20L))
+    assert(BudgetSelect.budgetSelectFraction(df, col("id"), col("q"),
+      col("c"), 0.0).count() === 0L)
+    assert(BudgetSelect.budgetSelectFraction(df, col("id"), col("q"),
+      col("c"), 1.0).count() === 20L)
+  }
+
+  test("extreme Long ids refine without overflow") {
+    // ids at both Long extremes force the BigInt span path and negative
+    // floor-division chunks; quality ties put them all in one boundary
+    val df = Seq(
+      (Long.MinValue, 5L, 10L), (Long.MinValue + 3, 5L, 10L),
+      (-7L, 5L, 10L), (0L, 5L, 10L), (13L, 5L, 10L),
+      (Long.MaxValue - 2, 5L, 10L), (Long.MaxValue, 5L, 10L))
+      .toDF("id", "q", "c")
+    for (budget <- Seq(0L, 25L, 45L, 200L))
+      assert(gotKept(df, budget, fanout = 2, smallCap = 1) ===
+        bruteKept(df, budget), s"budget=$budget")
+  }
+
+  test("the plan is cutoff filters, not a corpus-wide sort") {
+    val df = corpus(200, seed = 3)
+    val total = df.agg(sum(col("c"))).head().getLong(0)
+    val r = BudgetSelect.budgetSelect(df, col("id"), col("q"), col("c"),
+      total / 2)
+    val p = r.queryExecution.executedPlan.toString
+    // no range exchange anywhere: the quality order is resolved by the
+    // driver histogram, never by sorting the corpus
+    assert(!p.contains("rangepartitioning"), p.linesIterator.take(40).mkString("\n"))
+    // the only Window runs over the bounded boundary remainder and
+    // feeds the broadcast semi-join, not the corpus branch
+    assert("Window".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "boundary ids must come back as a broadcast-class semi-join side\n" + p)
+  }
+}
