@@ -805,10 +805,24 @@ object Dedup {
     * exponentially), and converged loops exit early so headroom is
     * free. Non-convergence still warns rather than throws.
     *
+    * SMALL-GRAPH FAST PATH: near-dup pair graphs are usually tiny
+    * relative to the corpus (pairs are the rare survivors of banding +
+    * verification), and the initial distinct-edge count is already on
+    * hand from the convergence signature. When it is ≤ `smallGraphMax`
+    * the edge set is broadcast-class state — the same bounded-driver-
+    * materialization class as the ANN codebooks — and a driver
+    * union-find resolves the exact same min-reachable-id labels in the
+    * one action already paid, instead of O(log n) shuffle rounds whose
+    * fixed per-round cost dominates on sparse graphs. The label frame
+    * returns as an explicit broadcast join side. `smallGraphMax = 0`
+    * forces the distributed loop (the spec seam); the default 2^20
+    * edges costs ≲48 MB of driver heap in the worst case.
+    *
     * @return (doc_id, canonical_id)
     */
   def canonicalFromPairs(ids: DataFrame, idCol: Column, pairs: DataFrame,
-                         maxIters: Int = 50): DataFrame = {
+                         maxIters: Int = 50,
+                         smallGraphMax: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
 
     // large-star: per node a over the FULL neighborhood, connect every
@@ -872,6 +886,30 @@ object Dedup {
       .distinct()
       .localCheckpoint(false)
     var sig = signature(edges)
+    // small-graph fast path (scaladoc): the signature action already
+    // counted the distinct edges; a broadcast-class edge set resolves
+    // on the driver in zero further distributed rounds. Long ids only —
+    // the distributed loop below is type-generic, the primitive-array
+    // union-find is not, and every non-Long caller just keeps the loop.
+    if (sig._1 <= smallGraphMax &&
+        edges.schema("u").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val collected = edges.collect()
+      CheckpointBridge.releaseCheckpoint(edges)
+      val labels = unionFindLabels(collected)
+      val spark = ids.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labelDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(labels, 1), schema)
+      return ids.select(idCol.as("doc_id"))
+        .join(broadcast(labelDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("v"), col("doc_id")).as("canonical_id"))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -902,6 +940,66 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("v"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** Driver union-find behind the small-graph fast path: exact
+    * min-reachable-id labels for a collected (u, v) edge array — one
+    * (node, componentMin) row per NON-minimum node, the same frame
+    * shape the star loop's converged edge set yields. Union by size +
+    * path halving: near-linear, primitive arrays, ≲48 bytes/edge. */
+  private def unionFindLabels(
+      edges: Array[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
+    val index = new java.util.HashMap[java.lang.Long, Integer](edges.length * 2)
+    val nodes = new scala.collection.mutable.ArrayBuffer[Long]
+    var parent = new Array[Int](0)
+    def idxOf(x: Long): Int = {
+      val got = index.get(x)
+      if (got != null) got.intValue()
+      else {
+        index.put(x, nodes.length); nodes += x; nodes.length - 1
+      }
+    }
+    val us = new Array[Int](edges.length)
+    val vs = new Array[Int](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      us(i) = idxOf(edges(i).getLong(0))
+      vs(i) = idxOf(edges(i).getLong(1))
+      i += 1
+    }
+    val n = nodes.length
+    parent = Array.tabulate(n)(identity)
+    val size = Array.fill(n)(1)
+    def find(a0: Int): Int = {
+      var a = a0
+      while (parent(a) != a) {
+        parent(a) = parent(parent(a)) // path halving
+        a = parent(a)
+      }
+      a
+    }
+    i = 0
+    while (i < edges.length) {
+      val ra = find(us(i))
+      val rb = find(vs(i))
+      if (ra != rb) {
+        if (size(ra) < size(rb)) { parent(ra) = rb; size(rb) += size(ra) }
+        else { parent(rb) = ra; size(ra) += size(rb) }
+      }
+      i += 1
+    }
+    val minOf = Array.fill(n)(Long.MaxValue)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (nodes(i) < minOf(r)) minOf(r) = nodes(i)
+      i += 1
+    }
+    (0 until n).flatMap { j =>
+      val m = minOf(find(j))
+      if (m == nodes(j)) None
+      else Some(org.apache.spark.sql.Row(nodes(j), m))
+    }
   }
 
   // ── SimHash ──────────────────────────────────────────────────────────

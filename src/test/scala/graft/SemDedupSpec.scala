@@ -93,7 +93,11 @@ class SemDedupSpec extends AnyFunSuite {
     val chain = spark.range(n - 1)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
     val before = spark.sparkContext.getPersistentRDDs.size
-    val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain)
+    // smallGraphMax = 0: this test exists to pin the DISTRIBUTED loop —
+    // the default small-graph fast path would union-find a 10k-edge
+    // chain on the driver and never enter it
+    val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain,
+      smallGraphMax = 0)
     assert(out.count() === n.toLong)
     assert(out.where(col("canonical_id") =!= 0L).count() === 0L,
       "path graph did not collapse to the component min")
@@ -115,8 +119,10 @@ class SemDedupSpec extends AnyFunSuite {
     val ids = spark.range(n).select(col("id").as("doc_id"))
     val chain = spark.range(n - 1)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    // smallGraphMax = 0: the driver fast path has no iteration bound to
+    // exhaust — only the distributed loop can exit unconverged
     val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain,
-        maxIters = 1)
+        maxIters = 1, smallGraphMax = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length === n, "one row per input id, even unconverged")
     assert(out.map(_._1).distinct.length === n, "no duplicated doc_id")
@@ -152,9 +158,16 @@ class SemDedupSpec extends AnyFunSuite {
 
       val ids = spark.range(n).select(col("id").as("doc_id"))
       val pairs = edgeList.toDF("id_a", "id_b")
-      val got = Dedup.canonicalFromPairs(ids, col("doc_id"), pairs)
+      // BOTH paths must match the oracle: the distributed star loop
+      // (smallGraphMax = 0) and the default driver union-find fast path
+      // these graphs are small enough to take
+      val loop = Dedup.canonicalFromPairs(ids, col("doc_id"), pairs,
+          smallGraphMax = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got === want, s"trial $trial: n=$n m=$m mismatched the oracle")
+      assert(loop === want, s"trial $trial: n=$n m=$m star loop vs oracle")
+      val fast = Dedup.canonicalFromPairs(ids, col("doc_id"), pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast === want, s"trial $trial: n=$n m=$m fast path vs oracle")
     }
   }
 }
