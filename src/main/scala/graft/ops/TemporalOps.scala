@@ -82,9 +82,14 @@ object TemporalOps {
     * intermediate — q·w = ts − r with r ∈ (−w, w) sharing ts's sign, so
     * q·w and q − 1 stay in range for EVERY representable ts. A double
     * `/` is not an option either: it rounds past 2^53. */
-  private[graft] def floorDivChunk(ts: Column, w: Long): Column = {
-    val q = call_function("div", ts, lit(w))
-    when(ts - q * lit(w) < 0, q - lit(1L)).otherwise(q)
+  private[graft] def floorDivChunk(ts: Column, w: Long): Column =
+    floorDivChunk(ts, lit(w))
+
+  /** Column-divisor form (positive `w` per row — BudgetSelect's
+    * per-group chunk widths); same sign-exact floor arithmetic. */
+  private[graft] def floorDivChunk(ts: Column, w: Column): Column = {
+    val q = call_function("div", ts, w)
+    when(ts - q * w < 0, q - lit(1L)).otherwise(q)
   }
 
   /** As-of join. `right` must be unique per (key, ts) — pre-aggregate it

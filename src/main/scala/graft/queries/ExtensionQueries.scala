@@ -543,6 +543,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-domain token budgets (the mixture-spec step): six sources
+    // with budgets spanning deep cutoff (src1: 50), mid cutoff (src0,
+    // src3), zero (src4), keep-all (src2: 1M), and SCALE-VARYING src5
+    // (2000 — keep-all at sf0.001/0.01 totals ~1.3k, cutoff at sf0.1's
+    // ~14k), with the other 14 sources dropped by omission. The oracle
+    // is the per-group window form from scratch.
+    "corpus_budget_by_source" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.text.BudgetSelect.budgetSelectPerGroup(scored, col("source"),
+          col("doc_id"), col("q_ppm"), col("n_tokens"),
+          budgets = Map("src0" -> 800L, "src1" -> 50L, "src2" -> 1000000L,
+            "src3" -> 400L, "src4" -> 0L, "src5" -> 2000L))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style line-level boilerplate filter: lines occurring more than
     // twice across the corpus are dropped, surviving lines keep order.
     // The synthetic docs are single-line, so the gate frames each with a
@@ -1775,6 +1794,24 @@ object ExtensionQueries {
         |      FROM t)
         |SELECT r.doc_id, r.q_ppm, r.n_tokens FROM r, b
         |WHERE r.cum <= b.budget ORDER BY r.doc_id""".stripMargin,
+
+    "corpus_budget_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm,
+        |    cast(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |      w -> len(w) > 0)) AS bigint) AS n_tokens
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src0', 800), ('src1', 50),
+        |  ('src2', 1000000), ('src3', 400), ('src4', 0), ('src5', 2000)),
+        |r AS (SELECT t.doc_id, t.source, t.q_ppm, t.n_tokens, b.budget,
+        |        sum(t.n_tokens) OVER (PARTITION BY t.source
+        |          ORDER BY t.q_ppm DESC, t.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t JOIN b ON t.source = b.source)
+        |SELECT doc_id, source, q_ppm, n_tokens FROM r
+        |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
 
     "stratified_take" ->
       """WITH r AS (

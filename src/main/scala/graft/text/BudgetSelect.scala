@@ -204,4 +204,201 @@ object BudgetSelect {
     }
     live.where(kept).unionByName(finalFrame)
   }
+
+  // ── Per-group budgets ──────────────────────────────────────────────
+
+  /** [[budgetSelect]] with a SEPARATE budget per group — the
+    * mixture-spec curation step ("web gets 500 B tokens, code 200 B,
+    * …"): within every group, keep the greedy (quality DESC, id ASC)
+    * prefix whose cost fits that group's budget. Rows whose group is
+    * not in `budgets` are dropped (the [[Sampling.mixBySource]]
+    * rate-0 default); the group column is compared as a string.
+    *
+    * Same histogram-cutoff scale shape as the ungrouped form, run for
+    * ALL groups in parallel: ONE (group, level) histogram pass finds
+    * every group's boundary level on the driver; the boundary rows of
+    * every still-unresolved group then refine TOGETHER — each round is
+    * one aggregation over the single slim pending frame, with
+    * per-group chunk widths riding a broadcast choices frame, so the
+    * round count is the WORST group's O(log_fanout(idspan)), not the
+    * sum. Groups whose remainder fits `smallCap` rows drop out into
+    * one final bounded per-group window. Driver state: the level
+    * histogram (`maxHistRows` cap across all groups) + `fanout` rows
+    * per group per round + the budget map itself — all independent of
+    * corpus size. `budgets` must be driver-small (a mixture spec is
+    * dozens of entries, not millions).
+    *
+    * Boundary rows carry their full row struct through the (≤ ~6)
+    * refinement checkpoints, so kept slices return directly without a
+    * corpus-scale join-back; the checkpoints stay referenced by the
+    * result and are reclaimed when the caller drops it (the
+    * [[graft.dedup.Dedup.canonicalFromPairs]] lifetime note).
+    */
+  def budgetSelectPerGroup(df: DataFrame, group: Column, id: Column,
+                           quality: Column, cost: Column,
+                           budgets: Map[String, Long],
+                           maxHistRows: Int = 1 << 20): DataFrame =
+    budgetSelectPerGroupImpl(df, group, id, quality, cost, budgets,
+      maxHistRows, fanout = 4096, smallCap = 1 << 16)
+
+  private[graft] def budgetSelectPerGroupImpl(
+      df: DataFrame, group: Column, id: Column, quality: Column,
+      cost: Column, budgets: Map[String, Long], maxHistRows: Int,
+      fanout: Int, smallCap: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
+    require(fanout >= 2, "fanout must be >= 2")
+    require(smallCap >= 1, "smallCap must be >= 1")
+    val spark = df.sparkSession
+    val gS = group.cast("string")
+    val idL = id.cast("long")
+    val qL = quality.cast("long")
+    val cL = cost.cast("long")
+    val outCols = df.columns.toSeq
+    def frame(rows: Seq[Row], fields: (String, org.apache.spark.sql.types.DataType)*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) }))
+    val budgetGroups = frame(budgets.keys.toSeq.sorted.map(Row(_)),
+      "__bsg" -> StringType)
+    val live = df
+      .where(id.isNotNull && quality.isNotNull && cost.isNotNull && gS.isNotNull)
+      .withColumn("__bsg", gS)
+      .join(broadcast(budgetGroups), Seq("__bsg"), "left_semi")
+
+    // one corpus pass: the (group, level) histogram
+    val hist = live.groupBy(col("__bsg"), qL.as("__bsq"))
+      .agg(sum(cL).as("__bst"), min(cL).as("__bsm"))
+      .limit(maxHistRows + 1)
+      .collect()
+    require(hist.length <= maxHistRows,
+      s"more than $maxHistRows (group, quality-level) rows — quantize " +
+        "the score (ppm convention) or raise maxHistRows")
+    require(hist.forall(r => r.getLong(3) >= 0L),
+      "negative cost values break greedy-prefix monotonicity")
+
+    // driver cutoffs per group
+    var keepAll = List.empty[String]
+    var cut = List.empty[(String, Long, Long)] // (group, q*, remaining)
+    hist.groupBy(_.getString(0)).foreach { case (g, rows) =>
+      val levels = rows.map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)(Ordering[Long].reverse)
+      val budget = budgets(g)
+      var acc = 0L
+      var qStar = Option.empty[Long]
+      var before = 0L
+      levels.foreach { case (q, t) =>
+        if (qStar.isEmpty && acc + t > budget) { qStar = Some(q); before = acc }
+        acc += t
+      }
+      qStar match {
+        case None     => keepAll ::= g
+        case Some(qs) => cut ::= (g, qs, budget - before)
+      }
+    }
+
+    val keepAllKept =
+      if (keepAll.isEmpty) live.limit(0)
+      else live.join(broadcast(frame(keepAll.sorted.map(Row(_)),
+        "__bsg" -> StringType)), Seq("__bsg"), "left_semi")
+    if (cut.isEmpty) return keepAllKept.drop("__bsg")
+
+    val cutDf = frame(cut.sortBy(_._1).map { case (g, qs, _) => Row(g, qs) },
+      "__bsg" -> StringType, "__bsqstar" -> LongType)
+    val cutKept = live.withColumn("__bsq", qL)
+      .join(broadcast(cutDf), Seq("__bsg"))
+      .where(col("__bsq") > col("__bsqstar"))
+      .drop("__bsq", "__bsqstar")
+
+    // slim payload-carrying boundary frame: every cutoff group's q*
+    // level, refined together round by round
+    val pendCols = Seq(col("__bsg"), col("__bsid"), col("__bsc"), col("__bsrow"))
+    var pending = live.withColumn("__bsq", qL)
+      .join(broadcast(cutDf), Seq("__bsg"))
+      .where(col("__bsq") === col("__bsqstar"))
+      .select(col("__bsg"), idL.as("__bsid"), cL.as("__bsc"),
+        struct(outCols.map(col): _*).as("__bsrow"))
+      .localCheckpoint(false)
+    val remaining = scala.collection.mutable.Map(
+      cut.map { case (g, _, r) => g -> r }: _*)
+    val finalRem = scala.collection.mutable.Map.empty[String, Long]
+    var keptSlices = List.empty[DataFrame]
+    var finals = pending.limit(0)
+    var active = true
+    var rounds = 0
+    while (active) {
+      rounds += 1
+      require(rounds <= 64, "per-group refinement failed to converge " +
+        "(unreachable: spans shrink every round)")
+      val stats = pending.groupBy(col("__bsg"))
+        .agg(min(col("__bsid")).as("lo"), max(col("__bsid")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect()
+      val (small, big) = stats.partition(_.getLong(3) <= smallCap)
+      if (small.nonEmpty) {
+        val gs = small.map(_.getString(0)).toSeq
+        gs.foreach(g => finalRem(g) = remaining(g))
+        finals = finals.unionByName(
+          pending.join(broadcast(frame(gs.sorted.map(Row(_)),
+            "__bsg" -> StringType)), Seq("__bsg"), "left_semi"))
+      }
+      if (big.isEmpty) active = false
+      else {
+        val choices = big.toSeq.map { r =>
+          val span = BigInt(r.getLong(2)) - BigInt(r.getLong(1)) + 1
+          Row(r.getString(0),
+            ((span + fanout - 1) / fanout).max(1)
+              .min(BigInt(Long.MaxValue / 2)).toLong)
+        }
+        val chunked = pending
+          .join(broadcast(frame(choices.sortBy(_.getString(0)),
+            "__bsg" -> StringType, "__bsw" -> LongType)), Seq("__bsg"))
+          .withColumn("__bschunk",
+            graft.ops.TemporalOps.floorDivChunk(col("__bsid"), col("__bsw")))
+        val chist = chunked.groupBy(col("__bsg"), col("__bschunk"))
+          .agg(sum(col("__bsc")).as("__bst"))
+          .collect()
+        val stars = chist.groupBy(_.getString(0)).map { case (g, rows) =>
+          val chunks = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+          var cacc = 0L
+          var cStar = Option.empty[Long]
+          var cbefore = 0L
+          chunks.foreach { case (c, t) =>
+            if (cStar.isEmpty && cacc + t > remaining(g)) {
+              cStar = Some(c); cbefore = cacc
+            }
+            cacc += t
+          }
+          remaining(g) = remaining(g) - cbefore
+          Row(g, cStar.get) // exists: pending cost > remaining invariant
+        }.toSeq
+        val starsDf = broadcast(frame(stars.sortBy(_.getString(0)),
+          "__bsg" -> StringType, "__bscstar" -> LongType))
+        val joined = chunked.join(starsDf, Seq("__bsg"))
+        keptSlices ::= joined.where(col("__bschunk") < col("__bscstar"))
+          .select(pendCols: _*)
+        pending = joined.where(col("__bschunk") === col("__bscstar"))
+          .select(pendCols: _*)
+          .localCheckpoint(false)
+      }
+    }
+
+    // one bounded window per exited group: ≤ smallCap rows per (group)
+    // partition by construction
+    val remDf = broadcast(frame(
+      finalRem.toSeq.sortBy(_._1).map { case (g, r) => Row(g, r) },
+      "__bsg" -> StringType, "__bsrem" -> LongType))
+    val w = Window.partitionBy(col("__bsg")).orderBy(col("__bsid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val finalKept = finals.join(remDf, Seq("__bsg"))
+      .withColumn("__bscum", sum(col("__bsc")).over(w))
+      .where(col("__bscum") <= col("__bsrem"))
+      .select(pendCols: _*)
+
+    (keptSlices :+ finalKept)
+      .map(_.select(col("__bsrow.*")))
+      .foldLeft(keepAllKept.drop("__bsg").unionByName(cutKept.drop("__bsg")))(
+        _.unionByName(_))
+  }
 }

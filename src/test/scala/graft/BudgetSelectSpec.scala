@@ -133,6 +133,77 @@ class BudgetSelectSpec extends AnyFunSuite {
         bruteKept(df, budget), s"budget=$budget")
   }
 
+  // ── per-group budgets ──────────────────────────────────────────────
+
+  /** Per-group brute force: the partitioned window form. */
+  private def bruteKeptPerGroup(df: DataFrame,
+                                budgets: Map[String, Long]): Set[Long] = {
+    val w = Window.partitionBy(col("g")).orderBy(col("q").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = budgets.toSeq.toDF("g", "budget")
+    df.where(col("id").isNotNull && col("q").isNotNull && col("c").isNotNull)
+      .join(b, Seq("g"))
+      .withColumn("__cum", sum(col("c")).over(w))
+      .where(col("__cum") <= col("budget"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+  }
+
+  private def groupedCorpus(n: Int, nGroups: Int, seed: Long): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (s"g${rng.nextInt(nGroups)}", i.toLong * 3 % 1000,
+        rng.nextInt(7).toLong, rng.nextInt(5).toLong)
+    }.toDF("g", "id", "q", "c")
+  }
+
+  test("per-group budgets match the partitioned window, incl. dropped groups") {
+    val df = groupedCorpus(300, nGroups = 5, seed = 7).cache()
+    // g0 deep cutoff, g1 zero, g2 keep-all, g3 mid; g4 omitted → dropped
+    val budgets = Map("g0" -> 9L, "g1" -> 0L, "g2" -> 100000L, "g3" -> 40L)
+    val got = BudgetSelect.budgetSelectPerGroup(df, col("g"), col("id"),
+      col("q"), col("c"), budgets)
+    val ids = got.select(col("id")).collect().map(_.getLong(0))
+    assert(ids.length === ids.toSet.size, "a kept row must appear exactly once")
+    assert(ids.toSet === bruteKeptPerGroup(df, budgets))
+    // dropped group really is dropped, and output columns are unchanged
+    assert(got.where(col("g") === "g4").count() === 0L)
+    assert(got.columns.toSeq === df.columns.toSeq)
+  }
+
+  test("per-group deep refinement (fanout 2, smallCap 1) is output-identical") {
+    val df = groupedCorpus(240, nGroups = 3, seed = 8).cache()
+    val budgets = Map("g0" -> 15L, "g1" -> 60L, "g2" -> 7L)
+    val got = BudgetSelect.budgetSelectPerGroupImpl(df, col("g"), col("id"),
+        col("q"), col("c"), budgets, maxHistRows = 1 << 20,
+        fanout = 2, smallCap = 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === bruteKeptPerGroup(df, budgets))
+  }
+
+  test("per-group: every group keep-all skips the refinement machinery") {
+    val df = groupedCorpus(60, nGroups = 2, seed = 9)
+    val budgets = Map("g0" -> 100000L, "g1" -> 100000L)
+    assert(BudgetSelect.budgetSelectPerGroup(df, col("g"), col("id"),
+      col("q"), col("c"), budgets).count() === df.count())
+  }
+
+  test("per-group: negative cost and oversized histograms fail loudly") {
+    val neg = Seq(("g0", 1L, 5L, -1L)).toDF("g", "id", "q", "c")
+    val e1 = intercept[IllegalArgumentException] {
+      BudgetSelect.budgetSelectPerGroup(neg, col("g"), col("id"), col("q"),
+        col("c"), Map("g0" -> 10L))
+    }
+    assert(e1.getMessage.contains("negative cost"))
+    val wide = (0 until 40).map(i => ("g0", i.toLong, i.toLong, 1L))
+      .toDF("g", "id", "q", "c")
+    val e2 = intercept[IllegalArgumentException] {
+      BudgetSelect.budgetSelectPerGroupImpl(wide, col("g"), col("id"),
+        col("q"), col("c"), Map("g0" -> 10L), maxHistRows = 10,
+        fanout = 4096, smallCap = 1 << 16)
+    }
+    assert(e2.getMessage.contains("quality-level"))
+  }
+
   test("the plan is cutoff filters, not a corpus-wide sort") {
     val df = corpus(200, seed = 3)
     val total = df.agg(sum(col("c"))).head().getLong(0)
