@@ -19,7 +19,8 @@ object Explain {
         "decontaminate", "training_pipeline", "embed_quantize",
         "decontaminate_bloom", "range_join", "vocab_topk",
         "ann_pq", "doc_keywords", "sessionize_chunked",
-        "asof_join_chunked")
+        "asof_join_chunked", "corpus_budget_select",
+        "corpus_budget_by_source")
     // "-noaqe": plan with AQE disabled — separates a static-planner
     // ReuseExchange miss (plans don't canonicalize equal) from an AQE
     // stage-cache miss (they do, but stage reuse didn't fire)
