@@ -815,8 +815,12 @@ object Dedup {
     * one action already paid, instead of O(log n) shuffle rounds whose
     * fixed per-round cost dominates on sparse graphs. The label frame
     * returns as an explicit broadcast join side. `smallGraphMax = 0`
-    * forces the distributed loop (the spec seam); the default 2^20
-    * edges costs ≲48 MB of driver heap in the worst case.
+    * forces the distributed loop (the spec seam). Driver footprint at
+    * the 2^20-edge default: the union-find arrays themselves are small
+    * (≲48 MB), but the collected Row array, the boxed node index, and
+    * the label rows peak at a few hundred MB transient — fine on the
+    * multi-GB drivers a corpus-scale job runs with; lower smallGraphMax
+    * on small test drivers.
     *
     * @return (doc_id, canonical_id)
     */
@@ -951,7 +955,6 @@ object Dedup {
       edges: Array[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
     val index = new java.util.HashMap[java.lang.Long, Integer](edges.length * 2)
     val nodes = new scala.collection.mutable.ArrayBuffer[Long]
-    var parent = new Array[Int](0)
     def idxOf(x: Long): Int = {
       val got = index.get(x)
       if (got != null) got.intValue()
@@ -968,7 +971,7 @@ object Dedup {
       i += 1
     }
     val n = nodes.length
-    parent = Array.tabulate(n)(identity)
+    val parent = Array.tabulate(n)(identity)
     val size = Array.fill(n)(1)
     def find(a0: Int): Int = {
       var a = a0

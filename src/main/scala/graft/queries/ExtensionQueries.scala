@@ -1787,11 +1787,18 @@ object ExtensionQueries {
         |    cast(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
         |      w -> len(w) > 0)) AS bigint) AS n_tokens
         |  FROM documents),
-        |b AS (SELECT cast(floor(0.25 * sum(n_tokens)) AS bigint) AS budget FROM t),
+        |-- the engine's null-drop contract: rows with a null score or
+        |-- cost have no place in the greedy order (a null text would
+        |-- yield both). Latent here (the fixture has no null text), but
+        |-- the oracle must encode the CONTRACT, not the fixture
+        |t2 AS (SELECT * FROM t
+        |       WHERE doc_id IS NOT NULL AND q_ppm IS NOT NULL
+        |         AND n_tokens IS NOT NULL),
+        |b AS (SELECT cast(floor(0.25 * sum(n_tokens)) AS bigint) AS budget FROM t2),
         |r AS (SELECT doc_id, q_ppm, n_tokens,
         |        sum(n_tokens) OVER (ORDER BY q_ppm DESC, doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |      FROM t)
+        |      FROM t2)
         |SELECT r.doc_id, r.q_ppm, r.n_tokens FROM r, b
         |WHERE r.cum <= b.budget ORDER BY r.doc_id""".stripMargin,
 
@@ -1803,13 +1810,17 @@ object ExtensionQueries {
         |    cast(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
         |      w -> len(w) > 0)) AS bigint) AS n_tokens
         |  FROM documents),
+        |-- null-drop contract, as in corpus_budget_select's oracle
+        |t2 AS (SELECT * FROM t
+        |       WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |         AND q_ppm IS NOT NULL AND n_tokens IS NOT NULL),
         |b(source, budget) AS (VALUES ('src0', 800), ('src1', 50),
         |  ('src2', 1000000), ('src3', 400), ('src4', 0), ('src5', 2000)),
-        |r AS (SELECT t.doc_id, t.source, t.q_ppm, t.n_tokens, b.budget,
-        |        sum(t.n_tokens) OVER (PARTITION BY t.source
-        |          ORDER BY t.q_ppm DESC, t.doc_id
+        |r AS (SELECT t2.doc_id, t2.source, t2.q_ppm, t2.n_tokens, b.budget,
+        |        sum(t2.n_tokens) OVER (PARTITION BY t2.source
+        |          ORDER BY t2.q_ppm DESC, t2.doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |      FROM t JOIN b ON t.source = b.source)
+        |      FROM t2 JOIN b ON t2.source = b.source)
         |SELECT doc_id, source, q_ppm, n_tokens FROM r
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
 

@@ -63,26 +63,25 @@ object BudgetSelect {
     * `budget`. Returns the kept rows with `df`'s columns unchanged (row
     * order unspecified, like any filter). */
   def budgetSelect(df: DataFrame, id: Column, quality: Column, cost: Column,
-                   budget: Long, maxQualityLevels: Int = 1 << 20): DataFrame =
-    budgetSelectImpl(df, id, quality, cost, budget, maxQualityLevels,
+                   budget: Long, maxQualityLevels: Int = 1 << 20): DataFrame = {
+    require(budget >= 0L, "budget must be >= 0")
+    budgetSelectImpl(df, id, quality, cost, _ => budget, maxQualityLevels,
       fanout = 4096, smallCap = 1 << 16)
+  }
 
   /** [[budgetSelect]] with the budget as a fraction of the corpus's own
     * total cost — "keep the best 25% of tokens". The budget is
     * `floor(fraction * total)` computed in double (exact below 2^53
     * total cost — every physical corpus; the DuckDB-oracle-portable
-    * arithmetic). */
+    * arithmetic), with the total read off the level histogram the
+    * selection needs anyway — no extra corpus pass. */
   def budgetSelectFraction(df: DataFrame, id: Column, quality: Column,
                            cost: Column, fraction: Double,
                            maxQualityLevels: Int = 1 << 20): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
-    val live = liveRows(df, id, quality, cost)
-    val total = live.agg(sum(cost.cast("long"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r                  => r.getLong(0)
-    }
-    budgetSelect(df, id, quality, cost,
-      math.floor(fraction * total.toDouble).toLong, maxQualityLevels)
+    budgetSelectImpl(df, id, quality, cost,
+      total => math.floor(fraction * total.toDouble).toLong,
+      maxQualityLevels, fanout = 4096, smallCap = 1 << 16)
   }
 
   /** The null-drop contract, in one place for every pass. */
@@ -90,15 +89,26 @@ object BudgetSelect {
                        cost: Column): DataFrame =
     df.where(id.isNotNull && quality.isNotNull && cost.isNotNull)
 
-  /** `fanout` (id chunks per refinement round) and `smallCap` (max rows
-    * the final window may see) are test seams: production callers use
-    * the defaults, the spec shrinks them to force deep refinement on a
-    * 200-row corpus. */
+  /** Test-seam form: `fanout` (id chunks per refinement round) and
+    * `smallCap` (max rows the final window may see) shrink in the spec
+    * to force deep refinement on a 200-row corpus. */
   private[graft] def budgetSelectImpl(df: DataFrame, id: Column,
                                       quality: Column, cost: Column,
                                       budget: Long, maxQualityLevels: Int,
                                       fanout: Int, smallCap: Int): DataFrame = {
     require(budget >= 0L, "budget must be >= 0")
+    budgetSelectImpl(df, id, quality, cost, _ => budget, maxQualityLevels,
+      fanout, smallCap)
+  }
+
+  /** Core: `budgetOfTotal` maps the corpus's total cost (read off the
+    * level histogram — no extra pass) to the absolute budget, so the
+    * fraction form shares every pass with the absolute form. */
+  private def budgetSelectImpl(df: DataFrame, id: Column,
+                               quality: Column, cost: Column,
+                               budgetOfTotal: Long => Long,
+                               maxQualityLevels: Int,
+                               fanout: Int, smallCap: Int): DataFrame = {
     require(fanout >= 2, "fanout must be >= 2")
     require(smallCap >= 1, "smallCap must be >= 1")
     val idL = id.cast("long")
@@ -125,6 +135,8 @@ object BudgetSelect {
     // level the running total cannot swallow whole
     val levels = hist.map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)(Ordering[Long].reverse)
+    val budget = budgetOfTotal(levels.map(_._2).sum)
+    require(budget >= 0L, "budget must be >= 0")
     var acc = 0L
     var qStar = Option.empty[Long]
     var before = 0L
@@ -143,7 +155,15 @@ object BudgetSelect {
     var remaining = budget - before
     var resolved = false
     var finalFrame: DataFrame = null
+    var rounds = 0
     while (!resolved) {
+      // unreachable with UNIQUE ids (spans shrink every round) — but a
+      // violated precondition (e.g. fractional ids collapsing under the
+      // long cast) parks >smallCap rows on ONE id, where width-1 chunks
+      // stop shrinking; fail loudly instead of looping forever
+      rounds += 1
+      require(rounds <= 64, "refinement failed to converge — are the " +
+        "ids unique? (duplicate or non-integral ids collapse chunks)")
       val stats = live.where(pending)
         .agg(min(idL).as("lo"), max(idL).as("hi"), count(lit(1)).as("n"))
         .head()
