@@ -109,6 +109,25 @@ class SemDedupSpec extends AnyFunSuite {
       s"$leaked checkpoint RDDs left behind by the CC loop")
   }
 
+  test("small-graph fast path releases its edge checkpoint") {
+    // the fast path collects the checkpointed edge frame and must
+    // release its blocks immediately (the labels are driver state — the
+    // checkpoint has no further consumer, unlike the loop's final star)
+    val n = 500
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.canonicalFromPairs(ids, col("doc_id"), chain)
+    assert(out.where(col("canonical_id") =!= 0L).count() === 0L,
+      "fast path must produce the same component-min labels")
+    // <= not ===: earlier tests' dropped frames may be ContextCleaner-
+    // reclaimed concurrently, so the count can DECREASE during this
+    // test; the fast path itself must just not add a registration
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "fast path left its edge checkpoint registered")
+  }
+
   test("non-convergence keeps one labeled row per id (split, never duplicated)") {
     // force the maxIters exit: a 200-hop path cannot star-contract in
     // one round. Mid-algorithm edge sets hold SEVERAL edges per node,
