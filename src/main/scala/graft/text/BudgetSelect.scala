@@ -149,13 +149,22 @@ object BudgetSelect {
 
     // 3. refine the boundary level by id chunks until the remainder is
     // window-small. `kept` accumulates the fully-kept predicate;
-    // `pending` pins the still-unresolved remainder.
+    // `pending` pins the still-unresolved remainder. ONE driver action
+    // per round: the chunk histogram carries (min, max, count) so the
+    // chosen boundary chunk IS the next round's stats — only the first
+    // round pays a separate stats pass.
     var kept: Column = qL > lit(qs)
     var pending: Column = qL === lit(qs)
     var remaining = budget - before
     var resolved = false
     var finalFrame: DataFrame = null
     var rounds = 0
+    val stats0 = live.where(pending)
+      .agg(min(idL).as("lo"), max(idL).as("hi"), count(lit(1)).as("n"))
+      .head()
+    var lo = if (stats0.isNullAt(0)) 0L else stats0.getLong(0)
+    var hi = if (stats0.isNullAt(1)) 0L else stats0.getLong(1)
+    var n = stats0.getLong(2)
     while (!resolved) {
       // unreachable with UNIQUE ids (spans shrink every round) — but a
       // violated precondition (e.g. fractional ids collapsing under the
@@ -164,10 +173,6 @@ object BudgetSelect {
       rounds += 1
       require(rounds <= 64, "refinement failed to converge — are the " +
         "ids unique? (duplicate or non-integral ids collapse chunks)")
-      val stats = live.where(pending)
-        .agg(min(idL).as("lo"), max(idL).as("hi"), count(lit(1)).as("n"))
-        .head()
-      val n = stats.getLong(2)
       if (n <= smallCap) {
         // 4. exact running sum over the BOUNDED remainder — single
         // partition by construction (≤ smallCap rows), the only window
@@ -190,8 +195,6 @@ object BudgetSelect {
         // forces ≥ 2 occupied chunks — every round strictly shrinks the
         // pending span to ≤ width, so the loop provably terminates in
         // O(log_fanout(span)) rounds.
-        val lo = stats.getLong(0)
-        val hi = stats.getLong(1)
         val span = BigInt(hi) - BigInt(lo) + 1
         // the 2^62 clamp keeps width a positive Long even at the
         // full-2^64 span with a tiny fanout (ceil(2^64 / 2) overflows);
@@ -201,25 +204,28 @@ object BudgetSelect {
           .min(BigInt(Long.MaxValue / 2)).toLong
         val chunk = floorDivChunk(idL, width)
         val chunks = live.where(pending)
-          .groupBy(chunk.as("__c")).agg(sum(cL).as("__t"))
+          .groupBy(chunk.as("__c")).agg(sum(cL).as("__t"),
+            min(idL).as("__lo"), max(idL).as("__hi"), count(lit(1)).as("__n"))
           .collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
           .sortBy(_._1)
         // the boundary chunk exists: the pending cost exceeds
         // `remaining` by the q*/c* invariant carried down the loop
         var cacc = 0L
-        var cStar = Option.empty[Long]
+        var cStar = Option.empty[(Long, Long, Long, Long)]
         var cbefore = 0L
-        chunks.foreach { case (c, t) =>
+        chunks.foreach { case (c, t, clo, chi, cn) =>
           if (cStar.isEmpty && cacc + t > remaining) {
-            cStar = Some(c); cbefore = cacc
+            cStar = Some((c, clo, chi, cn)); cbefore = cacc
           }
           cacc += t
         }
-        val cs = cStar.get
+        val (cs, clo, chi, cn) = cStar.get
         kept = kept || (pending && chunk < lit(cs))
         pending = pending && chunk === lit(cs)
         remaining -= cbefore
+        lo = clo; hi = chi; n = cn
       }
     }
     live.where(kept).unionByName(finalFrame)
@@ -345,53 +351,63 @@ object BudgetSelect {
     val finalRem = scala.collection.mutable.Map.empty[String, Long]
     var keptSlices = List.empty[DataFrame]
     var finals = pending.limit(0)
-    var active = true
+    // driver (lo, hi, n) per still-active group — ONE action per round
+    // after this initial pass: the chunk histogram carries (min, max,
+    // count), so each group's chosen boundary chunk IS its next stats
+    var state: Map[String, (Long, Long, Long)] = pending
+      .groupBy(col("__bsg"))
+      .agg(min(col("__bsid")).as("lo"), max(col("__bsid")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
     var rounds = 0
-    while (active) {
+    while (state.nonEmpty) {
       rounds += 1
       require(rounds <= 64, "per-group refinement failed to converge " +
         "(unreachable: spans shrink every round)")
-      val stats = pending.groupBy(col("__bsg"))
-        .agg(min(col("__bsid")).as("lo"), max(col("__bsid")).as("hi"),
-          count(lit(1)).as("n"))
-        .collect()
-      val (small, big) = stats.partition(_.getLong(3) <= smallCap)
+      val (small, big) = state.partition(_._2._3 <= smallCap)
       if (small.nonEmpty) {
-        val gs = small.map(_.getString(0)).toSeq
+        val gs = small.keys.toSeq.sorted
         gs.foreach(g => finalRem(g) = remaining(g))
         finals = finals.unionByName(
-          pending.join(broadcast(frame(gs.sorted.map(Row(_)),
+          pending.join(broadcast(frame(gs.map(Row(_)),
             "__bsg" -> StringType)), Seq("__bsg"), "left_semi"))
       }
-      if (big.isEmpty) active = false
+      if (big.isEmpty) state = Map.empty
       else {
-        val choices = big.toSeq.map { r =>
-          val span = BigInt(r.getLong(2)) - BigInt(r.getLong(1)) + 1
-          Row(r.getString(0),
-            ((span + fanout - 1) / fanout).max(1)
-              .min(BigInt(Long.MaxValue / 2)).toLong)
+        val choices = big.toSeq.sortBy(_._1).map { case (g, (lo, hi, _)) =>
+          val span = BigInt(hi) - BigInt(lo) + 1
+          Row(g, ((span + fanout - 1) / fanout).max(1)
+            .min(BigInt(Long.MaxValue / 2)).toLong)
         }
         val chunked = pending
-          .join(broadcast(frame(choices.sortBy(_.getString(0)),
+          .join(broadcast(frame(choices,
             "__bsg" -> StringType, "__bsw" -> LongType)), Seq("__bsg"))
           .withColumn("__bschunk",
             graft.ops.TemporalOps.floorDivChunk(col("__bsid"), col("__bsw")))
         val chist = chunked.groupBy(col("__bsg"), col("__bschunk"))
-          .agg(sum(col("__bsc")).as("__bst"))
+          .agg(sum(col("__bsc")).as("__bst"), min(col("__bsid")).as("__bslo"),
+            max(col("__bsid")).as("__bshi"), count(lit(1)).as("__bsn"))
           .collect()
+        val nextState = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
         val stars = chist.groupBy(_.getString(0)).map { case (g, rows) =>
-          val chunks = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+          val chunks = rows.map(r => (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
           var cacc = 0L
-          var cStar = Option.empty[Long]
+          var cStar = Option.empty[(Long, Long, Long, Long)]
           var cbefore = 0L
-          chunks.foreach { case (c, t) =>
+          chunks.foreach { case (c, t, clo, chi, cn) =>
             if (cStar.isEmpty && cacc + t > remaining(g)) {
-              cStar = Some(c); cbefore = cacc
+              cStar = Some((c, clo, chi, cn)); cbefore = cacc
             }
             cacc += t
           }
+          // exists: pending cost > remaining invariant
+          val (cs, clo, chi, cn) = cStar.get
           remaining(g) = remaining(g) - cbefore
-          Row(g, cStar.get) // exists: pending cost > remaining invariant
+          nextState(g) = (clo, chi, cn)
+          Row(g, cs)
         }.toSeq
         val starsDf = broadcast(frame(stars.sortBy(_.getString(0)),
           "__bsg" -> StringType, "__bscstar" -> LongType))
@@ -401,6 +417,7 @@ object BudgetSelect {
         pending = joined.where(col("__bschunk") === col("__bscstar"))
           .select(pendCols: _*)
           .localCheckpoint(false)
+        state = nextState.toMap
       }
     }
 

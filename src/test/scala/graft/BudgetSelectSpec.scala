@@ -133,6 +133,19 @@ class BudgetSelectSpec extends AnyFunSuite {
         bruteKept(df, budget), s"budget=$budget")
   }
 
+  test("kept sets nest as the budget grows (prefix monotonicity)") {
+    // a cutoff-arithmetic bug (off-by-one level, misapplied remainder)
+    // shows up as a row kept at a SMALLER budget but lost at a larger
+    // one — impossible for a true greedy prefix
+    val df = corpus(150, seed = 11).cache()
+    val total = df.agg(sum(col("c"))).head().getLong(0)
+    val keptAt = Seq(0L, 3L, 11L, total / 6, total / 3, total / 2, total)
+      .map(b => gotKept(df, b, fanout = 4, smallCap = 2))
+    keptAt.sliding(2).foreach { case Seq(sm, lg) =>
+      assert(sm.subsetOf(lg), "a larger budget must keep a superset")
+    }
+  }
+
   // ── per-group budgets ──────────────────────────────────────────────
 
   /** Per-group brute force: the partitioned window form. */
