@@ -133,6 +133,24 @@ class BudgetSelectSpec extends AnyFunSuite {
         bruteKept(df, budget), s"budget=$budget")
   }
 
+  test("extreme Long quality levels sort best-first (MinValue negation trap)") {
+    // sortBy(-q) would leave Long.MinValue at the TOP of the order
+    // (its negation is itself) — the reverse-Ordering sort must put it
+    // last, and MaxValue first, in both the ungrouped and the per-group
+    // cutoff
+    val df = Seq(
+      (1L, Long.MaxValue, 4L), (2L, 10L, 4L), (3L, 0L, 4L),
+      (4L, -10L, 4L), (5L, Long.MinValue, 4L))
+      .toDF("id", "q", "c")
+    for (budget <- Seq(0L, 4L, 9L, 14L, 100L))
+      assert(gotKept(df, budget) === bruteKept(df, budget), s"budget=$budget")
+    val grouped = df.withColumn("g", lit("g0"))
+    val pg = BudgetSelect.budgetSelectPerGroup(grouped, col("g"), col("id"),
+        col("q"), col("c"), Map("g0" -> 9L))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(pg === Set(1L, 2L), "per-group cutoff must also order MaxValue first")
+  }
+
   test("kept sets nest as the budget grows (prefix monotonicity)") {
     // a cutoff-arithmetic bug (off-by-one level, misapplied remainder)
     // shows up as a row kept at a SMALLER budget but lost at a larger
