@@ -267,14 +267,48 @@ object BudgetSelect {
     budgetSelectPerGroupImpl(df, group, id, quality, cost, budgets,
       maxHistRows, fanout = 4096, smallCap = 1 << 16)
 
+  /** [[budgetSelectPerGroup]] with each group's budget as a fraction of
+    * that group's OWN total cost — "keep the best 30% of every domain's
+    * tokens". Per-group totals come off the (group, level) histogram
+    * the selection collects anyway (no extra pass); each budget is
+    * `floor(fraction_g * total_g)` in the same oracle-portable double
+    * arithmetic as [[budgetSelectFraction]]. Groups absent from
+    * `fractions` are dropped. */
+  def budgetSelectPerGroupFraction(df: DataFrame, group: Column, id: Column,
+                                   quality: Column, cost: Column,
+                                   fractions: Map[String, Double],
+                                   maxHistRows: Int = 1 << 20): DataFrame = {
+    require(fractions.nonEmpty, "fractions must name at least one group")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions in [0,1]")
+    budgetSelectPerGroupCore(df, group, id, quality, cost,
+      fractions.keySet,
+      totals => totals.map { case (g, t) =>
+        g -> math.floor(fractions(g) * t.toDouble).toLong
+      },
+      maxHistRows, fanout = 4096, smallCap = 1 << 16)
+  }
+
   private[graft] def budgetSelectPerGroupImpl(
       df: DataFrame, group: Column, id: Column, quality: Column,
       cost: Column, budgets: Map[String, Long], maxHistRows: Int,
       fanout: Int, smallCap: Int): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     require(budgets.nonEmpty, "budgets must name at least one group")
     require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
+    budgetSelectPerGroupCore(df, group, id, quality, cost,
+      budgets.keySet, _ => budgets, maxHistRows, fanout, smallCap)
+  }
+
+  /** Core: `groups` gates membership; `budgetsOfTotals` maps the
+    * per-group totals (read off the level histogram) to absolute
+    * budgets, so the fraction form shares every pass. */
+  private def budgetSelectPerGroupCore(
+      df: DataFrame, group: Column, id: Column, quality: Column,
+      cost: Column, groups: Set[String],
+      budgetsOfTotals: Map[String, Long] => Map[String, Long],
+      maxHistRows: Int, fanout: Int, smallCap: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     require(fanout >= 2, "fanout must be >= 2")
     require(smallCap >= 1, "smallCap must be >= 1")
     val spark = df.sparkSession
@@ -286,7 +320,7 @@ object BudgetSelect {
     def frame(rows: Seq[Row], fields: (String, org.apache.spark.sql.types.DataType)*) =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
         StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) }))
-    val budgetGroups = frame(budgets.keys.toSeq.sorted.map(Row(_)),
+    val budgetGroups = frame(groups.toSeq.sorted.map(Row(_)),
       "__bsg" -> StringType)
     val live = df
       .where(id.isNotNull && quality.isNotNull && cost.isNotNull && gS.isNotNull)
@@ -304,10 +338,15 @@ object BudgetSelect {
     require(hist.forall(r => r.getLong(3) >= 0L),
       "negative cost values break greedy-prefix monotonicity")
 
-    // driver cutoffs per group
+    // driver cutoffs per group; budgets derive from the histogram's own
+    // per-group totals (the fraction form's no-extra-pass contract)
+    val byGroup = hist.groupBy(_.getString(0))
+    val budgets = budgetsOfTotals(
+      byGroup.map { case (g, rows) => g -> rows.map(_.getLong(2)).sum })
+    require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
     var keepAll = List.empty[String]
     var cut = List.empty[(String, Long, Long)] // (group, q*, remaining)
-    hist.groupBy(_.getString(0)).foreach { case (g, rows) =>
+    byGroup.foreach { case (g, rows) =>
       val levels = rows.map(r => (r.getLong(1), r.getLong(2)))
         .sortBy(_._1)(Ordering[Long].reverse)
       val budget = budgets(g)

@@ -211,6 +211,26 @@ class BudgetSelectSpec extends AnyFunSuite {
     assert(got === bruteKeptPerGroup(df, budgets))
   }
 
+  test("per-group fraction form: floor(fraction_g * group's own total)") {
+    val df = groupedCorpus(300, nGroups = 4, seed = 12).cache()
+    val fractions = Map("g0" -> 0.25, "g1" -> 0.0, "g2" -> 1.0, "g3" -> 0.5)
+    val totals = df.groupBy(col("g")).agg(sum(col("c")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = fractions.map { case (g, f) =>
+      g -> math.floor(f * totals(g).toDouble).toLong
+    }
+    val got = BudgetSelect.budgetSelectPerGroupFraction(df, col("g"),
+        col("id"), col("q"), col("c"), fractions)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === bruteKeptPerGroup(df, budgets))
+    // fraction 1.0 keeps the whole group, 0.0 keeps only zero-cost rows
+    assert(got.intersect(idsOf(df, "g2")) === idsOf(df, "g2"))
+  }
+
+  private def idsOf(df: DataFrame, g: String): Set[Long] =
+    df.where(col("g") === g).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+
   test("per-group: every group keep-all skips the refinement machinery") {
     val df = groupedCorpus(60, nGroups = 2, seed = 9)
     val budgets = Map("g0" -> 100000L, "g1" -> 100000L)
