@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -435,7 +435,10 @@ class KvPartitionReader(file: String, salt: Int, pushed: Array[Filter],
 
   private def blockMayMatch(i: Int): Boolean = {
     if (rowKeyIdx < 0) return true
-    val stats = blocks(i).getColumns.get(rowKeyIdx).getStatistics
+    // wildcard ascription: the raw getter infers an existential that
+    // trips -feature; the statistics are only read as bytes here
+    val stats: org.apache.parquet.column.statistics.Statistics[_] =
+      blocks(i).getColumns.get(rowKeyIdx).getStatistics
     if (stats == null || !stats.hasNonNullValue) return true
     // raw stat bytes, never decoded to String — a UTF-16 round-trip
     // would smear invalid sequences to U+FFFD and change the ordering
