@@ -255,6 +255,22 @@ class BudgetSelectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("quality-level"))
   }
 
+  test("per-group plan: no corpus sort, every window partitioned by group") {
+    val df = groupedCorpus(300, nGroups = 4, seed = 13)
+    val r = BudgetSelect.budgetSelectPerGroup(df, col("g"), col("id"),
+      col("q"), col("c"), Map("g0" -> 20L, "g1" -> 999999L, "g2" -> 0L))
+    val p = r.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      "quality order must come from the driver histogram, not a sort\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    // the only windows are the bounded per-group final resolutions —
+    // an unpartitioned (global) window would be the single-task plan
+    // this operator exists to avoid
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.forall(_.contains("__bsg")),
+      "found a window not partitioned by the group key:\n" + specs.mkString("\n"))
+  }
+
   test("the plan is cutoff filters, not a corpus-wide sort") {
     val df = corpus(200, seed = 3)
     val total = df.agg(sum(col("c"))).head().getLong(0)
