@@ -67,9 +67,12 @@ object KvOps {
     when(instr(cell, delim) > 0, expr_substr_after(cell, delim))
 
   // the caller guards delimiter presence: instr = 0 would make this
-  // substr(1, MAX) — the WHOLE input
+  // substr(len, MAX) — a prefix-contaminated slice of the input.
+  // `+ delim.length`, not `+ 1`: the public delim parameter admits
+  // multi-character delimiters, and skipping one char would prepend the
+  // delimiter's tail to every body
   private def expr_substr_after(c: Column, delim: String): Column =
-    c.substr(instr(c, delim) + 1, lit(Int.MaxValue))
+    c.substr(instr(c, delim) + delim.length, lit(Int.MaxValue))
 
   /** Packed-row count from the cell prefix (the `n` of A4). try_cast,
     * not cast: unpack is a public API over externally-readable parquet,

@@ -145,6 +145,16 @@ class KvOpsSpec extends AnyFunSuite {
     assert(n === 3)
   }
 
+  test("multi-character delimiters strip cleanly (no tail contamination)") {
+    // the public delim parameter admits multi-char delimiters; the body
+    // must start AFTER the whole delimiter, not one char into it
+    val df = Seq(Tuple1("2<|>a\nb")).toDF("value")
+    assert(df.select(KvOps.stripCountPrefix(col("value"), delim = "<|>"))
+      .head().getString(0) === "a\nb")
+    assert(df.select(KvOps.cellCount(col("value"), delim = "<|>"))
+      .head().getInt(0) === 2)
+  }
+
   test("corrupt cells degrade to null/zero rows instead of fabricated payload") {
     // a cell missing the count prefix entirely (no delimiter): count is
     // null, the body is null, and unpack emits NO payload rows — never
