@@ -40,3 +40,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// forked test JVMs don't inherit sbt's -D flags: pass the stress-suite
+// opt-in through (`sbt -Dgraft.stress=1 test`, see API.md)
+javaOptions ++= sys.props.get("graft.stress").map(v => s"-Dgraft.stress=$v").toSeq

@@ -49,7 +49,8 @@ object Bench {
     "dedup_containment", "text_line_dedup", "text_dup_spans",
     "multimodal_containers", "text_lm_score", "bpe_pairs", "semdedup",
     "bpe_encode", "sessionize_chunked", "asof_join_chunked",
-    "corpus_budget_select", "corpus_budget_by_source")
+    "corpus_budget_select", "corpus_budget_by_source",
+    "multimodal_image_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

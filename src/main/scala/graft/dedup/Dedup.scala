@@ -815,18 +815,27 @@ object Dedup {
     * one action already paid, instead of O(log n) shuffle rounds whose
     * fixed per-round cost dominates on sparse graphs. The label frame
     * returns as an explicit broadcast join side. `smallGraphMax = 0`
-    * forces the distributed loop (the spec seam). Driver footprint at
-    * the 2^20-edge default: the union-find arrays themselves are small
-    * (≲48 MB), but the collected Row array, the boxed node index, and
-    * the label rows peak at a few hundred MB transient — fine on the
-    * multi-GB drivers a corpus-scale job runs with; lower smallGraphMax
-    * on small test drivers.
+    * forces the distributed loop (the spec seam). The DEFAULT cap is
+    * HEAP-DERIVED ([[defaultSmallGraphMax]]): the collected Row array,
+    * the boxed node index, and the label rows peak at ~400 bytes/edge
+    * transient, so the cap budgets ~5% of the driver's max heap and
+    * never exceeds 2^20 edges — a default-sized (1 GB) driver gets a
+    * ~2^17 cap that cannot OOM it, while a corpus-scale multi-GB driver
+    * keeps the full 2^20. Pass `smallGraphMax = 1 << 20` explicitly to
+    * opt a small driver into the larger cap.
     *
     * @return (doc_id, canonical_id)
     */
+  /** Heap-derived default for [[canonicalFromPairs]]'s small-graph fast
+    * path: ~400 bytes/edge transient driver footprint, budgeted at ~5%
+    * of the driver's max heap, clamped to [2^12, 2^20] edges. */
+  private[graft] lazy val defaultSmallGraphMax: Int =
+    math.max(1L << 12,
+      math.min(1L << 20, Runtime.getRuntime.maxMemory() / 20L / 400L)).toInt
+
   def canonicalFromPairs(ids: DataFrame, idCol: Column, pairs: DataFrame,
                          maxIters: Int = 50,
-                         smallGraphMax: Int = 1 << 20): DataFrame = {
+                         smallGraphMax: Int = defaultSmallGraphMax): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
 
     // large-star: per node a over the FULL neighborhood, connect every

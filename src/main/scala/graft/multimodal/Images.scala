@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+/** REAL compressed-image codecs via `javax.imageio` — the JPEG/PNG/GIF
+  * readers that ship in every standard JDK (pure JVM, no native install,
+  * headless-safe). This closes the compressed-IMAGE leg of the
+  * multimodal stub surface: [[Multimodal.decodeFeatures]] now computes
+  * sample statistics from ACTUAL decoded pixels for JPEG/PNG/GIF
+  * payloads, and [[Multimodal.containerMeta]] classifies them with
+  * header-only dimension parsing. Only compressed AUDIO/VIDEO codecs
+  * (MP3/MP4 — genuinely absent from the JDK) remain stubbed, in
+  * [[Multimodal.FakeCodec]].
+  *
+  * Totality contract (the [[Containers]] discipline): any malformed,
+  * truncated, or foreign payload returns None — a corrupt file in a
+  * 100 TB media crawl must become a classifiable row, never a task
+  * failure. A cheap magic-byte gate rejects non-image payloads before
+  * ImageIO is ever consulted, which both bounds the cost of the common
+  * miss path and keeps [[Containers]]' byte-exact BMP/WAV parsers
+  * canonical for their formats (ImageIO also ships a BMP reader; it is
+  * deliberately not reachable here).
+  *
+  * The builders ([[encodePng]], [[encodeJpegGray]]) exist so fixtures
+  * and gates can synthesize REAL compressed payloads deterministically
+  * from table columns; PNG is lossless, so a decode of [[encodePng]]
+  * output returns the fill function's exact values — which is what lets
+  * a SQL oracle recompute decoded-pixel statistics it could never get
+  * from decoding the payload itself.
+  */
+object Images {
+
+  // in-memory stream cache, never temp files: executor-side decode must
+  // not do disk IO per payload (global JVM flag; set once, idempotent)
+  ImageIO.setUseCache(false)
+
+  /** Header-only facts of a compressed image payload. `format` is the
+    * lowercase ImageIO reader name: png, jpeg, gif. */
+  final case class ImageInfo(format: String, width: Int, height: Int)
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G' && (p(4) & 0xFF) == 0x0D && (p(5) & 0xFF) == 0x0A &&
+      (p(6) & 0xFF) == 0x1A && (p(7) & 0xFF) == 0x0A
+
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
+      (p(2) & 0xFF) == 0xFF
+
+  private def isGif(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+
+  /** The magic gate: only payloads whose leading bytes claim an
+    * ImageIO-decodable format are worth a reader lookup. */
+  private[multimodal] def looksLikeImage(p: Array[Byte]): Boolean =
+    isPng(p) || isJpeg(p) || isGif(p)
+
+  /** Header-only parse: format + dimensions WITHOUT decoding the pixel
+    * array (reader.getWidth/getHeight read only the header), the right
+    * cost for a metadata-extraction pass over payloads whose pixels
+    * nothing downstream wants. None for non-image or corrupt-header
+    * bytes. */
+  def parseImage(payload: Array[Byte]): Option[ImageInfo] = {
+    if (payload == null || !looksLikeImage(payload)) return None
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0) None
+          else Some(ImageInfo(reader.getFormatName.toLowerCase, w, h))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL pixel decode: the image's RGB channel values as unsigned ints
+    * in [0, 255], row-major top-down, 3 values (r, g, b) per pixel —
+    * the same units-array shape as [[Containers.bmpPixelValues]], so
+    * [[Multimodal.decodeFeatures]]' integer-exact statistics apply
+    * unchanged. Grayscale images decode with r = g = b; alpha is
+    * dropped (content statistics, not compositing). None for anything
+    * ImageIO cannot fully decode — truncated streams, corrupt chunk
+    * CRCs, foreign bytes behind an image magic. */
+  def imagePixelValues(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload == null || !looksLikeImage(payload)) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) return None
+      val out = new Array[Int](3 * w * h)
+      var y = 0
+      while (y < h) {
+        // one getRGB row call per row, not per pixel: the batched form
+        // converts through the color model once per scanline
+        val row = img.getRGB(0, y, w, 1, null, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val k = 3 * (y * w + x)
+          out(k) = (rgb >>> 16) & 0xFF
+          out(k + 1) = (rgb >>> 8) & 0xFF
+          out(k + 2) = rgb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Canonical RGB PNG whose channel value at flat index
+    * k = 3*(y*width + x) + c is `fill(k)` (masked to [0, 255]). PNG is
+    * lossless: [[imagePixelValues]] of this payload returns exactly
+    * `fill(0 until 3*w*h)` — the determinism the image-decode oracle
+    * rides. */
+  def encodePng(width: Int, height: Int, fill: Int => Int): Array[Byte] =
+    encode("png", width, height, fill)
+
+  /** Uniform-gray JPEG (every channel of every pixel = `gray`). JPEG is
+    * lossy in general, but a uniform image is pure DC energy with zero
+    * chroma, so the decode is uniform and lands within quantization
+    * rounding of `gray` — the bounded invariant the oracle pins (the
+    * fixtures use even gray values, where the default quantization
+    * tables round-trip exactly). */
+  def encodeJpegGray(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val g = gray & 0xFF
+    encode("jpg", width, height, _ => g)
+  }
+
+  private def encode(fmt: String, width: Int, height: Int,
+                     fill: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "image dimensions must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val k = 3 * (y * width + x)
+        img.setRGB(x, y, ((fill(k) & 0xFF) << 16) |
+          ((fill(k + 1) & 0xFF) << 8) | (fill(k + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = ImageIO.write(img, fmt, bos)
+    require(ok, s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+}

@@ -8,19 +8,21 @@ import org.apache.spark.sql.functions._
   * compute-heavy decode/feature steps run batched per partition.
   *
   * REAL, not stubbed: container metadata parsing AND sample/pixel
-  * decode for the two formats whose codecs are pure JVM — [[Containers]]
-  * walks WAV RIFF chunks and BMP DIB headers ([[containerMeta]]) and
-  * decodes their PCM samples / pixel-array bytes
-  * ([[Containers.pcmSamples]], [[Containers.bmpPixelValues]]), which
-  * [[decodeFeatures]] turns into integer-exact sample statistics.
+  * decode for every format whose codec is pure JVM — [[Containers]]
+  * walks WAV RIFF chunks and BMP DIB headers and decodes their PCM
+  * samples / pixel-array bytes ([[Containers.pcmSamples]],
+  * [[Containers.bmpPixelValues]]), and [[Images]] decodes JPEG/PNG/GIF
+  * pixels through the JDK's own `javax.imageio` readers — all of which
+  * [[decodeFeatures]] turns into integer-exact sample statistics and
+  * [[containerMeta]] into typed header facts.
   *
-  * STUB MARKERS — the remaining stand-ins, each for a codec the
-  * container genuinely doesn't ship (JPEG/PNG/MP3/MP4 need native
-  * libraries): [[FakeCodec.decodeFeatures]] (the fallback feature
-  * vector for payloads that aren't WAV/BMP), [[FakeCodec.resize]], and
-  * [[FakeCodec.sampleFrames]]. Swapping in a real decoder (JNI image
-  * lib, ffmpeg pipe, …) changes ONLY FakeCodec — the partition-batched
-  * execution plan stays identical.
+  * STUB MARKERS — the remaining stand-ins, each for a codec the JDK
+  * genuinely doesn't ship (MP3/MP4 need native libraries):
+  * [[FakeCodec.decodeFeatures]] (the fallback feature vector for
+  * payloads that are none of WAV/BMP/JPEG/PNG/GIF), [[FakeCodec.resize]],
+  * and [[FakeCodec.sampleFrames]] (video frames). Swapping in a real
+  * decoder (ffmpeg pipe, JNI codec) changes ONLY FakeCodec — the
+  * partition-batched execution plan stays identical.
   */
 object Multimodal {
 
@@ -33,16 +35,17 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
                            checksum: String, features: Array[Double])
 
-  /** Deterministic fake codec — stands in for the COMPRESSED-format
-    * decoders (JPEG/PNG/MP3/MP4) this container can't ship; WAV/BMP
-    * decode is real ([[Containers]]). */
+  /** Deterministic fake codec — stands in for the COMPRESSED
+    * AUDIO/VIDEO decoders (MP3/MP4) the JDK doesn't ship; WAV/BMP
+    * decode is real ([[Containers]]), and so is JPEG/PNG/GIF
+    * ([[Images]]). */
   object FakeCodec {
-    /** STUB: a real implementation decodes the payload (JPEG/PNG/…)
+    /** STUB: a real implementation decodes the payload (MP3/MP4/…)
       * and runs a feature extractor. Deterministic stand-in: normalized
-      * 16-bin byte histogram. Only reached for payloads [[Containers]]
-      * cannot decode — NOTE the shape contract on
-      * [[Multimodal.decodeFeatures]]: this fallback emits length 16,
-      * the real WAV/BMP decode emits length 4. */
+      * 16-bin byte histogram. Only reached for payloads neither
+      * [[Containers]] nor [[Images]] can decode — NOTE the shape
+      * contract on [[Multimodal.decodeFeatures]]: this fallback emits
+      * length 16, the real decode paths emit length 4. */
     def decodeFeatures(payload: Array[Byte]): Array[Double] = {
       val hist = new Array[Double](16)
       var i = 0
@@ -107,11 +110,12 @@ object Multimodal {
     * sizing (`spark.sql.files.maxPartitionBytes`) instead. Only ids +
     * fixed-width features leave the stage; payloads never shuffle.
     *
-    * Feature semantics per payload: a decodable WAV or BMP yields REAL
-    * decoded-sample statistics ([[unitStats]] over
-    * [[Containers.pcmSamples]] / [[Containers.bmpPixelValues]]);
-    * anything else falls back to the STUB histogram
-    * ([[FakeCodec.decodeFeatures]]) — the compressed-codec stand-in.
+    * Feature semantics per payload: a decodable WAV, BMP, or
+    * JPEG/PNG/GIF yields REAL decoded-sample statistics ([[unitStats]]
+    * over [[Containers.pcmSamples]] / [[Containers.bmpPixelValues]] /
+    * [[Images.imagePixelValues]]); anything else falls back to the STUB
+    * histogram ([[FakeCodec.decodeFeatures]]) — the compressed
+    * audio/video stand-in.
     *
     * SHAPE CONTRACT: `features` is per-modality, NOT a fixed-dimension
     * embedding — length 4 (count, sum, min, max) on the real-decode
@@ -141,7 +145,8 @@ object Multimodal {
             // task (payload columns are nullable parquet binary)
             val p = if (m.payload == null) Array.emptyByteArray else m.payload
             val feats = Containers.pcmSamples(p)
-              .orElse(Containers.bmpPixelValues(p)) match {
+              .orElse(Containers.bmpPixelValues(p))
+              .orElse(Images.imagePixelValues(p)) match {
                 case Some(units) => unitStats(units)
                 case None => FakeCodec.decodeFeatures(p)
               }
@@ -177,7 +182,9 @@ object Multimodal {
   }
 
   /** One media payload's parsed container facts; format ∈ {wav, bmp,
-    * unknown}, with the fields of the other formats null. */
+    * png, jpeg, gif, unknown}, with the fields of the other formats
+    * null. Compressed-image facts (png/jpeg/gif) come from ImageIO's
+    * header-only parse — dimensions without a pixel decode. */
   case class ContainerInfo(doc_id: Long, format: String,
                            channels: Option[Int], sample_rate: Option[Int],
                            bits: Option[Int], data_bytes: Option[Long],
@@ -209,9 +216,14 @@ object Multimodal {
                 ContainerInfo(id, "bmp", None, None, None,
                   Some(m.pixelBytes), None, Some(m.width), Some(m.height),
                   Some(m.bitsPerPixel))
-              case None =>
-                ContainerInfo(id, "unknown", None, None, None, None, None,
-                  None, None, None)
+              case None => Images.parseImage(p) match {
+                case Some(im) =>
+                  ContainerInfo(id, im.format, None, None, None, None,
+                    None, Some(im.width), Some(im.height), None)
+                case None =>
+                  ContainerInfo(id, "unknown", None, None, None, None, None,
+                    None, None, None)
+              }
             }
           }
         }

@@ -543,6 +543,37 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // rolling-corpus budget cutoff from PERSISTED state: the corpus
+    // splits into an "existing" store and an ingest "batch"; the
+    // quality-level histogram persists at write time, the batch FOLDS
+    // into it (one batch-only aggregation — the existing corpus is
+    // never re-scanned), and the selection then runs with its cutoff
+    // resolved from state alone. The oracle recomputes the same greedy
+    // prefix from scratch over the whole corpus, so a merge bug in the
+    // state fold (lost level, double-counted total, wrong min) cannot
+    // hide: it would move the cutoff.
+    "corpus_budget_incremental" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_bstate").resolve("state").toString
+      graft.text.BudgetSelect.writeBudgetState(
+        scored.where(col("doc_id") % 3 =!= 0),
+        col("q_ppm"), col("n_tokens"), statePath)
+      graft.text.BudgetSelect.appendBudgetState(
+        scored.where(col("doc_id") % 3 === 0),
+        col("q_ppm"), col("n_tokens"), statePath)
+      val total = s.read.parquet(statePath)
+        .agg(sum(col("total_cost"))).head().getLong(0)
+      graft.text.BudgetSelect.budgetSelectFromState(scored, col("doc_id"),
+          col("q_ppm"), col("n_tokens"),
+          budget = math.floor(0.25 * total.toDouble).toLong, statePath)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-domain token budgets (the mixture-spec step): six sources
     // with budgets spanning deep cutoff (src1: 50), mid cutoff (src0,
     // src3), zero (src4), keep-all (src2: 1M), and SCALE-VARYING src5
@@ -1246,6 +1277,30 @@ object ExtensionQueries {
         .toDF().orderBy(col("doc_id"))
     }),
 
+    // REAL compressed-image decode (graft.multimodal.Images, the JDK's
+    // own javax.imageio readers): PNG/JPEG payloads synthesized from
+    // table columns run through BOTH image entry points — containerMeta
+    // (header-only format + dimensions) and decodeFeatures (full pixel
+    // decode → integer-exact channel statistics). The oracle recomputes
+    // everything from the SOURCE columns: PNG is lossless, so its
+    // stats re-derive from the fill formula; a uniform even-gray JPEG
+    // decodes exactly uniform at the encoded value (pure DC energy,
+    // zero chroma — ImagesSpec pins the invariant), so its stats are
+    // closed-form. A signedness, channel-order, row-order, or
+    // alpha-handling bug in the decode cannot hide.
+    "multimodal_image_decode" -> ((s, dir) => {
+      val media = syntheticImages(s, dir)
+      val meta = Multimodal.containerMeta(s, media).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"))
+      val feats = Multimodal.decodeFeatures(s, media).toDF()
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("n_units"),
+          element_at(col("features"), 2).cast("long").as("unit_sum"),
+          element_at(col("features"), 3).cast("long").as("unit_min"),
+          element_at(col("features"), 4).cast("long").as("unit_max"))
+      meta.join(feats, Seq("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // corpus-LM typicality (integer-exact perplexity-filter stand-in):
     // unigram model trained on the corpus itself, add-one smoothed,
     // per-doc mean token ppm + rare-token count
@@ -1325,6 +1380,34 @@ object ExtensionQueries {
             height = (1 + id % 48).toInt,
             fill = i => ((i.toLong * 31 + id * 7) % 256).toByte)
         (id, if (id % 2 == 0) "audio/wav" else "image/bmp", payload,
+          Map.empty[String, String])
+      }).toDF("doc_id", "modality", "payload", "meta")
+  }
+
+  /** Shared synthetic compressed-image table for the image-decode gate:
+    * REAL PNG/JPEG payloads encoded through javax.imageio from the
+    * documents columns — even doc_id → RGB PNG whose channel value at
+    * flat index k is (k*31 + id*7) % 256, odd → uniform even-gray JPEG
+    * (gray = 28 + 2*((id*13) % 100) ∈ [28, 226]). Every dimension and
+    * every decoded channel value is a pure function of the source
+    * columns (PNG losslessly, JPEG via the exact uniform-gray
+    * round-trip), which is what lets the DuckDB oracle recompute the
+    * decoded statistics without decoding anything. */
+  private def syntheticImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Images
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val payload =
+          if (id % 2 == 0)
+            Images.encodePng((1 + nChars % 16).toInt, (1 + id % 12).toInt,
+              k => ((k.toLong * 31 + id * 7) % 256).toInt)
+          else
+            Images.encodeJpegGray((1 + nChars % 24).toInt,
+              (1 + id % 16).toInt, (28 + 2 * ((id * 13) % 100)).toInt)
+        (id, if (id % 2 == 0) "image/png" else "image/jpeg", payload,
           Map.empty[String, String])
       }).toDF("doc_id", "modality", "payload", "meta")
   }
@@ -1791,6 +1874,28 @@ object ExtensionQueries {
         |-- cost have no place in the greedy order (a null text would
         |-- yield both). Latent here (the fixture has no null text), but
         |-- the oracle must encode the CONTRACT, not the fixture
+        |t2 AS (SELECT * FROM t
+        |       WHERE doc_id IS NOT NULL AND q_ppm IS NOT NULL
+        |         AND n_tokens IS NOT NULL),
+        |b AS (SELECT cast(floor(0.25 * sum(n_tokens)) AS bigint) AS budget FROM t2),
+        |r AS (SELECT doc_id, q_ppm, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY q_ppm DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t2)
+        |SELECT r.doc_id, r.q_ppm, r.n_tokens FROM r, b
+        |WHERE r.cum <= b.budget ORDER BY r.doc_id""".stripMargin,
+
+    // identical greedy prefix recomputed FROM SCRATCH over the whole
+    // corpus — the persisted-state fold on the Spark side must land on
+    // the same cutoff or the compare fails
+    "corpus_budget_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm,
+        |    cast(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |      w -> len(w) > 0)) AS bigint) AS n_tokens
+        |  FROM documents),
         |t2 AS (SELECT * FROM t
         |       WHERE doc_id IS NOT NULL AND q_ppm IS NOT NULL
         |         AND n_tokens IS NOT NULL),
@@ -2350,6 +2455,42 @@ object ExtensionQueries {
         |  cast(1 + n_chars % 64 AS int), cast(1 + doc_id % 48 AS int),
         |  cast(24 AS int)
         |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // decoded compressed-image stats recomputed WITHOUT decoding: PNG
+    // stats from the lossless fill formula over the flat channel index,
+    // JPEG stats closed-form from the exact uniform-even-gray
+    // round-trip (ImagesSpec pins that decode invariant)
+    "multimodal_image_decode" ->
+      """WITH png AS (
+        |  SELECT doc_id, 1 + n_chars % 16 AS w, 1 + doc_id % 12 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |pv AS (SELECT doc_id, w, h, unnest(range(3 * w * h)) AS k FROM png),
+        |pa AS (SELECT doc_id, count(*) AS n,
+        |    sum((k * 31 + doc_id * 7) % 256) AS s,
+        |    min((k * 31 + doc_id * 7) % 256) AS mn,
+        |    max((k * 31 + doc_id * 7) % 256) AS mx
+        |  FROM pv GROUP BY doc_id),
+        |pout AS (
+        |  SELECT p.doc_id, 'png' AS format,
+        |    cast(w AS int) AS width, cast(h AS int) AS height,
+        |    cast(a.n AS bigint) AS n_units,
+        |    cast(a.s AS bigint) AS unit_sum,
+        |    cast(a.mn AS bigint) AS unit_min,
+        |    cast(a.mx AS bigint) AS unit_max
+        |  FROM png p JOIN pa a USING (doc_id)),
+        |jp AS (
+        |  SELECT doc_id, 1 + n_chars % 24 AS w, 1 + doc_id % 16 AS h,
+        |    28 + 2 * ((doc_id * 13) % 100) AS g
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |jout AS (
+        |  SELECT doc_id, 'jpeg' AS format,
+        |    cast(w AS int) AS width, cast(h AS int) AS height,
+        |    cast(3 * w * h AS bigint) AS n_units,
+        |    cast(3 * w * h * g AS bigint) AS unit_sum,
+        |    cast(g AS bigint) AS unit_min, cast(g AS bigint) AS unit_max
+        |  FROM jp)
+        |SELECT * FROM pout UNION ALL SELECT * FROM jout
         |ORDER BY doc_id""".stripMargin,
 
     // unigram LM with add-one smoothing, all-integer arithmetic (the

@@ -33,10 +33,10 @@ import graft.ops.TemporalOps.floorDivChunk
   *     way, and the loop recurses into it — the span shrinks ×`fanout`
   *     per round, so ≤ ~6 rounds cover the full Long id range;
   *  3. when the unresolved remainder is ≤ `smallCap` rows it is resolved
-  *     exactly with one running-sum window over that BOUNDED frame (the
-  *     only window in the plan, single partition by construction ≤
-  *     smallCap rows), and the kept ids come back as a broadcast-class
-  *     semi-join side.
+  *     exactly with one running-sum window over that BOUNDED frame — the
+  *     only window in the plan, partitioned by the (constant) group key
+  *     over ≤ smallCap rows by construction, so no unpartitioned-window
+  *     plan ever appears.
   *
   * Driver state is the level histogram (≤ maxQualityLevels slim rows —
   * manifest-class, tens of MB at the 1M-level worst case; quantize
@@ -50,12 +50,16 @@ import graft.ops.TemporalOps.floorDivChunk
   *    break prefix monotonicity and throw.
   *  - `id` is integral and unique; ties on (quality, id) would make the
   *    boundary cut nondeterministic.
-  *  - Rows with a null id, quality, or cost are DROPPED: a null has no
-  *    place in a total order, and every engine orders/sums it
-  *    differently — no coherent greedy semantics exists for them.
-  *  - Computed quality/cost columns are re-evaluated by each of the
-  *    (≤ ~8) passes here; materialize expensive scores first (the
-  *    [[graft.similarity.Ann.cosineNearDupPairs]] note).
+  *  - Rows whose id, quality, or cost is null AFTER the long cast are
+  *    DROPPED (raw nulls, and values that cannot cast — e.g. a string
+  *    score under non-ANSI): a null has no place in a total order, and
+  *    every engine orders/sums it differently — no coherent greedy
+  *    semantics exists for them.
+  *  - Computed quality/cost columns are evaluated a CONSTANT number of
+  *    times (the histogram pass, the kept-slice filters, and the one
+  *    boundary-frame build — ~4 corpus passes): refinement rounds run
+  *    against a localCheckpointed slim boundary frame, never the raw
+  *    corpus plan, so an expensive score is never re-paid per round.
   */
 object BudgetSelect {
 
@@ -84,11 +88,6 @@ object BudgetSelect {
       maxQualityLevels, fanout = 4096, smallCap = 1 << 16)
   }
 
-  /** The null-drop contract, in one place for every pass. */
-  private def liveRows(df: DataFrame, id: Column, quality: Column,
-                       cost: Column): DataFrame =
-    df.where(id.isNotNull && quality.isNotNull && cost.isNotNull)
-
   /** Test-seam form: `fanout` (id chunks per refinement round) and
     * `smallCap` (max rows the final window may see) shrink in the spec
     * to force deep refinement on a 200-row corpus. */
@@ -103,133 +102,33 @@ object BudgetSelect {
 
   /** Core: `budgetOfTotal` maps the corpus's total cost (read off the
     * level histogram — no extra pass) to the absolute budget, so the
-    * fraction form shares every pass with the absolute form. */
+    * fraction form shares every pass with the absolute form.
+    *
+    * Implemented as the per-group core with one constant group: the
+    * per-group machinery localCheckpoints the slim boundary frame
+    * (id, cost, row) ONCE, so every refinement round scans that
+    * checkpointed frame — never the raw corpus plan. The corpus-plan
+    * expressions (quality/cost kernels) are therefore evaluated a
+    * CONSTANT number of times (histogram + kept-slice filters + the one
+    * boundary-frame build), independent of the O(log_fanout(id-span))
+    * round count; and the one exact window runs partitioned by the
+    * constant group over the ≤ smallCap remainder. */
   private def budgetSelectImpl(df: DataFrame, id: Column,
                                quality: Column, cost: Column,
                                budgetOfTotal: Long => Long,
                                maxQualityLevels: Int,
-                               fanout: Int, smallCap: Int): DataFrame = {
-    require(fanout >= 2, "fanout must be >= 2")
-    require(smallCap >= 1, "smallCap must be >= 1")
-    val idL = id.cast("long")
-    val qL = quality.cast("long")
-    val cL = cost.cast("long")
-    val live = liveRows(df, id, quality, cost)
+                               fanout: Int, smallCap: Int): DataFrame =
+    budgetSelectPerGroupCore(df, lit(allGroup), id, quality, cost,
+      Set(allGroup),
+      totals => totals.map { case (g, t) =>
+        val b = budgetOfTotal(t)
+        require(b >= 0L, "budget must be >= 0")
+        g -> b
+      },
+      maxQualityLevels, fanout, smallCap)
 
-    // 1. quality-level histogram — the one corpus-wide aggregation. The
-    // limit caps the COLLECT (and fails loudly past the cap) so a
-    // continuous score passed by mistake cannot OOM the driver.
-    val hist = live.groupBy(qL.as("__q"))
-      .agg(sum(cL).as("__t"), min(cL).as("__mn"))
-      .limit(maxQualityLevels + 1)
-      .collect()
-    require(hist.length <= maxQualityLevels,
-      s"more than $maxQualityLevels distinct quality levels — quantize " +
-        "the score (ppm convention) or raise maxQualityLevels")
-    if (hist.isEmpty) return live // no selectable rows; empty result
-    require(hist.forall(r => r.getLong(2) >= 0L),
-      "negative cost values break greedy-prefix monotonicity")
-
-    // 2. driver cutoff: levels sorted best-first (reverse Ordering, not
-    // sortBy(-q) — negating Long.MinValue is itself); q* is the first
-    // level the running total cannot swallow whole
-    val levels = hist.map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)(Ordering[Long].reverse)
-    val budget = budgetOfTotal(levels.map(_._2).sum)
-    require(budget >= 0L, "budget must be >= 0")
-    var acc = 0L
-    var qStar = Option.empty[Long]
-    var before = 0L
-    levels.foreach { case (q, t) =>
-      if (qStar.isEmpty && acc + t > budget) { qStar = Some(q); before = acc }
-      acc += t
-    }
-    if (qStar.isEmpty) return live // the whole corpus fits the budget
-    val qs = qStar.get
-
-    // 3. refine the boundary level by id chunks until the remainder is
-    // window-small. `kept` accumulates the fully-kept predicate;
-    // `pending` pins the still-unresolved remainder. ONE driver action
-    // per round: the chunk histogram carries (min, max, count) so the
-    // chosen boundary chunk IS the next round's stats — only the first
-    // round pays a separate stats pass.
-    var kept: Column = qL > lit(qs)
-    var pending: Column = qL === lit(qs)
-    var remaining = budget - before
-    var resolved = false
-    var finalFrame: DataFrame = null
-    var rounds = 0
-    val stats0 = live.where(pending)
-      .agg(min(idL).as("lo"), max(idL).as("hi"), count(lit(1)).as("n"))
-      .head()
-    var lo = if (stats0.isNullAt(0)) 0L else stats0.getLong(0)
-    var hi = if (stats0.isNullAt(1)) 0L else stats0.getLong(1)
-    var n = stats0.getLong(2)
-    while (!resolved) {
-      // unreachable with UNIQUE ids (spans shrink every round) — but a
-      // violated precondition (e.g. fractional ids collapsing under the
-      // long cast) parks >smallCap rows on ONE id, where width-1 chunks
-      // stop shrinking; fail loudly instead of looping forever
-      rounds += 1
-      require(rounds <= 64, "refinement failed to converge — are the " +
-        "ids unique? (duplicate or non-integral ids collapse chunks)")
-      if (n <= smallCap) {
-        // 4. exact running sum over the BOUNDED remainder — single
-        // partition by construction (≤ smallCap rows), the only window
-        // in the operator. (n == 0 cannot happen — q* guarantees
-        // boundary rows — but falls through here harmlessly if it did.)
-        val w = Window.orderBy(col("__bid"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val keptIds = live.where(pending)
-          .select(idL.as("__bid"), cL.as("__bc"))
-          .withColumn("__cum", sum(col("__bc")).over(w))
-          .where(col("__cum") <= lit(remaining))
-          .select(col("__bid"))
-        finalFrame = live.where(pending)
-          .join(broadcast(keptIds), idL === col("__bid"), "left_semi")
-        resolved = true
-      } else {
-        // chunk width from the BigInt span: ids may legitimately span
-        // the full Long range, where hi - lo overflows. width < span
-        // always (fanout ≥ 2, span ≥ n ≥ 2), and hi - lo ≥ width then
-        // forces ≥ 2 occupied chunks — every round strictly shrinks the
-        // pending span to ≤ width, so the loop provably terminates in
-        // O(log_fanout(span)) rounds.
-        val span = BigInt(hi) - BigInt(lo) + 1
-        // the 2^62 clamp keeps width a positive Long even at the
-        // full-2^64 span with a tiny fanout (ceil(2^64 / 2) overflows);
-        // clamped rounds still cut the span ≥ 4× — the bound only
-        // rises from log_fanout to log_4 for the first round or two
-        val width = ((span + fanout - 1) / fanout).max(1)
-          .min(BigInt(Long.MaxValue / 2)).toLong
-        val chunk = floorDivChunk(idL, width)
-        val chunks = live.where(pending)
-          .groupBy(chunk.as("__c")).agg(sum(cL).as("__t"),
-            min(idL).as("__lo"), max(idL).as("__hi"), count(lit(1)).as("__n"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4)))
-          .sortBy(_._1)
-        // the boundary chunk exists: the pending cost exceeds
-        // `remaining` by the q*/c* invariant carried down the loop
-        var cacc = 0L
-        var cStar = Option.empty[(Long, Long, Long, Long)]
-        var cbefore = 0L
-        chunks.foreach { case (c, t, clo, chi, cn) =>
-          if (cStar.isEmpty && cacc + t > remaining) {
-            cStar = Some((c, clo, chi, cn)); cbefore = cacc
-          }
-          cacc += t
-        }
-        val (cs, clo, chi, cn) = cStar.get
-        kept = kept || (pending && chunk < lit(cs))
-        pending = pending && chunk === lit(cs)
-        remaining -= cbefore
-        lo = clo; hi = chi; n = cn
-      }
-    }
-    live.where(kept).unionByName(finalFrame)
-  }
+  /** The constant group name the ungrouped form runs under. */
+  private val allGroup = "__all"
 
   // ── Per-group budgets ──────────────────────────────────────────────
 
@@ -299,55 +198,161 @@ object BudgetSelect {
       budgets.keySet, _ => budgets, maxHistRows, fanout, smallCap)
   }
 
+  // ── Persisted budget state (rolling-corpus cutoffs) ────────────────
+
+  /** Persist the quality-level histogram — the ONE corpus-wide
+    * aggregation [[budgetSelect]] needs — as parquet state
+    * `(q_level, total_cost, min_cost)`, so a rolling corpus can update
+    * its budget cutoff incrementally: ingest appends fold each batch's
+    * histogram into the state ([[appendBudgetState]]), and
+    * [[budgetSelectFromState]] runs the selection WITHOUT re-scanning
+    * the corpus for the histogram. State size is bounded by the ppm
+    * level convention (≤ maxQualityLevels slim rows — manifest-class),
+    * the same bucketBy-free pattern as the minhash index manifests. */
+  def writeBudgetState(df: DataFrame, quality: Column, cost: Column,
+                       path: String,
+                       maxQualityLevels: Int = 1 << 20): Unit = {
+    val qL = quality.try_cast("long")
+    val cL = cost.try_cast("long")
+    df.where(qL.isNotNull && cL.isNotNull)
+      .groupBy(qL.as("q_level"))
+      .agg(sum(cL).as("total_cost"), min(cL).as("min_cost"))
+      .limit(maxQualityLevels + 1)
+      .write.mode("overwrite").parquet(path)
+    val n = df.sparkSession.read.parquet(path).count()
+    require(n <= maxQualityLevels,
+      s"more than $maxQualityLevels distinct quality levels — quantize " +
+        "the score (ppm convention) or raise maxQualityLevels")
+  }
+
+  /** Fold a new batch's histogram into existing state: ONE aggregation
+    * over the batch plus a merge of two manifest-class level tables —
+    * the existing corpus is never re-scanned. The merged state is
+    * collected (bounded by `maxQualityLevels`, loud-fail) and rewritten,
+    * the read-then-overwrite discipline a self-append parquet path
+    * requires. */
+  def appendBudgetState(batch: DataFrame, quality: Column, cost: Column,
+                        path: String,
+                        maxQualityLevels: Int = 1 << 20): Unit = {
+    val spark = batch.sparkSession
+    val qL = quality.try_cast("long")
+    val cL = cost.try_cast("long")
+    val merged = spark.read.parquet(path)
+      .unionByName(batch.where(qL.isNotNull && cL.isNotNull)
+        .groupBy(qL.as("q_level"))
+        .agg(sum(cL).as("total_cost"), min(cL).as("min_cost")))
+      .groupBy(col("q_level"))
+      .agg(sum(col("total_cost")).as("total_cost"),
+        min(col("min_cost")).as("min_cost"))
+      .limit(maxQualityLevels + 1)
+      .collect()
+    require(merged.length <= maxQualityLevels,
+      s"more than $maxQualityLevels distinct quality levels — quantize " +
+        "the score (ppm convention) or raise maxQualityLevels")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.toSeq, 1),
+        StructType(Seq(StructField("q_level", LongType, nullable = false),
+          StructField("total_cost", LongType, nullable = false),
+          StructField("min_cost", LongType, nullable = false))))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[budgetSelect]] whose histogram comes from persisted state
+    * ([[writeBudgetState]] / [[appendBudgetState]]) instead of a corpus
+    * scan: the cutoff level resolves from the state alone, so the
+    * corpus-plan passes shrink to the kept-slice filters and the
+    * boundary-frame build. The state MUST describe exactly `df`'s rows
+    * (the rolling contract: state appended in lockstep with corpus
+    * appends) — a stale histogram yields a stale cutoff, exactly as a
+    * stale index yields stale lookups. */
+  def budgetSelectFromState(df: DataFrame, id: Column, quality: Column,
+                            cost: Column, budget: Long, path: String,
+                            maxQualityLevels: Int = 1 << 20): DataFrame = {
+    require(budget >= 0L, "budget must be >= 0")
+    val spark = df.sparkSession
+    val hist = spark.read.parquet(path)
+      .select(col("q_level"), col("total_cost"), col("min_cost"))
+      .limit(maxQualityLevels + 1)
+      .collect()
+    require(hist.length <= maxQualityLevels,
+      s"budget state at $path exceeds $maxQualityLevels levels")
+    budgetSelectPerGroupCore(df, lit(allGroup), id, quality, cost,
+      Set(allGroup), _ => Map(allGroup -> budget),
+      maxQualityLevels, fanout = 4096, smallCap = 1 << 16,
+      histOverride = Some(hist.map(r =>
+        (allGroup, r.getLong(0), r.getLong(1), r.getLong(2)))))
+  }
+
   /** Core: `groups` gates membership; `budgetsOfTotals` maps the
     * per-group totals (read off the level histogram) to absolute
-    * budgets, so the fraction form shares every pass. */
+    * budgets, so the fraction form shares every pass. `histOverride`
+    * supplies a precomputed (group, level, total, minCost) histogram —
+    * the persisted-state path — skipping the one corpus-wide
+    * aggregation. */
   private def budgetSelectPerGroupCore(
       df: DataFrame, group: Column, id: Column, quality: Column,
       cost: Column, groups: Set[String],
       budgetsOfTotals: Map[String, Long] => Map[String, Long],
-      maxHistRows: Int, fanout: Int, smallCap: Int): DataFrame = {
+      maxHistRows: Int, fanout: Int, smallCap: Int,
+      histOverride: Option[Array[(String, Long, Long, Long)]] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     require(fanout >= 2, "fanout must be >= 2")
     require(smallCap >= 1, "smallCap must be >= 1")
+    require(!df.columns.exists(_.startsWith("__bs")),
+      "input columns must not start with the reserved __bs prefix: " +
+        df.columns.filter(_.startsWith("__bs")).mkString(", "))
     val spark = df.sparkSession
+    // try_cast, not cast: a value that cannot cast to long becomes null
+    // (and is dropped by the live filter below) under BOTH ANSI and
+    // legacy modes, instead of ANSI throwing mid-scan
     val gS = group.cast("string")
-    val idL = id.cast("long")
-    val qL = quality.cast("long")
-    val cL = cost.cast("long")
+    val idL = id.try_cast("long")
+    val qL = quality.try_cast("long")
+    val cL = cost.try_cast("long")
     val outCols = df.columns.toSeq
     def frame(rows: Seq[Row], fields: (String, org.apache.spark.sql.types.DataType)*) =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
         StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) }))
     val budgetGroups = frame(groups.toSeq.sorted.map(Row(_)),
       "__bsg" -> StringType)
+    // the null-drop contract FILTERS ON THE CAST columns: a raw null
+    // casts to null, and so does a value that cannot cast to long (a
+    // string score under non-ANSI) — both have no place in a total
+    // order, and the cast-form filter turns what would otherwise be an
+    // opaque driver NPE at histogram time into the documented drop
     val live = df
-      .where(id.isNotNull && quality.isNotNull && cost.isNotNull && gS.isNotNull)
+      .where(idL.isNotNull && qL.isNotNull && cL.isNotNull && gS.isNotNull)
       .withColumn("__bsg", gS)
       .join(broadcast(budgetGroups), Seq("__bsg"), "left_semi")
 
-    // one corpus pass: the (group, level) histogram
-    val hist = live.groupBy(col("__bsg"), qL.as("__bsq"))
-      .agg(sum(cL).as("__bst"), min(cL).as("__bsm"))
-      .limit(maxHistRows + 1)
-      .collect()
+    // one corpus pass: the (group, level) histogram — skipped entirely
+    // when persisted state supplies it (budgetSelectFromState)
+    val hist: Array[(String, Long, Long, Long)] = histOverride.getOrElse {
+      live.groupBy(col("__bsg"), qL.as("__bsq"))
+        .agg(sum(cL).as("__bst"), min(cL).as("__bsm"))
+        .limit(maxHistRows + 1)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
     require(hist.length <= maxHistRows,
       s"more than $maxHistRows (group, quality-level) rows — quantize " +
         "the score (ppm convention) or raise maxHistRows")
-    require(hist.forall(r => r.getLong(3) >= 0L),
+    require(hist.forall(_._4 >= 0L),
       "negative cost values break greedy-prefix monotonicity")
 
     // driver cutoffs per group; budgets derive from the histogram's own
     // per-group totals (the fraction form's no-extra-pass contract)
-    val byGroup = hist.groupBy(_.getString(0))
+    val byGroup = hist.groupBy(_._1)
     val budgets = budgetsOfTotals(
-      byGroup.map { case (g, rows) => g -> rows.map(_.getLong(2)).sum })
+      byGroup.map { case (g, rows) => g -> rows.map(_._3).sum })
     require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
     var keepAll = List.empty[String]
     var cut = List.empty[(String, Long, Long)] // (group, q*, remaining)
     byGroup.foreach { case (g, rows) =>
-      val levels = rows.map(r => (r.getLong(1), r.getLong(2)))
+      val levels = rows.map(r => (r._2, r._3))
         .sortBy(_._1)(Ordering[Long].reverse)
       val budget = budgets(g)
       var acc = 0L
@@ -423,8 +428,7 @@ object BudgetSelect {
         val chunked = pending
           .join(broadcast(frame(choices,
             "__bsg" -> StringType, "__bsw" -> LongType)), Seq("__bsg"))
-          .withColumn("__bschunk",
-            graft.ops.TemporalOps.floorDivChunk(col("__bsid"), col("__bsw")))
+          .withColumn("__bschunk", floorDivChunk(col("__bsid"), col("__bsw")))
         val chist = chunked.groupBy(col("__bsg"), col("__bschunk"))
           .agg(sum(col("__bsc")).as("__bst"), min(col("__bsid")).as("__bslo"),
             max(col("__bsid")).as("__bshi"), count(lit(1)).as("__bsn"))

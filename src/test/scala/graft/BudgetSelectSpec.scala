@@ -105,7 +105,7 @@ class BudgetSelectSpec extends AnyFunSuite {
       BudgetSelect.budgetSelectImpl(df, col("id"), col("q"), col("c"),
         budget = 10L, maxQualityLevels = 10, fanout = 4096, smallCap = 1 << 16)
     }
-    assert(e.getMessage.contains("quality levels"))
+    assert(e.getMessage.contains("quality-level"))
   }
 
   test("fraction form: floor(fraction * total) and the zero/one poles") {
@@ -269,6 +269,76 @@ class BudgetSelectSpec extends AnyFunSuite {
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(specs.forall(_.contains("__bsg")),
       "found a window not partitioned by the group key:\n" + specs.mkString("\n"))
+  }
+
+  test("refinement rounds scan the checkpointed boundary frame, not the corpus") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // count every corpus-row READ across the whole operator call with an
+    // accumulator riding the source RDD: each scan of the corpus plan
+    // re-runs the map, so acc.value / n is the exact corpus-scan count.
+    val sc = spark.sparkContext
+    val acc = sc.longAccumulator("corpusRowReads")
+    val n = 200
+    // id = 7i mod 1000 (unique, span ~993), q = i%11, c = i%5 (total 400)
+    val rows = (0 until n).map(i =>
+      Row(i.toLong * 7 % 1000, (i % 11).toLong, (i % 5).toLong))
+    val schema = StructType(Seq(StructField("id", LongType, false),
+      StructField("q", LongType, false), StructField("c", LongType, false)))
+    val rdd = sc.parallelize(rows, 4).map { r => acc.add(1); r }
+    val df = spark.createDataFrame(rdd, schema)
+    // fanout 2 + smallCap 1 force ~log2(993) ≈ 10 refinement rounds; a
+    // per-round corpus rescan (the pre-r11 ungrouped shape) reads the
+    // corpus 12+ times — the checkpointed boundary frame reads it ≤ 4
+    val r = BudgetSelect.budgetSelectImpl(df, col("id"), col("q"), col("c"),
+      budget = 190L, maxQualityLevels = 1 << 20, fanout = 2, smallCap = 1)
+    val ids = r.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids === bruteKept(df.toDF("id", "q", "c"), 190L))
+    assert(acc.value <= 6L * n,
+      s"corpus scanned ${acc.value.toDouble / n}x — refinement rounds " +
+        "must run against the checkpointed slim frame, not the corpus plan")
+  }
+
+  test("reserved __bs column prefix fails loudly") {
+    val df = Seq((1L, 5L, 2L, "x")).toDF("id", "q", "c", "__bsg")
+    val e = intercept[IllegalArgumentException](
+      BudgetSelect.budgetSelect(df, col("id"), col("q"), col("c"), 10L))
+    assert(e.getMessage.contains("__bs"))
+  }
+
+  test("a string quality that casts to null is dropped, not an NPE") {
+    val df = Seq((1L, "7", 2L), (2L, "not-a-number", 3L), (3L, "5", 1L))
+      .toDF("id", "q", "c")
+    val kept = BudgetSelect.budgetSelect(df, col("id"), col("q"), col("c"), 2L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // cast-null row 2 is dropped; greedy order (7,id1)(5,id3): id1 fits
+    assert(kept === Set(1L))
+  }
+
+  test("persisted budget state: write + append ≡ from-scratch selection") {
+    val df = corpus(240, seed = 21).cache()
+    val total = df.agg(sum(col("c"))).head().getLong(0)
+    val path = java.nio.file.Files.createTempDirectory("graft_bs")
+      .resolve("state").toString
+    // rolling split: "existing" store state, then a batch fold
+    BudgetSelect.writeBudgetState(df.where(col("id") % 3 =!= 0),
+      col("q"), col("c"), path)
+    BudgetSelect.appendBudgetState(df.where(col("id") % 3 === 0),
+      col("q"), col("c"), path)
+    // folded state totals must equal the corpus's own
+    assert(spark.read.parquet(path).agg(sum(col("total_cost")))
+      .head().getLong(0) === total)
+    for (budget <- Seq(0L, 7L, total / 3, total / 2, total)) {
+      val got = BudgetSelect.budgetSelectFromState(df, col("id"), col("q"),
+        col("c"), budget, path).select(col("id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(got === bruteKept(df, budget), s"budget=$budget")
+    }
+    // a second append folds on top of the merged state, not beside it
+    BudgetSelect.appendBudgetState(df.limit(0), col("q"), col("c"), path)
+    val levels = spark.read.parquet(path).count()
+    assert(levels === df.select(col("q")).distinct().count(),
+      "append must merge levels, not duplicate them")
   }
 
   test("the plan is cutoff filters, not a corpus-wide sort") {

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Containers, Images}
+
+/** javax.imageio-backed JPEG/PNG/GIF codec: encode→decode round-trips
+  * (PNG lossless exact, JPEG uniform-gray exact on even values),
+  * header-only parsing, and total-function behavior on hostile bytes —
+  * the decoder runs inside media-crawl tasks where a malformed payload
+  * must classify, never throw. */
+class ImagesSpec extends AnyFunSuite {
+
+  private def fill(id: Long)(k: Int): Int = ((k.toLong * 31 + id * 7) % 256).toInt
+
+  test("PNG encode→decode round-trips the fill function exactly (lossless)") {
+    for ((w, h, id) <- Seq((1, 1, 0L), (8, 6, 3L), (17, 5, 11L), (64, 48, 255L))) {
+      val png = Images.encodePng(w, h, fill(id))
+      val got = Images.imagePixelValues(png)
+      assert(got.isDefined, s"$w x $h must decode")
+      assert(got.get.toSeq === (0 until 3 * w * h).map(fill(id)),
+        s"$w x $h id=$id: PNG is lossless — decoded channels must equal the fill")
+    }
+  }
+
+  test("JPEG uniform even gray decodes exactly uniform at the encoded value") {
+    // uniform gray is pure DC energy with zero chroma; even values
+    // round-trip exactly under the default quantization tables — the
+    // invariant the multimodal_image_decode oracle pins
+    for (gray <- Seq(28, 64, 128, 130, 226); (w, h) <- Seq((8, 8), (13, 7))) {
+      val jpg = Images.encodeJpegGray(w, h, gray)
+      val got = Images.imagePixelValues(jpg)
+      assert(got.isDefined, s"gray=$gray $w x $h must decode")
+      val units = got.get
+      assert(units.length === 3 * w * h)
+      assert(units.min === units.max, s"gray=$gray: decode must stay uniform")
+      assert(math.abs(units.head - gray) <= 2,
+        s"gray=$gray decoded as ${units.head}")
+    }
+  }
+
+  test("parseImage reads format + dimensions without a pixel decode") {
+    val png = Images.encodePng(19, 4, _ => 7)
+    val jpg = Images.encodeJpegGray(5, 23, 128)
+    assert(Images.parseImage(png).contains(Images.ImageInfo("png", 19, 4)))
+    val ji = Images.parseImage(jpg)
+    assert(ji.isDefined && ji.get.format.startsWith("jp") &&
+      ji.get.width === 5 && ji.get.height === 23)
+  }
+
+  test("the magic gate declines WAV/BMP/text payloads before ImageIO runs") {
+    val wav = Containers.buildWav(1, 8000, 16, Array.tabulate(40)(_.toByte))
+    val bmp = Containers.buildBmp(5, 4)
+    for (p <- Seq(wav, bmp, "hello world".getBytes("UTF-8"),
+        Array.emptyByteArray, null)) {
+      assert(Images.parseImage(p).isEmpty)
+      assert(Images.imagePixelValues(p).isEmpty)
+    }
+  }
+
+  test("fuzz: decode is total over hostile image bytes (None, never throw)") {
+    val rnd = new scala.util.Random(0xBADF00D)
+    def check(p: Array[Byte]): Unit = {
+      assert(Images.parseImage(p).isInstanceOf[Option[_]])
+      assert(Images.imagePixelValues(p).isInstanceOf[Option[_]])
+    }
+    val png = Images.encodePng(16, 12, fill(5L))
+    val jpg = Images.encodeJpegGray(16, 12, 128)
+    // truncation at every prefix: header-valid-but-stream-truncated is
+    // the classic ImageIO throw site — must come back None
+    for (base <- Seq(png, jpg); cut <- 0 to base.length)
+      check(base.take(cut))
+    // single-byte corruptions of valid streams (CRC breaks, marker
+    // smashes) and magic-preserving noise behind a real signature
+    for (_ <- 0 until 1000; base <- Seq(png, jpg)) {
+      val p = base.clone()
+      p(rnd.nextInt(p.length)) = rnd.nextInt().toByte
+      check(p)
+    }
+    for (_ <- 0 until 500) {
+      val noise = new Array[Byte](8 + rnd.nextInt(300))
+      rnd.nextBytes(noise)
+      System.arraycopy(png, 0, noise, 0, 8) // PNG magic, garbage body
+      check(noise)
+      val jn = noise.clone(); jn(0) = 0xFF.toByte; jn(1) = 0xD8.toByte
+      jn(2) = 0xFF.toByte
+      check(jn)
+    }
+  }
+
+  test("decoded image stats flow through Multimodal.decodeFeatures as length 4") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "image/png", Images.encodePng(4, 3, fill(1L)), Map.empty[String, String]),
+      (2L, "image/jpeg", Images.encodeJpegGray(6, 2, 130), Map.empty[String, String]),
+      (3L, "text/plain", "not an image".getBytes("UTF-8"), Map.empty[String, String]))
+      .toDF("doc_id", "modality", "payload", "meta")
+    val out = graft.multimodal.Multimodal.decodeFeatures(spark, rows)
+      .collect().map(f => f.doc_id -> f).toMap
+    val exp1 = (0 until 36).map(fill(1L))
+    assert(out(1L).features.toSeq ===
+      Seq(36d, exp1.sum.toDouble, exp1.min.toDouble, exp1.max.toDouble))
+    assert(out(2L).features.toSeq === Seq(36d, 36d * 130, 130d, 130d))
+    assert(out(3L).features.length === 16, "non-media payloads keep the stub histogram")
+  }
+}

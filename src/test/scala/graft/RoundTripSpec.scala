@@ -108,6 +108,56 @@ class RoundTripSpec extends AnyFunSuite {
     assert(cell.startsWith("2" + D))
   }
 
+  test("multi-char delimiter: pack → write → read → prefix scan → unpack ≡ source") {
+    // the d2b96db bug class end-to-end: stripCountPrefix once advanced a
+    // single char past the delimiter, so ANY multi-char delim corrupted
+    // every unpacked body with the delimiter's tail. This leg runs the
+    // full KV lifecycle with a 2-char delim — including delimiter-bearing
+    // and escape-token-bearing payload values under the <NB> escape — and
+    // demands exact source equality back.
+    val dir = Files.createTempDirectory("graft_mcd")
+    val MD = "::"
+    val src = Seq(
+      ("A", "u1", "t1", "plain", "1.0"),
+      ("A", "u1", "t1", "has::delim", "2.0"), // data-borne delimiter
+      ("A", "u2", "t2", "has<NB>esc", "3.5"), // data-borne escape token
+      ("B", "u1", "t1", "x", "9.9"),
+      ("B", "u1", "t1", "", "0.0"))           // empty payload field
+      .toDF("lot", "unit", "test", "note", "mv")
+    val keyCols = Seq(col("lot"), col("unit"))
+    val kv = KvStore.pack(src, keyCols, col("test"),
+      Seq(col("note"), col("mv")), escapeValues = true, delim = MD)
+    val store = dir.resolve("kv").toString
+    KvStore.write(kv, store)
+    val back = KvStore.read(spark, store)
+
+    // prefix scan still keys on the multi-char-delim row key
+    assert(KvOps.prefixScan(back, "rowKey", "A" + MD).count() === 2)
+
+    // cell shape: count prefix + FULL delimiter, and the stripped body
+    // must be byte-exact — a one-char strip (the d2b96db corruption)
+    // would leave the delimiter tail ":" prepended to it
+    val cellDf = back.where(col("rowKey") === "A" + MD + "u1"
+      && col("columnName") === "t1")
+    assert(cellDf.select("value").as[String].head().startsWith("2" + MD))
+    val body = cellDf.select(KvOps.stripCountPrefix(col("value"), MD))
+      .as[String].head()
+    assert(body === "has<NB>0delim::2.0\nplain::1.0",
+      "stripped body is not byte-exact — multi-char strip broke")
+
+    // full unpack + unescape ≡ the source projection, exactly
+    val unpacked = KvStore.unpack(back, unescapeValues = true, delim = MD)
+      .select(col("rowKey"), col("columnName"),
+        element_at(col("fields"), 1).as("note"),
+        element_at(col("fields"), 2).as("mv"))
+    val source = src.select(
+      KvOps.rowKeyCol(keyCols, MD).as("rowKey"),
+      col("test").as("columnName"), col("note"), col("mv"))
+    assert(unpacked.except(source).count() === 0)
+    assert(source.except(unpacked).count() === 0)
+    assert(unpacked.count() === source.count())
+  }
+
   test("malformed MUPR lines are quarantined, not fatal") {
     val dir = Files.createTempDirectory("graft_rt3")
     val good = Seq("1001", "SS01", "2", "1", "1.0", "7", "0.5", "A", "P", "M",
