@@ -138,6 +138,43 @@ object Images {
     encode("jpg", width, height, _ => g)
   }
 
+  /** REAL image resize: decode, NEAREST-NEIGHBOR sample to the target
+    * dimensions, re-encode as (lossless) PNG. Nearest-neighbor on
+    * purpose: output pixel (x, y) is exactly input pixel
+    * (floor(x*sw/dw), floor(y*sh/dh)) — integer-deterministic, so an
+    * external engine can recompute every output byte from the source
+    * (the multimodal_resize oracle), where any interpolating kernel
+    * would be at the mercy of float rounding. A production bilinear/
+    * Lanczos kernel slots in behind the same signature. None for
+    * anything [[imagePixelValues]] cannot decode. */
+  def resizeNearest(payload: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] = {
+    require(dw > 0 && dh > 0, "target dimensions must be positive")
+    if (payload == null || !looksLikeImage(payload)) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val sw = img.getWidth
+      val sh = img.getHeight
+      if (sw <= 0 || sh <= 0) return None
+      val out = new java.awt.image.BufferedImage(
+        dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dh) {
+        val sy = (y.toLong * sh / dh).toInt
+        val srcRow = img.getRGB(0, sy, sw, 1, null, 0, sw)
+        var x = 0
+        while (x < dw) {
+          out.setRGB(x, y, srcRow((x.toLong * sw / dw).toInt) & 0xFFFFFF)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private def encode(fmt: String, width: Int, height: Int,
                      fill: Int => Int): Array[Byte] = {
     require(width > 0 && height > 0, "image dimensions must be positive")

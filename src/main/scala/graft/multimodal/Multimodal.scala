@@ -54,9 +54,12 @@ object Multimodal {
       hist.map(_ / n)
     }
 
-    /** STUB for image resize: a real kernel rescales pixels; the
-      * deterministic stand-in re-buckets the byte stream to `target`
-      * bytes, preserving the plumbing contract (binary in → binary out). */
+    /** STUB for NON-IMAGE payload resize (video thumbnailing etc.): a
+      * real kernel rescales decoded frames; the deterministic stand-in
+      * re-buckets the byte stream to `target` bytes, preserving the
+      * plumbing contract (binary in → binary out). Decodable IMAGES have
+      * a REAL resize — [[Images.resizeNearest]] (gated by
+      * `multimodal_resize`). */
     def resize(payload: Array[Byte], target: Int): Array[Byte] = {
       if (payload.isEmpty) new Array[Byte](0)
       else Array.tabulate(target)(i => payload((i.toLong * payload.length / target).toInt))

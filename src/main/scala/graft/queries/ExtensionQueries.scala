@@ -593,6 +593,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-domain budgets resolved from PERSISTED per-group state — the
+    // mixture-spec twin of corpus_budget_incremental: existing/batch
+    // split, state written then batch-folded (one batch-only
+    // aggregation), selection cutoffs from state alone. Identical
+    // budgets and oracle as corpus_budget_by_source, so the state fold
+    // must land on exactly the from-scratch cutoffs.
+    "corpus_budget_incremental_by_source" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_bstate_g").resolve("state").toString
+      graft.text.BudgetSelect.writeBudgetStatePerGroup(
+        scored.where(col("doc_id") % 3 =!= 0), col("source"),
+        col("q_ppm"), col("n_tokens"), statePath)
+      graft.text.BudgetSelect.appendBudgetStatePerGroup(
+        scored.where(col("doc_id") % 3 === 0), col("source"),
+        col("q_ppm"), col("n_tokens"), statePath)
+      graft.text.BudgetSelect.budgetSelectPerGroupFromState(scored,
+          col("source"), col("doc_id"), col("q_ppm"), col("n_tokens"),
+          budgets = Map("src0" -> 800L, "src1" -> 50L, "src2" -> 1000000L,
+            "src3" -> 400L, "src4" -> 0L, "src5" -> 2000L),
+          path = statePath)
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style line-level boilerplate filter: lines occurring more than
     // twice across the corpus are dropped, surviving lines keep order.
     // The synthetic docs are single-line, so the gate frames each with a
@@ -1301,6 +1329,35 @@ object ExtensionQueries {
       meta.join(feats, Seq("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // REAL image resize (nearest-neighbor through javax.imageio): the
+    // deterministic PNGs shrink to (1 + w/2, 1 + h/2), and the gate
+    // emits statistics of the RESIZED-then-redecoded pixels. Nearest
+    // sampling is integer-exact — output pixel (x,y) is input pixel
+    // (floor(x*sw/dw), floor(y*sh/dh)) — so the oracle recomputes every
+    // resized channel value from the source fill formula alone; an
+    // off-by-one in the sampling grid, a channel swap, or a lossy
+    // re-encode cannot hide.
+    "multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Images
+      syntheticImages(s, dir).where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          // gate fixtures are valid by construction: a None here IS the
+          // regression this gate exists to catch — fail loudly
+          val info = Images.parseImage(p).get
+          val dw = 1 + info.width / 2
+          val dh = 1 + info.height / 2
+          val px = Images.imagePixelValues(
+            Images.resizeNearest(p, dw, dh).get).get
+          (id, dw, dh, px.length.toLong, px.foldLeft(0L)(_ + _),
+            px.min.toLong, px.max.toLong)
+        })
+        .toDF("doc_id", "width", "height", "n_units", "unit_sum",
+          "unit_min", "unit_max")
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-LM typicality (integer-exact perplexity-filter stand-in):
     // unigram model trained on the corpus itself, add-one smoothed,
     // per-doc mean token ppm + rare-token count
@@ -1929,6 +1986,29 @@ object ExtensionQueries {
         |SELECT doc_id, source, q_ppm, n_tokens FROM r
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
 
+    // identical from-scratch per-group window — the persisted-state
+    // fold must land on the same per-domain cutoffs
+    "corpus_budget_incremental_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm,
+        |    cast(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |      w -> len(w) > 0)) AS bigint) AS n_tokens
+        |  FROM documents),
+        |t2 AS (SELECT * FROM t
+        |       WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |         AND q_ppm IS NOT NULL AND n_tokens IS NOT NULL),
+        |b(source, budget) AS (VALUES ('src0', 800), ('src1', 50),
+        |  ('src2', 1000000), ('src3', 400), ('src4', 0), ('src5', 2000)),
+        |r AS (SELECT t2.doc_id, t2.source, t2.q_ppm, t2.n_tokens, b.budget,
+        |        sum(t2.n_tokens) OVER (PARTITION BY t2.source
+        |          ORDER BY t2.q_ppm DESC, t2.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t2 JOIN b ON t2.source = b.source)
+        |SELECT doc_id, source, q_ppm, n_tokens FROM r
+        |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+
     "stratified_take" ->
       """WITH r AS (
         |  SELECT doc_id, source,
@@ -2492,6 +2572,31 @@ object ExtensionQueries {
         |  FROM jp)
         |SELECT * FROM pout UNION ALL SELECT * FROM jout
         |ORDER BY doc_id""".stripMargin,
+
+    // nearest-neighbor resize recomputed from the source fill formula:
+    // output channel k of the (dw, dh) image maps to source pixel
+    // (floor(x*w/dw), floor(y*h/dh)) — all integer math
+    "multimodal_resize" ->
+      """WITH png AS (
+        |  SELECT doc_id, 1 + n_chars % 16 AS w, 1 + doc_id % 12 AS h,
+        |    1 + (1 + n_chars % 16) // 2 AS dw,
+        |    1 + (1 + doc_id % 12) // 2 AS dh
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |k AS (SELECT doc_id, w, h, dw, dh,
+        |    unnest(range(3 * dw * dh)) AS k FROM png),
+        |v AS (SELECT doc_id, dw, dh,
+        |    ((3 * (((k // (3 * dw)) * h // dh) * w
+        |        + (((k // 3) % dw) * w // dw)) + k % 3) * 31
+        |      + doc_id * 7) % 256 AS v
+        |  FROM k),
+        |a AS (SELECT doc_id, count(*) AS n, sum(v) AS s,
+        |    min(v) AS mn, max(v) AS mx FROM v GROUP BY doc_id)
+        |SELECT p.doc_id, cast(p.dw AS int) AS width,
+        |  cast(p.dh AS int) AS height,
+        |  cast(a.n AS bigint) AS n_units, cast(a.s AS bigint) AS unit_sum,
+        |  cast(a.mn AS bigint) AS unit_min, cast(a.mx AS bigint) AS unit_max
+        |FROM png p JOIN a USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     // unigram LM with add-one smoothing, all-integer arithmetic (the
     // scaled division and the sums are exact, so the hash compare is

@@ -285,6 +285,85 @@ object BudgetSelect {
         (allGroup, r.getLong(0), r.getLong(1), r.getLong(2)))))
   }
 
+  /** Per-group persisted state: the (group, level) histogram as parquet
+    * `(group, q_level, total_cost, min_cost)` — the mixture-spec twin of
+    * [[writeBudgetState]]. Same rolling contract: state appends in
+    * lockstep with corpus appends. */
+  def writeBudgetStatePerGroup(df: DataFrame, group: Column,
+                               quality: Column, cost: Column, path: String,
+                               maxHistRows: Int = 1 << 20): Unit = {
+    val gS = group.cast("string")
+    val qL = quality.try_cast("long")
+    val cL = cost.try_cast("long")
+    df.where(gS.isNotNull && qL.isNotNull && cL.isNotNull)
+      .groupBy(gS.as("group"), qL.as("q_level"))
+      .agg(sum(cL).as("total_cost"), min(cL).as("min_cost"))
+      .limit(maxHistRows + 1)
+      .write.mode("overwrite").parquet(path)
+    val n = df.sparkSession.read.parquet(path).count()
+    require(n <= maxHistRows,
+      s"more than $maxHistRows (group, quality-level) rows — quantize " +
+        "the score (ppm convention) or raise maxHistRows")
+  }
+
+  /** Fold a batch's (group, level) histogram into existing per-group
+    * state — one batch-only aggregation, the existing corpus is never
+    * re-scanned. */
+  def appendBudgetStatePerGroup(batch: DataFrame, group: Column,
+                                quality: Column, cost: Column, path: String,
+                                maxHistRows: Int = 1 << 20): Unit = {
+    val spark = batch.sparkSession
+    val gS = group.cast("string")
+    val qL = quality.try_cast("long")
+    val cL = cost.try_cast("long")
+    val merged = spark.read.parquet(path)
+      .unionByName(batch.where(gS.isNotNull && qL.isNotNull && cL.isNotNull)
+        .groupBy(gS.as("group"), qL.as("q_level"))
+        .agg(sum(cL).as("total_cost"), min(cL).as("min_cost")))
+      .groupBy(col("group"), col("q_level"))
+      .agg(sum(col("total_cost")).as("total_cost"),
+        min(col("min_cost")).as("min_cost"))
+      .limit(maxHistRows + 1)
+      .collect()
+    require(merged.length <= maxHistRows,
+      s"more than $maxHistRows (group, quality-level) rows — quantize " +
+        "the score (ppm convention) or raise maxHistRows")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.toSeq, 1),
+        StructType(Seq(StructField("group", StringType, nullable = false),
+          StructField("q_level", LongType, nullable = false),
+          StructField("total_cost", LongType, nullable = false),
+          StructField("min_cost", LongType, nullable = false))))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[budgetSelectPerGroup]] with its (group, level) histogram read
+    * from persisted state instead of a corpus scan — the mixture-spec
+    * cutoffs resolve from state alone. Groups absent from `budgets` are
+    * dropped, exactly as in the from-scratch form. */
+  def budgetSelectPerGroupFromState(df: DataFrame, group: Column, id: Column,
+                                    quality: Column, cost: Column,
+                                    budgets: Map[String, Long], path: String,
+                                    maxHistRows: Int = 1 << 20): DataFrame = {
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
+    val spark = df.sparkSession
+    val hist = spark.read.parquet(path)
+      .select(col("group"), col("q_level"), col("total_cost"), col("min_cost"))
+      .where(col("group").isin(budgets.keySet.toSeq: _*))
+      .limit(maxHistRows + 1)
+      .collect()
+    require(hist.length <= maxHistRows,
+      s"budget state at $path exceeds $maxHistRows rows")
+    budgetSelectPerGroupCore(df, group, id, quality, cost,
+      budgets.keySet, _ => budgets,
+      maxHistRows, fanout = 4096, smallCap = 1 << 16,
+      histOverride = Some(hist.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))))
+  }
+
   /** Core: `groups` gates membership; `budgetsOfTotals` maps the
     * per-group totals (read off the level histogram) to absolute
     * budgets, so the fraction form shares every pass. `histOverride`

@@ -341,6 +341,28 @@ class BudgetSelectSpec extends AnyFunSuite {
       "append must merge levels, not duplicate them")
   }
 
+  test("per-group persisted state: write + append ≡ from-scratch selection") {
+    val df = groupedCorpus(300, nGroups = 4, seed = 31).cache()
+    val budgets = Map("g0" -> 12L, "g1" -> 0L, "g2" -> 100000L, "g3" -> 33L)
+    val path = java.nio.file.Files.createTempDirectory("graft_bsg")
+      .resolve("state").toString
+    BudgetSelect.writeBudgetStatePerGroup(df.where(col("id") % 3 =!= 0),
+      col("g"), col("q"), col("c"), path)
+    BudgetSelect.appendBudgetStatePerGroup(df.where(col("id") % 3 === 0),
+      col("g"), col("q"), col("c"), path)
+    val got = BudgetSelect.budgetSelectPerGroupFromState(df, col("g"),
+        col("id"), col("q"), col("c"), budgets, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === bruteKeptPerGroup(df, budgets))
+    // folded per-group totals equal the corpus's own
+    val stateTotals = spark.read.parquet(path).groupBy(col("group"))
+      .agg(sum(col("total_cost")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusTotals = df.groupBy(col("g")).agg(sum(col("c")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stateTotals === corpusTotals)
+  }
+
   test("the plan is cutoff filters, not a corpus-wide sort") {
     val df = corpus(200, seed = 3)
     val total = df.agg(sum(col("c"))).head().getLong(0)

@@ -39,6 +39,29 @@ class ImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeNearest samples the exact nearest-neighbor grid, losslessly") {
+    val w = 8; val h = 6
+    val png = Images.encodePng(w, h, fill(9L))
+    // identity resize returns the original pixels byte-for-byte
+    assert(Images.imagePixelValues(Images.resizeNearest(png, w, h).get).get.toSeq
+      === (0 until 3 * w * h).map(fill(9L)))
+    // downscale: output (x, y, c) = fill(3*(floor(y*h/dh)*w + floor(x*w/dw)) + c)
+    val dw = 4; val dh = 3
+    val got = Images.imagePixelValues(Images.resizeNearest(png, dw, dh).get).get
+    val expect = for (y <- 0 until dh; x <- 0 until dw; c <- 0 until 3)
+      yield fill(9L)(3 * ((y * h / dh) * w + (x * w / dw)) + c)
+    assert(got.toSeq === expect)
+    // upscale replicates source pixels on the same grid rule
+    val up = Images.imagePixelValues(Images.resizeNearest(png, 16, 6).get).get
+    val expectUp = for (y <- 0 until 6; x <- 0 until 16; c <- 0 until 3)
+      yield fill(9L)(3 * ((y * h / 6) * w + (x * w / 16)) + c)
+    assert(up.toSeq === expectUp)
+    // totality: corrupt/truncated input resizes to None, never throws
+    assert(Images.resizeNearest(png.take(20), 4, 3).isEmpty)
+    assert(Images.resizeNearest("noise".getBytes, 4, 3).isEmpty)
+    assert(Images.resizeNearest(null, 4, 3).isEmpty)
+  }
+
   test("parseImage reads format + dimensions without a pixel decode") {
     val png = Images.encodePng(19, 4, _ => 7)
     val jpg = Images.encodeJpegGray(5, 23, 128)
