@@ -62,6 +62,29 @@ class ImagesSpec extends AnyFunSuite {
     assert(Images.resizeNearest(null, 4, 3).isEmpty)
   }
 
+  test("GIF (the third JDK reader) decodes through the same entry points") {
+    // ImageIO's GIF writer palette-quantizes, so the round-trip pin uses
+    // a 2-color image (far under the 256-color palette: lossless). The
+    // geometry is 16x8 deliberately: the JDK's GIF *writer* mis-encodes
+    // some small geometries (10x4, 7x3 observed — trailing rows come
+    // back wrong from its own reader), and this spec tests OUR decode
+    // surface, not the JDK encoder; 16x8 round-trips byte-exactly.
+    val w = 16; val h = 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val gif = bos.toByteArray
+    assert(Images.parseImage(gif).contains(Images.ImageInfo("gif", w, h)))
+    val px = Images.imagePixelValues(gif).get
+    val expect = for (y <- 0 until h; x <- 0 until w;
+                      c <- Seq(if ((x + y) % 2 == 0) 255 else 0, 0,
+                               if ((x + y) % 2 == 0) 0 else 255)) yield c
+    assert(px.toSeq === expect)
+  }
+
   test("parseImage reads format + dimensions without a pixel decode") {
     val png = Images.encodePng(19, 4, _ => 7)
     val jpg = Images.encodeJpegGray(5, 23, 128)
