@@ -50,7 +50,9 @@ object Bench {
     "multimodal_containers", "text_lm_score", "bpe_pairs", "semdedup",
     "bpe_encode", "sessionize_chunked", "asof_join_chunked",
     "corpus_budget_select", "corpus_budget_by_source",
-    "multimodal_image_decode", "corpus_budget_incremental")
+    "multimodal_image_decode", "corpus_budget_incremental",
+    "multimodal_resize", "multimodal_audio_features",
+    "corpus_budget_incremental_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

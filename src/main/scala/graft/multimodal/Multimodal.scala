@@ -160,6 +160,44 @@ object Multimodal {
       }
   }
 
+  /** REAL audio features over decoded PCM samples — the DSP-ish step a
+    * speech-data pipeline runs between decode and filtering. All
+    * integer-exact on purpose (energy = Σ v², bounded by n·2^30 — fits
+    * a long for any physical clip; zero-crossings counted with the
+    * v ≥ 0 sign convention; peak = max |v|), so an external engine can
+    * recompute every value bit-identically from the source bytes. */
+  case class AudioFeatures(doc_id: Long, n_samples: Long, energy: Long,
+                           zero_crossings: Long, peak: Long)
+
+  /** Per-payload PCM features for every decodable WAV in `media`;
+    * non-WAV payloads are skipped (this is the audio leg — images have
+    * their own decode path). Same placement rules as [[decodeFeatures]]:
+    * runs where the payloads already are, only slim typed rows leave
+    * the stage. */
+  def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p0) =>
+        val p = if (p0 == null) Array.emptyByteArray else p0
+        Containers.pcmSamples(p).map { s =>
+          var energy = 0L
+          var zc = 0L
+          var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i)
+            energy += v.toLong * v
+            val a = math.abs(v.toLong)
+            if (a > peak) peak = a
+            if (i > 0 && (v >= 0) != (s(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          AudioFeatures(id, s.length.toLong, energy, zc, peak)
+        }
+      })
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, n_bytes: Int,
                       checksum: String)
 

@@ -1329,6 +1329,19 @@ object ExtensionQueries {
       meta.join(feats, Seq("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // REAL audio features over REAL decoded PCM: energy (Σ v²),
+    // zero-crossings (v ≥ 0 sign convention), and peak (max |v|) of the
+    // 16-bit samples the WAV fixtures carry — the DSP step between
+    // decode and filtering, all integer-exact. The oracle re-assembles
+    // the same signed samples from the text's hex rendering and
+    // recomputes each feature, so a signedness, ordering, or overflow
+    // bug in the kernel cannot hide.
+    "multimodal_audio_features" -> ((s, dir) => {
+      Multimodal.audioFeatures(s,
+          syntheticMedia(s, dir).where(col("doc_id") % 2 === 0))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
     // REAL image resize (nearest-neighbor through javax.imageio): the
     // deterministic PNGs shrink to (1 + w/2, 1 + h/2), and the gate
     // emits statistics of the RESIZED-then-redecoded pixels. Nearest
@@ -2572,6 +2585,44 @@ object ExtensionQueries {
         |  FROM jp)
         |SELECT * FROM pout UNION ALL SELECT * FROM jout
         |ORDER BY doc_id""".stripMargin,
+
+    // PCM features recomputed from the text's hex bytes: the same
+    // signed-sample re-assembly as multimodal_features, then Σ v²,
+    // lag-window sign-change count, and max |v|
+    "multimodal_audio_features" ->
+      """WITH wav AS (
+        |  SELECT doc_id, lower(hex(cast(text AS blob))) AS hx,
+        |    coalesce(octet_length(cast(text AS blob)), 0) AS nb
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ws AS (SELECT doc_id, hx, unnest(range(nb // 2)) AS i FROM wav),
+        |wv AS (
+        |  SELECT doc_id, i,
+        |    (16 * (instr('0123456789abcdef',
+        |             substr(hx, cast(4*i+1 AS int), 1)) - 1)
+        |       + instr('0123456789abcdef',
+        |             substr(hx, cast(4*i+2 AS int), 1)) - 1)
+        |    + 256 * (16 * (instr('0123456789abcdef',
+        |             substr(hx, cast(4*i+3 AS int), 1)) - 1)
+        |       + instr('0123456789abcdef',
+        |             substr(hx, cast(4*i+4 AS int), 1)) - 1) AS u
+        |  FROM ws),
+        |wsv AS (SELECT doc_id, i,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM wv),
+        |wz AS (SELECT doc_id, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM wsv),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n, sum(v * v) AS e,
+        |    sum(CASE WHEN pv IS NOT NULL
+        |        AND (v >= 0) != (pv >= 0) THEN 1 ELSE 0 END) AS z,
+        |    max(abs(v)) AS p
+        |  FROM wz GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  cast(coalesce(a.n, 0) AS bigint) AS n_samples,
+        |  cast(coalesce(a.e, 0) AS bigint) AS energy,
+        |  cast(coalesce(a.z, 0) AS bigint) AS zero_crossings,
+        |  cast(coalesce(a.p, 0) AS bigint) AS peak
+        |FROM wav w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
 
     // nearest-neighbor resize recomputed from the source fill formula:
     // output channel k of the (dw, dh) image maps to source pixel

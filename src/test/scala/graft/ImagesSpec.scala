@@ -134,6 +134,29 @@ class ImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("audioFeatures: hand-computed energy / zero-crossings / peak") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // samples [3, -2, 0, -1, 5]: energy 39, crossings 4 (v>=0 sign
+    // convention puts 0 on the positive side), peak 5
+    val data = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(3, -2, 0, -1, 5).foreach(v => data.putShort(v.toShort))
+    val rows = Seq(
+      (1L, Containers.buildWav(1, 8000, 16, data.array())),
+      (2L, Containers.buildWav(1, 8000, 16, Array.emptyByteArray)),
+      (3L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = graft.multimodal.Multimodal.audioFeatures(spark, rows)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L), "non-WAV payloads are skipped")
+    assert((out(1L).n_samples, out(1L).energy, out(1L).zero_crossings,
+      out(1L).peak) === ((5L, 39L, 4L, 5L)))
+    assert((out(2L).n_samples, out(2L).energy, out(2L).zero_crossings,
+      out(2L).peak) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("decoded image stats flow through Multimodal.decodeFeatures as length 4") {
     val spark = SparkTestSession.spark
     import spark.implicits._
