@@ -776,6 +776,13 @@ object Dedup {
 
   // ── Cluster canonicalization ─────────────────────────────────────────
 
+  /** Heap-derived default for [[canonicalFromPairs]]'s small-graph fast
+    * path: ~400 bytes/edge transient driver footprint, budgeted at ~5%
+    * of the driver's max heap, clamped to [2^12, 2^20] edges. */
+  private[graft] lazy val defaultSmallGraphMax: Int =
+    math.max(1L << 12,
+      math.min(1L << 20, Runtime.getRuntime.maxMemory() / 20L / 400L)).toInt
+
   /** Collapse near-dup PAIRS into clusters: every id is labeled with the
     * minimum id reachable through the pair graph (connected components)
     * — the step that turns any pairwise dedup (minhash/simhash/ngram/
@@ -826,13 +833,6 @@ object Dedup {
     *
     * @return (doc_id, canonical_id)
     */
-  /** Heap-derived default for [[canonicalFromPairs]]'s small-graph fast
-    * path: ~400 bytes/edge transient driver footprint, budgeted at ~5%
-    * of the driver's max heap, clamped to [2^12, 2^20] edges. */
-  private[graft] lazy val defaultSmallGraphMax: Int =
-    math.max(1L << 12,
-      math.min(1L << 20, Runtime.getRuntime.maxMemory() / 20L / 400L)).toInt
-
   def canonicalFromPairs(ids: DataFrame, idCol: Column, pairs: DataFrame,
                          maxIters: Int = 50,
                          smallGraphMax: Int = defaultSmallGraphMax): DataFrame = {

@@ -562,10 +562,10 @@ object ExtensionQueries {
         .createTempDirectory("graft_bstate").resolve("state").toString
       graft.text.BudgetSelect.writeBudgetState(
         scored.where(col("doc_id") % 3 =!= 0),
-        col("q_ppm"), col("n_tokens"), statePath)
+        col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
       graft.text.BudgetSelect.appendBudgetState(
         scored.where(col("doc_id") % 3 === 0),
-        col("q_ppm"), col("n_tokens"), statePath)
+        col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
       val total = s.read.parquet(statePath)
         .agg(sum(col("total_cost"))).head().getLong(0)
       graft.text.BudgetSelect.budgetSelectFromState(scored, col("doc_id"),
@@ -609,10 +609,10 @@ object ExtensionQueries {
         .createTempDirectory("graft_bstate_g").resolve("state").toString
       graft.text.BudgetSelect.writeBudgetStatePerGroup(
         scored.where(col("doc_id") % 3 =!= 0), col("source"),
-        col("q_ppm"), col("n_tokens"), statePath)
+        col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
       graft.text.BudgetSelect.appendBudgetStatePerGroup(
         scored.where(col("doc_id") % 3 === 0), col("source"),
-        col("q_ppm"), col("n_tokens"), statePath)
+        col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
       graft.text.BudgetSelect.budgetSelectPerGroupFromState(scored,
           col("source"), col("doc_id"), col("q_ppm"), col("n_tokens"),
           budgets = Map("src0" -> 800L, "src1" -> 50L, "src2" -> 1000000L,

@@ -208,56 +208,33 @@ object BudgetSelect {
     * [[budgetSelectFromState]] runs the selection WITHOUT re-scanning
     * the corpus for the histogram. State size is bounded by the ppm
     * level convention (≤ maxQualityLevels slim rows — manifest-class),
-    * the same bucketBy-free pattern as the minhash index manifests. */
-  def writeBudgetState(df: DataFrame, quality: Column, cost: Column,
-                       path: String,
-                       maxQualityLevels: Int = 1 << 20): Unit = {
-    val qL = quality.try_cast("long")
-    val cL = cost.try_cast("long")
-    df.where(qL.isNotNull && cL.isNotNull)
-      .groupBy(qL.as("q_level"))
-      .agg(sum(cL).as("total_cost"), min(cL).as("min_cost"))
-      .limit(maxQualityLevels + 1)
-      .write.mode("overwrite").parquet(path)
-    val n = df.sparkSession.read.parquet(path).count()
-    require(n <= maxQualityLevels,
-      s"more than $maxQualityLevels distinct quality levels — quantize " +
-        "the score (ppm convention) or raise maxQualityLevels")
-  }
+    * the same bucketBy-free pattern as the minhash index manifests.
+    *
+    * `id` is required even though the histogram doesn't store it: the
+    * state must count EXACTLY the rows the selection can keep, and the
+    * selection's null-drop contract excludes rows whose id try_casts to
+    * null — a state built without that filter would carry cost the
+    * selection can never spend and shift (or strand) the cutoff.
+    *
+    * The histogram is VALIDATED BEFORE the path is touched (collect +
+    * cap require, then write): a continuous score passed by mistake
+    * fails loudly while the previous valid state stays intact. */
+  def writeBudgetState(df: DataFrame, id: Column, quality: Column,
+                       cost: Column, path: String,
+                       maxQualityLevels: Int = 1 << 20): Unit =
+    writeBudgetStatePerGroup(df, lit(allGroup), id, quality, cost, path,
+      maxQualityLevels)
 
   /** Fold a new batch's histogram into existing state: ONE aggregation
     * over the batch plus a merge of two manifest-class level tables —
     * the existing corpus is never re-scanned. The merged state is
-    * collected (bounded by `maxQualityLevels`, loud-fail) and rewritten,
-    * the read-then-overwrite discipline a self-append parquet path
-    * requires. */
-  def appendBudgetState(batch: DataFrame, quality: Column, cost: Column,
-                        path: String,
-                        maxQualityLevels: Int = 1 << 20): Unit = {
-    val spark = batch.sparkSession
-    val qL = quality.try_cast("long")
-    val cL = cost.try_cast("long")
-    val merged = spark.read.parquet(path)
-      .unionByName(batch.where(qL.isNotNull && cL.isNotNull)
-        .groupBy(qL.as("q_level"))
-        .agg(sum(cL).as("total_cost"), min(cL).as("min_cost")))
-      .groupBy(col("q_level"))
-      .agg(sum(col("total_cost")).as("total_cost"),
-        min(col("min_cost")).as("min_cost"))
-      .limit(maxQualityLevels + 1)
-      .collect()
-    require(merged.length <= maxQualityLevels,
-      s"more than $maxQualityLevels distinct quality levels — quantize " +
-        "the score (ppm convention) or raise maxQualityLevels")
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(merged.toSeq, 1),
-        StructType(Seq(StructField("q_level", LongType, nullable = false),
-          StructField("total_cost", LongType, nullable = false),
-          StructField("min_cost", LongType, nullable = false))))
-      .write.mode("overwrite").parquet(path)
-  }
+    * collected (bounded by `maxQualityLevels`, loud-fail) BEFORE the
+    * rewrite, so a bad batch cannot destroy the existing state. */
+  def appendBudgetState(batch: DataFrame, id: Column, quality: Column,
+                        cost: Column, path: String,
+                        maxQualityLevels: Int = 1 << 20): Unit =
+    appendBudgetStatePerGroup(batch, lit(allGroup), id, quality, cost, path,
+      maxQualityLevels)
 
   /** [[budgetSelect]] whose histogram comes from persisted state
     * ([[writeBudgetState]] / [[appendBudgetState]]) instead of a corpus
@@ -271,72 +248,75 @@ object BudgetSelect {
                             cost: Column, budget: Long, path: String,
                             maxQualityLevels: Int = 1 << 20): DataFrame = {
     require(budget >= 0L, "budget must be >= 0")
-    val spark = df.sparkSession
-    val hist = spark.read.parquet(path)
-      .select(col("q_level"), col("total_cost"), col("min_cost"))
-      .limit(maxQualityLevels + 1)
-      .collect()
-    require(hist.length <= maxQualityLevels,
-      s"budget state at $path exceeds $maxQualityLevels levels")
-    budgetSelectPerGroupCore(df, lit(allGroup), id, quality, cost,
-      Set(allGroup), _ => Map(allGroup -> budget),
-      maxQualityLevels, fanout = 4096, smallCap = 1 << 16,
-      histOverride = Some(hist.map(r =>
-        (allGroup, r.getLong(0), r.getLong(1), r.getLong(2)))))
+    budgetSelectPerGroupFromState(df, lit(allGroup), id, quality, cost,
+      Map(allGroup -> budget), path, maxQualityLevels)
   }
 
-  /** Per-group persisted state: the (group, level) histogram as parquet
-    * `(group, q_level, total_cost, min_cost)` — the mixture-spec twin of
-    * [[writeBudgetState]]. Same rolling contract: state appends in
-    * lockstep with corpus appends. */
-  def writeBudgetStatePerGroup(df: DataFrame, group: Column,
-                               quality: Column, cost: Column, path: String,
-                               maxHistRows: Int = 1 << 20): Unit = {
+  /** The state's batch histogram: aggregated over EXACTLY the rows the
+    * selection's null-drop contract can keep — including the id filter,
+    * which the histogram doesn't store but whose cast-null rows the
+    * selection drops (state counting them would carry cost the
+    * selection can never spend). */
+  private def stateHistogram(df: DataFrame, group: Column, id: Column,
+                             quality: Column, cost: Column): DataFrame = {
     val gS = group.cast("string")
+    val idL = id.try_cast("long")
     val qL = quality.try_cast("long")
     val cL = cost.try_cast("long")
-    df.where(gS.isNotNull && qL.isNotNull && cL.isNotNull)
+    df.where(gS.isNotNull && idL.isNotNull && qL.isNotNull && cL.isNotNull)
       .groupBy(gS.as("group"), qL.as("q_level"))
       .agg(sum(cL).as("total_cost"), min(cL).as("min_cost"))
-      .limit(maxHistRows + 1)
-      .write.mode("overwrite").parquet(path)
-    val n = df.sparkSession.read.parquet(path).count()
-    require(n <= maxHistRows,
-      s"more than $maxHistRows (group, quality-level) rows — quantize " +
-        "the score (ppm convention) or raise maxHistRows")
   }
 
-  /** Fold a batch's (group, level) histogram into existing per-group
-    * state — one batch-only aggregation, the existing corpus is never
-    * re-scanned. */
-  def appendBudgetStatePerGroup(batch: DataFrame, group: Column,
-                                quality: Column, cost: Column, path: String,
-                                maxHistRows: Int = 1 << 20): Unit = {
-    val spark = batch.sparkSession
-    val gS = group.cast("string")
-    val qL = quality.try_cast("long")
-    val cL = cost.try_cast("long")
-    val merged = spark.read.parquet(path)
-      .unionByName(batch.where(gS.isNotNull && qL.isNotNull && cL.isNotNull)
-        .groupBy(gS.as("group"), qL.as("q_level"))
-        .agg(sum(cL).as("total_cost"), min(cL).as("min_cost")))
-      .groupBy(col("group"), col("q_level"))
-      .agg(sum(col("total_cost")).as("total_cost"),
-        min(col("min_cost")).as("min_cost"))
-      .limit(maxHistRows + 1)
-      .collect()
-    require(merged.length <= maxHistRows,
-      s"more than $maxHistRows (group, quality-level) rows — quantize " +
-        "the score (ppm convention) or raise maxHistRows")
-    import org.apache.spark.sql.Row
+  /** Cap-validate collected histogram rows, then (re)write the state —
+    * validation strictly BEFORE the path is touched, so a bad corpus or
+    * batch fails loudly with the previous valid state intact. */
+  private def writeStateRows(spark: org.apache.spark.sql.SparkSession,
+                             rows: Array[org.apache.spark.sql.Row],
+                             path: String, maxHistRows: Int): Unit = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    require(rows.length <= maxHistRows,
+      s"more than $maxHistRows (group, quality-level) rows — quantize " +
+        "the score (ppm convention) or raise the cap")
     spark.createDataFrame(
-        spark.sparkContext.parallelize(merged.toSeq, 1),
+        spark.sparkContext.parallelize(rows.toSeq, 1),
         StructType(Seq(StructField("group", StringType, nullable = false),
           StructField("q_level", LongType, nullable = false),
           StructField("total_cost", LongType, nullable = false),
           StructField("min_cost", LongType, nullable = false))))
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-group persisted state: the (group, level) histogram as parquet
+    * `(group, q_level, total_cost, min_cost)` — the mixture-spec twin of
+    * [[writeBudgetState]] (which IS this function with one constant
+    * group). Same rolling contract and same validate-before-write
+    * discipline. */
+  def writeBudgetStatePerGroup(df: DataFrame, group: Column, id: Column,
+                               quality: Column, cost: Column, path: String,
+                               maxHistRows: Int = 1 << 20): Unit =
+    writeStateRows(df.sparkSession,
+      stateHistogram(df, group, id, quality, cost)
+        .limit(maxHistRows + 1).collect(),
+      path, maxHistRows)
+
+  /** Fold a batch's (group, level) histogram into existing per-group
+    * state — one batch-only aggregation, the existing corpus is never
+    * re-scanned. The merge is collected (cap-checked) before the
+    * rewrite, the read-then-overwrite discipline a self-append parquet
+    * path requires. */
+  def appendBudgetStatePerGroup(batch: DataFrame, group: Column, id: Column,
+                                quality: Column, cost: Column, path: String,
+                                maxHistRows: Int = 1 << 20): Unit = {
+    val spark = batch.sparkSession
+    val merged = spark.read.parquet(path)
+      .unionByName(stateHistogram(batch, group, id, quality, cost))
+      .groupBy(col("group"), col("q_level"))
+      .agg(sum(col("total_cost")).as("total_cost"),
+        min(col("min_cost")).as("min_cost"))
+      .limit(maxHistRows + 1)
+      .collect()
+    writeStateRows(spark, merged, path, maxHistRows)
   }
 
   /** [[budgetSelectPerGroup]] with its (group, level) histogram read
@@ -486,9 +466,14 @@ object BudgetSelect {
       .toMap
     var rounds = 0
     while (state.nonEmpty) {
+      // unreachable with UNIQUE ids (spans shrink every round) — but a
+      // violated precondition (duplicate or non-integral ids collapsing
+      // under the long cast) parks > smallCap rows on ONE id, where
+      // width-1 chunks stop shrinking; fail loudly naming the cause
+      // instead of looping forever
       rounds += 1
-      require(rounds <= 64, "per-group refinement failed to converge " +
-        "(unreachable: spans shrink every round)")
+      require(rounds <= 64, "refinement failed to converge — are the " +
+        "ids unique? (duplicate or non-integral ids collapse chunks)")
       val (small, big) = state.partition(_._2._3 <= smallCap)
       if (small.nonEmpty) {
         val gs = small.keys.toSeq.sorted

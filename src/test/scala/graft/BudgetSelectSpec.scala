@@ -322,9 +322,9 @@ class BudgetSelectSpec extends AnyFunSuite {
       .resolve("state").toString
     // rolling split: "existing" store state, then a batch fold
     BudgetSelect.writeBudgetState(df.where(col("id") % 3 =!= 0),
-      col("q"), col("c"), path)
+      col("id"), col("q"), col("c"), path)
     BudgetSelect.appendBudgetState(df.where(col("id") % 3 === 0),
-      col("q"), col("c"), path)
+      col("id"), col("q"), col("c"), path)
     // folded state totals must equal the corpus's own
     assert(spark.read.parquet(path).agg(sum(col("total_cost")))
       .head().getLong(0) === total)
@@ -335,7 +335,7 @@ class BudgetSelectSpec extends AnyFunSuite {
       assert(got === bruteKept(df, budget), s"budget=$budget")
     }
     // a second append folds on top of the merged state, not beside it
-    BudgetSelect.appendBudgetState(df.limit(0), col("q"), col("c"), path)
+    BudgetSelect.appendBudgetState(df.limit(0), col("id"), col("q"), col("c"), path)
     val levels = spark.read.parquet(path).count()
     assert(levels === df.select(col("q")).distinct().count(),
       "append must merge levels, not duplicate them")
@@ -347,9 +347,9 @@ class BudgetSelectSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graft_bsg")
       .resolve("state").toString
     BudgetSelect.writeBudgetStatePerGroup(df.where(col("id") % 3 =!= 0),
-      col("g"), col("q"), col("c"), path)
+      col("g"), col("id"), col("q"), col("c"), path)
     BudgetSelect.appendBudgetStatePerGroup(df.where(col("id") % 3 === 0),
-      col("g"), col("q"), col("c"), path)
+      col("g"), col("id"), col("q"), col("c"), path)
     val got = BudgetSelect.budgetSelectPerGroupFromState(df, col("g"),
         col("id"), col("q"), col("c"), budgets, path)
       .select(col("id")).collect().map(_.getLong(0)).toSet

@@ -34,8 +34,11 @@ class ImagesSpec extends AnyFunSuite {
       val units = got.get
       assert(units.length === 3 * w * h)
       assert(units.min === units.max, s"gray=$gray: decode must stay uniform")
-      assert(math.abs(units.head - gray) <= 2,
-        s"gray=$gray decoded as ${units.head}")
+      // EXACT equality, deliberately as strong as the
+      // multimodal_image_decode oracle's closed-form assumption — if a
+      // JDK change ever shifts quantization by even 1, this spec must
+      // fail alongside the gate, not mask the drift with a tolerance
+      assert(units.head === gray, s"gray=$gray decoded as ${units.head}")
     }
   }
 
