@@ -543,6 +543,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // curriculum binning: exact rank-proportional quantile bins over
+    // (quality DESC, doc_id) WITHOUT a global sort or ranking window —
+    // level histogram + driver boundary placement + within-level rank
+    // refinement, with the final bin assignment a map-only literal
+    // comparison (Binning scaladoc has the 100 TB argument). The oracle
+    // recomputes the same floor map from a from-scratch row_number, so
+    // a misplaced boundary, an off-by-one local rank, or a tie-order
+    // slip cannot hide. k=7 lands boundaries both between and inside
+    // quality levels at every SF.
+    "curriculum_bins" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"))
+      graft.text.Binning.quantileBins(scored, col("doc_id"), col("q_ppm"),
+          k = 7)
+        .orderBy(col("doc_id"))
+    }),
+
     // rolling-corpus budget cutoff from PERSISTED state: the corpus
     // splits into an "existing" store and an ingest "batch"; the
     // quality-level histogram persists at write time, the batch FOLDS
@@ -1954,6 +1973,23 @@ object ExtensionQueries {
         |      FROM t2)
         |SELECT r.doc_id, r.q_ppm, r.n_tokens FROM r, b
         |WHERE r.cum <= b.budget ORDER BY r.doc_id""".stripMargin,
+
+    // the same floor map recomputed from a from-scratch global ranking
+    // window — integer arithmetic end to end
+    "curriculum_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM t),
+        |r AS (SELECT doc_id, q_ppm,
+        |        row_number() OVER (ORDER BY q_ppm DESC, doc_id) AS rn
+        |      FROM t)
+        |SELECT r.doc_id, r.q_ppm,
+        |  cast((r.rn - 1) * 7 // n.n + 1 AS int) AS bin
+        |FROM r, n ORDER BY r.doc_id""".stripMargin,
 
     // identical greedy prefix recomputed FROM SCRATCH over the whole
     // corpus — the persisted-state fold on the Spark side must land on

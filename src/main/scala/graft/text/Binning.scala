@@ -1,0 +1,207 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TemporalOps.floorDivChunk
+
+/** Curriculum binning: assign every document an exact rank-proportional
+  * quantile bin over (score DESC, id ASC) — the "sort the corpus by
+  * quality and train easy→hard (or hard→easy) in k stages" step, as a
+  * first-class operator.
+  *
+  * Semantics: with n live rows and global 0-based rank r in the
+  * (score DESC, id ASC) total order, `bin = 1 + floor(r * k / n)` —
+  * rank-proportional k-binning, identical to SQL
+  * `1 + (row_number() over (order by score desc, id) - 1) * k / n`
+  * under integer division, and equal to `ntile(k)` whenever n ≥ k
+  * (ntile's larger-groups-first sizing coincides with the floor map
+  * there; for n < k ntile renumbers 1..n while this map spreads bins —
+  * the documented, oracle-exact contract is the floor map).
+  *
+  * Scale shape (100 TB): the naive plan is a GLOBAL SORT plus a
+  * single-task ranking window — the canonical unscalable plan twice
+  * over. Here instead:
+  *
+  *  1. ONE aggregation builds the score-level histogram
+  *     (level, count, min id, max id) — bounded by `maxLevels` (the ppm
+  *     convention), collected to the driver;
+  *  2. the driver places all k-1 bin boundaries against the cumulative
+  *     level counts. A boundary landing on a level EDGE resolves
+  *     immediately (the histogram already carries each level's min/max
+  *     id); only boundaries INTERIOR to a level need row resolution:
+  *     the t-th smallest id within that level — a selection problem,
+  *     solved by id-chunk count refinement (the [[BudgetSelect]]
+  *     machinery) over a slim (boundary, id) frame that is
+  *     localCheckpointed ONCE, so refinement rounds never re-scan the
+  *     corpus, and the final ≤ `smallCap` remainder is a bounded driver
+  *     sort;
+  *  3. the OUTPUT plan is map-only: `bin` is a folded comparison
+  *     against ≤ k-1 literal boundary positions — no join, no window,
+  *     no shuffle of the corpus at all.
+  *
+  * Driver state: the level histogram (≤ maxLevels slim rows) + k-1
+  * boundary cursors + one ≤ smallCap id array per interior boundary.
+  * Nothing scales with corpus size.
+  *
+  * Preconditions (the [[BudgetSelect]] discipline): integral `score`
+  * (ppm a continuous one first), integral UNIQUE `id`; rows where id or
+  * score try_casts to null are DROPPED (no coherent rank exists for
+  * them). `k` must be ≥ 1 and n * k must fit a signed 64-bit product
+  * (loud require — every physical corpus passes).
+  */
+object Binning {
+
+  /** Annotate `df` with an exact `bin` column in 1..k (see object doc).
+    * Row order unspecified, like any projection. */
+  def quantileBins(df: DataFrame, id: Column, score: Column, k: Int,
+                   maxLevels: Int = 1 << 20): DataFrame =
+    quantileBinsImpl(df, id, score, k, maxLevels,
+      fanout = 4096, smallCap = 1 << 16)
+
+  /** Test seam: `fanout`/`smallCap` shrink to force deep refinement. */
+  private[graft] def quantileBinsImpl(df: DataFrame, id: Column,
+                                      score: Column, k: Int, maxLevels: Int,
+                                      fanout: Int, smallCap: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(fanout >= 2 && smallCap >= 1, "fanout >= 2, smallCap >= 1")
+    val idL = id.try_cast("long")
+    val qL = score.try_cast("long")
+    val live = df.where(idL.isNotNull && qL.isNotNull)
+    if (k == 1) return live.withColumn("bin", lit(1))
+
+    // 1. level histogram with per-level id extremes — edge boundaries
+    // resolve from these without touching the corpus again
+    val hist = live.groupBy(qL.as("__q"))
+      .agg(count(lit(1)).as("__n"), min(idL).as("__lo"), max(idL).as("__hi"))
+      .limit(maxLevels + 1)
+      .collect()
+    require(hist.length <= maxLevels,
+      s"more than $maxLevels distinct score levels — quantize the score " +
+        "(ppm convention) or raise maxLevels")
+    if (hist.isEmpty) return live.withColumn("bin", lit(1))
+    val levels = hist.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).sortBy(_._1)(Ordering[Long].reverse)
+    val n = levels.map(_._2).sum
+    require(n <= Long.MaxValue / k,
+      s"n * k overflows 64 bits (n=$n, k=$k)")
+
+    // cumulative start rank per level, best-first
+    val starts = levels.scanLeft(0L)((acc, l) => acc + l._2)
+
+    // 2. place the k-1 boundaries. R_i = ceil(i*n/k) rows fall in bins
+    // <= i; the boundary POSITION is the (score, id) at rank R_i - 1.
+    // sel = interior boundaries awaiting within-level rank resolution:
+    // (boundary index, level value, local 0-based rank t)
+    var resolved = Map.empty[Int, (Long, Long)] // i -> (level, id*)
+    var alwaysAfter = List.empty[Int]           // R_i == 0: bin shift for all
+    var sels = List.empty[(Int, Long, Long)]
+    for (i <- 1 until k) {
+      val r = (BigInt(i) * n + k - 1) / k // ceil(i*n/k), fits Long (<= n)
+      if (r == 0) alwaysAfter ::= i
+      else {
+        val rank = r.toLong - 1
+        // level j with starts(j) <= rank < starts(j+1)
+        var j = 0
+        while (starts(j + 1) <= rank) j += 1
+        val (lvl, cnt, lo, hi) = levels(j)
+        val t = rank - starts(j)
+        if (t == 0L) resolved += i -> (lvl, lo)
+        else if (t == cnt - 1) resolved += i -> (lvl, hi)
+        else sels ::= (i, lvl, t)
+      }
+    }
+
+    // 3. interior selections: t-th smallest id within a level, by chunk
+    // count refinement over a slim (sel, id) frame checkpointed ONCE
+    // (several boundaries can share one huge tie level — each carries
+    // its own cursor, so rows replicate only per boundary-in-level)
+    if (sels.nonEmpty) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      val spark = df.sparkSession
+      def frame(rows: Seq[Row], fs: (String, org.apache.spark.sql.types.DataType)*) =
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(fs.map { case (nm, t) => StructField(nm, t, nullable = false) }))
+      val selDf = frame(sels.sortBy(_._1).map { case (i, lvl, _) => Row(i, lvl) },
+        "__sel" -> IntegerType, "__lvl" -> LongType)
+      var pending = live.select(qL.as("__lvl"), idL.as("__id"))
+        .join(broadcast(selDf), Seq("__lvl"))
+        .select(col("__sel"), col("__id"))
+        .localCheckpoint(false)
+      // state per sel: (lo, hi, count, t)
+      var state: Map[Int, (Long, Long, Long, Long)] = {
+        val byLvl = levels.map(l => l._1 -> l).toMap
+        sels.map { case (i, lvl, t) =>
+          val (_, cnt, lo, hi) = byLvl(lvl)
+          i -> (lo, hi, cnt, t)
+        }.toMap
+      }
+      var rounds = 0
+      while (state.valuesIterator.exists(_._3 > smallCap)) {
+        rounds += 1
+        require(rounds <= 64, "refinement failed to converge — are the " +
+          "ids unique? (duplicate or non-integral ids collapse chunks)")
+        val widths = state.toSeq.sortBy(_._1).map { case (i, (lo, hi, _, _)) =>
+          val span = BigInt(hi) - BigInt(lo) + 1
+          Row(i, ((span + fanout - 1) / fanout).max(1)
+            .min(BigInt(Long.MaxValue / 2)).toLong)
+        }
+        val chunked = pending
+          .join(broadcast(frame(widths, "__sel" -> IntegerType, "__w" -> LongType)),
+            Seq("__sel"))
+          .withColumn("__c", floorDivChunk(col("__id"), col("__w")))
+        val chist = chunked.groupBy(col("__sel"), col("__c"))
+          .agg(count(lit(1)).as("__n"), min(col("__id")).as("__lo"),
+            max(col("__id")).as("__hi"))
+          .collect()
+        val nextState = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long)]
+        val stars = chist.groupBy(_.getInt(0)).map { case (i, rows) =>
+          val (lo0, hi0, cnt0, t0) = state(i)
+          if (cnt0 <= smallCap) { nextState(i) = state(i); Row(i, Long.MinValue) }
+          else {
+            val chunks = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4))).sortBy(_._1)
+            var acc = 0L
+            var star = Option.empty[(Long, Long, Long, Long)]
+            var before = 0L
+            chunks.foreach { case (c, cn, clo, chi) =>
+              if (star.isEmpty && acc + cn > t0) { star = Some((c, cn, clo, chi)); before = acc }
+              acc += cn
+            }
+            val (cs, cn, clo, chi) = star.get // exists: t0 < cnt0 by invariant
+            nextState(i) = (clo, chi, cn, t0 - before)
+            Row(i, cs)
+          }
+        }.toSeq
+        pending = chunked
+          .join(broadcast(frame(stars.sortBy(_.getInt(0)),
+            "__sel" -> IntegerType, "__cstar" -> LongType)), Seq("__sel"))
+          .where(col("__c") === col("__cstar") || col("__cstar") === Long.MinValue)
+          .select(col("__sel"), col("__id"))
+          .localCheckpoint(false)
+        state = nextState.toMap
+      }
+      // bounded exact finish: each remaining cursor's ids fit smallCap —
+      // collect, sort, index (one driver array per interior boundary)
+      val fin = pending.collect().groupBy(_.getInt(0))
+      val selLvl = sels.map { case (i, lvl, _) => i -> lvl }.toMap
+      state.foreach { case (i, (_, _, cnt, t)) =>
+        val ids = fin.getOrElse(i, Array.empty).map(_.getLong(1)).sorted
+        require(ids.length == cnt && t < cnt,
+          s"boundary $i refinement lost rows (have ${ids.length}, want $cnt)")
+        resolved += i -> (selLvl(i), ids(t.toInt))
+      }
+    }
+
+    // 4. map-only assignment: bin = 1 + #boundaries strictly before the
+    // row in (score DESC, id ASC) order — a folded literal comparison,
+    // no join/window/shuffle anywhere in the output plan
+    val after = resolved.valuesIterator.foldLeft(lit(alwaysAfter.size)) {
+      case (acc, (lvl, bid)) =>
+        acc + when(qL < lit(lvl) || (qL === lit(lvl) && idL > lit(bid)), 1)
+          .otherwise(0)
+    }
+    live.withColumn("bin", (after + 1).cast("int"))
+  }
+}

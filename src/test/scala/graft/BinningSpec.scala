@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Binning
+
+/** Binning.quantileBins vs the semantics it promises: bin must equal
+  * `1 + (row_number() over (order by score desc, id) - 1) * k / n`
+  * (integer division) — across k values, tie pile-ups, boundary
+  * placements (level edges AND interior), and with fanout/smallCap
+  * shrunk so a 200-row corpus exercises multi-round within-level rank
+  * refinement. The mainline is also oracled end-to-end by the
+  * `curriculum_bins` DuckDB gate. */
+class BinningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** The spec's independent answer: the ranking-window form. */
+  private def bruteBins(df: DataFrame, k: Int): Map[Long, Int] = {
+    val live = df.where(col("id").isNotNull && col("q").isNotNull)
+    val n = live.count()
+    val w = Window.orderBy(col("q").desc, col("id"))
+    live.withColumn("rn", row_number().over(w))
+      .select(col("id"), (((col("rn") - 1) * k / n).cast("int") + 1).as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  private def gotBins(df: DataFrame, k: Int,
+                      fanout: Int = 4096, smallCap: Int = 1 << 16): Map[Long, Int] = {
+    val r = Binning.quantileBinsImpl(df, col("id"), col("q"), k,
+      maxLevels = 1 << 20, fanout = fanout, smallCap = smallCap)
+    val rows = r.select(col("id"), col("bin")).collect()
+    assert(rows.length === rows.map(_.getLong(0)).distinct.length,
+      "a row must appear exactly once")
+    rows.map(x => x.getLong(0) -> x.getInt(1)).toMap
+  }
+
+  /** Heavy ties (6 levels over 200 rows) so boundaries land INSIDE
+    * levels and multiple boundaries can share one level. */
+  private def corpus(nRows: Int, nLevels: Int, seed: Long): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    (0 until nRows).map { i =>
+      (i.toLong * 13 % 1000, rng.nextInt(nLevels).toLong)
+    }.toDF("id", "q")
+  }
+
+  test("matches the ranking window across k") {
+    val df = corpus(200, nLevels = 6, seed = 1).cache()
+    for (k <- Seq(1, 2, 3, 5, 7, 16, 64))
+      assert(gotBins(df, k) === bruteBins(df, k), s"k=$k")
+  }
+
+  test("deep refinement (fanout 2, smallCap 1) is output-identical") {
+    val df = corpus(200, nLevels = 3, seed = 2).cache()
+    for (k <- Seq(2, 5, 9))
+      assert(gotBins(df, k, fanout = 2, smallCap = 1) === bruteBins(df, k),
+        s"k=$k")
+  }
+
+  test("one giant tie level spanning many bins") {
+    // every boundary is interior to the single level — pure selection
+    val df = (0 until 120).map(i => (i.toLong * 7 % 997, 5L)).toDF("id", "q")
+    for (k <- Seq(4, 10))
+      assert(gotBins(df, k, fanout = 4, smallCap = 2) === bruteBins(df, k),
+        s"k=$k")
+  }
+
+  test("k greater than n spreads bins by the floor map") {
+    val df = (0 until 3).map(i => (i.toLong, 1L)).toDF("id", "q")
+    // n=3, k=5: ranks 0,1,2 -> 1 + 0*5/3, 1 + 1*5/3, 1 + 2*5/3 = 1, 2, 4
+    assert(gotBins(df, 5) === Map(0L -> 1, 1L -> 2, 2L -> 4))
+  }
+
+  test("extreme Long ids and scores bin without overflow") {
+    val df = Seq(
+      (Long.MinValue, Long.MaxValue), (Long.MaxValue, Long.MaxValue),
+      (-5L, 0L), (3L, 0L), (9L, Long.MinValue), (0L, 7L))
+      .toDF("id", "q")
+    for (k <- Seq(2, 3, 6))
+      assert(gotBins(df, k, fanout = 2, smallCap = 1) === bruteBins(df, k),
+        s"k=$k")
+  }
+
+  test("cast-null ids and scores are dropped, not ranked") {
+    val df = Seq(("1", "9"), ("x", "5"), ("3", "junk"), ("4", "2"))
+      .toDF("id", "q")
+    val got = Binning.quantileBins(df, col("id"), col("q"), 2)
+      .select(col("id")).collect().map(_.getString(0)).toSet
+    assert(got === Set("1", "4"))
+  }
+
+  test("the output plan is map-only: no sort, no window, no shuffle") {
+    val df = corpus(300, nLevels = 5, seed = 3)
+    val r = Binning.quantileBins(df, col("id"), col("q"), 7)
+    val p = r.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("Exchange"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("Sort"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("oversized level histograms fail loudly, not OOM the driver") {
+    val df = (0 until 40).map(i => (i.toLong, i.toLong)).toDF("id", "q")
+    val e = intercept[IllegalArgumentException] {
+      Binning.quantileBinsImpl(df, col("id"), col("q"), 4, maxLevels = 10,
+        fanout = 4096, smallCap = 1 << 16)
+    }
+    assert(e.getMessage.contains("score levels"))
+  }
+}
