@@ -562,6 +562,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-domain curriculum bins (the mixture-spec twin): every source
+    // bins into its own k stages over its own (quality DESC, doc_id)
+    // order — computed without the per-group ranking window whose
+    // hottest group would own the wall clock; the oracle IS that window
+    // from scratch.
+    "curriculum_bins_by_source" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"))
+      graft.text.Binning.quantileBinsPerGroup(scored, col("source"),
+          col("doc_id"), col("q_ppm"), k = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // rolling-corpus budget cutoff from PERSISTED state: the corpus
     // splits into an "existing" store and an ingest "batch"; the
     // quality-level histogram persists at write time, the batch FOLDS
@@ -1990,6 +2005,24 @@ object ExtensionQueries {
         |SELECT r.doc_id, r.q_ppm,
         |  cast((r.rn - 1) * 7 // n.n + 1 AS int) AS bin
         |FROM r, n ORDER BY r.doc_id""".stripMargin,
+
+    // the same per-group floor map from a from-scratch partitioned
+    // ranking window
+    "curriculum_bins_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |n AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+        |r AS (SELECT doc_id, source, q_ppm,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY q_ppm DESC, doc_id) AS rn
+        |      FROM t)
+        |SELECT r.doc_id, r.source, r.q_ppm,
+        |  cast((r.rn - 1) * 4 // n.n + 1 AS int) AS bin
+        |FROM r JOIN n USING (source) ORDER BY r.doc_id""".stripMargin,
 
     // identical greedy prefix recomputed FROM SCRATCH over the whole
     // corpus — the persisted-state fold on the Spark side must land on

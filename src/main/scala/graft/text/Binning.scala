@@ -62,86 +62,116 @@ object Binning {
   /** Test seam: `fanout`/`smallCap` shrink to force deep refinement. */
   private[graft] def quantileBinsImpl(df: DataFrame, id: Column,
                                       score: Column, k: Int, maxLevels: Int,
-                                      fanout: Int, smallCap: Int): DataFrame = {
+                                      fanout: Int, smallCap: Int): DataFrame =
+    quantileBinsCore(df, lit(allGroup), id, score, k, maxLevels, fanout,
+      smallCap)
+
+  /** [[quantileBins]] computed SEPARATELY within every group — the
+    * mixture-spec curriculum ("bin web and code each into their own k
+    * stages"). Same floor-map contract per group over that group's own
+    * (score DESC, id ASC) order, same scale shape: one (group, level)
+    * histogram, every group's boundaries placed on the driver, all
+    * groups' interior boundaries refined TOGETHER, and the assignment
+    * joins a broadcast per-group boundary list instead of the
+    * per-group ranking window whose single hottest group would
+    * otherwise own the job's wall clock. */
+  def quantileBinsPerGroup(df: DataFrame, group: Column, id: Column,
+                           score: Column, k: Int,
+                           maxHistRows: Int = 1 << 20): DataFrame =
+    quantileBinsPerGroupImpl(df, group, id, score, k, maxHistRows,
+      fanout = 4096, smallCap = 1 << 16)
+
+  private[graft] def quantileBinsPerGroupImpl(
+      df: DataFrame, group: Column, id: Column, score: Column, k: Int,
+      maxHistRows: Int, fanout: Int, smallCap: Int): DataFrame =
+    quantileBinsCore(df, group, id, score, k, maxHistRows, fanout, smallCap)
+
+  private val allGroup = "__all"
+
+  private def quantileBinsCore(df: DataFrame, group: Column, id: Column,
+                               score: Column, k: Int, maxHistRows: Int,
+                               fanout: Int, smallCap: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     require(k >= 1, "k must be >= 1")
     require(fanout >= 2 && smallCap >= 1, "fanout >= 2, smallCap >= 1")
+    val gS = group.cast("string")
     val idL = id.try_cast("long")
     val qL = score.try_cast("long")
-    val live = df.where(idL.isNotNull && qL.isNotNull)
+    val live = df.where(gS.isNotNull && idL.isNotNull && qL.isNotNull)
     if (k == 1) return live.withColumn("bin", lit(1))
 
-    // 1. level histogram with per-level id extremes — edge boundaries
-    // resolve from these without touching the corpus again
-    val hist = live.groupBy(qL.as("__q"))
+    // 1. (group, level) histogram with per-level id extremes — edge
+    // boundaries resolve from these without touching the corpus again
+    val hist = live.groupBy(gS.as("__g"), qL.as("__q"))
       .agg(count(lit(1)).as("__n"), min(idL).as("__lo"), max(idL).as("__hi"))
-      .limit(maxLevels + 1)
+      .limit(maxHistRows + 1)
       .collect()
-    require(hist.length <= maxLevels,
-      s"more than $maxLevels distinct score levels — quantize the score " +
-        "(ppm convention) or raise maxLevels")
+    require(hist.length <= maxHistRows,
+      s"more than $maxHistRows distinct (group, score-level) rows — " +
+        "quantize the score (ppm convention) or raise the cap")
     if (hist.isEmpty) return live.withColumn("bin", lit(1))
-    val levels = hist.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-      r.getLong(3))).sortBy(_._1)(Ordering[Long].reverse)
-    val n = levels.map(_._2).sum
-    require(n <= Long.MaxValue / k,
-      s"n * k overflows 64 bits (n=$n, k=$k)")
 
-    // cumulative start rank per level, best-first
-    val starts = levels.scanLeft(0L)((acc, l) => acc + l._2)
-
-    // 2. place the k-1 boundaries. R_i = ceil(i*n/k) rows fall in bins
-    // <= i; the boundary POSITION is the (score, id) at rank R_i - 1.
-    // sel = interior boundaries awaiting within-level rank resolution:
-    // (boundary index, level value, local 0-based rank t)
-    var resolved = Map.empty[Int, (Long, Long)] // i -> (level, id*)
-    var alwaysAfter = List.empty[Int]           // R_i == 0: bin shift for all
-    var sels = List.empty[(Int, Long, Long)]
-    for (i <- 1 until k) {
-      val r = (BigInt(i) * n + k - 1) / k // ceil(i*n/k), fits Long (<= n)
-      if (r == 0) alwaysAfter ::= i
-      else {
-        val rank = r.toLong - 1
-        // level j with starts(j) <= rank < starts(j+1)
+    // 2. per group: place the k-1 boundaries against cumulative level
+    // counts. sel = interior boundaries awaiting within-level rank
+    // resolution: (group, boundary index) -> (level, local rank t)
+    var resolved = Map.empty[(String, Int), (Long, Long)] // -> (level, id*)
+    var sels = List.empty[((String, Int), Long, Long)]
+    val byGroup = hist.groupBy(_.getString(0))
+    byGroup.foreach { case (g, rows) =>
+      val levels = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)(Ordering[Long].reverse)
+      val n = levels.map(_._2).sum
+      require(n <= Long.MaxValue / k,
+        s"n * k overflows 64 bits (group=$g, n=$n, k=$k)")
+      val starts = levels.scanLeft(0L)((acc, l) => acc + l._2)
+      for (i <- 1 until k) {
+        val rank = ((BigInt(i) * n + k - 1) / k).toLong - 1 // ceil(i*n/k)-1 >= 0
         var j = 0
         while (starts(j + 1) <= rank) j += 1
         val (lvl, cnt, lo, hi) = levels(j)
         val t = rank - starts(j)
-        if (t == 0L) resolved += i -> (lvl, lo)
-        else if (t == cnt - 1) resolved += i -> (lvl, hi)
-        else sels ::= (i, lvl, t)
+        if (t == 0L) resolved += (g, i) -> (lvl, lo)
+        else if (t == cnt - 1) resolved += (g, i) -> (lvl, hi)
+        else sels ::= ((g, i), lvl, t)
       }
     }
 
-    // 3. interior selections: t-th smallest id within a level, by chunk
-    // count refinement over a slim (sel, id) frame checkpointed ONCE
-    // (several boundaries can share one huge tie level — each carries
-    // its own cursor, so rows replicate only per boundary-in-level)
+    val spark = df.sparkSession
+    def frame(rows: Seq[Row], fs: (String, org.apache.spark.sql.types.DataType)*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(fs.map { case (nm, t) => StructField(nm, t, nullable = false) }))
+
+    // 3. interior selections: t-th smallest id within a (group, level),
+    // refined by id-chunk count histograms over a slim (sel, id) frame
+    // checkpointed ONCE — rounds never re-scan the corpus. Every
+    // group's boundaries refine together (one aggregation per round),
+    // so the round count is the WORST cursor's O(log_fanout(idspan)).
     if (sels.nonEmpty) {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-      val spark = df.sparkSession
-      def frame(rows: Seq[Row], fs: (String, org.apache.spark.sql.types.DataType)*) =
-        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-          StructType(fs.map { case (nm, t) => StructField(nm, t, nullable = false) }))
-      val selDf = frame(sels.sortBy(_._1).map { case (i, lvl, _) => Row(i, lvl) },
-        "__sel" -> IntegerType, "__lvl" -> LongType)
-      var pending = live.select(qL.as("__lvl"), idL.as("__id"))
-        .join(broadcast(selDf), Seq("__lvl"))
+      val selIndex = sels.map(_._1).sorted.zipWithIndex.toMap
+      val selDf = frame(
+        sels.sortBy(s => selIndex(s._1)).map { case (key, lvl, _) =>
+          Row(selIndex(key), key._1, lvl)
+        }, "__sel" -> IntegerType, "__sg" -> StringType, "__slvl" -> LongType)
+      var pending = live.select(gS.as("__sg"), qL.as("__slvl"), idL.as("__id"))
+        .join(broadcast(selDf), Seq("__sg", "__slvl"))
         .select(col("__sel"), col("__id"))
         .localCheckpoint(false)
       // state per sel: (lo, hi, count, t)
       var state: Map[Int, (Long, Long, Long, Long)] = {
-        val byLvl = levels.map(l => l._1 -> l).toMap
-        sels.map { case (i, lvl, t) =>
-          val (_, cnt, lo, hi) = byLvl(lvl)
-          i -> (lo, hi, cnt, t)
+        val lvlStats = hist.map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        sels.map { case (key, lvl, t) =>
+          val (cnt, lo, hi) = lvlStats((key._1, lvl))
+          selIndex(key) -> (lo, hi, cnt, t)
         }.toMap
       }
       var rounds = 0
       while (state.valuesIterator.exists(_._3 > smallCap)) {
         rounds += 1
         require(rounds <= 64, "refinement failed to converge — are the " +
-          "ids unique? (duplicate or non-integral ids collapse chunks)")
+          "ids unique within each group? (duplicate or non-integral ids " +
+          "collapse chunks)")
         val widths = state.toSeq.sortBy(_._1).map { case (i, (lo, hi, _, _)) =>
           val span = BigInt(hi) - BigInt(lo) + 1
           Row(i, ((span + fanout - 1) / fanout).max(1)
@@ -157,7 +187,7 @@ object Binning {
           .collect()
         val nextState = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long)]
         val stars = chist.groupBy(_.getInt(0)).map { case (i, rows) =>
-          val (lo0, hi0, cnt0, t0) = state(i)
+          val (_, _, cnt0, t0) = state(i)
           if (cnt0 <= smallCap) { nextState(i) = state(i); Row(i, Long.MinValue) }
           else {
             val chunks = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
@@ -185,23 +215,49 @@ object Binning {
       // bounded exact finish: each remaining cursor's ids fit smallCap —
       // collect, sort, index (one driver array per interior boundary)
       val fin = pending.collect().groupBy(_.getInt(0))
-      val selLvl = sels.map { case (i, lvl, _) => i -> lvl }.toMap
+      val selKey = sels.map { case (key, lvl, _) => selIndex(key) -> (key, lvl) }.toMap
       state.foreach { case (i, (_, _, cnt, t)) =>
         val ids = fin.getOrElse(i, Array.empty).map(_.getLong(1)).sorted
         require(ids.length == cnt && t < cnt,
           s"boundary $i refinement lost rows (have ${ids.length}, want $cnt)")
-        resolved += i -> (selLvl(i), ids(t.toInt))
+        val (key, lvl) = selKey(i)
+        resolved += key -> (lvl, ids(t.toInt))
       }
     }
 
-    // 4. map-only assignment: bin = 1 + #boundaries strictly before the
-    // row in (score DESC, id ASC) order — a folded literal comparison,
-    // no join/window/shuffle anywhere in the output plan
-    val after = resolved.valuesIterator.foldLeft(lit(alwaysAfter.size)) {
-      case (acc, (lvl, bid)) =>
-        acc + when(qL < lit(lvl) || (qL === lit(lvl) && idL > lit(bid)), 1)
-          .otherwise(0)
+    // 4. assignment. Single (constant) group: a folded literal
+    // comparison — map-only, no join/window/shuffle in the output plan.
+    // Real groups: one broadcast join on the group key against each
+    // group's ≤ (k-1)-entry boundary array, then the same fold as an
+    // array aggregate — still no window and no corpus shuffle.
+    def afterExpr(lvlC: Column, idC: Column, lvl: Column, bid: Column): Column =
+      when(lvlC < lvl || (lvlC === lvl && idC > bid), 1).otherwise(0)
+    val groupsResolved = resolved.keys.map(_._1).toSet
+    if (groupsResolved.forall(_ == allGroup)) {
+      val after = resolved.foldLeft(lit(0)) { case (acc, (_, (lvl, bid))) =>
+        acc + afterExpr(qL, idL, lit(lvl), lit(bid))
+      }
+      live.withColumn("bin", (after + 1).cast("int"))
+    } else {
+      val bRows = resolved.toSeq
+        .groupBy(_._1._1).toSeq.sortBy(_._1)
+        .map { case (g, bs) =>
+          Row(g, bs.sortBy(_._1._2).map { case (_, (lvl, bid)) => Row(lvl, bid) })
+        }
+      val entry = StructType(Seq(StructField("lvl", LongType, nullable = false),
+        StructField("bid", LongType, nullable = false)))
+      val bDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(bRows, 1),
+        StructType(Seq(StructField("__bg", StringType, nullable = false),
+          StructField("__bounds", org.apache.spark.sql.types.ArrayType(entry,
+            containsNull = false), nullable = false))))
+      live.withColumn("__bg", gS)
+        .join(broadcast(bDf), Seq("__bg"), "left")
+        .withColumn("bin",
+          (coalesce(aggregate(col("__bounds"), lit(0), (acc, b) =>
+            acc + afterExpr(qL, idL, b.getField("lvl"), b.getField("bid"))),
+            lit(0)) + 1).cast("int"))
+        .drop("__bg", "__bounds")
     }
-    live.withColumn("bin", (after + 1).cast("int"))
   }
 }

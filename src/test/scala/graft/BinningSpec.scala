@@ -107,6 +107,61 @@ class BinningSpec extends AnyFunSuite {
       Binning.quantileBinsImpl(df, col("id"), col("q"), 4, maxLevels = 10,
         fanout = 4096, smallCap = 1 << 16)
     }
-    assert(e.getMessage.contains("score levels"))
+    assert(e.getMessage.contains("score-level"))
+  }
+
+  // ── per-group bins ─────────────────────────────────────────────────
+
+  private def bruteBinsPerGroup(df: DataFrame, k: Int): Map[Long, Int] = {
+    val live = df.where(col("g").isNotNull && col("id").isNotNull &&
+      col("q").isNotNull)
+    val counts = live.groupBy(col("g")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("q").desc, col("id"))
+    live.withColumn("rn", row_number().over(w))
+      .collect().map { r =>
+      val n = counts(r.getAs[String]("g"))
+      r.getAs[Long]("id") -> (((r.getAs[Int]("rn") - 1) * k / n).toInt + 1)
+    }.toMap
+  }
+
+  private def groupedCorpus(nRows: Int, nGroups: Int, nLevels: Int,
+                            seed: Long): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    (0 until nRows).map { i =>
+      (s"g${rng.nextInt(nGroups)}", i.toLong * 11 % 1009,
+        rng.nextInt(nLevels).toLong)
+    }.toDF("g", "id", "q")
+  }
+
+  test("per-group bins match the partitioned ranking window") {
+    val df = groupedCorpus(300, nGroups = 4, nLevels = 5, seed = 7).cache()
+    for (k <- Seq(2, 3, 7)) {
+      val got = Binning.quantileBinsPerGroup(df, col("g"), col("id"),
+        col("q"), k).select(col("id"), col("bin")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === bruteBinsPerGroup(df, k), s"k=$k")
+    }
+  }
+
+  test("per-group deep refinement (fanout 2, smallCap 1) is output-identical") {
+    val df = groupedCorpus(240, nGroups = 3, nLevels = 2, seed = 8).cache()
+    for (k <- Seq(3, 6)) {
+      val got = Binning.quantileBinsPerGroupImpl(df, col("g"), col("id"),
+          col("q"), k, maxHistRows = 1 << 20, fanout = 2, smallCap = 1)
+        .select(col("id"), col("bin")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === bruteBinsPerGroup(df, k), s"k=$k")
+    }
+  }
+
+  test("per-group plan: broadcast boundary join, never a ranking window") {
+    val df = groupedCorpus(300, nGroups = 4, nLevels = 3, seed = 9)
+    val r = Binning.quantileBinsPerGroup(df, col("g"), col("id"), col("q"), 5)
+    val p = r.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "per-group bins must not rank through a window:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
   }
 }
