@@ -1992,12 +1992,16 @@ object ExtensionQueries {
     // the same floor map recomputed from a from-scratch global ranking
     // window — integer arithmetic end to end
     "curriculum_bins" ->
-      """WITH t AS (
+      """WITH t0 AS (
         |  SELECT doc_id,
         |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
         |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm
-        |  FROM documents
-        |  WHERE doc_id IS NOT NULL),
+        |  FROM documents),
+        |-- the engine's null-drop contract: a null id or score has no
+        |-- rank (latent in this fixture, but the oracle must encode the
+        |-- CONTRACT, not the fixture)
+        |t AS (SELECT * FROM t0
+        |      WHERE doc_id IS NOT NULL AND q_ppm IS NOT NULL),
         |n AS (SELECT count(*) AS n FROM t),
         |r AS (SELECT doc_id, q_ppm,
         |        row_number() OVER (ORDER BY q_ppm DESC, doc_id) AS rn
@@ -2009,12 +2013,15 @@ object ExtensionQueries {
     // the same per-group floor map from a from-scratch partitioned
     // ranking window
     "curriculum_bins_by_source" ->
-      """WITH t AS (
+      """WITH t0 AS (
         |  SELECT doc_id, source,
         |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
         |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm
-        |  FROM documents
-        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |  FROM documents),
+        |-- null-drop contract, as in curriculum_bins's oracle
+        |t AS (SELECT * FROM t0
+        |      WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |        AND q_ppm IS NOT NULL),
         |n AS (SELECT source, count(*) AS n FROM t GROUP BY source),
         |r AS (SELECT doc_id, source, q_ppm,
         |        row_number() OVER (PARTITION BY source

@@ -157,7 +157,7 @@ object Binning {
         .join(broadcast(selDf), Seq("__sg", "__slvl"))
         .select(col("__sel"), col("__id"))
         .localCheckpoint(false)
-      // state per sel: (lo, hi, count, t)
+      // state per ACTIVE cursor: (lo, hi, count, t)
       var state: Map[Int, (Long, Long, Long, Long)] = {
         val lvlStats = hist.map(r => (r.getString(0), r.getLong(1)) ->
           (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
@@ -166,57 +166,65 @@ object Binning {
           selIndex(key) -> (lo, hi, cnt, t)
         }.toMap
       }
+      var finals = pending.limit(0)
+      val finalT = scala.collection.mutable.Map.empty[Int, (Long, Long)] // (cnt, t)
       var rounds = 0
-      while (state.valuesIterator.exists(_._3 > smallCap)) {
+      while (state.nonEmpty) {
         rounds += 1
         require(rounds <= 64, "refinement failed to converge — are the " +
           "ids unique within each group? (duplicate or non-integral ids " +
           "collapse chunks)")
-        val widths = state.toSeq.sortBy(_._1).map { case (i, (lo, hi, _, _)) =>
-          val span = BigInt(hi) - BigInt(lo) + 1
-          Row(i, ((span + fanout - 1) / fanout).max(1)
-            .min(BigInt(Long.MaxValue / 2)).toLong)
+        // converged cursors (count ≤ smallCap) move their rows into
+        // `finals` and LEAVE pending — the BudgetSelect discipline,
+        // which avoids re-aggregating finished rows every remaining
+        // round and needs no in-band chunk sentinel (a Long chunk id
+        // can be ANY value once widths reach 1)
+        val (small, big) = state.partition(_._2._3 <= smallCap)
+        if (small.nonEmpty) {
+          small.foreach { case (i, (_, _, cnt, t)) => finalT(i) = (cnt, t) }
+          finals = finals.unionByName(
+            pending.join(broadcast(frame(small.keys.toSeq.sorted.map(Row(_)),
+              "__sel" -> IntegerType)), Seq("__sel"), "left_semi"))
         }
-        val chunked = pending
-          .join(broadcast(frame(widths, "__sel" -> IntegerType, "__w" -> LongType)),
-            Seq("__sel"))
-          .withColumn("__c", floorDivChunk(col("__id"), col("__w")))
-        val chist = chunked.groupBy(col("__sel"), col("__c"))
-          .agg(count(lit(1)).as("__n"), min(col("__id")).as("__lo"),
-            max(col("__id")).as("__hi"))
-          .collect()
-        val nextState = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long)]
-        val stars = chist.groupBy(_.getInt(0)).map { case (i, rows) =>
-          val (_, _, cnt0, t0) = state(i)
-          if (cnt0 <= smallCap) { nextState(i) = state(i); Row(i, Long.MinValue) }
-          else {
+        if (big.isEmpty) state = Map.empty
+        else {
+          val widths = big.toSeq.sortBy(_._1).map { case (i, (lo, hi, _, _)) =>
+            Row(i, graft.core.Refine.chunkWidth(lo, hi, fanout))
+          }
+          val chunked = pending
+            .join(broadcast(frame(widths, "__sel" -> IntegerType, "__w" -> LongType)),
+              Seq("__sel"))
+            .withColumn("__c", floorDivChunk(col("__id"), col("__w")))
+          val chist = chunked.groupBy(col("__sel"), col("__c"))
+            .agg(count(lit(1)).as("__n"), min(col("__id")).as("__lo"),
+              max(col("__id")).as("__hi"))
+            .collect()
+          val nextState = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long)]
+          val stars = chist.groupBy(_.getInt(0)).map { case (i, rows) =>
+            val t0 = big(i)._4
             val chunks = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
               r.getLong(4))).sortBy(_._1)
-            var acc = 0L
-            var star = Option.empty[(Long, Long, Long, Long)]
-            var before = 0L
-            chunks.foreach { case (c, cn, clo, chi) =>
-              if (star.isEmpty && acc + cn > t0) { star = Some((c, cn, clo, chi)); before = acc }
-              acc += cn
-            }
-            val (cs, cn, clo, chi) = star.get // exists: t0 < cnt0 by invariant
+            // exists: t0 < count by the invariant carried down the loop
+            val ((cs, cn, clo, chi), before) =
+              graft.core.Refine.boundary[(Long, Long, Long, Long)](
+                chunks.toSeq, _._2, t0).get
             nextState(i) = (clo, chi, cn, t0 - before)
             Row(i, cs)
-          }
-        }.toSeq
-        pending = chunked
-          .join(broadcast(frame(stars.sortBy(_.getInt(0)),
-            "__sel" -> IntegerType, "__cstar" -> LongType)), Seq("__sel"))
-          .where(col("__c") === col("__cstar") || col("__cstar") === Long.MinValue)
-          .select(col("__sel"), col("__id"))
-          .localCheckpoint(false)
-        state = nextState.toMap
+          }.toSeq
+          pending = chunked
+            .join(broadcast(frame(stars.sortBy(_.getInt(0)),
+              "__sel" -> IntegerType, "__cstar" -> LongType)), Seq("__sel"))
+            .where(col("__c") === col("__cstar"))
+            .select(col("__sel"), col("__id"))
+            .localCheckpoint(false)
+          state = nextState.toMap
+        }
       }
-      // bounded exact finish: each remaining cursor's ids fit smallCap —
+      // bounded exact finish: each converged cursor's ids fit smallCap —
       // collect, sort, index (one driver array per interior boundary)
-      val fin = pending.collect().groupBy(_.getInt(0))
+      val fin = finals.collect().groupBy(_.getInt(0))
       val selKey = sels.map { case (key, lvl, _) => selIndex(key) -> (key, lvl) }.toMap
-      state.foreach { case (i, (_, _, cnt, t)) =>
+      finalT.foreach { case (i, (cnt, t)) =>
         val ids = fin.getOrElse(i, Array.empty).map(_.getLong(1)).sorted
         require(ids.length == cnt && t < cnt,
           s"boundary $i refinement lost rows (have ${ids.length}, want $cnt)")

@@ -414,16 +414,9 @@ object BudgetSelect {
       val levels = rows.map(r => (r._2, r._3))
         .sortBy(_._1)(Ordering[Long].reverse)
       val budget = budgets(g)
-      var acc = 0L
-      var qStar = Option.empty[Long]
-      var before = 0L
-      levels.foreach { case (q, t) =>
-        if (qStar.isEmpty && acc + t > budget) { qStar = Some(q); before = acc }
-        acc += t
-      }
-      qStar match {
-        case None     => keepAll ::= g
-        case Some(qs) => cut ::= (g, qs, budget - before)
+      graft.core.Refine.boundary[(Long, Long)](levels.toSeq, _._2, budget) match {
+        case None                 => keepAll ::= g
+        case Some(((qs, _), before)) => cut ::= (g, qs, budget - before)
       }
     }
 
@@ -485,9 +478,7 @@ object BudgetSelect {
       if (big.isEmpty) state = Map.empty
       else {
         val choices = big.toSeq.sortBy(_._1).map { case (g, (lo, hi, _)) =>
-          val span = BigInt(hi) - BigInt(lo) + 1
-          Row(g, ((span + fanout - 1) / fanout).max(1)
-            .min(BigInt(Long.MaxValue / 2)).toLong)
+          Row(g, graft.core.Refine.chunkWidth(lo, hi, fanout))
         }
         val chunked = pending
           .join(broadcast(frame(choices,
@@ -501,17 +492,10 @@ object BudgetSelect {
         val stars = chist.groupBy(_.getString(0)).map { case (g, rows) =>
           val chunks = rows.map(r => (r.getLong(1), r.getLong(2),
             r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
-          var cacc = 0L
-          var cStar = Option.empty[(Long, Long, Long, Long)]
-          var cbefore = 0L
-          chunks.foreach { case (c, t, clo, chi, cn) =>
-            if (cStar.isEmpty && cacc + t > remaining(g)) {
-              cStar = Some((c, clo, chi, cn)); cbefore = cacc
-            }
-            cacc += t
-          }
           // exists: pending cost > remaining invariant
-          val (cs, clo, chi, cn) = cStar.get
+          val ((cs, _, clo, chi, cn), cbefore) =
+            graft.core.Refine.boundary[(Long, Long, Long, Long, Long)](
+              chunks.toSeq, _._2, remaining(g)).get
           remaining(g) = remaining(g) - cbefore
           nextState(g) = (clo, chi, cn)
           Row(g, cs)

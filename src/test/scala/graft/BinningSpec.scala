@@ -84,6 +84,17 @@ class BinningSpec extends AnyFunSuite {
         s"k=$k")
   }
 
+  test("deep refinement inside a Long.MinValue id cluster (chunk-id = id edge)") {
+    // when widths shrink to 1, floorDivChunk(id, 1) == id — chunk ids
+    // then take ARBITRARY Long values including Long.MinValue, so any
+    // in-band sentinel in the star-chunk protocol corrupts refinement
+    // exactly here; the partition-out loop must stay exact
+    val df = (0 until 20).map(i => (Long.MinValue + i, 5L)).toDF("id", "q")
+    for (k <- Seq(3, 7))
+      assert(gotBins(df, k, fanout = 2, smallCap = 1) === bruteBins(df, k),
+        s"k=$k")
+  }
+
   test("cast-null ids and scores are dropped, not ranked") {
     val df = Seq(("1", "9"), ("x", "5"), ("3", "junk"), ("4", "2"))
       .toDF("id", "q")
