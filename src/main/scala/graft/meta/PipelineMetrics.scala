@@ -22,6 +22,50 @@ import org.apache.spark.sql.functions._
   */
 object PipelineMetrics {
 
+  /** EXACT distributed quantiles of an integral column — the
+    * corpus-profiling step `percentile_approx` only approximates, made
+    * exact by the same value-histogram trick the budget/binning
+    * operators ride: one map-side-combined aggregation keyed on the
+    * value (bounded by `maxLevels` — quantize continuous metrics to ppm
+    * first), then every requested quantile reads off the cumulative
+    * counts ON THE DRIVER. No sort, no window, no second scan; driver
+    * state is the bounded histogram. Null and cast-null values are
+    * excluded (a null has no rank).
+    *
+    * Semantics: discrete lower quantile over the value order — the
+    * value at 0-based rank `ceil(p * n) - 1` (clamped to [0, n-1]),
+    * exactly DuckDB/Postgres `quantile_disc` / `percentile_disc`.
+    * Returns one row per requested p: (p, value, n). Empty input
+    * returns no rows. */
+  def exactQuantiles(df: DataFrame, value: Column,
+                     ps: Seq[Double],
+                     maxLevels: Int = 1 << 20): DataFrame = {
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
+    val spark = df.sparkSession
+    val vL = value.try_cast("long")
+    val hist = df.where(vL.isNotNull)
+      .groupBy(vL.as("v")).agg(count(lit(1)).as("n"))
+      .limit(maxLevels + 1)
+      .collect()
+    require(hist.length <= maxLevels,
+      s"more than $maxLevels distinct values — quantize the metric " +
+        "(ppm convention) or raise maxLevels")
+    import spark.implicits._
+    if (hist.isEmpty)
+      return Seq.empty[(Double, Long, Long)].toDF("p", "value", "n")
+    val levels = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = levels.map(_._2).sum
+    val out = ps.map { p =>
+      val rank = math.min(n - 1, math.max(0L, math.ceil(p * n).toLong - 1))
+      // the level whose cumulative count first exceeds `rank`
+      val v = graft.core.Refine.boundary[(Long, Long)](
+        levels.toSeq, _._2, rank).get._1._1
+      (p, v, n)
+    }
+    out.toDF("p", "value", "n")
+  }
+
   /** Attach named counters to a frame without changing its rows. */
   def observed(df: DataFrame, name: String,
                metrics: Seq[(String, Column)]): DataFrame = {

@@ -957,6 +957,21 @@ object ExtensionQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // EXACT distributed quantiles (the approx_metrics twin made exact):
+    // value-histogram + driver cumulative lookup — no sort, no window,
+    // no single-task percentile path; price travels as integer cents
+    // (the house dialect-safety convention). The oracle is DuckDB's own
+    // quantile_disc, a genuinely independent implementation of the same
+    // discrete-quantile definition.
+    "exact_quantiles" -> ((s, dir) => {
+      graft.meta.PipelineMetrics.exactQuantiles(
+          Tables(s, dir, "lineitem"),
+          round(col("l_extendedprice") * 100, 0),
+          ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+        .select(col("p"), col("value").as("price_cents"), col("n"))
+        .orderBy(col("p"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
@@ -1988,6 +2003,18 @@ object ExtensionQueries {
         |      FROM t2)
         |SELECT r.doc_id, r.q_ppm, r.n_tokens FROM r, b
         |WHERE r.cum <= b.budget ORDER BY r.doc_id""".stripMargin,
+
+    // DuckDB's own discrete-quantile aggregate over the same cents
+    "exact_quantiles" ->
+      """WITH v AS (
+        |  SELECT cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT quantile_disc(c,
+        |        [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS vs,
+        |      count(*) AS n FROM v)
+        |SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p,
+        |  unnest(vs) AS price_cents, n
+        |FROM q ORDER BY p""".stripMargin,
 
     // the same floor map recomputed from a from-scratch global ranking
     // window — integer arithmetic end to end

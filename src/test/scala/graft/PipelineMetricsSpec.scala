@@ -69,4 +69,27 @@ class PipelineMetricsSpec extends AnyFunSuite {
       docs.where(col("doc_id") < 10), col("doc_id"), col("text"), path,
       probeHealth = false).isEmpty)
   }
+
+  test("exactQuantiles matches a driver-side sorted brute force") {
+    import graft.meta.PipelineMetrics
+    val rng = new scala.util.Random(17)
+    val vals = Seq.fill(500)(rng.nextInt(40).toLong - 10)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+    val got = PipelineMetrics.exactQuantiles(df, col("v"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    val n = vals.length
+    ps.foreach { p =>
+      val rank = math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1))
+      assert(got(p) === sorted(rank), s"p=$p")
+    }
+    // cast-null values are excluded, empty input yields no rows
+    val mixed = Seq("3", "junk", "1", "2").map(Tuple1(_)).toDF("v")
+    val m = PipelineMetrics.exactQuantiles(mixed, col("v"), Seq(0.5))
+      .head()
+    assert(m.getLong(1) === 2L && m.getLong(2) === 3L)
+    assert(PipelineMetrics.exactQuantiles(df.limit(0), col("v"), Seq(0.5))
+      .count() === 0L)
+  }
 }
