@@ -66,6 +66,40 @@ object PipelineMetrics {
     out.toDF("p", "value", "n")
   }
 
+  /** [[exactQuantiles]] computed SEPARATELY within every group from ONE
+    * (group, value) histogram pass — the per-domain profiling twin
+    * ("p99 tokens per source"). Driver state: the bounded histogram
+    * across all groups (`maxHistRows`, loud-fail). Returns one row per
+    * (group, p): (group, p, value, n); groups come from the data. */
+  def exactQuantilesPerGroup(df: DataFrame, group: Column, value: Column,
+                             ps: Seq[Double],
+                             maxHistRows: Int = 1 << 20): DataFrame = {
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
+    val spark = df.sparkSession
+    val gS = group.cast("string")
+    val vL = value.try_cast("long")
+    val hist = df.where(gS.isNotNull && vL.isNotNull)
+      .groupBy(gS.as("g"), vL.as("v")).agg(count(lit(1)).as("n"))
+      .limit(maxHistRows + 1)
+      .collect()
+    require(hist.length <= maxHistRows,
+      s"more than $maxHistRows distinct (group, value) rows — quantize " +
+        "the metric (ppm convention) or raise maxHistRows")
+    import spark.implicits._
+    hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        val n = levels.map(_._2).sum
+        ps.map { p =>
+          val rank = math.min(n - 1, math.max(0L, math.ceil(p * n).toLong - 1))
+          val v = graft.core.Refine.boundary[(Long, Long)](
+            levels.toSeq, _._2, rank).get._1._1
+          (g, p, v, n)
+        }
+      }.toDF("group", "p", "value", "n")
+  }
+
   /** Attach named counters to a frame without changing its rows. */
   def observed(df: DataFrame, name: String,
                metrics: Seq[(String, Column)]): DataFrame = {

@@ -972,6 +972,18 @@ object ExtensionQueries {
         .orderBy(col("p"))
     }),
 
+    // the per-domain twin: every group's exact quantiles off ONE
+    // (group, value) histogram pass
+    "exact_quantiles_by_flag" -> ((s, dir) => {
+      graft.meta.PipelineMetrics.exactQuantilesPerGroup(
+          Tables(s, dir, "lineitem"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0),
+          ps = Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("group").as("l_returnflag"), col("p"),
+          col("value").as("price_cents"), col("n"))
+        .orderBy(col("l_returnflag"), col("p"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
@@ -2015,6 +2027,21 @@ object ExtensionQueries {
         |SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p,
         |  unnest(vs) AS price_cents, n
         |FROM q ORDER BY p""".stripMargin,
+
+    // per-group quantile_disc over the same cents
+    "exact_quantiles_by_flag" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |q AS (SELECT l_returnflag,
+        |        quantile_disc(c, [0.25, 0.5, 0.9, 0.99]) AS vs,
+        |        count(*) AS n
+        |      FROM v GROUP BY l_returnflag)
+        |SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS p,
+        |  unnest(vs) AS price_cents, n
+        |FROM q ORDER BY l_returnflag, p""".stripMargin,
 
     // the same floor map recomputed from a from-scratch global ranking
     // window — integer arithmetic end to end

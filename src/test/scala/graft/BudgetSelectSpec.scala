@@ -378,4 +378,24 @@ class BudgetSelectSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "boundary ids must come back as a broadcast-class semi-join side\n" + p)
   }
+
+  test("corrupt budget state fails loudly, never silently mis-cuts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badstate")
+    val bad = dir.resolve("state").toString
+    // a parquet file with the WRONG schema at the state path
+    Seq((1L, "x")).toDF("foo", "bar").write.parquet(bad)
+    val df = corpus(50, seed = 41)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      BudgetSelect.budgetSelectFromState(df, col("id"), col("q"), col("c"),
+        10L, bad)
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      BudgetSelect.appendBudgetState(df, col("id"), col("q"), col("c"), bad)
+    }
+    // a missing path is equally loud
+    intercept[Exception] {
+      BudgetSelect.budgetSelectFromState(df, col("id"), col("q"), col("c"),
+        10L, dir.resolve("nope").toString)
+    }
+  }
 }

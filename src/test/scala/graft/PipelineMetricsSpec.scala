@@ -92,4 +92,22 @@ class PipelineMetricsSpec extends AnyFunSuite {
     assert(PipelineMetrics.exactQuantiles(df.limit(0), col("v"), Seq(0.5))
       .count() === 0L)
   }
+
+  test("exactQuantilesPerGroup matches per-group sorted brute force") {
+    import graft.meta.PipelineMetrics
+    val rng = new scala.util.Random(23)
+    val rows = Seq.fill(400)((s"g${rng.nextInt(3)}", rng.nextInt(25).toLong))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = PipelineMetrics.exactQuantilesPerGroup(df, col("g"), col("v"), ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    rows.groupBy(_._1).foreach { case (g, grows) =>
+      val sorted = grows.map(_._2).sorted
+      val n = sorted.length
+      ps.foreach { p =>
+        val rank = math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1))
+        assert(got((g, p)) === sorted(rank), s"g=$g p=$p")
+      }
+    }
+  }
 }
