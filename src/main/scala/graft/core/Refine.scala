@@ -25,6 +25,31 @@ private[graft] object Refine {
       .min(BigInt(Long.MaxValue / 2)).toLong
   }
 
+  /** Discrete quantile values off a (value, count) histogram sorted by
+    * value ascending: for each p, the value at 0-based rank
+    * `clamp(ceil(p*n)-1, 0, n-1)` — the percentile_disc definition.
+    * One cumulative pass + binary search per p (not a linear walk per
+    * p), and ONE home for the rank clamp so it cannot drift between
+    * the global and per-group quantile forms. Levels must be nonempty. */
+  def quantileValues(levels: Seq[(Long, Long)],
+                     ps: Seq[Double]): Seq[(Double, Long, Long)] = {
+    require(levels.nonEmpty, "levels must be nonempty")
+    val cum = levels.scanLeft(0L)(_ + _._2).tail.toIndexedSeq
+    val vals = levels.map(_._1).toIndexedSeq
+    val n = cum.last
+    ps.map { p =>
+      val rank = math.min(n - 1, math.max(0L, math.ceil(p * n).toLong - 1))
+      // first index with cum(idx) > rank
+      var lo = 0
+      var hi = cum.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) > rank) hi = mid else lo = mid + 1
+      }
+      (p, vals(lo), n)
+    }
+  }
+
   /** The boundary element of `elems` (already sorted in walk order):
     * the first whose cumulative weight STRICTLY exceeds `threshold`,
     * with the cumulative weight before it. None when the total never

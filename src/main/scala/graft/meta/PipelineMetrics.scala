@@ -36,68 +36,73 @@ object PipelineMetrics {
     * value at 0-based rank `ceil(p * n) - 1` (clamped to [0, n-1]),
     * exactly DuckDB/Postgres `quantile_disc` / `percentile_disc`.
     * Returns one row per requested p: (p, value, n). Empty input
-    * returns no rows. */
+    * returns no rows. A FRACTIONAL value (a raw double where the
+    * ppm/cents-quantized column was meant) fails loudly — a silently
+    * truncating cast would return confidently-"exact" wrong quantiles. */
   def exactQuantiles(df: DataFrame, value: Column,
                      ps: Seq[Double],
                      maxLevels: Int = 1 << 20): DataFrame = {
-    require(ps.nonEmpty, "ps must name at least one quantile")
-    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
     val spark = df.sparkSession
-    val vL = value.try_cast("long")
-    val hist = df.where(vL.isNotNull)
-      .groupBy(vL.as("v")).agg(count(lit(1)).as("n"))
-      .limit(maxLevels + 1)
-      .collect()
-    require(hist.length <= maxLevels,
-      s"more than $maxLevels distinct values — quantize the metric " +
-        "(ppm convention) or raise maxLevels")
     import spark.implicits._
-    if (hist.isEmpty)
+    val levels = quantileHistogram(df, lit("__all"), value, maxLevels)
+      .map { case (_, v, n) => (v, n) }
+    if (levels.isEmpty)
       return Seq.empty[(Double, Long, Long)].toDF("p", "value", "n")
-    val levels = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val n = levels.map(_._2).sum
-    val out = ps.map { p =>
-      val rank = math.min(n - 1, math.max(0L, math.ceil(p * n).toLong - 1))
-      // the level whose cumulative count first exceeds `rank`
-      val v = graft.core.Refine.boundary[(Long, Long)](
-        levels.toSeq, _._2, rank).get._1._1
-      (p, v, n)
-    }
-    out.toDF("p", "value", "n")
+    quantilePs(ps)
+    graft.core.Refine.quantileValues(levels.sortBy(_._1), ps)
+      .toDF("p", "value", "n")
   }
 
   /** [[exactQuantiles]] computed SEPARATELY within every group from ONE
     * (group, value) histogram pass — the per-domain profiling twin
     * ("p99 tokens per source"). Driver state: the bounded histogram
     * across all groups (`maxHistRows`, loud-fail). Returns one row per
-    * (group, p): (group, p, value, n); groups come from the data. */
+    * (group, p): (group, p, value, n); groups come from the data. The
+    * group column is COMPARED AND RETURNED AS A STRING (the per-group
+    * budget/binning convention — join back on a string-cast key), and
+    * rows whose group is null are dropped with the value-null rows. */
   def exactQuantilesPerGroup(df: DataFrame, group: Column, value: Column,
                              ps: Seq[Double],
                              maxHistRows: Int = 1 << 20): DataFrame = {
-    require(ps.nonEmpty, "ps must name at least one quantile")
-    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
     val spark = df.sparkSession
-    val gS = group.cast("string")
-    val vL = value.try_cast("long")
-    val hist = df.where(gS.isNotNull && vL.isNotNull)
-      .groupBy(gS.as("g"), vL.as("v")).agg(count(lit(1)).as("n"))
-      .limit(maxHistRows + 1)
-      .collect()
-    require(hist.length <= maxHistRows,
-      s"more than $maxHistRows distinct (group, value) rows — quantize " +
-        "the metric (ppm convention) or raise maxHistRows")
     import spark.implicits._
-    hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    quantilePs(ps)
+    quantileHistogram(df, group, value, maxHistRows)
       .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
         val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
-        val n = levels.map(_._2).sum
-        ps.map { p =>
-          val rank = math.min(n - 1, math.max(0L, math.ceil(p * n).toLong - 1))
-          val v = graft.core.Refine.boundary[(Long, Long)](
-            levels.toSeq, _._2, rank).get._1._1
-          (g, p, v, n)
-        }
+        graft.core.Refine.quantileValues(levels, ps)
+          .map { case (p, v, n) => (g, p, v, n) }
       }.toDF("group", "p", "value", "n")
+  }
+
+  private def quantilePs(ps: Seq[Double]): Unit = {
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
+  }
+
+  /** The one collected (group, value, count) histogram behind both
+    * quantile forms: cast-null groups/values are dropped (the null-drop
+    * contract), the collect is capped and loud, and a FRACTIONAL value
+    * — one that survives try_cast by TRUNCATING — fails loudly instead
+    * of skewing the histogram (the lossy flag rides the same pass). */
+  private def quantileHistogram(df: DataFrame, group: Column, value: Column,
+                                maxRows: Int): Array[(String, Long, Long)] = {
+    val gS = group.cast("string")
+    val vL = value.try_cast("long")
+    val lossy = when(value.cast("double") =!= vL.cast("double"), 1)
+      .otherwise(0)
+    val hist = df.where(gS.isNotNull && vL.isNotNull)
+      .groupBy(gS.as("g"), vL.as("v"))
+      .agg(count(lit(1)).as("n"), max(lossy).as("lossy"))
+      .limit(maxRows + 1)
+      .collect()
+    require(hist.length <= maxRows,
+      s"more than $maxRows distinct (group, value) rows — quantize " +
+        "the metric (ppm convention) or raise the cap")
+    require(hist.forall(_.getInt(3) == 0),
+      "fractional values would be TRUNCATED by the long cast — quantize " +
+        "the metric first (ppm/cents convention)")
+    hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
   }
 
   /** Attach named counters to a frame without changing its rows. */

@@ -110,4 +110,17 @@ class PipelineMetricsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fractional values fail the quantile cast loudly, never truncate") {
+    import graft.meta.PipelineMetrics
+    val df = Seq(1.5, 2.0, 3.99).map(Tuple1(_)).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      PipelineMetrics.exactQuantiles(df, col("v"), Seq(0.5))
+    }
+    assert(e.getMessage.contains("TRUNCATED"))
+    // integral doubles are NOT lossy and pass
+    val ok = Seq(1.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    assert(PipelineMetrics.exactQuantiles(ok, col("v"), Seq(0.5))
+      .head().getLong(1) === 2L)
+  }
 }
