@@ -54,7 +54,7 @@ object Bench {
     "multimodal_resize", "multimodal_audio_features",
     "corpus_budget_incremental_by_source", "curriculum_bins",
     "curriculum_bins_by_source", "exact_quantiles",
-    "exact_quantiles_by_flag")
+    "exact_quantiles_by_flag", "corpus_top_m")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -543,6 +543,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact global top-m: keep exactly the best 1234 documents by
+    // (quality DESC, doc_id) — the "select the m best docs" step at a
+    // size where orderBy.limit's single-task global limit and a ranking
+    // window both stop scaling; the oracle is the from-scratch
+    // row_number form. m = 1234 cuts INSIDE a quality level at every SF.
+    "corpus_top_m" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"))
+      graft.text.BudgetSelect.takeTop(scored, col("doc_id"), col("q_ppm"),
+          m = 1234L)
+        .orderBy(col("doc_id"))
+    }),
+
     // curriculum binning: exact rank-proportional quantile bins over
     // (quality DESC, doc_id) WITHOUT a global sort or ranking window —
     // level histogram + driver boundary placement + within-level rank
@@ -2042,6 +2057,21 @@ object ExtensionQueries {
         |SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS p,
         |  unnest(vs) AS price_cents, n
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
+
+    // the m-row prefix recomputed from a from-scratch ranking window
+    "corpus_top_m" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm
+        |  FROM documents),
+        |t2 AS (SELECT * FROM t
+        |       WHERE doc_id IS NOT NULL AND q_ppm IS NOT NULL),
+        |r AS (SELECT doc_id, q_ppm,
+        |        row_number() OVER (ORDER BY q_ppm DESC, doc_id) AS rn
+        |      FROM t2)
+        |SELECT doc_id, q_ppm FROM r WHERE rn <= 1234
+        |ORDER BY doc_id""".stripMargin,
 
     // the same floor map recomputed from a from-scratch global ranking
     // window — integer arithmetic end to end

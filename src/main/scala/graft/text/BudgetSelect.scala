@@ -88,6 +88,20 @@ object BudgetSelect {
       maxQualityLevels, fanout = 4096, smallCap = 1 << 16)
   }
 
+  /** Keep EXACTLY the best `m` rows of `df` by (quality DESC, id ASC) —
+    * exact global top-m selection at ANY m (billions included), where
+    * `orderBy.limit(m)` stops being an option: Spark's global limit
+    * materializes m rows through a single task, and a ranking window is
+    * the single-task sort this module exists to avoid. Implemented as
+    * [[budgetSelect]] with unit cost — a budget of m unit-cost rows IS
+    * the m-row prefix — so it inherits the histogram-cutoff scale shape
+    * and the checkpointed boundary refinement verbatim. */
+  def takeTop(df: DataFrame, id: Column, quality: Column,
+              m: Long, maxQualityLevels: Int = 1 << 20): DataFrame = {
+    require(m >= 0L, "m must be >= 0")
+    budgetSelect(df, id, quality, lit(1L), m, maxQualityLevels)
+  }
+
   /** Test-seam form: `fanout` (id chunks per refinement round) and
     * `smallCap` (max rows the final window may see) shrink in the spec
     * to force deep refinement on a 200-row corpus. */

@@ -398,4 +398,18 @@ class BudgetSelectSpec extends AnyFunSuite {
         10L, dir.resolve("nope").toString)
     }
   }
+
+  test("takeTop keeps exactly the m best rows across the m spectrum") {
+    val df = corpus(200, seed = 51).cache()
+    val w = Window.orderBy(col("q").desc, col("id"))
+    val ranked = df.withColumn("rn", row_number().over(w))
+    for (m <- Seq(0L, 1L, 37L, 100L, 199L, 200L, 500L)) {
+      val got = BudgetSelect.takeTop(df, col("id"), col("q"), m)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val want = ranked.where(col("rn") <= m).select(col("id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got === want, s"m=$m")
+      assert(got.size === math.min(m, 200L), s"m=$m size")
+    }
+  }
 }
