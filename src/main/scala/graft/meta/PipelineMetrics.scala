@@ -44,11 +44,12 @@ object PipelineMetrics {
                      maxLevels: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    quantilePs(ps) // validate BEFORE the early return: bad ps must be
+    // loud on an empty frame too, matching the per-group form
     val levels = quantileHistogram(df, lit("__all"), value, maxLevels)
       .map { case (_, v, n) => (v, n) }
     if (levels.isEmpty)
       return Seq.empty[(Double, Long, Long)].toDF("p", "value", "n")
-    quantilePs(ps)
     graft.core.Refine.quantileValues(levels.sortBy(_._1), ps)
       .toDF("p", "value", "n")
   }

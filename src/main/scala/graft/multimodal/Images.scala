@@ -32,9 +32,34 @@ import javax.imageio.ImageIO
   */
 object Images {
 
-  // in-memory stream cache, never temp files: executor-side decode must
-  // not do disk IO per payload (global JVM flag; set once, idempotent)
-  ImageIO.setUseCache(false)
+  // In-memory image streams, never temp files: executor-side decode
+  // must not do disk IO per payload. Scoped PER CALL by constructing
+  // MemoryCache image streams directly instead of flipping the
+  // process-global ImageIO.setUseCache flag — a library must not
+  // silently change ImageIO behavior for every other user of the JVM.
+  private def memIn(payload: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload))
+
+  /** Decode via an explicit in-memory stream (never ImageIO's
+    * global-cache-configured path); null when no reader claims it. */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = memIn(payload)
+    try ImageIO.read(iis) // closes iis per ImageIO.read(ImageInputStream) contract
+    catch { case e: Throwable => iis.close(); throw e }
+  }
+
+  /** Encode to bytes via an explicit in-memory output stream. */
+  private def writeImage(img: java.awt.image.RenderedImage,
+                         fmt: String): Option[Array[Byte]] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      val ok = ImageIO.write(img, fmt, ios)
+      ios.flush()
+      if (ok) Some(bos.toByteArray) else None
+    } finally ios.close()
+  }
 
   /** Header-only facts of a compressed image payload. `format` is the
     * lowercase ImageIO reader name: png, jpeg, gif. */
@@ -66,7 +91,7 @@ object Images {
   def parseImage(payload: Array[Byte]): Option[ImageInfo] = {
     if (payload == null || !looksLikeImage(payload)) return None
     try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val iis = memIn(payload)
       try {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return None
@@ -93,7 +118,7 @@ object Images {
   def imagePixelValues(payload: Array[Byte]): Option[Array[Int]] = {
     if (payload == null || !looksLikeImage(payload)) return None
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
@@ -151,7 +176,7 @@ object Images {
     require(dw > 0 && dh > 0, "target dimensions must be positive")
     if (payload == null || !looksLikeImage(payload)) return None
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) return None
       val sw = img.getWidth
       val sh = img.getHeight
@@ -169,9 +194,7 @@ object Images {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      ImageIO.write(out, "png", bos)
-      Some(bos.toByteArray)
+      writeImage(out, "png")
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -191,9 +214,7 @@ object Images {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    val ok = ImageIO.write(img, fmt, bos)
-    require(ok, s"no ImageIO writer for $fmt")
-    bos.toByteArray
+    writeImage(img, fmt)
+      .getOrElse(throw new IllegalArgumentException(s"no ImageIO writer for $fmt"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.TemporalOps.floorDivChunk
@@ -34,15 +35,20 @@ import graft.ops.TemporalOps.floorDivChunk
   *     solved by id-chunk count refinement (the [[BudgetSelect]]
   *     machinery) over a slim (boundary, id) frame that is
   *     localCheckpointed ONCE, so refinement rounds never re-scan the
-  *     corpus, and the final ≤ `smallCap` remainder is a bounded driver
-  *     sort;
+  *     corpus, and the final ≤ `smallCap` remainder per cursor resolves
+  *     with ONE row_number window PARTITIONED BY the cursor (bounded
+  *     partitions by construction) — only the single winner row per
+  *     interior boundary reaches the driver;
   *  3. the OUTPUT plan is map-only: `bin` is a folded comparison
   *     against ≤ k-1 literal boundary positions — no join, no window,
-  *     no shuffle of the corpus at all.
+  *     no shuffle of the corpus at all (above 64 boundaries the fold
+  *     becomes a flat broadcast boundary-array aggregate instead of a
+  *     depth-k nested-when tree — still windowless and shuffle-free).
   *
   * Driver state: the level histogram (≤ maxLevels slim rows) + k-1
-  * boundary cursors + one ≤ smallCap id array per interior boundary.
-  * Nothing scales with corpus size.
+  * boundary cursors + ≤ fanout chunk rows per cursor per round + one
+  * winner row per interior boundary at the finish. Nothing scales with
+  * corpus size, and nothing multiplies by smallCap.
   *
   * Preconditions (the [[BudgetSelect]] discipline): integral `score`
   * (ppm a continuous one first), integral UNIQUE `id`; rows where id or
@@ -87,6 +93,11 @@ object Binning {
     quantileBinsCore(df, group, id, score, k, maxHistRows, fanout, smallCap)
 
   private val allGroup = "__all"
+
+  /** Max literal boundaries folded into nested when() comparisons for
+    * the single-group assignment; above this the broadcast
+    * boundary-array aggregate (flat expression tree) takes over. */
+  private val foldedBoundaryCap = 64
 
   private def quantileBinsCore(df: DataFrame, group: Column, id: Column,
                                score: Column, k: Int, maxHistRows: Int,
@@ -220,28 +231,53 @@ object Binning {
           state = nextState.toMap
         }
       }
-      // bounded exact finish: each converged cursor's ids fit smallCap —
-      // collect, sort, index (one driver array per interior boundary)
-      val fin = finals.collect().groupBy(_.getInt(0))
+      // bounded exact finish, fully DISTRIBUTED (the BudgetSelect
+      // discipline): each converged cursor's rows fit smallCap, so one
+      // row_number window PARTITIONED BY the cursor resolves the t-th
+      // smallest id with ≤ smallCap rows per partition — no
+      // unpartitioned window, and only the single winner row per
+      // interior boundary (≤ (k-1) × groups rows total, the same size
+      // as `resolved` itself) ever reaches the driver, where the old
+      // finish collected and sorted every cursor's id array
+      // ((k-1) × groups × smallCap longs in the worst case)
+      val tDf = frame(
+        finalT.toSeq.sortBy(_._1).map { case (i, (cnt, t)) => Row(i, cnt, t) },
+        "__sel" -> IntegerType, "__cnt" -> LongType, "__t" -> LongType)
+      val wSel = Window.partitionBy(col("__sel")).orderBy(col("__id"))
+      val picked = finals.join(broadcast(tDf), Seq("__sel"))
+        .withColumn("__rn", row_number().over(wSel).cast("long") - 1L)
+        .withColumn("__pn", count(lit(1)).over(Window.partitionBy(col("__sel"))))
+        .where(col("__rn") === col("__t"))
+        .select(col("__sel"), col("__id"), col("__pn"))
+        .collect()
       val selKey = sels.map { case (key, lvl, _) => selIndex(key) -> (key, lvl) }.toMap
-      finalT.foreach { case (i, (cnt, t)) =>
-        val ids = fin.getOrElse(i, Array.empty).map(_.getLong(1)).sorted
-        require(ids.length == cnt && t < cnt,
-          s"boundary $i refinement lost rows (have ${ids.length}, want $cnt)")
+      require(picked.length == finalT.size,
+        s"boundary refinement lost cursors (resolved ${picked.length} " +
+          s"of ${finalT.size})")
+      picked.foreach { r =>
+        val i = r.getInt(0)
+        val (cnt, t) = finalT(i)
+        require(r.getLong(2) == cnt && t < cnt,
+          s"boundary $i refinement lost rows (have ${r.getLong(2)}, want $cnt)")
         val (key, lvl) = selKey(i)
-        resolved += key -> (lvl, ids(t.toInt))
+        resolved += key -> (lvl, r.getLong(1))
       }
     }
 
-    // 4. assignment. Single (constant) group: a folded literal
-    // comparison — map-only, no join/window/shuffle in the output plan.
-    // Real groups: one broadcast join on the group key against each
-    // group's ≤ (k-1)-entry boundary array, then the same fold as an
-    // array aggregate — still no window and no corpus shuffle.
+    // 4. assignment. Single (constant) group at modest k: a folded
+    // literal comparison — map-only, no join/window/shuffle in the
+    // output plan. Real groups — and the single group above
+    // `foldedBoundaryCap` boundaries, where k-1 NESTED when() folds
+    // would build a depth-k Catalyst tree that risks codegen fallback
+    // or analysis StackOverflow: one broadcast join on the group key
+    // against each group's ≤ (k-1)-entry boundary array, then the same
+    // fold as a bounded ARRAY aggregate (flat, depth-constant) — still
+    // no window and no corpus shuffle.
     def afterExpr(lvlC: Column, idC: Column, lvl: Column, bid: Column): Column =
       when(lvlC < lvl || (lvlC === lvl && idC > bid), 1).otherwise(0)
     val groupsResolved = resolved.keys.map(_._1).toSet
-    if (groupsResolved.forall(_ == allGroup)) {
+    if (groupsResolved.forall(_ == allGroup) &&
+        resolved.size <= foldedBoundaryCap) {
       val after = resolved.foldLeft(lit(0)) { case (acc, (_, (lvl, bid))) =>
         acc + afterExpr(qL, idL, lit(lvl), lit(bid))
       }

@@ -112,6 +112,26 @@ class BinningSpec extends AnyFunSuite {
     assert(!p.contains("Sort"), p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("k above the fold cap routes through the boundary-array path, " +
+      "output-identical and still windowless") {
+    // k = 100 > foldedBoundaryCap (64): the single-group assignment must
+    // switch from the depth-k nested-when fold (codegen/stack hazard at
+    // large k) to the flat broadcast boundary-array aggregate
+    val df = corpus(400, nLevels = 50, seed = 11).cache()
+    val k = 100
+    assert(gotBins(df, k) === bruteBins(df, k))
+    val p = Binning.quantileBins(df, col("id"), col("q"), k)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.linesIterator.take(30).mkString("\n"))
+    // with a CONSTANT group key Catalyst folds the broadcast join to a
+    // single-build-row nested loop — either broadcast form is the flat
+    // boundary-array plan; what matters is no window and no sort
+    assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("Sort"), p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("oversized level histograms fail loudly, not OOM the driver") {
     val df = (0 until 40).map(i => (i.toLong, i.toLong)).toDF("id", "q")
     val e = intercept[IllegalArgumentException] {

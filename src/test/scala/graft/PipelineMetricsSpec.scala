@@ -123,4 +123,16 @@ class PipelineMetricsSpec extends AnyFunSuite {
     assert(PipelineMetrics.exactQuantiles(ok, col("v"), Seq(0.5))
       .head().getLong(1) === 2L)
   }
+
+  test("invalid ps fail loudly even on an empty frame") {
+    import graft.meta.PipelineMetrics
+    val empty = Seq.empty[Long].map(Tuple1(_)).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      PipelineMetrics.exactQuantiles(empty, col("v"), Seq(1.5))
+    }
+    assert(e.getMessage.contains("[0,1]"))
+    intercept[IllegalArgumentException] {
+      PipelineMetrics.exactQuantiles(empty, col("v"), Seq.empty)
+    }
+  }
 }
