@@ -50,6 +50,44 @@ private[graft] object Refine {
     }
   }
 
+  /** CONTINUOUS-interpolation quantiles over the same level histogram
+    * (`percentile_cont` / DuckDB `quantile_cont` semantics): for each p
+    * the fractional rank is h = p*(n-1); the result interpolates
+    * linearly between the values at 0-based ranks floor(h) and
+    * floor(h)+1 as `v_lo + frac * (v_hi - v_lo)` with frac = h -
+    * floor(h). At quarter-fraction fracs (0, .25, .5, .75) every term
+    * is exactly representable for integral values below 2^51, so the
+    * double result is the EXACT rational — bit-equal across engines
+    * regardless of their interpolation formula. Returns
+    * (p, interpolated value, n). */
+  def quantileValuesCont(levels: Seq[(Long, Long)],
+                         ps: Seq[Double]): Seq[(Double, Double, Long)] = {
+    require(levels.nonEmpty, "levels must be nonempty")
+    val cum = levels.scanLeft(0L)(_ + _._2).tail.toIndexedSeq
+    val vals = levels.map(_._1).toIndexedSeq
+    val n = cum.last
+    def valueAtRank(rank: Long): Long = {
+      val r = math.min(n - 1, math.max(0L, rank))
+      var lo = 0
+      var hi = cum.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) > r) hi = mid else lo = mid + 1
+      }
+      vals(lo)
+    }
+    ps.map { p =>
+      val h = p * (n - 1).toDouble
+      val lo = math.floor(h).toLong
+      val frac = h - lo.toDouble
+      val vLo = valueAtRank(lo)
+      val v =
+        if (frac == 0.0) vLo.toDouble
+        else vLo.toDouble + frac * (valueAtRank(lo + 1) - vLo).toDouble
+      (p, v, n)
+    }
+  }
+
   /** The boundary element of `elems` (already sorted in walk order):
     * the first whose cumulative weight STRICTLY exceeds `threshold`,
     * with the cumulative weight before it. None when the total never

@@ -76,6 +76,47 @@ object PipelineMetrics {
       }.toDF("group", "p", "value", "n")
   }
 
+  /** [[exactQuantiles]]' CONTINUOUS-interpolation twin — the
+    * `percentile_cont` / DuckDB `quantile_cont` semantics most profiling
+    * stacks default to: the value at fractional rank h = p*(n-1),
+    * interpolated linearly between the integral-rank neighbors. Same
+    * single histogram pass and driver lookup; only the finish differs.
+    * Returns one row per p: (p, value DOUBLE, n). The interpolation is
+    * `v_lo + frac * (v_hi - v_lo)` in double arithmetic; at
+    * quarter-fraction fracs every term is exactly representable, so the
+    * result is the exact rational — which is what lets the gate
+    * hash-compare against DuckDB bit-for-bit. */
+  def exactQuantilesCont(df: DataFrame, value: Column,
+                         ps: Seq[Double],
+                         maxLevels: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    quantilePs(ps)
+    val levels = quantileHistogram(df, lit("__all"), value, maxLevels)
+      .map { case (_, v, n) => (v, n) }
+    if (levels.isEmpty)
+      return Seq.empty[(Double, Double, Long)].toDF("p", "value", "n")
+    graft.core.Refine.quantileValuesCont(levels.sortBy(_._1), ps)
+      .toDF("p", "value", "n")
+  }
+
+  /** [[exactQuantilesCont]] computed SEPARATELY within every group from
+    * ONE (group, value) histogram pass — the continuous twin of
+    * [[exactQuantilesPerGroup]], same group-as-string convention. */
+  def exactQuantilesContPerGroup(df: DataFrame, group: Column, value: Column,
+                                 ps: Seq[Double],
+                                 maxHistRows: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    quantilePs(ps)
+    quantileHistogram(df, group, value, maxHistRows)
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        graft.core.Refine.quantileValuesCont(levels, ps)
+          .map { case (p, v, n) => (g, p, v, n) }
+      }.toDF("group", "p", "value", "n")
+  }
+
   private def quantilePs(ps: Seq[Double]): Unit = {
     require(ps.nonEmpty, "ps must name at least one quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")

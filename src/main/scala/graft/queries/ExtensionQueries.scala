@@ -607,15 +607,16 @@ object ExtensionQueries {
           round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
             * 1e6, 0).cast("long").as("q_ppm"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_bstate").resolve("state").toString
+      val stateTmp = java.nio.file.Files.createTempDirectory("graft_bstate")
+      IndexCache.cleanupAtExit(stateTmp) // bench reps must not pile up /tmp dirs
+      val statePath = stateTmp.resolve("state").toString
       graft.text.BudgetSelect.writeBudgetState(
         scored.where(col("doc_id") % 3 =!= 0),
         col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
       graft.text.BudgetSelect.appendBudgetState(
         scored.where(col("doc_id") % 3 === 0),
         col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
-      val total = s.read.parquet(statePath)
+      val total = graft.text.BudgetSelect.readBudgetState(s, statePath)
         .agg(sum(col("total_cost"))).head().getLong(0)
       graft.text.BudgetSelect.budgetSelectFromState(scored, col("doc_id"),
           col("q_ppm"), col("n_tokens"),
@@ -654,8 +655,9 @@ object ExtensionQueries {
           round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
             * 1e6, 0).cast("long").as("q_ppm"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_bstate_g").resolve("state").toString
+      val stateTmp = java.nio.file.Files.createTempDirectory("graft_bstate_g")
+      IndexCache.cleanupAtExit(stateTmp)
+      val statePath = stateTmp.resolve("state").toString
       graft.text.BudgetSelect.writeBudgetStatePerGroup(
         scored.where(col("doc_id") % 3 =!= 0), col("source"),
         col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
@@ -994,6 +996,29 @@ object ExtensionQueries {
           Tables(s, dir, "lineitem"), col("l_returnflag"),
           round(col("l_extendedprice") * 100, 0),
           ps = Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("group").as("l_returnflag"), col("p"),
+          col("value").as("price_cents"), col("n"))
+        .orderBy(col("l_returnflag"), col("p"))
+    }),
+
+    // continuous-interpolation twin (percentile_cont / quantile_cont
+    // semantics): same single histogram pass, interpolated finish.
+    // Quarter-fraction ps keep every interpolation term exactly
+    // representable in double, so the DuckDB compare is bit-exact.
+    "exact_quantiles_cont" -> ((s, dir) => {
+      graft.meta.PipelineMetrics.exactQuantilesCont(
+          Tables(s, dir, "lineitem"),
+          round(col("l_extendedprice") * 100, 0),
+          ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+        .select(col("p"), col("value").as("price_cents"), col("n"))
+        .orderBy(col("p"))
+    }),
+
+    "exact_quantiles_cont_by_flag" -> ((s, dir) => {
+      graft.meta.PipelineMetrics.exactQuantilesContPerGroup(
+          Tables(s, dir, "lineitem"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0),
+          ps = Seq(0.25, 0.5, 0.75))
         .select(col("group").as("l_returnflag"), col("p"),
           col("value").as("price_cents"), col("n"))
         .orderBy(col("l_returnflag"), col("p"))
@@ -2055,6 +2080,34 @@ object ExtensionQueries {
         |        count(*) AS n
         |      FROM v GROUP BY l_returnflag)
         |SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS p,
+        |  unnest(vs) AS price_cents, n
+        |FROM q ORDER BY l_returnflag, p""".stripMargin,
+
+    // continuous interpolation at quarter-fraction ps: both engines'
+    // interpolation terms are exactly representable, so the doubles
+    // hash-compare bit-for-bit
+    "exact_quantiles_cont" ->
+      """WITH v AS (
+        |  SELECT cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT quantile_cont(c,
+        |        [0.0, 0.25, 0.5, 0.75, 1.0]) AS vs,
+        |      count(*) AS n FROM v)
+        |SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS p,
+        |  unnest(vs) AS price_cents, n
+        |FROM q ORDER BY p""".stripMargin,
+
+    "exact_quantiles_cont_by_flag" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |q AS (SELECT l_returnflag,
+        |        quantile_cont(c, [0.25, 0.5, 0.75]) AS vs,
+        |        count(*) AS n
+        |      FROM v GROUP BY l_returnflag)
+        |SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS p,
         |  unnest(vs) AS price_cents, n
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
 

@@ -175,6 +175,29 @@ object StreamingIngest {
         id)
     }
 
+  /** Rolling-corpus budget state over a document stream: every
+    * micro-batch's (group, quality-level) cost histogram folds into
+    * persisted [[graft.text.BudgetSelect]] state, so the
+    * corpus-so-far's budget cutoff resolves from state at any commit
+    * WITHOUT re-scanning ingested data
+    * ([[graft.text.BudgetSelect.budgetSelectFromState]] /
+    * `budgetSelectPerGroupFromState`). Effectively-once where
+    * foreachBatch alone is at-least-once: the fold is guarded by the
+    * state's batch watermark
+    * ([[graft.text.BudgetSelect.appendBudgetStatePerGroupBatch]] — the
+    * batchId rides the committing generation's directory name, atomic
+    * with the parquet commit), so a replayed micro-batch is skipped,
+    * never double-counted. The first batch initializes missing state
+    * (the cold-start). Caller sets checkpoint/trigger and starts. */
+  def budgetStateFold(stream: DataFrame, group: Column, id: Column,
+                      quality: Column, cost: Column,
+                      statePath: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      graft.text.BudgetSelect.appendBudgetStatePerGroupBatch(
+        batch, group, id, quality, cost, statePath, bid)
+      ()
+    }
+
   /** Streaming decontamination: each micro-batch flagged against a
     * static benchmark corpus via
     * [[graft.text.Decontaminate.flag]] — same foreachBatch shape as

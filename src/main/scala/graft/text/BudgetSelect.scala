@@ -282,23 +282,124 @@ object BudgetSelect {
       .agg(sum(cL).as("total_cost"), min(cL).as("min_cost"))
   }
 
-  /** Cap-validate collected histogram rows, then (re)write the state —
-    * validation strictly BEFORE the path is touched, so a bad corpus or
-    * batch fails loudly with the previous valid state intact. */
+  // ── state generation layout ────────────────────────────────────────
+  // `path/` holds complete snapshot generations `gen-<%016d>`; the
+  // CURRENT state is the highest-numbered generation carrying the
+  // committer's `_SUCCESS` marker. Writers NEVER touch an existing
+  // generation: write/append materialize the NEXT generation
+  // (mode errorifexists) and only then prune older ones, so
+  //  - a crash mid-write leaves an unmarked orphan that readers skip —
+  //    the previous valid generation stays the current state (the
+  //    validate-before-write discipline already kept VALIDATION
+  //    failures from touching the path; generations extend the same
+  //    guarantee to WRITE failures);
+  //  - pruning keeps the previous valid generation too (a reader that
+  //    resolved the old current just before a writer pruned must still
+  //    find its files).
+  // Single writer at a time is the caller's contract (the rolling-
+  // ingest appender): two concurrent appends would race for the same
+  // next generation number, where the errorifexists write makes the
+  // loser FAIL LOUDLY instead of silently dropping its fold (the
+  // last-overwrite-wins hazard of a flat layout). A bare-parquet path
+  // written by a pre-generation version of this library is read as the
+  // current state and migrates to a generation on the next write.
+
+  private val genPrefix = "gen-"
+
+  private def stateFs(spark: org.apache.spark.sql.SparkSession,
+                      path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** All generation dirs under the root, valid or not: (number, path,
+    * hasSuccessMarker, folded streaming batchId if any). A streaming
+    * fold commits as `gen-<n>-b<batchId>` — the batch watermark rides
+    * the directory NAME, so it is atomic with the parquet commit
+    * itself (no separate marker file whose crash window could let a
+    * replayed batch double-count). */
+  private def genDirs(fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path, Boolean, Option[Long])] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(genPrefix)) None
+      else {
+        val body = n.drop(genPrefix.length)
+        val (genPart, batchPart) = body.indexOf("-b") match {
+          case -1 => (body, None)
+          case i  => (body.take(i), Some(body.drop(i + 2)))
+        }
+        scala.util.Try(genPart.toLong).toOption.map { g =>
+          (g, st.getPath,
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")),
+            batchPart.flatMap(b => scala.util.Try(b.toLong).toOption))
+        }
+      }
+    }
+
+  /** Read the CURRENT budget state (latest valid generation; a legacy
+    * bare-parquet root reads as-is). Public so rolling pipelines can
+    * inspect totals/levels without knowing the layout — reading the
+    * root path directly as parquet is NOT part of the contract. */
+  def readBudgetState(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val (fs, root) = stateFs(spark, path)
+    genDirs(fs, root).filter(_._3).sortBy(-_._1).headOption match {
+      case Some((_, p, _, _)) => spark.read.parquet(p.toString)
+      case None               => spark.read.parquet(path)
+    }
+  }
+
+  /** The highest streaming batchId folded into any surviving valid
+    * generation — [[appendBudgetStateBatch]]'s replay guard. None when
+    * the state holds no batch-stamped generations (fresh state, or only
+    * plain writes/appends). */
+  def stateBatchWatermark(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[Long] = {
+    val (fs, root) = stateFs(spark, path)
+    val ids = genDirs(fs, root).filter(_._3).flatMap(_._4)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Cap-validate collected histogram rows, then commit them as the
+    * NEXT state generation — validation strictly BEFORE the path is
+    * touched, and the write itself lands in a fresh generation dir, so
+    * neither a bad batch nor a crashed write can destroy the previous
+    * valid state. After a successful commit, generations older than
+    * the previous valid one (and unmarked orphans) are pruned
+    * best-effort. */
   private def writeStateRows(spark: org.apache.spark.sql.SparkSession,
                              rows: Array[org.apache.spark.sql.Row],
-                             path: String, maxHistRows: Int): Unit = {
+                             path: String, maxHistRows: Int,
+                             batchId: Option[Long] = None): Unit = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     require(rows.length <= maxHistRows,
       s"more than $maxHistRows (group, quality-level) rows — quantize " +
         "the score (ppm convention) or raise the cap")
+    val (fs, root) = stateFs(spark, path)
+    val existing = genDirs(fs, root)
+    val next = (existing.map(_._1) :+ 0L).max + 1
+    val suffix = batchId.map(b => s"-b$b").getOrElse("")
+    val nextPath = new org.apache.hadoop.fs.Path(root,
+      f"$genPrefix$next%016d$suffix")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1),
         StructType(Seq(StructField("group", StringType, nullable = false),
           StructField("q_level", LongType, nullable = false),
           StructField("total_cost", LongType, nullable = false),
           StructField("min_cost", LongType, nullable = false))))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("errorifexists").parquet(nextPath.toString)
+    // prune AFTER the commit: drop unmarked orphans and valid
+    // generations older than the one the new write superseded (keep
+    // the immediately previous valid generation for in-flight readers)
+    val prevValid = existing.filter(_._3).map(_._1).sorted.lastOption
+    existing.foreach { case (g, p, valid, _) =>
+      val stale = (!valid) || prevValid.exists(g < _)
+      if (stale)
+        try fs.delete(p, true) catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Per-group persisted state: the (group, level) histogram as parquet
@@ -316,21 +417,70 @@ object BudgetSelect {
 
   /** Fold a batch's (group, level) histogram into existing per-group
     * state — one batch-only aggregation, the existing corpus is never
-    * re-scanned. The merge is collected (cap-checked) before the
-    * rewrite, the read-then-overwrite discipline a self-append parquet
-    * path requires. */
+    * re-scanned. The merge is collected (cap-checked) before any write,
+    * and the result commits as a NEW state generation (see the layout
+    * note above writeStateRows): a crash mid-write cannot lose the
+    * prior state, and a concurrent second appender fails loudly on the
+    * generation collision instead of silently dropping a fold. */
   def appendBudgetStatePerGroup(batch: DataFrame, group: Column, id: Column,
                                 quality: Column, cost: Column, path: String,
-                                maxHistRows: Int = 1 << 20): Unit = {
+                                maxHistRows: Int = 1 << 20): Unit =
+    appendFold(batch, group, id, quality, cost, path, maxHistRows,
+      batchId = None, allowInit = false)
+
+  /** [[appendBudgetState]] made effectively-once for streaming
+    * foreachBatch: foreachBatch is at-least-once, and a histogram fold
+    * is not idempotent — a replayed micro-batch would double-count its
+    * cost. Here the committing generation carries `batchId` in its
+    * directory NAME (atomic with the parquet commit), and a batch at or
+    * below the surviving watermark is skipped. Missing state
+    * initializes from the first batch (the streaming cold-start), where
+    * the plain append stays loud on a missing path. Returns true when
+    * the fold was applied, false when skipped as a replay. */
+  def appendBudgetStateBatch(batch: DataFrame, id: Column, quality: Column,
+                             cost: Column, path: String, batchId: Long,
+                             maxQualityLevels: Int = 1 << 20): Boolean =
+    appendBudgetStatePerGroupBatch(batch, lit(allGroup), id, quality, cost,
+      path, batchId, maxQualityLevels)
+
+  /** The mixture-spec twin of [[appendBudgetStateBatch]]. */
+  def appendBudgetStatePerGroupBatch(batch: DataFrame, group: Column,
+                                     id: Column, quality: Column,
+                                     cost: Column, path: String,
+                                     batchId: Long,
+                                     maxHistRows: Int = 1 << 20): Boolean = {
     val spark = batch.sparkSession
-    val merged = spark.read.parquet(path)
-      .unionByName(stateHistogram(batch, group, id, quality, cost))
+    if (stateBatchWatermark(spark, path).exists(batchId <= _)) false
+    else {
+      appendFold(batch, group, id, quality, cost, path, maxHistRows,
+        batchId = Some(batchId), allowInit = true)
+      true
+    }
+  }
+
+  /** Shared fold: merge the batch histogram into the current state and
+    * commit as the next generation. `allowInit` lets the streaming
+    * cold-start create state from the first batch; the plain append
+    * keeps a missing/unreadable path loud. */
+  private def appendFold(batch: DataFrame, group: Column, id: Column,
+                         quality: Column, cost: Column, path: String,
+                         maxHistRows: Int, batchId: Option[Long],
+                         allowInit: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val (fs, root) = stateFs(spark, path)
+    val existing =
+      if (allowInit && genDirs(fs, root).forall(!_._3) && (!fs.exists(root) ||
+          fs.listStatus(root).forall(_.isDirectory)))
+        None // nothing committed yet and no legacy files: init from batch
+      else Some(readBudgetState(spark, path))
+    val batchHist = stateHistogram(batch, group, id, quality, cost)
+    val merged = existing.fold(batchHist)(_.unionByName(batchHist))
       .groupBy(col("group"), col("q_level"))
       .agg(sum(col("total_cost")).as("total_cost"),
         min(col("min_cost")).as("min_cost"))
       .limit(maxHistRows + 1)
       .collect()
-    writeStateRows(spark, merged, path, maxHistRows)
+    writeStateRows(spark, merged, path, maxHistRows, batchId)
   }
 
   /** [[budgetSelectPerGroup]] with its (group, level) histogram read
@@ -344,13 +494,31 @@ object BudgetSelect {
     require(budgets.nonEmpty, "budgets must name at least one group")
     require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
     val spark = df.sparkSession
-    val hist = spark.read.parquet(path)
+    val hist = readBudgetState(spark, path)
       .select(col("group"), col("q_level"), col("total_cost"), col("min_cost"))
       .where(col("group").isin(budgets.keySet.toSeq: _*))
       .limit(maxHistRows + 1)
       .collect()
     require(hist.length <= maxHistRows,
       s"budget state at $path exceeds $maxHistRows rows")
+    // stale/partial-state guard: a budgeted group with LIVE rows in the
+    // input but no histogram in the state would land in neither the
+    // keep-all nor the cutoff set — its rows would silently vanish. A
+    // group genuinely absent from the input is fine (selects nothing,
+    // same as from-scratch), so probe the input only for the missing
+    // groups before failing.
+    val missing = budgets.keySet -- hist.map(_.getString(0)).toSet
+    if (missing.nonEmpty) {
+      val gS = group.cast("string")
+      val present = !df.where(gS.isin(missing.toSeq: _*) &&
+          id.try_cast("long").isNotNull && quality.try_cast("long").isNotNull &&
+          cost.try_cast("long").isNotNull)
+        .isEmpty
+      require(!present,
+        s"budget state at $path has no histogram for group(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} present in the input — " +
+          "stale or partial state; write/append the missing batches first")
+    }
     budgetSelectPerGroupCore(df, group, id, quality, cost,
       budgets.keySet, _ => budgets,
       maxHistRows, fanout = 4096, smallCap = 1 << 16,

@@ -326,7 +326,7 @@ class BudgetSelectSpec extends AnyFunSuite {
     BudgetSelect.appendBudgetState(df.where(col("id") % 3 === 0),
       col("id"), col("q"), col("c"), path)
     // folded state totals must equal the corpus's own
-    assert(spark.read.parquet(path).agg(sum(col("total_cost")))
+    assert(BudgetSelect.readBudgetState(spark, path).agg(sum(col("total_cost")))
       .head().getLong(0) === total)
     for (budget <- Seq(0L, 7L, total / 3, total / 2, total)) {
       val got = BudgetSelect.budgetSelectFromState(df, col("id"), col("q"),
@@ -336,7 +336,7 @@ class BudgetSelectSpec extends AnyFunSuite {
     }
     // a second append folds on top of the merged state, not beside it
     BudgetSelect.appendBudgetState(df.limit(0), col("id"), col("q"), col("c"), path)
-    val levels = spark.read.parquet(path).count()
+    val levels = BudgetSelect.readBudgetState(spark, path).count()
     assert(levels === df.select(col("q")).distinct().count(),
       "append must merge levels, not duplicate them")
   }
@@ -355,7 +355,7 @@ class BudgetSelectSpec extends AnyFunSuite {
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(got === bruteKeptPerGroup(df, budgets))
     // folded per-group totals equal the corpus's own
-    val stateTotals = spark.read.parquet(path).groupBy(col("group"))
+    val stateTotals = BudgetSelect.readBudgetState(spark, path).groupBy(col("group"))
       .agg(sum(col("total_cost")).as("t")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val corpusTotals = df.groupBy(col("g")).agg(sum(col("c")).as("t"))
@@ -397,6 +397,78 @@ class BudgetSelectSpec extends AnyFunSuite {
       BudgetSelect.budgetSelectFromState(df, col("id"), col("q"), col("c"),
         10L, dir.resolve("nope").toString)
     }
+  }
+
+  test("a crashed state write leaves the previous generation current") {
+    val df = corpus(120, seed = 61).cache()
+    val total = df.agg(sum(col("c"))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bscrash")
+    val path = dir.resolve("state").toString
+    BudgetSelect.writeBudgetState(df, col("id"), col("q"), col("c"), path)
+    // simulate a crash mid-write of the NEXT generation: a gen dir with
+    // data files but no _SUCCESS marker must be invisible to readers
+    // and must not block subsequent appends
+    val orphan = new java.io.File(path, f"gen-${9999L}%016d")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(orphan.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(BudgetSelect.readBudgetState(spark, path)
+      .agg(sum(col("total_cost"))).head().getLong(0) === total,
+      "an unmarked orphan generation must not become the current state")
+    val got = BudgetSelect.budgetSelectFromState(df, col("id"), col("q"),
+      col("c"), total / 2, path).select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === bruteKept(df, total / 2))
+    // the next append commits past the orphan and prunes it
+    BudgetSelect.appendBudgetState(df.limit(0), col("id"), col("q"),
+      col("c"), path)
+    assert(!orphan.exists(), "a committed write must prune orphans")
+    assert(BudgetSelect.readBudgetState(spark, path)
+      .agg(sum(col("total_cost"))).head().getLong(0) === total)
+  }
+
+  test("state generations are pruned to the last two valid snapshots") {
+    val df = corpus(90, seed = 62).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsprune")
+    val path = dir.resolve("state").toString
+    BudgetSelect.writeBudgetState(df.where(col("id") % 4 === 0),
+      col("id"), col("q"), col("c"), path)
+    for (r <- 1 to 3)
+      BudgetSelect.appendBudgetState(df.where(col("id") % 4 === r),
+        col("id"), col("q"), col("c"), path)
+    val gens = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+    assert(gens.length <= 2,
+      s"4 writes must leave <= 2 generations, found ${gens.map(_.getName).toSeq}")
+    // and the surviving current state is the full fold
+    assert(BudgetSelect.readBudgetState(spark, path)
+      .agg(sum(col("total_cost"))).head().getLong(0) ===
+      df.agg(sum(col("c"))).head().getLong(0))
+  }
+
+  test("stale per-group state fails loudly when a budgeted group has " +
+      "live input rows but no histogram") {
+    val df = groupedCorpus(200, nGroups = 3, seed = 63).cache()
+    val path = java.nio.file.Files.createTempDirectory("graft_bsstale")
+      .resolve("state").toString
+    // state covers only g0/g1 — g2's batches were never appended
+    BudgetSelect.writeBudgetStatePerGroup(df.where(col("g") =!= "g2"),
+      col("g"), col("id"), col("q"), col("c"), path)
+    val e = intercept[IllegalArgumentException] {
+      BudgetSelect.budgetSelectPerGroupFromState(df, col("g"), col("id"),
+        col("q"), col("c"),
+        Map("g0" -> 10L, "g2" -> 10L), path)
+    }
+    assert(e.getMessage.contains("stale or partial state") &&
+      e.getMessage.contains("g2"))
+    // but a budgeted group with NO live input rows is fine (selects
+    // nothing — exactly the from-scratch behavior), not a false alarm
+    val got = BudgetSelect.budgetSelectPerGroupFromState(
+        df.where(col("g") =!= "g2"), col("g"), col("id"), col("q"), col("c"),
+        Map("g0" -> 10L, "g2" -> 10L), path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === bruteKeptPerGroup(df.where(col("g") =!= "g2"),
+      Map("g0" -> 10L, "g2" -> 10L)))
   }
 
   test("takeTop keeps exactly the m best rows across the m spectrum") {

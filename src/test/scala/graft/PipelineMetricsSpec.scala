@@ -93,6 +93,58 @@ class PipelineMetricsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("exactQuantilesCont matches the interpolated brute force") {
+    import graft.meta.PipelineMetrics
+    val rng = new scala.util.Random(19)
+    val vals = Seq.fill(501)(rng.nextInt(1000).toLong - 300)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+    val got = PipelineMetrics.exactQuantilesCont(df, col("v"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    val n = vals.length
+    ps.foreach { p =>
+      val h = p * (n - 1).toDouble
+      val lo = math.floor(h).toInt
+      val frac = h - lo
+      val want =
+        if (frac == 0.0) sorted(lo).toDouble
+        else sorted(lo) + frac * (sorted(math.min(lo + 1, n - 1)) - sorted(lo)).toDouble
+      assert(got(p) === want, s"p=$p")
+    }
+    // degenerate single-value input: every p returns that value
+    val one = Seq(7L).map(Tuple1(_)).toDF("v")
+    assert(PipelineMetrics.exactQuantilesCont(one, col("v"), Seq(0.0, 0.5, 1.0))
+      .collect().forall(_.getDouble(1) === 7.0))
+    assert(PipelineMetrics.exactQuantilesCont(df.limit(0), col("v"), Seq(0.5))
+      .count() === 0L)
+  }
+
+  test("exactQuantilesContPerGroup matches per-group interpolation") {
+    import graft.meta.PipelineMetrics
+    val rng = new scala.util.Random(29)
+    val rows = Seq.fill(400)((s"g${rng.nextInt(3)}", rng.nextInt(200).toLong))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.9)
+    val got = PipelineMetrics.exactQuantilesContPerGroup(df, col("g"),
+        col("v"), ps)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (g, grows) =>
+      val sorted = grows.map(_._2).sorted
+      val n = sorted.length
+      ps.foreach { p =>
+        val h = p * (n - 1).toDouble
+        val lo = math.floor(h).toInt
+        val frac = h - lo
+        val want =
+          if (frac == 0.0) sorted(lo).toDouble
+          else sorted(lo) + frac * (sorted(math.min(lo + 1, n - 1)) - sorted(lo)).toDouble
+        assert(got((g, p)) === want, s"g=$g p=$p")
+      }
+    }
+  }
+
   test("exactQuantilesPerGroup matches per-group sorted brute force") {
     import graft.meta.PipelineMetrics
     val rng = new scala.util.Random(23)
