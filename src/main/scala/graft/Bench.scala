@@ -54,7 +54,8 @@ object Bench {
     "multimodal_resize", "multimodal_audio_features",
     "corpus_budget_incremental_by_source", "curriculum_bins",
     "curriculum_bins_by_source", "exact_quantiles",
-    "exact_quantiles_by_flag", "corpus_top_m")
+    "exact_quantiles_by_flag", "corpus_top_m",
+    "exact_quantiles_cont", "exact_quantiles_cont_by_flag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,9 +69,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
+    def run(name: String): Unit = {
+      // stderr breadcrumb so any Spark WARN in the log tail attributes
+      // to the query that emitted it (the JSON line stays stdout-only)
+      System.err.println(s"[bench] running $name")
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    }
 
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
