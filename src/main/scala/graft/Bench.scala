@@ -55,7 +55,8 @@ object Bench {
     "corpus_budget_incremental_by_source", "curriculum_bins",
     "curriculum_bins_by_source", "exact_quantiles",
     "exact_quantiles_by_flag", "corpus_top_m",
-    "exact_quantiles_cont", "exact_quantiles_cont_by_flag")
+    "exact_quantiles_cont", "exact_quantiles_cont_by_flag",
+    "exact_quantiles_incremental", "exact_quantiles_incremental_by_flag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,210 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rolling-corpus profiling state: the (group, value) histogram behind
+  * [[PipelineMetrics.exactQuantiles]] persisted as generation-versioned
+  * parquet ([[graft.core.GenState]]), so a corpus that grows by appends
+  * answers EXACT quantiles and counts at any commit WITHOUT re-scanning
+  * ingested data — the profiling twin of [[graft.text.BudgetSelect]]'s
+  * budget state, sharing its whole persistence discipline:
+  *
+  *  - ingest writes the histogram once, each batch FOLDS in with one
+  *    batch-only aggregation (the existing corpus is never re-read);
+  *  - commits are crash-atomic generations — a bad batch (fractional
+  *    values, cap overflow) or a crashed write leaves the previous
+  *    valid state current; concurrent appenders collide loudly;
+  *  - streaming folds are effectively-once ([[appendProfileStateBatch]]
+  *    — the batchId rides the committing generation's name; replays
+  *    skip via the watermark), wired by
+  *    [[graft.streaming.StreamingIngest.profileStateFold]];
+  *  - quantile answers come off the state ALONE — zero corpus passes:
+  *    at 100 TB, "p99 tokens per source right now" is a driver read of
+  *    a manifest-class table.
+  *
+  * The state histogram is EXACT, not a sketch: the value must be
+  * integral under the house ppm/cents convention (a fractional value
+  * fails the fold loudly — the [[PipelineMetrics]] contract), and the
+  * distinct (group, value) count is capped at `maxHistRows`
+  * (loud-fail). Within those bounds every quantile read is exact —
+  * where a mergeable sketch (t-digest/KLL) would trade that exactness
+  * for unbounded cardinality, the quantized-value histogram keeps both
+  * bounded size AND exactness, which is what the DuckDB gates verify.
+  *
+  * Group convention: compared and stored as STRING (the budget-state
+  * convention); ungrouped forms run under one constant group.
+  */
+object ProfileState {
+
+  private val allGroup = "__all"
+
+  private val stateSchema = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    StructType(Seq(StructField("group", StringType, nullable = false),
+      StructField("value", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+  }
+
+  /** The batch histogram with the lossy-cast flag riding the same pass:
+    * cast-null groups/values drop (the null-has-no-rank contract), and
+    * a value that survives try_cast by TRUNCATING is detected here so
+    * the fold can fail loudly instead of skewing the state. */
+  private def histogram(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val gS = group.cast("string")
+    val vL = value.try_cast("long")
+    val lossy = when(value.cast("double") =!= vL.cast("double"), 1).otherwise(0)
+    df.where(gS.isNotNull && vL.isNotNull)
+      .groupBy(gS.as("group"), vL.as("value"))
+      .agg(count(lit(1)).as("n"), max(lossy).as("lossy"))
+  }
+
+  /** Collect + validate (cap, lossy) strictly BEFORE any write, then
+    * commit as the next generation. */
+  private def validateAndCommit(spark: SparkSession,
+                                hist: DataFrame, path: String,
+                                maxHistRows: Int,
+                                batchId: Option[Long]): Unit = {
+    val rows = hist.limit(maxHistRows + 1).collect()
+    require(rows.length <= maxHistRows,
+      s"more than $maxHistRows distinct (group, value) rows — quantize " +
+        "the metric (ppm/cents convention) or raise the cap")
+    require(rows.forall(_.getInt(3) == 0),
+      "fractional values would be TRUNCATED by the long cast — quantize " +
+        "the metric first (ppm/cents convention)")
+    graft.core.GenState.commit(spark,
+      rows.toSeq.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), r.getLong(2))),
+      stateSchema, path, batchId)
+  }
+
+  /** Persist the corpus's (group, value) histogram as profile state. */
+  def writeProfileStatePerGroup(df: DataFrame, group: Column, value: Column,
+                                path: String,
+                                maxHistRows: Int = 1 << 20): Unit =
+    validateAndCommit(df.sparkSession, histogram(df, group, value), path,
+      maxHistRows, batchId = None)
+
+  /** Ungrouped [[writeProfileStatePerGroup]] (one constant group). */
+  def writeProfileState(df: DataFrame, value: Column, path: String,
+                        maxLevels: Int = 1 << 20): Unit =
+    writeProfileStatePerGroup(df, lit(allGroup), value, path, maxLevels)
+
+  /** Fold a batch's histogram into existing state — one batch-only
+    * aggregation plus a merge of two manifest-class tables; loud on a
+    * missing/foreign path (explicit initialization is [[writeProfileState]]'s
+    * job — only the STREAMING form cold-starts implicitly). */
+  def appendProfileStatePerGroup(batch: DataFrame, group: Column,
+                                 value: Column, path: String,
+                                 maxHistRows: Int = 1 << 20): Unit =
+    appendFold(batch, group, value, path, maxHistRows, batchId = None,
+      allowInit = false)
+
+  /** Ungrouped [[appendProfileStatePerGroup]]. */
+  def appendProfileState(batch: DataFrame, value: Column, path: String,
+                         maxLevels: Int = 1 << 20): Unit =
+    appendProfileStatePerGroup(batch, lit(allGroup), value, path, maxLevels)
+
+  /** Effectively-once streaming fold (the
+    * [[graft.text.BudgetSelect.appendBudgetStateBatch]] discipline):
+    * the committing generation carries `batchId` in its name, a batch
+    * at or below the surviving watermark is skipped, and missing state
+    * initializes from the first batch. Returns true when applied. */
+  def appendProfileStatePerGroupBatch(batch: DataFrame, group: Column,
+                                      value: Column, path: String,
+                                      batchId: Long,
+                                      maxHistRows: Int = 1 << 20): Boolean = {
+    val spark = batch.sparkSession
+    if (graft.core.GenState.batchWatermark(spark, path).exists(batchId <= _))
+      false
+    else {
+      appendFold(batch, group, value, path, maxHistRows,
+        batchId = Some(batchId), allowInit = true)
+      true
+    }
+  }
+
+  /** Ungrouped [[appendProfileStatePerGroupBatch]]. */
+  def appendProfileStateBatch(batch: DataFrame, value: Column, path: String,
+                              batchId: Long,
+                              maxLevels: Int = 1 << 20): Boolean =
+    appendProfileStatePerGroupBatch(batch, lit(allGroup), value, path,
+      batchId, maxLevels)
+
+  private def appendFold(batch: DataFrame, group: Column, value: Column,
+                         path: String, maxHistRows: Int,
+                         batchId: Option[Long], allowInit: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val batchHist = histogram(batch, group, value)
+    val merged =
+      if (allowInit && graft.core.GenState.isUninitialized(spark, path))
+        batchHist
+      else
+        readProfileState(spark, path)
+          .withColumn("lossy", lit(0)) // persisted state is already validated
+          .unionByName(batchHist)
+          .groupBy(col("group"), col("value"))
+          .agg(sum(col("n")).as("n"), max(col("lossy")).as("lossy"))
+    validateAndCommit(spark, merged, path, maxHistRows, batchId)
+  }
+
+  /** Read the CURRENT profile state (latest valid generation). The read
+    * contract — do not read the root path directly as parquet. */
+  def readProfileState(spark: SparkSession, path: String): DataFrame =
+    graft.core.GenState.read(spark, path)
+      .select(col("group"), col("value"), col("n"))
+
+  /** The streaming replay watermark ([[graft.core.GenState.batchWatermark]]). */
+  def stateBatchWatermark(spark: SparkSession, path: String): Option[Long] =
+    graft.core.GenState.batchWatermark(spark, path)
+
+  /** EXACT per-group quantiles answered from state ALONE — zero corpus
+    * passes. Same `quantile_disc` semantics and result shape as
+    * [[PipelineMetrics.exactQuantilesPerGroup]]: one row per
+    * (group, p): (group, p, value, n). */
+  def exactQuantilesPerGroupFromState(spark: SparkSession, path: String,
+                                      ps: Seq[Double],
+                                      maxHistRows: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
+    collectState(spark, path, maxHistRows)
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        graft.core.Refine.quantileValues(levels, ps)
+          .map { case (p, v, n) => (g, p, v, n) }
+      }.toDF("group", "p", "value", "n")
+  }
+
+  /** Ungrouped [[exactQuantilesPerGroupFromState]]: (p, value, n). */
+  def exactQuantilesFromState(spark: SparkSession, path: String,
+                              ps: Seq[Double],
+                              maxLevels: Int = 1 << 20): DataFrame =
+    exactQuantilesPerGroupFromState(spark, path, ps, maxLevels)
+      .where(col("group") === allGroup)
+      .select(col("p"), col("value"), col("n"))
+
+  /** The continuous-interpolation twin ([[PipelineMetrics.exactQuantilesCont]]
+    * semantics) from state alone: (group, p, value DOUBLE, n). */
+  def exactQuantilesContPerGroupFromState(spark: SparkSession, path: String,
+                                          ps: Seq[Double],
+                                          maxHistRows: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
+    collectState(spark, path, maxHistRows)
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        graft.core.Refine.quantileValuesCont(levels, ps)
+          .map { case (p, v, n) => (g, p, v, n) }
+      }.toDF("group", "p", "value", "n")
+  }
+
+  private def collectState(spark: SparkSession, path: String,
+                           maxHistRows: Int): Seq[(String, Long, Long)] = {
+    val rows = readProfileState(spark, path).limit(maxHistRows + 1).collect()
+    require(rows.length <= maxHistRows,
+      s"profile state at $path exceeds $maxHistRows rows")
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  }
+}

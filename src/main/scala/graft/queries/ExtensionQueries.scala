@@ -1024,6 +1024,52 @@ object ExtensionQueries {
         .orderBy(col("l_returnflag"), col("p"))
     }),
 
+    // rolling-corpus profiling from PERSISTED state: the corpus splits
+    // into an existing store and an ingest batch, the (value) histogram
+    // persists at write time, the batch folds in (one batch-only
+    // aggregation), and the quantiles answer from state ALONE — zero
+    // corpus passes at read time. The oracle recomputes quantile_disc
+    // over the whole corpus from scratch, so a fold bug (lost level,
+    // double count) cannot hide: it moves a quantile.
+    "exact_quantiles_incremental" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100, 0).as("cents"))
+      val stateTmp = java.nio.file.Files.createTempDirectory("graft_pstate")
+      IndexCache.cleanupAtExit(stateTmp)
+      val statePath = stateTmp.resolve("state").toString
+      graft.meta.ProfileState.writeProfileState(
+        li.where(col("l_orderkey") % 3 =!= 0), col("cents"), statePath)
+      graft.meta.ProfileState.appendProfileState(
+        li.where(col("l_orderkey") % 3 === 0), col("cents"), statePath)
+      graft.meta.ProfileState.exactQuantilesFromState(s, statePath,
+          ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+        .select(col("p"), col("value").as("price_cents"), col("n"))
+        .orderBy(col("p"))
+    }),
+
+    // the per-domain twin: per-group state fold, per-group quantiles
+    // from state alone
+    "exact_quantiles_incremental_by_flag" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).as("cents"))
+      val stateTmp = java.nio.file.Files.createTempDirectory("graft_pstate_g")
+      IndexCache.cleanupAtExit(stateTmp)
+      val statePath = stateTmp.resolve("state").toString
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        li.where(col("l_orderkey") % 3 =!= 0), col("l_returnflag"),
+        col("cents"), statePath)
+      graft.meta.ProfileState.appendProfileStatePerGroup(
+        li.where(col("l_orderkey") % 3 === 0), col("l_returnflag"),
+        col("cents"), statePath)
+      graft.meta.ProfileState.exactQuantilesPerGroupFromState(s, statePath,
+          ps = Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("group").as("l_returnflag"), col("p"),
+          col("value").as("price_cents"), col("n"))
+        .orderBy(col("l_returnflag"), col("p"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
@@ -2108,6 +2154,33 @@ object ExtensionQueries {
         |        count(*) AS n
         |      FROM v GROUP BY l_returnflag)
         |SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS p,
+        |  unnest(vs) AS price_cents, n
+        |FROM q ORDER BY l_returnflag, p""".stripMargin,
+
+    // state-folded quantiles must equal the from-scratch scan over the
+    // WHOLE corpus — same SQL as exact_quantiles by construction
+    "exact_quantiles_incremental" ->
+      """WITH v AS (
+        |  SELECT cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT quantile_disc(c,
+        |        [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS vs,
+        |      count(*) AS n FROM v)
+        |SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p,
+        |  unnest(vs) AS price_cents, n
+        |FROM q ORDER BY p""".stripMargin,
+
+    "exact_quantiles_incremental_by_flag" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |q AS (SELECT l_returnflag,
+        |        quantile_disc(c, [0.25, 0.5, 0.9, 0.99]) AS vs,
+        |        count(*) AS n
+        |      FROM v GROUP BY l_returnflag)
+        |SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS p,
         |  unnest(vs) AS price_cents, n
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
 

@@ -198,6 +198,22 @@ object StreamingIngest {
       ()
     }
 
+  /** Rolling-corpus profiling state over a stream — the
+    * [[budgetStateFold]] discipline applied to
+    * [[graft.meta.ProfileState]]: each micro-batch's (group, value)
+    * histogram folds into persisted state, so exact quantiles/counts of
+    * everything ingested are a DRIVER READ at any commit
+    * ([[graft.meta.ProfileState.exactQuantilesPerGroupFromState]]) —
+    * zero corpus passes. Effectively-once via the same batch-watermark
+    * generation stamping; first batch initializes missing state. */
+  def profileStateFold(stream: DataFrame, group: Column, value: Column,
+                       statePath: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      graft.meta.ProfileState.appendProfileStatePerGroupBatch(
+        batch, group, value, statePath, bid)
+      ()
+    }
+
   /** Streaming decontamination: each micro-batch flagged against a
     * static benchmark corpus via
     * [[graft.text.Decontaminate.flag]] — same foreachBatch shape as

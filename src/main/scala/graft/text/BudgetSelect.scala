@@ -282,124 +282,48 @@ object BudgetSelect {
       .agg(sum(cL).as("total_cost"), min(cL).as("min_cost"))
   }
 
-  // ── state generation layout ────────────────────────────────────────
-  // `path/` holds complete snapshot generations `gen-<%016d>`; the
-  // CURRENT state is the highest-numbered generation carrying the
-  // committer's `_SUCCESS` marker. Writers NEVER touch an existing
-  // generation: write/append materialize the NEXT generation
-  // (mode errorifexists) and only then prune older ones, so
-  //  - a crash mid-write leaves an unmarked orphan that readers skip —
-  //    the previous valid generation stays the current state (the
-  //    validate-before-write discipline already kept VALIDATION
-  //    failures from touching the path; generations extend the same
-  //    guarantee to WRITE failures);
-  //  - pruning keeps the previous valid generation too (a reader that
-  //    resolved the old current just before a writer pruned must still
-  //    find its files).
-  // Single writer at a time is the caller's contract (the rolling-
-  // ingest appender): two concurrent appends would race for the same
-  // next generation number, where the errorifexists write makes the
-  // loser FAIL LOUDLY instead of silently dropping its fold (the
-  // last-overwrite-wins hazard of a flat layout). A bare-parquet path
-  // written by a pre-generation version of this library is read as the
-  // current state and migrates to a generation on the next write.
-
-  private val genPrefix = "gen-"
-
-  private def stateFs(spark: org.apache.spark.sql.SparkSession,
-                      path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** All generation dirs under the root, valid or not: (number, path,
-    * hasSuccessMarker, folded streaming batchId if any). A streaming
-    * fold commits as `gen-<n>-b<batchId>` — the batch watermark rides
-    * the directory NAME, so it is atomic with the parquet commit
-    * itself (no separate marker file whose crash window could let a
-    * replayed batch double-count). */
-  private def genDirs(fs: org.apache.hadoop.fs.FileSystem,
-                      root: org.apache.hadoop.fs.Path)
-      : Seq[(Long, org.apache.hadoop.fs.Path, Boolean, Option[Long])] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith(genPrefix)) None
-      else {
-        val body = n.drop(genPrefix.length)
-        val (genPart, batchPart) = body.indexOf("-b") match {
-          case -1 => (body, None)
-          case i  => (body.take(i), Some(body.drop(i + 2)))
-        }
-        scala.util.Try(genPart.toLong).toOption.map { g =>
-          (g, st.getPath,
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")),
-            batchPart.flatMap(b => scala.util.Try(b.toLong).toOption))
-        }
-      }
-    }
+  // State persistence rides the shared generation-versioned layout
+  // ([[graft.core.GenState]]): crash-atomic commits, loud
+  // concurrent-append collisions, previous-generation retention, and
+  // batchId-stamped generations for streaming replay detection.
 
   /** Read the CURRENT budget state (latest valid generation; a legacy
     * bare-parquet root reads as-is). Public so rolling pipelines can
     * inspect totals/levels without knowing the layout — reading the
     * root path directly as parquet is NOT part of the contract. */
   def readBudgetState(spark: org.apache.spark.sql.SparkSession,
-                      path: String): DataFrame = {
-    val (fs, root) = stateFs(spark, path)
-    genDirs(fs, root).filter(_._3).sortBy(-_._1).headOption match {
-      case Some((_, p, _, _)) => spark.read.parquet(p.toString)
-      case None               => spark.read.parquet(path)
-    }
-  }
+                      path: String): DataFrame =
+    graft.core.GenState.read(spark, path)
 
   /** The highest streaming batchId folded into any surviving valid
     * generation — [[appendBudgetStateBatch]]'s replay guard. None when
     * the state holds no batch-stamped generations (fresh state, or only
     * plain writes/appends). */
   def stateBatchWatermark(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Option[Long] = {
-    val (fs, root) = stateFs(spark, path)
-    val ids = genDirs(fs, root).filter(_._3).flatMap(_._4)
-    if (ids.isEmpty) None else Some(ids.max)
+                          path: String): Option[Long] =
+    graft.core.GenState.batchWatermark(spark, path)
+
+  private val stateSchema = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    StructType(Seq(StructField("group", StringType, nullable = false),
+      StructField("q_level", LongType, nullable = false),
+      StructField("total_cost", LongType, nullable = false),
+      StructField("min_cost", LongType, nullable = false)))
   }
 
   /** Cap-validate collected histogram rows, then commit them as the
     * NEXT state generation — validation strictly BEFORE the path is
-    * touched, and the write itself lands in a fresh generation dir, so
-    * neither a bad batch nor a crashed write can destroy the previous
-    * valid state. After a successful commit, generations older than
-    * the previous valid one (and unmarked orphans) are pruned
-    * best-effort. */
+    * touched, and the commit lands in a fresh generation dir
+    * ([[graft.core.GenState.commit]]), so neither a bad batch nor a
+    * crashed write can destroy the previous valid state. */
   private def writeStateRows(spark: org.apache.spark.sql.SparkSession,
                              rows: Array[org.apache.spark.sql.Row],
                              path: String, maxHistRows: Int,
                              batchId: Option[Long] = None): Unit = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     require(rows.length <= maxHistRows,
       s"more than $maxHistRows (group, quality-level) rows — quantize " +
         "the score (ppm convention) or raise the cap")
-    val (fs, root) = stateFs(spark, path)
-    val existing = genDirs(fs, root)
-    val next = (existing.map(_._1) :+ 0L).max + 1
-    val suffix = batchId.map(b => s"-b$b").getOrElse("")
-    val nextPath = new org.apache.hadoop.fs.Path(root,
-      f"$genPrefix$next%016d$suffix")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1),
-        StructType(Seq(StructField("group", StringType, nullable = false),
-          StructField("q_level", LongType, nullable = false),
-          StructField("total_cost", LongType, nullable = false),
-          StructField("min_cost", LongType, nullable = false))))
-      .write.mode("errorifexists").parquet(nextPath.toString)
-    // prune AFTER the commit: drop unmarked orphans and valid
-    // generations older than the one the new write superseded (keep
-    // the immediately previous valid generation for in-flight readers)
-    val prevValid = existing.filter(_._3).map(_._1).sorted.lastOption
-    existing.foreach { case (g, p, valid, _) =>
-      val stale = (!valid) || prevValid.exists(g < _)
-      if (stale)
-        try fs.delete(p, true) catch { case _: java.io.IOException => () }
-    }
+    graft.core.GenState.commit(spark, rows.toSeq, stateSchema, path, batchId)
   }
 
   /** Per-group persisted state: the (group, level) histogram as parquet
@@ -467,10 +391,8 @@ object BudgetSelect {
                          maxHistRows: Int, batchId: Option[Long],
                          allowInit: Boolean): Unit = {
     val spark = batch.sparkSession
-    val (fs, root) = stateFs(spark, path)
     val existing =
-      if (allowInit && genDirs(fs, root).forall(!_._3) && (!fs.exists(root) ||
-          fs.listStatus(root).forall(_.isDirectory)))
+      if (allowInit && graft.core.GenState.isUninitialized(spark, path))
         None // nothing committed yet and no legacy files: init from batch
       else Some(readBudgetState(spark, path))
     val batchHist = stateHistogram(batch, group, id, quality, cost)
