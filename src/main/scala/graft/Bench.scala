@@ -56,7 +56,8 @@ object Bench {
     "curriculum_bins_by_source", "exact_quantiles",
     "exact_quantiles_by_flag", "corpus_top_m",
     "exact_quantiles_cont", "exact_quantiles_cont_by_flag",
-    "exact_quantiles_incremental", "exact_quantiles_incremental_by_flag")
+    "exact_quantiles_incremental", "exact_quantiles_incremental_by_flag",
+    "profile_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

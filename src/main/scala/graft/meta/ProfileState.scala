@@ -200,6 +200,39 @@ object ProfileState {
       }.toDF("group", "p", "value", "n")
   }
 
+  /** Distribution-drift report between two profile states — "what did
+    * this ingest wave (or corpus version bump) do to the data?"
+    * answered as a DRIVER READ of two manifest-class tables, no corpus
+    * touched: one row per (group, p) over the UNION of the states'
+    * groups, carrying each side's count and discrete quantile value
+    * plus the value shift. A group present in only one state reports
+    * the other side's columns as null (and a null shift) — the
+    * new-source / retired-source signal. Typical rolling use: keep the
+    * pre-ingest state dir, fold the wave into a copy, diff the two. */
+  def profileDrift(spark: SparkSession, pathA: String, pathB: String,
+                   ps: Seq[Double],
+                   maxHistRows: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
+    def side(path: String): Map[(String, Double), (Long, Long)] =
+      collectState(spark, path, maxHistRows)
+        .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+          val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
+          graft.core.Refine.quantileValues(levels, ps)
+            .map { case (p, v, n) => (g, p) -> (v, n) }
+        }.toMap
+    val a = side(pathA)
+    val b = side(pathB)
+    (a.keySet ++ b.keySet).toSeq.sorted.map { key =>
+      val (g, p) = key
+      val av = a.get(key)
+      val bv = b.get(key)
+      (g, p, av.map(_._2), av.map(_._1), bv.map(_._2), bv.map(_._1),
+        for (x <- av; y <- bv) yield y._1 - x._1)
+    }.toDF("group", "p", "n_a", "value_a", "n_b", "value_b", "shift")
+  }
+
   private def collectState(spark: SparkSession, path: String,
                            maxHistRows: Int): Seq[(String, Long, Long)] = {
     val rows = readProfileState(spark, path).limit(maxHistRows + 1).collect()

@@ -1070,6 +1070,32 @@ object ExtensionQueries {
         .orderBy(col("l_returnflag"), col("p"))
     }),
 
+    // distribution drift between two corpus versions answered from two
+    // persisted profile states (driver-only read — no corpus pass at
+    // diff time): v1 = the pre-ingest store, v2 = store + wave. The
+    // oracle recomputes both sides' grouped quantiles from scratch and
+    // full-outer-joins them.
+    "profile_drift" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).as("cents"))
+      val stateTmp = java.nio.file.Files.createTempDirectory("graft_pdrift")
+      IndexCache.cleanupAtExit(stateTmp)
+      val pathA = stateTmp.resolve("v1").toString
+      val pathB = stateTmp.resolve("v2").toString
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        li.where(col("l_orderkey") % 3 =!= 0), col("l_returnflag"),
+        col("cents"), pathA)
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        li, col("l_returnflag"), col("cents"), pathB)
+      graft.meta.ProfileState.profileDrift(s, pathA, pathB,
+          ps = Seq(0.25, 0.5, 0.9))
+        .select(col("group").as("l_returnflag"), col("p"),
+          col("n_a"), col("value_a"), col("n_b"), col("value_b"),
+          col("shift"))
+        .orderBy(col("l_returnflag"), col("p"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 8)
@@ -2183,6 +2209,35 @@ object ExtensionQueries {
         |SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS p,
         |  unnest(vs) AS price_cents, n
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
+
+    // both corpus versions' grouped quantiles recomputed from scratch,
+    // full-outer-joined on (group, p) — the drift must match per cell
+    "profile_drift" ->
+      """WITH va AS (
+        |  SELECT l_returnflag AS g,
+        |    cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  FROM lineitem
+        |  WHERE l_orderkey % 3 <> 0
+        |    AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |vb AS (
+        |  SELECT l_returnflag AS g,
+        |    cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |qa AS (SELECT g, quantile_disc(c, [0.25, 0.5, 0.9]) AS vs,
+        |         count(*) AS n FROM va GROUP BY g),
+        |qb AS (SELECT g, quantile_disc(c, [0.25, 0.5, 0.9]) AS vs,
+        |         count(*) AS n FROM vb GROUP BY g),
+        |ua AS (SELECT g, unnest([0.25, 0.5, 0.9]) AS p, unnest(vs) AS v, n
+        |       FROM qa),
+        |ub AS (SELECT g, unnest([0.25, 0.5, 0.9]) AS p, unnest(vs) AS v, n
+        |       FROM qb)
+        |SELECT coalesce(ua.g, ub.g) AS l_returnflag,
+        |  coalesce(ua.p, ub.p) AS p,
+        |  ua.n AS n_a, ua.v AS value_a, ub.n AS n_b, ub.v AS value_b,
+        |  ub.v - ua.v AS shift
+        |FROM ua FULL OUTER JOIN ub ON ua.g = ub.g AND ua.p = ub.p
+        |ORDER BY l_returnflag, p""".stripMargin,
 
     // the m-row prefix recomputed from a from-scratch ranking window
     "corpus_top_m" ->

@@ -108,6 +108,32 @@ class ProfileStateSpec extends AnyFunSuite {
       .agg(sum(col("n"))).head().getLong(0) === 150L)
   }
 
+  test("profileDrift reports per-cell shifts and nulls one-sided groups") {
+    val dir = Files.createTempDirectory("graft_ps_drift")
+    val pa = dir.resolve("a").toString
+    val pb = dir.resolve("b").toString
+    // v1: g0 only; v2: g0 shifted up + a NEW group g1
+    val v1 = Seq(("g0", 10L), ("g0", 20L), ("g0", 30L)).toDF("g", "v")
+    val v2 = Seq(("g0", 10L), ("g0", 20L), ("g0", 30L), ("g0", 100L),
+      ("g1", 7L)).toDF("g", "v")
+    ProfileState.writeProfileStatePerGroup(v1, col("g"), col("v"), pa)
+    ProfileState.writeProfileStatePerGroup(v2, col("g"), col("v"), pb)
+    val rows = ProfileState.profileDrift(spark, pa, pb, Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r).toMap
+    // g0 p=1.0: max moves 30 -> 100, shift 70; counts 3 -> 4
+    val g0max = rows(("g0", 1.0))
+    assert(g0max.getLong(2) === 3L && g0max.getLong(4) === 4L)
+    assert(g0max.getLong(3) === 30L && g0max.getLong(5) === 100L)
+    assert(g0max.getLong(6) === 70L)
+    // g0 p=0.5: quantile_disc median of {10,20,30} = 20, of
+    // {10,20,30,100} = 20 — shift 0
+    assert(rows(("g0", 0.5)).getLong(6) === 0L)
+    // g1 exists only in v2: a-side columns and shift are null
+    val g1 = rows(("g1", 0.5))
+    assert(g1.isNullAt(2) && g1.isNullAt(3) && g1.isNullAt(6))
+    assert(g1.getLong(4) === 1L && g1.getLong(5) === 7L)
+  }
+
   test("fractional values fail the fold loudly with prior state intact") {
     val path = Files.createTempDirectory("graft_ps_bad")
       .resolve("state").toString
