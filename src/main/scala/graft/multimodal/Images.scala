@@ -120,28 +120,144 @@ object Images {
     try {
       val img = readImage(payload)
       if (img == null) return None
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) return None
-      val out = new Array[Int](3 * w * h)
-      var y = 0
-      while (y < h) {
-        // one getRGB row call per row, not per pixel: the batched form
-        // converts through the color model once per scanline
-        val row = img.getRGB(0, y, w, 1, null, 0, w)
-        var x = 0
-        while (x < w) {
-          val rgb = row(x)
-          val k = 3 * (y * w + x)
-          out(k) = (rgb >>> 16) & 0xFF
-          out(k + 1) = (rgb >>> 8) & 0xFF
-          out(k + 2) = rgb & 0xFF
-          x += 1
-        }
-        y += 1
-      }
-      Some(out)
+      rgbValues(img)
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The shared RGB extraction behind [[imagePixelValues]] and
+    * [[gifFramePixels]]. */
+  private def rgbValues(img: java.awt.image.BufferedImage): Option[Array[Int]] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) return None
+    val out = new Array[Int](3 * w * h)
+    var y = 0
+    while (y < h) {
+      // one getRGB row call per row, not per pixel: the batched form
+      // converts through the color model once per scanline
+      val row = img.getRGB(0, y, w, 1, null, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val k = 3 * (y * w + x)
+        out(k) = (rgb >>> 16) & 0xFF
+        out(k + 1) = (rgb >>> 8) & 0xFF
+        out(k + 2) = rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  // ── animated GIF (multi-frame) ─────────────────────────────────────
+
+  /** Frame count of a GIF payload — 1 for stills, N for animations.
+    * None for non-GIF or corrupt bytes (the totality contract). */
+  def gifFrameCount(payload: Array[Byte]): Option[Int] = {
+    if (payload == null || !isGif(payload)) return None
+    try {
+      val iis = memIn(payload)
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          // seekForwardOnly=false: getNumImages(allowSearch=true) must
+          // walk the whole stream
+          r.setInput(iis, false, true)
+          val n = r.getNumImages(true)
+          if (n > 0) Some(n) else None
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL per-frame pixel decode of a (possibly animated) GIF: frame
+    * `idx`'s RGB values in the [[imagePixelValues]] shape. The frame
+    * raster is returned AS STORED — full frames for payloads this
+    * library's [[encodeAnimatedGifGray]] builds; a real-world
+    * delta-optimized GIF returns that frame's own (possibly partial)
+    * raster, which is the content-statistics contract, not a player's
+    * composited screen. None for non-GIF, corrupt bytes, or an
+    * out-of-range index. */
+  def gifFramePixels(payload: Array[Byte], idx: Int): Option[Array[Int]] = {
+    if (payload == null || !isGif(payload) || idx < 0) return None
+    try {
+      val iis = memIn(payload)
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true)
+          if (idx >= r.getNumImages(true)) return None
+          rgbValues(r.read(idx))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Build an animated GIF from a per-frame grayscale fill —
+    * `fill(frame, pixelIndex)` in [0, 255] — the multi-frame fixture
+    * builder behind the REAL frame-sampling gate (pure JDK: ImageIO's
+    * GIF writer supports sequences via writeToSequence). Use values
+    * from a small step grid (≤ 256 distinct per frame): the writer
+    * derives an exact palette from the frame's own colors, so a decode
+    * of this function's output returns the fill values EXACTLY — which
+    * is what lets a SQL oracle recompute every sampled frame's
+    * statistics from the formula (round-trip pinned in ImagesSpec). */
+  def encodeAnimatedGifGray(width: Int, height: Int, nFrames: Int,
+                            fill: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0,
+      "dimensions and frame count must be positive")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writers = ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF writer in this JDK")
+    val w = writers.next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = fill(f, y * width + x) & 0xFF
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        // interlaceFlag FALSE explicitly: the JDK writer interlaces by
+        // default, and its reader mis-places interlaced rows for frames
+        // under 5 rows tall (probed empirically: every h < 5 scrambles,
+        // every h ≥ 5 round-trips) — progressive rendering is worthless
+        // for analysis payloads anyway
+        val meta = w.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+        val fmt = meta.getNativeMetadataFormatName
+        val tree = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        var child = tree.getFirstChild
+        while (child != null) {
+          if (child.getNodeName == "ImageDescriptor")
+            child.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              .setAttribute("interlaceFlag", "FALSE")
+          child = child.getNextSibling
+        }
+        meta.setFromTree(fmt, tree)
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+        f += 1
+      }
+      w.endWriteSequence()
+      ios.flush()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Canonical RGB PNG whose channel value at flat index

@@ -222,6 +222,52 @@ object Multimodal {
       }
   }
 
+  case class GifFrameRow(doc_id: Long, frame_idx: Int, n_frames: Int,
+                         n_units: Long, unit_sum: Long, unit_min: Int,
+                         unit_max: Int)
+
+  /** REAL video-style frame sampling: every `stride`-th frame of each
+    * animated-GIF payload decoded with `javax.imageio`
+    * ([[Images.gifFramePixels]]) and reduced to integer-exact per-frame
+    * RGB-unit statistics — the real-decode leg beside
+    * [[sampleFrameTable]] (which stays the codec-agnostic byte sampler
+    * for formats the JDK cannot decode, MP3/MP4 being the remaining
+    * stubs). Non-GIF or corrupt payloads emit no rows (classify them
+    * via [[containerMeta]]). Scale shape: frames decode INSIDE the
+    * partition over the payload at rest — payloads never shuffle, and
+    * only slim stat rows leave the stage. */
+  def sampleGifFrameTable(spark: SparkSession, media: DataFrame,
+                          stride: Int = 2): Dataset[GifFrameRow] = {
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    media.select(col("doc_id"), col("modality"), col("payload"), col("meta"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { m =>
+        val p = if (m.payload == null) Array.emptyByteArray else m.payload
+        Images.gifFrameCount(p) match {
+          case None => Iterator.empty
+          case Some(nf) =>
+            (0 until nf by stride).iterator.flatMap { f =>
+              Images.gifFramePixels(p, f).map { vals =>
+                var s = 0L
+                var mn = 255
+                var mx = 0
+                var i = 0
+                while (i < vals.length) {
+                  val v = vals(i)
+                  s += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i += 1
+                }
+                GifFrameRow(m.doc_id, f, nf, vals.length.toLong, s,
+                  if (vals.isEmpty) 0 else mn, if (vals.isEmpty) 0 else mx)
+              }
+            }
+        }
+      })
+  }
+
   /** One media payload's parsed container facts; format ∈ {wav, bmp,
     * png, jpeg, gif, unknown}, with the fields of the other formats
     * null. Compressed-image facts (png/jpeg/gif) come from ImageIO's

@@ -1445,6 +1445,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL multi-frame decode: deterministic animated GIFs (2-4 frames,
+    // 6-gray-step fill — the palette the JDK GIF writer round-trips
+    // EXACTLY, pinned in ImagesSpec) sampled every 2nd frame through
+    // javax.imageio, with integer-exact per-frame RGB statistics. The
+    // oracle recomputes every sampled frame's stats from the fill
+    // formula — a frame-indexing, palette, or stride bug cannot hide.
+    "multimodal_gif_frames" -> ((s, dir) => {
+      Multimodal.sampleGifFrameTable(s, syntheticAnimations(s, dir),
+          stride = 2)
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // REAL sample decode over REAL container bytes: the synthetic
     // WAV/BMP media (syntheticMedia) runs through the partition-batched
     // decode, whose features for decodable payloads are integer-exact
@@ -1636,6 +1648,26 @@ object ExtensionQueries {
     * columns (PNG losslessly, JPEG via the exact uniform-gray
     * round-trip), which is what lets the DuckDB oracle recompute the
     * decoded statistics without decoding anything. */
+  /** Deterministic animated-GIF media: per doc, (4 + id%5) × (3 + id%4)
+    * pixels × (2 + id%3) frames of channel-equal gray
+    * `((id*31 + f*17 + k*7) % 6) * 51` — six distinct grays per frame,
+    * which the JDK GIF writer palettes exactly (ImagesSpec round-trip),
+    * so the SQL oracle recomputes decoded statistics from this formula. */
+  private def syntheticAnimations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Images
+    Tables(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val nf = (2 + id % 3).toInt
+        val payload = Images.encodeAnimatedGifGray(w, h, nf,
+          (f, k) => (((id * 31 + f.toLong * 17 + k.toLong * 7) % 6) * 51).toInt)
+        (id, "image/gif", payload, Map.empty[String, String])
+      }).toDF("doc_id", "modality", "payload", "meta")
+  }
+
   private def syntheticImages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Images
@@ -2851,6 +2883,28 @@ object ExtensionQueries {
     // frame checksums hash the lowercase-hex rendering of the byte slice
     // (arbitrary slices aren't valid UTF-8, so hex is the string-safe
     // injective encoding both engines can md5 — Multimodal.md5OfHex)
+    // every sampled frame's decoded RGB statistics recomputed from the
+    // gray fill formula: n_units = 3*w*h (three channels), sums/extrema
+    // over ((id*31 + f*17 + k*7) % 6) * 51 tripled per pixel
+    "multimodal_gif_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS f
+        |       FROM g),
+        |px AS (SELECT doc_id, f, nf, w, h, unnest(range(w * h)) AS k
+        |       FROM fr),
+        |v AS (SELECT doc_id, f, nf,
+        |        ((doc_id * 31 + f * 17 + k * 7) % 6) * 51 AS v
+        |      FROM px)
+        |SELECT doc_id, cast(f AS int) AS frame_idx,
+        |  cast(nf AS int) AS n_frames,
+        |  count(*) * 3 AS n_units, sum(v) * 3 AS unit_sum,
+        |  cast(min(v) AS int) AS unit_min, cast(max(v) AS int) AS unit_max
+        |FROM v GROUP BY doc_id, f, nf
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "multimodal_frames" ->
       """WITH h AS (
         |  SELECT doc_id, octet_length(cast(text AS blob)) AS n_b,

@@ -88,6 +88,46 @@ class ImagesSpec extends AnyFunSuite {
     assert(px.toSeq === expect)
   }
 
+  test("animated GIF: encode→per-frame decode round-trips the fill " +
+      "exactly, frame count survives, and out-of-range/corrupt are None") {
+    val (w, h, nf) = (7, 5, 4)
+    def fill(f: Int, k: Int): Int = ((f * 17 + k * 7) % 6) * 51
+    val gif = Images.encodeAnimatedGifGray(w, h, nf, fill)
+    assert(Images.gifFrameCount(gif) === Some(nf))
+    for (f <- 0 until nf) {
+      val got = Images.gifFramePixels(gif, f).get
+      assert(got.length === 3 * w * h, s"frame $f length")
+      for (k <- 0 until w * h) {
+        val v = fill(f, k)
+        assert(got(3 * k) === v && got(3 * k + 1) === v && got(3 * k + 2) === v,
+          s"frame $f pixel $k: want gray $v, " +
+            s"got (${got(3 * k)}, ${got(3 * k + 1)}, ${got(3 * k + 2)})")
+      }
+    }
+    assert(Images.gifFramePixels(gif, nf) === None, "index past last frame")
+    assert(Images.gifFramePixels(gif, -1) === None)
+    assert(Images.gifFrameCount("not a gif".getBytes("UTF-8")) === None)
+    // a single-frame GIF counts 1 (the stills case)
+    val still = Images.encodeAnimatedGifGray(3, 2, 1, (_, k) => (k % 4) * 60)
+    assert(Images.gifFrameCount(still) === Some(1))
+    // truncated animation: total decode, never a throw
+    val cut = gif.take(gif.length / 2)
+    Images.gifFrameCount(cut).foreach(n => assert(n >= 0))
+    (0 until 5).foreach(i => Images.gifFramePixels(cut, i))
+    // dimension sweep incl. frames under 5 rows tall — the geometry the
+    // JDK writer's default INTERLACED encoding scrambles on read-back
+    // (probed: every h < 5 failed before the encoder forced
+    // interlaceFlag FALSE); this pins the non-interlaced contract
+    for (ww <- Seq(3, 4, 8); hh <- Seq(2, 3, 4, 6)) {
+      val g2 = Images.encodeAnimatedGifGray(ww, hh, 2, fill)
+      (0 until 2).foreach { f =>
+        val got = Images.gifFramePixels(g2, f).get
+        (0 until ww * hh).foreach(k =>
+          assert(got(3 * k) === fill(f, k), s"${ww}x$hh frame $f pixel $k"))
+      }
+    }
+  }
+
   test("parseImage reads format + dimensions without a pixel decode") {
     val png = Images.encodePng(19, 4, _ => 7)
     val jpg = Images.encodeJpegGray(5, 23, 128)
