@@ -558,6 +558,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source exact top-m (the mixture-spec "best m docs per
+    // domain"): unit-cost per-group budget selection — no per-group
+    // ranking window. m values span deep cut (src1), zero (src4),
+    // keep-all (src2), and mid cuts; unnamed sources drop. Oracle is
+    // the partitioned row_number prefix from scratch.
+    "corpus_top_m_by_source" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"))
+      graft.text.BudgetSelect.takeTopPerGroup(scored, col("source"),
+          col("doc_id"), col("q_ppm"),
+          ms = Map("src0" -> 40L, "src1" -> 3L, "src2" -> 1000000L,
+            "src3" -> 17L, "src4" -> 0L))
+        .orderBy(col("doc_id"))
+    }),
+
     // curriculum binning: exact rank-proportional quantile bins over
     // (quality DESC, doc_id) WITHOUT a global sort or ranking window —
     // level histogram + driver boundary placement + within-level rank
@@ -2285,6 +2302,27 @@ object ExtensionQueries {
         |      FROM t2)
         |SELECT doc_id, q_ppm FROM r WHERE rn <= 1234
         |ORDER BY doc_id""".stripMargin,
+
+    // per-source m-row prefixes from a from-scratch partitioned window
+    "corpus_top_m_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm
+        |  FROM documents),
+        |t2 AS (SELECT * FROM t
+        |       WHERE doc_id IS NOT NULL AND q_ppm IS NOT NULL
+        |         AND source IS NOT NULL),
+        |m AS (SELECT * FROM (VALUES ('src0', 40), ('src1', 3),
+        |        ('src2', 1000000), ('src3', 17), ('src4', 0)) AS v(g, m)),
+        |r AS (SELECT doc_id, source, q_ppm,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY q_ppm DESC, doc_id) AS rn
+        |      FROM t2)
+        |SELECT r.doc_id, r.source, r.q_ppm
+        |FROM r JOIN m ON r.source = m.g
+        |WHERE r.rn <= m.m
+        |ORDER BY r.doc_id""".stripMargin,
 
     // the same floor map recomputed from a from-scratch global ranking
     // window — integer arithmetic end to end

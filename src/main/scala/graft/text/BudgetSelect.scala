@@ -102,6 +102,21 @@ object BudgetSelect {
     budgetSelect(df, id, quality, lit(1L), m, maxQualityLevels)
   }
 
+  /** [[takeTop]] computed SEPARATELY within every group — "the best
+    * m_g documents per source" at any m, without the per-group ranking
+    * window whose single hottest group would own the job's wall clock:
+    * [[budgetSelectPerGroup]] with unit cost, so every group's m-row
+    * prefix resolves through the shared histogram cutoff and all
+    * groups' boundaries refine together. Groups absent from `ms` are
+    * dropped (the mixture-spec rate-0 default). */
+  def takeTopPerGroup(df: DataFrame, group: Column, id: Column,
+                      quality: Column, ms: Map[String, Long],
+                      maxHistRows: Int = 1 << 20): DataFrame = {
+    require(ms.nonEmpty, "ms must name at least one group")
+    require(ms.values.forall(_ >= 0L), "m must be >= 0")
+    budgetSelectPerGroup(df, group, id, quality, lit(1L), ms, maxHistRows)
+  }
+
   /** Test-seam form: `fanout` (id chunks per refinement round) and
     * `smallCap` (max rows the final window may see) shrink in the spec
     * to force deep refinement on a 200-row corpus. */

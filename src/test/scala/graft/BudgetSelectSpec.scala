@@ -471,6 +471,20 @@ class BudgetSelectSpec extends AnyFunSuite {
       Map("g0" -> 10L, "g2" -> 10L)))
   }
 
+  test("takeTopPerGroup keeps each group's m-row prefix; unnamed drop") {
+    val df = groupedCorpus(300, nGroups = 4, seed = 71).cache()
+    val ms = Map("g0" -> 0L, "g1" -> 7L, "g2" -> 100000L, "g3" -> 25L)
+    val got = BudgetSelect.takeTopPerGroup(df, col("g"), col("id"),
+        col("q"), ms)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("q").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .collect().filter { r =>
+        ms.get(r.getAs[String]("g")).exists(r.getAs[Int]("rn") <= _)
+      }.map(_.getAs[Long]("id")).toSet
+    assert(got === want)
+  }
+
   test("takeTop keeps exactly the m best rows across the m spectrum") {
     val df = corpus(200, seed = 51).cache()
     val w = Window.orderBy(col("q").desc, col("id"))
