@@ -1049,19 +1049,23 @@ object ExtensionQueries {
     // over the whole corpus from scratch, so a fold bug (lost level,
     // double count) cannot hide: it moves a quantile.
     "exact_quantiles_incremental" -> ((s, dir) => {
+      // DOLLAR quantization, not cents: persisted state must ride a
+      // GRID-bounded histogram (the manifest-class convention — cents
+      // on lineitem is ~row-cardinality, 583k distinct at sf0.1, which
+      // is a fine one-shot collect but the wrong thing to persist)
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"),
-          round(col("l_extendedprice") * 100, 0).as("cents"))
+          round(col("l_extendedprice"), 0).as("usd"))
       val stateTmp = java.nio.file.Files.createTempDirectory("graft_pstate")
       IndexCache.cleanupAtExit(stateTmp)
       val statePath = stateTmp.resolve("state").toString
       graft.meta.ProfileState.writeProfileState(
-        li.where(col("l_orderkey") % 3 =!= 0), col("cents"), statePath)
+        li.where(col("l_orderkey") % 3 =!= 0), col("usd"), statePath)
       graft.meta.ProfileState.appendProfileState(
-        li.where(col("l_orderkey") % 3 === 0), col("cents"), statePath)
+        li.where(col("l_orderkey") % 3 === 0), col("usd"), statePath)
       graft.meta.ProfileState.exactQuantilesFromState(s, statePath,
           ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
-        .select(col("p"), col("value").as("price_cents"), col("n"))
+        .select(col("p"), col("value").as("price_usd"), col("n"))
         .orderBy(col("p"))
     }),
 
@@ -1070,20 +1074,20 @@ object ExtensionQueries {
     "exact_quantiles_incremental_by_flag" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"),
-          round(col("l_extendedprice") * 100, 0).as("cents"))
+          round(col("l_extendedprice"), 0).as("usd"))
       val stateTmp = java.nio.file.Files.createTempDirectory("graft_pstate_g")
       IndexCache.cleanupAtExit(stateTmp)
       val statePath = stateTmp.resolve("state").toString
       graft.meta.ProfileState.writeProfileStatePerGroup(
         li.where(col("l_orderkey") % 3 =!= 0), col("l_returnflag"),
-        col("cents"), statePath)
+        col("usd"), statePath)
       graft.meta.ProfileState.appendProfileStatePerGroup(
         li.where(col("l_orderkey") % 3 === 0), col("l_returnflag"),
-        col("cents"), statePath)
+        col("usd"), statePath)
       graft.meta.ProfileState.exactQuantilesPerGroupFromState(s, statePath,
           ps = Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("group").as("l_returnflag"), col("p"),
-          col("value").as("price_cents"), col("n"))
+          col("value").as("price_usd"), col("n"))
         .orderBy(col("l_returnflag"), col("p"))
     }),
 
@@ -1095,16 +1099,16 @@ object ExtensionQueries {
     "profile_drift" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"),
-          round(col("l_extendedprice") * 100, 0).as("cents"))
+          round(col("l_extendedprice"), 0).as("usd"))
       val stateTmp = java.nio.file.Files.createTempDirectory("graft_pdrift")
       IndexCache.cleanupAtExit(stateTmp)
       val pathA = stateTmp.resolve("v1").toString
       val pathB = stateTmp.resolve("v2").toString
       graft.meta.ProfileState.writeProfileStatePerGroup(
         li.where(col("l_orderkey") % 3 =!= 0), col("l_returnflag"),
-        col("cents"), pathA)
+        col("usd"), pathA)
       graft.meta.ProfileState.writeProfileStatePerGroup(
-        li, col("l_returnflag"), col("cents"), pathB)
+        li, col("l_returnflag"), col("usd"), pathB)
       graft.meta.ProfileState.profileDrift(s, pathA, pathB,
           ps = Seq(0.25, 0.5, 0.9))
         .select(col("group").as("l_returnflag"), col("p"),
@@ -2233,22 +2237,22 @@ object ExtensionQueries {
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
 
     // state-folded quantiles must equal the from-scratch scan over the
-    // WHOLE corpus — same SQL as exact_quantiles by construction
+    // WHOLE corpus (dollar grid — the state convention)
     "exact_quantiles_incremental" ->
       """WITH v AS (
-        |  SELECT cast(round(l_extendedprice * 100) AS bigint) AS c
+        |  SELECT cast(round(l_extendedprice) AS bigint) AS c
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |q AS (SELECT quantile_disc(c,
         |        [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS vs,
         |      count(*) AS n FROM v)
         |SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p,
-        |  unnest(vs) AS price_cents, n
+        |  unnest(vs) AS price_usd, n
         |FROM q ORDER BY p""".stripMargin,
 
     "exact_quantiles_incremental_by_flag" ->
       """WITH v AS (
         |  SELECT l_returnflag,
-        |    cast(round(l_extendedprice * 100) AS bigint) AS c
+        |    cast(round(l_extendedprice) AS bigint) AS c
         |  FROM lineitem
         |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
         |q AS (SELECT l_returnflag,
@@ -2256,7 +2260,7 @@ object ExtensionQueries {
         |        count(*) AS n
         |      FROM v GROUP BY l_returnflag)
         |SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS p,
-        |  unnest(vs) AS price_cents, n
+        |  unnest(vs) AS price_usd, n
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
 
     // both corpus versions' grouped quantiles recomputed from scratch,
@@ -2264,13 +2268,13 @@ object ExtensionQueries {
     "profile_drift" ->
       """WITH va AS (
         |  SELECT l_returnflag AS g,
-        |    cast(round(l_extendedprice * 100) AS bigint) AS c
+        |    cast(round(l_extendedprice) AS bigint) AS c
         |  FROM lineitem
         |  WHERE l_orderkey % 3 <> 0
         |    AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
         |vb AS (
         |  SELECT l_returnflag AS g,
-        |    cast(round(l_extendedprice * 100) AS bigint) AS c
+        |    cast(round(l_extendedprice) AS bigint) AS c
         |  FROM lineitem
         |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
         |qa AS (SELECT g, quantile_disc(c, [0.25, 0.5, 0.9]) AS vs,
