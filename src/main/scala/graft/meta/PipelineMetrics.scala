@@ -117,25 +117,75 @@ object PipelineMetrics {
       }.toDF("group", "p", "value", "n")
   }
 
+  /** EXACT WEIGHTED quantiles: the smallest value whose cumulative
+    * weight reaches `clamp(ceil(p * W), 1, W)` over the value order,
+    * where every row carries a non-negative integral weight (tokens,
+    * bytes, cost) — "the quality level below which 25% of the TOKENS
+    * sit", the curation-report form of [[exactQuantiles]] (which IS
+    * this with weight 1: the histogram count is just a weight, so the
+    * same [[graft.core.Refine.quantileValues]] lookup serves both).
+    * One map-side-combined (value, sum weight) pass; returns one row
+    * per p: (p, value, n) with n the TOTAL WEIGHT. Rows whose value or
+    * weight is null/cast-null are dropped; fractional values or
+    * weights fail loudly (the truncating-cast contract); negative
+    * weights fail loudly (no coherent cumulative order). Zero-weight
+    * rows are excluded naturally — they cannot host a quantile. */
+  def exactQuantilesWeighted(df: DataFrame, value: Column, weight: Column,
+                             ps: Seq[Double],
+                             maxLevels: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    quantilePs(ps)
+    val levels = quantileHistogram(df, lit("__all"), value, maxLevels, weight)
+      .map { case (_, v, w) => (v, w) }.filter(_._2 > 0L)
+    if (levels.isEmpty)
+      return Seq.empty[(Double, Long, Long)].toDF("p", "value", "n")
+    graft.core.Refine.quantileValues(levels.sortBy(_._1), ps)
+      .toDF("p", "value", "n")
+  }
+
+  /** [[exactQuantilesWeighted]] computed SEPARATELY within every group
+    * from ONE (group, value) weighted histogram pass. */
+  def exactQuantilesWeightedPerGroup(df: DataFrame, group: Column,
+                                     value: Column, weight: Column,
+                                     ps: Seq[Double],
+                                     maxHistRows: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    quantilePs(ps)
+    quantileHistogram(df, group, value, maxHistRows, weight)
+      .filter(_._3 > 0L)
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        graft.core.Refine.quantileValues(levels, ps)
+          .map { case (p, v, n) => (g, p, v, n) }
+      }.toDF("group", "p", "value", "n")
+  }
+
   private def quantilePs(ps: Seq[Double]): Unit = {
     require(ps.nonEmpty, "ps must name at least one quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
   }
 
-  /** The one collected (group, value, count) histogram behind both
-    * quantile forms: cast-null groups/values are dropped (the null-drop
-    * contract), the collect is capped and loud, and a FRACTIONAL value
-    * — one that survives try_cast by TRUNCATING — fails loudly instead
-    * of skewing the histogram (the lossy flag rides the same pass). */
+  /** The one collected (group, value, count-or-weight) histogram behind
+    * every quantile form: cast-null groups/values/weights are dropped
+    * (the null-drop contract), the collect is capped and loud, and a
+    * FRACTIONAL value or weight — one that survives try_cast by
+    * TRUNCATING — fails loudly instead of skewing the histogram (the
+    * lossy flags ride the same pass), as does a negative weight. The
+    * unweighted forms pass weight = 1, where the checks are vacuous. */
   private def quantileHistogram(df: DataFrame, group: Column, value: Column,
-                                maxRows: Int): Array[(String, Long, Long)] = {
+                                maxRows: Int,
+                                weight: Column = lit(1L)): Array[(String, Long, Long)] = {
     val gS = group.cast("string")
     val vL = value.try_cast("long")
-    val lossy = when(value.cast("double") =!= vL.cast("double"), 1)
-      .otherwise(0)
-    val hist = df.where(gS.isNotNull && vL.isNotNull)
+    val wL = weight.try_cast("long")
+    val lossy = greatest(
+      when(value.cast("double") =!= vL.cast("double"), 1).otherwise(0),
+      when(weight.cast("double") =!= wL.cast("double"), 1).otherwise(0))
+    val hist = df.where(gS.isNotNull && vL.isNotNull && wL.isNotNull)
       .groupBy(gS.as("g"), vL.as("v"))
-      .agg(count(lit(1)).as("n"), max(lossy).as("lossy"))
+      .agg(sum(wL).as("n"), max(lossy).as("lossy"), min(wL).as("wmin"))
       .limit(maxRows + 1)
       .collect()
     require(hist.length <= maxRows,
@@ -144,6 +194,8 @@ object PipelineMetrics {
     require(hist.forall(_.getInt(3) == 0),
       "fractional values would be TRUNCATED by the long cast — quantize " +
         "the metric first (ppm/cents convention)")
+    require(hist.forall(_.getLong(4) >= 0L),
+      "negative weights break the cumulative order — weights must be >= 0")
     hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
   }
 

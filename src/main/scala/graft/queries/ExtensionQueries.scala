@@ -1041,6 +1041,39 @@ object ExtensionQueries {
         .orderBy(col("l_returnflag"), col("p"))
     }),
 
+    // WEIGHTED exact quantiles: "the quality level below which p of the
+    // corpus's CHARS sit" — each doc weighted by its n_chars, the
+    // curation-report form where doc-count quantiles mislead (a few
+    // huge docs dominate the token budget). Oracle recomputes the
+    // weighted rank from a cumulative-weight window.
+    "weighted_quantiles" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          col("n_chars"))
+      graft.meta.PipelineMetrics.exactQuantilesWeighted(scored,
+          col("q_ppm"), col("n_chars"),
+          ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+        .select(col("p"), col("value").as("q_ppm"), col("n").as("w_total"))
+        .orderBy(col("p"))
+    }),
+
+    // the per-domain twin off ONE (group, value) weighted pass
+    "weighted_quantiles_by_source" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("source"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          col("n_chars"))
+      graft.meta.PipelineMetrics.exactQuantilesWeightedPerGroup(scored,
+          col("source"), col("q_ppm"), col("n_chars"),
+          ps = Seq(0.25, 0.5, 0.9))
+        .select(col("group").as("source"), col("p"),
+          col("value").as("q_ppm"), col("n").as("w_total"))
+        .orderBy(col("source"), col("p"))
+    }),
+
     // rolling-corpus profiling from PERSISTED state: the corpus splits
     // into an existing store and an ingest batch, the (value) histogram
     // persists at write time, the batch folds in (one batch-only
@@ -2235,6 +2268,50 @@ object ExtensionQueries {
         |SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS p,
         |  unnest(vs) AS price_cents, n
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
+
+    // weighted rank from a cumulative-weight window: smallest value
+    // whose cumulative weight reaches clamp(ceil(p * W), 1, W)
+    "weighted_quantiles" ->
+      """WITH t AS (
+        |  SELECT cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q,
+        |    n_chars AS w
+        |  FROM documents),
+        |t2 AS (SELECT q, w FROM t WHERE q IS NOT NULL AND w IS NOT NULL),
+        |lv AS (SELECT q, sum(w) AS w FROM t2 GROUP BY q HAVING sum(w) > 0),
+        |cum AS (SELECT q, sum(w) OVER (ORDER BY q) AS cw FROM lv),
+        |tot AS (SELECT sum(w) AS tw FROM lv),
+        |ps AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p)
+        |SELECT p,
+        |  (SELECT min(q) FROM cum, tot
+        |   WHERE cw >= least(tw, greatest(1,
+        |     cast(ceil(p * tw) AS bigint)))) AS q_ppm,
+        |  (SELECT tw FROM tot) AS w_total
+        |FROM ps ORDER BY p""".stripMargin,
+
+    "weighted_quantiles_by_source" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q,
+        |    n_chars AS w
+        |  FROM documents),
+        |t2 AS (SELECT source, q, w FROM t
+        |       WHERE source IS NOT NULL AND q IS NOT NULL AND w IS NOT NULL),
+        |lv AS (SELECT source, q, sum(w) AS w FROM t2 GROUP BY source, q
+        |       HAVING sum(w) > 0),
+        |cum AS (SELECT source, q,
+        |          sum(w) OVER (PARTITION BY source ORDER BY q) AS cw
+        |        FROM lv),
+        |tot AS (SELECT source, sum(w) AS tw FROM lv GROUP BY source),
+        |ps AS (SELECT unnest([0.25, 0.5, 0.9]) AS p)
+        |SELECT tot.source, ps.p,
+        |  (SELECT min(q) FROM cum
+        |   WHERE cum.source = tot.source
+        |     AND cw >= least(tot.tw, greatest(1,
+        |       cast(ceil(ps.p * tot.tw) AS bigint)))) AS q_ppm,
+        |  tot.tw AS w_total
+        |FROM tot, ps ORDER BY tot.source, ps.p""".stripMargin,
 
     // state-folded quantiles must equal the from-scratch scan over the
     // WHOLE corpus (dollar grid — the state convention)

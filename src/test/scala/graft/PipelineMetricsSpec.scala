@@ -176,6 +176,51 @@ class PipelineMetricsSpec extends AnyFunSuite {
       .head().getLong(1) === 2L)
   }
 
+  test("exactQuantilesWeighted equals quantiles of the weight-expanded " +
+      "multiset") {
+    import graft.meta.PipelineMetrics
+    val rng = new scala.util.Random(31)
+    val rows = Seq.fill(300)((rng.nextInt(60).toLong - 20,
+      rng.nextInt(5).toLong)) // weights 0..4, zeros excluded naturally
+    val df = rows.toDF("v", "w")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+    val got = PipelineMetrics.exactQuantilesWeighted(df, col("v"), col("w"), ps)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val n = expanded.length
+    ps.foreach { p =>
+      val rank = math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1))
+      assert(got(p) === ((expanded(rank), n.toLong)), s"p=$p")
+    }
+    // weight 1 ≡ the unweighted form
+    val w1 = PipelineMetrics.exactQuantilesWeighted(df, col("v"), lit(1L), ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val uw = PipelineMetrics.exactQuantiles(df, col("v"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(w1 === uw)
+    // per-group form matches the per-group expansion
+    val gdf = rows.zipWithIndex
+      .map { case ((v, w), i) => (s"g${i % 2}", v, w) }.toDF("g", "v", "w")
+    val gotG = PipelineMetrics.exactQuantilesWeightedPerGroup(gdf, col("g"),
+        col("v"), col("w"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.zipWithIndex.groupBy(_._2 % 2).foreach { case (gi, grows) =>
+      val exp = grows.flatMap { case ((v, w), _) => Seq.fill(w.toInt)(v) }.sorted
+      val rank = math.min(exp.length - 1,
+        math.max(0, math.ceil(0.5 * exp.length).toInt - 1))
+      assert(gotG(s"g$gi") === exp(rank), s"g$gi")
+    }
+    // loud contracts: negative and fractional weights
+    intercept[IllegalArgumentException] {
+      PipelineMetrics.exactQuantilesWeighted(
+        Seq((1L, -1L)).toDF("v", "w"), col("v"), col("w"), Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineMetrics.exactQuantilesWeighted(
+        Seq((1L, 1.5)).toDF("v", "w"), col("v"), col("w"), Seq(0.5))
+    }
+  }
+
   test("invalid ps fail loudly even on an empty frame") {
     import graft.meta.PipelineMetrics
     val empty = Seq.empty[Long].map(Tuple1(_)).toDF("v")
