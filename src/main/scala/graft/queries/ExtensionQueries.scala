@@ -609,6 +609,35 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // equal-TOKEN-MASS curriculum: k stages of equal cumulative chars
+    // over (quality DESC, doc_id) — the schedule you actually train
+    // with, where equal-doc bins mislead (huge docs dominate a stage's
+    // budget). Oracle is the running-cost window formula from scratch.
+    "curriculum_bins_by_cost" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          col("n_chars"))
+      graft.text.Binning.quantileBinsByCost(scored, col("doc_id"),
+          col("q_ppm"), col("n_chars"), k = 7)
+        .select(col("doc_id"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the per-domain twin: every source's own equal-mass stages
+    "curriculum_bins_by_cost_by_source" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          col("n_chars"))
+      graft.text.Binning.quantileBinsByCostPerGroup(scored, col("source"),
+          col("doc_id"), col("q_ppm"), col("n_chars"), k = 4)
+        .select(col("doc_id"), col("source"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // rolling-corpus budget cutoff from PERSISTED state: the corpus
     // splits into an "existing" store and an ingest "batch"; the
     // quality-level histogram persists at write time, the batch FOLDS
@@ -2425,6 +2454,44 @@ object ExtensionQueries {
         |SELECT r.doc_id, r.q_ppm,
         |  cast((r.rn - 1) * 7 // n.n + 1 AS int) AS bin
         |FROM r, n ORDER BY r.doc_id""".stripMargin,
+
+    // the equal-mass map from a from-scratch running-cost window
+    "curriculum_bins_by_cost" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm,
+        |    n_chars AS c
+        |  FROM documents),
+        |t AS (SELECT * FROM t0
+        |      WHERE doc_id IS NOT NULL AND q_ppm IS NOT NULL
+        |        AND c IS NOT NULL),
+        |w AS (SELECT sum(c) AS tw FROM t),
+        |r AS (SELECT doc_id,
+        |        sum(c) OVER (ORDER BY q_ppm DESC, doc_id) AS cum
+        |      FROM t)
+        |SELECT r.doc_id,
+        |  cast((greatest(r.cum, 1) - 1) * 7 // w.tw + 1 AS int) AS bin
+        |FROM r, w ORDER BY r.doc_id""".stripMargin,
+
+    "curriculum_bins_by_cost_by_source" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, source,
+        |    cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q_ppm,
+        |    n_chars AS c
+        |  FROM documents),
+        |t AS (SELECT * FROM t0
+        |      WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |        AND q_ppm IS NOT NULL AND c IS NOT NULL),
+        |r AS (SELECT doc_id, source,
+        |        sum(c) OVER (PARTITION BY source
+        |          ORDER BY q_ppm DESC, doc_id) AS cum,
+        |        sum(c) OVER (PARTITION BY source) AS tw
+        |      FROM t)
+        |SELECT doc_id, source,
+        |  cast((greatest(cum, 1) - 1) * 4 // tw + 1 AS int) AS bin
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the same per-group floor map from a from-scratch partitioned
     // ranking window

@@ -99,6 +99,256 @@ object Binning {
     * boundary-array aggregate (flat expression tree) takes over. */
   private val foldedBoundaryCap = 64
 
+  // ── cost-weighted bins (equal token mass per bin) ──────────────────
+
+  /** COST-WEIGHTED curriculum bins: split the (score DESC, id ASC)
+    * order into k bins of EQUAL CUMULATIVE COST (token mass) instead of
+    * equal row count — the curriculum you actually schedule training
+    * with, where equal-doc bins mislead (a few huge documents dominate
+    * a stage's token budget).
+    *
+    * Semantics: with per-row integral cost w ≥ 0 and W = Σw, a row
+    * whose INCLUSIVE running cost in the order is `cum` gets
+    * `bin = 1 + floor((max(cum, 1) - 1) * k / W)` (all bins 1 when
+    * W = 0) — identical to the SQL window
+    * `1 + ((greatest(sum(w) OVER (ORDER BY score DESC, id), 1) - 1) * k) / W`
+    * under integer division, and EXACTLY [[quantileBins]] when w = 1.
+    * Zero-cost rows ride their position's mass point.
+    *
+    * Scale shape: the [[quantileBins]] machinery with cost sums in
+    * place of row counts — ONE (group, level) cost histogram, driver
+    * boundary placement against cumulative cost, within-level
+    * refinement by id-chunk COST histograms over a localCheckpointed
+    * slim (sel, id, cost) frame, a bounded per-cursor window finish,
+    * and a map-only (or broadcast boundary-array) assignment. The one
+    * new case: a boundary's within-level cost target can fall BEFORE
+    * the level's first row (its cost alone exceeds the remainder), so
+    * boundaries carry an `open` flag — "every row of this level is
+    * after the cut" — instead of an id that may not exist.
+    *
+    * Preconditions: [[quantileBins]]' (integral score, integral UNIQUE
+    * id, null/cast-null rows dropped) plus integral NON-NEGATIVE cost
+    * (negative mass has no cumulative order — loud). */
+  def quantileBinsByCost(df: DataFrame, id: Column, score: Column,
+                         cost: Column, k: Int,
+                         maxLevels: Int = 1 << 20): DataFrame =
+    quantileBinsByCostImpl(df, lit(allGroup), id, score, cost, k, maxLevels,
+      fanout = 4096, smallCap = 1 << 16)
+
+  /** [[quantileBinsByCost]] computed SEPARATELY within every group —
+    * per-domain equal-token-mass curricula from one histogram pass. */
+  def quantileBinsByCostPerGroup(df: DataFrame, group: Column, id: Column,
+                                 score: Column, cost: Column, k: Int,
+                                 maxHistRows: Int = 1 << 20): DataFrame =
+    quantileBinsByCostImpl(df, group, id, score, cost, k, maxHistRows,
+      fanout = 4096, smallCap = 1 << 16)
+
+  private[graft] def quantileBinsByCostImpl(
+      df: DataFrame, group: Column, id: Column, score: Column, cost: Column,
+      k: Int, maxHistRows: Int, fanout: Int, smallCap: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+    require(k >= 1, "k must be >= 1")
+    require(fanout >= 2 && smallCap >= 1, "fanout >= 2, smallCap >= 1")
+    val gS = group.cast("string")
+    val idL = id.try_cast("long")
+    val qL = score.try_cast("long")
+    val cL = cost.try_cast("long")
+    val live = df.where(gS.isNotNull && idL.isNotNull && qL.isNotNull &&
+      cL.isNotNull)
+    if (k == 1) return live.withColumn("bin", lit(1))
+
+    // 1. (group, level) COST histogram with id extremes + row counts
+    val hist = live.groupBy(gS.as("__g"), qL.as("__q"))
+      .agg(sum(cL).as("__w"), count(lit(1)).as("__n"),
+        min(idL).as("__lo"), max(idL).as("__hi"), min(cL).as("__cmin"))
+      .limit(maxHistRows + 1)
+      .collect()
+    require(hist.length <= maxHistRows,
+      s"more than $maxHistRows distinct (group, score-level) rows — " +
+        "quantize the score (ppm convention) or raise the cap")
+    require(hist.forall(_.getLong(6) >= 0L),
+      "negative costs break cumulative-mass binning — costs must be >= 0")
+    if (hist.isEmpty) return live.withColumn("bin", lit(1))
+
+    // 2. boundary placement against cumulative COST. resolved value:
+    // (level, boundaryId, open) — open = "the cut precedes every row
+    // of this level"
+    var resolved = Map.empty[(String, Int), (Long, Long, Boolean)]
+    // interior selections: (key, level, costTarget t, rowCount, lo, hi)
+    var sels = List.empty[((String, Int), Long, Long, Long, Long, Long)]
+    val byGroup = hist.groupBy(_.getString(0))
+    byGroup.foreach { case (g, rows) =>
+      val levels = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)(Ordering[Long].reverse)
+      val w = levels.map(_._2).map(BigInt(_)).sum
+      if (w > 0) {
+        require(w <= Long.MaxValue,
+          s"total cost exceeds 64 bits (group=$g)")
+        val starts = levels.scanLeft(BigInt(0))((acc, l) => acc + l._2)
+        for (i <- 1 until k) {
+          val ti = (BigInt(i) * w - 1) / k + 1 // clamp(ceil-ish) ≥ 1
+          var j = 0
+          while (starts(j + 1) < ti) j += 1
+          val (lvl, wl, cnt, lo, hi) = levels(j)
+          val t = (ti - starts(j)).toLong // 1 ≤ t ≤ wl
+          if (t == wl) resolved += (g, i) -> (lvl, hi, false)
+          else sels ::= ((g, i), lvl, t, cnt, lo, hi)
+        }
+      }
+    }
+
+    val spark = df.sparkSession
+    def frame(rows: Seq[Row], fs: (String, org.apache.spark.sql.types.DataType)*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(fs.map { case (nm, t) => StructField(nm, t, nullable = false) }))
+
+    // 3. interior refinement: largest id whose within-level cumulative
+    // cost (id ASC) stays ≤ t — BudgetSelect's remaining-budget chunk
+    // walk over a slim checkpointed (sel, id, cost) frame; fully-kept
+    // chunks record their max id in `lastKept` so a boundary landing at
+    // a chunk edge still has its id without re-reading dropped chunks
+    if (sels.nonEmpty) {
+      val selIndex = sels.map(_._1).sorted.zipWithIndex.toMap
+      val selDf = frame(
+        sels.sortBy(s => selIndex(s._1)).map { case (key, lvl, _, _, _, _) =>
+          Row(selIndex(key), key._1, lvl)
+        }, "__sel" -> IntegerType, "__sg" -> StringType, "__slvl" -> LongType)
+      var pending = live
+        .select(gS.as("__sg"), qL.as("__slvl"), idL.as("__id"), cL.as("__c"))
+        .join(broadcast(selDf), Seq("__sg", "__slvl"))
+        .select(col("__sel"), col("__id"), col("__c"))
+        .localCheckpoint(false)
+      var state: Map[Int, (Long, Long, Long, Long)] = // (lo, hi, n, rem)
+        sels.map { case (key, _, t, cnt, lo, hi) =>
+          selIndex(key) -> (lo, hi, cnt, t)
+        }.toMap
+      val lastKept = scala.collection.mutable.Map.empty[Int, Long]
+      var finals = pending.limit(0)
+      val finalRem = scala.collection.mutable.Map.empty[Int, (Long, Long)] // (n, rem)
+      var rounds = 0
+      while (state.nonEmpty) {
+        rounds += 1
+        require(rounds <= 64, "refinement failed to converge — are the " +
+          "ids unique within each group? (duplicate or non-integral ids " +
+          "collapse chunks)")
+        val (small, big) = state.partition(_._2._3 <= smallCap)
+        if (small.nonEmpty) {
+          small.foreach { case (i, (_, _, n, rem)) => finalRem(i) = (n, rem) }
+          finals = finals.unionByName(
+            pending.join(broadcast(frame(small.keys.toSeq.sorted.map(Row(_)),
+              "__sel" -> IntegerType)), Seq("__sel"), "left_semi"))
+        }
+        if (big.isEmpty) state = Map.empty
+        else {
+          val widths = big.toSeq.sortBy(_._1).map { case (i, (lo, hi, _, _)) =>
+            Row(i, graft.core.Refine.chunkWidth(lo, hi, fanout))
+          }
+          val chunked = pending
+            .join(broadcast(frame(widths, "__sel" -> IntegerType, "__w" -> LongType)),
+              Seq("__sel"))
+            .withColumn("__ck", floorDivChunk(col("__id"), col("__w")))
+          val chist = chunked.groupBy(col("__sel"), col("__ck"))
+            .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"),
+              min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
+            .collect()
+          val nextState = scala.collection.mutable.Map.empty[Int, (Long, Long, Long, Long)]
+          val stars = chist.groupBy(_.getInt(0)).map { case (i, rows) =>
+            val rem = big(i)._4
+            val chunks = rows.map(r => (r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+            // invariant rem < Σ chunk costs, so the boundary exists
+            val ((cs, _, cn, clo, chi), before) =
+              graft.core.Refine.boundary[(Long, Long, Long, Long, Long)](
+                chunks.toSeq, _._2, rem).get
+            val keptHis = chunks.filter(_._1 < cs).map(_._5)
+            if (keptHis.nonEmpty)
+              lastKept(i) = math.max(lastKept.getOrElse(i, Long.MinValue),
+                keptHis.max)
+            nextState(i) = (clo, chi, cn, rem - before)
+            Row(i, cs)
+          }.toSeq
+          pending = chunked
+            .join(broadcast(frame(stars.sortBy(_.getInt(0)),
+              "__sel" -> IntegerType, "__cstar" -> LongType)), Seq("__sel"))
+            .where(col("__ck") === col("__cstar"))
+            .select(col("__sel"), col("__id"), col("__c"))
+            .localCheckpoint(false)
+          state = nextState.toMap
+        }
+      }
+      // bounded distributed finish: per cursor (≤ smallCap rows), the
+      // max id whose running cost stays ≤ rem — one window partitioned
+      // by the cursor; ONE aggregated row per cursor reaches the driver
+      val remDf = frame(
+        finalRem.toSeq.sortBy(_._1).map { case (i, (n, rem)) => Row(i, n, rem) },
+        "__sel" -> IntegerType, "__n" -> LongType, "__rem" -> LongType)
+      val wSel = Window.partitionBy(col("__sel")).orderBy(col("__id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val picked = finals.join(broadcast(remDf), Seq("__sel"))
+        .withColumn("__cum", sum(col("__c")).over(wSel))
+        .groupBy(col("__sel"))
+        .agg(count(lit(1)).as("__pn"),
+          max(when(col("__cum") <= col("__rem"), col("__id"))).as("__bid"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      val selKey = sels.map { case (key, lvl, _, _, _, _) =>
+        selIndex(key) -> (key, lvl) }.toMap
+      require(picked.size == finalRem.size,
+        s"boundary refinement lost cursors (${picked.size} of ${finalRem.size})")
+      finalRem.foreach { case (i, (n, _)) =>
+        val (pn, bidOpt) = picked(i)
+        require(pn == n,
+          s"boundary $i refinement lost rows (have $pn, want $n)")
+        val (key, lvl) = selKey(i)
+        resolved += key -> (bidOpt.orElse(lastKept.get(i)) match {
+          case Some(bid) => (lvl, bid, false)
+          case None      => (lvl, 0L, true) // cut precedes the whole level
+        })
+      }
+    }
+
+    // 4. assignment: the quantileBins fold with the open flag
+    def afterExpr(lvlC: Column, idC: Column, lvl: Column, bid: Column,
+                  open: Column): Column =
+      when(lvlC < lvl || (lvlC === lvl && (open || idC > bid)), 1).otherwise(0)
+    val groupsResolved = resolved.keys.map(_._1).toSet
+    if (groupsResolved.forall(_ == allGroup) &&
+        resolved.size <= foldedBoundaryCap) {
+      val after = resolved.foldLeft(lit(0)) {
+        case (acc, (_, (lvl, bid, open))) =>
+          acc + afterExpr(qL, idL, lit(lvl), lit(bid), lit(open))
+      }
+      live.withColumn("bin", (after + 1).cast("int"))
+    } else {
+      val bRows = resolved.toSeq
+        .groupBy(_._1._1).toSeq.sortBy(_._1)
+        .map { case (g, bs) =>
+          Row(g, bs.sortBy(_._1._2).map { case (_, (lvl, bid, open)) =>
+            Row(lvl, bid, open) })
+        }
+      val entry = StructType(Seq(
+        StructField("lvl", LongType, nullable = false),
+        StructField("bid", LongType, nullable = false),
+        StructField("open", BooleanType, nullable = false)))
+      val bDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(bRows, 1),
+        StructType(Seq(StructField("__bg", StringType, nullable = false),
+          StructField("__bounds", org.apache.spark.sql.types.ArrayType(entry,
+            containsNull = false), nullable = false))))
+      live.withColumn("__bg", gS)
+        .join(broadcast(bDf), Seq("__bg"), "left")
+        .withColumn("bin",
+          (coalesce(aggregate(col("__bounds"), lit(0), (acc, b) =>
+            acc + afterExpr(qL, idL, b.getField("lvl"), b.getField("bid"),
+              b.getField("open"))),
+            lit(0)) + 1).cast("int"))
+        .drop("__bg", "__bounds")
+    }
+  }
+
   private def quantileBinsCore(df: DataFrame, group: Column, id: Column,
                                score: Column, k: Int, maxHistRows: Int,
                                fanout: Int, smallCap: Int): DataFrame = {

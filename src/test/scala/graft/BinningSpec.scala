@@ -141,6 +141,105 @@ class BinningSpec extends AnyFunSuite {
     assert(e.getMessage.contains("score-level"))
   }
 
+  // ── cost-weighted bins ─────────────────────────────────────────────
+
+  /** Independent answer: the running-cost window formula. */
+  private def bruteCostBins(df: DataFrame, k: Int): Map[Long, Int] = {
+    val rows = df.select(col("id"), col("q"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    val w = rows.map(_._3).sum
+    if (w == 0L) rows.map(_._1 -> 1).toMap
+    else {
+      var cum = 0L
+      rows.map { case (id, _, c) =>
+        cum += c
+        id -> (1L + (math.max(cum, 1L) - 1L) * k / w).toInt
+      }.toMap
+    }
+  }
+
+  private def costCorpus(nRows: Int, nLevels: Int, seed: Long): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    (0 until nRows).map { i =>
+      (i.toLong * 13 % 2003, rng.nextInt(nLevels).toLong,
+        rng.nextInt(6).toLong) // costs 0..5 including zero-cost rows
+    }.toDF("id", "q", "c")
+  }
+
+  private def gotCostBins(df: DataFrame, k: Int,
+                          fanout: Int = 4096,
+                          smallCap: Int = 1 << 16): Map[Long, Int] = {
+    val r = Binning.quantileBinsByCostImpl(df, lit("__all"), col("id"),
+      col("q"), col("c"), k, 1 << 20, fanout, smallCap)
+    r.select(col("id"), col("bin")).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+  }
+
+  test("cost bins match the running-cost window formula across k") {
+    val df = costCorpus(400, nLevels = 6, seed = 21).cache()
+    for (k <- Seq(2, 3, 7, 10))
+      assert(gotCostBins(df, k) === bruteCostBins(df, k), s"k=$k")
+  }
+
+  test("cost bins with unit cost equal the unweighted bins") {
+    val df = corpus(300, nLevels = 5, seed = 22).cache()
+    val unit = df.withColumn("c", lit(1L))
+    for (k <- Seq(3, 7))
+      assert(gotCostBins(unit, k) === gotBins(df, k), s"k=$k")
+  }
+
+  test("cost bins survive deep refinement (fanout 2, smallCap 1)") {
+    val df = costCorpus(240, nLevels = 3, seed = 23).cache()
+    for (k <- Seq(3, 6))
+      assert(gotCostBins(df, k, fanout = 2, smallCap = 1) ===
+        bruteCostBins(df, k), s"k=$k")
+  }
+
+  test("a first row heavier than the cut: the open boundary excludes " +
+      "the whole level") {
+    // level 2 = one row of cost 100; level 1 = one row of cost 10.
+    // k=2 puts the cut at mass 55 < 100, BEFORE the only row of level
+    // 2 — both rows land in bin 2, none in bin 1 (the formula's answer)
+    val df = Seq((1L, 2L, 100L), (2L, 1L, 10L)).toDF("id", "q", "c")
+    val got = gotCostBins(df, 2)
+    assert(got === Map(1L -> 2, 2L -> 2))
+    assert(got === bruteCostBins(df, 2))
+  }
+
+  test("zero-total-cost corpus puts every row in bin 1") {
+    val df = Seq((1L, 5L, 0L), (2L, 3L, 0L)).toDF("id", "q", "c")
+    assert(gotCostBins(df, 4) === Map(1L -> 1, 2L -> 1))
+  }
+
+  test("per-group cost bins match the partitioned window formula") {
+    val rng = new scala.util.Random(24)
+    val df = (0 until 300).map { i =>
+      (s"g${rng.nextInt(3)}", i.toLong * 11 % 1009, rng.nextInt(4).toLong,
+        rng.nextInt(6).toLong)
+    }.toDF("g", "id", "q", "c").cache()
+    for (k <- Seq(2, 5)) {
+      val got = Binning.quantileBinsByCostPerGroup(df, col("g"), col("id"),
+          col("q"), col("c"), k)
+        .select(col("id"), col("bin")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = df.select(col("g")).distinct().collect().map(_.getString(0))
+        .flatMap { g =>
+          bruteCostBins(df.where(col("g") === g), k)
+        }.toMap
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("cost-bin output plan is windowless for the corpus branch") {
+    val df = costCorpus(300, nLevels = 5, seed = 25)
+    val p = Binning.quantileBinsByCost(df, col("id"), col("q"), col("c"), 7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("Exchange"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("Sort"), p.linesIterator.take(30).mkString("\n"))
+  }
+
   // ── per-group bins ─────────────────────────────────────────────────
 
   private def bruteBinsPerGroup(df: DataFrame, k: Int): Map[Long, Int] = {
