@@ -59,7 +59,8 @@ object Bench {
     "exact_quantiles_incremental", "exact_quantiles_incremental_by_flag",
     "profile_drift", "multimodal_gif_frames", "corpus_top_m_by_source",
     "weighted_quantiles", "weighted_quantiles_by_source",
-    "curriculum_bins_by_cost", "curriculum_bins_by_cost_by_source")
+    "curriculum_bins_by_cost", "curriculum_bins_by_cost_by_source",
+    "weighted_quantiles_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

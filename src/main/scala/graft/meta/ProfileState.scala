@@ -46,17 +46,25 @@ object ProfileState {
       StructField("n", LongType, nullable = false)))
   }
 
-  /** The batch histogram with the lossy-cast flag riding the same pass:
-    * cast-null groups/values drop (the null-has-no-rank contract), and
-    * a value that survives try_cast by TRUNCATING is detected here so
-    * the fold can fail loudly instead of skewing the state. */
-  private def histogram(df: DataFrame, group: Column, value: Column): DataFrame = {
+  /** The batch histogram with the lossy-cast flags riding the same
+    * pass: cast-null groups/values/weights drop (the null-has-no-rank
+    * contract), and a value or weight that survives try_cast by
+    * TRUNCATING — or a negative weight — is detected here so the fold
+    * can fail loudly instead of skewing the state. The unweighted forms
+    * pass weight = 1, where the extra checks are vacuous; a WEIGHTED
+    * state's `n` is the level's total weight (token mass), which is
+    * exactly what the quantile lookup consumes. */
+  private def histogram(df: DataFrame, group: Column, value: Column,
+                        weight: Column): DataFrame = {
     val gS = group.cast("string")
     val vL = value.try_cast("long")
-    val lossy = when(value.cast("double") =!= vL.cast("double"), 1).otherwise(0)
-    df.where(gS.isNotNull && vL.isNotNull)
+    val wL = weight.try_cast("long")
+    val lossy = greatest(
+      when(value.cast("double") =!= vL.cast("double"), 1).otherwise(0),
+      when(weight.cast("double") =!= wL.cast("double"), 1).otherwise(0))
+    df.where(gS.isNotNull && vL.isNotNull && wL.isNotNull)
       .groupBy(gS.as("group"), vL.as("value"))
-      .agg(count(lit(1)).as("n"), max(lossy).as("lossy"))
+      .agg(sum(wL).as("n"), max(lossy).as("lossy"), min(wL).as("wmin"))
   }
 
   /** Collect + validate (cap, lossy) strictly BEFORE any write, then
@@ -70,25 +78,33 @@ object ProfileState {
       s"more than $maxHistRows distinct (group, value) rows — quantize " +
         "the metric (ppm/cents convention) or raise the cap")
     require(rows.forall(_.getInt(3) == 0),
-      "fractional values would be TRUNCATED by the long cast — quantize " +
-        "the metric first (ppm/cents convention)")
+      "fractional values or weights would be TRUNCATED by the long " +
+        "cast — quantize the metric first (ppm/cents convention)")
+    require(rows.forall(_.getLong(4) >= 0L),
+      "negative weights break the cumulative order — weights must be >= 0")
     graft.core.GenState.commit(spark,
       rows.toSeq.map(r =>
         org.apache.spark.sql.Row(r.getString(0), r.getLong(1), r.getLong(2))),
       stateSchema, path, batchId)
   }
 
-  /** Persist the corpus's (group, value) histogram as profile state. */
+  /** Persist the corpus's (group, value) histogram as profile state.
+    * A non-unit `weight` makes the state WEIGHTED (n = level token
+    * mass) — the rolling twin of
+    * [[PipelineMetrics.exactQuantilesWeighted]]. */
   def writeProfileStatePerGroup(df: DataFrame, group: Column, value: Column,
                                 path: String,
-                                maxHistRows: Int = 1 << 20): Unit =
-    validateAndCommit(df.sparkSession, histogram(df, group, value), path,
-      maxHistRows, batchId = None)
+                                maxHistRows: Int = 1 << 20,
+                                weight: Column = lit(1L)): Unit =
+    validateAndCommit(df.sparkSession, histogram(df, group, value, weight),
+      path, maxHistRows, batchId = None)
 
   /** Ungrouped [[writeProfileStatePerGroup]] (one constant group). */
   def writeProfileState(df: DataFrame, value: Column, path: String,
-                        maxLevels: Int = 1 << 20): Unit =
-    writeProfileStatePerGroup(df, lit(allGroup), value, path, maxLevels)
+                        maxLevels: Int = 1 << 20,
+                        weight: Column = lit(1L)): Unit =
+    writeProfileStatePerGroup(df, lit(allGroup), value, path, maxLevels,
+      weight)
 
   /** Fold a batch's histogram into existing state — one batch-only
     * aggregation plus a merge of two manifest-class tables; loud on a
@@ -96,14 +112,17 @@ object ProfileState {
     * job — only the STREAMING form cold-starts implicitly). */
   def appendProfileStatePerGroup(batch: DataFrame, group: Column,
                                  value: Column, path: String,
-                                 maxHistRows: Int = 1 << 20): Unit =
-    appendFold(batch, group, value, path, maxHistRows, batchId = None,
-      allowInit = false)
+                                 maxHistRows: Int = 1 << 20,
+                                 weight: Column = lit(1L)): Unit =
+    appendFold(batch, group, value, weight, path, maxHistRows,
+      batchId = None, allowInit = false)
 
   /** Ungrouped [[appendProfileStatePerGroup]]. */
   def appendProfileState(batch: DataFrame, value: Column, path: String,
-                         maxLevels: Int = 1 << 20): Unit =
-    appendProfileStatePerGroup(batch, lit(allGroup), value, path, maxLevels)
+                         maxLevels: Int = 1 << 20,
+                         weight: Column = lit(1L)): Unit =
+    appendProfileStatePerGroup(batch, lit(allGroup), value, path, maxLevels,
+      weight)
 
   /** Effectively-once streaming fold (the
     * [[graft.text.BudgetSelect.appendBudgetStateBatch]] discipline):
@@ -113,12 +132,13 @@ object ProfileState {
   def appendProfileStatePerGroupBatch(batch: DataFrame, group: Column,
                                       value: Column, path: String,
                                       batchId: Long,
-                                      maxHistRows: Int = 1 << 20): Boolean = {
+                                      maxHistRows: Int = 1 << 20,
+                                      weight: Column = lit(1L)): Boolean = {
     val spark = batch.sparkSession
     if (graft.core.GenState.batchWatermark(spark, path).exists(batchId <= _))
       false
     else {
-      appendFold(batch, group, value, path, maxHistRows,
+      appendFold(batch, group, value, weight, path, maxHistRows,
         batchId = Some(batchId), allowInit = true)
       true
     }
@@ -127,24 +147,27 @@ object ProfileState {
   /** Ungrouped [[appendProfileStatePerGroupBatch]]. */
   def appendProfileStateBatch(batch: DataFrame, value: Column, path: String,
                               batchId: Long,
-                              maxLevels: Int = 1 << 20): Boolean =
+                              maxLevels: Int = 1 << 20,
+                              weight: Column = lit(1L)): Boolean =
     appendProfileStatePerGroupBatch(batch, lit(allGroup), value, path,
-      batchId, maxLevels)
+      batchId, maxLevels, weight)
 
   private def appendFold(batch: DataFrame, group: Column, value: Column,
-                         path: String, maxHistRows: Int,
+                         weight: Column, path: String, maxHistRows: Int,
                          batchId: Option[Long], allowInit: Boolean): Unit = {
     val spark = batch.sparkSession
-    val batchHist = histogram(batch, group, value)
+    val batchHist = histogram(batch, group, value, weight)
     val merged =
       if (allowInit && graft.core.GenState.isUninitialized(spark, path))
         batchHist
       else
         readProfileState(spark, path)
-          .withColumn("lossy", lit(0)) // persisted state is already validated
+          // persisted state is already validated
+          .withColumn("lossy", lit(0)).withColumn("wmin", lit(0L))
           .unionByName(batchHist)
           .groupBy(col("group"), col("value"))
-          .agg(sum(col("n")).as("n"), max(col("lossy")).as("lossy"))
+          .agg(sum(col("n")).as("n"), max(col("lossy")).as("lossy"),
+            min(col("wmin")).as("wmin"))
     validateAndCommit(spark, merged, path, maxHistRows, batchId)
   }
 
@@ -238,6 +261,9 @@ object ProfileState {
     val rows = readProfileState(spark, path).limit(maxHistRows + 1).collect()
     require(rows.length <= maxHistRows,
       s"profile state at $path exceeds $maxHistRows rows")
+    // zero-mass levels (possible in a weighted state) cannot host a
+    // quantile and are excluded from the lookup, like everywhere else
     rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0L)
   }
 }

@@ -1103,6 +1103,31 @@ object ExtensionQueries {
         .orderBy(col("source"), col("p"))
     }),
 
+    // WEIGHTED rolling profile: the token-mass quantiles of a growing
+    // corpus from persisted weighted state — write + fold + read, zero
+    // corpus passes at read time; the oracle is the from-scratch
+    // cumulative-weight window over the whole corpus
+    "weighted_quantiles_incremental" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          col("n_chars"))
+      val stateTmp = java.nio.file.Files.createTempDirectory("graft_pstate_w")
+      IndexCache.cleanupAtExit(stateTmp)
+      val statePath = stateTmp.resolve("state").toString
+      graft.meta.ProfileState.writeProfileState(
+        scored.where(col("doc_id") % 3 =!= 0), col("q_ppm"), statePath,
+        weight = col("n_chars"))
+      graft.meta.ProfileState.appendProfileState(
+        scored.where(col("doc_id") % 3 === 0), col("q_ppm"), statePath,
+        weight = col("n_chars"))
+      graft.meta.ProfileState.exactQuantilesFromState(s, statePath,
+          ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+        .select(col("p"), col("value").as("q_ppm"), col("n").as("w_total"))
+        .orderBy(col("p"))
+    }),
+
     // rolling-corpus profiling from PERSISTED state: the corpus splits
     // into an existing store and an ingest batch, the (value) histogram
     // persists at write time, the batch folds in (one batch-only
@@ -2297,6 +2322,26 @@ object ExtensionQueries {
         |SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS p,
         |  unnest(vs) AS price_cents, n
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
+
+    // the state-folded weighted quantiles must equal the from-scratch
+    // cumulative-weight window over the WHOLE corpus
+    "weighted_quantiles_incremental" ->
+      """WITH t AS (
+        |  SELECT cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      / greatest(length(text), 1) * 1000000) AS bigint) AS q,
+        |    n_chars AS w
+        |  FROM documents),
+        |t2 AS (SELECT q, w FROM t WHERE q IS NOT NULL AND w IS NOT NULL),
+        |lv AS (SELECT q, sum(w) AS w FROM t2 GROUP BY q HAVING sum(w) > 0),
+        |cum AS (SELECT q, sum(w) OVER (ORDER BY q) AS cw FROM lv),
+        |tot AS (SELECT sum(w) AS tw FROM lv),
+        |ps AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p)
+        |SELECT p,
+        |  (SELECT min(q) FROM cum, tot
+        |   WHERE cw >= least(tw, greatest(1,
+        |     cast(ceil(p * tw) AS bigint)))) AS q_ppm,
+        |  (SELECT tw FROM tot) AS w_total
+        |FROM ps ORDER BY p""".stripMargin,
 
     // weighted rank from a cumulative-weight window: smallest value
     // whose cumulative weight reaches clamp(ceil(p * W), 1, W)

@@ -207,10 +207,11 @@ object StreamingIngest {
     * zero corpus passes. Effectively-once via the same batch-watermark
     * generation stamping; first batch initializes missing state. */
   def profileStateFold(stream: DataFrame, group: Column, value: Column,
-                       statePath: String): DataStreamWriter[Row] =
+                       statePath: String,
+                       weight: Column = lit(1L)): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       graft.meta.ProfileState.appendProfileStatePerGroupBatch(
-        batch, group, value, statePath, bid)
+        batch, group, value, statePath, bid, weight = weight)
       ()
     }
 

@@ -108,6 +108,36 @@ class ProfileStateSpec extends AnyFunSuite {
       .agg(sum(col("n"))).head().getLong(0) === 150L)
   }
 
+  test("weighted state fold ≡ weighted from-scratch quantiles; " +
+      "negative weights loud with prior state intact") {
+    val rng = new scala.util.Random(41)
+    val rows = Seq.fill(300)((rng.nextInt(80).toLong, rng.nextInt(5).toLong))
+    val df = rows.toDF("v", "w").cache()
+    val path = Files.createTempDirectory("graft_psw").resolve("state").toString
+    val half = rows.length / 2
+    ProfileState.writeProfileState(rows.take(half).toDF("v", "w"),
+      col("v"), path, weight = col("w"))
+    ProfileState.appendProfileState(rows.drop(half).toDF("v", "w"),
+      col("v"), path, weight = col("w"))
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val fromState = ProfileState.exactQuantilesFromState(spark, path, ps)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val scratch = PipelineMetrics.exactQuantilesWeighted(df, col("v"),
+        col("w"), ps)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromState === scratch)
+    val total = ProfileState.readProfileState(spark, path)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total === rows.map(_._2).sum)
+    // a negative-weight batch must not touch the committed state
+    intercept[IllegalArgumentException] {
+      ProfileState.appendProfileState(Seq((1L, -2L)).toDF("v", "w"),
+        col("v"), path, weight = col("w"))
+    }
+    assert(ProfileState.readProfileState(spark, path)
+      .agg(sum(col("n"))).head().getLong(0) === total)
+  }
+
   test("profileDrift reports per-cell shifts and nulls one-sided groups") {
     val dir = Files.createTempDirectory("graft_ps_drift")
     val pa = dir.resolve("a").toString
