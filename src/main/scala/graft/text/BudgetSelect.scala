@@ -430,21 +430,53 @@ object BudgetSelect {
                                     maxHistRows: Int = 1 << 20): DataFrame = {
     require(budgets.nonEmpty, "budgets must name at least one group")
     require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
+    fromStateCore(df, group, id, quality, cost, budgets.keySet,
+      _ => budgets, path, maxHistRows)
+  }
+
+  /** [[budgetSelectPerGroupFraction]] with each group's total read from
+    * PERSISTED state instead of a corpus histogram pass — "keep the
+    * best 30% of every domain's tokens, by what the rolling state says
+    * the domains hold": the cutoffs AND the totals they derive from
+    * both resolve from state alone. Same oracle-portable floor(f × t)
+    * arithmetic as the from-scratch fraction form; groups absent from
+    * `fractions` drop, and the stale/partial-state guard applies. */
+  def budgetSelectPerGroupFractionFromState(
+      df: DataFrame, group: Column, id: Column, quality: Column,
+      cost: Column, fractions: Map[String, Double], path: String,
+      maxHistRows: Int = 1 << 20): DataFrame = {
+    require(fractions.nonEmpty, "fractions must name at least one group")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions in [0,1]")
+    fromStateCore(df, group, id, quality, cost, fractions.keySet,
+      totals => totals.map { case (g, t) =>
+        g -> math.floor(fractions(g) * t.toDouble).toLong
+      }, path, maxHistRows)
+  }
+
+  /** Shared from-state front: read + cap-check the state histogram for
+    * the named groups, run the stale/partial-state guard, then hand the
+    * core the histogram override (no corpus histogram pass). */
+  private def fromStateCore(df: DataFrame, group: Column, id: Column,
+                            quality: Column, cost: Column,
+                            groups: Set[String],
+                            budgetsOfTotals: Map[String, Long] => Map[String, Long],
+                            path: String, maxHistRows: Int): DataFrame = {
     val spark = df.sparkSession
     val hist = readBudgetState(spark, path)
       .select(col("group"), col("q_level"), col("total_cost"), col("min_cost"))
-      .where(col("group").isin(budgets.keySet.toSeq: _*))
+      .where(col("group").isin(groups.toSeq: _*))
       .limit(maxHistRows + 1)
       .collect()
     require(hist.length <= maxHistRows,
       s"budget state at $path exceeds $maxHistRows rows")
-    // stale/partial-state guard: a budgeted group with LIVE rows in the
+    // stale/partial-state guard: a named group with LIVE rows in the
     // input but no histogram in the state would land in neither the
     // keep-all nor the cutoff set — its rows would silently vanish. A
     // group genuinely absent from the input is fine (selects nothing,
     // same as from-scratch), so probe the input only for the missing
     // groups before failing.
-    val missing = budgets.keySet -- hist.map(_.getString(0)).toSet
+    val missing = groups -- hist.map(_.getString(0)).toSet
     if (missing.nonEmpty) {
       val gS = group.cast("string")
       val present = !df.where(gS.isin(missing.toSeq: _*) &&
@@ -457,7 +489,7 @@ object BudgetSelect {
           "stale or partial state; write/append the missing batches first")
     }
     budgetSelectPerGroupCore(df, group, id, quality, cost,
-      budgets.keySet, _ => budgets,
+      groups, budgetsOfTotals,
       maxHistRows, fanout = 4096, smallCap = 1 << 16,
       histOverride = Some(hist.map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))))

@@ -471,6 +471,43 @@ class BudgetSelectSpec extends AnyFunSuite {
       Map("g0" -> 10L, "g2" -> 10L)))
   }
 
+  test("fraction-from-state ≡ from-scratch fraction selection") {
+    val df = groupedCorpus(300, nGroups = 4, seed = 81).cache()
+    val path = java.nio.file.Files.createTempDirectory("graft_bsfrac")
+      .resolve("state").toString
+    BudgetSelect.writeBudgetStatePerGroup(df.where(col("id") % 2 === 0),
+      col("g"), col("id"), col("q"), col("c"), path)
+    BudgetSelect.appendBudgetStatePerGroup(df.where(col("id") % 2 =!= 0),
+      col("g"), col("id"), col("q"), col("c"), path)
+    val fractions = Map("g0" -> 0.0, "g1" -> 0.3, "g2" -> 1.0, "g3" -> 0.5)
+    val fromState = BudgetSelect.budgetSelectPerGroupFractionFromState(df,
+        col("g"), col("id"), col("q"), col("c"), fractions, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val scratch = BudgetSelect.budgetSelectPerGroupFraction(df, col("g"),
+        col("id"), col("q"), col("c"), fractions)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(fromState === scratch)
+    // a fraction for a group with NO input rows is benign (selects
+    // nothing — the from-scratch behavior), not a false stale alarm
+    val benign = BudgetSelect.budgetSelectPerGroupFractionFromState(df,
+        col("g"), col("id"), col("q"), col("c"),
+        Map("nope" -> 0.5) ++ fractions, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(benign === scratch)
+    // the stale guard applies to the fraction form too: state covering
+    // only one of two budgeted groups that BOTH have input rows
+    val partial = java.nio.file.Files.createTempDirectory("graft_bsfrac2")
+      .resolve("state").toString
+    BudgetSelect.writeBudgetStatePerGroup(df.where(col("g") === "g0"),
+      col("g"), col("id"), col("q"), col("c"), partial)
+    val e2 = intercept[IllegalArgumentException] {
+      BudgetSelect.budgetSelectPerGroupFractionFromState(df, col("g"),
+        col("id"), col("q"), col("c"), Map("g0" -> 0.5, "g1" -> 0.5),
+        partial)
+    }
+    assert(e2.getMessage.contains("stale or partial state"))
+  }
+
   test("takeTopPerGroup keeps each group's m-row prefix; unnamed drop") {
     val df = groupedCorpus(300, nGroups = 4, seed = 71).cache()
     val ms = Map("g0" -> 0L, "g1" -> 7L, "g2" -> 100000L, "g3" -> 25L)
