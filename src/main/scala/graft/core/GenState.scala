@@ -98,6 +98,37 @@ object GenState {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  /** Snapshot of a state dir's generation machinery — the ops probe
+    * matching [[graft.meta.PipelineMetrics.indexHealth]]: more than two
+    * surviving valid generations, or any unmarked orphan, signals an
+    * interrupted or misbehaving writer worth investigating (a healthy
+    * single-writer dir holds the current generation plus at most the
+    * retained previous one, and prunes orphans at every commit). */
+  final case class StateHealth(currentGen: Option[Long], validGens: Int,
+                               orphans: Int, batchWatermark: Option[Long],
+                               rows: Long) {
+    override def toString: String =
+      s"currentGen=${currentGen.getOrElse(-1L)} validGens=$validGens " +
+        s"orphans=$orphans watermark=${batchWatermark.getOrElse(-1L)} " +
+        s"rows=$rows"
+  }
+
+  /** Probe `path`'s generations and current-snapshot row count. Loud
+    * (like [[read]]) on a path with neither generations nor legacy
+    * parquet. */
+  def health(spark: SparkSession, path: String): StateHealth = {
+    val (fs, root) = fsRoot(spark, path)
+    val gens = genDirs(fs, root)
+    val valid = gens.filter(_._3)
+    StateHealth(
+      currentGen = valid.map(_._1).sorted.lastOption,
+      validGens = valid.size,
+      orphans = gens.size - valid.size,
+      batchWatermark = { val ids = valid.flatMap(_._4)
+        if (ids.isEmpty) None else Some(ids.max) },
+      rows = read(spark, path).count())
+  }
+
   /** Commit `rows` (already driver-validated by the caller) as the next
     * generation, then prune unmarked orphans and generations older than
     * the previous valid one. */

@@ -471,6 +471,27 @@ class BudgetSelectSpec extends AnyFunSuite {
       Map("g0" -> 10L, "g2" -> 10L)))
   }
 
+  test("GenState.health reports generations, orphans, and watermark") {
+    import graft.core.GenState
+    val df = corpus(60, seed = 91).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_bshealth")
+    val path = dir.resolve("state").toString
+    BudgetSelect.writeBudgetState(df, col("id"), col("q"), col("c"), path)
+    val h1 = GenState.health(spark, path)
+    assert(h1.currentGen === Some(1L) && h1.validGens === 1 &&
+      h1.orphans === 0 && h1.batchWatermark === None && h1.rows > 0)
+    // a batch fold stamps the watermark and retains the previous gen
+    BudgetSelect.appendBudgetStateBatch(df.limit(0), col("id"), col("q"),
+      col("c"), path, batchId = 5L)
+    val h2 = GenState.health(spark, path)
+    assert(h2.currentGen === Some(2L) && h2.validGens === 2 &&
+      h2.batchWatermark === Some(5L) && h2.rows === h1.rows)
+    // an unmarked orphan (crashed write) is visible until the next commit
+    val orphan = new java.io.File(path, f"gen-${77L}%016d")
+    assert(orphan.mkdirs())
+    assert(GenState.health(spark, path).orphans === 1)
+  }
+
   test("fraction-from-state ≡ from-scratch fraction selection") {
     val df = groupedCorpus(300, nGroups = 4, seed = 81).cache()
     val path = java.nio.file.Files.createTempDirectory("graft_bsfrac")
