@@ -50,6 +50,42 @@ private[graft] object Refine {
     }
   }
 
+  /** [[quantileValues]] with the quantile given as an INTEGER ppm
+    * fraction (p = ppm / 1,000,000) and the rank threshold computed in
+    * PURE INTEGER arithmetic — no DOUBLE × count product anywhere, so
+    * the result is bit-identical across JVMs, and an oracle engine
+    * mirroring `ceil(n * ppm / 1e6)` in its own integer arithmetic
+    * (BIGINT/HUGEINT) agrees exactly regardless of how it parses or
+    * multiplies decimal literals. This is the WEIGHTED-quantile house
+    * form: `n` here is total weight, which at corpus scale (100 TB of
+    * chars) overflows a Double's 2^53 integer range — the BigInt
+    * product sidesteps both that and Long overflow (W * ppm exceeds
+    * Long at W > ~9.2e12). Semantics: 1-based rank
+    * `clamp(ceil(n * ppm / 1e6), 1, n)`; result is the first value
+    * whose cumulative count reaches the rank (percentile_disc over the
+    * weight-expanded multiset). Returns (ppm, value, n). */
+  def quantileValuesPpm(levels: Seq[(Long, Long)],
+                        psPpm: Seq[Long]): Seq[(Long, Long, Long)] = {
+    require(levels.nonEmpty, "levels must be nonempty")
+    require(psPpm.forall(p => p >= 0L && p <= 1000000L),
+      "quantiles in [0, 1000000] ppm")
+    val cum = levels.scanLeft(0L)(_ + _._2).tail.toIndexedSeq
+    val vals = levels.map(_._1).toIndexedSeq
+    val n = cum.last
+    psPpm.map { ppm =>
+      val rank = ((BigInt(n) * ppm + 999999L) / 1000000L)
+        .max(1).min(BigInt(n)).toLong
+      // first index with cum(idx) >= rank
+      var lo = 0
+      var hi = cum.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) >= rank) hi = mid else lo = mid + 1
+      }
+      (ppm, vals(lo), n)
+    }
+  }
+
   /** CONTINUOUS-interpolation quantiles over the same level histogram
     * (`percentile_cont` / DuckDB `quantile_cont` semantics): for each p
     * the fractional rank is h = p*(n-1); the result interpolates

@@ -135,13 +135,34 @@ object PipelineMetrics {
                              maxLevels: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    quantilePs(ps)
+    val back = ppmOf(ps)
+    exactQuantilesWeightedPpm(df, value, weight, back.keys.toSeq.sorted,
+        maxLevels)
+      .collect().toSeq
+      .map(r => (back(r.getLong(0)), r.getLong(1), r.getLong(2)))
+      .toDF("p", "value", "n")
+  }
+
+  /** [[exactQuantilesWeighted]] with the quantile as an INTEGER ppm
+    * fraction (the house quantization convention applied to p itself) —
+    * the rank threshold is `clamp(ceil(W * ppm / 1e6), 1, W)` computed
+    * in pure integer arithmetic ([[graft.core.Refine.quantileValuesPpm]]),
+    * so the result is reproducible bit-for-bit across JVMs and
+    * verifiable against any engine's BIGINT arithmetic — no
+    * DOUBLE × weight product on either side. Returns one row per ppm:
+    * (p_ppm, value, n) with n the TOTAL WEIGHT. */
+  def exactQuantilesWeightedPpm(df: DataFrame, value: Column, weight: Column,
+                                psPpm: Seq[Long],
+                                maxLevels: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    quantilePpms(psPpm)
     val levels = quantileHistogram(df, lit("__all"), value, maxLevels, weight)
       .map { case (_, v, w) => (v, w) }.filter(_._2 > 0L)
     if (levels.isEmpty)
-      return Seq.empty[(Double, Long, Long)].toDF("p", "value", "n")
-    graft.core.Refine.quantileValues(levels.sortBy(_._1), ps)
-      .toDF("p", "value", "n")
+      return Seq.empty[(Long, Long, Long)].toDF("p_ppm", "value", "n")
+    graft.core.Refine.quantileValuesPpm(levels.sortBy(_._1), psPpm)
+      .toDF("p_ppm", "value", "n")
   }
 
   /** [[exactQuantilesWeighted]] computed SEPARATELY within every group
@@ -152,19 +173,59 @@ object PipelineMetrics {
                                      maxHistRows: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    quantilePs(ps)
+    val back = ppmOf(ps)
+    exactQuantilesWeightedPerGroupPpm(df, group, value, weight,
+        back.keys.toSeq.sorted, maxHistRows)
+      .collect().toSeq
+      .map(r => (r.getString(0), back(r.getLong(1)), r.getLong(2),
+        r.getLong(3)))
+      .toDF("group", "p", "value", "n")
+  }
+
+  /** [[exactQuantilesWeightedPpm]]'s per-group twin — ONE weighted
+    * histogram pass, integer-exact ranks. One row per (group, ppm):
+    * (group, p_ppm, value, n). */
+  def exactQuantilesWeightedPerGroupPpm(df: DataFrame, group: Column,
+                                        value: Column, weight: Column,
+                                        psPpm: Seq[Long],
+                                        maxHistRows: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    quantilePpms(psPpm)
     quantileHistogram(df, group, value, maxHistRows, weight)
       .filter(_._3 > 0L)
       .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
         val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
-        graft.core.Refine.quantileValues(levels, ps)
+        graft.core.Refine.quantileValuesPpm(levels, psPpm)
           .map { case (p, v, n) => (g, p, v, n) }
-      }.toDF("group", "p", "value", "n")
+      }.toDF("group", "p_ppm", "value", "n")
   }
 
   private def quantilePs(ps: Seq[Double]): Unit = {
     require(ps.nonEmpty, "ps must name at least one quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "quantiles in [0,1]")
+  }
+
+  private def quantilePpms(psPpm: Seq[Long]): Unit = {
+    require(psPpm.nonEmpty, "psPpm must name at least one quantile")
+    require(psPpm.forall(p => p >= 0L && p <= 1000000L),
+      "quantiles in [0, 1000000] ppm")
+  }
+
+  /** The Double-p → ppm bridge for the weighted family: the integer
+    * rank arithmetic needs p as an exact fraction, so a p that is not
+    * a ppm multiple (the house quantization convention) fails loudly
+    * rather than silently answering a nearby quantile. Returns
+    * ppm → original p for re-labelling the result. */
+  private[meta] def ppmOf(ps: Seq[Double]): Map[Long, Double] = {
+    quantilePs(ps)
+    ps.map { p =>
+      val ppm = math.round(p * 1e6)
+      require(math.abs(p * 1e6 - ppm) < 1e-6,
+        s"p=$p is not a ppm-representable fraction — use the ppm form " +
+          "(exactQuantilesWeightedPpm) for finer quantiles")
+      ppm -> p
+    }.toMap
   }
 
   /** The one collected (group, value, count-or-weight) histogram behind

@@ -207,6 +207,35 @@ object ProfileState {
       .where(col("group") === allGroup)
       .select(col("p"), col("value"), col("n"))
 
+  /** The INTEGER-ppm quantile read
+    * ([[PipelineMetrics.exactQuantilesWeightedPpm]] semantics — rank in
+    * pure integer arithmetic, bit-reproducible across JVMs): one row
+    * per (group, ppm): (group, p_ppm, value, n). The natural read for
+    * WEIGHTED state, where n is token mass and a DOUBLE × weight rank
+    * product would be both JVM-fragile and 2^53-bounded. */
+  def exactQuantilesPerGroupPpmFromState(spark: SparkSession, path: String,
+                                         psPpm: Seq[Long],
+                                         maxHistRows: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    require(psPpm.nonEmpty, "psPpm must name at least one quantile")
+    require(psPpm.forall(p => p >= 0L && p <= 1000000L),
+      "quantiles in [0, 1000000] ppm")
+    collectState(spark, path, maxHistRows)
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        graft.core.Refine.quantileValuesPpm(levels, psPpm)
+          .map { case (p, v, n) => (g, p, v, n) }
+      }.toDF("group", "p_ppm", "value", "n")
+  }
+
+  /** Ungrouped [[exactQuantilesPerGroupPpmFromState]]: (p_ppm, value, n). */
+  def exactQuantilesPpmFromState(spark: SparkSession, path: String,
+                                 psPpm: Seq[Long],
+                                 maxLevels: Int = 1 << 20): DataFrame =
+    exactQuantilesPerGroupPpmFromState(spark, path, psPpm, maxLevels)
+      .where(col("group") === allGroup)
+      .select(col("p_ppm"), col("value"), col("n"))
+
   /** The continuous-interpolation twin ([[PipelineMetrics.exactQuantilesCont]]
     * semantics) from state alone: (group, p, value DOUBLE, n). */
   def exactQuantilesContPerGroupFromState(spark: SparkSession, path: String,

@@ -1073,19 +1073,23 @@ object ExtensionQueries {
     // WEIGHTED exact quantiles: "the quality level below which p of the
     // corpus's CHARS sit" — each doc weighted by its n_chars, the
     // curation-report form where doc-count quantiles mislead (a few
-    // huge docs dominate the token budget). Oracle recomputes the
-    // weighted rank from a cumulative-weight window.
+    // huge docs dominate the token budget). The quantile itself rides
+    // the house ppm convention (p_ppm BIGINT) so BOTH engines compute
+    // the rank threshold in pure integer arithmetic — no
+    // DOUBLE × weight product to drift across JVM or DuckDB versions.
     "weighted_quantiles" -> ((s, dir) => {
       val scored = Tables(s, dir, "documents")
         .select(
           round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
             * 1e6, 0).cast("long").as("q_ppm"),
           col("n_chars"))
-      graft.meta.PipelineMetrics.exactQuantilesWeighted(scored,
+      graft.meta.PipelineMetrics.exactQuantilesWeightedPpm(scored,
           col("q_ppm"), col("n_chars"),
-          ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
-        .select(col("p"), col("value").as("q_ppm"), col("n").as("w_total"))
-        .orderBy(col("p"))
+          psPpm = Seq(0L, 250000L, 500000L, 750000L, 900000L, 990000L,
+            1000000L))
+        .select(col("p_ppm"), col("value").as("q_ppm"),
+          col("n").as("w_total"))
+        .orderBy(col("p_ppm"))
     }),
 
     // the per-domain twin off ONE (group, value) weighted pass
@@ -1095,12 +1099,12 @@ object ExtensionQueries {
           round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
             * 1e6, 0).cast("long").as("q_ppm"),
           col("n_chars"))
-      graft.meta.PipelineMetrics.exactQuantilesWeightedPerGroup(scored,
+      graft.meta.PipelineMetrics.exactQuantilesWeightedPerGroupPpm(scored,
           col("source"), col("q_ppm"), col("n_chars"),
-          ps = Seq(0.25, 0.5, 0.9))
-        .select(col("group").as("source"), col("p"),
+          psPpm = Seq(250000L, 500000L, 900000L))
+        .select(col("group").as("source"), col("p_ppm"),
           col("value").as("q_ppm"), col("n").as("w_total"))
-        .orderBy(col("source"), col("p"))
+        .orderBy(col("source"), col("p_ppm"))
     }),
 
     // WEIGHTED rolling profile: the token-mass quantiles of a growing
@@ -1122,10 +1126,12 @@ object ExtensionQueries {
       graft.meta.ProfileState.appendProfileState(
         scored.where(col("doc_id") % 3 === 0), col("q_ppm"), statePath,
         weight = col("n_chars"))
-      graft.meta.ProfileState.exactQuantilesFromState(s, statePath,
-          ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
-        .select(col("p"), col("value").as("q_ppm"), col("n").as("w_total"))
-        .orderBy(col("p"))
+      graft.meta.ProfileState.exactQuantilesPpmFromState(s, statePath,
+          psPpm = Seq(0L, 250000L, 500000L, 750000L, 900000L, 990000L,
+            1000000L))
+        .select(col("p_ppm"), col("value").as("q_ppm"),
+          col("n").as("w_total"))
+        .orderBy(col("p_ppm"))
     }),
 
     // rolling-corpus profiling from PERSISTED state: the corpus splits
@@ -2324,7 +2330,12 @@ object ExtensionQueries {
         |FROM q ORDER BY l_returnflag, p""".stripMargin,
 
     // the state-folded weighted quantiles must equal the from-scratch
-    // cumulative-weight window over the WHOLE corpus
+    // cumulative-weight walk over the WHOLE corpus. Oracle-authoring
+    // rule (API.md "Oracle discipline"): the rank threshold is PURE
+    // INTEGER arithmetic — p as a ppm BIGINT, ceil as (+999999)//1e6
+    // over HUGEINT — and the per-p lookup is a range JOIN + min, not a
+    // correlated scalar subquery; both choices are what keeps the gate
+    // stable across DuckDB versions.
     "weighted_quantiles_incremental" ->
       """WITH t AS (
         |  SELECT cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
@@ -2334,17 +2345,23 @@ object ExtensionQueries {
         |t2 AS (SELECT q, w FROM t WHERE q IS NOT NULL AND w IS NOT NULL),
         |lv AS (SELECT q, sum(w) AS w FROM t2 GROUP BY q HAVING sum(w) > 0),
         |cum AS (SELECT q, sum(w) OVER (ORDER BY q) AS cw FROM lv),
-        |tot AS (SELECT sum(w) AS tw FROM lv),
-        |ps AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p)
-        |SELECT p,
-        |  (SELECT min(q) FROM cum, tot
-        |   WHERE cw >= least(tw, greatest(1,
-        |     cast(ceil(p * tw) AS bigint)))) AS q_ppm,
-        |  (SELECT tw FROM tot) AS w_total
-        |FROM ps ORDER BY p""".stripMargin,
+        |tot AS (SELECT cast(sum(w) AS bigint) AS tw FROM lv),
+        |ps AS (SELECT cast(unnest([0, 250000, 500000, 750000, 900000,
+        |         990000, 1000000]) AS bigint) AS p_ppm),
+        |rk AS (SELECT p_ppm, tw,
+        |         least(tw, greatest(1, cast(
+        |           (cast(tw AS hugeint) * p_ppm + 999999) // 1000000
+        |           AS bigint))) AS r
+        |       FROM ps CROSS JOIN tot)
+        |SELECT rk.p_ppm, min(cum.q) AS q_ppm,
+        |  cast(min(rk.tw) AS bigint) AS w_total
+        |FROM rk JOIN cum ON cum.cw >= rk.r
+        |GROUP BY rk.p_ppm ORDER BY rk.p_ppm""".stripMargin,
 
-    // weighted rank from a cumulative-weight window: smallest value
-    // whose cumulative weight reaches clamp(ceil(p * W), 1, W)
+    // weighted rank from a cumulative-weight walk: smallest value whose
+    // cumulative weight reaches clamp(ceil(W * p_ppm / 1e6), 1, W) —
+    // integer-exact on both sides (Refine.quantileValuesPpm mirrors
+    // this formula in BigInt)
     "weighted_quantiles" ->
       """WITH t AS (
         |  SELECT cast(round(len(regexp_extract_all(text, '[A-Za-z]'))
@@ -2354,14 +2371,18 @@ object ExtensionQueries {
         |t2 AS (SELECT q, w FROM t WHERE q IS NOT NULL AND w IS NOT NULL),
         |lv AS (SELECT q, sum(w) AS w FROM t2 GROUP BY q HAVING sum(w) > 0),
         |cum AS (SELECT q, sum(w) OVER (ORDER BY q) AS cw FROM lv),
-        |tot AS (SELECT sum(w) AS tw FROM lv),
-        |ps AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p)
-        |SELECT p,
-        |  (SELECT min(q) FROM cum, tot
-        |   WHERE cw >= least(tw, greatest(1,
-        |     cast(ceil(p * tw) AS bigint)))) AS q_ppm,
-        |  (SELECT tw FROM tot) AS w_total
-        |FROM ps ORDER BY p""".stripMargin,
+        |tot AS (SELECT cast(sum(w) AS bigint) AS tw FROM lv),
+        |ps AS (SELECT cast(unnest([0, 250000, 500000, 750000, 900000,
+        |         990000, 1000000]) AS bigint) AS p_ppm),
+        |rk AS (SELECT p_ppm, tw,
+        |         least(tw, greatest(1, cast(
+        |           (cast(tw AS hugeint) * p_ppm + 999999) // 1000000
+        |           AS bigint))) AS r
+        |       FROM ps CROSS JOIN tot)
+        |SELECT rk.p_ppm, min(cum.q) AS q_ppm,
+        |  cast(min(rk.tw) AS bigint) AS w_total
+        |FROM rk JOIN cum ON cum.cw >= rk.r
+        |GROUP BY rk.p_ppm ORDER BY rk.p_ppm""".stripMargin,
 
     "weighted_quantiles_by_source" ->
       """WITH t AS (
@@ -2377,15 +2398,20 @@ object ExtensionQueries {
         |cum AS (SELECT source, q,
         |          sum(w) OVER (PARTITION BY source ORDER BY q) AS cw
         |        FROM lv),
-        |tot AS (SELECT source, sum(w) AS tw FROM lv GROUP BY source),
-        |ps AS (SELECT unnest([0.25, 0.5, 0.9]) AS p)
-        |SELECT tot.source, ps.p,
-        |  (SELECT min(q) FROM cum
-        |   WHERE cum.source = tot.source
-        |     AND cw >= least(tot.tw, greatest(1,
-        |       cast(ceil(ps.p * tot.tw) AS bigint)))) AS q_ppm,
-        |  tot.tw AS w_total
-        |FROM tot, ps ORDER BY tot.source, ps.p""".stripMargin,
+        |tot AS (SELECT source, cast(sum(w) AS bigint) AS tw FROM lv
+        |        GROUP BY source),
+        |ps AS (SELECT cast(unnest([250000, 500000, 900000])
+        |         AS bigint) AS p_ppm),
+        |rk AS (SELECT source, p_ppm, tw,
+        |         least(tw, greatest(1, cast(
+        |           (cast(tw AS hugeint) * p_ppm + 999999) // 1000000
+        |           AS bigint))) AS r
+        |       FROM tot CROSS JOIN ps)
+        |SELECT rk.source, rk.p_ppm, min(cum.q) AS q_ppm,
+        |  cast(min(rk.tw) AS bigint) AS w_total
+        |FROM rk JOIN cum ON cum.source = rk.source AND cum.cw >= rk.r
+        |GROUP BY rk.source, rk.p_ppm
+        |ORDER BY rk.source, rk.p_ppm""".stripMargin,
 
     // state-folded quantiles must equal the from-scratch scan over the
     // WHOLE corpus (dollar grid — the state convention)

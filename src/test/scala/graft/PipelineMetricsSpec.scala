@@ -221,6 +221,46 @@ class PipelineMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("ppm weighted quantiles: integer-exact ranks, agree with the " +
+      "Double form, and survive weights beyond 2^53") {
+    import graft.meta.PipelineMetrics
+    val rng = new scala.util.Random(47)
+    val rows = Seq.fill(200)((rng.nextInt(40).toLong, rng.nextInt(7).toLong))
+    val df = rows.toDF("v", "w")
+    val psPpm = Seq(0L, 100000L, 250000L, 500000L, 900000L, 999000L, 1000000L)
+    val got = PipelineMetrics.exactQuantilesWeightedPpm(df, col("v"),
+        col("w"), psPpm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val n = expanded.length.toLong
+    psPpm.foreach { ppm =>
+      val rank = ((BigInt(n) * ppm + 999999L) / 1000000L)
+        .max(1).min(BigInt(n)).toInt
+      assert(got(ppm) === ((expanded(rank - 1), n)), s"ppm=$ppm")
+    }
+    // the Double wrapper routes through the SAME integer arithmetic
+    val viaDouble = PipelineMetrics.exactQuantilesWeighted(df, col("v"),
+        col("w"), Seq(0.0, 0.1, 0.25, 0.5, 0.9, 0.999, 1.0))
+      .collect()
+      .map(r => math.round(r.getDouble(0) * 1e6) -> r.getLong(1)).toMap
+    assert(viaDouble === got.view.mapValues(_._1).toMap)
+    // a non-ppm-representable p fails loudly instead of answering a
+    // nearby quantile
+    val e = intercept[IllegalArgumentException] {
+      PipelineMetrics.exactQuantilesWeighted(df, col("v"), col("w"),
+        Seq(1.0 / 3.0))
+    }
+    assert(e.getMessage.contains("ppm"))
+    // total weight beyond 2^53: a Double rank product would be wrong
+    // here; the BigInt path is exact. W = 2^60 split over two levels.
+    val big = (1L << 59)
+    val levels = Seq((10L, big), (20L, big))
+    val r = graft.core.Refine.quantileValuesPpm(levels,
+      Seq(500000L, 500001L, 1000000L))
+    assert(r === Seq((500000L, 10L, big * 2), (500001L, 20L, big * 2),
+      (1000000L, 20L, big * 2)))
+  }
+
   test("invalid ps fail loudly even on an empty frame") {
     import graft.meta.PipelineMetrics
     val empty = Seq.empty[Long].map(Tuple1(_)).toDF("v")
