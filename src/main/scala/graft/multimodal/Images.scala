@@ -200,64 +200,127 @@ object Images {
 
   /** Build an animated GIF from a per-frame grayscale fill —
     * `fill(frame, pixelIndex)` in [0, 255] — the multi-frame fixture
-    * builder behind the REAL frame-sampling gate (pure JDK: ImageIO's
-    * GIF writer supports sequences via writeToSequence). Use values
-    * from a small step grid (≤ 256 distinct per frame): the writer
-    * derives an exact palette from the frame's own colors, so a decode
-    * of this function's output returns the fill values EXACTLY — which
-    * is what lets a SQL oracle recompute every sampled frame's
-    * statistics from the formula (round-trip pinned in ImagesSpec). */
+    * builder behind the REAL frame-sampling gate. The bytes come from
+    * an IN-REPO deterministic GIF89a encoder (real LZW, spec-standard
+    * variable-width codes), NOT the JDK's GIF writer: the writer's
+    * derived palette and interlacing quirks vary across JVM versions,
+    * which made fixture bytes — and therefore oracle comparisons —
+    * environment-dependent. Here the global color table IS the sorted
+    * distinct fill values (≤ 256 across all frames, loud-fail), so any
+    * compliant decoder (the read path stays `javax.imageio`) returns
+    * the fill values EXACTLY — which is what lets a SQL oracle
+    * recompute every sampled frame's statistics from the formula
+    * (round-trip AND golden bytes pinned in ImagesSpec). */
   def encodeAnimatedGifGray(width: Int, height: Int, nFrames: Int,
                             fill: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0,
       "dimensions and frame count must be positive")
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    val writers = ImageIO.getImageWritersByFormatName("gif")
-    require(writers.hasNext, "no GIF writer in this JDK")
-    val w = writers.next()
-    try {
-      w.setOutput(ios)
-      w.prepareWriteSequence(null)
-      var f = 0
-      while (f < nFrames) {
-        val img = new java.awt.image.BufferedImage(
-          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) {
-            val v = fill(f, y * width + x) & 0xFF
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            x += 1
-          }
-          y += 1
-        }
-        // interlaceFlag FALSE explicitly: the JDK writer interlaces by
-        // default, and its reader mis-places interlaced rows for frames
-        // under 5 rows tall (probed empirically: every h < 5 scrambles,
-        // every h ≥ 5 round-trips) — progressive rendering is worthless
-        // for analysis payloads anyway
-        val meta = w.getDefaultImageMetadata(
-          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
-        val fmt = meta.getNativeMetadataFormatName
-        val tree = meta.getAsTree(fmt)
-          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-        var child = tree.getFirstChild
-        while (child != null) {
-          if (child.getNodeName == "ImageDescriptor")
-            child.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-              .setAttribute("interlaceFlag", "FALSE")
-          child = child.getNextSibling
-        }
-        meta.setFromTree(fmt, tree)
-        w.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
-        f += 1
+    require(width <= 0xFFFF && height <= 0xFFFF, "GIF dimensions are u16")
+    val frames = Array.tabulate(nFrames)(f =>
+      Array.tabulate(width * height)(k => fill(f, k) & 0xFF))
+    val palette = frames.flatMap(_.toSeq).distinct.sorted
+    require(palette.length <= 256,
+      "more than 256 distinct gray values — a GIF color table holds 256")
+    val index = palette.zipWithIndex.toMap
+    // GCT size field encodes 2^(field+1) entries; LZW min code size must
+    // cover the table and be >= 2 per spec
+    var gctBits = 1
+    while ((1 << gctBits) < palette.length) gctBits += 1
+    val minCode = math.max(2, gctBits)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v); u8(v >>> 8) }
+    out.write(Array[Byte]('G', 'I', 'F', '8', '9', 'a'))
+    u16(width); u16(height)
+    u8(0x80 | (7 << 4) | (gctBits - 1)) // GCT present, 8-bit resolution
+    u8(0) // background color index
+    u8(0) // square pixels
+    var i = 0
+    while (i < (1 << gctBits)) {
+      val v = if (i < palette.length) palette(i) else 0
+      u8(v); u8(v); u8(v)
+      i += 1
+    }
+    var f = 0
+    while (f < nFrames) {
+      // graphic control: disposal "do not dispose", 0.1 s delay, opaque
+      u8(0x21); u8(0xF9); u8(4); u8(0x04); u16(10); u8(0); u8(0)
+      // image descriptor: full logical screen, global table, no interlace
+      u8(0x2C); u16(0); u16(0); u16(width); u16(height); u8(0)
+      u8(minCode)
+      val data = lzwEncode(frames(f).map(index), minCode)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        u8(n); out.write(data, off, n)
+        off += n
       }
-      w.endWriteSequence()
-      ios.flush()
-    } finally { w.dispose(); ios.close() }
-    bos.toByteArray
+      u8(0) // block terminator
+      f += 1
+    }
+    u8(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Spec-standard GIF LZW: variable-width codes starting at
+    * minCode + 1 bits, CLEAR emitted first and again whenever the
+    * table fills (4096), width bumped exactly when the next free slot
+    * reaches the width's capacity — the mirror of every compliant
+    * decoder's growth rule, so the stream is unambiguous regardless of
+    * decoder implementation. Bits pack LSB-first per the spec. */
+  private def lzwEncode(indices: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val bytes = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = minCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        bytes.write((bitBuf & 0xFF).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    val dict = new scala.collection.mutable.HashMap[Long, Int]
+    var next = eoi + 1
+    emit(clear)
+    if (indices.nonEmpty) {
+      var cur = indices(0)
+      var i = 1
+      while (i < indices.length) {
+        val c = indices(i)
+        val key = cur.toLong << 8 | c
+        dict.get(key) match {
+          case Some(code) => cur = code
+          case None =>
+            emit(cur)
+            if (next == 4096) {
+              emit(clear)
+              dict.clear()
+              next = eoi + 1
+              codeSize = minCode + 1
+            } else {
+              dict(key) = next
+              next += 1
+              // +1, not the naive 1<<codeSize: the decoder adds NO
+              // entry for the first post-clear code, so its table lags
+              // the encoder's by one — it processes the code emitted
+              // here at the OLD width and bumps one code later
+              if (next == (1 << codeSize) + 1 && codeSize < 12)
+                codeSize += 1
+            }
+            cur = c
+        }
+        i += 1
+      }
+      emit(cur)
+    }
+    emit(eoi)
+    if (bitCnt > 0) bytes.write((bitBuf & 0xFF).toInt)
+    bytes.toByteArray
   }
 
   /** Canonical RGB PNG whose channel value at flat index

@@ -128,6 +128,40 @@ class ImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("in-repo GIF89a encoder: golden bytes (JVM-independent fixture) " +
+      "and LZW width growth through every code size") {
+    // the gate fixture's exact shape for doc_id=3: any byte drift here
+    // would silently shift the driver's multimodal_gif_frames compare
+    val id = 3L
+    val fx = Images.encodeAnimatedGifGray((4 + id % 5).toInt,
+      (3 + id % 4).toInt, (2 + id % 3).toInt,
+      (f, k) => (((id * 31 + f.toLong * 17 + k.toLong * 7) % 6) * 51).toInt)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(fx).map("%02x".format(_)).mkString
+    assert(md === GOLDEN_GIF_MD5,
+      s"fixture bytes drifted (md5 $md) — the encoder must be " +
+        "deterministic across JVMs; update the golden ONLY for an " +
+        "intentional format change (and expect a driver re-baseline)")
+    // a 256-value 200x200 noise image drives the dictionary through
+    // code sizes 9..12 and table resets — decode must stay exact
+    val (bw, bh) = (200, 200)
+    def noise(f: Int, k: Int): Int = ((k.toLong * 2654435761L + f) >>> 7).toInt & 0xFF
+    val big = Images.encodeAnimatedGifGray(bw, bh, 2, noise)
+    (0 until 2).foreach { f =>
+      val got = Images.gifFramePixels(big, f).get
+      assert(got.length === 3 * bw * bh)
+      var k = 0
+      while (k < bw * bh) {
+        assert(got(3 * k) === noise(f, k), s"noise frame $f pixel $k")
+        k += 1
+      }
+    }
+  }
+
+  // computed from the committed encoder (pure integer arithmetic — no
+  // JDK codec in the write path, so the same on every JVM)
+  private val GOLDEN_GIF_MD5 = "9b064859bab041e8ffad796eaa8fb1b5"
+
   test("parseImage reads format + dimensions without a pixel decode") {
     val png = Images.encodePng(19, 4, _ => 7)
     val jpg = Images.encodeJpegGray(5, 23, 128)
