@@ -78,6 +78,23 @@ object Verify {
       s"failed=${errors.size} missing=${missing.toSeq.sorted.mkString(",")}")
     // exit 0 even on failures: the driver must still DuckDB-compare the
     // gates that did land; _errors.json + the line above carry the alarm
+
+    // environment manifest: when a gate fails only in the driver's env
+    // (it happened — 4 gates in round 12), the FIRST question is "what
+    // versions ran there"; answer it from the artifact instead of
+    // guessing (check_oracle.py prints its DuckDB version for the same
+    // reason, and the env_canary gate localizes WHICH construct moved)
+    val envJson = Map(
+      "java_version" -> System.getProperty("java.version"),
+      "java_vendor" -> System.getProperty("java.vendor"),
+      "spark_version" -> org.apache.spark.SPARK_VERSION,
+      "scala_version" -> scala.util.Properties.versionNumberString,
+      "os" -> (System.getProperty("os.name") + " " +
+        System.getProperty("os.version")),
+      "timezone" -> java.util.TimeZone.getDefault.getID)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_env.json"), envJson)
+    println(s"[verify] env $envJson")
     spark.stop()
   }
 }

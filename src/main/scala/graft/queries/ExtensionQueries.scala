@@ -142,6 +142,32 @@ object ExtensionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── Environment canary ─────────────────────────────────────────────
+    // One tiny data-independent gate exercising the constructs that
+    // have historically drifted BETWEEN ENGINE VERSIONS rather than
+    // between plans: double rounding on a tie, double-product rounding
+    // just below an integer, decimal-literal × integer ceil, regex and
+    // length over astral-plane text, and the HUGEINT ceil-division the
+    // weighted-quantile family rides. When a driver env upgrade shifts
+    // any of these, THIS gate fails with the construct's name in the
+    // column — instead of N data gates failing opaquely (round 12 lost
+    // four gates to exactly that). Constant inputs: any mismatch is
+    // environmental by construction.
+    "env_canary" -> ((s, _) => {
+      val astral = "a😀b👍cX" // a😀b👍cX
+      s.range(1).select(
+        round(lit(2.5)).cast("long").as("round_tie_pos"),
+        round(lit(-2.5)).cast("long").as("round_tie_neg"),
+        round(lit(2.675) * 100).cast("long").as("round_dbl_product"),
+        ceil(lit(0.9) * 61).cast("long").as("ceil_decimal_mul"),
+        size(regexp_extract_all(lit(astral), lit("[A-Za-z]"), lit(0)))
+          .cast("long").as("regex_astral"),
+        length(lit(astral)).cast("long").as("len_astral"),
+        expr("CAST((1234567890123L * 990000 + 999999) DIV 1000000 AS LONG)")
+          .as("ceil_ppm_div"),
+        (lit(0.1) + lit(0.2)).as("dbl_sum"))
+    }),
+
     // ── Deduplication ──────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactCanonical(Tables(s, dir, "documents"), col("doc_id"), col("text"))
@@ -1946,6 +1972,20 @@ object ExtensionQueries {
       |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the env-drift diagnostic: constant inputs, so a mismatch names
+    // the drifted construct directly (see the queries-map comment)
+    "env_canary" ->
+      """SELECT
+        |  cast(round(2.5) AS bigint) AS round_tie_pos,
+        |  cast(round(-2.5) AS bigint) AS round_tie_neg,
+        |  cast(round(2.675 * 100) AS bigint) AS round_dbl_product,
+        |  cast(ceil(0.9 * 61) AS bigint) AS ceil_decimal_mul,
+        |  cast(len(regexp_extract_all('a😀b👍cX', '[A-Za-z]'))
+        |    AS bigint) AS regex_astral,
+        |  cast(length('a😀b👍cX') AS bigint) AS len_astral,
+        |  cast((1234567890123 * 990000 + 999999) // 1000000
+        |    AS bigint) AS ceil_ppm_div,
+        |  0.1 + 0.2 AS dbl_sum""".stripMargin,
     // ── Invariant oracles for the approximate families ────────────────
     // MinHash banding at (k=24, b=8, J≥0.8) has verified full recall on
     // the DRIVER-GATE corpus (sf0.01: the exact-Jaccard tail then makes

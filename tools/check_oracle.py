@@ -31,6 +31,14 @@ def norm(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # version telemetry: a hash mismatch that reproduces nowhere else is
+    # usually an engine-version drift — record both sides' versions in
+    # the run log (Verify writes its JVM/Spark twin to _env.json, and
+    # the env_canary gate names the drifted construct)
+    print(f"duckdb={duckdb.__version__} python={sys.version.split()[0]}")
+    env_path = os.path.join(out_dir, "_env.json")
+    if os.path.exists(env_path):
+        print("spark_env=" + open(env_path).read().strip())
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
