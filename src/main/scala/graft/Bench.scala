@@ -171,12 +171,20 @@ object Bench {
     val builds = buildSec.map { case (k, v) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).filter(_ >= 0).sum
-    // Two artifacts, truncation-proofed (the r5 record survived only as
-    // a log TAIL and lost its first queries to the cutoff):
+    // Three artifacts, truncation-proofed (the r5 AND r12/r13 records
+    // survived only as a 2000-char log TAIL; at 87 queries a single
+    // "compact" line is ~2.5 KB and loses its head to the cutoff):
     //  - bench_out.json: the full record (per-rep runs included)
-    //  - stdout: ONE compact mins-only line, printed LAST, small enough
-    //    that any sane tail capture keeps it whole
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}"""
+    //  - stdout, earlier: per-query mins in SHORT chunked lines (each
+    //    well under the tail window; the last few always survive)
+    //  - stdout LAST: a totals-only line < 200 bytes that ANY tail
+    //    capture keeps whole — this is the line the driver parses
+    val chunkLines = mins.grouped(8).zipWithIndex.map { case (chunk, i) =>
+      val part = chunk.map { case (k, v) => jstr(k) + ":" + num(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"queries_part","part":$i,"queries":$part}"""
+    }.toSeq
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${mins.size},"build_sec_total":${num(buildSec.map(_._2).sum)},"reps":$reps,"sf":${jstr(sfDir)}}"""
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$allRuns,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}"""
     // a BENCH_ONLY subset run must not clobber the round's full record
     val outFile =
@@ -190,6 +198,7 @@ object Bench {
     try spark.stop() catch {
       case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e")
     }
+    chunkLines.foreach(println)
     println(compact)
     Console.out.flush()
   }

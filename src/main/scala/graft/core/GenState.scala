@@ -130,8 +130,11 @@ object GenState {
   }
 
   /** Commit `rows` (already driver-validated by the caller) as the next
-    * generation, then prune unmarked orphans and generations older than
-    * the previous valid one. */
+    * generation, then auto-prune: unmarked orphans and all valid
+    * generations older than the retained previous one are deleted
+    * (retention = the new current + its immediate predecessor, i.e.
+    * `prune(keepLast = 2)` — long-lived rolling state stays at a
+    * bounded two snapshots no matter how many commits it has seen). */
   def commit(spark: SparkSession, rows: Seq[Row], schema: StructType,
              path: String, batchId: Option[Long] = None): Unit = {
     val (fs, root) = fsRoot(spark, path)
@@ -142,11 +145,28 @@ object GenState {
       f"$genPrefix$next%016d$suffix")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .write.mode("errorifexists").parquet(nextPath.toString)
-    val prevValid = existing.filter(_._3).map(_._1).sorted.lastOption
-    existing.foreach { case (g, p, valid, _) =>
-      val stale = (!valid) || prevValid.exists(g < _)
-      if (stale)
-        try fs.delete(p, true) catch { case _: java.io.IOException => () }
+    prune(spark, path, keepLast = 2)
+  }
+
+  /** Retention sweep, also runnable standalone (ops hygiene on a dir
+    * whose writer died before its commit-time auto-prune, or to tighten
+    * retention to `keepLast = 1`): deletes every unmarked crash-orphan
+    * and all but the newest `keepLast` VALID generations. The current
+    * generation is never deleted (`keepLast` is clamped to ≥ 1), and a
+    * legacy bare-parquet root has no generation dirs so the sweep is a
+    * no-op there. Per-dir delete failures are non-fatal (a reader
+    * holding an open file on some filesystems) — the next sweep
+    * retries them. Returns the number of directories deleted. */
+  def prune(spark: SparkSession, path: String, keepLast: Int = 2): Int = {
+    val (fs, root) = fsRoot(spark, path)
+    val gens = genDirs(fs, root)
+    val keep = gens.filter(_._3).map(_._1).sorted
+      .takeRight(math.max(1, keepLast)).toSet
+    gens.count { case (g, p, valid, _) =>
+      val stale = (!valid) || !keep.contains(g)
+      stale && (try fs.delete(p, true) catch {
+        case _: java.io.IOException => false
+      })
     }
   }
 }

@@ -135,12 +135,18 @@ object PipelineMetrics {
                              maxLevels: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val back = ppmOf(ps)
-    exactQuantilesWeightedPpm(df, value, weight, back.keys.toSeq.sorted,
-        maxLevels)
+    val pairs = ppmOf(ps)
+    // one output row per REQUESTED p, caller order, duplicates kept —
+    // the ppm computation itself runs once per distinct ppm
+    val byPpm = exactQuantilesWeightedPpm(df, value, weight,
+        pairs.map(_._1).distinct, maxLevels)
       .collect().toSeq
-      .map(r => (back(r.getLong(0)), r.getLong(1), r.getLong(2)))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    if (byPpm.isEmpty) return Seq.empty[(Double, Long, Long)]
       .toDF("p", "value", "n")
+    pairs.map { case (ppm, p) =>
+      val (v, n) = byPpm(ppm); (p, v, n)
+    }.toDF("p", "value", "n")
   }
 
   /** [[exactQuantilesWeighted]] with the quantile as an INTEGER ppm
@@ -173,13 +179,19 @@ object PipelineMetrics {
                                      maxHistRows: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val back = ppmOf(ps)
-    exactQuantilesWeightedPerGroupPpm(df, group, value, weight,
-        back.keys.toSeq.sorted, maxHistRows)
+    val pairs = ppmOf(ps)
+    // per group: one output row per REQUESTED p, caller order,
+    // duplicates kept (same contract as the global form)
+    val rows = exactQuantilesWeightedPerGroupPpm(df, group, value, weight,
+        pairs.map(_._1).distinct, maxHistRows)
       .collect().toSeq
-      .map(r => (r.getString(0), back(r.getLong(1)), r.getLong(2),
-        r.getLong(3)))
-      .toDF("group", "p", "value", "n")
+    val byKey = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    rows.map(_.getString(0)).distinct.flatMap { g =>
+      pairs.map { case (ppm, p) =>
+        val (v, n) = byKey((g, ppm)); (g, p, v, n)
+      }
+    }.toDF("group", "p", "value", "n")
   }
 
   /** [[exactQuantilesWeightedPpm]]'s per-group twin — ONE weighted
@@ -215,9 +227,12 @@ object PipelineMetrics {
   /** The Double-p → ppm bridge for the weighted family: the integer
     * rank arithmetic needs p as an exact fraction, so a p that is not
     * a ppm multiple (the house quantization convention) fails loudly
-    * rather than silently answering a nearby quantile. Returns
-    * ppm → original p for re-labelling the result. */
-  private[meta] def ppmOf(ps: Seq[Double]): Map[Long, Double] = {
+    * rather than silently answering a nearby quantile. Returns the
+    * (ppm, original-p) pairs IN CALLER ORDER, duplicates preserved —
+    * the Double-p API's row contract is one output row per requested
+    * p, in the order requested (a Map here would silently collapse
+    * duplicate ps and re-sort the result). */
+  private[meta] def ppmOf(ps: Seq[Double]): Seq[(Long, Double)] = {
     quantilePs(ps)
     ps.map { p =>
       val ppm = math.round(p * 1e6)
@@ -225,7 +240,7 @@ object PipelineMetrics {
         s"p=$p is not a ppm-representable fraction — use the ppm form " +
           "(exactQuantilesWeightedPpm) for finer quantiles")
       ppm -> p
-    }.toMap
+    }
   }
 
   /** The one collected (group, value, count-or-weight) histogram behind

@@ -155,6 +155,15 @@ object ExtensionQueries {
     // environmental by construction.
     "env_canary" -> ((s, _) => {
       val astral = "a😀b👍cX" // a😀b👍cX
+      // The last two columns are DELIBERATE uncast probes: DuckDB types
+      // them HUGEINT and wide DECIMAL respectively, the two rendering
+      // classes that cost data gates in rounds 12 (×3) and 13 (×1).
+      // If a checker-env upgrade changes how those types normalize,
+      // THIS gate goes red with the construct named in the column —
+      // every data-gate oracle now casts them away (oracle discipline).
+      val probes = s.range(5).agg(
+        sum(col("id") + lit(1000000000000L)).as("hugeint_sum"),
+        sum(lit(new java.math.BigDecimal("1.1"))).as("dec_sum"))
       s.range(1).select(
         round(lit(2.5)).cast("long").as("round_tie_pos"),
         round(lit(-2.5)).cast("long").as("round_tie_neg"),
@@ -166,6 +175,7 @@ object ExtensionQueries {
         expr("CAST((1234567890123L * 990000 + 999999) DIV 1000000 AS LONG)")
           .as("ceil_ppm_div"),
         (lit(0.1) + lit(0.2)).as("dbl_sum"))
+        .crossJoin(broadcast(probes))
     }),
 
     // ── Deduplication ──────────────────────────────────────────────────
@@ -1057,8 +1067,9 @@ object ExtensionQueries {
           Tables(s, dir, "lineitem"),
           round(col("l_extendedprice") * 100, 0),
           ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
-        .select(col("p"), col("value").as("price_cents"), col("n"))
-        .orderBy(col("p"))
+        .select(round(col("p") * 1e6).cast("long").as("p_ppm"),
+          col("value").as("price_cents"), col("n"))
+        .orderBy(col("p_ppm"))
     }),
 
     // the per-domain twin: every group's exact quantiles off ONE
@@ -1068,9 +1079,10 @@ object ExtensionQueries {
           Tables(s, dir, "lineitem"), col("l_returnflag"),
           round(col("l_extendedprice") * 100, 0),
           ps = Seq(0.25, 0.5, 0.9, 0.99))
-        .select(col("group").as("l_returnflag"), col("p"),
+        .select(col("group").as("l_returnflag"),
+          round(col("p") * 1e6).cast("long").as("p_ppm"),
           col("value").as("price_cents"), col("n"))
-        .orderBy(col("l_returnflag"), col("p"))
+        .orderBy(col("l_returnflag"), col("p_ppm"))
     }),
 
     // continuous-interpolation twin (percentile_cont / quantile_cont
@@ -1082,8 +1094,9 @@ object ExtensionQueries {
           Tables(s, dir, "lineitem"),
           round(col("l_extendedprice") * 100, 0),
           ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
-        .select(col("p"), col("value").as("price_cents"), col("n"))
-        .orderBy(col("p"))
+        .select(round(col("p") * 1e6).cast("long").as("p_ppm"),
+          col("value").as("price_cents"), col("n"))
+        .orderBy(col("p_ppm"))
     }),
 
     "exact_quantiles_cont_by_flag" -> ((s, dir) => {
@@ -1091,9 +1104,10 @@ object ExtensionQueries {
           Tables(s, dir, "lineitem"), col("l_returnflag"),
           round(col("l_extendedprice") * 100, 0),
           ps = Seq(0.25, 0.5, 0.75))
-        .select(col("group").as("l_returnflag"), col("p"),
+        .select(col("group").as("l_returnflag"),
+          round(col("p") * 1e6).cast("long").as("p_ppm"),
           col("value").as("price_cents"), col("n"))
-        .orderBy(col("l_returnflag"), col("p"))
+        .orderBy(col("l_returnflag"), col("p_ppm"))
     }),
 
     // WEIGHTED exact quantiles: "the quality level below which p of the
@@ -1184,8 +1198,9 @@ object ExtensionQueries {
         li.where(col("l_orderkey") % 3 === 0), col("usd"), statePath)
       graft.meta.ProfileState.exactQuantilesFromState(s, statePath,
           ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
-        .select(col("p"), col("value").as("price_usd"), col("n"))
-        .orderBy(col("p"))
+        .select(round(col("p") * 1e6).cast("long").as("p_ppm"),
+          col("value").as("price_usd"), col("n"))
+        .orderBy(col("p_ppm"))
     }),
 
     // the per-domain twin: per-group state fold, per-group quantiles
@@ -1205,9 +1220,10 @@ object ExtensionQueries {
         col("usd"), statePath)
       graft.meta.ProfileState.exactQuantilesPerGroupFromState(s, statePath,
           ps = Seq(0.25, 0.5, 0.9, 0.99))
-        .select(col("group").as("l_returnflag"), col("p"),
+        .select(col("group").as("l_returnflag"),
+          round(col("p") * 1e6).cast("long").as("p_ppm"),
           col("value").as("price_usd"), col("n"))
-        .orderBy(col("l_returnflag"), col("p"))
+        .orderBy(col("l_returnflag"), col("p_ppm"))
     }),
 
     // distribution drift between two corpus versions answered from two
@@ -1230,10 +1246,11 @@ object ExtensionQueries {
         li, col("l_returnflag"), col("usd"), pathB)
       graft.meta.ProfileState.profileDrift(s, pathA, pathB,
           ps = Seq(0.25, 0.5, 0.9))
-        .select(col("group").as("l_returnflag"), col("p"),
+        .select(col("group").as("l_returnflag"),
+          round(col("p") * 1e6).cast("long").as("p_ppm"),
           col("n_a"), col("value_a"), col("n_b"), col("value_b"),
           col("shift"))
-        .orderBy(col("l_returnflag"), col("p"))
+        .orderBy(col("l_returnflag"), col("p_ppm"))
     }),
 
     "ann_ivf" -> ((s, dir) => {
@@ -1985,7 +2002,11 @@ object ExtensionQueries {
         |  cast(length('a😀b👍cX') AS bigint) AS len_astral,
         |  cast((1234567890123 * 990000 + 999999) // 1000000
         |    AS bigint) AS ceil_ppm_div,
-        |  0.1 + 0.2 AS dbl_sum""".stripMargin,
+        |  CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS dbl_sum,
+        |  (SELECT sum(i + 1000000000000) FROM range(5) t(i))
+        |    AS hugeint_sum,
+        |  (SELECT sum(cast(1.1 AS decimal(2,1))) FROM range(5) t(i))
+        |    AS dec_sum""".stripMargin,
     // ── Invariant oracles for the approximate families ────────────────
     // MinHash banding at (k=24, b=8, J≥0.8) has verified full recall on
     // the DRIVER-GATE corpus (sf0.01: the exact-Jaccard tail then makes
@@ -2215,7 +2236,8 @@ object ExtensionQueries {
     // the plants are enumerable without running the operator: identical
     // vectors always co-cluster and score exactly 1.0 after rounding
     "semdedup_exactdups" ->
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS sim
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |  cast(1.0 AS double) AS sim
         |FROM embeddings WHERE vec_id < 8 ORDER BY id_a""".stripMargin,
 
     "approx_metrics_bounds" ->
@@ -2322,9 +2344,10 @@ object ExtensionQueries {
         |q AS (SELECT quantile_disc(c,
         |        [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS vs,
         |      count(*) AS n FROM v)
-        |SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p,
+        |SELECT unnest(cast([0, 250000, 500000, 750000, 900000, 990000,
+        |    1000000] AS bigint[])) AS p_ppm,
         |  unnest(vs) AS price_cents, n
-        |FROM q ORDER BY p""".stripMargin,
+        |FROM q ORDER BY p_ppm""".stripMargin,
 
     // per-group quantile_disc over the same cents
     "exact_quantiles_by_flag" ->
@@ -2337,9 +2360,11 @@ object ExtensionQueries {
         |        quantile_disc(c, [0.25, 0.5, 0.9, 0.99]) AS vs,
         |        count(*) AS n
         |      FROM v GROUP BY l_returnflag)
-        |SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS p,
+        |SELECT l_returnflag,
+        |  unnest(cast([250000, 500000, 900000, 990000] AS bigint[]))
+        |    AS p_ppm,
         |  unnest(vs) AS price_cents, n
-        |FROM q ORDER BY l_returnflag, p""".stripMargin,
+        |FROM q ORDER BY l_returnflag, p_ppm""".stripMargin,
 
     // continuous interpolation at quarter-fraction ps: both engines'
     // interpolation terms are exactly representable, so the doubles
@@ -2351,9 +2376,10 @@ object ExtensionQueries {
         |q AS (SELECT quantile_cont(c,
         |        [0.0, 0.25, 0.5, 0.75, 1.0]) AS vs,
         |      count(*) AS n FROM v)
-        |SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS p,
+        |SELECT unnest(cast([0, 250000, 500000, 750000, 1000000]
+        |    AS bigint[])) AS p_ppm,
         |  unnest(vs) AS price_cents, n
-        |FROM q ORDER BY p""".stripMargin,
+        |FROM q ORDER BY p_ppm""".stripMargin,
 
     "exact_quantiles_cont_by_flag" ->
       """WITH v AS (
@@ -2365,9 +2391,10 @@ object ExtensionQueries {
         |        quantile_cont(c, [0.25, 0.5, 0.75]) AS vs,
         |        count(*) AS n
         |      FROM v GROUP BY l_returnflag)
-        |SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS p,
+        |SELECT l_returnflag,
+        |  unnest(cast([250000, 500000, 750000] AS bigint[])) AS p_ppm,
         |  unnest(vs) AS price_cents, n
-        |FROM q ORDER BY l_returnflag, p""".stripMargin,
+        |FROM q ORDER BY l_returnflag, p_ppm""".stripMargin,
 
     // the state-folded weighted quantiles must equal the from-scratch
     // cumulative-weight walk over the WHOLE corpus. Oracle-authoring
@@ -2462,9 +2489,10 @@ object ExtensionQueries {
         |q AS (SELECT quantile_disc(c,
         |        [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS vs,
         |      count(*) AS n FROM v)
-        |SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS p,
+        |SELECT unnest(cast([0, 250000, 500000, 750000, 900000, 990000,
+        |    1000000] AS bigint[])) AS p_ppm,
         |  unnest(vs) AS price_usd, n
-        |FROM q ORDER BY p""".stripMargin,
+        |FROM q ORDER BY p_ppm""".stripMargin,
 
     "exact_quantiles_incremental_by_flag" ->
       """WITH v AS (
@@ -2476,9 +2504,11 @@ object ExtensionQueries {
         |        quantile_disc(c, [0.25, 0.5, 0.9, 0.99]) AS vs,
         |        count(*) AS n
         |      FROM v GROUP BY l_returnflag)
-        |SELECT l_returnflag, unnest([0.25, 0.5, 0.9, 0.99]) AS p,
+        |SELECT l_returnflag,
+        |  unnest(cast([250000, 500000, 900000, 990000] AS bigint[]))
+        |    AS p_ppm,
         |  unnest(vs) AS price_usd, n
-        |FROM q ORDER BY l_returnflag, p""".stripMargin,
+        |FROM q ORDER BY l_returnflag, p_ppm""".stripMargin,
 
     // both corpus versions' grouped quantiles recomputed from scratch,
     // full-outer-joined on (group, p) — the drift must match per cell
@@ -2498,16 +2528,20 @@ object ExtensionQueries {
         |         count(*) AS n FROM va GROUP BY g),
         |qb AS (SELECT g, quantile_disc(c, [0.25, 0.5, 0.9]) AS vs,
         |         count(*) AS n FROM vb GROUP BY g),
-        |ua AS (SELECT g, unnest([0.25, 0.5, 0.9]) AS p, unnest(vs) AS v, n
+        |ua AS (SELECT g,
+        |         unnest(cast([250000, 500000, 900000] AS bigint[])) AS p,
+        |         unnest(vs) AS v, n
         |       FROM qa),
-        |ub AS (SELECT g, unnest([0.25, 0.5, 0.9]) AS p, unnest(vs) AS v, n
+        |ub AS (SELECT g,
+        |         unnest(cast([250000, 500000, 900000] AS bigint[])) AS p,
+        |         unnest(vs) AS v, n
         |       FROM qb)
         |SELECT coalesce(ua.g, ub.g) AS l_returnflag,
-        |  coalesce(ua.p, ub.p) AS p,
+        |  coalesce(ua.p, ub.p) AS p_ppm,
         |  ua.n AS n_a, ua.v AS value_a, ub.n AS n_b, ub.v AS value_b,
         |  ub.v - ua.v AS shift
         |FROM ua FULL OUTER JOIN ub ON ua.g = ub.g AND ua.p = ub.p
-        |ORDER BY l_returnflag, p""".stripMargin,
+        |ORDER BY l_returnflag, p_ppm""".stripMargin,
 
     // the m-row prefix recomputed from a from-scratch ranking window
     "corpus_top_m" ->
@@ -3197,7 +3231,8 @@ object ExtensionQueries {
         |      FROM px)
         |SELECT doc_id, cast(f AS int) AS frame_idx,
         |  cast(nf AS int) AS n_frames,
-        |  count(*) * 3 AS n_units, sum(v) * 3 AS unit_sum,
+        |  cast(count(*) * 3 AS bigint) AS n_units,
+        |  cast(sum(v) * 3 AS bigint) AS unit_sum,
         |  cast(min(v) AS int) AS unit_min, cast(max(v) AS int) AS unit_max
         |FROM v GROUP BY doc_id, f, nf
         |ORDER BY doc_id, frame_idx""".stripMargin,

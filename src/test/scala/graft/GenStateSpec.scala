@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GenState
+
+/** GenState retention: a long-lived rolling state dir must stay at a
+  * BOUNDED number of snapshot directories no matter how many commits
+  * (or crashed writers) it has seen — commit auto-prunes to current +
+  * previous, the standalone [[GenState.prune]] sweeps crash-orphans
+  * and superseded generations, and neither ever touches the current
+  * snapshot's content. */
+class GenStateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(StructField("v", LongType)))
+
+  private def tmp(): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft_genstate")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def genDirNames(root: java.nio.file.Path): Seq[String] = {
+    val f = root.toFile
+    if (!f.exists) Seq.empty
+    else f.listFiles.toSeq.filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("gen-")).sorted
+  }
+
+  private def currentValue(path: String): Long =
+    GenState.read(spark, path).collect().map(_.getLong(0)).max
+
+  test("commit auto-prunes to a bounded two generations over many commits") {
+    val root = tmp(); val path = root.resolve("state").toString
+    (1L to 7L).foreach { i =>
+      GenState.commit(spark, Seq(Row(i)), schema, path)
+    }
+    val names = genDirNames(root.resolve("state"))
+    assert(names.size === 2, s"retention must stay bounded, saw $names")
+    assert(currentValue(path) === 7L)
+  }
+
+  test("prune removes crash-orphans and keeps the current snapshot intact") {
+    val root = tmp(); val path = root.resolve("state").toString
+    GenState.commit(spark, Seq(Row(1L)), schema, path)
+    GenState.commit(spark, Seq(Row(2L)), schema, path)
+    // a crashed writer: a generation dir with parquet but NO _SUCCESS
+    val orphan = new java.io.File(root.resolve("state").toFile,
+      "gen-0000000000000099")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(orphan.toPath.resolve("part-orphan.parquet"),
+      Array[Byte](1, 2, 3))
+    val deleted = GenState.prune(spark, path, keepLast = 2)
+    assert(deleted === 1, "exactly the orphan goes")
+    assert(!orphan.exists, "crash-orphan must be swept")
+    assert(currentValue(path) === 2L, "current snapshot untouched")
+    assert(GenState.health(spark, path).validGens === 2)
+  }
+
+  test("prune(keepLast = 1) tightens to the current generation only") {
+    val root = tmp(); val path = root.resolve("state").toString
+    (1L to 3L).foreach(i => GenState.commit(spark, Seq(Row(i)), schema, path))
+    assert(GenState.prune(spark, path, keepLast = 1) === 1)
+    assert(genDirNames(root.resolve("state")).size === 1)
+    assert(currentValue(path) === 3L)
+  }
+
+  test("prune never deletes the current generation even at keepLast = 0") {
+    val root = tmp(); val path = root.resolve("state").toString
+    GenState.commit(spark, Seq(Row(5L)), schema, path)
+    GenState.prune(spark, path, keepLast = 0) // clamped to 1
+    assert(currentValue(path) === 5L)
+  }
+
+  test("prune is a no-op on a legacy bare-parquet root") {
+    val root = tmp(); val path = root.resolve("bare").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L)), 1), schema)
+      .write.parquet(path)
+    assert(GenState.prune(spark, path) === 0)
+    assert(currentValue(path) === 9L)
+  }
+}

@@ -319,6 +319,85 @@ class HostileDataSpec extends AnyFunSuite {
     for (r <- out) assert(r.getString(1) === r.getString(0), s"for ${r.getString(0)}")
   }
 
+  test("quality/token formulas agree with the oracle's unicode semantics") {
+    // The q_ppm/n_tokens gate oracles (corpus_budget_*, corpus_top_m*,
+    // curriculum_bins, weighted_quantiles*) assume the two engines agree
+    // on three unicode contracts over arbitrary corpus text:
+    //   1. length() counts Unicode CODE POINTS (so an NFD combining mark
+    //      or an astral emoji counts once, never by UTF-16 units/bytes);
+    //   2. the alpha class [A-Za-z] is ASCII-only;
+    //   3. the tokenizer whitespace class is the ASCII
+    //      [ \t\n\x0b\f\r] — Java's default (non-UNICODE_CHARACTER_CLASS)
+    //      \s, which the oracle spells explicitly — so NBSP/U+2028/
+    //      ideographic space DO NOT split.
+    // This leg pins the SPARK side of each contract to a JVM
+    // codepoint-exact reference of the DuckDB formula, over the
+    // parquet-round-tripped strings both engines actually read. Lone
+    // surrogates are UTF-8-unencodable: the round trip normalizes them
+    // to '?' on BOTH sides (asserted below), so post-parquet agreement
+    // is structural.
+    val nfc = "caf\u00e9" // precomposed: 4 cps
+    val nfd = "cafe\u0301" // e + combining acute: 5 cps
+    val cases = Seq(
+      (1L, nfc), (2L, nfd),
+      (3L, "\ud835\udd4f\ud83d\ude00 ab"), // astral (non-ASCII), 2 letters
+      (4L, "\ud800x"), (5L, "x\udc00"), // lone surrogates
+      (6L, "\udc00\ud800"), // inverted surrogate pair
+      (7L, "a\u00a0b\u2028c\u3000d"), // unicode spaces: 1 token
+      (8L, "a\u200bb\ufeffc"), // zero-width space, BOM
+      (9L, "a\u0301\u0302\u0303"), // combining stack: 4 cps, 1 letter
+      (10L, ""), (11L, "a\u000bb\r\nc")) // ASCII VT + CRLF: 3 tokens
+    val dir = java.nio.file.Files.createTempDirectory("graft_hostile_uni")
+    dir.toFile.deleteOnExit()
+    val pq = dir.resolve("docs").toString
+    cases.toDF("doc_id", "text").write.parquet(pq)
+    val back = spark.read.parquet(pq)
+
+    // the DuckDB formulas, codepoint-exact on the JVM
+    def cps(s: String): Int = s.codePointCount(0, s.length)
+    def letters(s: String): Int =
+      s.codePoints().toArray.count(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+    def qRef(s: String): Long =
+      math.round(letters(s).toDouble / math.max(cps(s), 1) * 1e6)
+    def tokRef(s: String): Long = {
+      var n = 0L; var in = false
+      s.foreach { c =>
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r'
+        if (ws) in = false else if (!in) { n += 1; in = true }
+      }
+      n
+    }
+
+    val got = back.select(col("doc_id"),
+        round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+          * 1e6, 0).cast("long").as("q_ppm"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    cases.foreach { case (id, orig) =>
+      val (q, t, s) = got(id)
+      // both engines read the SAME post-parquet bytes: the UTF-8
+      // encode/decode of the original (lone surrogates → '?')
+      val roundTripped = new String(
+        orig.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(s === roundTripped, s"doc $id parquet round-trip")
+      assert(q === qRef(s), s"doc $id q_ppm vs codepoint reference")
+      assert(t === tokRef(s), s"doc $id n_tokens vs ASCII-\\s reference")
+    }
+    // pinned absolutes: a silent both-sides drift (e.g. a length()
+    // that starts counting UTF-16 units) cannot pass these
+    assert(got(1L)._1 === 750000L, "NFC café: 3 letters / 4 cps")
+    assert(got(2L)._1 === 800000L,
+      "NFD: 4 ASCII letters / 5 cps — the combining mark counts once")
+    assert(got(3L)._1 === 400000L, "astral: 2 letters / 5 cps")
+    assert(got(7L)._2 === 1L, "unicode whitespace must NOT tokenize")
+    assert(got(11L)._2 === 3L, "ASCII \\v \\r\\n must tokenize")
+  }
+
   test("escape pair protects a CUSTOM delimiter end to end") {
     // pack with '|' and values CONTAINING '|' — the escape pair must
     // shield the custom delimiter, not the default NUL

@@ -38,13 +38,15 @@ def main():
     print(f"duckdb={duckdb.__version__} python={sys.version.split()[0]}")
     env_path = os.path.join(out_dir, "_env.json")
     if os.path.exists(env_path):
-        print("spark_env=" + open(env_path).read().strip())
+        with open(env_path, encoding="utf-8") as f:
+            print("spark_env=" + f.read().strip())
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    with open(f"{out_dir}/oracle_sql.json", encoding="utf-8") as f:
+        oracle = json.load(f)
     failures, checked, rows_only = [], 0, []
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
