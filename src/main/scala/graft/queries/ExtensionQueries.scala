@@ -1614,6 +1614,29 @@ object ExtensionQueries {
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // CONSTANT-BYTES golden twin of multimodal_gif_frames: ONE fixed
+    // fixture (doc_id=3's exact gate shape — the ImagesSpec golden,
+    // md5-pinned) through the SAME javax.imageio decode path, stats
+    // AND payload md5 as columns, oracled by closed-form constants.
+    // Purpose: LOCALIZE a driver-side gif failure — md5 drift = encoder,
+    // stats drift at equal md5 = ImageIO reader, golden green while the
+    // data gate is red = checker-side normalization on the data gate.
+    "multimodal_gif_golden" -> ((s, _) => {
+      import s.implicits._
+      import graft.multimodal.{Images, Multimodal => MM}
+      val id = 3L // w = 4+id%5 = 7, h = 3+id%4 = 6, nf = 2+id%3 = 2
+      val payload = Images.encodeAnimatedGifGray(7, 6, 2,
+        (f, k) => (((id * 31 + f.toLong * 17 + k.toLong * 7) % 6) * 51).toInt)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+      val media = Seq((id, "image/gif", payload, Map.empty[String, String]))
+        .toDF("doc_id", "modality", "payload", "meta")
+      MM.sampleGifFrameTable(s, media, stride = 1)
+        .toDF()
+        .withColumn("payload_md5", lit(md5hex))
+        .orderBy(col("frame_idx"))
+    }),
+
     // REAL sample decode over REAL container bytes: the synthetic
     // WAV/BMP media (syntheticMedia) runs through the partition-batched
     // decode, whose features for decodable payloads are integer-exact
@@ -3236,6 +3259,21 @@ object ExtensionQueries {
         |  cast(min(v) AS int) AS unit_min, cast(max(v) AS int) AS unit_max
         |FROM v GROUP BY doc_id, f, nf
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the golden twin's closed form: doc_id=3's 7x6 2-frame fill
+    // recomputed from the formula, plus the encoder's pinned md5 (the
+    // same constant ImagesSpec pins as GOLDEN_GIF_MD5)
+    "multimodal_gif_golden" ->
+      """WITH fr AS (SELECT unnest(range(2)) AS f),
+        |px AS (SELECT f, unnest(range(42)) AS k FROM fr),
+        |v AS (SELECT f, ((93 + f * 17 + k * 7) % 6) * 51 AS v FROM px)
+        |SELECT cast(3 AS bigint) AS doc_id, cast(f AS int) AS frame_idx,
+        |  cast(2 AS int) AS n_frames,
+        |  cast(count(*) * 3 AS bigint) AS n_units,
+        |  cast(sum(v) * 3 AS bigint) AS unit_sum,
+        |  cast(min(v) AS int) AS unit_min, cast(max(v) AS int) AS unit_max,
+        |  '9b064859bab041e8ffad796eaa8fb1b5' AS payload_md5
+        |FROM v GROUP BY f ORDER BY frame_idx""".stripMargin,
 
     "multimodal_frames" ->
       """WITH h AS (
