@@ -261,6 +261,22 @@ class PipelineMetricsSpec extends AnyFunSuite {
       (1000000L, 20L, big * 2)))
   }
 
+  test("weighted Double-p API keeps one row per REQUESTED p, in caller " +
+      "order, duplicates included") {
+    import graft.meta.PipelineMetrics
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 5L)).toDF("v", "w")
+    val ps = Seq(0.9, 0.25, 0.25, 0.5) // unsorted, with a duplicate
+    val got = PipelineMetrics.exactQuantilesWeighted(df, col("v"), col("w"), ps)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === ps, "row-per-p contract: caller order, dups preserved")
+    val gotG = PipelineMetrics.exactQuantilesWeightedPerGroup(
+        Seq(("a", 1L, 2L), ("b", 2L, 3L)).toDF("g", "v", "w"),
+        col("g"), col("v"), col("w"), ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(gotG.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap ===
+      Map("a" -> ps, "b" -> ps), "per-group: same contract per group")
+  }
+
   test("invalid ps fail loudly even on an empty frame") {
     import graft.meta.PipelineMetrics
     val empty = Seq.empty[Long].map(Tuple1(_)).toDF("v")
