@@ -2,22 +2,27 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL pure-JVM container codecs for the two formats whose headers need
-  * no external library: WAV (RIFF chunk walk) and BMP (BITMAPFILEHEADER
-  * + BITMAPINFOHEADER). This is actual byte-level parsing of actual
+/** REAL pure-JVM container codecs for the formats whose header layouts
+  * need no external library: WAV (RIFF chunk walk), BMP
+  * (BITMAPFILEHEADER + BITMAPINFOHEADER), MPEG Layer III audio (frame
+  * header + frame walk — the "MP3" facts: version, bitrate, rate,
+  * channels, frame/sample counts, duration), and ISO BMFF ("MP4" box
+  * walk: ftyp brand, mvhd timescale/duration, tkhd tracks +
+  * dimensions, mdat size). This is actual byte-level parsing of actual
   * container bytes — it replaces the [[Multimodal.FakeCodec]] stub at
-  * the METADATA step of the multimodal pipeline; only sample/pixel
-  * decode (which needs codec libraries this container doesn't ship)
-  * remains stubbed.
+  * the METADATA step of the multimodal pipeline; only the compressed
+  * SAMPLE decode (which needs codec libraries this container doesn't
+  * ship) remains stubbed for MP3/MP4.
   *
-  * Both parsers are total: any malformed, truncated, or foreign payload
+  * Every parser is total: any malformed, truncated, or foreign payload
   * returns None — a corrupt file in a 100 TB media crawl must become a
   * classifiable row, never a task failure.
   *
   * The builders exist so fixtures and gates can synthesize REAL headers
   * deterministically from table columns; they are also legitimate
   * encoders (the WAV builder emits a canonical 44-byte-header PCM file,
-  * the BMP builder a canonical BI_RGB one).
+  * the BMP builder a canonical BI_RGB one, the MP3 builder spec-valid
+  * Layer III frames, the MP4 builder a conforming ftyp/moov/mdat tree).
   */
 object Containers {
 
@@ -204,6 +209,316 @@ object Containers {
       .putShort(bitsPerSample.toShort)
     out.putInt(DATA).putInt(data.length).put(data)
     if (pad == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  // ── MPEG audio (MP3) container metadata ─────────────────────────────
+  // Frame-header layout per the public MPEG-1/2 audio spec (ISO 11172-3
+  // / 13818-3): 11-bit sync, version, layer, bitrate index, sample-rate
+  // index, padding, channel mode. HEADER parsing and the frame walk are
+  // pure integer arithmetic — only the audio-sample DECODE needs a
+  // codec library and stays with [[Multimodal.FakeCodec]].
+
+  /** Parsed facts of an MPEG Layer III stream: `version` ∈ {1, 2, 25}
+    * (25 = MPEG-2.5), `bitrateKbps` from the FIRST frame (VBR streams
+    * vary later frames), `frames`/`samples` from the full frame walk,
+    * `musicBytes` the bytes the walked frames span (ID3 tags and any
+    * pre-sync junk excluded). */
+  final case class Mp3Info(version: Int, bitrateKbps: Int, sampleRate: Int,
+                           channels: Int, frames: Int, samples: Long,
+                           musicBytes: Long) {
+    def durationMs: Long =
+      if (sampleRate == 0) 0L else samples * 1000L / sampleRate
+  }
+
+  private val Mp3BitrateV1 = // Layer III, MPEG-1, kbps by index 1..14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 = // Layer III, MPEG-2/2.5
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+  private val Mp3RateV2 = Array(22050, 24000, 16000)
+  private val Mp3RateV25 = Array(11025, 12000, 8000)
+
+  /** One frame header at `off`: (version, bitrateKbps, sampleRate,
+    * channels, frameLen). None unless a syntactically valid LAYER III
+    * header with defined bitrate/rate indices sits exactly at `off`.
+    * Other layers decline (this is an MP3 parser, not a guesser). */
+  private def mp3FrameAt(p: Array[Byte], off: Int)
+      : Option[(Int, Int, Int, Int, Int)] = {
+    if (off + 4 > p.length) return None
+    val b0 = p(off) & 0xFF; val b1 = p(off + 1) & 0xFF
+    val b2 = p(off + 2) & 0xFF; val b3 = p(off + 3) & 0xFF
+    if (b0 != 0xFF || (b1 & 0xE0) != 0xE0) return None
+    val versionBits = (b1 >> 3) & 3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerBits = (b1 >> 1) & 3   // 1 = Layer III
+    if (versionBits == 1 || layerBits != 1) return None
+    val brIdx = (b2 >> 4) & 0xF
+    val srIdx = (b2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/bad
+    val v1 = versionBits == 3
+    val bitrate = (if (v1) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+    val rate = (versionBits match {
+      case 3 => Mp3RateV1
+      case 2 => Mp3RateV2
+      case _ => Mp3RateV25
+    })(srIdx)
+    val padding = (b2 >> 1) & 1
+    val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+    // Layer III frame length; 144 halves to 72 for the half-rate specs
+    val frameLen = (if (v1) 144 else 72) * bitrate * 1000 / rate + padding
+    if (frameLen < 4) return None
+    val version = versionBits match { case 3 => 1; case 2 => 2; case _ => 25 }
+    Some((version, bitrate, rate, channels, frameLen))
+  }
+
+  /** MPEG Layer III stream walk: skip an ID3v2 tag if present (syncsafe
+    * 28-bit size), find the first valid frame header, then walk
+    * consecutive frames until the payload ends or sync breaks
+    * (truncated tails tolerate — the walked prefix reports; a payload
+    * with NO complete frame is None). Version/rate/channels must stay
+    * constant across frames (bitrate may vary — VBR); a mid-stream
+    * change declines as malformed. */
+  def parseMp3(payload: Array[Byte]): Option[Mp3Info] = {
+    if (payload.length < 4) return None
+    var off = 0L
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      // syncsafe: 4 × 7 bits; Long guard (a crafted tag size must
+      // decline, not wrap into the frame walk)
+      val sz = ((payload(6) & 0x7F).toLong << 21) |
+        ((payload(7) & 0x7F).toLong << 14) |
+        ((payload(8) & 0x7F).toLong << 7) | (payload(9) & 0x7F).toLong
+      off = 10L + sz
+      if (off >= payload.length) return None
+    }
+    // tolerate a bounded run of pre-sync junk (real encoders pad);
+    // bounded so a sync-free 100 MB payload declines fast
+    val scanEnd = math.min(payload.length.toLong, off + 4096)
+    var first: Option[(Int, Int, Int, Int, Int)] = None
+    while (first.isEmpty && off + 4 <= scanEnd) {
+      first = mp3FrameAt(payload, off.toInt)
+      if (first.isEmpty) off += 1
+    }
+    first.flatMap { case (ver, br0, rate, ch, len0) =>
+      val spf = if (ver == 1) 1152L else 576L
+      val start = off
+      var frames = 0
+      var len = len0
+      var ok = true
+      while (ok && off + len <= payload.length) {
+        frames += 1
+        off += len
+        mp3FrameAt(payload, off.toInt) match {
+          case Some((v2, _, r2, c2, l2)) if v2 == ver && r2 == rate &&
+              c2 == ch => len = l2
+          case Some(_) => ok = false // mid-stream format change: decline
+          case None => ok = false    // end of stream / truncated tail
+        }
+      }
+      if (frames == 0) None
+      else Some(Mp3Info(ver, br0, rate, ch, frames, frames * spf,
+        off - start))
+    }
+  }
+
+  /** Canonical fixed-bitrate Layer III stream: `nFrames` valid headers
+    * with `fill`-supplied body bytes (zero default — the walk never
+    * decodes them), optionally behind a minimal ID3v2 tag. A REAL
+    * MPEG audio header writer: any standard tool reads these frames'
+    * metadata. Requires spec-defined parameters (kbps present in the
+    * version's Layer III table, rate in its rate family). */
+  def buildMp3(version: Int, bitrateKbps: Int, sampleRate: Int,
+               channels: Int, nFrames: Int,
+               fill: Int => Byte = _ => 0,
+               id3Bytes: Int = 0): Array[Byte] = {
+    require(version == 1 || version == 2 || version == 25, "version 1|2|25")
+    val v1 = version == 1
+    val brIdx = (if (v1) Mp3BitrateV1 else Mp3BitrateV2)
+      .indexOf(bitrateKbps)
+    val rates = version match {
+      case 1 => Mp3RateV1; case 2 => Mp3RateV2; case _ => Mp3RateV25
+    }
+    val srIdx = rates.indexOf(sampleRate)
+    require(brIdx > 0, s"bitrate $bitrateKbps not in the Layer III table")
+    require(srIdx >= 0, s"rate $sampleRate not defined for MPEG$version")
+    require(channels == 1 || channels == 2, "channels 1|2")
+    require(id3Bytes >= 0 && id3Bytes < (1 << 20), "id3Bytes in [0, 1M)")
+    val frameLen = (if (v1) 144 else 72) * bitrateKbps * 1000 / sampleRate
+    val versionBits = version match { case 1 => 3; case 2 => 2; case _ => 0 }
+    val hdr1 = (0xE0 | (versionBits << 3) | (1 << 1) | 1).toByte // layer III, no CRC
+    val hdr2 = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
+    val hdr3 = (if (channels == 1) 0xC0 else 0x00).toByte // mono | stereo
+    val out = new Array[Byte](
+      (if (id3Bytes > 0) 10 + id3Bytes else 0) + nFrames * frameLen)
+    var base = 0
+    if (id3Bytes > 0) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4; out(4) = 0
+      out(5) = 0
+      out(6) = ((id3Bytes >> 21) & 0x7F).toByte
+      out(7) = ((id3Bytes >> 14) & 0x7F).toByte
+      out(8) = ((id3Bytes >> 7) & 0x7F).toByte
+      out(9) = (id3Bytes & 0x7F).toByte
+      base = 10 + id3Bytes // tag body stays zero — a padding-only tag
+    }
+    var f = 0
+    while (f < nFrames) {
+      val o = base + f * frameLen
+      out(o) = 0xFF.toByte; out(o + 1) = hdr1; out(o + 2) = hdr2
+      out(o + 3) = hdr3
+      var i = 4
+      while (i < frameLen) { out(o + i) = fill(f * frameLen + i); i += 1 }
+      f += 1
+    }
+    out
+  }
+
+  // ── ISO BMFF (MP4) container metadata ───────────────────────────────
+
+  /** Parsed top-level facts of an ISO base-media file: brand from
+    * `ftyp`, movie timescale/duration from `moov/mvhd`, track count
+    * and the first video track's 16.16-fixed dimensions from
+    * `moov/trak/tkhd`, `mdatBytes` the summed media-data payload. */
+  final case class Mp4Info(majorBrand: String, timescale: Long,
+                           durationMs: Long, nTracks: Int,
+                           width: Option[Int], height: Option[Int],
+                           mdatBytes: Long)
+
+  private def be32(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+      ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+
+  private def be64(p: Array[Byte], i: Int): Long =
+    (be32(p, i) << 32) | be32(p, i + 4)
+
+  private def fourcc(p: Array[Byte], i: Int): String =
+    new String(Array(p(i), p(i + 1), p(i + 2), p(i + 3)), "ISO-8859-1")
+
+  /** ISO BMFF box walk. Boxes are [u32 size][4cc type] big-endian;
+    * size 1 → 64-bit largesize follows, size 0 → to end of enclosing
+    * span. The walk is total: every size is validated against the
+    * enclosing span in Long before use (a crafted size must decline,
+    * never wrap into an out-of-bounds read). The file must LEAD with
+    * `ftyp` (the brand gate — arbitrary binary with a lucky box shape
+    * should classify as unknown, and every conforming writer puts ftyp
+    * first). */
+  def parseMp4(payload: Array[Byte]): Option[Mp4Info] = {
+    if (payload.length < 16) return None
+    if (be32(payload, 0) < 16 || fourcc(payload, 4) != "ftyp") return None
+    val brand = fourcc(payload, 8)
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0
+    var width: Option[Int] = None
+    var height: Option[Int] = None
+    var mdat = 0L
+    // walk(start, end): iterate sibling boxes in [start, end)
+    def walk(start: Long, end: Long)
+        (visit: (String, Long, Long) => Unit): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = be32(payload, off.toInt)
+        var hdr = 8L
+        if (size == 1) {
+          if (off + 16 > end) return false
+          size = be64(payload, off.toInt + 8); hdr = 16L
+        } else if (size == 0) size = end - off
+        if (size < hdr || off + size > end) return false
+        visit(fourcc(payload, off.toInt + 4), off + hdr, off + size)
+        off += size
+      }
+      off == end
+    }
+    val wellFormed = walk(0L, payload.length.toLong) { (typ, bs, be) =>
+      typ match {
+        case "mdat" => mdat += be - bs
+        case "moov" =>
+          walk(bs, be) { (t2, cs, ce) =>
+            t2 match {
+              case "mvhd" if ce - cs >= 4 =>
+                val v = payload(cs.toInt) & 0xFF
+                if (v == 1 && ce - cs >= 28) {
+                  timescale = be32(payload, cs.toInt + 20)
+                  duration = be64(payload, cs.toInt + 24)
+                } else if (v == 0 && ce - cs >= 20) {
+                  timescale = be32(payload, cs.toInt + 12)
+                  duration = be32(payload, cs.toInt + 16)
+                }
+              case "trak" =>
+                nTracks += 1
+                walk(cs, ce) { (t3, ds, de) =>
+                  // tkhd v0 content is 84 bytes; width/height are the
+                  // LAST two 16.16 fields
+                  if (t3 == "tkhd" && width.isEmpty && de - ds >= 84 &&
+                      (payload(ds.toInt) & 0xFF) == 0) {
+                    val w = be32(payload, de.toInt - 8)
+                    val h = be32(payload, de.toInt - 4)
+                    if (w > 0 && h > 0) {
+                      width = Some((w >> 16).toInt)
+                      height = Some((h >> 16).toInt)
+                    }
+                  }
+                }
+                ()
+              case _ => ()
+            }
+          }
+          ()
+        case _ => ()
+      }
+    }
+    if (!wellFormed || timescale <= 0 || duration < 0) None
+    else Some(Mp4Info(brand, timescale,
+      duration * 1000L / timescale, nTracks, width, height, mdat))
+  }
+
+  /** Canonical minimal ISO BMFF file: ftyp + moov(mvhd v0 +
+    * trak(tkhd v0) per track) + mdat with `fill`-supplied bytes. A
+    * REAL box writer — the structure any BMFF tool walks. Track
+    * dimensions are written 16.16-fixed as the spec mandates. */
+  def buildMp4(timescale: Int, duration: Long, tracks: Seq[(Int, Int)],
+               mdatBytes: Int, fill: Int => Byte = _ => 0): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && duration <= 0xFFFFFFFFL)
+    val ftyp = ByteBuffer.allocate(24)
+    ftyp.putInt(24).put("ftypisom".getBytes("ISO-8859-1"))
+      .putInt(0x200).put("isommp41".getBytes("ISO-8859-1"))
+    val mvhd = ByteBuffer.allocate(108)
+    mvhd.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(timescale).putInt(duration.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+      .putLong(0) // reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // unity matrix…
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
+      .putInt(tracks.size + 1) // next track id
+    val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
+      val tkhd = ByteBuffer.allocate(92)
+      tkhd.putInt(92).put("tkhd".getBytes("ISO-8859-1"))
+        .putInt(7) // version 0, flags: enabled|in-movie|in-preview
+        .putInt(0).putInt(0) // ctime, mtime
+        .putInt(i + 1).putInt(0) // track id, reserved
+        .putInt(duration.toInt)
+        .putLong(0) // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, reserved
+        .putInt(0x00010000).putInt(0).putInt(0) // unity matrix…
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+        .putInt(w << 16).putInt(h << 16)
+      val trak = ByteBuffer.allocate(100)
+      trak.putInt(100).put("trak".getBytes("ISO-8859-1")).put(tkhd.array())
+      trak.array()
+    }
+    val moovSize = 8 + 108 + traks.map(_.length).sum
+    val out = ByteBuffer.allocate(24 + moovSize + 8 + mdatBytes)
+    out.put(ftyp.array())
+    out.putInt(moovSize).put("moov".getBytes("ISO-8859-1"))
+      .put(mvhd.array())
+    traks.foreach(out.put)
+    out.putInt(8 + mdatBytes).put("mdat".getBytes("ISO-8859-1"))
+    var i = 0
+    while (i < mdatBytes) { out.put(fill(i)); i += 1 }
     out.array()
   }
 

@@ -7,19 +7,23 @@ import org.apache.spark.sql.functions._
   * video travel as opaque `binary` payloads with typed metadata, and the
   * compute-heavy decode/feature steps run batched per partition.
   *
-  * REAL, not stubbed: container metadata parsing AND sample/pixel
-  * decode for every format whose codec is pure JVM — [[Containers]]
-  * walks WAV RIFF chunks and BMP DIB headers and decodes their PCM
-  * samples / pixel-array bytes ([[Containers.pcmSamples]],
-  * [[Containers.bmpPixelValues]]), and [[Images]] decodes JPEG/PNG/GIF
-  * pixels through the JDK's own `javax.imageio` readers — all of which
-  * [[decodeFeatures]] turns into integer-exact sample statistics and
-  * [[containerMeta]] into typed header facts.
+  * REAL, not stubbed: container METADATA parsing for every format whose
+  * header layout is public-spec byte arithmetic — [[Containers]] walks
+  * WAV RIFF chunks, BMP DIB headers, MPEG Layer III frame headers
+  * (MP3: version/bitrate/rate/channels/frame-walk duration), and ISO
+  * BMFF boxes (MP4: brand, mvhd timescale/duration, tkhd tracks and
+  * 16.16 dimensions, mdat size) — plus sample/pixel DECODE for every
+  * format whose codec is pure JVM ([[Containers.pcmSamples]],
+  * [[Containers.bmpPixelValues]], and [[Images]]' JPEG/PNG/GIF via
+  * `javax.imageio`) — all of which [[decodeFeatures]] turns into
+  * integer-exact sample statistics and [[containerMeta]] into typed
+  * header facts.
   *
   * STUB MARKERS — the remaining stand-ins, each for a codec the JDK
-  * genuinely doesn't ship (MP3/MP4 need native libraries):
+  * genuinely doesn't ship (MP3/MP4 SAMPLE decode needs native
+  * libraries; their container metadata is real, above):
   * [[FakeCodec.decodeFeatures]] (the fallback feature vector for
-  * payloads that are none of WAV/BMP/JPEG/PNG/GIF), [[FakeCodec.resize]],
+  * payloads whose samples nothing here can decode), [[FakeCodec.resize]],
   * and [[FakeCodec.sampleFrames]] (video frames). Swapping in a real
   * decoder (ffmpeg pipe, JNI codec) changes ONLY FakeCodec — the
   * partition-batched execution plan stays identical.
@@ -307,9 +311,24 @@ object Multimodal {
                 case Some(im) =>
                   ContainerInfo(id, im.format, None, None, None, None,
                     None, Some(im.width), Some(im.height), None)
-                case None =>
-                  ContainerInfo(id, "unknown", None, None, None, None, None,
-                    None, None, None)
+                case None => Containers.parseMp4(p) match {
+                  // ISO BMFF before MPEG audio: the ftyp gate is
+                  // structural, while the MP3 sync scan could in
+                  // principle fire inside arbitrary binary
+                  case Some(m4) =>
+                    ContainerInfo(id, "mp4", None, None, None,
+                      Some(m4.mdatBytes), Some(m4.durationMs),
+                      m4.width, m4.height, None)
+                  case None => Containers.parseMp3(p) match {
+                    case Some(m3) =>
+                      ContainerInfo(id, "mp3", Some(m3.channels),
+                        Some(m3.sampleRate), None, Some(m3.musicBytes),
+                        Some(m3.durationMs), None, None, None)
+                    case None =>
+                      ContainerInfo(id, "unknown", None, None, None, None,
+                        None, None, None, None)
+                  }
+                }
               }
             }
           }

@@ -1659,6 +1659,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL MP3/MP4 container-metadata parsing: spec-valid MPEG Layer III
+    // streams and ISO BMFF trees synthesized from table columns
+    // (syntheticAv), parsed BACK by the pure-JVM frame/box walks. The
+    // oracle recomputes every emitted field from the source arithmetic
+    // (frame length 144·br·1000/rate, duration from samples/rate and
+    // mvhd duration/timescale), so a frame-walk, syncsafe-skip,
+    // box-size, or fixed-point bug cannot hide. Sample DECODE for these
+    // codecs stays honestly stubbed (FakeCodec) — this gate is the
+    // metadata step a 100 TB media crawl runs first.
+    "multimodal_av_containers" -> ((s, dir) => {
+      Multimodal.containerMeta(s, syntheticAv(s, dir))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("data_bytes"), col("duration_ms"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL container parsing (graft.multimodal.Containers): WAV/BMP
     // bytes are synthesized from table columns (even doc_id → PCM WAV
     // carrying the text bytes, odd → BI_RGB BMP sized by the doc), then
@@ -1845,6 +1863,46 @@ object ExtensionQueries {
         val payload = Images.encodeAnimatedGifGray(w, h, nf,
           (f, k) => (((id * 31 + f.toLong * 17 + k.toLong * 7) % 6) * 51).toInt)
         (id, "image/gif", payload, Map.empty[String, String])
+      }).toDF("doc_id", "modality", "payload", "meta")
+  }
+
+  /** Deterministic REAL MP3/MP4 payloads from table columns: even
+    * doc_id → a fixed-bitrate MPEG-1 Layer III stream (spec-valid frame
+    * headers, optional ID3v2 pad tag), odd → a conforming ISO BMFF
+    * ftyp/moov/mdat tree. Container facts are then parsed BACK by the
+    * byte-level walks ([[graft.multimodal.Containers.parseMp3]] /
+    * `parseMp4`), so a builder/parser asymmetry in any header field
+    * cannot hide — the same discipline as syntheticMedia's WAV/BMP. */
+  private def syntheticAv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Containers
+    val brs = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+      256, 320)
+    val rates = Array(44100, 48000, 32000)
+    Tables(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload =
+          if (id % 2 == 0)
+            Containers.buildMp3(version = 1,
+              bitrateKbps = brs(((id / 2) % 14).toInt),
+              sampleRate = rates((id % 3).toInt),
+              channels = 1 + ((id / 2) % 2).toInt,
+              nFrames = 2 + (id % 6).toInt,
+              fill = i => ((i * 31 + id) % 251).toByte,
+              id3Bytes = ((id % 3) * 7).toInt)
+          else {
+            val nT = 1 + (id % 3).toInt
+            Containers.buildMp4(
+              timescale = (600 * (1 + id % 5)).toInt,
+              duration = (id * 137) % 100000,
+              tracks = Seq.tabulate(nT)(t =>
+                (16 + ((id + t) % 7).toInt, 9 + ((id + t) % 5).toInt)),
+              mdatBytes = (id % 50).toInt,
+              fill = i => ((i * 17 + id) % 253).toByte)
+          }
+        (id, if (id % 2 == 0) "audio/mpeg" else "video/mp4", payload,
+          Map.empty[String, String])
       }).toDF("doc_id", "modality", "payload", "meta")
   }
 
@@ -3293,6 +3351,36 @@ object ExtensionQueries {
     // them from (wav data bytes = UTF-8 text bytes; bmp pixel bytes =
     // 4-byte-aligned stride × height; duration = bytes*1000 / byteRate,
     // both engines on integer floor division)
+    // MP3/MP4 facts recomputed from the synthesis arithmetic: Layer III
+    // frame length 144·br·1000//rate (no padding), duration from
+    // frames·1152 samples at the frame rate; BMFF duration from
+    // mvhd duration·1000//timescale, first-track 16.16 dimensions
+    "multimodal_av_containers" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ([44100, 48000, 32000])[cast(doc_id % 3 AS int) + 1] AS rate,
+        |    ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+        |      320])[cast((doc_id // 2) % 14 AS int) + 1] AS br,
+        |    2 + doc_id % 6 AS frames,
+        |    1 + (doc_id // 2) % 2 AS ch,
+        |    600 * (1 + doc_id % 5) AS ts,
+        |    (doc_id * 137) % 100000 AS dur
+        |  FROM documents)
+        |SELECT doc_id, 'mp3' AS format,
+        |  cast(ch AS int) AS channels,
+        |  cast(rate AS int) AS sample_rate,
+        |  cast(frames * ((144 * br * 1000) // rate) AS bigint) AS data_bytes,
+        |  cast((frames * 1152 * 1000) // rate AS bigint) AS duration_ms,
+        |  cast(NULL AS int) AS width, cast(NULL AS int) AS height
+        |FROM p WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'mp4', NULL, NULL,
+        |  cast(doc_id % 50 AS bigint),
+        |  cast((dur * 1000) // ts AS bigint),
+        |  cast(16 + doc_id % 7 AS int), cast(9 + doc_id % 5 AS int)
+        |FROM p WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "multimodal_containers" ->
       """SELECT doc_id, 'wav' AS format,
         |  cast(1 + (doc_id // 2) % 2 AS int) AS channels,

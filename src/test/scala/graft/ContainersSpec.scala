@@ -226,4 +226,101 @@ class ContainersSpec extends AnyFunSuite {
     assert(Containers.parseBmp(evil).isDefined)
     assert(Containers.bmpPixelValues(evil) === None)
   }
+
+  test("MP3 build/parse round-trips across the parameter grid, with and " +
+      "without an ID3v2 tag") {
+    for (ver <- Seq(1, 2, 25);
+         (br, rate) <- Seq((if (ver == 1) 128 else 64,
+           ver match { case 1 => 44100; case 2 => 22050; case _ => 8000 }),
+           (if (ver == 1) 320 else 160,
+             ver match { case 1 => 32000; case 2 => 16000; case _ => 12000 }));
+         ch <- Seq(1, 2); frames <- Seq(1, 3, 7); id3 <- Seq(0, 17)) {
+      val p = Containers.buildMp3(ver, br, rate, ch, frames,
+        fill = i => (i % 250).toByte, id3Bytes = id3)
+      val got = Containers.parseMp3(p)
+      assert(got.isDefined, s"v$ver $br/$rate ch$ch f$frames id3=$id3")
+      val m = got.get
+      assert(m.version === ver)
+      assert(m.bitrateKbps === br && m.sampleRate === rate)
+      assert(m.channels === ch && m.frames === frames)
+      val spf = if (ver == 1) 1152L else 576L
+      assert(m.samples === frames * spf)
+      assert(m.durationMs === frames * spf * 1000L / rate)
+      val frameLen = (if (ver == 1) 144 else 72) * br * 1000 / rate
+      assert(m.musicBytes === frames.toLong * frameLen,
+        "ID3 bytes must not count as music")
+    }
+  }
+
+  test("MP3 parser declines truncation to zero frames, mid-stream format " +
+      "changes, lying ID3 sizes, and non-Layer-III streams") {
+    val base = Containers.buildMp3(1, 128, 44100, 2, 3)
+    // truncated inside the first frame: no complete frame → None
+    assert(Containers.parseMp3(base.take(100)) === None)
+    // truncated inside frame 3: the walked prefix reports 2 frames
+    assert(Containers.parseMp3(base.take(base.length - 10)).get.frames === 2)
+    // a second stream at a DIFFERENT sample rate spliced on: decline the
+    // splice point — frames before it still report
+    val other = Containers.buildMp3(1, 128, 32000, 2, 1)
+    assert(Containers.parseMp3(base ++ other).get.frames === 3)
+    // ID3 size pointing past the payload: decline, never wrap
+    val withTag = Containers.buildMp3(1, 128, 44100, 2, 1, id3Bytes = 17)
+    val evil = withTag.clone()
+    evil(6) = 0x7F; evil(7) = 0x7F; evil(8) = 0x7F; evil(9) = 0x7F
+    assert(Containers.parseMp3(evil) === None)
+    // non-Layer-III layer bits: not an MP3 — decline
+    val l2 = base.clone(); l2(1) = (l2(1) | 0x04).toByte
+    assert(Containers.parseMp3(Array(l2(0), l2(1), l2(2), l2(3))) === None)
+  }
+
+  test("MP4 build/parse round-trips brand, timescale math, tracks, and " +
+      "16.16 dimensions") {
+    for (ts <- Seq(600, 1000, 90000); dur <- Seq(0L, 1234L, 987654L);
+         nT <- Seq(0, 1, 3); mdat <- Seq(0, 33)) {
+      val tracks = Seq.tabulate(nT)(t => (320 + t, 240 + t))
+      val p = Containers.buildMp4(ts, dur, tracks, mdat)
+      val got = Containers.parseMp4(p)
+      assert(got.isDefined, s"ts=$ts dur=$dur nT=$nT mdat=$mdat")
+      val m = got.get
+      assert(m.majorBrand === "isom")
+      assert(m.timescale === ts)
+      assert(m.durationMs === dur * 1000L / ts)
+      assert(m.nTracks === nT && m.mdatBytes === mdat)
+      if (nT > 0) assert(m.width === Some(320) && m.height === Some(240))
+      else assert(m.width === None && m.height === None)
+    }
+  }
+
+  test("MP4 parser declines foreign bytes, crafted box sizes, and " +
+      "ftyp-less files; MP3/MP4 fuzz stays total") {
+    assert(Containers.parseMp4("not a box tree at all".getBytes("UTF-8"))
+      === None)
+    val good = Containers.buildMp4(600, 100L, Seq((8, 8)), 4)
+    // no leading ftyp → decline (arbitrary binary with a lucky box
+    // shape must classify unknown)
+    assert(Containers.parseMp4(good.drop(24)) === None)
+    // crafted sizes: zero, negative-as-unsigned-huge, and truncations
+    for (evil <- Seq(0, -1, Int.MaxValue, 17)) {
+      val c = good.clone()
+      val cb = java.nio.ByteBuffer.wrap(c)
+      cb.putInt(24, evil) // moov box size
+      val r = Containers.parseMp4(c) // Option or bust
+      assert(r == null || r.isInstanceOf[Option[_]])
+    }
+    for (cut <- 0 to good.length)
+      assert(Containers.parseMp4(good.take(cut)).isInstanceOf[Option[_]])
+    // cross-format and noise fuzz over both new parsers
+    val rnd = new scala.util.Random(0xA5F022)
+    val mp3 = Containers.buildMp3(1, 64, 44100, 1, 2)
+    for (_ <- 0 until 2000) {
+      val p = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(p)
+      Containers.parseMp3(p); Containers.parseMp4(p)
+    }
+    for (base <- Seq(mp3, good); cut <- 0 to base.length) {
+      Containers.parseMp3(base.take(cut))
+      Containers.parseMp4(base.take(cut))
+    }
+    Containers.parseMp3(Containers.buildWav(1, 8000, 16, new Array[Byte](64)))
+    Containers.parseMp4(Containers.buildBmp(4, 4))
+  }
 }
