@@ -60,7 +60,8 @@ object Bench {
     "profile_drift", "multimodal_gif_frames", "corpus_top_m_by_source",
     "weighted_quantiles", "weighted_quantiles_by_source",
     "curriculum_bins_by_cost", "curriculum_bins_by_cost_by_source",
-    "weighted_quantiles_incremental", "multimodal_av_containers")
+    "weighted_quantiles_incremental", "multimodal_av_containers",
+    "corpus_mix_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

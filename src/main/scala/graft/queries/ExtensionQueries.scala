@@ -559,6 +559,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // TEMPERATURE mixture (τ-sampling, qᵢ ∝ nᵢ^τ): τ = 0.5 — the one
+    // exponent whose per-source weights (IEEE-exact sqrt) both engines
+    // reproduce bit-for-bit — toward half the corpus. The oracle
+    // recomputes per-source counts, the 2²⁰-scaled weights, and the
+    // BigInt-mirroring 2¹⁶ thresholds from scratch, then re-applies the
+    // keyed md5 keep predicate.
+    "corpus_mix_temperature" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val total = d.where(col("source").isNotNull).count()
+      graft.text.Sampling.mixByTemperature(d, col("source"), col("doc_id"),
+          tau = 0.5, targetRows = total / 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // token-budget curation: keep the highest-alpha-ratio documents
     // until 25% of the corpus's tokens are spent — the exact greedy
     // prefix over (quality DESC, doc_id), computed by histogram cutoff
@@ -2370,6 +2384,33 @@ object ExtensionQueries {
         |SELECT lang, bin_id, count(*) AS n_chunks,
         |       cast(sum(n_tokens) AS bigint) AS total_tokens
         |FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
+
+    // τ-sampling recomputed from scratch: per-source n, weight
+    // w = round(sqrt(n)·2²⁰) (sqrt is IEEE-exact in BOTH engines),
+    // threshold round-half-up of 65536·T·w/(Σw·n) in pure integer
+    // arithmetic (HUGEINT intermediates, BIGINT-free output), then the
+    // same keyed md5 bucket predicate the engine applies
+    "corpus_mix_temperature" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT cast(sum(n) // 2 AS bigint) AS tr FROM s),
+        |w AS (SELECT source, n,
+        |        cast(round(sqrt(cast(n AS double)) * 1048576) AS bigint)
+        |          AS wi
+        |      FROM s),
+        |tot AS (SELECT cast(sum(wi) AS bigint) AS sw FROM w),
+        |th AS (SELECT w.source,
+        |         least(65536,
+        |           (2 * 65536 * t.tr * w.wi + tot.sw * w.n)
+        |             // (2 * tot.sw * w.n)) AS th16
+        |       FROM w, tot, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN th ON d.source = th.source
+        |WHERE substr(md5(cast(d.doc_id AS varchar) || ':tmix'), 1, 4) <
+        |  CASE WHEN th.th16 >= 65536 THEN 'g'
+        |       ELSE lpad(lower(hex(th.th16)), 4, '0') END
+        |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_mix" ->
       """WITH w AS (

@@ -148,4 +148,71 @@ object Sampling {
     }
     df.where(bucket(key) < rate)
   }
+
+  /** Per-source 4-hex keep thresholds for TEMPERATURE-scaled mixture
+    * sampling (the multilingual "τ-sampling" recipe: sampling mass
+    * qᵢ ∝ nᵢ^τ, so τ = 1 keeps natural proportions and τ → 0
+    * flattens toward uniform): source i keeps
+    * rateᵢ = min(1, T·qᵢ / nᵢ) of its rows toward a `targetRows`
+    * total of T.
+    *
+    * Exactness contract: the weight wᵢ = round(nᵢ^τ · 2²⁰) and the
+    * 2¹⁶-grid threshold round(65536 · T · wᵢ / (Σw · nᵢ)) are computed
+    * in BigInt (no Long overflow at 100 TB source sizes, where
+    * T·wᵢ·65536 exceeds 2⁶³), and at τ = 0.5 the weight rides
+    * `math.sqrt` — the one power IEEE 754 rounds EXACTLY, so any
+    * engine reproduces every threshold bit-for-bit (the gate's DuckDB
+    * oracle recomputes them from scratch). Other τ go through
+    * `math.pow`, whose final-ulp rounding is libm-specific — fine for
+    * production sampling, not for a cross-engine hash compare. */
+  private[graft] def temperatureThresholds(sizes: Seq[(String, Long)],
+                                           tau: Double,
+                                           targetRows: Long): Map[String, String] = {
+    require(tau > 0.0 && tau <= 1.0, "tau in (0, 1]")
+    require(targetRows >= 0L, "targetRows must be >= 0")
+    require(sizes.forall(_._2 >= 0L), "source sizes must be >= 0")
+    val ws = sizes.map { case (s, n) =>
+      val p = if (tau == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, tau)
+      (s, n, BigInt(math.round(p * (1L << 20))))
+    }
+    val sw = ws.map(_._3).sum
+    ws.map { case (s, n, w) =>
+      val den = sw * n * 2
+      val th16 =
+        if (den.signum == 0) BigInt(0) // empty source (or corpus): keep none
+        else ((BigInt(2) * 65536 * targetRows * w + sw * n) / den).min(65536)
+      s -> (if (th16 >= 65536) "g" else f"${th16.toInt}%04x")
+    }.toMap
+  }
+
+  /** Temperature-mix a corpus toward `targetRows` total rows: ONE
+    * bounded per-source count (driver rows = distinct sources,
+    * `maxSources` loud-fail), thresholds via
+    * [[temperatureThresholds]], then one narrow broadcast-joined
+    * hash-filter pass — no per-source scan, no rate column wider than
+    * a 4-char string crosses the exchange. Null-source rows drop (no
+    * qᵢ to sample them under — [[mixBySource]]'s defaultRate = 0
+    * convention). Whole-key determinism as everywhere in this module:
+    * the md5 bucket is keyed, so retries and SF changes keep the same
+    * documents. */
+  def mixByTemperature(df: DataFrame, source: Column, key: Column,
+                       tau: Double, targetRows: Long,
+                       maxSources: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.where(source.isNotNull)
+      .groupBy(source.cast("string").as("__src")).count()
+      .limit(maxSources + 1).collect()
+    require(sizes.length <= maxSources,
+      s"more than $maxSources sources — raise maxSources explicitly " +
+        "if the mixture really has that many components")
+    val th = temperatureThresholds(
+      sizes.toSeq.map(r => (r.getString(0), r.getLong(1))), tau, targetRows)
+    val rates = th.toSeq.toDF("__src", "__th16")
+    df.join(broadcast(rates), source.cast("string") === col("__src"))
+      .where(substring(md5(concat(keyStr(key), lit(":tmix"))), 1, 4)
+        < col("__th16"))
+      .drop("__src", "__th16")
+  }
 }

@@ -71,4 +71,51 @@ class SamplingSpec extends AnyFunSuite {
       .collect()
     assert(pos.forall(r => r.getLong(1) === r.getInt(2).toLong))
   }
+
+  test("temperature thresholds: τ=1 is exactly natural-proportion, τ<1 " +
+      "flattens toward the small source, caps clamp to keep-all") {
+    import graft.text.Sampling.temperatureThresholds
+    val sizes = Seq(("big", 90000L), ("small", 100L))
+    // τ = 1: every source keeps the SAME rate T/Σn — w_i = n_i·2²⁰ is
+    // exact, so the 2¹⁶-grid thresholds must be identical integers
+    val nat = temperatureThresholds(sizes, tau = 1.0, targetRows = 45050L)
+    assert(nat("big") === nat("small"))
+    // τ = 0.5 moves mass toward the small source and away from the big
+    val t05 = temperatureThresholds(sizes, tau = 0.5, targetRows = 45050L)
+    assert(t05("small") > nat("small"), "small source must be upweighted")
+    assert(t05("big") < nat("big"), "big source must be downweighted")
+    // a small-enough source under a big-enough target clamps to keep-all
+    val capped = temperatureThresholds(sizes, tau = 0.5,
+      targetRows = 90100L)
+    assert(capped("small") === "g")
+    // empty corpus / zero-size source keeps nothing and never divides by 0
+    assert(temperatureThresholds(Seq(("z", 0L)), 0.5, 10L)("z") === "0000")
+  }
+
+  test("mixByTemperature is deterministic, drops null sources, and lands " +
+      "near its per-source expected rates") {
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0, lit(null))
+        .when(col("id") % 10 < 7, lit("big"))
+        .otherwise(lit("small")).as("source"))
+    def run() = Sampling.mixByTemperature(docs, col("source"),
+        col("doc_id"), tau = 0.5, targetRows = 900L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val a = run()
+    assert(a.toSeq === run().toSeq, "keyed sampling must be deterministic")
+    assert(a.forall(_._2 != null), "null-source rows have no mixture rate")
+    // per-source keep counts sit near rate·n (md5 buckets are uniform;
+    // ±5·√n covers the deterministic-but-hash-shaped deviation)
+    val n = Map("big" -> 1200L, "small" -> 600L)
+    val th = Sampling.temperatureThresholds(n.toSeq, 0.5, 900L)
+    val kept = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    n.foreach { case (src, sz) =>
+      val rate = Integer.parseInt(th(src), 16) / 65536.0
+      val expected = rate * sz
+      assert(math.abs(kept.getOrElse(src, 0L) - expected)
+        <= 5 * math.sqrt(sz) + 3,
+        s"$src: kept ${kept.getOrElse(src, 0L)} vs expected $expected")
+    }
+  }
 }
