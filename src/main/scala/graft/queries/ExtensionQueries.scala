@@ -506,6 +506,22 @@ object ExtensionQueries {
     // deterministic hash sampling + stable split assignment — selection
     // is content-keyed (md5), so re-runs, retries and repartitioning
     // cannot change which documents land in which split
+    // LEAKAGE-SAFE split: the split key is the near-dup CLUSTER id, so
+    // borderline duplicate pairs can never straddle train/eval. The
+    // oracle recomputes the clusters by recursive min-label closure and
+    // re-applies the same md5 split arithmetic on canonical_id.
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, maxDf = 100, threshold = 0.8)
+      Dedup.canonicalFromPairs(docs.select(col("doc_id")), col("doc_id"),
+          pairs)
+        .select(col("doc_id"), col("canonical_id"),
+          graft.text.Sampling.leakageSafeSplit(col("canonical_id"),
+            Seq("train" -> 0.9, "eval" -> 0.1)).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_sample" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       graft.text.Sampling.hashSample(docs, col("doc_id"), 0.5)
@@ -2356,6 +2372,29 @@ object ExtensionQueries {
          |  WHERE c.label < e.dst)
          |SELECT doc_id, cast(min(label) AS bigint) AS canonical_id
          |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the cluster closure again, then the corpus_sample split CASE
+    // re-keyed on canonical_id — 'e666' is round(0.9 · 65536) in hex,
+    // the engine's hexThreshold grid
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM njpairs
+         |  UNION ALL SELECT id_b, id_a FROM njpairs),
+         |comp AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, c.label
+         |  FROM comp c JOIN edges e ON e.src = c.doc_id
+         |  WHERE c.label < e.dst),
+         |canon AS (
+         |  SELECT doc_id, cast(min(label) AS bigint) AS canonical_id
+         |  FROM comp GROUP BY doc_id)
+         |SELECT doc_id, canonical_id,
+         |  CASE WHEN substr(md5(cast(canonical_id AS varchar) || ':split'),
+         |                   1, 4) < 'e666'
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM canon ORDER BY doc_id""".stripMargin,
 
     "text_redact" ->
       """SELECT doc_id,

@@ -186,6 +186,18 @@ object Sampling {
     }.toMap
   }
 
+  /** Leakage-safe split column: assign train/eval by the DUP-CLUSTER id
+    * (e.g. [[graft.dedup.Dedup.canonicalFromPairs]]' `canonical_id`)
+    * instead of the raw document id, so every near-duplicate cluster
+    * lands WHOLLY in one split. Splitting on doc_id lets one copy of a
+    * duplicated document train while its twin evaluates — the classic
+    * eval-contamination path a dedup pass alone doesn't close when
+    * borderline pairs survive. Same cumulative-fraction contract and
+    * `:split` hash domain as [[hashSplit]]. */
+  def leakageSafeSplit(canonical: Column,
+                       splits: Seq[(String, Double)]): Column =
+    hashSplit(concat(keyStr(canonical), lit(":split")), splits)
+
   /** Temperature-mix a corpus toward `targetRows` total rows: ONE
     * bounded per-source count (driver rows = distinct sources,
     * `maxSources` loud-fail), thresholds via

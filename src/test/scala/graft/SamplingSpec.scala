@@ -72,6 +72,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(pos.forall(r => r.getLong(1) === r.getInt(2).toLong))
   }
 
+  test("leakageSafeSplit keeps every dup cluster wholly in one split — " +
+      "doc-keyed splitting demonstrably would not") {
+    // 100 two-doc clusters: canonical = the even id of each pair
+    val df = spark.range(200).select(
+      col("id").as("doc_id"), (col("id") - col("id") % 2).as("canonical_id"))
+    val splits = Seq("train" -> 0.9, "eval" -> 0.1)
+    val safe = df.withColumn("split",
+        Sampling.leakageSafeSplit(col("canonical_id"), splits))
+      .groupBy("canonical_id").agg(countDistinct("split").as("k"))
+      .collect()
+    assert(safe.forall(_.getLong(1) === 1L),
+      "a cluster must never straddle train/eval")
+    // the SAME data split on the raw doc id puts at least one pair's
+    // members in different splits (md5 buckets of 2k and 2k+1 are
+    // independent) — the contamination path this operator exists to close
+    val unsafe = df.withColumn("split",
+        Sampling.hashSplit(concat(col("doc_id"), lit(":split")), splits))
+      .groupBy("canonical_id").agg(countDistinct("split").as("k"))
+      .collect()
+    assert(unsafe.exists(_.getLong(1) > 1L),
+      "fixture too small to show the hazard — grow the cluster count")
+  }
+
   test("temperature thresholds: τ=1 is exactly natural-proportion, τ<1 " +
       "flattens toward the small source, caps clamp to keep-all") {
     import graft.text.Sampling.temperatureThresholds
