@@ -61,7 +61,8 @@ object Bench {
     "weighted_quantiles", "weighted_quantiles_by_source",
     "curriculum_bins_by_cost", "curriculum_bins_by_cost_by_source",
     "weighted_quantiles_incremental", "multimodal_av_containers",
-    "corpus_mix_temperature", "split_leakage_safe")
+    "corpus_mix_temperature", "split_leakage_safe",
+    "corpus_mix_temperature_epochs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

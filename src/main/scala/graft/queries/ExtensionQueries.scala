@@ -589,6 +589,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the UPSAMPLING form: target 2× the corpus, so every source's rate
+    // exceeds 1 and rows REPEAT (whole copies + 2¹⁶-grid fractional
+    // hash keep) — the per-dataset-epochs shape of real training mixes
+    "corpus_mix_temperature_epochs" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val total = d.where(col("source").isNotNull).count()
+      graft.text.Sampling.mixByTemperatureRepeat(d, col("source"),
+          col("doc_id"), tau = 0.5, targetRows = total * 2)
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // token-budget curation: keep the highest-alpha-ratio documents
     // until 25% of the corpus's tokens are spent — the exact greedy
     // prefix over (quality DESC, doc_id), computed by histogram cutoff
@@ -2450,6 +2461,32 @@ object ExtensionQueries {
         |  CASE WHEN th.th16 >= 65536 THEN 'g'
         |       ELSE lpad(lower(hex(th.th16)), 4, '0') END
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the upsampling twin: same integer th16, split as whole copies
+    // (th16 // 65536) + fractional keep (th16 % 65536 on the hex grid)
+    "corpus_mix_temperature_epochs" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT cast(sum(n) * 2 AS bigint) AS tr FROM s),
+        |w AS (SELECT source, n,
+        |        cast(round(sqrt(cast(n AS double)) * 1048576) AS bigint)
+        |          AS wi
+        |      FROM s),
+        |tot AS (SELECT cast(sum(wi) AS bigint) AS sw FROM w),
+        |th AS (SELECT w.source,
+        |         cast((2 * 65536 * t.tr * w.wi + tot.sw * w.n)
+        |           // (2 * tot.sw * w.n) AS bigint) AS th16
+        |       FROM w, tot, t),
+        |c AS (SELECT d.doc_id, d.source,
+        |        cast(th.th16 // 65536 AS int) +
+        |        CASE WHEN substr(md5(cast(d.doc_id AS varchar) || ':tmixr'),
+        |                         1, 4)
+        |                  < lpad(lower(hex(th.th16 % 65536)), 4, '0')
+        |             THEN 1 ELSE 0 END AS nc
+        |      FROM documents d JOIN th ON d.source = th.source)
+        |SELECT doc_id, source, unnest(range(0, nc)) AS copy_idx
+        |FROM c ORDER BY doc_id, copy_idx""".stripMargin,
 
     "corpus_mix" ->
       """WITH w AS (

@@ -165,9 +165,13 @@ object Sampling {
     * oracle recomputes them from scratch). Other τ go through
     * `math.pow`, whose final-ulp rounding is libm-specific — fine for
     * production sampling, not for a cross-engine hash compare. */
-  private[graft] def temperatureThresholds(sizes: Seq[(String, Long)],
-                                           tau: Double,
-                                           targetRows: Long): Map[String, String] = {
+  /** The UNCAPPED 2¹⁶-grid rate behind both temperature forms:
+    * th16ᵢ = round(65536 · T · wᵢ / (Σw · nᵢ)) — th16/65536 IS the
+    * source's target rate, which [[mixByTemperature]] clamps to keep-at-
+    * most-once and [[mixByTemperatureRepeat]] splits into whole copies
+    * plus a fractional hash keep. */
+  private def temperatureTh16(sizes: Seq[(String, Long)], tau: Double,
+                              targetRows: Long): Seq[(String, Long, BigInt)] = {
     require(tau > 0.0 && tau <= 1.0, "tau in (0, 1]")
     require(targetRows >= 0L, "targetRows must be >= 0")
     require(sizes.forall(_._2 >= 0L), "source sizes must be >= 0")
@@ -181,10 +185,18 @@ object Sampling {
       val den = sw * n * 2
       val th16 =
         if (den.signum == 0) BigInt(0) // empty source (or corpus): keep none
-        else ((BigInt(2) * 65536 * targetRows * w + sw * n) / den).min(65536)
-      s -> (if (th16 >= 65536) "g" else f"${th16.toInt}%04x")
-    }.toMap
+        else (BigInt(2) * 65536 * targetRows * w + sw * n) / den
+      (s, n, th16)
+    }
   }
+
+  private[graft] def temperatureThresholds(sizes: Seq[(String, Long)],
+                                           tau: Double,
+                                           targetRows: Long): Map[String, String] =
+    temperatureTh16(sizes, tau, targetRows).map { case (s, _, th) =>
+      val capped = th.min(65536)
+      s -> (if (capped >= 65536) "g" else f"${capped.toInt}%04x")
+    }.toMap
 
   /** Leakage-safe split column: assign train/eval by the DUP-CLUSTER id
     * (e.g. [[graft.dedup.Dedup.canonicalFromPairs]]' `canonical_id`)
@@ -226,5 +238,49 @@ object Sampling {
       .where(substring(md5(concat(keyStr(key), lit(":tmix"))), 1, 4)
         < col("__th16"))
       .drop("__src", "__th16")
+  }
+
+  /** [[mixByTemperature]] WITHOUT the keep-at-most-once clamp: a source
+    * whose target rate exceeds 1 REPEATS (the "epochs per dataset" that
+    * real training mixtures give their small high-value components) —
+    * every row yields `floor(rate)` copies plus one more when its keyed
+    * hash clears the fractional remainder, exactly
+    * [[Packing.repeatByWeight]]'s convention but with the rate split
+    * integer-exactly on the 2¹⁶ grid (no Double weight column, so the
+    * whole/frac split cannot round differently across engines). Output
+    * gains `copy_idx` (0-based). `maxCopies` is the runaway guard: a
+    * mis-set target against a 1-row source would otherwise explode a
+    * quadrillion rows — fail loudly instead. */
+  def mixByTemperatureRepeat(df: DataFrame, source: Column, key: Column,
+                             tau: Double, targetRows: Long,
+                             maxCopies: Long = 1000L,
+                             maxSources: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.where(source.isNotNull)
+      .groupBy(source.cast("string").as("__src")).count()
+      .limit(maxSources + 1).collect()
+    require(sizes.length <= maxSources,
+      s"more than $maxSources sources — raise maxSources explicitly " +
+        "if the mixture really has that many components")
+    val th16 = temperatureTh16(
+      sizes.toSeq.map(r => (r.getString(0), r.getLong(1))), tau, targetRows)
+    th16.foreach { case (s, _, th) =>
+      require(th / 65536 <= maxCopies,
+        s"source '$s' would repeat ${th / 65536}x (> maxCopies=" +
+          s"$maxCopies) — check targetRows, or raise maxCopies " +
+          "explicitly for a genuinely tiny high-value source")
+    }
+    val rates = th16.map { case (s, _, th) =>
+      (s, (th / 65536).toLong.toInt, f"${(th % 65536).toInt}%04x")
+    }.toDF("__src", "__whole", "__rem")
+    val copies = col("__whole") +
+      when(substring(md5(concat(keyStr(key), lit(":tmixr"))), 1, 4)
+        < col("__rem"), 1).otherwise(0)
+    df.join(broadcast(rates), source.cast("string") === col("__src"))
+      .withColumn("copy_idx",
+        explode(when(copies >= 1, sequence(lit(0), copies - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__src", "__whole", "__rem")
   }
 }

@@ -115,6 +115,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(temperatureThresholds(Seq(("z", 0L)), 0.5, 10L)("z") === "0000")
   }
 
+  test("mixByTemperatureRepeat: integer rates repeat exactly, totals land " +
+      "near target, and the runaway guard fails loudly") {
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 < 4, lit("big")).otherwise(lit("small"))
+        .as("source"))
+    // τ = 1 and target = 2·corpus: rate is EXACTLY 2 for every source
+    // (natural proportions), so each row appears exactly twice with no
+    // fractional hash component
+    val twice = Sampling.mixByTemperatureRepeat(docs, col("source"),
+        col("doc_id"), tau = 1.0, targetRows = 2000L)
+      .groupBy("doc_id").count().collect()
+    assert(twice.length === 1000 && twice.forall(_.getLong(1) === 2L))
+    // τ = 0.5 upsamples the small source past the big one's rate, and
+    // the corpus-wide copy total lands near the target
+    val mixed = Sampling.mixByTemperatureRepeat(docs, col("source"),
+        col("doc_id"), tau = 0.5, targetRows = 3000L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = mixed.values.sum
+    assert(math.abs(total - 3000L) <= 120,
+      s"corpus-wide copies $total must approximate the 3000 target")
+    assert(mixed("small").toDouble / 200 > mixed("big").toDouble / 800,
+      "small source must run more epochs than the big one")
+    // a 1-row source under a big target trips the explosion guard
+    val tiny = spark.range(1001).select(col("id").as("doc_id"),
+      when(col("id") === 0, lit("needle")).otherwise(lit("hay"))
+        .as("source"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixByTemperatureRepeat(tiny, col("source"), col("doc_id"),
+        tau = 0.5, targetRows = 1000000L, maxCopies = 100L)
+    }
+    assert(e.getMessage.contains("maxCopies"))
+  }
+
   test("mixByTemperature is deterministic, drops null sources, and lands " +
       "near its per-source expected rates") {
     val docs = spark.range(2000).select(
