@@ -42,6 +42,20 @@ class PlanSpec extends AnyFunSuite {
       .contains("BroadcastHashJoin"))
   }
 
+  test("temperature mixing broadcasts the per-source rate table") {
+    // the rates frame is one row per source — it must pin to a
+    // broadcast join, never shuffle the corpus on the source key
+    for (q <- Seq("corpus_mix_temperature", "corpus_mix_temperature_epochs")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q shuffles for its rate lookup:\n" +
+          p.linesIterator.take(40).mkString("\n"))
+      assert(!p.contains("SortMergeJoin"),
+        s"$q grew a sort-merge join:\n" +
+          p.linesIterator.take(40).mkString("\n"))
+    }
+  }
+
   test("decontamination broadcasts the benchmark n-gram set") {
     // the corpus-side gram stream must be filtered map-side: the bench
     // grams are pinned to a broadcast so no corpus payload ever shuffles
