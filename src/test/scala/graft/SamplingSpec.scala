@@ -115,6 +115,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(temperatureThresholds(Seq(("z", 0L)), 0.5, 10L)("z") === "0000")
   }
 
+  test("temperature threshold invariant: the expected kept total equals " +
+      "the target within per-source grid error, across 200 random mixtures") {
+    // Σ nᵢ·rateᵢ telescopes to T exactly in the rationals; on the 2¹⁶
+    // grid each source adds at most nᵢ/2¹⁶ rounding error. Holds for
+    // every τ (the weights cancel), so it pins the integer arithmetic
+    // independently of the weight function.
+    val rnd = new scala.util.Random(0x7E40)
+    for (trial <- 0 until 200) {
+      val k = 1 + rnd.nextInt(8)
+      val sizes = (0 until k).map(i =>
+        s"s$i" -> (1L + rnd.nextInt(1000000)))
+      val totalN = sizes.map(_._2).sum
+      val target = rnd.nextLong(totalN) // below Σn: no source caps at τ=1
+      val tau = if (trial % 2 == 0) 0.5 else 1.0
+      val th = Sampling.temperatureThresholds(sizes, tau, target)
+      val expected = sizes.map { case (s, n) =>
+        val t16 = if (th(s) == "g") 65536L else Integer.parseInt(th(s), 16).toLong
+        BigInt(n) * t16
+      }.sum
+      val gridErr = sizes.map(x => BigInt(x._2)).sum // Σ nᵢ · (1/2¹⁶) in 2¹⁶ units
+      val capped = th.values.exists(_ == "g")
+      if (!capped)
+        assert((expected - BigInt(target) * 65536).abs <= gridErr,
+          s"trial $trial (τ=$tau): expected ${expected.toDouble / 65536} " +
+            s"vs target $target drifts past the grid error")
+    }
+  }
+
   test("mixByTemperatureRepeat: integer rates repeat exactly, totals land " +
       "near target, and the runaway guard fails loudly") {
     val docs = spark.range(1000).select(
