@@ -145,7 +145,12 @@ object GenState {
       f"$genPrefix$next%016d$suffix")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .write.mode("errorifexists").parquet(nextPath.toString)
-    prune(spark, path, keepLast = 2)
+    // the just-written generation is explicitly protected: on a
+    // deployment where the committer writes no _SUCCESS marker
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false, common
+    // on object stores) the sweep would otherwise classify its own
+    // commit as a crash-orphan and delete the data it just wrote
+    pruneImpl(spark, path, keepLast = 2, protectGen = Some(next))
   }
 
   /** Retention sweep, also runnable standalone (ops hygiene on a dir
@@ -157,13 +162,18 @@ object GenState {
     * no-op there. Per-dir delete failures are non-fatal (a reader
     * holding an open file on some filesystems) — the next sweep
     * retries them. Returns the number of directories deleted. */
-  def prune(spark: SparkSession, path: String, keepLast: Int = 2): Int = {
+  def prune(spark: SparkSession, path: String, keepLast: Int = 2): Int =
+    pruneImpl(spark, path, keepLast, protectGen = None)
+
+  private def pruneImpl(spark: SparkSession, path: String, keepLast: Int,
+                        protectGen: Option[Long]): Int = {
     val (fs, root) = fsRoot(spark, path)
     val gens = genDirs(fs, root)
     val keep = gens.filter(_._3).map(_._1).sorted
       .takeRight(math.max(1, keepLast)).toSet
     gens.count { case (g, p, valid, _) =>
-      val stale = (!valid) || !keep.contains(g)
+      val stale = ((!valid) || !keep.contains(g)) &&
+        !protectGen.contains(g)
       stale && (try fs.delete(p, true) catch {
         case _: java.io.IOException => false
       })

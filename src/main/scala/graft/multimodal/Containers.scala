@@ -411,7 +411,12 @@ object Containers {
     var width: Option[Int] = None
     var height: Option[Int] = None
     var mdat = 0L
-    // walk(start, end): iterate sibling boxes in [start, end)
+    // walk(start, end): iterate sibling boxes in [start, end). Every
+    // comparison is phrased as `size > end - off` (a subtraction of two
+    // in-bounds offsets), NEVER `off + size > end`: a crafted 64-bit
+    // largesize near Long.MaxValue overflows the addition, slips the
+    // guard, and turns the promised decline into an out-of-bounds read
+    // — the same overflow class the WAV chunk walk guards against.
     def walk(start: Long, end: Long)
         (visit: (String, Long, Long) => Unit): Boolean = {
       var off = start
@@ -419,20 +424,25 @@ object Containers {
         var size = be32(payload, off.toInt)
         var hdr = 8L
         if (size == 1) {
-          if (off + 16 > end) return false
+          if (end - off < 16) return false
           size = be64(payload, off.toInt + 8); hdr = 16L
         } else if (size == 0) size = end - off
-        if (size < hdr || off + size > end) return false
+        if (size < hdr || size > end - off) return false
         visit(fourcc(payload, off.toInt + 4), off + hdr, off + size)
         off += size
       }
       off == end
     }
+    // inner malformedness must propagate: a corrupted box size INSIDE
+    // moov/trak would otherwise yield Some(..) with silently partial
+    // facts — a corrupt crawl file must classify unknown, not parse
+    // as a confident mp4 row with wrong metadata
+    var innerOk = true
     val wellFormed = walk(0L, payload.length.toLong) { (typ, bs, be) =>
       typ match {
         case "mdat" => mdat += be - bs
         case "moov" =>
-          walk(bs, be) { (t2, cs, ce) =>
+          val ok = walk(bs, be) { (t2, cs, ce) =>
             t2 match {
               case "mvhd" if ce - cs >= 4 =>
                 val v = payload(cs.toInt) & 0xFF
@@ -445,7 +455,7 @@ object Containers {
                 }
               case "trak" =>
                 nTracks += 1
-                walk(cs, ce) { (t3, ds, de) =>
+                val okT = walk(cs, ce) { (t3, ds, de) =>
                   // tkhd v0 content is 84 bytes; width/height are the
                   // LAST two 16.16 fields
                   if (t3 == "tkhd" && width.isEmpty && de - ds >= 84 &&
@@ -458,15 +468,15 @@ object Containers {
                     }
                   }
                 }
-                ()
+                if (!okT) innerOk = false
               case _ => ()
             }
           }
-          ()
+          if (!ok) innerOk = false
         case _ => ()
       }
     }
-    if (!wellFormed || timescale <= 0 || duration < 0) None
+    if (!wellFormed || !innerOk || timescale <= 0 || duration < 0) None
     else Some(Mp4Info(brand, timescale,
       duration * 1000L / timescale, nTracks, width, height, mdat))
   }

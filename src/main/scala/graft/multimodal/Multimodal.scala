@@ -273,9 +273,12 @@ object Multimodal {
   }
 
   /** One media payload's parsed container facts; format ∈ {wav, bmp,
-    * png, jpeg, gif, unknown}, with the fields of the other formats
-    * null. Compressed-image facts (png/jpeg/gif) come from ImageIO's
-    * header-only parse — dimensions without a pixel decode. */
+    * png, jpeg, gif, mp4, mp3, unknown}, with the fields of the other
+    * formats null. Compressed-image facts (png/jpeg/gif) come from
+    * ImageIO's header-only parse — dimensions without a pixel decode;
+    * mp3 carries channels/sample_rate/duration_ms and music bytes in
+    * data_bytes, mp4 carries duration_ms/width/height and mdat bytes
+    * in data_bytes. */
   case class ContainerInfo(doc_id: Long, format: String,
                            channels: Option[Int], sample_rate: Option[Int],
                            bits: Option[Int], data_bytes: Option[Long],
@@ -284,8 +287,10 @@ object Multimodal {
 
   /** REAL container-metadata extraction over a media table: each
     * payload's magic bytes route it to the matching [[Containers]]
-    * parser (WAV RIFF walk, BMP DIB header), malformed bytes classify
-    * as `unknown` instead of failing the task. Same placement rules as
+    * parser (WAV RIFF walk, BMP DIB header, ISO BMFF box walk, MPEG
+    * Layer III frame walk) or ImageIO header parse, malformed bytes
+    * classify as `unknown` instead of failing the task. Same placement
+    * rules as
     * [[decodeFeatures]]: runs where the payloads already are, only slim
     * typed metadata ever leaves the stage. */
   def containerMeta(spark: SparkSession, media: DataFrame): Dataset[ContainerInfo] = {

@@ -2451,9 +2451,13 @@ object ExtensionQueries {
         |      FROM s),
         |tot AS (SELECT cast(sum(wi) AS bigint) AS sw FROM w),
         |th AS (SELECT w.source,
+        |         -- products ride HUGEINT: DuckDB BIGINT multiplication
+        |         -- hard-errors on overflow, and 131072·T·w passes 2^63
+        |         -- within one more order of magnitude of corpus
         |         least(65536,
-        |           (2 * 65536 * t.tr * w.wi + tot.sw * w.n)
-        |             // (2 * tot.sw * w.n)) AS th16
+        |           (2 * 65536 * cast(t.tr AS hugeint) * w.wi
+        |              + cast(tot.sw AS hugeint) * w.n)
+        |             // (2 * cast(tot.sw AS hugeint) * w.n)) AS th16
         |       FROM w, tot, t)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN th ON d.source = th.source
@@ -2475,8 +2479,13 @@ object ExtensionQueries {
         |      FROM s),
         |tot AS (SELECT cast(sum(wi) AS bigint) AS sw FROM w),
         |th AS (SELECT w.source,
-        |         cast((2 * 65536 * t.tr * w.wi + tot.sw * w.n)
-        |           // (2 * tot.sw * w.n) AS bigint) AS th16
+        |         -- HUGEINT products for the same overflow reason as the
+        |         -- downsampling twin; th16 itself fits BIGINT (rate is
+        |         -- maxCopies-bounded on the engine side)
+        |         cast((2 * 65536 * cast(t.tr AS hugeint) * w.wi
+        |             + cast(tot.sw AS hugeint) * w.n)
+        |           // (2 * cast(tot.sw AS hugeint) * w.n) AS bigint)
+        |           AS th16
         |       FROM w, tot, t),
         |c AS (SELECT d.doc_id, d.source,
         |        cast(th.th16 // 65536 AS int) +

@@ -149,22 +149,6 @@ object Sampling {
     df.where(bucket(key) < rate)
   }
 
-  /** Per-source 4-hex keep thresholds for TEMPERATURE-scaled mixture
-    * sampling (the multilingual "τ-sampling" recipe: sampling mass
-    * qᵢ ∝ nᵢ^τ, so τ = 1 keeps natural proportions and τ → 0
-    * flattens toward uniform): source i keeps
-    * rateᵢ = min(1, T·qᵢ / nᵢ) of its rows toward a `targetRows`
-    * total of T.
-    *
-    * Exactness contract: the weight wᵢ = round(nᵢ^τ · 2²⁰) and the
-    * 2¹⁶-grid threshold round(65536 · T · wᵢ / (Σw · nᵢ)) are computed
-    * in BigInt (no Long overflow at 100 TB source sizes, where
-    * T·wᵢ·65536 exceeds 2⁶³), and at τ = 0.5 the weight rides
-    * `math.sqrt` — the one power IEEE 754 rounds EXACTLY, so any
-    * engine reproduces every threshold bit-for-bit (the gate's DuckDB
-    * oracle recomputes them from scratch). Other τ go through
-    * `math.pow`, whose final-ulp rounding is libm-specific — fine for
-    * production sampling, not for a cross-engine hash compare. */
   /** The UNCAPPED 2¹⁶-grid rate behind both temperature forms:
     * th16ᵢ = round(65536 · T · wᵢ / (Σw · nᵢ)) — th16/65536 IS the
     * source's target rate, which [[mixByTemperature]] clamps to keep-at-
@@ -190,6 +174,22 @@ object Sampling {
     }
   }
 
+  /** Per-source 4-hex keep thresholds for TEMPERATURE-scaled mixture
+    * sampling (the multilingual "τ-sampling" recipe: sampling mass
+    * qᵢ ∝ nᵢ^τ, so τ = 1 keeps natural proportions and τ → 0
+    * flattens toward uniform): source i keeps
+    * rateᵢ = min(1, T·qᵢ / nᵢ) of its rows toward a `targetRows`
+    * total of T.
+    *
+    * Exactness contract: the weight wᵢ = round(nᵢ^τ · 2²⁰) and the
+    * 2¹⁶-grid threshold round(65536 · T · wᵢ / (Σw · nᵢ)) are computed
+    * in BigInt (no Long overflow at 100 TB source sizes, where
+    * T·wᵢ·65536 exceeds 2⁶³), and at τ = 0.5 the weight rides
+    * `math.sqrt` — the one power IEEE 754 rounds EXACTLY, so any
+    * engine reproduces every threshold bit-for-bit (the gate's DuckDB
+    * oracle recomputes them from scratch). Other τ go through
+    * `math.pow`, whose final-ulp rounding is libm-specific — fine for
+    * production sampling, not for a cross-engine hash compare. */
   private[graft] def temperatureThresholds(sizes: Seq[(String, Long)],
                                            tau: Double,
                                            targetRows: Long): Map[String, String] =
@@ -197,6 +197,22 @@ object Sampling {
       val capped = th.min(65536)
       s -> (if (capped >= 65536) "g" else f"${capped.toInt}%04x")
     }.toMap
+
+  /** The shared bounded per-source count behind both mixture forms:
+    * ONE aggregation, collected to the driver at one row per distinct
+    * source, `maxSources` loud-fail (the collect itself is
+    * limit-capped, so an unexpectedly high-cardinality source column
+    * cannot flood the driver before the check fires). */
+  private def sourceSizes(df: DataFrame, source: Column,
+                          maxSources: Int): Seq[(String, Long)] = {
+    val rows = df.where(source.isNotNull)
+      .groupBy(source.cast("string").as("__src")).count()
+      .limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"more than $maxSources sources — raise maxSources explicitly " +
+        "if the mixture really has that many components")
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1)))
+  }
 
   /** Leakage-safe split column: assign train/eval by the DUP-CLUSTER id
     * (e.g. [[graft.dedup.Dedup.canonicalFromPairs]]' `canonical_id`)
@@ -225,14 +241,8 @@ object Sampling {
                        maxSources: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sizes = df.where(source.isNotNull)
-      .groupBy(source.cast("string").as("__src")).count()
-      .limit(maxSources + 1).collect()
-    require(sizes.length <= maxSources,
-      s"more than $maxSources sources — raise maxSources explicitly " +
-        "if the mixture really has that many components")
-    val th = temperatureThresholds(
-      sizes.toSeq.map(r => (r.getString(0), r.getLong(1))), tau, targetRows)
+    val th = temperatureThresholds(sourceSizes(df, source, maxSources),
+      tau, targetRows)
     val rates = th.toSeq.toDF("__src", "__th16")
     df.join(broadcast(rates), source.cast("string") === col("__src"))
       .where(substring(md5(concat(keyStr(key), lit(":tmix"))), 1, 4)
@@ -257,14 +267,13 @@ object Sampling {
                              maxSources: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sizes = df.where(source.isNotNull)
-      .groupBy(source.cast("string").as("__src")).count()
-      .limit(maxSources + 1).collect()
-    require(sizes.length <= maxSources,
-      s"more than $maxSources sources — raise maxSources explicitly " +
-        "if the mixture really has that many components")
-    val th16 = temperatureTh16(
-      sizes.toSeq.map(r => (r.getString(0), r.getLong(1))), tau, targetRows)
+    // the whole-copy count becomes an Int column below: a maxCopies
+    // past Int range would let `(th / 65536).toInt` wrap negative and
+    // silently DROP the source instead of repeating it
+    require(maxCopies >= 0L && maxCopies < Int.MaxValue.toLong,
+      "maxCopies must fit an Int (a 2^31-copy explode is never intended)")
+    val th16 = temperatureTh16(sourceSizes(df, source, maxSources),
+      tau, targetRows)
     th16.foreach { case (s, _, th) =>
       require(th / 65536 <= maxCopies,
         s"source '$s' would repeat ${th / 65536}x (> maxCopies=" +
@@ -272,7 +281,7 @@ object Sampling {
           "explicitly for a genuinely tiny high-value source")
     }
     val rates = th16.map { case (s, _, th) =>
-      (s, (th / 65536).toLong.toInt, f"${(th % 65536).toInt}%04x")
+      (s, (th / 65536).toInt, f"${(th % 65536).toInt}%04x")
     }.toDF("__src", "__whole", "__rem")
     val copies = col("__whole") +
       when(substring(md5(concat(keyStr(key), lit(":tmixr"))), 1, 4)

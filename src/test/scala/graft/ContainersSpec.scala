@@ -309,6 +309,21 @@ class ContainersSpec extends AnyFunSuite {
     }
     for (cut <- 0 to good.length)
       assert(Containers.parseMp4(good.take(cut)).isInstanceOf[Option[_]])
+    // crafted 64-bit largesize near Long.MaxValue: `off + size` wraps
+    // negative, evades an addition-phrased bounds check, and reads out
+    // of bounds — the walk must phrase the guard as subtraction and
+    // decline (this exact payload threw AIOOBE before the fix)
+    val big = java.nio.ByteBuffer.allocate(48)
+    big.put(good, 0, 24) // valid ftyp
+    big.putInt(1).put("moov".getBytes("ISO-8859-1"))
+      .putLong(0x7FFFFFFFFFFFFFF0L) // 64-bit largesize, absurd
+    assert(Containers.parseMp4(big.array()) === None)
+    // corrupted box size INSIDE moov: the file must decline, not parse
+    // as a confident mp4 with silently partial facts (trak counted,
+    // width/height lost)
+    val inner = good.clone()
+    java.nio.ByteBuffer.wrap(inner).putInt(140, 17) // trak box size
+    assert(Containers.parseMp4(inner) === None)
     // cross-format and noise fuzz over both new parsers
     val rnd = new scala.util.Random(0xA5F022)
     val mp3 = Containers.buildMp3(1, 64, 44100, 1, 2)

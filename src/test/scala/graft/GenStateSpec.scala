@@ -75,6 +75,29 @@ class GenStateSpec extends AnyFunSuite {
     assert(currentValue(path) === 5L)
   }
 
+  test("commit never deletes its own generation when the committer " +
+      "writes no _SUCCESS marker") {
+    // marksuccessfuljobs=false (common on object stores) leaves the
+    // just-written generation unmarked; the commit-time sweep must
+    // protect it rather than classify its own commit as a crash-orphan
+    // and delete the data it just wrote
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = conf.get(key)
+    conf.set(key, "false")
+    try {
+      val root = tmp(); val path = root.resolve("state").toString
+      GenState.commit(spark, Seq(Row(42L)), schema, path)
+      val names = genDirNames(root.resolve("state"))
+      assert(names.size === 1, s"unmarked own-commit must survive: $names")
+      // a STANDALONE prune still sweeps it as an orphan — only the
+      // committing call protects its own generation
+      assert(GenState.prune(spark, path) === 1)
+    } finally {
+      if (prev == null) conf.unset(key) else conf.set(key, prev)
+    }
+  }
+
   test("prune is a no-op on a legacy bare-parquet root") {
     val root = tmp(); val path = root.resolve("bare").toString
     spark.createDataFrame(
