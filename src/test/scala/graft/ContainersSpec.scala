@@ -324,6 +324,14 @@ class ContainersSpec extends AnyFunSuite {
     val inner = good.clone()
     java.nio.ByteBuffer.wrap(inner).putInt(140, 17) // trak box size
     assert(Containers.parseMp4(inner) === None)
+    // largesize sweep: extremes and boundary values all stay total
+    for (evilL <- Seq(Long.MaxValue, Long.MinValue, -1L, 0L, 15L, 16L,
+        Long.MaxValue - 15, Int.MaxValue.toLong + 1)) {
+      val b2 = java.nio.ByteBuffer.allocate(48)
+      b2.put(good, 0, 24)
+      b2.putInt(1).put("moov".getBytes("ISO-8859-1")).putLong(evilL)
+      assert(Containers.parseMp4(b2.array()).isInstanceOf[Option[_]])
+    }
     // cross-format and noise fuzz over both new parsers
     val rnd = new scala.util.Random(0xA5F022)
     val mp3 = Containers.buildMp3(1, 64, 44100, 1, 2)
