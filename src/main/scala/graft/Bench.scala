@@ -62,7 +62,7 @@ object Bench {
     "curriculum_bins_by_cost", "curriculum_bins_by_cost_by_source",
     "weighted_quantiles_incremental", "multimodal_av_containers",
     "corpus_mix_temperature", "split_leakage_safe",
-    "corpus_mix_temperature_epochs")
+    "corpus_mix_temperature_epochs", "corpus_mix_temperature_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -589,6 +589,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the ROLLING-CORPUS form: per-source counts folded into persisted
+    // profile state in two increments, then the mixture rates derive
+    // from the STATE alone (zero corpus-count passes at mix time) with
+    // the target ALSO read off the state. Must equal the from-scratch
+    // computation — the oracle recomputes counts directly.
+    "corpus_mix_temperature_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val stateTmp = java.nio.file.Files.createTempDirectory("graft_mixstate")
+      IndexCache.cleanupAtExit(stateTmp)
+      val statePath = stateTmp.resolve("state").toString
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        d.where(col("doc_id") % 3 =!= 0), col("source"), lit(0L), statePath)
+      graft.meta.ProfileState.appendProfileStatePerGroup(
+        d.where(col("doc_id") % 3 === 0), col("source"), lit(0L), statePath)
+      val sizes = graft.text.Sampling.sourceSizesFromState(s, statePath)
+      graft.text.Sampling.mixByTemperatureFromState(d, col("source"),
+          col("doc_id"), tau = 0.5,
+          targetRows = sizes.map(_._2).sum / 4, statePath = statePath)
+        .orderBy(col("doc_id"))
+    }),
+
     // the UPSAMPLING form: target 2× the corpus, so every source's rate
     // exceeds 1 and rows REPEAT (whole copies + 2¹⁶-grid fractional
     // hash keep) — the per-dataset-epochs shape of real training mixes
@@ -2454,6 +2475,31 @@ object ExtensionQueries {
         |         -- products ride HUGEINT: DuckDB BIGINT multiplication
         |         -- hard-errors on overflow, and 131072·T·w passes 2^63
         |         -- within one more order of magnitude of corpus
+        |         least(65536,
+        |           (2 * 65536 * cast(t.tr AS hugeint) * w.wi
+        |              + cast(tot.sw AS hugeint) * w.n)
+        |             // (2 * cast(tot.sw AS hugeint) * w.n)) AS th16
+        |       FROM w, tot, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN th ON d.source = th.source
+        |WHERE substr(md5(cast(d.doc_id AS varchar) || ':tmix'), 1, 4) <
+        |  CASE WHEN th.th16 >= 65536 THEN 'g'
+        |       ELSE lpad(lower(hex(th.th16)), 4, '0') END
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // state-folded counts must equal from-scratch counts, so the
+    // incremental gate's oracle IS the direct computation at tr = Σn/4
+    "corpus_mix_temperature_incremental" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT cast(sum(n) // 4 AS bigint) AS tr FROM s),
+        |w AS (SELECT source, n,
+        |        cast(round(sqrt(cast(n AS double)) * 1048576) AS bigint)
+        |          AS wi
+        |      FROM s),
+        |tot AS (SELECT cast(sum(wi) AS bigint) AS sw FROM w),
+        |th AS (SELECT w.source,
         |         least(65536,
         |           (2 * 65536 * cast(t.tr AS hugeint) * w.wi
         |              + cast(tot.sw AS hugeint) * w.n)

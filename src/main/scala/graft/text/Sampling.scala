@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling, splitting and mixing — the selection
@@ -238,17 +238,57 @@ object Sampling {
     * documents. */
   def mixByTemperature(df: DataFrame, source: Column, key: Column,
                        tau: Double, targetRows: Long,
-                       maxSources: Int = 1 << 20): DataFrame = {
+                       maxSources: Int = 1 << 20): DataFrame =
+    applyMixThresholds(df, source, key,
+      temperatureThresholds(sourceSizes(df, source, maxSources),
+        tau, targetRows))
+
+  /** The shared keep pass behind the capped mixture forms: broadcast
+    * the (source → 4-hex threshold) table, keep rows whose keyed md5
+    * bucket clears their source's threshold. */
+  private def applyMixThresholds(df: DataFrame, source: Column,
+                                 key: Column,
+                                 th: Map[String, String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val th = temperatureThresholds(sourceSizes(df, source, maxSources),
-      tau, targetRows)
     val rates = th.toSeq.toDF("__src", "__th16")
     df.join(broadcast(rates), source.cast("string") === col("__src"))
       .where(substring(md5(concat(keyStr(key), lit(":tmix"))), 1, 4)
         < col("__th16"))
       .drop("__src", "__th16")
   }
+
+  /** Per-source row counts answered from persisted profile state ALONE
+    * (a [[graft.meta.ProfileState]] per-group state written with a
+    * constant value column — its `n` IS the source's row count): the
+    * rolling-corpus path where mixture rates derive from the
+    * state-folded counts of everything ingested so far, with ZERO
+    * corpus passes at mix time. Bounded driver read (`maxSources`
+    * loud-fail), same shape as every FromState read in this library. */
+  def sourceSizesFromState(spark: SparkSession, statePath: String,
+                           maxSources: Int = 1 << 20): Seq[(String, Long)] = {
+    val rows = graft.core.GenState.read(spark, statePath)
+      .groupBy(col("group")).agg(sum(col("n")).as("n"))
+      .limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"more than $maxSources sources in state — raise maxSources " +
+        "explicitly if the mixture really has that many components")
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** [[mixByTemperature]] with the rates derived from persisted
+    * state counts ([[sourceSizesFromState]]) instead of a corpus
+    * count pass — identical keep semantics and hash domain, so a
+    * state that folded the same corpus produces the identical mixture
+    * (the `corpus_mix_temperature_incremental` gate's invariant). */
+  def mixByTemperatureFromState(df: DataFrame, source: Column, key: Column,
+                                tau: Double, targetRows: Long,
+                                statePath: String,
+                                maxSources: Int = 1 << 20): DataFrame =
+    applyMixThresholds(df, source, key,
+      temperatureThresholds(
+        sourceSizesFromState(df.sparkSession, statePath, maxSources),
+        tau, targetRows))
 
   /** [[mixByTemperature]] WITHOUT the keep-at-most-once clamp: a source
     * whose target rate exceeds 1 REPEATS (the "epochs per dataset" that
