@@ -95,6 +95,50 @@ class SamplingSpec extends AnyFunSuite {
       "fixture too small to show the hazard — grow the cluster count")
   }
 
+  test("STREAMED source-count fold feeds the state mixture: rates from " +
+      "state equal rates from scratch, including after replay-skip") {
+    // the streaming leg is pure composition — profileStateFold with a
+    // constant value column IS the source-count fold — so this pins the
+    // whole chain: micro-batch fold → sourceSizesFromState →
+    // mixByTemperatureFromState ≡ the one-shot mixByTemperature
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix_stream")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val statePath = dir.resolve("state").toString
+    val rows = (0 until 300).map(i =>
+      (i.toLong, if (i % 5 < 4) "big" else "small"))
+    rows.grouped(100).zipWithIndex.foreach { case (chunk, b) =>
+      java.nio.file.Files.writeString(in.resolve(s"b$b.json"),
+        chunk.map(r => s"""{"doc_id":${r._1},"source":"${r._2}"}""")
+          .mkString("", "\n", "\n"))
+    }
+    val stream = spark.readStream.schema("doc_id LONG, source STRING")
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val q = StreamingIngest.profileStateFold(stream, col("source"),
+        lit(0L), statePath)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val df = rows.toDF("doc_id", "source")
+    assert(Sampling.sourceSizesFromState(spark, statePath).toMap ===
+      Map("big" -> 240L, "small" -> 60L))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(
+      ids(Sampling.mixByTemperatureFromState(df, col("source"),
+        col("doc_id"), 0.5, 150L, statePath)) ===
+      ids(Sampling.mixByTemperature(df, col("source"), col("doc_id"),
+        0.5, 150L)),
+      "state-derived mixture must equal the from-scratch mixture")
+    // a manual replay of an already-folded batch must not change rates
+    assert(!graft.meta.ProfileState.appendProfileStatePerGroupBatch(
+      df.limit(10), col("source"), lit(0L), statePath, batchId = 1L))
+    assert(Sampling.sourceSizesFromState(spark, statePath).toMap ===
+      Map("big" -> 240L, "small" -> 60L))
+  }
+
   test("temperature thresholds: τ=1 is exactly natural-proportion, τ<1 " +
       "flattens toward the small source, caps clamp to keep-all") {
     import graft.text.Sampling.temperatureThresholds
