@@ -26,4 +26,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ ScalarQueries.oracleSql ++
       ExtensionQueries.oracleSql ++ IngestQueries.oracleSql
+
+  /** Report-only environment probes: constant-input queries whose
+    * DuckDB rendering is KNOWN to diverge on some driver envs
+    * (HUGEINT/DECIMAL). Verify evaluates them into _env.json and dumps
+    * the DuckDB side as _probe_sql.json — they are deliberately NOT in
+    * `queries`/`oracleSql`, so they never count in the pass/fail
+    * roll-up (VERDICT r14 ask #1). */
+  def probes: Map[String, (SparkSession, String) => DataFrame] =
+    ExtensionQueries.probes
+
+  def probeSql: Map[String, String] = ExtensionQueries.probeSql
 }

