@@ -622,6 +622,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // the rolling-corpus UPSAMPLING form: per-source counts folded into
+    // persisted state in two increments, then the epochs-per-dataset
+    // repeat rates derive from the STATE alone (zero corpus-count
+    // passes at mix time), target 2× the state's total. Must equal the
+    // from-scratch epochs computation — the oracle recomputes counts
+    // directly (same SQL as the corpus-counted epochs gate).
+    "corpus_mix_temperature_epochs_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val stateTmp = java.nio.file.Files.createTempDirectory("graft_mixrstate")
+      IndexCache.cleanupAtExit(stateTmp)
+      val statePath = stateTmp.resolve("state").toString
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        d.where(col("doc_id") % 3 =!= 0), col("source"), lit(0L), statePath)
+      graft.meta.ProfileState.appendProfileStatePerGroup(
+        d.where(col("doc_id") % 3 === 0), col("source"), lit(0L), statePath)
+      val sizes = graft.text.Sampling.sourceSizesFromState(s, statePath)
+      graft.text.Sampling.mixByTemperatureRepeatFromState(d, col("source"),
+          col("doc_id"), tau = 0.5,
+          targetRows = sizes.map(_._2).sum * 2, statePath = statePath)
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // token-budget curation: keep the highest-alpha-ratio documents
     // until 25% of the corpus's tokens are spent — the exact greedy
     // prefix over (quality DESC, doc_id), computed by histogram cutoff
@@ -2534,6 +2556,35 @@ object ExtensionQueries {
         |         -- HUGEINT products for the same overflow reason as the
         |         -- downsampling twin; th16 itself fits BIGINT (rate is
         |         -- maxCopies-bounded on the engine side)
+        |         cast((2 * 65536 * cast(t.tr AS hugeint) * w.wi
+        |             + cast(tot.sw AS hugeint) * w.n)
+        |           // (2 * cast(tot.sw AS hugeint) * w.n) AS bigint)
+        |           AS th16
+        |       FROM w, tot, t),
+        |c AS (SELECT d.doc_id, d.source,
+        |        cast(th.th16 // 65536 AS int) +
+        |        CASE WHEN substr(md5(cast(d.doc_id AS varchar) || ':tmixr'),
+        |                         1, 4)
+        |                  < lpad(lower(hex(th.th16 % 65536)), 4, '0')
+        |             THEN 1 ELSE 0 END AS nc
+        |      FROM documents d JOIN th ON d.source = th.source)
+        |SELECT doc_id, source, unnest(range(0, nc)) AS copy_idx
+        |FROM c ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // state-folded counts must equal from-scratch counts, so the
+    // incremental epochs gate's oracle IS the direct epochs
+    // computation at tr = Σn·2
+    "corpus_mix_temperature_epochs_incremental" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT cast(sum(n) * 2 AS bigint) AS tr FROM s),
+        |w AS (SELECT source, n,
+        |        cast(round(sqrt(cast(n AS double)) * 1048576) AS bigint)
+        |          AS wi
+        |      FROM s),
+        |tot AS (SELECT cast(sum(wi) AS bigint) AS sw FROM w),
+        |th AS (SELECT w.source,
         |         cast((2 * 65536 * cast(t.tr AS hugeint) * w.wi
         |             + cast(tot.sw AS hugeint) * w.n)
         |           // (2 * cast(tot.sw AS hugeint) * w.n) AS bigint)

@@ -238,24 +238,41 @@ object Sampling {
     * documents. */
   def mixByTemperature(df: DataFrame, source: Column, key: Column,
                        tau: Double, targetRows: Long,
-                       maxSources: Int = 1 << 20): DataFrame =
+                       maxSources: Int = 1 << 16): DataFrame =
     applyMixThresholds(df, source, key,
       temperatureThresholds(sourceSizes(df, source, maxSources),
         tau, targetRows))
 
   /** The shared keep pass behind the capped mixture forms: broadcast
     * the (source → 4-hex threshold) table, keep rows whose keyed md5
-    * bucket clears their source's threshold. */
+    * bucket clears their source's threshold. With `failOnUnknown`
+    * (the FromState forms, whose thresholds derive from a table the
+    * input didn't produce), a non-null source absent from the
+    * threshold table raises in the executor instead of silently
+    * vanishing from the mixture — same loud-fail discipline as
+    * `maxSources`; null-source rows still drop (no qᵢ). */
   private def applyMixThresholds(df: DataFrame, source: Column,
                                  key: Column,
-                                 th: Map[String, String]): DataFrame = {
+                                 th: Map[String, String],
+                                 failOnUnknown: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rates = th.toSeq.toDF("__src", "__th16")
-    df.join(broadcast(rates), source.cast("string") === col("__src"))
-      .where(substring(md5(concat(keyStr(key), lit(":tmix"))), 1, 4)
-        < col("__th16"))
-      .drop("__src", "__th16")
+    val keep = substring(md5(concat(keyStr(key), lit(":tmix"))), 1, 4)
+      .<(col("__th16"))
+    if (!failOnUnknown)
+      df.join(broadcast(rates), source.cast("string") === col("__src"))
+        .where(keep)
+        .drop("__src", "__th16")
+    else
+      df.where(source.isNotNull)
+        .join(broadcast(rates), source.cast("string") === col("__src"), "left")
+        .where(when(col("__th16").isNull,
+          raise_error(concat(lit("source '"), source.cast("string"),
+            lit("' has no persisted state count — fold it into the " +
+              "state before mixing from state"))).cast("boolean"))
+          .otherwise(keep))
+        .drop("__src", "__th16")
   }
 
   /** Per-source row counts answered from persisted profile state ALONE
@@ -266,7 +283,7 @@ object Sampling {
     * corpus passes at mix time. Bounded driver read (`maxSources`
     * loud-fail), same shape as every FromState read in this library. */
   def sourceSizesFromState(spark: SparkSession, statePath: String,
-                           maxSources: Int = 1 << 20): Seq[(String, Long)] = {
+                           maxSources: Int = 1 << 16): Seq[(String, Long)] = {
     val rows = graft.core.GenState.read(spark, statePath)
       .groupBy(col("group")).agg(sum(col("n")).as("n"))
       .limit(maxSources + 1).collect()
@@ -278,17 +295,23 @@ object Sampling {
 
   /** [[mixByTemperature]] with the rates derived from persisted
     * state counts ([[sourceSizesFromState]]) instead of a corpus
-    * count pass — identical keep semantics and hash domain, so a
-    * state that folded the same corpus produces the identical mixture
-    * (the `corpus_mix_temperature_incremental` gate's invariant). */
+    * count pass — identical keep semantics and hash domain on the
+    * state-covered sources, so a state that folded the same corpus
+    * produces the identical mixture (the
+    * `corpus_mix_temperature_incremental` gate's invariant). A
+    * non-null source present in `df` but ABSENT from the state (rows
+    * ingested after the last fold) raises loudly in the keep pass
+    * rather than silently vanishing — fold the new source's counts
+    * first. */
   def mixByTemperatureFromState(df: DataFrame, source: Column, key: Column,
                                 tau: Double, targetRows: Long,
                                 statePath: String,
-                                maxSources: Int = 1 << 20): DataFrame =
+                                maxSources: Int = 1 << 16): DataFrame =
     applyMixThresholds(df, source, key,
       temperatureThresholds(
         sourceSizesFromState(df.sparkSession, statePath, maxSources),
-        tau, targetRows))
+        tau, targetRows),
+      failOnUnknown = true)
 
   /** [[mixByTemperature]] WITHOUT the keep-at-most-once clamp: a source
     * whose target rate exceeds 1 REPEATS (the "epochs per dataset" that
@@ -304,7 +327,41 @@ object Sampling {
   def mixByTemperatureRepeat(df: DataFrame, source: Column, key: Column,
                              tau: Double, targetRows: Long,
                              maxCopies: Long = 1000L,
-                             maxSources: Int = 1 << 20): DataFrame = {
+                             maxSources: Int = 1 << 16): DataFrame =
+    applyRepeatThresholds(df, source, key, maxCopies,
+      temperatureTh16(sourceSizes(df, source, maxSources),
+        tau, targetRows))
+
+  /** [[mixByTemperatureRepeat]] with the rates derived from persisted
+    * state counts ([[sourceSizesFromState]]) — the rolling-corpus
+    * UPSAMPLING path: a small high-value source's epochs-per-dataset
+    * rate derives from the state-folded counts of everything ingested
+    * so far, zero corpus-count passes at mix time. Identical copy
+    * semantics and `:tmixr` hash domain as the corpus-counted form
+    * (the `corpus_mix_temperature_epochs_incremental` gate's
+    * invariant); a non-null source absent from the state raises
+    * loudly, same as [[mixByTemperatureFromState]]. */
+  def mixByTemperatureRepeatFromState(df: DataFrame, source: Column,
+                                      key: Column, tau: Double,
+                                      targetRows: Long, statePath: String,
+                                      maxCopies: Long = 1000L,
+                                      maxSources: Int = 1 << 16): DataFrame =
+    applyRepeatThresholds(df, source, key, maxCopies,
+      temperatureTh16(
+        sourceSizesFromState(df.sparkSession, statePath, maxSources),
+        tau, targetRows),
+      failOnUnknown = true)
+
+  /** The shared repeat pass behind both epochs forms: whole copies
+    * (th16 / 65536) + one fractional-keep copy on the 2¹⁶ grid, with
+    * the `maxCopies` runaway guard checked against every threshold
+    * BEFORE the explode. `failOnUnknown` as in [[applyMixThresholds]]:
+    * thresholds that didn't come from the input itself raise on a
+    * source they don't cover instead of dropping it. */
+  private def applyRepeatThresholds(df: DataFrame, source: Column,
+                                    key: Column, maxCopies: Long,
+                                    th16: Seq[(String, Long, BigInt)],
+                                    failOnUnknown: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // the whole-copy count becomes an Int column below: a maxCopies
@@ -312,8 +369,6 @@ object Sampling {
     // silently DROP the source instead of repeating it
     require(maxCopies >= 0L && maxCopies < Int.MaxValue.toLong,
       "maxCopies must fit an Int (a 2^31-copy explode is never intended)")
-    val th16 = temperatureTh16(sourceSizes(df, source, maxSources),
-      tau, targetRows)
     th16.foreach { case (s, _, th) =>
       require(th / 65536 <= maxCopies,
         s"source '$s' would repeat ${th / 65536}x (> maxCopies=" +
@@ -326,7 +381,19 @@ object Sampling {
     val copies = col("__whole") +
       when(substring(md5(concat(keyStr(key), lit(":tmixr"))), 1, 4)
         < col("__rem"), 1).otherwise(0)
-    df.join(broadcast(rates), source.cast("string") === col("__src"))
+    val joined =
+      if (!failOnUnknown)
+        df.join(broadcast(rates), source.cast("string") === col("__src"))
+      else
+        df.where(source.isNotNull)
+          .join(broadcast(rates), source.cast("string") === col("__src"),
+            "left")
+          .where(when(col("__whole").isNull,
+            raise_error(concat(lit("source '"), source.cast("string"),
+              lit("' has no persisted state count — fold it into the " +
+                "state before mixing from state"))).cast("boolean"))
+            .otherwise(lit(true)))
+    joined
       .withColumn("copy_idx",
         explode(when(copies >= 1, sequence(lit(0), copies - 1))
           .otherwise(array().cast("array<int>"))))

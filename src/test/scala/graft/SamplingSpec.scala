@@ -248,4 +248,45 @@ class SamplingSpec extends AnyFunSuite {
         s"$src: kept ${kept.getOrElse(src, 0L)} vs expected $expected")
     }
   }
+
+  test("mixByTemperatureRepeatFromState equals the from-scratch epochs " +
+      "mix, and BOTH FromState forms raise on a state-unseen source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixr_state")
+    val statePath = dir.resolve("state").toString
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 < 4, lit("big")).otherwise(lit("small"))
+        .as("source"))
+    graft.meta.ProfileState.writeProfileStatePerGroup(
+      docs.where(col("doc_id") % 2 === 0), col("source"), lit(0L), statePath)
+    graft.meta.ProfileState.appendProfileStatePerGroup(
+      docs.where(col("doc_id") % 2 =!= 0), col("source"), lit(0L), statePath)
+    def copies(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(
+      copies(Sampling.mixByTemperatureRepeatFromState(docs, col("source"),
+        col("doc_id"), 0.5, 3000L, statePath)) ===
+      copies(Sampling.mixByTemperatureRepeat(docs, col("source"),
+        col("doc_id"), 0.5, 3000L)),
+      "state-derived epochs mixture must equal the from-scratch one")
+    // a source ingested AFTER the last state fold must fail LOUDLY in
+    // the keep pass, not silently vanish from the mixture (null-source
+    // rows still drop — that's the documented no-qᵢ convention)
+    val extra = docs.unionByName(spark.range(5).select(
+      (col("id") + 5000L).as("doc_id"), lit("fresh").as("source")))
+    def msgChain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      Sampling.mixByTemperatureRepeatFromState(extra, col("source"),
+        col("doc_id"), 0.5, 3000L, statePath).count()
+    }
+    assert(msgChain(e1).contains("no persisted state count"), msgChain(e1))
+    val e2 = intercept[Exception] {
+      Sampling.mixByTemperatureFromState(extra, col("source"),
+        col("doc_id"), 0.5, 500L, statePath).count()
+    }
+    assert(msgChain(e2).contains("no persisted state count"), msgChain(e2))
+  }
 }
