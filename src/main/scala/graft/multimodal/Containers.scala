@@ -220,13 +220,16 @@ object Containers {
   // codec library and stays with [[Multimodal.FakeCodec]].
 
   /** Parsed facts of an MPEG Layer III stream: `version` ∈ {1, 2, 25}
-    * (25 = MPEG-2.5), `bitrateKbps` from the FIRST frame (VBR streams
-    * vary later frames), `frames`/`samples` from the full frame walk,
-    * `musicBytes` the bytes the walked frames span (ID3 tags and any
-    * pre-sync junk excluded). */
+    * (25 = MPEG-2.5), `bitrateKbps` from the first MUSIC frame (VBR
+    * streams vary later frames), `frames`/`samples` from the full
+    * frame walk, `musicBytes` the bytes the walked frames span (ID3
+    * tags, any pre-sync junk, and a Xing/Info metadata frame
+    * excluded), `vbr` when the stream leads with a Xing tag (an Info
+    * tag marks a CBR encoder header — excluded from counts but not
+    * VBR). */
   final case class Mp3Info(version: Int, bitrateKbps: Int, sampleRate: Int,
                            channels: Int, frames: Int, samples: Long,
-                           musicBytes: Long) {
+                           musicBytes: Long, vbr: Boolean = false) {
     def durationMs: Long =
       if (sampleRate == 0) 0L else samples * 1000L / sampleRate
   }
@@ -301,10 +304,44 @@ object Containers {
     }
     first.flatMap { case (ver, br0, rate, ch, len0) =>
       val spf = if (ver == 1) 1152L else 576L
-      val start = off
-      var frames = 0
+      // Xing/Info detection: most VBR encoders write a metadata tag as
+      // the FIRST frame, at the fixed offset right after the side info
+      // (MPEG-1: 17 mono / 32 stereo; MPEG-2/2.5: 9 / 17). That frame
+      // carries no audio — counting it as music inflates
+      // frames/samples/duration by one frame and reports the tag
+      // frame's (often arbitrary) bitrate as the stream's, so it is
+      // excluded from every count and the reported bitrate comes from
+      // the first MUSIC frame. "Xing" marks VBR, "Info" a CBR encoder
+      // header — both are metadata, only Xing sets the vbr flag.
+      val sideInfo =
+        if (ver == 1) { if (ch == 1) 17 else 32 }
+        else { if (ch == 1) 9 else 17 }
+      val tagOff = off + 4 + sideInfo
+      val tag =
+        if (tagOff + 4 <= math.min(payload.length.toLong, off + len0))
+          new String(payload, tagOff.toInt, 4, "ISO-8859-1") match {
+            case t @ ("Xing" | "Info") => Some(t)
+            case _ => None
+          }
+        else None
+      val vbr = tag.contains("Xing")
+      var reportBr = br0
       var len = len0
       var ok = true
+      if (tag.isDefined) {
+        // skip the whole metadata frame; the stream must still contain
+        // a matching music frame behind it or it has no audio at all
+        if (off + len <= payload.length) {
+          off += len
+          mp3FrameAt(payload, off.toInt) match {
+            case Some((v2, b2, r2, c2, l2)) if v2 == ver && r2 == rate &&
+                c2 == ch => reportBr = b2; len = l2
+            case _ => ok = false
+          }
+        } else ok = false
+      }
+      val start = off
+      var frames = 0
       while (ok && off + len <= payload.length) {
         frames += 1
         off += len
@@ -316,8 +353,8 @@ object Containers {
         }
       }
       if (frames == 0) None
-      else Some(Mp3Info(ver, br0, rate, ch, frames, frames * spf,
-        off - start))
+      else Some(Mp3Info(ver, reportBr, rate, ch, frames, frames * spf,
+        off - start, vbr))
     }
   }
 
@@ -326,11 +363,17 @@ object Containers {
     * decodes them), optionally behind a minimal ID3v2 tag. A REAL
     * MPEG audio header writer: any standard tool reads these frames'
     * metadata. Requires spec-defined parameters (kbps present in the
-    * version's Layer III table, rate in its rate family). */
+    * version's Layer III table, rate in its rate family). `tag`
+    * ("Xing" or "Info") writes that metadata header — 4cc at the
+    * post-side-info offset, frames-known flags, and the music-frame
+    * count — into frame 0, which then counts as metadata, not music
+    * (`nFrames` still counts ALL frames, so a tagged build has
+    * nFrames−1 music frames). */
   def buildMp3(version: Int, bitrateKbps: Int, sampleRate: Int,
                channels: Int, nFrames: Int,
                fill: Int => Byte = _ => 0,
-               id3Bytes: Int = 0): Array[Byte] = {
+               id3Bytes: Int = 0,
+               tag: String = ""): Array[Byte] = {
     require(version == 1 || version == 2 || version == 25, "version 1|2|25")
     val v1 = version == 1
     val brIdx = (if (v1) Mp3BitrateV1 else Mp3BitrateV2)
@@ -368,6 +411,21 @@ object Containers {
       var i = 4
       while (i < frameLen) { out(o + i) = fill(f * frameLen + i); i += 1 }
       f += 1
+    }
+    if (tag.nonEmpty) {
+      require(tag == "Xing" || tag == "Info", "tag is Xing|Info (or empty)")
+      require(nFrames >= 2,
+        "a tagged stream needs at least one music frame behind the tag")
+      val sideInfo =
+        if (v1) { if (channels == 1) 17 else 32 }
+        else { if (channels == 1) 9 else 17 }
+      val o = base + 4 + sideInfo
+      require(o + 12 <= base + frameLen,
+        s"frame length $frameLen too small to carry a $tag header")
+      tag.getBytes("ISO-8859-1").copyToArray(out, o)
+      val bb = ByteBuffer.wrap(out, o + 4, 8)
+      bb.putInt(1)           // flags: frames-known
+      bb.putInt(nFrames - 1) // music frames behind the tag
     }
     out
   }
@@ -456,15 +514,19 @@ object Containers {
               case "trak" =>
                 nTracks += 1
                 val okT = walk(cs, ce) { (t3, ds, de) =>
-                  // tkhd v0 content is 84 bytes; width/height are the
-                  // LAST two 16.16 fields
-                  if (t3 == "tkhd" && width.isEmpty && de - ds >= 84 &&
-                      (payload(ds.toInt) & 0xFF) == 0) {
-                    val w = be32(payload, de.toInt - 8)
-                    val h = be32(payload, de.toInt - 4)
-                    if (w > 0 && h > 0) {
-                      width = Some((w >> 16).toInt)
-                      height = Some((h >> 16).toInt)
+                  // tkhd content is 84 bytes at v0, 96 at v1 (64-bit
+                  // create/modify/duration times — the form modern
+                  // muxers emit); width/height are the LAST two 16.16
+                  // fields in BOTH layouts
+                  if (t3 == "tkhd" && width.isEmpty && de - ds >= 84) {
+                    val v = payload(ds.toInt) & 0xFF
+                    if (v == 0 || (v == 1 && de - ds >= 96)) {
+                      val w = be32(payload, de.toInt - 8)
+                      val h = be32(payload, de.toInt - 4)
+                      if (w > 0 && h > 0) {
+                        width = Some((w >> 16).toInt)
+                        height = Some((h >> 16).toInt)
+                      }
                     }
                   }
                 }
@@ -486,8 +548,11 @@ object Containers {
     * REAL box writer — the structure any BMFF tool walks. Track
     * dimensions are written 16.16-fixed as the spec mandates. */
   def buildMp4(timescale: Int, duration: Long, tracks: Seq[(Int, Int)],
-               mdatBytes: Int, fill: Int => Byte = _ => 0): Array[Byte] = {
+               mdatBytes: Int, fill: Int => Byte = _ => 0,
+               tkhdVersion: Int = 0): Array[Byte] = {
     require(timescale > 0 && duration >= 0 && duration <= 0xFFFFFFFFL)
+    require(tkhdVersion == 0 || tkhdVersion == 1,
+      "tkhd version is 0 (32-bit times) or 1 (64-bit times)")
     val ftyp = ByteBuffer.allocate(24)
     ftyp.putInt(24).put("ftypisom".getBytes("ISO-8859-1"))
       .putInt(0x200).put("isommp41".getBytes("ISO-8859-1"))
@@ -504,20 +569,29 @@ object Containers {
       .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
       .putInt(tracks.size + 1) // next track id
     val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
-      val tkhd = ByteBuffer.allocate(92)
-      tkhd.putInt(92).put("tkhd".getBytes("ISO-8859-1"))
-        .putInt(7) // version 0, flags: enabled|in-movie|in-preview
-        .putInt(0).putInt(0) // ctime, mtime
-        .putInt(i + 1).putInt(0) // track id, reserved
-        .putInt(duration.toInt)
-        .putLong(0) // reserved
+      // v1 widens ctime/mtime/duration to 64 bits: content 84 → 96
+      // bytes, box 92 → 104
+      val tkhdSize = if (tkhdVersion == 0) 92 else 104
+      val tkhd = ByteBuffer.allocate(tkhdSize)
+      tkhd.putInt(tkhdSize).put("tkhd".getBytes("ISO-8859-1"))
+        .putInt((tkhdVersion << 24) | 7) // version, flags: enabled|in-movie|in-preview
+      if (tkhdVersion == 0)
+        tkhd.putInt(0).putInt(0) // ctime, mtime
+          .putInt(i + 1).putInt(0) // track id, reserved
+          .putInt(duration.toInt)
+      else
+        tkhd.putLong(0).putLong(0) // 64-bit ctime, mtime
+          .putInt(i + 1).putInt(0) // track id, reserved
+          .putLong(duration)
+      tkhd.putLong(0) // reserved
         .putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, reserved
         .putInt(0x00010000).putInt(0).putInt(0) // unity matrix…
         .putInt(0).putInt(0x00010000).putInt(0)
         .putInt(0).putInt(0).putInt(0x40000000)
         .putInt(w << 16).putInt(h << 16)
-      val trak = ByteBuffer.allocate(100)
-      trak.putInt(100).put("trak".getBytes("ISO-8859-1")).put(tkhd.array())
+      val trak = ByteBuffer.allocate(8 + tkhdSize)
+      trak.putInt(8 + tkhdSize).put("trak".getBytes("ISO-8859-1"))
+        .put(tkhd.array())
       trak.array()
     }
     val moovSize = 8 + 108 + traks.map(_.length).sum

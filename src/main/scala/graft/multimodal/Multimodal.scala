@@ -283,7 +283,8 @@ object Multimodal {
                            channels: Option[Int], sample_rate: Option[Int],
                            bits: Option[Int], data_bytes: Option[Long],
                            duration_ms: Option[Long], width: Option[Int],
-                           height: Option[Int], bpp: Option[Int])
+                           height: Option[Int], bpp: Option[Int],
+                           vbr: Option[Boolean] = None)
 
   /** REAL container-metadata extraction over a media table: each
     * payload's magic bytes route it to the matching [[Containers]]
@@ -328,7 +329,8 @@ object Multimodal {
                     case Some(m3) =>
                       ContainerInfo(id, "mp3", Some(m3.channels),
                         Some(m3.sampleRate), None, Some(m3.musicBytes),
-                        Some(m3.durationMs), None, None, None)
+                        Some(m3.durationMs), None, None, None,
+                        Some(m3.vbr))
                     case None =>
                       ContainerInfo(id, "unknown", None, None, None, None,
                         None, None, None, None)

@@ -1758,7 +1758,7 @@ object ExtensionQueries {
         .toDF()
         .select(col("doc_id"), col("format"), col("channels"),
           col("sample_rate"), col("data_bytes"), col("duration_ms"),
-          col("width"), col("height"))
+          col("width"), col("height"), col("vbr"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1975,7 +1975,14 @@ object ExtensionQueries {
               channels = 1 + ((id / 2) % 2).toInt,
               nFrames = 2 + (id % 6).toInt,
               fill = i => ((i * 31 + id) % 251).toByte,
-              id3Bytes = ((id % 3) * 7).toInt)
+              id3Bytes = ((id % 3) * 7).toInt,
+              // cycle Xing-tagged (VBR), Info-tagged (CBR header), and
+              // untagged streams: the oracle subtracts the metadata
+              // frame from the tagged docs' counts, so counting the
+              // tag frame as music cannot hide
+              tag = ((id / 2) % 3) match {
+                case 0 => "Xing"; case 1 => "Info"; case _ => ""
+              })
           else {
             val nT = 1 + (id % 3).toInt
             Containers.buildMp4(
@@ -1984,7 +1991,11 @@ object ExtensionQueries {
               tracks = Seq.tabulate(nT)(t =>
                 (16 + ((id + t) % 7).toInt, 9 + ((id + t) % 5).toInt)),
               mdatBytes = (id % 50).toInt,
-              fill = i => ((i * 17 + id) % 253).toByte)
+              fill = i => ((i * 17 + id) % 253).toByte,
+              // alternate tkhd v0/v1 (64-bit times) across docs: the
+              // oracle's width/height arithmetic is version-blind, so
+              // a v1 dimensions regression cannot hide
+              tkhdVersion = ((id / 2) % 2).toInt)
           }
         (id, if (id % 2 == 0) "audio/mpeg" else "video/mp4", payload,
           Map.empty[String, String])
@@ -3590,7 +3601,12 @@ object ExtensionQueries {
         |    ([44100, 48000, 32000])[cast(doc_id % 3 AS int) + 1] AS rate,
         |    ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
         |      320])[cast((doc_id // 2) % 14 AS int) + 1] AS br,
-        |    2 + doc_id % 6 AS frames,
+        |    -- Xing/Info-tagged docs (tagmod 0/1) spend frame 0 on the
+        |    -- metadata header: one fewer MUSIC frame than built
+        |    2 + doc_id % 6
+        |      - CASE WHEN (doc_id // 2) % 3 <= 1 THEN 1 ELSE 0 END
+        |      AS frames,
+        |    (doc_id // 2) % 3 = 0 AS is_vbr,
         |    1 + (doc_id // 2) % 2 AS ch,
         |    600 * (1 + doc_id % 5) AS ts,
         |    (doc_id * 137) % 100000 AS dur
@@ -3600,13 +3616,15 @@ object ExtensionQueries {
         |  cast(rate AS int) AS sample_rate,
         |  cast(frames * ((144 * br * 1000) // rate) AS bigint) AS data_bytes,
         |  cast((frames * 1152 * 1000) // rate AS bigint) AS duration_ms,
-        |  cast(NULL AS int) AS width, cast(NULL AS int) AS height
+        |  cast(NULL AS int) AS width, cast(NULL AS int) AS height,
+        |  is_vbr AS vbr
         |FROM p WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, 'mp4', NULL, NULL,
         |  cast(doc_id % 50 AS bigint),
         |  cast((dur * 1000) // ts AS bigint),
-        |  cast(16 + doc_id % 7 AS int), cast(9 + doc_id % 5 AS int)
+        |  cast(16 + doc_id % 7 AS int), cast(9 + doc_id % 5 AS int),
+        |  cast(NULL AS boolean)
         |FROM p WHERE doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin,
 
@@ -3620,7 +3638,7 @@ object ExtensionQueries {
         |    ((8000 + (doc_id % 5) * 1000) * (1 + (doc_id // 2) % 2) * 2)
         |    AS bigint) AS duration_ms,
         |  cast(NULL AS int) AS width, cast(NULL AS int) AS height,
-        |  cast(NULL AS int) AS bpp
+        |  cast(NULL AS int) AS bpp, cast(NULL AS boolean) AS vbr
         |FROM documents WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, 'bmp', NULL, NULL, NULL,
@@ -3628,7 +3646,7 @@ object ExtensionQueries {
         |    * (1 + doc_id % 48) AS bigint),
         |  NULL,
         |  cast(1 + n_chars % 64 AS int), cast(1 + doc_id % 48 AS int),
-        |  cast(24 AS int)
+        |  cast(24 AS int), cast(NULL AS boolean)
         |FROM documents WHERE doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin,
 

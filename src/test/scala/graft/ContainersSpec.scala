@@ -346,4 +346,93 @@ class ContainersSpec extends AnyFunSuite {
     Containers.parseMp3(Containers.buildWav(1, 8000, 16, new Array[Byte](64)))
     Containers.parseMp4(Containers.buildBmp(4, 4))
   }
+
+  test("MP3 Xing/Info header: the tag frame is excluded from every " +
+      "count, vbr flags only Xing, bitrate reports from the music") {
+    val frameLen = 144 * 128 * 1000 / 44100
+    // Xing-tagged: frames/samples/musicBytes count only MUSIC frames
+    val x = Containers.buildMp3(1, 128, 44100, 2, 5, tag = "Xing")
+    val mx = Containers.parseMp3(x).get
+    assert(mx.vbr && mx.frames === 4 && mx.samples === 4 * 1152L)
+    assert(mx.musicBytes === 4L * frameLen)
+    assert(mx.bitrateKbps === 128)
+    assert(mx.durationMs === 4 * 1152L * 1000 / 44100)
+    // Info-tagged: excluded from counts but NOT VBR (CBR encoder tag)
+    val mi = Containers.parseMp3(
+      Containers.buildMp3(1, 128, 44100, 2, 5, tag = "Info")).get
+    assert(!mi.vbr && mi.frames === 4)
+    // untagged: all frames are music, vbr false — counts unchanged
+    val mu = Containers.parseMp3(
+      Containers.buildMp3(1, 128, 44100, 2, 5)).get
+    assert(!mu.vbr && mu.frames === 5)
+    // side-info offsets differ by version/channels: MPEG-1 mono (17),
+    // MPEG-2 stereo (17) and mono (9) must all find the tag
+    for ((v, br, rate, ch) <- Seq((1, 64, 32000, 1), (2, 64, 24000, 2),
+        (2, 48, 16000, 1))) {
+      val m = Containers.parseMp3(
+        Containers.buildMp3(v, br, rate, ch, 3, tag = "Xing")).get
+      assert(m.vbr && m.frames === 2, s"v=$v ch=$ch")
+    }
+    // the tag survives behind an ID3v2 wrapper
+    val mid3 = Containers.parseMp3(
+      Containers.buildMp3(1, 128, 44100, 2, 4, id3Bytes = 21,
+        tag = "Xing")).get
+    assert(mid3.vbr && mid3.frames === 3)
+    // a tag frame with NO music frame behind it has no audio: decline
+    assert(Containers.parseMp3(x.take(frameLen)) === None)
+    // corruption fuzz on a tagged stream stays total
+    val rnd = new scala.util.Random(0x3A11F0)
+    for (_ <- 0 until 500) {
+      val c = x.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      assert(Containers.parseMp3(c).isInstanceOf[Option[_]])
+    }
+    for (cut <- 0 to x.length)
+      assert(Containers.parseMp3(x.take(cut)).isInstanceOf[Option[_]])
+  }
+
+  test("MP4 tkhd v1 (64-bit times) round-trips dimensions; undersized " +
+      "or unknown-version tkhd keeps the track but not dimensions") {
+    // v1 content is 96 bytes (64-bit ctime/mtime/duration); the
+    // width/height fields sit at the same END offsets as v0, which is
+    // what the parser reads — a v1 track from a modern muxer must not
+    // silently lose its dimensions (round-14 gap)
+    for (ts <- Seq(600, 90000); dur <- Seq(0L, 987654L); nT <- Seq(1, 3)) {
+      val tracks = Seq.tabulate(nT)(t => (320 + t, 240 + t))
+      val p = Containers.buildMp4(ts, dur, tracks, mdatBytes = 8,
+        tkhdVersion = 1)
+      val m = Containers.parseMp4(p).get
+      assert(m.nTracks === nT && m.timescale === ts)
+      assert(m.durationMs === dur * 1000L / ts)
+      assert(m.width === Some(320) && m.height === Some(240),
+        s"v1 tkhd must yield dimensions (ts=$ts dur=$dur nT=$nT)")
+    }
+    val v1 = Containers.buildMp4(600, 100L, Seq((8, 8)), 4, tkhdVersion = 1)
+    // a tkhd CLAIMING v1 but sized like v0 content (84 bytes) must not
+    // read dimensions it cannot have — rewrite the version byte of a
+    // v0 file to 1 and expect track counted, dimensions declined
+    val v0 = Containers.buildMp4(600, 100L, Seq((8, 8)), 4)
+    val fakeV1 = v0.clone()
+    // layout: ftyp 24 + moov hdr 8 + mvhd 108 + trak hdr 8 + tkhd hdr 8
+    // → tkhd 4cc at 152, version byte at 156
+    assert(new String(fakeV1, 152, 4, "ISO-8859-1") === "tkhd")
+    fakeV1(156) = 1
+    val fm = Containers.parseMp4(fakeV1)
+    assert(fm.isDefined && fm.get.nTracks === 1 &&
+      fm.get.width === None && fm.get.height === None)
+    // unknown future version: decline dimensions, keep totality
+    val fakeV9 = v0.clone(); fakeV9(156) = 9
+    val f9 = Containers.parseMp4(fakeV9)
+    assert(f9.isDefined && f9.get.width === None)
+    // truncation + noise fuzz sweep over the v1 layout, mirroring the
+    // largesize sweep: every prefix stays total
+    for (cut <- 0 to v1.length)
+      assert(Containers.parseMp4(v1.take(cut)).isInstanceOf[Option[_]])
+    val rnd = new scala.util.Random(0x71CD01)
+    for (_ <- 0 until 500) {
+      val c = v1.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      assert(Containers.parseMp4(c).isInstanceOf[Option[_]])
+    }
+  }
 }
