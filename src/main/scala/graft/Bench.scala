@@ -62,7 +62,21 @@ object Bench {
     "curriculum_bins_by_cost", "curriculum_bins_by_cost_by_source",
     "weighted_quantiles_incremental", "multimodal_av_containers",
     "corpus_mix_temperature", "split_leakage_safe",
-    "corpus_mix_temperature_epochs", "corpus_mix_temperature_incremental")
+    "corpus_mix_temperature_epochs", "corpus_mix_temperature_incremental",
+    "corpus_mix_temperature_epochs_incremental")
+
+  /** The 19-query BASELINE.md subset — the driver's baseline
+    * comparison. Re-emitted as its own stdout lines immediately before
+    * the totals line, so the driver's 2000-char log TAIL alone carries
+    * every baseline timing (r14 ask #4: parts 1-4 of the positional
+    * chunk lines fell off the tail and the subset survived only in
+    * bench_out.json). */
+  val baselineSubset: Seq[String] = Seq(
+    "q1_agg", "pack_concat", "unpack_cells", "salt_bucket",
+    "broadcast_join", "lookup_join", "diff_compare", "topk",
+    "date_format_q", "regex_extract", "dedup_exact", "dedup_minhash",
+    "dedup_ngram", "dedup_simhash", "ann_topk", "ann_lsh",
+    "text_quality", "text_fingerprint", "multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,11 +118,22 @@ object Bench {
       try run("q1_agg") catch {
         case e: Throwable => System.err.println(s"[bench] warmup failed: $e")
       }
-    // pre-pay the memoized one-time index/codebook builds so the timed
-    // runs below measure the steady-state query; the first (build-
-    // inclusive) invocation is reported separately as build_sec.
+    // pre-pay the memoized one-time builds so the timed runs below
+    // measure the steady-state query; the first (build-inclusive)
+    // invocation is reported separately as build_sec. Two families:
+    // the index/codebook gates, and the persisted-state lifecycle
+    // gates whose write+fold is memoized per JVM+dir (ExtensionQueries
+    // state caches) — reps then time the READ path, the part that runs
+    // at mix/selection time at corpus scale (r14 ask #5: the bundled
+    // lifecycle made profile_drift read as a 4.5 s operator when the
+    // scale-relevant read is a bounded-histogram lookup).
     val indexBacked = Seq(
-      "dedup_index_query", "ann_index_query", "ann_ivfpq", "ann_pq")
+      "dedup_index_query", "ann_index_query", "ann_ivfpq", "ann_pq",
+      "exact_quantiles_incremental", "exact_quantiles_incremental_by_flag",
+      "weighted_quantiles_incremental", "profile_drift",
+      "corpus_budget_incremental", "corpus_budget_incremental_by_source",
+      "corpus_mix_temperature_incremental",
+      "corpus_mix_temperature_epochs_incremental")
       .filter(selected)
     // build_sec is a SINGLE invocation (no min-of-3 to shed warmup), so
     // first pay the janino/codegen compile of these plans against the
@@ -186,6 +211,17 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"queries_part","part":$i,"queries":$part}"""
     }.toSeq
+    // the BASELINE subset re-emitted LAST (just before totals): these
+    // are the timings the baseline comparison needs, and the tail
+    // window must keep them even when the positional parts above
+    // scroll off
+    val minsMap = mins.toMap
+    val baselineLines = baselineSubset.filter(minsMap.contains)
+      .grouped(10).zipWithIndex.map { case (chunk, i) =>
+        val part = chunk.map(k => jstr(k) + ":" + num(minsMap(k)))
+          .mkString("{", ",", "}")
+        s"""{"metric":"queries_baseline","part":$i,"queries":$part}"""
+      }.toSeq
     val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${mins.size},"build_sec_total":${num(buildSec.map(_._2).sum)},"reps":$reps,"sf":${jstr(sfDir)}}"""
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$allRuns,"build_sec":$builds,"reps":$reps,"sf":${jstr(sfDir)}}"""
     // a BENCH_ONLY subset run must not clobber the round's full record
@@ -201,6 +237,7 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e")
     }
     chunkLines.foreach(println)
+    baselineLines.foreach(println)
     println(compact)
     Console.out.flush()
   }

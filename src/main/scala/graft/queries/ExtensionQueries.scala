@@ -140,6 +140,107 @@ object ExtensionQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
       path, dim = 64, m = 8, nCentroids = 16, nClusters = 16, buckets = 8))
 
+  // ── Persisted-state caches for the state-lifecycle gates ───────────
+  // Same build-once-per-JVM discipline as the index caches above: the
+  // two-installment write+fold is the AMORTIZED part of these features
+  // (it runs at ingest time, not per query), so repeated invocations
+  // re-use the built state and time the READ path — the part that runs
+  // at mix/selection time against 100 TB. Bench lists these gates in
+  // its prebuilt set, paying (and reporting) the build separately as
+  // build_sec; the FIRST invocation per JVM still exercises the full
+  // write → fold → read lifecycle, which is what Verify records.
+
+  private def dollarLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_extendedprice"), 0).as("usd"))
+
+  private def budgetScored(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+          * 1e6, 0).cast("long").as("q_ppm"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  private val qstateFor = new IndexCache("graft_gate_pstate",
+    (s, dir, path) => {
+      val li = dollarLineitem(s, dir)
+      graft.meta.ProfileState.writeProfileState(
+        li.where(col("l_orderkey") % 3 =!= 0), col("usd"), path)
+      graft.meta.ProfileState.appendProfileState(
+        li.where(col("l_orderkey") % 3 === 0), col("usd"), path)
+    })
+
+  private val qstateGroupFor = new IndexCache("graft_gate_pstate_g",
+    (s, dir, path) => {
+      val li = dollarLineitem(s, dir)
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        li.where(col("l_orderkey") % 3 =!= 0), col("l_returnflag"),
+        col("usd"), path)
+      graft.meta.ProfileState.appendProfileStatePerGroup(
+        li.where(col("l_orderkey") % 3 === 0), col("l_returnflag"),
+        col("usd"), path)
+    })
+
+  private val wstateFor = new IndexCache("graft_gate_pstate_w",
+    (s, dir, path) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"),
+          col("n_chars"))
+      graft.meta.ProfileState.writeProfileState(
+        scored.where(col("doc_id") % 3 =!= 0), col("q_ppm"), path,
+        weight = col("n_chars"))
+      graft.meta.ProfileState.appendProfileState(
+        scored.where(col("doc_id") % 3 === 0), col("q_ppm"), path,
+        weight = col("n_chars"))
+    })
+
+  // drift compares two snapshots: both live under the one cached base
+  private val driftStatesFor = new IndexCache("graft_gate_pdrift",
+    (s, dir, path) => {
+      val li = dollarLineitem(s, dir)
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        li.where(col("l_orderkey") % 3 =!= 0), col("l_returnflag"),
+        col("usd"), path + "/v1")
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        li, col("l_returnflag"), col("usd"), path + "/v2")
+    })
+
+  private val bstateFor = new IndexCache("graft_gate_bstate",
+    (s, dir, path) => {
+      val scored = budgetScored(s, dir)
+      graft.text.BudgetSelect.writeBudgetState(
+        scored.where(col("doc_id") % 3 =!= 0),
+        col("doc_id"), col("q_ppm"), col("n_tokens"), path)
+      graft.text.BudgetSelect.appendBudgetState(
+        scored.where(col("doc_id") % 3 === 0),
+        col("doc_id"), col("q_ppm"), col("n_tokens"), path)
+    })
+
+  private val bstateGroupFor = new IndexCache("graft_gate_bstate_g",
+    (s, dir, path) => {
+      val scored = budgetScored(s, dir)
+      graft.text.BudgetSelect.writeBudgetStatePerGroup(
+        scored.where(col("doc_id") % 3 =!= 0), col("source"),
+        col("doc_id"), col("q_ppm"), col("n_tokens"), path)
+      graft.text.BudgetSelect.appendBudgetStatePerGroup(
+        scored.where(col("doc_id") % 3 === 0), col("source"),
+        col("doc_id"), col("q_ppm"), col("n_tokens"), path)
+    })
+
+  // one fold serves BOTH temperature-mixture incremental gates (capped
+  // and epochs) — the state is the same per-source count fold
+  private val mixStateFor = new IndexCache("graft_gate_mixstate",
+    (s, dir, path) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      graft.meta.ProfileState.writeProfileStatePerGroup(
+        d.where(col("doc_id") % 3 =!= 0), col("source"), lit(0L), path)
+      graft.meta.ProfileState.appendProfileStatePerGroup(
+        d.where(col("doc_id") % 3 === 0), col("source"), lit(0L), path)
+    })
+
   // ── Environment canary (report-only probe, NOT a counted gate) ─────
   // One tiny data-independent query exercising the constructs that
   // have historically drifted BETWEEN ENGINE VERSIONS rather than
@@ -597,13 +698,7 @@ object ExtensionQueries {
     // computation — the oracle recomputes counts directly.
     "corpus_mix_temperature_incremental" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
-      val stateTmp = java.nio.file.Files.createTempDirectory("graft_mixstate")
-      IndexCache.cleanupAtExit(stateTmp)
-      val statePath = stateTmp.resolve("state").toString
-      graft.meta.ProfileState.writeProfileStatePerGroup(
-        d.where(col("doc_id") % 3 =!= 0), col("source"), lit(0L), statePath)
-      graft.meta.ProfileState.appendProfileStatePerGroup(
-        d.where(col("doc_id") % 3 === 0), col("source"), lit(0L), statePath)
+      val statePath = mixStateFor(s, dir)
       val sizes = graft.text.Sampling.sourceSizesFromState(s, statePath)
       graft.text.Sampling.mixByTemperatureFromState(d, col("source"),
           col("doc_id"), tau = 0.5,
@@ -630,13 +725,7 @@ object ExtensionQueries {
     // directly (same SQL as the corpus-counted epochs gate).
     "corpus_mix_temperature_epochs_incremental" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
-      val stateTmp = java.nio.file.Files.createTempDirectory("graft_mixrstate")
-      IndexCache.cleanupAtExit(stateTmp)
-      val statePath = stateTmp.resolve("state").toString
-      graft.meta.ProfileState.writeProfileStatePerGroup(
-        d.where(col("doc_id") % 3 =!= 0), col("source"), lit(0L), statePath)
-      graft.meta.ProfileState.appendProfileStatePerGroup(
-        d.where(col("doc_id") % 3 === 0), col("source"), lit(0L), statePath)
+      val statePath = mixStateFor(s, dir)
       val sizes = graft.text.Sampling.sourceSizesFromState(s, statePath)
       graft.text.Sampling.mixByTemperatureRepeatFromState(d, col("source"),
           col("doc_id"), tau = 0.5,
@@ -769,20 +858,8 @@ object ExtensionQueries {
     // state fold (lost level, double-counted total, wrong min) cannot
     // hide: it would move the cutoff.
     "corpus_budget_incremental" -> ((s, dir) => {
-      val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
-            * 1e6, 0).cast("long").as("q_ppm"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val stateTmp = java.nio.file.Files.createTempDirectory("graft_bstate")
-      IndexCache.cleanupAtExit(stateTmp) // bench reps must not pile up /tmp dirs
-      val statePath = stateTmp.resolve("state").toString
-      graft.text.BudgetSelect.writeBudgetState(
-        scored.where(col("doc_id") % 3 =!= 0),
-        col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
-      graft.text.BudgetSelect.appendBudgetState(
-        scored.where(col("doc_id") % 3 === 0),
-        col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
+      val scored = budgetScored(s, dir).drop("source")
+      val statePath = bstateFor(s, dir)
       val total = graft.text.BudgetSelect.readBudgetState(s, statePath)
         .agg(sum(col("total_cost"))).head().getLong(0)
       graft.text.BudgetSelect.budgetSelectFromState(scored, col("doc_id"),
@@ -817,25 +894,12 @@ object ExtensionQueries {
     // budgets and oracle as corpus_budget_by_source, so the state fold
     // must land on exactly the from-scratch cutoffs.
     "corpus_budget_incremental_by_source" -> ((s, dir) => {
-      val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
-            * 1e6, 0).cast("long").as("q_ppm"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val stateTmp = java.nio.file.Files.createTempDirectory("graft_bstate_g")
-      IndexCache.cleanupAtExit(stateTmp)
-      val statePath = stateTmp.resolve("state").toString
-      graft.text.BudgetSelect.writeBudgetStatePerGroup(
-        scored.where(col("doc_id") % 3 =!= 0), col("source"),
-        col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
-      graft.text.BudgetSelect.appendBudgetStatePerGroup(
-        scored.where(col("doc_id") % 3 === 0), col("source"),
-        col("doc_id"), col("q_ppm"), col("n_tokens"), statePath)
+      val scored = budgetScored(s, dir)
       graft.text.BudgetSelect.budgetSelectPerGroupFromState(scored,
           col("source"), col("doc_id"), col("q_ppm"), col("n_tokens"),
           budgets = Map("src0" -> 800L, "src1" -> 50L, "src2" -> 1000000L,
             "src3" -> 400L, "src4" -> 0L, "src5" -> 2000L),
-          path = statePath)
+          path = bstateGroupFor(s, dir))
         .orderBy(col("doc_id"))
     }),
 
@@ -1237,21 +1301,8 @@ object ExtensionQueries {
     // corpus passes at read time; the oracle is the from-scratch
     // cumulative-weight window over the whole corpus
     "weighted_quantiles_incremental" -> ((s, dir) => {
-      val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          round(TextOps.qualityStruct(col("text")).getField("alpha_ratio")
-            * 1e6, 0).cast("long").as("q_ppm"),
-          col("n_chars"))
-      val stateTmp = java.nio.file.Files.createTempDirectory("graft_pstate_w")
-      IndexCache.cleanupAtExit(stateTmp)
-      val statePath = stateTmp.resolve("state").toString
-      graft.meta.ProfileState.writeProfileState(
-        scored.where(col("doc_id") % 3 =!= 0), col("q_ppm"), statePath,
-        weight = col("n_chars"))
-      graft.meta.ProfileState.appendProfileState(
-        scored.where(col("doc_id") % 3 === 0), col("q_ppm"), statePath,
-        weight = col("n_chars"))
-      graft.meta.ProfileState.exactQuantilesPpmFromState(s, statePath,
+      graft.meta.ProfileState.exactQuantilesPpmFromState(s,
+          wstateFor(s, dir),
           psPpm = Seq(0L, 250000L, 500000L, 750000L, 900000L, 990000L,
             1000000L))
         .select(col("p_ppm"), col("value").as("q_ppm"),
@@ -1270,18 +1321,10 @@ object ExtensionQueries {
       // DOLLAR quantization, not cents: persisted state must ride a
       // GRID-bounded histogram (the manifest-class convention — cents
       // on lineitem is ~row-cardinality, 583k distinct at sf0.1, which
-      // is a fine one-shot collect but the wrong thing to persist)
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"),
-          round(col("l_extendedprice"), 0).as("usd"))
-      val stateTmp = java.nio.file.Files.createTempDirectory("graft_pstate")
-      IndexCache.cleanupAtExit(stateTmp)
-      val statePath = stateTmp.resolve("state").toString
-      graft.meta.ProfileState.writeProfileState(
-        li.where(col("l_orderkey") % 3 =!= 0), col("usd"), statePath)
-      graft.meta.ProfileState.appendProfileState(
-        li.where(col("l_orderkey") % 3 === 0), col("usd"), statePath)
-      graft.meta.ProfileState.exactQuantilesFromState(s, statePath,
+      // is a fine one-shot collect but the wrong thing to persist).
+      // State build memoized per JVM+dir (qstateFor) — see the
+      // state-cache block above.
+      graft.meta.ProfileState.exactQuantilesFromState(s, qstateFor(s, dir),
           ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
         .select(round(col("p") * 1e6).cast("long").as("p_ppm"),
           col("value").as("price_usd"), col("n"))
@@ -1291,19 +1334,8 @@ object ExtensionQueries {
     // the per-domain twin: per-group state fold, per-group quantiles
     // from state alone
     "exact_quantiles_incremental_by_flag" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_returnflag"),
-          round(col("l_extendedprice"), 0).as("usd"))
-      val stateTmp = java.nio.file.Files.createTempDirectory("graft_pstate_g")
-      IndexCache.cleanupAtExit(stateTmp)
-      val statePath = stateTmp.resolve("state").toString
-      graft.meta.ProfileState.writeProfileStatePerGroup(
-        li.where(col("l_orderkey") % 3 =!= 0), col("l_returnflag"),
-        col("usd"), statePath)
-      graft.meta.ProfileState.appendProfileStatePerGroup(
-        li.where(col("l_orderkey") % 3 === 0), col("l_returnflag"),
-        col("usd"), statePath)
-      graft.meta.ProfileState.exactQuantilesPerGroupFromState(s, statePath,
+      graft.meta.ProfileState.exactQuantilesPerGroupFromState(s,
+          qstateGroupFor(s, dir),
           ps = Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("group").as("l_returnflag"),
           round(col("p") * 1e6).cast("long").as("p_ppm"),
@@ -1317,19 +1349,8 @@ object ExtensionQueries {
     // oracle recomputes both sides' grouped quantiles from scratch and
     // full-outer-joins them.
     "profile_drift" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_returnflag"),
-          round(col("l_extendedprice"), 0).as("usd"))
-      val stateTmp = java.nio.file.Files.createTempDirectory("graft_pdrift")
-      IndexCache.cleanupAtExit(stateTmp)
-      val pathA = stateTmp.resolve("v1").toString
-      val pathB = stateTmp.resolve("v2").toString
-      graft.meta.ProfileState.writeProfileStatePerGroup(
-        li.where(col("l_orderkey") % 3 =!= 0), col("l_returnflag"),
-        col("usd"), pathA)
-      graft.meta.ProfileState.writeProfileStatePerGroup(
-        li, col("l_returnflag"), col("usd"), pathB)
-      graft.meta.ProfileState.profileDrift(s, pathA, pathB,
+      val base = driftStatesFor(s, dir)
+      graft.meta.ProfileState.profileDrift(s, base + "/v1", base + "/v2",
           ps = Seq(0.25, 0.5, 0.9))
         .select(col("group").as("l_returnflag"),
           round(col("p") * 1e6).cast("long").as("p_ppm"),
