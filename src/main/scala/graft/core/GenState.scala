@@ -145,11 +145,21 @@ object GenState {
       f"$genPrefix$next%016d$suffix")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .write.mode("errorifexists").parquet(nextPath.toString)
-    // the just-written generation is explicitly protected: on a
-    // deployment where the committer writes no _SUCCESS marker
+    // a generation is only VALID (readable, prune-surviving) with its
+    // _SUCCESS marker. On a deployment where the committer writes none
     // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false, common
-    // on object stores) the sweep would otherwise classify its own
-    // commit as a crash-orphan and delete the data it just wrote
+    // on object stores) protecting only the committing call is NOT
+    // enough: the NEXT commit's sweep would classify this unmarked
+    // generation as a crash-orphan and delete it, and read() could
+    // never resolve it either. The write above has already completed,
+    // so the commit IS done — write the marker ourselves; failing to
+    // create it must fail the commit loudly rather than hand the next
+    // sweep a doomed snapshot.
+    val marker = new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
+    // the just-written generation stays explicitly protected anyway —
+    // a racing concurrent sweep between write and marker must not
+    // delete the data either
     pruneImpl(spark, path, keepLast = 2, protectGen = Some(next))
   }
 

@@ -75,12 +75,16 @@ class GenStateSpec extends AnyFunSuite {
     assert(currentValue(path) === 5L)
   }
 
-  test("commit never deletes its own generation when the committer " +
-      "writes no _SUCCESS marker") {
-    // marksuccessfuljobs=false (common on object stores) leaves the
-    // just-written generation unmarked; the commit-time sweep must
-    // protect it rather than classify its own commit as a crash-orphan
-    // and delete the data it just wrote
+  test("commit writes its own _SUCCESS marker when the committer " +
+      "doesn't, so marker-less deployments keep full semantics") {
+    // marksuccessfuljobs=false (common on object stores) makes the
+    // committer leave the generation unmarked. Protecting only the
+    // committing call was NOT enough (r14 advice): the NEXT commit's
+    // sweep would classify the unmarked predecessor as a crash-orphan
+    // and delete it, and read() could never resolve such a generation.
+    // commit therefore writes the marker itself after the parquet
+    // write — everything downstream (read, retention, standalone
+    // prune) then behaves exactly as on a marking deployment.
     val conf = spark.sparkContext.hadoopConfiguration
     val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
     val prev = conf.get(key)
@@ -89,10 +93,19 @@ class GenStateSpec extends AnyFunSuite {
       val root = tmp(); val path = root.resolve("state").toString
       GenState.commit(spark, Seq(Row(42L)), schema, path)
       val names = genDirNames(root.resolve("state"))
-      assert(names.size === 1, s"unmarked own-commit must survive: $names")
-      // a STANDALONE prune still sweeps it as an orphan — only the
-      // committing call protects its own generation
-      assert(GenState.prune(spark, path) === 1)
+      assert(names.size === 1, s"own-commit must survive: $names")
+      assert(root.resolve("state").resolve(names.head)
+        .resolve("_SUCCESS").toFile.exists,
+        "commit must backfill the missing _SUCCESS marker")
+      // the generation is genuinely valid: read resolves it and a
+      // standalone sweep KEEPS it (not an orphan)
+      assert(currentValue(path) === 42L)
+      assert(GenState.prune(spark, path) === 0)
+      // and the next commit retains it as the valid predecessor
+      // instead of sweeping it
+      GenState.commit(spark, Seq(Row(43L)), schema, path)
+      assert(genDirNames(root.resolve("state")).size === 2)
+      assert(currentValue(path) === 43L)
     } finally {
       if (prev == null) conf.unset(key) else conf.set(key, prev)
     }
