@@ -36,6 +36,10 @@ object GraftFunctions {
     "nfc_clean" -> (one(_)(NfcCleanExpr)),
     "lsh_sign_bits" -> (one(_)(LshBitsExpr(_, 32))),
     "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))),
+    "html_extract" -> (one(_)(HtmlExtractExpr)),
+    "html_link_ppm" -> (one(_)(HtmlLinkPpmExpr)),
+    "url_normalize" -> (one(_)(UrlNormalizeExpr)),
+    "url_host" -> (one(_)(UrlHostExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),
     "l2_normalize" -> (one(_)(L2NormalizeExpr)),
     "hash_embed" -> (one(_)(HashEmbedExpr(_, 64))),

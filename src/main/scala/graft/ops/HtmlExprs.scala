@@ -1,0 +1,382 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM HTML→text extraction and URL canonicalization kernels — the
+  * two transforms between the WARC parse ([[graft.ingest.Warc]]) and the
+  * text-curation operators in a web-crawl training pipeline. Single-pass
+  * walkers packaged as codegen kernels ([[KernelUnaryExpression]]):
+  * one static call per row inside whole-stage codegen.
+  *
+  * [[HtmlKernels.extractText]] contract (deterministic, so gates can
+  * recompute expected output from the synthesis formula):
+  *  - comments (`<!-- -->`), doctype/PI tags, and the RAW-TEXT elements
+  *    `script`/`style`/`title`/`noscript` are dropped whole;
+  *  - block-level tags (open or close: p, div, br, h1-h6, li, tr, td,
+  *    table, pre, blockquote, section, article, header, footer, nav,
+  *    aside, main, form, hr, ul, ol, dl, dt, dd, thead, tbody, tfoot,
+  *    th, figure, figcaption, address, center, html, head, body) end
+  *    the current text block; all other tags vanish;
+  *  - named entities amp/lt/gt/quot/apos decode, nbsp decodes to a
+  *    plain space, numeric `&#N;` / `&#xH;` decode as code points; an
+  *    unrecognized `&…` stays literal;
+  *  - within a block, runs of ASCII whitespace (TAB LF FF CR SPACE —
+  *    the WHATWG set, deliberately NOT unicode-aware so both engines
+  *    of the oracle agree) collapse to one space and the block trims;
+  *  - non-empty blocks join with `\n`.
+  *
+  * A tag scan is quote-aware (`<a href="x>y">` does not end at the
+  * quoted `>`), and every walker is total: unterminated constructs
+  * consume to end-of-input rather than throwing.
+  */
+object HtmlKernels {
+
+  private val BlockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("html", "head", "body", "p", "div", "br", "hr",
+      "h1", "h2", "h3", "h4", "h5", "h6",
+      "ul", "ol", "li", "dl", "dt", "dd",
+      "table", "thead", "tbody", "tfoot", "tr", "td", "th",
+      "blockquote", "pre", "section", "article", "header", "footer",
+      "nav", "aside", "main", "figure", "figcaption", "form",
+      "address", "center").foreach(s.add)
+    s
+  }
+
+  private val RawTextTags = Set("script", "style", "title", "noscript")
+
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** Collapse ASCII-whitespace runs to single spaces and trim. */
+  private def normalizeBlock(sb: java.lang.StringBuilder): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (isAsciiWs(c)) { if (out.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Index just past the tag's closing '>', skipping quoted attribute
+    * values; `html.length` when unterminated. `from` points at '<'. */
+  private def tagEnd(html: String, from: Int): Int = {
+    var i = from + 1
+    var quote: Char = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    html.length
+  }
+
+  /** Lowercase tag name at a '<' (after an optional '/'); "" when the
+    * '<' does not open a tag. */
+  private def tagNameAt(html: String, from: Int): String = {
+    var i = from + 1
+    if (i < html.length && html.charAt(i) == '/') i += 1
+    val start = i
+    while (i < html.length && {
+      val c = html.charAt(i)
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9')
+    }) i += 1
+    if (i == start) "" else html.substring(start, i).toLowerCase
+  }
+
+  /** Decode the entity starting at '&'; returns (decoded, next index)
+    * or null when not a recognized entity (the '&' stays literal). */
+  private def entityAt(html: String, from: Int): (String, Int) = {
+    val semi = html.indexOf(';', from + 1)
+    if (semi < 0 || semi - from > 12) return null
+    val body = html.substring(from + 1, semi)
+    val decoded = body match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case _ =>
+        if (body.length >= 2 && body.charAt(0) == '#') {
+          val (digits, radix) =
+            if (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+              (body.substring(2), 16) else (body.substring(1), 10)
+          try {
+            val cp = Integer.parseInt(digits, radix)
+            if (Character.isValidCodePoint(cp) && cp > 0)
+              new String(Character.toChars(cp))
+            else null
+          } catch { case _: NumberFormatException => null }
+        } else null
+    }
+    if (decoded == null) null else (decoded, semi + 1)
+  }
+
+  /** Index of the `</name` close tag (ASCII case-insensitive, name
+    * followed by '>', '/', or whitespace per the HTML raw-text rule)
+    * at/after `from`; -1 when unterminated. In-place scan — no
+    * lowercased copy of the document per raw-text element. */
+  private def rawTextClose(html: String, from: Int, name: String): Int = {
+    val n = html.length
+    var i = from
+    while (i + 2 + name.length <= n) {
+      if (html.charAt(i) == '<' && html.charAt(i + 1) == '/' &&
+          html.regionMatches(true, i + 2, name, 0, name.length)) {
+        val after = i + 2 + name.length
+        if (after >= n) return i
+        val c = html.charAt(after)
+        if (c == '>' || c == '/' || isAsciiWs(c)) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** The shared walker. `anchorOnly = true` keeps only text inside
+    * `<a>` elements (for the link-density boilerplate signal), with
+    * the same block machinery. */
+  private def walk(html: String, anchorOnly: Boolean): String = {
+    val blocks = new java.lang.StringBuilder
+    val cur = new java.lang.StringBuilder
+    var anchorDepth = 0
+    def flush(): Unit = {
+      val b = normalizeBlock(cur)
+      cur.setLength(0)
+      if (b.nonEmpty) {
+        if (blocks.length > 0) blocks.append('\n')
+        blocks.append(b)
+      }
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n &&
+            (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = tagEnd(html, i) // doctype / processing instruction
+        } else {
+          val name = tagNameAt(html, i)
+          if (name.isEmpty) { cur.append(c); i += 1 } // literal '<'
+          else {
+            val isClose = html.charAt(i + 1) == '/'
+            val afterTag = tagEnd(html, i)
+            if (!isClose && RawTextTags.contains(name)) {
+              // raw-text element: drop content to its matching close tag
+              val close = rawTextClose(html, afterTag, name)
+              i = if (close < 0) n else tagEnd(html, close)
+            } else {
+              if (BlockTags.contains(name)) flush()
+              if (name == "a") {
+                if (isClose) { if (anchorDepth > 0) anchorDepth -= 1 }
+                else anchorDepth += 1
+              }
+              i = afterTag
+            }
+          }
+        }
+      } else if (c == '&') {
+        val e = entityAt(html, i)
+        val (txt, next) = if (e == null) ("&", i + 1) else e
+        if (!anchorOnly || anchorDepth > 0) cur.append(txt)
+        i = next
+      } else {
+        if (!anchorOnly || anchorDepth > 0) cur.append(c)
+        i += 1
+      }
+    }
+    flush()
+    blocks.toString
+  }
+
+  def extractText(html: UTF8String): UTF8String =
+    UTF8String.fromString(walk(html.toString, anchorOnly = false))
+
+  /** Link-density boilerplate signal: ppm of the EXTRACTED text that
+    * sits inside `<a>` elements (floor((1e6 × anchor chars) / total
+    * chars); 0 for an empty extract). Chars are Unicode CODE POINTS —
+    * the unit both engines' `length()` counts — not UTF-16 units, so
+    * astral-plane text cannot skew the ratio. Integer ppm by the
+    * repo's dialect-safety discipline — no doubles cross an oracle. */
+  def linkTextPpm(html: UTF8String): Long = {
+    val s = html.toString
+    val full = walk(s, anchorOnly = false)
+    if (full.isEmpty) 0L
+    else {
+      val anchor = walk(s, anchorOnly = true)
+      anchor.codePointCount(0, anchor.length) * 1000000L /
+        full.codePointCount(0, full.length)
+    }
+  }
+}
+
+/** Canonical-URL kernel for URL-level crawl dedup: one deterministic
+  * string form per "same page" URL spelling. Contract (each step is a
+  * published canonicalization convention; the gate oracle recomputes
+  * the expected output from its synthesis formula, so the exact rule
+  * set is pinned):
+  *  - scheme and host lowercase; userinfo dropped; one trailing host
+  *    dot dropped;
+  *  - default ports stripped (http:80, https:443), as is a bare ':';
+  *  - empty path becomes '/';
+  *  - fragment dropped;
+  *  - query: empty params drop, tracking params drop (name starts
+  *    with `utm_`, or is one of fbclid, gclid, msclkid, mc_eid, ref,
+  *    ref_src, igshid, spm), survivors sort by (name, value) byte
+  *    order and rejoin; an emptied query drops its '?'.
+  * A string with no "://" is returned unchanged (total — a relative
+  * or garbage URL classifies downstream, never throws).
+  */
+object UrlKernels {
+
+  private val TrackingNames = Set("fbclid", "gclid", "msclkid", "mc_eid",
+    "ref", "ref_src", "igshid", "spm")
+
+  private def isTracking(name: String): Boolean =
+    name.startsWith("utm_") || TrackingNames.contains(name)
+
+  def normalizeUrl(url: UTF8String): UTF8String = {
+    val s = url.toString
+    val schemeEnd = s.indexOf("://")
+    if (schemeEnd <= 0) return url
+    val scheme = s.substring(0, schemeEnd).toLowerCase
+    val rest = s.substring(schemeEnd + 3)
+    var authEnd = rest.length
+    var k = 0
+    while (k < rest.length && authEnd == rest.length) {
+      val c = rest.charAt(k)
+      if (c == '/' || c == '?' || c == '#') authEnd = k
+      k += 1
+    }
+    var auth = rest.substring(0, authEnd)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    val colon = auth.lastIndexOf(':')
+    var (host, port) =
+      if (colon >= 0) (auth.substring(0, colon), auth.substring(colon + 1))
+      else (auth, "")
+    host = host.toLowerCase
+    if (host.endsWith(".")) host = host.dropRight(1)
+    val keepPort = port.nonEmpty &&
+      !(scheme == "http" && port == "80") &&
+      !(scheme == "https" && port == "443")
+
+    val tail = rest.substring(authEnd)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt < 0) tail else tail.substring(0, hashAt)
+    val qAt = noFrag.indexOf('?')
+    val path0 = if (qAt < 0) noFrag else noFrag.substring(0, qAt)
+    val path = if (path0.isEmpty) "/" else path0
+    val query =
+      if (qAt < 0) ""
+      else {
+        val kept = noFrag.substring(qAt + 1).split("&", -1).toSeq
+          .filter(_.nonEmpty)
+          .filter { p =>
+            val eq = p.indexOf('=')
+            val name = if (eq < 0) p else p.substring(0, eq)
+            !isTracking(name)
+          }
+          .sorted
+        if (kept.isEmpty) "" else "?" + kept.mkString("&")
+      }
+    UTF8String.fromString(
+      scheme + "://" + host + (if (keepPort) ":" + port else "") +
+        path + query)
+  }
+
+  /** The lowercase host of a URL (post-[[normalizeUrl]] rules), or
+    * null for a string with no "://" — the grouping key of per-domain
+    * dedup and crawl politeness stats. */
+  def urlHost(url: UTF8String): UTF8String = {
+    val s = url.toString
+    val schemeEnd = s.indexOf("://")
+    if (schemeEnd <= 0) return null
+    val rest = s.substring(schemeEnd + 3)
+    var authEnd = rest.length
+    var k = 0
+    while (k < rest.length && authEnd == rest.length) {
+      val c = rest.charAt(k)
+      if (c == '/' || c == '?' || c == '#') authEnd = k
+      k += 1
+    }
+    var auth = rest.substring(0, authEnd)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    val colon = auth.lastIndexOf(':')
+    var host = (if (colon >= 0) auth.substring(0, colon) else auth).toLowerCase
+    if (host.endsWith(".")) host = host.dropRight(1)
+    if (host.isEmpty) null else UTF8String.fromString(host)
+  }
+}
+
+case class HtmlExtractExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_extract"
+  override def nullSafeEval(in: Any): Any =
+    HtmlKernels.extractText(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.HtmlKernels.extractText($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class HtmlLinkPpmExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "html_link_ppm"
+  override def nullSafeEval(in: Any): Any =
+    HtmlKernels.linkTextPpm(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.HtmlKernels.linkTextPpm($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class UrlNormalizeExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_normalize"
+  override def nullSafeEval(in: Any): Any =
+    UrlKernels.normalizeUrl(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.UrlKernels.normalizeUrl($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class UrlHostExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_host"
+  override def nullable: Boolean = true // null for non-URL strings
+  override def nullSafeEval(in: Any): Any =
+    UrlKernels.urlHost(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.UrlKernels.urlHost($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column builders — the DataFrame entry points of the HTML/URL ops. */
+object HtmlExprs {
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+  private def c(x: Expression): Column = ColumnBridge.column(x)
+
+  def htmlExtract(html: Column): Column = c(HtmlExtractExpr(e(html)))
+  def htmlLinkPpm(html: Column): Column = c(HtmlLinkPpmExpr(e(html)))
+  def urlNormalize(url: Column): Column = c(UrlNormalizeExpr(e(url)))
+  def urlHost(url: Column): Column = c(UrlHostExpr(e(url)))
+}

@@ -32,6 +32,50 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Hard assignment of every corpus row to its nearest centroid by
+    * cosine — the user-facing clustering step (domain discovery,
+    * cluster-balanced sampling, SemDeDup-style partitioning) over
+    * centroids from ANY source: [[ivfIndex]]'s Lloyd output, an
+    * external model's centroids, or a deterministic seed set.
+    *
+    * Scale shape: centroids broadcast (k×dim doubles), similarity is
+    * one codegen kernel call per (row, centroid), and the argmax is a
+    * `groupBy(id).max(struct(...))` — map-side partial aggregation, no
+    * ranking window, no vector payload in the shuffle (only id +
+    * packed winner cross it).
+    *
+    * Determinism: similarities are ranked as integer micro-units
+    * (`round(cos × 10⁶)` — the repo's no-doubles-across-gates
+    * discipline), ties break to the LOWEST cluster id. Cosine is
+    * computed dot/(|a|·|b|) in input order, matching DuckDB's
+    * `list_cosine_similarity` operation shape bit-for-bit.
+    *
+    * @param corpus    rows to assign
+    * @param id        unique row id column in `corpus`
+    * @param vec       embedding column (`array<float>` or double)
+    * @param centroids (cluster: long, centroid: array<double>) — must
+    *                  be broadcast-small; empty-vector corpus rows are
+    *                  excluded (no cosine exists), mismatched non-empty
+    *                  dims throw (the schema-drift contract)
+    * @return (id, cluster, sim_e6: long)
+    */
+  def assignToCentroids(corpus: DataFrame, id: Column, vec: Column,
+                        centroids: DataFrame): DataFrame = {
+    val rows = corpus.where(size(vec) > 0)
+      .select(id.cast("long").as("aid"), asDouble(vec).as("av"))
+    val sims = rows.crossJoin(broadcast(
+        centroids.select(col("cluster").cast("long").as("cluster"),
+          asDouble(col("centroid")).as("cv"))))
+      .select(col("aid"),
+        struct(
+          round(cosine(col("av"), col("cv")) * 1000000L).cast("long")
+            .as("sim_e6"),
+          (-col("cluster")).as("negc")).as("sc"))
+    sims.groupBy(col("aid")).agg(max(col("sc")).as("w"))
+      .select(col("aid").as("id"), (-col("w.negc")).as("cluster"),
+        col("w.sim_e6").as("sim_e6"))
+  }
+
   /** Exact brute-force top-k: every query vs every corpus row.
     * @param queries (qid, qvec) — must be small (it is broadcast)
     * @param corpus  (cid, cvec)

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Warc
+import graft.ingest.Warc.WarcSpecRec
+
+/** WARC (ISO 28500) codec: build→parse round-trips for plain and
+  * per-record-gzip-member forms, spec details (header folding,
+  * case-insensitive names, CRLF CRLF separators), longest-valid-prefix
+  * totality on truncation/corruption, and the HTTP response split. */
+class WarcSpec extends AnyFunSuite {
+
+  private def rec(i: Int, block: String = "payload"): WarcSpecRec =
+    WarcSpecRec(
+      warcType = if (i == 0) "warcinfo" else "response",
+      recordId = s"<urn:uuid:rec-$i>",
+      targetUri = if (i == 0) None else Some(s"https://example.org/p/$i"),
+      date = "2026-01-02T03:04:05Z",
+      contentType =
+        if (i == 0) "application/warc-fields"
+        else "application/http; msgtype=response",
+      block = block.getBytes(UTF_8))
+
+  test("plain round-trip: every header and block byte survives") {
+    val specs = Seq(rec(0), rec(1, "HTTP/1.1 200 OK\r\n\r\n<html>x</html>"),
+      rec(2, ""))
+    val parsed = Warc.parseWarc(Warc.buildWarc(specs))
+    assert(parsed.length == 3)
+    parsed.zip(specs).zipWithIndex.foreach { case ((p, s), i) =>
+      assert(p.recIdx == i)
+      assert(p.warcType == s.warcType)
+      assert(p.recordId == s.recordId)
+      assert(p.targetUri == s.targetUri)
+      assert(p.date == s.date)
+      assert(p.contentType == s.contentType)
+      assert(p.block.sameElements(s.block))
+    }
+  }
+
+  test("gzip round-trip: one member per record parses identically") {
+    val specs = Seq(rec(0), rec(1), rec(2, "x" * 100000))
+    val gz = Warc.buildWarcGz(specs)
+    assert((gz(0) & 0xFF) == 0x1F && (gz(1) & 0xFF) == 0x8B)
+    val parsed = Warc.parseWarc(gz)
+    assert(parsed.map(_.recordId) == specs.map(_.recordId))
+    assert(parsed(2).block.length == 100000)
+    // and each member alone is a valid one-record file (the Common
+    // Crawl splittability property the per-member form exists for)
+    assert(Warc.parseWarc(Warc.buildWarcGz(Seq(rec(1)))).length == 1)
+  }
+
+  test("unicode blocks survive byte-exact") {
+    val s = rec(1, "héllo wörld é世界 😀")
+    val p = Warc.parseWarc(Warc.buildWarc(Seq(s)))
+    assert(p.head.block.sameElements(s.block))
+  }
+
+  test("header folding and case-insensitive names parse per spec") {
+    val body = "abc"
+    val raw = ("WARC/1.0\r\n" +
+      "warc-type: response\r\n" +
+      "WARC-RECORD-ID: <urn:uuid:x>\r\n" +
+      "WARC-Target-URI: https://example.org/very/long\r\n" +
+      " /folded/path\r\n" + // continuation line folds with one space
+      "warc-date: 2026-01-01T00:00:00Z\r\n" +
+      "content-length: 3\r\n" +
+      "Content-Type: text/plain\r\n" +
+      "\r\n" + body + "\r\n\r\n").getBytes(UTF_8)
+    val p = Warc.parseWarc(raw)
+    assert(p.length == 1)
+    assert(p.head.warcType == "response")
+    assert(p.head.targetUri.contains("https://example.org/very/long /folded/path"))
+    assert(new String(p.head.block, UTF_8) == body)
+  }
+
+  test("truncation yields the longest valid record prefix, never throws") {
+    val full = Warc.buildWarc(Seq(rec(0), rec(1), rec(2)))
+    val oneAndTwo = Warc.buildWarc(Seq(rec(0), rec(1))).length
+    for (cut <- 0 to full.length) {
+      val got = Warc.parseWarc(full.take(cut))
+      val want =
+        if (cut >= full.length) 3
+        else if (cut >= oneAndTwo) 2
+        else if (cut >= Warc.buildWarc(Seq(rec(0))).length) 1
+        else 0
+      assert(got.length == want, s"cut=$cut")
+    }
+  }
+
+  test("totality fuzz: garbage, corrupt gzip, hostile Content-Length") {
+    val rnd = new scala.util.Random(0xBEEF)
+    for (i <- 0 until 3000) {
+      val p = new Array[Byte](if (i < 100) i else rnd.nextInt(500))
+      rnd.nextBytes(p)
+      Warc.parseWarc(p) // must not throw
+    }
+    // valid gzip magic, corrupt deflate stream → Nil, not a throw
+    assert(Warc.parseWarc(Array[Byte](0x1F.toByte, 0x8B.toByte, 8, 0,
+      0, 0, 0, 0, 0, 0, 99, 99, 99)) == Nil)
+    // Content-Length far past the payload (incl. the Int-wrap zone)
+    for (len <- Seq("4", s"${Int.MaxValue}", s"${Long.MaxValue}", "-1", "x")) {
+      val raw = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"Content-Length: $len\r\n\r\nab\r\n\r\n").getBytes(UTF_8)
+      val got = Warc.parseWarc(raw)
+      assert(got.isEmpty || new String(got.head.block, UTF_8) == "ab")
+    }
+    // single-byte corruptions of a valid file: parse is total and any
+    // record it does return carries an internally consistent length
+    val base = Warc.buildWarc(Seq(rec(0), rec(1)))
+    for (_ <- 0 until 2000) {
+      val p = base.clone()
+      p(rnd.nextInt(p.length)) = rnd.nextInt().toByte
+      Warc.parseWarc(p).foreach(r => assert(r.block != null))
+    }
+  }
+
+  test("httpParts splits status, headers, body; declines non-HTTP") {
+    val block = ("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: https://example.org/\r\nContent-Type: text/html\r\n" +
+      "\r\n<html>b</html>").getBytes(UTF_8)
+    val Some((status, headers, body)) = Warc.httpParts(block)
+    assert(status == 301)
+    assert(headers.contains("Location: https://example.org/"))
+    assert(new String(body, UTF_8) == "<html>b</html>")
+    assert(Warc.httpParts("no http here".getBytes(UTF_8)).isEmpty)
+    assert(Warc.httpParts("HTTP/1.1 200 OK\r\nno body sep".getBytes(UTF_8)).isEmpty)
+    assert(Warc.httpParts(Array.empty[Byte]).isEmpty)
+    // empty body after the separator is a valid split
+    val Some((s2, _, b2)) =
+      Warc.httpParts("HTTP/1.1 204 No Content\r\n\r\n".getBytes(UTF_8))
+    assert(s2 == 204 && b2.isEmpty)
+  }
+
+  test("recordTable explodes files to typed rows, mixing plain and gz") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val html = "<html><body><p>doc body</p></body></html>"
+    val resp = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    def file(id: Long): Array[Byte] = {
+      val specs = Seq(rec(0), rec(1, resp))
+      if (id % 2 == 0) Warc.buildWarc(specs) else Warc.buildWarcGz(specs)
+    }
+    val files = Seq((1L, file(1)), (2L, file(2)), (3L, "junk".getBytes(UTF_8)))
+      .toDF("fid", "payload")
+    val rows = Warc.recordTable(spark, files, $"fid", $"payload")
+      .orderBy($"file_id", $"rec_idx").collect()
+    assert(rows.length == 4) // 2 each for files 1-2; junk contributes 0
+    val r1 = rows.filter(_.getLong(0) == 1L)
+    assert(r1.map(_.getString(2)).toSeq == Seq("warcinfo", "response"))
+    val respRow = r1(1)
+    assert(respRow.getInt(respRow.fieldIndex("http_status")) == 200)
+    assert(new String(respRow.getAs[Array[Byte]]("body"), UTF_8) == html)
+    // non-response records carry the raw block as body, null status
+    assert(r1(0).isNullAt(r1(0).fieldIndex("http_status")))
+  }
+}
