@@ -63,7 +63,9 @@ object Bench {
     "weighted_quantiles_incremental", "multimodal_av_containers",
     "corpus_mix_temperature", "split_leakage_safe",
     "corpus_mix_temperature_epochs", "corpus_mix_temperature_incremental",
-    "corpus_mix_temperature_epochs_incremental")
+    "corpus_mix_temperature_epochs_incremental",
+    "warc_parse", "html_extract", "url_normalize", "web_pipeline",
+    "cluster_assign")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

@@ -1908,7 +1908,170 @@ object ExtensionQueries {
             .otherwise(0).as("ok_bounds"))
         .orderBy(col("doc_id"))
     }),
+
+    // REAL WARC (ISO 28500) parsing: spec-valid crawl shards synthesized
+    // from the documents columns — three records per doc (warcinfo +
+    // an HTTP response carrying a deterministic HTML page + metadata),
+    // HALF of them compressed as per-record gzip members (the Common
+    // Crawl .warc.gz convention; the oracle is deliberately blind to
+    // which, pinning compression-transparency). Parsed BACK by the
+    // byte-level record walk; the oracle recomputes every header field,
+    // content length, and body md5 from the synthesis formulas, so a
+    // header-fold, Content-Length, separator, HTTP-split, or gzip
+    //-member bug cannot hide.
+    "warc_parse" -> ((s, dir) => {
+      graft.ingest.Warc.recordTable(s, syntheticWarc(s, dir),
+          col("doc_id"), col("payload"))
+        .select(col("file_id").as("doc_id"), col("rec_idx"),
+          col("warc_type"), col("record_id"), col("target_uri"),
+          col("date_s"), col("content_type"), col("content_length"),
+          col("http_status"), md5(col("body")).as("body_md5"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
+    // HTML→text boilerplate extraction (codegen kernel): deterministic
+    // pages wrap each doc's ESCAPED text in real page furniture
+    // (title/script/style to drop, h1 + anchor blocks, a comment), and
+    // the kernel must strip the furniture, decode the entities back to
+    // the original text, collapse ASCII whitespace, and segment blocks.
+    // The oracle rebuilds the expected extract from the source columns
+    // alone — chars, md5, and the anchor-share link-density ppm.
+    "html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, t, src) => (id, Web.html(t, src)) })
+        .toDF("doc_id", "html")
+      pages.select(col("doc_id"),
+          graft.ops.HtmlExprs.htmlExtract(col("html")).as("txt"),
+          graft.ops.HtmlExprs.htmlLinkPpm(col("html")).as("link_ppm"))
+        .select(col("doc_id"),
+          length(col("txt")).cast("long").as("extract_chars"),
+          md5(col("txt")).as("extract_md5"), col("link_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical-URL normalization (codegen kernel) for URL-level crawl
+    // dedup: three messy spellings per doc (uppercase host + userinfo +
+    // default port + tracking params + fragment; portless-https with
+    // duplicate param names; non-http scheme with unsorted params and
+    // empty-param tail). The oracle states the expected canonical form
+    // directly from the synthesis arithmetic — it does NOT re-implement
+    // the normalizer, so a rule regression cannot self-confirm.
+    "url_normalize" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) => (id, Web.url(id, src)) })
+        .toDF("doc_id", "url")
+        .select(col("doc_id"), col("url"),
+          graft.ops.HtmlExprs.urlNormalize(col("url")).as("url_norm"),
+          graft.ops.HtmlExprs.urlHost(col("url")).as("host"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The composed Common Crawl ingest chain — WARC shard → record
+    // explode → HTTP response bodies → HTML text extraction + URL
+    // canonicalization — one narrow plan, no shuffle until a downstream
+    // operator needs one. The oracle recomputes the end state from the
+    // source columns, so a drift ANYWHERE in the chain (record walk,
+    // HTTP split, charset decode, extraction, URL rules) surfaces here
+    // even if each piece gate still passes its own.
+    "web_pipeline" -> ((s, dir) => {
+      graft.ingest.Warc.recordTable(s, syntheticWarc(s, dir),
+          col("doc_id"), col("payload"))
+        .where(col("warc_type") === "response")
+        .select(col("file_id").as("doc_id"),
+          graft.ops.HtmlExprs.urlNormalize(col("target_uri")).as("url_norm"),
+          graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
+          graft.ops.HtmlExprs.htmlExtract(col("body").cast("string"))
+            .as("txt"),
+          graft.ops.HtmlExprs.htmlLinkPpm(col("body").cast("string"))
+            .as("link_ppm"))
+        .select(col("doc_id"), col("url_norm"), col("host"),
+          length(col("txt")).cast("long").as("extract_chars"),
+          md5(col("txt")).as("extract_md5"), col("link_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Nearest-centroid hard assignment (Ann.assignToCentroids): every
+    // embedding against a deterministic centroid set (the 8 lowest
+    // vec_ids), argmax cosine as integer micro-units with
+    // lowest-cluster tie-break. The oracle recomputes every assignment
+    // by brute force (cross join + ranked window) — a broadcast,
+    // struct-max packing, negation, or rounding bug cannot hide.
+    "cluster_assign" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .where(size(col("embedding")) > 0)
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("centroid"))
+      Ann.assignToCentroids(emb, col("vec_id"), col("embedding"), cents)
+        .select(col("id").as("vec_id"), col("cluster"), col("sim_e6"))
+        .orderBy(col("vec_id"))
+    }),
   )
+
+  /** Shared web-crawl synthesis formulas (Scala side of the
+    * warc/html/url gates; the oracle CTE [[webCte]] restates the same
+    * arithmetic in SQL — one place per engine, so the three gates
+    * cannot drift from each other). */
+  private[queries] object Web {
+    def esc(t: String): String =
+      t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def html(text: String, source: String): String =
+      "<html><head><title>t</title><script>var x = 1 < 2;</script>" +
+        "<style>p { }</style></head><body><h1>" + source + "</h1><p>" +
+        esc(if (text == null) "" else text) + "</p>" +
+        "<a href=\"https://link.example/\">link text</a>" +
+        "<!-- boilerplate --></body></html>"
+
+    def url(id: Long, source: String): String = (id % 3) match {
+      case 0 => "HTTP://User@WWW.Example-" + (id % 10) + ".COM.:80/" +
+        source + "/" + id + "?utm_source=w&b=" + (id % 7) + "&a=1#frag"
+      case 1 => "https://API.Site" + (id % 5) + ".ORG:443?x=" + (id % 4) +
+        "&x=0"
+      case _ => "ftp://Files." + source + ".Example.com/pub/" + id +
+        "?c=2&A=1&"
+    }
+
+    def date(id: Long): String =
+      "2026-01-0" + (1 + id % 9) + "T00:00:0" + (id % 10) + "Z"
+  }
+
+  /** Synthetic WARC crawl shards for the warc/web gates: one file per
+    * doc (warcinfo + HTTP response with the [[Web.html]] page +
+    * metadata), even doc_id → plain, odd → per-record gzip members. */
+  private def syntheticWarc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.ingest.Warc
+    import graft.ingest.Warc.WarcSpecRec
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (id, text0, lang, source) =>
+        val text = if (text0 == null) "" else text0
+        val uri = Web.url(id, source)
+        val date = Web.date(id)
+        val http = "HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n\r\n" +
+          Web.html(text, source)
+        val recs = Seq(
+          WarcSpecRec("warcinfo", s"<urn:uuid:warcinfo-$id>", None, date,
+            "application/warc-fields",
+            "software: graft/0.1\r\nformat: WARC file version 1.1"
+              .getBytes(UTF_8)),
+          WarcSpecRec("response", s"<urn:uuid:resp-$id>", Some(uri), date,
+            "application/http; msgtype=response", http.getBytes(UTF_8)),
+          WarcSpecRec("metadata", s"<urn:uuid:meta-$id>", Some(uri), date,
+            "application/warc-fields",
+            ("lang: " + lang + "\r\nsourceName: " + source).getBytes(UTF_8)))
+        (id, if (id % 2 == 0) Warc.buildWarc(recs) else Warc.buildWarcGz(recs))
+      }).toDF("doc_id", "payload")
+  }
 
   /** Shared synthetic media table for the container/decode gates: REAL
     * WAV/BMP payloads built from the documents columns — even doc_id →
@@ -2053,6 +2216,57 @@ object ExtensionQueries {
 
   /** Normalize-and-tokenize CTE (mirrors TextOps.normalized + tokens) —
     * the shared front of every shingle-based oracle. */
+  /** SQL restatement of the [[Web]] synthesis formulas — the oracle
+    * side of the warc/html/url/web gates. Exposes per-doc: the built
+    * `html` page and messy `url`, the EXPECTED canonical `url_norm` +
+    * `host` (stated from the arithmetic, not a re-implemented
+    * normalizer), and the EXPECTED `extract` (h1 block, entity
+    * round-tripped text with ASCII-ws collapsed, anchor block). */
+  // NOTE: this fragment is interpolated into oracle strings that call
+  // .stripMargin AGAIN — no line here may begin with '|' (a leading
+  // '||' concat would lose a pipe to the second strip)
+  private val webCte: String =
+    """d AS (
+      |  SELECT doc_id, lang, source, coalesce(text, '') AS t
+      |  FROM documents),
+      |w AS (
+      |  SELECT *,
+      |    '<html><head><title>t</title><script>var x = 1 < 2;</script>' ||
+      |      '<style>p { }</style></head><body><h1>' || source ||
+      |      '</h1><p>' ||
+      |      replace(replace(replace(t, '&', '&amp;'), '<', '&lt;'),
+      |        '>', '&gt;') ||
+      |      '</p><a href="https://link.example/">link text</a>' ||
+      |      '<!-- boilerplate --></body></html>' AS html,
+      |    CASE cast(doc_id % 3 AS int)
+      |      WHEN 0 THEN 'HTTP://User@WWW.Example-' || (doc_id % 10) ||
+      |        '.COM.:80/' || source || '/' || doc_id ||
+      |        '?utm_source=w&b=' || (doc_id % 7) || '&a=1#frag'
+      |      WHEN 1 THEN 'https://API.Site' || (doc_id % 5) ||
+      |        '.ORG:443?x=' || (doc_id % 4) || '&x=0'
+      |      ELSE 'ftp://Files.' || source || '.Example.com/pub/' ||
+      |        doc_id || '?c=2&A=1&' END AS url,
+      |    CASE cast(doc_id % 3 AS int)
+      |      WHEN 0 THEN 'http://www.example-' || (doc_id % 10) ||
+      |        '.com/' || source || '/' || doc_id || '?a=1&b=' ||
+      |        (doc_id % 7)
+      |      WHEN 1 THEN 'https://api.site' || (doc_id % 5) ||
+      |        '.org/?x=0&x=' || (doc_id % 4)
+      |      ELSE 'ftp://files.' || lower(source) || '.example.com/pub/' ||
+      |        doc_id || '?A=1&c=2' END AS url_norm,
+      |    CASE cast(doc_id % 3 AS int)
+      |      WHEN 0 THEN 'www.example-' || (doc_id % 10) || '.com'
+      |      WHEN 1 THEN 'api.site' || (doc_id % 5) || '.org'
+      |      ELSE 'files.' || lower(source) || '.example.com' END AS host,
+      |    trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'), ' ') AS coll
+      |  FROM d),
+      |x AS (
+      |  SELECT *,
+      |    CASE WHEN coll = '' THEN source || chr(10) || 'link text'
+      |         ELSE source || chr(10) || coll || chr(10) || 'link text'
+      |    END AS extract
+      |  FROM w)""".stripMargin
+
   private val toksCte: String =
     """toks AS (
       |  SELECT doc_id,
@@ -3820,5 +4034,87 @@ object ExtensionQueries {
          |  cast(1 AS int) AS ok_roundtrip,
          |  cast(1 AS int) AS ok_bounds
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // every WARC header field, content length, and body md5 recomputed
+    // from the synthesis formulas (webCte); 3 rows per doc via range(3).
+    // Deliberately blind to plain-vs-gzip — the parse must be identical.
+    "warc_parse" ->
+      s"""WITH $webCte,
+         |r AS (SELECT *, unnest(range(3)) AS i FROM x)
+         |SELECT doc_id, cast(i AS int) AS rec_idx,
+         |  CASE i WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'response'
+         |    ELSE 'metadata' END AS warc_type,
+         |  CASE i WHEN 0 THEN '<urn:uuid:warcinfo-' || doc_id || '>'
+         |    WHEN 1 THEN '<urn:uuid:resp-' || doc_id || '>'
+         |    ELSE '<urn:uuid:meta-' || doc_id || '>' END AS record_id,
+         |  CASE WHEN i = 0 THEN NULL ELSE url END AS target_uri,
+         |  '2026-01-0' || (1 + doc_id % 9) || 'T00:00:0' || (doc_id % 10)
+         |    || 'Z' AS date_s,
+         |  CASE i WHEN 1 THEN 'application/http; msgtype=response'
+         |    ELSE 'application/warc-fields' END AS content_type,
+         |  cast(CASE i
+         |    WHEN 0 THEN strlen('software: graft/0.1' || chr(13) ||
+         |      chr(10) || 'format: WARC file version 1.1')
+         |    WHEN 1 THEN strlen('HTTP/1.1 200 OK' || chr(13) ||
+         |      chr(10) || 'Content-Type: text/html; charset=utf-8' ||
+         |      chr(13) || chr(10) || chr(13) || chr(10) || html)
+         |    ELSE strlen('lang: ' || lang || chr(13) || chr(10) ||
+         |      'sourceName: ' || source)
+         |    END AS bigint) AS content_length,
+         |  cast(CASE WHEN i = 1 THEN 200 ELSE NULL END AS int)
+         |    AS http_status,
+         |  CASE i
+         |    WHEN 0 THEN md5('software: graft/0.1' || chr(13) || chr(10) ||
+         |      'format: WARC file version 1.1')
+         |    WHEN 1 THEN md5(html)
+         |    ELSE md5('lang: ' || lang || chr(13) || chr(10) ||
+         |      'sourceName: ' || source)
+         |    END AS body_md5
+         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // expected extract restated from the source columns (block
+    // segmentation + entity round-trip + ASCII-ws collapse), never by
+    // re-running an extractor
+    "html_extract" ->
+      s"""WITH $webCte
+         |SELECT doc_id,
+         |  cast(length(extract) AS bigint) AS extract_chars,
+         |  md5(extract) AS extract_md5,
+         |  9 * 1000000 // length(extract) AS link_ppm
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // expected canonical form stated directly from the synthesis
+    // arithmetic — the oracle does NOT re-implement the normalizer
+    "url_normalize" ->
+      s"""WITH $webCte
+         |SELECT doc_id, url, url_norm, host FROM x
+         |ORDER BY doc_id""".stripMargin,
+
+    // end state of the composed WARC → HTTP → HTML → URL chain
+    "web_pipeline" ->
+      s"""WITH $webCte
+         |SELECT doc_id, url_norm, host,
+         |  cast(length(extract) AS bigint) AS extract_chars,
+         |  md5(extract) AS extract_md5,
+         |  9 * 1000000 // length(extract) AS link_ppm
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // brute-force argmax assignment: cross join to the same 8 lowest-id
+    // centroids, ranked window (sim desc, cluster asc), row 1 per vec
+    "cluster_assign" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding AS double[]) AS e
+        |  FROM embeddings WHERE len(embedding) > 0),
+        |c AS (SELECT vec_id AS cluster, e AS ce FROM v
+        |  ORDER BY vec_id LIMIT 8),
+        |s AS (
+        |  SELECT v.vec_id, c.cluster,
+        |    cast(round(list_cosine_similarity(v.e, c.ce) * 1000000)
+        |      AS bigint) AS sim_e6
+        |  FROM v CROSS JOIN c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY sim_e6 DESC, cluster) AS rn FROM s)
+        |SELECT vec_id, cluster, sim_e6 FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
   )
 }
