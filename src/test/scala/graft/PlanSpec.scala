@@ -335,4 +335,30 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 4, s"unexpected exchange count:\n$p")
   }
+
+  test("web pipeline is one narrow chain — no exchange before the display sort") {
+    // WARC explode → HTTP bodies → HTML extraction → URL kernels must
+    // all run inside the scan's partitions: the ONLY exchange in the
+    // gate plan is the final orderBy (which exists for the oracle, not
+    // the operator). At 100 TB this is the difference between a
+    // map-only ingest and shuffling the raw crawl bytes.
+    val p = plan(SparkEntry.queries("web_pipeline")(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"web pipeline should not shuffle:\n$p")
+    // and the one scan reads only the columns the synthesis needs
+    assert("Scan parquet".r.findAllIn(p).size / 2 === 1)
+  }
+
+  test("html/url kernels evaluate inside WholeStageCodegen") {
+    val df = Tables(spark, dir, "documents")
+      .select(graft.ops.HtmlExprs.htmlExtract(col("text")).as("t"),
+        graft.ops.HtmlExprs.urlNormalize(col("text")).as("u"),
+        graft.ops.HtmlExprs.htmlLinkPpm(col("text")).as("p"))
+    val p = plan(df)
+    // formatted mode marks whole-stage membership as "[codegen id : N]"
+    // on the Project hosting the kernels
+    val proj = p.linesIterator.find(_.trim.startsWith("(3) Project"))
+      .orElse(p.linesIterator.find(_.contains("Project"))).get
+    assert(proj.contains("codegen id"), p.take(1200))
+  }
 }
