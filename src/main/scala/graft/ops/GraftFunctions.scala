@@ -38,6 +38,7 @@ object GraftFunctions {
     "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))),
     "html_extract" -> (one(_)(HtmlExtractExpr)),
     "html_link_ppm" -> (one(_)(HtmlLinkPpmExpr)),
+    "html_extract_stats" -> (one(_)(HtmlExtractStatsExpr)),
     "url_normalize" -> (one(_)(UrlNormalizeExpr)),
     "url_host" -> (one(_)(UrlHostExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),

@@ -148,20 +148,34 @@ object HtmlKernels {
     -1
   }
 
-  /** The shared walker. `anchorOnly = true` keeps only text inside
-    * `<a>` elements (for the link-density boilerplate signal), with
-    * the same block machinery. */
-  private def walk(html: String, anchorOnly: Boolean): String = {
+  /** The shared walker — ONE pass producing BOTH the full extract and
+    * the anchor-only extract (same block machinery, text inside `<a>`
+    * elements only). The crawl hot path asks for text AND link density
+    * per page; two independent walks would double (and with the
+    * separate expressions, triple) the per-row cost. */
+  private def walkBoth(html: String): (String, String) = {
     val blocks = new java.lang.StringBuilder
     val cur = new java.lang.StringBuilder
+    val aBlocks = new java.lang.StringBuilder
+    val aCur = new java.lang.StringBuilder
     var anchorDepth = 0
-    def flush(): Unit = {
-      val b = normalizeBlock(cur)
-      cur.setLength(0)
-      if (b.nonEmpty) {
-        if (blocks.length > 0) blocks.append('\n')
-        blocks.append(b)
+    def flushOne(c: java.lang.StringBuilder,
+                 b: java.lang.StringBuilder): Unit = {
+      val t = normalizeBlock(c)
+      c.setLength(0)
+      if (t.nonEmpty) {
+        if (b.length > 0) b.append('\n')
+        b.append(t)
       }
+    }
+    def flush(): Unit = { flushOne(cur, blocks); flushOne(aCur, aBlocks) }
+    def emit(txt: String): Unit = {
+      cur.append(txt)
+      if (anchorDepth > 0) aCur.append(txt)
+    }
+    def emitChar(c: Char): Unit = {
+      cur.append(c)
+      if (anchorDepth > 0) aCur.append(c)
     }
     var i = 0
     val n = html.length
@@ -176,7 +190,7 @@ object HtmlKernels {
           i = tagEnd(html, i) // doctype / processing instruction
         } else {
           val name = tagNameAt(html, i)
-          if (name.isEmpty) { cur.append(c); i += 1 } // literal '<'
+          if (name.isEmpty) { emitChar(c); i += 1 } // literal '<'
           else {
             val isClose = html.charAt(i + 1) == '/'
             val afterTag = tagEnd(html, i)
@@ -196,20 +210,24 @@ object HtmlKernels {
         }
       } else if (c == '&') {
         val e = entityAt(html, i)
-        val (txt, next) = if (e == null) ("&", i + 1) else e
-        if (!anchorOnly || anchorDepth > 0) cur.append(txt)
-        i = next
+        if (e == null) { emitChar('&'); i += 1 }
+        else { emit(e._1); i = e._2 }
       } else {
-        if (!anchorOnly || anchorDepth > 0) cur.append(c)
+        emitChar(c)
         i += 1
       }
     }
     flush()
-    blocks.toString
+    (blocks.toString, aBlocks.toString)
   }
 
   def extractText(html: UTF8String): UTF8String =
-    UTF8String.fromString(walk(html.toString, anchorOnly = false))
+    UTF8String.fromString(walkBoth(html.toString)._1)
+
+  private def ppmOf(full: String, anchor: String): Long =
+    if (full.isEmpty) 0L
+    else anchor.codePointCount(0, anchor.length) * 1000000L /
+      full.codePointCount(0, full.length)
 
   /** Link-density boilerplate signal: ppm of the EXTRACTED text that
     * sits inside `<a>` elements (floor((1e6 × anchor chars) / total
@@ -218,14 +236,19 @@ object HtmlKernels {
     * astral-plane text cannot skew the ratio. Integer ppm by the
     * repo's dialect-safety discipline — no doubles cross an oracle. */
   def linkTextPpm(html: UTF8String): Long = {
-    val s = html.toString
-    val full = walk(s, anchorOnly = false)
-    if (full.isEmpty) 0L
-    else {
-      val anchor = walk(s, anchorOnly = true)
-      anchor.codePointCount(0, anchor.length) * 1000000L /
-        full.codePointCount(0, full.length)
-    }
+    val (full, anchor) = walkBoth(html.toString)
+    ppmOf(full, anchor)
+  }
+
+  /** Both signals from ONE walk, as an InternalRow for the struct
+    * expression ([[HtmlExtractStatsExpr]]) the pipelines should prefer:
+    * separate `html_extract` + `html_link_ppm` projections cannot share
+    * the walk across expression trees, the struct form can. */
+  def extractStats(
+      html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (full, anchor) = walkBoth(html.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(full), ppmOf(full, anchor)))
   }
 }
 
@@ -349,6 +372,24 @@ case class HtmlLinkPpmExpr(child: Expression) extends KernelUnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One-walk struct form of the two HTML signals: (txt, link_ppm). Use
+  * this in pipelines that need both — projecting `s.txt` and
+  * `s.link_ppm` from one `html_extract_stats(html)` evaluates the walk
+  * once (whole-stage subexpression elimination reuses the struct),
+  * where the two scalar kernels would each walk the page. */
+case class HtmlExtractStatsExpr(child: Expression)
+    extends KernelUnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("txt", StringType, nullable = false),
+    StructField("link_ppm", LongType, nullable = false)))
+  override def prettyName: String = "html_extract_stats"
+  override def nullSafeEval(in: Any): Any =
+    HtmlKernels.extractStats(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.HtmlKernels.extractStats($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class UrlNormalizeExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "url_normalize"
@@ -377,6 +418,11 @@ object HtmlExprs {
 
   def htmlExtract(html: Column): Column = c(HtmlExtractExpr(e(html)))
   def htmlLinkPpm(html: Column): Column = c(HtmlLinkPpmExpr(e(html)))
+
+  /** (txt, link_ppm) struct from ONE page walk — prefer in pipelines
+    * needing both signals. */
+  def htmlExtractStats(html: Column): Column =
+    c(HtmlExtractStatsExpr(e(html)))
   def urlNormalize(url: Column): Column = c(UrlNormalizeExpr(e(url)))
   def urlHost(url: Column): Column = c(UrlHostExpr(e(url)))
 }

@@ -1943,12 +1943,14 @@ object ExtensionQueries {
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, t, src) => (id, Web.html(t, src)) })
         .toDF("doc_id", "html")
+      // the one-walk struct form: txt and link_ppm from a single page
+      // pass (subexpression elimination reuses the struct)
       pages.select(col("doc_id"),
-          graft.ops.HtmlExprs.htmlExtract(col("html")).as("txt"),
-          graft.ops.HtmlExprs.htmlLinkPpm(col("html")).as("link_ppm"))
+          graft.ops.HtmlExprs.htmlExtractStats(col("html")).as("s"))
         .select(col("doc_id"),
-          length(col("txt")).cast("long").as("extract_chars"),
-          md5(col("txt")).as("extract_md5"), col("link_ppm"))
+          length(col("s.txt")).cast("long").as("extract_chars"),
+          md5(col("s.txt")).as("extract_md5"),
+          col("s.link_ppm").as("link_ppm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1985,13 +1987,12 @@ object ExtensionQueries {
         .select(col("file_id").as("doc_id"),
           graft.ops.HtmlExprs.urlNormalize(col("target_uri")).as("url_norm"),
           graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
-          graft.ops.HtmlExprs.htmlExtract(col("body").cast("string"))
-            .as("txt"),
-          graft.ops.HtmlExprs.htmlLinkPpm(col("body").cast("string"))
-            .as("link_ppm"))
+          graft.ops.HtmlExprs.htmlExtractStats(col("body").cast("string"))
+            .as("s"))
         .select(col("doc_id"), col("url_norm"), col("host"),
-          length(col("txt")).cast("long").as("extract_chars"),
-          md5(col("txt")).as("extract_md5"), col("link_ppm"))
+          length(col("s.txt")).cast("long").as("extract_chars"),
+          md5(col("s.txt")).as("extract_md5"),
+          col("s.link_ppm").as("link_ppm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2017,7 +2018,7 @@ object ExtensionQueries {
     * warc/html/url gates; the oracle CTE [[webCte]] restates the same
     * arithmetic in SQL — one place per engine, so the three gates
     * cannot drift from each other). */
-  private[queries] object Web {
+  private[graft] object Web {
     def esc(t: String): String =
       t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
