@@ -243,6 +243,80 @@ object Warc {
       http_status: Option[Int],
       body: Array[Byte])
 
+  /** Hadoop Configuration is not Serializable; ship it to tasks via its
+    * own Writable wire form (the standard library-side workaround for
+    * `private[spark] SerializableConfiguration`). */
+  private class SerHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** WET-style export — the WRITE side of the crawl surface: pack each
+    * partition's rows into `conversion` records (text/plain — what
+    * Common Crawl's .wet text extracts are) and write real
+    * `.warc[.gz]` shard files under `path`, at most `maxRecordsPerFile`
+    * records per file. Returns after writing `path/_manifest` (parquet:
+    * file, n_records, bytes) — the loader's pre-consume check, same
+    * convention as [[graft.sinks.Sinks.shardedExport]].
+    *
+    * Scale shape: one narrow pass — each task serializes its own rows
+    * and writes its own files (no shuffle, no driver bytes); gzip is
+    * per-record-member, so every emitted file is independently
+    * splittable at member boundaries. File names are deterministic
+    * (`wet-<partition>-<seq>`), so a retried task overwrites its own
+    * attempt rather than duplicating records. The destination is
+    * cleared up front (overwrite semantics — partial output from a
+    * previous crashed export cannot mix in).
+    */
+  def wetExport(spark: SparkSession, docs: DataFrame, id: Column,
+                uri: Column, date: Column, text: Column, path: String,
+                maxRecordsPerFile: Int = 1000,
+                gzip: Boolean = true): Unit = {
+    import spark.implicits._
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val dfs = root.getFileSystem(hconf)
+    if (dfs.exists(root)) dfs.delete(root, true)
+    dfs.mkdirs(root)
+    val ser = new SerHadoopConf(hconf)
+    val suffix = if (gzip) ".warc.gz" else ".warc"
+    val manifest = docs
+      .select(id.cast("long").as("i"), uri.cast("string").as("u"),
+        date.cast("string").as("d"), text.cast("string").as("t"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(ser.conf)
+        it.grouped(maxRecordsPerFile).zipWithIndex.map { case (chunk, seq) =>
+          val recs = chunk.map { case (i, u, d, t) =>
+            WarcSpecRec("conversion", s"<urn:uuid:conv-$i>", Option(u),
+              if (d == null) "" else d, "text/plain",
+              (if (t == null) "" else t).getBytes(UTF_8))
+          }
+          val bytes = if (gzip) buildWarcGz(recs) else buildWarc(recs)
+          val name = f"wet-$pid%05d-$seq%04d$suffix"
+          val out = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
+          try out.write(bytes) finally out.close()
+          (name, chunk.size.toLong, bytes.length.toLong)
+        }
+      }
+      .toDF("file", "n_records", "bytes")
+    // writing the manifest is what executes the export (one pass: the
+    // same task that wrote a file reports its counts — never a second
+    // scan of `docs` that could disagree with the files)
+    manifest.orderBy(org.apache.spark.sql.functions.col("file")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
   /** Spark surface: explode a (file id, WARC payload) frame into one
     * row per record — the crawl-shard → document boundary. Narrow
     * (mapPartitions, no shuffle); plain and gzip shards mix freely in

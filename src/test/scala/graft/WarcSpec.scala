@@ -156,4 +156,57 @@ class WarcSpec extends AnyFunSuite {
     // non-response records carry the raw block as body, null status
     assert(r1(0).isNullAt(r1(0).fieldIndex("http_status")))
   }
+
+  test("wetExport writes splittable shards that round-trip, with a manifest") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val docs = (0L until 250L).map(i =>
+      (i, s"https://x.example/$i", "2026-02-03T04:05:06Z",
+        s"text of doc $i " + ("y" * (i % 40).toInt)))
+      .toDF("doc_id", "uri", "date", "text").repartition(3)
+    for (gzip <- Seq(true, false)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_wet").toString + "/out"
+      Warc.wetExport(spark, docs, $"doc_id", $"uri", $"date", $"text",
+        dir, maxRecordsPerFile = 40, gzip = gzip)
+      val files = spark.read.format("binaryFile")
+        .load(dir + (if (gzip) "/*.warc.gz" else "/*.warc"))
+        .select(input_file_name().as("f"), col("content"))
+        .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      // per-file cap holds and every file parses independently
+      val parsedPerFile = files.map { case (f, bytes) =>
+        val recs = Warc.parseWarc(bytes)
+        assert(recs.nonEmpty && recs.length <= 40, f)
+        recs.foreach { r =>
+          assert(r.warcType == "conversion")
+          assert(r.contentType == "text/plain")
+          assert(r.date == "2026-02-03T04:05:06Z")
+        }
+        recs
+      }
+      // full round trip: every doc's text and uri back byte-exact
+      val back = parsedPerFile.flatten.map { r =>
+        val i = r.recordId.stripPrefix("<urn:uuid:conv-").stripSuffix(">").toLong
+        (i, r.targetUri.get, new String(r.block, UTF_8))
+      }.toSet
+      val want = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+      assert(back === want)
+      // manifest agrees with what is on disk
+      val man = spark.read.parquet(dir + "/_manifest").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(man.map(_._2).sum == 250L)
+      val byName = files.map { case (f, b) =>
+        f.substring(f.lastIndexOf('/') + 1) -> b.length.toLong }.toMap
+      man.foreach { case (name, _, bytes) =>
+        assert(byName(name) == bytes, name) }
+      // and a second export over the same dir replaces, never mixes
+      Warc.wetExport(spark, docs.limit(10), $"doc_id", $"uri", $"date",
+        $"text", dir, maxRecordsPerFile = 40, gzip = gzip)
+      val n2 = spark.read.parquet(dir + "/_manifest")
+        .agg(org.apache.spark.sql.functions.sum("n_records")).head().getLong(0)
+      assert(n2 == 10L)
+    }
+  }
 }
