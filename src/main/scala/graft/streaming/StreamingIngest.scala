@@ -102,6 +102,27 @@ object StreamingIngest {
     * integral `div` in the Long branch because epoch nanos (~1.7e18)
     * exceed double's exact-integer range and boundary events would
     * mis-bucket under double division. */
+  /** Streaming crawl ingest: WARC shards (plain or per-record-gzip
+    * `.warc.gz`, e.g. [[graft.ingest.Warc.wetExport]] output or crawl
+    * drops) arriving under `pathGlob` become a stream of parsed record
+    * rows — the `binaryFile` file source feeding the SAME
+    * [[graft.ingest.Warc.recordTable]] walk the batch path uses, so
+    * batch and stream cannot diverge on record semantics (the
+    * muprStream shared-parse discipline). `file_id` is the xxhash64 of
+    * the shard path — the stable id a batch reader over the same files
+    * derives the same way. An unparseable shard contributes no rows,
+    * exactly as in batch. */
+  def warcRecordStream(spark: SparkSession, pathGlob: String): DataFrame = {
+    // binaryFile's schema is FIXED by the format, but the streaming
+    // source requires it stated (no inference on an empty dir)
+    val files = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .load(pathGlob)
+    graft.ingest.Warc.recordTable(spark, files,
+      xxhash64(col("path")), col("content"))
+  }
+
   def windowedEventCounts(events: DataFrame, window_ : String = "1 hour",
                           watermark: String = "2 hours"): DataFrame =
     events
