@@ -241,7 +241,19 @@ object Warc {
       content_type: String,
       content_length: Long,
       http_status: Option[Int],
+      http_content_type: Option[String],
       body: Array[Byte])
+
+  /** The Content-Type header value of an HTTP header block (first
+    * occurrence, case-insensitive name), or None — the charset source
+    * for body decoding ([[graft.ops.HtmlExprs.charsetDecode]]). */
+  def httpContentType(headerBlock: String): Option[String] =
+    headerBlock.split("\r\n").iterator
+      .map(_.split(":", 2))
+      .collectFirst {
+        case Array(k, v) if k.trim.equalsIgnoreCase("content-type") =>
+          v.trim
+      }
 
   /** Hadoop Configuration is not Serializable; ship it to tasks via its
     * own Writable wire form (the standard library-side workaround for
@@ -335,7 +347,8 @@ object Warc {
             if (r.warcType == "response") httpParts(r.block) else None
           WarcRecordRow(id, r.recIdx, r.warcType, r.recordId, r.targetUri,
             r.date, r.contentType, r.block.length.toLong,
-            http.map(_._1), http.map(_._3).getOrElse(r.block))
+            http.map(_._1), http.flatMap(h => httpContentType(h._2)),
+            http.map(_._3).getOrElse(r.block))
         }
       })
       .toDF()

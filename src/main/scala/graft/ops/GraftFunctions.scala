@@ -39,6 +39,8 @@ object GraftFunctions {
     "html_extract" -> (one(_)(HtmlExtractExpr)),
     "html_link_ppm" -> (one(_)(HtmlLinkPpmExpr)),
     "html_extract_stats" -> (one(_)(HtmlExtractStatsExpr)),
+    "html_main_text" -> (one(_)(HtmlMainTextExpr(_, 500000))),
+    "charset_decode" -> (two(_)(CharsetDecodeExpr)),
     "url_normalize" -> (one(_)(UrlNormalizeExpr)),
     "url_host" -> (one(_)(UrlHostExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),

@@ -148,27 +148,25 @@ object HtmlKernels {
     -1
   }
 
-  /** The shared walker — ONE pass producing BOTH the full extract and
-    * the anchor-only extract (same block machinery, text inside `<a>`
-    * elements only). The crawl hot path asks for text AND link density
-    * per page; two independent walks would double (and with the
-    * separate expressions, triple) the per-row cost. */
-  private def walkBoth(html: String): (String, String) = {
-    val blocks = new java.lang.StringBuilder
+  /** The shared walker — ONE pass producing the normalized text of
+    * every non-empty block TOGETHER with that block's anchor-only text
+    * (text inside `<a>` elements, same normalization). Every public
+    * signal assembles from this: full extract (join texts), link
+    * density (cps totals), main text (drop high-link blocks). The
+    * crawl hot path asks for several signals per page; independent
+    * walks would multiply the per-row cost. */
+  private def walkBlocks(
+      html: String): scala.collection.mutable.ArrayBuffer[(String, String)] = {
+    val blocks = new scala.collection.mutable.ArrayBuffer[(String, String)]
     val cur = new java.lang.StringBuilder
-    val aBlocks = new java.lang.StringBuilder
     val aCur = new java.lang.StringBuilder
     var anchorDepth = 0
-    def flushOne(c: java.lang.StringBuilder,
-                 b: java.lang.StringBuilder): Unit = {
-      val t = normalizeBlock(c)
-      c.setLength(0)
-      if (t.nonEmpty) {
-        if (b.length > 0) b.append('\n')
-        b.append(t)
-      }
+    def flush(): Unit = {
+      val t = normalizeBlock(cur)
+      val a = normalizeBlock(aCur)
+      cur.setLength(0); aCur.setLength(0)
+      if (t.nonEmpty) blocks += ((t, a))
     }
-    def flush(): Unit = { flushOne(cur, blocks); flushOne(aCur, aBlocks) }
     def emit(txt: String): Unit = {
       cur.append(txt)
       if (anchorDepth > 0) aCur.append(txt)
@@ -218,16 +216,33 @@ object HtmlKernels {
       }
     }
     flush()
-    (blocks.toString, aBlocks.toString)
+    blocks
+  }
+
+  private def cps(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  private def joinBlocks(
+      blocks: scala.collection.Seq[(String, String)]): String = {
+    val sb = new java.lang.StringBuilder
+    blocks.foreach { case (t, _) =>
+      if (sb.length > 0) sb.append('\n')
+      sb.append(t)
+    }
+    sb.toString
+  }
+
+  private def ppmOf(blocks: scala.collection.Seq[(String, String)]): Long = {
+    // the ratio is over the JOINED extract (block-separating newlines
+    // count in the denominator, matching length(extract) in the oracle)
+    var total = 0L
+    var anchor = 0L
+    blocks.foreach { case (t, a) => total += cps(t) + 1; anchor += cps(a) }
+    if (blocks.isEmpty) 0L else anchor * 1000000L / (total - 1)
   }
 
   def extractText(html: UTF8String): UTF8String =
-    UTF8String.fromString(walkBoth(html.toString)._1)
-
-  private def ppmOf(full: String, anchor: String): Long =
-    if (full.isEmpty) 0L
-    else anchor.codePointCount(0, anchor.length) * 1000000L /
-      full.codePointCount(0, full.length)
+    UTF8String.fromString(joinBlocks(walkBlocks(html.toString)))
 
   /** Link-density boilerplate signal: ppm of the EXTRACTED text that
     * sits inside `<a>` elements (floor((1e6 × anchor chars) / total
@@ -235,10 +250,8 @@ object HtmlKernels {
     * the unit both engines' `length()` counts — not UTF-16 units, so
     * astral-plane text cannot skew the ratio. Integer ppm by the
     * repo's dialect-safety discipline — no doubles cross an oracle. */
-  def linkTextPpm(html: UTF8String): Long = {
-    val (full, anchor) = walkBoth(html.toString)
-    ppmOf(full, anchor)
-  }
+  def linkTextPpm(html: UTF8String): Long =
+    ppmOf(walkBlocks(html.toString))
 
   /** Both signals from ONE walk, as an InternalRow for the struct
     * expression ([[HtmlExtractStatsExpr]]) the pipelines should prefer:
@@ -246,9 +259,43 @@ object HtmlKernels {
     * the walk across expression trees, the struct form can. */
   def extractStats(
       html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val (full, anchor) = walkBoth(html.toString)
+    val blocks = walkBlocks(html.toString)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](UTF8String.fromString(full), ppmOf(full, anchor)))
+      Array[Any](UTF8String.fromString(joinBlocks(blocks)), ppmOf(blocks)))
+  }
+
+  /** Charset-honoring HTTP body decode (see [[CharsetDecodeExpr]]):
+    * charset= parsed from the Content-Type header value; unknown or
+    * absent → UTF-8; malformed bytes always REPLACE to U+FFFD. */
+  private val CharsetParam = java.util.regex.Pattern
+    .compile("(?i)charset\\s*=\\s*\"?([\\w.:+-]+)\"?")
+
+  def charsetDecode(contentType: UTF8String, body: Array[Byte]): UTF8String = {
+    val ct = if (contentType == null) "" else contentType.toString
+    val m = CharsetParam.matcher(ct)
+    val cs =
+      if (m.find()) {
+        try java.nio.charset.Charset.forName(m.group(1))
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+      } else java.nio.charset.StandardCharsets.UTF_8
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(body)).toString)
+  }
+
+  /** MAIN-content extraction — the boilerplate REMOVAL step beyond tag
+    * stripping: blocks whose anchor share exceeds `maxLinkPpm` drop
+    * whole (nav bars, footers, link farms, "related articles" lists —
+    * the jusText/trafilatura link-density heuristic). A block with
+    * anchor_cps × 10⁶ > maxLinkPpm × text_cps is boilerplate; the
+    * survivors join with `\n` exactly like [[extractText]]. */
+  def mainText(html: UTF8String, maxLinkPpm: Int): UTF8String = {
+    val kept = walkBlocks(html.toString).filter { case (t, a) =>
+      cps(a) * 1000000L <= maxLinkPpm.toLong * cps(t)
+    }
+    UTF8String.fromString(joinBlocks(kept))
   }
 }
 
@@ -390,6 +437,40 @@ case class HtmlExtractStatsExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class HtmlMainTextExpr(child: Expression, maxLinkPpm: Int)
+    extends KernelUnaryExpression {
+  require(maxLinkPpm >= 0 && maxLinkPpm <= 1000000,
+    s"maxLinkPpm must be a ppm in [0, 1000000], got $maxLinkPpm")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_main_text"
+  override def nullSafeEval(in: Any): Any =
+    HtmlKernels.mainText(in.asInstanceOf[UTF8String], maxLinkPpm)
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.HtmlKernels.mainText($c, $maxLinkPpm)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-row charset-honoring text decode for HTTP bodies: real crawls
+  * are NOT all UTF-8, and `cast(body AS string)` silently mangles a
+  * Latin-1 page. Reads `charset=...` from the record's Content-Type
+  * (case-insensitive, optional quotes); unknown/absent charsets fall
+  * back to UTF-8. Decoding always REPLACES malformed input (a bad byte
+  * becomes U+FFFD, never a task failure). */
+case class CharsetDecodeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "charset_decode"
+  // left = content type (string), right = body (binary)
+  override def nullSafeEval(ct: Any, body: Any): Any =
+    HtmlKernels.charsetDecode(ct.asInstanceOf[UTF8String],
+      body.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ops.HtmlKernels.charsetDecode($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class UrlNormalizeExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "url_normalize"
@@ -423,6 +504,17 @@ object HtmlExprs {
     * needing both signals. */
   def htmlExtractStats(html: Column): Column =
     c(HtmlExtractStatsExpr(e(html)))
+
+  /** Main-content extract: blocks above `maxLinkPpm` link density drop
+    * whole (nav/footer/link-farm boilerplate). */
+  def htmlMainText(html: Column, maxLinkPpm: Int = 500000): Column =
+    c(HtmlMainTextExpr(e(html), maxLinkPpm))
+
+  /** Charset-honoring HTTP body decode: `charsetDecode(contentType,
+    * body)` — charset= from the header, UTF-8 fallback, REPLACE on
+    * malformed bytes. */
+  def charsetDecode(contentType: Column, body: Column): Column =
+    c(CharsetDecodeExpr(e(contentType), e(body)))
   def urlNormalize(url: Column): Column = c(UrlNormalizeExpr(e(url)))
   def urlHost(url: Column): Column = c(UrlHostExpr(e(url)))
 }

@@ -1987,12 +1987,63 @@ object ExtensionQueries {
         .select(col("file_id").as("doc_id"),
           graft.ops.HtmlExprs.urlNormalize(col("target_uri")).as("url_norm"),
           graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
-          graft.ops.HtmlExprs.htmlExtractStats(col("body").cast("string"))
+          // charset-honoring decode from the HTTP header (here utf-8;
+          // CharsetDecodeSpec legs cover latin-1 and garbage charsets)
+          graft.ops.HtmlExprs.htmlExtractStats(graft.ops.HtmlExprs
+            .charsetDecode(col("http_content_type"), col("body")))
             .as("s"))
         .select(col("doc_id"), col("url_norm"), col("host"),
           length(col("s.txt")).cast("long").as("extract_chars"),
           md5(col("s.txt")).as("extract_md5"),
           col("s.link_ppm").as("link_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MAIN-content extraction (boilerplate REMOVAL, not just tag
+    // stripping): pages wrap each doc's text in a nav bar and a
+    // link-farm footer, both above the 50% link-density cut — the
+    // kernel must drop those blocks whole and keep the h1 + article.
+    // The full extract (kept for contrast) proves the dropped text WAS
+    // in the page; the oracle recomputes both from the source columns.
+    "html_main_text" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, t, src) =>
+          (id, Web.htmlWithNav(t, src))
+        })
+        .toDF("doc_id", "html")
+      pages.select(col("doc_id"),
+          graft.ops.HtmlExprs.htmlMainText(col("html")).as("main"),
+          graft.ops.HtmlExprs.htmlExtract(col("html")).as("full"))
+        .select(col("doc_id"),
+          length(col("main")).cast("long").as("main_chars"),
+          md5(col("main")).as("main_md5"),
+          length(col("full")).cast("long").as("full_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-DOMAIN cap — the crawl diversity step "keep the m best pages
+    // per host": canonical host (url_host kernel) feeds the uniform
+    // top-m-per-group selection, whose groups are DISCOVERED from the
+    // data (a crawl cannot enumerate its hosts up front). No per-group
+    // ranking window anywhere; the oracle IS that window.
+    "domain_top" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, t, src) =>
+          (id, Web.url(id, src), t)
+        })
+        .toDF("doc_id", "url", "text")
+      val scored = docs.select(col("doc_id"),
+        graft.ops.HtmlExprs.urlHost(col("url")).as("host"),
+        round(TextOps.qualityStruct(coalesce(col("text"), lit("")))
+          .getField("alpha_ratio") * 1e6, 0).cast("long").as("q_ppm"))
+      graft.text.BudgetSelect.takeTopPerGroupUniform(scored, col("host"),
+          col("doc_id"), col("q_ppm"), m = 3L)
         .orderBy(col("doc_id"))
     }),
 
@@ -2040,6 +2091,17 @@ object ExtensionQueries {
 
     def date(id: Long): String =
       "2026-01-0" + (1 + id % 9) + "T00:00:0" + (id % 10) + "Z"
+
+    /** The main-text gate's page: real content wrapped in a nav bar
+      * (14/15 anchor cps) and a link-farm footer (13/19) — both above
+      * the 50% link-density cut, so main-content extraction must drop
+      * them whole while keeping the h1 and the article text. */
+    def htmlWithNav(text: String, source: String): String =
+      "<html><body><div><a href=\"/a\">nav one</a> " +
+        "<a href=\"/b\">nav two</a></div><h1>" + source + "</h1><p>" +
+        esc(if (text == null) "" else text) + "</p>" +
+        "<div><a href=\"/x\">more</a> | <a href=\"/y\">links</a> | " +
+        "<a href=\"/z\">here</a></div></body></html>"
   }
 
   /** Synthetic WARC crawl shards for the warc/web gates: one file per
@@ -4083,6 +4145,35 @@ object ExtensionQueries {
          |  md5(extract) AS extract_md5,
          |  9 * 1000000 // length(extract) AS link_ppm
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // main = h1 + article only; full additionally carries the nav bar
+    // and link-farm blocks the kernel must have dropped
+    "html_main_text" ->
+      s"""WITH $webCte
+         |SELECT doc_id,
+         |  cast(length(CASE WHEN coll = '' THEN source
+         |    ELSE source || chr(10) || coll END) AS bigint) AS main_chars,
+         |  md5(CASE WHEN coll = '' THEN source
+         |    ELSE source || chr(10) || coll END) AS main_md5,
+         |  cast(length('nav one nav two' || chr(10) ||
+         |    CASE WHEN coll = '' THEN source
+         |      ELSE source || chr(10) || coll END || chr(10) ||
+         |    'more | links | here') AS bigint) AS full_chars
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the per-host ranked window the operator deliberately avoids,
+    // over the same synthesized hosts (webCte) and quality formula
+    "domain_top" ->
+      s"""WITH $webCte,
+         |t AS (
+         |  SELECT doc_id, host,
+         |    cast(round(len(regexp_extract_all(t, '[A-Za-z]'))
+         |      / greatest(length(t), 1) * 1000000) AS bigint) AS q_ppm
+         |  FROM x),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |  ORDER BY q_ppm DESC, doc_id) AS rn FROM t)
+         |SELECT doc_id, host, q_ppm FROM r WHERE rn <= 3
+         |ORDER BY doc_id""".stripMargin,
 
     // expected canonical form stated directly from the synthesis
     // arithmetic — the oracle does NOT re-implement the normalizer

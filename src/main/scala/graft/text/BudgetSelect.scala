@@ -117,6 +117,31 @@ object BudgetSelect {
     budgetSelectPerGroup(df, group, id, quality, lit(1L), ms, maxHistRows)
   }
 
+  /** Uniform per-group top-m — "at most m best docs per DOMAIN", the
+    * crawl diversity cap — with the groups DISCOVERED from the data:
+    * the named-quota forms require enumerating groups up front, which
+    * a crawl's host column defeats. One bounded distinct pass (capped
+    * BEFORE collection, loud-fail above `maxGroups` — the
+    * `Sampling.maxSources` driver-budget discipline) feeds the same
+    * histogram-cutoff core; everything else stays distributed. */
+  def takeTopPerGroupUniform(df: DataFrame, group: Column, id: Column,
+                             quality: Column, m: Long,
+                             maxGroups: Int = 1 << 20): DataFrame = {
+    require(m >= 0L, "m must be >= 0")
+    require(maxGroups >= 1, "maxGroups must be >= 1")
+    val gs = df.select(group.cast("string").as("__tg"))
+      .where(org.apache.spark.sql.functions.col("__tg").isNotNull)
+      .distinct().limit(maxGroups + 1)
+      .collect().map(_.getString(0))
+    require(gs.length <= maxGroups,
+      s"takeTopPerGroupUniform found more than $maxGroups distinct " +
+        "groups — raise maxGroups (driver holds one string per group) " +
+        "or pre-bucket the group key")
+    if (gs.isEmpty) df.limit(0)
+    else takeTopPerGroup(df, group, id, quality,
+      gs.map(_ -> m).toMap)
+  }
+
   /** Test-seam form: `fanout` (id chunks per refinement round) and
     * `smallCap` (max rows the final window may see) shrink in the spec
     * to force deep refinement on a 200-row corpus. */

@@ -556,4 +556,38 @@ class BudgetSelectSpec extends AnyFunSuite {
       assert(got.size === math.min(m, 200L), s"m=$m size")
     }
   }
+
+  test("takeTopPerGroupUniform ≡ the named-quota form over discovered groups") {
+    // corpus ids are multiples of 7 — group on %5 so groups actually vary
+    val df = corpus(200, seed = 77)
+      .withColumn("g", concat(lit("host"), col("id") % 5)).cache()
+    val groups = (0 until 5).map(i => s"host$i")
+    for (m <- Seq(0L, 1L, 5L, 50L)) {
+      val got = BudgetSelect.takeTopPerGroupUniform(df, col("g"),
+          col("id"), col("q"), m)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val want = BudgetSelect.takeTopPerGroup(df, col("g"), col("id"),
+          col("q"), groups.map(_ -> m).toMap)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(got === want, s"m=$m")
+    }
+    // null group keys never become a discovered group
+    val withNull = df.withColumn("g",
+      when(col("id") % 3 === 0, lit(null)).otherwise(col("g")))
+    val kept = BudgetSelect.takeTopPerGroupUniform(withNull, col("g"),
+      col("id"), col("q"), 1000L)
+    assert(kept.where(col("g").isNull).isEmpty)
+    // driver-budget loud-fail: more groups than maxGroups, capped
+    // BEFORE collection
+    val e = intercept[IllegalArgumentException] {
+      BudgetSelect.takeTopPerGroupUniform(df, col("g"), col("id"),
+        col("q"), 1L, maxGroups = 3)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // empty input → empty output with the input schema, no throw
+    val empty = BudgetSelect.takeTopPerGroupUniform(df.limit(0), col("g"),
+      col("id"), col("q"), 5L)
+    assert(empty.columns.toSeq === df.columns.toSeq)
+    assert(empty.isEmpty)
+  }
 }

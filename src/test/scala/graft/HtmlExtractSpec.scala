@@ -130,6 +130,43 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("main text drops high-link-density blocks whole") {
+    def main(h: String, ppmMax: Int = 500000): String =
+      HtmlKernels.mainText(UTF8String.fromString(h), ppmMax).toString
+    val page = "<div><a href='/'>nav one</a> <a href='/'>nav two</a></div>" +
+      "<h1>Title</h1><p>real article text here</p>" +
+      "<div>see <a href='/'>related</a> and <a href='/'>more</a></div>" +
+      "<div><a href='/x'>x</a>|<a href='/y'>y</a>|<a href='/z'>z</a></div>"
+    // nav: 14/15 anchor → drop; article: 0 → keep; "see related and
+    // more": 11/20 (55%) → drop at 50%, keep at 60%; "x|y|z": 3/5
+    // (60% exactly) → drop at 50%, boundary-keep at 60%
+    assert(main(page) == "Title\nreal article text here")
+    assert(main(page, 600000) ==
+      "Title\nreal article text here\nsee related and more\nx|y|z")
+    assert(main(page, 1000000).contains("nav one"))
+    assert(main("<p>no links at all</p>") == "no links at all")
+    assert(main("<a>only links</a>") == "")
+    assert(main("") == "")
+  }
+
+  test("charset_decode honors the header charset, replaces bad bytes") {
+    def dec(ct: String, bytes: Array[Byte]): String =
+      HtmlKernels.charsetDecode(
+        if (ct == null) null else UTF8String.fromString(ct), bytes).toString
+    val latin1 = "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(latin1.length == 4) // é is ONE byte in latin-1
+    assert(dec("text/html; charset=ISO-8859-1", latin1) == "café")
+    assert(dec("text/html; CHARSET=\"iso-8859-1\"", latin1) == "café")
+    // the same bytes read as UTF-8 would mangle: 0xE9 is malformed
+    assert(dec("text/html; charset=utf-8", latin1) == "caf�")
+    assert(dec("text/html", latin1) == "caf�") // no charset → utf-8
+    assert(dec(null, "ok".getBytes) == "ok")
+    // unknown charset name falls back to utf-8, never throws
+    assert(dec("text/html; charset=klingon-8", "ab".getBytes) == "ab")
+    val utf8 = "café 😀".getBytes("UTF-8")
+    assert(dec("application/json; charset=UTF-8", utf8) == "café 😀")
+  }
+
   test("html_extract_stats (one walk) equals the two scalar kernels") {
     val spark = SparkTestSession.spark
     import spark.implicits._
