@@ -2047,6 +2047,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The full crawl-curation capstone — one declarative chain of this
+    // round's surface feeding the selection + dedup machinery:
+    //   WARC shards → response records → charset-honoring decode →
+    //   MAIN-content extraction → quality scoring → per-domain cap
+    //   (best 5 per host) → exact dedup (canonical survivors).
+    // The oracle recomputes the END STATE from the source columns
+    // (expected main text, quality formula, per-host ranked window,
+    // md5-group dedup), so a drift anywhere in the chain surfaces here
+    // even if every piece gate stays green.
+    "crawl_pipeline" -> ((s, dir) => {
+      val recs = graft.ingest.Warc.recordTable(s, syntheticWarc(s, dir),
+          col("doc_id"), col("payload"))
+        .where(col("warc_type") === "response")
+      val pages = recs.select(col("file_id").as("doc_id"),
+        graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
+        graft.ops.HtmlExprs.htmlMainText(graft.ops.HtmlExprs
+          .charsetDecode(col("http_content_type"), col("body")))
+          .as("main"))
+      val scored = pages.select(col("doc_id"), col("host"), col("main"),
+        round(TextOps.qualityStruct(col("main")).getField("alpha_ratio")
+          * 1e6, 0).cast("long").as("q_ppm"))
+      val capped = graft.text.BudgetSelect.takeTopPerGroupUniform(scored,
+        col("host"), col("doc_id"), col("q_ppm"), m = 5L)
+      Dedup.exactCanonical(capped, col("doc_id"), col("main"))
+        .where(col("doc_id") === col("canonical_id"))
+        .join(capped.select(col("doc_id"), col("host"), col("q_ppm"),
+          md5(col("main")).as("main_md5")), Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("q_ppm"),
+          col("main_md5"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Nearest-centroid hard assignment (Ann.assignToCentroids): every
     // embedding against a deterministic centroid set (the 8 lowest
     // vec_ids), argmax cosine as integer micro-units with
@@ -4160,6 +4192,34 @@ object ExtensionQueries {
          |      ELSE source || chr(10) || coll END || chr(10) ||
          |    'more | links | here') AS bigint) AS full_chars
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the end state of the whole curation chain, recomputed from the
+    // source columns: expected main text, quality formula, per-host
+    // ranked window (the cap), md5-group min-id dedup (the canon)
+    "crawl_pipeline" ->
+      s"""WITH $webCte,
+         |mn AS (
+         |  SELECT doc_id, host,
+         |    CASE WHEN coll = '' THEN source
+         |      ELSE source || chr(10) || coll END AS main
+         |  FROM x),
+         |q AS (
+         |  SELECT doc_id, host, main,
+         |    cast(round(len(regexp_extract_all(main, '[A-Za-z]'))
+         |      / greatest(length(main), 1) * 1000000) AS bigint) AS q_ppm
+         |  FROM mn),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |  ORDER BY q_ppm DESC, doc_id) AS rn FROM q),
+         |cap AS (SELECT doc_id, host, main, q_ppm FROM r WHERE rn <= 5),
+         |dd AS (
+         |  SELECT *,
+         |    min(doc_id) OVER (PARTITION BY md5(main)) AS canonical_id,
+         |    count(*) OVER (PARTITION BY md5(main)) AS n_copies
+         |  FROM cap)
+         |SELECT doc_id, host, q_ppm, md5(main) AS main_md5,
+         |  cast(n_copies AS bigint) AS n_copies
+         |FROM dd WHERE doc_id = canonical_id
+         |ORDER BY doc_id""".stripMargin,
 
     // the per-host ranked window the operator deliberately avoids,
     // over the same synthesized hosts (webCte) and quality formula
