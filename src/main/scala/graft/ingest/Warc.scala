@@ -99,7 +99,11 @@ object Warc {
   private def gunzipAll(payload: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(payload))
-      val out = new ByteArrayOutputStream(payload.length * 4)
+      // initial-size hint only — clamp it: `length * 4` overflows Int
+      // for a >512 MB shard and the constructor would throw, breaking
+      // the totality contract on exactly the payloads that matter
+      val out = new ByteArrayOutputStream(
+        math.min(payload.length.toLong * 4, 1L << 26).toInt)
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -168,7 +172,12 @@ object Warc {
         off = e + 2
       }
     }
-    val hmap = headers.reverse.toMap // first occurrence of a dup name wins
+    // first occurrence of a dup name wins (toMap alone would keep the
+    // last — a smuggled second Content-Length could then reframe the
+    // record past the one the walk validated)
+    val hmap = headers.reverse.foldLeft(Map.empty[String, String]) {
+      case (m, (k, v)) => if (m.contains(k)) m else m.updated(k, v)
+    }
     val len =
       try hmap.get("content-length").map(_.toLong).getOrElse(return None)
       catch { case _: NumberFormatException => return None }

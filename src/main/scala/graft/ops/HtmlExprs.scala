@@ -340,9 +340,13 @@ object UrlKernels {
     var auth = rest.substring(0, authEnd)
     val at = auth.lastIndexOf('@')
     if (at >= 0) auth = auth.substring(at + 1)
+    // a port colon must sit AFTER any bracketed IPv6 literal — the
+    // colons inside [::1] are host chars, not a port separator
     val colon = auth.lastIndexOf(':')
+    val portColon = if (colon > auth.lastIndexOf(']')) colon else -1
     var (host, port) =
-      if (colon >= 0) (auth.substring(0, colon), auth.substring(colon + 1))
+      if (portColon >= 0)
+        (auth.substring(0, portColon), auth.substring(portColon + 1))
       else (auth, "")
     host = host.toLowerCase
     if (host.endsWith(".")) host = host.dropRight(1)
@@ -392,8 +396,11 @@ object UrlKernels {
     var auth = rest.substring(0, authEnd)
     val at = auth.lastIndexOf('@')
     if (at >= 0) auth = auth.substring(at + 1)
+    // same bracketed-IPv6 rule as normalizeUrl
     val colon = auth.lastIndexOf(':')
-    var host = (if (colon >= 0) auth.substring(0, colon) else auth).toLowerCase
+    val portColon = if (colon > auth.lastIndexOf(']')) colon else -1
+    var host =
+      (if (portColon >= 0) auth.substring(0, portColon) else auth).toLowerCase
     if (host.endsWith(".")) host = host.dropRight(1)
     if (host.isEmpty) null else UTF8String.fromString(host)
   }

@@ -98,6 +98,14 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(host("http://") == null)
   }
 
+  test("bracketed IPv6 hosts: inner colons are never a port") {
+    assert(norm("http://[::1]/p") == "http://[::1]/p")
+    assert(norm("http://[::1]:80/p") == "http://[::1]/p")
+    assert(norm("https://[2001:DB8::1]:8080/x") == "https://[2001:db8::1]:8080/x")
+    assert(host("http://[::1]") == "[::1]")
+    assert(host("http://user@[2001:db8::1]:443/p") == "[2001:db8::1]")
+  }
+
   test("totality fuzz: 8k hostile payloads through all four kernels") {
     val rnd = new scala.util.Random(0x7E57)
     val alphabet = "<>&;#/\\\"'=?:@. abAB\u00e9\ud83d\ude00\r\n\t "

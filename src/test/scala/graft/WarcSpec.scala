@@ -117,6 +117,20 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate header names: the FIRST occurrence wins") {
+    // a smuggled second Content-Length must not reframe the record
+    // past the one the walk validated with
+    val raw = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 2\r\nContent-Length: 9999\r\n" +
+      "WARC-Target-URI: https://first.example/\r\n" +
+      "WARC-Target-URI: https://second.example/\r\n" +
+      "\r\nab\r\n\r\n").getBytes(UTF_8)
+    val p = Warc.parseWarc(raw)
+    assert(p.length == 1)
+    assert(new String(p.head.block, UTF_8) == "ab")
+    assert(p.head.targetUri.contains("https://first.example/"))
+  }
+
   test("httpParts splits status, headers, body; declines non-HTTP") {
     val block = ("HTTP/1.1 301 Moved Permanently\r\n" +
       "Location: https://example.org/\r\nContent-Type: text/html\r\n" +
