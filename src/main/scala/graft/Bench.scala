@@ -65,7 +65,8 @@ object Bench {
     "corpus_mix_temperature_epochs", "corpus_mix_temperature_incremental",
     "corpus_mix_temperature_epochs_incremental",
     "warc_parse", "html_extract", "url_normalize", "web_pipeline",
-    "cluster_assign", "html_main_text", "domain_top", "crawl_pipeline")
+    "cluster_assign", "html_main_text", "domain_top", "crawl_pipeline",
+    "html_meta")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

@@ -40,6 +40,7 @@ object GraftFunctions {
     "html_link_ppm" -> (one(_)(HtmlLinkPpmExpr)),
     "html_extract_stats" -> (one(_)(HtmlExtractStatsExpr)),
     "html_main_text" -> (one(_)(HtmlMainTextExpr(_, 500000))),
+    "html_meta" -> (one(_)(HtmlMetaExpr)),
     "charset_decode" -> (two(_)(CharsetDecodeExpr)),
     "url_normalize" -> (one(_)(UrlNormalizeExpr)),
     "url_host" -> (one(_)(UrlHostExpr)),

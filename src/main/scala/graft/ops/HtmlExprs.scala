@@ -264,6 +264,115 @@ object HtmlKernels {
       Array[Any](UTF8String.fromString(joinBlocks(blocks)), ppmOf(blocks)))
   }
 
+  /** Attribute map of the tag opening at `from` ('<'): lowercase names,
+    * quoted or bare values, valueless attrs map to "". Total — an
+    * unterminated tag yields the attrs seen so far. */
+  private def tagAttrs(html: String, from: Int): Map[String, String] = {
+    val end = tagEnd(html, from) - 1 // index of '>' (or n-1 when unterminated)
+    var i = from + 1
+    // skip the (optional '/') tag name
+    if (i < end && html.charAt(i) == '/') i += 1
+    while (i < end && !isAsciiWs(html.charAt(i))) i += 1
+    var attrs = Map.empty[String, String]
+    while (i < end) {
+      while (i < end && (isAsciiWs(html.charAt(i)) || html.charAt(i) == '/'))
+        i += 1
+      val nameStart = i
+      while (i < end && html.charAt(i) != '=' && html.charAt(i) != '/' &&
+        !isAsciiWs(html.charAt(i))) i += 1
+      val name = html.substring(nameStart, i).toLowerCase
+      if (name.isEmpty) i += 1
+      else {
+        while (i < end && isAsciiWs(html.charAt(i))) i += 1
+        var value = ""
+        if (i < end && html.charAt(i) == '=') {
+          i += 1
+          while (i < end && isAsciiWs(html.charAt(i))) i += 1
+          if (i < end && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+            val q = html.charAt(i)
+            val vStart = i + 1
+            i += 1
+            while (i < end && html.charAt(i) != q) i += 1
+            value = html.substring(vStart, i)
+            if (i < end) i += 1
+          } else {
+            val vStart = i
+            while (i < end && !isAsciiWs(html.charAt(i))) i += 1
+            value = html.substring(vStart, i)
+          }
+        }
+        if (!attrs.contains(name)) attrs += (name -> value)
+      }
+    }
+    attrs
+  }
+
+  /** Document metadata the TEXT extractor deliberately drops but crawl
+    * curation wants: `<title>` text (whitespace-normalized, entities
+    * decoded), the `<html lang>` attribute (a language-id prior), the
+    * `rel=canonical` link href (the page's own dedup key), and the
+    * `meta name=description` content. First occurrence of each wins;
+    * absent → null. One pass, total on malformed markup. */
+  def metaOf(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = html.toString
+    var title: String = null
+    var lang: String = null
+    var canonical: String = null
+    var description: String = null
+    val n = s.length
+    var i = 0
+    while (i < n &&
+        (title == null || lang == null || canonical == null ||
+          description == null)) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+        } else {
+          val name = tagNameAt(s, i)
+          val isClose = i + 1 < n && s.charAt(i + 1) == '/'
+          if (name.isEmpty) i += 1
+          else if (!isClose && name == "title" && title == null) {
+            val after = tagEnd(s, i)
+            val close = rawTextClose(s, after, "title")
+            val raw = s.substring(after, if (close < 0) n else close)
+            // normalize exactly like a text block: entities + ASCII-ws
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < raw.length) {
+              if (raw.charAt(j) == '&') {
+                val e = entityAt(raw, j)
+                if (e == null) { sb.append('&'); j += 1 }
+                else { sb.append(e._1); j = e._2 }
+              } else { sb.append(raw.charAt(j)); j += 1 }
+            }
+            title = normalizeBlock(sb)
+            i = if (close < 0) n else tagEnd(s, close)
+          } else {
+            if (!isClose) {
+              if (name == "html" && lang == null)
+                tagAttrs(s, i).get("lang").filter(_.nonEmpty)
+                  .foreach(lang = _)
+              else if (name == "link" && canonical == null) {
+                val a = tagAttrs(s, i)
+                if (a.get("rel").exists(_.equalsIgnoreCase("canonical")))
+                  a.get("href").filter(_.nonEmpty).foreach(canonical = _)
+              } else if (name == "meta" && description == null) {
+                val a = tagAttrs(s, i)
+                if (a.get("name").exists(_.equalsIgnoreCase("description")))
+                  a.get("content").foreach(description = _)
+              }
+            }
+            i = tagEnd(s, i)
+          }
+        }
+      } else i += 1
+    }
+    def u(x: String): UTF8String =
+      if (x == null) null else UTF8String.fromString(x)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](u(title), u(lang), u(canonical), u(description)))
+  }
+
   /** Charset-honoring HTTP body decode (see [[CharsetDecodeExpr]]):
     * charset= parsed from the Content-Type header value; unknown or
     * absent → UTF-8; malformed bytes always REPLACE to U+FFFD. */
@@ -457,6 +566,20 @@ case class HtmlMainTextExpr(child: Expression, maxLinkPpm: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class HtmlMetaExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("lang_attr", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("description", StringType, nullable = true)))
+  override def prettyName: String = "html_meta"
+  override def nullSafeEval(in: Any): Any =
+    HtmlKernels.metaOf(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.HtmlKernels.metaOf($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Per-row charset-honoring text decode for HTTP bodies: real crawls
   * are NOT all UTF-8, and `cast(body AS string)` silently mangles a
   * Latin-1 page. Reads `charset=...` from the record's Content-Type
@@ -516,6 +639,10 @@ object HtmlExprs {
     * whole (nav/footer/link-farm boilerplate). */
   def htmlMainText(html: Column, maxLinkPpm: Int = 500000): Column =
     c(HtmlMainTextExpr(e(html), maxLinkPpm))
+
+  /** (title, lang_attr, canonical, description) struct — the metadata
+    * signals text extraction drops. */
+  def htmlMeta(html: Column): Column = c(HtmlMetaExpr(e(html)))
 
   /** Charset-honoring HTTP body decode: `charsetDecode(contentType,
     * body)` — charset= from the header, UTF-8 fallback, REPLACE on

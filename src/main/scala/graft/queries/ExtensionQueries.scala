@@ -2047,6 +2047,42 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML document METADATA — the signals text extraction deliberately
+    // drops but curation wants: title (entity-decoded, ws-normalized),
+    // the html lang attribute (a language-id prior), the rel=canonical
+    // href (the page's own dedup key), and the meta description. The
+    // synthesis rotates each signal ABSENT (doc_id % 4) and mixes
+    // quoting styles, so a presence/absence or attribute-parsing bug
+    // cannot hide; the oracle restates each field from the columns.
+    "html_meta" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, lang, src) =>
+          val langAttr = if (id % 4 == 0) "" else " lang=\"" + lang + "\""
+          val canon =
+            if (id % 4 == 1) ""
+            else "<link rel=canonical href='https://c.example/" + src +
+              "/" + id + "'/>"
+          val desc =
+            if (id % 4 == 2) ""
+            else "<meta name=\"description\" content=\"doc " + id +
+              " of " + src + "\"/>"
+          (id, "<html" + langAttr + "><head><title> " + src +
+            "  page &amp; " + id + " </title>" + canon + desc +
+            "</head><body><p>x</p></body></html>")
+        })
+        .toDF("doc_id", "html")
+      pages.select(col("doc_id"),
+          graft.ops.HtmlExprs.htmlMeta(col("html")).as("m"))
+        .select(col("doc_id"), col("m.title").as("title"),
+          col("m.lang_attr").as("lang_attr"),
+          col("m.canonical").as("canonical"),
+          col("m.description").as("description"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The full crawl-curation capstone — one declarative chain of this
     // round's surface feeding the selection + dedup machinery:
     //   WARC shards → response records → charset-honoring decode →
@@ -4192,6 +4228,19 @@ object ExtensionQueries {
          |      ELSE source || chr(10) || coll END || chr(10) ||
          |    'more | links | here') AS bigint) AS full_chars
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // each metadata field restated from the synthesis columns, with
+    // the % 4 absence rotation
+    "html_meta" ->
+      """SELECT doc_id,
+        |  source || ' page & ' || doc_id AS title,
+        |  CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS lang_attr,
+        |  CASE WHEN doc_id % 4 = 1 THEN NULL
+        |    ELSE 'https://c.example/' || source || '/' || doc_id
+        |    END AS canonical,
+        |  CASE WHEN doc_id % 4 = 2 THEN NULL
+        |    ELSE 'doc ' || doc_id || ' of ' || source END AS description
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the end state of the whole curation chain, recomputed from the
     // source columns: expected main text, quality formula, per-host

@@ -157,6 +157,34 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(main("") == "")
   }
 
+  test("html_meta: title/lang/canonical/description across quoting styles") {
+    def meta(h: String): (String, String, String, String) = {
+      val r = HtmlKernels.metaOf(UTF8String.fromString(h))
+      def f(i: Int): String = {
+        val v = r.get(i, org.apache.spark.sql.types.StringType)
+        if (v == null) null else v.toString
+      }
+      (f(0), f(1), f(2), f(3))
+    }
+    val full = "<!DOCTYPE html><html LANG='en-US'><head>" +
+      "<title>  A &amp; B\n page </title>" +
+      "<link href=\"https://c.example/1\" rel=\"CANONICAL\"/>" +
+      "<meta content='the desc' name=description></head><body>x</body></html>"
+    assert(meta(full) == ("A & B page", "en-US", "https://c.example/1", "the desc"))
+    // absent signals → null; non-canonical links and other metas ignored
+    assert(meta("<html><head><link rel=stylesheet href=/x.css>" +
+      "<meta name=viewport content=w></head>t</html>") ==
+      (null, null, null, null))
+    // first occurrence wins
+    assert(meta("<title>one</title><title>two</title>")._1 == "one")
+    // unterminated/malformed stays total
+    assert(meta("<html lang=")._2 == null)
+    assert(meta("<title>never closed")._1 == "never closed")
+    assert(meta("")._1 == null)
+    // raw-text title may contain tag-like text
+    assert(meta("<title>a <b> c</title>")._1 == "a <b> c")
+  }
+
   test("charset_decode honors the header charset, replaces bad bytes") {
     def dec(ct: String, bytes: Array[Byte]): String =
       HtmlKernels.charsetDecode(
