@@ -115,4 +115,60 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(buckets >= 0 && buckets < 24)
     }
   }
+
+  test("html extraction round-trips ARBITRARY escaped text (oracle formula)") {
+    import graft.ops.HtmlKernels
+    // the gate contract over any corpus text, not just the sf tables:
+    // extract(page(esc(t))) must equal the webCte formula's restatement
+    def collapse(s: String): String = {
+      val sb = new StringBuilder
+      var pend = false
+      s.foreach { c =>
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+          if (sb.nonEmpty) pend = true
+        } else { if (pend) { sb.append(' '); pend = false }; sb.append(c) }
+      }
+      sb.toString
+    }
+    (0 until 400).foreach { i =>
+      val t = randomText(rnd.nextInt(60))
+      val html = graft.queries.ExtensionQueries.Web.html(t, "src")
+      val got = HtmlKernels
+        .extractText(UTF8String.fromString(html)).toString
+      val coll = collapse(t)
+      val want =
+        if (coll.isEmpty) "src\nlink text"
+        else "src\n" + coll + "\nlink text"
+      assert(got === want, s"case $i: ${t.map(_.toInt).mkString(",")}")
+      // metadata scan is total on the same pages
+      graft.ops.HtmlKernels.metaOf(UTF8String.fromString(html))
+    }
+  }
+
+  test("url normalization is idempotent; host extraction is stable") {
+    import graft.ops.UrlKernels
+    def norm(u: String): String =
+      UrlKernels.normalizeUrl(UTF8String.fromString(u)).toString
+    def host(u: String): String = {
+      val h = UrlKernels.urlHost(UTF8String.fromString(u))
+      if (h == null) null else h.toString
+    }
+    val schemes = Array("HTTP", "https", "FtP", "wss")
+    val hosts = Array("WWW.Example.COM", "api.site.org.", "H-0.io",
+      "[2001:DB8::1]", "[::1]")
+    val ports = Array("", ":80", ":443", ":8080", ":")
+    val users = Array("", "user@", "a:b@")
+    val paths = Array("", "/", "/P/x", "/a//b.")
+    val queries = Array("", "?", "?b=2&a=1", "?utm_source=x&z=1&",
+      "?x=1&x=0&flag", "?utm_a=1&utm_b=2")
+    val frags = Array("", "#f", "#a?b")
+    (0 until 600).foreach { i =>
+      def pick(a: Array[String]) = a(rnd.nextInt(a.length))
+      val u = pick(schemes) + "://" + pick(users) + pick(hosts) +
+        pick(ports) + pick(paths) + pick(queries) + pick(frags)
+      val once = norm(u)
+      assert(norm(once) === once, s"not idempotent on $u -> $once")
+      assert(host(once) === host(u), s"host unstable on $u")
+    }
+  }
 }
