@@ -2101,11 +2101,19 @@ object ExtensionQueries {
         graft.ops.HtmlExprs.htmlMainText(graft.ops.HtmlExprs
           .charsetDecode(col("http_content_type"), col("body")))
           .as("main"))
+      // MATERIALIZE before the selection: takeTopPerGroupUniform is a
+      // multi-pass refinement (group discovery + histogram + chunk
+      // rounds), and each pass would otherwise re-run the whole
+      // WARC-parse + extraction chain — at sf0.1 that read as a 13 s
+      // gate for ~1 s of actual work, and at crawl scale it is the
+      // difference between one ingest pass and a dozen
       val scored = pages.select(col("doc_id"), col("host"), col("main"),
-        round(TextOps.qualityStruct(col("main")).getField("alpha_ratio")
-          * 1e6, 0).cast("long").as("q_ppm"))
+          round(TextOps.qualityStruct(col("main")).getField("alpha_ratio")
+            * 1e6, 0).cast("long").as("q_ppm"))
+        .localCheckpoint(true)
       val capped = graft.text.BudgetSelect.takeTopPerGroupUniform(scored,
-        col("host"), col("doc_id"), col("q_ppm"), m = 5L)
+          col("host"), col("doc_id"), col("q_ppm"), m = 5L)
+        .localCheckpoint(true) // consumed twice by the dedup annotate+join
       Dedup.exactCanonical(capped, col("doc_id"), col("main"))
         .where(col("doc_id") === col("canonical_id"))
         .join(capped.select(col("doc_id"), col("host"), col("q_ppm"),

@@ -123,7 +123,14 @@ object BudgetSelect {
     * a crawl's host column defeats. One bounded distinct pass (capped
     * BEFORE collection, loud-fail above `maxGroups` — the
     * `Sampling.maxSources` driver-budget discipline) feeds the same
-    * histogram-cutoff core; everything else stays distributed. */
+    * histogram-cutoff core; everything else stays distributed.
+    *
+    * MULTI-PASS like the whole refinement family (group discovery +
+    * histogram + chunk rounds each re-evaluate `df`): persist an
+    * EXPENSIVE upstream (a parse/extract chain, a join) before calling
+    * — re-scanning a parquet column is fine, re-running an ingest
+    * pipeline per round is not (the crawl_pipeline gate's 13s-vs-1s
+    * lesson). */
   def takeTopPerGroupUniform(df: DataFrame, group: Column, id: Column,
                              quality: Column, m: Long,
                              maxGroups: Int = 1 << 20): DataFrame = {
