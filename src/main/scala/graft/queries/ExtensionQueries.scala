@@ -2180,10 +2180,18 @@ object ExtensionQueries {
         "<a href=\"/z\">here</a></div></body></html>"
   }
 
+  /** Memoized-per-dataset synthetic WARC shards: three gates consume
+    * the same fixture, and Bench reps must time the PARSE chain (the
+    * product), not re-synthesizing the crawl (the fixture) — the same
+    * policy as the memoized index builds and BPE merges. */
+  private val warcCache = new Memo[String, DataFrame]
+  private def syntheticWarc(s: SparkSession, dir: String): DataFrame =
+    warcCache(dir)(syntheticWarcBuild(s, dir).localCheckpoint(true))
+
   /** Synthetic WARC crawl shards for the warc/web gates: one file per
     * doc (warcinfo + HTTP response with the [[Web.html]] page +
     * metadata), even doc_id → plain, odd → per-record gzip members. */
-  private def syntheticWarc(s: SparkSession, dir: String): DataFrame = {
+  private def syntheticWarcBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.ingest.Warc
