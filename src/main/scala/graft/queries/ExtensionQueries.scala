@@ -2047,6 +2047,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // JSONL ingest (the LLM dataset interchange format) with the CSV
+    // path's quarantine discipline: every ~97th line is corrupted at
+    // synthesis, and the reader must yield exactly the intact rows —
+    // one PERMISSIVE parse, corrupt lines to the dead-letter frame
+    // (JsonlSpec pins that side), never a task failure. The oracle is
+    // the source table minus the corrupted ids.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")
+        .add("lang", "string").add("source", "string")
+      val lines = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"))).as("line"))
+        .select(when(col("doc_id") % 97 === 0,
+            concat(lit("{corrupt "), col("line")))
+          .otherwise(col("line")).as("value"))
+      graft.ingest.Jsonl.cleanFrom(lines, schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML document METADATA — the signals text extraction deliberately
     // drops but curation wants: title (entity-decoded, ws-normalized),
     // the html lang attribute (a language-id prior), the rel=canonical
@@ -4244,6 +4267,13 @@ object ExtensionQueries {
          |      ELSE source || chr(10) || coll END || chr(10) ||
          |    'more | links | here') AS bigint) AS full_chars
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the intact rows of the corrupted-line synthesis — the reader's
+    // clean side must be exactly the source minus every 97th doc
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source
+        |FROM documents WHERE doc_id % 97 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // each metadata field restated from the synthesis columns, with
     // the % 4 absence rotation
