@@ -2047,6 +2047,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Batched MODEL-INFERENCE plumbing (BatchScore): the classifier
+    // itself is the STUB HashScorer (the JVM ships no model runtime),
+    // deliberately chosen oracle-expressible so the WHOLE plumbing —
+    // batching, per-executor singleton, null/empty bypass, positional
+    // re-zip — verifies end to end: a batch-boundary or zip bug would
+    // shift scores off their documents. batchSize=37 never divides the
+    // partition evenly, so ragged final batches are always exercised.
+    "model_score" -> ((s, dir) => {
+      graft.text.BatchScore.score(s, Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), batchSize = 37)
+        .select(col("id").as("doc_id"), col("score_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JSONL ingest (the LLM dataset interchange format) with the CSV
     // path's quarantine discipline: every ~97th line is corrupted at
     // synthesis, and the reader must yield exactly the intact rows —
@@ -4267,6 +4281,15 @@ object ExtensionQueries {
          |      ELSE source || chr(10) || coll END || chr(10) ||
          |    'more | links | here') AS bigint) AS full_chars
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the stub scorer's exact arithmetic per document, independent of
+    // any batching: first 6 md5 hex digits mod 1e6, 0 for null/empty
+    "model_score" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR text = '' THEN cast(0 AS bigint)
+        |    ELSE ('0x' || substr(md5(text), 1, 6))::BIGINT % 1000000
+        |    END AS score_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the intact rows of the corrupted-line synthesis — the reader's
     // clean side must be exactly the source minus every 97th doc
