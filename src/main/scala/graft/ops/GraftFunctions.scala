@@ -36,6 +36,7 @@ object GraftFunctions {
     "nfc_clean" -> (one(_)(NfcCleanExpr)),
     "lsh_sign_bits" -> (one(_)(LshBitsExpr(_, 32))),
     "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))),
+    "gopher_stats" -> (one(_)(GopherStatsExpr)),
     "html_extract" -> (one(_)(HtmlExtractExpr)),
     "html_link_ppm" -> (one(_)(HtmlLinkPpmExpr)),
     "html_extract_stats" -> (one(_)(HtmlExtractStatsExpr)),

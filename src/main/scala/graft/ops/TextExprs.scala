@@ -245,6 +245,115 @@ object TextKernels {
       sumTokLen / denTok))
   }
 
+  /** The Gopher quality-rule set — words in stopword lowercase. */
+  private val GopherStops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "be", "to", "of", "and", "that", "have", "with").foreach(s.add)
+    s
+  }
+
+  /** Gopher-rule document statistics (Rae et al. 2021's published
+    * repetition-free quality filters), emitted as RAW INTEGER COUNTS —
+    * never ratios — so the oracle compares exact integers and the
+    * thresholds stay integer arithmetic:
+    *
+    *   n_words, word_cps (Σ code points over words), n_symbols ('#' +
+    *   '…' + non-overlapping "..."), n_lines ('\n'-split), bullet-led
+    *   and ellipsis-ended line counts (bullet chars •, ‣, '-', star
+    *   after space-tab ltrim;
+    *   '…'/"..." after rtrim), words containing an ASCII letter, and
+    *   Gopher-stopword hits (the/be/to/of/and/that/have/with).
+    *
+    * `pass` applies the Gopher bounds integer-exactly: 50 ≤ words ≤
+    * 100000; mean word length in [3,10] (3·n ≤ cps ≤ 10·n); symbol
+    * ratio ≤ 0.1 (10·sym ≤ n); bullet lines ≤ 10%; ellipsis lines ≤
+    * 30%; alpha words ≥ 80% (5·alpha ≥ 4·n); ≥ 2 stopword hits.
+    * Words split on the ASCII whitespace contract the oracles pin
+    * (HostileDataSpec); the alpha class is ASCII-only. */
+  def gopherStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var nWords = 0L
+    var wordCps = 0L
+    var nAlphaWords = 0L
+    var nStop = 0L
+    var i = 0
+    var tokStart = -1
+    var tokHasAlpha = false
+    def endToken(endExclusive: Int): Unit = if (tokStart >= 0) {
+      nWords += 1
+      wordCps += s.codePointCount(tokStart, endExclusive)
+      if (tokHasAlpha) nAlphaWords += 1
+      if (GopherStops.contains(
+          s.substring(tokStart, endExclusive)
+            .toLowerCase(java.util.Locale.ROOT))) nStop += 1
+      tokStart = -1; tokHasAlpha = false
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) endToken(i)
+      else {
+        if (tokStart < 0) tokStart = i
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+          tokHasAlpha = true
+      }
+      i += 1
+    }
+    endToken(s.length)
+    // symbols: '#', '…', and non-overlapping "..." (left-to-right,
+    // the String.replace counting identity (len−len(replace))/3)
+    var nSymbols = 0L
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '#' || c == '…') { nSymbols += 1; i += 1 }
+      else if (c == '.' && i + 2 < s.length &&
+          s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') {
+        nSymbols += 1; i += 3
+      } else i += 1
+    }
+    // lines: '\n' split keeping empties (n '\n' + 1 lines)
+    var nLines = 0L
+    var nBullet = 0L
+    var nEllipsis = 0L
+    var lineStart = 0
+    def endLine(endExclusive: Int): Unit = {
+      nLines += 1
+      var a = lineStart
+      while (a < endExclusive &&
+        (s.charAt(a) == ' ' || s.charAt(a) == '\t')) a += 1
+      if (a < endExclusive) {
+        val c0 = s.charAt(a)
+        if (c0 == '•' || c0 == '‣' || c0 == '-' || c0 == '*')
+          nBullet += 1
+      }
+      var b = endExclusive
+      while (b > lineStart &&
+        (s.charAt(b - 1) == ' ' || s.charAt(b - 1) == '\t')) b -= 1
+      if (b > lineStart && s.charAt(b - 1) == '…') nEllipsis += 1
+      else if (b - lineStart >= 3 && s.charAt(b - 1) == '.' &&
+        s.charAt(b - 2) == '.' && s.charAt(b - 3) == '.') nEllipsis += 1
+    }
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\n') { endLine(i); lineStart = i + 1 }
+      i += 1
+    }
+    endLine(s.length)
+    val pass =
+      nWords >= 50L && nWords <= 100000L &&
+        3L * nWords <= wordCps && wordCps <= 10L * nWords &&
+        10L * nSymbols <= nWords &&
+        10L * nBullet <= nLines &&
+        10L * nEllipsis <= 3L * nLines &&
+        5L * nAlphaWords >= 4L * nWords &&
+        nStop >= 2L
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nWords, wordCps, nSymbols, nLines, nBullet, nEllipsis,
+      nAlphaWords, nStop, if (pass) 1 else 0))
+  }
+
   /** Dot product of two double vectors. Mismatched dimensions throw —
     * truncating to the shorter vector would rank on a plausible-but-
     * wrong similarity; schema drift (mixed embedding versions) must
@@ -581,6 +690,25 @@ case class HashEmbedExpr(child: Expression, dim: Int) extends KernelUnaryExpress
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class GopherStatsExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("word_cps", LongType, nullable = false),
+    StructField("n_symbols", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet_lines", LongType, nullable = false),
+    StructField("n_ellipsis_lines", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_stop_hits", LongType, nullable = false),
+    StructField("pass", IntegerType, nullable = false)))
+  override def prettyName: String = "gopher_stats"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.gopherStats(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.gopherStats($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -647,6 +775,7 @@ object TextExprs {
     c(LshBitsPackedExpr(e(vec), planes))
   def qualityStats(text: Column, stopwords: Seq[String]): Column =
     c(QualityStatsExpr(e(text), stopwords))
+  def gopherStats(text: Column): Column = c(GopherStatsExpr(e(text)))
   def hashEmbed(tokens: Column, dim: Int): Column = c(HashEmbedExpr(e(tokens), dim))
   def l2normalize(vec: Column): Column = c(L2NormalizeExpr(e(vec)))
   def vecDot(a: Column, b: Column): Column = c(VecDotExpr(e(a), e(b)))

@@ -2047,6 +2047,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-rule quality statistics (Rae et al. 2021's published
+    // filter set) as RAW INTEGER COUNTS — n_words, word code points,
+    // symbols (#/…/...), lines, bullet-led and ellipsis-ended lines,
+    // alpha words, stopword hits — plus the integer-exact pass flag.
+    // The synthesis decorates each doc with a bullet line, a
+    // dots-ended line, and (every 3rd doc) a symbol line, so every
+    // counter moves; the oracle recomputes all of them from the same
+    // framed text with DuckDB list ops.
+    "gopher_stats" -> ((s, dir) => {
+      val framed = concat(coalesce(col("text"), lit("")),
+        lit("\n• item "), col("source"),
+        lit("\ntrailing dots..."),
+        when(col("doc_id") % 3 === 0, concat(lit("\n# tag …")))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextExprs.gopherStats(framed).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batched MODEL-INFERENCE plumbing (BatchScore): the classifier
     // itself is the STUB HashScorer (the JVM ships no model runtime),
     // deliberately chosen oracle-expressible so the WHOLE plumbing —
@@ -4281,6 +4302,59 @@ object ExtensionQueries {
          |      ELSE source || chr(10) || coll END || chr(10) ||
          |    'more | links | here') AS bigint) AS full_chars
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // every Gopher counter recomputed from the framed text with list
+    // ops, and the pass flag from the same integer threshold arithmetic
+    "gopher_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || chr(10) || '• item ' || source ||
+        |    chr(10) || 'trailing dots...' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '# tag …'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS ws,
+        |    string_split(t, chr(10)) AS ls
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id,
+        |    cast(len(ws) AS bigint) AS n_words,
+        |    cast(coalesce(list_aggregate(list_transform(ws, x -> len(x)),
+        |      'sum'), 0) AS bigint) AS word_cps,
+        |    cast((len(t) - len(replace(t, '#', '')))
+        |      + (len(t) - len(replace(t, '…', '')))
+        |      + (len(t) - len(replace(t, '...', ''))) // 3
+        |      AS bigint) AS n_symbols,
+        |    cast(len(ls) AS bigint) AS n_lines,
+        |    cast(len(list_filter(ls, l ->
+        |      starts_with(ltrim(l, ' ' || chr(9)), '•') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '‣') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '-') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '*')))
+        |      AS bigint) AS n_bullet_lines,
+        |    cast(len(list_filter(ls, l ->
+        |      ends_with(rtrim(l, ' ' || chr(9)), '…') OR
+        |      ends_with(rtrim(l, ' ' || chr(9)), '...')))
+        |      AS bigint) AS n_ellipsis_lines,
+        |    cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS bigint) AS n_alpha_words,
+        |    cast(len(list_filter(ws, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      lower(x)))) AS bigint) AS n_stop_hits
+        |  FROM w)
+        |SELECT *,
+        |  cast(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= word_cps AND word_cps <= 10 * n_words
+        |    AND 10 * n_symbols <= n_words
+        |    AND 10 * n_bullet_lines <= n_lines
+        |    AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND n_stop_hits >= 2
+        |    THEN 1 ELSE 0 END AS int) AS pass
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the stub scorer's exact arithmetic per document, independent of
     // any batching: first 6 md5 hex digits mod 1e6, 0 for null/empty
