@@ -66,7 +66,8 @@ object Bench {
     "corpus_mix_temperature_epochs_incremental",
     "warc_parse", "html_extract", "url_normalize", "web_pipeline",
     "cluster_assign", "html_main_text", "domain_top", "crawl_pipeline",
-    "html_meta", "jsonl_roundtrip", "model_score", "gopher_stats")
+    "html_meta", "jsonl_roundtrip", "model_score", "gopher_stats",
+    "robots_filter")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

@@ -43,6 +43,8 @@ object GraftFunctions {
     "html_main_text" -> (one(_)(HtmlMainTextExpr(_, 500000))),
     "html_meta" -> (one(_)(HtmlMetaExpr)),
     "charset_decode" -> (two(_)(CharsetDecodeExpr)),
+    "robots_rules" -> (one(_)(RobotsRulesExpr(_, "*"))),
+    "robots_allowed" -> (two(_)(RobotsAllowedExpr)),
     "url_normalize" -> (one(_)(UrlNormalizeExpr)),
     "url_host" -> (one(_)(UrlHostExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -515,6 +515,166 @@ object UrlKernels {
   }
 }
 
+/** robots.txt (RFC 9309) kernels — the crawl-compliance side of the web
+  * surface: retroactive robots filtering is how a dataset audit answers
+  * "would this page's robots have allowed the crawl". Scale shape: the
+  * robots corpus is a per-HOST dim table — [[robotsRules]] parses each
+  * file ONCE on the small side before it broadcasts, and
+  * [[robotsAllowed]] evaluates the longest-match rule per URL row in
+  * codegen. Parsing per URL row would re-parse a robots file per page.
+  *
+  * Contract (RFC 9309 semantics, simplified to prefix rules): groups
+  * open with consecutive `User-agent:` lines; a group applies if it
+  * names the agent exactly (ASCII case-insensitive) or `*`; comments
+  * (`#` to EOL) strip; keys are case-insensitive; empty-value
+  * `Disallow:` is no rule. Decision: the matching rule with the
+  * LONGEST prefix wins; a tie goes to allow; no match → allowed.
+  * Total on garbage — unparseable lines are skipped.
+  */
+object RobotsKernels {
+  /** Parse to (allow, prefix) rules for `userAgent`, most-specific
+    * group semantics reduced to: rules from every group naming the
+    * agent exactly, or — when none does — every `*` group. */
+  def parseRules(content: String, userAgent: String): Seq[(Boolean, String)] = {
+    final case class Group(agents: Seq[String], rules: Seq[(Boolean, String)])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rules = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty)
+        groups += Group(agents.toSeq, rules.toSeq)
+      agents = scala.collection.mutable.ArrayBuffer.empty
+      rules = scala.collection.mutable.ArrayBuffer.empty
+      inRules = false
+    }
+    content.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush() // a UA line after rules opens a new group
+            agents += value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" if agents.nonEmpty =>
+            inRules = true
+            if (value.nonEmpty) rules += ((key == "allow", value))
+          case _ => () // unknown keys (crawl-delay, sitemap) skip
+        }
+      }
+    }
+    flush()
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    val exact = groups.filter(_.agents.contains(ua))
+    val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.rules).toSeq
+  }
+
+  /** Longest-match decision for a URL's path+query against parsed
+    * rules. The URL's path+query derive with the [[UrlKernels]] rules
+    * (empty path → "/", fragment dropped). */
+  def isAllowed(url: String, rules: Seq[(Boolean, String)]): Boolean = {
+    val schemeEnd = url.indexOf("://")
+    val pathQuery =
+      if (schemeEnd <= 0) url
+      else {
+        val rest = url.substring(schemeEnd + 3)
+        var k = 0
+        var cut = rest.length
+        while (k < rest.length && cut == rest.length) {
+          val c = rest.charAt(k)
+          if (c == '/' || c == '?' || c == '#') cut = k
+          k += 1
+        }
+        val tail = rest.substring(cut)
+        val hashAt = tail.indexOf('#')
+        val noFrag = if (hashAt < 0) tail else tail.substring(0, hashAt)
+        if (noFrag.isEmpty || noFrag.startsWith("?")) "/" + noFrag
+        else noFrag
+      }
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { case (allow, prefix) =>
+      if (pathQuery.startsWith(prefix)) {
+        if (prefix.length > bestLen ||
+          (prefix.length == bestLen && allow && !bestAllow)) {
+          bestLen = prefix.length; bestAllow = allow
+        }
+      }
+    }
+    if (bestLen < 0) true else bestAllow
+  }
+
+  // ── ArrayData bridges for the expressions ──
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def rulesOf(content: UTF8String, ua: UTF8String): GenericArrayData =
+    new GenericArrayData(parseRules(content.toString,
+        if (ua == null) "*" else ua.toString)
+      .map { case (allow, prefix) =>
+        new GenericInternalRow(Array[Any](allow,
+          UTF8String.fromString(prefix)))
+      }.toArray[Any])
+
+  def allowed(url: UTF8String, rules: ArrayData): Boolean = {
+    val n = rules.numElements()
+    val parsed = (0 until n).flatMap { i =>
+      if (rules.isNullAt(i)) None
+      else {
+        val r = rules.getStruct(i, 2)
+        val p = r.getUTF8String(1)
+        if (p == null) None else Some((r.getBoolean(0), p.toString))
+      }
+    }
+    isAllowed(url.toString, parsed)
+  }
+}
+
+case class RobotsRulesExpr(child: Expression, userAgent: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("prefix", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "robots_rules"
+  override def nullSafeEval(in: Any): Any =
+    RobotsKernels.rulesOf(in.asInstanceOf[UTF8String],
+      UTF8String.fromString(userAgent))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the UA ships as a reference object — embedding it as a Java
+    // string literal would need escaping arbitrary user input
+    val ref = ctx.addReferenceObj("ua",
+      UTF8String.fromString(userAgent),
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.RobotsKernels.rulesOf($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class RobotsAllowedExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_allowed"
+  // left = url (string), right = rules array
+  override def nullSafeEval(u: Any, r: Any): Any =
+    RobotsKernels.allowed(u.asInstanceOf[UTF8String],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (u, r) =>
+      s"${ev.value} = graft.ops.RobotsKernels.allowed($u, $r);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class HtmlExtractExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "html_extract"
@@ -649,6 +809,15 @@ object HtmlExprs {
     * malformed bytes. */
   def charsetDecode(contentType: Column, body: Column): Column =
     c(CharsetDecodeExpr(e(contentType), e(body)))
+
+  /** robots.txt rules for a user agent — parse ONCE on the per-host
+    * dim side, before it broadcasts. */
+  def robotsRules(robotsTxt: Column, userAgent: String = "*"): Column =
+    c(RobotsRulesExpr(e(robotsTxt), userAgent))
+
+  /** RFC 9309 longest-match decision for a URL against parsed rules. */
+  def robotsAllowed(url: Column, rules: Column): Column =
+    c(RobotsAllowedExpr(e(url), e(rules)))
   def urlNormalize(url: Column): Column = c(UrlNormalizeExpr(e(url)))
   def urlHost(url: Column): Column = c(UrlHostExpr(e(url)))
 }

@@ -2047,6 +2047,41 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // robots.txt compliance (RFC 9309): per-HOST robots files parse
+    // ONCE on the dim side (robots_rules), broadcast, and every URL
+    // row evaluates the longest-match allow/disallow decision in
+    // codegen. The synthesis exercises the discriminating semantics —
+    // a non-matching agent group that must be ignored, a comment to
+    // strip, and a Disallow/Allow pair where ONLY longest-match wins
+    // (a disallow-first evaluation flips every m2 host's answer). The
+    // oracle states the expected flag from the synthesis arithmetic.
+    "robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) => (id, Web.url(id, src)) })
+        .toDF("doc_id", "url")
+        .select(col("doc_id"), col("url"),
+          graft.ops.HtmlExprs.urlHost(col("url")).as("host"))
+      val robots = pages.select(col("host")).distinct()
+        .select(col("host"),
+          when(col("host").startsWith("www."),
+            lit("User-agent: evilbot\nDisallow: /\n\n" +
+              "User-agent: *\nDisallow: /src1 # the only live rule"))
+          .when(col("host").startsWith("api."),
+            lit("User-agent: *\nDisallow: /private\nAllow: /"))
+          .otherwise(
+            lit("User-agent: *\nDisallow: /pub\nAllow: /pub/"))
+          .as("txt"))
+        .select(col("host"),
+          graft.ops.HtmlExprs.robotsRules(col("txt")).as("rules"))
+      pages.join(broadcast(robots), Seq("host"))
+        .select(col("doc_id"), col("host"),
+          graft.ops.HtmlExprs.robotsAllowed(col("url"), col("rules"))
+            .cast("int").as("allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-rule quality statistics (Rae et al. 2021's published
     // filter set) as RAW INTEGER COUNTS — n_words, word code points,
     // symbols (#/…/...), lines, bullet-led and ellipsis-ended lines,
@@ -4301,6 +4336,16 @@ object ExtensionQueries {
          |    CASE WHEN coll = '' THEN source
          |      ELSE source || chr(10) || coll END || chr(10) ||
          |    'more | links | here') AS bigint) AS full_chars
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the expected decision from the synthesis arithmetic: only the
+    // www hosts' /src1-prefixed paths are disallowed (the api hosts'
+    // Allow / and the files hosts' longest-match Allow /pub/ win)
+    "robots_filter" ->
+      s"""WITH $webCte
+         |SELECT doc_id, host,
+         |  cast(CASE WHEN doc_id % 3 = 0 AND source LIKE 'src1%'
+         |    THEN 0 ELSE 1 END AS int) AS allowed
          |FROM x ORDER BY doc_id""".stripMargin,
 
     // every Gopher counter recomputed from the framed text with list

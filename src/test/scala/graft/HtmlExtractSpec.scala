@@ -106,6 +106,37 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(host("http://user@[2001:db8::1]:443/p") == "[2001:db8::1]")
   }
 
+  test("robots.txt: groups, comments, longest-match, totality") {
+    import graft.ops.RobotsKernels._
+    val txt = "# banner comment\n" +
+      "User-agent: evilbot\nDisallow: /\n\n" +
+      "User-agent: GoodBot\nUser-agent: other\n" + // multi-agent group
+      "Disallow: /private # inline comment\n" +
+      "Allow: /private/ok\n" +
+      "Disallow:\n" + // empty value = no rule
+      "Crawl-delay: 10\n" + // unknown key skipped
+      "User-agent: *\nDisallow: /tmp"
+    // exact agent match (case-insensitive) beats the * group
+    val good = parseRules(txt, "goodbot")
+    assert(good.toSet === Set((false, "/private"), (true, "/private/ok")))
+    assert(parseRules(txt, "other") === good)
+    // unknown agent falls back to the * group
+    assert(parseRules(txt, "somebot") === Seq((false, "/tmp")))
+    // longest match wins; no match → allowed
+    assert(!isAllowed("https://h.io/private/x", good))
+    assert(isAllowed("https://h.io/private/ok/x", good))
+    assert(isAllowed("https://h.io/public", good))
+    // path+query derivation: portless, query-only, fragment dropped
+    assert(!isAllowed("http://u@H.io:80/private?q=1#f", good))
+    assert(isAllowed("https://h.io", Seq((false, "/x"))))
+    assert(!isAllowed("https://h.io", Seq((false, "/"))))
+    // rule ties at equal length go to allow
+    assert(isAllowed("https://h.io/p", Seq((false, "/p"), (true, "/p"))))
+    // total on garbage
+    assert(parseRules("::::\nnot a rule\nDisallow: /orphan", "x") === Nil)
+    assert(isAllowed("garbage-not-a-url", Seq((false, "/"))))
+  }
+
   test("totality fuzz: 8k hostile payloads through all four kernels") {
     val rnd = new scala.util.Random(0x7E57)
     val alphabet = "<>&;#/\\\"'=?:@. abAB\u00e9\ud83d\ude00\r\n\t "
