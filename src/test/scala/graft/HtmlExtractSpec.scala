@@ -137,7 +137,7 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(isAllowed("garbage-not-a-url", Seq((false, "/"))))
   }
 
-  test("totality fuzz: 8k hostile payloads through all four kernels") {
+  test("totality fuzz: 8k hostile payloads through every web kernel") {
     val rnd = new scala.util.Random(0x7E57)
     val alphabet = "<>&;#/\\\"'=?:@. abAB\u00e9\ud83d\ude00\r\n\t "
     for (i <- 0 until 8000) {
@@ -146,8 +146,13 @@ class HtmlExtractSpec extends AnyFunSuite {
       val u = UTF8String.fromString(s)
       HtmlKernels.extractText(u)
       assert(HtmlKernels.linkTextPpm(u) >= 0L)
+      HtmlKernels.mainText(u, 500000)
+      HtmlKernels.metaOf(u)
       UrlKernels.normalizeUrl(u)
       UrlKernels.urlHost(u)
+      graft.ops.RobotsKernels.parseRules(s, "*")
+      graft.ops.RobotsKernels.isAllowed(s, Seq((false, "/"), (true, "/a")))
+      graft.ops.TextKernels.gopherStats(u)
     }
   }
 
