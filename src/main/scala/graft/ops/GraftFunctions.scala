@@ -37,6 +37,7 @@ object GraftFunctions {
     "lsh_sign_bits" -> (one(_)(LshBitsExpr(_, 32))),
     "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))),
     "gopher_stats" -> (one(_)(GopherStatsExpr)),
+    "sentences" -> (one(_)(SentencesExpr)),
     "html_extract" -> (one(_)(HtmlExtractExpr)),
     "html_link_ppm" -> (one(_)(HtmlLinkPpmExpr)),
     "html_extract_stats" -> (one(_)(HtmlExtractStatsExpr)),

@@ -354,6 +354,48 @@ object TextKernels {
       nAlphaWords, nStop, if (pass) 1 else 0))
   }
 
+  /** Rule-based sentence segmentation — the chunk-boundary prior a
+    * context-window packer wants sharper than raw token windows.
+    * DETERMINISTIC, cross-engine contract (chosen over linguistic
+    * accuracy — abbreviation lists are model territory): a boundary is
+    * a run of [.!?] followed by ASCII whitespace (or end of text); the
+    * punctuation stays with the left sentence, the whitespace run
+    * drops, sentences trim ASCII whitespace at both ends, empties
+    * vanish. Identical to the oracle's marker-insertion regex
+    * (`([.!?]+)[ \t\n\x0b\f\r]+` → `\1<marker>`, split, trim). */
+  def sentences(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+        c == '\r'
+    def isPunct(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(from: Int, to: Int): Unit = {
+      var a = from
+      while (a < to && isWs(s.charAt(a))) a += 1
+      var b = to
+      while (b > a && isWs(s.charAt(b - 1))) b -= 1
+      if (b > a) out += UTF8String.fromString(s.substring(a, b))
+    }
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (isPunct(s.charAt(i))) {
+        var j = i + 1
+        while (j < s.length && isPunct(s.charAt(j))) j += 1
+        if (j < s.length && isWs(s.charAt(j))) {
+          emit(start, j)
+          var k = j + 1
+          while (k < s.length && isWs(s.charAt(k))) k += 1
+          start = k
+          i = k
+        } else i = j
+      } else i += 1
+    }
+    emit(start, s.length)
+    new GenericArrayData(out.toArray)
+  }
+
   /** Dot product of two double vectors. Mismatched dimensions throw —
     * truncating to the shorter vector would rank on a plausible-but-
     * wrong similarity; schema drift (mixed embedding versions) must
@@ -690,6 +732,16 @@ case class HashEmbedExpr(child: Expression, dim: Int) extends KernelUnaryExpress
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class SentencesExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sentences"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.sentences(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.sentences($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class GopherStatsExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
@@ -776,6 +828,7 @@ object TextExprs {
   def qualityStats(text: Column, stopwords: Seq[String]): Column =
     c(QualityStatsExpr(e(text), stopwords))
   def gopherStats(text: Column): Column = c(GopherStatsExpr(e(text)))
+  def sentences(text: Column): Column = c(SentencesExpr(e(text)))
   def hashEmbed(tokens: Column, dim: Int): Column = c(HashEmbedExpr(e(tokens), dim))
   def l2normalize(vec: Column): Column = c(L2NormalizeExpr(e(vec)))
   def vecDot(a: Column, b: Column): Column = c(VecDotExpr(e(a), e(b)))

@@ -2047,6 +2047,26 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Rule-based sentence segmentation — the chunk-boundary prior for
+    // context packing, under a deterministic cross-engine contract
+    // (boundary = [.!?]+ then ASCII ws; punctuation stays left; ws
+    // drops; edges trim; empties vanish — abbreviation handling is
+    // model territory, not claimed). The synthesis frames each doc
+    // with known sentences plus a punctuation run and a mid-text
+    // ellipsis; the oracle re-derives the segmentation with the
+    // marker-insertion regex and compares counts + the joined md5.
+    "text_sentences" -> ((s, dir) => {
+      val framed = concat(lit("A one. B two!? "),
+        coalesce(col("text"), lit("")), lit(" ... C three? D"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextExprs.sentences(framed).as("ss"))
+        .select(col("doc_id"),
+          size(col("ss")).cast("long").as("n_sentences"),
+          md5(array_join(col("ss"), "\u0001")).as("sents_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // robots.txt compliance (RFC 9309): per-HOST robots files parse
     // ONCE on the dim side (robots_rules), broadcast, and every URL
     // row evaluates the longest-match allow/disallow decision in
@@ -4337,6 +4357,25 @@ object ExtensionQueries {
          |      ELSE source || chr(10) || coll END || chr(10) ||
          |    'more | links | here') AS bigint) AS full_chars
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the same segmentation re-derived with the marker-insertion regex
+    // (punct-run + ASCII-ws → punct + marker; split; trim; drop empty)
+    "text_sentences" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'A one. B two!? ' || coalesce(text, '') || ' ... C three? D'
+        |      AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    string_split(regexp_replace(t,
+        |      '([.!?]+)[ \t\n\x0b\f\r]+', '\1' || chr(1), 'g'), chr(1)),
+        |    x -> trim(x, ' ' || chr(9) || chr(10) || chr(11) || chr(12)
+        |      || chr(13))), x -> len(x) > 0) AS ss
+        |  FROM f)
+        |SELECT doc_id, cast(len(ss) AS bigint) AS n_sentences,
+        |  md5(array_to_string(ss, chr(1))) AS sents_md5
+        |FROM sp ORDER BY doc_id""".stripMargin,
 
     // the expected decision from the synthesis arithmetic: only the
     // www hosts' /src1-prefixed paths are disallowed (the api hosts'

@@ -57,6 +57,25 @@ class GopherSpec extends AnyFunSuite {
     assert(g("😀 ab")(1) == 3) // astral emoji = 1 cp, ab = 2
   }
 
+  test("sentence segmentation: boundaries, runs, trims, empties") {
+    def sents(t: String): Seq[String] = {
+      val a = TextKernels.sentences(UTF8String.fromString(t))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(sents("A one. B two!? middle text ... C three? D") ===
+      Seq("A one.", "B two!?", "middle text ...", "C three?", "D"))
+    // punct at end of text closes the last sentence (no ws needed)
+    assert(sents("ends here...") === Seq("ends here..."))
+    assert(sents("a. b. ") === Seq("a.", "b."))
+    // punct NOT followed by ws is not a boundary (decimals, urls)
+    assert(sents("pi is 3.14 ok? yes") === Seq("pi is 3.14 ok?", "yes"))
+    // leading/trailing ws trims; empty and all-ws inputs yield nothing
+    assert(sents("  x  ") === Seq("x"))
+    assert(sents("") === Seq.empty)
+    assert(sents(" \t\n") === Seq.empty)
+    assert(sents("!. ?!") === Seq("!.", "?!"))
+  }
+
   test("pass flag thresholds, integer-exact") {
     // 50 clean stop-heavy words, mean length in band → pass
     val good = ("the and " * 25).trim
