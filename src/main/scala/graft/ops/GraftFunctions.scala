@@ -37,7 +37,9 @@ object GraftFunctions {
     "lsh_sign_bits" -> (one(_)(LshBitsExpr(_, 32))),
     "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))),
     "gopher_stats" -> (one(_)(GopherStatsExpr)),
-    "sentences" -> (one(_)(SentencesExpr)),
+    // "sentence_split", not "sentences": Spark ships a BUILT-IN sentences()
+    // (locale-based) that a temp function would silently shadow
+    "sentence_split" -> (one(_)(SentencesExpr)),
     "html_extract" -> (one(_)(HtmlExtractExpr)),
     "html_link_ppm" -> (one(_)(HtmlLinkPpmExpr)),
     "html_extract_stats" -> (one(_)(HtmlExtractStatsExpr)),
