@@ -373,6 +373,32 @@ object HtmlKernels {
       Array[Any](u(title), u(lang), u(canonical), u(description)))
   }
 
+  /** All `<a href>` values of a page, in document order (duplicates
+    * kept — edge multiplicity is signal) — the link-graph emitter
+    * feeding [[graft.ops.GraphOps.pageRankFixedPoint]]. Quote-aware,
+    * total; empty/missing hrefs skip. */
+  def hrefs(html: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = html.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+        } else {
+          val name = tagNameAt(s, i)
+          if (name == "a" && (i + 1 >= n || s.charAt(i + 1) != '/')) {
+            tagAttrs(s, i).get("href").filter(_.nonEmpty)
+              .foreach(h => out += UTF8String.fromString(h))
+          }
+          i = if (name.isEmpty) i + 1 else tagEnd(s, i)
+        }
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Charset-honoring HTTP body decode (see [[CharsetDecodeExpr]]):
     * charset= parsed from the Content-Type header value; unknown or
     * absent → UTF-8; malformed bytes always REPLACE to U+FFFD. */
@@ -761,6 +787,17 @@ case class CharsetDecodeExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class HrefsExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "hrefs"
+  override def nullSafeEval(in: Any): Any =
+    HtmlKernels.hrefs(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.HtmlKernels.hrefs($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class UrlNormalizeExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "url_normalize"
@@ -818,6 +855,9 @@ object HtmlExprs {
   /** RFC 9309 longest-match decision for a URL against parsed rules. */
   def robotsAllowed(url: Column, rules: Column): Column =
     c(RobotsAllowedExpr(e(url), e(rules)))
+
+  /** All `<a href>` values of a page, document order, duplicates kept. */
+  def hrefs(html: Column): Column = c(HrefsExpr(e(html)))
   def urlNormalize(url: Column): Column = c(UrlNormalizeExpr(e(url)))
   def urlHost(url: Column): Column = c(UrlHostExpr(e(url)))
 }

@@ -2047,6 +2047,26 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Fixed-point integer PageRank over the synthesized host link
+    // graph — the web-graph quality PRIOR (each doc's host links to a
+    // rotated sibling and to one hub host that stays DANGLING, so rank
+    // concentration and the dangling-mass contract both exercise). The
+    // recurrence is integer-exact (ppb longs, floor divisions), so the
+    // oracle replays all 3 iterations bit-for-bit in SQL.
+    "host_rank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, src) =>
+          val from = Web.host(id, src)
+          Seq((from, "www.example-" + ((id + 3) % 10) + ".com"),
+            (from, "hub.example"))
+        }).toDF("src", "dst")
+      graft.ops.GraphOps.pageRankFixedPoint(edges, col("src"), col("dst"),
+          iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // Rule-based sentence segmentation — the chunk-boundary prior for
     // context packing, under a deterministic cross-engine contract
     // (boundary = [.!?]+ then ASCII ws; punctuation stays left; ws
@@ -2280,6 +2300,15 @@ object ExtensionQueries {
 
     def date(id: Long): String =
       "2026-01-0" + (1 + id % 9) + "T00:00:0" + (id % 10) + "Z"
+
+    /** The canonical host of [[url]] — the same arithmetic webCte's
+      * `host` column states in SQL. */
+    def host(id: Long, source: String): String = (id % 3) match {
+      case 0 => "www.example-" + (id % 10) + ".com"
+      case 1 => "api.site" + (id % 5) + ".org"
+      case _ => "files." + source.toLowerCase(java.util.Locale.ROOT) +
+        ".example.com"
+    }
 
     /** The main-text gate's page: real content wrapped in a nav bar
       * (14/15 anchor cps) and a link-farm footer (13/19) — both above
@@ -4357,6 +4386,52 @@ object ExtensionQueries {
          |      ELSE source || chr(10) || coll END || chr(10) ||
          |    'more | links | here') AS bigint) AS full_chars
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the integer recurrence replayed bit-for-bit: r0 = R//N, then 3
+    // unrolled iterations of base + (17*S)//20 with S = Σ r//outdeg
+    // over in-edges (dangling mass drops, per the operator contract)
+    "host_rank" ->
+      s"""WITH $webCte,
+         |ed AS (
+         |  SELECT host AS src,
+         |    'www.example-' || ((doc_id + 3) % 10) || '.com' AS dst
+         |  FROM x
+         |  UNION ALL SELECT host, 'hub.example' FROM x),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |par AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |od AS (SELECT src, count(*)::BIGINT AS outd FROM ed GROUP BY src),
+         |r0 AS (SELECT node, 1000000000::BIGINT // n AS r
+         |  FROM nodes CROSS JOIN par),
+         |i1 AS (
+         |  SELECT nodes.node,
+         |    (3::BIGINT * 1000000000) // (20 * n)
+         |      + (17 * coalesce(s.s, 0)) // 20 AS r
+         |  FROM nodes CROSS JOIN par
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(r0.r // od.outd) AS s
+         |             FROM ed JOIN r0 ON ed.src = r0.node
+         |             JOIN od ON ed.src = od.src
+         |             GROUP BY ed.dst) s ON nodes.node = s.node),
+         |i2 AS (
+         |  SELECT nodes.node,
+         |    (3::BIGINT * 1000000000) // (20 * n)
+         |      + (17 * coalesce(s.s, 0)) // 20 AS r
+         |  FROM nodes CROSS JOIN par
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(i1.r // od.outd) AS s
+         |             FROM ed JOIN i1 ON ed.src = i1.node
+         |             JOIN od ON ed.src = od.src
+         |             GROUP BY ed.dst) s ON nodes.node = s.node),
+         |i3 AS (
+         |  SELECT nodes.node,
+         |    (3::BIGINT * 1000000000) // (20 * n)
+         |      + (17 * coalesce(s.s, 0)) // 20 AS r
+         |  FROM nodes CROSS JOIN par
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(i2.r // od.outd) AS s
+         |             FROM ed JOIN i2 ON ed.src = i2.node
+         |             JOIN od ON ed.src = od.src
+         |             GROUP BY ed.dst) s ON nodes.node = s.node)
+         |SELECT node, cast(r AS bigint) AS rank_ppb FROM i3
+         |ORDER BY node""".stripMargin,
 
     // the same segmentation re-derived with the marker-insertion regex
     // (punct-run + ASCII-ws → punct + marker; split; trim; drop empty)
