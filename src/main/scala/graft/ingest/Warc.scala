@@ -84,7 +84,11 @@ object Warc {
     records.foreach { r =>
       val gz = new GZIPOutputStream(out)
       gz.write(buildWarc(Seq(r)))
-      gz.finish()
+      // close(), not just finish(): finish() flushes the member but
+      // leaves the native Deflater live until GC — one per RECORD on
+      // the export hot path. close() ends the deflater immediately
+      // (and is a no-op on the underlying ByteArrayOutputStream).
+      gz.close()
     }
     out.toByteArray
   }
@@ -96,9 +100,10 @@ object Warc {
   /** Decompress every concatenated gzip member; None on corrupt
     * deflate data. Bounded by the decompressed size of the shard a
     * task already holds — same memory envelope as any text codec. */
-  private def gunzipAll(payload: Array[Byte]): Option[Array[Byte]] =
+  private def gunzipAll(payload: Array[Byte]): Option[Array[Byte]] = {
+    var in: GZIPInputStream = null
     try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(payload))
+      in = new GZIPInputStream(new ByteArrayInputStream(payload))
       // initial-size hint only — clamp it: `length * 4` overflows Int
       // for a >512 MB shard and the constructor would throw, breaking
       // the totality contract on exactly the payloads that matter
@@ -109,6 +114,10 @@ object Warc {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
+    // release the native Inflater now, not at GC — a task parsing many
+    // shards otherwise accumulates untracked native zlib memory
+    finally if (in != null) in.close()
+  }
 
   /** Parse a `.warc` or `.warc.gz` payload into its records. TOTAL:
     * returns the longest valid record prefix — a malformed version

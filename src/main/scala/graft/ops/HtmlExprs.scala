@@ -347,6 +347,13 @@ object HtmlKernels {
             }
             title = normalizeBlock(sb)
             i = if (close < 0) n else tagEnd(s, close)
+          } else if (!isClose && RawTextTags.contains(name)) {
+            // script/style/noscript bodies (and any repeated <title>)
+            // are raw text — a '<link rel=canonical>' template string
+            // inside a JS literal must not set page metadata (the same
+            // skip extractText applies)
+            val close = rawTextClose(s, tagEnd(s, i), name)
+            i = if (close < 0) n else tagEnd(s, close)
           } else {
             if (!isClose) {
               if (name == "html" && lang == null)
@@ -388,11 +395,22 @@ object HtmlKernels {
           val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
         } else {
           val name = tagNameAt(s, i)
-          if (name == "a" && (i + 1 >= n || s.charAt(i + 1) != '/')) {
-            tagAttrs(s, i).get("href").filter(_.nonEmpty)
-              .foreach(h => out += UTF8String.fromString(h))
+          val isClose = i + 1 < n && s.charAt(i + 1) == '/'
+          if (name.isEmpty) i += 1
+          else if (!isClose && RawTextTags.contains(name)) {
+            // same raw-text rule as extractText: tag-like text inside
+            // a script/style body (document.write('<a href=...>')) is
+            // content, not markup — emitting it would fabricate
+            // link-graph edges
+            val close = rawTextClose(s, tagEnd(s, i), name)
+            i = if (close < 0) n else tagEnd(s, close)
+          } else {
+            if (name == "a" && !isClose) {
+              tagAttrs(s, i).get("href").filter(_.nonEmpty)
+                .foreach(h => out += UTF8String.fromString(h))
+            }
+            i = tagEnd(s, i)
           }
-          i = if (name.isEmpty) i + 1 else tagEnd(s, i)
         }
       } else i += 1
     }
@@ -446,8 +464,10 @@ object HtmlKernels {
   *  - fragment dropped;
   *  - query: empty params drop, tracking params drop (name starts
   *    with `utm_`, or is one of fbclid, gclid, msclkid, mc_eid, ref,
-  *    ref_src, igshid, spm), survivors sort by (name, value) byte
-  *    order and rejoin; an emptied query drops its '?'.
+  *    ref_src, igshid, spm), survivors sort by the byte order of the
+  *    WHOLE `name=value` string (so `a+b=1` orders by the '+' byte,
+  *    not by a (name, value) tuple — the gate oracle pins this exact
+  *    ordering) and rejoin; an emptied query drops its '?'.
   * A string with no "://" is returned unchanged (total — a relative
   * or garbage URL classifies downstream, never throws).
   */

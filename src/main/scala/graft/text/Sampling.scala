@@ -238,6 +238,15 @@ object Sampling {
     * documents. */
   def mixByTemperature(df: DataFrame, source: Column, key: Column,
                        tau: Double, targetRows: Long,
+                       // 1<<16 (was 1<<20 through r13): a temperature
+                       // mixture is over CORPUS components (tens to
+                       // thousands), and the driver holds one (string,
+                       // long) per source plus a broadcast threshold
+                       // table of the same width — 65k already implies
+                       // a mis-keyed source column (e.g. doc_id), which
+                       // should fail loudly, not broadcast a million-row
+                       // threshold table. Deliberate; raise per call
+                       // for genuinely wide mixtures.
                        maxSources: Int = 1 << 16): DataFrame =
     applyMixThresholds(df, source, key,
       temperatureThresholds(sourceSizes(df, source, maxSources),

@@ -221,6 +221,49 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(meta("<title>a <b> c</title>")._1 == "a <b> c")
   }
 
+  test("hrefs: document order, duplicates kept, raw-text bodies skipped") {
+    def links(h: String): Seq[String] =
+      HtmlKernels.hrefs(UTF8String.fromString(h)).array.toSeq
+        .map(_.asInstanceOf[UTF8String].toString)
+    assert(links("<a href='/a'>1</a><p><a href=\"/b\">2</a></p>" +
+      "<a href='/a'>again</a>") == Seq("/a", "/b", "/a"))
+    // empty/missing hrefs skip; close tags emit nothing
+    assert(links("<a>no href</a><a href=''>empty</a></a>") == Nil)
+    // tag-like text inside script/style/noscript is CONTENT, not markup
+    // — document.write('<a href=…>') must not fabricate an edge
+    assert(links("<script>document.write('<a href=\"/evil\">x</a>');" +
+      "</script><a href='/real'>r</a>") == Seq("/real"))
+    assert(links("<style>/* <a href='/css'> */</style>" +
+      "<noscript><a href='/ns'>n</a></noscript>") == Nil)
+    // unterminated script consumes to end (total)
+    assert(links("<a href='/k'>k</a><script>var a='<a href=/x>'") ==
+      Seq("/k"))
+    assert(links("") == Nil)
+  }
+
+  test("html_meta: script/style template strings cannot set metadata") {
+    def meta(h: String): (String, String, String, String) = {
+      val r = HtmlKernels.metaOf(UTF8String.fromString(h))
+      def f(i: Int): String = {
+        val v = r.get(i, org.apache.spark.sql.types.StringType)
+        if (v == null) null else v.toString
+      }
+      (f(0), f(1), f(2), f(3))
+    }
+    // a '<link rel=canonical>' template inside a JS literal is content
+    val page = "<script>var t = '<link rel=canonical " +
+      "href=\"https://evil.example/\">';</script>" +
+      "<link rel=canonical href='https://real.example/p'>"
+    assert(meta(page)._3 == "https://real.example/p")
+    // style/noscript bodies likewise; a real meta after still wins
+    assert(meta("<style>/* <meta name=description content=spoof> */" +
+      "</style><meta name=description content=genuine>")._4 == "genuine")
+    // a second <title> after the first is raw text — tags inside its
+    // body must not leak into the scan
+    assert(meta("<title>one</title><title><link rel=canonical " +
+      "href=/x></title>") == ("one", null, null, null))
+  }
+
   test("charset_decode honors the header charset, replaces bad bytes") {
     def dec(ct: String, bytes: Array[Byte]): String =
       HtmlKernels.charsetDecode(
