@@ -2234,12 +2234,12 @@ object ExtensionQueries {
         graft.ops.HtmlExprs.htmlMainText(graft.ops.HtmlExprs
           .charsetDecode(col("http_content_type"), col("body")))
           .as("main"))
-      // MATERIALIZE before the selection: takeTopPerGroupUniform is a
-      // multi-pass refinement (group discovery + histogram + chunk
-      // rounds), and each pass would otherwise re-run the whole
-      // WARC-parse + extraction chain — at sf0.1 that read as a 13 s
-      // gate for ~1 s of actual work, and at crawl scale it is the
-      // difference between one ingest pass and a dozen
+      // MATERIALIZE before the selection: takeTopPerGroupUniform scans
+      // its input twice (bounded top-m aggregate + semi-join back), and
+      // each pass would otherwise re-run the whole WARC-parse +
+      // extraction chain — at sf0.1 that read as a 13 s gate for ~1 s
+      // of actual work, and at crawl scale it is the difference
+      // between one ingest pass and several
       val scored = pages.select(col("doc_id"), col("host"), col("main"),
           round(TextOps.qualityStruct(col("main")).getField("alpha_ratio")
             * 1e6, 0).cast("long").as("q_ppm"))

@@ -118,35 +118,52 @@ object BudgetSelect {
   }
 
   /** Uniform per-group top-m — "at most m best docs per DOMAIN", the
-    * crawl diversity cap — with the groups DISCOVERED from the data:
-    * the named-quota forms require enumerating groups up front, which
-    * a crawl's host column defeats. One bounded distinct pass (capped
-    * BEFORE collection, loud-fail above `maxGroups` — the
-    * `Sampling.maxSources` driver-budget discipline) feeds the same
-    * histogram-cutoff core; everything else stays distributed.
+    * crawl diversity cap — with the groups DISCOVERED from the data
+    * and NEVER enumerated anywhere: ONE groupBy whose aggregation
+    * buffer is a size-m heap of (quality, id) keys
+    * ([[graft.ops.BoundedTopMAgg]], the bounded_collect pattern), then
+    * one semi-join back to `df`. O(m) memory per group per partial,
+    * ZERO driver state — tens of millions of hosts cost the cluster
+    * m keys each and the driver nothing (this replaced a
+    * distinct-collect of the group keys that loud-failed at 2²⁰
+    * groups, i.e. below real crawl host counts). Map-side partials
+    * mean a hot host collapses to m entries before the shuffle.
     *
-    * MULTI-PASS like the whole refinement family (group discovery +
-    * histogram + chunk rounds each re-evaluate `df`): persist an
-    * EXPENSIVE upstream (a parse/extract chain, a join) before calling
-    * — re-scanning a parquet column is fine, re-running an ingest
-    * pipeline per round is not (the crawl_pipeline gate's 13s-vs-1s
-    * lesson). */
+    * Keeps, per non-null group, the m best rows by (quality DESC,
+    * id ASC); rows with a null quality or id drop (the family's
+    * null-drop contract). `id` must be duplicate-free (it is the
+    * tiebreak and the join-back key — the same assumption the
+    * refinement family makes). TWO passes over `df` (aggregate +
+    * join-back): persist an EXPENSIVE upstream (a parse/extract
+    * chain, a join) before calling — re-scanning a parquet column is
+    * fine, re-running an ingest pipeline twice is not (the
+    * crawl_pipeline gate's 13s-vs-1s lesson).
+    *
+    * `maxPerGroup` bounds the heap a single group may hold (the
+    * buffer IS per-group state); a uniform diversity cap is small by
+    * construction — for corpus-scale per-group budgets use
+    * [[takeTopPerGroup]]/[[budgetSelectPerGroup]], whose histogram
+    * refinement never buffers a group. */
   def takeTopPerGroupUniform(df: DataFrame, group: Column, id: Column,
                              quality: Column, m: Long,
-                             maxGroups: Int = 1 << 20): DataFrame = {
+                             maxPerGroup: Int = 1 << 20): DataFrame = {
     require(m >= 0L, "m must be >= 0")
-    require(maxGroups >= 1, "maxGroups must be >= 1")
-    val gs = df.select(group.cast("string").as("__tg"))
-      .where(org.apache.spark.sql.functions.col("__tg").isNotNull)
-      .distinct().limit(maxGroups + 1)
-      .collect().map(_.getString(0))
-    require(gs.length <= maxGroups,
-      s"takeTopPerGroupUniform found more than $maxGroups distinct " +
-        "groups — raise maxGroups (driver holds one string per group) " +
-        "or pre-bucket the group key")
-    if (gs.isEmpty) df.limit(0)
-    else takeTopPerGroup(df, group, id, quality,
-      gs.map(_ -> m).toMap)
+    require(m <= maxPerGroup,
+      s"m=$m exceeds maxPerGroup=$maxPerGroup — the top-m heap is the " +
+        "aggregation buffer; for large per-group quotas use " +
+        "takeTopPerGroup, whose histogram refinement never buffers a group")
+    if (m == 0L) return df.limit(0)
+    val kept = df
+      .where(group.isNotNull)
+      .groupBy(group.cast("string").as("__tg"))
+      .agg(graft.ops.BoundedTopM.topM(
+        org.apache.spark.sql.functions.struct(
+          quality.as("__q"), id.as("__id")),
+        m.toInt, Seq(true, false)).as("__top"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("__top")).as("__k"))
+      .select(org.apache.spark.sql.functions.col("__k.__id").as("__tid"))
+    df.join(kept, id === kept("__tid"), "left_semi")
   }
 
   /** Test-seam form: `fanout` (id chunks per refinement round) and

@@ -577,17 +577,52 @@ class BudgetSelectSpec extends AnyFunSuite {
     val kept = BudgetSelect.takeTopPerGroupUniform(withNull, col("g"),
       col("id"), col("q"), 1000L)
     assert(kept.where(col("g").isNull).isEmpty)
-    // driver-budget loud-fail: more groups than maxGroups, capped
-    // BEFORE collection
+    // buffer-budget loud-fail: the size-m heap IS per-group executor
+    // state, so an m above maxPerGroup refuses up front
     val e = intercept[IllegalArgumentException] {
       BudgetSelect.takeTopPerGroupUniform(df, col("g"), col("id"),
-        col("q"), 1L, maxGroups = 3)
+        col("q"), 10L, maxPerGroup = 3)
     }
-    assert(e.getMessage.contains("maxGroups"))
+    assert(e.getMessage.contains("maxPerGroup"))
     // empty input → empty output with the input schema, no throw
     val empty = BudgetSelect.takeTopPerGroupUniform(df.limit(0), col("g"),
       col("id"), col("q"), 5L)
     assert(empty.columns.toSeq === df.columns.toSeq)
     assert(empty.isEmpty)
+  }
+
+  test("takeTopPerGroupUniform holds ZERO driver state: group count " +
+      "above the old 2^20 enumeration cap") {
+    // one row per group at 2^20 + 4096 groups — the exact cardinality
+    // the former distinct-collect path loud-failed at. m=2 keeps every
+    // row (every group is under quota); a spot host with 5 rows keeps
+    // its best 2 by (q DESC, id ASC).
+    val n = (1 << 20) + 4096
+    val wide = spark.range(n.toLong)
+      .select(col("id"),
+        concat(lit("host-"), col("id")).as("g"),
+        (col("id") % 11).as("q"))
+    val spot = Seq(
+      (n + 0L, "spot.example", 9L), (n + 1L, "spot.example", 7L),
+      (n + 2L, "spot.example", 9L), (n + 3L, "spot.example", 1L),
+      (n + 4L, "spot.example", 7L)).toDF("id", "g", "q")
+    val kept = BudgetSelect.takeTopPerGroupUniform(
+      wide.unionAll(spot), col("g"), col("id"), col("q"), 2L)
+    val spotIds = kept.where(col("g") === "spot.example")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // q=9 at ids n+0,n+2 beat q=7,7,1
+    assert(spotIds === Set(n + 0L, n + 2L))
+    assert(kept.count() === n.toLong + 2L)
+  }
+
+  test("takeTopPerGroupUniform plan: one bounded aggregate + semi-join, " +
+      "no window, no driver collect of groups") {
+    val df = corpus(50, seed = 5)
+      .withColumn("g", concat(lit("h"), col("id") % 7))
+    val plan = BudgetSelect.takeTopPerGroupUniform(df, col("g"),
+      col("id"), col("q"), 3L).queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_m"))
+    assert(plan.contains("LeftSemi"))
+    assert(!plan.contains("Window"), "no per-group ranking window")
   }
 }
