@@ -97,62 +97,141 @@ object Warc {
     payload.length >= 2 &&
       (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B
 
-  /** Decompress every concatenated gzip member; None on corrupt
-    * deflate data. Bounded by the decompressed size of the shard a
-    * task already holds — same memory envelope as any text codec. */
-  private def gunzipAll(payload: Array[Byte]): Option[Array[Byte]] = {
-    var in: GZIPInputStream = null
-    try {
-      in = new GZIPInputStream(new ByteArrayInputStream(payload))
-      // initial-size hint only — clamp it: `length * 4` overflows Int
-      // for a >512 MB shard and the constructor would throw, breaking
-      // the totality contract on exactly the payloads that matter
-      val out = new ByteArrayOutputStream(
-        math.min(payload.length.toLong * 4, 1L << 26).toInt)
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      Some(out.toByteArray)
-    } catch { case _: java.io.IOException => None }
-    // release the native Inflater now, not at GC — a task parsing many
-    // shards otherwise accumulates untracked native zlib memory
-    finally if (in != null) in.close()
+  /** Incremental record iterator over a byte STREAM — the scale path:
+    * a Common-Crawl shard is ~1 GB gzipped / ~4 GB decompressed, and
+    * decompressing the whole shard before the walk (the pre-r16 shape)
+    * put all 4 GB on one task's heap. This parses records AS the
+    * stream decompresses, holding only the bytes of the record
+    * currently assembling (plus one 64 KiB read chunk), so peak memory
+    * is O(largest record), not O(shard). TOTAL like the array walk: a
+    * malformed record or a mid-stream IOException (corrupt deflate
+    * data after valid members) ends the iteration with the records
+    * already parsed. The stream is closed at end-of-iteration —
+    * drain the iterator (its consumers all do).
+    *
+    * `peakBufferBytes` is the test seam pinning the memory envelope:
+    * the high-water mark of the live assembly buffer. */
+  final class WarcStreamIterator(in: java.io.InputStream)
+      extends Iterator[WarcRecord] {
+    private var buf = new Array[Byte](64 * 1024)
+    private var limit = 0 // valid bytes in buf
+    private var pos = 0   // consumed offset
+    private var eof = false
+    private var idx = 0
+    private var done = false
+    private var nextRec: WarcRecord = null
+    private var peak = 0L
+
+    def peakBufferBytes: Long = peak
+
+    private def closeQuietly(): Unit =
+      try in.close() catch { case _: java.io.IOException => () }
+
+    /** Append one chunk from the stream; EOF or IOException (corrupt
+      * deflate mid-stream) flips `eof` — totality, never a throw. */
+    private def readMore(): Unit = {
+      if (pos > 0) { // compact once per consumed record, not per chunk
+        System.arraycopy(buf, pos, buf, 0, limit - pos)
+        limit -= pos
+        pos = 0
+      }
+      if (limit == buf.length)
+        buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      val n =
+        try in.read(buf, limit, buf.length - limit)
+        catch { case _: java.io.IOException => -1 }
+      if (n < 0) { eof = true; closeQuietly() }
+      else {
+        limit += n
+        if (limit > peak) peak = limit
+      }
+    }
+
+    private def advance(): Unit =
+      while (nextRec == null && !done) {
+        parseOne(buf, pos, limit, idx) match {
+          case Some((rec, next)) =>
+            nextRec = rec
+            pos = next.toInt
+            idx += 1
+          case None =>
+            // insufficient bytes and malformed look alike mid-stream:
+            // only EOF settles it (then the prefix parsed so far IS
+            // the answer, the truncated-shard contract)
+            if (eof) { done = true; closeQuietly() }
+            else readMore()
+        }
+      }
+
+    override def hasNext: Boolean = { advance(); nextRec != null }
+    override def next(): WarcRecord = {
+      advance()
+      if (nextRec == null) throw new NoSuchElementException("WARC iterator")
+      val r = nextRec
+      nextRec = null
+      r
+    }
   }
+
+  /** In-place iterator over an already-decompressed (or plain `.warc`)
+    * payload — no copy of the array the task already holds. */
+  private final class WarcArrayIterator(bytes: Array[Byte])
+      extends Iterator[WarcRecord] {
+    private var pos = 0L
+    private var idx = 0
+    private var done = false
+    private var nextRec: WarcRecord = null
+    private def advance(): Unit =
+      if (nextRec == null && !done) {
+        if (pos >= bytes.length) done = true
+        else parseOne(bytes, pos.toInt, bytes.length, idx) match {
+          case Some((rec, next)) => nextRec = rec; pos = next; idx += 1
+          case None => done = true
+        }
+      }
+    override def hasNext: Boolean = { advance(); nextRec != null }
+    override def next(): WarcRecord = {
+      advance()
+      if (nextRec == null) throw new NoSuchElementException("WARC iterator")
+      val r = nextRec
+      nextRec = null
+      r
+    }
+  }
+
+  /** Lazy record iterator over a `.warc` or `.warc.gz` payload: plain
+    * payloads walk in place; gzip payloads stream member-by-member
+    * through [[WarcStreamIterator]] (peak memory O(largest record),
+    * never the decompressed shard). Totality as [[parseWarc]]. */
+  def recordIterator(payload: Array[Byte]): Iterator[WarcRecord] =
+    if (!isGzip(payload)) new WarcArrayIterator(payload)
+    else {
+      try new WarcStreamIterator(
+        new GZIPInputStream(new ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => Iterator.empty }
+    }
 
   /** Parse a `.warc` or `.warc.gz` payload into its records. TOTAL:
     * returns the longest valid record prefix — a malformed version
-    * line, header block, bad Content-Length, or truncated block ends
-    * the walk with the records already parsed (a truncated crawl
-    * shard yields its complete records, a foreign payload yields
-    * Nil). Corrupt gzip data yields Nil. */
-  def parseWarc(payload: Array[Byte]): Seq[WarcRecord] = {
-    val bytes =
-      if (isGzip(payload)) gunzipAll(payload).getOrElse(return Nil)
-      else payload
-    val recs = Seq.newBuilder[WarcRecord]
-    var off = 0L
-    var idx = 0
-    var ok = true
-    while (ok && off < bytes.length) {
-      parseOne(bytes, off.toInt, idx) match {
-        case Some((rec, next)) =>
-          recs += rec
-          idx += 1
-          off = next
-        case None => ok = false
-      }
-    }
-    recs.result()
-  }
+    * line, header block, bad Content-Length, truncated block, or
+    * corrupt gzip data ends the walk with the records already parsed
+    * (a truncated crawl shard yields its complete records, a foreign
+    * payload yields Nil). Materializes the record SEQ (that is what
+    * the caller asked for) but never the decompressed shard — built
+    * on [[recordIterator]]. */
+  def parseWarc(payload: Array[Byte]): Seq[WarcRecord] =
+    recordIterator(payload).toVector
 
-  /** One record at `start`; returns (record, offset past its CRLF CRLF
-    * separator). Offsets advance in Long so a crafted Content-Length
-    * near Int.MaxValue cannot wrap the bounds check (the same
-    * subtraction-phrased guard discipline as the container parsers). */
-  private def parseOne(bytes: Array[Byte], start: Int,
+  /** One record at `start` within `bytes[0, limit)`; returns (record,
+    * offset past its CRLF CRLF separator). Offsets advance in Long so
+    * a crafted Content-Length near Int.MaxValue cannot wrap the bounds
+    * check (the same subtraction-phrased guard discipline as the
+    * container parsers). `limit` (not bytes.length) bounds every read
+    * so the streaming iterator can parse a partially-filled buffer. */
+  private def parseOne(bytes: Array[Byte], start: Int, limit: Int,
                        idx: Int): Option[(WarcRecord, Long)] = {
     // version line
-    val vEnd = lineEnd(bytes, start)
+    val vEnd = lineEnd(bytes, start, limit)
     if (vEnd < 0) return None
     val version = new String(bytes, start, vEnd - start, UTF_8)
     if (!version.startsWith("WARC/")) return None
@@ -162,7 +241,7 @@ object Warc {
     var headers = List.empty[(String, String)]
     var done = false
     while (!done) {
-      val e = lineEnd(bytes, off)
+      val e = lineEnd(bytes, off, limit)
       if (e < 0) return None
       if (e == off) { done = true; off = e + 2 }
       else {
@@ -190,11 +269,11 @@ object Warc {
     val len =
       try hmap.get("content-length").map(_.toLong).getOrElse(return None)
       catch { case _: NumberFormatException => return None }
-    if (len < 0 || len > bytes.length - off) return None
+    if (len < 0 || len > limit - off) return None
     val block = java.util.Arrays.copyOfRange(bytes, off, off + len.toInt)
     // the mandatory CRLF CRLF record separator
     val sep = off + len
-    if (sep + 4 > bytes.length ||
+    if (sep + 4 > limit ||
         bytes(sep.toInt) != '\r' || bytes(sep.toInt + 1) != '\n' ||
         bytes(sep.toInt + 2) != '\r' || bytes(sep.toInt + 3) != '\n')
       return None
@@ -209,12 +288,12 @@ object Warc {
     Some((rec, sep + 4))
   }
 
-  /** Index of the CR of the next CRLF at/after `from`; -1 when no
-    * CRLF terminates the line (truncated header). Lone CR or LF inside
-    * a header line is malformed per spec and simply never matches. */
-  private def lineEnd(bytes: Array[Byte], from: Int): Int = {
+  /** Index of the CR of the next CRLF at/after `from` (before `limit`);
+    * -1 when no CRLF terminates the line (truncated header). Lone CR or
+    * LF inside a header line is malformed per spec and never matches. */
+  private def lineEnd(bytes: Array[Byte], from: Int, limit: Int): Int = {
     var i = from
-    while (i + 1 < bytes.length) {
+    while (i + 1 < limit) {
       if (bytes(i) == '\r' && bytes(i + 1) == '\n') return i
       i += 1
     }
@@ -353,14 +432,17 @@ object Warc {
     * one frame. `http_status`/`body` are the HTTP split for `response`
     * records; for every other record type `body` is the raw block.
     * An unparseable payload contributes no rows (upstream keeps the
-    * file id; anti-join to quarantine, as with corrupt CSV lines). */
+    * file id; anti-join to quarantine, as with corrupt CSV lines).
+    * Rows STREAM out of [[recordIterator]] — a gzipped shard
+    * decompresses member-by-member as downstream consumes, so task
+    * memory is O(largest record), not O(decompressed shard). */
   def recordTable(spark: SparkSession, files: DataFrame,
                   fileId: Column, payload: Column): DataFrame = {
     import spark.implicits._
     files.select(fileId.cast("long").as("f"), payload.as("p"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        parseWarc(bytes).map { r =>
+        recordIterator(bytes).map { r =>
           val http =
             if (r.warcType == "response") httpParts(r.block) else None
           WarcRecordRow(id, r.recIdx, r.warcType, r.recordId, r.targetUri,

@@ -52,6 +52,33 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseWarc(Warc.buildWarcGz(Seq(rec(1)))).length == 1)
   }
 
+  test("streaming parse never materializes the decompressed shard") {
+    // 200 members × ~16-32 KiB blocks = ~5.5 MB decompressed; the
+    // member-streaming iterator must hold only the record currently
+    // assembling (+ a read chunk), so its peak live buffer sits far
+    // below the decompressed size the old whole-shard gunzip held
+    val blocks = (0 until 200).map(i => rec(i.max(1), ("b" + i) * 8000))
+    val gz = Warc.buildWarcGz(blocks)
+    val it = new Warc.WarcStreamIterator(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz)))
+    var n = 0
+    var decompressed = 0L
+    while (it.hasNext) { decompressed += it.next().block.length; n += 1 }
+    assert(n == 200)
+    assert(decompressed > 5000000L)
+    assert(it.peakBufferBytes > 0L)
+    // one ~32 KiB record + 64 KiB chunking + growth slack ≪ 6.4 MB
+    assert(it.peakBufferBytes < 512 * 1024L,
+      s"peak=${it.peakBufferBytes} — streaming parse is buffering the shard")
+    // mid-stream corruption: valid members before the damage survive
+    // (the old whole-shard gunzip returned Nil here)
+    val twoThenJunk = Warc.buildWarcGz(Seq(rec(1), rec(2))) ++
+      Array[Byte](0x1F.toByte, 0x8B.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 99, 99)
+    assert(Warc.parseWarc(twoThenJunk).map(_.recordId) ==
+      Seq(rec(1).recordId, rec(2).recordId))
+  }
+
   test("unicode blocks survive byte-exact") {
     val s = rec(1, "héllo wörld é世界 😀")
     val p = Warc.parseWarc(Warc.buildWarc(Seq(s)))
