@@ -33,7 +33,12 @@ object Warc {
 
   /** One parsed record. `block` is the raw record block; for
     * `response` records it is an HTTP message ([[httpParts]] splits
-    * it). `recIdx` is the record's ordinal within its file. */
+    * it). `recIdx` is the record's ordinal within its file.
+    * `refersTo`/`payloadDigest` surface the crawler-side dedup headers
+    * `revisit` records carry (WARC-Refers-To names the original
+    * record, WARC-Payload-Digest its content digest — Common Crawl
+    * writes these for re-fetched unchanged pages, and a curation
+    * pipeline should CONSUME that signal, not recompute it). */
   final case class WarcRecord(
       recIdx: Int,
       warcType: String,
@@ -41,16 +46,24 @@ object Warc {
       targetUri: Option[String],
       date: String,
       contentType: String,
-      block: Array[Byte])
+      block: Array[Byte],
+      refersTo: Option[String] = None,
+      payloadDigest: Option[String] = None)
 
-  /** Builder input: the headers a synthesized record carries. */
+  /** Builder input: the headers a synthesized record carries.
+    * `refersTo`/`payloadDigest` emit the revisit dedup headers;
+    * `profile` emits WARC-Profile (the revisit kind marker, e.g.
+    * `http://netpreserve.org/warc/1.1/revisit/identical-payload-digest`). */
   final case class WarcSpecRec(
       warcType: String,
       recordId: String,
       targetUri: Option[String],
       date: String,
       contentType: String,
-      block: Array[Byte])
+      block: Array[Byte],
+      refersTo: Option[String] = None,
+      payloadDigest: Option[String] = None,
+      profile: Option[String] = None)
 
   private val CRLF = "\r\n"
 
@@ -66,6 +79,12 @@ object Warc {
       sb.append("WARC-Date: ").append(r.date).append(CRLF)
       r.targetUri.foreach(u =>
         sb.append("WARC-Target-URI: ").append(u).append(CRLF))
+      r.refersTo.foreach(v =>
+        sb.append("WARC-Refers-To: ").append(v).append(CRLF))
+      r.payloadDigest.foreach(v =>
+        sb.append("WARC-Payload-Digest: ").append(v).append(CRLF))
+      r.profile.foreach(v =>
+        sb.append("WARC-Profile: ").append(v).append(CRLF))
       sb.append("Content-Type: ").append(r.contentType).append(CRLF)
       sb.append("Content-Length: ").append(r.block.length).append(CRLF)
       sb.append(CRLF)
@@ -284,7 +303,9 @@ object Warc {
       targetUri = hmap.get("warc-target-uri"),
       date = hmap.getOrElse("warc-date", ""),
       contentType = hmap.getOrElse("content-type", ""),
-      block = block)
+      block = block,
+      refersTo = hmap.get("warc-refers-to"),
+      payloadDigest = hmap.get("warc-payload-digest"))
     Some((rec, sep + 4))
   }
 
@@ -339,7 +360,9 @@ object Warc {
       content_length: Long,
       http_status: Option[Int],
       http_content_type: Option[String],
-      body: Array[Byte])
+      body: Array[Byte],
+      refers_to: Option[String],
+      payload_digest: Option[String])
 
   /** The Content-Type header value of an HTTP header block (first
     * occurrence, case-insensitive name), or None — the charset source
@@ -448,7 +471,8 @@ object Warc {
           WarcRecordRow(id, r.recIdx, r.warcType, r.recordId, r.targetUri,
             r.date, r.contentType, r.block.length.toLong,
             http.map(_._1), http.flatMap(h => httpContentType(h._2)),
-            http.map(_._3).getOrElse(r.block))
+            http.map(_._3).getOrElse(r.block),
+            r.refersTo, r.payloadDigest)
         }
       })
       .toDF()

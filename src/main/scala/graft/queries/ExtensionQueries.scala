@@ -1929,6 +1929,33 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
 
+    // WARC `revisit` consumption — the crawler-side dedup signal a
+    // curation pipeline should USE rather than recompute: revisit
+    // records join back to their originals on WARC-Refers-To, and the
+    // gate re-verifies each carried WARC-Payload-Digest against the
+    // original body's actual digest (the fixture plants stale digests
+    // on every 4th doc, so a comparison that always agrees fails).
+    // The original-side digest is recomputed by Spark's md5 over the
+    // parsed HTTP body; the oracle recomputes it with DuckDB's md5
+    // from the synthesis formula — two independent digest paths.
+    "warc_revisit" -> ((s, dir) => {
+      val recs = graft.ingest.Warc.recordTable(s,
+        syntheticRevisitWarc(s, dir), col("doc_id"), col("payload"))
+      val resp = recs.where(col("warc_type") === "response")
+        .select(col("record_id").as("orig_id"),
+          col("target_uri").as("orig_uri"),
+          concat(lit("md5:"), md5(col("body"))).as("orig_digest"))
+      val revs = recs.where(col("warc_type") === "revisit")
+        .select(col("file_id").as("doc_id"), col("record_id").as("rev_id"),
+          col("refers_to"), col("payload_digest"))
+      revs.join(resp, revs("refers_to") === resp("orig_id"))
+        .select(col("doc_id"), col("rev_id"), col("refers_to"),
+          col("orig_uri"), col("payload_digest"),
+          when(col("payload_digest") === col("orig_digest"), 1L)
+            .otherwise(0L).as("digest_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML→text boilerplate extraction (codegen kernel): deterministic
     // pages wrap each doc's ESCAPED text in real page furniture
     // (title/script/style to drop, h1 + anchor blocks, a comment), and
@@ -2360,6 +2387,52 @@ object ExtensionQueries {
             ("lang: " + lang + "\r\nsourceName: " + source).getBytes(UTF_8)))
         (id, if (id % 2 == 0) Warc.buildWarc(recs) else Warc.buildWarcGz(recs))
       }).toDF("doc_id", "payload")
+  }
+
+  /** Synthetic revisit shards for the `warc_revisit` gate: per doc a
+    * `response` record (text/plain body `p<id>|<text>`), and for even
+    * doc_id a `revisit` record carrying the crawler-side dedup headers
+    * (WARC-Refers-To naming the original, WARC-Payload-Digest, and the
+    * netpreserve identical-payload-digest profile). Every 4th doc's
+    * revisit carries a deliberately STALE digest so the gate's
+    * digest-match flag discriminates (a comparison that always says
+    * "match" cannot pass). doc_id % 3 == 0 files are per-record gzip
+    * members, the rest plain — compression-blind like the main WARC
+    * fixture. */
+  private def syntheticRevisitWarc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.ingest.Warc
+    import graft.ingest.Warc.WarcSpecRec
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(t: String): String = {
+          md.reset()
+          md.digest(t.getBytes(UTF_8)).map("%02x".format(_)).mkString
+        }
+        it.map { case (id, text0) =>
+          val content = "p" + id + "|" + (if (text0 == null) "" else text0)
+          val uri = "https://h" + (id % 7) + ".example/p/" + id
+          val date = Web.date(id)
+          val orig = WarcSpecRec("response", s"<urn:uuid:orig-$id>",
+            Some(uri), date, "application/http; msgtype=response",
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8" +
+              "\r\n\r\n" + content).getBytes(UTF_8),
+            payloadDigest = Some("md5:" + hex(content)))
+          val recs =
+            if (id % 2 != 0) Seq(orig)
+            else Seq(orig, WarcSpecRec("revisit", s"<urn:uuid:rev-$id>",
+              Some(uri), date, "message/http", Array.empty[Byte],
+              refersTo = Some(s"<urn:uuid:orig-$id>"),
+              payloadDigest = Some("md5:" + hex(
+                if (id % 4 == 0) content else content + "|stale")),
+              profile = Some("http://netpreserve.org/warc/1.1/revisit/" +
+                "identical-payload-digest")))
+          (id, if (id % 3 == 0) Warc.buildWarcGz(recs) else Warc.buildWarc(recs))
+        }
+      }.toDF("doc_id", "payload")
   }
 
   /** Shared synthetic media table for the container/decode gates: REAL
@@ -4360,6 +4433,22 @@ object ExtensionQueries {
          |      'sourceName: ' || source)
          |    END AS body_md5
          |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // every revisit column and the digest verdict restated from the
+    // fixture arithmetic alone; the original's digest recomputed with
+    // DuckDB's md5 (independent of the Spark-side md5 the gate runs)
+    "warc_revisit" ->
+      """SELECT doc_id,
+        |  '<urn:uuid:rev-' || doc_id || '>' AS rev_id,
+        |  '<urn:uuid:orig-' || doc_id || '>' AS refers_to,
+        |  'https://h' || (doc_id % 7) || '.example/p/' || doc_id
+        |    AS orig_uri,
+        |  'md5:' || md5('p' || doc_id || '|' || coalesce(text, '') ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '' ELSE '|stale' END)
+        |    AS payload_digest,
+        |  cast(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS bigint)
+        |    AS digest_ok
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
 
     // expected extract restated from the source columns (block
     // segmentation + entity round-trip + ASCII-ws collapse), never by

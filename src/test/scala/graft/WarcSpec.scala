@@ -79,6 +79,31 @@ class WarcSpec extends AnyFunSuite {
       Seq(rec(1).recordId, rec(2).recordId))
   }
 
+  test("revisit headers round-trip: Refers-To, Payload-Digest, Profile") {
+    val rev = WarcSpecRec(
+      warcType = "revisit",
+      recordId = "<urn:uuid:rev-9>",
+      targetUri = Some("https://example.org/p/9"),
+      date = "2026-01-02T03:04:05Z",
+      contentType = "message/http",
+      block = Array.empty[Byte],
+      refersTo = Some("<urn:uuid:orig-9>"),
+      payloadDigest = Some("sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"),
+      profile = Some(
+        "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"))
+    for (build <- Seq[Seq[WarcSpecRec] => Array[Byte]](
+        Warc.buildWarc, Warc.buildWarcGz)) {
+      val p = Warc.parseWarc(build(Seq(rec(1), rev)))
+      assert(p.length == 2)
+      // non-revisit records carry no dedup headers
+      assert(p(0).refersTo.isEmpty && p(0).payloadDigest.isEmpty)
+      assert(p(1).warcType == "revisit")
+      assert(p(1).refersTo == rev.refersTo)
+      assert(p(1).payloadDigest == rev.payloadDigest)
+      assert(p(1).block.isEmpty)
+    }
+  }
+
   test("unicode blocks survive byte-exact") {
     val s = rec(1, "héllo wörld é世界 😀")
     val p = Warc.parseWarc(Warc.buildWarc(Seq(s)))
