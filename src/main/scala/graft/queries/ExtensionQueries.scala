@@ -2184,6 +2184,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKEN-budgeted inference batching (BatchScore.scoreByTokens):
+    // batches flush at 97 total whitespace tokens (never divides the
+    // corpus evenly → ragged batches throughout) and docs truncate to
+    // an 11-token model context, so MOST documents exercise the
+    // truncation path. The oracle recomputes the truncated text, its
+    // md5 score, the clamped token count, and the truncation flag from
+    // the raw text with DuckDB list ops — a packing bug that re-zips
+    // scores off their documents, an off-by-one in the slice, or a
+    // truncation that leaks past the context all surface as value
+    // mismatches.
+    "model_score_tokens" -> ((s, dir) => {
+      graft.text.BatchScore.scoreByTokens(s, Tables(s, dir, "documents"),
+          col("doc_id"), col("text"), TextOps.tokens(col("text")),
+          maxBatchTokens = 97, maxDocTokens = 11)
+        .select(col("id").as("doc_id"), col("score_ppm"),
+          col("n_tokens"), col("truncated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JSONL ingest (the LLM dataset interchange format) with the CSV
     // path's quarantine discipline: every ~97th line is corrupted at
     // synthesis, and the reader must yield exactly the intact rows —
@@ -4612,6 +4631,28 @@ object ExtensionQueries {
         |    ELSE ('0x' || substr(md5(text), 1, 6))::BIGINT % 1000000
         |    END AS score_ppm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the token-budget batching contract restated from the raw text:
+    // same whitespace split as the Spark tokenizer, truncation = the
+    // single-space re-join of the first 11 tokens, score = the stub
+    // md5 arithmetic over the text the model actually saw
+    "model_score_tokens" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |      w -> len(w) > 0) AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN text IS NULL OR text = '' THEN cast(0 AS bigint)
+        |    WHEN len(l) > 11 THEN ('0x' || substr(md5(
+        |      array_to_string(l[1:11], ' ')), 1, 6))::BIGINT % 1000000
+        |    ELSE ('0x' || substr(md5(text), 1, 6))::BIGINT % 1000000
+        |    END AS score_ppm,
+        |  cast(CASE WHEN text IS NULL THEN 0
+        |    ELSE least(len(l), 11) END AS bigint) AS n_tokens,
+        |  cast(CASE WHEN text IS NOT NULL AND len(l) > 11 THEN 1 ELSE 0
+        |    END AS bigint) AS truncated
+        |FROM tk ORDER BY doc_id""".stripMargin,
 
     // the intact rows of the corrupted-line synthesis — the reader's
     // clean side must be exactly the source minus every 97th doc

@@ -94,4 +94,86 @@ object BatchScore {
       }
       .toDF("id", "score_ppm")
   }
+
+  /** TOKEN-budgeted batching — how real classifier runtimes batch: a
+    * batch of 64 ten-page documents OOMs an accelerator that 64 tweets
+    * would not, so batches flush at `maxBatchTokens` TOTAL tokens
+    * (each batch still holds ≥ 1 document), and any document longer
+    * than `maxDocTokens` is truncated to the model context first.
+    *
+    * `tokens` is the document's token ARRAY column (caller's
+    * tokenizer: [[TextOps.tokens]], [[TextOps.bpeishTokens]], a BPE
+    * encode — anything array<string>), so counting AND truncation run
+    * in the plan as codegen expressions; the imperative boundary only
+    * packs pre-counted rows. Truncation contract: a too-long document
+    * scores on the single-space re-join of its first `maxDocTokens`
+    * tokens (whitespace normalizes at the context boundary — the
+    * standard tokenizer-feed shape) and reports `truncated = 1`.
+    *
+    * Same guarantees as [[score]]: per-executor singleton, positional
+    * re-zip (ids may repeat), null/empty bypass (cost 0 — they ride
+    * any batch without reaching the model), batch-layout-invariant
+    * scores. Output: (id, score_ppm, n_tokens, truncated) with
+    * n_tokens = the token count the model actually saw. */
+  def scoreByTokens(spark: SparkSession, docs: DataFrame, id: Column,
+                    text: Column, tokens: Column,
+                    scorer: DocScorer = new HashScorer,
+                    maxBatchTokens: Int = 8192,
+                    maxDocTokens: Int = 2048): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    require(maxBatchTokens >= 1, "maxBatchTokens must be >= 1")
+    require(maxDocTokens >= 1, "maxDocTokens must be >= 1")
+    require(maxDocTokens <= maxBatchTokens,
+      "maxDocTokens must fit maxBatchTokens — a truncated document " +
+        "must still fit one batch")
+    val prep = docs
+      .select(id.cast("long").as("i"), text.cast("string").as("t"),
+        tokens.as("tk"))
+      .select(col("i"),
+        when(size(col("tk")) > maxDocTokens,
+          array_join(slice(col("tk"), 1, maxDocTokens), " "))
+          .otherwise(col("t")).as("t"),
+        when(col("t").isNull, lit(0))
+          .otherwise(least(coalesce(size(col("tk")), lit(0)),
+            lit(maxDocTokens))).cast("int").as("n"),
+        when(col("t").isNotNull && size(col("tk")) > maxDocTokens, 1L)
+          .otherwise(0L).as("trunc"))
+      .as[(Long, String, Int, Long)]
+    prep.mapPartitions { it =>
+      val model = ScorerCache.get(scorer)
+      // greedy token packing: flush when the next document would push
+      // the batch past maxBatchTokens; a batch always takes at least
+      // one document, so progress is unconditional
+      val batches = new Iterator[Vector[(Long, String, Int, Long)]] {
+        private var pending: (Long, String, Int, Long) = null
+        override def hasNext: Boolean = pending != null || it.hasNext
+        override def next(): Vector[(Long, String, Int, Long)] = {
+          val out = Vector.newBuilder[(Long, String, Int, Long)]
+          var tok = 0
+          var first = true
+          var open = true
+          while (open && (pending != null || it.hasNext)) {
+            val row = if (pending != null) pending else it.next()
+            pending = null
+            if (first || tok + row._3 <= maxBatchTokens) {
+              out += row; tok += row._3; first = false
+            } else { pending = row; open = false }
+          }
+          out.result()
+        }
+      }
+      batches.flatMap { chunk =>
+        val live = chunk.filter { case (_, t, _, _) => t != null && t.nonEmpty }
+        val scores =
+          if (live.isEmpty) Array.empty[Long]
+          else model.scoreBatch(live.map(_._2).toArray)
+        var k = 0
+        chunk.map { case (i, t, n, tr) =>
+          if (t != null && t.nonEmpty) { val s = scores(k); k += 1; (i, s, n.toLong, tr) }
+          else (i, 0L, n.toLong, tr)
+        }
+      }
+    }.toDF("id", "score_ppm", "n_tokens", "truncated")
+  }
 }
