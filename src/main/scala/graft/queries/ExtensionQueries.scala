@@ -2272,6 +2272,7 @@ object ExtensionQueries {
     // md5-group dedup), so a drift anywhere in the chain surfaces here
     // even if every piece gate stays green.
     "crawl_pipeline" -> ((s, dir) => {
+      import s.implicits._
       val recs = graft.ingest.Warc.recordTable(s, syntheticWarc(s, dir),
           col("doc_id"), col("payload"))
         .where(col("warc_type") === "response")
@@ -2280,24 +2281,56 @@ object ExtensionQueries {
         graft.ops.HtmlExprs.htmlMainText(graft.ops.HtmlExprs
           .charsetDecode(col("http_content_type"), col("body")))
           .as("main"))
-      // MATERIALIZE before the selection: takeTopPerGroupUniform scans
-      // its input twice (bounded top-m aggregate + semi-join back), and
-      // each pass would otherwise re-run the whole WARC-parse +
-      // extraction chain — at sf0.1 that read as a 13 s gate for ~1 s
-      // of actual work, and at crawl scale it is the difference
-      // between one ingest pass and several
-      val scored = pages.select(col("doc_id"), col("host"), col("main"),
-          round(TextOps.qualityStruct(col("main")).getField("alpha_ratio")
-            * 1e6, 0).cast("long").as("q_ppm"))
+      // MATERIALIZE before the selections: the per-host cap and the
+      // model join each scan their input more than once, and every
+      // pass would otherwise re-run the whole WARC-parse + extraction
+      // chain — at sf0.1 that read as a 13 s gate for ~1 s of actual
+      // work, and at crawl scale it is the difference between one
+      // ingest pass and several
+      val gated = pages.select(col("doc_id"), col("host"), col("main"),
+          graft.ops.TextExprs.gopherStats(col("main")).getField("pass")
+            .cast("long").as("gopher_pass"))
+        .localCheckpoint(true)
+      // COMPOSED page quality, the way a real curation stacks its
+      // signals: the classifier score (BatchScore, the stub md5 model)
+      // GATED by the rule-based gopher pass — a page the rules reject
+      // scores 0 no matter what the model says
+      val modeled = graft.text.BatchScore.score(s, gated, col("doc_id"),
+          col("main"), batchSize = 53)
+        .select(col("id").as("doc_id"), col("score_ppm").as("model_ppm"))
+      // host-graph PRIOR as the global tiebreak: the same PageRank the
+      // host_rank gate pins, joined back by host
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, src) =>
+          val from = Web.host(id, src)
+          Seq((from, "www.example-" + ((id + 3) % 10) + ".com"),
+            (from, "hub.example"))
+        }).toDF("src", "dst")
+      val rank = graft.ops.GraphOps.pageRankFixedPoint(edges,
+        col("src"), col("dst"), iters = 3)
+      val scored = gated
+        .join(modeled, Seq("doc_id"))
+        .join(rank.withColumnRenamed("node", "host"), Seq("host"))
+        .select(col("doc_id"), col("host"), col("main"),
+          col("gopher_pass"), col("model_ppm"), col("rank_ppb"),
+          (col("model_ppm") * col("gopher_pass")).as("q_ppm"))
         .localCheckpoint(true)
       val capped = graft.text.BudgetSelect.takeTopPerGroupUniform(scored,
           col("host"), col("doc_id"), col("q_ppm"), m = 5L)
         .localCheckpoint(true) // consumed twice by the dedup annotate+join
-      Dedup.exactCanonical(capped, col("doc_id"), col("main"))
+      val canon = Dedup.exactCanonical(capped, col("doc_id"), col("main"))
         .where(col("doc_id") === col("canonical_id"))
-        .join(capped.select(col("doc_id"), col("host"), col("q_ppm"),
+        .join(capped.select(col("doc_id"), col("host"), col("gopher_pass"),
+          col("model_ppm"), col("rank_ppb"), col("q_ppm"),
           md5(col("main")).as("main_md5")), Seq("doc_id"))
-        .select(col("doc_id"), col("host"), col("q_ppm"),
+      // final GLOBAL selection: top 40 by (gated score DESC, host rank
+      // DESC, doc_id ASC) — one takeTop over a composed integer key
+      // (q_ppm ≤ 10⁶, rank_ppb < 2×10⁹, so the packing is lossless)
+      graft.text.BudgetSelect.takeTop(canon, col("doc_id"),
+          col("q_ppm") * lit(2000000000L) + col("rank_ppb"), m = 40L)
+        .select(col("doc_id"), col("host"), col("gopher_pass"),
+          col("model_ppm"), col("rank_ppb"), col("q_ppm"),
           col("main_md5"), col("n_copies"))
         .orderBy(col("doc_id"))
     }),
@@ -4677,30 +4710,127 @@ object ExtensionQueries {
     // the end state of the whole curation chain, recomputed from the
     // source columns: expected main text, quality formula, per-host
     // ranked window (the cap), md5-group min-id dedup (the canon)
+    // the whole composed curation replayed from the source columns:
+    // main text, gopher counters → pass, the stub model's md5 ppm,
+    // the 3-iteration integer PageRank (same replay as host_rank),
+    // gate × score composition, per-host cap, md5 dedup, and the
+    // final global top-40 by (score, host rank, id)
+    // (concatenated, not one interpolated literal: the gopher regex's
+    // \x0b is not a valid Scala escape inside an s-string)
     "crawl_pipeline" ->
-      s"""WITH $webCte,
-         |mn AS (
+      (s"WITH $webCte,\n" +
+      """mn AS (
          |  SELECT doc_id, host,
          |    CASE WHEN coll = '' THEN source
          |      ELSE source || chr(10) || coll END AS main
          |  FROM x),
-         |q AS (
-         |  SELECT doc_id, host, main,
-         |    cast(round(len(regexp_extract_all(main, '[A-Za-z]'))
-         |      / greatest(length(main), 1) * 1000000) AS bigint) AS q_ppm
+         |gw AS (
+         |  SELECT doc_id, main,
+         |    list_filter(string_split_regex(main, '[ \t\n\x0b\f\r]+'),
+         |      w -> len(w) > 0) AS ws,
+         |    string_split(main, chr(10)) AS ls
          |  FROM mn),
+         |gc AS (
+         |  SELECT doc_id,
+         |    cast(len(ws) AS bigint) AS n_words,
+         |    cast(coalesce(list_aggregate(list_transform(ws, w -> len(w)),
+         |      'sum'), 0) AS bigint) AS word_cps,
+         |    cast((len(main) - len(replace(main, '#', '')))
+         |      + (len(main) - len(replace(main, '…', '')))
+         |      + (len(main) - len(replace(main, '...', ''))) // 3
+         |      AS bigint) AS n_symbols,
+         |    cast(len(ls) AS bigint) AS n_lines,
+         |    cast(len(list_filter(ls, l ->
+         |      starts_with(ltrim(l, ' ' || chr(9)), '•') OR
+         |      starts_with(ltrim(l, ' ' || chr(9)), '‣') OR
+         |      starts_with(ltrim(l, ' ' || chr(9)), '-') OR
+         |      starts_with(ltrim(l, ' ' || chr(9)), '*')))
+         |      AS bigint) AS n_bullet_lines,
+         |    cast(len(list_filter(ls, l ->
+         |      ends_with(rtrim(l, ' ' || chr(9)), '…') OR
+         |      ends_with(rtrim(l, ' ' || chr(9)), '...')))
+         |      AS bigint) AS n_ellipsis_lines,
+         |    cast(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |      AS bigint) AS n_alpha_words,
+         |    cast(len(list_filter(ws, w -> list_contains(
+         |      ['the','be','to','of','and','that','have','with'],
+         |      lower(w)))) AS bigint) AS n_stop_hits
+         |  FROM gw),
+         |gp AS (
+         |  SELECT doc_id,
+         |    cast(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |      AND 3 * n_words <= word_cps AND word_cps <= 10 * n_words
+         |      AND 10 * n_symbols <= n_words
+         |      AND 10 * n_bullet_lines <= n_lines
+         |      AND 10 * n_ellipsis_lines <= 3 * n_lines
+         |      AND 5 * n_alpha_words >= 4 * n_words
+         |      AND n_stop_hits >= 2
+         |      THEN 1 ELSE 0 END AS bigint) AS gopher_pass
+         |  FROM gc),
+         |ed AS (
+         |  SELECT host AS src,
+         |    'www.example-' || ((doc_id + 3) % 10) || '.com' AS dst
+         |  FROM x
+         |  UNION ALL SELECT host, 'hub.example' FROM x),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |par AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |od AS (SELECT src, count(*)::BIGINT AS outd FROM ed GROUP BY src),
+         |r0 AS (SELECT node, 1000000000::BIGINT // n AS r
+         |  FROM nodes CROSS JOIN par),
+         |i1 AS (
+         |  SELECT nodes.node,
+         |    (3::BIGINT * 1000000000) // (20 * n)
+         |      + (17 * coalesce(s.s, 0)) // 20 AS r
+         |  FROM nodes CROSS JOIN par
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(r0.r // od.outd) AS s
+         |             FROM ed JOIN r0 ON ed.src = r0.node
+         |             JOIN od ON ed.src = od.src
+         |             GROUP BY ed.dst) s ON nodes.node = s.node),
+         |i2 AS (
+         |  SELECT nodes.node,
+         |    (3::BIGINT * 1000000000) // (20 * n)
+         |      + (17 * coalesce(s.s, 0)) // 20 AS r
+         |  FROM nodes CROSS JOIN par
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(i1.r // od.outd) AS s
+         |             FROM ed JOIN i1 ON ed.src = i1.node
+         |             JOIN od ON ed.src = od.src
+         |             GROUP BY ed.dst) s ON nodes.node = s.node),
+         |i3 AS (
+         |  SELECT nodes.node,
+         |    (3::BIGINT * 1000000000) // (20 * n)
+         |      + (17 * coalesce(s.s, 0)) // 20 AS r
+         |  FROM nodes CROSS JOIN par
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(i2.r // od.outd) AS s
+         |             FROM ed JOIN i2 ON ed.src = i2.node
+         |             JOIN od ON ed.src = od.src
+         |             GROUP BY ed.dst) s ON nodes.node = s.node),
+         |q AS (
+         |  SELECT mn.doc_id, mn.host, mn.main, gp.gopher_pass,
+         |    ('0x' || substr(md5(mn.main), 1, 6))::BIGINT % 1000000
+         |      AS model_ppm,
+         |    cast(i3.r AS bigint) AS rank_ppb,
+         |    (('0x' || substr(md5(mn.main), 1, 6))::BIGINT % 1000000)
+         |      * gp.gopher_pass AS q_ppm
+         |  FROM mn JOIN gp USING (doc_id)
+         |  JOIN i3 ON mn.host = i3.node),
          |r AS (SELECT *, row_number() OVER (PARTITION BY host
          |  ORDER BY q_ppm DESC, doc_id) AS rn FROM q),
-         |cap AS (SELECT doc_id, host, main, q_ppm FROM r WHERE rn <= 5),
+         |cap AS (SELECT doc_id, host, main, gopher_pass, model_ppm,
+         |  rank_ppb, q_ppm FROM r WHERE rn <= 5),
          |dd AS (
          |  SELECT *,
          |    min(doc_id) OVER (PARTITION BY md5(main)) AS canonical_id,
          |    count(*) OVER (PARTITION BY md5(main)) AS n_copies
-         |  FROM cap)
-         |SELECT doc_id, host, q_ppm, md5(main) AS main_md5,
-         |  cast(n_copies AS bigint) AS n_copies
-         |FROM dd WHERE doc_id = canonical_id
-         |ORDER BY doc_id""".stripMargin,
+         |  FROM cap),
+         |canon AS (SELECT * FROM dd WHERE doc_id = canonical_id),
+         |fin AS (SELECT *, row_number() OVER (
+         |  ORDER BY q_ppm * 2000000000 + rank_ppb DESC, doc_id) AS gn
+         |  FROM canon)
+         |SELECT doc_id, host, gopher_pass, model_ppm, rank_ppb, q_ppm,
+         |  md5(main) AS main_md5, cast(n_copies AS bigint) AS n_copies
+         |FROM fin WHERE gn <= 40
+         |ORDER BY doc_id""".stripMargin),
 
     // the per-host ranked window the operator deliberately avoids,
     // over the same synthesized hosts (webCte) and quality formula
