@@ -1981,6 +1981,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Link extraction (the hrefs codegen kernel) — the link-graph
+    // emitter feeding PageRank: document order, duplicates kept,
+    // hrefless anchors skipped, and a SCRIPT DECOY
+    // (document.write('<a href=…>')) that must stay content, not
+    // markup. The oracle restates the expected href list (joined on
+    // chr(1)) from the synthesis arithmetic alone.
+    "html_links" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) =>
+          (id, Web.linksHtml(id, src))
+        })
+        .toDF("doc_id", "html")
+        .select(col("doc_id"),
+          graft.ops.HtmlExprs.hrefs(col("html")).as("ls"))
+        .select(col("doc_id"), size(col("ls")).cast("long").as("n_links"),
+          md5(array_join(col("ls"), "\u0001")).as("links_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Canonical-URL normalization (codegen kernel) for URL-level crawl
     // dedup: three messy spellings per doc (uppercase host + userinfo +
     // default port + tracking params + fragment; portless-https with
@@ -2388,6 +2409,23 @@ object ExtensionQueries {
       case _ => "files." + source.toLowerCase(java.util.Locale.ROOT) +
         ".example.com"
     }
+
+    /** The link-extraction gate's page: three real links (duplicates
+      * kept — edge multiplicity is signal), a valueless-name anchor,
+      * a SCRIPT DECOY (`document.write('<a href=…>')` — raw-text
+      * content that must never become an edge), and a rotating fourth
+      * link so counts vary. */
+    def linksHtml(id: Long, source: String): String =
+      "<html><body><a href=\"https://a.example/" + id + "\">one</a>" +
+        "<script>document.write('<a href=\"https://evil.example/" + id +
+        "\">x</a>');</script>" +
+        "<p><a href='/rel/" + source + "'>two</a></p>" +
+        "<a name=anchor>no href</a>" +
+        "<a href=\"https://a.example/" + id + "\">dup</a>" +
+        (if (id % 3 == 0)
+          "<a href='https://b.example/?q=" + id + "'>extra</a>"
+        else "") +
+        "</body></html>"
 
     /** The main-text gate's page: real content wrapped in a nav bar
       * (14/15 anchor cps) and a link-farm footer (13/19) — both above
@@ -4845,6 +4883,21 @@ object ExtensionQueries {
          |  ORDER BY q_ppm DESC, doc_id) AS rn FROM t)
          |SELECT doc_id, host, q_ppm FROM r WHERE rn <= 3
          |ORDER BY doc_id""".stripMargin,
+
+    // the expected href list (document order, duplicate kept, script
+    // decoy and hrefless anchor absent) restated from the synthesis
+    // arithmetic and joined on chr(1)
+    "html_links" ->
+      """SELECT doc_id,
+        |  cast(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS bigint)
+        |    AS n_links,
+        |  md5('https://a.example/' || doc_id || chr(1) ||
+        |      '/rel/' || source || chr(1) ||
+        |      'https://a.example/' || doc_id ||
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN chr(1) || 'https://b.example/?q=' || doc_id
+        |        ELSE '' END) AS links_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // expected canonical form stated directly from the synthesis
     // arithmetic — the oracle does NOT re-implement the normalizer
