@@ -48,7 +48,8 @@ object Warc {
       contentType: String,
       block: Array[Byte],
       refersTo: Option[String] = None,
-      payloadDigest: Option[String] = None)
+      payloadDigest: Option[String] = None,
+      profile: Option[String] = None)
 
   /** Builder input: the headers a synthesized record carries.
     * `refersTo`/`payloadDigest` emit the revisit dedup headers;
@@ -305,7 +306,8 @@ object Warc {
       contentType = hmap.getOrElse("content-type", ""),
       block = block,
       refersTo = hmap.get("warc-refers-to"),
-      payloadDigest = hmap.get("warc-payload-digest"))
+      payloadDigest = hmap.get("warc-payload-digest"),
+      profile = hmap.get("warc-profile"))
     Some((rec, sep + 4))
   }
 
@@ -362,7 +364,8 @@ object Warc {
       http_content_type: Option[String],
       body: Array[Byte],
       refers_to: Option[String],
-      payload_digest: Option[String])
+      payload_digest: Option[String],
+      profile: Option[String])
 
   /** The Content-Type header value of an HTTP header block (first
     * occurrence, case-insensitive name), or None — the charset source
@@ -472,7 +475,7 @@ object Warc {
             r.date, r.contentType, r.block.length.toLong,
             http.map(_._1), http.flatMap(h => httpContentType(h._2)),
             http.map(_._3).getOrElse(r.block),
-            r.refersTo, r.payloadDigest)
+            r.refersTo, r.payloadDigest, r.profile)
         }
       })
       .toDF()

@@ -1947,10 +1947,10 @@ object ExtensionQueries {
           concat(lit("md5:"), md5(col("body"))).as("orig_digest"))
       val revs = recs.where(col("warc_type") === "revisit")
         .select(col("file_id").as("doc_id"), col("record_id").as("rev_id"),
-          col("refers_to"), col("payload_digest"))
+          col("refers_to"), col("payload_digest"), col("profile"))
       revs.join(resp, revs("refers_to") === resp("orig_id"))
         .select(col("doc_id"), col("rev_id"), col("refers_to"),
-          col("orig_uri"), col("payload_digest"),
+          col("orig_uri"), col("payload_digest"), col("profile"),
           when(col("payload_digest") === col("orig_digest"), 1L)
             .otherwise(0L).as("digest_ok"))
         .orderBy(col("doc_id"))
@@ -4536,6 +4536,8 @@ object ExtensionQueries {
         |  'md5:' || md5('p' || doc_id || '|' || coalesce(text, '') ||
         |    CASE WHEN doc_id % 4 = 0 THEN '' ELSE '|stale' END)
         |    AS payload_digest,
+        |  'http://netpreserve.org/warc/1.1/revisit/identical-payload-digest'
+        |    AS profile,
         |  cast(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS bigint)
         |    AS digest_ok
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,

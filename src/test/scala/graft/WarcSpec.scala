@@ -100,6 +100,7 @@ class WarcSpec extends AnyFunSuite {
       assert(p(1).warcType == "revisit")
       assert(p(1).refersTo == rev.refersTo)
       assert(p(1).payloadDigest == rev.payloadDigest)
+      assert(p(1).profile == rev.profile)
       assert(p(1).block.isEmpty)
     }
   }
