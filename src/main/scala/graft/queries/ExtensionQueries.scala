@@ -2002,6 +2002,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // URL-LEVEL crawl dedup — the chain the normalizer exists for:
+    // two differently-messy spellings per doc of the same logical page
+    // (userinfo + default port + tracking params + fragment vs a bare
+    // trailing-'?' form) collapse through urlNormalize into one
+    // canonical key, cross-DOC collisions included (the key is
+    // doc_id % 125), then one groupBy picks the canonical first doc
+    // and counts spellings. The oracle restates the canonical form
+    // and both aggregates from the synthesis arithmetic.
+    "url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val k = id % 25
+          val j = id % 125
+          Seq(
+            (id, "HTTPS://User@Site" + k + ".EXAMPLE.:443/p/" + j +
+              "?utm_source=x&ref=y#frag"),
+            (id, "https://site" + k + ".example/p/" + j + "?"))
+        }).toDF("doc_id", "url")
+        .select(col("doc_id"),
+          graft.ops.HtmlExprs.urlNormalize(col("url")).as("url_canon"))
+        .groupBy(col("url_canon"))
+        .agg(count(lit(1)).as("n_spellings"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("url_canon"))
+    }),
+
     // Canonical-URL normalization (codegen kernel) for URL-level crawl
     // dedup: three messy spellings per doc (uppercase host + userinfo +
     // default port + tracking params + fragment; portless-https with
@@ -4900,6 +4928,20 @@ object ExtensionQueries {
         |        THEN chr(1) || 'https://b.example/?q=' || doc_id
         |        ELSE '' END) AS links_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // canonical key, spelling count, and first-doc pick all restated
+    // from the synthesis arithmetic (2 spellings per doc; the key
+    // collapses to doc_id % 125)
+    "url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://site' || (doc_id % 25) || '.example/p/' ||
+        |      (doc_id % 125) AS url_canon
+        |  FROM documents)
+        |SELECT url_canon,
+        |  cast(2 * count(*) AS bigint) AS n_spellings,
+        |  cast(min(doc_id) AS bigint) AS first_doc
+        |FROM u GROUP BY url_canon ORDER BY url_canon""".stripMargin,
 
     // expected canonical form stated directly from the synthesis
     // arithmetic — the oracle does NOT re-implement the normalizer

@@ -615,6 +615,28 @@ class BudgetSelectSpec extends AnyFunSuite {
     assert(kept.count() === n.toLong + 2L)
   }
 
+  test("takeTopPerGroupUniform ≡ the per-group ranking window across " +
+      "random corpora (heavy ties, random layouts)") {
+    for (seed <- Seq(11, 23, 47)) {
+      val rng = new scala.util.Random(seed)
+      val df = (0 until 300).map { i =>
+        (i.toLong, "g" + rng.nextInt(12), rng.nextInt(5).toLong)
+      }.toDF("id", "g", "q").repartition(1 + seed % 7).cache()
+      val w = Window.partitionBy(col("g"))
+        .orderBy(col("q").desc, col("id"))
+      val ranked = df.withColumn("rn", row_number().over(w))
+      for (m <- Seq(1L, 2L, 7L, 300L)) {
+        val got = BudgetSelect.takeTopPerGroupUniform(df, col("g"),
+            col("id"), col("q"), m)
+          .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+        val want = ranked.where(col("rn") <= m).select(col("id"))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got === want, s"seed=$seed m=$m")
+      }
+      df.unpersist()
+    }
+  }
+
   test("takeTopPerGroupUniform plan: one bounded aggregate + semi-join, " +
       "no window, no driver collect of groups") {
     val df = corpus(50, seed = 5)
