@@ -68,7 +68,8 @@ object Bench {
     "cluster_assign", "html_main_text", "domain_top", "crawl_pipeline",
     "html_meta", "jsonl_roundtrip", "model_score", "gopher_stats",
     "robots_filter", "text_sentences", "host_rank",
-    "warc_revisit", "model_score_tokens", "html_links", "url_dedup")
+    "warc_revisit", "model_score_tokens", "html_links", "url_dedup",
+    "robots_meta")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

@@ -48,6 +48,8 @@ object GraftFunctions {
     "charset_decode" -> (two(_)(CharsetDecodeExpr)),
     "robots_rules" -> (one(_)(RobotsRulesExpr(_, "*"))),
     "robots_allowed" -> (two(_)(RobotsAllowedExpr)),
+    "robots_crawl_delay_ms" -> (one(_)(RobotsCrawlDelayExpr(_, "*"))),
+    "robots_sitemaps" -> (one(_)(RobotsSitemapsExpr)),
     "url_normalize" -> (one(_)(UrlNormalizeExpr)),
     "url_host" -> (one(_)(UrlHostExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),

@@ -578,20 +578,39 @@ object UrlKernels {
   * Total on garbage — unparseable lines are skipped.
   */
 object RobotsKernels {
-  /** Parse to (allow, prefix) rules for `userAgent`, most-specific
-    * group semantics reduced to: rules from every group naming the
-    * agent exactly, or — when none does — every `*` group. */
-  def parseRules(content: String, userAgent: String): Seq[(Boolean, String)] = {
-    final case class Group(agents: Seq[String], rules: Seq[(Boolean, String)])
+
+  /** One parsed robots.txt as seen by `userAgent`: the applicable
+    * prefix rules, the applicable group's Crawl-delay (milliseconds —
+    * the de-facto politeness extension; fractional seconds like `0.5`
+    * are common in the wild), and the file-global Sitemap URLs
+    * (per-convention independent of any group; document order,
+    * duplicates kept). */
+  final case class RobotsFile(rules: Seq[(Boolean, String)],
+                              crawlDelayMs: Option[Long],
+                              sitemaps: Seq[String])
+
+  /** The one walk every robots signal derives from. Group semantics as
+    * [[parseRules]] documents; Crawl-delay attaches to its group (a
+    * delay in a non-matching agent's group never applies) and the
+    * FIRST parseable delay among the chosen groups wins, in file
+    * order. Total on garbage — unparseable lines and non-numeric or
+    * negative delays skip. */
+  def parseAll(content: String, userAgent: String): RobotsFile = {
+    final case class Group(agents: Seq[String],
+                           rules: Seq[(Boolean, String)],
+                           delayMs: Option[Long])
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var agents = scala.collection.mutable.ArrayBuffer.empty[String]
     var rules = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var delay: Option[Long] = None
     var inRules = false
     def flush(): Unit = {
       if (agents.nonEmpty)
-        groups += Group(agents.toSeq, rules.toSeq)
+        groups += Group(agents.toSeq, rules.toSeq, delay)
       agents = scala.collection.mutable.ArrayBuffer.empty
       rules = scala.collection.mutable.ArrayBuffer.empty
+      delay = None
       inRules = false
     }
     content.split("\n", -1).foreach { raw =>
@@ -612,7 +631,13 @@ object RobotsKernels {
           case "allow" | "disallow" if agents.nonEmpty =>
             inRules = true
             if (value.nonEmpty) rules += ((key == "allow", value))
-          case _ => () // unknown keys (crawl-delay, sitemap) skip
+          case "crawl-delay" if agents.nonEmpty =>
+            inRules = true // a delay line sits in the rule block
+            if (delay.isEmpty) delay = parseDelayMs(value)
+          case "sitemap" =>
+            // group-independent per convention; never touches grouping
+            if (value.nonEmpty) sitemaps += value
+          case _ => () // other unknown keys skip
         }
       }
     }
@@ -620,8 +645,27 @@ object RobotsKernels {
     val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
     val exact = groups.filter(_.agents.contains(ua))
     val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
-    chosen.flatMap(_.rules).toSeq
+    RobotsFile(chosen.flatMap(_.rules).toSeq,
+      chosen.flatMap(_.delayMs).headOption, sitemaps.toSeq)
   }
+
+  /** Seconds (decimal allowed) → floor milliseconds; None on anything
+    * non-numeric, negative, or absurdly large (> ~24 days). */
+  private def parseDelayMs(value: String): Option[Long] =
+    try {
+      val ms = new java.math.BigDecimal(value)
+        .multiply(new java.math.BigDecimal(1000))
+      if (ms.signum() < 0 ||
+          ms.compareTo(new java.math.BigDecimal(Long.MaxValue / 4096)) > 0)
+        None
+      else Some(ms.longValue())
+    } catch { case _: NumberFormatException => None }
+
+  /** Parse to (allow, prefix) rules for `userAgent`, most-specific
+    * group semantics reduced to: rules from every group naming the
+    * agent exactly, or — when none does — every `*` group. */
+  def parseRules(content: String, userAgent: String): Seq[(Boolean, String)] =
+    parseAll(content, userAgent).rules
 
   /** Longest-match decision for a URL's path+query against parsed
     * rules. The URL's path+query derive with the [[UrlKernels]] rules
@@ -670,6 +714,14 @@ object RobotsKernels {
           UTF8String.fromString(prefix)))
       }.toArray[Any])
 
+  def crawlDelayBoxed(content: UTF8String, ua: UTF8String): java.lang.Long =
+    parseAll(content.toString, if (ua == null) "*" else ua.toString)
+      .crawlDelayMs.map(java.lang.Long.valueOf).orNull
+
+  def sitemapsOf(content: UTF8String): GenericArrayData =
+    new GenericArrayData(parseAll(content.toString, "*").sitemaps
+      .map(UTF8String.fromString).toArray[Any])
+
   def allowed(url: UTF8String, rules: ArrayData): Boolean = {
     val n = rules.numElements()
     val parsed = (0 until n).flatMap { i =>
@@ -703,6 +755,42 @@ case class RobotsRulesExpr(child: Expression, userAgent: String)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.ops.RobotsKernels.rulesOf($c, $ref);")
   }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** The applicable group's Crawl-delay in floor milliseconds; NULL when
+  * the file carries none for this agent (distinct from 0 — "no stated
+  * delay" and "no delay required" are different politeness answers). */
+case class RobotsCrawlDelayExpr(child: Expression, userAgent: String)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay_ms"
+  override def nullSafeEval(in: Any): Any =
+    RobotsKernels.crawlDelayBoxed(in.asInstanceOf[UTF8String],
+      UTF8String.fromString(userAgent))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ua",
+      UTF8String.fromString(userAgent),
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long d = graft.ops.RobotsKernels.crawlDelayBoxed($c, $ref);
+      if (d == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = d.longValue(); }""")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** File-global Sitemap URLs, document order, duplicates kept. */
+case class RobotsSitemapsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "robots_sitemaps"
+  override def nullSafeEval(in: Any): Any =
+    RobotsKernels.sitemapsOf(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.RobotsKernels.sitemapsOf($c);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -869,6 +957,10 @@ object HtmlExprs {
 
   /** robots.txt rules for a user agent — parse ONCE on the per-host
     * dim side, before it broadcasts. */
+  def robotsCrawlDelayMs(robotsTxt: Column, userAgent: String = "*"): Column =
+    c(RobotsCrawlDelayExpr(e(robotsTxt), userAgent))
+  def robotsSitemaps(robotsTxt: Column): Column =
+    c(RobotsSitemapsExpr(e(robotsTxt)))
   def robotsRules(robotsTxt: Column, userAgent: String = "*"): Column =
     c(RobotsRulesExpr(e(robotsTxt), userAgent))
 

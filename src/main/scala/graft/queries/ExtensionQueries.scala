@@ -2198,6 +2198,37 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // robots.txt politeness metadata — the de-facto extensions a
+    // crawler consumes beyond allow/disallow: the applicable group's
+    // Crawl-delay (floor milliseconds, fractional seconds supported;
+    // NULL when unstated — distinct from an explicit 0) and the
+    // file-global Sitemap URLs in document order. A decoy delay in a
+    // non-matching agent group must never leak (group scoping), and
+    // the delay line sits after the group's rules (rule-block
+    // attachment). The oracle restates everything from the synthesis.
+    "robots_meta" -> ((s, dir) => {
+      val txt = concat(
+        lit("User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n"),
+        lit("Sitemap: https://s.example/"), col("source"), lit("/a.xml\n"),
+        lit("User-agent: *\nDisallow: /x\n"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("Crawl-delay: "), col("doc_id") % 7, lit("."),
+            col("doc_id") % 10, lit("\n")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("Sitemap: https://s.example/"), col("doc_id"),
+            lit("/b.xml\n")))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.HtmlExprs.robotsCrawlDelayMs(txt).as("delay_ms"),
+          graft.ops.HtmlExprs.robotsSitemaps(txt).as("sm"))
+        .select(col("doc_id"), col("delay_ms"),
+          size(col("sm")).cast("long").as("n_sitemaps"),
+          md5(array_join(col("sm"), "\u0001")).as("sitemaps_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-rule quality statistics (Rae et al. 2021's published
     // filter set) as RAW INTEGER COUNTS — n_words, word code points,
     // symbols (#/…/...), lines, bullet-led and ellipsis-ended lines,
@@ -4670,6 +4701,23 @@ object ExtensionQueries {
          |  cast(CASE WHEN doc_id % 3 = 0 AND source LIKE 'src1%'
          |    THEN 0 ELSE 1 END AS int) AS allowed
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // delay (group-scoped, floor ms), sitemap count, and the
+    // document-order sitemap list all restated from the synthesis;
+    // NULL delay where the * group states none (the evilbot 99 decoy
+    // must never leak through)
+    "robots_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN cast((doc_id % 7) * 1000 + (doc_id % 10) * 100 AS bigint)
+        |    ELSE NULL END AS delay_ms,
+        |  cast(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS bigint)
+        |    AS n_sitemaps,
+        |  md5('https://s.example/' || source || '/a.xml' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN chr(1) || 'https://s.example/' || doc_id || '/b.xml'
+        |      ELSE '' END) AS sitemaps_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // every Gopher counter recomputed from the framed text with list
     // ops, and the pass flag from the same integer threshold arithmetic

@@ -152,6 +152,7 @@ class HtmlExtractSpec extends AnyFunSuite {
       UrlKernels.urlHost(u)
       graft.ops.RobotsKernels.parseRules(s, "*")
       graft.ops.RobotsKernels.isAllowed(s, Seq((false, "/"), (true, "/a")))
+      graft.ops.RobotsKernels.parseAll(s, "mybot")
       graft.ops.TextKernels.gopherStats(u)
     }
   }
@@ -262,6 +263,42 @@ class HtmlExtractSpec extends AnyFunSuite {
     // body must not leak into the scan
     assert(meta("<title>one</title><title><link rel=canonical " +
       "href=/x></title>") == ("one", null, null, null))
+  }
+
+  test("robots crawl-delay and sitemaps: group scoping, fractional " +
+      "seconds, document order") {
+    import graft.ops.RobotsKernels
+    val txt = "User-agent: evilbot\nCrawl-delay: 99\nDisallow: /\n\n" +
+      "Sitemap: https://s.example/a.xml\n" +
+      "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n" +
+      "Sitemap: https://s.example/b.xml\n"
+    val f = RobotsKernels.parseAll(txt, "mybot")
+    // the * group's delay applies; the evilbot decoy never leaks
+    assert(f.crawlDelayMs === Some(2500L))
+    assert(RobotsKernels.parseAll(txt, "evilbot").crawlDelayMs ===
+      Some(99000L))
+    // sitemaps are file-global, document order
+    assert(f.sitemaps === Seq("https://s.example/a.xml",
+      "https://s.example/b.xml"))
+    // rules unchanged by the new lines
+    assert(f.rules === Seq((false, "/x")))
+    // explicit 0 is stated, absence is None
+    assert(RobotsKernels.parseAll(
+      "User-agent: *\nCrawl-delay: 0\nDisallow: /", "*").crawlDelayMs ===
+      Some(0L))
+    assert(RobotsKernels.parseAll(
+      "User-agent: *\nDisallow: /", "*").crawlDelayMs === None)
+    // non-numeric / negative / absurd delays skip, never throw
+    for (bad <- Seq("fast", "-1", "1e99999", "99999999999999999999"))
+      assert(RobotsKernels.parseAll(
+        s"User-agent: *\nCrawl-delay: $bad\n", "*").crawlDelayMs === None,
+        bad)
+    // first parseable delay among chosen groups wins
+    assert(RobotsKernels.parseAll(
+      "User-agent: *\nCrawl-delay: 1\nUser-agent: *\nCrawl-delay: 7",
+      "*").crawlDelayMs === Some(1000L))
+    assert(RobotsKernels.parseAll("", "*") ===
+      RobotsKernels.RobotsFile(Nil, None, Nil))
   }
 
   test("charset_decode honors the header charset, replaces bad bytes") {
