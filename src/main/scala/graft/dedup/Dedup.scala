@@ -955,6 +955,22 @@ object Dedup {
         coalesce(col("v"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Keep the BEST copy of every near-dup cluster — the curation form
+    * of dedup: [[canonicalFromPairs]] picks a cluster LABEL (min id);
+    * what a pipeline actually keeps is the cluster's highest-QUALITY
+    * member (quality DESC, id ASC tiebreak). One bounded top-1
+    * aggregate per cluster + a semi-join back
+    * ([[graft.text.BudgetSelect.takeTopPerGroupUniform]] with m = 1):
+    * O(1) memory per cluster, zero driver state at any cluster count.
+    * `df` must already carry the cluster id column (join the
+    * [[canonicalFromPairs]] output in); singleton clusters keep their
+    * only member. TWO passes over `df` — persist an expensive upstream
+    * first. */
+  def keepBestPerCluster(df: DataFrame, clusterId: Column, id: Column,
+                         quality: Column): DataFrame =
+    graft.text.BudgetSelect.takeTopPerGroupUniform(df, clusterId, id,
+      quality, m = 1L)
+
   /** Driver union-find behind the small-graph fast path: exact
     * min-reachable-id labels for a collected (u, v) edge array — one
     * (node, componentMin) row per NON-minimum node, the same frame

@@ -300,6 +300,27 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the curation form of cluster dedup: keep each near-dup cluster's
+    // BEST member by (quality DESC, id ASC) — not its min-id label —
+    // via the zero-driver-state bounded top-1 per cluster
+    // (Dedup.keepBestPerCluster). The oracle replays the recursive
+    // closure, the alpha-ratio ppm, and the per-cluster argmax window.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, maxDf = 100, threshold = 0.8)
+      val canon = Dedup.canonicalFromPairs(docs.select(col("doc_id")),
+        col("doc_id"), pairs)
+      val scored = docs.join(canon, Seq("doc_id"))
+        .select(col("doc_id"), col("canonical_id"),
+          round(TextOps.qualityStruct(coalesce(col("text"), lit("")))
+            .getField("alpha_ratio") * 1e6, 0).cast("long").as("q_ppm"))
+        .localCheckpoint(true) // keepBest scans twice (agg + semi-join)
+      Dedup.keepBestPerCluster(scored, col("canonical_id"),
+          col("doc_id"), col("q_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // pairwise near-dups → connected-component clusters: every doc gets
     // the min doc_id reachable through the ngram-Jaccard pair graph
     "dedup_clusters" -> ((s, dir) => {
@@ -3189,6 +3210,35 @@ object ExtensionQueries {
          |  WHERE c.label < e.dst)
          |SELECT doc_id, cast(min(label) AS bigint) AS canonical_id
          |FROM comp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the cluster closure again, then each cluster's argmax by
+    // (alpha-ratio ppm DESC, doc_id) — the window the operator
+    // deliberately avoids
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM njpairs
+         |  UNION ALL SELECT id_b, id_a FROM njpairs),
+         |comp AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, c.label
+         |  FROM comp c JOIN edges e ON e.src = c.doc_id
+         |  WHERE c.label < e.dst),
+         |canon AS (
+         |  SELECT doc_id, cast(min(label) AS bigint) AS canonical_id
+         |  FROM comp GROUP BY doc_id),
+         |q AS (
+         |  SELECT d.doc_id, c.canonical_id,
+         |    cast(round(len(regexp_extract_all(coalesce(d.text, ''),
+         |        '[A-Za-z]'))
+         |      / greatest(length(coalesce(d.text, '')), 1) * 1000000)
+         |      AS bigint) AS q_ppm
+         |  FROM documents d JOIN canon c USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY canonical_id
+         |  ORDER BY q_ppm DESC, doc_id) AS rn FROM q)
+         |SELECT doc_id, canonical_id, q_ppm FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
 
     // the cluster closure again, then the corpus_sample split CASE
     // re-keyed on canonical_id — 'e666' is round(0.9 · 65536) in hex,
