@@ -2426,9 +2426,12 @@ object ExtensionQueries {
           col("model_ppm"), col("rank_ppb"), col("q_ppm"),
           md5(col("main")).as("main_md5")), Seq("doc_id"))
       // final GLOBAL selection: top 40 by (gated score DESC, host rank
-      // DESC, doc_id ASC) — one takeTop over a composed integer key
-      // (q_ppm ≤ 10⁶, rank_ppb < 2×10⁹, so the packing is lossless)
-      graft.text.BudgetSelect.takeTop(canon, col("doc_id"),
+      // DESC, doc_id ASC) over a composed integer key (q_ppm ≤ 10⁶,
+      // rank_ppb < 2×10⁹ — lossless packing). takeTopSmall, NOT
+      // takeTop: the composed key is distinct per row, so the
+      // histogram path's level table would be the full key set at
+      // crawl scale; the size-40 heap aggregate costs O(40)/partition
+      graft.text.BudgetSelect.takeTopSmall(canon, col("doc_id"),
           col("q_ppm") * lit(2000000000L) + col("rank_ppb"), m = 40L)
         .select(col("doc_id"), col("host"), col("gopher_pass"),
           col("model_ppm"), col("rank_ppb"), col("q_ppm"),

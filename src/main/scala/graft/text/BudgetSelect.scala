@@ -102,6 +102,21 @@ object BudgetSelect {
     budgetSelect(df, id, quality, lit(1L), m, maxQualityLevels)
   }
 
+  /** Exact global top-m for SMALL m over a HIGH-CARDINALITY quality
+    * key — the complement of [[takeTop]]: takeTop resolves through the
+    * quality-LEVEL histogram (`maxQualityLevels` driver rows), which
+    * is the right plan when m is huge but quality sits on a bounded
+    * grid (the house ppm convention). A composed sort key (e.g.
+    * `score * 2e9 + rank` — every row distinct) makes that histogram
+    * the full distinct key set: loud-fail at corpus scale. For small
+    * m the size-m heap aggregate is the plan you want — O(m) per
+    * partition partials, one merge, no driver state, no sort
+    * ([[takeTopPerGroupUniform]] under one constant group). Same
+    * (quality DESC, id ASC) greedy contract; `id` duplicate-free. */
+  def takeTopSmall(df: DataFrame, id: Column, quality: Column, m: Long,
+                   maxM: Int = 1 << 20): DataFrame =
+    takeTopPerGroupUniform(df, lit("__all"), id, quality, m, maxM)
+
   /** [[takeTop]] computed SEPARATELY within every group — "the best
     * m_g documents per source" at any m, without the per-group ranking
     * window whose single hottest group would own the job's wall clock:

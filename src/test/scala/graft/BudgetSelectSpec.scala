@@ -557,6 +557,29 @@ class BudgetSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("takeTopSmall ≡ takeTop (heap vs histogram), incl. a " +
+      "distinct-per-row composed key the histogram path cannot hold") {
+    val df = corpus(200, seed = 91).cache()
+    for (m <- Seq(0L, 1L, 37L, 200L, 500L)) {
+      val got = BudgetSelect.takeTopSmall(df, col("id"), col("q"), m)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val want = BudgetSelect.takeTop(df, col("id"), col("q"), m)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(got === want, s"m=$m")
+    }
+    // composed sort key, distinct per row — the case takeTop's level
+    // histogram would inflate to the full key set on
+    val keyed = df.withColumn("k", col("q") * 1000000L + col("id"))
+    val got5 = BudgetSelect.takeTopSmall(keyed, col("id"), col("k"), 5L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val w = Window.orderBy(col("k").desc, col("id"))
+    val want5 = keyed.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got5 === want5)
+    df.unpersist()
+  }
+
   test("takeTopPerGroupUniform ≡ the named-quota form over discovered groups") {
     // corpus ids are multiples of 7 — group on %5 so groups actually vary
     val df = corpus(200, seed = 77)
