@@ -452,6 +452,26 @@ object Warc {
       .write.mode("overwrite").parquet(s"$path/_manifest")
   }
 
+  /** The QUARANTINE side of [[recordTable]]'s contract: the file ids
+    * whose payload yields ZERO parsed records (foreign bytes, corrupt
+    * gzip at offset 0, a mangled first version line) — the same
+    * dead-letter discipline as the CSV and JSONL readers, so corrupt
+    * crawl shards route to re-fetch instead of silently vanishing.
+    * ONE cheap narrow pass: classification needs only the FIRST
+    * record's parse attempt (`recordIterator(...).hasNext`), never a
+    * full shard walk or a second join against the exploded rows. */
+  def quarantine(spark: SparkSession, files: DataFrame,
+                 fileId: Column, payload: Column): DataFrame = {
+    import spark.implicits._
+    files.select(fileId.cast("long").as("f"), payload.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        if (bytes != null && recordIterator(bytes).hasNext) None
+        else Some(id)
+      })
+      .toDF("file_id")
+  }
+
   /** Spark surface: explode a (file id, WARC payload) frame into one
     * row per record — the crawl-shard → document boundary. Narrow
     * (mapPartitions, no shuffle); plain and gzip shards mix freely in

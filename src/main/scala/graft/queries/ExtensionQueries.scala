@@ -1950,6 +1950,57 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
 
+    // WARC quarantine — the dead-letter side of the crawl reader
+    // (corrupt shards route to re-fetch, never silently vanish): every
+    // 97th payload is corrupted at synthesis (garbage prefix — the
+    // version line can never parse), and the quarantine pass must
+    // yield exactly those ids from a FIRST-record parse attempt, one
+    // narrow pass. Same discipline (and same %97 rotation) as
+    // `jsonl_roundtrip`'s corrupted-line synthesis.
+    "warc_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val files = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text0) =>
+          val recs = Seq(graft.ingest.Warc.WarcSpecRec(
+            "resource", s"<urn:uuid:q-$id>",
+            None, Web.date(id), "text/plain",
+            (if (text0 == null) "" else text0)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val good =
+            if (id % 3 == 0) graft.ingest.Warc.buildWarcGz(recs)
+            else graft.ingest.Warc.buildWarc(recs)
+          (id, if (id % 97 == 0) "XX".getBytes ++ good else good)
+        }).toDF("doc_id", "payload")
+      graft.ingest.Warc.quarantine(s, files, col("doc_id"), col("payload"))
+        .select(col("file_id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WET export → file read-back round trip: real `.warc.gz` shards
+    // written by wetExport (per-record gzip members + _manifest), read
+    // back through binaryFile + the member-streaming recordTable; each
+    // conversion record must carry its document's exact text bytes and
+    // URI. Not in the bench headline (the gate writes a fresh corpus
+    // export per run — a correctness loop, not a steady-state query).
+    "wet_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_wet_gate").toString
+      graft.ingest.Warc.wetExport(s, Tables(s, dir, "documents"),
+        col("doc_id"),
+        concat(lit("https://w.example/"), col("doc_id")),
+        lit("2026-01-01T00:00:00Z"),
+        coalesce(col("text"), lit("")),
+        out, maxRecordsPerFile = 100, gzip = true)
+      val files = s.read.format("binaryFile").load(out + "/wet-*.warc.gz")
+        .select(xxhash64(col("path")).as("fid"), col("content"))
+      graft.ingest.Warc.recordTable(s, files, col("fid"), col("content"))
+        .select(regexp_extract(col("record_id"), "conv-(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), md5(col("body")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARC `revisit` consumption — the crawler-side dedup signal a
     // curation pipeline should USE rather than recompute: revisit
     // records join back to their originals on WARC-Refers-To, and the
@@ -4635,6 +4686,19 @@ object ExtensionQueries {
          |      'sourceName: ' || source)
          |    END AS body_md5
          |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // the corrupted-shard rotation restated directly
+    "warc_quarantine" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // every document back from the exported shards: URI from the
+    // export call's formula, text md5 from the source column
+    "wet_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://w.example/' || doc_id AS target_uri,
+        |  md5(coalesce(text, '')) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // every revisit column and the digest verdict restated from the
     // fixture arithmetic alone; the original's digest recomputed with

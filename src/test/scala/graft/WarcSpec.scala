@@ -79,6 +79,25 @@ class WarcSpec extends AnyFunSuite {
       Seq(rec(1).recordId, rec(2).recordId))
   }
 
+  test("quarantine: zero-record payloads classify, valid shards do not") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val good = Warc.buildWarc(Seq(rec(1)))
+    val goodGz = Warc.buildWarcGz(Seq(rec(2)))
+    val rows = Seq(
+      (1L, good),
+      (2L, goodGz),
+      (3L, "not a warc at all".getBytes(UTF_8)),
+      (4L, Array.empty[Byte]),
+      (5L, "XX".getBytes(UTF_8) ++ good), // mangled version line
+      (6L, null.asInstanceOf[Array[Byte]]))
+      .toDF("fid", "payload")
+    val q = Warc.quarantine(spark, rows, col("fid"), col("payload"))
+      .collect().map(_.getLong(0)).toSet
+    assert(q === Set(3L, 4L, 5L, 6L))
+  }
+
   test("revisit headers round-trip: Refers-To, Payload-Digest, Profile") {
     val rev = WarcSpecRec(
       warcType = "revisit",
