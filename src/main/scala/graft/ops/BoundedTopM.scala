@@ -94,6 +94,7 @@ case class BoundedTopMAgg(
   override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
     mutable.PriorityQueue.empty(bestFirst)
 
+  /** Admit an OWNED (already-copied or deserialized) key. */
   private def offer(buf: mutable.PriorityQueue[InternalRow],
                     key: InternalRow): Unit =
     if (m > 0) {
@@ -114,7 +115,17 @@ case class BoundedTopMAgg(
         if (r.isNullAt(i)) ok = false
         i += 1
       }
-      if (ok) offer(buf, r.copy())
+      // admission test BEFORE the copy: every corpus row passes through
+      // here and a full group rejects almost all of them — the eval'd
+      // row is valid for the duration of this call, so compare first
+      // and copy only winners (the buffer must own its rows; the
+      // projection reuses the backing buffer on the next eval)
+      if (ok && m > 0) {
+        if (buf.size < m) buf += r.copy()
+        else if (bestFirst.compare(r, buf.head) < 0) {
+          buf.dequeue(); buf += r.copy()
+        }
+      }
     }
     buf
   }

@@ -2301,6 +2301,41 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-host politeness BUDGET — the crawl-planning artifact the
+    // delay metadata exists for: URL counts per host joined with each
+    // host's broadcast robots Crawl-delay (parsed ONCE on the dim
+    // side), est. serial crawl time = n_urls × delay (stated delays
+    // in www/api hosts, the 1 s politeness default elsewhere). The
+    // oracle restates counts, delays, and the product from the
+    // synthesis arithmetic.
+    "crawl_budget" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) => (id, Web.url(id, src)) })
+        .toDF("doc_id", "url")
+        .select(col("doc_id"),
+          graft.ops.HtmlExprs.urlHost(col("url")).as("host"))
+      val robots = pages.select(col("host")).distinct()
+        .select(col("host"),
+          when(col("host").startsWith("www."),
+            lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2"))
+          .when(col("host").startsWith("api."),
+            lit("User-agent: *\nCrawl-delay: 0.5\nDisallow: /x"))
+          .otherwise(lit("User-agent: *\nDisallow: /pub")) // no delay
+          .as("txt"))
+        .select(col("host"),
+          graft.ops.HtmlExprs.robotsCrawlDelayMs(col("txt"))
+            .as("delay_ms"))
+      pages.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"))
+        .join(broadcast(robots), Seq("host"))
+        .select(col("host"), col("n_urls"), col("delay_ms"),
+          (col("n_urls") * coalesce(col("delay_ms"), lit(1000L)))
+            .as("crawl_ms"))
+        .orderBy(col("host"))
+    }),
+
     // Gopher-rule quality statistics (Rae et al. 2021's published
     // filter set) as RAW INTEGER COUNTS — n_words, word code points,
     // symbols (#/…/...), lines, bullet-led and ellipsis-ended lines,
@@ -4818,6 +4853,21 @@ object ExtensionQueries {
          |  cast(CASE WHEN doc_id % 3 = 0 AND source LIKE 'src1%'
          |    THEN 0 ELSE 1 END AS int) AS allowed
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    // host URL counts from the webCte host formula; stated delays and
+    // the n_urls × delay product restated (1000 ms default elsewhere)
+    "crawl_budget" ->
+      s"""WITH $webCte,
+         |h AS (SELECT host, count(*)::BIGINT AS n_urls
+         |  FROM x GROUP BY host)
+         |SELECT host, n_urls,
+         |  CASE WHEN host LIKE 'www.%' THEN cast(2000 AS bigint)
+         |       WHEN host LIKE 'api.%' THEN cast(500 AS bigint)
+         |       ELSE NULL END AS delay_ms,
+         |  cast(n_urls * CASE WHEN host LIKE 'www.%' THEN 2000
+         |       WHEN host LIKE 'api.%' THEN 500 ELSE 1000 END
+         |    AS bigint) AS crawl_ms
+         |FROM h ORDER BY host""".stripMargin,
 
     // delay (group-scoped, floor ms), sitemap count, and the
     // document-order sitemap list all restated from the synthesis;
