@@ -69,7 +69,8 @@ object Bench {
     "html_meta", "jsonl_roundtrip", "model_score", "gopher_stats",
     "robots_filter", "text_sentences", "host_rank",
     "warc_revisit", "model_score_tokens", "html_links", "url_dedup",
-    "robots_meta", "dedup_keep_best", "warc_quarantine", "crawl_budget")
+    "robots_meta", "dedup_keep_best", "warc_quarantine", "crawl_budget",
+    "anchor_texts")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

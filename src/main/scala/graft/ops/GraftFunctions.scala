@@ -50,6 +50,7 @@ object GraftFunctions {
     "robots_allowed" -> (two(_)(RobotsAllowedExpr)),
     "robots_crawl_delay_ms" -> (one(_)(RobotsCrawlDelayExpr(_, "*"))),
     "robots_sitemaps" -> (one(_)(RobotsSitemapsExpr)),
+    "href_texts" -> (one(_)(HrefTextsExpr)),
     "url_normalize" -> (one(_)(UrlNormalizeExpr)),
     "url_host" -> (one(_)(UrlHostExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),

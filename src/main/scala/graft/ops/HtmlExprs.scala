@@ -417,6 +417,78 @@ object HtmlKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** (href, anchor text) pairs in CLOSE order — the retrieval-training
+    * signal [[hrefs]] drops: anchor text is the linking page's
+    * description of the target (query-document pairs for ranking
+    * data). Text is everything between the anchor's open and matching
+    * close (nested markup stripped, entities decoded, ASCII-ws
+    * collapsed — the [[extractText]] normalization), raw-text bodies
+    * skipped. Nested anchors each collect their own span (the inner
+    * closes first); hrefless anchors collect nothing; unterminated
+    * anchors at end-of-input emit what they gathered (total). */
+  def hrefTexts(
+      html: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = html.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // open-anchor stack: (href or null, text collector)
+    val stack =
+      scala.collection.mutable.ArrayBuffer.empty[(String, java.lang.StringBuilder)]
+    def emitStr(t: String): Unit = {
+      var k = 0
+      while (k < stack.length) { stack(k)._2.append(t); k += 1 }
+    }
+    def emitChar(c: Char): Unit = {
+      var k = 0
+      while (k < stack.length) { stack(k)._2.append(c); k += 1 }
+    }
+    def close(): Unit = {
+      val (href, sb) = stack.remove(stack.length - 1)
+      if (href != null)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(href),
+            UTF8String.fromString(normalizeBlock(sb))))
+    }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+            (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          i = tagEnd(s, i)
+        } else {
+          val name = tagNameAt(s, i)
+          val isClose = i + 1 < n && s.charAt(i + 1) == '/'
+          if (name.isEmpty) { emitChar('<'); i += 1 }
+          else if (!isClose && RawTextTags.contains(name)) {
+            val cl = rawTextClose(s, tagEnd(s, i), name)
+            i = if (cl < 0) n else tagEnd(s, cl)
+          } else {
+            if (name == "a") {
+              if (isClose) { if (stack.nonEmpty) close() }
+              else stack += ((tagAttrs(s, i).get("href")
+                .filter(_.nonEmpty).orNull, new java.lang.StringBuilder))
+            } else if (stack.nonEmpty && BlockTags.contains(name)) {
+              emitChar(' ') // a block boundary inside an anchor is a gap
+            }
+            i = tagEnd(s, i)
+          }
+        }
+      } else if (c == '&') {
+        val e = entityAt(s, i)
+        if (e == null) { emitChar('&'); i += 1 }
+        else { emitStr(e._1); i = e._2 }
+      } else {
+        emitChar(c)
+        i += 1
+      }
+    }
+    while (stack.nonEmpty) close() // unterminated anchors stay total
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Charset-honoring HTTP body decode (see [[CharsetDecodeExpr]]):
     * charset= parsed from the Content-Type header value; unknown or
     * absent → UTF-8; malformed bytes always REPLACE to U+FFFD. */
@@ -809,6 +881,20 @@ case class RobotsAllowedExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** See [[HtmlKernels.hrefTexts]] — (href, anchor_text) pairs. */
+case class HrefTextsExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("anchor_text", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "href_texts"
+  override def nullSafeEval(in: Any): Any =
+    HtmlKernels.hrefTexts(in.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.HtmlKernels.hrefTexts($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class HtmlExtractExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "html_extract"
@@ -957,6 +1043,7 @@ object HtmlExprs {
 
   /** robots.txt rules for a user agent — parse ONCE on the per-host
     * dim side, before it broadcasts. */
+  def hrefTexts(html: Column): Column = c(HrefTextsExpr(e(html)))
   def robotsCrawlDelayMs(robotsTxt: Column, userAgent: String = "*"): Column =
     c(RobotsCrawlDelayExpr(e(robotsTxt), userAgent))
   def robotsSitemaps(robotsTxt: Column): Column =

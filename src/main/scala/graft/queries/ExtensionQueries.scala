@@ -2102,6 +2102,35 @@ object ExtensionQueries {
         .orderBy(col("url_canon"))
     }),
 
+    // Anchor-text extraction — (href, anchor text) pairs, the linking
+    // page's description of its target (query-document signal for
+    // ranking/retrieval data). The fixture exercises nested markup
+    // inside the anchor, entity decode, whitespace collapse, an
+    // hrefless anchor, and a script decoy; the oracle restates the
+    // pair list (href ⟂ text on chr(2), pairs on chr(1)) from the
+    // synthesis arithmetic.
+    "anchor_texts" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) =>
+          (id, "<p>pre</p><a href='https://t.example/" + id +
+            "'>click <b>here</b>&amp;now</a>" +
+            "<script>var a = '<a href=/evil>no</a>';</script>" +
+            "<a href='/rel/" + src + "'>  spaced   text </a>" +
+            "<a>no href, no pair</a>")
+        })
+        .toDF("doc_id", "html")
+      pages.select(col("doc_id"),
+          graft.ops.HtmlExprs.hrefTexts(col("html")).as("ps"))
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_pairs"),
+          md5(array_join(transform(col("ps"),
+            p => concat(p.getField("href"), lit("\u0002"),
+              p.getField("anchor_text"))), "\u0001")).as("pairs_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Canonical-URL normalization (codegen kernel) for URL-level crawl
     // dedup: three messy spellings per doc (uppercase host + userinfo +
     // default port + tracking params + fragment; portless-https with
@@ -5128,6 +5157,18 @@ object ExtensionQueries {
          |  ORDER BY q_ppm DESC, doc_id) AS rn FROM t)
          |SELECT doc_id, host, q_ppm FROM r WHERE rn <= 3
          |ORDER BY doc_id""".stripMargin,
+
+    // the expected (href, anchor text) pair list restated from the
+    // synthesis arithmetic: inline markup stripped, the entity decoded,
+    // whitespace collapsed, the hrefless anchor and script decoy absent
+    "anchor_texts" ->
+      """SELECT doc_id,
+        |  cast(2 AS bigint) AS n_pairs,
+        |  md5('https://t.example/' || doc_id || chr(2) ||
+        |      'click here&now' || chr(1) ||
+        |      '/rel/' || source || chr(2) || 'spaced text')
+        |    AS pairs_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the expected href list (document order, duplicate kept, script
     // decoy and hrefless anchor absent) restated from the synthesis

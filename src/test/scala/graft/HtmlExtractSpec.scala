@@ -148,6 +148,7 @@ class HtmlExtractSpec extends AnyFunSuite {
       assert(HtmlKernels.linkTextPpm(u) >= 0L)
       HtmlKernels.mainText(u, 500000)
       HtmlKernels.metaOf(u)
+      HtmlKernels.hrefTexts(u)
       UrlKernels.normalizeUrl(u)
       UrlKernels.urlHost(u)
       graft.ops.RobotsKernels.parseRules(s, "*")
@@ -240,6 +241,35 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(links("<a href='/k'>k</a><script>var a='<a href=/x>'") ==
       Seq("/k"))
     assert(links("") == Nil)
+  }
+
+  test("href_texts: anchor text normalization, nesting, totality") {
+    def pairs(h: String): Seq[(String, String)] =
+      HtmlKernels.hrefTexts(UTF8String.fromString(h)).array.toSeq
+        .map { r =>
+          val row = r.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+        }
+    assert(pairs("<a href='/x'>click <b>here</b> now</a>") ==
+      Seq(("/x", "click here now")))
+    // entities decode; whitespace collapses and trims
+    assert(pairs("<a href='/y'>  a &amp;\n b </a>") ==
+      Seq(("/y", "a & b")))
+    // block boundaries inside the anchor become a single gap
+    assert(pairs("<a href='/z'>one<p>two</p></a>") ==
+      Seq(("/z", "one two")))
+    // nested anchors: inner closes (and emits) first, each its own span
+    assert(pairs("<a href='/out'>o1 <a href='/in'>inner</a> o2</a>") ==
+      Seq(("/in", "inner"), ("/out", "o1 inner o2")))
+    // hrefless anchors emit nothing; script decoys stay content
+    assert(pairs("<a>nothing</a>") == Nil)
+    assert(pairs("<script>var a='<a href=/evil>x</a>'</script>" +
+      "<a href='/r'>real</a>") == Seq(("/r", "real")))
+    // unterminated anchor at EOF keeps what it gathered (total)
+    assert(pairs("<a href='/u'>gathered text") ==
+      Seq(("/u", "gathered text")))
+    assert(pairs("") == Nil)
   }
 
   test("html_meta: script/style template strings cannot set metadata") {
