@@ -113,9 +113,28 @@ object Warc {
     out.toByteArray
   }
 
+  /** One raw gzip member over arbitrary bytes — the fixture seam for
+    * planting malformed members between valid ones (corrupt-shard
+    * tests), sharing buildWarcGz's close-the-deflater discipline. */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(out)
+    gz.write(bytes)
+    gz.close()
+    out.toByteArray
+  }
+
   private def isGzip(payload: Array[Byte]): Boolean =
     payload.length >= 2 &&
       (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B
+
+  /** Hard ceiling on the stream iterator's assembly buffer (256 MiB).
+    * Far above any real WARC record (Common Crawl truncates payloads
+    * around 1 MiB); reached only when a corrupt shard makes "malformed"
+    * masquerade as "incomplete" — see [[WarcStreamIterator]]. Doubling
+    * from 64 KiB keeps every intermediate size an exact power of two
+    * below Int overflow. */
+  val MaxAssemblyBytes: Int = 256 * 1024 * 1024
 
   /** Incremental record iterator over a byte STREAM — the scale path:
     * a Common-Crawl shard is ~1 GB gzipped / ~4 GB decompressed, and
@@ -130,8 +149,18 @@ object Warc {
     * drain the iterator (its consumers all do).
     *
     * `peakBufferBytes` is the test seam pinning the memory envelope:
-    * the high-water mark of the live assembly buffer. */
-  final class WarcStreamIterator(in: java.io.InputStream)
+    * the high-water mark of the live assembly buffer.
+    *
+    * The assembly buffer is CAPPED at [[MaxAssemblyBytes]]: a
+    * malformed record mid-stream is indistinguishable from an
+    * incomplete one, so without a cap advance() would buffer the
+    * entire remaining decompressed stream hunting for a parse (and at
+    * 1 GiB the doubling arithmetic would overflow Int). Hitting the
+    * cap is treated as EOF — iteration ends with the records already
+    * parsed, the same truncated-shard totality contract. Real WARC
+    * records are ≤ a few MiB; the cap only bites corrupt shards. */
+  final class WarcStreamIterator(in: java.io.InputStream,
+                                 maxAssemblyBytes: Int = MaxAssemblyBytes)
       extends Iterator[WarcRecord] {
     private var buf = new Array[Byte](64 * 1024)
     private var limit = 0 // valid bytes in buf
@@ -144,6 +173,11 @@ object Warc {
 
     def peakBufferBytes: Long = peak
 
+    /** Release the underlying stream (and its native Inflater) without
+      * draining — for consumers that only need the first record. Safe
+      * to call repeatedly; iteration after close yields no new reads. */
+    def close(): Unit = { eof = true; closeQuietly() }
+
     private def closeQuietly(): Unit =
       try in.close() catch { case _: java.io.IOException => () }
 
@@ -155,8 +189,15 @@ object Warc {
         limit -= pos
         pos = 0
       }
-      if (limit == buf.length)
-        buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      if (limit == buf.length) {
+        if (buf.length >= maxAssemblyBytes) {
+          // no parse succeeded inside the cap: malformed, not merely
+          // incomplete — end the iteration on the parsed prefix
+          eof = true; closeQuietly(); return
+        }
+        buf = java.util.Arrays.copyOf(
+          buf, math.min(buf.length.toLong * 2, maxAssemblyBytes.toLong).toInt)
+      }
       val n =
         try in.read(buf, limit, buf.length - limit)
         catch { case _: java.io.IOException => -1 }
@@ -224,11 +265,23 @@ object Warc {
     * through [[WarcStreamIterator]] (peak memory O(largest record),
     * never the decompressed shard). Totality as [[parseWarc]]. */
   def recordIterator(payload: Array[Byte]): Iterator[WarcRecord] =
-    if (!isGzip(payload)) new WarcArrayIterator(payload)
+    if (payload == null) Iterator.empty // null ≡ unparseable: no rows
+    else if (!isGzip(payload)) new WarcArrayIterator(payload)
     else {
       try new WarcStreamIterator(
         new GZIPInputStream(new ByteArrayInputStream(payload)))
       catch { case _: java.io.IOException => Iterator.empty }
+    }
+
+  /** Does the payload parse to at least one record? Equivalent to
+    * `recordIterator(payload).hasNext` but CLOSES the gzip stream (and
+    * its native Inflater) immediately instead of abandoning it to
+    * finalization — the classification probe [[quarantine]] runs once
+    * per scanned file. */
+  def firstRecordExists(payload: Array[Byte]): Boolean =
+    recordIterator(payload) match {
+      case s: WarcStreamIterator => try s.hasNext finally s.close()
+      case it                    => it.hasNext
     }
 
   /** Parse a `.warc` or `.warc.gz` payload into its records. TOTAL:
@@ -458,16 +511,16 @@ object Warc {
     * dead-letter discipline as the CSV and JSONL readers, so corrupt
     * crawl shards route to re-fetch instead of silently vanishing.
     * ONE cheap narrow pass: classification needs only the FIRST
-    * record's parse attempt (`recordIterator(...).hasNext`), never a
-    * full shard walk or a second join against the exploded rows. */
+    * record's parse attempt ([[firstRecordExists]], which closes the
+    * gzip stream it opens), never a full shard walk or a second join
+    * against the exploded rows. */
   def quarantine(spark: SparkSession, files: DataFrame,
                  fileId: Column, payload: Column): DataFrame = {
     import spark.implicits._
     files.select(fileId.cast("long").as("f"), payload.as("p"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        if (bytes != null && recordIterator(bytes).hasNext) None
-        else Some(id)
+        if (firstRecordExists(bytes)) None else Some(id)
       })
       .toDF("file_id")
   }

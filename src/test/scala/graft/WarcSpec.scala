@@ -79,6 +79,31 @@ class WarcSpec extends AnyFunSuite {
       Seq(rec(1).recordId, rec(2).recordId))
   }
 
+  test("assembly cap: a malformed record before a large tail ends the " +
+      "iteration at the cap instead of buffering the remaining stream") {
+    // one valid member, then a member whose record LIES about its
+    // Content-Length (far past the stream end): parseOne can never
+    // succeed, so pre-cap the iterator would buffer the entire
+    // remaining decompressed stream hunting for the block. With the
+    // cap, iteration ends on the valid prefix, no throw, and the peak
+    // buffer honors the bound (totality on exactly the corrupt shards
+    // quarantine exists for).
+    val liar = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\nWARC-Record-ID: <urn:uuid:liar>\r\n" +
+      "Content-Length: 999999999\r\n\r\n").getBytes(UTF_8)
+    val bigTail = Warc.buildWarcGz(
+      (0 until 64).map(i => rec(i.max(1), "t" * 32768))) // ~2 MB valid tail
+    val gz = Warc.buildWarcGz(Seq(rec(1))) ++ Warc.gzipMember(liar) ++ bigTail
+    val cap = 256 * 1024 // test-seam cap ≪ the 2 MB tail
+    val it = new Warc.WarcStreamIterator(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz)), maxAssemblyBytes = cap)
+    val got = it.toVector // must not throw (no NegativeArraySizeException)
+    assert(got.map(_.recordId) == Seq(rec(1).recordId))
+    assert(it.peakBufferBytes <= cap.toLong,
+      s"peak=${it.peakBufferBytes} — cap not honored")
+  }
+
   test("quarantine: zero-record payloads classify, valid shards do not") {
     val spark = SparkTestSession.spark
     import spark.implicits._
