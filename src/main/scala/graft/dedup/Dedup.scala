@@ -774,6 +774,114 @@ object Dedup {
           .cast("long"))
   }
 
+  /** The REWRITE half of [[duplicatedSpans]]'s audit (the removal step
+    * of Lee et al., arXiv:2107.06499): re-materialize each document
+    * with every cross-document duplicated `n`-token span removed,
+    * keep-first policy — the document with the minimum id containing a
+    * span keeps its occurrence(s); every other document drops the
+    * span's token positions. `keepFirst = false` drops duplicated
+    * spans everywhere (the symmetric policy for boilerplate you want
+    * in NO training document). This is the operator that actually
+    * shrinks a templated/syndicated corpus, not just measures it.
+    *
+    * SPAN IDENTITY is positional and per-token-normalized: the text
+    * splits on whitespace ONCE (positions are indexes into that raw
+    * token array, so reconstruction is exact), and the span key hashes
+    * the lowercased, non-alphanumeric-stripped form of each token —
+    * case/punctuation-robust matching like [[shingles]], without the
+    * full-text normalization that would break the position alignment
+    * reconstruction needs. Duplication is by DOCUMENT frequency
+    * (distinct ids per span key), so within-doc repetition — the
+    * [[graft.text.TextOps.repetitionPpm]] signal — never triggers
+    * removal on its own; keys ride xxhash64 (the minhash family's
+    * width; a collision mislabels one span in ~2^-64 · |spans|² docs,
+    * negligible against the ppm-level noise floor of the signal
+    * itself).
+    *
+    * REMOVAL is position-coverage union: every token position inside
+    * any removable span occurrence drops, overlaps union naturally,
+    * and the retained tokens re-join with single spaces IN ORDER. A
+    * document that loses nothing returns its text byte-identical (the
+    * rewrite only re-materializes documents it changed); a document
+    * shorter than `n` tokens (or with null text) is always untouched.
+    *
+    * Plan shape — the posting-list discipline of the audit: the span
+    * machinery shuffles only slim (id, pos, hash) triples; the df
+    * aggregate collapses each span to one row BEFORE any join (so a
+    * viral boilerplate span meets the exploded stream as a single
+    * build row, merge-pinned and AQE-skew-split eligible — the
+    * [[exactCanonical]] viral-hash argument); no window anywhere; the
+    * document text crosses exactly ONE exchange, the final
+    * shuffle-hash join that attaches each doc's removal set (build =
+    * the slim per-doc start-position frame, so the corpus is never
+    * sorted). Per-row reconstruction is linear: retained positions via
+    * `array_except(sequence, covered)` (hash-set complement), token
+    * fetch via `element_at` — no per-token scan of the covered set.
+    *
+    * Determinism contract (as [[graft.ops.BoundedTopM]]): exact when
+    * ids are duplicate-free; null-id rows group as one document and
+    * never win keeper (min skips null), so dirty ids degrade to
+    * drop-everywhere for that group, not nondeterminism.
+    *
+    * @return (doc_id, text_clean, n_tokens, n_removed) — one row per
+    *         input row; n_tokens counts the raw whitespace tokens,
+    *         n_removed the dropped positions. */
+  def removeDuplicatedSpans(docs: DataFrame, id: Column, text: Column,
+                            n: Int = 5, keepFirst: Boolean = true): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val rawToks = TextOps.tokens(col("__text"))
+    // 1:1 with rawToks — per-token normalization preserves positions
+    val normToks = transform(rawToks,
+      t => regexp_replace(lower(t), "[^a-z0-9]", ""))
+    // (pos, key) for every rolling n-window; docs shorter than n emit
+    // none (and sequence() never sees a negative stop, which would
+    // DESCEND rather than stay empty)
+    val spans = when(size(rawToks) >= n,
+      transform(sequence(lit(0), size(normToks) - n),
+        p => struct(p.as("pos"),
+          xxhash64(concat_ws("\u0001", slice(normToks, p + 1, lit(n))))
+            .as("h"))))
+    val occ = base
+      .select(col("doc_id"), explode(spans).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    // one row per DUPLICATED span key: df counts documents, keeper is
+    // the keep-first survivor. The corpus-scale side of the join, but
+    // one row per key — the viral span collapses here, pre-shuffle.
+    // countDistinct skips nulls, so the null-id group contributes its
+    // own +1 explicitly — the "nulls group as one document" contract
+    val dupSpans = occ.groupBy(col("h"))
+      .agg((countDistinct(col("doc_id")) +
+          max(col("doc_id").isNull.cast("int"))).as("__df"),
+        min(col("doc_id")).as("__keeper"))
+      .where(col("__df") >= 2)
+    val removable =
+      if (keepFirst) !(col("doc_id") <=> col("__keeper")) else lit(true)
+    // slim per-doc removal set: sorted START positions of removable
+    // occurrences (expansion to covered positions happens per-row,
+    // avoiding an n-fold row blowup across the shuffle)
+    val rm = occ.join(dupSpans.hint("merge"), Seq("h"))
+      .where(removable)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+      .withColumnRenamed("doc_id", "__rid")
+    val covered = array_distinct(flatten(transform(col("__starts"),
+      s => sequence(s, s + (n - 1)))))
+    val retained = transform(
+      array_except(sequence(lit(0), size(col("__toks")) - 1), covered),
+      p => element_at(col("__toks"), p + 1))
+    base
+      .join(rm.hint("shuffle_hash"), col("doc_id") <=> col("__rid"), "left")
+      .withColumn("__toks", TextOps.tokens(col("__text")))
+      .select(col("doc_id"),
+        when(col("__starts").isNull, col("__text"))
+          .otherwise(concat_ws(" ", retained)).as("text_clean"),
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
+        when(col("__starts").isNull, lit(0L))
+          .otherwise((size(col("__toks")) - size(retained)).cast("long"))
+          .as("n_removed"))
+  }
+
   // ── Cluster canonicalization ─────────────────────────────────────────
 
   /** Heap-derived default for [[canonicalFromPairs]]'s small-graph fast

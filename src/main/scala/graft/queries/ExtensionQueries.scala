@@ -949,6 +949,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the REWRITE half of the audit above: drop every cross-doc
+    // duplicated 5-token span (keep-first), re-materializing the text.
+    // The frame plants a guaranteed viral span (the boilerplate run,
+    // 500×) and per-source spans (the "... of srcN" tails, ~50×) on top
+    // of whatever natural dups the corpus has; the oracle recomputes the
+    // whole rewrite from scratch — keeper choice, position-coverage
+    // union, raw-token re-join — so clean_md5 pins byte-exact retained
+    // text, not just counts.
+    "text_dup_remove" -> ((s, dir) => {
+      val framed = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" boilerplate navigation footer menu copyright of "),
+          col("source")).as("t"))
+      Dedup.removeDuplicatedSpans(framed, col("doc_id"), col("t"), n = 5)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // asymmetric near-dup: a document quoted inside a larger one shows
     // high containment where Jaccard stays low — the dedup signal for
     // concatenated/wrapped training documents
@@ -3128,6 +3147,61 @@ object ExtensionQueries {
          |    / cast(count(*) AS double) * 1000000) AS bigint) AS dup_ppm
          |FROM g5 JOIN df USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full from-scratch recompute of the span-removal rewrite: same
+    // framed text as the gate, per-token normalized 5-gram keys (chr(1)
+    // joiner mirrors the engine's \u0001 — both alphabets are [a-z0-9]*
+    // so the key spaces are bijective), document-frequency keeper, and
+    // byte-exact retained-text md5 (untouched docs hash their ORIGINAL
+    // framed text; touched docs hash the space-rejoined raw tokens)
+    "text_dup_remove" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text || ' boilerplate navigation footer menu copyright of '
+        |      || source AS t
+        |  FROM documents),
+        |nm AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '[ \t\n\x0b\f\r]+'),
+        |                w -> len(w) > 0) AS l
+        |  FROM f),
+        |nm2 AS (
+        |  SELECT doc_id, t, l,
+        |    list_transform(l,
+        |      w -> regexp_replace(lower(w), '[^a-z0-9]', '', 'g')) AS nl
+        |  FROM nm),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 3)) AS pos,
+        |    unnest(list_transform(range(1, len(l) - 3),
+        |      i -> array_to_string(nl[i:i+4], chr(1)))) AS k
+        |  FROM nm2 WHERE len(l) >= 5),
+        |dup AS (
+        |  SELECT k, min(doc_id) AS keeper
+        |  FROM occ GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT o.doc_id, unnest(range(o.pos, o.pos + 5)) AS p
+        |    FROM occ o JOIN dup d USING (k)
+        |    WHERE o.doc_id <> d.keeper)),
+        |covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
+        |ret AS (
+        |  SELECT n.doc_id, n.t, n.l, c.ps,
+        |    CASE WHEN c.ps IS NULL THEN NULL
+        |         ELSE list_filter(range(1, len(n.l) + 1),
+        |                          q -> NOT list_contains(c.ps, q))
+        |    END AS keep
+        |  FROM nm2 n LEFT JOIN covl c USING (doc_id))
+        |SELECT doc_id,
+        |  md5(CASE WHEN ps IS NULL THEN t
+        |       -- array_to_string([]) is NULL in DuckDB, '' in Spark
+        |       ELSE coalesce(
+        |         array_to_string(list_transform(keep, q -> l[q]), ' '), '')
+        |       END) AS clean_md5,
+        |  cast(coalesce(len(l), 0) AS bigint) AS n_tokens,
+        |  cast(CASE WHEN ps IS NULL THEN 0
+        |            ELSE len(l) - len(keep) END AS bigint) AS n_removed
+        |FROM ret ORDER BY doc_id""".stripMargin,
 
     // coalesce mirrors the engine: dedupLines maps a NULL framed string
     // to one "" line (every document survives), and the gate's concat

@@ -213,7 +213,8 @@ class PlanSpec extends AnyFunSuite {
       s"shingle posting front routes df through WindowExec:\n${front.take(2000)}")
     assert("Aggregate".r.findAllIn(front).size >= 2,
       s"shingle posting front lost its map-side partial:\n${front.take(2000)}")
-    for (q <- Seq("dedup_ngram", "dedup_containment", "text_dup_spans")) {
+    for (q <- Seq("dedup_ngram", "dedup_containment", "text_dup_spans",
+        "text_dup_remove")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("Window"),
         s"$q routes its shingle-df through WindowExec:\n${p.take(2000)}")
@@ -229,6 +230,7 @@ class PlanSpec extends AnyFunSuite {
     // and denies the probe side its reusable exchange (the kernel then
     // re-runs per consumer)
     for (q <- Seq("dedup_ngram", "dedup_containment", "text_dup_spans",
+        "text_dup_remove",
         "dedup_exact", "text_line_dedup", "text_lm_score", "doc_keywords",
         "curation_pipeline", "text_fingerprint_classes")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
