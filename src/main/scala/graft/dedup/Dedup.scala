@@ -1178,9 +1178,22 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 7,
+                   wideTables: Option[Boolean] = None): DataFrame =
+    hammingPairs(docs, id, simhash64(text), maxHamming, wideTables)
+
+  /** [[simhashPairs]]' pigeonhole machinery over an ARBITRARY 64-bit
+    * signature column — any signature family whose similarity is
+    * Hamming distance plugs in (SimHash over tokens, dHash/aHash over
+    * image pixels: [[graft.multimodal.ImageHash]]). Null signatures
+    * (e.g. an undecodable image payload) join into no bucket and
+    * surface in no pair. Same exhaustiveness guarantee: every pair
+    * within `maxHamming` shares a clean table key, so the verify step
+    * only removes false candidates. */
+  def hammingPairs(docs: DataFrame, id: Column, sig: Column,
+                   maxHamming: Int = 7,
                    wideTables: Option[Boolean] = None): DataFrame = {
     require(maxHamming <= 7, "radius > 7 needs a wider table design")
-    val sigd = docs.select(id.as("doc_id"), simhash64(text).as("sig"))
+    val sigd = docs.select(id.as("doc_id"), sig.as("sig"))
     val wide = wideTables.getOrElse {
       // r ≤ 3 always takes the 4×16-bit chunk layout (simhashKeys
       // ignores the flag there) — don't sample, and don't LOG a layout
@@ -1192,7 +1205,7 @@ object Dedup {
         // run-to-run cost difference is attributable to a layout flip
         // instead of reading as an unexplained drift
         System.err.println(
-          s"[graft] simhashPairs layout auto-selected: " +
+          s"[graft] hammingPairs layout auto-selected: " +
             s"${if (chosen) "block-pair (wide)" else "single-chunk"} tables")
         chosen
       }

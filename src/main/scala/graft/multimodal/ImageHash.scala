@@ -1,0 +1,148 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit perceptual image hashes (dHash / aHash) and the near-dup
+  * pair operator over them — the image leg of the dedup surface.
+  *
+  * Both hashes are INTEGER-EXACT end to end, so the same image bytes
+  * always produce the same signature on any executor:
+  *   - grayscale: ITU-R BT.601 integer luma `(299·r + 587·g + 114·b)
+  *     / 1000` (floor) over [[Images.imagePixelValues]]' decoded RGB;
+  *   - resample: nearest-neighbor on the floor grid `src = x·sw / dw`
+  *     — the SAME sampling convention as [[Images.resizeNearest]], so
+  *     a hash of a `resizeNearest` output degrades predictably;
+  *   - dHash (64 bits): 9×8 grid, bit (y,x) set iff `g(x,y) >
+  *     g(x+1,y)` — the horizontal-gradient sign, invariant to global
+  *     brightness/contrast shifts (monotone per-pixel transforms);
+  *   - aHash (64 bits): 8×8 grid, bit set iff the cell exceeds the
+  *     floor-mean of all 64 cells.
+  * Bits pack MSB-first in row-major scan order (bit 63 = top-left),
+  * pinned by golden vectors in ImagesSpec.
+  *
+  * Totality: a payload [[Images.imagePixelValues]] cannot decode
+  * (truncated, corrupt, foreign bytes) hashes to NULL — a corrupt
+  * image in a 100 TB media crawl becomes a null-signature row that
+  * simply joins into no candidate bucket, never a task failure.
+  *
+  * Near-dup candidates reuse the text side's pigeonhole machinery
+  * ([[graft.dedup.Dedup.hammingPairs]]): signatures within Hamming
+  * distance d share a clean bucket key in at least one table, so
+  * recall at the radius is exactly 1.0 and the verify step only
+  * removes false candidates — same 100 TB scaling argument as SimHash
+  * (banded candidates ∝ true pairs, never all-pairs). */
+object ImageHash {
+
+  /** Nearest-neighbor grayscale grid over a decoded RGB units array —
+    * `dw`×`dh` integer lumas, row-major. */
+  private[multimodal] def grayGrid(px: Array[Int], w: Int, h: Int,
+                                   dw: Int, dh: Int): Array[Int] = {
+    val out = new Array[Int](dw * dh)
+    var y = 0
+    while (y < dh) {
+      val sy = (y.toLong * h / dh).toInt
+      var x = 0
+      while (x < dw) {
+        val sx = (x.toLong * w / dw).toInt
+        val k = 3 * (sy * w + sx)
+        out(y * dw + x) = (299 * px(k) + 587 * px(k + 1) + 114 * px(k + 2)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** dHash of an image payload; null (boxed) when undecodable. */
+  def dhash64(payload: Array[Byte]): java.lang.Long =
+    Images.imagePixelGrid(payload) match {
+      case None => null
+      case Some((w, h, px)) =>
+        val g = grayGrid(px, w, h, 9, 8)
+        var sig = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            sig <<= 1
+            if (g(y * 9 + x) > g(y * 9 + x + 1)) sig |= 1L
+            x += 1
+          }
+          y += 1
+        }
+        java.lang.Long.valueOf(sig)
+    }
+
+  /** aHash of an image payload; null (boxed) when undecodable. */
+  def ahash64(payload: Array[Byte]): java.lang.Long =
+    Images.imagePixelGrid(payload) match {
+      case None => null
+      case Some((w, h, px)) =>
+        val g = grayGrid(px, w, h, 8, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += g(i); i += 1 }
+        val mean = sum / 64 // floor — integer-exact threshold
+        var sig = 0L
+        i = 0
+        while (i < 64) {
+          sig <<= 1
+          if (g(i) > mean) sig |= 1L
+          i += 1
+        }
+        java.lang.Long.valueOf(sig)
+    }
+
+  /** Column surface (codegen expressions — one static kernel call per
+    * row inside whole-stage codegen, the TextExprs discipline). */
+  def dHash(payload: Column): Column =
+    ColumnBridge.column(DHash64Expr(ColumnBridge.expression(payload)))
+  def aHash(payload: Column): Column =
+    ColumnBridge.column(AHash64Expr(ColumnBridge.expression(payload)))
+
+  /** Perceptual near-dup image pairs: dHash signatures banded through
+    * the shared pigeonhole tables, exact Hamming verify. Undecodable
+    * payloads (null signature) surface in no pair. Exhaustive at the
+    * radius — recall 1.0 over decodable images. */
+  def nearDupPairs(media: DataFrame, id: Column, payload: Column,
+                   maxHamming: Int = 7,
+                   wideTables: Option[Boolean] = None): DataFrame =
+    graft.dedup.Dedup.hammingPairs(media, id, dHash(payload),
+      maxHamming, wideTables)
+}
+
+/** Unary codegen expressions over the image-hash kernels. The kernel
+  * returns a BOXED Long (null = undecodable payload), so the generated
+  * code null-checks the kernel result — the expression is nullable
+  * even over a non-null child. */
+abstract class ImageHashExpression extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  protected def kernelName: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long r = graft.multimodal.ImageHash.$kernelName($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.longValue(); }""")
+}
+
+case class DHash64Expr(child: Expression) extends ImageHashExpression {
+  override def prettyName: String = "image_dhash64"
+  override protected def kernelName: String = "dhash64"
+  override def nullSafeEval(in: Any): Any =
+    ImageHash.dhash64(in.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class AHash64Expr(child: Expression) extends ImageHashExpression {
+  override def prettyName: String = "image_ahash64"
+  override protected def kernelName: String = "ahash64"
+  override def nullSafeEval(in: Any): Any =
+    ImageHash.ahash64(in.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

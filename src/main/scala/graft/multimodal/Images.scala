@@ -124,6 +124,18 @@ object Images {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** [[imagePixelValues]] plus the decoded dimensions — the shape the
+    * perceptual-hash resampler needs ([[ImageHash]]). Same totality:
+    * None for anything ImageIO cannot fully decode. */
+  def imagePixelGrid(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload == null || !looksLikeImage(payload)) return None
+    try {
+      val img = readImage(payload)
+      if (img == null) return None
+      rgbValues(img).map(px => (img.getWidth, img.getHeight, px))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The shared RGB extraction behind [[imagePixelValues]] and
     * [[gifFramePixels]]. */
   private def rgbValues(img: java.awt.image.BufferedImage): Option[Array[Int]] = {

@@ -53,6 +53,8 @@ object GraftFunctions {
     "href_texts" -> (one(_)(HrefTextsExpr)),
     "url_normalize" -> (one(_)(UrlNormalizeExpr)),
     "url_host" -> (one(_)(UrlHostExpr)),
+    "image_dhash64" -> (one(_)(graft.multimodal.DHash64Expr)),
+    "image_ahash64" -> (one(_)(graft.multimodal.AHash64Expr)),
     "vec_dot" -> (two(_)(VecDotExpr)),
     "l2_normalize" -> (one(_)(L2NormalizeExpr)),
     "hash_embed" -> (one(_)(HashEmbedExpr(_, 64))),

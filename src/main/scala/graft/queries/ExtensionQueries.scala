@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageHash, Multimodal}
 import graft.similarity.{Ann, Pq, Quantize, SemDedup}
 import graft.text.TextOps
 
@@ -1551,6 +1551,34 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── Image perceptual near-dup (dHash + shared pigeonhole) ────────
+    // rows-only hash-class gate: PNG population + the two plant
+    // families (byte clones, unsampled-column perturbations). The
+    // perturbed pairs prove PERCEPTUAL matching — different bytes,
+    // identical 64-bit dHash. Layout pinned single-chunk for bench
+    // stability (the dedup_simhash rationale); both layouts exhaustive
+    // at the radius, so the pin can never change the rows.
+    "image_dedup" -> ((s, dir) => {
+      ImageHash.nearDupPairs(imageDedupPop(s, dir), col("doc_id"),
+          col("payload"), maxHamming = 7, wideTables = Some(false))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // oracled recall twin (the dedup_simhash_recall pattern): even ids
+    // < 8 re-enter byte-identical under +1000000 → identical dHash →
+    // hamming 0, and the pigeonhole tables are exhaustive at the
+    // radius, so EVERY planted pair must surface. The oracle restates
+    // the planted pair set from the synthesis formula.
+    "image_dedup_recall" -> ((s, dir) => {
+      ImageHash.nearDupPairs(imageDedupPop(s, dir), col("doc_id"),
+          col("payload"), maxHamming = 7, wideTables = Some(false))
+        // id_a < 1e6 keeps exactly the (base, byte-clone) pairs — the
+        // perturbed plant family (+2e6/+3e6) also differs by 1e6
+        .where(col("id_b") === col("id_a") + lit(1000000L) &&
+          col("id_a") < lit(1000000L))
+        .orderBy(col("id_a"))
+    }),
+
     // fingerprint equality classes must match the normalized-text
     // equality classes (xxhash64 is injective on this corpus unless a
     // 64-bit collision appears — which this gate would catch)
@@ -2874,6 +2902,40 @@ object ExtensionQueries {
       }).toDF("doc_id", "modality", "payload", "meta")
   }
 
+  /** Bounded PNG population for the image-dedup gates: even-id docs
+    * (deterministic PNG payloads) with doc_id < 400, plus two plant
+    * families — byte-identical clones of even ids < 8 under +1000000
+    * (the oracled recall population) and a canonical/perturbed
+    * re-render pair per even id < 8 under +2000000/+3000000. The
+    * perturbation edits a pixel column the 9×8 dHash sampling grid
+    * never reads (floor(16x/9) = {0,1,3,5,7,8,10,12,14} skips column
+    * 2), so the pair lands at hamming 0 with DIFFERENT bytes —
+    * perceptual dedup, not byte dedup. JPEGs are excluded: the
+    * uniform-gray fixtures all dHash to 0 (no gradients anywhere) — a
+    * true but degenerate corpus-wide equivalence class whose pair set
+    * is quadratic in the fixture, the image analogue of stopword
+    * shingles. */
+  private def imageDedupPop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Images
+    val base = syntheticImages(s, dir)
+      .where(col("doc_id") % 2 === 0 && col("doc_id") < 400)
+      .select(col("doc_id"), col("payload"))
+    val clones = base.where(col("doc_id") < 8)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("payload"))
+    val plants = Tables(s, dir, "documents")
+      .where(col("doc_id") % 2 === 0 && col("doc_id") < 8)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def fill(k: Int): Int = ((k.toLong * 31 + id * 7) % 256).toInt
+        val clean = Images.encodePng(16, 12, fill)
+        val pert = Images.encodePng(16, 12,
+          k => if ((k / 3) % 16 == 2) (fill(k) + 97) % 256 else fill(k))
+        Seq((id + 2000000L, clean), (id + 3000000L, pert))
+      }).toDF("doc_id", "payload")
+    base.unionByName(clones).unionByName(plants)
+  }
+
   /** Memoized per-dataset BPE merge table (driver-side training is
     * deterministic; Verify + Bench + plan audits in one session must not
     * retrain per invocation). */
@@ -3266,6 +3328,16 @@ object ExtensionQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, cast(0 AS int) AS hamming
          |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // planted byte-identical clones MUST surface at hamming 0 — the
+    // pair set restates the synthesis formula (even ids < 8 cloned
+    // under +1000000); no image decode happens oracle-side, identity
+    // of bytes implies identity of any function of them
+    "image_dedup_recall" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM documents WHERE doc_id < 8 AND doc_id % 2 = 0
+        |ORDER BY id_a""".stripMargin,
 
     "text_fingerprint_classes" ->
       """WITH n AS (

@@ -186,6 +186,9 @@ class ImagesSpec extends AnyFunSuite {
     def check(p: Array[Byte]): Unit = {
       assert(Images.parseImage(p).isInstanceOf[Option[_]])
       assert(Images.imagePixelValues(p).isInstanceOf[Option[_]])
+      // perceptual hashes ride the same decode: total, null on corrupt
+      graft.multimodal.ImageHash.dhash64(p)
+      graft.multimodal.ImageHash.ahash64(p)
     }
     val png = Images.encodePng(16, 12, fill(5L))
     val jpg = Images.encodeJpegGray(16, 12, 128)
@@ -209,6 +212,84 @@ class ImagesSpec extends AnyFunSuite {
       jn(2) = 0xFF.toByte
       check(jn)
     }
+  }
+
+  test("dHash golden vectors: gradient signs, MSB-first packing, " +
+      "brightness invariance") {
+    import graft.multimodal.ImageHash
+    // monotone left→right gradient: every g(x) < g(x+1) → all bits 0
+    val asc = Images.encodePng(18, 8, k => ((k / 3) % 18) * 14)
+    assert(ImageHash.dhash64(asc) === 0L)
+    // reversed gradient: every g(x) > g(x+1) → all 64 bits set
+    val desc = Images.encodePng(18, 8, k => (17 - (k / 3) % 18) * 14)
+    assert(ImageHash.dhash64(desc) === -1L)
+    // uniform: no gradient anywhere
+    assert(ImageHash.dhash64(Images.encodePng(9, 8, _ => 77)) === 0L)
+    // ONE bright column at grid cell x=3 (w=9 → sx=x): bits set where
+    // g(3) > g(4) i.e. x=3 in every row → per-row byte 0001_0000
+    val col = Images.encodePng(9, 8, k => if ((k / 3) % 9 == 3) 200 else 10)
+    assert(ImageHash.dhash64(col) === 0x1010101010101010L)
+    // dHash is invariant under a global brightness shift (gradient
+    // signs survive any monotone per-pixel transform)
+    val dim = Images.encodePng(18, 8, k => ((k / 3) % 18) * 14 / 2 + 9)
+    assert(ImageHash.dhash64(dim) === ImageHash.dhash64(asc))
+    // corrupt → null (boxed), never a throw
+    assert(ImageHash.dhash64("not an image".getBytes("UTF-8")) === null)
+    assert(ImageHash.dhash64(null) === null)
+  }
+
+  test("aHash golden vectors: mean threshold, floor-mean tie handling") {
+    import graft.multimodal.ImageHash
+    // left half 0, right half 200 (16 wide → sx = 2x): cells x≥4 are
+    // bright; mean = 100 → per-row byte 0000_1111
+    val half = Images.encodePng(16, 8, k => if ((k / 3) % 16 < 8) 0 else 200)
+    assert(ImageHash.ahash64(half) === 0x0F0F0F0F0F0F0F0FL)
+    // uniform: every cell EQUALS the mean — strict > leaves all bits 0
+    assert(ImageHash.ahash64(Images.encodePng(8, 8, _ => 123)) === 0L)
+    // one bright cell: mean floors to (63·10 + 240)/64 = 13 → only the
+    // bright cell (top-left = bit 63) clears it
+    val one = Images.encodePng(8, 8, k => if (k / 3 == 0) 240 else 10)
+    assert(ImageHash.ahash64(one) === java.lang.Long.MIN_VALUE)
+    assert(ImageHash.ahash64(Array[Byte](1, 2, 3)) === null)
+  }
+
+  test("perceptual near-dup: planted perturbation stays within radius, " +
+      "distinct images differ") {
+    import graft.multimodal.ImageHash
+    val base = Images.encodePng(32, 24, fill(9L))
+    // small local perturbation: +40 on a 3-wide pixel stripe — most
+    // gradient cells keep their sign, so Hamming stays small
+    val pert = Images.encodePng(32, 24,
+      k => if ((k / 3) % 32 == 5) (fill(9L)(k) + 40) % 256 else fill(9L)(k))
+    val d = java.lang.Long.bitCount(
+      ImageHash.dhash64(base) ^ ImageHash.dhash64(pert))
+    assert(d <= 16, s"perturbed hamming $d")
+    val other = Images.encodePng(32, 24, fill(123L))
+    assert(ImageHash.dhash64(base) !== ImageHash.dhash64(other))
+  }
+
+  test("nearDupPairs: planted pairs surface, corrupt payloads pair with " +
+      "nothing") {
+    import graft.multimodal.ImageHash
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Images.encodePng(16, 12, fill(3L))
+    // unsampled-column perturbation: hash-identical, byte-different
+    val a2 = Images.encodePng(16, 12,
+      k => if ((k / 3) % 16 == 2) (fill(3L)(k) + 97) % 256 else fill(3L)(k))
+    val b = Images.encodePng(16, 12, fill(77L))
+    val rows = Seq(
+      (1L, a), (2L, a2), (3L, b),
+      (4L, "corrupt".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val pairs = ImageHash.nearDupPairs(rows, col("doc_id"), col("payload"),
+        maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)), s"planted pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L),
+      s"undecodable payloads must pair with nothing: $pairs")
   }
 
   test("audioFeatures: hand-computed energy / zero-crossings / peak") {

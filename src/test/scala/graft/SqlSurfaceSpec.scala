@@ -38,6 +38,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(dot === 32.0)
 
+    // image perceptual hashes over a binary column from SQL: a real
+    // PNG hashes to a long, foreign bytes hash to NULL (totality)
+    val ih = spark.sql(
+      s"""SELECT image_dhash64(unhex('${graft.multimodal.Images
+            .encodePng(9, 8, k => ((k * 13) % 256))
+            .map(b => f"$b%02X").mkString}')) AS d,
+         |  image_ahash64(cast('junk' AS binary)) AS a""".stripMargin)
+      .collect()(0)
+    assert(!ih.isNullAt(0) && ih.isNullAt(1))
+
     // aggregate surface: vec_sum and pack_agg through plain SQL
     val vs = spark.sql(
       """SELECT vec_sum(v) AS s FROM VALUES (array(1d, 2d)), (array(3d, 4d)) t(v)""")
