@@ -1,0 +1,155 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted URL-seen state for ROLLING crawls: each crawl batch is
+  * judged against the standing canonical-URL index WITHOUT rescanning
+  * prior batches, and the index grows by exactly the batch's new URLs.
+  *
+  * Layout — log-structured deltas (the `dedup_index_append`
+  * discipline, not a rewrite-the-world fold):
+  * {{{
+  *   path/delta-b<batchId>/   parquet (url_canon, first_seen_batch,
+  *                            first_doc) + _SUCCESS
+  * }}}
+  * The standing state is the union of committed deltas; a fold WRITES
+  * only the batch's first-occurrence URLs, so per-batch write volume
+  * is proportional to novelty, never to the accumulated index — the
+  * property that keeps a year of rolling crawls foldable. [[compact]]
+  * merges the delta log into one generation when the file count grows
+  * (the `compactMinhashIndex` response to append telemetry).
+  *
+  * IDEMPOTENT by batch watermark: a fold whose `batchId` is at or
+  * below the max committed delta stamp is a REPLAY — the state is not
+  * touched, and the annotation filters the standing state to rows
+  * with `first_seen_batch < batchId`, so a replayed batch sees
+  * exactly the state view its first run saw (its own contribution,
+  * already committed at `first_seen_batch == batchId`, is invisible
+  * to it). Crash safety: a delta dir without `_SUCCESS` is a crashed
+  * write — invisible to reads, overwritten by the retry. Single
+  * writer per path assumed (the GenState convention).
+  *
+  * Scale shape: the fold shuffles state and batch once each on
+  * `url_canon` (slim 3-column rows on the state side); the batch-
+  * internal first-doc aggregate collapses map-side. Null-normalizing
+  * URLs (unparseable) drop from both the state and the annotation —
+  * they can never be "seen". */
+object UrlSeen {
+
+  private val deltaPrefix = "delta-b"
+
+  val schema: StructType = StructType(Seq(
+    StructField("url_canon", StringType),
+    StructField("first_seen_batch", LongType),
+    StructField("first_doc", LongType)))
+
+  private def fsRoot(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed (batchId, dir) deltas under `path`, unordered. */
+  private def committedDeltas(spark: SparkSession, path: String)
+      : Seq[(Long, String)] = {
+    val (fs, root) = fsRoot(spark, path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(deltaPrefix)) None
+      else scala.util.Try(n.drop(deltaPrefix.length).toLong).toOption
+        .filter(_ => fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(b => (b, st.getPath.toString))
+    }
+  }
+
+  /** Max committed batch stamp — the replay guard. */
+  def watermark(spark: SparkSession, path: String): Option[Long] = {
+    val ds = committedDeltas(spark, path)
+    if (ds.isEmpty) None else Some(ds.map(_._1).max)
+  }
+
+  /** The standing index: one row per canonical URL with its first-seen
+    * batch and first document. Empty (with schema) on a cold path. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val ds = committedDeltas(spark, path)
+    if (ds.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else {
+      // deltas are disjoint by construction (a fold only writes URLs
+      // absent from the standing state), but a min-fold heals any
+      // overlap a crashed-and-differently-retried writer left behind
+      spark.read.parquet(ds.map(_._2): _*)
+        .groupBy(col("url_canon"))
+        .agg(min(struct(col("first_seen_batch"), col("first_doc"))).as("m"))
+        .select(col("url_canon"),
+          col("m.first_seen_batch").as("first_seen_batch"),
+          col("m.first_doc").as("first_doc"))
+    }
+  }
+
+  /** Fold one crawl batch into the standing index and return the
+    * annotated batch: (doc_id, url_canon, status, first_doc) where
+    * status ∈ {"new", "dup_in_batch", "seen"} — `seen` means the URL
+    * was first crawled in an EARLIER batch (with that batch's first
+    * doc), `dup_in_batch` a second spelling within this batch, `new`
+    * the batch's first occurrence of a never-seen URL. `first_doc` is
+    * the URL's canonical first document across all folds.
+    *
+    * The state mutation (the delta write) happens EAGERLY inside this
+    * call when `batchId` is above the watermark; replays mutate
+    * nothing and annotate identically to the first run. */
+  def foldBatch(batch: DataFrame, id: Column, url: Column, path: String,
+                batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val canon = batch.select(id.cast("long").as("doc_id"),
+        graft.ops.HtmlExprs.urlNormalize(url).as("url_canon"))
+      .where(col("url_canon").isNotNull)
+      .localCheckpoint(true) // consumed by the delta write AND annotation
+    val batchMin = canon.groupBy(col("url_canon"))
+      .agg(min(col("doc_id")).as("batch_first"))
+    val replay = watermark(spark, path).exists(batchId <= _)
+    if (!replay) {
+      // delta = this batch's first-occurrence URLs only: write volume
+      // ∝ novelty. Anti-join against the full standing state (which
+      // cannot yet contain rows at/above batchId — watermark checked).
+      batchMin
+        .join(read(spark, path).select(col("url_canon")),
+          Seq("url_canon"), "left_anti")
+        .select(col("url_canon"), lit(batchId).as("first_seen_batch"),
+          col("batch_first").as("first_doc"))
+        .write.mode("overwrite").parquet(s"$path/$deltaPrefix$batchId")
+    }
+    // annotation view: strictly-earlier state rows — a replayed fold's
+    // own committed delta (first_seen_batch == batchId) is filtered
+    // out, so replay annotation ≡ first-run annotation
+    val seenBefore = read(spark, path)
+      .where(col("first_seen_batch") < batchId)
+      .select(col("url_canon"), col("first_seen_batch").as("seen_batch"),
+        col("first_doc").as("seen_doc"))
+    canon
+      .join(batchMin.hint("merge"), Seq("url_canon"))
+      .join(seenBefore.hint("shuffle_hash"), Seq("url_canon"), "left")
+      .select(col("doc_id"), col("url_canon"),
+        when(col("seen_batch").isNotNull, lit("seen"))
+          .when(col("doc_id") =!= col("batch_first"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("seen_doc"), col("batch_first")).as("first_doc"))
+  }
+
+  /** Merge the delta log into ONE delta at `dest` (stamped with the
+    * source's watermark, so replay guarding survives compaction) —
+    * the response to a growing per-read file count. Compact to a
+    * FRESH path, then swap pointers (the compactMinhashIndex
+    * convention). */
+  def compact(spark: SparkSession, path: String, dest: String): Unit = {
+    require(path != dest, "compact to a FRESH path, then swap pointers")
+    val wm = watermark(spark, path).getOrElse(
+      throw new IllegalStateException(s"nothing committed at $path"))
+    read(spark, path)
+      .write.mode("overwrite").parquet(s"$dest/$deltaPrefix$wm")
+  }
+}

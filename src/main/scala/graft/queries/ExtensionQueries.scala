@@ -2130,22 +2130,23 @@ object ExtensionQueries {
     // and counts spellings. The oracle restates the canonical form
     // and both aggregates from the synthesis arithmetic.
     "url_dedup" -> ((s, dir) => {
-      import s.implicits._
-      Tables(s, dir, "documents")
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val k = id % 25
-          val j = id % 125
-          Seq(
-            (id, "HTTPS://User@Site" + k + ".EXAMPLE.:443/p/" + j +
-              "?utm_source=x&ref=y#frag"),
-            (id, "https://site" + k + ".example/p/" + j + "?"))
-        }).toDF("doc_id", "url")
+      urlSpellings(s, dir)
         .select(col("doc_id"),
           graft.ops.HtmlExprs.urlNormalize(col("url")).as("url_canon"))
         .groupBy(col("url_canon"))
         .agg(count(lit(1)).as("n_spellings"),
           min(col("doc_id")).as("first_doc"))
+        .orderBy(col("url_canon"))
+    }),
+
+    // Rolling-crawl URL dedup: the standing canonical-URL index after
+    // three ordered batch folds PLUS a replayed fold of batch 2 (the
+    // watermark guard makes it a no-op). Output = the index itself;
+    // the oracle recomputes first-seen batch and first doc from
+    // scratch over the synthesis arithmetic, so a fold that rescans,
+    // double-counts, or is NOT replay-idempotent cannot match.
+    "url_dedup_incremental" -> ((s, dir) => {
+      graft.dedup.UrlSeen.read(s, urlStateFor(s, dir))
         .orderBy(col("url_canon"))
     }),
 
@@ -2901,6 +2902,43 @@ object ExtensionQueries {
           Map.empty[String, String])
       }).toDF("doc_id", "modality", "payload", "meta")
   }
+
+  /** Two differently-messy spellings per doc of the same logical page
+    * (userinfo + default port + tracking params + fragment vs a bare
+    * trailing-'?' form), both normalizing to
+    * `https://site{id%25}.example/p/{id%125}` — the shared fixture of
+    * the url_dedup gates. */
+  private def urlSpellings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val k = id % 25
+        val j = id % 125
+        Seq(
+          (id, "HTTPS://User@Site" + k + ".EXAMPLE.:443/p/" + j +
+            "?utm_source=x&ref=y#frag"),
+          (id, "https://site" + k + ".example/p/" + j + "?"))
+      }).toDF("doc_id", "url")
+  }
+
+  /** Rolling-crawl URL-seen state for the incremental gate: three
+    * batches folded in order (doc_id % 3 → batch 1/2/3), then batch 2
+    * REPLAYED — the watermark guard must make the replay a no-op, so
+    * the final state equals the clean three-fold state the oracle
+    * recomputes from scratch. */
+  private val urlStateFor = new IndexCache("graft_gate_urlstate",
+    (s, dir, path) => {
+      val u = urlSpellings(s, dir)
+      for (b <- 1L to 3L)
+        graft.dedup.UrlSeen.foldBatch(
+          u.where(col("doc_id") % 3 === (b - 1)),
+          col("doc_id"), col("url"), path, b)
+      graft.dedup.UrlSeen.foldBatch( // replay: must not touch the state
+        u.where(col("doc_id") % 3 === 1),
+        col("doc_id"), col("url"), path, 2L)
+      ()
+    })
 
   /** Bounded PNG population for the image-dedup gates: even-id docs
     * (deterministic PNG payloads) with doc_id < 400, plus two plant
@@ -5344,6 +5382,25 @@ object ExtensionQueries {
         |  cast(2 * count(*) AS bigint) AS n_spellings,
         |  cast(min(doc_id) AS bigint) AS first_doc
         |FROM u GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    // from-scratch recompute of the standing index: first_seen_batch =
+    // the earliest batch (doc_id % 3 + 1) containing the canonical
+    // URL; first_doc = the smallest doc_id within that batch. The
+    // replayed fold the gate performs must leave no trace.
+    "url_dedup_incremental" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://site' || (doc_id % 25) || '.example/p/' ||
+        |      (doc_id % 125) AS url_canon,
+        |    doc_id % 3 + 1 AS b
+        |  FROM documents),
+        |f AS (SELECT url_canon, min(b) AS fb FROM u GROUP BY url_canon)
+        |SELECT f.url_canon,
+        |  cast(f.fb AS bigint) AS first_seen_batch,
+        |  cast(min(u.doc_id) AS bigint) AS first_doc
+        |FROM f JOIN u ON u.url_canon = f.url_canon AND u.b = f.fb
+        |GROUP BY f.url_canon, f.fb
+        |ORDER BY f.url_canon""".stripMargin,
 
     // expected canonical form stated directly from the synthesis
     // arithmetic — the oracle does NOT re-implement the normalizer
