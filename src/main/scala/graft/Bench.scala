@@ -71,7 +71,7 @@ object Bench {
     "html_meta", "jsonl_roundtrip", "model_score", "gopher_stats",
     "robots_filter", "text_sentences", "host_rank",
     "warc_revisit", "model_score_tokens", "html_links", "url_dedup",
-    "url_dedup_incremental",
+    "url_dedup_incremental", "redirect_resolve", "redirect_dedup",
     "robots_meta", "dedup_keep_best", "warc_quarantine", "crawl_budget",
     "anchor_texts")
 

@@ -418,17 +418,23 @@ object Warc {
       body: Array[Byte],
       refers_to: Option[String],
       payload_digest: Option[String],
-      profile: Option[String])
+      profile: Option[String],
+      location: Option[String])
 
   /** The Content-Type header value of an HTTP header block (first
     * occurrence, case-insensitive name), or None — the charset source
     * for body decoding ([[graft.ops.HtmlExprs.charsetDecode]]). */
   def httpContentType(headerBlock: String): Option[String] =
+    httpHeader(headerBlock, "content-type")
+
+  /** First occurrence of an HTTP header by case-insensitive name, or
+    * None — shared by Content-Type (charset source) and Location (the
+    * 3xx redirect target [[recordTable]] surfaces). */
+  def httpHeader(headerBlock: String, name: String): Option[String] =
     headerBlock.split("\r\n").iterator
       .map(_.split(":", 2))
       .collectFirst {
-        case Array(k, v) if k.trim.equalsIgnoreCase("content-type") =>
-          v.trim
+        case Array(k, v) if k.trim.equalsIgnoreCase(name) => v.trim
       }
 
   /** Hadoop Configuration is not Serializable; ship it to tasks via its
@@ -548,7 +554,9 @@ object Warc {
             r.date, r.contentType, r.block.length.toLong,
             http.map(_._1), http.flatMap(h => httpContentType(h._2)),
             http.map(_._3).getOrElse(r.block),
-            r.refersTo, r.payloadDigest, r.profile)
+            r.refersTo, r.payloadDigest, r.profile,
+            // 3xx chains can't map to final URLs without this header
+            http.flatMap(h => httpHeader(h._2, "location")))
         }
       })
       .toDF()

@@ -605,6 +605,82 @@ object UrlKernels {
         path + query)
   }
 
+  /** Resolve a reference (an HTTP `Location` header, an href) against
+    * a base URL — RFC 3986 §5-lite, TOTAL: absolute refs pass through,
+    * `//host/…` takes the base scheme, `/path` the base origin,
+    * `?query` the base path, `#frag` resolves to the base resource
+    * (fragments never reach a server), and relative paths merge with
+    * the base path's directory with dot-segment removal (`.`/`..`,
+    * never popping above root; a trailing `/.` or `/..` keeps its
+    * directory slash). Null when neither side yields an absolute URL
+    * (null/`://`-less base with a relative ref, null ref). The result
+    * is NOT normalized — feed it [[normalizeUrl]]. */
+  def resolveUrl(base: UTF8String, ref0: UTF8String): UTF8String = {
+    if (ref0 == null) return null
+    val ref = ref0.toString.trim
+    if (ref.contains("://")) return UTF8String.fromString(ref)
+    if (base == null) return null
+    val b = base.toString
+    val schemeEnd = b.indexOf("://")
+    if (schemeEnd <= 0) return null
+    if (ref.isEmpty) return base
+    val scheme = b.substring(0, schemeEnd)
+    if (ref.startsWith("//")) return UTF8String.fromString(scheme + ":" + ref)
+    val rest = b.substring(schemeEnd + 3)
+    var authEnd = rest.length
+    var k = 0
+    while (k < rest.length && authEnd == rest.length) {
+      val c = rest.charAt(k)
+      if (c == '/' || c == '?' || c == '#') authEnd = k
+      k += 1
+    }
+    val origin = scheme + "://" + rest.substring(0, authEnd)
+    val tail = rest.substring(authEnd)
+    var cut = tail.length
+    val qAt = tail.indexOf('?'); if (qAt >= 0) cut = qAt
+    val hAt = tail.indexOf('#'); if (hAt >= 0 && hAt < cut) cut = hAt
+    val basePath = { val p = tail.substring(0, cut); if (p.isEmpty) "/" else p }
+    if (ref.startsWith("/"))
+      return UTF8String.fromString(origin + removeDotSegments(ref))
+    if (ref.startsWith("?"))
+      return UTF8String.fromString(origin + basePath + ref)
+    if (ref.startsWith("#"))
+      return UTF8String.fromString(origin + basePath)
+    val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+    UTF8String.fromString(
+      origin + removeDotSegments(if (dir.isEmpty) "/" + ref else dir + ref))
+  }
+
+  /** RFC 3986 §5.2.4-lite over the PATH part (query/fragment pass
+    * through untouched); `..` never pops above root. */
+  private def removeDotSegments(p: String): String = {
+    var cut = p.length
+    val qAt = p.indexOf('?'); if (qAt >= 0) cut = qAt
+    val hAt = p.indexOf('#'); if (hAt >= 0 && hAt < cut) cut = hAt
+    val (path, suffix) = (p.substring(0, cut), p.substring(cut))
+    if (!path.contains("/.")) return p // fast path: nothing to remove
+    val segs = path.split("/", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < segs.length) {
+      segs(i) match {
+        case "." => () // skip
+        case ".." =>
+          // pop, but never the leading "" root marker
+          if (out.length > 1 && out.last.nonEmpty) out.remove(out.length - 1)
+        case s => out += s
+      }
+      i += 1
+    }
+    // "/a/." and "/a/.." name DIRECTORIES: keep the trailing slash
+    val last = segs(segs.length - 1)
+    if ((last == "." || last == "..") && (out.isEmpty || out.last.nonEmpty))
+      out += ""
+    val joined = out.mkString("/")
+    (if (joined.startsWith("/")) joined else "/" + joined.dropWhile(_ == '/')) +
+      suffix
+  }
+
   /** The lowercase host of a URL (post-[[normalizeUrl]] rules), or
     * null for a string with no "://" — the grouping key of per-domain
     * dedup and crawl politeness stats. */
@@ -1002,6 +1078,37 @@ case class UrlNormalizeExpr(child: Expression) extends KernelUnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class UrlResolveExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_resolve"
+  override def nullable: Boolean = true // null when nothing absolute results
+  // left = base URL, right = reference (Location header / href)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    // NOT nullSafeEval: an absolute ref resolves even under a null base
+    val b = left.eval(input)
+    val r = right.eval(input)
+    UrlKernels.resolveUrl(b.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val bc = left.genCode(ctx)
+    val rc = right.genCode(ctx)
+    val code =
+      code"""
+         |${bc.code}
+         |${rc.code}
+         |UTF8String ${ev.value} = graft.ops.UrlKernels.resolveUrl(
+         |  ${bc.isNull} ? null : ${bc.value},
+         |  ${rc.isNull} ? null : ${rc.value});
+         |boolean ${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    ev.copy(code = code)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class UrlHostExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "url_host"
@@ -1059,4 +1166,9 @@ object HtmlExprs {
   def hrefs(html: Column): Column = c(HrefsExpr(e(html)))
   def urlNormalize(url: Column): Column = c(UrlNormalizeExpr(e(url)))
   def urlHost(url: Column): Column = c(UrlHostExpr(e(url)))
+
+  /** Resolve a Location header / href against its page URL (RFC 3986
+    * §5-lite, total). */
+  def urlResolve(base: Column, ref: Column): Column =
+    c(UrlResolveExpr(e(base), e(ref)))
 }

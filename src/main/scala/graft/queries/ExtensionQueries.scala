@@ -2139,6 +2139,28 @@ object ExtensionQueries {
         .orderBy(col("url_canon"))
     }),
 
+    // Redirect-chain resolution over REAL WARC plumbing: 3xx records'
+    // Location headers (relative AND absolute — urlResolve runs
+    // against each record's own URI) become edges; pointer doubling
+    // maps every redirect source to its final URL in ⌈log₂ 8⌉+1
+    // self-joins. The loop plants must come back non-terminal. The
+    // oracle restates every row from the synthesis arithmetic.
+    "redirect_resolve" -> ((s, dir) => {
+      resolvedRedirects(s, dir)
+        .orderBy(col("url"))
+    }),
+
+    // …and the resolved final URL FEEDS URL dedup: chains collapse
+    // onto their landing page — n_sources spellings per final target,
+    // lexicographic-min first source (both UTF8-ordered on each side)
+    "redirect_dedup" -> ((s, dir) => {
+      resolvedRedirects(s, dir)
+        .where(col("terminal"))
+        .groupBy(col("final_url"))
+        .agg(count(lit(1)).as("n_sources"), min(col("url")).as("first_url"))
+        .orderBy(col("final_url"))
+    }),
+
     // Rolling-crawl URL dedup: the standing canonical-URL index after
     // three ordered batch folds PLUS a replayed fold of batch 2 (the
     // watermark guard makes it a no-op). Output = the index itself;
@@ -2724,6 +2746,68 @@ object ExtensionQueries {
         (id, if (id % 2 == 0) Warc.buildWarc(recs) else Warc.buildWarcGz(recs))
       }).toDF("doc_id", "payload")
   }
+
+  /** Synthetic redirect shards for the redirect gates: per doc a 301
+    * (RELATIVE Location — the urlResolve leg), a 302 (absolute), and
+    * the terminal 200; every 10th doc adds a 2-node redirect LOOP.
+    * Even ids plain, odd per-record gzip (compression-blind like the
+    * main WARC fixture). */
+  private def syntheticRedirectWarc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.ingest.Warc
+    import graft.ingest.Warc.WarcSpecRec
+    Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val date = Web.date(id)
+        def http(status: Int, reason: String, loc: Option[String],
+                 body: String): Array[Byte] =
+          (s"HTTP/1.1 $status $reason\r\n" +
+            loc.map(l => s"Location: $l\r\n").getOrElse("") +
+            "Content-Type: text/html; charset=utf-8\r\n\r\n" + body)
+            .getBytes(UTF_8)
+        def resp(tag: String, uri: String, payload: Array[Byte]) =
+          WarcSpecRec("response", s"<urn:uuid:$tag-$id>", Some(uri), date,
+            "application/http; msgtype=response", payload)
+        val recs = Seq(
+          resp("r301", "https://r.example/a/" + id,
+            http(301, "Moved Permanently", Some("/b/" + id), "moved")),
+          resp("r302", "https://r.example/b/" + id,
+            http(302, "Found",
+              Some("https://final.example/p/" + (id % 50)), "found")),
+          resp("r200", "https://final.example/p/" + (id % 50),
+            http(200, "OK", None, "the page"))) ++
+          (if (id % 10 == 0) Seq(
+            resp("loopx", "https://loop.example/x/" + id,
+              http(301, "Moved Permanently",
+                Some("https://loop.example/y/" + id), "")),
+            resp("loopy", "https://loop.example/y/" + id,
+              http(302, "Found",
+                Some("https://loop.example/x/" + id), "")))
+          else Seq.empty)
+        (id, if (id % 2 == 0) Warc.buildWarc(recs) else Warc.buildWarcGz(recs))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Memoized resolved redirect chains — shared by the resolve gate
+    * and the dedup composition (one parse + one doubling run per
+    * JVM+dir). */
+  private val redirectChainsCache = new Memo[String, DataFrame]
+  private def resolvedRedirects(s: SparkSession, dir: String): DataFrame =
+    redirectChainsCache(dir) {
+      val recs = graft.ingest.Warc.recordTable(s,
+        syntheticRedirectWarc(s, dir), col("doc_id"), col("payload"))
+      val edges = recs
+        .where(col("http_status").between(300, 399) &&
+          col("location").isNotNull)
+        .select(col("target_uri").as("u"),
+          graft.ops.HtmlExprs.urlResolve(
+            col("target_uri"), col("location")).as("v"))
+      graft.ingest.Redirects.resolveChains(edges, col("u"), col("v"),
+          maxHops = 8)
+        .localCheckpoint(true)
+    }
 
   /** Synthetic revisit shards for the `warc_revisit` gate: per doc a
     * `response` record (text/plain body `p<id>|<text>`), and for even
@@ -5382,6 +5466,38 @@ object ExtensionQueries {
         |  cast(2 * count(*) AS bigint) AS n_spellings,
         |  cast(min(doc_id) AS bigint) AS first_doc
         |FROM u GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    // every resolution row restated from the synthesis arithmetic: the
+    // 301 source lands 2 hops out, the 302 source 1 hop, loop members
+    // are non-terminal with null final/hops
+    "redirect_resolve" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |r AS (
+        |  SELECT 'https://r.example/a/' || doc_id AS url,
+        |    'https://final.example/p/' || (doc_id % 50) AS final_url,
+        |    2 AS hops, true AS terminal FROM d
+        |  UNION ALL
+        |  SELECT 'https://r.example/b/' || doc_id,
+        |    'https://final.example/p/' || (doc_id % 50), 1, true FROM d
+        |  UNION ALL
+        |  SELECT 'https://loop.example/x/' || doc_id, NULL, NULL, false
+        |  FROM d WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'https://loop.example/y/' || doc_id, NULL, NULL, false
+        |  FROM d WHERE doc_id % 10 = 0)
+        |SELECT url, final_url, cast(hops AS bigint) AS hops, terminal
+        |FROM r ORDER BY url""".stripMargin,
+
+    // per landing page: 2 sources per doc in its %50 class; the min
+    // source is the lexicographic-min 'a/'-spelling (both engines
+    // compare the same UTF-8 strings)
+    "redirect_dedup" ->
+      """SELECT 'https://final.example/p/' || (doc_id % 50) AS final_url,
+        |  cast(2 * count(*) AS bigint) AS n_sources,
+        |  min('https://r.example/a/' || doc_id) AS first_url
+        |FROM documents
+        |GROUP BY doc_id % 50
+        |ORDER BY final_url""".stripMargin,
 
     // from-scratch recompute of the standing index: first_seen_batch =
     // the earliest batch (doc_id % 3 + 1) containing the canonical

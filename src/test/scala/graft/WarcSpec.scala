@@ -123,6 +123,34 @@ class WarcSpec extends AnyFunSuite {
     assert(q === Set(3L, 4L, 5L, 6L))
   }
 
+  test("recordTable surfaces the Location header of 3xx responses") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val http301 = ("HTTP/1.1 301 Moved Permanently\r\n" +
+      "LOCATION: /moved/here\r\nContent-Type: text/html\r\n\r\ngone")
+      .getBytes(UTF_8)
+    val http200 = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nok"
+      .getBytes(UTF_8)
+    val shard = Warc.buildWarc(Seq(
+      WarcSpecRec("response", "<urn:uuid:l-1>",
+        Some("https://e.example/old"), "2024-01-01T00:00:00Z",
+        "application/http; msgtype=response", http301),
+      WarcSpecRec("response", "<urn:uuid:l-2>",
+        Some("https://e.example/new"), "2024-01-01T00:00:00Z",
+        "application/http; msgtype=response", http200)))
+    val rows = Warc.recordTable(spark, Seq((1L, shard)).toDF("f", "p"),
+        col("f"), col("p"))
+      .select(col("target_uri"), col("http_status"), col("location"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)).orNull))
+      .toSet
+    // case-insensitive header name; non-3xx rows carry null
+    assert(rows === Set(
+      ("https://e.example/old", 301, "/moved/here"),
+      ("https://e.example/new", 200, null)))
+  }
+
   test("revisit headers round-trip: Refers-To, Payload-Digest, Profile") {
     val rev = WarcSpecRec(
       warcType = "revisit",
