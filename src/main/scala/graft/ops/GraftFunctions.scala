@@ -54,6 +54,7 @@ object GraftFunctions {
     "url_normalize" -> (one(_)(UrlNormalizeExpr)),
     "url_host" -> (one(_)(UrlHostExpr)),
     "url_resolve" -> (two(_)(UrlResolveExpr)),
+    "sitemap_entries" -> (one(_)(SitemapEntriesExpr)),
     "image_dhash64" -> (one(_)(graft.multimodal.DHash64Expr)),
     "image_ahash64" -> (one(_)(graft.multimodal.AHash64Expr)),
     "vec_dot" -> (two(_)(VecDotExpr)),

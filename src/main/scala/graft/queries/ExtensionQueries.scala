@@ -2435,6 +2435,42 @@ object ExtensionQueries {
         .orderBy(col("host"))
     }),
 
+    // Sitemap XML parsing — the step after robots_meta's Sitemap URL
+    // extraction: the documents themselves become crawl-frontier rows.
+    // Synthesis: 4-in-5 docs get a <urlset> (an entity-encoded loc
+    // with lastmod, a CDATA loc, a no-loc decoy, and an UNTERMINATED
+    // final block that must still parse best-effort); every 5th doc a
+    // <sitemapindex> (one well-formed child, a blank-loc decoy, an
+    // unterminated child). The oracle restates every surviving entry
+    // and position from the arithmetic — the decoys must vanish
+    // WITHOUT shifting positions.
+    "sitemap_parse" -> ((s, dir) => {
+      val sid = concat(lit("https://s"), col("doc_id") % 20, lit(".example"))
+      val xml = when(col("doc_id") % 5 =!= 0, concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc>"),
+          sid, lit("/page/"), col("doc_id"), lit("?a=1&amp;b=2</loc>"),
+          lit("<lastmod>2024-0"), col("doc_id") % 9 + 1,
+          lit("-01</lastmod></url>"),
+          lit("<url><loc><![CDATA["), sid, lit("/cdata/"), col("doc_id"),
+          lit("]]></loc></url>"),
+          lit("<url><lastmod>2024-01-01</lastmod></url>"),
+          lit("<url><loc>https://tail.example/"), col("doc_id"),
+          lit("</loc>")))
+        .otherwise(concat(
+          lit("<sitemapindex><sitemap><loc>"), sid, lit("/sm-"),
+          col("doc_id"), lit(".xml</loc><lastmod>2024-02-02</lastmod>"),
+          lit("</sitemap><sitemap><loc> </loc></sitemap>"),
+          lit("<sitemap><loc>https://tail.example/idx-"), col("doc_id"),
+          lit(".xml</loc>")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.ops.SitemapExprs.sitemapEntries(xml)))
+        .select(col("doc_id"), col("pos"), col("col.loc").as("loc"),
+          col("col.lastmod").as("lastmod"),
+          col("col.is_index").as("is_index"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Gopher-rule quality statistics (Rae et al. 2021's published
     // filter set) as RAW INTEGER COUNTS — n_words, word code points,
     // symbols (#/…/...), lines, bullet-led and ellipsis-ended lines,
@@ -5182,6 +5218,36 @@ object ExtensionQueries {
         |      THEN chr(1) || 'https://s.example/' || doc_id || '/b.xml'
         |      ELSE '' END) AS sitemaps_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every surviving sitemap entry and its POSITION restated from the
+    // synthesis arithmetic (entity decode and CDATA unwrap included);
+    // the no-loc / blank-loc decoys and the unterminated-block grace
+    // are all pinned by the position sequence
+    "sitemap_parse" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |r AS (
+        |  SELECT doc_id, 0 AS pos,
+        |    'https://s' || (doc_id % 20) || '.example/page/' || doc_id ||
+        |      '?a=1&b=2' AS loc,
+        |    '2024-0' || (doc_id % 9 + 1) || '-01' AS lastmod,
+        |    false AS is_index
+        |  FROM d WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'https://s' || (doc_id % 20) || '.example/cdata/' || doc_id,
+        |    NULL, false FROM d WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'https://tail.example/' || doc_id, NULL, false
+        |  FROM d WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 0,
+        |    'https://s' || (doc_id % 20) || '.example/sm-' || doc_id ||
+        |      '.xml', '2024-02-02', true FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'https://tail.example/idx-' || doc_id || '.xml',
+        |    NULL, true FROM d WHERE doc_id % 5 = 0)
+        |SELECT doc_id, cast(pos AS int) AS pos, loc, lastmod, is_index
+        |FROM r ORDER BY doc_id, pos""".stripMargin,
 
     // every Gopher counter recomputed from the framed text with list
     // ops, and the pass flag from the same integer threshold arithmetic

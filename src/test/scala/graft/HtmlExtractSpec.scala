@@ -154,6 +154,9 @@ class HtmlExtractSpec extends AnyFunSuite {
       graft.ops.RobotsKernels.parseRules(s, "*")
       graft.ops.RobotsKernels.isAllowed(s, Seq((false, "/"), (true, "/a")))
       graft.ops.RobotsKernels.parseAll(s, "mybot")
+      graft.ops.SitemapKernels.parse(s)
+      UrlKernels.resolveUrl(u, u)
+      UrlKernels.resolveUrl(UTF8String.fromString("https://b.example/x/y"), u)
       graft.ops.TextKernels.gopherStats(u)
     }
   }
