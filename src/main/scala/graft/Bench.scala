@@ -72,7 +72,7 @@ object Bench {
     "robots_filter", "text_sentences", "host_rank",
     "warc_revisit", "model_score_tokens", "html_links", "url_dedup",
     "url_dedup_incremental", "redirect_resolve", "redirect_dedup",
-    "sitemap_parse",
+    "sitemap_parse", "anchor_targets",
     "robots_meta", "dedup_keep_best", "warc_quarantine", "crawl_budget",
     "anchor_texts")
 

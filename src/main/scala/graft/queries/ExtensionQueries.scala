@@ -2161,6 +2161,46 @@ object ExtensionQueries {
         .orderBy(col("final_url"))
     }),
 
+    // Per-TARGET anchor aggregation — the query-document pair table:
+    // canonical target URL → sorted distinct anchor strings + counts,
+    // joined back to the target's document row. Composes hrefTexts ×
+    // urlResolve (one href is RELATIVE to the linking page) ×
+    // urlNormalize (one href is a messy spelling that must collapse
+    // onto the clean one) × pack; the aggregation chain runs on ONE
+    // shuffle (PlanSpec pins it). The oracle replays the synthesis
+    // links and the whole aggregation from scratch.
+    "anchor_targets" -> ((s, dir) => {
+      val i = col("doc_id")
+      val k = (col("doc_id") + 1) % 125
+      val pages = Tables(s, dir, "documents").select(
+        concat(lit("https://h"), i % 10, lit(".example/page/"), i)
+          .as("page_url"),
+        concat(
+          lit("<p>pre</p><a href='HTTPS://Site"), k % 25,
+          lit(".EXAMPLE.:443/p/"), k, lit("?utm_source=l#x'>anchor "),
+          i % 3, lit("</a>"),
+          lit("<a href='https://site"), k % 25, lit(".example/p/"), k,
+          lit("'>read more</a>"),
+          lit("<a href='/local/"), i % 20, lit("'>local link</a>"),
+          lit("<a>no href, no pair</a>")).as("html"))
+      val agg = graft.ops.LinkSignals.anchorsPerTarget(
+        pages, col("page_url"), col("html"))
+      // join back to the target's document row: the url_dedup canonical
+      // (first doc per canonical URL); /local/ targets are not documents
+      // and stay null on both sides
+      val canon = urlSpellings(s, dir)
+        .select(graft.ops.HtmlExprs.urlNormalize(col("url")).as("cu"),
+          col("doc_id"))
+        .groupBy(col("cu")).agg(min(col("doc_id")).as("target_doc"))
+      agg.join(canon.hint("merge"), col("target_url") === col("cu"), "left")
+        .select(col("target_url"), col("target_doc"),
+          col("n_links"), col("n_anchors"),
+          md5(array_join(transform(col("anchors"),
+            a => concat(a.getField("anchor"), lit(""),
+              a.getField("n"))), "")).as("anchors_md5"))
+        .orderBy(col("target_url"))
+    }),
+
     // Rolling-crawl URL dedup: the standing canonical-URL index after
     // three ordered batch folds PLUS a replayed fold of batch 2 (the
     // watermark guard makes it a no-op). Output = the index itself;
@@ -5532,6 +5572,39 @@ object ExtensionQueries {
         |  cast(2 * count(*) AS bigint) AS n_spellings,
         |  cast(min(doc_id) AS bigint) AS first_doc
         |FROM u GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    // full from-scratch replay: the synthesis links (messy + clean
+    // absolute spellings of the same target, a page-relative local
+    // link), the per-(target, anchor) counts, the sorted pack, and the
+    // canonical-document join-back
+    "anchor_targets" ->
+      """WITH d AS (SELECT doc_id, (doc_id + 1) % 125 AS k FROM documents),
+        |links AS (
+        |  SELECT 'https://site' || (k % 25) || '.example/p/' || k
+        |    AS target_url, 'anchor ' || (doc_id % 3) AS anchor FROM d
+        |  UNION ALL
+        |  SELECT 'https://site' || (k % 25) || '.example/p/' || k,
+        |    'read more' FROM d
+        |  UNION ALL
+        |  SELECT 'https://h' || (doc_id % 10) || '.example/local/' ||
+        |    (doc_id % 20), 'local link' FROM d),
+        |pa AS (SELECT target_url, anchor, count(*) AS n
+        |  FROM links GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT target_url, cast(sum(n) AS bigint) AS n_links,
+        |    cast(count(*) AS bigint) AS n_anchors,
+        |    md5(array_to_string(
+        |      list(anchor || chr(2) || n ORDER BY anchor), chr(1)))
+        |      AS anchors_md5
+        |  FROM pa GROUP BY target_url),
+        |canon AS (
+        |  SELECT 'https://site' || (doc_id % 25) || '.example/p/' ||
+        |    (doc_id % 125) AS cu, min(doc_id) AS first_doc
+        |  FROM documents GROUP BY 1)
+        |SELECT a.target_url, cast(c.first_doc AS bigint) AS target_doc,
+        |  a.n_links, a.n_anchors, a.anchors_md5
+        |FROM agg a LEFT JOIN canon c ON c.cu = a.target_url
+        |ORDER BY a.target_url""".stripMargin,
 
     // every resolution row restated from the synthesis arithmetic: the
     // 301 source lands 2 hops out, the 302 source 1 hop, loop members

@@ -352,6 +352,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size / 2 <= 1)
   }
 
+  test("anchorsPerTarget aggregates on exactly one shuffle") {
+    // the repartition(target_url) exchange must be the ONLY one: both
+    // the (target, anchor) count and the per-target pack reuse it —
+    // HashPartitioning(target) satisfies the refining grouping's
+    // clustered distribution. A second exchange means the partitioning
+    // reuse broke and a viral target pays twice.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val pages = graft.Tables(spark, dir, "documents").select(
+      concat(lit("https://h"), col("doc_id") % 3, lit(".example/p/"),
+        col("doc_id")).as("u"),
+      concat(lit("<a href='/t/"), col("doc_id") % 5, lit("'>go</a>"))
+        .as("h"))
+    val p = plan(graft.ops.LinkSignals.anchorsPerTarget(
+      pages, col("u"), col("h")))
+    // formatted explain names each node twice (tree + detail section)
+    val exchanges = "Exchange".r.findAllIn(p).size / 2
+    assert(exchanges === 1, s"anchorsPerTarget must shuffle once:\n$p")
+  }
+
   test("html/url kernels evaluate inside WholeStageCodegen") {
     val df = Tables(spark, dir, "documents")
       .select(graft.ops.HtmlExprs.htmlExtract(col("text")).as("t"),
