@@ -70,7 +70,8 @@ object Bench {
     "cluster_assign", "html_main_text", "domain_top", "crawl_pipeline",
     "html_meta", "jsonl_roundtrip", "model_score", "gopher_stats",
     "robots_filter", "text_sentences", "host_rank",
-    "warc_revisit", "model_score_tokens", "html_links", "url_dedup",
+    "warc_revisit", "model_score_tokens", "model_score_trained",
+    "html_links", "url_dedup",
     "url_dedup_incremental", "redirect_resolve", "redirect_dedup",
     "sitemap_parse", "anchor_targets",
     "robots_meta", "dedup_keep_best", "warc_quarantine", "crawl_budget",
