@@ -111,4 +111,29 @@ class StressProportionalitySpec extends AnyFunSuite {
     docs.unpersist()
     ()
   }
+
+  test("span removal stays exact under a corpus-wide viral span") {
+    assume(optedIn, "stress checks run under -Dgraft.stress=1")
+    // the hot-span shape: ONE boilerplate 5-gram in EVERY document
+    // (df = n). The df aggregate must collapse it to one build row —
+    // structurally there is no pair join here, so the check is
+    // exactness at 20× fixture scale: the min-id doc keeps its text
+    // byte-identical, every other doc loses exactly the span's 5
+    // positions, unique tails survive untouched.
+    import spark.implicits._
+    val n = 3000
+    val boiler = "all rights reserved terms apply"
+    val rows = (0L until n.toLong).map { i =>
+      (i, s"u${i}a u${i}b $boiler u${i}c u${i}d u${i}e")
+    }
+    val out = Dedup.removeDuplicatedSpans(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
+      .toMap
+    assert(out(0L) === ((s"u0a u0b $boiler u0c u0d u0e", 0L)))
+    (1L until n.toLong).foreach { i =>
+      assert(out(i) === ((s"u${i}a u${i}b u${i}c u${i}d u${i}e", 5L)))
+    }
+    ()
+  }
 }
