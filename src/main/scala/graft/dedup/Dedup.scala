@@ -831,20 +831,15 @@ object Dedup {
     require(n >= 1, s"span width must be >= 1, got $n")
     val base = docs.select(id.as("doc_id"), text.as("__text"))
     val rawToks = TextOps.tokens(col("__text"))
-    // 1:1 with rawToks — per-token normalization preserves positions
-    val normToks = transform(rawToks,
-      t => regexp_replace(lower(t), "[^a-z0-9]", ""))
-    // (pos, key) for every rolling n-window; docs shorter than n emit
-    // none (and sequence() never sees a negative stop, which would
-    // DESCEND rather than stay empty)
-    val spans = when(size(rawToks) >= n,
-      transform(sequence(lit(0), size(normToks) - n),
-        p => struct(p.as("pos"),
-          xxhash64(concat_ws("\u0001", slice(normToks, p + 1, lit(n))))
-            .as("h"))))
+    // native positional span-hash kernel (one pass, each token
+    // normalized once) — the declarative per-position slice+concat_ws
+    // form evaluated O(width) expression nodes per POSITION and read
+    // 13.99 s at sf0.1 vs ~2 s with the kernel. posexplode's index IS
+    // the token position; docs shorter than n yield an empty array.
     val occ = base
-      .select(col("doc_id"), explode(spans).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+      .select(col("doc_id"),
+        posexplode(TextExprs.spanHashes(rawToks, n)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
     // one row per DUPLICATED span key: df counts documents, keeper is
     // the keep-first survivor. The corpus-scale side of the join, but
     // one row per key — the viral span collapses here, pre-shuffle.
@@ -860,7 +855,11 @@ object Dedup {
     // slim per-doc removal set: sorted START positions of removable
     // occurrences (expansion to covered positions happens per-row,
     // avoiding an n-fold row blowup across the shuffle)
-    val rm = occ.join(dupSpans.hint("merge"), Seq("h"))
+    // shuffle_hash with build = the one-row-per-key df frame: the
+    // merge pin would SORT the full exploded occurrence stream (the
+    // duplicatedSpans lesson); hash-building the collapsed side keeps
+    // the never-broadcast guarantee without sorting anything
+    val rm = occ.join(dupSpans.hint("shuffle_hash"), Seq("h"))
       .where(removable)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__starts"))

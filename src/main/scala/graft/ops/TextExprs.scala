@@ -118,6 +118,53 @@ object TextKernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** POSITIONAL rolling span hashes — the span-removal rewrite's key
+    * source ([[graft.dedup.Dedup.removeDuplicatedSpans]]): one xxhash64
+    * per window start, array index = token position (no distincting —
+    * [[wordNgrams]]' set semantics would lose the positions removal
+    * needs). Each token normalizes ONCE (ROOT lowercase, stripped to
+    * [a-z0-9] — case/punct-robust matching without breaking position
+    * alignment); the window hashes the \u0001-joined normalized
+    * tokens, bit-compatible with
+    * `xxhash64(concat_ws('\u0001', slice(...)))` over the same
+    * normalized array. Docs shorter than `n` yield an empty array —
+    * no degenerate whole-doc shingle here; a short doc simply has no
+    * removable span. Null tokens normalize to "" (split output never
+    * contains them). */
+  def spanHashes(tokens: ArrayData, n: Int): GenericArrayData = {
+    val t = tokens.numElements()
+    if (t < n) return new GenericArrayData(Array.empty[Any])
+    val norm = new Array[UTF8String](t)
+    var i = 0
+    while (i < t) {
+      val s = tokens.getUTF8String(i)
+      norm(i) =
+        if (s == null) UTF8String.EMPTY_UTF8
+        else {
+          val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
+          val sb = new java.lang.StringBuilder(lowered.length)
+          var k = 0
+          while (k < lowered.length) {
+            val c = lowered.charAt(k)
+            if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+              sb.append(c)
+            k += 1
+          }
+          UTF8String.fromString(sb.toString)
+        }
+      i += 1
+    }
+    val sep = UTF8String.fromString("\u0001")
+    val out = new Array[Any](t - n + 1)
+    i = 0
+    while (i + n <= t) {
+      val parts = Array.tabulate(n)(j => norm(i + j))
+      out(i) = hash(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rolling (shingle-min) fingerprint: min xxhash64 over space-joined
     * sliding word windows. */
   def rollingMin(tokens: ArrayData, window: Int): Long = {
@@ -634,6 +681,16 @@ case class NfcCleanExpr(child: Expression) extends KernelUnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class SpanHashesExpr(child: Expression, n: Int) extends KernelUnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_hashes"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.spanHashes(in.asInstanceOf[ArrayData], n)
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.spanHashes($c, $n)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class RollingMinExpr(child: Expression, window: Int) extends KernelUnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_min_fingerprint"
@@ -821,6 +878,7 @@ object TextExprs {
   def minhashSig(shingles: Column, k: Int): Column = c(MinHashSigExpr(e(shingles), k))
   def wordNgrams(tokens: Column, n: Int): Column = c(WordNgramsExpr(e(tokens), n))
   def rollingMin(tokens: Column, window: Int): Column = c(RollingMinExpr(e(tokens), window))
+  def spanHashes(tokens: Column, n: Int): Column = c(SpanHashesExpr(e(tokens), n))
   def nfcClean(text: Column): Column = c(NfcCleanExpr(e(text)))
   def lshBits(vec: Column, planes: Int): Column = c(LshBitsExpr(e(vec), planes))
   def lshBitsPacked(vec: Column, planes: Int): Column =
