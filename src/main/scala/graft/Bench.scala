@@ -73,7 +73,7 @@ object Bench {
     "warc_revisit", "model_score_tokens", "model_score_trained",
     "html_links", "url_dedup",
     "url_dedup_incremental", "redirect_resolve", "redirect_dedup",
-    "sitemap_parse", "anchor_targets",
+    "sitemap_parse", "anchor_targets", "frontier_pipeline",
     "robots_meta", "dedup_keep_best", "warc_quarantine", "crawl_budget",
     "anchor_texts")
 

@@ -2201,6 +2201,42 @@ object ExtensionQueries {
         .orderBy(col("target_url"))
     }),
 
+    // Crawl-frontier construction — the composed next-batch fetch
+    // list: sitemap page entries (sitemap_entries kernel) ∪ link
+    // targets (hrefs × urlResolve), normalized, folded against the
+    // STANDING UrlSeen index (pre-seeded with the url_dedup canonical
+    // set = what the crawl already fetched). Only status='new' rows
+    // survive — link targets pointing at already-crawled pages must
+    // drop as 'seen', sitemap discoveries must surface exactly once
+    // (their batch-first doc). The oracle recomputes candidates, the
+    // seen set, and the min-doc pick from scratch; the fold runs as a
+    // batch-2 REPLAY on re-invocation, so repeated Verify/Bench calls
+    // in one JVM must (and do) judge identically.
+    "frontier_pipeline" -> ((s, dir) => {
+      val statePath = frontierStateFor(s, dir)
+      val docs = Tables(s, dir, "documents")
+      val sm = docs.select(col("doc_id"),
+          explode(graft.ops.SitemapExprs.sitemapEntries(concat(
+            lit("<urlset><url><loc>https://f.example/page/"),
+            col("doc_id") % 40, lit("</loc></url></urlset>")))).as("e"))
+        .select(col("doc_id"), col("e.loc").as("url"))
+      val k = (col("doc_id") + 1) % 125
+      val links = docs.select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 10,
+            lit(".example/page/"), col("doc_id")).as("page"),
+          explode(graft.ops.HtmlExprs.hrefs(concat(
+            lit("<a href='https://site"), k % 25, lit(".example/p/"), k,
+            lit("'>seen already</a>")))).as("href"))
+        .select(col("doc_id"),
+          graft.ops.HtmlExprs.urlResolve(col("page"), col("href"))
+            .as("url"))
+      graft.dedup.UrlSeen.foldBatch(sm.unionByName(links),
+          col("doc_id"), col("url"), statePath, 2L)
+        .where(col("status") === "new")
+        .select(col("url_canon"), col("first_doc"))
+        .orderBy(col("url_canon"))
+    }),
+
     // Rolling-crawl URL dedup: the standing canonical-URL index after
     // three ordered batch folds PLUS a replayed fold of batch 2 (the
     // watermark guard makes it a no-op). Output = the index itself;
@@ -3114,6 +3150,18 @@ object ExtensionQueries {
       graft.dedup.UrlSeen.foldBatch( // replay: must not touch the state
         u.where(col("doc_id") % 3 === 1),
         col("doc_id"), col("url"), path, 2L)
+      ()
+    })
+
+  /** Frontier-pipeline standing state: batch 1 = the url_dedup
+    * canonical set (what the crawl has already fetched). The frontier
+    * gate folds its candidates as batch 2; re-invocations within one
+    * JVM replay batch 2 idempotently — the fold contract makes the
+    * memoized state safe to re-judge. */
+  private val frontierStateFor = new IndexCache("graft_gate_frontier",
+    (s, dir, path) => {
+      graft.dedup.UrlSeen.foldBatch(urlSpellings(s, dir),
+        col("doc_id"), col("url"), path, 1L)
       ()
     })
 
@@ -5745,6 +5793,26 @@ object ExtensionQueries {
         |FROM documents
         |GROUP BY doc_id % 50
         |ORDER BY final_url""".stripMargin,
+
+    // from-scratch recompute of the frontier: candidates (sitemap locs
+    // + link targets), the already-fetched canonical set, the not-seen
+    // filter, and the min-doc first-occurrence pick
+    "frontier_pipeline" ->
+      """WITH cand AS (
+        |  SELECT doc_id, 'https://f.example/page/' || (doc_id % 40) AS u
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'https://site' || (((doc_id + 1) % 125) % 25) ||
+        |      '.example/p/' || ((doc_id + 1) % 125)
+        |  FROM documents),
+        |seen AS (
+        |  SELECT DISTINCT 'https://site' || (doc_id % 25) ||
+        |    '.example/p/' || (doc_id % 125) AS u
+        |  FROM documents)
+        |SELECT u AS url_canon, cast(min(doc_id) AS bigint) AS first_doc
+        |FROM cand WHERE u NOT IN (SELECT u FROM seen)
+        |GROUP BY u ORDER BY u""".stripMargin,
 
     // from-scratch recompute of the standing index: first_seen_batch =
     // the earliest batch (doc_id % 3 + 1) containing the canonical
