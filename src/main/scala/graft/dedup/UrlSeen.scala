@@ -72,23 +72,24 @@ object UrlSeen {
   }
 
   /** The standing index: one row per canonical URL with its first-seen
-    * batch and first document. Empty (with schema) on a cold path. */
+    * batch and first document. Empty (with schema) on a cold path.
+    *
+    * A RAW union of the committed deltas — no per-read aggregation:
+    * deltas are disjoint by the fold invariant (a fold only writes
+    * URLs absent from the standing state, an uncommitted crash is
+    * invisible, and a retry overwrites its own delta dir), so the
+    * defensive min-fold would cost a corpus-scale shuffle on EVERY
+    * read (twice per fold) to heal a state no in-contract writer can
+    * produce. [[compact]] still applies the heal — the once-in-a-while
+    * maintenance pass is where defense belongs. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val ds = committedDeltas(spark, path)
     if (ds.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
-    else {
-      // deltas are disjoint by construction (a fold only writes URLs
-      // absent from the standing state), but a min-fold heals any
-      // overlap a crashed-and-differently-retried writer left behind
+    else
       spark.read.parquet(ds.map(_._2): _*)
-        .groupBy(col("url_canon"))
-        .agg(min(struct(col("first_seen_batch"), col("first_doc"))).as("m"))
-        .select(col("url_canon"),
-          col("m.first_seen_batch").as("first_seen_batch"),
-          col("m.first_doc").as("first_doc"))
-    }
+        .select(col("url_canon"), col("first_seen_batch"), col("first_doc"))
   }
 
   /** Fold one crawl batch into the standing index and return the
@@ -149,7 +150,14 @@ object UrlSeen {
     require(path != dest, "compact to a FRESH path, then swap pointers")
     val wm = watermark(spark, path).getOrElse(
       throw new IllegalStateException(s"nothing committed at $path"))
+    // the min-fold heal lives HERE, not in read(): compaction is the
+    // maintenance pass, and it makes the healed state durable
     read(spark, path)
+      .groupBy(col("url_canon"))
+      .agg(min(struct(col("first_seen_batch"), col("first_doc"))).as("m"))
+      .select(col("url_canon"),
+        col("m.first_seen_batch").as("first_seen_batch"),
+        col("m.first_doc").as("first_doc"))
       .write.mode("overwrite").parquet(s"$dest/$deltaPrefix$wm")
   }
 }

@@ -14,22 +14,31 @@ import org.apache.spark.sql.functions._
   * linking page's URL) × [[UrlKernels.normalizeUrl]] (spelling
   * variants collapse onto one target key) × pack.
   *
-  * Plan shape — ONE shuffle end to end: the exploded pair stream
-  * repartitions by `target_url` once, and BOTH aggregations (per
-  * (target, anchor) counts, then the per-target pack) reuse that
+  * Plan shape — ONE shuffle end to end (default): the exploded pair
+  * stream repartitions by `target_url` once, and BOTH aggregations
+  * (per (target, anchor) counts, then the per-target pack) reuse that
   * partitioning — HashPartitioning(target) satisfies the clustered
   * distribution of the refining (target, anchor) grouping, so
-  * EnsureRequirements inserts no further exchange. The alternative
-  * (groupBy(target, anchor) directly) map-side-combines duplicate
-  * anchors at the cost of a second exchange; anchor text is
-  * near-unique per (page, target), so the single shuffle wins.
+  * EnsureRequirements inserts no further exchange. Anchor text is
+  * near-unique per (page, target), so on typical link graphs the
+  * single shuffle wins.
+  *
+  * `singleShuffle = false` is the SKEW escape hatch: a viral target
+  * (a homepage linked with the same anchor from everywhere) funnels
+  * its whole stream into one task under the repartition form, with no
+  * map-side combine to shrink it. The two-shuffle form groups by
+  * (target, anchor) first — partial aggregation collapses the hot
+  * (target, identical-anchor) mass BEFORE the wire — then re-shuffles
+  * the already-tiny per-anchor counts by target. Output-identical
+  * (spec-pinned); pick by corpus shape.
+  *
   * Hrefless anchors and whitespace-only anchor texts drop; a target
   * that resolves to nothing (relative href on an unparseable page
   * URL) drops — it can never join back to a document. */
 object LinkSignals {
 
-  def anchorsPerTarget(pages: DataFrame, pageUrl: Column,
-                       html: Column): DataFrame = {
+  def anchorsPerTarget(pages: DataFrame, pageUrl: Column, html: Column,
+                       singleShuffle: Boolean = true): DataFrame = {
     val pairs = pages
       .select(pageUrl.as("__page"),
         explode(HtmlExprs.hrefTexts(html)).as("p"))
@@ -39,10 +48,15 @@ object LinkSignals {
         col("p.anchor_text").as("anchor"))
       .where(col("target_url").isNotNull &&
         length(trim(col("anchor"))) > 0)
-    pairs
-      .repartition(col("target_url"))
-      .groupBy(col("target_url"), col("anchor"))
-      .agg(count(lit(1)).as("n"))
+    val counted =
+      if (singleShuffle)
+        pairs.repartition(col("target_url"))
+          .groupBy(col("target_url"), col("anchor"))
+          .agg(count(lit(1)).as("n"))
+      else
+        pairs.groupBy(col("target_url"), col("anchor"))
+          .agg(count(lit(1)).as("n"))
+    counted
       .groupBy(col("target_url"))
       .agg(sum(col("n")).as("n_links"),
         count(lit(1)).as("n_anchors"),

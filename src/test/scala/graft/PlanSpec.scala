@@ -369,6 +369,13 @@ class PlanSpec extends AnyFunSuite {
     // formatted explain names each node twice (tree + detail section)
     val exchanges = "Exchange".r.findAllIn(p).size / 2
     assert(exchanges === 1, s"anchorsPerTarget must shuffle once:\n$p")
+    // the skew escape hatch is output-identical on the same frame
+    val one = graft.ops.LinkSignals.anchorsPerTarget(pages, col("u"), col("h"))
+      .collect().map(_.toString).sorted.toSeq
+    val two = graft.ops.LinkSignals.anchorsPerTarget(pages, col("u"), col("h"),
+        singleShuffle = false)
+      .collect().map(_.toString).sorted.toSeq
+    assert(one === two, "two-shuffle form diverged from the repartition form")
   }
 
   test("html/url kernels evaluate inside WholeStageCodegen") {
