@@ -53,7 +53,7 @@ object Bench {
     "corpus_budget_select", "corpus_budget_by_source",
     "multimodal_image_decode", "corpus_budget_incremental",
     "multimodal_resize", "multimodal_audio_features",
-    "image_dedup", "image_dedup_recall",
+    "image_dedup", "image_dedup_recall", "gif_dedup", "gif_dedup_recall",
     "corpus_budget_incremental_by_source", "curriculum_bins",
     "curriculum_bins_by_source", "exact_quantiles",
     "exact_quantiles_by_flag", "corpus_top_m",

@@ -1222,8 +1222,13 @@ object Dedup {
     a.hint("merge").join(b, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      // min, not dropDuplicates: with ONE signature per id the values
+      // are identical anyway, and with multiple signatures per id (the
+      // animation frame-hash case) dropDuplicates would pick an
+      // arbitrary surviving frame pair's distance — min is the pair's
+      // actual best match and is shuffle-order-independent
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   /** Sampled layout selection: estimate the per-pair expected

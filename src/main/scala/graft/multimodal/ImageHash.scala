@@ -3,8 +3,10 @@ package graft.multimodal
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** 64-bit perceptual image hashes (dHash / aHash) and the near-dup
   * pair operator over them — the image leg of the dedup surface.
@@ -97,12 +99,36 @@ object ImageHash {
         java.lang.Long.valueOf(sig)
     }
 
+  /** dHash of each frame in its row-major grid, up to `maxFrames` —
+    * the ANIMATION signature family (one 64-bit hash per frame, one
+    * reader pass per payload). Empty for non-GIF/corrupt payloads. */
+  def frameDHashes(payload: Array[Byte], maxFrames: Int): Array[Long] =
+    Images.gifAllFramePixelGrids(payload, maxFrames).map {
+      case (w, h, px) =>
+        val g = grayGrid(px, w, h, 9, 8)
+        var sig = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            sig <<= 1
+            if (g(y * 9 + x) > g(y * 9 + x + 1)) sig |= 1L
+            x += 1
+          }
+          y += 1
+        }
+        sig
+    }.toArray
+
   /** Column surface (codegen expressions — one static kernel call per
     * row inside whole-stage codegen, the TextExprs discipline). */
   def dHash(payload: Column): Column =
     ColumnBridge.column(DHash64Expr(ColumnBridge.expression(payload)))
   def aHash(payload: Column): Column =
     ColumnBridge.column(AHash64Expr(ColumnBridge.expression(payload)))
+  def frameDHash(payload: Column, maxFrames: Int = 8): Column =
+    ColumnBridge.column(
+      FrameDHashesExpr(ColumnBridge.expression(payload), maxFrames))
 
   /** Perceptual near-dup image pairs: dHash signatures banded through
     * the shared pigeonhole tables, exact Hamming verify. Undecodable
@@ -113,6 +139,24 @@ object ImageHash {
                    wideTables: Option[Boolean] = None): DataFrame =
     graft.dedup.Dedup.hammingPairs(media, id, dHash(payload),
       maxHamming, wideTables)
+
+  /** ANIMATION near-dup pairs: two animations pair when ANY frame of
+    * one is within `maxHamming` of any frame of the other (re-encoded,
+    * trimmed, or frame-rate-shifted copies share frames even when
+    * alignment drifts); the reported hamming is the best frame match.
+    * Rides [[graft.dedup.Dedup.hammingPairs]] over the exploded
+    * per-frame signature stream — the min-per-pair tail makes the
+    * multi-signature-per-id input well-defined. Frame volume is capped
+    * per payload (`maxFrames`), so the exploded stream is at most
+    * `maxFrames`× the row count. */
+  def animationNearDupPairs(media: DataFrame, id: Column, payload: Column,
+                            maxHamming: Int = 7, maxFrames: Int = 8,
+                            wideTables: Option[Boolean] = None): DataFrame = {
+    val frames = media
+      .select(id.as("__id"), explode(frameDHash(payload, maxFrames)).as("__sig"))
+    graft.dedup.Dedup.hammingPairs(frames, col("__id"), col("__sig"),
+      maxHamming, wideTables)
+  }
 }
 
 /** Unary codegen expressions over the image-hash kernels. The kernel
@@ -136,6 +180,23 @@ case class DHash64Expr(child: Expression) extends ImageHashExpression {
   override protected def kernelName: String = "dhash64"
   override def nullSafeEval(in: Any): Any =
     ImageHash.dhash64(in.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-frame dHashes of an animated payload — empty array (not null)
+  * for undecodable bytes, so the exploding consumer simply emits no
+  * signature rows. */
+case class FrameDHashesExpr(child: Expression, maxFrames: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gif_frame_dhashes"
+  override def nullSafeEval(in: Any): Any =
+    new GenericArrayData(
+      ImageHash.frameDHashes(in.asInstanceOf[Array[Byte]], maxFrames))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.multimodal.ImageHash.frameDHashes($c, $maxFrames));""")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -210,6 +210,51 @@ object Images {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** [[gifFramePixels]] plus the frame's dimensions — the shape the
+    * animation perceptual-hash resampler needs. Same totality. */
+  def gifFramePixelGrid(payload: Array[Byte],
+                        idx: Int): Option[(Int, Int, Array[Int])] = {
+    if (payload == null || !isGif(payload) || idx < 0) return None
+    try {
+      val iis = memIn(payload)
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true)
+          if (idx >= r.getNumImages(true)) return None
+          val img = r.read(idx)
+          rgbValues(img).map(px => (img.getWidth, img.getHeight, px))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Frame count + all frames' pixel grids in ONE reader pass (the
+    * per-frame [[gifFramePixelGrid]] re-opens the stream per frame —
+    * fine for one probe, quadratic for hashing every frame). */
+  def gifAllFramePixelGrids(payload: Array[Byte],
+                            maxFrames: Int): Seq[(Int, Int, Array[Int])] = {
+    if (payload == null || !isGif(payload) || maxFrames <= 0) return Seq.empty
+    try {
+      val iis = memIn(payload)
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true)
+          val n = math.min(r.getNumImages(true), maxFrames)
+          (0 until n).flatMap { i =>
+            val img = r.read(i)
+            rgbValues(img).map(px => (img.getWidth, img.getHeight, px))
+          }
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
   /** Build an animated GIF from a per-frame grayscale fill —
     * `fill(frame, pixelIndex)` in [0, 255] — the multi-frame fixture
     * builder behind the REAL frame-sampling gate. The bytes come from

@@ -1579,6 +1579,37 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // ── Animation perceptual near-dup (per-frame dHash) ──────────────
+    // two animations pair when ANY frame pair lands within the radius
+    // (hamming = best frame match, min-aggregated so multi-signature
+    // ids stay deterministic). rows-only; the oracled twin below pins
+    // recall on planted byte-identical clones. The fixture's 6-gray
+    // fill arithmetic makes ids congruent mod 60 byte-identical, so
+    // natural hamming-0 classes exist and the pair volume stays
+    // class-bounded (population capped at doc_id < 200).
+    "gif_dedup" -> ((s, dir) => {
+      val pop = syntheticAnimations(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("payload"))
+      ImageHash.animationNearDupPairs(pop, col("doc_id"), col("payload"),
+          maxHamming = 7, maxFrames = 8, wideTables = Some(false))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // planted byte-identical animations MUST pair at hamming 0 (same
+    // bytes → same frame hashes; pigeonhole exhaustive at the radius);
+    // the oracle restates the planted pair set from the synthesis
+    "gif_dedup_recall" -> ((s, dir) => {
+      val base = syntheticAnimations(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("payload"))
+      val pop = base.unionByName(base.where(col("doc_id") < 8)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("payload")))
+      ImageHash.animationNearDupPairs(pop, col("doc_id"), col("payload"),
+          maxHamming = 7, maxFrames = 8, wideTables = Some(false))
+        .where(col("id_b") === col("id_a") + lit(1000000L) &&
+          col("id_a") < lit(1000000L))
+        .orderBy(col("id_a"))
+    }),
+
     // fingerprint equality classes must match the normalized-text
     // equality classes (xxhash64 is injective on this corpus unless a
     // 64-bit collision appears — which this gate would catch)
@@ -3612,6 +3643,14 @@ object ExtensionQueries {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |  cast(0 AS int) AS hamming
         |FROM documents WHERE doc_id < 8 AND doc_id % 2 = 0
+        |ORDER BY id_a""".stripMargin,
+
+    // byte-identical clones of animations < 8 under +1000000: identity
+    // of bytes implies identity of every frame hash → hamming 0
+    "gif_dedup_recall" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM documents WHERE doc_id < 8
         |ORDER BY id_a""".stripMargin,
 
     "text_fingerprint_classes" ->

@@ -292,6 +292,33 @@ class ImagesSpec extends AnyFunSuite {
       s"undecodable payloads must pair with nothing: $pairs")
   }
 
+  test("animation frame hashes: per-frame dHash, cap honored, totality; " +
+      "shared frames pair animations") {
+    import graft.multimodal.ImageHash
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 frames: ascending gradient, descending, ascending again
+    val anim = Images.encodeAnimatedGifGray(18, 8, 3,
+      (f, k) => if (f == 1) (17 - k % 18) * 14 else (k % 18) * 14)
+    val hs = ImageHash.frameDHashes(anim, maxFrames = 8)
+    assert(hs.toSeq === Seq(0L, -1L, 0L)) // the still-image golden vectors
+    assert(ImageHash.frameDHashes(anim, maxFrames = 2).toSeq === Seq(0L, -1L))
+    assert(ImageHash.frameDHashes("junk".getBytes("UTF-8"), 8).isEmpty)
+    assert(ImageHash.frameDHashes(null, 8).isEmpty)
+    // two animations sharing ONE frame (the descending gradient) pair;
+    // an unrelated checker animation pairs with neither
+    val other = Images.encodeAnimatedGifGray(18, 8, 2,
+      (f, k) => if (f == 0) (17 - k % 18) * 14 else (k % 9 % 2) * 102)
+    val lone = Images.encodeAnimatedGifGray(8, 8, 2,
+      (f, k) => if ((k / 8 + k % 8 + f) % 2 == 0) 0 else 204)
+    val pairs = ImageHash.animationNearDupPairs(
+        Seq((1L, anim), (2L, other), (3L, lone)).toDF("doc_id", "payload"),
+        col("doc_id"), col("payload"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 0)), s"got $pairs")
+  }
+
   test("audioFeatures: hand-computed energy / zero-crossings / peak") {
     val spark = SparkTestSession.spark
     import spark.implicits._
