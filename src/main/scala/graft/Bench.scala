@@ -74,6 +74,7 @@ object Bench {
     "html_links", "url_dedup",
     "url_dedup_incremental", "redirect_resolve", "redirect_dedup",
     "sitemap_parse", "anchor_targets", "frontier_pipeline",
+    "frontier_schedule",
     "robots_meta", "dedup_keep_best", "warc_quarantine", "crawl_budget",
     "anchor_texts")
 

@@ -781,8 +781,12 @@ object Dedup {
     * span keeps its occurrence(s); every other document drops the
     * span's token positions. `keepFirst = false` drops duplicated
     * spans everywhere (the symmetric policy for boilerplate you want
-    * in NO training document). This is the operator that actually
-    * shrinks a templated/syndicated corpus, not just measures it.
+    * in NO training document), and `minDf` raises the removal
+    * threshold — Lee et al.'s practical knob: at web scale a 2-doc
+    * coincidence is often legitimate quotation, while df ≥ 10 is
+    * boilerplate with high confidence. This is the operator that
+    * actually shrinks a templated/syndicated corpus, not just
+    * measures it.
     *
     * SPAN IDENTITY is positional and per-token-normalized: the text
     * splits on whitespace ONCE (positions are indexes into that raw
@@ -827,8 +831,10 @@ object Dedup {
     *         input row; n_tokens counts the raw whitespace tokens,
     *         n_removed the dropped positions. */
   def removeDuplicatedSpans(docs: DataFrame, id: Column, text: Column,
-                            n: Int = 5, keepFirst: Boolean = true): DataFrame = {
+                            n: Int = 5, keepFirst: Boolean = true,
+                            minDf: Long = 2L): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")
+    require(minDf >= 2, s"minDf < 2 would remove unique spans, got $minDf")
     val base = docs.select(id.as("doc_id"), text.as("__text"))
     val rawToks = TextOps.tokens(col("__text"))
     // native positional span-hash kernel (one pass, each token
@@ -849,7 +855,7 @@ object Dedup {
       .agg((countDistinct(col("doc_id")) +
           max(col("doc_id").isNull.cast("int"))).as("__df"),
         min(col("doc_id")).as("__keeper"))
-      .where(col("__df") >= 2)
+      .where(col("__df") >= minDf)
     val removable =
       if (keepFirst) !(col("doc_id") <=> col("__keeper")) else lit(true)
     // slim per-doc removal set: sorted START positions of removable

@@ -2268,6 +2268,41 @@ object ExtensionQueries {
         .orderBy(col("url_canon"))
     }),
 
+    // Frontier politeness SCHEDULE — the step after frontier
+    // construction: per-host fetch plan under crawl-delay. Hosts keyed
+    // by urlHost; the per-host cap rides the zero-driver-state
+    // BoundedTopM heap (priority = earliest first_doc, url tiebreak);
+    // within-host fetch ORDER uses the pack idiom (sorted per-host
+    // list + posexplode — the list is ≤ m by the cap, so no window and
+    // no unbounded group buffer anywhere); Crawl-delays join as a
+    // broadcast per-host dim and planned_ms = seq × delay. The oracle
+    // replays cap, order, and arithmetic with a ranked window.
+    "frontier_schedule" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val urls = docs.select(
+          concat(lit("https://f"), col("doc_id") % 7, lit(".example/page/"),
+            col("doc_id") % 40).as("url"),
+          col("doc_id"))
+        .groupBy(col("url")).agg(min(col("doc_id")).as("first_doc"))
+      val hosted = urls.withColumn("host",
+        graft.ops.HtmlExprs.urlHost(col("url")))
+      val capped = graft.text.BudgetSelect.takeTopPerGroupUniform(
+        hosted, col("host"), col("url"), -col("first_doc"), m = 3)
+      val robots = docs.select((col("doc_id") % 7).as("i")).distinct()
+        .select(concat(lit("f"), col("i"), lit(".example")).as("host"),
+          (lit(500) + col("i") * 100).cast("long").as("delay_ms"))
+      capped.groupBy(col("host"))
+        .agg(sort_array(collect_list(
+          struct(col("first_doc"), col("url")))).as("q"))
+        .select(col("host"), posexplode(col("q")))
+        .select(col("host"), col("pos").as("seq"),
+          col("col.url").as("url_canon"),
+          col("col.first_doc").as("first_doc"))
+        .join(broadcast(robots), Seq("host"))
+        .withColumn("planned_ms", col("seq") * col("delay_ms"))
+        .orderBy(col("host"), col("seq"))
+    }),
+
     // Rolling-crawl URL dedup: the standing canonical-URL index after
     // three ordered batch folds PLUS a replayed fold of batch 2 (the
     // watermark guard makes it a no-op). Output = the index itself;
@@ -5832,6 +5867,24 @@ object ExtensionQueries {
         |FROM documents
         |GROUP BY doc_id % 50
         |ORDER BY final_url""".stripMargin,
+
+    // cap, within-host order, and delay arithmetic replayed with a
+    // ranked window over the restated URL set
+    "frontier_schedule" ->
+      """WITH u AS (
+        |  SELECT 'https://f' || (doc_id % 7) || '.example/page/' ||
+        |      (doc_id % 40) AS url,
+        |    'f' || (doc_id % 7) || '.example' AS host,
+        |    doc_id % 7 AS i,
+        |    min(doc_id) AS first_doc
+        |  FROM documents GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY host ORDER BY first_doc, url) AS rn FROM u)
+        |SELECT host, cast(rn - 1 AS int) AS seq, url AS url_canon,
+        |  cast(first_doc AS bigint) AS first_doc,
+        |  cast(500 + i * 100 AS bigint) AS delay_ms,
+        |  cast((rn - 1) * (500 + i * 100) AS bigint) AS planned_ms
+        |FROM r WHERE rn <= 3 ORDER BY host, seq""".stripMargin,
 
     // from-scratch recompute of the frontier: candidates (sitemap locs
     // + link targets), the already-fetched canonical set, the not-seen

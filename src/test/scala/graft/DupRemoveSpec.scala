@@ -104,6 +104,24 @@ class DupRemoveSpec extends AnyFunSuite {
     assert(out2.size === 1 || out2.size === 2) // grouped join fans out
   }
 
+  test("minDf raises the removal threshold (df-2 spans survive at minDf=3)") {
+    val shared = "m1 m2 m3 m4 m5"
+    val rows = Seq(
+      (1L, s"$shared one"), (2L, s"$shared two"),             // df = 2
+      (3L, s"v1 v2 v3 v4 v5 a"), (4L, s"v1 v2 v3 v4 v5 b"),
+      (5L, s"v1 v2 v3 v4 v5 c"))                              // df = 3
+    val out = Dedup.removeDuplicatedSpans(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), n = 5, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L && out(2L) === 0L, "df-2 span must survive")
+    assert(out(3L) === 0L, "keeper untouched")
+    assert(out(4L) === 5L && out(5L) === 5L, "df-3 span must drop")
+    intercept[IllegalArgumentException] {
+      Dedup.removeDuplicatedSpans(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), minDf = 1)
+    }
+  }
+
   test("determinism: same input, same output across runs") {
     val rows = (1L to 50L).map { i =>
       (java.lang.Long.valueOf(i),
