@@ -34,6 +34,7 @@ object GraftFunctions {
     "word_ngrams" -> (one(_)(WordNgramsExpr(_, 2))),
     "rolling_min_fingerprint" -> (one(_)(RollingMinExpr(_, 4))),
     "span_hashes" -> (one(_)(SpanHashesExpr(_, 5))),
+    "drop_repeated_spans" -> (one(_)(DropRepeatedSpansExpr(_, 5))),
     "nfc_clean" -> (one(_)(NfcCleanExpr)),
     "lsh_sign_bits" -> (one(_)(LshBitsExpr(_, 32))),
     "quality_stats" -> (one(_)(QualityStatsExpr(_, graft.text.TextOps.enStopwords))),

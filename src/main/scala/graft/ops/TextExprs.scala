@@ -165,6 +165,56 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** WITHIN-document repeated-span removal — the self-dedup sibling of
+    * the cross-document rewrite ([[graft.dedup.Dedup
+    * .removeDuplicatedSpans]]): every n-token span whose normalized
+    * form already occurred EARLIER in the same document drops
+    * (position-coverage union over repeat occurrences; the first
+    * occurrence keeps). Pure per-row kernel — no shuffle, no state, so
+    * the whole rewrite is a narrow map over the corpus scan. Span
+    * identity matches [[spanHashes]] (per-token ROOT lowercase
+    * stripped to [a-z0-9]); retained tokens re-join with single spaces
+    * IN ORDER, and a document with no repeats (or shorter than n)
+    * returns BYTE-IDENTICAL text.
+    * @return (text_clean, n_tokens, n_removed) */
+  def dropRepeatedSpans(text: UTF8String,
+                        n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString.split("\\s+").filter(_.nonEmpty)
+    val t = raw.length
+    def row(clean: UTF8String, removed: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](clean, t.toLong, removed))
+    if (t < n) return row(text, 0L)
+    val hs = spanHashes(ArrayData.toArrayData(
+      raw.map(UTF8String.fromString): Array[UTF8String]), n)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val covered = new Array[Boolean](t)
+    var removedAny = false
+    var p = 0
+    val m = hs.numElements()
+    while (p < m) {
+      if (!seen.add(java.lang.Long.valueOf(hs.getLong(p)))) {
+        var k = p
+        while (k < p + n) { covered(k) = true; k += 1 }
+        removedAny = true
+      }
+      p += 1
+    }
+    if (!removedAny) return row(text, 0L)
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var kept = 0
+    var i = 0
+    while (i < t) {
+      if (!covered(i)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(raw(i))
+        kept += 1
+      }
+      i += 1
+    }
+    row(UTF8String.fromString(sb.toString), (t - kept).toLong)
+  }
+
   /** Rolling (shingle-min) fingerprint: min xxhash64 over space-joined
     * sliding word windows. */
   def rollingMin(tokens: ArrayData, window: Int): Long = {
@@ -681,6 +731,21 @@ case class NfcCleanExpr(child: Expression) extends KernelUnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class DropRepeatedSpansExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("text_clean", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def prettyName: String = "drop_repeated_spans"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.dropRepeatedSpans(in.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.dropRepeatedSpans($c, $n);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class SpanHashesExpr(child: Expression, n: Int) extends KernelUnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "span_hashes"
@@ -879,6 +944,8 @@ object TextExprs {
   def wordNgrams(tokens: Column, n: Int): Column = c(WordNgramsExpr(e(tokens), n))
   def rollingMin(tokens: Column, window: Int): Column = c(RollingMinExpr(e(tokens), window))
   def spanHashes(tokens: Column, n: Int): Column = c(SpanHashesExpr(e(tokens), n))
+  def dropRepeatedSpans(text: Column, n: Int): Column =
+    c(DropRepeatedSpansExpr(e(text), n))
   def nfcClean(text: Column): Column = c(NfcCleanExpr(e(text)))
   def lshBits(vec: Column, planes: Int): Column = c(LshBitsExpr(e(vec), planes))
   def lshBitsPacked(vec: Column, planes: Int): Column =

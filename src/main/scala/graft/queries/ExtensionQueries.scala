@@ -949,6 +949,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WITHIN-document repeated-span removal — the self-dedup sibling
+    // of text_dup_remove, pure narrow kernel (no shuffle at all): each
+    // doc's later occurrences of an already-seen 5-token span drop by
+    // position coverage; the frame plants a guaranteed within-doc
+    // repeat in every row. The oracle replays first-occurrence-by-
+    // position, coverage union, and the byte-exact retained text.
+    "text_self_dedup" -> ((s, dir) => {
+      val framed = concat(coalesce(col("text"), lit("")),
+        lit(" intra1 intra2 intra3 intra4 intra5 mid" +
+          " intra1 intra2 intra3 intra4 intra5"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextExprs.dropRepeatedSpans(framed, 5).as("r"))
+        .select(col("doc_id"), md5(col("r.text_clean")).as("clean_md5"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.n_removed").as("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the REWRITE half of the audit above: drop every cross-doc
     // duplicated 5-token span (keep-first), re-materializing the text.
     // The frame plants a guaranteed viral span (the boilerplate run,
@@ -3550,6 +3569,54 @@ object ExtensionQueries {
          |    / cast(count(*) AS double) * 1000000) AS bigint) AS dup_ppm
          |FROM g5 JOIN df USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full replay of the within-doc removal: per-position normalized
+    // 5-gram keys, first occurrence by position keeps, later
+    // occurrences cover out, byte-exact retained-text md5
+    "text_self_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    ' intra1 intra2 intra3 intra4 intra5 mid' ||
+        |    ' intra1 intra2 intra3 intra4 intra5' AS t
+        |  FROM documents),
+        |nm AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '[ \t\n\x0b\f\r]+'),
+        |                x -> len(x) > 0) AS l
+        |  FROM f),
+        |n2 AS (
+        |  SELECT doc_id, t, l,
+        |    list_transform(l,
+        |      x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')) AS nl
+        |  FROM nm),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 3)) AS pos,
+        |    unnest(list_transform(range(1, len(l) - 3),
+        |      i -> array_to_string(nl[i:i+4], chr(1)))) AS k
+        |  FROM n2 WHERE len(l) >= 5),
+        |fo AS (SELECT doc_id, k, min(pos) AS fp FROM occ GROUP BY doc_id, k),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT o.doc_id, unnest(range(o.pos, o.pos + 5)) AS p
+        |    FROM occ o JOIN fo USING (doc_id, k)
+        |    WHERE o.pos > fo.fp)),
+        |covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
+        |ret AS (
+        |  SELECT n2.doc_id, n2.t, n2.l, c.ps,
+        |    CASE WHEN c.ps IS NULL THEN NULL
+        |      ELSE list_filter(range(1, len(n2.l) + 1),
+        |                       q -> NOT list_contains(c.ps, q)) END AS keep
+        |  FROM n2 LEFT JOIN covl c USING (doc_id))
+        |SELECT doc_id,
+        |  md5(CASE WHEN ps IS NULL THEN t
+        |       ELSE coalesce(
+        |         array_to_string(list_transform(keep, q -> l[q]), ' '), '')
+        |       END) AS clean_md5,
+        |  cast(len(l) AS bigint) AS n_tokens,
+        |  cast(CASE WHEN ps IS NULL THEN 0
+        |            ELSE len(l) - len(keep) END AS bigint) AS n_removed
+        |FROM ret ORDER BY doc_id""".stripMargin,
 
     // full from-scratch recompute of the span-removal rewrite: same
     // framed text as the gate, per-token normalized 5-gram keys (chr(1)

@@ -122,6 +122,31 @@ class DupRemoveSpec extends AnyFunSuite {
     }
   }
 
+  test("within-doc self-dedup kernel: keep-first coverage, byte identity, " +
+      "totality") {
+    import graft.ops.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(t: String, n: Int = 5): (String, Long, Long) = {
+      val r = TextKernels.dropRepeatedSpans(UTF8String.fromString(t), n)
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
+    }
+    // exact within-doc repeat: second occurrence drops
+    assert(run("a b c d e MID a b c d e") === (("a b c d e MID", 11L, 5L)))
+    // case/punct-robust span identity, RAW tokens retained
+    assert(run("A, b c d e! mid a b (c) d e") === (("A, b c d e! mid", 11L, 5L)))
+    // overlapping repeats union their coverage
+    assert(run("x1 x2 x3 x4 x5 x6 q x1 x2 x3 x4 x5 x6")
+      === (("x1 x2 x3 x4 x5 x6 q", 13L, 6L)))
+    // no repeat → BYTE-identical (whitespace preserved)
+    assert(run("u1  u2\tu3 u4 u5 u6") === (("u1  u2\tu3 u4 u5 u6", 6L, 0L)))
+    // shorter than n / empty: untouched
+    assert(run("one two three") === (("one two three", 3L, 0L)))
+    assert(run("") === (("", 0L, 0L)))
+    // self-similar run: "a a a a a a" — spans at every position equal;
+    // first keeps, positions 1..5 cover out
+    assert(run("a a a a a a") === (("a", 6L, 5L)))
+  }
+
   test("determinism: same input, same output across runs") {
     val rows = (1L to 50L).map { i =>
       (java.lang.Long.valueOf(i),

@@ -155,6 +155,7 @@ class HtmlExtractSpec extends AnyFunSuite {
       graft.ops.RobotsKernels.isAllowed(s, Seq((false, "/"), (true, "/a")))
       graft.ops.RobotsKernels.parseAll(s, "mybot")
       graft.ops.SitemapKernels.parse(s)
+      graft.ops.TextKernels.dropRepeatedSpans(u, 3)
       UrlKernels.resolveUrl(u, u)
       UrlKernels.resolveUrl(UTF8String.fromString("https://b.example/x/y"), u)
       graft.ops.TextKernels.gopherStats(u)
