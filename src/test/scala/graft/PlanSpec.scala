@@ -352,6 +352,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size / 2 <= 1)
   }
 
+  test("frontier_schedule: windowless, robots dim broadcasts") {
+    // per-host ordering rides the pack idiom (sorted bounded list +
+    // posexplode), never a host-partitioned window; the Crawl-delay
+    // dim must broadcast, not shuffle the capped frontier
+    val p = plan(SparkEntry.queries("frontier_schedule")(spark, dir))
+    assert(!p.contains("Window"),
+      s"frontier_schedule routes host order through WindowExec:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier_schedule lost the robots-dim broadcast:\n${p.take(2000)}")
+  }
+
   test("anchorsPerTarget aggregates on exactly one shuffle") {
     // the repartition(target_url) exchange must be the ONLY one: both
     // the (target, anchor) count and the per-target pack reuse it —

@@ -112,6 +112,44 @@ class StressProportionalitySpec extends AnyFunSuite {
     ()
   }
 
+  test("UrlSeen: 50-batch delta log reads exactly, compaction preserves it") {
+    assume(optedIn, "stress checks run under -Dgraft.stress=1")
+    import spark.implicits._
+    import graft.dedup.UrlSeen
+    val dir = java.nio.file.Files.createTempDirectory("graft_urlstress")
+    val path = dir.toString + "/idx"
+    // 50 folds: each batch re-crawls HALF its predecessor's URLs and
+    // adds new ones — the delta log must accumulate only first sights
+    for (b <- 1L to 50L) {
+      val rows = (0L until 40L).map { j =>
+        val u = (b - 1) * 20 + j // overlap: urls [20(b-1), 20(b-1)+39]
+        (b * 1000 + j, s"https://s.example/p/$u")
+      }
+      UrlSeen.foldBatch(rows.toDF("doc_id", "url"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("url"), path, b)
+    }
+    val got = UrlSeen.read(spark, path).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // from-scratch expectation: url u's first sight is the EARLIEST
+    // batch whose [20(b-1), 20(b-1)+39] window covers it
+    assert(got.size === 20 * 49 + 40)
+    for (u <- Seq(0L, 19L, 20L, 500L, 999L, 20L * 49 + 39)) {
+      val b = (1L to 50L)
+        .find(b => u >= 20 * (b - 1) && u <= 20 * (b - 1) + 39).get
+      val doc = b * 1000 + (u - 20 * (b - 1))
+      assert(got(s"https://s.example/p/$u") === ((b, doc)),
+        s"u=$u expected first batch $b doc $doc")
+    }
+    assert(UrlSeen.watermark(spark, path) === Some(50L))
+    val dest = dir.toString + "/compacted"
+    UrlSeen.compact(spark, path, dest)
+    val cg = UrlSeen.read(spark, dest).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cg === got, "compaction must preserve the state exactly")
+    ()
+  }
+
   test("span removal stays exact under a corpus-wide viral span") {
     assume(optedIn, "stress checks run under -Dgraft.stress=1")
     // the hot-span shape: ONE boilerplate 5-gram in EVERY document
