@@ -352,6 +352,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size / 2 <= 1)
   }
 
+  test("within-doc self-dedup is a pure narrow map (display sort only)") {
+    // the operator's whole value is riding the corpus scan: the ONLY
+    // exchange in the gate plan is the oracle's display orderBy
+    val p = plan(SparkEntry.queries("text_self_dedup")(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).size / 2
+    assert(exchanges <= 1, s"text_self_dedup must not shuffle:\n${p.take(2000)}")
+    // (codegen spans are not visible in an unexecuted AdaptiveSparkPlan's
+    // formatted string; the kernel rides the same KernelUnaryExpression
+    // machinery the html/url codegen test below exercises at runtime)
+  }
+
   test("frontier_schedule: windowless, robots dim broadcasts") {
     // per-host ordering rides the pack idiom (sorted bounded list +
     // posexplode), never a host-partitioned window; the Crawl-delay
