@@ -2080,6 +2080,25 @@ object ExtensionQueries {
     // conversion record must carry its document's exact text bytes and
     // URI. Not in the bench headline (the gate writes a fresh corpus
     // export per run — a correctness loop, not a steady-state query).
+    // CLEAN-THEN-SHIP capstone: the span-removed corpus (the
+    // text_dup_remove rewrite, same framing) exports as real WET
+    // shards and re-ingests through the WARC record walk; the re-read
+    // body md5 must equal the byte-exact retained-text md5 the
+    // text_dup_remove oracle states — proving the corpus
+    // TRANSFORMATION survives the wire format, not just the audit.
+    // Export memoized per JVM+dir (the state-gate discipline); null
+    // documents ship as "" per the WET writer contract.
+    "clean_ship_roundtrip" -> ((s, dir) => {
+      val out = wetCleanFor(s, dir)
+      val files = s.read.format("binaryFile").load(out + "/wet-*.warc.gz")
+        .select(xxhash64(col("path")).as("fid"), col("content"))
+      graft.ingest.Warc.recordTable(s, files, col("fid"), col("content"))
+        .select(regexp_extract(col("record_id"), "conv-(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          md5(col("body")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "wet_roundtrip" -> ((s, dir) => {
       val out = java.nio.file.Files
         .createTempDirectory("graft_wet_gate").toString
@@ -3238,6 +3257,22 @@ object ExtensionQueries {
       ()
     })
 
+  /** Clean-then-ship export: span-removed corpus → WET shards, once
+    * per JVM+dir. */
+  private val wetCleanFor = new IndexCache("graft_gate_wetclean",
+    (s, dir, path) => {
+      val framed = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" boilerplate navigation footer menu copyright of "),
+          col("source")).as("t"))
+      val cleaned = Dedup.removeDuplicatedSpans(framed, col("doc_id"),
+        col("t"), n = 5)
+      graft.ingest.Warc.wetExport(s, cleaned, col("doc_id"),
+        concat(lit("https://c.example/"), col("doc_id")),
+        lit("2026-02-02T00:00:00Z"), col("text_clean"), path,
+        maxRecordsPerFile = 100, gzip = true)
+    })
+
   /** Frontier-pipeline standing state: batch 1 = the url_dedup
     * canonical set (what the crawl has already fetched). The frontier
     * gate folds its candidates as batch 2; re-invocations within one
@@ -3616,6 +3651,54 @@ object ExtensionQueries {
         |  cast(len(l) AS bigint) AS n_tokens,
         |  cast(CASE WHEN ps IS NULL THEN 0
         |            ELSE len(l) - len(keep) END AS bigint) AS n_removed
+        |FROM ret ORDER BY doc_id""".stripMargin,
+
+    // the text_dup_remove retained-text md5, restated over the WET
+    // wire: a null document ships as "" (the writer's contract), so
+    // the untouched branch coalesces
+    "clean_ship_roundtrip" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text || ' boilerplate navigation footer menu copyright of '
+        |      || source AS t
+        |  FROM documents),
+        |nm AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '[ \t\n\x0b\f\r]+'),
+        |                w -> len(w) > 0) AS l
+        |  FROM f),
+        |nm2 AS (
+        |  SELECT doc_id, t, l,
+        |    list_transform(l,
+        |      w -> regexp_replace(lower(w), '[^a-z0-9]', '', 'g')) AS nl
+        |  FROM nm),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(l) - 3)) AS pos,
+        |    unnest(list_transform(range(1, len(l) - 3),
+        |      i -> array_to_string(nl[i:i+4], chr(1)))) AS k
+        |  FROM nm2 WHERE len(l) >= 5),
+        |dup AS (
+        |  SELECT k, min(doc_id) AS keeper
+        |  FROM occ GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT o.doc_id, unnest(range(o.pos, o.pos + 5)) AS p
+        |    FROM occ o JOIN dup d USING (k)
+        |    WHERE o.doc_id <> d.keeper)),
+        |covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
+        |ret AS (
+        |  SELECT n.doc_id, n.t, n.l, c.ps,
+        |    CASE WHEN c.ps IS NULL THEN NULL
+        |         ELSE list_filter(range(1, len(n.l) + 1),
+        |                          q -> NOT list_contains(c.ps, q))
+        |    END AS keep
+        |  FROM nm2 n LEFT JOIN covl c USING (doc_id))
+        |SELECT doc_id,
+        |  md5(CASE WHEN ps IS NULL THEN coalesce(t, '')
+        |       ELSE coalesce(
+        |         array_to_string(list_transform(keep, q -> l[q]), ' '), '')
+        |       END) AS clean_md5
         |FROM ret ORDER BY doc_id""".stripMargin,
 
     // full from-scratch recompute of the span-removal rewrite: same
