@@ -69,7 +69,7 @@ object Bench {
     "warc_parse", "html_extract", "url_normalize", "web_pipeline",
     "cluster_assign", "html_main_text", "domain_top", "crawl_pipeline",
     "html_meta", "jsonl_roundtrip", "model_score", "gopher_stats",
-    "robots_filter", "text_sentences", "host_rank",
+    "robots_filter", "text_sentences", "host_rank", "link_graph_rank",
     "warc_revisit", "model_score_tokens", "model_score_trained",
     "clean_ship_roundtrip",
     "html_links", "url_dedup",

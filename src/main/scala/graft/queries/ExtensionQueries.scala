@@ -2480,6 +2480,32 @@ object ExtensionQueries {
     // concentration and the dangling-mass contract both exercise). The
     // recurrence is integer-exact (ppb longs, floor divisions), so the
     // oracle replays all 3 iterations bit-for-bit in SQL.
+    // the REAL chain into PageRank: page markup → hrefs → resolved +
+    // normalized targets → host-level edges (intra-host links drop,
+    // the standard host-graph rule — the relative link plants exactly
+    // that decoy) → fixed-point integer PageRank. The oracle restates
+    // the edge multiset from the synthesis arithmetic and replays all
+    // three integer iterations.
+    "link_graph_rank" -> ((s, dir) => {
+      val pages = Tables(s, dir, "documents").select(
+        concat(lit("https://h"), col("doc_id") % 12, lit(".example/p/"),
+          col("doc_id")).as("page"),
+        concat(lit("<a href='https://h"), (col("doc_id") + 5) % 12,
+          lit(".example/x/"), col("doc_id") % 7, lit("'>out</a>"),
+          lit("<a href='/local/"), col("doc_id") % 3,
+          lit("'>intra-host decoy</a>")).as("html"))
+      val links = pages
+        .select(col("page"),
+          explode(graft.ops.HtmlExprs.hrefs(col("html"))).as("href"))
+        .select(graft.ops.HtmlExprs.urlHost(col("page")).as("src"),
+          graft.ops.HtmlExprs.urlHost(graft.ops.HtmlExprs.urlResolve(
+            col("page"), col("href"))).as("dst"))
+        .where(col("src") =!= col("dst"))
+      graft.ops.GraphOps.pageRankFixedPoint(links, col("src"), col("dst"),
+          iters = 3)
+        .orderBy(col("node"))
+    }),
+
     "host_rank" -> ((s, dir) => {
       import s.implicits._
       val edges = Tables(s, dir, "documents")
@@ -5456,6 +5482,50 @@ object ExtensionQueries {
     // the integer recurrence replayed bit-for-bit: r0 = R//N, then 3
     // unrolled iterations of base + (17*S)//20 with S = Σ r//outdeg
     // over in-edges (dangling mass drops, per the operator contract)
+    // same three-iteration integer replay as host_rank, over the edge
+    // multiset the markup implies (absolute cross-host links only; the
+    // intra-host decoy self-filters)
+    "link_graph_rank" ->
+      """WITH ed AS (
+        |  SELECT 'h' || (doc_id % 12) || '.example' AS src,
+        |    'h' || ((doc_id + 5) % 12) || '.example' AS dst
+        |  FROM documents),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+        |par AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |od AS (SELECT src, count(*)::BIGINT AS outd FROM ed GROUP BY src),
+        |r0 AS (SELECT node, 1000000000::BIGINT // n AS r
+        |  FROM nodes CROSS JOIN par),
+        |i1 AS (
+        |  SELECT nodes.node,
+        |    (3::BIGINT * 1000000000) // (20 * n)
+        |      + (17 * coalesce(s.s, 0)) // 20 AS r
+        |  FROM nodes CROSS JOIN par
+        |  LEFT JOIN (SELECT ed.dst AS node, sum(r0.r // od.outd) AS s
+        |             FROM ed JOIN r0 ON ed.src = r0.node
+        |             JOIN od ON ed.src = od.src
+        |             GROUP BY ed.dst) s ON nodes.node = s.node),
+        |i2 AS (
+        |  SELECT nodes.node,
+        |    (3::BIGINT * 1000000000) // (20 * n)
+        |      + (17 * coalesce(s.s, 0)) // 20 AS r
+        |  FROM nodes CROSS JOIN par
+        |  LEFT JOIN (SELECT ed.dst AS node, sum(i1.r // od.outd) AS s
+        |             FROM ed JOIN i1 ON ed.src = i1.node
+        |             JOIN od ON ed.src = od.src
+        |             GROUP BY ed.dst) s ON nodes.node = s.node),
+        |i3 AS (
+        |  SELECT nodes.node,
+        |    (3::BIGINT * 1000000000) // (20 * n)
+        |      + (17 * coalesce(s.s, 0)) // 20 AS r
+        |  FROM nodes CROSS JOIN par
+        |  LEFT JOIN (SELECT ed.dst AS node, sum(i2.r // od.outd) AS s
+        |             FROM ed JOIN i2 ON ed.src = i2.node
+        |             JOIN od ON ed.src = od.src
+        |             GROUP BY ed.dst) s ON nodes.node = s.node)
+        |SELECT node, cast(r AS bigint) AS rank_ppb FROM i3
+        |ORDER BY node""".stripMargin,
+
     "host_rank" ->
       s"""WITH $webCte,
          |ed AS (
