@@ -71,7 +71,7 @@ object Bench {
     "html_meta", "jsonl_roundtrip", "model_score", "gopher_stats",
     "robots_filter", "text_sentences", "host_rank", "link_graph_rank",
     "warc_revisit", "model_score_tokens", "model_score_trained",
-    "clean_ship_roundtrip",
+    "clean_ship_roundtrip", "domain_top_trained",
     "html_links", "url_dedup",
     "url_dedup_incremental", "redirect_resolve", "redirect_dedup",
     "sitemap_parse", "anchor_targets", "frontier_pipeline",

@@ -2729,6 +2729,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // …and the trained score DRIVING a selection: per-domain top-3 by
+    // learned quality through the zero-driver-state BoundedTopM heap —
+    // the r15 per-domain-cap flagship re-keyed on a REAL model's
+    // output instead of a heuristic. The oracle retrains, re-scores,
+    // and replays the cap with a ranked window.
+    "domain_top_trained" -> ((s, dir) => {
+      val scored = graft.text.BatchScore.score(s,
+          Tables(s, dir, "documents"), col("doc_id"), col("text"),
+          scorer = linearModelFor(s, dir), batchSize = 37)
+        .select(col("id").as("doc_id"), col("score_ppm"))
+        .withColumn("host",
+          concat(lit("site"), col("doc_id") % 25, lit(".example")))
+      graft.text.BudgetSelect.takeTopPerGroupUniform(scored, col("host"),
+          col("doc_id"), col("score_ppm"), m = 3)
+        .select(col("host"), col("doc_id"), col("score_ppm"))
+        .orderBy(col("host"), col("doc_id"))
+    }),
+
     // TOKEN-budgeted inference batching (BatchScore.scoreByTokens):
     // batches flush at 97 total whitespace tokens (never divides the
     // corpus evenly → ragged batches throughout) and docs truncate to
@@ -3365,6 +3383,77 @@ object ExtensionQueries {
     bpeMergeCache(dir)(
       TextOps.trainBpeMerges(Tables(s, dir, "documents"), col("text"),
         numMerges = 50, maxVocabWords = 5000))
+
+  /** Shared CTE chain of the TRAINED linear scorer's oracle: labels
+    * (Gopher pass on raw text), md5-bucketed distinct-token presence
+    * features, smoothed probability-difference weights, and the
+    * per-doc (sum, count) score inputs — reused by the scoring gate
+    * and every composition that ranks by the trained score. */
+  private val trainedScoreCtes: String =
+    """w0 AS (
+        |  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |wds AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS ws,
+        |    string_split(t, chr(10)) AS ls
+        |  FROM w0),
+        |c AS (
+        |  SELECT doc_id,
+        |    cast(len(ws) AS bigint) AS n_words,
+        |    cast(coalesce(list_aggregate(list_transform(ws, x -> len(x)),
+        |      'sum'), 0) AS bigint) AS word_cps,
+        |    cast((len(t) - len(replace(t, '#', '')))
+        |      + (len(t) - len(replace(t, '…', '')))
+        |      + (len(t) - len(replace(t, '...', ''))) // 3
+        |      AS bigint) AS n_symbols,
+        |    cast(len(ls) AS bigint) AS n_lines,
+        |    cast(len(list_filter(ls, l ->
+        |      starts_with(ltrim(l, ' ' || chr(9)), '•') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '‣') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '-') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '*')))
+        |      AS bigint) AS n_bullet_lines,
+        |    cast(len(list_filter(ls, l ->
+        |      ends_with(rtrim(l, ' ' || chr(9)), '…') OR
+        |      ends_with(rtrim(l, ' ' || chr(9)), '...')))
+        |      AS bigint) AS n_ellipsis_lines,
+        |    cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS bigint) AS n_alpha_words,
+        |    cast(len(list_filter(ws, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      lower(x)))) AS bigint) AS n_stop_hits
+        |  FROM wds),
+        |lab AS (
+        |  SELECT doc_id, CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= word_cps AND word_cps <= 10 * n_words
+        |    AND 10 * n_symbols <= n_words
+        |    AND 10 * n_bullet_lines <= n_lines
+        |    AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS y
+        |  FROM c),
+        |tk AS (
+        |  SELECT doc_id, list_distinct(list_filter(list_transform(
+        |    string_split_regex(coalesce(text, ''), '[ \t\n\x0b\f\r]+'),
+        |    x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')),
+        |    x -> len(x) > 0)) AS toks
+        |  FROM documents),
+        |fb AS (
+        |  SELECT doc_id, list_distinct(list_transform(toks,
+        |    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 4096)) AS bs
+        |  FROM tk),
+        |e AS (SELECT doc_id, unnest(bs) AS b FROM fb),
+        |n AS (SELECT sum(y) AS npos, count(*) AS ntot FROM lab),
+        |bc AS (SELECT b, sum(y) AS pos, count(*) AS tot
+        |       FROM e JOIN lab USING (doc_id) GROUP BY b),
+        |wt AS (SELECT b,
+        |    (pos + 1) * 1000000 // (SELECT npos + 2 FROM n)
+        |  - (tot - pos + 1) * 1000000 // (SELECT ntot - npos + 2 FROM n)
+        |    AS wgt
+        |  FROM bc),
+        |sc AS (SELECT e.doc_id, sum(wt.wgt) AS s, count(*) AS k
+        |       FROM e JOIN wt USING (b) GROUP BY e.doc_id)""".stripMargin
 
   /** Normalize-and-tokenize CTE (mirrors TextOps.normalized + tokens) —
     * the shared front of every shingle-based oracle. */
@@ -5729,70 +5818,7 @@ object ExtensionQueries {
     // scoring. All divisions are nonneg-trunc or flooring `//`,
     // matching the engine's Math.floorDiv
     "model_score_trained" ->
-      """WITH w0 AS (
-        |  SELECT doc_id, coalesce(text, '') AS t FROM documents),
-        |wds AS (
-        |  SELECT doc_id, t,
-        |    list_filter(string_split_regex(t, '[ \t\n\x0b\f\r]+'),
-        |      x -> len(x) > 0) AS ws,
-        |    string_split(t, chr(10)) AS ls
-        |  FROM w0),
-        |c AS (
-        |  SELECT doc_id,
-        |    cast(len(ws) AS bigint) AS n_words,
-        |    cast(coalesce(list_aggregate(list_transform(ws, x -> len(x)),
-        |      'sum'), 0) AS bigint) AS word_cps,
-        |    cast((len(t) - len(replace(t, '#', '')))
-        |      + (len(t) - len(replace(t, '…', '')))
-        |      + (len(t) - len(replace(t, '...', ''))) // 3
-        |      AS bigint) AS n_symbols,
-        |    cast(len(ls) AS bigint) AS n_lines,
-        |    cast(len(list_filter(ls, l ->
-        |      starts_with(ltrim(l, ' ' || chr(9)), '•') OR
-        |      starts_with(ltrim(l, ' ' || chr(9)), '‣') OR
-        |      starts_with(ltrim(l, ' ' || chr(9)), '-') OR
-        |      starts_with(ltrim(l, ' ' || chr(9)), '*')))
-        |      AS bigint) AS n_bullet_lines,
-        |    cast(len(list_filter(ls, l ->
-        |      ends_with(rtrim(l, ' ' || chr(9)), '…') OR
-        |      ends_with(rtrim(l, ' ' || chr(9)), '...')))
-        |      AS bigint) AS n_ellipsis_lines,
-        |    cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
-        |      AS bigint) AS n_alpha_words,
-        |    cast(len(list_filter(ws, x -> list_contains(
-        |      ['the','be','to','of','and','that','have','with'],
-        |      lower(x)))) AS bigint) AS n_stop_hits
-        |  FROM wds),
-        |lab AS (
-        |  SELECT doc_id, CASE WHEN n_words >= 50 AND n_words <= 100000
-        |    AND 3 * n_words <= word_cps AND word_cps <= 10 * n_words
-        |    AND 10 * n_symbols <= n_words
-        |    AND 10 * n_bullet_lines <= n_lines
-        |    AND 10 * n_ellipsis_lines <= 3 * n_lines
-        |    AND 5 * n_alpha_words >= 4 * n_words
-        |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS y
-        |  FROM c),
-        |tk AS (
-        |  SELECT doc_id, list_distinct(list_filter(list_transform(
-        |    string_split_regex(coalesce(text, ''), '[ \t\n\x0b\f\r]+'),
-        |    x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')),
-        |    x -> len(x) > 0)) AS toks
-        |  FROM documents),
-        |fb AS (
-        |  SELECT doc_id, list_distinct(list_transform(toks,
-        |    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 4096)) AS bs
-        |  FROM tk),
-        |e AS (SELECT doc_id, unnest(bs) AS b FROM fb),
-        |n AS (SELECT sum(y) AS npos, count(*) AS ntot FROM lab),
-        |bc AS (SELECT b, sum(y) AS pos, count(*) AS tot
-        |       FROM e JOIN lab USING (doc_id) GROUP BY b),
-        |wt AS (SELECT b,
-        |    (pos + 1) * 1000000 // (SELECT npos + 2 FROM n)
-        |  - (tot - pos + 1) * 1000000 // (SELECT ntot - npos + 2 FROM n)
-        |    AS wgt
-        |  FROM bc),
-        |sc AS (SELECT e.doc_id, sum(wt.wgt) AS s, count(*) AS k
-        |       FROM e JOIN wt USING (b) GROUP BY e.doc_id)
+      s"""WITH $trainedScoreCtes
         |SELECT d.doc_id,
         |  cast(CASE WHEN d.text IS NULL OR d.text = '' THEN 0
         |       WHEN sc.k IS NULL THEN 500000
@@ -5800,6 +5826,24 @@ object ExtensionQueries {
         |       END AS bigint) AS score_ppm
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // retrain + re-score + ranked-window replay of the learned-quality
+    // domain cap (score DESC, doc_id ASC — BoundedTopM's tie rule)
+    "domain_top_trained" ->
+      s"""WITH $trainedScoreCtes,
+        |sc2 AS (
+        |  SELECT d.doc_id,
+        |    cast(CASE WHEN d.text IS NULL OR d.text = '' THEN 0
+        |         WHEN sc.k IS NULL THEN 500000
+        |         ELSE greatest(0, least(1000000, 500000 + sc.s // sc.k))
+        |         END AS bigint) AS score_ppm,
+        |    'site' || (d.doc_id % 25) || '.example' AS host
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY host ORDER BY score_ppm DESC, doc_id) AS rn
+        |  FROM sc2)
+        |SELECT host, doc_id, score_ppm FROM r WHERE rn <= 3
+        |ORDER BY host, doc_id""".stripMargin,
 
     // the token-budget batching contract restated from the raw text:
     // same whitespace split as the Spark tokenizer, truncation = the
