@@ -46,7 +46,7 @@ object Bench {
     "dedup_incremental_bloom", "doc_keywords", "dedup_index_query",
     "ann_index_query", "pipeline_metrics", "ann_ivfpq",
     "variant_extract", "stratified_take", "profile_table",
-    "dedup_containment", "text_line_dedup", "text_dup_spans",
+    "dedup_containment", "text_line_dedup", "text_paragraph_dedup", "text_dup_spans",
     "text_dup_remove", "text_self_dedup",
     "multimodal_containers", "text_lm_score", "bpe_pairs", "semdedup",
     "bpe_encode", "sessionize_chunked", "asof_join_chunked",

@@ -940,6 +940,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PARAGRAPH-level boilerplate dedup (the Dolma policy): same
+    // machinery as the C4 line filter, blocks split on blank lines.
+    // The frame plants a corpus-wide boilerplate paragraph (500×) and
+    // per-source footers (~50×) — both must drop everywhere while each
+    // unique content paragraph survives in order.
+    "text_paragraph_dedup" -> ((s, dir) => {
+      val framed = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared boilerplate paragraph here\n\n"), col("text"),
+          lit("\n\nfooter for "), col("source")).as("t"))
+      Dedup.dedupLines(framed, col("doc_id"), col("t"), maxOccurrences = 2,
+          delimiter = "\n\n", joiner = "\n\n")
+        .select(col("doc_id"), md5(col("text")).as("kept_md5"),
+          col("n_lines").as("n_blocks"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-doc duplicated-span audit: the exact-substring-dedup signal
     // (5-word spans shared with other documents, as ppm of the doc's
     // distinct spans)
@@ -3870,6 +3886,29 @@ object ExtensionQueries {
         |  cast(CASE WHEN ps IS NULL THEN 0
         |            ELSE len(l) - len(keep) END AS bigint) AS n_removed
         |FROM ret ORDER BY doc_id""".stripMargin,
+
+    // the text_line_dedup contract over blank-line blocks: same null
+    // coalescing, same count/md5 shape, separators chr(10)||chr(10)
+    "text_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(
+        |    coalesce('shared boilerplate paragraph here' || chr(10) ||
+        |      chr(10) || text || chr(10) || chr(10) || 'footer for ' ||
+        |      source, ''), chr(10) || chr(10)) AS ls
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM t),
+        |l2 AS (SELECT doc_id, pos, ls[cast(pos AS int)] AS line FROM l),
+        |c AS (SELECT line, count(*) AS n FROM l2 GROUP BY line)
+        |SELECT l2.doc_id,
+        |  md5(array_to_string(
+        |    coalesce(list(l2.line ORDER BY l2.pos) FILTER (WHERE c.n <= 2), []),
+        |    chr(10) || chr(10))) AS kept_md5,
+        |  count(*) AS n_blocks,
+        |  cast(sum(cast(c.n > 2 AS int)) AS bigint) AS n_removed
+        |FROM l2 JOIN c USING (line)
+        |GROUP BY l2.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // coalesce mirrors the engine: dedupLines maps a NULL framed string
     // to one "" line (every document survives), and the gate's concat
