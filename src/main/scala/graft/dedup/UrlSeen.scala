@@ -112,7 +112,19 @@ object UrlSeen {
       .localCheckpoint(true) // consumed by the delta write AND annotation
     val batchMin = canon.groupBy(col("url_canon"))
       .agg(min(col("doc_id")).as("batch_first"))
-    val replay = watermark(spark, path).exists(batchId <= _)
+    // A batchId at/below the watermark is a replay ONLY if that exact
+    // fold committed (every committed fold leaves delta-b<batchId>,
+    // even when it found zero novel URLs). An unknown id below the
+    // watermark is an out-of-order backfill — silently treating it as
+    // a replay would permanently drop its novel URLs, so fail loudly.
+    val deltas = committedDeltas(spark, path)
+    val replay = deltas.exists(_._1 == batchId)
+    if (!replay && deltas.nonEmpty && batchId <= deltas.map(_._1).max)
+      throw new IllegalArgumentException(
+        s"out-of-order fold: batch $batchId is below the watermark " +
+          s"${deltas.map(_._1).max} but was never committed at $path — " +
+          "batches must be folded in ascending order (backfill would " +
+          "silently lose this batch's novel URLs)")
     if (!replay) {
       // delta = this batch's first-occurrence URLs only: write volume
       // ∝ novelty. Anti-join against the full standing state (which
@@ -142,7 +154,11 @@ object UrlSeen {
   }
 
   /** Merge the delta log into ONE delta at `dest` (stamped with the
-    * source's watermark, so replay guarding survives compaction) —
+    * source's watermark, so replay guarding survives compaction for
+    * the WATERMARK batch — the only one a crash-retry can replay;
+    * older batch ids lose their per-batch deltas here and a
+    * re-submitted old id after compaction fails the monotone-fold
+    * guard loudly rather than being mistaken for a replay) —
     * the response to a growing per-read file count. Compact to a
     * FRESH path, then swap pointers (the compactMinhashIndex
     * convention). */

@@ -233,10 +233,18 @@ object Images {
 
   /** Frame count + all frames' pixel grids in ONE reader pass (the
     * per-frame [[gifFramePixelGrid]] re-opens the stream per frame —
-    * fine for one probe, quadratic for hashing every frame). */
+    * fine for one probe, quadratic for hashing every frame).
+    *
+    * Longest-valid-prefix totality (the WARC convention): a GIF whose
+    * frame k is truncated still serves frames 0..k-1 — the per-frame
+    * catch breaks on the first failing read but KEEPS the frames
+    * already decoded, so a trimmed animation still gets a signature
+    * from its good prefix instead of silently escaping near-dup
+    * detection. */
   def gifAllFramePixelGrids(payload: Array[Byte],
                             maxFrames: Int): Seq[(Int, Int, Array[Int])] = {
     if (payload == null || !isGif(payload) || maxFrames <= 0) return Seq.empty
+    val out = Seq.newBuilder[(Int, Int, Array[Int])]
     try {
       val iis = memIn(payload)
       try {
@@ -246,13 +254,22 @@ object Images {
         try {
           r.setInput(iis, false, true)
           val n = math.min(r.getNumImages(true), maxFrames)
-          (0 until n).flatMap { i =>
-            val img = r.read(i)
-            rgbValues(img).map(px => (img.getWidth, img.getHeight, px))
+          var i = 0
+          var ok = true
+          while (i < n && ok) {
+            try {
+              val img = r.read(i)
+              rgbValues(img).foreach(px =>
+                out += ((img.getWidth, img.getHeight, px)))
+            } catch {
+              case scala.util.control.NonFatal(_) => ok = false
+            }
+            i += 1
           }
         } finally r.dispose()
       } finally iis.close()
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out.result()
   }
 
   /** Build an animated GIF from a per-frame grayscale fill —

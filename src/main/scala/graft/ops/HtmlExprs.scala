@@ -613,12 +613,24 @@ object UrlKernels {
     * the base path's directory with dot-segment removal (`.`/`..`,
     * never popping above root; a trailing `/.` or `/..` keeps its
     * directory slash). Null when neither side yields an absolute URL
-    * (null/`://`-less base with a relative ref, null ref). The result
+    * (null/`://`-less base with a relative ref, null ref, or a
+    * non-hierarchical-scheme ref — `mailto:`, `javascript:`, `tel:`
+    * and friends never name a fetchable resource). A ref has a scheme
+    * iff it matches RFC 3986 `ALPHA *( ALPHA / DIGIT / "+" / "-" /
+    * "." ) ":"` before any `/?#` — so `/out?next=https://x.com` is
+    * correctly treated as relative. The result
     * is NOT normalized — feed it [[normalizeUrl]]. */
   def resolveUrl(base: UTF8String, ref0: UTF8String): UTF8String = {
     if (ref0 == null) return null
     val ref = ref0.toString.trim
-    if (ref.contains("://")) return UTF8String.fromString(ref)
+    val sl = schemeLen(ref)
+    if (sl > 0) {
+      // Scheme present: hierarchical (scheme://) passes through;
+      // non-hierarchical (mailto:, javascript:, tel:, data:) is not a
+      // link target — null, never path-merged into the base.
+      return if (ref.startsWith("//", sl)) UTF8String.fromString(ref)
+      else null
+    }
     if (base == null) return null
     val b = base.toString
     val schemeEnd = b.indexOf("://")
@@ -649,6 +661,24 @@ object UrlKernels {
     val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
     UTF8String.fromString(
       origin + removeDotSegments(if (dir.isEmpty) "/" + ref else dir + ref))
+  }
+
+  /** RFC 3986 §3.1 scheme length (including the `:`), or -1 if the
+    * string has no scheme before any `/?#`. */
+  private def schemeLen(s: String): Int = {
+    if (s.isEmpty) return -1
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return -1
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return i + 1
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return -1 // hit /?# or other delimiter before ':'
+      i += 1
+    }
+    -1
   }
 
   /** RFC 3986 §5.2.4-lite over the PATH part (query/fragment pass

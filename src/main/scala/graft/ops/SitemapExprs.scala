@@ -47,12 +47,23 @@ object SitemapKernels {
     -1
   }
 
+  /** `</name` close tag with the SAME name-delimiter guard as
+    * [[openTag]]: the name must be followed by '>', whitespace, or
+    * end-of-input — so `</location>` never closes `<loc>` and
+    * `</urlset>` never closes `<url>` in sitemaps using extension
+    * tags that share a prefix. */
   private def closeTag(s: String, from: Int, name: String): Int = {
     val n = s.length
     var i = from
     while (i + 2 + name.length <= n) {
       if (s.charAt(i) == '<' && s.charAt(i + 1) == '/' &&
-          s.regionMatches(true, i + 2, name, 0, name.length)) return i
+          s.regionMatches(true, i + 2, name, 0, name.length)) {
+        val after = i + 2 + name.length
+        if (after >= n) return i
+        val c = s.charAt(after)
+        if (c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r')
+          return i
+      }
       i += 1
     }
     -1

@@ -3901,9 +3901,11 @@ object ExtensionQueries {
         |l2 AS (SELECT doc_id, pos, ls[cast(pos AS int)] AS line FROM l),
         |c AS (SELECT line, count(*) AS n FROM l2 GROUP BY line)
         |SELECT l2.doc_id,
-        |  md5(array_to_string(
+        |  -- coalesce AFTER array_to_string too: array_to_string([]) is
+        |  -- NULL in DuckDB while the engine yields md5('')
+        |  md5(coalesce(array_to_string(
         |    coalesce(list(l2.line ORDER BY l2.pos) FILTER (WHERE c.n <= 2), []),
-        |    chr(10) || chr(10))) AS kept_md5,
+        |    chr(10) || chr(10)), '')) AS kept_md5,
         |  count(*) AS n_blocks,
         |  cast(sum(cast(c.n > 2 AS int)) AS bigint) AS n_removed
         |FROM l2 JOIN c USING (line)
@@ -3926,9 +3928,9 @@ object ExtensionQueries {
         |l2 AS (SELECT doc_id, pos, ls[cast(pos AS int)] AS line FROM l),
         |c AS (SELECT line, count(*) AS n FROM l2 GROUP BY line)
         |SELECT l2.doc_id,
-        |  md5(array_to_string(
+        |  md5(coalesce(array_to_string(
         |    coalesce(list(l2.line ORDER BY l2.pos) FILTER (WHERE c.n <= 2), []),
-        |    chr(10))) AS kept_md5,
+        |    chr(10)), '')) AS kept_md5,
         |  count(*) AS n_lines,
         |  cast(sum(cast(c.n > 2 AS int)) AS bigint) AS n_removed
         |FROM l2 JOIN c USING (line)

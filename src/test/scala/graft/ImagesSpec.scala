@@ -114,6 +114,22 @@ class ImagesSpec extends AnyFunSuite {
     val cut = gif.take(gif.length / 2)
     Images.gifFrameCount(cut).foreach(n => assert(n >= 0))
     (0 until 5).foreach(i => Images.gifFramePixels(cut, i))
+    // longest-valid-prefix: the one-pass grid decoder must serve the
+    // same frames the per-frame probe can decode — a truncated frame k
+    // never discards the good frames 0..k-1 (nor does any cut point
+    // ever throw)
+    for (c <- 0 to gif.length by math.max(1, gif.length / 40)) {
+      val pre = gif.take(c)
+      val all = Images.gifAllFramePixelGrids(pre, nf)
+      val perFrame = Iterator.from(0)
+        .map(i => Images.gifFramePixelGrid(pre, i))
+        .takeWhile(_.isDefined).map(_.get).take(nf).toSeq
+      assert(all.length >= perFrame.length,
+        s"cut $c: one-pass served ${all.length} < per-frame ${perFrame.length}")
+      all.zip(perFrame).zipWithIndex.foreach { case (((w1, h1, p1), (w2, h2, p2)), i) =>
+        assert(w1 === w2 && h1 === h2 && p1.toSeq === p2.toSeq, s"cut $c frame $i")
+      }
+    }
     // dimension sweep incl. frames under 5 rows tall — the geometry the
     // JDK writer's default INTERLACED encoding scrambles on read-back
     // (probed: every h < 5 failed before the encoder forced

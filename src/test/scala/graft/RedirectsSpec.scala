@@ -45,6 +45,28 @@ class RedirectsSpec extends AnyFunSuite {
     assert(res(b, null) === null)
   }
 
+  test("urlResolve: RFC 3986 scheme detection — URL-in-query refs are " +
+      "relative; non-hierarchical schemes are never path-merged") {
+    val b = "https://h.example/dir/page"
+    // a relative ref whose QUERY contains a URL must resolve against
+    // the base, not pass through as a garbage 'absolute' URL
+    assert(res(b, "/out?next=https://x.com") ===
+      "https://h.example/out?next=https://x.com")
+    assert(res(b, "go?u=http://a.b/c") ===
+      "https://h.example/dir/go?u=http://a.b/c")
+    // scheme-only refs without '//' are not fetchable link targets —
+    // null, never merged into the base path
+    assert(res(b, "mailto:x@y.z") === null)
+    assert(res(b, "javascript:void(0)") === null)
+    assert(res(b, "tel:+1-555-0100") === null)
+    assert(res(b, "data:text/plain,hi") === null)
+    // hierarchical schemes still pass through, case-insensitive
+    assert(res(b, "HTTPS://X.example/P") === "HTTPS://X.example/P")
+    assert(res(b, "ftp://files.example/a") === "ftp://files.example/a")
+    // a scheme needs ALPHA first: ':' leads / digit leads → relative
+    assert(res(b, "1:2") === "https://h.example/dir/1:2")
+  }
+
   private def chains(edges: Seq[(String, String)], maxHops: Int = 32) =
     Redirects.resolveChains(edges.toDF("src", "dst"),
         col("src"), col("dst"), maxHops)

@@ -59,6 +59,28 @@ class SitemapSpec extends AnyFunSuite {
     assert(p("<url><loc/></url>") === Seq.empty)
   }
 
+  test("close tags with a shared-prefix name never close the target") {
+    // </location> must NOT close <loc>: the extension tag's text is
+    // not the loc value, and the REAL </loc> still terminates it
+    assert(p("<url><loc>https://t.example/a</loc>" +
+      "<location>ignored</location></url>") ===
+      Seq(("https://t.example/a", null, false)))
+    // a sitemap whose <loc> is (malformedly) followed by </location>
+    // first: the loc runs to the real close, swallowing the junk —
+    // degraded content, but no throw and no early truncation
+    assert(p("<url><loc>https://t.example/b</location></loc></url>") ===
+      Seq(("https://t.example/b</location>", null, false)))
+    // </urlset> never closes an open <url> block early (best-effort
+    // content to the real close still parses)
+    assert(p("<urlset><url><loc>https://t.example/c</loc></url></urlset>" +
+      "<url><loc>https://t.example/d</loc></url>") ===
+      Seq(("https://t.example/c", null, false),
+        ("https://t.example/d", null, false)))
+    // whitespace before '>' in the close tag is a valid delimiter
+    assert(p("<url><loc>https://t.example/e</loc ></url>") ===
+      Seq(("https://t.example/e", null, false)))
+  }
+
   test("SQL surface: sitemap_entries registered and struct-shaped") {
     val spark = SparkTestSession.spark
     graft.ops.GraftFunctions.register(spark)

@@ -62,9 +62,25 @@ class UrlSeenSpec extends AnyFunSuite {
     assert(stateSet(path) === before, "replay must not touch the state")
     assert(replay === first,
       "replay annotation must equal the first run (its own delta invisible)")
-    // an OLDER batch id replays too (no rewind)
+    // an OLDER batch id replays too (no rewind) — its delta exists
     annotate(Seq((7L, "https://late.example/")), path, 1L)
     assert(stateSet(path) === before)
+  }
+
+  test("out-of-order fold (skipped-then-backfilled batch) fails loudly " +
+      "instead of silently dropping its novel URLs") {
+    val path = tmp()
+    annotate(Seq((1L, "https://a.example/1")), path, 1L)
+    annotate(Seq((2L, "https://a.example/2")), path, 5L) // gap: 2-4 skipped
+    // batch 3 was never committed: below the watermark but NOT a replay
+    val e = intercept[IllegalArgumentException] {
+      annotate(Seq((9L, "https://never.example/")), path, 3L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    // the state is untouched and the committed batches still replay
+    assert(stateSet(path).map(_._1) ===
+      Set("https://a.example/1", "https://a.example/2"))
+    annotate(Seq((1L, "https://a.example/1")), path, 1L) // replay ok
   }
 
   test("compact: one delta, same state, watermark preserved") {
