@@ -1301,7 +1301,10 @@ object Dedup {
         } yield shiftleft(block(offs(i), bits(i)), 8)
           .bitwiseOR(block(offs(j), bits(j)))
       }
-    sigd.select(col("doc_id"), col("sig"), posexplode(array(keys: _*)))
+    // carry ALL input columns: hammingPairs passes (doc_id, sig);
+    // SigSeen rides its state metadata (first_seen_batch, first_doc)
+    // through the same key expansion
+    sigd.select(col("*"), posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
   }
 }

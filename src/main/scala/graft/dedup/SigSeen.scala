@@ -1,0 +1,209 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted 64-bit perceptual-signature state for ROLLING media
+  * crawls — the [[UrlSeen]] discipline generalized from exact URL
+  * equality to Hamming NEAR-match: each batch of media signatures
+  * (image dHash, per-frame animation dHash, audio fingerprint — any
+  * family [[Dedup.hammingPairs]] accepts) is judged against the
+  * standing signature index WITHOUT rescanning prior batches, and a
+  * crawler that consults it never refetches a near-dup of anything it
+  * has EVER seen, not just of this batch's cohort.
+  *
+  * Layout — log-structured deltas, identical to [[UrlSeen]]:
+  * {{{
+  *   path/delta-b<batchId>/  parquet (sig, first_seen_batch,
+  *                           first_doc) + _SUCCESS
+  * }}}
+  * The standing state holds every DISTINCT exact signature ever
+  * folded, stamped with its first batch and first document. Storing
+  * every distinct signature (not just near-dup-free "canonicals") is
+  * what makes near-judgment correct forever: near-dup is not
+  * transitive, so a future item is judged against each past signature
+  * link-by-link, and dropping a "duplicate" signature from the state
+  * would blind the index to ITS near-neighborhood. A fold writes only
+  * the batch's exactly-novel signatures — write volume ∝ novelty.
+  *
+  * Fold semantics (per batch row, deterministic):
+  *  - `seen` — the signature is within `maxHamming` of a signature
+  *    first folded in an EARLIER batch; `first_doc`/`hamming` report
+  *    the best state match (min over (hamming, batch, doc) — a total
+  *    order, so ties break identically on every run).
+  *  - `dup_in_batch` — not seen, but an earlier row of THIS batch
+  *    (smaller first doc) carries a signature within the radius;
+  *    `first_doc` is the earliest such in-radius predecessor.
+  *  - `new` — the batch's first occurrence of a signature with no
+  *    in-radius precedent anywhere.
+  * Null signatures (undecodable payloads) drop from both state and
+  * annotation — they can never be seen, and never fail a task.
+  *
+  * Idempotence and ordering are the [[UrlSeen]] contract verbatim: a
+  * batchId with a committed delta is a replay (state untouched,
+  * annotation filtered to strictly-earlier state rows — identical to
+  * the first run); a batchId at/below the watermark WITHOUT its own
+  * delta is an out-of-order backfill and fails loudly.
+  *
+  * Scale shape — the fold never shuffles the standing state: the
+  * batch collapses to its distinct signatures map-side, those are
+  * pigeonhole-expanded (the [[Dedup.hammingPairs]] table layout,
+  * pinned single-chunk here so fold N and fold N+1 always run the
+  * same plan) and BROADCAST against a single in-place scan of the
+  * state — per-fold cost is one state scan plus a broadcast
+  * proportional to the batch, not a corpus-scale exchange. (A batch
+  * too large to broadcast — hundreds of millions of distinct
+  * signatures — sets `broadcastBatch = false` for a shuffle-hash
+  * plan.) The match frame is localCheckpointed: it is consumed by
+  * both the delta write and the annotation, and is at most one row
+  * per distinct batch signature. [[compact]] merges the delta log
+  * into one generation with the min-fold heal, bounding the per-fold
+  * file count a year of rolling folds would otherwise accumulate. */
+object SigSeen {
+
+  private val deltaPrefix = "delta-b"
+
+  val schema: StructType = StructType(Seq(
+    StructField("sig", LongType),
+    StructField("first_seen_batch", LongType),
+    StructField("first_doc", LongType)))
+
+  private def fsRoot(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed (batchId, dir) deltas under `path`, unordered. */
+  private def committedDeltas(spark: SparkSession, path: String)
+      : Seq[(Long, String)] = {
+    val (fs, root) = fsRoot(spark, path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(deltaPrefix)) None
+      else scala.util.Try(n.drop(deltaPrefix.length).toLong).toOption
+        .filter(_ => fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(b => (b, st.getPath.toString))
+    }
+  }
+
+  /** Max committed batch stamp — the replay guard. */
+  def watermark(spark: SparkSession, path: String): Option[Long] = {
+    val ds = committedDeltas(spark, path)
+    if (ds.isEmpty) None else Some(ds.map(_._1).max)
+  }
+
+  /** The standing index: one row per distinct signature ever folded.
+    * Raw union of committed deltas (disjoint by the fold invariant —
+    * the [[UrlSeen.read]] rationale); [[compact]] applies the
+    * defensive min-fold heal. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val ds = committedDeltas(spark, path)
+    if (ds.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.parquet(ds.map(_._2): _*)
+        .select(col("sig"), col("first_seen_batch"), col("first_doc"))
+  }
+
+  /** Fold one media batch into the standing index and return the
+    * annotated batch: (doc_id, sig, status, first_doc, hamming) with
+    * the semantics in the object scaladoc. `hamming` is the best
+    * state-match distance for `seen` rows, null otherwise. */
+  def foldBatch(batch: DataFrame, id: Column, sig: Column, path: String,
+                batchId: Long, maxHamming: Int = 7,
+                broadcastBatch: Boolean = true): DataFrame = {
+    require(maxHamming <= 7, "radius > 7 needs a wider table design")
+    val spark = batch.sparkSession
+    val canon = batch.select(id.cast("long").as("doc_id"), sig.as("sig"))
+      .where(col("sig").isNotNull)
+      .localCheckpoint(true) // consumed by the match build AND annotation
+    val batchMin = canon.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("batch_first"))
+    // monotone-fold guard: the UrlSeen contract verbatim
+    val deltas = committedDeltas(spark, path)
+    val replay = deltas.exists(_._1 == batchId)
+    if (!replay && deltas.nonEmpty && batchId <= deltas.map(_._1).max)
+      throw new IllegalArgumentException(
+        s"out-of-order fold: batch $batchId is below the watermark " +
+          s"${deltas.map(_._1).max} but was never committed at $path — " +
+          "batches must be folded in ascending order (backfill would " +
+          "silently lose this batch's novel signatures)")
+    // ── the ONE state pass: banded near-match of batch sigs vs the
+    // strictly-earlier state (when !replay the state cannot contain
+    // rows at/above batchId, so this view doubles as the exact-novelty
+    // test for the delta — one scan serves both consumers).
+    // Single-chunk layout pinned: both layouts are exhaustive at the
+    // radius, and an auto-sampled flip between folds would make fold
+    // cost drift unattributable.
+    val bKeys0 = Dedup.simhashKeys(
+      batchMin.select(col("sig"), col("batch_first")), maxHamming,
+      wideTables = false)
+    val bKeys = if (broadcastBatch) broadcast(bKeys0) else bKeys0
+    val stKeys = Dedup.simhashKeys(
+      read(spark, path).where(col("first_seen_batch") < batchId),
+      maxHamming, wideTables = false)
+      .select(col("chunk"), col("ckey"), col("sig").as("ssig"),
+        col("first_seen_batch"), col("first_doc"))
+    val matches = stKeys.join(bKeys, Seq("chunk", "ckey"))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("ssig"))))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("sig"))
+      .agg(min(struct(col("hamming"), col("first_seen_batch"),
+          col("first_doc"))).as("m"),
+        max((col("ssig") === col("sig")).cast("int")).as("exact"))
+      .localCheckpoint(true) // ≤ one row per distinct batch signature
+    if (!replay) {
+      batchMin.join(matches.where(col("exact") === 1).select(col("sig")),
+          Seq("sig"), "left_anti")
+        .select(col("sig"), lit(batchId).as("first_seen_batch"),
+          col("batch_first").as("first_doc"))
+        .write.mode("overwrite").parquet(s"$path/$deltaPrefix$batchId")
+    }
+    // in-batch near relation: for each distinct batch signature, the
+    // earliest first-doc among its in-radius batch neighbors (itself
+    // included — near_first == batch_first means no precedent). The
+    // self-join is batch×batch on banded keys, small next to the
+    // corpus; candidates ∝ true near relations by the pigeonhole.
+    val nb = bKeys0.select(col("chunk"), col("ckey"),
+      col("sig").as("nsig"), col("batch_first").as("nfirst"))
+    val nearFirst = bKeys0.join(
+        if (broadcastBatch) broadcast(nb) else nb, Seq("chunk", "ckey"))
+      .where(bit_count(col("sig").bitwiseXOR(col("nsig"))) <= maxHamming)
+      .groupBy(col("sig"))
+      .agg(min(col("nfirst")).as("near_first"))
+    canon
+      .join(batchMin.hint("merge"), Seq("sig"))
+      .join(nearFirst.hint("merge"), Seq("sig"))
+      .join(matches.hint("shuffle_hash"), Seq("sig"), "left")
+      .select(col("doc_id"), col("sig"),
+        when(col("m").isNotNull, lit("seen"))
+          .when(col("doc_id") === col("batch_first") &&
+            col("batch_first") === col("near_first"), lit("new"))
+          .otherwise(lit("dup_in_batch")).as("status"),
+        coalesce(col("m.first_doc"), col("near_first")).as("first_doc"),
+        when(col("m").isNotNull, col("m.hamming").cast("long"))
+          .otherwise(lit(null).cast("long")).as("hamming"))
+  }
+
+  /** Merge the delta log into ONE delta at `dest` — stamped with the
+    * source watermark, min-fold healed: the [[UrlSeen.compact]]
+    * contract (only the watermark batch stays replayable after
+    * compaction; older ids fail the monotone guard loudly). */
+  def compact(spark: SparkSession, path: String, dest: String): Unit = {
+    require(path != dest, "compact to a FRESH path, then swap pointers")
+    val wm = watermark(spark, path).getOrElse(
+      throw new IllegalStateException(s"nothing committed at $path"))
+    read(spark, path)
+      .groupBy(col("sig"))
+      .agg(min(struct(col("first_seen_batch"), col("first_doc"))).as("m"))
+      .select(col("sig"),
+        col("m.first_seen_batch").as("first_seen_batch"),
+        col("m.first_doc").as("first_doc"))
+      .write.mode("overwrite").parquet(s"$dest/$deltaPrefix$wm")
+  }
+}
