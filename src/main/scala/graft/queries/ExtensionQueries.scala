@@ -1632,6 +1632,31 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Audio perceptual near-dup (energy-delta fingerprint) ─────────
+    // rows-only hash-class gate over the WAV population + both plant
+    // families; the oracled twin below pins recall on the planted
+    // pairs. Layout pinned single-chunk (the image_dedup rationale).
+    "audio_dedup" -> ((s, dir) => {
+      graft.multimodal.AudioHash.nearDupPairs(audioDedupPop(s, dir),
+          col("doc_id"), col("payload"), maxHamming = 7,
+          wideTables = Some(false))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // byte clones AND 2×-amplitude re-renders must surface at hamming
+    // 0 (energy scales exactly 4×, every delta sign survives; the
+    // pigeonhole is exhaustive at the radius) — the oracle restates
+    // both planted pair families from the synthesis arithmetic
+    "audio_dedup_recall" -> ((s, dir) => {
+      graft.multimodal.AudioHash.nearDupPairs(audioDedupPop(s, dir),
+          col("doc_id"), col("payload"), maxHamming = 7,
+          wideTables = Some(false))
+        .where(col("id_a") < lit(1000000L) &&
+          (col("id_b") === col("id_a") + lit(1000000L) ||
+            col("id_b") === col("id_a") + lit(2000000L)))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── Animation perceptual near-dup (per-frame dHash) ──────────────
     // two animations pair when ANY frame pair lands within the radius
     // (hamming = best frame match, min-aggregated so multi-signature
@@ -3457,6 +3482,39 @@ object ExtensionQueries {
       ()
     })
 
+  /** Bounded WAV population for the audio-dedup gates: per doc < 300 a
+    * 16-bit mono clip of 200 + id%50 pseudo-noise samples (id-seeded
+    * stride, values in [-100, 100]), plus two plant families on ids
+    * < 8 — byte-identical clones under +1000000 and 2×-amplitude
+    * re-renders under +2000000. The scaled plants are the PERCEPTUAL
+    * leg: different bytes, identical energy-delta signs (energy scales
+    * by exactly 4), hamming 0. */
+  private def audioDedupPop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Containers
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 300)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def clip(scale: Int): Array[Byte] = {
+          val n = (200 + id % 50).toInt
+          val data = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val v = (((i * (7 + id % 13) + id * 3) % 201) - 100).toInt * scale
+            data(2 * i) = (v & 0xFF).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          Containers.buildWav(1, 8000, 16, data)
+        }
+        val base = Seq((id, clip(1)))
+        if (id < 8)
+          base ++ Seq((id + 1000000L, clip(1)), (id + 2000000L, clip(2)))
+        else base
+      }).toDF("doc_id", "payload")
+  }
+
   private def imageDedupPop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Images
@@ -4107,6 +4165,19 @@ object ExtensionQueries {
         |    ELSE NULL END AS bigint) AS hamming
         |FROM r LEFT JOIN n USING (c)
         |ORDER BY r.doc_id""".stripMargin,
+
+    // both planted audio families land at hamming 0: byte clones
+    // trivially, 2×-amplitude re-renders because energy scales by
+    // exactly 4 and every delta sign (including ties, 0 > 0 stays
+    // false) survives a positive scale
+    "audio_dedup_recall" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM documents WHERE doc_id < 8
+        |UNION ALL
+        |SELECT doc_id, doc_id + 2000000, cast(0 AS int)
+        |FROM documents WHERE doc_id < 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // byte-identical clones of animations < 8 under +1000000: identity
     // of bytes implies identity of every frame hash → hamming 0

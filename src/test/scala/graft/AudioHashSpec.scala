@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{AudioHash, Containers}
+
+/** Audio perceptual fingerprint: golden vectors over exact window
+  * energies, amplitude/bit-depth invariance, totality, and the
+  * near-dup pair integration. */
+class AudioHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def wav16(samples: Seq[Int], rate: Int = 8000,
+                    channels: Int = 1): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    Containers.buildWav(channels, rate, 16, data)
+  }
+
+  private def wav8(samples: Seq[Int]): Array[Byte] =
+    Containers.buildWav(1, 8000, 8,
+      samples.map(v => (v + 128).toByte).toArray)
+
+  private def fp(p: Array[Byte]): Option[Long] =
+    Option(AudioHash.fingerprint64(p)).map(_.longValue)
+
+  test("golden vectors: 65 one-sample windows realize exact bit patterns") {
+    // alternating |10|,|20| energies: E_w > E_{w+1} exactly at odd w →
+    // bits 0101…01 MSB-first = 0x5555555555555555
+    val alt = Seq.tabulate(65)(i => if (i % 2 == 0) 10 else 20)
+    assert(fp(wav16(alt)) === Some(0x5555555555555555L))
+    // strictly increasing |v| → every delta negative → all bits clear
+    assert(fp(wav16(Seq.tabulate(65)(i => i + 1))) === Some(0L))
+    // strictly decreasing |v| → all bits set
+    assert(fp(wav16(Seq.tabulate(65)(i => 100 - i))) === Some(-1L))
+    // equal energies tie to 0 (strict >): constant signal → all clear,
+    // and SIGN of the sample is irrelevant (energy = v²)
+    assert(fp(wav16(Seq.tabulate(65)(i => if (i % 2 == 0) 7 else -7))) ===
+      Some(0L))
+    // one bit: single descent at window 0 → only bit 63
+    val oneBit = Seq(9) ++ Seq.fill(64)(3)
+    assert(fp(wav16(oneBit)) === Some(1L << 63))
+  }
+
+  test("floor-grid windows: multi-sample clips follow ⌊w·n/65⌋ bounds") {
+    // n = 130 → every window exactly 2 samples; pairs (a, a) give
+    // E_w = 2a²: alternating pairs of 10s and 20s → 0x5555…
+    val alt2 = Seq.tabulate(130)(i => if ((i / 2) % 2 == 0) 10 else 20)
+    assert(fp(wav16(alt2)) === Some(0x5555555555555555L))
+    // n = 131: window w spans [⌊131w/65⌋, ⌊131(w+1)/65⌋) — recompute
+    // expected signature directly from the definition
+    val s131 = Seq.tabulate(131)(i => ((i * 37) % 113) - 56)
+    val e = Array.tabulate(65) { w =>
+      val from = w * 131 / 65
+      val until = (w + 1) * 131 / 65
+      (from until until).map(i => s131(i).toLong * s131(i)).sum
+    }
+    val want = (0 until 64).foldLeft(0L)((s, w) =>
+      (s << 1) | (if (e(w) > e(w + 1)) 1L else 0L))
+    assert(fp(wav16(s131)) === Some(want))
+  }
+
+  test("invariance: amplitude scale and bit-depth requantization " +
+      "preserve the signature with different bytes") {
+    val base = Seq.tabulate(200)(i => ((i * 13) % 101) - 50)
+    val sig = fp(wav16(base)).get
+    assert(fp(wav16(base.map(_ * 3))) === Some(sig), "3× volume")
+    assert(fp(wav16(base.map(_ * -2))) === Some(sig), "inverted 2×")
+    assert(fp(wav8(base)) === Some(sig), "8-bit requantization")
+    assert(!java.util.Arrays.equals(wav16(base), wav16(base.map(_ * 3))))
+    // stereo interleave of the same mono signal doubles every window
+    // energy → same signature, PROVIDED window boundaries don't split
+    // interleaved pairs (length divisible by 65 keeps the grids
+    // aligned; arbitrary lengths drift by at most the boundary sample)
+    val aligned = Seq.tabulate(195)(i => ((i * 13) % 101) - 50)
+    assert(fp(wav16(aligned.flatMap(v => Seq(v, v)), channels = 2)) ===
+      fp(wav16(aligned)), "mono→stereo duplication")
+  }
+
+  test("totality: corrupt, non-PCM, and too-short clips decline to null") {
+    assert(fp(null) === None)
+    assert(fp(Array.emptyByteArray) === None)
+    assert(fp("RIFFgarbage".getBytes("UTF-8")) === None)
+    assert(fp(wav16(Seq.tabulate(64)(identity))) === None, "64 samples")
+    assert(fp(wav16(Seq.tabulate(65)(identity))).isDefined, "65 samples")
+    val rnd = new scala.util.Random(0xAC0057)
+    for (_ <- 0 until 500) {
+      val noise = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(noise)
+      AudioHash.fingerprint64(noise) // never throws
+    }
+    // truncation at every prefix of a valid clip
+    val good = wav16(Seq.tabulate(100)(i => i % 40))
+    for (cut <- 0 to good.length)
+      AudioHash.fingerprint64(good.take(cut))
+  }
+
+  test("nearDupPairs: planted scaled copy pairs at hamming 0; far " +
+      "clips don't pair; SQL surface registered") {
+    val base = Seq.tabulate(200)(i => ((i * 13) % 101) - 50)
+    val rows = Seq(
+      (1L, wav16(base)),
+      (2L, wav16(base.map(_ * 2))),             // scaled → hamming 0
+      (3L, wav16(Seq.tabulate(200)(i => ((i * 29 + 7) % 97) - 48))), // unrelated
+      (4L, "not audio".getBytes("UTF-8")))      // null sig → no pair
+    val pairs = AudioHash.nearDupPairs(
+        rows.toDF("doc_id", "payload"), col("doc_id"), col("payload"),
+        maxHamming = 2, wideTables = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    graft.ops.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT audio_fingerprint64(payload) AS s FROM " +
+        "(SELECT cast(null AS binary) AS payload)").head()
+    assert(viaSql.isNullAt(0))
+  }
+}
