@@ -2365,6 +2365,51 @@ object ExtensionQueries {
         .orderBy(col("url_canon"))
     }),
 
+    // Redirect-AWARE frontier judging — closes the loop between
+    // resolveChains and UrlSeen: a discovered URL whose fetch
+    // 3xx-redirects to an already-crawled final URL must come back
+    // 'seen', not re-enter the frontier as 'new'. Candidates resolve
+    // through the redirect map first (pointer doubling; the planted
+    // 2-hop chains prove composition, not just single edges) and the
+    // fold judges coalesce(final_url, url). The oracle replays chain
+    // resolution AND the state arithmetic from scratch: even-k
+    // redirect targets land on the batch-1 canonical set (seen, with
+    // the STATE's first doc = k), odd-k targets and direct URLs are
+    // novel and split new/dup_in_batch by batch-min doc.
+    "frontier_redirect" -> ((s, dir) => {
+      val statePath = frontierRedirectStateFor(s, dir)
+      val docs = Tables(s, dir, "documents")
+      val k = col("doc_id") % 80
+      val edges = docs.select(
+          concat(lit("https://r.example/go/"), k).as("src"),
+          when(k % 2 === 0,
+            concat(lit("https://site"), k % 25, lit(".example/p/"), k))
+            .otherwise(concat(lit("https://new.example/land/"), k))
+            .as("dst"))
+        .unionByName(docs.select(
+          concat(lit("https://r.example/hop/"), k).as("src"),
+          concat(lit("https://r.example/go/"), k).as("dst")))
+      val cand = docs.select(col("doc_id"),
+          concat(lit("https://r.example/go/"), k).as("url"))
+        .unionByName(docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            concat(lit("https://r.example/hop/"), k).as("url")))
+        .unionByName(docs.select(col("doc_id"),
+          concat(lit("https://direct.example/d/"), col("doc_id") % 30)
+            .as("url")))
+      val res = graft.ingest.Redirects.resolveChains(
+        edges, col("src"), col("dst"))
+      val judged = cand
+        .select(col("doc_id"),
+          graft.ops.HtmlExprs.urlNormalize(col("url")).as("u"))
+        .join(res.hint("shuffle_hash"), col("u") === col("url"), "left")
+        .select(col("doc_id"),
+          coalesce(col("final_url"), col("u")).as("target"))
+      graft.dedup.UrlSeen.foldBatch(judged, col("doc_id"),
+          col("target"), statePath, 2L)
+        .orderBy(col("doc_id"), col("url_canon"))
+    }),
+
     // Frontier politeness SCHEDULE — the step after frontier
     // construction: per-host fetch plan under crawl-delay. Hosts keyed
     // by urlHost; the per-host cap rides the zero-driver-state
@@ -3382,6 +3427,18 @@ object ExtensionQueries {
     * JVM replay batch 2 idempotently — the fold contract makes the
     * memoized state safe to re-judge. */
   private val frontierStateFor = new IndexCache("graft_gate_frontier",
+    (s, dir, path) => {
+      graft.dedup.UrlSeen.foldBatch(urlSpellings(s, dir),
+        col("doc_id"), col("url"), path, 1L)
+      ()
+    })
+
+  /** Separate standing state for the redirect-aware frontier gate: it
+    * folds its OWN batch 2, and two gates sharing one path would each
+    * see the other's committed batch-2 delta as a replay of different
+    * content. */
+  private val frontierRedirectStateFor = new IndexCache(
+    "graft_gate_frontier_redirect",
     (s, dir, path) => {
       graft.dedup.UrlSeen.foldBatch(urlSpellings(s, dir),
         col("doc_id"), col("url"), path, 1L)
@@ -6403,6 +6460,38 @@ object ExtensionQueries {
         |SELECT u AS url_canon, cast(min(doc_id) AS bigint) AS first_doc
         |FROM cand WHERE u NOT IN (SELECT u FROM seen)
         |GROUP BY u ORDER BY u""".stripMargin,
+
+    // from-scratch replay of redirect resolution + state judging: the
+    // go/hop candidates of even k chain (1 and 2 hops) onto the
+    // batch-1 canonical URL site(k%25)/p/k, whose state first_doc is
+    // min{d : d%125 = k} = k (docs are contiguous from 0); odd-k
+    // chains land on never-seen land/k, and direct candidates never
+    // resolve — both judged within the batch by min doc
+    "frontier_redirect" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id % 80 AS k, 'go' AS kind FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id % 80, 'hop' FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id % 30, 'direct' FROM documents),
+        |t AS (
+        |  SELECT doc_id, kind, k,
+        |    CASE WHEN kind = 'direct'
+        |           THEN 'https://direct.example/d/' || k
+        |         WHEN k % 2 = 0
+        |           THEN 'https://site' || (k % 25) || '.example/p/' || k
+        |         ELSE 'https://new.example/land/' || k END AS url_canon
+        |  FROM c),
+        |f AS (SELECT url_canon, min(doc_id) AS bf FROM t GROUP BY url_canon)
+        |SELECT t.doc_id, t.url_canon,
+        |  CASE WHEN t.kind <> 'direct' AND t.k % 2 = 0 THEN 'seen'
+        |       WHEN t.doc_id = f.bf THEN 'new'
+        |       ELSE 'dup_in_batch' END AS status,
+        |  cast(CASE WHEN t.kind <> 'direct' AND t.k % 2 = 0 THEN t.k
+        |       ELSE f.bf END AS bigint) AS first_doc
+        |FROM t JOIN f USING (url_canon)
+        |ORDER BY t.doc_id, t.url_canon""".stripMargin,
 
     // from-scratch recompute of the standing index: first_seen_batch =
     // the earliest batch (doc_id % 3 + 1) containing the canonical
