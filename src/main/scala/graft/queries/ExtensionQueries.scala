@@ -2445,6 +2445,58 @@ object ExtensionQueries {
         .orderBy(col("host"), col("seq"))
     }),
 
+    // Recrawl SCHEDULING from sitemap change signals — frontier_schedule
+    // extended to consume <lastmod>: entries parse from real sitemap
+    // XML (the kernel carries lastmod verbatim), the consumer applies
+    // the typed cast the parser deliberately does not (try_cast to
+    // DATE — malformed and missing lastmod land in the DEFAULT tier 1,
+    // never drop), and the per-host politeness cap prioritizes
+    // STALE-first: tier 0 = lastmod before the cutoff, 1 = unknown
+    // (conservative middle), 2 = fresh. Within-host order rides the
+    // pack idiom; delays join as a broadcast dim. The oracle replays
+    // tier, cap, order, and delay arithmetic with a ranked window,
+    // restating tiers from the synthesis arithmetic (not re-parsing).
+    "recrawl_schedule" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val v = col("doc_id") % 4
+      val xml = concat(
+        lit("<urlset><url><loc>https://f"), col("doc_id") % 7,
+        lit(".example/page/"), col("doc_id") % 40, lit("</loc>"),
+        when(v === 0, lit("<lastmod>2025-06-15</lastmod>"))
+          .when(v === 1, concat(lit("<lastmod>2026-02-0"),
+            (col("doc_id") % 40) % 9 + 1, lit("</lastmod>")))
+          .when(v === 2, lit("<lastmod>totally fresh!</lastmod>"))
+          .otherwise(lit("")),
+        lit("</url></urlset>"))
+      val entries = docs.select(col("doc_id"),
+          explode(graft.ops.SitemapExprs.sitemapEntries(xml)).as("e"))
+        .select(col("doc_id"), col("e.loc").as("url"),
+          expr("try_cast(e.lastmod AS DATE)").as("lm"))
+      val urls = entries.groupBy(col("url"))
+        .agg(min(col("doc_id")).as("first_doc"), max(col("lm")).as("lm"))
+        .select(col("url"), col("first_doc"),
+          when(col("lm").isNull, lit(1))
+            .when(col("lm") < lit("2026-01-01").cast("date"), lit(0))
+            .otherwise(lit(2)).cast("int").as("tier"),
+          graft.ops.HtmlExprs.urlHost(col("url")).as("host"))
+      val capped = graft.text.BudgetSelect.takeTopPerGroupUniform(
+        urls, col("host"), col("url"),
+        -(col("tier").cast("long") * 1000000L + col("first_doc")), m = 3)
+      val robots = docs.select((col("doc_id") % 7).as("i")).distinct()
+        .select(concat(lit("f"), col("i"), lit(".example")).as("host"),
+          (lit(500) + col("i") * 100).cast("long").as("delay_ms"))
+      capped.groupBy(col("host"))
+        .agg(sort_array(collect_list(
+          struct(col("tier"), col("first_doc"), col("url")))).as("q"))
+        .select(col("host"), posexplode(col("q")))
+        .select(col("host"), col("pos").cast("int").as("seq"),
+          col("col.url").as("url_canon"), col("col.tier").as("tier"),
+          col("col.first_doc").as("first_doc"))
+        .join(broadcast(robots), Seq("host"))
+        .withColumn("planned_ms", col("seq") * col("delay_ms"))
+        .orderBy(col("host"), col("seq"))
+    }),
+
     // Rolling-crawl URL dedup: the standing canonical-URL index after
     // three ordered batch folds PLUS a replayed fold of batch 2 (the
     // watermark guard makes it a no-op). Output = the index itself;
@@ -6492,6 +6544,33 @@ object ExtensionQueries {
         |       ELSE f.bf END AS bigint) AS first_doc
         |FROM t JOIN f USING (url_canon)
         |ORDER BY t.doc_id, t.url_canon""".stripMargin,
+
+    // tier, cap, order, and delay replayed with a ranked window; the
+    // URL is keyed by doc_id % 280 (CRT over %7 host and %40 page) and
+    // the tier restated from the synthesis arithmetic — stale for
+    // u%4=0, fresh for u%4=1, DEFAULT tier for the malformed (u%4=2)
+    // and missing (u%4=3) lastmod variants
+    "recrawl_schedule" ->
+      """WITH u0 AS (
+        |  SELECT doc_id % 280 AS u, min(doc_id) AS first_doc
+        |  FROM documents GROUP BY 1),
+        |e AS (
+        |  SELECT u, first_doc,
+        |    'https://f' || (u % 7) || '.example/page/' || (u % 40)
+        |      AS url_canon,
+        |    'f' || (u % 7) || '.example' AS host,
+        |    u % 7 AS i,
+        |    CASE WHEN u % 4 = 0 THEN 0 WHEN u % 4 = 1 THEN 2
+        |         ELSE 1 END AS tier
+        |  FROM u0),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY host ORDER BY tier, first_doc) AS rn FROM e)
+        |SELECT host, cast(rn - 1 AS int) AS seq, url_canon,
+        |  cast(tier AS int) AS tier,
+        |  cast(first_doc AS bigint) AS first_doc,
+        |  cast(500 + i * 100 AS bigint) AS delay_ms,
+        |  cast((rn - 1) * (500 + i * 100) AS bigint) AS planned_ms
+        |FROM r WHERE rn <= 3 ORDER BY host, seq""".stripMargin,
 
     // from-scratch recompute of the standing index: first_seen_batch =
     // the earliest batch (doc_id % 3 + 1) containing the canonical
