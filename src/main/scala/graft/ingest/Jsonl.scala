@@ -54,4 +54,72 @@ object Jsonl {
     parse(spark.read.text(path), col("value"), schema)
       .where(col("r._corrupt_record").isNotNull || col("r").isNull)
       .select(col("__line").as("_corrupt_record"))
+
+  /** JSONL corpus EXPORT — the write side of the interchange loop
+    * (trainers consume JSONL shards): `record` (a struct column)
+    * serializes via `to_json` one object per line into
+    * `part-<pid>-<seq>.jsonl[.gz]` shards of at most
+    * `maxRecordsPerFile` records, plus a `_manifest` parquet
+    * (file, n_records, bytes) — the [[Warc.wetExport]] conventions:
+    * one pass (the task that wrote a shard reports its own counts, so
+    * the manifest can never disagree with the files), whole-shard
+    * gzip (which `spark.read.text` decodes transparently on
+    * re-ingest), and a destructive overwrite of `path`.
+    *
+    * Round-trip exactness is to_json/from_json's: JSON string
+    * escaping is lossless for any UTF-8 text, null fields are omitted
+    * on write and read back as null, and struct field order is
+    * preserved — pinned by the jsonl_export gate's md5 comparison. */
+  def export(spark: SparkSession, docs: DataFrame, record: Column,
+             path: String, maxRecordsPerFile: Int = 1000,
+             gzip: Boolean = false): Unit = {
+    import spark.implicits._
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val dfs = root.getFileSystem(hconf)
+    if (dfs.exists(root)) dfs.delete(root, true)
+    dfs.mkdirs(root)
+    val ser = new SerConf(hconf)
+    val suffix = if (gzip) ".jsonl.gz" else ".jsonl"
+    val manifest = docs
+      .select(to_json(record).as("j")).as[String]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(ser.conf)
+        it.grouped(maxRecordsPerFile).zipWithIndex.map { case (chunk, seq) =>
+          val name = f"part-$pid%05d-$seq%04d$suffix"
+          val raw = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
+          val out = if (gzip)
+            new java.util.zip.GZIPOutputStream(raw) else raw
+          var bytes = 0L
+          try chunk.foreach { line =>
+            val b = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.write(b); bytes += b.length
+          } finally out.close()
+          (name, chunk.size.toLong, bytes)
+        }
+      }
+      .toDF("file", "n_records", "bytes")
+    // writing the manifest is what executes the export (the wetExport
+    // one-pass discipline); `bytes` counts UNCOMPRESSED line bytes —
+    // the quantity the re-ingest sees
+    manifest.orderBy(col("file")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** Hadoop Configuration is not Serializable; ship it via its own
+    * Writable wire form (the Warc.SerHadoopConf workaround). */
+  private class SerConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.Tables
 import graft.dedup.Dedup
@@ -2155,6 +2156,35 @@ object ExtensionQueries {
         .select(regexp_extract(col("record_id"), "conv-(\\d+)", 1)
             .cast("long").as("doc_id"),
           md5(col("body")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSONL export → re-ingest round trip beside wet_roundtrip: the
+    // corpus ships as gzip JSONL shards (+ one-pass _manifest) and
+    // reads back through the PERMISSIVE parser with an explicit
+    // schema; every column must survive the wire byte-exactly (md5 on
+    // text — JSON string escaping is lossless; null text is omitted on
+    // write, null on read, null md5 on both sides). The manifest's
+    // record total is cross-checked against the row count — a shard
+    // writer that dropped or duplicated lines cannot balance both.
+    "jsonl_export" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_gate").toString
+      graft.ingest.Jsonl.export(s, Tables(s, dir, "documents"),
+        struct(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")),
+        out, maxRecordsPerFile = 100, gzip = true)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val back = graft.ingest.Jsonl.readClean(s, out + "/part-*.jsonl.gz",
+        schema)
+      val total = s.read.parquet(out + "/_manifest")
+        .agg(sum(col("n_records")).cast("long").as("manifest_rows"))
+      back.select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .crossJoin(broadcast(total))
         .orderBy(col("doc_id"))
     }),
 
@@ -5865,6 +5895,15 @@ object ExtensionQueries {
       """SELECT doc_id,
         |  'https://w.example/' || doc_id AS target_uri,
         |  md5(coalesce(text, '')) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every column restated from the source table (null text → null
+    // md5, matching JSON null-field omission), and the manifest total
+    // must equal the corpus row count on every output row
+    "jsonl_export" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars,
+        |  (SELECT cast(count(*) AS bigint) FROM documents)
+        |    AS manifest_rows
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // every revisit column and the digest verdict restated from the

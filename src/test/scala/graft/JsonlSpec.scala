@@ -73,4 +73,47 @@ class JsonlSpec extends AnyFunSuite {
     assert(spark.table("jsonl_stream_out").collect()
       .map(_.getLong(0)).toSet === Set(1L, 2L))
   }
+
+  test("export: shard + manifest round trip, gzip, hostile text, " +
+      "record cap honored") {
+    val out = Files.createTempDirectory("graft_jsonl_export").toString
+    // text exercising JSON escaping: quotes, backslash, newline, tab,
+    // control char, astral unicode, and a null
+    val docs = Seq(
+      (1L, "plain"),
+      (2L, "quo\"te \\ back\nnew\tlinectl"),
+      (3L, "astral 😀 é accents"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),
+      (6L, "six"), (7L, "seven")).toDF("id", "text")
+    Jsonl.export(spark, docs.repartition(1),
+      struct(col("id"), col("text")), out,
+      maxRecordsPerFile = 3, gzip = true)
+    // 7 records at cap 3 in one partition → 3 shards; manifest agrees
+    val man = spark.read.parquet(out + "/_manifest")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(man.length === 3)
+    assert(man.map(_._2).sum === 7L)
+    assert(man.forall(_._2 <= 3L))
+    assert(man.forall(_._1.endsWith(".jsonl.gz")))
+    // byte-exact round trip through the reader (gzip transparent)
+    val back = Jsonl.readClean(spark, out + "/part-*.jsonl.gz", schema)
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back === Map(1L -> "plain",
+      2L -> "quo\"te \\ back\nnew\tlinectl",
+      3L -> "astral 😀 é accents", 4L -> null, 5L -> "",
+      6L -> "six", 7L -> "seven"))
+    // uncompressed export reads back identically too
+    val out2 = Files.createTempDirectory("graft_jsonl_export2").toString
+    Jsonl.export(spark, docs, struct(col("id"), col("text")), out2,
+      maxRecordsPerFile = 100, gzip = false)
+    val back2 = Jsonl.readClean(spark, out2 + "/part-*.jsonl", schema)
+    assert(back2.count() === 7L)
+    // export is a destructive overwrite: re-export leaves no stale shard
+    Jsonl.export(spark, docs.where(col("id") <= 2),
+      struct(col("id"), col("text")), out2, maxRecordsPerFile = 100)
+    assert(Jsonl.readClean(spark, out2 + "/part-*.jsonl", schema)
+      .count() === 2L)
+  }
 }
