@@ -77,7 +77,14 @@ object Bench {
     "sitemap_parse", "anchor_targets", "frontier_pipeline",
     "frontier_schedule",
     "robots_meta", "dedup_keep_best", "warc_quarantine", "crawl_budget",
-    "anchor_texts")
+    "anchor_texts",
+    // round 18: media/audio rolling dedup, redirect-aware frontier,
+    // lastmod recrawl tiers, and the end-to-end corpus capstone (its
+    // JSONL ship stage is part of the measured pipeline — unlike the
+    // pure round-trip gates wet_roundtrip/jsonl_export, which stay
+    // correctness loops)
+    "audio_dedup", "audio_dedup_recall", "image_dedup_incremental",
+    "frontier_redirect", "recrawl_schedule", "corpus_build_pipeline")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before
@@ -147,7 +154,8 @@ object Bench {
       "weighted_quantiles_incremental", "profile_drift",
       "corpus_budget_incremental", "corpus_budget_incremental_by_source",
       "corpus_mix_temperature_incremental",
-      "corpus_mix_temperature_epochs_incremental")
+      "corpus_mix_temperature_epochs_incremental",
+      "image_dedup_incremental", "frontier_redirect")
       .filter(selected)
     // build_sec is a SINGLE invocation (no min-of-3 to shed warmup), so
     // first pay the janino/codegen compile of these plans against the

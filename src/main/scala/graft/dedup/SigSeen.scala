@@ -190,6 +190,28 @@ object SigSeen {
           .otherwise(lit(null).cast("long")).as("hamming"))
   }
 
+  /** Post-fold lifecycle telemetry — the
+    * [[Dedup.appendToMinhashIndex]] IndexHealth contract over the
+    * delta-log layout: `files` counts parquet files across COMMITTED
+    * deltas (the compaction signal — every fold adds at least one, and
+    * reads open them all), `keys` the distinct signatures, and
+    * `maxList`/`skew` the duplicate-key degree, which an in-contract
+    * writer keeps at exactly 1.0 — above 1.0 means out-of-contract
+    * writes that [[compact]]'s min-fold will heal. O(index) — pace
+    * calls at the orchestration layer, never per micro-fold. */
+  def health(spark: SparkSession,
+             path: String): graft.meta.PipelineMetrics.IndexHealth = {
+    val ds = committedDeltas(spark, path)
+    val (fs, _) = fsRoot(spark, path)
+    val files = ds.map { case (_, d) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    graft.meta.PipelineMetrics
+      .indexHealth(read(spark, path), col("sig"), path)
+      .copy(files = files)
+  }
+
   /** Merge the delta log into ONE delta at `dest` — stamped with the
     * source watermark, min-fold healed: the [[UrlSeen.compact]]
     * contract (only the watermark batch stays replayable after

@@ -153,6 +153,24 @@ object UrlSeen {
         coalesce(col("seen_doc"), col("batch_first")).as("first_doc"))
   }
 
+  /** Post-fold lifecycle telemetry — the [[SigSeen.health]] contract
+    * over URL state: `files` across committed deltas (compaction
+    * signal), `keys` distinct canonical URLs, `maxList`/`skew` the
+    * duplicate-key degree an in-contract writer keeps at 1.0 (above:
+    * out-of-contract writes [[compact]]'s min-fold heals). O(index). */
+  def health(spark: SparkSession,
+             path: String): graft.meta.PipelineMetrics.IndexHealth = {
+    val ds = committedDeltas(spark, path)
+    val (fs, _) = fsRoot(spark, path)
+    val files = ds.map { case (_, d) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    graft.meta.PipelineMetrics
+      .indexHealth(read(spark, path), col("url_canon"), path)
+      .copy(files = files)
+  }
+
   /** Merge the delta log into ONE delta at `dest` (stamped with the
     * source's watermark, so replay guarding survives compaction for
     * the WATERMARK batch — the only one a crash-retry can replay;

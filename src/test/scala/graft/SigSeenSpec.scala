@@ -137,6 +137,39 @@ class SigSeenSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SigSeen.compact(spark, dest, dest))
   }
 
+  test("health telemetry: files grow per fold, replay adds none, " +
+      "compaction collapses them; out-of-contract dup keys heal") {
+    val path = tmp()
+    annotate(Seq((1L, words(0)), (2L, words(1))), path, 1L)
+    val h1 = SigSeen.health(spark, path)
+    assert(h1.keys === 2L && h1.rows === 2L && h1.skew === 1.0)
+    assert(h1.files >= 1)
+    annotate(Seq((3L, words(2))), path, 2L)
+    val h2 = SigSeen.health(spark, path)
+    assert(h2.keys === 3L && h2.files > h1.files,
+      "every fold must add at least one delta file")
+    annotate(Seq((3L, words(2))), path, 2L) // replay
+    assert(SigSeen.health(spark, path).files === h2.files,
+      "a replay must not add files")
+    // an out-of-contract writer (e.g. two uncoordinated jobs) plants a
+    // duplicate signature; health flags it, compact() heals it
+    SigSeen.read(spark, path).where(col("sig") === words(0))
+      .select(col("sig"), lit(9L).as("first_seen_batch"),
+        lit(999L).as("first_doc"))
+      .write.parquet(path + "/delta-b9")
+    val sick = SigSeen.health(spark, path)
+    assert(sick.maxList === 2L && sick.skew > 1.0,
+      s"duplicate key must surface in health: $sick")
+    val dest = tmp()
+    SigSeen.compact(spark, path, dest)
+    val healed = SigSeen.health(spark, dest)
+    assert(healed.maxList === 1L && healed.skew === 1.0 &&
+      healed.keys === 3L)
+    // min-fold kept the ORIGINAL stamp, not the rogue one
+    assert(stateSet(dest).contains((words(0), 1L, 1L)))
+    assert(healed.files < sick.files)
+  }
+
   test("delta-log stress: 30 ordered folds — novelty-only growth, " +
       "from-scratch equivalence, replay after compaction") {
     val path = tmp()

@@ -98,6 +98,23 @@ class UrlSeenSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](UrlSeen.compact(spark, dest, dest))
   }
 
+  test("health telemetry mirrors the SigSeen lifecycle contract") {
+    val path = tmp()
+    annotate(Seq((1L, "https://a.example/1"),
+      (2L, "https://a.example/2")), path, 1L)
+    val h1 = UrlSeen.health(spark, path)
+    assert(h1.keys === 2L && h1.skew === 1.0 && h1.files >= 1)
+    annotate(Seq((3L, "https://a.example/3")), path, 2L)
+    val h2 = UrlSeen.health(spark, path)
+    assert(h2.keys === 3L && h2.files > h1.files)
+    annotate(Seq((3L, "https://a.example/3")), path, 2L) // replay
+    assert(UrlSeen.health(spark, path).files === h2.files)
+    val dest = tmp()
+    UrlSeen.compact(spark, path, dest)
+    val hc = UrlSeen.health(spark, dest)
+    assert(hc.keys === 3L && hc.files < h2.files && hc.skew === 1.0)
+  }
+
   test("unparseable URLs drop; cold read is empty with schema") {
     val path = tmp()
     val empty = UrlSeen.read(spark, path)
