@@ -84,7 +84,8 @@ object Bench {
     // pure round-trip gates wet_roundtrip/jsonl_export, which stay
     // correctness loops)
     "audio_dedup", "audio_dedup_recall", "image_dedup_incremental",
-    "frontier_redirect", "recrawl_schedule", "corpus_build_pipeline")
+    "frontier_redirect", "recrawl_schedule", "corpus_build_pipeline",
+    "warc_cdx_fetch")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

@@ -531,6 +531,219 @@ object Warc {
       .toDF("file_id")
   }
 
+  // ───────────────────────── CDX byte-offset index ──────────────────
+  // Random-access archive retrieval — the capability web archives ship
+  // as CDX/CDXJ next to every `.warc.gz`: one index row per record
+  // carrying the byte span of its gzip MEMBER, so a reader fetches ONE
+  // record with a ranged read + a single-member gunzip instead of
+  // streaming the shard from byte 0. At 100 TB this is the difference
+  // between "re-extract one page" costing a 1 GB shard scan and
+  // costing a ~10 KB ranged fetch; it is also what makes the standing
+  // WARC corpus a random-access TABLE (index once, point-read forever)
+  // rather than a scan-only log.
+
+  /** One CDX index row. `offset`/`length` address the record's byte
+    * span in the STORED payload: the gzip member for `.warc.gz` (the
+    * Common Crawl one-record-per-member convention), the record's own
+    * bytes for plain `.warc`. `memberOrdinal` is the record's ordinal
+    * WITHIN its span — 0 for spec-conforming archives; a
+    * non-conforming writer that packs several records into one member
+    * still indexes correctly ([[fetchRecord]] skips `memberOrdinal`
+    * records after decompressing the span). */
+  final case class CdxEntry(
+      recIdx: Int,
+      offset: Long,
+      length: Long,
+      memberOrdinal: Int,
+      warcType: String,
+      recordId: String,
+      targetUri: Option[String],
+      date: String)
+
+  /** Length of the gzip member HEADER at `o` (RFC 1952: 10 fixed bytes
+    * plus optional FEXTRA/FNAME/FCOMMENT/FHCRC fields), or -1 when the
+    * bytes at `o` are not a well-formed deflate-method gzip header. */
+  private def gzipHeaderLen(b: Array[Byte], o: Int): Int = {
+    if (o + 10 > b.length) return -1
+    if ((b(o) & 0xFF) != 0x1F || (b(o + 1) & 0xFF) != 0x8B ||
+        b(o + 2) != 8) return -1
+    val flg = b(o + 3) & 0xFF
+    var p = o + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + bytes
+      if (p + 2 > b.length) return -1
+      p += 2 + ((b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8))
+      if (p > b.length) return -1
+    }
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC: 2 bytes
+      p += 2
+      if (p > b.length) return -1
+    }
+    p - o
+  }
+
+  /** Walk the gzip members of `payload`: (offset, length, decompressed
+    * bytes) per member, in file order. TOTAL — a malformed header,
+    * corrupt deflate data, a truncated trailer, or a member whose
+    * inflation exceeds [[MaxAssemblyBytes]] (a decompression bomb is
+    * not a member, it's an attack) ends the walk with the members
+    * already yielded. Each member inflates exactly once, through a
+    * raw `Inflater(nowrap)` so the compressed-byte count that DEFINES
+    * the member's span is read off the inflater itself. */
+  private def memberWalk(payload: Array[Byte])
+      : Iterator[(Long, Long, Array[Byte])] =
+    new Iterator[(Long, Long, Array[Byte])] {
+      private var off = 0
+      private var nextM: (Long, Long, Array[Byte]) = null
+      private var done = false
+      private def advance(): Unit =
+        if (nextM == null && !done) {
+          if (off >= payload.length) { done = true; return }
+          val hl = gzipHeaderLen(payload, off)
+          if (hl < 0) { done = true; return }
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(payload, off + hl, payload.length - off - hl)
+            val out = new ByteArrayOutputStream()
+            val chunk = new Array[Byte](64 * 1024)
+            var ok = true
+            while (ok && !inf.finished()) {
+              val n =
+                try inf.inflate(chunk)
+                catch { case _: java.util.zip.DataFormatException =>
+                  ok = false; 0 }
+              if (n > 0) {
+                if (out.size().toLong + n > MaxAssemblyBytes) ok = false
+                else out.write(chunk, 0, n)
+              } else if (ok && !inf.finished()) {
+                // inflate()==0 while unfinished ⇒ needsInput (we already
+                // supplied every remaining byte: truncated stream) or a
+                // preset-dictionary request gzip never makes — malformed
+                ok = false
+              }
+            }
+            if (!ok) { done = true; return }
+            // 8-byte CRC32+ISIZE trailer closes the member
+            val end = off.toLong + hl + inf.getBytesRead + 8
+            if (end > payload.length) { done = true; return }
+            nextM = (off.toLong, end - off, out.toByteArray)
+            off = end.toInt
+          } finally inf.end()
+        }
+      override def hasNext: Boolean = { advance(); nextM != null }
+      override def next(): (Long, Long, Array[Byte]) = {
+        advance()
+        if (nextM == null) throw new NoSuchElementException("member walk")
+        val m = nextM
+        nextM = null
+        m
+      }
+    }
+
+  /** The CDX index of one payload: one entry per record, byte spans as
+    * documented on [[CdxEntry]]. TOTAL (longest valid prefix, the
+    * [[parseWarc]] convention): a malformed member / record ends the
+    * walk with the entries already indexed — including a member that
+    * inflates but parses to zero records, which marks the archive
+    * malformed AT that span rather than silently skipping bytes the
+    * index would then misaddress. */
+  def cdxEntries(payload: Array[Byte]): Seq[CdxEntry] = {
+    if (payload == null) return Seq.empty
+    val out = Seq.newBuilder[CdxEntry]
+    var idx = 0
+    if (isGzip(payload)) {
+      val members = memberWalk(payload)
+      var halted = false
+      while (!halted && members.hasNext) {
+        val (off, len, bytes) = members.next()
+        val recs = parseWarc(bytes)
+        if (recs.isEmpty) halted = true
+        else recs.zipWithIndex.foreach { case (r, mo) =>
+          out += CdxEntry(idx, off, len, mo, r.warcType, r.recordId,
+            r.targetUri, r.date)
+          idx += 1
+        }
+      }
+    } else {
+      var pos = 0L
+      var halted = false
+      while (!halted && pos < payload.length) {
+        parseOne(payload, pos.toInt, payload.length, idx) match {
+          case Some((r, next)) =>
+            out += CdxEntry(idx, pos, next - pos, 0, r.warcType,
+              r.recordId, r.targetUri, r.date)
+            idx += 1
+            pos = next
+          case None => halted = true
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Random-access record retrieval: decode ONLY the `[offset,
+    * offset+length)` span — the read a CDX consumer issues as an HTTP
+    * range request — and return its `memberOrdinal`-th record. None
+    * when the span is out of bounds or does not parse (a stale index
+    * against a rewritten shard degrades to a classifiable miss, never
+    * a task failure). */
+  def fetchRecord(payload: Array[Byte], offset: Long, length: Long,
+                  memberOrdinal: Int = 0): Option[WarcRecord] = {
+    if (payload == null || offset < 0 || length <= 0 ||
+        memberOrdinal < 0 || offset + length > payload.length) return None
+    val slice = java.util.Arrays.copyOfRange(
+      payload, offset.toInt, (offset + length).toInt)
+    val it = recordIterator(slice)
+    def pick(i: Iterator[WarcRecord]): Option[WarcRecord] = {
+      var skip = memberOrdinal
+      while (skip > 0 && i.hasNext) { i.next(); skip -= 1 }
+      if (i.hasNext) Some(i.next()) else None
+    }
+    it match {
+      case s: WarcStreamIterator => try pick(s) finally s.close()
+      case i                     => pick(i)
+    }
+  }
+
+  /** One row of [[cdxIndex]]. */
+  final case class CdxRow(
+      file_id: Long,
+      rec_idx: Int,
+      offset: Long,
+      length: Long,
+      member_ord: Int,
+      warc_type: String,
+      record_id: String,
+      target_uri: Option[String],
+      date_s: String)
+
+  /** Spark surface: the CDX index of a (file id, payload) frame — one
+    * narrow pass ([[recordTable]]'s shape), one row per record with
+    * its retrieval span. Persist next to the shards and every later
+    * point-read is an O(record) ranged fetch through [[fetchRecord]]
+    * instead of an O(shard) stream. */
+  def cdxIndex(spark: SparkSession, files: DataFrame,
+               fileId: Column, payload: Column): DataFrame = {
+    import spark.implicits._
+    files.select(fileId.cast("long").as("f"), payload.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        cdxEntries(bytes).map(e => CdxRow(id, e.recIdx, e.offset,
+          e.length, e.memberOrdinal, e.warcType, e.recordId, e.targetUri,
+          e.date))
+      })
+      .toDF()
+  }
+
   /** Spark surface: explode a (file id, WARC payload) frame into one
     * row per record — the crawl-shard → document boundary. Narrow
     * (mapPartitions, no shuffle); plain and gzip shards mix freely in

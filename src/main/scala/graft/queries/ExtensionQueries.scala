@@ -279,6 +279,92 @@ object ExtensionQueries {
         .crossJoin(broadcast(uncast))
     }))
 
+  /** Stages A-E of the corpus capstone, shared by `corpus_build_pipeline`
+    * and its incremental twin: crawl & select over `crawl` (a (doc_id,
+    * payload) shard frame) -> span removal -> exact dedup +
+    * decontamination -> content-keyed split -> chunk, pack, and JSONL
+    * ship; returns the per-bin summary with the shipped-row total on
+    * every row. All selection-relative arithmetic (per-host caps, span
+    * df counts, bin packing) is computed WITHIN the given crawl subset. */
+  private def corpusBuildSummary(s: SparkSession, dir: String,
+      crawl: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.{Decontaminate, Packing}
+      // A — crawl & select: one materialized ingest pass
+      val gated = graft.ingest.Warc.recordTable(s, crawl,
+          col("doc_id"), col("payload"))
+        .where(col("warc_type") === "response")
+        .select(col("file_id").as("doc_id"),
+          graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
+          graft.ops.HtmlExprs.htmlMainText(graft.ops.HtmlExprs
+            .charsetDecode(col("http_content_type"), col("body")))
+            .as("main"))
+        .select(col("doc_id"), col("host"), col("main"),
+          graft.ops.TextExprs.gopherStats(col("main")).getField("pass")
+            .cast("long").as("gopher_pass"))
+        .localCheckpoint(true)
+      val modeled = graft.text.BatchScore.score(s, gated, col("doc_id"),
+          col("main"), batchSize = 53)
+        .select(col("id").as("doc_id"), col("score_ppm").as("model_ppm"))
+      val scored = gated.join(modeled, Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("main"),
+          (col("model_ppm") * col("gopher_pass")).as("q_ppm"))
+      val capped = graft.text.BudgetSelect.takeTopPerGroupUniform(scored,
+          col("host"), col("doc_id"), col("q_ppm"), m = 5L)
+        .select(col("doc_id"),
+          concat(col("main"), lit(" curated by graft pipeline for "),
+            col("host")).as("framed"))
+        .localCheckpoint(true)
+      // B — cross-doc span removal over the SELECTED corpus (df counts
+      // are selection-relative; the framing plants a same-host span)
+      val cleaned = Dedup.removeDuplicatedSpans(capped, col("doc_id"),
+          col("framed"), n = 5)
+        .select(col("doc_id"), col("text_clean"))
+        .localCheckpoint(true)
+      // C — exact dedup + decontamination on the CLEANED text
+      val docs = Tables(s, dir, "documents")
+      val hits = Decontaminate.hitCounts(
+        cleaned.select(col("doc_id"), col("text_clean").as("text")),
+        docs.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), TextOps.nfcClean(col("text")).as("text")),
+        col("doc_id"), col("text"), n = 5)
+      val kept = cleaned
+        .withColumn("__canon", min(col("doc_id"))
+          .over(Window.partitionBy(md5(col("text_clean")))))
+        .join(hits, Seq("doc_id"), "left")
+        .where(col("doc_id") === col("__canon") && col("n_hits").isNull)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // D — content-keyed leakage-safe split: identical cleaned text
+      // can never straddle train/eval
+      val split = kept.withColumn("split", graft.text.Sampling.hashSplit(
+        concat(md5(col("text_clean")), lit(":split")),
+        Seq("train" -> 0.9, "eval" -> 0.1)))
+      // E — chunk, pack, ship
+      val chunks = split.select(col("doc_id"), col("split"), col("lang"),
+          posexplode(TextOps.tokenChunks(col("text_clean"),
+            window = 64, stride = 64)))
+        .select(col("doc_id"), col("split"), col("lang"),
+          col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("n_tokens"))
+      val packed = Packing.packBins(chunks,
+          concat(col("split"), lit(":"), col("lang")),
+          struct(col("doc_id"), col("chunk_idx")), col("n_tokens"),
+          budget = 256)
+        .localCheckpoint(true) // consumed by the export AND the summary
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_corpus_gate").toString
+      graft.ingest.Jsonl.export(s, packed,
+        struct(col("split"), col("lang"), col("bin_id"), col("doc_id"),
+          col("chunk_idx"), col("n_tokens")),
+        out, maxRecordsPerFile = 200, gzip = true)
+      val shipped = s.read.parquet(out + "/_manifest")
+        .agg(sum(col("n_records")).cast("long").as("shipped_rows"))
+      packed.groupBy(col("split"), col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .crossJoin(broadcast(shipped))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Deduplication ──────────────────────────────────────────────────
@@ -2107,6 +2193,46 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
 
+    // CDX byte-offset index + random-access retrieval — the web-archive
+    // capability that turns a scan-only `.warc.gz` log into a
+    // point-readable table: one index row per record carrying its gzip
+    // MEMBER's byte span (record span for plain shards). The gate
+    // indexes each synthesized shard, then retrieves EVERY record by
+    // decoding ONLY its (offset, length) span — record_id, target_uri,
+    // date and block md5 all come from the FETCHED record, so a span
+    // that is off by one byte fails to parse (null id ≠ oracle) and a
+    // span addressing the wrong member yields the wrong record's
+    // fields. `spans_exact` pins the tiling invariant: spans start at
+    // 0, chain end-to-start, and close at EOF — offsets and lengths
+    // cannot drift even in ways that happen to stay parseable.
+    "warc_cdx_fetch" -> ((s, dir) => {
+      import s.implicits._
+      syntheticWarc(s, dir).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, payload) =>
+          val es = graft.ingest.Warc.cdxEntries(payload)
+          val spans = es.map(e => (e.offset, e.length)).distinct
+          val tiled = spans.nonEmpty && spans.head._1 == 0L &&
+            spans.sliding(2).forall {
+              case Seq((o1, l1), (o2, _)) => o1 + l1 == o2
+              case _                      => true
+            } && spans.last._1 + spans.last._2 == payload.length
+          es.map { e =>
+            val r = graft.ingest.Warc.fetchRecord(
+              payload, e.offset, e.length, e.memberOrdinal)
+            (id, e.recIdx, e.warcType,
+              r.map(_.recordId).orNull, r.flatMap(_.targetUri).orNull,
+              r.map(_.date).orNull, r.map(_.block).orNull,
+              if (tiled) 1L else 0L)
+          }
+        })
+        .toDF("doc_id", "rec_idx", "warc_type", "record_id",
+          "target_uri", "date_s", "block", "spans_exact")
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("record_id"), col("target_uri"), col("date_s"),
+          md5(col("block")).as("block_md5"), col("spans_exact"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
     // WARC quarantine — the dead-letter side of the crawl reader
     // (corrupt shards route to re-fetch, never silently vanish): every
     // 97th payload is corrupted at synthesis (garbage prefix — the
@@ -3102,84 +3228,46 @@ object ExtensionQueries {
     // The oracle replays the ENTIRE composition from the synthesis
     // columns — crawl selection, span coverage, dedup, bench 5-grams,
     // split arithmetic, and running-sum bin packing.
-    "corpus_build_pipeline" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.text.{Decontaminate, Packing}
-      // A — crawl & select: one materialized ingest pass
-      val gated = graft.ingest.Warc.recordTable(s, syntheticWarc(s, dir),
+    "corpus_build_pipeline" -> ((s, dir) =>
+      corpusBuildSummary(s, dir, syntheticWarc(s, dir))
+        .orderBy(col("split"), col("lang"), col("bin_id"))),
+
+    // The capstone judged against STANDING crawl state — month 2 of a
+    // rolling corpus build: batch 0 folds two thirds of the crawl's
+    // URLs into a UrlSeen index; batch 1 re-fetches EVERYTHING, judges
+    // each URL against the state, and runs the full build (select →
+    // span-clean → dedup → decontaminate → split → pack → ship) over
+    // ONLY the never-seen docs. The oracle replays the whole chain
+    // from scratch on the novelty set (the shared corpusBuildOracle
+    // template with the batch filter) plus both fold counts — a state
+    // fold that leaks a seen doc into the build, or drops a novel one,
+    // changes the per-bin packing arithmetic everywhere downstream.
+    "corpus_build_incremental" -> ((s, dir) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_cbi_state").toString
+      val crawl = syntheticWarc(s, dir)
+      val uris = graft.ingest.Warc.recordTable(s, crawl,
           col("doc_id"), col("payload"))
         .where(col("warc_type") === "response")
-        .select(col("file_id").as("doc_id"),
-          graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
-          graft.ops.HtmlExprs.htmlMainText(graft.ops.HtmlExprs
-            .charsetDecode(col("http_content_type"), col("body")))
-            .as("main"))
-        .select(col("doc_id"), col("host"), col("main"),
-          graft.ops.TextExprs.gopherStats(col("main")).getField("pass")
-            .cast("long").as("gopher_pass"))
-        .localCheckpoint(true)
-      val modeled = graft.text.BatchScore.score(s, gated, col("doc_id"),
-          col("main"), batchSize = 53)
-        .select(col("id").as("doc_id"), col("score_ppm").as("model_ppm"))
-      val scored = gated.join(modeled, Seq("doc_id"))
-        .select(col("doc_id"), col("host"), col("main"),
-          (col("model_ppm") * col("gopher_pass")).as("q_ppm"))
-      val capped = graft.text.BudgetSelect.takeTopPerGroupUniform(scored,
-          col("host"), col("doc_id"), col("q_ppm"), m = 5L)
-        .select(col("doc_id"),
-          concat(col("main"), lit(" curated by graft pipeline for "),
-            col("host")).as("framed"))
-        .localCheckpoint(true)
-      // B — cross-doc span removal over the SELECTED corpus (df counts
-      // are selection-relative; the framing plants a same-host span)
-      val cleaned = Dedup.removeDuplicatedSpans(capped, col("doc_id"),
-          col("framed"), n = 5)
-        .select(col("doc_id"), col("text_clean"))
-        .localCheckpoint(true)
-      // C — exact dedup + decontamination on the CLEANED text
-      val docs = Tables(s, dir, "documents")
-      val hits = Decontaminate.hitCounts(
-        cleaned.select(col("doc_id"), col("text_clean").as("text")),
-        docs.where(col("doc_id") % 17 === 0)
-          .select(col("doc_id"), TextOps.nfcClean(col("text")).as("text")),
-        col("doc_id"), col("text"), n = 5)
-      val kept = cleaned
-        .withColumn("__canon", min(col("doc_id"))
-          .over(Window.partitionBy(md5(col("text_clean")))))
-        .join(hits, Seq("doc_id"), "left")
-        .where(col("doc_id") === col("__canon") && col("n_hits").isNull)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      // D — content-keyed leakage-safe split: identical cleaned text
-      // can never straddle train/eval
-      val split = kept.withColumn("split", graft.text.Sampling.hashSplit(
-        concat(md5(col("text_clean")), lit(":split")),
-        Seq("train" -> 0.9, "eval" -> 0.1)))
-      // E — chunk, pack, ship
-      val chunks = split.select(col("doc_id"), col("split"), col("lang"),
-          posexplode(TextOps.tokenChunks(col("text_clean"),
-            window = 64, stride = 64)))
-        .select(col("doc_id"), col("split"), col("lang"),
-          col("pos").cast("int").as("chunk_idx"),
-          size(col("col")).as("n_tokens"))
-      val packed = Packing.packBins(chunks,
-          concat(col("split"), lit(":"), col("lang")),
-          struct(col("doc_id"), col("chunk_idx")), col("n_tokens"),
-          budget = 256)
-        .localCheckpoint(true) // consumed by the export AND the summary
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_corpus_gate").toString
-      graft.ingest.Jsonl.export(s, packed,
-        struct(col("split"), col("lang"), col("bin_id"), col("doc_id"),
-          col("chunk_idx"), col("n_tokens")),
-        out, maxRecordsPerFile = 200, gzip = true)
-      val shipped = s.read.parquet(out + "/_manifest")
-        .agg(sum(col("n_records")).cast("long").as("shipped_rows"))
-      packed.groupBy(col("split"), col("lang"), col("bin_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("n_tokens")).cast("long").as("total_tokens"))
-        .crossJoin(broadcast(shipped))
+        .select(col("file_id").as("doc_id"), col("target_uri"))
+        .localCheckpoint(true) // consumed by BOTH folds
+      graft.dedup.UrlSeen.foldBatch(uris.where(col("doc_id") % 3 =!= 2),
+        col("doc_id"), col("target_uri"), state, 0L).count()
+      val ann = graft.dedup.UrlSeen.foldBatch(uris, col("doc_id"),
+          col("target_uri"), state, 1L)
+        .localCheckpoint(true) // consumed by the counts AND the filter
+      val counts = ann.agg(
+        sum(when(col("status") === "seen", 1L).otherwise(0L))
+          .cast("long").as("n_seen"),
+        sum(when(col("status") === "new", 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      val novel = ann.where(col("status") === "new").select(col("doc_id"))
+      corpusBuildSummary(s, dir, crawl.join(novel, Seq("doc_id"),
+          "left_semi"))
+        .crossJoin(broadcast(counts))
         .orderBy(col("split"), col("lang"), col("bin_id"))
     }),
+
 
     // Nearest-centroid hard assignment (Ann.assignToCentroids): every
     // embedding against a deterministic centroid set (the 8 lowest
@@ -4069,6 +4157,190 @@ object ExtensionQueries {
         |    AS hugeint_sum,
         |  (SELECT sum(cast(1.1 AS decimal(2,1))) FROM range(5) t(i))
         |    AS dec_sum""".stripMargin)
+
+
+  /** The corpus-build replay SQL shared by `corpus_build_pipeline` and
+    * its incremental twin: `docWhere` filters the crawl frame (the
+    * twin builds from only the batch's never-seen docs) and
+    * `extraCols` appends the fold-annotation count columns the twin
+    * cross-joins onto every summary row. */
+  private def corpusBuildOracle(docWhere: String, extraCols: String)
+      : String =
+    (s"WITH $webCte,\n" +
+      """mn AS (
+         |  SELECT doc_id, host,
+         |    CASE WHEN coll = '' THEN source
+         |      ELSE source || chr(10) || coll END AS main
+         |  FROM x <<DOCWHERE>>),
+         |gw AS (
+         |  SELECT doc_id, main,
+         |    list_filter(string_split_regex(main, '[ \t\n\x0b\f\r]+'),
+         |      w -> len(w) > 0) AS ws,
+         |    string_split(main, chr(10)) AS ls
+         |  FROM mn),
+         |gc AS (
+         |  SELECT doc_id,
+         |    cast(len(ws) AS bigint) AS n_words,
+         |    cast(coalesce(list_aggregate(list_transform(ws, w -> len(w)),
+         |      'sum'), 0) AS bigint) AS word_cps,
+         |    cast((len(main) - len(replace(main, '#', '')))
+         |      + (len(main) - len(replace(main, '…', '')))
+         |      + (len(main) - len(replace(main, '...', ''))) // 3
+         |      AS bigint) AS n_symbols,
+         |    cast(len(ls) AS bigint) AS n_lines,
+         |    cast(len(list_filter(ls, l ->
+         |      starts_with(ltrim(l, ' ' || chr(9)), '•') OR
+         |      starts_with(ltrim(l, ' ' || chr(9)), '‣') OR
+         |      starts_with(ltrim(l, ' ' || chr(9)), '-') OR
+         |      starts_with(ltrim(l, ' ' || chr(9)), '*')))
+         |      AS bigint) AS n_bullet_lines,
+         |    cast(len(list_filter(ls, l ->
+         |      ends_with(rtrim(l, ' ' || chr(9)), '…') OR
+         |      ends_with(rtrim(l, ' ' || chr(9)), '...')))
+         |      AS bigint) AS n_ellipsis_lines,
+         |    cast(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |      AS bigint) AS n_alpha_words,
+         |    cast(len(list_filter(ws, w -> list_contains(
+         |      ['the','be','to','of','and','that','have','with'],
+         |      lower(w)))) AS bigint) AS n_stop_hits
+         |  FROM gw),
+         |gp AS (
+         |  SELECT doc_id,
+         |    cast(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |      AND 3 * n_words <= word_cps AND word_cps <= 10 * n_words
+         |      AND 10 * n_symbols <= n_words
+         |      AND 10 * n_bullet_lines <= n_lines
+         |      AND 10 * n_ellipsis_lines <= 3 * n_lines
+         |      AND 5 * n_alpha_words >= 4 * n_words
+         |      AND n_stop_hits >= 2
+         |      THEN 1 ELSE 0 END AS bigint) AS gopher_pass
+         |  FROM gc),
+         |q AS (
+         |  SELECT mn.doc_id, mn.host, mn.main,
+         |    (('0x' || substr(md5(mn.main), 1, 6))::BIGINT % 1000000)
+         |      * gp.gopher_pass AS q_ppm
+         |  FROM mn JOIN gp USING (doc_id)),
+         |rq AS (SELECT *, row_number() OVER (PARTITION BY host
+         |  ORDER BY q_ppm DESC, doc_id) AS rn FROM q),
+         |cap AS (
+         |  SELECT doc_id,
+         |    main || ' curated by graft pipeline for ' || host AS fr
+         |  FROM rq WHERE rn <= 5),
+         |nm AS (
+         |  SELECT doc_id, fr AS t,
+         |    list_filter(string_split_regex(fr, '[ \t\n\x0b\f\r]+'),
+         |                w -> len(w) > 0) AS l
+         |  FROM cap),
+         |nm2 AS (
+         |  SELECT doc_id, t, l,
+         |    list_transform(l,
+         |      w -> regexp_replace(lower(w), '[^a-z0-9]', '', 'g')) AS nl
+         |  FROM nm),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(l) - 3)) AS pos,
+         |    unnest(list_transform(range(1, len(l) - 3),
+         |      i -> array_to_string(nl[i:i+4], chr(1)))) AS k
+         |  FROM nm2 WHERE len(l) >= 5),
+         |dup AS (
+         |  SELECT k, min(doc_id) AS keeper
+         |  FROM occ GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT o.doc_id, unnest(range(o.pos, o.pos + 5)) AS p
+         |    FROM occ o JOIN dup d USING (k)
+         |    WHERE o.doc_id <> d.keeper)),
+         |covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
+         |ret AS (
+         |  SELECT n.doc_id, n.t, n.l, c2.ps,
+         |    CASE WHEN c2.ps IS NULL THEN NULL
+         |         ELSE list_filter(range(1, len(n.l) + 1),
+         |                          q2 -> NOT list_contains(c2.ps, q2))
+         |    END AS keep
+         |  FROM nm2 n LEFT JOIN covl c2 USING (doc_id)),
+         |cl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ps IS NULL THEN t
+         |         ELSE coalesce(
+         |           array_to_string(list_transform(keep, q2 -> l[q2]), ' '),
+         |           '')
+         |         END AS tc
+         |  FROM ret),
+         |dd AS (
+         |  SELECT doc_id, tc,
+         |    min(doc_id) OVER (PARTITION BY md5(tc)) AS canon
+         |  FROM cl),
+         |bd AS (
+         |  SELECT doc_id, nfc_normalize(regexp_replace(text,
+         |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}\x{200B}-\x{200D}\x{FEFF}]',
+         |    '', 'g')) AS bt
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |btk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(
+         |      trim(regexp_replace(regexp_replace(lower(bt), '[^a-z0-9\s]', ' ', 'g'),
+         |                          '\s+', ' ', 'g')), '\s+'),
+         |      w -> len(w) > 0) AS l
+         |  FROM bd),
+         |bg AS (
+         |  SELECT DISTINCT unnest(list_distinct(CASE
+         |    WHEN len(l) < 5 THEN [array_to_string(l, '_')]
+         |    ELSE list_transform(range(1, len(l) - 3),
+         |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' ||
+         |           l[i+3] || '_' || l[i+4]) END)) AS g
+         |  FROM btk),
+         |ttk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(
+         |      trim(regexp_replace(regexp_replace(lower(tc), '[^a-z0-9\s]', ' ', 'g'),
+         |                          '\s+', ' ', 'g')), '\s+'),
+         |      w -> len(w) > 0) AS l
+         |  FROM cl),
+         |tg AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE
+         |    WHEN len(l) < 5 THEN [array_to_string(l, '_')]
+         |    ELSE list_transform(range(1, len(l) - 3),
+         |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' ||
+         |           l[i+3] || '_' || l[i+4]) END)) AS g
+         |  FROM ttk),
+         |contaminated AS (
+         |  SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)),
+         |kept AS (
+         |  SELECT dd.doc_id, dd.tc, d0.lang,
+         |    CASE WHEN substr(md5(md5(dd.tc) || ':split'), 1, 4) < 'e666'
+         |      THEN 'train' ELSE 'eval' END AS split
+         |  FROM dd JOIN documents d0 ON dd.doc_id = d0.doc_id
+         |  WHERE dd.doc_id = dd.canon
+         |    AND dd.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |tct AS (
+         |  SELECT doc_id, split, lang,
+         |    list_filter(string_split_regex(tc, '[ \t\n\x0b\f\r]+'),
+         |                w -> len(w) > 0) AS l
+         |  FROM kept),
+         |c3 AS (
+         |  SELECT doc_id, split, lang,
+         |    unnest(range(1, 1 + 64 * cast(ceil(greatest(len(l) - 64, 0) / 64.0) AS int) + 1, 64)) AS s2, l
+         |  FROM tct),
+         |ch AS (
+         |  SELECT doc_id, split, lang,
+         |    cast((s2 - 1) // 64 AS int) AS chunk_idx,
+         |    len(l[s2:s2+63]) AS n_tokens
+         |  FROM c3),
+         |b AS (
+         |  SELECT split, lang, n_tokens,
+         |    cast(floor(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY split || ':' || lang
+         |      ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+         |      AS bigint) AS bin_id
+         |  FROM ch)
+         |SELECT split, lang, bin_id, count(*) AS n_chunks,
+         |  cast(sum(n_tokens) AS bigint) AS total_tokens,
+         |  (SELECT cast(count(*) AS bigint) FROM ch) AS shipped_rows<<EXTRACOLS>>
+         |FROM b GROUP BY split, lang, bin_id
+         |ORDER BY split, lang, bin_id""".stripMargin)
+      .replace("<<DOCWHERE>>", docWhere)
+      .replace("<<EXTRACOLS>>", extraCols)
 
   val oracleSql: Map[String, String] = Map(
     // ── Invariant oracles for the approximate families ────────────────
@@ -5471,180 +5743,20 @@ object ExtensionQueries {
     // split, and running-sum bin packing — each block verbatim from
     // the single-stage oracle it chains (crawl_pipeline /
     // text_dup_remove / training_pipeline / corpus_sample)
-    "corpus_build_pipeline" ->
-      (s"WITH $webCte,\n" +
-      """mn AS (
-         |  SELECT doc_id, host,
-         |    CASE WHEN coll = '' THEN source
-         |      ELSE source || chr(10) || coll END AS main
-         |  FROM x),
-         |gw AS (
-         |  SELECT doc_id, main,
-         |    list_filter(string_split_regex(main, '[ \t\n\x0b\f\r]+'),
-         |      w -> len(w) > 0) AS ws,
-         |    string_split(main, chr(10)) AS ls
-         |  FROM mn),
-         |gc AS (
-         |  SELECT doc_id,
-         |    cast(len(ws) AS bigint) AS n_words,
-         |    cast(coalesce(list_aggregate(list_transform(ws, w -> len(w)),
-         |      'sum'), 0) AS bigint) AS word_cps,
-         |    cast((len(main) - len(replace(main, '#', '')))
-         |      + (len(main) - len(replace(main, '…', '')))
-         |      + (len(main) - len(replace(main, '...', ''))) // 3
-         |      AS bigint) AS n_symbols,
-         |    cast(len(ls) AS bigint) AS n_lines,
-         |    cast(len(list_filter(ls, l ->
-         |      starts_with(ltrim(l, ' ' || chr(9)), '•') OR
-         |      starts_with(ltrim(l, ' ' || chr(9)), '‣') OR
-         |      starts_with(ltrim(l, ' ' || chr(9)), '-') OR
-         |      starts_with(ltrim(l, ' ' || chr(9)), '*')))
-         |      AS bigint) AS n_bullet_lines,
-         |    cast(len(list_filter(ls, l ->
-         |      ends_with(rtrim(l, ' ' || chr(9)), '…') OR
-         |      ends_with(rtrim(l, ' ' || chr(9)), '...')))
-         |      AS bigint) AS n_ellipsis_lines,
-         |    cast(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-         |      AS bigint) AS n_alpha_words,
-         |    cast(len(list_filter(ws, w -> list_contains(
-         |      ['the','be','to','of','and','that','have','with'],
-         |      lower(w)))) AS bigint) AS n_stop_hits
-         |  FROM gw),
-         |gp AS (
-         |  SELECT doc_id,
-         |    cast(CASE WHEN n_words >= 50 AND n_words <= 100000
-         |      AND 3 * n_words <= word_cps AND word_cps <= 10 * n_words
-         |      AND 10 * n_symbols <= n_words
-         |      AND 10 * n_bullet_lines <= n_lines
-         |      AND 10 * n_ellipsis_lines <= 3 * n_lines
-         |      AND 5 * n_alpha_words >= 4 * n_words
-         |      AND n_stop_hits >= 2
-         |      THEN 1 ELSE 0 END AS bigint) AS gopher_pass
-         |  FROM gc),
-         |q AS (
-         |  SELECT mn.doc_id, mn.host, mn.main,
-         |    (('0x' || substr(md5(mn.main), 1, 6))::BIGINT % 1000000)
-         |      * gp.gopher_pass AS q_ppm
-         |  FROM mn JOIN gp USING (doc_id)),
-         |rq AS (SELECT *, row_number() OVER (PARTITION BY host
-         |  ORDER BY q_ppm DESC, doc_id) AS rn FROM q),
-         |cap AS (
-         |  SELECT doc_id,
-         |    main || ' curated by graft pipeline for ' || host AS fr
-         |  FROM rq WHERE rn <= 5),
-         |nm AS (
-         |  SELECT doc_id, fr AS t,
-         |    list_filter(string_split_regex(fr, '[ \t\n\x0b\f\r]+'),
-         |                w -> len(w) > 0) AS l
-         |  FROM cap),
-         |nm2 AS (
-         |  SELECT doc_id, t, l,
-         |    list_transform(l,
-         |      w -> regexp_replace(lower(w), '[^a-z0-9]', '', 'g')) AS nl
-         |  FROM nm),
-         |occ AS (
-         |  SELECT doc_id,
-         |    unnest(range(1, len(l) - 3)) AS pos,
-         |    unnest(list_transform(range(1, len(l) - 3),
-         |      i -> array_to_string(nl[i:i+4], chr(1)))) AS k
-         |  FROM nm2 WHERE len(l) >= 5),
-         |dup AS (
-         |  SELECT k, min(doc_id) AS keeper
-         |  FROM occ GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
-         |cov AS (
-         |  SELECT DISTINCT doc_id, p FROM (
-         |    SELECT o.doc_id, unnest(range(o.pos, o.pos + 5)) AS p
-         |    FROM occ o JOIN dup d USING (k)
-         |    WHERE o.doc_id <> d.keeper)),
-         |covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
-         |ret AS (
-         |  SELECT n.doc_id, n.t, n.l, c2.ps,
-         |    CASE WHEN c2.ps IS NULL THEN NULL
-         |         ELSE list_filter(range(1, len(n.l) + 1),
-         |                          q2 -> NOT list_contains(c2.ps, q2))
-         |    END AS keep
-         |  FROM nm2 n LEFT JOIN covl c2 USING (doc_id)),
-         |cl AS (
-         |  SELECT doc_id,
-         |    CASE WHEN ps IS NULL THEN t
-         |         ELSE coalesce(
-         |           array_to_string(list_transform(keep, q2 -> l[q2]), ' '),
-         |           '')
-         |         END AS tc
-         |  FROM ret),
-         |dd AS (
-         |  SELECT doc_id, tc,
-         |    min(doc_id) OVER (PARTITION BY md5(tc)) AS canon
-         |  FROM cl),
-         |bd AS (
-         |  SELECT doc_id, nfc_normalize(regexp_replace(text,
-         |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}\x{200B}-\x{200D}\x{FEFF}]',
-         |    '', 'g')) AS bt
-         |  FROM documents WHERE doc_id % 17 = 0),
-         |btk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(
-         |      trim(regexp_replace(regexp_replace(lower(bt), '[^a-z0-9\s]', ' ', 'g'),
-         |                          '\s+', ' ', 'g')), '\s+'),
-         |      w -> len(w) > 0) AS l
-         |  FROM bd),
-         |bg AS (
-         |  SELECT DISTINCT unnest(list_distinct(CASE
-         |    WHEN len(l) < 5 THEN [array_to_string(l, '_')]
-         |    ELSE list_transform(range(1, len(l) - 3),
-         |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' ||
-         |           l[i+3] || '_' || l[i+4]) END)) AS g
-         |  FROM btk),
-         |ttk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(
-         |      trim(regexp_replace(regexp_replace(lower(tc), '[^a-z0-9\s]', ' ', 'g'),
-         |                          '\s+', ' ', 'g')), '\s+'),
-         |      w -> len(w) > 0) AS l
-         |  FROM cl),
-         |tg AS (
-         |  SELECT doc_id, unnest(list_distinct(CASE
-         |    WHEN len(l) < 5 THEN [array_to_string(l, '_')]
-         |    ELSE list_transform(range(1, len(l) - 3),
-         |      i -> l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' ||
-         |           l[i+3] || '_' || l[i+4]) END)) AS g
-         |  FROM ttk),
-         |contaminated AS (
-         |  SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)),
-         |kept AS (
-         |  SELECT dd.doc_id, dd.tc, d0.lang,
-         |    CASE WHEN substr(md5(md5(dd.tc) || ':split'), 1, 4) < 'e666'
-         |      THEN 'train' ELSE 'eval' END AS split
-         |  FROM dd JOIN documents d0 ON dd.doc_id = d0.doc_id
-         |  WHERE dd.doc_id = dd.canon
-         |    AND dd.doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |tct AS (
-         |  SELECT doc_id, split, lang,
-         |    list_filter(string_split_regex(tc, '[ \t\n\x0b\f\r]+'),
-         |                w -> len(w) > 0) AS l
-         |  FROM kept),
-         |c3 AS (
-         |  SELECT doc_id, split, lang,
-         |    unnest(range(1, 1 + 64 * cast(ceil(greatest(len(l) - 64, 0) / 64.0) AS int) + 1, 64)) AS s2, l
-         |  FROM tct),
-         |ch AS (
-         |  SELECT doc_id, split, lang,
-         |    cast((s2 - 1) // 64 AS int) AS chunk_idx,
-         |    len(l[s2:s2+63]) AS n_tokens
-         |  FROM c3),
-         |b AS (
-         |  SELECT split, lang, n_tokens,
-         |    cast(floor(coalesce(sum(n_tokens) OVER (
-         |      PARTITION BY split || ':' || lang
-         |      ORDER BY doc_id, chunk_idx
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
-         |      AS bigint) AS bin_id
-         |  FROM ch)
-         |SELECT split, lang, bin_id, count(*) AS n_chunks,
-         |  cast(sum(n_tokens) AS bigint) AS total_tokens,
-         |  (SELECT cast(count(*) AS bigint) FROM ch) AS shipped_rows
-         |FROM b GROUP BY split, lang, bin_id
-         |ORDER BY split, lang, bin_id""".stripMargin),
+    "corpus_build_pipeline" -> corpusBuildOracle("", ""),
+
+    // the same replay over ONLY the never-before-seen docs of the
+    // second crawl batch (month 2's novelty = the ftp third, restated
+    // arithmetically: batch 0 folded every %3!=2 URL, and the fixture
+    // URL formulas make each %3==2 URL distinct from everything in
+    // state), plus the two fold-annotation counts the gate cross-joins
+    "corpus_build_incremental" -> corpusBuildOracle(
+      "WHERE doc_id % 3 = 2",
+      "," +
+        " (SELECT cast(count(*) AS bigint) FROM documents" +
+        " WHERE doc_id % 3 <> 2) AS n_seen," +
+        " (SELECT cast(count(*) AS bigint) FROM documents" +
+        " WHERE doc_id % 3 = 2) AS n_new"),
 
     "corpus_shuffle" ->
       """WITH k AS (
@@ -6157,6 +6269,33 @@ object ExtensionQueries {
          |    ELSE md5('lang: ' || lang || chr(13) || chr(10) ||
          |      'sourceName: ' || source)
          |    END AS body_md5
+         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // every field restated from the synthesis formulas — but here they
+    // pin the RANDOM-ACCESS read (each record fetched via its index
+    // span alone), and the tiling invariant is a literal 1
+    "warc_cdx_fetch" ->
+      s"""WITH $webCte,
+         |r AS (SELECT *, unnest(range(3)) AS i FROM x)
+         |SELECT doc_id, cast(i AS int) AS rec_idx,
+         |  CASE i WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'response'
+         |    ELSE 'metadata' END AS warc_type,
+         |  CASE i WHEN 0 THEN '<urn:uuid:warcinfo-' || doc_id || '>'
+         |    WHEN 1 THEN '<urn:uuid:resp-' || doc_id || '>'
+         |    ELSE '<urn:uuid:meta-' || doc_id || '>' END AS record_id,
+         |  CASE WHEN i = 0 THEN NULL ELSE url END AS target_uri,
+         |  '2026-01-0' || (1 + doc_id % 9) || 'T00:00:0' || (doc_id % 10)
+         |    || 'Z' AS date_s,
+         |  CASE i
+         |    WHEN 0 THEN md5('software: graft/0.1' || chr(13) || chr(10) ||
+         |      'format: WARC file version 1.1')
+         |    WHEN 1 THEN md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+         |      'Content-Type: text/html; charset=utf-8' || chr(13) ||
+         |      chr(10) || chr(13) || chr(10) || html)
+         |    ELSE md5('lang: ' || lang || chr(13) || chr(10) ||
+         |      'sourceName: ' || source)
+         |    END AS block_md5,
+         |  cast(1 AS bigint) AS spans_exact
          |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
     // the corrupted-shard rotation restated directly

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Warc
+import graft.ingest.Warc.WarcSpecRec
+
+/** CDX byte-offset indexing + random-access retrieval: span tiling on
+  * both wire forms, fetch-by-span identity against the sequential
+  * parse, the non-conforming multi-record-member case, stale-index
+  * degradation, and longest-valid-prefix totality on corrupt members
+  * and decompression bombs. */
+class WarcCdxSpec extends AnyFunSuite {
+
+  private def rec(i: Int, block: String = "payload"): WarcSpecRec =
+    WarcSpecRec(
+      warcType = if (i == 0) "warcinfo" else "response",
+      recordId = s"<urn:uuid:rec-$i>",
+      targetUri = if (i == 0) None else Some(s"https://example.org/p/$i"),
+      date = "2026-01-02T03:04:05Z",
+      contentType =
+        if (i == 0) "application/warc-fields"
+        else "application/http; msgtype=response",
+      block = block.getBytes(UTF_8))
+
+  private def assertTiling(es: Seq[Warc.CdxEntry], total: Long): Unit = {
+    val spans = es.map(e => (e.offset, e.length)).distinct
+    assert(spans.head._1 == 0L)
+    spans.sliding(2).foreach {
+      case Seq((o1, l1), (o2, _)) => assert(o1 + l1 == o2)
+      case _                      => ()
+    }
+    assert(spans.last._1 + spans.last._2 == total)
+  }
+
+  test("gzip: one entry per record, member spans tile the file, and " +
+      "every record fetches by its span alone") {
+    val specs = Seq(rec(0), rec(1, "HTTP/1.1 200 OK\r\n\r\n<p>a</p>"),
+      rec(2, "x" * 50000))
+    val gz = Warc.buildWarcGz(specs)
+    val es = Warc.cdxEntries(gz)
+    assert(es.map(_.recIdx) == Seq(0, 1, 2))
+    assert(es.forall(_.memberOrdinal == 0))
+    assert(es.map(_.recordId) == specs.map(_.recordId))
+    assert(es.map(_.targetUri) == specs.map(_.targetUri))
+    assertTiling(es, gz.length.toLong)
+    val seq = Warc.parseWarc(gz)
+    es.zip(seq).foreach { case (e, expect) =>
+      val got = Warc.fetchRecord(gz, e.offset, e.length, e.memberOrdinal)
+      assert(got.isDefined)
+      assert(got.get.recordId == expect.recordId)
+      assert(got.get.block.sameElements(expect.block))
+    }
+  }
+
+  test("plain: record spans tile the file and fetch by span") {
+    val specs = Seq(rec(0), rec(1), rec(2, ""))
+    val plain = Warc.buildWarc(specs)
+    val es = Warc.cdxEntries(plain)
+    assert(es.length == 3)
+    assertTiling(es, plain.length.toLong)
+    es.zip(specs).foreach { case (e, s) =>
+      val got = Warc.fetchRecord(plain, e.offset, e.length)
+      assert(got.exists(_.recordId == s.recordId))
+    }
+  }
+
+  test("non-conforming multi-record member: shared span, ordinals " +
+      "disambiguate the fetch") {
+    // one gzip member holding TWO records (a writer that ignored the
+    // one-member-per-record convention) followed by a conforming member
+    val packed = Warc.gzipMember(Warc.buildWarc(Seq(rec(0), rec(1))))
+    val tail = Warc.buildWarcGz(Seq(rec(2)))
+    val gz = packed ++ tail
+    val es = Warc.cdxEntries(gz)
+    assert(es.length == 3)
+    assert(es(0).offset == es(1).offset && es(0).length == es(1).length)
+    assert(es(0).memberOrdinal == 0 && es(1).memberOrdinal == 1)
+    assert(es(2).memberOrdinal == 0 && es(2).offset == packed.length.toLong)
+    val second = Warc.fetchRecord(gz, es(1).offset, es(1).length,
+      es(1).memberOrdinal)
+    assert(second.exists(_.recordId == "<urn:uuid:rec-1>"))
+    assertTiling(es, gz.length.toLong)
+  }
+
+  test("totality: corrupt middle member ends the index on the parsed " +
+      "prefix; garbage and empty payloads index to nothing") {
+    val good = Warc.buildWarcGz(Seq(rec(0)))
+    val corrupt = {
+      val m = Warc.gzipMember("not a warc record".getBytes(UTF_8))
+      m // inflates fine but parses to zero records → halt AT this span
+    }
+    val tail = Warc.buildWarcGz(Seq(rec(2)))
+    val es = Warc.cdxEntries(good ++ corrupt ++ tail)
+    assert(es.map(_.recordId) == Seq("<urn:uuid:rec-0>"))
+    // corrupt deflate bytes mid-stream: same prefix behavior
+    val broken = good ++ Array[Byte](0x1F.toByte, 0x8B.toByte, 8, 0,
+      0, 0, 0, 0, 0, 0, 0x55, 0x55) ++ tail
+    assert(Warc.cdxEntries(broken).length == 1)
+    assert(Warc.cdxEntries("junk".getBytes(UTF_8)).isEmpty)
+    assert(Warc.cdxEntries(Array.emptyByteArray).isEmpty)
+    assert(Warc.cdxEntries(null).isEmpty)
+    // truncated trailer: member whose 8 trailer bytes are cut off
+    val t = Warc.buildWarcGz(Seq(rec(1)))
+    assert(Warc.cdxEntries(t.dropRight(3)).isEmpty)
+  }
+
+  test("fetchRecord degrades on stale spans, never throws") {
+    val gz = Warc.buildWarcGz(Seq(rec(0), rec(1)))
+    assert(Warc.fetchRecord(gz, -1, 10).isEmpty)
+    assert(Warc.fetchRecord(gz, 0, gz.length + 1L).isEmpty)
+    assert(Warc.fetchRecord(gz, 0, 0).isEmpty)
+    assert(Warc.fetchRecord(gz, 3, 40).isEmpty) // mid-member garbage
+    assert(Warc.fetchRecord(null, 0, 10).isEmpty)
+    val es = Warc.cdxEntries(gz)
+    // ordinal past the member's record count: miss, not a throw
+    assert(Warc.fetchRecord(gz, es(0).offset, es(0).length, 5).isEmpty)
+  }
+
+  test("gzip FEXTRA/FNAME/FCOMMENT headers do not break member spans") {
+    // hand-build a member with FNAME + FCOMMENT + FEXTRA set: the
+    // header walk must skip the optional fields to find the deflate
+    // stream (buildWarcGz never emits them; real archivers do)
+    val payload = Warc.buildWarc(Seq(rec(1)))
+    val base = Warc.gzipMember(payload)
+    val flg = (4 | 8 | 16).toByte // FEXTRA | FNAME | FCOMMENT
+    val extra = Array[Byte](3, 0, 'a'.toByte, 'b'.toByte, 'c'.toByte)
+    val name = "shard.warc".getBytes(UTF_8) :+ 0.toByte
+    val comment = "c".getBytes(UTF_8) :+ 0.toByte
+    val decorated = base.take(3) ++ Array(flg) ++ base.slice(4, 10) ++
+      extra ++ name ++ comment ++ base.drop(10)
+    val gz = decorated ++ Warc.buildWarcGz(Seq(rec(2)))
+    val es = Warc.cdxEntries(gz)
+    assert(es.map(_.recordId) ==
+      Seq("<urn:uuid:rec-1>", "<urn:uuid:rec-2>"))
+    assertTiling(es, gz.length.toLong)
+    assert(Warc.fetchRecord(gz, es(0).offset, es(0).length)
+      .exists(_.recordId == "<urn:uuid:rec-1>"))
+  }
+
+  test("cdxIndex: the Spark surface is one narrow pass over mixed " +
+      "plain and gzip shards") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val files = (0L until 6L).map { id =>
+      val recs = Seq(rec(0), rec(1, s"body-$id"))
+      (id, if (id % 2 == 0) Warc.buildWarc(recs) else Warc.buildWarcGz(recs))
+    }.toDF("fid", "payload")
+    val idx = Warc.cdxIndex(spark, files, col("fid"), col("payload"))
+    val rows = idx.collect()
+    assert(rows.length == 12)
+    assert(idx.columns.toSeq == Seq("file_id", "rec_idx", "offset",
+      "length", "member_ord", "warc_type", "record_id", "target_uri",
+      "date_s"))
+    // no shuffle: the plan is a single mapPartitions chain
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
