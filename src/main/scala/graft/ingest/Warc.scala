@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, collect_list, struct}
 
 /** REAL pure-JVM WARC (ISO 28500) record codec — the container format
   * of web-crawl corpora (Common Crawl's `.warc` / `.warc.gz` / WET
@@ -740,6 +741,63 @@ object Warc {
         cdxEntries(bytes).map(e => CdxRow(id, e.recIdx, e.offset,
           e.length, e.memberOrdinal, e.warcType, e.recordId, e.targetUri,
           e.date))
+      })
+      .toDF()
+  }
+
+  /** One row of [[fetchSpans]]: the requested span plus the record it
+    * retrieved. `found=false` (null fields) marks a stale span — the
+    * request survives as a classifiable row, never a task failure. */
+  final case class FetchedRecord(
+      file_id: Long,
+      offset: Long,
+      member_ord: Int,
+      found: Boolean,
+      warc_type: String,
+      record_id: String,
+      target_uri: Option[String],
+      date_s: String,
+      block: Array[Byte])
+
+  /** Bulk point-read through a CDX index — the "fetch these 10k
+    * records out of a 100 TB archive" workload: `requests` carries
+    * (file_id, offset, length, member_ord) rows (typically a filtered
+    * [[cdxIndex]]), and each requested span is decoded INDEPENDENTLY
+    * via [[fetchRecord]] — never a full-shard walk.
+    *
+    * Scale shape: the request set collapses to one slim row per
+    * touched file (collect_list of its spans) and — being index rows,
+    * tiny next to shard payloads — BROADCASTS against the archive
+    * frame, so the shards never shuffle; the inner join prunes every
+    * un-requested shard from the scan entirely (with a lazy
+    * binary-file source those shards are never even read). Set
+    * `broadcastRequests = false` for a shuffle-hash plan when the
+    * request list itself is corpus-scale. */
+  def fetchSpans(spark: SparkSession, files: DataFrame, fileId: Column,
+                 payload: Column, requests: DataFrame,
+                 broadcastRequests: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val req0 = requests
+      .select(col("file_id").cast("long").as("file_id"),
+        col("offset").cast("long").as("_1"),
+        col("length").cast("long").as("_2"),
+        col("member_ord").cast("int").as("_3"))
+      .groupBy(col("file_id"))
+      .agg(collect_list(struct(col("_1"), col("_2"), col("_3")))
+        .as("spans"))
+    val req = if (broadcastRequests) broadcast(req0) else req0
+    files.select(fileId.cast("long").as("file_id"), payload.as("p"))
+      .join(req, Seq("file_id"))
+      .as[(Long, Array[Byte], Seq[(Long, Long, Int)])]
+      .mapPartitions(_.flatMap { case (id, bytes, spans) =>
+        spans.sorted.iterator.map { case (off, len, ord) =>
+          fetchRecord(bytes, off, len, ord) match {
+            case Some(r) => FetchedRecord(id, off, ord, found = true,
+              r.warcType, r.recordId, r.targetUri, r.date, r.block)
+            case None => FetchedRecord(id, off, ord, found = false,
+              null, null, None, null, null)
+          }
+        }
       })
       .toDF()
   }

@@ -1719,6 +1719,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the rolling-media fold over AUDIO fingerprints — the same
+    // two-batch population as image_dedup_incremental re-rendered as
+    // signature-exact WAV clips (audioTargetClip realizes any 64-bit
+    // fingerprint on the 65-window energy grid), folded into its own
+    // standing SigSeen index; every media family the crawler ingests
+    // now has persistent near-dup memory
+    "audio_dedup_incremental" -> ((s, dir) => {
+      graft.dedup.SigSeen.foldBatch(audioSeenBatch(s, dir, 2),
+          col("doc_id"),
+          graft.multimodal.AudioHash.fingerprint(col("payload")),
+          audioSigStateFor(s, dir), 2L)
+        .select(col("doc_id"), col("status"), col("first_doc"),
+          col("hamming"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Audio perceptual near-dup (energy-delta fingerprint) ─────────
     // rows-only hash-class gate over the WAV population + both plant
     // families; the oracled twin below pins recall on the planted
@@ -2231,6 +2247,27 @@ object ExtensionQueries {
           col("record_id"), col("target_uri"), col("date_s"),
           md5(col("block")).as("block_md5"), col("spans_exact"))
         .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
+    // the index USED as a bulk point-read: filter the CDX frame to a
+    // sparse workload (every 7th doc's response record), hand the
+    // spans to fetchSpans, and every requested record must come back
+    // via its ranged read — request rows broadcast, shards never
+    // shuffle, un-requested shards prune out of the join entirely
+    "warc_cdx_lookup" -> ((s, dir) => {
+      val crawl = syntheticWarc(s, dir)
+      val idx = graft.ingest.Warc.cdxIndex(s, crawl,
+        col("doc_id"), col("payload"))
+      val want = idx.where(col("warc_type") === "response" &&
+          col("file_id") % 7 === 0)
+        .select(col("file_id"), col("offset"), col("length"),
+          col("member_ord"))
+      graft.ingest.Warc.fetchSpans(s, crawl, col("doc_id"),
+          col("payload"), want)
+        .select(col("file_id").as("doc_id"), col("found").cast("long")
+            .as("found"), col("record_id"), col("target_uri"),
+          md5(col("block")).as("block_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // WARC quarantine — the dead-letter side of the crawl reader
@@ -3803,6 +3840,70 @@ object ExtensionQueries {
       ()
     })
 
+  /** A 130-sample 16-bit WAV whose audio fingerprint is EXACTLY `sig`
+    * — the [[sigTargetImage]] trick on the energy grid: 65 two-sample
+    * windows of constant positive value a_w (so E_w = 2·a_w²) with a_w
+    * a ±1 walk from 100 (down iff the bit is set) realize any target,
+    * since fingerprint bit (63−w) = E_w > E_{w+1} ⟺ a_w > a_{w+1}.
+    * Values stay in [36, 164] — far from 16-bit clipping. */
+  private def audioTargetClip(sig: Long): Array[Byte] = {
+    val a = new Array[Int](65)
+    a(0) = 100
+    var w = 0
+    while (w < 64) {
+      val bit = (sig >>> (63 - w)) & 1L
+      a(w + 1) = a(w) + (if (bit == 1L) -1 else 1)
+      w += 1
+    }
+    val data = new Array[Byte](2 * 130)
+    var i = 0
+    while (i < 130) {
+      val v = a(i / 2)
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    graft.multimodal.Containers.buildWav(1, 8000, 16, data)
+  }
+
+  /** The [[sigSeenBatch]] two-batch population re-rendered as WAV
+    * clips: identical doc-id arithmetic, identical target signatures
+    * ([[sigClassWords]]), so the incremental AUDIO gate shares the
+    * image gate's from-scratch oracle shape. */
+  private def audioSeenBatch(s: SparkSession, dir: String,
+                             batch: Int): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .where(col("doc_id") % 2 === (batch - 1) && col("doc_id") < 400)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val sig =
+          if (batch == 1) sigClassWords(((d / 2) % 10).toInt)
+          else {
+            val k = (d - 1) / 2
+            val c = (k % 10).toInt
+            (k % 4) match {
+              case 0 => sigClassWords(c)
+              case 1 => sigClassWords(c) ^ 1L
+              case _ => sigClassWords(10 + c)
+            }
+          }
+        (d, audioTargetClip(sig))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Standing signature state for the incremental AUDIO gate — the
+    * [[sigStateFor]] lifecycle over audio fingerprints. */
+  private val audioSigStateFor = new IndexCache("graft_gate_audiostate",
+    (s, dir, path) => {
+      for (b <- 1 to 2)
+        graft.dedup.SigSeen.foldBatch(audioSeenBatch(s, dir, b),
+          col("doc_id"),
+          graft.multimodal.AudioHash.fingerprint(col("payload")), path,
+          b.toLong)
+      ()
+    })
+
   /** Bounded WAV population for the audio-dedup gates: per doc < 300 a
     * 16-bit mono clip of 200 + id%50 pseudo-noise samples (id-seeded
     * stride, values in [-100, 100]), plus two plant families on ids
@@ -4654,6 +4755,27 @@ object ExtensionQueries {
     // contiguous from 0), roles 2/3 share a never-seen class judged
     // within the batch by min doc
     "image_dedup_incremental" ->
+      """WITH b2 AS (
+        |  SELECT doc_id, (doc_id - 1) // 2 AS k FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id < 400),
+        |r AS (SELECT doc_id, k % 4 AS role, k % 10 AS c FROM b2),
+        |n AS (SELECT c, min(doc_id) AS nf FROM r WHERE role IN (2, 3)
+        |  GROUP BY c)
+        |SELECT r.doc_id,
+        |  CASE WHEN r.role IN (0, 1) THEN 'seen'
+        |       WHEN r.doc_id = n.nf THEN 'new'
+        |       ELSE 'dup_in_batch' END AS status,
+        |  cast(CASE WHEN r.role IN (0, 1) THEN 2 * r.c ELSE n.nf END
+        |    AS bigint) AS first_doc,
+        |  cast(CASE WHEN r.role = 0 THEN 0 WHEN r.role = 1 THEN 1
+        |    ELSE NULL END AS bigint) AS hamming
+        |FROM r LEFT JOIN n USING (c)
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // identical arithmetic to image_dedup_incremental: the audio
+    // population re-renders the same class signatures, so the same
+    // from-scratch restatement judges the audio fold
+    "audio_dedup_incremental" ->
       """WITH b2 AS (
         |  SELECT doc_id, (doc_id - 1) // 2 AS k FROM documents
         |  WHERE doc_id % 2 = 1 AND doc_id < 400),
@@ -6297,6 +6419,20 @@ object ExtensionQueries {
          |    END AS block_md5,
          |  cast(1 AS bigint) AS spans_exact
          |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // the sparse point-read workload restated: the requested docs, each
+    // found, with the response record's fields from the synthesis
+    // formulas — a fetch that misses (found=0, null md5) or retrieves
+    // the wrong record cannot match
+    "warc_cdx_lookup" ->
+      s"""WITH $webCte
+         |SELECT doc_id, cast(1 AS bigint) AS found,
+         |  '<urn:uuid:resp-' || doc_id || '>' AS record_id,
+         |  url AS target_uri,
+         |  md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+         |    'Content-Type: text/html; charset=utf-8' || chr(13) ||
+         |    chr(10) || chr(13) || chr(10) || html) AS block_md5
+         |FROM x WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
 
     // the corrupted-shard rotation restated directly
     "warc_quarantine" ->

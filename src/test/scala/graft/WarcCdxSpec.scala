@@ -159,4 +159,38 @@ class WarcCdxSpec extends AnyFunSuite {
     val plan = idx.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("fetchSpans: bulk point-read broadcasts the request side, " +
+      "prunes un-requested files, and classifies stale spans") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val files = (0L until 10L).map { id =>
+      (id, Warc.buildWarcGz(Seq(rec(0), rec(1, s"body-$id"))))
+    }.toDF("fid", "payload")
+    val idx = Warc.cdxIndex(spark, files, col("fid"), col("payload"))
+    val want = idx.where(col("file_id") % 3 === 0 &&
+        col("warc_type") === "response")
+      .select(col("file_id"), col("offset"), col("length"),
+        col("member_ord"))
+    val got = Warc.fetchSpans(spark, files, col("fid"), col("payload"),
+      want)
+    val rows = got.orderBy("file_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(rows.forall(_.getBoolean(3)))
+    assert(rows.forall(_.getString(5) == "<urn:uuid:rec-1>"))
+    rows.foreach { r =>
+      assert(new String(r.getAs[Array[Byte]]("block"), UTF_8) ==
+        s"body-${r.getLong(0)}")
+    }
+    // request rows broadcast — the shard payloads never shuffle
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // a stale span (archive rewritten, index not) classifies, never throws
+    val stale = Warc.fetchSpans(spark, files, col("fid"), col("payload"),
+      Seq((0L, 7L, 50L, 0)).toDF("file_id", "offset", "length",
+        "member_ord")).collect()
+    assert(stale.length == 1 && !stale(0).getBoolean(3) &&
+      stale(0).isNullAt(5))
+  }
 }
