@@ -2270,6 +2270,45 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // revisit records DEREFERENCED through the index — the serving
+    // flow crawler-side dedup implies: a revisit carries no payload,
+    // only a WARC-Refers-To pointer; the consumer resolves the pointer
+    // against the CDX frame (refers_to = record_id), point-reads the
+    // ORIGINAL via its span, and re-verifies the carried digest against
+    // the actually-fetched bytes. Every column and the digest verdict
+    // are restated by the oracle from the fixture formulas — a fetch
+    // that dereferences the wrong record or the digest comparison
+    // degenerating to always-true both fail.
+    "warc_revisit_fetch" -> ((s, dir) => {
+      val shards = syntheticRevisitWarc(s, dir)
+        .localCheckpoint(true) // consumed by recordTable, index AND fetch
+      val recs = graft.ingest.Warc.recordTable(s, shards,
+        col("doc_id"), col("payload"))
+      val idx = graft.ingest.Warc.cdxIndex(s, shards,
+        col("doc_id"), col("payload"))
+      val revs = recs.where(col("warc_type") === "revisit")
+        .select(col("refers_to"), col("payload_digest"))
+      val want = revs.join(idx.select(col("record_id").as("refers_to"),
+          col("file_id"), col("offset"), col("length"),
+          col("member_ord")), Seq("refers_to"))
+      val fetched = graft.ingest.Warc.fetchSpans(s, shards,
+        col("doc_id"), col("payload"),
+        want.select(col("file_id"), col("offset"), col("length"),
+          col("member_ord")))
+      val blockStr = col("block").cast("string")
+      val body = blockStr.substr(
+        instr(blockStr, "\r\n\r\n") + lit(4), length(blockStr))
+      fetched
+        .join(want.select(col("file_id"), col("offset"),
+          col("member_ord"), col("refers_to"), col("payload_digest")),
+          Seq("file_id", "offset", "member_ord"))
+        .select(col("file_id").as("doc_id"), col("refers_to"),
+          col("target_uri"), md5(body).as("fetched_md5"),
+          (concat(lit("md5:"), md5(body)) === col("payload_digest"))
+            .cast("long").as("digest_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARC quarantine — the dead-letter side of the crawl reader
     // (corrupt shards route to re-fetch, never silently vanish): every
     // 97th payload is corrupted at synthesis (garbage prefix — the
@@ -2348,6 +2387,38 @@ object ExtensionQueries {
       back.select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("lang"), col("source"), col("n_chars"))
         .crossJoin(broadcast(total))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the archive lifecycle closed over REAL files: export WET shards,
+    // index the written bytes from disk, then point-read a sparse
+    // workload (every 5th doc) back through fetchSpans — each text must
+    // return byte-exact via its span alone. This is the steady state a
+    // 100 TB archive runs in: write once, index once, ranged-read
+    // forever (never a shard re-scan per retrieval).
+    "warc_cdx_files" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_cdxfiles_gate").toString
+      graft.ingest.Warc.wetExport(s, Tables(s, dir, "documents"),
+        col("doc_id"),
+        concat(lit("https://w.example/"), col("doc_id")),
+        lit("2026-01-01T00:00:00Z"),
+        coalesce(col("text"), lit("")),
+        out, maxRecordsPerFile = 100, gzip = true)
+      val files = s.read.format("binaryFile").load(out + "/wet-*.warc.gz")
+        .select(xxhash64(col("path")).as("fid"), col("content"))
+        .localCheckpoint(true) // consumed by the index build AND the fetch
+      val idx = graft.ingest.Warc.cdxIndex(s, files,
+        col("fid"), col("content"))
+      val want = idx.where(regexp_extract(col("record_id"),
+          "conv-(\\d+)", 1).cast("long") % 5 === 0)
+        .select(col("file_id"), col("offset"), col("length"),
+          col("member_ord"))
+      graft.ingest.Warc.fetchSpans(s, files, col("fid"), col("content"),
+          want)
+        .select(regexp_extract(col("record_id"), "conv-(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), md5(col("block")).as("text_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6420,6 +6491,21 @@ object ExtensionQueries {
          |  cast(1 AS bigint) AS spans_exact
          |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
+    // the dereference restated: for every doc that carries a revisit
+    // (even ids), the original's id, URI, its content md5 from the
+    // synthesis formula, and the digest verdict (the fixture plants
+    // stale digests off the %4 grid)
+    "warc_revisit_fetch" ->
+      """SELECT doc_id,
+        |  '<urn:uuid:orig-' || doc_id || '>' AS refers_to,
+        |  'https://h' || (doc_id % 7) || '.example/p/' || doc_id
+        |    AS target_uri,
+        |  md5('p' || doc_id || '|' || coalesce(text, ''))
+        |    AS fetched_md5,
+        |  cast(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS bigint)
+        |    AS digest_ok
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+
     // the sparse point-read workload restated: the requested docs, each
     // found, with the response record's fields from the synthesis
     // formulas — a fetch that misses (found=0, null md5) or retrieves
@@ -6438,6 +6524,15 @@ object ExtensionQueries {
     "warc_quarantine" ->
       """SELECT doc_id FROM documents WHERE doc_id % 97 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the sparse point-read back from the written shards: URI from the
+    // export formula, text md5 from the source column, filtered to the
+    // requested workload
+    "warc_cdx_files" ->
+      """SELECT doc_id,
+        |  'https://w.example/' || doc_id AS target_uri,
+        |  md5(coalesce(text, '')) AS text_md5
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
 
     // every document back from the exported shards: URI from the
     // export call's formula, text md5 from the source column

@@ -160,6 +160,36 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("totality fuzz: byte mutations over valid archives never throw " +
+      "and always yield a consistent prefix") {
+    val base = Warc.buildWarcGz(Seq(rec(0), rec(1, "x" * 3000), rec(2)))
+    val plain = Warc.buildWarc(Seq(rec(0), rec(1), rec(2)))
+    val rnd = new scala.util.Random(180001L)
+    for (trial <- 0 until 300) {
+      val src = if (trial % 2 == 0) base else plain
+      val mutated = src.clone()
+      val flips = 1 + rnd.nextInt(4)
+      for (_ <- 0 until flips)
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      val es = Warc.cdxEntries(mutated) // must not throw
+      // every surviving entry must still FETCH to a record with the
+      // same identity the index row states (the index is never a lie
+      // about its own archive, even a corrupted one)
+      es.foreach { e =>
+        val r = Warc.fetchRecord(mutated, e.offset, e.length,
+          e.memberOrdinal)
+        assert(r.isDefined && r.get.recordId == e.recordId,
+          s"trial $trial: span (${e.offset},${e.length}) disagrees")
+      }
+      // truncation at any point: still total
+      val cut = mutated.take(rnd.nextInt(mutated.length + 1))
+      Warc.cdxEntries(cut).foreach { e =>
+        assert(Warc.fetchRecord(cut, e.offset, e.length, e.memberOrdinal)
+          .exists(_.recordId == e.recordId))
+      }
+    }
+  }
+
   test("fetchSpans: bulk point-read broadcasts the request side, " +
       "prunes un-requested files, and classifies stale spans") {
     val spark = SparkTestSession.spark
