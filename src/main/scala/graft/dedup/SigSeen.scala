@@ -62,38 +62,19 @@ import org.apache.spark.sql.types._
   * file count a year of rolling folds would otherwise accumulate. */
 object SigSeen {
 
-  private val deltaPrefix = "delta-b"
-
   val schema: StructType = StructType(Seq(
     StructField("sig", LongType),
     StructField("first_seen_batch", LongType),
     StructField("first_doc", LongType)))
 
-  private def fsRoot(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
   /** Committed (batchId, dir) deltas under `path`, unordered. */
   private def committedDeltas(spark: SparkSession, path: String)
-      : Seq[(Long, String)] = {
-    val (fs, root) = fsRoot(spark, path)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith(deltaPrefix)) None
-      else scala.util.Try(n.drop(deltaPrefix.length).toLong).toOption
-        .filter(_ => fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(b => (b, st.getPath.toString))
-    }
-  }
+      : Seq[(Long, String)] =
+    graft.core.DeltaLog.committedDeltas(spark, path)
 
   /** Max committed batch stamp — the replay guard. */
-  def watermark(spark: SparkSession, path: String): Option[Long] = {
-    val ds = committedDeltas(spark, path)
-    if (ds.isEmpty) None else Some(ds.map(_._1).max)
-  }
+  def watermark(spark: SparkSession, path: String): Option[Long] =
+    graft.core.DeltaLog.watermark(spark, path)
 
   /** The standing index: one row per distinct signature ever folded.
     * Raw union of committed deltas (disjoint by the fold invariant —
@@ -124,14 +105,8 @@ object SigSeen {
     val batchMin = canon.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("batch_first"))
     // monotone-fold guard: the UrlSeen contract verbatim
-    val deltas = committedDeltas(spark, path)
-    val replay = deltas.exists(_._1 == batchId)
-    if (!replay && deltas.nonEmpty && batchId <= deltas.map(_._1).max)
-      throw new IllegalArgumentException(
-        s"out-of-order fold: batch $batchId is below the watermark " +
-          s"${deltas.map(_._1).max} but was never committed at $path — " +
-          "batches must be folded in ascending order (backfill would " +
-          "silently lose this batch's novel signatures)")
+    val replay = graft.core.DeltaLog.replayOrGuard(
+      committedDeltas(spark, path), batchId, path)
     // ── the ONE state pass: banded near-match of batch sigs vs the
     // strictly-earlier state (when !replay the state cannot contain
     // rows at/above batchId, so this view doubles as the exact-novelty
@@ -162,7 +137,7 @@ object SigSeen {
           Seq("sig"), "left_anti")
         .select(col("sig"), lit(batchId).as("first_seen_batch"),
           col("batch_first").as("first_doc"))
-        .write.mode("overwrite").parquet(s"$path/$deltaPrefix$batchId")
+        .write.mode("overwrite").parquet(graft.core.DeltaLog.deltaDir(path, batchId))
     }
     // in-batch near relation: for each distinct batch signature, the
     // earliest first-doc among its in-radius batch neighbors (itself
@@ -201,12 +176,7 @@ object SigSeen {
     * calls at the orchestration layer, never per micro-fold. */
   def health(spark: SparkSession,
              path: String): graft.meta.PipelineMetrics.IndexHealth = {
-    val ds = committedDeltas(spark, path)
-    val (fs, _) = fsRoot(spark, path)
-    val files = ds.map { case (_, d) =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(d))
-        .count(_.getPath.getName.endsWith(".parquet"))
-    }.sum
+    val files = graft.core.DeltaLog.parquetFileCount(spark, path)
     graft.meta.PipelineMetrics
       .indexHealth(read(spark, path), col("sig"), path)
       .copy(files = files)
@@ -226,6 +196,6 @@ object SigSeen {
       .select(col("sig"),
         col("m.first_seen_batch").as("first_seen_batch"),
         col("m.first_doc").as("first_doc"))
-      .write.mode("overwrite").parquet(s"$dest/$deltaPrefix$wm")
+      .write.mode("overwrite").parquet(graft.core.DeltaLog.deltaDir(dest, wm))
   }
 }

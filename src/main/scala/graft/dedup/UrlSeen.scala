@@ -38,38 +38,19 @@ import org.apache.spark.sql.types._
   * they can never be "seen". */
 object UrlSeen {
 
-  private val deltaPrefix = "delta-b"
-
   val schema: StructType = StructType(Seq(
     StructField("url_canon", StringType),
     StructField("first_seen_batch", LongType),
     StructField("first_doc", LongType)))
 
-  private def fsRoot(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
   /** Committed (batchId, dir) deltas under `path`, unordered. */
   private def committedDeltas(spark: SparkSession, path: String)
-      : Seq[(Long, String)] = {
-    val (fs, root) = fsRoot(spark, path)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith(deltaPrefix)) None
-      else scala.util.Try(n.drop(deltaPrefix.length).toLong).toOption
-        .filter(_ => fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(b => (b, st.getPath.toString))
-    }
-  }
+      : Seq[(Long, String)] =
+    graft.core.DeltaLog.committedDeltas(spark, path)
 
   /** Max committed batch stamp — the replay guard. */
-  def watermark(spark: SparkSession, path: String): Option[Long] = {
-    val ds = committedDeltas(spark, path)
-    if (ds.isEmpty) None else Some(ds.map(_._1).max)
-  }
+  def watermark(spark: SparkSession, path: String): Option[Long] =
+    graft.core.DeltaLog.watermark(spark, path)
 
   /** The standing index: one row per canonical URL with its first-seen
     * batch and first document. Empty (with schema) on a cold path.
@@ -117,14 +98,8 @@ object UrlSeen {
     // even when it found zero novel URLs). An unknown id below the
     // watermark is an out-of-order backfill — silently treating it as
     // a replay would permanently drop its novel URLs, so fail loudly.
-    val deltas = committedDeltas(spark, path)
-    val replay = deltas.exists(_._1 == batchId)
-    if (!replay && deltas.nonEmpty && batchId <= deltas.map(_._1).max)
-      throw new IllegalArgumentException(
-        s"out-of-order fold: batch $batchId is below the watermark " +
-          s"${deltas.map(_._1).max} but was never committed at $path — " +
-          "batches must be folded in ascending order (backfill would " +
-          "silently lose this batch's novel URLs)")
+    val replay = graft.core.DeltaLog.replayOrGuard(
+      committedDeltas(spark, path), batchId, path)
     if (!replay) {
       // delta = this batch's first-occurrence URLs only: write volume
       // ∝ novelty. Anti-join against the full standing state (which
@@ -134,7 +109,7 @@ object UrlSeen {
           Seq("url_canon"), "left_anti")
         .select(col("url_canon"), lit(batchId).as("first_seen_batch"),
           col("batch_first").as("first_doc"))
-        .write.mode("overwrite").parquet(s"$path/$deltaPrefix$batchId")
+        .write.mode("overwrite").parquet(graft.core.DeltaLog.deltaDir(path, batchId))
     }
     // annotation view: strictly-earlier state rows — a replayed fold's
     // own committed delta (first_seen_batch == batchId) is filtered
@@ -160,12 +135,7 @@ object UrlSeen {
     * out-of-contract writes [[compact]]'s min-fold heals). O(index). */
   def health(spark: SparkSession,
              path: String): graft.meta.PipelineMetrics.IndexHealth = {
-    val ds = committedDeltas(spark, path)
-    val (fs, _) = fsRoot(spark, path)
-    val files = ds.map { case (_, d) =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(d))
-        .count(_.getPath.getName.endsWith(".parquet"))
-    }.sum
+    val files = graft.core.DeltaLog.parquetFileCount(spark, path)
     graft.meta.PipelineMetrics
       .indexHealth(read(spark, path), col("url_canon"), path)
       .copy(files = files)
@@ -192,6 +162,6 @@ object UrlSeen {
       .select(col("url_canon"),
         col("m.first_seen_batch").as("first_seen_batch"),
         col("m.first_doc").as("first_doc"))
-      .write.mode("overwrite").parquet(s"$dest/$deltaPrefix$wm")
+      .write.mode("overwrite").parquet(graft.core.DeltaLog.deltaDir(dest, wm))
   }
 }

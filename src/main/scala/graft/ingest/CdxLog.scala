@@ -1,0 +1,106 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ROLLING archive index: each landed shard batch appends its CDX
+  * rows ([[Warc.cdxIndex]]) as one committed delta under the shared
+  * [[graft.core.DeltaLog]] layout, so the standing index grows with
+  * the crawl and a point-read consumer ([[Warc.fetchSpans]]) always
+  * sees every record ever archived — "index once at landing time,
+  * ranged-read forever", with the same replay-idempotence, monotone
+  * ordering, and crash safety the URL and media-signature states
+  * carry. This is what a web archive actually operates: Common Crawl
+  * publishes exactly this artifact (the per-crawl CDX next to the
+  * monthly WARC drop), cumulatively.
+  *
+  * Append semantics: indexing is deterministic per file, so a replayed
+  * batch is a pure no-op (the committed delta already holds its rows
+  * — re-appending would double every span and double every fetch); an
+  * out-of-order backfill fails loudly via the shared guard. Write
+  * volume ∝ the batch's own records — the standing index is never
+  * rewritten by an append.
+  *
+  * Scale shape: one narrow indexing pass over the batch's shards
+  * (slim index rows only — payload bytes never leave their tasks),
+  * one parquet write. No shuffle at all. [[compact]] merges the delta
+  * log into one generation with a first-batch-wins heal keyed by
+  * (file_id, rec_idx) — the degree an in-contract writer keeps at
+  * exactly one row. */
+object CdxLog {
+
+  val schema: StructType = StructType(Seq(
+    StructField("file_id", LongType),
+    StructField("rec_idx", IntegerType),
+    StructField("offset", LongType),
+    StructField("length", LongType),
+    StructField("member_ord", IntegerType),
+    StructField("warc_type", StringType),
+    StructField("record_id", StringType),
+    StructField("target_uri", StringType),
+    StructField("date_s", StringType),
+    StructField("batch_id", LongType)))
+
+  private def cols = schema.fieldNames.toSeq.map(col)
+
+  /** Index one landed shard batch into the standing log. Replays are
+    * no-ops; out-of-order batch ids fail loudly. */
+  def append(spark: SparkSession, files: DataFrame, fileId: Column,
+             payload: Column, path: String, batchId: Long): Unit = {
+    val replay = graft.core.DeltaLog.replayOrGuard(
+      graft.core.DeltaLog.committedDeltas(spark, path), batchId, path)
+    if (!replay)
+      Warc.cdxIndex(spark, files, fileId, payload)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .parquet(graft.core.DeltaLog.deltaDir(path, batchId))
+  }
+
+  /** The standing index: every record of every committed batch. Raw
+    * union — deltas are disjoint by the append contract (one batch
+    * per file set, replays write nothing); [[compact]] applies the
+    * defensive heal. Empty (with schema) on a cold path. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val ds = graft.core.DeltaLog.committedDeltas(spark, path)
+    if (ds.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(ds.map(_._2): _*).select(cols: _*)
+  }
+
+  def watermark(spark: SparkSession, path: String): Option[Long] =
+    graft.core.DeltaLog.watermark(spark, path)
+
+  /** Lifecycle telemetry — the shared IndexHealth contract keyed by
+    * (file_id, rec_idx): `maxList`/`skew` at exactly 1.0 for an
+    * in-contract writer; above means out-of-contract double-indexing
+    * that [[compact]]'s first-batch-wins heals. O(index). */
+  def health(spark: SparkSession,
+             path: String): graft.meta.PipelineMetrics.IndexHealth =
+    graft.meta.PipelineMetrics
+      .indexHealth(read(spark, path),
+        struct(col("file_id"), col("rec_idx")), path)
+      .copy(files = graft.core.DeltaLog.parquetFileCount(spark, path))
+
+  /** Merge the delta log into ONE generation at `dest`, stamped with
+    * the source watermark; duplicate (file_id, rec_idx) keys (only an
+    * out-of-contract writer produces them) heal first-batch-wins with
+    * the earliest batch's full row kept. */
+  def compact(spark: SparkSession, path: String, dest: String): Unit = {
+    require(path != dest, "compact to a FRESH path, then swap pointers")
+    val wm = watermark(spark, path).getOrElse(
+      throw new IllegalStateException(s"nothing committed at $path"))
+    val rest = schema.fieldNames.toSeq.filterNot(Set("file_id", "rec_idx"))
+    // batch_id leads the struct: min() is then first-batch-wins, with
+    // the winning batch's full row carried along
+    val ordered = "batch_id" +: rest.filterNot(_ == "batch_id")
+    read(spark, path)
+      .groupBy(col("file_id"), col("rec_idx"))
+      .agg(min(struct(ordered.map(col): _*)).as("m"))
+      .select(col("file_id") +: col("rec_idx") +:
+        rest.map(f => col(s"m.$f").as(f)): _*)
+      .write.mode("overwrite")
+      .parquet(graft.core.DeltaLog.deltaDir(dest, wm))
+  }
+}

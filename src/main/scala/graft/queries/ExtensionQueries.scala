@@ -2270,6 +2270,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the ROLLING archive index: month 1's shards append under batch 0,
+    // month 2's under batch 1, month 1 REPLAYS as a no-op (a double
+    // append would double every span and therefore every fetched row),
+    // and a sparse point-read through the STANDING log must retrieve
+    // records from BOTH generations byte-exactly — the per-crawl CDX a
+    // real web archive publishes cumulatively
+    "warc_cdx_incremental" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_cdxlog_gate").toString
+      val crawl = syntheticWarc(s, dir)
+      val b0 = crawl.where(col("doc_id") % 2 === 0)
+      val b1 = crawl.where(col("doc_id") % 2 === 1)
+      graft.ingest.CdxLog.append(s, b0, col("doc_id"), col("payload"),
+        path, 0L)
+      graft.ingest.CdxLog.append(s, b1, col("doc_id"), col("payload"),
+        path, 1L)
+      graft.ingest.CdxLog.append(s, b0, col("doc_id"), col("payload"),
+        path, 0L) // at-least-once replay: must write nothing
+      val want = graft.ingest.CdxLog.read(s, path)
+        .where(col("warc_type") === "response" &&
+          col("file_id") % 9 === 0)
+        .select(col("file_id"), col("offset"), col("length"),
+          col("member_ord"))
+      graft.ingest.Warc.fetchSpans(s, crawl, col("doc_id"),
+          col("payload"), want)
+        .select(col("file_id").as("doc_id"), col("record_id"),
+          col("target_uri"), md5(col("block")).as("block_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // revisit records DEREFERENCED through the index — the serving
     // flow crawler-side dedup implies: a revisit carries no payload,
     // only a WARC-Refers-To pointer; the consumer resolves the pointer
@@ -6490,6 +6520,18 @@ object ExtensionQueries {
          |    END AS block_md5,
          |  cast(1 AS bigint) AS spans_exact
          |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // the cross-generation point-read restated (every 9th doc spans
+    // both batches since ids alternate): one row per requested doc —
+    // a replayed append that double-indexed would double them
+    "warc_cdx_incremental" ->
+      s"""WITH $webCte
+         |SELECT doc_id, '<urn:uuid:resp-' || doc_id || '>' AS record_id,
+         |  url AS target_uri,
+         |  md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+         |    'Content-Type: text/html; charset=utf-8' || chr(13) ||
+         |    chr(10) || chr(13) || chr(10) || html) AS block_md5
+         |FROM x WHERE doc_id % 9 = 0 ORDER BY doc_id""".stripMargin,
 
     // the dereference restated: for every doc that carries a revisit
     // (even ids), the original's id, URI, its content md5 from the
