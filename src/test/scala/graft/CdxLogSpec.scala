@@ -92,4 +92,45 @@ class CdxLogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("out-of-order"))
   }
+
+  test("delta-log stress: 40 ordered appends — the standing index " +
+      "equals the from-scratch index, and appends continue after a " +
+      "mid-stream compaction") {
+    val path = Files.createTempDirectory("graft_cdxlog_s").toString
+    def batch(b: Long) = shards(Seq(b * 10, b * 10 + 1, b * 10 + 2))
+    for (b <- 1L to 40L)
+      CdxLog.append(spark, batch(b), col("fid"), col("payload"), path, b)
+    def spanSet(p: String) = CdxLog.read(spark, p)
+      .select(col("file_id"), col("rec_idx"), col("offset"),
+        col("length"), col("record_id"))
+      .collect().map(_.toString).toSet
+    val st = spanSet(path)
+    assert(st.size == 120)
+    // from-scratch: one append over the union indexes identically
+    // (batch stamps aside)
+    val scratch = Files.createTempDirectory("graft_cdxlog_s2").toString
+    CdxLog.append(spark, shards((1L to 40L).flatMap(b =>
+      Seq(b * 10, b * 10 + 1, b * 10 + 2))), col("fid"), col("payload"),
+      scratch, 1L)
+    assert(spanSet(scratch) === st)
+    // compaction mid-stream: one generation, same spans, appends go on
+    val dest = Files.createTempDirectory("graft_cdxlog_s3").toString
+    CdxLog.compact(spark, path, dest)
+    assert(spanSet(dest) === st)
+    assert(CdxLog.health(spark, dest).files <
+      CdxLog.health(spark, path).files)
+    CdxLog.append(spark, batch(41L), col("fid"), col("payload"),
+      dest, 41L)
+    assert(spanSet(dest).size == 123)
+    // and the grown log still serves point-reads from the oldest
+    // generation: fetch batch 1's first record through the index
+    val want = CdxLog.read(spark, dest).where(col("file_id") === 10L)
+      .select(col("file_id"), col("offset"), col("length"),
+        col("member_ord"))
+    val got = Warc.fetchSpans(spark, batch(1L), col("fid"),
+      col("payload"), want).collect()
+    assert(got.length == 1 &&
+      new String(got(0).getAs[Array[Byte]]("block"), UTF_8) ==
+        "payload-10")
+  }
 }
