@@ -165,6 +165,40 @@ object SigSeen {
           .otherwise(lit(null).cast("long")).as("hamming"))
   }
 
+  /** Doc-level fold for MULTI-signature media — an animation's frames,
+    * a clip's segments: explode `sigs` (array&lt;long&gt;) to signature
+    * rows, fold them through [[foldBatch]] (the state stores every
+    * distinct SIGNATURE, so a future item matches if it shares ANY
+    * signature with anything ever folded), then aggregate one verdict
+    * per id: `seen` iff any signature matches strictly-earlier state
+    * (best (hamming, first_doc) reported — a total order, ties break
+    * identically on every run), else `dup_in_batch` iff any signature
+    * has an earlier in-batch precedent (the earliest reported), else
+    * `new` (first_doc = the id itself). An item whose array is empty
+    * (undecodable payload) contributes no rows and gets no verdict —
+    * the null-signature totality contract. */
+  def foldBatchMulti(batch: DataFrame, id: Column, sigs: Column,
+                     path: String, batchId: Long, maxHamming: Int = 7,
+                     broadcastBatch: Boolean = true): DataFrame = {
+    val rows = batch.select(id.cast("long").as("doc_id"),
+      explode(sigs).as("sig"))
+    foldBatch(rows, col("doc_id"), col("sig"), path, batchId,
+        maxHamming, broadcastBatch)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(when(col("status") === "seen",
+          struct(col("hamming"), col("first_doc")))).as("m"),
+        min(when(col("status") === "dup_in_batch", col("first_doc")))
+          .as("pred"))
+      .select(col("doc_id"),
+        when(col("m").isNotNull, lit("seen"))
+          .when(col("pred").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("m.first_doc"), col("pred"), col("doc_id"))
+          .as("first_doc"),
+        col("m").getField("hamming").as("hamming"))
+  }
+
   /** Post-fold lifecycle telemetry — the
     * [[Dedup.appendToMinhashIndex]] IndexHealth contract over the
     * delta-log layout: `files` counts parquet files across COMMITTED

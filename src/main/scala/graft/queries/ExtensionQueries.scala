@@ -1719,6 +1719,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the rolling-media fold over ANIMATIONS — frames explode through
+    // the multi-signature fold, so a future animation is `seen` if it
+    // shares ANY frame (within the radius) with anything ever folded:
+    // the two-frame docs' first frame is a class the state has never
+    // seen, and they must still come back seen through their second
+    // frame — the any-frame rule no single-signature fold can express
+    "gif_dedup_incremental" -> ((s, dir) => {
+      graft.dedup.SigSeen.foldBatchMulti(gifSeenBatch(s, dir, 2),
+          col("doc_id"), ImageHash.frameDHash(col("payload")),
+          gifSigStateFor(s, dir), 2L)
+        .orderBy(col("doc_id"))
+    }),
+
     // the rolling-media fold over AUDIO fingerprints — the same
     // two-batch population as image_dedup_incremental re-rendered as
     // signature-exact WAV clips (audioTargetClip realizes any 64-bit
@@ -3868,11 +3881,14 @@ object ExtensionQueries {
   private lazy val sigClassWords: IndexedSeq[Long] = {
     val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
     var v = 0
-    while (kept.length < 20 && v < 65536) {
+    // 30 classes: 0-9 base, 10-19 the batch-2 never-seen family, 20-29
+    // the animation gate's novel-frame family. Greedy in ascending v,
+    // so extending the count leaves the earlier indices IDENTICAL.
+    while (kept.length < 30 && v < 65536) {
       if (kept.forall(w => Integer.bitCount(w ^ v) >= 6)) kept += v
       v += 1
     }
-    require(kept.length == 20, "greedy 16-bit code came up short")
+    require(kept.length == 30, "greedy 16-bit code came up short")
     kept.toIndexedSeq.map(w =>
       (0 until 4).map(i => w.toLong << (16 * i)).reduce(_ | _))
   }
@@ -4001,6 +4017,73 @@ object ExtensionQueries {
         graft.dedup.SigSeen.foldBatch(audioSeenBatch(s, dir, b),
           col("doc_id"),
           graft.multimodal.AudioHash.fingerprint(col("payload")), path,
+          b.toLong)
+      ()
+    })
+
+  /** Gray value at flat pixel k of the [[sigTargetImage]] ±14 walk for
+    * `sig` — the same construction exposed as a (sig, k) function so
+    * the ANIMATION fixture can realize a chosen dHash per FRAME. */
+  private def dhashWalkGray(sig: Long, k: Int): Int = {
+    val y = k / 9
+    val x = k % 9
+    var v = 128
+    var i = 0
+    while (i < x) {
+      val bit = (sig >>> (63 - (y * 8 + i))) & 1L
+      v += (if (bit == 1L) -14 else 14)
+      i += 1
+    }
+    v
+  }
+
+  /** Two-batch rolling-ANIMATION population over frame-controllable
+    * GIFs (9×8 frames whose per-frame dHash is exact by
+    * [[dhashWalkGray]]): batch 1 (even docs < 400) single-frame class
+    * B_{(d/2)%10}; batch 2 single-frame roles for odd docs < 400 (the
+    * [[sigSeenBatch]] arithmetic verbatim) PLUS two-frame docs for odd
+    * 401 ≤ d < 440 — frame 0 a never-seen class (20-29), frame 1 an
+    * exact base-class re-sight — which must come back `seen` through
+    * the ANY-frame rule even though their first frame is novel. */
+  private def gifSeenBatch(s: SparkSession, dir: String,
+                           batch: Int): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val selected =
+      if (batch == 1) docs.where(col("doc_id") % 2 === 0 &&
+        col("doc_id") < 400)
+      else docs.where(col("doc_id") % 2 === 1 && (col("doc_id") < 400 ||
+        (col("doc_id") >= 401 && col("doc_id") < 440)))
+    selected.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val sigs: Seq[Long] =
+          if (batch == 1) Seq(sigClassWords(((d / 2) % 10).toInt))
+          else if (d < 400) {
+            val k = (d - 1) / 2
+            val c = (k % 10).toInt
+            Seq((k % 4) match {
+              case 0 => sigClassWords(c)
+              case 1 => sigClassWords(c) ^ 1L
+              case _ => sigClassWords(10 + c)
+            })
+          } else {
+            val j = ((d - 401) / 2).toInt
+            Seq(sigClassWords(20 + j % 10), sigClassWords(j % 10))
+          }
+        val payload = graft.multimodal.Images.encodeAnimatedGifGray(
+          9, 8, sigs.length, (f, k) => dhashWalkGray(sigs(f), k))
+        (d, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Standing signature state for the incremental ANIMATION gate —
+    * the [[sigStateFor]] lifecycle over per-frame dHashes through the
+    * multi-signature fold. */
+  private val gifSigStateFor = new IndexCache("graft_gate_gifstate",
+    (s, dir, path) => {
+      for (b <- 1 to 2)
+        graft.dedup.SigSeen.foldBatchMulti(gifSeenBatch(s, dir, b),
+          col("doc_id"), ImageHash.frameDHash(col("payload")), path,
           b.toLong)
       ()
     })
@@ -4872,6 +4955,36 @@ object ExtensionQueries {
         |    ELSE NULL END AS bigint) AS hamming
         |FROM r LEFT JOIN n USING (c)
         |ORDER BY r.doc_id""".stripMargin,
+
+    // single-frame docs restate the image arithmetic verbatim; the
+    // two-frame docs (odd 401 ≤ d < 440) are 'seen' at hamming 0
+    // through their SECOND frame — an exact re-sight of base class
+    // j%10, whose state first_doc is 2*(j%10)
+    "gif_dedup_incremental" ->
+      """WITH b2 AS (
+        |  SELECT doc_id, (doc_id - 1) // 2 AS k FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id < 400),
+        |r AS (SELECT doc_id, k % 4 AS role, k % 10 AS c FROM b2),
+        |n AS (SELECT c, min(doc_id) AS nf FROM r WHERE role IN (2, 3)
+        |  GROUP BY c),
+        |single AS (
+        |  SELECT r.doc_id,
+        |    CASE WHEN r.role IN (0, 1) THEN 'seen'
+        |         WHEN r.doc_id = n.nf THEN 'new'
+        |         ELSE 'dup_in_batch' END AS status,
+        |    cast(CASE WHEN r.role IN (0, 1) THEN 2 * r.c ELSE n.nf END
+        |      AS bigint) AS first_doc,
+        |    cast(CASE WHEN r.role = 0 THEN 0 WHEN r.role = 1 THEN 1
+        |      ELSE NULL END AS bigint) AS hamming
+        |  FROM r LEFT JOIN n USING (c)),
+        |dual AS (
+        |  SELECT doc_id, 'seen' AS status,
+        |    cast(2 * (((doc_id - 401) // 2) % 10) AS bigint) AS first_doc,
+        |    cast(0 AS bigint) AS hamming
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id >= 401 AND doc_id < 440)
+        |SELECT * FROM single UNION ALL SELECT * FROM dual
+        |ORDER BY doc_id""".stripMargin,
 
     // identical arithmetic to image_dedup_incremental: the audio
     // population re-renders the same class signatures, so the same

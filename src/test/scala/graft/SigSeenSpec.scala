@@ -170,6 +170,45 @@ class SigSeenSpec extends AnyFunSuite {
     assert(healed.files < sick.files)
   }
 
+  test("multi-signature fold: any-signature seen wins, in-batch " +
+      "precedent next, empty arrays drop, every frame persists") {
+    val path = tmp()
+    // batch 1: doc 10 carries {w0, w1}; doc 11 carries {w2}
+    SigSeen.foldBatchMulti(
+      Seq((10L, Seq(words(0), words(1))), (11L, Seq(words(2))))
+        .toDF("doc_id", "sigs"),
+      col("doc_id"), col("sigs"), path, 1L).count()
+    // the state holds EVERY frame signature, each stamped to its doc
+    assert(stateSet(path) === Set(
+      (words(0), 1L, 10L), (words(1), 1L, 10L), (words(2), 1L, 11L)))
+    // batch 2: doc 20 = {novel w3, near-w1} → seen via its SECOND
+    // frame (h=1, first_doc=10); doc 21 = {novel w4}; doc 22 = {w4^2}
+    // → dup_in_batch behind 21; doc 23 = {} → no verdict row
+    val out = SigSeen.foldBatchMulti(
+      Seq((20L, Seq(words(3), words(1) ^ 4L)), (21L, Seq(words(4))),
+        (22L, Seq(words(4) ^ 2L)), (23L, Seq.empty[Long]))
+        .toDF("doc_id", "sigs"),
+      col("doc_id"), col("sigs"), path, 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(20L) === (("seen", 10L, 1L)))
+    assert(out(21L) === (("new", 21L, -1L)))
+    assert(out(22L) === (("dup_in_batch", 21L, -1L)))
+    assert(!out.contains(23L))
+    // the novel frames of batch 2 persisted — including SEEN doc 20's
+    // first frame, which nothing in state was near
+    assert(stateSet(path).contains((words(3), 2L, 20L)))
+    // replay: the verdicts and the state are identical
+    val replay = SigSeen.foldBatchMulti(
+      Seq((20L, Seq(words(3), words(1) ^ 4L)), (21L, Seq(words(4))),
+        (22L, Seq(words(4) ^ 2L)))
+        .toDF("doc_id", "sigs"),
+      col("doc_id"), col("sigs"), path, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay === Map(20L -> "seen", 21L -> "new",
+      22L -> "dup_in_batch"))
+  }
+
   test("delta-log stress: 30 ordered folds — novelty-only growth, " +
       "from-scratch equivalence, replay after compaction") {
     val path = tmp()
