@@ -715,6 +715,22 @@ object Warc {
     }
   }
 
+  /** Catalyst bridge for the SQL surface ([[WarcCdxExpr]]): the CDX
+    * entries as array&lt;struct&gt; InternalRows. */
+  def cdxRowsOf(payload: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cdxEntries(payload).map { e =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](e.recIdx, e.offset, e.length, e.memberOrdinal,
+            UTF8String.fromString(e.warcType),
+            UTF8String.fromString(e.recordId),
+            e.targetUri.map(UTF8String.fromString).orNull,
+            UTF8String.fromString(e.date)))
+      }.toArray[Any])
+  }
+
   /** One row of [[cdxIndex]]. */
   final case class CdxRow(
       file_id: Long,
@@ -768,9 +784,12 @@ object Warc {
     * Scale shape: the request set collapses to one slim row per
     * touched file (collect_list of its spans) and — being index rows,
     * tiny next to shard payloads — BROADCASTS against the archive
-    * frame, so the shards never shuffle; the inner join prunes every
-    * un-requested shard from the scan entirely (with a lazy
-    * binary-file source those shards are never even read). Set
+    * frame, so the shards never shuffle, and every un-requested
+    * shard's row drops at the join without decoding a byte of it.
+    * (The JOIN does not prune the file SCAN itself: for sparse
+    * retrieval over a path-addressed archive, pre-filter the `files`
+    * frame to the requested paths — the index carries the file ids —
+    * so the source lists and reads only those shards.) Set
     * `broadcastRequests = false` for a shuffle-hash plan when the
     * request list itself is corpus-scale. */
   def fetchSpans(spark: SparkSession, files: DataFrame, fileId: Column,
@@ -832,4 +851,37 @@ object Warc {
       })
       .toDF()
   }
+}
+
+/** Codegen expression over the CDX kernel — `warc_cdx(payload)` in
+  * SQL: one index struct per record with its retrieval span, the
+  * [[Warc.cdxEntries]] totality (a malformed archive yields its valid
+  * prefix, never a throw). Registered by
+  * [[graft.ops.GraftFunctions]]. */
+case class WarcCdxExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rec_idx", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("member_ord", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("date_s", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "warc_cdx"
+  override def nullSafeEval(in: Any): Any =
+    Warc.cdxRowsOf(in.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ingest.Warc.cdxRowsOf($c);")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = c)
 }

@@ -61,6 +61,7 @@ object GraftFunctions {
     "image_ahash64" -> (one(_)(graft.multimodal.AHash64Expr)),
     "gif_frame_dhashes" -> (one(_)(graft.multimodal.FrameDHashesExpr(_, 8))),
     "audio_fingerprint64" -> (one(_)(graft.multimodal.AudioFingerprint64Expr)),
+    "warc_cdx" -> (one(_)(graft.ingest.WarcCdxExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),
     "l2_normalize" -> (one(_)(L2NormalizeExpr)),
     "hash_embed" -> (one(_)(HashEmbedExpr(_, 64))),

@@ -2266,7 +2266,7 @@ object ExtensionQueries {
     // sparse workload (every 7th doc's response record), hand the
     // spans to fetchSpans, and every requested record must come back
     // via its ranged read — request rows broadcast, shards never
-    // shuffle, un-requested shards prune out of the join entirely
+    // shuffle, un-requested shards drop at the join undecoded
     "warc_cdx_lookup" -> ((s, dir) => {
       val crawl = syntheticWarc(s, dir)
       val idx = graft.ingest.Warc.cdxIndex(s, crawl,

@@ -190,6 +190,28 @@ class WarcCdxSpec extends AnyFunSuite {
     }
   }
 
+  test("warc_cdx is on the SQL surface: the index explodes from SQL " +
+      "with spans a fetch can consume") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    graft.ops.GraftFunctions.register(spark)
+    val gz = Warc.buildWarcGz(Seq(rec(0), rec(1)))
+    Seq((7L, gz)).toDF("fid", "payload").createOrReplaceTempView("cdx_t")
+    val rows = spark.sql(
+      "SELECT fid, e.rec_idx, e.offset, e.length, e.record_id " +
+        "FROM cdx_t LATERAL VIEW explode(warc_cdx(payload)) x AS e " +
+        "ORDER BY e.rec_idx").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(4)).toSeq ==
+      Seq("<urn:uuid:rec-0>", "<urn:uuid:rec-1>"))
+    val fetched = Warc.fetchRecord(gz, rows(1).getLong(2),
+      rows(1).getLong(3))
+    assert(fetched.exists(_.recordId == "<urn:uuid:rec-1>"))
+    // null payload → null (no rows through explode), the SQL totality
+    assert(spark.sql("SELECT warc_cdx(cast(NULL AS binary))").collect()(0)
+      .isNullAt(0))
+  }
+
   test("fetchSpans: bulk point-read broadcasts the request side, " +
       "prunes un-requested files, and classifies stale spans") {
     val spark = SparkTestSession.spark
