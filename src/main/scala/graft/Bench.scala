@@ -158,7 +158,8 @@ object Bench {
       "corpus_budget_incremental", "corpus_budget_incremental_by_source",
       "corpus_mix_temperature_incremental",
       "corpus_mix_temperature_epochs_incremental",
-      "image_dedup_incremental", "frontier_redirect")
+      "image_dedup_incremental", "frontier_redirect",
+      "audio_dedup_incremental", "gif_dedup_incremental")
       .filter(selected)
     // build_sec is a SINGLE invocation (no min-of-3 to shed warmup), so
     // first pay the janino/codegen compile of these plans against the
