@@ -2313,6 +2313,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the index as a SECONDARY index for selective re-processing — the
+    // real 100 TB win: re-run an extractor over one host's pages by
+    // FILTERING THE INDEX METADATA (a host predicate on target_uri,
+    // nothing id-shaped), fetching only those spans, and extracting
+    // main text from the fetched bodies; the archive is never
+    // re-scanned. The oracle restates host membership and the exact
+    // main-text content from the synthesis formulas.
+    "warc_cdx_reextract" -> ((s, dir) => {
+      val crawl = syntheticWarc(s, dir)
+      val idx = graft.ingest.Warc.cdxIndex(s, crawl,
+        col("doc_id"), col("payload"))
+      val want = idx.where(col("warc_type") === "response" &&
+          graft.ops.HtmlExprs.urlHost(col("target_uri"))
+            .like("www.example-%.com"))
+        .select(col("file_id"), col("offset"), col("length"),
+          col("member_ord"))
+      val fetched = graft.ingest.Warc.fetchSpans(s, crawl,
+        col("doc_id"), col("payload"), want)
+      val blockStr = col("block").cast("string")
+      val body = blockStr.substr(
+        instr(blockStr, "\r\n\r\n") + lit(4), length(blockStr))
+      fetched.select(col("file_id").as("doc_id"),
+          graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
+          graft.ops.HtmlExprs.htmlMainText(body).as("main"))
+        .select(col("doc_id"), col("host"),
+          md5(col("main")).as("main_md5"),
+          length(col("main")).cast("long").as("main_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // revisit records DEREFERENCED through the index — the serving
     // flow crawler-side dedup implies: a revisit carries no payload,
     // only a WARC-Refers-To pointer; the consumer resolves the pointer
@@ -6633,6 +6663,19 @@ object ExtensionQueries {
          |    END AS block_md5,
          |  cast(1 AS bigint) AS spans_exact
          |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // host membership (doc_id%3=0 are the www.example-*.com pages) and
+    // the exact re-extracted main text, both from the synthesis
+    // formulas — an index predicate that leaks other hosts' pages or a
+    // fetch that mangles a body cannot match
+    "warc_cdx_reextract" ->
+      s"""WITH $webCte
+         |SELECT doc_id, host,
+         |  md5(CASE WHEN coll = '' THEN source
+         |    ELSE source || chr(10) || coll END) AS main_md5,
+         |  cast(length(CASE WHEN coll = '' THEN source
+         |    ELSE source || chr(10) || coll END) AS bigint) AS main_chars
+         |FROM x WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     // the cross-generation point-read restated (every 9th doc spans
     // both batches since ids alternate): one row per requested doc —
