@@ -87,7 +87,8 @@ object Bench {
     "frontier_redirect", "recrawl_schedule", "corpus_build_pipeline",
     "warc_cdx_fetch", "warc_cdx_lookup", "audio_dedup_incremental",
     "corpus_build_incremental", "warc_revisit_fetch",
-    "warc_cdx_incremental", "gif_dedup_incremental", "warc_cdx_reextract")
+    "warc_cdx_incremental", "gif_dedup_incremental", "warc_cdx_reextract",
+    "recrawl_archive")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

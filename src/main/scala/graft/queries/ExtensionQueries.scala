@@ -2313,6 +2313,55 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ARCHIVE-AWARE recrawl: staleness judged against the standing
+    // archive's OWN fetch dates (the CDX date_s column), not a fixed
+    // calendar cut — a change-signal feed (url, lastmod) tiers as
+    // 0 = never archived (must fetch), 1 = stale (lastmod strictly
+    // after the newest archived fetch), 2 = fresh/unknown (defer).
+    // URLs normalize on both sides before the match; colliding
+    // spellings collapse to max-of-group on each side. The equal-date
+    // boundary (lastmod == fetched) is planted and must land FRESH.
+    "recrawl_archive" -> ((s, dir) => {
+      val crawl = syntheticWarc(s, dir)
+      val archived = graft.ingest.Warc.cdxIndex(s, crawl,
+          col("doc_id"), col("payload"))
+        .where(col("warc_type") === "response")
+        .select(graft.ops.HtmlExprs.urlNormalize(col("target_uri"))
+            .as("url_canon"),
+          expr("try_cast(substring(date_s, 1, 10) AS DATE)")
+            .as("fetched"))
+        .groupBy(col("url_canon")).agg(max(col("fetched")).as("fetched"))
+      val docs = Tables(s, dir, "documents")
+      val v = col("doc_id") % 4
+      val ownDate = concat(lit("2026-01-0"), col("doc_id") % 9 + 1)
+      val feedUrls = {
+        import s.implicits._
+        docs.select(col("doc_id"), col("source")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, src) => (id, Web.url(id, src)) })
+          .toDF("doc_id", "url")
+      }
+      val candidates = feedUrls.select(
+          graft.ops.HtmlExprs.urlNormalize(col("url")).as("url_canon"),
+          when(v === 0, lit("2026-06-01"))
+            .when(v === 1, lit("2025-12-31"))
+            .when(v === 3, ownDate)
+            .otherwise(lit(null)).cast("date").as("lastmod"))
+        .unionByName(docs.where(col("doc_id") % 5 === 0)
+          .select(concat(lit("https://new.example/n/"), col("doc_id"))
+              .as("url_canon"),
+            lit("2026-06-01").cast("date").as("lastmod")))
+        .groupBy(col("url_canon")).agg(max(col("lastmod")).as("lastmod"))
+      candidates.join(archived.hint("shuffle_hash"),
+          Seq("url_canon"), "left")
+        .select(col("url_canon"),
+          when(col("fetched").isNull, lit(0))
+            .when(col("lastmod") > col("fetched"), lit(1))
+            .otherwise(lit(2)).cast("int").as("tier"),
+          col("lastmod").cast("string").as("lastmod"),
+          col("fetched").cast("string").as("fetched"))
+        .orderBy(col("url_canon"))
+    }),
+
     // the index as a SECONDARY index for selective re-processing — the
     // real 100 TB win: re-run an extractor over one host's pages by
     // FILTERING THE INDEX METADATA (a host predicate on target_uri,
@@ -6663,6 +6712,36 @@ object ExtensionQueries {
          |    END AS block_md5,
          |  cast(1 AS bigint) AS spans_exact
          |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // candidate and archive sides both restated from the synthesis
+    // formulas (url_norm + the %4 lastmod rotation + Web.date), with
+    // max-of-group collapsing colliding spellings on each side before
+    // the tier comparison — including the planted equal-date boundary
+    "recrawl_archive" ->
+      (s"WITH $webCte,\n" +
+      """cand0 AS (
+         |  SELECT url_norm AS u,
+         |    CASE cast(doc_id % 4 AS int)
+         |      WHEN 0 THEN DATE '2026-06-01'
+         |      WHEN 1 THEN DATE '2025-12-31'
+         |      WHEN 3 THEN cast('2026-01-0' || (doc_id % 9 + 1) AS DATE)
+         |      ELSE NULL END AS lm
+         |  FROM x
+         |  UNION ALL
+         |  SELECT 'https://new.example/n/' || doc_id, DATE '2026-06-01'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |cand AS (SELECT u, max(lm) AS lastmod FROM cand0 GROUP BY u),
+         |arch AS (
+         |  SELECT url_norm AS u,
+         |    max(cast('2026-01-0' || (1 + doc_id % 9) AS DATE)) AS fetched
+         |  FROM x GROUP BY u)
+         |SELECT c.u AS url_canon,
+         |  cast(CASE WHEN a.fetched IS NULL THEN 0
+         |    WHEN c.lastmod > a.fetched THEN 1 ELSE 2 END AS int) AS tier,
+         |  cast(c.lastmod AS varchar) AS lastmod,
+         |  cast(a.fetched AS varchar) AS fetched
+         |FROM cand c LEFT JOIN arch a ON c.u = a.u
+         |ORDER BY url_canon""".stripMargin),
 
     // host membership (doc_id%3=0 are the www.example-*.com pages) and
     // the exact re-extracted main text, both from the synthesis
