@@ -160,6 +160,43 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("property: for random record sets on both wire forms, the index " +
+      "is complete, identity-true, and tiles the file") {
+    val rnd = new scala.util.Random(180002L)
+    def randomBlock(): Array[Byte] = {
+      val n = rnd.nextInt(2000)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b) // arbitrary bytes incl CRLF CRLF sequences
+      b
+    }
+    for (trial <- 0 until 120) {
+      val n = 1 + rnd.nextInt(6)
+      val specs = (0 until n).map { i =>
+        WarcSpecRec(
+          warcType = Seq("response", "resource", "metadata",
+            "revisit")(rnd.nextInt(4)),
+          recordId = s"<urn:uuid:p-$trial-$i>",
+          targetUri =
+            if (rnd.nextBoolean()) Some(s"https://p.example/$i") else None,
+          date = "2026-01-02T03:04:05Z",
+          contentType = "application/octet-stream",
+          block = randomBlock())
+      }
+      val payload = if (trial % 2 == 0) Warc.buildWarc(specs)
+        else Warc.buildWarcGz(specs)
+      val es = Warc.cdxEntries(payload)
+      assert(es.length == n, s"trial $trial: ${es.length} != $n")
+      assertTiling(es, payload.length.toLong)
+      es.zip(specs).foreach { case (e, s) =>
+        assert(e.recordId == s.recordId)
+        val r = Warc.fetchRecord(payload, e.offset, e.length,
+          e.memberOrdinal)
+        assert(r.exists(x => x.recordId == s.recordId &&
+          x.block.sameElements(s.block)), s"trial $trial fetch mismatch")
+      }
+    }
+  }
+
   test("totality fuzz: byte mutations over valid archives never throw " +
       "and always yield a consistent prefix") {
     val base = Warc.buildWarcGz(Seq(rec(0), rec(1, "x" * 3000), rec(2)))
