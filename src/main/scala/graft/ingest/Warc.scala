@@ -460,7 +460,12 @@ object Warc {
     * `.warc[.gz]` shard files under `path`, at most `maxRecordsPerFile`
     * records per file. Returns after writing `path/_manifest` (parquet:
     * file, n_records, bytes) — the loader's pre-consume check, same
-    * convention as [[graft.sinks.Sinks.shardedExport]].
+    * convention as [[graft.sinks.Sinks.shardedExport]]. With
+    * `writeCdx = true` the export also ships `path/_cdx` (parquet: one
+    * row per record with its retrieval span, keyed by file name) — the
+    * web-archive convention of publishing the index WITH the crawl;
+    * the same task that wrote a file indexes the bytes it wrote, so
+    * the shipped index can never drift from the shipped files.
     *
     * Scale shape: one narrow pass — each task serializes its own rows
     * and writes its own files (no shuffle, no driver bytes); gzip is
@@ -474,7 +479,8 @@ object Warc {
   def wetExport(spark: SparkSession, docs: DataFrame, id: Column,
                 uri: Column, date: Column, text: Column, path: String,
                 maxRecordsPerFile: Int = 1000,
-                gzip: Boolean = true): Unit = {
+                gzip: Boolean = true,
+                writeCdx: Boolean = false): Unit = {
     import spark.implicits._
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -501,15 +507,41 @@ object Warc {
           val name = f"wet-$pid%05d-$seq%04d$suffix"
           val out = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
           try out.write(bytes) finally out.close()
-          (name, chunk.size.toLong, bytes.length.toLong)
+          // index the bytes just written, in the SAME task: the shipped
+          // index can never drift from the shipped files
+          val cdx = if (writeCdx) cdxEntries(bytes).map(e =>
+            (e.recIdx, e.offset, e.length, e.memberOrdinal, e.warcType,
+              e.recordId, e.targetUri, e.date)) else Seq.empty
+          (name, chunk.size.toLong, bytes.length.toLong, cdx)
         }
       }
-      .toDF("file", "n_records", "bytes")
-    // writing the manifest is what executes the export (one pass: the
-    // same task that wrote a file reports its counts — never a second
-    // scan of `docs` that could disagree with the files)
-    manifest.orderBy(org.apache.spark.sql.functions.col("file")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
+      .toDF("file", "n_records", "bytes", "cdx")
+    if (!writeCdx) {
+      // writing the manifest is what executes the export (one pass: the
+      // same task that wrote a file reports its counts — never a second
+      // scan of `docs` that could disagree with the files)
+      manifest.drop("cdx")
+        .orderBy(org.apache.spark.sql.functions.col("file")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_manifest")
+    } else {
+      // the export executes ONCE (eager checkpoint), then the manifest
+      // and the shipped CDX are two cheap writes of the held result —
+      // re-running the file-writing pass for the second artifact would
+      // double the export work (deterministic names make it merely
+      // wasteful, but a manifest/index pair must come from ONE run)
+      val held = manifest.localCheckpoint(true)
+      held.drop("cdx")
+        .orderBy(org.apache.spark.sql.functions.col("file")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_manifest")
+      import org.apache.spark.sql.functions.{col => c, explode => ex}
+      held.select(c("file"), ex(c("cdx")).as("e"))
+        .select(c("file"),
+          c("e._1").as("rec_idx"), c("e._2").as("offset"),
+          c("e._3").as("length"), c("e._4").as("member_ord"),
+          c("e._5").as("warc_type"), c("e._6").as("record_id"),
+          c("e._7").as("target_uri"), c("e._8").as("date_s"))
+        .write.mode("overwrite").parquet(s"$path/_cdx")
+    }
   }
 
   /** The QUARANTINE side of [[recordTable]]'s contract: the file ids

@@ -2512,12 +2512,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // the archive lifecycle closed over REAL files: export WET shards,
-    // index the written bytes from disk, then point-read a sparse
-    // workload (every 5th doc) back through fetchSpans — each text must
-    // return byte-exact via its span alone. This is the steady state a
-    // 100 TB archive runs in: write once, index once, ranged-read
-    // forever (never a shard re-scan per retrieval).
+    // the archive lifecycle closed over REAL files: the export SHIPS
+    // its own index (writeCdx — the same task that wrote a file
+    // indexed the bytes it wrote, the web-archive convention of
+    // publishing the CDX with the crawl), and a sparse workload (every
+    // 5th doc) point-reads back through the SHIPPED artifact — each
+    // text must return byte-exact via its published span alone. This
+    // is the steady state a 100 TB archive runs in: write once, ship
+    // the index with the write, ranged-read forever.
     "warc_cdx_files" -> ((s, dir) => {
       val out = java.nio.file.Files
         .createTempDirectory("graft_cdxfiles_gate").toString
@@ -2526,15 +2528,16 @@ object ExtensionQueries {
         concat(lit("https://w.example/"), col("doc_id")),
         lit("2026-01-01T00:00:00Z"),
         coalesce(col("text"), lit("")),
-        out, maxRecordsPerFile = 100, gzip = true)
+        out, maxRecordsPerFile = 100, gzip = true, writeCdx = true)
       val files = s.read.format("binaryFile").load(out + "/wet-*.warc.gz")
-        .select(xxhash64(col("path")).as("fid"), col("content"))
-        .localCheckpoint(true) // consumed by the index build AND the fetch
-      val idx = graft.ingest.Warc.cdxIndex(s, files,
-        col("fid"), col("content"))
-      val want = idx.where(regexp_extract(col("record_id"),
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          xxhash64(col("path")).as("fid"), col("content"))
+        .localCheckpoint(true) // consumed by the name map AND the fetch
+      val want = s.read.parquet(out + "/_cdx")
+        .where(regexp_extract(col("record_id"),
           "conv-(\\d+)", 1).cast("long") % 5 === 0)
-        .select(col("file_id"), col("offset"), col("length"),
+        .join(files.select(col("file"), col("fid")), Seq("file"))
+        .select(col("fid").as("file_id"), col("offset"), col("length"),
           col("member_ord"))
       graft.ingest.Warc.fetchSpans(s, files, col("fid"), col("content"),
           want)
