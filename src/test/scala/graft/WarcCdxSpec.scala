@@ -227,6 +227,37 @@ class WarcCdxSpec extends AnyFunSuite {
     }
   }
 
+  test("wetExport writeCdx: the shipped index equals a from-scratch " +
+      "index of the written files, and the manifest schema is stable") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val dir = java.nio.file.Files.createTempDirectory("graft_wetcdx")
+    val docs = (0L until 37L).map(i =>
+      (i, s"https://e.example/$i", "2026-01-01T00:00:00Z", s"t $i"))
+      .toDF("doc_id", "uri", "date", "text")
+    Warc.wetExport(spark, docs, $"doc_id", $"uri", $"date", $"text",
+      dir.toString, maxRecordsPerFile = 10, gzip = true, writeCdx = true)
+    val shipped = spark.read.parquet(dir.toString + "/_cdx")
+      .select("file", "rec_idx", "offset", "length", "member_ord",
+        "record_id").collect().map(_.toString).toSet
+    val files = spark.read.format("binaryFile")
+      .load(dir.toString + "/wet-*.warc.gz")
+    val names = files.select(
+        element_at(split(col("path"), "/"), -1).as("file"),
+        org.apache.spark.sql.functions.xxhash64(col("path")).as("fid"))
+    val scratch = Warc.cdxIndex(spark, files,
+        org.apache.spark.sql.functions.xxhash64(col("path")),
+        col("content"))
+      .join(names, col("file_id") === col("fid"))
+      .select("file", "rec_idx", "offset", "length", "member_ord",
+        "record_id").collect().map(_.toString).toSet
+    assert(shipped === scratch && shipped.size == 37)
+    // the manifest keeps its pre-writeCdx schema (loader compatibility)
+    assert(spark.read.parquet(dir.toString + "/_manifest")
+      .columns.toSeq == Seq("file", "n_records", "bytes"))
+  }
+
   test("warc_cdx is on the SQL surface: the index explodes from SQL " +
       "with spans a fetch can consume") {
     val spark = SparkTestSession.spark
