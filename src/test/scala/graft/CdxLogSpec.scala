@@ -93,6 +93,30 @@ class CdxLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("out-of-order"))
   }
 
+  test("crash safety: an uncommitted delta (no _SUCCESS) is invisible " +
+      "to reads, watermark, and the replay guard; the retry lands") {
+    val path = Files.createTempDirectory("graft_cdxlog_x").toString
+    val all = shards(0L until 4L).localCheckpoint(true)
+    CdxLog.append(spark, all.where(col("fid") < 2),
+      col("fid"), col("payload"), path, 0L)
+    // simulate a fold of batch 1 that died mid-write: delta dir with
+    // data but its _SUCCESS marker removed
+    CdxLog.append(spark, all.where(col("fid") >= 2),
+      col("fid"), col("payload"), path, 1L)
+    val marker = new java.io.File(
+      graft.core.DeltaLog.deltaDir(path, 1L), "_SUCCESS")
+    assert(marker.delete())
+    assert(CdxLog.read(spark, path).count() == 2) // crash invisible
+    assert(CdxLog.watermark(spark, path) === Some(0L))
+    // the retry is NOT a replay (nothing committed at 1): it rewrites
+    // the delta and commits
+    CdxLog.append(spark, all.where(col("fid") >= 2),
+      col("fid"), col("payload"), path, 1L)
+    assert(CdxLog.read(spark, path).count() == 4)
+    assert(CdxLog.watermark(spark, path) === Some(1L))
+    assert(CdxLog.health(spark, path).maxList == 1)
+  }
+
   test("delta-log stress: 40 ordered appends — the standing index " +
       "equals the from-scratch index, and appends continue after a " +
       "mid-stream compaction") {
