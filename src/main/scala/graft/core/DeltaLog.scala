@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * [[graft.dedup.SigSeen]] (media-signature state),
   * [[graft.ingest.CdxLog]] (the rolling archive index):
   * {{{
-  *   path/delta-b<batchId>/  parquet + _SUCCESS
+  *   path/gen-<%016d>/delta-b<batchId>/  parquet + _SUCCESS
+  *   path/delta-b<batchId>/              legacy (generation-0) layout
   * }}}
   * One committed directory per folded batch; `_SUCCESS` gates crash
   * safety (a fold that died mid-write is invisible); the max committed
@@ -17,6 +18,31 @@ import org.apache.spark.sql.SparkSession
   * out-of-order backfill and fails loudly — silently treating it as a
   * replay would permanently drop that batch's novel rows.
   *
+  * GENERATIONS make compaction an atomic cutover instead of a manual
+  * pointer swap: [[compactCutover]] materializes the min-folded state
+  * as the FIRST delta of generation N+1 (stamped with the source
+  * watermark), and the generation becomes current the instant that
+  * delta's `_SUCCESS` marker lands — a single filesystem create, the
+  * same commit discipline [[GenState]] uses for snapshot state. There
+  * is no pointer FILE to flip and therefore no window between "new
+  * state written" and "pointer flipped": a reader resolves the current
+  * generation as the highest-numbered `gen-*` directory holding at
+  * least one committed delta, so before the marker it sees exactly the
+  * old generation and after it exactly the new — never neither, never
+  * both. A crash mid-compaction leaves an orphan generation with no
+  * committed delta (invisible; the retry overwrites it). Post-cutover
+  * folds land in the new generation automatically ([[foldDir]]
+  * resolves through the same rule). Old generations are NOT deleted by
+  * the cutover — [[pruneGenerations]] is the explicit maintenance step,
+  * and it keeps the immediately previous state so a reader that
+  * resolved the old generation just before a cutover still finds its
+  * files. A pre-generation path (bare `delta-b*` under the root) reads
+  * as generation 0 and migrates on its first cutover.
+  *
+  * Single writer per path (folds, cutover, prune) is the caller's
+  * contract, as everywhere in this lifecycle; concurrent cutovers
+  * would race for the same generation number.
+  *
   * Keeping the mechanics in one object is what makes "all rolling
   * indexes share one lifecycle contract" a checkable property instead
   * of a convention: an index family cannot drift to its own replay
@@ -24,6 +50,7 @@ import org.apache.spark.sql.SparkSession
 object DeltaLog {
 
   val deltaPrefix = "delta-b"
+  val genPrefix = "gen-"
 
   def fsRoot(spark: SparkSession, path: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
@@ -31,26 +58,77 @@ object DeltaLog {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Committed (batchId, dir) deltas under `path`, unordered. */
-  def committedDeltas(spark: SparkSession, path: String)
-      : Seq[(Long, String)] = {
-    val (fs, root) = fsRoot(spark, path)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+  /** One committed delta: batch stamp, directory, parquet file count
+    * (the count rides the same listing that proved `_SUCCESS` — one
+    * metadata round trip per delta, not three). */
+  final case class Delta(batchId: Long, dir: String, parquetFiles: Int)
+
+  /** The resolved state of a delta-log path: the current generation
+    * number (0 = the legacy bare layout), the directory folds write
+    * into, and the committed deltas under it. ONE resolution pass —
+    * one listing of the root, one per generation root probed, one per
+    * delta dir. */
+  final case class Listing(generation: Long, genRoot: String,
+                           deltas: Seq[Delta])
+
+  private def genDirName(n: Long): String = f"$genPrefix$n%016d"
+
+  def genDir(path: String, n: Long): String = s"$path/${genDirName(n)}"
+
+  /** Committed deltas directly under `root` — each delta dir costs one
+    * listStatus serving both the `_SUCCESS` check and the parquet
+    * count. */
+  private def deltasUnder(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path): Seq[Delta] =
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
       val n = st.getPath.getName
       if (!n.startsWith(deltaPrefix)) None
       else scala.util.Try(n.drop(deltaPrefix.length).toLong).toOption
-        .filter(_ => fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(b => (b, st.getPath.toString))
+        .flatMap { b =>
+          val files = fs.listStatus(st.getPath)
+          if (!files.exists(_.getPath.getName == "_SUCCESS")) None
+          else Some(Delta(b, st.getPath.toString,
+            files.count(_.getPath.getName.endsWith(".parquet"))))
+        }
     }
+
+  /** Resolve `path` to its current generation: the highest-numbered
+    * `gen-*` directory holding ≥1 committed delta, else the root
+    * itself (legacy generation 0). An orphan generation (crashed
+    * cutover — no committed delta) is skipped, which is exactly what
+    * makes the cutover atomic from the reader's side. */
+  def listing(spark: SparkSession, path: String): Listing = {
+    val (fs, root) = fsRoot(spark, path)
+    if (!fs.exists(root)) return Listing(0L, path, Seq.empty)
+    val top = fs.listStatus(root).toSeq.filter(_.isDirectory)
+    val gens = top.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(genPrefix)) None
+      else scala.util.Try(n.drop(genPrefix.length).toLong).toOption
+        .map(g => (g, st.getPath))
+    }.sortBy(-_._1)
+    gens.iterator
+      .map { case (g, p) => Listing(g, p.toString, deltasUnder(fs, p)) }
+      .find(_.deltas.nonEmpty)
+      .getOrElse(Listing(0L, path, deltasUnder(fs, root)))
   }
 
-  /** Max committed batch stamp — the replay guard. */
+  /** Committed (batchId, dir) deltas of the CURRENT generation,
+    * unordered. */
+  def committedDeltas(spark: SparkSession, path: String)
+      : Seq[(Long, String)] =
+    listing(spark, path).deltas.map(d => (d.batchId, d.dir))
+
+  /** Max committed batch stamp — the replay guard. Survives compaction:
+    * the cutover stamps the merged delta with the source watermark. */
   def watermark(spark: SparkSession, path: String): Option[Long] = {
-    val ds = committedDeltas(spark, path)
-    if (ds.isEmpty) None else Some(ds.map(_._1).max)
+    val ds = listing(spark, path).deltas
+    if (ds.isEmpty) None else Some(ds.map(_.batchId).max)
   }
+
+  /** Current generation number: 0 until the first [[compactCutover]]. */
+  def generation(spark: SparkSession, path: String): Long =
+    listing(spark, path).generation
 
   /** The fold-entry check: true when `batchId` is a REPLAY (its delta
     * committed — mutate nothing, annotate as the first run did);
@@ -68,18 +146,80 @@ object DeltaLog {
     replay
   }
 
-  /** The delta directory a fold of `batchId` writes. */
+  /** The delta directory a fold of `batchId` writes WITHIN a resolved
+    * generation root. Pure path join — fold sites should go through
+    * [[foldDir]] so post-cutover folds land in the current
+    * generation. */
   def deltaDir(path: String, batchId: Long): String =
     s"$path/$deltaPrefix$batchId"
 
-  /** Parquet files across committed deltas — the IndexHealth `files`
-    * compaction signal (every fold adds at least one; reads open all). */
-  def parquetFileCount(spark: SparkSession, path: String): Int = {
-    val ds = committedDeltas(spark, path)
-    val (fs, _) = fsRoot(spark, path)
-    ds.map { case (_, d) =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(d))
-        .count(_.getPath.getName.endsWith(".parquet"))
-    }.sum
+  /** Where a fold of `batchId` against `path` writes: the delta dir
+    * under the CURRENT generation root. */
+  def foldDir(spark: SparkSession, path: String, batchId: Long): String =
+    deltaDir(listing(spark, path).genRoot, batchId)
+
+  /** Parquet files across the current generation's committed deltas —
+    * the IndexHealth `files` compaction signal (every fold adds at
+    * least one; reads open all). */
+  def parquetFileCount(spark: SparkSession, path: String): Int =
+    listing(spark, path).deltas.map(_.parquetFiles).sum
+
+  /** Atomic in-place compaction: `write` receives the NEXT generation's
+    * root and must commit the merged state as a delta under it (the
+    * families write `deltaDir(genRoot, watermark)` with overwrite —
+    * the parquet `_SUCCESS` marker IS the cutover). Returns the new
+    * generation number after verifying the cutover took; throws if
+    * `write` committed nothing (the old generation stays current — a
+    * failed compaction can never destroy state). */
+  def compactCutover(spark: SparkSession, path: String)
+                    (write: String => Unit): Long = {
+    val cur = listing(spark, path)
+    if (cur.deltas.isEmpty)
+      throw new IllegalStateException(s"nothing committed at $path")
+    val next = cur.generation + 1
+    write(genDir(path, next))
+    val after = listing(spark, path)
+    if (after.generation != next)
+      throw new IllegalStateException(
+        s"compaction cutover did not take at $path: wrote generation " +
+          s"$next but ${after.generation} is current — the write " +
+          "committed no delta")
+    next
+  }
+
+  /** Explicit maintenance: delete generations older than the previous
+    * valid state and any orphan (uncommitted) generation dirs.
+    * KEEPS the current generation and the newest valid state before it
+    * (a generation dir, or the legacy root deltas when no older
+    * generation exists) — a reader that resolved the previous
+    * generation just before a cutover must still find its files; the
+    * NEXT prune after the next cutover retires it. Returns the deleted
+    * paths. No-op (empty) when nothing is deletable. */
+  def pruneGenerations(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, root) = fsRoot(spark, path)
+    if (!fs.exists(root)) return Seq.empty
+    val top = fs.listStatus(root).toSeq.filter(_.isDirectory)
+    val gens = top.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(genPrefix)) None
+      else scala.util.Try(n.drop(genPrefix.length).toLong).toOption
+        .map(g => (g, st.getPath, deltasUnder(fs, st.getPath).nonEmpty))
+    }.sortBy(-_._1)
+    val valid = gens.filter(_._3).map(_._1)
+    if (valid.isEmpty) return Seq.empty // legacy-only: nothing to prune
+    val current = valid.max
+    val keep: Set[Long] =
+      Set(current) ++ valid.filter(_ < current).take(1)
+    val dropGens = gens.filterNot(g => keep.contains(g._1)).map(_._2)
+    // legacy root deltas retire once a generation-dir predecessor
+    // (or the current generation alone, with no legacy state) covers
+    // the keep-previous guarantee
+    val legacyDeltas =
+      if (keep.size > 1)
+        top.filter(_.getPath.getName.startsWith(deltaPrefix)).map(_.getPath)
+      else Seq.empty
+    val victims = dropGens ++ legacyDeltas
+    victims.foreach(p => fs.delete(p, true))
+    victims.map(_.toString)
   }
 }

@@ -246,6 +246,42 @@ object Dedup {
   private def idxName(path: String, part: String): String =
     graft.sources.BucketedTables.tableName("graft_mhidx", path, part)
 
+  /** Resolve a minhash index path to its current generation: the
+    * highest-numbered `gen-*` subdir whose `params/_SUCCESS` marker
+    * exists, else the path itself (the legacy flat layout reads as
+    * generation 0). `params` is written LAST by the builder, so its
+    * `_SUCCESS` — one atomic filesystem create — commits the whole
+    * three-table generation: the [[graft.core.DeltaLog.compactCutover]]
+    * discipline applied to the bucketed-table store. A crashed
+    * [[compactMinhashIndexInPlace]] leaves an orphan generation with no
+    * params marker — invisible; the retry overwrites it. */
+  private def minhashGen(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Long, String) = {
+    val (fs, root) = graft.core.DeltaLog.fsRoot(spark, path)
+    if (!fs.exists(root)) return (0L, path)
+    val gens = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap {
+      st =>
+        val nm = st.getPath.getName
+        if (!nm.startsWith(graft.core.DeltaLog.genPrefix)) None
+        else scala.util.Try(
+            nm.drop(graft.core.DeltaLog.genPrefix.length).toLong).toOption
+          .map(g => (g, st.getPath))
+    }.sortBy(-_._1)
+    gens.find { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "params/_SUCCESS"))
+    }.map { case (g, p) => (g, p.toString) }.getOrElse((0L, path))
+  }
+
+  /** The directory the CURRENT index generation lives in — every read
+    * and append resolves through this. */
+  def minhashIndexRoot(spark: org.apache.spark.sql.SparkSession,
+                       path: String): String = minhashGen(spark, path)._2
+
+  /** Current index generation number (0 = legacy flat layout). */
+  def minhashIndexGeneration(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Long =
+    minhashGen(spark, path)._1
+
   /** Materialize a standing corpus's MinHash LSH index under `path`:
     *
     *  - `bands`:    (doc_id, band, bandKey), BUCKETED + sorted by
@@ -320,13 +356,77 @@ object Dedup {
     * versioning note as the builder. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, dest: String): Unit = {
-    require(path != dest, "compact to a FRESH path, then swap pointers")
-    val p = spark.read.parquet(s"$path/params").head()
+    require(path != dest,
+      "compact to a FRESH path, then swap pointers — or use " +
+        "compactMinhashIndexInPlace for the atomic generation cutover")
+    writeCompactedIndex(spark, minhashIndexRoot(spark, path), dest)
+  }
+
+  /** Atomic in-place compaction of an appended index: the healed tables
+    * land under `path/gen-<N+1>` and become current the instant the
+    * params `_SUCCESS` marker (the builder's LAST write) lands — the
+    * [[graft.dedup.UrlSeen.compactInPlace]] cutover contract over the
+    * bucketed-table store. Readers and appends resolve through
+    * [[minhashIndexRoot]], so they see exactly the old or the new
+    * generation; a crash mid-write leaves an invisible orphan the retry
+    * overwrites. The previous generation stays on disk until
+    * [[pruneMinhashGenerations]]. Returns the new generation number. */
+  def compactMinhashIndexInPlace(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Long = {
+    val (g, cur) = minhashGen(spark, path)
+    val next = g + 1
+    writeCompactedIndex(spark, cur, graft.core.DeltaLog.genDir(path, next))
+    val after = minhashIndexGeneration(spark, path)
+    if (after != next)
+      throw new IllegalStateException(
+        s"minhash compaction cutover did not take at $path: wrote " +
+          s"generation $next but $after is current")
+    next
+  }
+
+  /** Explicit maintenance after [[compactMinhashIndexInPlace]]: delete
+    * index generations older than the previous valid one (and orphan
+    * dirs), keeping current + previous — the
+    * [[graft.core.DeltaLog.pruneGenerations]] keep-previous guarantee.
+    * Legacy flat tables at the root retire once two generation dirs
+    * cover it. Returns deleted paths. */
+  def pruneMinhashGenerations(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Seq[String] = {
+    val (fs, root) = graft.core.DeltaLog.fsRoot(spark, path)
+    if (!fs.exists(root)) return Seq.empty
+    val top = fs.listStatus(root).toSeq.filter(_.isDirectory)
+    val gens = top.flatMap { st =>
+      val nm = st.getPath.getName
+      if (!nm.startsWith(graft.core.DeltaLog.genPrefix)) None
+      else scala.util.Try(
+          nm.drop(graft.core.DeltaLog.genPrefix.length).toLong).toOption
+        .map(g => (g, st.getPath, fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "params/_SUCCESS"))))
+    }.sortBy(-_._1)
+    val valid = gens.filter(_._3).map(_._1)
+    if (valid.isEmpty) return Seq.empty
+    val current = valid.max
+    val keep: Set[Long] = Set(current) ++ valid.filter(_ < current).take(1)
+    val dropGens = gens.filterNot(g => keep.contains(g._1)).map(_._2)
+    val legacyTables =
+      if (keep.size > 1)
+        top.filter(st => Set("shingles", "bands", "params")
+          .contains(st.getPath.getName)).map(_.getPath)
+      else Seq.empty
+    val victims = dropGens ++ legacyTables
+    victims.foreach(p => fs.delete(p, true))
+    victims.map(_.toString)
+  }
+
+  private def writeCompactedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      cur: String, dest: String): Unit = {
+    val p = spark.read.parquet(s"$cur/params").head()
     // full-row dropDuplicates HEALS a replayed append (the only source
     // of byte-identical (doc_id, sh) rows — see the appendToMinhashIndex
     // atomicity note); legitimately distinct rows are never merged
     writeIndexTables(spark,
-      spark.read.parquet(s"$path/shingles").dropDuplicates(),
+      spark.read.parquet(s"$cur/shingles").dropDuplicates(),
       dest, p.getAs[Int]("k"), p.getAs[Int]("bands"), p.getAs[Int]("n"),
       p.getAs[Int]("buckets"))
   }
@@ -368,7 +468,10 @@ object Dedup {
       : Option[graft.meta.PipelineMetrics.IndexHealth] = {
     import graft.sources.BucketedTables
     val spark = docs.sparkSession
-    val pdf = spark.read.parquet(s"$path/params")
+    // appends land in the CURRENT generation (post-compaction cutovers
+    // re-root the index under path/gen-N)
+    val root = minhashIndexRoot(spark, path)
+    val pdf = spark.read.parquet(s"$root/params")
     val p = pdf.head()
     val (k, bands, n) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
       p.getAs[Int]("n"))
@@ -378,10 +481,10 @@ object Dedup {
     val r = k / bands
     // ensure catalog registrations exist (a new application appends to
     // re-registered external tables), with the build's exact spec
-    BucketedTables.table(spark, idxName(path, "shingles"),
-      s"$path/shingles", buckets, "doc_id")
-    BucketedTables.table(spark, idxName(path, "bands"),
-      s"$path/bands", buckets, "bandKey", Seq("bandKey"))
+    BucketedTables.table(spark, idxName(root, "shingles"),
+      s"$root/shingles", buckets, "doc_id")
+    BucketedTables.table(spark, idxName(root, "bands"),
+      s"$root/bands", buckets, "bandKey", Seq("bandKey"))
     // materialize the batch's (doc_id, shingles) ONCE: the frame feeds
     // two independent write actions (shingles table, then bands), and an
     // unmaterialized plan would run the tokenize/shingle kernel twice
@@ -393,7 +496,7 @@ object Dedup {
     sig.repartition(buckets, col("doc_id"))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "doc_id")
-      .saveAsTable(idxName(path, "shingles"))
+      .saveAsTable(idxName(root, "shingles"))
     sig.withColumn("sig", minhashSignature(col("sh"), k))
       .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, r)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandKey")
@@ -401,10 +504,11 @@ object Dedup {
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "bandKey")
       .sortBy("bandKey")
-      .saveAsTable(idxName(path, "bands"))
+      .saveAsTable(idxName(root, "bands"))
     if (!probeHealth) None else {
       val health = graft.meta.PipelineMetrics.indexHealth(
-        spark.table(idxName(path, "bands")), col("bandKey"), s"$path/bands")
+        spark.table(idxName(root, "bands")), col("bandKey"), s"$root/bands")
+        .copy(generation = minhashIndexGeneration(spark, path))
       System.err.println(s"[graft] minhash index after append: $health")
       Some(health)
     }
@@ -436,7 +540,10 @@ object Dedup {
   def resolveMinhashIndex(spark: SparkSession,
                           path: String): ResolvedMinhashIndex = {
     import graft.sources.BucketedTables
-    val pdf = spark.read.parquet(s"$path/params")
+    // resolve the CURRENT generation — an in-place compaction re-roots
+    // the index under path/gen-N and this is the cutover's read side
+    val root = minhashIndexRoot(spark, path)
+    val pdf = spark.read.parquet(s"$root/params")
     val p = pdf.head()
     val (k, bands, n) = (p.getAs[Int]("k"), p.getAs[Int]("bands"),
       p.getAs[Int]("n"))
@@ -446,10 +553,10 @@ object Dedup {
       Some(p.getAs[Int]("buckets")) else None
     ResolvedMinhashIndex(k, bands, n,
       BucketedTables.tableOrPlain(spark,
-        idxName(path, "bands"), s"$path/bands", buckets, "bandKey",
+        idxName(root, "bands"), s"$root/bands", buckets, "bandKey",
         Seq("bandKey")),
       BucketedTables.tableOrPlain(spark,
-        idxName(path, "shingles"), s"$path/shingles", buckets, "doc_id"))
+        idxName(root, "shingles"), s"$root/shingles", buckets, "doc_id"))
   }
 
   /** Near-dup pairs of an arriving batch against a standing

@@ -137,7 +137,8 @@ object SigSeen {
           Seq("sig"), "left_anti")
         .select(col("sig"), lit(batchId).as("first_seen_batch"),
           col("batch_first").as("first_doc"))
-        .write.mode("overwrite").parquet(graft.core.DeltaLog.deltaDir(path, batchId))
+        .write.mode("overwrite")
+        .parquet(graft.core.DeltaLog.foldDir(spark, path, batchId))
     }
     // in-batch near relation: for each distinct batch signature, the
     // earliest first-doc among its in-radius batch neighbors (itself
@@ -210,10 +211,11 @@ object SigSeen {
     * calls at the orchestration layer, never per micro-fold. */
   def health(spark: SparkSession,
              path: String): graft.meta.PipelineMetrics.IndexHealth = {
-    val files = graft.core.DeltaLog.parquetFileCount(spark, path)
+    val l = graft.core.DeltaLog.listing(spark, path)
     graft.meta.PipelineMetrics
       .indexHealth(read(spark, path), col("sig"), path)
-      .copy(files = files)
+      .copy(files = l.deltas.map(_.parquetFiles).sum,
+        generation = l.generation)
   }
 
   /** Merge the delta log into ONE delta at `dest` — stamped with the
@@ -221,15 +223,32 @@ object SigSeen {
     * contract (only the watermark batch stays replayable after
     * compaction; older ids fail the monotone guard loudly). */
   def compact(spark: SparkSession, path: String, dest: String): Unit = {
-    require(path != dest, "compact to a FRESH path, then swap pointers")
+    require(path != dest,
+      "compact to a FRESH path, then swap pointers — or use " +
+        "compactInPlace for the atomic generation cutover")
     val wm = watermark(spark, path).getOrElse(
       throw new IllegalStateException(s"nothing committed at $path"))
+    writeCompacted(spark, path, dest, wm)
+  }
+
+  /** Atomic in-place compaction — the [[UrlSeen.compactInPlace]]
+    * generation-cutover contract over signature state. Returns the new
+    * generation number. */
+  def compactInPlace(spark: SparkSession, path: String): Long = {
+    val wm = watermark(spark, path).getOrElse(
+      throw new IllegalStateException(s"nothing committed at $path"))
+    graft.core.DeltaLog.compactCutover(spark, path)(
+      writeCompacted(spark, path, _, wm))
+  }
+
+  private def writeCompacted(spark: SparkSession, path: String,
+                             destRoot: String, wm: Long): Unit =
     read(spark, path)
       .groupBy(col("sig"))
       .agg(min(struct(col("first_seen_batch"), col("first_doc"))).as("m"))
       .select(col("sig"),
         col("m.first_seen_batch").as("first_seen_batch"),
         col("m.first_doc").as("first_doc"))
-      .write.mode("overwrite").parquet(graft.core.DeltaLog.deltaDir(dest, wm))
-  }
+      .write.mode("overwrite")
+      .parquet(graft.core.DeltaLog.deltaDir(destRoot, wm))
 }

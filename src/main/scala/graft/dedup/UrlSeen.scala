@@ -109,7 +109,8 @@ object UrlSeen {
           Seq("url_canon"), "left_anti")
         .select(col("url_canon"), lit(batchId).as("first_seen_batch"),
           col("batch_first").as("first_doc"))
-        .write.mode("overwrite").parquet(graft.core.DeltaLog.deltaDir(path, batchId))
+        .write.mode("overwrite")
+        .parquet(graft.core.DeltaLog.foldDir(spark, path, batchId))
     }
     // annotation view: strictly-earlier state rows — a replayed fold's
     // own committed delta (first_seen_batch == batchId) is filtered
@@ -135,10 +136,11 @@ object UrlSeen {
     * out-of-contract writes [[compact]]'s min-fold heals). O(index). */
   def health(spark: SparkSession,
              path: String): graft.meta.PipelineMetrics.IndexHealth = {
-    val files = graft.core.DeltaLog.parquetFileCount(spark, path)
+    val l = graft.core.DeltaLog.listing(spark, path)
     graft.meta.PipelineMetrics
       .indexHealth(read(spark, path), col("url_canon"), path)
-      .copy(files = files)
+      .copy(files = l.deltas.map(_.parquetFiles).sum,
+        generation = l.generation)
   }
 
   /** Merge the delta log into ONE delta at `dest` (stamped with the
@@ -151,17 +153,41 @@ object UrlSeen {
     * FRESH path, then swap pointers (the compactMinhashIndex
     * convention). */
   def compact(spark: SparkSession, path: String, dest: String): Unit = {
-    require(path != dest, "compact to a FRESH path, then swap pointers")
+    require(path != dest,
+      "compact to a FRESH path, then swap pointers — or use " +
+        "compactInPlace for the atomic generation cutover")
     val wm = watermark(spark, path).getOrElse(
       throw new IllegalStateException(s"nothing committed at $path"))
-    // the min-fold heal lives HERE, not in read(): compaction is the
-    // maintenance pass, and it makes the healed state durable
+    writeCompacted(spark, path, dest, wm)
+  }
+
+  /** Atomic in-place compaction — the [[graft.core.DeltaLog
+    * .compactCutover]] generation discipline: the min-folded state
+    * lands as the first delta of generation N+1 (stamped with the
+    * source watermark, so the replay guard survives for the watermark
+    * batch) and becomes current the instant its `_SUCCESS` marker
+    * lands; readers see exactly the old or the new state, a crash
+    * leaves an invisible orphan, post-cutover folds land in the new
+    * generation. Old generations stay until
+    * [[graft.core.DeltaLog.pruneGenerations]]. Returns the new
+    * generation number. */
+  def compactInPlace(spark: SparkSession, path: String): Long = {
+    val wm = watermark(spark, path).getOrElse(
+      throw new IllegalStateException(s"nothing committed at $path"))
+    graft.core.DeltaLog.compactCutover(spark, path)(
+      writeCompacted(spark, path, _, wm))
+  }
+
+  // the min-fold heal lives HERE, not in read(): compaction is the
+  // maintenance pass, and it makes the healed state durable
+  private def writeCompacted(spark: SparkSession, path: String,
+                             destRoot: String, wm: Long): Unit =
     read(spark, path)
       .groupBy(col("url_canon"))
       .agg(min(struct(col("first_seen_batch"), col("first_doc"))).as("m"))
       .select(col("url_canon"),
         col("m.first_seen_batch").as("first_seen_batch"),
         col("m.first_doc").as("first_doc"))
-      .write.mode("overwrite").parquet(graft.core.DeltaLog.deltaDir(dest, wm))
-  }
+      .write.mode("overwrite")
+      .parquet(graft.core.DeltaLog.deltaDir(destRoot, wm))
 }

@@ -54,7 +54,7 @@ object CdxLog {
       Warc.cdxIndex(spark, files, fileId, payload)
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
-        .parquet(graft.core.DeltaLog.deltaDir(path, batchId))
+        .parquet(graft.core.DeltaLog.foldDir(spark, path, batchId))
   }
 
   /** The standing index: every record of every committed batch. Raw
@@ -77,20 +77,40 @@ object CdxLog {
     * in-contract writer; above means out-of-contract double-indexing
     * that [[compact]]'s first-batch-wins heals. O(index). */
   def health(spark: SparkSession,
-             path: String): graft.meta.PipelineMetrics.IndexHealth =
+             path: String): graft.meta.PipelineMetrics.IndexHealth = {
+    val l = graft.core.DeltaLog.listing(spark, path)
     graft.meta.PipelineMetrics
       .indexHealth(read(spark, path),
         struct(col("file_id"), col("rec_idx")), path)
-      .copy(files = graft.core.DeltaLog.parquetFileCount(spark, path))
+      .copy(files = l.deltas.map(_.parquetFiles).sum,
+        generation = l.generation)
+  }
 
   /** Merge the delta log into ONE generation at `dest`, stamped with
     * the source watermark; duplicate (file_id, rec_idx) keys (only an
     * out-of-contract writer produces them) heal first-batch-wins with
     * the earliest batch's full row kept. */
   def compact(spark: SparkSession, path: String, dest: String): Unit = {
-    require(path != dest, "compact to a FRESH path, then swap pointers")
+    require(path != dest,
+      "compact to a FRESH path, then swap pointers — or use " +
+        "compactInPlace for the atomic generation cutover")
     val wm = watermark(spark, path).getOrElse(
       throw new IllegalStateException(s"nothing committed at $path"))
+    writeCompacted(spark, path, dest, wm)
+  }
+
+  /** Atomic in-place compaction — the
+    * [[graft.dedup.UrlSeen.compactInPlace]] generation-cutover
+    * contract over the archive index. Returns the new generation. */
+  def compactInPlace(spark: SparkSession, path: String): Long = {
+    val wm = watermark(spark, path).getOrElse(
+      throw new IllegalStateException(s"nothing committed at $path"))
+    graft.core.DeltaLog.compactCutover(spark, path)(
+      writeCompacted(spark, path, _, wm))
+  }
+
+  private def writeCompacted(spark: SparkSession, path: String,
+                             destRoot: String, wm: Long): Unit = {
     val rest = schema.fieldNames.toSeq.filterNot(Set("file_id", "rec_idx"))
     // batch_id leads the struct: min() is then first-batch-wins, with
     // the winning batch's full row carried along
@@ -101,6 +121,6 @@ object CdxLog {
       .select(col("file_id") +: col("rec_idx") +:
         rest.map(f => col(s"m.$f").as(f)): _*)
       .write.mode("overwrite")
-      .parquet(graft.core.DeltaLog.deltaDir(dest, wm))
+      .parquet(graft.core.DeltaLog.deltaDir(destRoot, wm))
   }
 }

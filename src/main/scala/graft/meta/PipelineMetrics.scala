@@ -315,10 +315,11 @@ object PipelineMetrics {
     * rider — but a slim one: it scans ONLY the index's key column
     * (column-pruned bucketed parquet), never signatures or vectors. */
   case class IndexHealth(rows: Long, keys: Long, maxList: Long,
-                         avgList: Double, skew: Double, files: Int) {
+                         avgList: Double, skew: Double, files: Int,
+                         generation: Long = 0L) {
     override def toString: String =
       f"rows=$rows keys=$keys maxList=$maxList avgList=$avgList%.1f " +
-        f"skew=$skew%.1f files=$files"
+        f"skew=$skew%.1f files=$files gen=$generation"
   }
 
   /** Probe `index`'s per-`key` list-size distribution + the file count
