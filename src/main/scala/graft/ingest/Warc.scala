@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, collect_list, struct}
+import org.apache.spark.sql.functions.{broadcast, col, collect_list, explode, lit, struct}
 
 /** REAL pure-JVM WARC (ISO 28500) record codec — the container format
   * of web-crawl corpora (Common Crawl's `.warc` / `.warc.gz` / WET
@@ -665,10 +665,28 @@ object Warc {
               }
             }
             if (!ok) { done = true; return }
-            // 8-byte CRC32+ISIZE trailer closes the member
+            // 8-byte CRC32+ISIZE trailer closes the member — and must
+            // VERIFY: the CRC-checked stream readers (fetchRecord,
+            // recordTable via GZIPInputStream) reject a corrupt member,
+            // so an index that accepted it would claim records the
+            // reader can never fetch and rec_idx numbering would
+            // diverge. A mismatch is end-of-walk, keeping the index's
+            // totality boundary identical to the stream reader's.
             val end = off.toLong + hl + inf.getBytesRead + 8
             if (end > payload.length) { done = true; return }
-            nextM = (off.toLong, end - off, out.toByteArray)
+            val inflated = out.toByteArray
+            val crc = new java.util.zip.CRC32()
+            crc.update(inflated)
+            val t = end.toInt - 8
+            def le32(p: Int): Long =
+              (payload(p) & 0xFFL) | ((payload(p + 1) & 0xFFL) << 8) |
+                ((payload(p + 2) & 0xFFL) << 16) |
+                ((payload(p + 3) & 0xFFL) << 24)
+            if (le32(t) != crc.getValue ||
+                le32(t + 4) != (inflated.length & 0xFFFFFFFFL)) {
+              done = true; return
+            }
+            nextM = (off.toLong, end - off, inflated)
             off = end.toInt
           } finally inf.end()
         }
@@ -728,20 +746,27 @@ object Warc {
     * range request — and return its `memberOrdinal`-th record. None
     * when the span is out of bounds or does not parse (a stale index
     * against a rewritten shard degrades to a classifiable miss, never
-    * a task failure). */
+    * a task failure). Gzip spans go through the CRC-verified
+    * [[memberWalk]] — the SAME totality boundary [[cdxEntries]]
+    * indexes by, so the index can never claim a record this reader
+    * declines, and this reader never hands back bytes from a member
+    * whose trailer check fails. */
   def fetchRecord(payload: Array[Byte], offset: Long, length: Long,
                   memberOrdinal: Int = 0): Option[WarcRecord] = {
     if (payload == null || offset < 0 || length <= 0 ||
         memberOrdinal < 0 || offset + length > payload.length) return None
     val slice = java.util.Arrays.copyOfRange(
       payload, offset.toInt, (offset + length).toInt)
-    val it = recordIterator(slice)
     def pick(i: Iterator[WarcRecord]): Option[WarcRecord] = {
       var skip = memberOrdinal
       while (skip > 0 && i.hasNext) { i.next(); skip -= 1 }
       if (i.hasNext) Some(i.next()) else None
     }
-    it match {
+    if (isGzip(slice))
+      pick(memberWalk(slice).flatMap { case (_, _, bytes) =>
+        parseWarc(bytes)
+      })
+    else recordIterator(slice) match {
       case s: WarcStreamIterator => try pick(s) finally s.close()
       case i                     => pick(i)
     }
@@ -817,16 +842,25 @@ object Warc {
     * touched file (collect_list of its spans) and — being index rows,
     * tiny next to shard payloads — BROADCASTS against the archive
     * frame, so the shards never shuffle, and every un-requested
-    * shard's row drops at the join without decoding a byte of it.
-    * (The JOIN does not prune the file SCAN itself: for sparse
-    * retrieval over a path-addressed archive, pre-filter the `files`
-    * frame to the requested paths — the index carries the file ids —
-    * so the source lists and reads only those shards.) Set
-    * `broadcastRequests = false` for a shuffle-hash plan when the
-    * request list itself is corpus-scale. */
+    * shard's row drops at the join without decoding a byte of it. The
+    * file SCAN is pruned too: the touched file ids (bounded by
+    * `maxPruneFiles` — the same order as the broadcast the default
+    * plan already assumes) become an `isin` predicate the source
+    * pushes down, so a 10-span request over a many-shard archive lists
+    * and reads only the touched shards. A request set touching more
+    * files than the cap degrades to the full scan (logged), still
+    * join-filtered. Set `broadcastRequests = false` for a shuffle-hash
+    * plan when the request list itself is corpus-scale.
+    *
+    * TOTAL over a stale index: a span inside a present file that no
+    * longer decodes AND a request whose file id is absent from `files`
+    * entirely (deleted/renamed shard) both come back as
+    * `found = false` rows — every request row is accounted for in the
+    * output, never silently dropped. */
   def fetchSpans(spark: SparkSession, files: DataFrame, fileId: Column,
                  payload: Column, requests: DataFrame,
-                 broadcastRequests: Boolean = true): DataFrame = {
+                 broadcastRequests: Boolean = true,
+                 maxPruneFiles: Int = 100000): DataFrame = {
     import spark.implicits._
     val req0 = requests
       .select(col("file_id").cast("long").as("file_id"),
@@ -836,8 +870,26 @@ object Warc {
       .groupBy(col("file_id"))
       .agg(collect_list(struct(col("_1"), col("_2"), col("_3")))
         .as("spans"))
+      .localCheckpoint(true) // consumed by the fetch join AND the
+                             // missing-file accounting
     val req = if (broadcastRequests) broadcast(req0) else req0
-    files.select(fileId.cast("long").as("file_id"), payload.as("p"))
+    val filesSel =
+      files.select(fileId.cast("long").as("file_id"), payload.as("p"))
+    // scan pruning: the touched-file list is one slim row per file
+    // (already assumed broadcast-scale); cap+1 collect detects an
+    // over-cap request set without counting it
+    val touched = req0.select(col("file_id"))
+      .limit(maxPruneFiles + 1).collect().map(_.getLong(0))
+    val pruned =
+      if (touched.length <= maxPruneFiles)
+        filesSel.where(col("file_id").isin(touched.toIndexedSeq: _*))
+      else {
+        System.err.println(s"[graft] fetchSpans: request touches " +
+          s"${touched.length}+ files (> maxPruneFiles=$maxPruneFiles) " +
+          "— falling back to the full archive scan")
+        filesSel
+      }
+    val fetched = pruned
       .join(req, Seq("file_id"))
       .as[(Long, Array[Byte], Seq[(Long, Long, Int)])]
       .mapPartitions(_.flatMap { case (id, bytes, spans) =>
@@ -851,6 +903,21 @@ object Warc {
         }
       })
       .toDF()
+    // requests whose file id is absent from the archive frame: the
+    // stale-index contract degrades them to found=false rows, same as
+    // a stale span inside a present file. Slim anti-join — one row per
+    // touched file against the pruned scan's id column.
+    val absent = req0
+      .join(pruned.select(col("file_id")), Seq("file_id"), "left_anti")
+      .select(col("file_id"), explode(col("spans")).as("s"))
+      .select(col("file_id"), col("s._1").as("offset"),
+        col("s._3").as("member_ord"), lit(false).as("found"),
+        lit(null).cast("string").as("warc_type"),
+        lit(null).cast("string").as("record_id"),
+        lit(null).cast("string").as("target_uri"),
+        lit(null).cast("string").as("date_s"),
+        lit(null).cast("binary").as("block"))
+    fetched.unionByName(absent)
   }
 
   /** Spark surface: explode a (file id, WARC payload) frame into one

@@ -313,4 +313,97 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(stale.length == 1 && !stale(0).getBoolean(3) &&
       stale(0).isNullAt(5))
   }
+
+  test("fetchSpans: a request against an ABSENT file id surfaces as " +
+      "found=false rows, never silently drops") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val files = Seq((1L, Warc.buildWarcGz(Seq(rec(0)))))
+      .toDF("fid", "payload")
+    val idx = Warc.cdxIndex(spark, files, col("fid"), col("payload"))
+    // two spans against the present file, two against a deleted shard
+    val reqs = idx.select(col("file_id"), col("offset"), col("length"),
+        col("member_ord"))
+      .unionByName(Seq((99L, 0L, 50L, 0), (99L, 50L, 50L, 1))
+        .toDF("file_id", "offset", "length", "member_ord"))
+    val got = Warc.fetchSpans(spark, files, col("fid"), col("payload"),
+      reqs).collect()
+    assert(got.length == 3) // 1 indexed record + 2 missing-file spans
+    val missing = got.filter(_.getLong(0) == 99L)
+    assert(missing.length == 2)
+    assert(missing.forall(r => !r.getBoolean(3) && r.isNullAt(5) &&
+      r.isNullAt(8)))
+    assert(missing.map(_.getLong(1)).toSet === Set(0L, 50L))
+    assert(got.filter(_.getLong(0) == 1L).forall(_.getBoolean(3)))
+  }
+
+  test("fetchSpans prunes the archive SCAN to the touched shards") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fetchprune").toString + "/shards"
+    (0L until 8L).map(id => (id, Warc.buildWarcGz(Seq(rec(0, s"b-$id")))))
+      .toDF("fid", "payload")
+      .write.partitionBy("fid").parquet(dir)
+    val pf = spark.read.parquet(dir)
+    val idx = Warc.cdxIndex(spark, pf, col("fid"), col("payload"))
+      .localCheckpoint(true)
+    val want = idx.where(col("file_id") === 3L)
+      .select(col("file_id"), col("offset"), col("length"),
+        col("member_ord"))
+    val got = Warc.fetchSpans(spark, pf, col("fid"), col("payload"), want)
+    val rows = got.collect()
+    assert(rows.count(_.getBoolean(3)) == 1)
+    assert(new String(rows.filter(_.getBoolean(3))(0)
+      .getAs[Array[Byte]]("block"), UTF_8) == "b-3")
+    // the touched-file isin predicate reaches the scan as a partition
+    // filter: only shard 3's file is listed and read
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(!plan.contains("PartitionFilters: []"), plan)
+    // over-cap request sets degrade to the full scan, same results
+    val full = Warc.fetchSpans(spark, pf, col("fid"), col("payload"),
+      want, maxPruneFiles = 0).collect()
+    assert(full.count(_.getBoolean(3)) == 1)
+  }
+
+  test("cdxEntries rejects a CRC-corrupt member: the index's totality " +
+      "boundary matches the CRC-checked stream reader's") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clean = Warc.buildWarcGz(Seq(rec(0, "alpha"), rec(1, "beta"),
+      rec(2, "gamma")))
+    val entries = Warc.cdxEntries(clean)
+    assert(entries.length == 3)
+    // corrupt member 1's CRC32 trailer byte: deflate still inflates,
+    // only the trailer check can catch it
+    val m1 = entries(1)
+    val corrupt = clean.clone()
+    val crcAt = (m1.offset + m1.length - 8).toInt
+    corrupt(crcAt) = (corrupt(crcAt) ^ 0x5A).toByte
+    val idxed = Warc.cdxEntries(corrupt)
+    // the walk ends AT the corrupt member — indexed prefix only. This
+    // is the index ⊆ point-fetchable invariant: fetchRecord is
+    // CRC-verified (GZIPInputStream) and declines the corrupt span, so
+    // an index that claimed it would promise records no reader can
+    // retrieve, with rec_idx numbering diverging after the corruption.
+    assert(idxed.length == 1 && idxed(0).recIdx == 0)
+    assert(Warc.fetchRecord(corrupt, m1.offset, m1.length).isEmpty)
+    // every record the index claims IS fetchable
+    idxed.foreach { e =>
+      assert(Warc.fetchRecord(corrupt, e.offset, e.length).nonEmpty)
+    }
+    // (recordTable's STREAM totality may additionally yield the corrupt
+    // member's already-inflated record before its trailer is reached —
+    // a superset of the index, never a numbering divergence within it)
+    val streamed = Warc.recordTable(spark,
+      Seq((1L, corrupt)).toDF("fid", "payload"),
+      col("fid"), col("payload")).collect()
+    assert(streamed.length >= idxed.length)
+    assert(streamed.take(idxed.length).map(_.getInt(1)).toSeq ===
+      idxed.map(_.recIdx))
+  }
 }
