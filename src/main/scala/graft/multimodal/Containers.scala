@@ -26,13 +26,22 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Containers {
 
-  /** Parsed "fmt "+"data" facts of a PCM WAV. */
+  /** Parsed "fmt "+"data" facts of a PCM or G.711 WAV. `formatTag` is
+    * the container's wFormatTag: 1 = linear PCM, 6 = G.711 A-law,
+    * 7 = G.711 µ-law (both companded formats are 8 bits/sample, so the
+    * PCM byte-rate duration math holds for them unchanged). */
   final case class WavInfo(channels: Int, sampleRate: Int,
-                           bitsPerSample: Int, dataBytes: Long) {
+                           bitsPerSample: Int, dataBytes: Long,
+                           formatTag: Int = 1) {
     def byteRate: Long = sampleRate.toLong * channels * (bitsPerSample / 8)
     def durationMs: Long =
       if (byteRate == 0) 0L else dataBytes * 1000L / byteRate
   }
+
+  /** WAVE_FORMAT tags this library decodes. */
+  val FormatPcm = 1
+  val FormatAlaw = 6
+  val FormatUlaw = 7
 
   /** Parsed BITMAPINFOHEADER facts of a BMP. `height` is the stored
     * (signed) value — negative means top-down row order. `pixelBytes`
@@ -68,7 +77,7 @@ object Containers {
     // with a wrapped-negative offset, and turns the promised None into
     // an IndexOutOfBounds task failure
     var off = 12L
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var fmt: Option[(Int, Int, Int, Int)] = None // (tag, channels, rate, bits)
     var dataBytes = -1L
     var dataOff = -1
     while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
@@ -78,33 +87,44 @@ object Containers {
       if (size < 0 || off + 8 + size > payload.length) return None
       if (id == FMT_) {
         if (size < 16) return None
-        // wFormatTag must say PCM: WavInfo's byte-rate duration math is
-        // PCM math, and an ADPCM/MP3-in-WAV payload would otherwise
-        // parse as a "valid wav" with confidently wrong duration —
-        // classify non-PCM as unparseable instead
-        if ((b.getShort(i + 8) & 0xFFFF) != 1) return None
-        fmt = Some((b.getShort(i + 10) & 0xFFFF,
-          b.getInt(i + 12), b.getShort(i + 22) & 0xFFFF))
+        // wFormatTag must be a format whose byte-rate math we can
+        // stand behind: linear PCM, or G.711 µ-law/A-law (8-bit
+        // companded — same bytes-per-sample arithmetic). An ADPCM /
+        // MP3-in-WAV payload would otherwise parse as a "valid wav"
+        // with confidently wrong duration — classify those as
+        // unparseable instead. A G.711 fmt chunk claiming a bit depth
+        // other than 8 is self-contradictory (the codec IS 8-bit) —
+        // decline rather than guess which field lies.
+        val tag = b.getShort(i + 8) & 0xFFFF
+        val bits = b.getShort(i + 22) & 0xFFFF
+        if (tag != FormatPcm &&
+            !((tag == FormatAlaw || tag == FormatUlaw) && bits == 8))
+          return None
+        fmt = Some((tag, b.getShort(i + 10) & 0xFFFF,
+          b.getInt(i + 12), bits))
       } else if (id == DATA) { dataBytes = size.toLong; dataOff = i + 8 }
       off += 8L + size + (size & 1) // chunks pad to even offsets
     }
-    fmt.collect { case (ch, rate, bits) if dataBytes >= 0 =>
-      (WavInfo(ch, rate, bits, dataBytes), dataOff)
+    fmt.collect { case (tag, ch, rate, bits) if dataBytes >= 0 =>
+      (WavInfo(ch, rate, bits, dataBytes, tag), dataOff)
     }
   }
 
-  /** REAL PCM sample decode: the data-chunk bytes of a [[parseWav]]-
-    * valid payload as integer sample values — 16-bit → signed
+  /** REAL sample decode: the data-chunk bytes of a [[parseWav]]-valid
+    * payload as integer sample values — PCM 16-bit → signed
     * little-endian (a trailing odd byte is ignored, per block-align),
-    * 8-bit → unsigned re-centered to [-128, 127]. Interleaved channel
-    * samples each count as one value (stats over them are
-    * channel-agnostic). None for anything parseWav rejects and for bit
-    * depths this decoder doesn't cover (24/32-bit containers exist but
-    * the fixtures never build them — decline rather than guess). */
+    * PCM 8-bit → unsigned re-centered to [-128, 127], G.711 µ-law /
+    * A-law → expanded to 16-bit linear through the ITU-T G.711
+    * segment tables ([[ulawToLinear]]/[[alawToLinear]] — pure integer
+    * arithmetic, no codec library). Interleaved channel samples each
+    * count as one value (stats over them are channel-agnostic). None
+    * for anything parseWav rejects and for bit depths this decoder
+    * doesn't cover (24/32-bit containers exist but the fixtures never
+    * build them — decline rather than guess). */
   def pcmSamples(payload: Array[Byte]): Option[Array[Int]] =
     wavWithDataOffset(payload).flatMap { case (w, off) =>
-      w.bitsPerSample match {
-        case 16 =>
+      (w.formatTag, w.bitsPerSample) match {
+        case (FormatPcm, 16) =>
           val n = (w.dataBytes / 2).toInt
           val out = new Array[Int](n)
           var i = 0
@@ -115,12 +135,70 @@ object Containers {
             i += 1
           }
           Some(out)
-        case 8 =>
+        case (FormatPcm, 8) =>
           Some(Array.tabulate(w.dataBytes.toInt)(i =>
             (payload(off + i) & 0xFF) - 128))
+        case (FormatUlaw, 8) =>
+          Some(Array.tabulate(w.dataBytes.toInt)(i =>
+            ulawToLinear(payload(off + i) & 0xFF)))
+        case (FormatAlaw, 8) =>
+          Some(Array.tabulate(w.dataBytes.toInt)(i =>
+            alawToLinear(payload(off + i) & 0xFF)))
         case _ => None
       }
     }
+
+  // ── G.711 companding (ITU-T G.711 segment layout; the integer
+  // expand/compress arithmetic every telephony stack publishes — pure
+  // table math, total over all 256 byte values, no library) ──────────
+
+  /** Expand one µ-law byte to its 16-bit linear sample. µ-law stores
+    * the COMPLEMENT of (sign, 3-bit segment, 4-bit mantissa) with bias
+    * 0x84; 0xFF and 0x7F are the two zeros. */
+  def ulawToLinear(uByte: Int): Int = {
+    val u = ~uByte & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Expand one A-law byte to its 16-bit linear sample. A-law XORs
+    * with 0x55 (alternate-bit inversion) and, unlike µ-law, marks
+    * POSITIVE samples with the sign bit; segment 0 is linear. */
+  def alawToLinear(aByte: Int): Int = {
+    val a = (aByte ^ 0x55) & 0xFF
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= (seg - 1) }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Compress one 16-bit linear sample to its µ-law byte — the fixture
+    * seam for cross-codec dedup tests (a re-encode of a PCM clip) and
+    * the inverse the decoder's golden vectors verify against. */
+  def linearToUlaw(pcm: Int): Int = {
+    var x = pcm >> 2 // 16-bit → the codec's 14-bit domain
+    val mask = if (x < 0) { x = -x; 0x7F } else 0xFF
+    if (x > 8159) x = 8159 // clip to the top of segment 7
+    x += 0x84 >> 2
+    var seg = 0 // segment ends are (0x40 << seg) - 1: 0x3F, 0x7F, …, 0x1FFF
+    while (seg < 8 && x > ((0x40 << seg) - 1)) seg += 1
+    if (seg >= 8) 0x7F ^ mask
+    else (((seg << 4) | ((x >> (seg + 1)) & 0x0F)) ^ mask) & 0xFF
+  }
+
+  /** Compress one 16-bit linear sample to its A-law byte. */
+  def linearToAlaw(pcm: Int): Int = {
+    var x = pcm >> 3 // 16-bit → the codec's 13-bit domain
+    val mask = if (x >= 0) 0xD5 else { x = -x - 1; 0x55 }
+    var seg = 0 // segment ends are (0x20 << seg) - 1: 0x1F, 0x3F, …, 0xFFF
+    while (seg < 8 && x > ((0x20 << seg) - 1)) seg += 1
+    if (seg >= 8) (0x7F ^ mask) & 0xFF
+    else {
+      val shift = if (seg < 2) 1 else seg
+      (((seg << 4) | ((x >> shift) & 0x0F)) ^ mask) & 0xFF
+    }
+  }
 
   /** BITMAPFILEHEADER ("BM", file size, pixel offset) +
     * BITMAPINFOHEADER (or any later ≥40-byte DIB header, which extends
@@ -191,17 +269,20 @@ object Containers {
       }
     }
 
-  /** Canonical 44-byte-header PCM WAV around `data`, RIFF pad byte
-    * included when the data length is odd. */
+  /** Canonical 44-byte-header WAV around `data`, RIFF pad byte
+    * included when the data length is odd. `formatTag` defaults to
+    * linear PCM; pass [[FormatUlaw]]/[[FormatAlaw]] (with
+    * `bitsPerSample = 8`) for a G.711 container. */
   def buildWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
-               data: Array[Byte]): Array[Byte] = {
+               data: Array[Byte],
+               formatTag: Int = FormatPcm): Array[Byte] = {
     val pad = data.length & 1
     val out = ByteBuffer.allocate(44 + data.length + pad)
       .order(ByteOrder.LITTLE_ENDIAN)
     val byteRate = sampleRate * channels * (bitsPerSample / 8)
     out.putInt(RIFF).putInt(36 + data.length + pad).putInt(WAVE)
     out.putInt(FMT_).putInt(16)
-      .putShort(1) // PCM
+      .putShort(formatTag.toShort)
       .putShort(channels.toShort)
       .putInt(sampleRate)
       .putInt(byteRate)

@@ -1773,6 +1773,21 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // a G.711 µ-law RE-ENCODE of a PCM clip (compressed-codec copy of
+    // the same audio) must pair with its original at hamming exactly 0
+    // — the two-level plant construction makes that provable (see
+    // audioDedupPop), so the oracle restates the pair set from the
+    // synthesis arithmetic
+    "audio_dedup_crosscodec" -> ((s, dir) => {
+      graft.multimodal.AudioHash.nearDupPairs(audioDedupPop(s, dir),
+          col("doc_id"), col("payload"), maxHamming = 7,
+          wideTables = Some(false))
+        .where(col("id_a") >= lit(3000000L) &&
+          col("id_a") < lit(4000000L) &&
+          col("id_b") === col("id_a") + lit(1000000L))
+        .orderBy(col("id_a"))
+    }),
+
     // ── Animation perceptual near-dup (per-frame dHash) ──────────────
     // two animations pair when ANY frame pair lands within the radius
     // (hamming = best frame match, min-aggregated so multi-signature
@@ -4196,9 +4211,36 @@ object ExtensionQueries {
           }
           Containers.buildWav(1, 8000, 16, data)
         }
+        // cross-codec plant: a PCM clip of per-window CONSTANT
+        // amplitudes from two well-separated levels {500, 2000} and
+        // its G.711 µ-law re-encode. Equal amplitudes quantize to
+        // equal decoded values (ties stay exact ties) and the 16×
+        // energy separation between levels swamps the compander's
+        // ≤ ~12% relative error, so the re-encode lands at hamming
+        // EXACTLY 0 — an oracle-restatable cross-codec recall pin.
+        def twoLevelSamples: Array[Int] = Array.tabulate(130) { i =>
+          val bit = ((id * 0x9E3779B97F4A7C15L) >>> ((i / 2) % 64)) & 1L
+          if (bit == 1L) 2000 else 500
+        }
+        def twoLevelPcm: Array[Byte] = {
+          val s0 = twoLevelSamples
+          val data = new Array[Byte](2 * s0.length)
+          var i = 0
+          while (i < s0.length) {
+            data(2 * i) = (s0(i) & 0xFF).toByte
+            data(2 * i + 1) = ((s0(i) >> 8) & 0xFF).toByte
+            i += 1
+          }
+          Containers.buildWav(1, 8000, 16, data)
+        }
+        def twoLevelUlaw: Array[Byte] =
+          Containers.buildWav(1, 8000, 8,
+            twoLevelSamples.map(v => Containers.linearToUlaw(v).toByte),
+            Containers.FormatUlaw)
         val base = Seq((id, clip(1)))
         if (id < 8)
-          base ++ Seq((id + 1000000L, clip(1)), (id + 2000000L, clip(2)))
+          base ++ Seq((id + 1000000L, clip(1)), (id + 2000000L, clip(2)),
+            (id + 3000000L, twoLevelPcm), (id + 4000000L, twoLevelUlaw))
         else base
       }).toDF("doc_id", "payload")
   }
@@ -5101,6 +5143,16 @@ object ExtensionQueries {
         |SELECT doc_id, doc_id + 2000000, cast(0 AS int)
         |FROM documents WHERE doc_id < 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the G.711 cross-codec plants: equal window amplitudes quantize
+    // identically (ties exact) and the 16× two-level energy separation
+    // swamps the ≤ ~12% compand error — hamming provably 0, pair set
+    // restated from the synthesis
+    "audio_dedup_crosscodec" ->
+      """SELECT doc_id + 3000000 AS id_a, doc_id + 4000000 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM documents WHERE doc_id < 8
+        |ORDER BY id_a""".stripMargin,
 
     // byte-identical clones of animations < 8 under +1000000: identity
     // of bytes implies identity of every frame hash → hamming 0

@@ -120,4 +120,40 @@ class AudioHashSpec extends AnyFunSuite {
         "(SELECT cast(null AS binary) AS payload)").head()
     assert(viaSql.isNullAt(0))
   }
+
+  test("cross-codec: a G.711 re-encode of a PCM clip lands within the " +
+      "dedup radius of its original") {
+    // a deterministic multi-tone waveform long enough for real window
+    // energies (10 samples/window), amplitudes spanning the compander's
+    // segments so quantization error is exercised at every scale
+    val base = Seq.tabulate(650) { i =>
+      (math.sin(i * 0.13) * 11000 + math.sin(i * 0.047) * 5200 +
+        math.sin(i * 0.71) * 800).toInt
+    }
+    val pcm = wav16(base)
+    val ulawBytes = base.map(v =>
+      Containers.linearToUlaw(v).toByte).toArray
+    val alawBytes = base.map(v =>
+      Containers.linearToAlaw(v).toByte).toArray
+    val ulaw = Containers.buildWav(1, 8000, 8, ulawBytes,
+      Containers.FormatUlaw)
+    val alaw = Containers.buildWav(1, 8000, 8, alawBytes,
+      Containers.FormatAlaw)
+    val (f0, fu, fa) = (fp(pcm).get, fp(ulaw).get, fp(alaw).get)
+    assert(java.lang.Long.bitCount(f0 ^ fu) <= 7,
+      s"ulaw hamming ${java.lang.Long.bitCount(f0 ^ fu)}")
+    assert(java.lang.Long.bitCount(f0 ^ fa) <= 7,
+      s"alaw hamming ${java.lang.Long.bitCount(f0 ^ fa)}")
+    // and the pair operator finds the cross-codec pairs while keeping
+    // unrelated audio apart
+    val far = wav16(Seq.tabulate(650)(i => if (i % 13 < 3) 20000 else -15))
+    val pairs = AudioHash.nearDupPairs(
+        Seq((1L, pcm), (2L, ulaw), (3L, alaw), (4L, far))
+          .toDF("doc_id", "payload"),
+        col("doc_id"), col("payload"), maxHamming = 7,
+        wideTables = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }

@@ -184,6 +184,64 @@ class ContainersSpec extends AnyFunSuite {
     assert(Containers.pcmSamples(Array.empty[Byte]) === None)
   }
 
+  test("G.711 companding: ITU golden vectors, code-level identity, " +
+      "and bounded expansion error") {
+    import Containers.{alawToLinear, linearToAlaw, linearToUlaw, ulawToLinear}
+    // public G.711 landmarks: the two µ-law zeros, the ±full-scale
+    // codes, and A-law's smallest/largest magnitudes
+    assert(ulawToLinear(0xFF) === 0)
+    assert(ulawToLinear(0x7F) === 0)
+    assert(ulawToLinear(0x80) === 32124)
+    assert(ulawToLinear(0x00) === -32124)
+    assert(alawToLinear(0xD5) === 8)
+    assert(alawToLinear(0x55) === -8)
+    assert(alawToLinear(0xAA) === 32256)
+    assert(alawToLinear(0x2A) === -32256)
+    // decode→encode identity over every code: A-law for all 256,
+    // µ-law for all but the redundant negative zero (0x7F and 0xFF
+    // both decode to 0; the encoder canonically picks 0xFF)
+    for (b <- 0 until 256) {
+      assert(linearToAlaw(alawToLinear(b)) === b, s"alaw code $b")
+      if (b != 0x7F)
+        assert(linearToUlaw(ulawToLinear(b)) === b, s"ulaw code $b")
+    }
+    assert(linearToUlaw(ulawToLinear(0x7F)) === 0xFF)
+    // compand error is bounded by the top-segment step everywhere
+    var x = -32768
+    while (x <= 32767) {
+      assert(math.abs(ulawToLinear(linearToUlaw(x)) - x) <= 1024,
+        s"ulaw roundtrip at $x")
+      assert(math.abs(alawToLinear(linearToAlaw(x)) - x) <= 1024,
+        s"alaw roundtrip at $x")
+      x += 7
+    }
+  }
+
+  test("G.711 WAV containers decode to 16-bit linear; lying G.711 bit " +
+      "depths decline") {
+    import Containers.{FormatAlaw, FormatUlaw}
+    val codes = Array[Byte](0xFF.toByte, 0x80.toByte, 0x00, 0x7F)
+    val uw = Containers.buildWav(1, 8000, 8, codes, FormatUlaw)
+    assert(Containers.parseWav(uw) ===
+      Some(Containers.WavInfo(1, 8000, 8, 4L, FormatUlaw)))
+    assert(Containers.pcmSamples(uw).map(_.toSeq) ===
+      Some(Seq(0, 32124, -32124, 0)))
+    val aw = Containers.buildWav(1, 8000, 8,
+      Array[Byte](0xD5.toByte, 0x55, 0xAA.toByte), FormatAlaw)
+    assert(Containers.pcmSamples(aw).map(_.toSeq) ===
+      Some(Seq(8, -8, 32256)))
+    // duration math is unchanged 8-bit arithmetic
+    val pcm8 = Containers.parseWav(Containers.buildWav(1, 8000, 8, codes))
+    assert(Containers.parseWav(uw).get.durationMs === pcm8.get.durationMs)
+    // a G.711 fmt chunk claiming 16 bits contradicts the codec —
+    // decline rather than guess which field lies
+    assert(Containers.parseWav(
+      Containers.buildWav(1, 8000, 16, codes, FormatUlaw)) === None)
+    // and unknown tags still decline (ADPCM = 2)
+    assert(Containers.parseWav(
+      Containers.buildWav(1, 8000, 8, codes, 2)) === None)
+  }
+
   test("BMP decode: stride padding excluded, bottom-up rows reordered") {
     // 3×2 @24bpp: rowBytes 9, stride 12 — three padding bytes per row.
     // fill = array index, so padding positions hold values the decode
