@@ -2201,6 +2201,25 @@ object ExtensionQueries {
     // bounds (merges only ever shrink, one-token-per-word floor) — plus
     // the word/char counts DuckDB verifies exactly. BpeSpec holds the
     // merge loop itself to hand-computed examples.
+    // the TRAINING loop itself, at small vocab: four corpus-trained
+    // merge rounds (top-200 word table), each replayed MOVE FOR MOVE
+    // by the oracle — DuckDB recomputes the weighted pair counts,
+    // takes the same (count desc, pair asc) argmax, applies the merge
+    // with the same greedy leftmost non-overlap (even offsets within
+    // runs of consecutive hit positions), and recounts — so a
+    // tie-break, weighting, or merge-application divergence in the
+    // trainer cannot hide. The retrain-in-SQL discipline of
+    // model_score_trained, applied to the tokenizer.
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      TextOps.trainBpeMerges(Tables(s, dir, "documents"), col("text"),
+          numMerges = 4, maxVocabWords = 200)
+        .zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .orderBy(col("merge_rank"))
+    }),
+
     "bpe_encode" -> ((s, dir) => {
       val merges = bpeMergesFor(s, dir)
       val toks = TextOps.tokens(TextOps.normalized(col("text")))
@@ -4419,6 +4438,64 @@ object ExtensionQueries {
       |                          '\s+', ' ', 'g')), '\s+'),
       |      w -> len(w) > 0) AS l
       |  FROM documents)""".stripMargin
+
+  /** The bpe_train oracle: replay [[TextOps.trainBpeMerges]] round by
+    * round in DuckDB SQL. Each round's CTE block recomputes the
+    * weighted adjacent-pair counts over the current word
+    * tokenizations, takes the (count desc, pair asc) argmax among
+    * pairs with weighted count ≥ 2, and applies the merge with greedy
+    * leftmost non-overlap — a hit position i conflicts only with i±1,
+    * so the greedy picks are exactly the even offsets within each run
+    * of consecutive hit positions (gaps-and-islands over i − rn). The
+    * vocab cutoff mirrors the trainer's (count desc, word asc,
+    * LIMIT maxVocabWords; words ≤ 1024 code points). */
+  private def bpeTrainOracle(numMerges: Int, maxVocabWords: Int): String = {
+    val rounds = (0 until numMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT l[i] AS a, l[i+1] AS b, sum(n) AS c
+         |  FROM (SELECT w, n, l, unnest(range(1, len(l))) AS i FROM s$r)
+         |  GROUP BY a, b HAVING sum(n) >= 2),
+         |b$r AS (SELECT a, b FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |h$r AS (
+         |  SELECT q.w, q.n, q.i,
+         |    CASE WHEN q.l[q.i] = (SELECT a FROM b$r)
+         |      AND q.l[q.i+1] = (SELECT b FROM b$r) THEN 1 ELSE 0 END AS hit
+         |  FROM (SELECT w, n, l, unnest(range(1, len(l)+1)) AS i
+         |        FROM s$r) q),
+         |sel$r AS (
+         |  SELECT w, i FROM (
+         |    SELECT w, i,
+         |      row_number() OVER (PARTITION BY w, i - rn ORDER BY i) - 1
+         |        AS off
+         |    FROM (SELECT w, i,
+         |            row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+         |          FROM h$r WHERE hit = 1))
+         |  WHERE off % 2 = 0),
+         |s${r + 1} AS (
+         |  SELECT w, n, list(tok ORDER BY i) AS l FROM (
+         |    SELECT q.w, q.n, q.i,
+         |      CASE WHEN s1.i IS NOT NULL THEN q.l[q.i] || q.l[q.i + 1]
+         |        ELSE q.l[q.i] END AS tok
+         |    FROM (SELECT w, n, l, unnest(range(1, len(l)+1)) AS i
+         |          FROM s$r) q
+         |    LEFT JOIN sel$r s1 ON s1.w = q.w AND s1.i = q.i
+         |    LEFT JOIN sel$r s2 ON s2.w = q.w AND s2.i = q.i - 1
+         |    WHERE s2.i IS NULL)
+         |  GROUP BY w, n)""".stripMargin
+    }
+    val out = (0 until numMerges).map(r =>
+      s"SELECT cast($r AS bigint) AS merge_rank, " +
+        s"(SELECT a FROM b$r) AS lhs, (SELECT b FROM b$r) AS rhs")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
+    s"""WITH $toksCte,
+       |wt AS (SELECT unnest(l) AS w FROM toks),
+       |vocab AS (
+       |  SELECT w, cast(count(*) AS bigint) AS n FROM wt
+       |  WHERE len(w) <= 1024
+       |  GROUP BY w ORDER BY n DESC, w LIMIT $maxVocabWords),
+       |s0 AS (SELECT w, n, regexp_extract_all(w, '.') AS l FROM vocab),
+       |${rounds.mkString(",\n")}$out""".stripMargin
+  }
 
   /** Shared CTE chain computing the rare-shingle ngram-Jaccard pairs
     * (mirrors Dedup.ngramJaccardPairs; n=3, maxDf=100) — used by the
@@ -6689,6 +6766,11 @@ object ExtensionQueries {
          |  cast(coalesce(list_aggregate(list_transform(l, w -> len(w)),
          |    'sum'), 0) AS bigint) AS n_bpe
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // full merge-round replay: the same vocab cutoff, the same
+    // weighted pair counts, the same argmax tie-break, the same greedy
+    // leftmost merge application, four rounds chained as CTEs
+    "bpe_train" -> bpeTrainOracle(numMerges = 4, maxVocabWords = 200),
 
     // the merge table is data-derived, so DuckDB verifies the exact
     // word/char counts and the engine-computed invariant flags must be
