@@ -287,18 +287,27 @@ object ExtensionQueries {
     * every row. All selection-relative arithmetic (per-host caps, span
     * df counts, bin packing) is computed WITHIN the given crawl subset. */
   private def corpusBuildSummary(s: SparkSession, dir: String,
-      crawl: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      import graft.text.{Decontaminate, Packing}
-      // A — crawl & select: one materialized ingest pass
-      val gated = graft.ingest.Warc.recordTable(s, crawl,
+      crawl: DataFrame): DataFrame =
+    corpusBuildFromResponses(s, dir,
+      graft.ingest.Warc.recordTable(s, crawl,
           col("doc_id"), col("payload"))
         .where(col("warc_type") === "response")
         .select(col("file_id").as("doc_id"),
           graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
           graft.ops.HtmlExprs.htmlMainText(graft.ops.HtmlExprs
             .charsetDecode(col("http_content_type"), col("body")))
-            .as("main"))
+            .as("main")))
+
+  /** Stages A(gate)-E from an already-extracted (doc_id, host, main)
+    * response frame — the seam the REBUILD-from-archive gate enters
+    * through (its responses come from CDX point-reads, not a shard
+    * scan), shared with the from-crawl form above. */
+  private def corpusBuildFromResponses(s: SparkSession, dir: String,
+      responses: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.{Decontaminate, Packing}
+      // A — select: one materialized ingest pass
+      val gated = responses
         .select(col("doc_id"), col("host"), col("main"),
           graft.ops.TextExprs.gopherStats(col("main")).getField("pass")
             .cast("long").as("gopher_pass"))
@@ -3535,6 +3544,44 @@ object ExtensionQueries {
         .orderBy(col("split"), col("lang"), col("bin_id"))
     }),
 
+    // REBUILD the training set from the STANDING archive without
+    // re-crawling — the workload the rolling archive index exists for:
+    // shards land once into CdxLog (batch 0), a later re-curation
+    // selects a third of the archive's response records FROM THE INDEX
+    // (never re-scanning un-selected shards — fetchSpans prunes the
+    // scan to touched files and decodes only requested spans),
+    // re-extracts their text, and runs the whole build chain (gate →
+    // score → cap → span-removal → dedup → decontaminate → split →
+    // chunk → pack → JSONL ship) over the fetched set. The oracle
+    // replays the entire chain from the synthesis columns with the
+    // selection filter — an index entry pointing at the wrong span, a
+    // fetch decoding the wrong record, or any divergence between
+    // fetched-text and crawled-text extraction changes the packing
+    // arithmetic everywhere downstream.
+    "corpus_rebuild_archive" -> ((s, dir) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_rebuild_state").toString
+      val crawl = syntheticWarc(s, dir)
+        .localCheckpoint(true) // consumed by the index append AND fetch
+      graft.ingest.CdxLog.append(s, crawl, col("doc_id"), col("payload"),
+        state, 0L)
+      val want = graft.ingest.CdxLog.read(s, state)
+        .where(col("warc_type") === "response" && col("file_id") % 3 === 1)
+        .select(col("file_id"), col("offset"), col("length"),
+          col("member_ord"))
+      val fetched = graft.ingest.Warc.fetchSpans(s, crawl,
+          col("doc_id"), col("payload"), want)
+        .where(col("found"))
+      val blockStr = col("block").cast("string")
+      val body = blockStr.substr(
+        instr(blockStr, "\r\n\r\n") + lit(4), length(blockStr))
+      corpusBuildFromResponses(s, dir,
+          fetched.select(col("file_id").as("doc_id"),
+            graft.ops.HtmlExprs.urlHost(col("target_uri")).as("host"),
+            graft.ops.HtmlExprs.htmlMainText(body).as("main")))
+        .orderBy(col("split"), col("lang"), col("bin_id"))
+    }),
+
 
     // Nearest-centroid hard assignment (Ann.assignToCentroids): every
     // embedding against a deterministic centroid set (the 8 lowest
@@ -6304,6 +6351,13 @@ object ExtensionQueries {
         " WHERE doc_id % 3 <> 2) AS n_seen," +
         " (SELECT cast(count(*) AS bigint) FROM documents" +
         " WHERE doc_id % 3 = 2) AS n_new"),
+
+    // the rebuild-from-archive chain replayed from synthesis: the same
+    // build template over exactly the re-curated third — index
+    // selection + span fetch + re-extraction must be invisible next to
+    // building from the equivalent crawl subset
+    "corpus_rebuild_archive" -> corpusBuildOracle(
+      "WHERE doc_id % 3 = 1", ""),
 
     "corpus_shuffle" ->
       """WITH k AS (
