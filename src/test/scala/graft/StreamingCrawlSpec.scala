@@ -6,26 +6,32 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.UrlSeen
+import graft.dedup.{SigSeen, UrlSeen}
 import graft.ingest.{CdxLog, Warc}
 
 /** The OPERATIONAL crawl loop, end to end: each micro-batch of landed
-  * shards advances BOTH standing states in one foreachBatch — the
-  * archive index (CdxLog.append) and the URL-seen fold — stamped with
-  * the SAME streaming batchId, so an at-least-once replay of the
-  * whole micro-batch is a no-op on both. This is the transaction
-  * shape a rolling crawler actually runs: land bytes, index them,
-  * remember what was fetched. */
+  * shards advances ALL THREE standing states in one foreachBatch —
+  * the archive index (CdxLog.append), the URL-seen fold, and the
+  * media-signature fold — stamped with the SAME streaming batchId, so
+  * an at-least-once replay of the whole micro-batch is a no-op on all
+  * three. This is the transaction shape a rolling crawler actually
+  * runs: land bytes, index them, remember what was fetched, remember
+  * what it looked like. A crash BETWEEN folds leaves the loop
+  * half-advanced; the shared DeltaLog replay guard makes the whole-
+  * batch retry heal it — committed folds no-op, the missing fold
+  * commits. */
 class StreamingCrawlSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("one micro-batch advances archive index AND url state together; " +
-      "replay is a no-op on both; the states agree with each other") {
+  test("one micro-batch advances archive index, url state AND media " +
+      "signatures together; replay is a no-op on all three; the " +
+      "states agree with each other") {
     val dir = Files.createTempDirectory("graft_crawl_stream")
     val in = dir.resolve("shards"); Files.createDirectory(in)
     val cdx = dir.resolve("cdx").toString
     val seen = dir.resolve("seen").toString
+    val sigs = dir.resolve("sigs").toString
     val glob = in.toString + "/*/wet-*.warc.gz"
 
     def drop(name: String, ids: Range): Unit = {
@@ -42,15 +48,20 @@ class StreamingCrawlSpec extends AnyFunSuite {
         .load(glob)
         .writeStream
         .foreachBatch { (mb: org.apache.spark.sql.DataFrame, id: Long) =>
-          val held = mb.localCheckpoint(true) // ONE read feeds both folds
+          val held = mb.localCheckpoint(true) // ONE read feeds all folds
           CdxLog.append(spark, held, xxhash64(col("path")),
             col("content"), cdx, id)
           val recs = Warc.recordTable(spark, held,
-            xxhash64(col("path")), col("content"))
+              xxhash64(col("path")), col("content"))
+            .localCheckpoint(true) // consumed by the url AND sig folds
           UrlSeen.foldBatch(
             recs.select(xxhash64(col("record_id")).as("rid"),
               col("target_uri")),
             col("rid"), col("target_uri"), seen, id).count()
+          SigSeen.foldBatch(
+            recs.select(xxhash64(col("record_id")).as("rid"),
+              xxhash64(col("body")).as("sig")),
+            col("rid"), col("sig"), sigs, id).count()
           ()
         }
         .option("checkpointLocation", dir.resolve("ckpt").toString)
@@ -67,24 +78,31 @@ class StreamingCrawlSpec extends AnyFunSuite {
 
     val idxCount = CdxLog.read(spark, cdx).count()
     val urlCount = UrlSeen.read(spark, seen).count()
-    assert(idxCount === 65 && urlCount === 65)
+    val sigCount = SigSeen.read(spark, sigs).count()
+    assert(idxCount === 65 && urlCount === 65 && sigCount === 65)
     assert(CdxLog.watermark(spark, cdx) === Some(1L))
     assert(UrlSeen.watermark(spark, seen) === Some(1L))
+    assert(SigSeen.watermark(spark, sigs) === Some(1L))
 
     // replay the whole loop: a fresh query over the same checkpoint
-    // re-processes nothing, and both states stay byte-identical
+    // re-processes nothing, and all three states stay byte-identical
     val idxBefore = CdxLog.read(spark, cdx).collect()
       .map(_.toString).sorted
     val urlBefore = UrlSeen.read(spark, seen).collect()
+      .map(_.toString).sorted
+    val sigBefore = SigSeen.read(spark, sigs).collect()
       .map(_.toString).sorted
     runStream()
     assert(CdxLog.read(spark, cdx).collect().map(_.toString).sorted
       .sameElements(idxBefore))
     assert(UrlSeen.read(spark, seen).collect().map(_.toString).sorted
       .sameElements(urlBefore))
+    assert(SigSeen.read(spark, sigs).collect().map(_.toString).sorted
+      .sameElements(sigBefore))
 
     // cross-state agreement: every URL the archive holds is a URL the
-    // crawler remembers, stamped to the same batch generation
+    // crawler remembers, stamped to the same batch generation — and
+    // the signature state advanced under the same stamps
     val archived = CdxLog.read(spark, cdx)
       .select(graft.ops.HtmlExprs.urlNormalize(col("target_uri"))
         .as("u"), col("batch_id"))
@@ -94,5 +112,65 @@ class StreamingCrawlSpec extends AnyFunSuite {
     val disagree = archived.join(remembered, Seq("u"), "left")
       .where(col("b").isNull || col("b") =!= col("batch_id"))
     assert(disagree.count() === 0)
+    assert(SigSeen.read(spark, sigs)
+      .select(col("first_seen_batch")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(0L, 1L))
+  }
+
+  test("crash BETWEEN folds: the whole-batch retry no-ops the " +
+      "committed states and commits the missing one") {
+    val dir = Files.createTempDirectory("graft_crawl_crash")
+    val cdx = dir.resolve("cdx").toString
+    val seen = dir.resolve("seen").toString
+    val sigs = dir.resolve("sigs").toString
+    val shard = Warc.buildWarcGz((0 until 10).map { i =>
+      Warc.WarcSpecRec("resource", s"<urn:uuid:c-$i>",
+        Some(s"https://x.example/$i"), "2026-05-01T00:00:00Z",
+        "text/plain", s"media-$i".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    })
+    // one shard per batch (the append contract: one batch per file set)
+    val all = Seq((1L, shard), (2L, shard)).toDF("fid", "payload")
+      .localCheckpoint(true)
+    def foldAll(id: Long, through: Int): Unit = {
+      val files = all.where(col("fid") === id + 1)
+      val recs = Warc.recordTable(spark, files, col("fid"), col("payload"))
+      if (through >= 1)
+        CdxLog.append(spark, files, col("fid"), col("payload"), cdx, id)
+      if (through >= 2)
+        UrlSeen.foldBatch(
+          recs.select(xxhash64(col("record_id")).as("rid"),
+            col("target_uri")),
+          col("rid"), col("target_uri"), seen, id).count()
+      if (through >= 3)
+        SigSeen.foldBatch(
+          recs.select(xxhash64(col("record_id")).as("rid"),
+            xxhash64(col("body")).as("sig")),
+          col("rid"), col("sig"), sigs, id).count()
+    }
+
+    // the loop dies after the second fold: archive + url committed,
+    // signatures never folded
+    foldAll(0L, through = 2)
+    assert(CdxLog.watermark(spark, cdx) === Some(0L))
+    assert(UrlSeen.watermark(spark, seen) === Some(0L))
+    assert(SigSeen.watermark(spark, sigs) === None)
+    val idxBefore = CdxLog.read(spark, cdx).collect().map(_.toString).sorted
+    val urlBefore = UrlSeen.read(spark, seen).collect().map(_.toString).sorted
+
+    // the orchestrator retries the WHOLE micro-batch at the same stamp
+    foldAll(0L, through = 3)
+    assert(CdxLog.read(spark, cdx).collect().map(_.toString).sorted
+      .sameElements(idxBefore))
+    assert(UrlSeen.read(spark, seen).collect().map(_.toString).sorted
+      .sameElements(urlBefore))
+    assert(SigSeen.watermark(spark, sigs) === Some(0L))
+    assert(SigSeen.read(spark, sigs).count() === 10)
+
+    // and the next batch advances all three normally
+    foldAll(1L, through = 3)
+    assert(CdxLog.watermark(spark, cdx) === Some(1L))
+    assert(UrlSeen.watermark(spark, seen) === Some(1L))
+    assert(SigSeen.watermark(spark, sigs) === Some(1L))
   }
 }
