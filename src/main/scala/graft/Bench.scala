@@ -88,7 +88,10 @@ object Bench {
     "warc_cdx_fetch", "warc_cdx_lookup", "audio_dedup_incremental",
     "corpus_build_incremental", "warc_revisit_fetch",
     "warc_cdx_incremental", "gif_dedup_incremental", "warc_cdx_reextract",
-    "recrawl_archive")
+    "recrawl_archive",
+    // round 19: rebuild-from-archive capstone, BPE training replay,
+    // cross-codec audio recall
+    "corpus_rebuild_archive", "bpe_train", "audio_dedup_crosscodec")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before
