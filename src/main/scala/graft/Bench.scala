@@ -91,7 +91,8 @@ object Bench {
     "recrawl_archive",
     // round 19: rebuild-from-archive capstone, BPE training replay,
     // cross-codec audio recall
-    "corpus_rebuild_archive", "bpe_train", "audio_dedup_crosscodec")
+    "corpus_rebuild_archive", "bpe_train", "audio_dedup_crosscodec",
+    "bpe_encode_persisted")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

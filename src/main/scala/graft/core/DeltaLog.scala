@@ -187,6 +187,30 @@ object DeltaLog {
     next
   }
 
+  /** The fold-loop's self-maintenance policy: when the current
+    * generation's per-read parquet file count exceeds `maxFiles`, run
+    * the family's atomic cutover (`compact` — e.g.
+    * [[graft.dedup.UrlSeen.compactInPlace]]) and prune retired
+    * generations; otherwise do nothing. Returns the new generation
+    * when a cutover ran. This is what keeps a year of rolling folds
+    * bounded-file WITHOUT a maintenance window: the fold loop calls it
+    * on the cadence it already probes IndexHealth, every cutover is
+    * crash-atomic, and the watermark survives so the loop's replay
+    * guarantees are unchanged across generations. O(listing) when no
+    * compaction is due. */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFiles: Int)(compact: => Long): Option[Long] = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    val l = listing(spark, path)
+    if (l.deltas.isEmpty || l.deltas.map(_.parquetFiles).sum <= maxFiles)
+      None
+    else {
+      val g = compact
+      pruneGenerations(spark, path)
+      Some(g)
+    }
+  }
+
   /** Explicit maintenance: delete generations older than the previous
     * valid state and any orphan (uncommitted) generation dirs.
     * KEEPS the current generation and the newest valid state before it

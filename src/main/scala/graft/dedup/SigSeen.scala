@@ -241,6 +241,13 @@ object SigSeen {
       writeCompacted(spark, path, _, wm))
   }
 
+  /** Self-maintenance for the fold loop — the
+    * [[UrlSeen.compactIfFragmented]] policy over signature state. */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFiles: Int = 64): Option[Long] =
+    graft.core.DeltaLog.compactIfFragmented(spark, path, maxFiles)(
+      compactInPlace(spark, path))
+
   private def writeCompacted(spark: SparkSession, path: String,
                              destRoot: String, wm: Long): Unit =
     read(spark, path)

@@ -178,6 +178,15 @@ object UrlSeen {
       writeCompacted(spark, path, _, wm))
   }
 
+  /** Self-maintenance for the fold loop: atomic cutover + prune when
+    * the per-read file count exceeds `maxFiles`, no-op otherwise — the
+    * [[graft.core.DeltaLog.compactIfFragmented]] policy over URL
+    * state. Call on the IndexHealth cadence, never per micro-fold. */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFiles: Int = 64): Option[Long] =
+    graft.core.DeltaLog.compactIfFragmented(spark, path, maxFiles)(
+      compactInPlace(spark, path))
+
   // the min-fold heal lives HERE, not in read(): compaction is the
   // maintenance pass, and it makes the healed state durable
   private def writeCompacted(spark: SparkSession, path: String,

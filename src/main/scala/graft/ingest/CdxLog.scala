@@ -109,6 +109,14 @@ object CdxLog {
       writeCompacted(spark, path, _, wm))
   }
 
+  /** Self-maintenance for the append loop — the
+    * [[graft.dedup.UrlSeen.compactIfFragmented]] policy over the
+    * archive index. */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFiles: Int = 64): Option[Long] =
+    graft.core.DeltaLog.compactIfFragmented(spark, path, maxFiles)(
+      compactInPlace(spark, path))
+
   private def writeCompacted(spark: SparkSession, path: String,
                              destRoot: String, wm: Long): Unit = {
     val rest = schema.fieldNames.toSeq.filterNot(Set("file_id", "rec_idx"))

@@ -2245,6 +2245,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the tokenizer's operational seam: the trained table round-trips
+    // through the generation-versioned artifact (GenState — train,
+    // ship, load) and the loaded table must tokenize EVERY document
+    // identically to the in-memory one, with the table itself
+    // byte-identical in rank order. The oracle restates the exact word
+    // counts and the two invariant flags.
+    "bpe_encode_persisted" -> ((s, dir) => {
+      val merges = bpeMergesFor(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bpe_artifact").toString
+      TextOps.saveBpeMerges(s, merges, path)
+      val loaded = TextOps.loadBpeMerges(s, path)
+      val toks = TextOps.tokens(TextOps.normalized(col("text")))
+      val a = TextOps.bpeTokens(col("text"), merges)
+      val b = TextOps.bpeTokens(col("text"), loaded)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          when(a === b, 1).otherwise(0).as("ok_identical"),
+          lit(if (loaded == merges) 1 else 0).as("ok_table"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL WARC (ISO 28500) parsing: spec-valid crawl shards synthesized
     // from the documents columns — three records per doc (warcinfo +
     // an HTTP response carrying a deterministic HTML page + metadata),
@@ -6838,6 +6861,17 @@ object ExtensionQueries {
          |    'sum'), 0) AS bigint) AS n_chars,
          |  cast(1 AS int) AS ok_roundtrip,
          |  cast(1 AS int) AS ok_bounds
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // persisted-artifact roundtrip: exact word counts plus the two
+    // engine-computed identity flags, which must be all-ones for ANY
+    // trained table (a storage or rank-order bug breaks them)
+    "bpe_encode_persisted" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  cast(len(l) AS bigint) AS n_words,
+         |  cast(1 AS int) AS ok_identical,
+         |  cast(1 AS int) AS ok_table
          |FROM toks ORDER BY doc_id""".stripMargin,
 
     // every WARC header field, content length, and body md5 recomputed

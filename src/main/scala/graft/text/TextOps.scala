@@ -321,6 +321,44 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Persist a trained merge table as generation-versioned snapshot
+    * state ([[graft.core.GenState]] — the budget-histogram discipline):
+    * a retrain commits the NEXT generation and becomes current with
+    * its `_SUCCESS` marker, a crashed write is an invisible orphan,
+    * and readers always resolve a complete table. This is the
+    * tokenizer's operational seam: train on the curated corpus, ship
+    * the artifact, and every later encode (packing, chunking, budget
+    * counting) loads the exact table — merge RANK ORDER is the
+    * tokenizer, so it rides an explicit column. Driver-bounded by
+    * construction (a merge table is vocab-sized). */
+  def saveBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)], path: String,
+                    batchId: Option[Long] = None): Unit = {
+    merges.foreach { case (a, b) =>
+      require(a != null && b != null && a.nonEmpty && b.nonEmpty,
+        "merge pairs must be non-empty strings")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("merge_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("lhs",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("rhs",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val rows = merges.zipWithIndex.map { case ((a, b), r) =>
+      org.apache.spark.sql.Row(r, a, b)
+    }
+    graft.core.GenState.commit(spark, rows, schema, path, batchId)
+  }
+
+  /** Load the CURRENT generation's merge table, in rank order — the
+    * exact sequence [[saveBpeMerges]] persisted. */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, String)] =
+    graft.core.GenState.read(spark, path).collect()
+      .sortBy(_.getAs[Int]("merge_rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+
   /** Encode text with a trained BPE merge table: whitespace-split words
     * each become one or more subword tokens (native codegen kernel —
     * [[graft.ops.TextExprs.bpeEncode]]). Concatenating the tokens of a

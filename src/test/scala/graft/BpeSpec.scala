@@ -85,4 +85,34 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0))
     assert(a === b)
   }
+
+  test("persisted merge artifact: rank-exact roundtrip, retrain " +
+      "commits the next generation, crashed writes stay invisible") {
+    val docs = Seq("the quick brown fox", "the lazy dog", "the end")
+      .toDF("text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_store").toString + "/bpe"
+    val m1 = TextOps.trainBpeMerges(docs, col("text"), numMerges = 20)
+    TextOps.saveBpeMerges(spark, m1, path)
+    assert(TextOps.loadBpeMerges(spark, path) === m1)
+    // retrain (different target vocab) replaces the CURRENT table via
+    // a new generation; the previous stays on disk per GenState
+    val m2 = TextOps.trainBpeMerges(docs, col("text"), numMerges = 5)
+    TextOps.saveBpeMerges(spark, m2, path)
+    assert(TextOps.loadBpeMerges(spark, path) === m2)
+    assert(graft.core.GenState.health(spark, path).currentGen
+      .exists(_ >= 2L))
+    // a crashed write (generation dir without _SUCCESS) never shadows
+    // the shipped artifact
+    val (fs0, root) = graft.core.DeltaLog.fsRoot(spark, path)
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      "gen-" + "%016d".format(99L))
+    fs0.mkdirs(orphan)
+    assert(TextOps.loadBpeMerges(spark, path) === m2)
+    // invalid pairs are rejected before anything touches storage
+    intercept[IllegalArgumentException] {
+      TextOps.saveBpeMerges(spark, Seq(("a", "")), path)
+    }
+    assert(TextOps.loadBpeMerges(spark, path) === m2)
+  }
 }

@@ -137,6 +137,59 @@ class DeltaGenSpec extends AnyFunSuite {
     assert(urlState(path).size === 3)
   }
 
+  test("compactIfFragmented: a long fold loop self-maintains to a " +
+      "bounded file count with the lifecycle contract intact") {
+    val path = tmp("loop")
+    var cutovers = 0
+    for (b <- 1 to 12) {
+      fold(path, b.toLong, (100L + b) -> s"https://h$b.example/p")
+      if (UrlSeen.compactIfFragmented(spark, path, maxFiles = 3)
+          .isDefined) cutovers += 1
+    }
+    // maintenance actually ran, repeatedly, and kept reads bounded
+    assert(cutovers >= 2)
+    val l = DeltaLog.listing(spark, path)
+    assert(l.deltas.map(_.parquetFiles).sum <= 3 + 32,
+      s"unbounded file count: $l") // one fold's worth above the trigger
+    assert(DeltaLog.generation(spark, path).toInt === cutovers)
+    // state is exactly the 12 folded URLs at their true first batches
+    assert(urlState(path) ===
+      (1 to 12).map(b => (s"https://h$b.example/p", b.toLong, 100L + b))
+        .toSet)
+    // watermark survived every cutover; replay + monotone guard intact
+    assert(UrlSeen.watermark(spark, path) === Some(12L))
+    val st = urlState(path)
+    fold(path, 12L, 112L -> "https://h12.example/p") // replay: no-op
+    assert(urlState(path) === st)
+    intercept[IllegalArgumentException] {
+      fold(path, 5L, 999L -> "https://new.example/q")
+    }
+    // prune kept at most current + previous generations on disk
+    val gens = fs(path)
+      .listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith(DeltaLog.genPrefix))
+    assert(gens.length <= 2, gens.mkString(","))
+  }
+
+  test("hostile generation names are ignored: junk dirs, overflow " +
+      "numbers, and plain files never shadow the real state") {
+    val path = tmp("hostile")
+    fold(path, 1L, 1L -> "https://a.example/x")
+    val before = urlState(path)
+    val f = fs(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    f.mkdirs(new org.apache.hadoop.fs.Path(root, "gen-xyz"))
+    f.mkdirs(new org.apache.hadoop.fs.Path(root, "gen-"))
+    f.mkdirs(new org.apache.hadoop.fs.Path(root,
+      "gen-99999999999999999999")) // > Long.Max: parse fails, ignored
+    f.create(new org.apache.hadoop.fs.Path(root,
+      "gen-0000000000000005")).close() // a FILE, not a dir
+    assert(DeltaLog.generation(spark, path) === 0L)
+    assert(urlState(path) === before)
+    assert(UrlSeen.compactInPlace(spark, path) === 1L)
+    assert(urlState(path) === before)
+  }
+
   test("SigSeen and CdxLog ride the same cutover") {
     // SigSeen
     val sp = tmp("sig")
