@@ -62,6 +62,13 @@ class StreamingCrawlSpec extends AnyFunSuite {
             recs.select(xxhash64(col("record_id")).as("rid"),
               xxhash64(col("body")).as("sig")),
             col("rid"), col("sig"), sigs, id).count()
+          // self-maintenance rides the same loop: a tiny threshold
+          // forces real cutovers between folds, proving the lifecycle
+          // composes with streaming (watermark survives, replays stay
+          // guarded, reads stay bounded-file)
+          CdxLog.compactIfFragmented(spark, cdx, maxFiles = 1)
+          UrlSeen.compactIfFragmented(spark, seen, maxFiles = 1)
+          SigSeen.compactIfFragmented(spark, sigs, maxFiles = 1)
           ()
         }
         .option("checkpointLocation", dir.resolve("ckpt").toString)
@@ -115,6 +122,15 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(SigSeen.read(spark, sigs)
       .select(col("first_seen_batch")).distinct().collect()
       .map(_.getLong(0)).toSet === Set(0L, 1L))
+
+    // the in-loop maintenance actually cut generations over, and every
+    // state reads from a compacted (bounded-file) current generation
+    for (p <- Seq(cdx, seen, sigs)) {
+      val l = graft.core.DeltaLog.listing(spark, p)
+      assert(l.generation >= 1L, s"no cutover ran at $p")
+      assert(l.deltas.map(_.parquetFiles).sum <= 1 + 32,
+        s"unbounded files at $p: $l")
+    }
   }
 
   test("crash BETWEEN folds: the whole-batch retry no-ops the " +
