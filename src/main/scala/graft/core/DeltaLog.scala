@@ -92,6 +92,38 @@ object DeltaLog {
         }
     }
 
+  /** The `gen-*` directories under `root`, number-parsed, newest
+    * first. Junk names (unparseable or overflowing numbers) and plain
+    * files are ignored — they can never shadow real state. */
+  def genDirsUnder(fs: org.apache.hadoop.fs.FileSystem,
+                   root: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(genPrefix)) None
+      else scala.util.Try(n.drop(genPrefix.length).toLong).toOption
+        .map(g => (g, st.getPath))
+    }.sortBy(-_._1)
+
+  /** Generic current-generation resolver — the ONE rule every
+    * generation-versioned store shares (delta logs here; the minhash
+    * bucketed-table store with its params-marker validity): the
+    * highest-numbered `gen-*` dir satisfying `valid`, else the root
+    * itself as generation 0 (the legacy flat layout). Orphans (crashed
+    * cutovers — `valid` false) are skipped; that skip IS the reader
+    * side of cutover atomicity. */
+  def resolveGeneration(spark: SparkSession, path: String)
+                       (valid: (org.apache.hadoop.fs.FileSystem,
+                                org.apache.hadoop.fs.Path) => Boolean)
+      : (Long, String) = {
+    val (fs, root) = fsRoot(spark, path)
+    if (!fs.exists(root)) return (0L, path)
+    genDirsUnder(fs, root)
+      .find { case (_, p) => valid(fs, p) }
+      .map { case (g, p) => (g, p.toString) }
+      .getOrElse((0L, path))
+  }
+
   /** Resolve `path` to its current generation: the highest-numbered
     * `gen-*` directory holding ≥1 committed delta, else the root
     * itself (legacy generation 0). An orphan generation (crashed
@@ -100,14 +132,7 @@ object DeltaLog {
   def listing(spark: SparkSession, path: String): Listing = {
     val (fs, root) = fsRoot(spark, path)
     if (!fs.exists(root)) return Listing(0L, path, Seq.empty)
-    val top = fs.listStatus(root).toSeq.filter(_.isDirectory)
-    val gens = top.flatMap { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith(genPrefix)) None
-      else scala.util.Try(n.drop(genPrefix.length).toLong).toOption
-        .map(g => (g, st.getPath))
-    }.sortBy(-_._1)
-    gens.iterator
+    genDirsUnder(fs, root).iterator
       .map { case (g, p) => Listing(g, p.toString, deltasUnder(fs, p)) }
       .find(_.deltas.nonEmpty)
       .getOrElse(Listing(0L, path, deltasUnder(fs, root)))
@@ -219,30 +244,37 @@ object DeltaLog {
     * generation just before a cutover must still find its files; the
     * NEXT prune after the next cutover retires it. Returns the deleted
     * paths. No-op (empty) when nothing is deletable. */
-  def pruneGenerations(spark: SparkSession, path: String): Seq[String] = {
+  def pruneGenerations(spark: SparkSession, path: String): Seq[String] =
+    pruneBy(spark, path,
+      (fs, p) => deltasUnder(fs, p).nonEmpty,
+      st => st.getPath.getName.startsWith(deltaPrefix))
+
+  /** The shared prune rule behind [[pruneGenerations]] and the minhash
+    * store's prune: keep the current generation and the newest valid
+    * predecessor (or the legacy root state when no older generation
+    * exists); delete other generation dirs, orphans, and — once two
+    * generation dirs cover the keep-previous guarantee — the legacy
+    * root entries `legacyOf` selects. */
+  private[graft] def pruneBy(spark: SparkSession, path: String,
+      valid: (org.apache.hadoop.fs.FileSystem,
+              org.apache.hadoop.fs.Path) => Boolean,
+      legacyOf: org.apache.hadoop.fs.FileStatus => Boolean)
+      : Seq[String] = {
     val (fs, root) = fsRoot(spark, path)
     if (!fs.exists(root)) return Seq.empty
-    val top = fs.listStatus(root).toSeq.filter(_.isDirectory)
-    val gens = top.flatMap { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith(genPrefix)) None
-      else scala.util.Try(n.drop(genPrefix.length).toLong).toOption
-        .map(g => (g, st.getPath, deltasUnder(fs, st.getPath).nonEmpty))
-    }.sortBy(-_._1)
-    val valid = gens.filter(_._3).map(_._1)
-    if (valid.isEmpty) return Seq.empty // legacy-only: nothing to prune
-    val current = valid.max
+    val gens = genDirsUnder(fs, root)
+      .map { case (g, p) => (g, p, valid(fs, p)) }
+    val validGens = gens.filter(_._3).map(_._1)
+    if (validGens.isEmpty) return Seq.empty // legacy-only: no prune
+    val current = validGens.max
     val keep: Set[Long] =
-      Set(current) ++ valid.filter(_ < current).take(1)
+      Set(current) ++ validGens.filter(_ < current).take(1)
     val dropGens = gens.filterNot(g => keep.contains(g._1)).map(_._2)
-    // legacy root deltas retire once a generation-dir predecessor
-    // (or the current generation alone, with no legacy state) covers
-    // the keep-previous guarantee
-    val legacyDeltas =
+    val legacy =
       if (keep.size > 1)
-        top.filter(_.getPath.getName.startsWith(deltaPrefix)).map(_.getPath)
+        fs.listStatus(root).toSeq.filter(legacyOf).map(_.getPath)
       else Seq.empty
-    val victims = dropGens ++ legacyDeltas
+    val victims = dropGens ++ legacy
     victims.foreach(p => fs.delete(p, true))
     victims.map(_.toString)
   }

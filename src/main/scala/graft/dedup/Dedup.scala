@@ -255,22 +255,13 @@ object Dedup {
     * discipline applied to the bucketed-table store. A crashed
     * [[compactMinhashIndexInPlace]] leaves an orphan generation with no
     * params marker — invisible; the retry overwrites it. */
+  private def minhashGenValid(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "params/_SUCCESS"))
+
   private def minhashGen(spark: org.apache.spark.sql.SparkSession,
-                         path: String): (Long, String) = {
-    val (fs, root) = graft.core.DeltaLog.fsRoot(spark, path)
-    if (!fs.exists(root)) return (0L, path)
-    val gens = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap {
-      st =>
-        val nm = st.getPath.getName
-        if (!nm.startsWith(graft.core.DeltaLog.genPrefix)) None
-        else scala.util.Try(
-            nm.drop(graft.core.DeltaLog.genPrefix.length).toLong).toOption
-          .map(g => (g, st.getPath))
-    }.sortBy(-_._1)
-    gens.find { case (_, p) =>
-      fs.exists(new org.apache.hadoop.fs.Path(p, "params/_SUCCESS"))
-    }.map { case (g, p) => (g, p.toString) }.getOrElse((0L, path))
-  }
+                         path: String): (Long, String) =
+    graft.core.DeltaLog.resolveGeneration(spark, path)(minhashGenValid)
 
   /** The directory the CURRENT index generation lives in — every read
     * and append resolves through this. */
@@ -391,32 +382,10 @@ object Dedup {
     * Legacy flat tables at the root retire once two generation dirs
     * cover it. Returns deleted paths. */
   def pruneMinhashGenerations(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Seq[String] = {
-    val (fs, root) = graft.core.DeltaLog.fsRoot(spark, path)
-    if (!fs.exists(root)) return Seq.empty
-    val top = fs.listStatus(root).toSeq.filter(_.isDirectory)
-    val gens = top.flatMap { st =>
-      val nm = st.getPath.getName
-      if (!nm.startsWith(graft.core.DeltaLog.genPrefix)) None
-      else scala.util.Try(
-          nm.drop(graft.core.DeltaLog.genPrefix.length).toLong).toOption
-        .map(g => (g, st.getPath, fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "params/_SUCCESS"))))
-    }.sortBy(-_._1)
-    val valid = gens.filter(_._3).map(_._1)
-    if (valid.isEmpty) return Seq.empty
-    val current = valid.max
-    val keep: Set[Long] = Set(current) ++ valid.filter(_ < current).take(1)
-    val dropGens = gens.filterNot(g => keep.contains(g._1)).map(_._2)
-    val legacyTables =
-      if (keep.size > 1)
-        top.filter(st => Set("shingles", "bands", "params")
-          .contains(st.getPath.getName)).map(_.getPath)
-      else Seq.empty
-    val victims = dropGens ++ legacyTables
-    victims.foreach(p => fs.delete(p, true))
-    victims.map(_.toString)
-  }
+                              path: String): Seq[String] =
+    graft.core.DeltaLog.pruneBy(spark, path, minhashGenValid,
+      st => Set("shingles", "bands", "params")
+        .contains(st.getPath.getName))
 
   private def writeCompactedIndex(
       spark: org.apache.spark.sql.SparkSession,
