@@ -99,6 +99,106 @@ object ImageHash {
         java.lang.Long.valueOf(sig)
     }
 
+  /** The 32-point DCT-II basis behind [[phash64]]: `basis(u*32+x)` =
+    * `c(u)·cos((2x+1)uπ/64)` with the orthonormal scaling. StrictMath,
+    * so every executor on every platform computes bit-identical
+    * coefficients (Math.cos may use platform intrinsics). */
+  private lazy val dctBasis: Array[Double] = {
+    val b = new Array[Double](32 * 32)
+    var u = 0
+    while (u < 32) {
+      val c = if (u == 0) StrictMath.sqrt(1.0 / 32)
+        else StrictMath.sqrt(2.0 / 32)
+      var x = 0
+      while (x < 32) {
+        b(u * 32 + x) = c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0)
+        x += 1
+      }
+      u += 1
+    }
+    b
+  }
+
+    /** pHash of an image payload — the DCT perceptual hash: 32×32
+    * grayscale grid, 2-D DCT-II (separable, StrictMath basis, fixed
+    * evaluation order — deterministic across executors), the top-left
+    * 8×8 low-frequency block INCLUDING the DC row and column (a purely
+    * horizontal/vertical pattern carries all its energy there —
+    * excluding them, as some constructions do, blinds the hash to
+    * stripes), bit set iff the coefficient exceeds the median of the
+    * 63 non-DC block coefficients. Null (boxed) when undecodable — and
+    * for (near-)constant images, whose non-DC block is pure
+    * accumulation noise (decline rather than mint a degenerate
+    * noise-sign signature).
+    *
+    * Complements dHash: dHash signs LOCAL gradients (robust to global
+    * tone shifts, sensitive to blur); pHash thresholds GLOBAL spectral
+    * shape (robust to blur/resize/gamma, sensitive to crops). The
+    * median split is invariant under any positive LINEAR rescale of
+    * the gray values — and for a power-of-two rescale of an
+    * equal-channel (gray) image the invariance is FLOATING-POINT
+    * EXACT, not just approximate: integer luma of r=g=b=v is v itself
+    * (299+587+114 = 1000), doubling every input doubles every partial
+    * sum exactly (×2 commutes with rounding), and `2a > 2b ⟺ a > b` —
+    * the oracle-restatable plant the gate rides.
+    *
+    * Bits pack MSB-first over the block scan (v-major): bit 63 = the
+    * DC coefficient (v=0, u=0), which a non-degenerate 8-bit image
+    * always sets. */
+  def phash64(payload: Array[Byte]): java.lang.Long =
+    Images.imagePixelGrid(payload) match {
+      case None => null
+      case Some((w, h, px)) =>
+        val g = grayGrid(px, w, h, 32, 32)
+        // rows pass: t(y,u) = Σ_x g(y,x)·basis(u,x)
+        val t = new Array[Double](32 * 32)
+        var y = 0
+        while (y < 32) {
+          var u = 0
+          while (u < 32) {
+            var acc = 0.0
+            var x = 0
+            while (x < 32) { acc += g(y * 32 + x) * dctBasis(u * 32 + x); x += 1 }
+            t(y * 32 + u) = acc
+            u += 1
+          }
+          y += 1
+        }
+        // cols pass over the needed block only: s(v,u) = Σ_y t(y,u)·basis(v,y)
+        val block = new Array[Double](64)
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var acc = 0.0
+            var yy = 0
+            while (yy < 32) { acc += t(yy * 32 + u) * dctBasis(v * 32 + yy); yy += 1 }
+            block(v * 8 + u) = acc
+            u += 1
+          }
+          v += 1
+        }
+        val sorted = new Array[Double](63) // the non-DC coefficients
+        System.arraycopy(block, 1, sorted, 0, 63)
+        java.util.Arrays.sort(sorted)
+        // a (near-)constant image has no spectral structure: its
+        // non-DC block is floating-point noise around zero and every
+        // bit would be a noise sign. Decline rather than emit a
+        // degenerate signature (the AudioHash <65-sample convention) —
+        // real structure puts the block spread orders of magnitude
+        // above the ~1e-11 accumulation noise of a uniform 8-bit image.
+        if (sorted(62) - sorted(0) < 1e-6) return null
+        val med = sorted(31) // the median of 63 — deterministic split
+        var sig = 0L
+        var i = 0
+        while (i < 64) {
+          sig <<= 1
+          if (block(i) > med) sig |= 1L
+          i += 1
+        }
+        java.lang.Long.valueOf(sig)
+    }
+
   /** dHash of each frame in its row-major grid, up to `maxFrames` —
     * the ANIMATION signature family (one 64-bit hash per frame, one
     * reader pass per payload). Empty for non-GIF/corrupt payloads. */
@@ -126,6 +226,8 @@ object ImageHash {
     ColumnBridge.column(DHash64Expr(ColumnBridge.expression(payload)))
   def aHash(payload: Column): Column =
     ColumnBridge.column(AHash64Expr(ColumnBridge.expression(payload)))
+  def pHash(payload: Column): Column =
+    ColumnBridge.column(PHash64Expr(ColumnBridge.expression(payload)))
   def frameDHash(payload: Column, maxFrames: Int = 8): Column =
     ColumnBridge.column(
       FrameDHashesExpr(ColumnBridge.expression(payload), maxFrames))
@@ -205,5 +307,13 @@ case class AHash64Expr(child: Expression) extends ImageHashExpression {
   override protected def kernelName: String = "ahash64"
   override def nullSafeEval(in: Any): Any =
     ImageHash.ahash64(in.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class PHash64Expr(child: Expression) extends ImageHashExpression {
+  override def prettyName: String = "image_phash64"
+  override protected def kernelName: String = "phash64"
+  override def nullSafeEval(in: Any): Any =
+    ImageHash.phash64(in.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -59,6 +59,7 @@ object GraftFunctions {
     "sitemap_entries" -> (one(_)(SitemapEntriesExpr)),
     "image_dhash64" -> (one(_)(graft.multimodal.DHash64Expr)),
     "image_ahash64" -> (one(_)(graft.multimodal.AHash64Expr)),
+    "image_phash64" -> (one(_)(graft.multimodal.PHash64Expr)),
     "gif_frame_dhashes" -> (one(_)(graft.multimodal.FrameDHashesExpr(_, 8))),
     "audio_fingerprint64" -> (one(_)(graft.multimodal.AudioFingerprint64Expr)),
     "warc_cdx" -> (one(_)(graft.ingest.WarcCdxExpr)),

@@ -1710,6 +1710,26 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // pHash (DCT spectral hash) dedup: gray plants where byte clones
+    // AND exact-power-of-two contrast re-renders land at hamming
+    // EXACTLY 0 — equal-channel pixels make integer luma the pixel
+    // value itself, and a 2× rescale scales every DCT partial sum by
+    // an exact power of two, leaving every median comparison
+    // unchanged — so the oracle restates both planted pair families
+    // from the synthesis arithmetic (the audio cross-codec
+    // discipline, on the spectral-hash family dHash can't represent:
+    // pHash thresholds GLOBAL spectral shape, robust to blur/resize
+    // where dHash signs local gradients).
+    "image_phash_dedup" -> ((s, dir) => {
+      graft.dedup.Dedup.hammingPairs(phashDedupPop(s, dir),
+          col("doc_id"), ImageHash.pHash(col("payload")),
+          maxHamming = 7, wideTables = Some(false))
+        .where(col("id_a") < lit(1000000L) &&
+          (col("id_b") === col("id_a") + lit(1000000L) ||
+            col("id_b") === col("id_a") + lit(2000000L)))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Rolling-media perceptual dedup: batch 2 of the controllable-dHash
     // population REPLAYED against the standing SigSeen index (batches 1
     // and 2 already folded by sigStateFor) — the watermark guard makes
@@ -4334,6 +4354,27 @@ object ExtensionQueries {
       }).toDF("doc_id", "payload")
   }
 
+  /** The pHash plant population: per doc (< 8) a structured GRAY PNG
+    * (equal channels — integer luma is then the pixel value itself),
+    * its byte clone (+1e6), and its exact-2× contrast re-render
+    * (+2e6, values ≤ 127 so 2v stays in range). Patterns are
+    * id-mixed so distinct docs land far apart. */
+  private def phashDedupPop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Images
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 8)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        def gv(p: Int): Int =
+          (((p * 31 + p * p * 7) ^ (id * 131).toInt) % 120 + 120) % 120 + 4
+        def gray(scale: Int): Array[Byte] =
+          Images.encodePng(16, 12, k => gv(k / 3) * scale)
+        Seq((id, gray(1)), (id + 1000000L, gray(1)),
+          (id + 2000000L, gray(2)))
+      }).toDF("doc_id", "payload")
+  }
+
   private def imageDedupPop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Images
@@ -5203,6 +5244,19 @@ object ExtensionQueries {
         |  cast(0 AS int) AS hamming
         |FROM documents WHERE doc_id < 8 AND doc_id % 2 = 0
         |ORDER BY id_a""".stripMargin,
+
+    // the pHash plants: byte clones trivially, exact-2× contrast
+    // because equal-channel luma is the pixel value and a power-of-two
+    // rescale scales every DCT partial sum exactly, preserving every
+    // median comparison — both families at hamming exactly 0
+    "image_phash_dedup" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM documents WHERE doc_id < 8
+        |UNION ALL
+        |SELECT doc_id, doc_id + 2000000, cast(0 AS int)
+        |FROM documents WHERE doc_id < 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // from-scratch restatement of the rolling-fold annotation from the
     // fixture's doc-id arithmetic: roles 0/1 are in-radius re-sights of

@@ -375,4 +375,47 @@ class ImagesSpec extends AnyFunSuite {
     assert(out(2L).features.toSeq === Seq(36d, 36d * 130, 130d, 130d))
     assert(out(3L).features.length === 16, "non-media payloads keep the stub histogram")
   }
+
+  test("pHash: DCT spectral hash — constant image hashes to 0, the " +
+      "median split balances, power-of-two contrast is FP-exact, " +
+      "aligned nearest-resize is identity, totality holds") {
+    import graft.multimodal.{ImageHash, Images}
+    def grayPng(w: Int, h: Int, v: Int => Int): Array[Byte] =
+      Images.encodePng(w, h, k => v(k / 3)) // equal channels: luma = v
+    // constant image: no spectral structure — every bit would be a
+    // floating-point noise sign, so the kernel DECLINES (the AudioHash
+    // degenerate-signature convention) instead of minting an
+    // accidental equivalence class
+    assert(ImageHash.phash64(grayPng(16, 12, _ => 77)) === null)
+    // structured image: lower-median split sets exactly 32 bits when
+    // the 64 block coefficients are distinct (deterministic fixture)
+    val struct = grayPng(16, 12, p => ((p * 31 + p * p * 7) % 120) + 4)
+    val sig = ImageHash.phash64(struct)
+    assert(java.lang.Long.bitCount(sig.longValue) === 32)
+    // byte clone: identical
+    assert(ImageHash.phash64(grayPng(16, 12,
+      p => ((p * 31 + p * p * 7) % 120) + 4)) === sig)
+    // 2× gray values (≤ 254): luma doubles exactly, the DCT scales by
+    // an exact power of two, the median comparison is unchanged
+    val doubled = grayPng(16, 12, p => (((p * 31 + p * p * 7) % 120) + 4) * 2)
+    assert(ImageHash.phash64(doubled) === sig)
+    // 32×32-aligned nearest resize: the pHash resampler composes with
+    // resizeNearest's floor grid, so the hash is bit-identical
+    val big = grayPng(64, 64, p => ((p * 13 + 5) % 110) + 8)
+    val small = Images.resizeNearest(big, 32, 32).get
+    assert(ImageHash.phash64(big) === ImageHash.phash64(small))
+    // a structurally different image lands far away (deterministic)
+    val other = grayPng(16, 12, p => if ((p / 16) % 2 == 0) 10 else 120)
+    assert(java.lang.Long.bitCount(
+      sig.longValue ^ ImageHash.phash64(other).longValue) > 7)
+    // totality: corrupt/foreign/null payloads hash to null
+    assert(ImageHash.phash64("not an image".getBytes) === null)
+    assert(ImageHash.phash64(null) === null)
+    assert(ImageHash.phash64(struct.take(20)) === null)
+    // SQL surface
+    val spark = SparkTestSession.spark
+    graft.ops.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT image_phash64(cast(NULL AS binary))")
+      .head().isNullAt(0))
+  }
 }
