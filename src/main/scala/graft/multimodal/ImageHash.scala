@@ -148,7 +148,21 @@ object ImageHash {
   def phash64(payload: Array[Byte]): java.lang.Long =
     Images.imagePixelGrid(payload) match {
       case None => null
-      case Some((w, h, px)) =>
+      case Some((w, h, px)) => phashOfGrid(w, h, px)
+    }
+
+  /** pHash of each frame of an animated payload, up to `maxFrames` —
+    * the spectral ANIMATION signature family ([[frameDHashes]]'
+    * construction over [[phash64]]'s kernel). Degenerate
+    * (near-constant) frames decline individually and contribute no
+    * signature; empty for non-GIF/corrupt payloads. */
+  def framePHashes(payload: Array[Byte], maxFrames: Int): Array[Long] =
+    Images.gifAllFramePixelGrids(payload, maxFrames).flatMap {
+      case (w, h, px) => Option(phashOfGrid(w, h, px)).map(_.longValue)
+    }.toArray
+
+  private def phashOfGrid(w: Int, h: Int,
+                          px: Array[Int]): java.lang.Long = {
         val g = grayGrid(px, w, h, 32, 32)
         // rows pass: t(y,u) = Σ_x g(y,x)·basis(u,x)
         val t = new Array[Double](32 * 32)
@@ -231,6 +245,9 @@ object ImageHash {
   def frameDHash(payload: Column, maxFrames: Int = 8): Column =
     ColumnBridge.column(
       FrameDHashesExpr(ColumnBridge.expression(payload), maxFrames))
+  def framePHash(payload: Column, maxFrames: Int = 8): Column =
+    ColumnBridge.column(
+      FramePHashesExpr(ColumnBridge.expression(payload), maxFrames))
 
   /** Perceptual near-dup image pairs: dHash signatures banded through
     * the shared pigeonhole tables, exact Hamming verify. Undecodable
@@ -256,6 +273,19 @@ object ImageHash {
                             wideTables: Option[Boolean] = None): DataFrame = {
     val frames = media
       .select(id.as("__id"), explode(frameDHash(payload, maxFrames)).as("__sig"))
+    graft.dedup.Dedup.hammingPairs(frames, col("__id"), col("__sig"),
+      maxHamming, wideTables)
+  }
+
+  /** [[animationNearDupPairs]] over the SPECTRAL frame family
+    * ([[framePHashes]]) — robust where frame re-renders shift tone or
+    * blur rather than move gradients; same any-frame-match,
+    * best-hamming semantics. */
+  def animationNearDupPairsSpectral(media: DataFrame, id: Column,
+      payload: Column, maxHamming: Int = 7, maxFrames: Int = 8,
+      wideTables: Option[Boolean] = None): DataFrame = {
+    val frames = media
+      .select(id.as("__id"), explode(framePHash(payload, maxFrames)).as("__sig"))
     graft.dedup.Dedup.hammingPairs(frames, col("__id"), col("__sig"),
       maxHamming, wideTables)
   }
@@ -307,6 +337,22 @@ case class AHash64Expr(child: Expression) extends ImageHashExpression {
   override protected def kernelName: String = "ahash64"
   override def nullSafeEval(in: Any): Any =
     ImageHash.ahash64(in.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-frame pHashes of an animated payload — empty array (not null)
+  * for undecodable bytes; degenerate frames contribute no entry. */
+case class FramePHashesExpr(child: Expression, maxFrames: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gif_frame_phashes"
+  override def nullSafeEval(in: Any): Any =
+    new GenericArrayData(
+      ImageHash.framePHashes(in.asInstanceOf[Array[Byte]], maxFrames))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.multimodal.ImageHash.framePHashes($c, $maxFrames));""")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -61,6 +61,7 @@ object GraftFunctions {
     "image_ahash64" -> (one(_)(graft.multimodal.AHash64Expr)),
     "image_phash64" -> (one(_)(graft.multimodal.PHash64Expr)),
     "gif_frame_dhashes" -> (one(_)(graft.multimodal.FrameDHashesExpr(_, 8))),
+    "gif_frame_phashes" -> (one(_)(graft.multimodal.FramePHashesExpr(_, 8))),
     "audio_fingerprint64" -> (one(_)(graft.multimodal.AudioFingerprint64Expr)),
     "warc_cdx" -> (one(_)(graft.ingest.WarcCdxExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),

@@ -1848,6 +1848,25 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // the SPECTRAL animation family: per-frame pHash instead of
+    // per-frame dHash (any-frame match, best hamming). Byte-identical
+    // clones must still pair at 0 — identical bytes, identical frame
+    // spectra — so the same synthesis-restated oracle applies; the
+    // population is capped to ids whose frames all carry real spectral
+    // structure (the degenerate-frame decline drops nothing here).
+    "gif_phash_dedup" -> ((s, dir) => {
+      val base = syntheticAnimations(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("payload"))
+      val pop = base.unionByName(base.where(col("doc_id") < 8)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("payload")))
+      ImageHash.animationNearDupPairsSpectral(pop, col("doc_id"),
+          col("payload"), maxHamming = 7, maxFrames = 8,
+          wideTables = Some(false))
+        .where(col("id_b") === col("id_a") + lit(1000000L) &&
+          col("id_a") < lit(1000000L))
+        .orderBy(col("id_a"))
+    }),
+
     // fingerprint equality classes must match the normalized-text
     // equality classes (xxhash64 is injective on this corpus unless a
     // 64-bit collision appears — which this gate would catch)
@@ -5358,6 +5377,14 @@ object ExtensionQueries {
     // byte-identical clones of animations < 8 under +1000000: identity
     // of bytes implies identity of every frame hash → hamming 0
     "gif_dedup_recall" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM documents WHERE doc_id < 8
+        |ORDER BY id_a""".stripMargin,
+
+    // spectral frame hashes of identical bytes are identical — the
+    // same clone plant pins the pHash animation family
+    "gif_phash_dedup" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |  cast(0 AS int) AS hamming
         |FROM documents WHERE doc_id < 8

@@ -418,4 +418,26 @@ class ImagesSpec extends AnyFunSuite {
     assert(spark.sql("SELECT image_phash64(cast(NULL AS binary))")
       .head().isNullAt(0))
   }
+
+  test("framePHashes: spectral per-frame family — clone identity, " +
+      "degenerate frames decline individually, totality") {
+    import graft.multimodal.{ImageHash, Images}
+    // frame 0 structured, frame 1 UNIFORM (degenerate — declined),
+    // frame 2 structured: two signatures survive
+    val anim = Images.encodeAnimatedGifGray(6, 5, 3, (f, k) =>
+      if (f == 1) 102 else (((f * 17 + k * 7) % 6) * 51))
+    val sigs = ImageHash.framePHashes(anim, maxFrames = 8)
+    assert(sigs.length === 2)
+    // byte clone: identical signature sequence
+    assert(ImageHash.framePHashes(anim.clone(), 8).toSeq === sigs.toSeq)
+    // totality: foreign bytes yield an empty array, never a throw
+    assert(ImageHash.framePHashes("not a gif".getBytes, 8).isEmpty)
+    // SQL surface
+    val spark = SparkTestSession.spark
+    graft.ops.GraftFunctions.register(spark)
+    import spark.implicits._
+    val viaSql = Seq(Tuple1(anim)).toDF("p")
+      .selectExpr("gif_frame_phashes(p) AS s").head().getSeq[Long](0)
+    assert(viaSql === sigs.toSeq)
+  }
 }
