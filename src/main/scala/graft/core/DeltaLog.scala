@@ -67,9 +67,17 @@ object DeltaLog {
     * number (0 = the legacy bare layout), the directory folds write
     * into, and the committed deltas under it. ONE resolution pass —
     * one listing of the root, one per generation root probed, one per
-    * delta dir. */
+    * delta dir — and the fold/read/guard sites thread one Listing
+    * through instead of re-resolving per question. */
   final case class Listing(generation: Long, genRoot: String,
-                           deltas: Seq[Delta])
+                           deltas: Seq[Delta]) {
+    /** Per-read parquet file total — the IndexHealth `files`
+      * compaction signal. */
+    def parquetFiles: Int = deltas.map(_.parquetFiles).sum
+    /** Max committed batch stamp. */
+    def watermark: Option[Long] =
+      if (deltas.isEmpty) None else Some(deltas.map(_.batchId).max)
+  }
 
   private def genDirName(n: Long): String = f"$genPrefix$n%016d"
 
@@ -198,17 +206,26 @@ object DeltaLog {
     * failed compaction can never destroy state). */
   def compactCutover(spark: SparkSession, path: String)
                     (write: String => Unit): Long = {
-    val cur = listing(spark, path)
-    if (cur.deltas.isEmpty)
+    if (listing(spark, path).deltas.isEmpty)
       throw new IllegalStateException(s"nothing committed at $path")
-    val next = cur.generation + 1
+    cutoverBy(spark, path, () => listing(spark, path).generation)(write)
+  }
+
+  /** The cutover mechanism itself, shared with non-delta-log
+    * generation stores (the minhash bucketed-table store): resolve the
+    * current generation via `current`, write generation N+1, and
+    * verify the cutover took — throwing (old generation stays current)
+    * when `write` committed nothing. */
+  private[graft] def cutoverBy(spark: SparkSession, path: String,
+                               current: () => Long)
+                              (write: String => Unit): Long = {
+    val next = current() + 1
     write(genDir(path, next))
-    val after = listing(spark, path)
-    if (after.generation != next)
+    val after = current()
+    if (after != next)
       throw new IllegalStateException(
         s"compaction cutover did not take at $path: wrote generation " +
-          s"$next but ${after.generation} is current — the write " +
-          "committed no delta")
+          s"$next but $after is current — the write committed nothing")
     next
   }
 
@@ -227,8 +244,12 @@ object DeltaLog {
                           maxFiles: Int)(compact: => Long): Option[Long] = {
     require(maxFiles >= 1, "maxFiles must be >= 1")
     val l = listing(spark, path)
-    if (l.deltas.isEmpty || l.deltas.map(_.parquetFiles).sum <= maxFiles)
-      None
+    // convergence guard: a single-delta generation IS the compacted
+    // form — if it alone exceeds maxFiles, another rewrite cannot
+    // shrink it, and triggering anyway would re-run an O(index)
+    // rewrite (and retire the reader-safety previous generation) on
+    // EVERY maintenance call, forever
+    if (l.deltas.size <= 1 || l.parquetFiles <= maxFiles) None
     else {
       val g = compact
       pruneGenerations(spark, path)

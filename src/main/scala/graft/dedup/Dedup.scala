@@ -364,15 +364,10 @@ object Dedup {
     * [[pruneMinhashGenerations]]. Returns the new generation number. */
   def compactMinhashIndexInPlace(spark: org.apache.spark.sql.SparkSession,
                                  path: String): Long = {
-    val (g, cur) = minhashGen(spark, path)
-    val next = g + 1
-    writeCompactedIndex(spark, cur, graft.core.DeltaLog.genDir(path, next))
-    val after = minhashIndexGeneration(spark, path)
-    if (after != next)
-      throw new IllegalStateException(
-        s"minhash compaction cutover did not take at $path: wrote " +
-          s"generation $next but $after is current")
-    next
+    val cur = minhashIndexRoot(spark, path)
+    graft.core.DeltaLog.cutoverBy(spark, path,
+      () => minhashIndexGeneration(spark, path))(
+      writeCompactedIndex(spark, cur, _))
   }
 
   /** Explicit maintenance after [[compactMinhashIndexInPlace]]: delete

@@ -80,15 +80,19 @@ object SigSeen {
     * Raw union of committed deltas (disjoint by the fold invariant —
     * the [[UrlSeen.read]] rationale); [[compact]] applies the
     * defensive min-fold heal. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val ds = committedDeltas(spark, path)
-    if (ds.isEmpty)
+  def read(spark: SparkSession, path: String): DataFrame =
+    readFrom(spark, graft.core.DeltaLog.listing(spark, path))
+
+  /** [[read]] against an already-resolved listing — the fold threads
+    * ONE resolution through (the [[UrlSeen.readFrom]] rationale). */
+  private def readFrom(spark: SparkSession,
+                       l: graft.core.DeltaLog.Listing): DataFrame =
+    if (l.deltas.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.parquet(ds.map(_._2): _*)
+      spark.read.parquet(l.deltas.map(_.dir): _*)
         .select(col("sig"), col("first_seen_batch"), col("first_doc"))
-  }
 
   /** Fold one media batch into the standing index and return the
     * annotated batch: (doc_id, sig, status, first_doc, hamming) with
@@ -104,9 +108,11 @@ object SigSeen {
       .localCheckpoint(true) // consumed by the match build AND annotation
     val batchMin = canon.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("batch_first"))
-    // monotone-fold guard: the UrlSeen contract verbatim
+    // monotone-fold guard: the UrlSeen contract verbatim, against ONE
+    // log resolution shared with the state read and the delta write
+    val l = graft.core.DeltaLog.listing(spark, path)
     val replay = graft.core.DeltaLog.replayOrGuard(
-      committedDeltas(spark, path), batchId, path)
+      l.deltas.map(d => (d.batchId, d.dir)), batchId, path)
     // ── the ONE state pass: banded near-match of batch sigs vs the
     // strictly-earlier state (when !replay the state cannot contain
     // rows at/above batchId, so this view doubles as the exact-novelty
@@ -119,7 +125,7 @@ object SigSeen {
       wideTables = false)
     val bKeys = if (broadcastBatch) broadcast(bKeys0) else bKeys0
     val stKeys = Dedup.simhashKeys(
-      read(spark, path).where(col("first_seen_batch") < batchId),
+      readFrom(spark, l).where(col("first_seen_batch") < batchId),
       maxHamming, wideTables = false)
       .select(col("chunk"), col("ckey"), col("sig").as("ssig"),
         col("first_seen_batch"), col("first_doc"))
@@ -138,7 +144,7 @@ object SigSeen {
         .select(col("sig"), lit(batchId).as("first_seen_batch"),
           col("batch_first").as("first_doc"))
         .write.mode("overwrite")
-        .parquet(graft.core.DeltaLog.foldDir(spark, path, batchId))
+        .parquet(graft.core.DeltaLog.deltaDir(l.genRoot, batchId))
     }
     // in-batch near relation: for each distinct batch signature, the
     // earliest first-doc among its in-radius batch neighbors (itself
@@ -213,9 +219,8 @@ object SigSeen {
              path: String): graft.meta.PipelineMetrics.IndexHealth = {
     val l = graft.core.DeltaLog.listing(spark, path)
     graft.meta.PipelineMetrics
-      .indexHealth(read(spark, path), col("sig"), path)
-      .copy(files = l.deltas.map(_.parquetFiles).sum,
-        generation = l.generation)
+      .indexHealth(readFrom(spark, l), col("sig"), path)
+      .copy(files = l.parquetFiles, generation = l.generation)
   }
 
   /** Merge the delta log into ONE delta at `dest` — stamped with the

@@ -63,15 +63,21 @@ object UrlSeen {
     * read (twice per fold) to heal a state no in-contract writer can
     * produce. [[compact]] still applies the heal — the once-in-a-while
     * maintenance pass is where defense belongs. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val ds = committedDeltas(spark, path)
-    if (ds.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
+  def read(spark: SparkSession, path: String): DataFrame =
+    readFrom(spark, graft.core.DeltaLog.listing(spark, path))
+
+  /** [[read]] against an already-resolved listing — the fold threads
+    * ONE resolution through its guard, reads, and write instead of
+    * re-listing the log per question (O(deltas) metadata round trips
+    * each on an object store). */
+  private def readFrom(spark: SparkSession,
+                       l: graft.core.DeltaLog.Listing): DataFrame =
+    if (l.deltas.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.parquet(ds.map(_._2): _*)
+      spark.read.parquet(l.deltas.map(_.dir): _*)
         .select(col("url_canon"), col("first_seen_batch"), col("first_doc"))
-  }
 
   /** Fold one crawl batch into the standing index and return the
     * annotated batch: (doc_id, url_canon, status, first_doc) where
@@ -93,29 +99,34 @@ object UrlSeen {
       .localCheckpoint(true) // consumed by the delta write AND annotation
     val batchMin = canon.groupBy(col("url_canon"))
       .agg(min(col("doc_id")).as("batch_first"))
+    // ONE log resolution serves the guard, both state reads, and the
+    // delta-dir placement for this whole fold
+    val l = graft.core.DeltaLog.listing(spark, path)
     // A batchId at/below the watermark is a replay ONLY if that exact
     // fold committed (every committed fold leaves delta-b<batchId>,
     // even when it found zero novel URLs). An unknown id below the
     // watermark is an out-of-order backfill — silently treating it as
     // a replay would permanently drop its novel URLs, so fail loudly.
     val replay = graft.core.DeltaLog.replayOrGuard(
-      committedDeltas(spark, path), batchId, path)
+      l.deltas.map(d => (d.batchId, d.dir)), batchId, path)
     if (!replay) {
       // delta = this batch's first-occurrence URLs only: write volume
       // ∝ novelty. Anti-join against the full standing state (which
       // cannot yet contain rows at/above batchId — watermark checked).
       batchMin
-        .join(read(spark, path).select(col("url_canon")),
+        .join(readFrom(spark, l).select(col("url_canon")),
           Seq("url_canon"), "left_anti")
         .select(col("url_canon"), lit(batchId).as("first_seen_batch"),
           col("batch_first").as("first_doc"))
         .write.mode("overwrite")
-        .parquet(graft.core.DeltaLog.foldDir(spark, path, batchId))
+        .parquet(graft.core.DeltaLog.deltaDir(l.genRoot, batchId))
     }
     // annotation view: strictly-earlier state rows — a replayed fold's
-    // own committed delta (first_seen_batch == batchId) is filtered
-    // out, so replay annotation ≡ first-run annotation
-    val seenBefore = read(spark, path)
+    // own committed delta (first_seen_batch == batchId) carries
+    // first_seen_batch == batchId and a first-run's just-written delta
+    // is not in the pre-write listing, so either way this is exactly
+    // the state view the first run saw
+    val seenBefore = readFrom(spark, l)
       .where(col("first_seen_batch") < batchId)
       .select(col("url_canon"), col("first_seen_batch").as("seen_batch"),
         col("first_doc").as("seen_doc"))
@@ -138,9 +149,8 @@ object UrlSeen {
              path: String): graft.meta.PipelineMetrics.IndexHealth = {
     val l = graft.core.DeltaLog.listing(spark, path)
     graft.meta.PipelineMetrics
-      .indexHealth(read(spark, path), col("url_canon"), path)
-      .copy(files = l.deltas.map(_.parquetFiles).sum,
-        generation = l.generation)
+      .indexHealth(readFrom(spark, l), col("url_canon"), path)
+      .copy(files = l.parquetFiles, generation = l.generation)
   }
 
   /** Merge the delta log into ONE delta at `dest` (stamped with the

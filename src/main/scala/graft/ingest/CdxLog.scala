@@ -48,13 +48,15 @@ object CdxLog {
     * no-ops; out-of-order batch ids fail loudly. */
   def append(spark: SparkSession, files: DataFrame, fileId: Column,
              payload: Column, path: String, batchId: Long): Unit = {
+    // ONE log resolution serves the guard and the delta-dir placement
+    val l = graft.core.DeltaLog.listing(spark, path)
     val replay = graft.core.DeltaLog.replayOrGuard(
-      graft.core.DeltaLog.committedDeltas(spark, path), batchId, path)
+      l.deltas.map(d => (d.batchId, d.dir)), batchId, path)
     if (!replay)
       Warc.cdxIndex(spark, files, fileId, payload)
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
-        .parquet(graft.core.DeltaLog.foldDir(spark, path, batchId))
+        .parquet(graft.core.DeltaLog.deltaDir(l.genRoot, batchId))
   }
 
   /** The standing index: every record of every committed batch. Raw
@@ -82,8 +84,7 @@ object CdxLog {
     graft.meta.PipelineMetrics
       .indexHealth(read(spark, path),
         struct(col("file_id"), col("rec_idx")), path)
-      .copy(files = l.deltas.map(_.parquetFiles).sum,
-        generation = l.generation)
+      .copy(files = l.parquetFiles, generation = l.generation)
   }
 
   /** Merge the delta log into ONE generation at `dest`, stamped with

@@ -853,20 +853,39 @@ object Warc {
     * plan when the request list itself is corpus-scale.
     *
     * TOTAL over a stale index: a span inside a present file that no
-    * longer decodes AND a request whose file id is absent from `files`
-    * entirely (deleted/renamed shard) both come back as
-    * `found = false` rows — every request row is accounted for in the
-    * output, never silently dropped. */
+    * longer decodes, a request whose file id is absent from `files`
+    * entirely (deleted/renamed shard), AND a request with a null /
+    * uncastable field all come back as `found = false` rows — every
+    * request row is accounted for in the output, never silently
+    * dropped, never a task failure. */
   def fetchSpans(spark: SparkSession, files: DataFrame, fileId: Column,
                  payload: Column, requests: DataFrame,
                  broadcastRequests: Boolean = true,
                  maxPruneFiles: Int = 100000): DataFrame = {
     import spark.implicits._
-    val req0 = requests
+    val reqAll = requests
       .select(col("file_id").cast("long").as("file_id"),
         col("offset").cast("long").as("_1"),
         col("length").cast("long").as("_2"),
         col("member_ord").cast("int").as("_3"))
+      .localCheckpoint(true) // consumed by the valid AND invalid sides
+    // a request any of whose fields is null (or cast-failed) can never
+    // address a span: it degrades to a found=false row like every
+    // other unfetchable request — never an NPE in the prune collect,
+    // never a null-keyed join row
+    val invalid = reqAll
+      .where(col("file_id").isNull || col("_1").isNull ||
+        col("_2").isNull || col("_3").isNull)
+      .select(col("file_id"), col("_1").as("offset"),
+        col("_3").as("member_ord"), lit(false).as("found"),
+        lit(null).cast("string").as("warc_type"),
+        lit(null).cast("string").as("record_id"),
+        lit(null).cast("string").as("target_uri"),
+        lit(null).cast("string").as("date_s"),
+        lit(null).cast("binary").as("block"))
+    val req0 = reqAll
+      .where(col("file_id").isNotNull && col("_1").isNotNull &&
+        col("_2").isNotNull && col("_3").isNotNull)
       .groupBy(col("file_id"))
       .agg(collect_list(struct(col("_1"), col("_2"), col("_3")))
         .as("spans"))
@@ -917,7 +936,7 @@ object Warc {
         lit(null).cast("string").as("target_uri"),
         lit(null).cast("string").as("date_s"),
         lit(null).cast("binary").as("block"))
-    fetched.unionByName(absent)
+    fetched.unionByName(absent).unionByName(invalid)
   }
 
   /** Spark surface: explode a (file id, WARC payload) frame into one

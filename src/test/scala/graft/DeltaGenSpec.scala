@@ -169,6 +169,15 @@ class DeltaGenSpec extends AnyFunSuite {
       .listStatus(new org.apache.hadoop.fs.Path(path))
       .map(_.getPath.getName).filter(_.startsWith(DeltaLog.genPrefix))
     assert(gens.length <= 2, gens.mkString(","))
+
+    // convergence: once the state is a SINGLE compacted delta, the
+    // maintenance call is a no-op even when that delta alone exceeds
+    // the threshold — no rewrite-forever loop
+    UrlSeen.compactIfFragmented(spark, path, maxFiles = 1) // settle
+    val genAfter = DeltaLog.generation(spark, path)
+    assert(DeltaLog.listing(spark, path).deltas.size === 1)
+    assert(UrlSeen.compactIfFragmented(spark, path, maxFiles = 1).isEmpty)
+    assert(DeltaLog.generation(spark, path) === genAfter)
   }
 
   test("hostile generation names are ignored: junk dirs, overflow " +

@@ -336,6 +336,19 @@ class WarcCdxSpec extends AnyFunSuite {
       r.isNullAt(8)))
     assert(missing.map(_.getLong(1)).toSet === Set(0L, 50L))
     assert(got.filter(_.getLong(0) == 1L).forall(_.getBoolean(3)))
+
+    // a request with a NULL field (mis-joined index, corrupted CDX
+    // row) degrades to found=false too — never an NPE, never dropped
+    val withNull = reqs.unionByName(
+      Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(0L),
+          null.asInstanceOf[java.lang.Long], java.lang.Integer.valueOf(0)),
+        (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L),
+          java.lang.Long.valueOf(9L), java.lang.Integer.valueOf(0)))
+        .toDF("file_id", "offset", "length", "member_ord"))
+    val got2 = Warc.fetchSpans(spark, files, col("fid"), col("payload"),
+      withNull).collect()
+    assert(got2.length == 5)
+    assert(got2.count(!_.getBoolean(3)) == 4) // 2 missing-file + 2 null
   }
 
   test("fetchSpans prunes the archive SCAN to the touched shards") {
