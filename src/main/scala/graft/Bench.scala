@@ -92,7 +92,8 @@ object Bench {
     // round 19: rebuild-from-archive capstone, BPE training replay,
     // cross-codec audio recall
     "corpus_rebuild_archive", "bpe_train", "audio_dedup_crosscodec",
-    "bpe_encode_persisted", "image_phash_dedup", "gif_phash_dedup")
+    "bpe_encode_persisted", "image_phash_dedup", "gif_phash_dedup",
+    "image_phash_incremental")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

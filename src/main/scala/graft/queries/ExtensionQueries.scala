@@ -1730,6 +1730,33 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the spectral family composed with the ROLLING signature state:
+    // batch 1 folds the gray plants' pHashes into a fresh SigSeen
+    // index, batch 2 folds their exact-2× contrast re-renders under
+    // new ids — every batch-2 item must come back `seen` at hamming 0
+    // with first_doc = its base id (the contrast invariance is FP-
+    // exact, so the signatures are EQUAL, and equal signatures hit the
+    // state's exact-match path). The oracle restates the entire
+    // annotation from the synthesis arithmetic.
+    "image_phash_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_phash_inc").toString
+      def pop(scale: Int, offset: Long) =
+        Tables(s, dir, "documents").where(col("doc_id") < 24)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id + offset, phashGrayPng(id, scale))))
+          .toDF("doc_id", "payload")
+      graft.dedup.SigSeen.foldBatch(pop(1, 0L), col("doc_id"),
+        ImageHash.pHash(col("payload")), state, 1L).count()
+      graft.dedup.SigSeen.foldBatch(pop(2, 100000L), col("doc_id"),
+          ImageHash.pHash(col("payload")), state, 2L)
+        .select(col("doc_id"), col("status"), col("first_doc"),
+          col("hamming"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rolling-media perceptual dedup: batch 2 of the controllable-dHash
     // population REPLAYED against the standing SigSeen index (batches 1
     // and 2 already folded by sigStateFor) — the watermark guard makes
@@ -4378,19 +4405,23 @@ object ExtensionQueries {
     * its byte clone (+1e6), and its exact-2× contrast re-render
     * (+2e6, values ≤ 127 so 2v stays in range). Patterns are
     * id-mixed so distinct docs land far apart. */
+  /** The shared gray-PNG synthesis of the pHash plants: equal-channel
+    * pixel values ≤ 127·scale, id-mixed so distinct docs land far
+    * apart; `scale = 2` is the exact-contrast re-render. */
+  private def phashGrayPng(id: Long, scale: Int): Array[Byte] = {
+    def gv(p: Int): Int =
+      (((p * 31 + p * p * 7) ^ (id * 131).toInt) % 120 + 120) % 120 + 4
+    graft.multimodal.Images.encodePng(16, 12, k => gv(k / 3) * scale)
+  }
+
   private def phashDedupPop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.multimodal.Images
     Tables(s, dir, "documents")
       .where(col("doc_id") < 8)
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.flatMap { id =>
-        def gv(p: Int): Int =
-          (((p * 31 + p * p * 7) ^ (id * 131).toInt) % 120 + 120) % 120 + 4
-        def gray(scale: Int): Array[Byte] =
-          Images.encodePng(16, 12, k => gv(k / 3) * scale)
-        Seq((id, gray(1)), (id + 1000000L, gray(1)),
-          (id + 2000000L, gray(2)))
+        Seq((id, phashGrayPng(id, 1)), (id + 1000000L, phashGrayPng(id, 1)),
+          (id + 2000000L, phashGrayPng(id, 2)))
       }).toDF("doc_id", "payload")
   }
 
@@ -5276,6 +5307,14 @@ object ExtensionQueries {
         |SELECT doc_id, doc_id + 2000000, cast(0 AS int)
         |FROM documents WHERE doc_id < 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // every contrast re-render is an exact signature match against the
+    // standing state: seen, hamming 0, first_doc = the base id
+    "image_phash_incremental" ->
+      """SELECT doc_id + 100000 AS doc_id, 'seen' AS status,
+        |  doc_id AS first_doc, cast(0 AS bigint) AS hamming
+        |FROM documents WHERE doc_id < 24
+        |ORDER BY doc_id""".stripMargin,
 
     // from-scratch restatement of the rolling-fold annotation from the
     // fixture's doc-id arithmetic: roles 0/1 are in-radius re-sights of
