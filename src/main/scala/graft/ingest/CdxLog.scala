@@ -129,6 +129,14 @@ object CdxLog {
       .agg(min(struct(ordered.map(col): _*)).as("m"))
       .select(col("file_id") +: col("rec_idx") +:
         rest.map(f => col(s"m.$f").as(f)): _*)
+      // the compacted generation is the index's long-lived READ form:
+      // range-layout + sort it on the point-read key so a selection
+      // like `file_id IN (…)` prunes whole files via parquet min/max
+      // stats instead of scanning the full index — the layout that
+      // keeps "select 10k records out of a 100 TB archive's index"
+      // an O(selection) read
+      .repartitionByRange(col("file_id"), col("rec_idx"))
+      .sortWithinPartitions(col("file_id"), col("rec_idx"))
       .write.mode("overwrite")
       .parquet(graft.core.DeltaLog.deltaDir(destRoot, wm))
   }

@@ -1840,8 +1840,9 @@ object ExtensionQueries {
           wideTables = Some(false))
         .where(col("id_a") >= lit(3000000L) &&
           col("id_a") < lit(4000000L) &&
-          col("id_b") === col("id_a") + lit(1000000L))
-        .orderBy(col("id_a"))
+          (col("id_b") === col("id_a") + lit(1000000L) ||
+            col("id_b") === col("id_a") + lit(2000000L)))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ── Animation perceptual near-dup (per-frame dHash) ──────────────
@@ -4392,10 +4393,15 @@ object ExtensionQueries {
           Containers.buildWav(1, 8000, 8,
             twoLevelSamples.map(v => Containers.linearToUlaw(v).toByte),
             Containers.FormatUlaw)
+        def twoLevelAlaw: Array[Byte] =
+          Containers.buildWav(1, 8000, 8,
+            twoLevelSamples.map(v => Containers.linearToAlaw(v).toByte),
+            Containers.FormatAlaw)
         val base = Seq((id, clip(1)))
         if (id < 8)
           base ++ Seq((id + 1000000L, clip(1)), (id + 2000000L, clip(2)),
-            (id + 3000000L, twoLevelPcm), (id + 4000000L, twoLevelUlaw))
+            (id + 3000000L, twoLevelPcm), (id + 4000000L, twoLevelUlaw),
+            (id + 5000000L, twoLevelAlaw))
         else base
       }).toDF("doc_id", "payload")
   }
@@ -5411,7 +5417,10 @@ object ExtensionQueries {
       """SELECT doc_id + 3000000 AS id_a, doc_id + 4000000 AS id_b,
         |  cast(0 AS int) AS hamming
         |FROM documents WHERE doc_id < 8
-        |ORDER BY id_a""".stripMargin,
+        |UNION ALL
+        |SELECT doc_id + 3000000, doc_id + 5000000, cast(0 AS int)
+        |FROM documents WHERE doc_id < 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // byte-identical clones of animations < 8 under +1000000: identity
     // of bytes implies identity of every frame hash → hamming 0
