@@ -93,7 +93,7 @@ object Bench {
     // cross-codec audio recall
     "corpus_rebuild_archive", "bpe_train", "audio_dedup_crosscodec",
     "bpe_encode_persisted", "image_phash_dedup", "gif_phash_dedup",
-    "image_phash_incremental")
+    "image_phash_incremental", "corpus_datasheet")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

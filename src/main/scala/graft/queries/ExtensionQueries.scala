@@ -3363,6 +3363,36 @@ object ExtensionQueries {
     // dots-ended line, and (every 3rd doc) a symbol line, so every
     // counter moves; the oracle recomputes all of them from the same
     // framed text with DuckDB list ops.
+    // the corpus DATASHEET — the one-call summary a dataset release
+    // ships ("datasheets for datasets"): per-language doc counts,
+    // within-language exact-dup count (normalized-text equality),
+    // Gopher quality pass count, token totals, and the EXACT p50 of
+    // document length (percentile_disc via the bounded-histogram
+    // quantile op — no corpus sort, no window). Aggregation-shaped end
+    // to end: one pass for the grouped sums (distinct-text count rides
+    // the same aggregation), one slim histogram pass for the median.
+    "corpus_datasheet" -> ((s, dir) => {
+      val t = coalesce(col("text"), lit(""))
+      val base = Tables(s, dir, "documents")
+        .where(col("lang").isNotNull)
+        .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+          TextOps.normalized(t).as("nt"),
+          size(TextOps.tokens(TextOps.normalized(t))).cast("long")
+            .as("n_words"),
+          graft.ops.TextExprs.gopherStats(t).getField("pass")
+            .cast("long").as("gpass"))
+        .localCheckpoint(true) // consumed by the agg AND the histogram
+      val agg = base.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("nt"))).as("n_dup_docs"),
+        sum(col("gpass")).as("n_gopher_pass"),
+        sum(col("n_words")).as("total_words"))
+      val p50 = graft.meta.PipelineMetrics.exactQuantilesPerGroup(
+          base, col("lang"), col("n_words"), Seq(0.5))
+        .select(col("group").as("lang"), col("value").as("p50_words"))
+      agg.join(p50, Seq("lang")).orderBy(col("lang"))
+    }),
+
     "gopher_stats" -> ((s, dir) => {
       val framed = concat(coalesce(col("text"), lit("")),
         lit("\n• item "), col("source"),
@@ -7409,6 +7439,70 @@ object ExtensionQueries {
 
     // every Gopher counter recomputed from the framed text with list
     // ops, and the pass flag from the same integer threshold arithmetic
+    // the datasheet replayed from scratch: normalized-text token
+    // counts, the gopher arithmetic over the raw text, distinct-text
+    // dup counting, and percentile_disc(0.5) — the quantile op's exact
+    // definition
+    "corpus_datasheet" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, coalesce(text, '') AS t,
+        |    trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE lang IS NOT NULL),
+        |w AS (
+        |  SELECT lang, doc_id, t, nt,
+        |    cast(len(list_filter(string_split_regex(nt, '\s+'),
+        |      x -> len(x) > 0)) AS bigint) AS n_words,
+        |    list_filter(string_split_regex(t, '[ \t\n\x0b\f\r]+'),
+        |      x -> len(x) > 0) AS ws,
+        |    string_split(t, chr(10)) AS ls
+        |  FROM b),
+        |c AS (
+        |  SELECT lang, doc_id, nt, n_words,
+        |    cast(len(ws) AS bigint) AS g_words,
+        |    cast(coalesce(list_aggregate(list_transform(ws, x -> len(x)),
+        |      'sum'), 0) AS bigint) AS word_cps,
+        |    cast((len(t) - len(replace(t, '#', '')))
+        |      + (len(t) - len(replace(t, '…', '')))
+        |      + (len(t) - len(replace(t, '...', ''))) // 3
+        |      AS bigint) AS n_symbols,
+        |    cast(len(ls) AS bigint) AS n_lines,
+        |    cast(len(list_filter(ls, l ->
+        |      starts_with(ltrim(l, ' ' || chr(9)), '•') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '‣') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '-') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '*')))
+        |      AS bigint) AS n_bullet_lines,
+        |    cast(len(list_filter(ls, l ->
+        |      ends_with(rtrim(l, ' ' || chr(9)), '…') OR
+        |      ends_with(rtrim(l, ' ' || chr(9)), '...')))
+        |      AS bigint) AS n_ellipsis_lines,
+        |    cast(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS bigint) AS n_alpha_words,
+        |    cast(len(list_filter(ws, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      lower(x)))) AS bigint) AS n_stop_hits
+        |  FROM w),
+        |gp AS (
+        |  SELECT lang, doc_id, nt, n_words,
+        |    cast(CASE WHEN g_words >= 50 AND g_words <= 100000
+        |      AND 3 * g_words <= word_cps AND word_cps <= 10 * g_words
+        |      AND 10 * n_symbols <= g_words
+        |      AND 10 * n_bullet_lines <= n_lines
+        |      AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |      AND 5 * n_alpha_words >= 4 * g_words
+        |      AND n_stop_hits >= 2
+        |      THEN 1 ELSE 0 END AS bigint) AS gpass
+        |  FROM c)
+        |SELECT lang,
+        |  cast(count(*) AS bigint) AS n_docs,
+        |  cast(count(*) - count(DISTINCT nt) AS bigint) AS n_dup_docs,
+        |  cast(sum(gpass) AS bigint) AS n_gopher_pass,
+        |  cast(sum(n_words) AS bigint) AS total_words,
+        |  cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_words)
+        |    AS bigint) AS p50_words
+        |FROM gp GROUP BY lang ORDER BY lang""".stripMargin,
+
     "gopher_stats" ->
       """WITH f AS (
         |  SELECT doc_id,
