@@ -154,10 +154,8 @@ object DeltaLog {
 
   /** Max committed batch stamp — the replay guard. Survives compaction:
     * the cutover stamps the merged delta with the source watermark. */
-  def watermark(spark: SparkSession, path: String): Option[Long] = {
-    val ds = listing(spark, path).deltas
-    if (ds.isEmpty) None else Some(ds.map(_.batchId).max)
-  }
+  def watermark(spark: SparkSession, path: String): Option[Long] =
+    listing(spark, path).watermark
 
   /** Current generation number: 0 until the first [[compactCutover]]. */
   def generation(spark: SparkSession, path: String): Long =
@@ -180,16 +178,12 @@ object DeltaLog {
   }
 
   /** The delta directory a fold of `batchId` writes WITHIN a resolved
-    * generation root. Pure path join — fold sites should go through
-    * [[foldDir]] so post-cutover folds land in the current
-    * generation. */
+    * generation root. Pure path join — fold sites resolve ONE
+    * [[listing]] and write to `deltaDir(l.genRoot, batchId)` so the
+    * same resolution serves the replay guard, the state reads, and the
+    * placement. */
   def deltaDir(path: String, batchId: Long): String =
     s"$path/$deltaPrefix$batchId"
-
-  /** Where a fold of `batchId` against `path` writes: the delta dir
-    * under the CURRENT generation root. */
-  def foldDir(spark: SparkSession, path: String, batchId: Long): String =
-    deltaDir(listing(spark, path).genRoot, batchId)
 
   /** Parquet files across the current generation's committed deltas —
     * the IndexHealth `files` compaction signal (every fold adds at
@@ -206,22 +200,26 @@ object DeltaLog {
     * failed compaction can never destroy state). */
   def compactCutover(spark: SparkSession, path: String)
                     (write: String => Unit): Long = {
-    if (listing(spark, path).deltas.isEmpty)
+    val l = listing(spark, path)
+    if (l.deltas.isEmpty)
       throw new IllegalStateException(s"nothing committed at $path")
-    cutoverBy(spark, path, () => listing(spark, path).generation)(write)
+    cutoverBy(spark, path, l.generation,
+      () => listing(spark, path).generation)(write)
   }
 
   /** The cutover mechanism itself, shared with non-delta-log
-    * generation stores (the minhash bucketed-table store): resolve the
-    * current generation via `current`, write generation N+1, and
-    * verify the cutover took — throwing (old generation stays current)
-    * when `write` committed nothing. */
+    * generation stores (the minhash bucketed-table store): write
+    * generation `cur`+1 and verify the cutover took via `resolve` —
+    * throwing (old generation stays current) when `write` committed
+    * nothing. `cur` is the CALLER's already-resolved generation so a
+    * cutover costs one post-write verification listing, not two extra
+    * resolutions. */
   private[graft] def cutoverBy(spark: SparkSession, path: String,
-                               current: () => Long)
+                               cur: Long, resolve: () => Long)
                               (write: String => Unit): Long = {
-    val next = current() + 1
+    val next = cur + 1
     write(genDir(path, next))
-    val after = current()
+    val after = resolve()
     if (after != next)
       throw new IllegalStateException(
         s"compaction cutover did not take at $path: wrote generation " +

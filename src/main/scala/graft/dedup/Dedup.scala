@@ -364,10 +364,10 @@ object Dedup {
     * [[pruneMinhashGenerations]]. Returns the new generation number. */
   def compactMinhashIndexInPlace(spark: org.apache.spark.sql.SparkSession,
                                  path: String): Long = {
-    val cur = minhashIndexRoot(spark, path)
-    graft.core.DeltaLog.cutoverBy(spark, path,
+    val (g, root) = minhashGen(spark, path)
+    graft.core.DeltaLog.cutoverBy(spark, path, g,
       () => minhashIndexGeneration(spark, path))(
-      writeCompactedIndex(spark, cur, _))
+      writeCompactedIndex(spark, root, _))
   }
 
   /** Explicit maintenance after [[compactMinhashIndexInPlace]]: delete

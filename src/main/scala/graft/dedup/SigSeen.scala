@@ -239,11 +239,12 @@ object SigSeen {
   /** Atomic in-place compaction — the [[UrlSeen.compactInPlace]]
     * generation-cutover contract over signature state. Returns the new
     * generation number. */
-  def compactInPlace(spark: SparkSession, path: String): Long = {
+  def compactInPlace(spark: SparkSession, path: String,
+                     targetFiles: Int = 32): Long = {
     val wm = watermark(spark, path).getOrElse(
       throw new IllegalStateException(s"nothing committed at $path"))
     graft.core.DeltaLog.compactCutover(spark, path)(
-      writeCompacted(spark, path, _, wm))
+      writeCompacted(spark, path, _, wm, targetFiles))
   }
 
   /** Self-maintenance for the fold loop — the
@@ -251,16 +252,19 @@ object SigSeen {
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxFiles: Int = 64): Option[Long] =
     graft.core.DeltaLog.compactIfFragmented(spark, path, maxFiles)(
-      compactInPlace(spark, path))
+      compactInPlace(spark, path, targetFiles = (maxFiles / 2).max(1)))
 
   private def writeCompacted(spark: SparkSession, path: String,
-                             destRoot: String, wm: Long): Unit =
+                             destRoot: String, wm: Long,
+                             targetFiles: Int = 32): Unit =
     read(spark, path)
       .groupBy(col("sig"))
       .agg(min(struct(col("first_seen_batch"), col("first_doc"))).as("m"))
       .select(col("sig"),
         col("m.first_seen_batch").as("first_seen_batch"),
         col("m.first_doc").as("first_doc"))
+      // bounded-file cap — the UrlSeen.writeCompacted rationale
+      .coalesce(targetFiles)
       .write.mode("overwrite")
       .parquet(graft.core.DeltaLog.deltaDir(destRoot, wm))
 }

@@ -181,11 +181,12 @@ object UrlSeen {
     * generation. Old generations stay until
     * [[graft.core.DeltaLog.pruneGenerations]]. Returns the new
     * generation number. */
-  def compactInPlace(spark: SparkSession, path: String): Long = {
+  def compactInPlace(spark: SparkSession, path: String,
+                     targetFiles: Int = 32): Long = {
     val wm = watermark(spark, path).getOrElse(
       throw new IllegalStateException(s"nothing committed at $path"))
     graft.core.DeltaLog.compactCutover(spark, path)(
-      writeCompacted(spark, path, _, wm))
+      writeCompacted(spark, path, _, wm, targetFiles))
   }
 
   /** Self-maintenance for the fold loop: atomic cutover + prune when
@@ -195,18 +196,28 @@ object UrlSeen {
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxFiles: Int = 64): Option[Long] =
     graft.core.DeltaLog.compactIfFragmented(spark, path, maxFiles)(
-      compactInPlace(spark, path))
+      // compact to HALF the trigger: the next cutover is then
+      // ~maxFiles/2 folds away, not one — no rewrite-per-fold churn
+      compactInPlace(spark, path, targetFiles = (maxFiles / 2).max(1)))
 
   // the min-fold heal lives HERE, not in read(): compaction is the
   // maintenance pass, and it makes the healed state durable
   private def writeCompacted(spark: SparkSession, path: String,
-                             destRoot: String, wm: Long): Unit =
+                             destRoot: String, wm: Long,
+                             targetFiles: Int = 32): Unit =
     read(spark, path)
       .groupBy(col("url_canon"))
       .agg(min(struct(col("first_seen_batch"), col("first_doc"))).as("m"))
       .select(col("url_canon"),
         col("m.first_seen_batch").as("first_seen_batch"),
         col("m.first_doc").as("first_doc"))
+      // the compacted generation's file count is a CONTRACT, not a
+      // shuffle-partition accident: reads open every file, and the
+      // self-maintenance trigger compares this count to its threshold.
+      // coalesce CAPS at targetFiles without another exchange (small
+      // states keep their naturally few files; a 200-shuffle-partition
+      // corpus state lands at targetFiles, under the next trigger)
+      .coalesce(targetFiles)
       .write.mode("overwrite")
       .parquet(graft.core.DeltaLog.deltaDir(destRoot, wm))
 }

@@ -103,11 +103,12 @@ object CdxLog {
   /** Atomic in-place compaction — the
     * [[graft.dedup.UrlSeen.compactInPlace]] generation-cutover
     * contract over the archive index. Returns the new generation. */
-  def compactInPlace(spark: SparkSession, path: String): Long = {
+  def compactInPlace(spark: SparkSession, path: String,
+                     targetFiles: Int = 32): Long = {
     val wm = watermark(spark, path).getOrElse(
       throw new IllegalStateException(s"nothing committed at $path"))
     graft.core.DeltaLog.compactCutover(spark, path)(
-      writeCompacted(spark, path, _, wm))
+      writeCompacted(spark, path, _, wm, targetFiles))
   }
 
   /** Self-maintenance for the append loop — the
@@ -116,10 +117,11 @@ object CdxLog {
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxFiles: Int = 64): Option[Long] =
     graft.core.DeltaLog.compactIfFragmented(spark, path, maxFiles)(
-      compactInPlace(spark, path))
+      compactInPlace(spark, path, targetFiles = (maxFiles / 2).max(1)))
 
   private def writeCompacted(spark: SparkSession, path: String,
-                             destRoot: String, wm: Long): Unit = {
+                             destRoot: String, wm: Long,
+                             targetFiles: Int = 32): Unit = {
     val rest = schema.fieldNames.toSeq.filterNot(Set("file_id", "rec_idx"))
     // batch_id leads the struct: min() is then first-batch-wins, with
     // the winning batch's full row carried along
@@ -135,7 +137,9 @@ object CdxLog {
       // stats instead of scanning the full index — the layout that
       // keeps "select 10k records out of a 100 TB archive's index"
       // an O(selection) read
-      .repartitionByRange(col("file_id"), col("rec_idx"))
+      // bounded-file contract (the UrlSeen.writeCompacted rationale)
+      // on top of the range layout
+      .repartitionByRange(targetFiles, col("file_id"), col("rec_idx"))
       .sortWithinPartitions(col("file_id"), col("rec_idx"))
       .write.mode("overwrite")
       .parquet(graft.core.DeltaLog.deltaDir(destRoot, wm))

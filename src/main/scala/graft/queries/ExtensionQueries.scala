@@ -1739,19 +1739,9 @@ object ExtensionQueries {
     // state's exact-match path). The oracle restates the entire
     // annotation from the synthesis arithmetic.
     "image_phash_incremental" -> ((s, dir) => {
-      import s.implicits._
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_phash_inc").toString
-      def pop(scale: Int, offset: Long) =
-        Tables(s, dir, "documents").where(col("doc_id") < 24)
-          .select(col("doc_id").cast("long")).as[Long]
-          .mapPartitions(_.map(id =>
-            (id + offset, phashGrayPng(id, scale))))
-          .toDF("doc_id", "payload")
-      graft.dedup.SigSeen.foldBatch(pop(1, 0L), col("doc_id"),
-        ImageHash.pHash(col("payload")), state, 1L).count()
-      graft.dedup.SigSeen.foldBatch(pop(2, 100000L), col("doc_id"),
-          ImageHash.pHash(col("payload")), state, 2L)
+      graft.dedup.SigSeen.foldBatch(phashSeenBatch(s, dir, 2),
+          col("doc_id"), ImageHash.pHash(col("payload")),
+          phashSigStateFor(s, dir), 2L)
         .select(col("doc_id"), col("status"), col("first_doc"),
           col("hamming"))
         .orderBy(col("doc_id"))
@@ -4227,6 +4217,31 @@ object ExtensionQueries {
       }).toDF("doc_id", "payload")
   }
 
+  /** The incremental pHash gate's two-batch population: batch 1 = the
+    * gray plants, batch 2 = their exact-2× contrast re-renders under
+    * +100000 ids. */
+  private def phashSeenBatch(s: SparkSession, dir: String,
+                             batch: Int): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").where(col("doc_id") < 24)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        if (batch == 1) (id, phashGrayPng(id, 1))
+        else (id + 100000L, phashGrayPng(id, 2))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Standing signature state for the incremental pHash gate — the
+    * [[sigStateFor]] lifecycle over spectral image hashes: built once
+    * per JVM+dir, the gate replays batch 2 per invocation. */
+  private val phashSigStateFor = new IndexCache("graft_gate_phashstate",
+    (s, dir, path) => {
+      for (b <- 1 to 2)
+        graft.dedup.SigSeen.foldBatch(phashSeenBatch(s, dir, b),
+          col("doc_id"), ImageHash.pHash(col("payload")), path, b.toLong)
+      ()
+    })
+
   /** Standing perceptual-signature state for the incremental image
     * gate: batch 1 folded, then batch 2 — the gate itself REPLAYS
     * batch 2 per invocation (idempotent by the watermark guard). */
@@ -4436,14 +4451,10 @@ object ExtensionQueries {
       }).toDF("doc_id", "payload")
   }
 
-  /** The pHash plant population: per doc (< 8) a structured GRAY PNG
-    * (equal channels — integer luma is then the pixel value itself),
-    * its byte clone (+1e6), and its exact-2× contrast re-render
-    * (+2e6, values ≤ 127 so 2v stays in range). Patterns are
-    * id-mixed so distinct docs land far apart. */
   /** The shared gray-PNG synthesis of the pHash plants: equal-channel
-    * pixel values ≤ 127·scale, id-mixed so distinct docs land far
-    * apart; `scale = 2` is the exact-contrast re-render. */
+    * pixel values ≤ 127·scale (integer luma is then the pixel value
+    * itself), id-mixed so distinct docs land far apart; `scale = 2` is
+    * the exact-contrast re-render. */
   private def phashGrayPng(id: Long, scale: Int): Array[Byte] = {
     def gv(p: Int): Int =
       (((p * 31 + p * p * 7) ^ (id * 131).toInt) % 120 + 120) % 120 + 4

@@ -376,7 +376,7 @@ class ImagesSpec extends AnyFunSuite {
     assert(out(3L).features.length === 16, "non-media payloads keep the stub histogram")
   }
 
-  test("pHash: DCT spectral hash — constant image hashes to 0, the " +
+  test("pHash: DCT spectral hash — constant images DECLINE, the " +
       "median split balances, power-of-two contrast is FP-exact, " +
       "aligned nearest-resize is identity, totality holds") {
     import graft.multimodal.{ImageHash, Images}
@@ -412,6 +412,14 @@ class ImagesSpec extends AnyFunSuite {
     assert(ImageHash.phash64("not an image".getBytes) === null)
     assert(ImageHash.phash64(null) === null)
     assert(ImageHash.phash64(struct.take(20)) === null)
+    // byte-mutation fuzz: hash-or-decline, never a throw
+    val rnd = new scala.util.Random(0x9147A5)
+    for (_ <- 0 until 300) {
+      val c = struct.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      ImageHash.phash64(c)
+    }
+    for (cut <- 0 to struct.length by 7) ImageHash.phash64(struct.take(cut))
     // SQL surface
     val spark = SparkTestSession.spark
     graft.ops.GraftFunctions.register(spark)
