@@ -151,15 +151,26 @@ object ImageHash {
       case Some((w, h, px)) => phashOfGrid(w, h, px)
     }
 
-  /** pHash of each frame of an animated payload, up to `maxFrames` —
-    * the spectral ANIMATION signature family ([[frameDHashes]]'
+  /** pHash of each frame of a multi-frame payload, up to `maxFrames` —
+    * the spectral ANIMATION/VIDEO signature family ([[frameDHashes]]'
     * construction over [[phash64]]'s kernel). Degenerate
     * (near-constant) frames decline individually and contribute no
-    * signature; empty for non-GIF/corrupt payloads. */
+    * signature; empty for corrupt or unsupported payloads. */
   def framePHashes(payload: Array[Byte], maxFrames: Int): Array[Long] =
-    Images.gifAllFramePixelGrids(payload, maxFrames).flatMap {
+    allFramePixelGrids(payload, maxFrames).flatMap {
       case (w, h, px) => Option(phashOfGrid(w, h, px)).map(_.longValue)
     }.toArray
+
+  /** The one multi-frame decode dispatch behind the per-frame hash
+    * kernels: GIF animations via the `javax.imageio` reader,
+    * uncompressed-DIB AVI video via the in-repo RIFF walk — both emit
+    * the same `(w, h, rgbUnits)` grid shape, so every consumer
+    * (near-dup pairing, the SigSeen rolling fold, the SQL surface)
+    * covers video for free. Anything else decodes to no frames. */
+  private def allFramePixelGrids(payload: Array[Byte],
+                                 maxFrames: Int): Seq[(Int, Int, Array[Int])] =
+    if (Avi.isAvi(payload)) Avi.aviAllFramePixelGrids(payload, maxFrames)
+    else Images.gifAllFramePixelGrids(payload, maxFrames)
 
   private def phashOfGrid(w: Int, h: Int,
                           px: Array[Int]): java.lang.Long = {
@@ -214,10 +225,11 @@ object ImageHash {
     }
 
   /** dHash of each frame in its row-major grid, up to `maxFrames` —
-    * the ANIMATION signature family (one 64-bit hash per frame, one
-    * reader pass per payload). Empty for non-GIF/corrupt payloads. */
+    * the ANIMATION/VIDEO signature family (one 64-bit hash per frame,
+    * one reader pass per payload; GIF or uncompressed-DIB AVI via
+    * [[allFramePixelGrids]]). Empty for corrupt/unsupported payloads. */
   def frameDHashes(payload: Array[Byte], maxFrames: Int): Array[Long] =
-    Images.gifAllFramePixelGrids(payload, maxFrames).map {
+    allFramePixelGrids(payload, maxFrames).map {
       case (w, h, px) =>
         val g = grayGrid(px, w, h, 9, 8)
         var sig = 0L

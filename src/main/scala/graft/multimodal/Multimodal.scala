@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * libraries; their container metadata is real, above):
   * [[FakeCodec.decodeFeatures]] (the fallback feature vector for
   * payloads whose samples nothing here can decode), [[FakeCodec.resize]],
-  * and [[FakeCodec.sampleFrames]] (video frames). Swapping in a real
-  * decoder (ffmpeg pipe, JNI codec) changes ONLY FakeCodec — the
-  * partition-batched execution plan stays identical.
+  * and [[FakeCodec.sampleFrames]] (COMPRESSED video frames —
+  * uncompressed-DIB AVI has a REAL frame decode, [[Avi]] +
+  * [[sampleVideoFrameTable]]). Swapping in a real decoder (ffmpeg
+  * pipe, JNI codec) changes ONLY FakeCodec — the partition-batched
+  * execution plan stays identical.
   */
 object Multimodal {
 
@@ -272,8 +274,52 @@ object Multimodal {
       })
   }
 
+  /** REAL VIDEO frame sampling: every `stride`-th frame of each
+    * uncompressed-DIB AVI payload decoded by the in-repo RIFF walk
+    * ([[Avi.aviAllFramePixelGrids]]) and reduced to integer-exact
+    * per-frame RGB-unit statistics — the video sibling of
+    * [[sampleGifFrameTable]], and the upgrade of
+    * [[FakeCodec.sampleFrames]] to real pixels for the one video
+    * container the JVM can decode without a codec library. Skipped
+    * frames cost only chunk-offset arithmetic (never a pixel read), so
+    * a sparse sample over a long clip pays for the frames it keeps.
+    * Non-AVI, compressed-codec, or corrupt payloads emit no rows
+    * (classify them via [[containerMeta]]). Same placement rules as
+    * every decode here: frames decode INSIDE the partition over the
+    * payload at rest — payloads never shuffle, only slim stat rows
+    * leave the stage. */
+  def sampleVideoFrameTable(spark: SparkSession, media: DataFrame,
+                            stride: Int = 2, maxFrames: Int = 64)
+      : Dataset[GifFrameRow] = {
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    require(maxFrames >= 1, "maxFrames must be >= 1")
+    media.select(col("doc_id"), col("modality"), col("payload"), col("meta"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { m =>
+        val p = if (m.payload == null) Array.emptyByteArray else m.payload
+        val nf = Avi.parseAvi(p).map(_.totalFrames).getOrElse(0)
+        Avi.aviAllFramePixelGrids(p, maxFrames, stride).iterator
+          .zipWithIndex.map { case ((_, _, vals), i) =>
+            var s = 0L
+            var mn = 255
+            var mx = 0
+            var k = 0
+            while (k < vals.length) {
+              val v = vals(k)
+              s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              k += 1
+            }
+            GifFrameRow(m.doc_id, i * stride, nf, vals.length.toLong, s,
+              if (vals.isEmpty) 0 else mn, if (vals.isEmpty) 0 else mx)
+          }
+      })
+  }
+
   /** One media payload's parsed container facts; format ∈ {wav, bmp,
-    * png, jpeg, gif, mp4, mp3, unknown}, with the fields of the other
+    * png, jpeg, gif, avi, mp4, mp3, unknown}, with the fields of the other
     * formats null. Compressed-image facts (png/jpeg/gif) come from
     * ImageIO's header-only parse — dimensions without a pixel decode;
     * mp3 carries channels/sample_rate/duration_ms and music bytes in
@@ -313,27 +359,35 @@ object Multimodal {
                 ContainerInfo(id, "bmp", None, None, None,
                   Some(m.pixelBytes), None, Some(m.width), Some(m.height),
                   Some(m.bitsPerPixel))
-              case None => Images.parseImage(p) match {
-                case Some(im) =>
-                  ContainerInfo(id, im.format, None, None, None, None,
-                    None, Some(im.width), Some(im.height), None)
-                case None => Containers.parseMp4(p) match {
-                  // ISO BMFF before MPEG audio: the ftyp gate is
-                  // structural, while the MP3 sync scan could in
-                  // principle fire inside arbitrary binary
-                  case Some(m4) =>
-                    ContainerInfo(id, "mp4", None, None, None,
-                      Some(m4.mdatBytes), Some(m4.durationMs),
-                      m4.width, m4.height, None)
-                  case None => Containers.parseMp3(p) match {
-                    case Some(m3) =>
-                      ContainerInfo(id, "mp3", Some(m3.channels),
-                        Some(m3.sampleRate), None, Some(m3.musicBytes),
-                        Some(m3.durationMs), None, None, None,
-                        Some(m3.vbr))
-                    case None =>
-                      ContainerInfo(id, "unknown", None, None, None, None,
-                        None, None, None, None)
+              case None => Avi.parseAvi(p) match {
+                case Some(av) =>
+                  // RIFF video: movi bytes in data_bytes, the header's
+                  // own frame timing in duration_ms
+                  ContainerInfo(id, "avi", None, None, None,
+                    Some(av.moviBytes), Some(av.durationMs),
+                    Some(av.width), Some(av.height), Some(av.bitsPerPixel))
+                case None => Images.parseImage(p) match {
+                  case Some(im) =>
+                    ContainerInfo(id, im.format, None, None, None, None,
+                      None, Some(im.width), Some(im.height), None)
+                  case None => Containers.parseMp4(p) match {
+                    // ISO BMFF before MPEG audio: the ftyp gate is
+                    // structural, while the MP3 sync scan could in
+                    // principle fire inside arbitrary binary
+                    case Some(m4) =>
+                      ContainerInfo(id, "mp4", None, None, None,
+                        Some(m4.mdatBytes), Some(m4.durationMs),
+                        m4.width, m4.height, None)
+                    case None => Containers.parseMp3(p) match {
+                      case Some(m3) =>
+                        ContainerInfo(id, "mp3", Some(m3.channels),
+                          Some(m3.sampleRate), None, Some(m3.musicBytes),
+                          Some(m3.durationMs), None, None, None,
+                          Some(m3.vbr))
+                      case None =>
+                        ContainerInfo(id, "unknown", None, None, None, None,
+                          None, None, None, None)
+                    }
                   }
                 }
               }

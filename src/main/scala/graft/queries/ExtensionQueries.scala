@@ -1866,6 +1866,34 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // ── Video perceptual near-dup (uncompressed-DIB AVI frames) ──────
+    // the VIDEO leg of the rolling-media surface: real RIFF frame
+    // decode → per-frame dHash → any-frame pigeonhole pairing, the
+    // same machinery the animation gates ride (ImageHash dispatches on
+    // the container). FULLY oracled: the population's frame hashes are
+    // exact by construction (videoDedupPop), so the pair set — share a
+    // frame-0 class (d%10) or a frame-1 class (d%7), hamming 0 — is
+    // pure doc-id arithmetic.
+    "video_dedup" -> ((s, dir) => {
+      ImageHash.animationNearDupPairs(videoDedupPop(s, dir),
+          col("doc_id"), col("payload"), maxHamming = 7, maxFrames = 4,
+          wideTables = Some(false))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the rolling-media fold over VIDEO frame signatures — the
+    // gifSeenBatch population re-rendered as AVI clips folded into its
+    // own standing SigSeen index (multi-signature fold: the two-frame
+    // docs must come back seen through their SECOND frame). With this,
+    // every media family the crawler ingests — image, animation,
+    // audio, video — has persistent near-dup memory.
+    "video_dedup_incremental" -> ((s, dir) => {
+      graft.dedup.SigSeen.foldBatchMulti(videoSeenBatch(s, dir, 2),
+          col("doc_id"), ImageHash.frameDHash(col("payload")),
+          videoSigStateFor(s, dir), 2L)
+        .orderBy(col("doc_id"))
+    }),
+
     // the SPECTRAL animation family: per-frame pHash instead of
     // per-frame dHash (any-frame match, best hamming). Byte-identical
     // clones must still pair at 0 — identical bytes, identical frame
@@ -2092,6 +2120,32 @@ object ExtensionQueries {
       Multimodal.sampleGifFrameTable(s, syntheticAnimations(s, dir),
           stride = 2)
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // REAL VIDEO frame decode: deterministic uncompressed-DIB AVIs
+    // (2-4 frames, the gif gate's 6-gray-step fill behind real RIFF
+    // video bytes) sampled every 2nd frame through the in-repo chunk
+    // walk — skipped frames cost only offset arithmetic — with
+    // integer-exact per-frame RGB statistics. The oracle recomputes
+    // every sampled frame's stats from the fill formula, so a stride-
+    // padding, bottom-up-row, or BGR-order bug cannot hide.
+    "multimodal_video_frames" -> ((s, dir) => {
+      Multimodal.sampleVideoFrameTable(s, syntheticVideos(s, dir),
+          stride = 2)
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // REAL AVI container-metadata parsing: the same synthetic clips
+    // classified by the RIFF header walk — every emitted field (movi
+    // bytes, header frame timing, dimensions, bit depth) is recomputed
+    // by the oracle from the builder arithmetic, so a builder/parser
+    // asymmetry in any header field cannot hide.
+    "multimodal_video_containers" -> ((s, dir) => {
+      Multimodal.containerMeta(s, syntheticVideos(s, dir))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("data_bytes"),
+          col("duration_ms"), col("width"), col("height"), col("bpp"))
+        .orderBy(col("doc_id"))
     }),
 
     // CONSTANT-BYTES golden twin of multimodal_gif_frames: ONE fixed
@@ -3986,6 +4040,28 @@ object ExtensionQueries {
       }).toDF("doc_id", "modality", "payload", "meta")
   }
 
+  /** Deterministic REAL uncompressed-DIB AVI payloads from table
+    * columns — the VIDEO sibling of [[syntheticAnimations]]: the same
+    * 6-gray-step fill arithmetic behind spec-conforming RIFF video
+    * bytes ([[graft.multimodal.Avi.encodeAviGray]]), dimensions offset
+    * so the populations stay distinct. Frames are then decoded BACK by
+    * the in-repo RIFF walk, so a builder/decoder asymmetry in stride
+    * padding, bottom-up row order, or BGR channel order cannot hide. */
+  private def syntheticVideos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Avi
+    Tables(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (6 + id % 5).toInt
+        val h = (5 + id % 4).toInt
+        val nf = (2 + id % 3).toInt
+        val payload = Avi.encodeAviGray(w, h, nf,
+          (f, k) => (((id * 31 + f.toLong * 17 + k.toLong * 7) % 6) * 51).toInt)
+        (id, "video/avi", payload, Map.empty[String, String])
+      }).toDF("doc_id", "modality", "payload", "meta")
+  }
+
   /** Deterministic REAL MP3/MP4 payloads from table columns: even
     * doc_id → a fixed-bitrate MPEG-1 Layer III stream (spec-valid frame
     * headers, optional ID3v2 pad tag), odd → a conforming ISO BMFF
@@ -4381,6 +4457,79 @@ object ExtensionQueries {
     (s, dir, path) => {
       for (b <- 1 to 2)
         graft.dedup.SigSeen.foldBatchMulti(gifSeenBatch(s, dir, b),
+          col("doc_id"), ImageHash.frameDHash(col("payload")), path,
+          b.toLong)
+      ()
+    })
+
+  /** Frame-controlled AVI population for the FULLY-ORACLED video
+    * near-dup gate: per doc < 60 a two-frame 9×8 clip whose frame
+    * dHashes are EXACTLY `sigClassWords(d % 10)` (frame 0) and
+    * `sigClassWords(10 + d % 7)` (frame 1) — [[dhashWalkGray]]
+    * realizes any signature on the 9×8 grid, and an AVI gray pixel
+    * (r=g=b) decodes to the walk value exactly. Same-class frames pair
+    * at hamming 0, cross-class at ≥ 24, and frame-0 classes (0-9)
+    * never meet frame-1 classes (10-16) — so the WHOLE pair set is
+    * doc-id arithmetic, which is what lets DuckDB oracle a
+    * video-perceptual operator it cannot compute (no rows-only twin
+    * needed, unlike the natural-population gif_dedup). */
+  private def videoDedupPop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 60)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val sigs = IndexedSeq(sigClassWords((d % 10).toInt),
+          sigClassWords(10 + (d % 7).toInt))
+        (d, graft.multimodal.Avi.encodeAviGray(9, 8, 2,
+          (f, k) => dhashWalkGray(sigs(f), k)))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** The [[gifSeenBatch]] two-batch population re-rendered as
+    * uncompressed-DIB AVI VIDEO: identical doc-id arithmetic,
+    * identical target signatures, so the incremental video gate shares
+    * the animation gate's from-scratch oracle — including the
+    * two-frame docs (odd 401 ≤ d < 440) that must come back `seen`
+    * through their second frame under the any-frame rule. */
+  private def videoSeenBatch(s: SparkSession, dir: String,
+                             batch: Int): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val selected =
+      if (batch == 1) docs.where(col("doc_id") % 2 === 0 &&
+        col("doc_id") < 400)
+      else docs.where(col("doc_id") % 2 === 1 && (col("doc_id") < 400 ||
+        (col("doc_id") >= 401 && col("doc_id") < 440)))
+    selected.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val sigs: IndexedSeq[Long] =
+          if (batch == 1) IndexedSeq(sigClassWords(((d / 2) % 10).toInt))
+          else if (d < 400) {
+            val k = (d - 1) / 2
+            val c = (k % 10).toInt
+            IndexedSeq((k % 4) match {
+              case 0 => sigClassWords(c)
+              case 1 => sigClassWords(c) ^ 1L
+              case _ => sigClassWords(10 + c)
+            })
+          } else {
+            val j = ((d - 401) / 2).toInt
+            IndexedSeq(sigClassWords(20 + j % 10), sigClassWords(j % 10))
+          }
+        val payload = graft.multimodal.Avi.encodeAviGray(
+          9, 8, sigs.length, (f, k) => dhashWalkGray(sigs(f), k))
+        (d, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Standing signature state for the incremental VIDEO gate — the
+    * [[gifSigStateFor]] lifecycle over per-frame dHashes of AVI
+    * payloads through the multi-signature fold. */
+  private val videoSigStateFor = new IndexCache("graft_gate_videostate",
+    (s, dir, path) => {
+      for (b <- 1 to 2)
+        graft.dedup.SigSeen.foldBatchMulti(videoSeenBatch(s, dir, b),
           col("doc_id"), ImageHash.frameDHash(col("payload")), path,
           b.toLong)
       ()
@@ -5462,6 +5611,49 @@ object ExtensionQueries {
         |SELECT doc_id + 3000000, doc_id + 5000000, cast(0 AS int)
         |FROM documents WHERE doc_id < 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the video pair set from the fixture's class arithmetic: docs
+    // pair iff they share frame-0 class (d%10) or frame-1 class (d%7),
+    // always at hamming 0 (exact class signatures; cross-class ≥ 24;
+    // frame-0 and frame-1 class families are disjoint)
+    "video_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  AND (a.doc_id % 10 = b.doc_id % 10 OR
+        |       a.doc_id % 7 = b.doc_id % 7)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the gif_dedup_incremental restatement verbatim — the video
+    // population re-renders the same class signatures as AVI frames,
+    // so the same from-scratch arithmetic judges the video fold
+    // (two-frame docs 'seen' at hamming 0 through their SECOND frame)
+    "video_dedup_incremental" ->
+      """WITH b2 AS (
+        |  SELECT doc_id, (doc_id - 1) // 2 AS k FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id < 400),
+        |r AS (SELECT doc_id, k % 4 AS role, k % 10 AS c FROM b2),
+        |n AS (SELECT c, min(doc_id) AS nf FROM r WHERE role IN (2, 3)
+        |  GROUP BY c),
+        |single AS (
+        |  SELECT r.doc_id,
+        |    CASE WHEN r.role IN (0, 1) THEN 'seen'
+        |         WHEN r.doc_id = n.nf THEN 'new'
+        |         ELSE 'dup_in_batch' END AS status,
+        |    cast(CASE WHEN r.role IN (0, 1) THEN 2 * r.c ELSE n.nf END
+        |      AS bigint) AS first_doc,
+        |    cast(CASE WHEN r.role = 0 THEN 0 WHEN r.role = 1 THEN 1
+        |      ELSE NULL END AS bigint) AS hamming
+        |  FROM r LEFT JOIN n USING (c)),
+        |dual AS (
+        |  SELECT doc_id, 'seen' AS status,
+        |    cast(2 * (((doc_id - 401) // 2) % 10) AS bigint) AS first_doc,
+        |    cast(0 AS bigint) AS hamming
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id >= 401 AND doc_id < 440)
+        |SELECT * FROM single UNION ALL SELECT * FROM dual
+        |ORDER BY doc_id""".stripMargin,
 
     // byte-identical clones of animations < 8 under +1000000: identity
     // of bytes implies identity of every frame hash → hamming 0
@@ -6785,6 +6977,45 @@ object ExtensionQueries {
         |  cast(min(v) AS int) AS unit_min, cast(max(v) AS int) AS unit_max
         |FROM v GROUP BY doc_id, f, nf
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the video sibling: identical fill arithmetic over the AVI
+    // dimensions (w = 6+id%5, h = 5+id%4), every sampled frame's stats
+    // from the formula — RGB units are 3× the gray pixel count
+    "multimodal_video_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, 6 + doc_id % 5 AS w, 5 + doc_id % 4 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS f
+        |       FROM g),
+        |px AS (SELECT doc_id, f, nf, w, h, unnest(range(w * h)) AS k
+        |       FROM fr),
+        |v AS (SELECT doc_id, f, nf,
+        |        ((doc_id * 31 + f * 17 + k * 7) % 6) * 51 AS v
+        |      FROM px)
+        |SELECT doc_id, cast(f AS int) AS frame_idx,
+        |  cast(nf AS int) AS n_frames,
+        |  cast(count(*) * 3 AS bigint) AS n_units,
+        |  cast(sum(v) * 3 AS bigint) AS unit_sum,
+        |  cast(min(v) AS int) AS unit_min, cast(max(v) AS int) AS unit_max
+        |FROM v GROUP BY doc_id, f, nf
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // every field the RIFF walk parses, recomputed from the builder
+    // arithmetic: movi bytes = frames × (8-byte chunk header + 4-byte-
+    // aligned stride × height), duration = 40000 µs/frame → 40·nf ms
+    "multimodal_video_containers" ->
+      """WITH g AS (
+        |  SELECT doc_id, 6 + doc_id % 5 AS w, 5 + doc_id % 4 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents)
+        |SELECT doc_id, 'avi' AS format,
+        |  cast(nf * (8 + ((3 * w + 3) // 4) * 4 * h) AS bigint)
+        |    AS data_bytes,
+        |  cast(40 * nf AS bigint) AS duration_ms,
+        |  cast(w AS int) AS width, cast(h AS int) AS height,
+        |  cast(24 AS int) AS bpp
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // the golden twin's closed form: doc_id=3's 7x6 2-frame fill
     // recomputed from the formula, plus the encoder's pinned md5 (the

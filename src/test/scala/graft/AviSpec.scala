@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Avi, ImageHash, Images}
+
+/** In-repo AVI (RIFF) video codec: build→parse round-trips,
+  * uncompressed-DIB frame pixel decode (bottom-up BGR rows, 4-byte
+  * stride padding), stride-sampled frame walks, the frame-hash
+  * dispatch that lets the perceptual machinery ride video payloads,
+  * and total-function behavior on hostile bytes — the decoder runs
+  * inside media-crawl tasks where a malformed payload must classify,
+  * never throw. */
+class AviSpec extends AnyFunSuite {
+
+  private def fill(id: Long)(f: Int, k: Int): Int =
+    (((id * 31 + f.toLong * 17 + k.toLong * 7) % 6) * 51).toInt
+
+  test("build→parse round-trips every header field") {
+    for ((w, h, nf, id) <- Seq((6, 5, 1, 0L), (7, 6, 2, 3L),
+        (10, 8, 4, 11L), (9, 8, 3, 255L))) {
+      val avi = Avi.encodeAviGray(w, h, nf, fill(id))
+      val got = Avi.parseAvi(avi)
+      assert(got.isDefined, s"$w x $h x$nf must parse")
+      val a = got.get
+      assert(a.width === w)
+      assert(a.height === h)
+      assert(a.totalFrames === nf)
+      assert(a.usecPerFrame === 40000)
+      assert(a.streams === 1)
+      assert(a.handler === "DIB ")
+      assert(a.bitsPerPixel === 24)
+      assert(a.compression === 0)
+      val stride = (3 * w + 3) / 4 * 4
+      assert(a.moviBytes === nf.toLong * (8 + stride * h),
+        "movi bytes must equal frames x (chunk header + padded rows)")
+      assert(a.durationMs === 40L * nf)
+    }
+  }
+
+  test("frame pixel decode round-trips the fill exactly (row order, BGR, stride)") {
+    for ((w, h, nf, id) <- Seq((6, 5, 2, 1L), (7, 6, 3, 5L), (9, 8, 4, 42L))) {
+      val avi = Avi.encodeAviGray(w, h, nf, fill(id))
+      val grids = Avi.aviAllFramePixelGrids(avi, maxFrames = 16)
+      assert(grids.length === nf)
+      for ((g, f) <- grids.zipWithIndex) {
+        val (gw, gh, px) = g
+        assert(gw === w && gh === h)
+        assert(px.length === 3 * w * h)
+        for (k <- 0 until w * h; c <- 0 until 3)
+          assert(px(3 * k + c) === fill(id)(f, k),
+            s"frame $f pixel $k channel $c: gray r=g=b must round-trip")
+      }
+    }
+  }
+
+  test("stride sampling decodes every step-th frame only; maxFrames caps the take") {
+    val avi = Avi.encodeAviGray(6, 5, 7, (f, _) => 10 * f)
+    val sampled = Avi.aviAllFramePixelGrids(avi, maxFrames = 16, step = 3)
+    // frames 0, 3, 6
+    assert(sampled.map(_._3.head) === Seq(0, 30, 60))
+    val capped = Avi.aviAllFramePixelGrids(avi, maxFrames = 2, step = 3)
+    assert(capped.map(_._3.head) === Seq(0, 30))
+    assert(Avi.aviAllFramePixelGrids(avi, maxFrames = 0) === Seq.empty)
+    assert(Avi.aviAllFramePixelGrids(avi, maxFrames = 4, step = 0) === Seq.empty)
+  }
+
+  test("frameDHashes dispatches to the AVI walk and matches the PNG dHash per frame") {
+    // a single-frame AVI and a PNG of the SAME pixel grid must hash
+    // identically — the dispatch feeds the same grayGrid kernel
+    val id = 9L
+    val w = 9
+    val h = 8
+    val avi = Avi.encodeAviGray(w, h, 2, fill(id))
+    val hashes = ImageHash.frameDHashes(avi, maxFrames = 8)
+    assert(hashes.length === 2)
+    for (f <- 0 until 2) {
+      val png = Images.encodePng(w, h, k => fill(id)(f, k / 3))
+      assert(java.lang.Long.valueOf(hashes(f)) === ImageHash.dhash64(png),
+        s"frame $f: AVI frame hash must equal the PNG hash of the same grid")
+    }
+    // GIF payloads still route through the imageio reader
+    val gif = Images.encodeAnimatedGifGray(7, 6, 2,
+      (f, k) => (((3L * 31 + f.toLong * 17 + k.toLong * 7) % 6) * 51).toInt)
+    assert(ImageHash.frameDHashes(gif, maxFrames = 8).length === 2)
+  }
+
+  test("byte-identical clips hash identically; a one-pixel edit moves at least one frame hash") {
+    val a = Avi.encodeAviGray(9, 8, 2, fill(7L))
+    val b = Avi.encodeAviGray(9, 8, 2, fill(7L))
+    assert(ImageHash.frameDHashes(a, 8).toSeq ===
+      ImageHash.frameDHashes(b, 8).toSeq)
+  }
+
+  test("non-AVI, truncated, and bit-flipped payloads are total (None/empty, never throw)") {
+    val good = Avi.encodeAviGray(7, 6, 2, fill(3L))
+    // truncations at every boundary class
+    for (n <- Seq(0, 4, 11, 12, 20, 56, 100, good.length - 1)) {
+      val t = java.util.Arrays.copyOf(good, n)
+      Avi.parseAvi(t) // must not throw
+      assert(Avi.aviAllFramePixelGrids(t, 8).isEmpty ||
+        n === good.length - 1, // losing only the final pad byte may
+                               // still decode the earlier frames
+        s"truncation to $n must decode no complete payload")
+      ImageHash.frameDHashes(t, 8) // must not throw
+    }
+    // deterministic bit flips across the whole payload
+    var seed = 0x2545F4914F6CDD1DL
+    for (_ <- 0 until 400) {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      val pos = ((seed >>> 1) % good.length).toInt
+      val bit = (seed & 7).toInt
+      val m = good.clone()
+      m(pos) = (m(pos) ^ (1 << bit)).toByte
+      Avi.parseAvi(m)
+      Avi.aviAllFramePixelGrids(m, 8)
+      ImageHash.frameDHashes(m, 8) // total under any single-bit damage
+    }
+    // foreign bytes
+    assert(Avi.parseAvi("not an avi at all".getBytes("UTF-8")) === None)
+    assert(Avi.parseAvi(null) === None)
+    assert(Avi.aviAllFramePixelGrids(null, 8) === Seq.empty)
+  }
+
+  test("hostile headers decline: huge dimensions cannot wrap the stride math") {
+    val good = Avi.encodeAviGray(6, 5, 1, fill(0L))
+    // corrupt the avih width/height to near-Int.MaxValue values and
+    // the strf to match — the Long-math bounds check must decline
+    val b = java.nio.ByteBuffer.wrap(good)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // avih width @ offset 12(hdr)+12(LIST hdrl)+8(avih hdr)+32
+    val avihBase = 12 + 12 + 8
+    b.putInt(avihBase + 32, 0x40000000)
+    b.putInt(avihBase + 36, 0x40000000)
+    val strfBase = avihBase + 56 + 12 + 8 + 56 + 8
+    b.putInt(strfBase + 4, 0x40000000)
+    b.putInt(strfBase + 8, 0x40000000)
+    val parsed = Avi.parseAvi(good)
+    // metadata may parse (headers are structurally valid) …
+    parsed.foreach { a => assert(a.width === 0x40000000) }
+    // … but the pixel walk must decline, not allocate or wrap
+    assert(Avi.aviAllFramePixelGrids(good, 8) === Seq.empty)
+  }
+
+  test("compressed or non-24-bit streams decline the pixel walk") {
+    val good = Avi.encodeAviGray(6, 5, 1, fill(1L))
+    val strfBase = 12 + 12 + 8 + 56 + 12 + 8 + 56 + 8
+    // biCompression = 'MJPG'
+    val mjpg = good.clone()
+    java.nio.ByteBuffer.wrap(mjpg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strfBase + 16, 0x47504A4D)
+    assert(Avi.aviAllFramePixelGrids(mjpg, 8) === Seq.empty,
+      "compressed codec must decline — no guessed decode")
+    assert(Avi.parseAvi(mjpg).exists(_.compression === 0x47504A4D),
+      "metadata still classifies the compressed stream")
+    // biBitCount = 8
+    val pal = good.clone()
+    java.nio.ByteBuffer.wrap(pal).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(strfBase + 14, 8.toShort)
+    assert(Avi.aviAllFramePixelGrids(pal, 8) === Seq.empty)
+  }
+}
