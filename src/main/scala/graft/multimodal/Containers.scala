@@ -26,22 +26,32 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Containers {
 
-  /** Parsed "fmt "+"data" facts of a PCM or G.711 WAV. `formatTag` is
-    * the container's wFormatTag: 1 = linear PCM, 6 = G.711 A-law,
-    * 7 = G.711 µ-law (both companded formats are 8 bits/sample, so the
-    * PCM byte-rate duration math holds for them unchanged). */
+  /** Parsed "fmt "+"data" facts of a PCM, G.711, or IMA ADPCM WAV.
+    * `formatTag` is the container's wFormatTag: 1 = linear PCM,
+    * 6 = G.711 A-law, 7 = G.711 µ-law (both companded formats are
+    * 8 bits/sample, so the PCM byte-rate duration math holds for them
+    * unchanged), 0x11 = IMA/DVI ADPCM (4-bit adaptive differential —
+    * duration comes from the mandatory `fact` sample count instead,
+    * carried in `factSamples`; `blockAlign` is the codec's block
+    * size, needed to find each block's predictor header). */
   final case class WavInfo(channels: Int, sampleRate: Int,
                            bitsPerSample: Int, dataBytes: Long,
-                           formatTag: Int = 1) {
+                           formatTag: Int = 1, blockAlign: Int = 0,
+                           factSamples: Long = -1L) {
     def byteRate: Long = sampleRate.toLong * channels * (bitsPerSample / 8)
     def durationMs: Long =
-      if (byteRate == 0) 0L else dataBytes * 1000L / byteRate
+      if (formatTag == FormatImaAdpcm)
+        (if (sampleRate <= 0 || factSamples < 0) 0L
+         else factSamples * 1000L / sampleRate)
+      else if (byteRate == 0) 0L
+      else dataBytes * 1000L / byteRate
   }
 
   /** WAVE_FORMAT tags this library decodes. */
   val FormatPcm = 1
   val FormatAlaw = 6
   val FormatUlaw = 7
+  val FormatImaAdpcm = 0x11
 
   /** Parsed BITMAPINFOHEADER facts of a BMP. `height` is the stored
     * (signed) value — negative means top-down row order. `pixelBytes`
@@ -57,6 +67,7 @@ object Containers {
   private val WAVE = 0x45564157
   private val FMT_ = 0x20746d66
   private val DATA = 0x61746164
+  private val FACT = 0x74636166
 
   /** RIFF chunk walk: RIFF/WAVE magic, then scan chunks for "fmt " and
     * "data" (tolerating any other chunks — LIST/INFO/cue are common —
@@ -78,6 +89,8 @@ object Containers {
     // an IndexOutOfBounds task failure
     var off = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // (tag, channels, rate, bits)
+    var blockAlign = 0
+    var factSamples = -1L
     var dataBytes = -1L
     var dataOff = -1
     while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
@@ -87,28 +100,53 @@ object Containers {
       if (size < 0 || off + 8 + size > payload.length) return None
       if (id == FMT_) {
         if (size < 16) return None
-        // wFormatTag must be a format whose byte-rate math we can
-        // stand behind: linear PCM, or G.711 µ-law/A-law (8-bit
-        // companded — same bytes-per-sample arithmetic). An ADPCM /
-        // MP3-in-WAV payload would otherwise parse as a "valid wav"
-        // with confidently wrong duration — classify those as
-        // unparseable instead. A G.711 fmt chunk claiming a bit depth
-        // other than 8 is self-contradictory (the codec IS 8-bit) —
-        // decline rather than guess which field lies.
+        // wFormatTag must be a format whose duration math we can
+        // stand behind: linear PCM, G.711 µ-law/A-law (8-bit
+        // companded — same bytes-per-sample arithmetic), or IMA ADPCM
+        // (4-bit, duration from the fact chunk — validated below). An
+        // MS-ADPCM / MP3-in-WAV payload would otherwise parse as a
+        // "valid wav" with confidently wrong duration — classify those
+        // as unparseable instead. A fmt chunk whose bit depth
+        // contradicts its codec (G.711 IS 8-bit, IMA IS 4-bit) is
+        // self-contradictory — decline rather than guess which field
+        // lies.
         val tag = b.getShort(i + 8) & 0xFFFF
         val bits = b.getShort(i + 22) & 0xFFFF
         if (tag != FormatPcm &&
-            !((tag == FormatAlaw || tag == FormatUlaw) && bits == 8))
+            !((tag == FormatAlaw || tag == FormatUlaw) && bits == 8) &&
+            !(tag == FormatImaAdpcm && bits == 4))
           return None
+        blockAlign = b.getShort(i + 20) & 0xFFFF
         fmt = Some((tag, b.getShort(i + 10) & 0xFFFF,
           b.getInt(i + 12), bits))
+      } else if (id == FACT && size >= 4) {
+        factSamples = b.getInt(i + 8).toLong & 0xFFFFFFFFL
       } else if (id == DATA) { dataBytes = size.toLong; dataOff = i + 8 }
       off += 8L + size + (size & 1) // chunks pad to even offsets
     }
-    fmt.collect { case (tag, ch, rate, bits) if dataBytes >= 0 =>
-      (WavInfo(ch, rate, bits, dataBytes, tag), dataOff)
+    fmt.collect { case (tag, ch, rate, bits) if dataBytes >= 0 &&
+        (tag != FormatImaAdpcm || imaFactsHold(ch, rate, blockAlign,
+          factSamples, dataBytes)) =>
+      (WavInfo(ch, rate, bits, dataBytes, tag, blockAlign, factSamples),
+        dataOff)
     }
   }
+
+  /** The IMA ADPCM header facts this decoder stands behind: MONO (the
+    * stereo 4-byte channel interleave is a different wire format —
+    * decline rather than guess), a positive rate, a block big enough
+    * to hold its own 4-byte predictor header, a `fact` chunk present
+    * (compressed WAV requires one — without it the tail nibble count
+    * is a guess), and a sample claim the data bytes can actually
+    * carry: a hostile fact near 2³² would otherwise turn the decode's
+    * output allocation into an OOM task failure. */
+  private def imaFactsHold(channels: Int, rate: Int, blockAlign: Int,
+                           factSamples: Long, dataBytes: Long): Boolean =
+    channels == 1 && rate > 0 && blockAlign >= 5 && factSamples >= 0 && {
+      val nBlocks = (dataBytes + blockAlign - 1) / blockAlign
+      val perBlock = (blockAlign - 4).toLong * 2 + 1
+      factSamples <= nBlocks * perBlock && factSamples <= (1L << 28)
+    }
 
   /** REAL sample decode: the data-chunk bytes of a [[parseWav]]-valid
     * payload as integer sample values — PCM 16-bit → signed
@@ -144,9 +182,58 @@ object Containers {
         case (FormatAlaw, 8) =>
           Some(Array.tabulate(w.dataBytes.toInt)(i =>
             alawToLinear(payload(off + i) & 0xFF)))
+        case (FormatImaAdpcm, 4) => imaAdpcmSamples(payload, off, w)
         case _ => None
       }
     }
+
+  /** REAL IMA ADPCM block decode behind [[pcmSamples]] (facts already
+    * validated by [[imaFactsHold]]): each block opens with a 4-byte
+    * header — the first sample VERBATIM as int16 LE plus the step
+    * index — then data bytes carrying two 4-bit codes each, LOW nibble
+    * first, every code advancing the predictor through
+    * [[imaAdpcmAdvance]]. The fact count trims the final block's pad
+    * nibble(s); a block whose header claims an out-of-range step index
+    * (> 88) declines the whole payload (a lying header, not a
+    * decodable stream); a data chunk that runs out before the fact
+    * count is satisfied declines too — never a short-read guess. */
+  private def imaAdpcmSamples(payload: Array[Byte], off: Int,
+                              w: WavInfo): Option[Array[Int]] = {
+    val total = w.factSamples.toInt // ≤ 2^28, imaFactsHold
+    val ba = w.blockAlign
+    val out = new Array[Int](total)
+    var s = 0
+    var blockOff = 0L
+    var bad = false
+    while (!bad && s < total && blockOff + 4 <= w.dataBytes) {
+      val base = off + blockOff.toInt
+      var pred = (payload(base + 1) << 8) | (payload(base) & 0xFF)
+      var idx = payload(base + 2) & 0xFF
+      if (idx > 88) bad = true
+      else {
+        out(s) = pred
+        s += 1
+        val blockEnd = math.min(ba.toLong, w.dataBytes - blockOff).toInt
+        var i = 4
+        while (i < blockEnd && s < total) {
+          val byte = payload(base + i) & 0xFF
+          var half = 0
+          while (half < 2 && s < total) {
+            val nib = if (half == 0) byte & 0xF else byte >>> 4
+            val next = imaAdpcmAdvance(pred, idx, nib)
+            pred = next._1
+            idx = next._2
+            out(s) = pred
+            s += 1
+            half += 1
+          }
+          i += 1
+        }
+        blockOff += ba
+      }
+    }
+    if (bad || s != total) None else Some(out)
+  }
 
   // ── G.711 companding (ITU-T G.711 segment layout; the integer
   // expand/compress arithmetic every telephony stack publishes — pure
@@ -185,6 +272,136 @@ object Containers {
     while (seg < 8 && x > ((0x40 << seg) - 1)) seg += 1
     if (seg >= 8) 0x7F ^ mask
     else (((seg << 4) | ((x >> (seg + 1)) & 0x0F)) ^ mask) & 0xFF
+  }
+
+  // ── IMA / DVI ADPCM (the public IMA Digital Audio compatibility
+  // spec: 4-bit adaptive differential codes over an 89-entry step
+  // table — pure integer arithmetic, no library; the second REAL
+  // compressed-audio codec beside G.711, at 4:1 instead of 2:1) ──────
+
+  /** The IMA step-size table (89 entries, ~1.1× geometric growth). */
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+  /** Step-index adjustment by code magnitude (small codes cool the
+    * quantizer, large codes heat it). */
+  private val ImaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** ONE decoder step of the IMA ADPCM state machine — the single
+    * source of truth shared by the block decoder, the encoder's
+    * reconstruction path, fixtures, and golden vectors:
+    * `diff = step/8 (+ step/4 if bit0) (+ step/2 if bit1) (+ step if
+    * bit2)`, subtracted when bit3 (sign) is set, predictor clamped to
+    * int16, index adjusted by magnitude and clamped to [0, 88].
+    * Returns (newPredictor, newIndex). */
+  def imaAdpcmAdvance(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStep(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    var p = if ((nibble & 8) != 0) pred - diff else pred + diff
+    if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+    var ix = index + ImaIndexAdj(nibble & 7)
+    if (ix < 0) ix = 0 else if (ix > 88) ix = 88
+    (p, ix)
+  }
+
+  /** The encoder's quantizer: the 4-bit code for reaching `sample`
+    * from the current (predictor, index) state — sign bit, then the
+    * standard successive-halving of the residue. Exactly inverts
+    * [[imaAdpcmAdvance]] when the target diff IS a representable code
+    * diff (the property the cross-codec plants ride); saturates at
+    * magnitude 7 otherwise. */
+  def imaAdpcmQuantize(pred: Int, index: Int, sample: Int): Int = {
+    val step = ImaStep(index)
+    var diff = sample - pred
+    var nib = 0
+    if (diff < 0) { nib = 8; diff = -diff }
+    if (diff >= step) { nib |= 4; diff -= step }
+    if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) nib |= 1
+    nib
+  }
+
+  /** Canonical mono IMA ADPCM WAV around `samples`: 20-byte fmt chunk
+    * (wFormatTag 0x11, cbSize 2, wSamplesPerBlock), the mandatory fact
+    * chunk carrying the true sample count, and data blocks of
+    * `samplesPerBlock` samples each — a 4-byte (sample0, stepIndex)
+    * header plus two codes per byte, low nibble first, step index
+    * carried across blocks. Defaults to one block holding everything.
+    * A legitimate encoder (lossy like any ADPCM), and the fixture seam
+    * for cross-codec dedup: on a waveform GENERATED by the decoder
+    * state machine the quantizer reproduces every code exactly, so
+    * decode∘encode is the identity there. */
+  def buildWavImaAdpcm(sampleRate: Int, samples: Array[Int],
+                       samplesPerBlock: Int = 0): Array[Byte] = {
+    require(samples.nonEmpty, "ADPCM build needs at least one sample")
+    // block capacity must be exact — (blockAlign−4) data bytes carry
+    // 2 codes each, plus the header sample, so a block holds an ODD
+    // sample count; an even spb would leave a pad nibble the decoder
+    // of a NON-final block cannot tell from a code. The final block
+    // may still be partial (the fact count trims it).
+    val spb0 = if (samplesPerBlock <= 0) samples.length
+      else math.max(3, samplesPerBlock)
+    val spb = if (samplesPerBlock <= 0) spb0
+      else if (spb0 % 2 == 0) spb0 + 1 else spb0
+    val blockAlign = 4 + spb / 2 // 4-byte header + ceil((spb-1)/2) codes
+    val nBlocks = (samples.length + spb - 1) / spb
+    val buf = new java.io.ByteArrayOutputStream()
+    var idx = 0
+    var bs = 0
+    while (bs < samples.length) {
+      val inBlock = math.min(spb, samples.length - bs)
+      var pred = samples(bs)
+      buf.write(pred & 0xFF)
+      buf.write((pred >> 8) & 0xFF)
+      buf.write(idx)
+      buf.write(0)
+      var i = 1
+      var pendingLow = -1
+      while (i < inBlock) {
+        val nib = imaAdpcmQuantize(pred, idx, samples(bs + i))
+        val next = imaAdpcmAdvance(pred, idx, nib)
+        pred = next._1
+        idx = next._2
+        if (pendingLow < 0) pendingLow = nib
+        else { buf.write(pendingLow | (nib << 4)); pendingLow = -1 }
+        i += 1
+      }
+      if (pendingLow >= 0) buf.write(pendingLow)
+      // pad the block to blockAlign so every block header lands on the
+      // stride the decoder walks
+      while (buf.size() % blockAlign != 0) buf.write(0)
+      bs += inBlock
+    }
+    val body = buf.toByteArray
+    val pad = body.length & 1
+    val out = ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + body.length + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(RIFF).putInt(4 + 28 + 12 + 8 + body.length + pad).putInt(WAVE)
+    out.putInt(FMT_).putInt(20)
+      .putShort(FormatImaAdpcm.toShort)
+      .putShort(1.toShort)                 // mono
+      .putInt(sampleRate)
+      .putInt((sampleRate.toLong * blockAlign / spb).toInt) // avg bytes/sec
+      .putShort(blockAlign.toShort)
+      .putShort(4.toShort)                 // bits per sample
+      .putShort(2.toShort)                 // cbSize
+      .putShort(spb.toShort)               // wSamplesPerBlock
+    out.putInt(FACT).putInt(4).putInt(samples.length)
+    out.putInt(DATA).putInt(body.length).put(body)
+    if (pad == 1) out.put(0.toByte)
+    require(nBlocks * blockAlign == body.length,
+      s"ADPCM block layout drifted: $nBlocks x $blockAlign != ${body.length}")
+    out.array()
   }
 
   /** Compress one 16-bit linear sample to its A-law byte. */

@@ -1835,6 +1835,20 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // an IMA ADPCM RE-ENCODE (4:1 compression, the second real
+    // compressed codec beside G.711) must pair with its PCM original
+    // at hamming exactly 0: the plant waveform is generated BY the
+    // decoder state machine, so the encode is sample-exact and the two
+    // payloads fingerprint identically (adpcmPlantPair). Twin pairs
+    // only — the restated set makes no claim about cross-id pairs.
+    "audio_dedup_adpcm" -> ((s, dir) => {
+      graft.multimodal.AudioHash.nearDupPairs(audioAdpcmPop(s, dir),
+          col("doc_id"), col("payload"), maxHamming = 7,
+          wideTables = Some(false))
+        .where(col("id_b") === col("id_a") + lit(1000000L))
+        .orderBy(col("id_a"))
+    }),
+
     // ── Animation perceptual near-dup (per-frame dHash) ──────────────
     // two animations pair when ANY frame pair lands within the radius
     // (hamming = best frame match, min-aggregated so multi-signature
@@ -4600,6 +4614,67 @@ object ExtensionQueries {
       }).toDF("doc_id", "payload")
   }
 
+  /** An IMA ADPCM cross-codec plant pair: a 260-sample waveform
+    * GENERATED by the decoder state machine itself from id-seeded
+    * codes (every diff exactly representable; the sign steers back
+    * inside ±20000 so the int16 clamp never fires; magnitudes cool the
+    * step index above 40; no negative-zero code), rendered both as
+    * 16-bit PCM and as a single-block ADPCM encode. Because the
+    * quantizer exactly inverts the state machine on representable
+    * diffs, the ADPCM decode reproduces the waveform SAMPLE-FOR-SAMPLE
+    * — identical decoded arrays, identical fingerprints, hamming
+    * provably 0 (AdpcmSpec pins the identity). Returns (pcm, adpcm)
+    * WAV payloads. */
+  private def adpcmPlantPair(id: Long): (Array[Byte], Array[Byte]) = {
+    import graft.multimodal.Containers
+    val n = 260
+    val samples = new Array[Int](n)
+    var pred = (500 + (id * 137) % 900).toInt
+    var idx = 0
+    samples(0) = pred
+    var seed = id * 0x9E3779B97F4A7C15L + 0x2545F491L
+    var i = 1
+    while (i < n) {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      val mag = (((seed >>> 3) & 0x7FFFFFFFL) %
+        (if (idx > 40) 4 else 8)).toInt
+      var neg = ((seed >>> 11) & 1L) == 1L
+      if (pred > 20000) neg = true
+      if (pred < -20000) neg = false
+      if (mag == 0) neg = false
+      val nib = mag | (if (neg) 8 else 0)
+      val next = Containers.imaAdpcmAdvance(pred, idx, nib)
+      pred = next._1
+      idx = next._2
+      samples(i) = pred
+      i += 1
+    }
+    val data = new Array[Byte](2 * n)
+    i = 0
+    while (i < n) {
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    (Containers.buildWav(1, 8000, 16, data),
+      Containers.buildWavImaAdpcm(8000, samples))
+  }
+
+  /** The ADPCM cross-codec population: 8 PCM/ADPCM twin pairs under
+    * +6000000/+7000000 — its own population (not folded into
+    * [[audioDedupPop]]) so the standing audio gates' row sets stay
+    * bit-stable. */
+  private def audioAdpcmPop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 8)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val (pcm, adp) = adpcmPlantPair(id)
+        Seq((id + 6000000L, pcm), (id + 7000000L, adp))
+      }).toDF("doc_id", "payload")
+  }
+
   /** The shared gray-PNG synthesis of the pHash plants: equal-channel
     * pixel values ≤ 127·scale (integer luma is then the pixel value
     * itself), id-mixed so distinct docs land far apart; `scale = 2` is
@@ -5611,6 +5686,16 @@ object ExtensionQueries {
         |SELECT doc_id + 3000000, doc_id + 5000000, cast(0 AS int)
         |FROM documents WHERE doc_id < 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the ADPCM cross-codec plants: identical decoded sample arrays
+    // (the waveform is decoder-generated, so the encode is exact) →
+    // identical fingerprints → hamming 0; the twin pair set restated
+    // from the id arithmetic
+    "audio_dedup_adpcm" ->
+      """SELECT doc_id + 6000000 AS id_a, doc_id + 7000000 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM documents WHERE doc_id < 8
+        |ORDER BY id_a""".stripMargin,
 
     // the video pair set from the fixture's class arithmetic: docs
     // pair iff they share frame-0 class (d%10) or frame-1 class (d%7),

@@ -68,7 +68,8 @@ class ContainersSpec extends AnyFunSuite {
     } {
       val data = Array.tabulate(dataLen)(i => (i * 31).toByte)
       val parsed = Containers.parseWav(Containers.buildWav(ch, rate, bits, data))
-      assert(parsed === Some(WavInfo(ch, rate, bits, dataLen.toLong)),
+      assert(parsed === Some(WavInfo(ch, rate, bits, dataLen.toLong,
+          blockAlign = ch * (bits / 8))),
         s"ch=$ch rate=$rate bits=$bits len=$dataLen")
     }
   }
@@ -90,7 +91,7 @@ class ContainersSpec extends AnyFunSuite {
     val riffSize = spliced.length - 8
     for (i <- 0 until 4) spliced(4 + i) = (riffSize >> (8 * i)).toByte
     assert(Containers.parseWav(spliced) ===
-      Some(WavInfo(1, 8000, 16, 4L)))
+      Some(WavInfo(1, 8000, 16, 4L, blockAlign = 2)))
   }
 
   test("BMP build/parse round-trips and reports aligned pixel bytes") {
@@ -223,7 +224,8 @@ class ContainersSpec extends AnyFunSuite {
     val codes = Array[Byte](0xFF.toByte, 0x80.toByte, 0x00, 0x7F)
     val uw = Containers.buildWav(1, 8000, 8, codes, FormatUlaw)
     assert(Containers.parseWav(uw) ===
-      Some(Containers.WavInfo(1, 8000, 8, 4L, FormatUlaw)))
+      Some(Containers.WavInfo(1, 8000, 8, 4L, FormatUlaw,
+        blockAlign = 1)))
     assert(Containers.pcmSamples(uw).map(_.toSeq) ===
       Some(Seq(0, 32124, -32124, 0)))
     val aw = Containers.buildWav(1, 8000, 8,
