@@ -93,7 +93,11 @@ object Bench {
     // cross-codec audio recall
     "corpus_rebuild_archive", "bpe_train", "audio_dedup_crosscodec",
     "bpe_encode_persisted", "image_phash_dedup", "gif_phash_dedup",
-    "image_phash_incremental", "corpus_datasheet")
+    "image_phash_incremental", "corpus_datasheet",
+    // round 19 (cont.): real AVI video decode + rolling video dedup,
+    // IMA ADPCM cross-codec audio
+    "video_dedup", "video_dedup_incremental", "multimodal_video_frames",
+    "audio_dedup_adpcm", "video_scenes", "audio_segments")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

@@ -78,6 +78,39 @@ object AudioHash {
     ColumnBridge.column(
       AudioFingerprint64Expr(ColumnBridge.expression(payload)))
 
+  /** Integer-exact per-window energies of a decodable clip — fixed
+    * `windowSamples`-sample windows (the FINAL partial window is kept:
+    * dropping it would silently lose trailing speech), energy = Σ v²
+    * in Long. The reusable kernel behind energy-threshold SEGMENTATION
+    * (the VAD-ish silence-split step a speech-data pipeline runs
+    * between decode and filtering): the declarative tail — explode,
+    * threshold, gaps-and-islands over a per-document window — stays in
+    * SQL/DataFrame land where Catalyst can see it. Empty array (not
+    * null) for undecodable payloads, so exploding consumers simply
+    * emit no rows. */
+  def windowEnergies(payload: Array[Byte], windowSamples: Int): Array[Long] =
+    (if (payload == null) None else Containers.pcmSamples(payload)) match {
+      case Some(s) if s.length > 0 && windowSamples > 0 =>
+        val nw = (s.length + windowSamples - 1) / windowSamples
+        val e = new Array[Long](nw)
+        var w = 0
+        while (w < nw) {
+          var acc = 0L
+          var i = w * windowSamples
+          val until = math.min(i + windowSamples, s.length)
+          while (i < until) { acc += s(i).toLong * s(i); i += 1 }
+          e(w) = acc
+          w += 1
+        }
+        e
+      case _ => Array.emptyLongArray
+    }
+
+  /** Column surface of [[windowEnergies]]. */
+  def windowEnergy(payload: Column, windowSamples: Int): Column =
+    ColumnBridge.column(AudioWindowEnergiesExpr(
+      ColumnBridge.expression(payload), windowSamples))
+
   /** Perceptual near-dup audio pairs: fingerprints banded through the
     * shared pigeonhole tables ([[graft.dedup.Dedup.hammingPairs]]),
     * exact Hamming verify — recall 1.0 at the radius over
@@ -106,6 +139,29 @@ case class AudioFingerprint64Expr(child: org.apache.spark.sql.catalyst.expressio
 
   override def nullSafeEval(input: Any): Any =
     AudioHash.fingerprint64(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+}
+
+/** Per-window clip energies — empty array (not null) for undecodable
+  * bytes, the [[FrameDHashesExpr]] convention. */
+case class AudioWindowEnergiesExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    windowSamples: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "audio_window_energies"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.multimodal.AudioHash.windowEnergies($c, $windowSamples));""")
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      AudioHash.windowEnergies(input.asInstanceOf[Array[Byte]], windowSamples))
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression) =

@@ -289,6 +289,32 @@ object ImageHash {
       maxHamming, wideTables)
   }
 
+  /** Scene-CUT signal over a multi-frame payload (GIF animation or
+    * uncompressed-DIB AVI video): the Hamming distance between each
+    * consecutive frame-dHash pair, as an array of (frame_idx, hamming)
+    * structs — a cut is a distance above the caller's threshold
+    * (within-scene motion moves a few gradient signs; a cut rewrites
+    * the frame). Purely declarative over [[frameDHash]]:
+    * `zip_with(h[0..n-2], h[1..n-1], bit_count(xor))` — stays inside
+    * whole-stage codegen, one decode pass per payload, no new kernel.
+    * Empty array for payloads with fewer than two decodable frames. */
+  def frameCutSignal(payload: Column, maxFrames: Int = 32): Column = {
+    import org.apache.spark.sql.functions._
+    val h = frameDHash(payload, maxFrames)
+    val n = size(h)
+    val pairsHamming = zip_with(
+      slice(h, lit(1), greatest(n - 1, lit(0))),
+      slice(h, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => call_function("bit_count", a.bitwiseXOR(b)))
+    val zipped = zip_with(pairsHamming,
+      sequence(lit(1), greatest(n - 1, lit(1))),
+      (d, i) => struct(i.as("frame_idx"), d.as("hamming")))
+    // under two frames there is no consecutive pair: zip_with pads the
+    // empty hamming side with one null — drop it instead of emitting a
+    // phantom boundary
+    filter(zipped, s => s.getField("hamming").isNotNull)
+  }
+
   /** [[animationNearDupPairs]] over the SPECTRAL frame family
     * ([[framePHashes]]) — robust where frame re-renders shift tone or
     * blur rather than move gradients; same any-frame-match,

@@ -1849,6 +1849,49 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // scene-CUT detection over the frame stream: consecutive frame
+    // dHash hamming above the radius marks a cut (within-scene motion
+    // moves a few gradient signs; a cut rewrites the frame). Purely
+    // declarative over one decode pass (zip_with + bit_count inside
+    // codegen). The fixture's scene structure makes is_cut pure doc-id
+    // arithmetic: frames 0-2 one exact class, 3-5 another (≥ 24 bits
+    // away), so the single cut sits at frame 3.
+    "video_scenes" -> ((s, dir) => {
+      videoScenePop(s, dir)
+        .select(col("doc_id"),
+          explode(ImageHash.frameCutSignal(col("payload"), 8)).as("c"))
+        .select(col("doc_id"), col("c.frame_idx").as("frame_idx"),
+          (col("c.hamming") > lit(7)).as("is_cut"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // energy-threshold audio SEGMENTATION (the VAD-ish silence-split a
+    // speech pipeline runs between decode and filtering): per-window
+    // integer energies from one codegen kernel pass, then the
+    // declarative gaps-and-islands tail — threshold, per-DOCUMENT
+    // window (bounded by clip length, never a corpus window),
+    // consecutive-run grouping. The fixture's active/silent window
+    // pattern is doc-id arithmetic, so DuckDB replays every segment.
+    "audio_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val exploded = audioSegPop(s, dir)
+        .select(col("doc_id"), posexplode(
+          graft.multimodal.AudioHash.windowEnergy(col("payload"), 8))
+          .as(Seq("w", "energy")))
+        .where(col("energy") > lit(10000L))
+      val runs = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+      exploded
+        .withColumn("grp", col("w") - row_number().over(runs))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("w")).cast("int").as("start_w"),
+          max(col("w")).cast("int").as("end_w"),
+          count(lit(1)).as("n_windows"),
+          sum(col("energy")).as("energy_sum"))
+        .select(col("doc_id"), col("start_w"), col("end_w"),
+          col("n_windows"), col("energy_sum"))
+        .orderBy(col("doc_id"), col("start_w"))
+    }),
+
     // ── Animation perceptual near-dup (per-frame dHash) ──────────────
     // two animations pair when ANY frame pair lands within the radius
     // (hamming = best frame match, min-aggregated so multi-signature
@@ -4500,6 +4543,48 @@ object ExtensionQueries {
       }).toDF("doc_id", "payload")
   }
 
+  /** Scene-structured AVI clips for the cut-detection gate: six 9×8
+    * frames, frames 0-2 realizing class `d % 10` exactly and frames
+    * 3-5 class `10 + d % 7` — within-scene consecutive hamming is 0
+    * (identical signatures) and the single cut at frame 3 crosses
+    * classes ≥ 24 bits apart, so `is_cut` is pure doc-id arithmetic. */
+  private def videoScenePop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 120)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val a = sigClassWords((d % 10).toInt)
+        val b = sigClassWords(10 + (d % 7).toInt)
+        (d, graft.multimodal.Avi.encodeAviGray(9, 8, 6,
+          (f, k) => dhashWalkGray(if (f < 3) a else b, k)))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Window-controllable WAV clips for the energy-segmentation gate:
+    * 40 windows × 8 samples, window w carrying constant amplitude 1000
+    * (energy 8·10⁶) when `(d·31 + w·7) % 5 < 2` and 10 (energy 800)
+    * otherwise — the active/silent pattern, and therefore every
+    * segment boundary, is pure doc-id arithmetic. */
+  private def audioSegPop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { d =>
+        val data = new Array[Byte](2 * 320)
+        var i = 0
+        while (i < 320) {
+          val w = i / 8
+          val v = if ((d * 31 + w * 7) % 5 < 2) 1000 else 10
+          data(2 * i) = (v & 0xFF).toByte
+          data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        (d, graft.multimodal.Containers.buildWav(1, 8000, 16, data))
+      }).toDF("doc_id", "payload")
+  }
+
   /** The [[gifSeenBatch]] two-batch population re-rendered as
     * uncompressed-DIB AVI VIDEO: identical doc-id arithmetic,
     * identical target signatures, so the incremental video gate shares
@@ -5709,6 +5794,35 @@ object ExtensionQueries {
         |  AND (a.doc_id % 10 = b.doc_id % 10 OR
         |       a.doc_id % 7 = b.doc_id % 7)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the single cut sits at frame 3 by construction (frames 0-2 one
+    // exact class, 3-5 another ≥ 24 bits away; within-scene hamming 0)
+    "video_scenes" ->
+      """SELECT doc_id, cast(i AS int) AS frame_idx, i = 3 AS is_cut
+        |FROM documents, range(1, 6) t(i)
+        |WHERE doc_id < 120
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // every segment replayed from the fixture arithmetic: window w is
+    // active iff (d·31 + w·7) % 5 < 2 (energy 8·1000² vs 8·10²), runs
+    // grouped by the same gaps-and-islands construction
+    "audio_segments" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS w,
+        |    CASE WHEN (doc_id * 31 + i * 7) % 5 < 2
+        |      THEN 8 * 1000000 ELSE 8 * 100 END AS energy
+        |  FROM documents, range(40) t(i) WHERE doc_id < 200),
+        |a AS (SELECT doc_id, w, energy FROM w WHERE energy > 10000),
+        |g AS (SELECT doc_id, w, energy,
+        |        w - row_number() OVER (PARTITION BY doc_id ORDER BY w)
+        |          AS grp
+        |      FROM a)
+        |SELECT doc_id, cast(min(w) AS int) AS start_w,
+        |  cast(max(w) AS int) AS end_w,
+        |  cast(count(*) AS bigint) AS n_windows,
+        |  cast(sum(energy) AS bigint) AS energy_sum
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_w""".stripMargin,
 
     // the gif_dedup_incremental restatement verbatim — the video
     // population re-renders the same class signatures as AVI frames,

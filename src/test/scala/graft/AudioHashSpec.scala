@@ -156,4 +156,30 @@ class AudioHashSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("windowEnergies: fixed windows, kept partial tail, empty on undecodable") {
+    // 10 samples, windows of 4 → [4, 4, 2]: the partial tail window is
+    // KEPT (dropping it would silently lose trailing speech)
+    val s = Array(1, 2, 3, -4, 5, 6, -7, 8, 9, 10)
+    val wav = Containers.buildWav(1, 8000, 16, {
+      val d = new Array[Byte](2 * s.length)
+      for (i <- s.indices) {
+        d(2 * i) = (s(i) & 0xFF).toByte
+        d(2 * i + 1) = ((s(i) >> 8) & 0xFF).toByte
+      }
+      d
+    })
+    assert(AudioHash.windowEnergies(wav, 4).toSeq ===
+      Seq(1L + 4 + 9 + 16, 25L + 36 + 49 + 64, 81L + 100))
+    assert(AudioHash.windowEnergies(wav, 100).toSeq ===
+      Seq(s.map(v => v.toLong * v).sum))
+    assert(AudioHash.windowEnergies(wav, 0).isEmpty)
+    assert(AudioHash.windowEnergies(null, 4).isEmpty)
+    assert(AudioHash.windowEnergies("junk".getBytes("UTF-8"), 4).isEmpty)
+    // the Column surface computes the same values through codegen
+    val got = Seq((1L, wav)).toDF("doc_id", "payload")
+      .select(AudioHash.windowEnergy(col("payload"), 4))
+      .collect()(0).getSeq[Long](0)
+    assert(got === Seq(30L, 174L, 181L))
+  }
 }

@@ -142,6 +142,30 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.aviAllFramePixelGrids(good, 8) === Seq.empty)
   }
 
+  test("frameCutSignal marks exactly the frame-hash discontinuities") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // frames 0,1 identical; frame 2 flips every pixel ramp direction →
+    // one boundary at frame 2 with a large hamming, none at frame 1
+    val ramps = Avi.encodeAviGray(9, 8, 3,
+      (f, k) => if (f < 2) 16 + (k % 9) * 14 else 128 - (k % 9) * 14 + 112)
+    val rows = Seq((1L, ramps)).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        explode(ImageHash.frameCutSignal(col("payload"), 8)).as("c"))
+      .select(col("c.frame_idx"), col("c.hamming"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2))
+    assert(rows(0)._2 === 0, "identical frames must be hamming 0")
+    assert(rows(1)._2 > 7, "the flipped frame must read as a cut")
+    // under two frames: no phantom boundary
+    val single = Avi.encodeAviGray(9, 8, 1, (_, k) => 16 + (k % 9) * 14)
+    val none = Seq((1L, single)).toDF("doc_id", "payload")
+      .select(explode(ImageHash.frameCutSignal(col("payload"), 8)))
+      .count()
+    assert(none === 0L)
+  }
+
   test("compressed or non-24-bit streams decline the pixel walk") {
     val good = Avi.encodeAviGray(6, 5, 1, fill(1L))
     val strfBase = 12 + 12 + 8 + 56 + 12 + 8 + 56 + 8
