@@ -97,7 +97,8 @@ object Bench {
     // round 19 (cont.): real AVI video decode + rolling video dedup,
     // IMA ADPCM cross-codec audio
     "video_dedup", "video_dedup_incremental", "multimodal_video_frames",
-    "audio_dedup_adpcm", "video_scenes", "audio_segments")
+    "audio_dedup_adpcm", "video_scenes", "audio_segments",
+    "media_curation_pipeline")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

@@ -63,6 +63,21 @@ object GraftFunctions {
     "gif_frame_dhashes" -> (one(_)(graft.multimodal.FrameDHashesExpr(_, 8))),
     "gif_frame_phashes" -> (one(_)(graft.multimodal.FramePHashesExpr(_, 8))),
     "audio_fingerprint64" -> (one(_)(graft.multimodal.AudioFingerprint64Expr)),
+    // window size is a REQUIRED literal, not a pinned default: samples
+    // per unit time depend on the clip's own rate and channel count
+    // (a 50 ms frame is 400 samples at 8 kHz mono, 4410 at 44.1 kHz),
+    // so a one-size constant would silently give a SQL user 5-11x the
+    // intended granularity on higher-rate audio
+    "audio_window_energies" -> (two(_) { (payload, window) =>
+      val w = window match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          "audio_window_energies(payload, windowSamples): windowSamples " +
+            s"must be an integer literal, got $other")
+      }
+      graft.multimodal.AudioWindowEnergiesExpr(payload, w)
+    }),
     "warc_cdx" -> (one(_)(graft.ingest.WarcCdxExpr)),
     "vec_dot" -> (two(_)(VecDotExpr)),
     "l2_normalize" -> (one(_)(L2NormalizeExpr)),

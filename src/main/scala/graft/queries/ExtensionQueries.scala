@@ -1849,6 +1849,48 @@ object ExtensionQueries {
         .orderBy(col("id_a"))
     }),
 
+    // ── Media-curation capstone ──────────────────────────────────────
+    // the modality ROUTER a mixed media crawl runs: one frame of
+    // video + image + audio + non-media payloads, classified by the
+    // real container parsers (containerMeta), then each modality
+    // routed into ITS near-dup operator — any-frame AVI pairs, dHash
+    // image pairs, fingerprint audio pairs; unknown payloads join no
+    // pair. Summary = (format, n_docs, n_pairs), every number class
+    // arithmetic (the fixture controls every signature), so DuckDB
+    // replays the whole composition. localCheckpoint at both
+    // dual-consumer boundaries (population: classified AND routed;
+    // classification: counted AND joined).
+    "media_curation_pipeline" -> ((s, dir) => {
+      val media = mediaCurationPop(s, dir).localCheckpoint(true)
+      val meta = Multimodal.containerMeta(s, media)
+        .toDF().select(col("doc_id"), col("format"))
+        .localCheckpoint(true)
+      val counts = meta.groupBy(col("format"))
+        .agg(count(lit(1)).as("n_docs"))
+      val routed = media.join(meta, Seq("doc_id"))
+      def pairsOf(fmt: String, pairs: DataFrame): DataFrame =
+        pairs.agg(count(lit(1)).as("n_pairs"))
+          .select(lit(fmt).as("format"), col("n_pairs"))
+      val byModality =
+        pairsOf("avi", ImageHash.animationNearDupPairs(
+            routed.where(col("format") === "avi"),
+            col("doc_id"), col("payload"), maxHamming = 7, maxFrames = 4,
+            wideTables = Some(false)))
+          .unionByName(pairsOf("png", ImageHash.nearDupPairs(
+            routed.where(col("format") === "png"),
+            col("doc_id"), col("payload"), maxHamming = 7,
+            wideTables = Some(false))))
+          .unionByName(pairsOf("wav",
+            graft.multimodal.AudioHash.nearDupPairs(
+              routed.where(col("format") === "wav"),
+              col("doc_id"), col("payload"), maxHamming = 7,
+              wideTables = Some(false))))
+      counts.join(byModality, Seq("format"), "left")
+        .select(col("format"), col("n_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy(col("format"))
+    }),
+
     // scene-CUT detection over the frame stream: consecutive frame
     // dHash hamming above the radius marks a cut (within-scene motion
     // moves a few gradient signs; a cut rewrites the frame). Purely
@@ -4543,6 +4585,35 @@ object ExtensionQueries {
       }).toDF("doc_id", "payload")
   }
 
+  /** The MIXED-MODALITY population for the media-curation capstone:
+    * one frame with every media family a crawler actually lands —
+    * video (the [[videoDedupPop]] two-frame class AVIs, ids < 60),
+    * images (dHash-exact class PNGs under +100000), audio
+    * (fingerprint-exact class WAVs under +200000), and NON-media text
+    * bytes under +300000 (ids < 20) that must classify `unknown` and
+    * join no pair. Every family's pair set is class arithmetic, so the
+    * whole capstone summary is restatable in SQL. */
+  private def mediaCurationPop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val video = Tables(s, dir, "documents")
+      .where(col("doc_id") < 60)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val sigs = IndexedSeq(sigClassWords((d % 10).toInt),
+          sigClassWords(10 + (d % 7).toInt))
+        Seq(
+          (d, graft.multimodal.Avi.encodeAviGray(9, 8, 2,
+            (f, k) => dhashWalkGray(sigs(f), k))),
+          (d + 100000L, sigTargetImage(sigClassWords((d % 10).toInt))),
+          (d + 200000L, audioTargetClip(sigClassWords((d % 10).toInt))))
+      }).toDF("doc_id", "payload")
+    val unknown = Tables(s, dir, "documents")
+      .where(col("doc_id") < 20)
+      .select((col("doc_id") + lit(300000L)).cast("long").as("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+    video.unionByName(unknown)
+  }
+
   /** Scene-structured AVI clips for the cut-detection gate: six 9×8
     * frames, frames 0-2 realizing class `d % 10` exactly and frames
     * 3-5 class `10 + d % 7` — within-scene consecutive hamming is 0
@@ -5794,6 +5865,31 @@ object ExtensionQueries {
         |  AND (a.doc_id % 10 = b.doc_id % 10 OR
         |       a.doc_id % 7 = b.doc_id % 7)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the whole router replayed from class arithmetic: video pairs
+    // share a frame-0 class (d%10) or frame-1 class (d%7); image and
+    // audio pairs share class d%10; non-media rows classify unknown
+    // and pair with nothing
+    "media_curation_pipeline" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |vp AS (SELECT count(*) AS c FROM d a JOIN d b
+        |         ON a.doc_id < b.doc_id
+        |         AND (a.doc_id % 10 = b.doc_id % 10 OR
+        |              a.doc_id % 7 = b.doc_id % 7)),
+        |cp AS (SELECT count(*) AS c FROM d a JOIN d b
+        |         ON a.doc_id < b.doc_id
+        |         AND a.doc_id % 10 = b.doc_id % 10),
+        |n AS (SELECT count(*) AS c FROM d),
+        |u AS (SELECT count(*) AS c FROM documents WHERE doc_id < 20)
+        |SELECT 'avi' AS format, cast(n.c AS bigint) AS n_docs,
+        |  cast(vp.c AS bigint) AS n_pairs FROM n, vp
+        |UNION ALL
+        |SELECT 'png', cast(n.c AS bigint), cast(cp.c AS bigint) FROM n, cp
+        |UNION ALL
+        |SELECT 'wav', cast(n.c AS bigint), cast(cp.c AS bigint) FROM n, cp
+        |UNION ALL
+        |SELECT 'unknown', cast(u.c AS bigint), cast(0 AS bigint) FROM u
+        |ORDER BY format""".stripMargin,
 
     // the single cut sits at frame 3 by construction (frames 0-2 one
     // exact class, 3-5 another ≥ 24 bits away; within-scene hamming 0)

@@ -181,5 +181,12 @@ class AudioHashSpec extends AnyFunSuite {
       .select(AudioHash.windowEnergy(col("payload"), 4))
       .collect()(0).getSeq[Long](0)
     assert(got === Seq(30L, 174L, 181L))
+    // and the SQL surface — window size as a required literal
+    graft.ops.GraftFunctions.register(spark)
+    Seq((1L, wav)).toDF("doc_id", "payload").createOrReplaceTempView("awe")
+    val viaSql = spark.sql(
+      "SELECT audio_window_energies(payload, 4) AS e FROM awe")
+      .head().getSeq[Long](0)
+    assert(viaSql === Seq(30L, 174L, 181L))
   }
 }
