@@ -91,7 +91,10 @@ object AudioHash {
   def windowEnergies(payload: Array[Byte], windowSamples: Int): Array[Long] =
     (if (payload == null) None else Containers.pcmSamples(payload)) match {
       case Some(s) if s.length > 0 && windowSamples > 0 =>
-        val nw = (s.length + windowSamples - 1) / windowSamples
+        // overflow-safe ceil: (len + ws - 1) wraps negative for a huge
+        // windowSamples literal, silently yielding zero windows where
+        // the contract promises one full-clip window
+        val nw = (s.length - 1) / windowSamples + 1
         val e = new Array[Long](nw)
         var w = 0
         while (w < nw) {

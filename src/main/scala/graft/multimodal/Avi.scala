@@ -45,7 +45,8 @@ object Avi {
   final case class AviInfo(width: Int, height: Int, totalFrames: Int,
                            usecPerFrame: Int, streams: Int,
                            handler: String, bitsPerPixel: Int,
-                           compression: Int, moviBytes: Long) {
+                           compression: Int, moviBytes: Long,
+                           strfWidth: Int = 0, strfHeight: Int = 0) {
     def durationMs: Long = usecPerFrame.toLong * totalFrames / 1000L
   }
 
@@ -96,7 +97,8 @@ object Avi {
     }
     var off = 12L
     var mainHdr: Option[(Int, Int, Int, Int, Int)] = None
-    var vids: Option[(String, Int, Int)] = None // (handler, bpp, compression)
+    var vids: Option[(String, Int, Int, Int, Int)] = None
+    // (handler, bpp, compression, strf biWidth, strf biHeight)
     var movi: Option[(Long, Long)] = None // (payload offset, bytes)
     while (off + 8 <= riffEnd) {
       val i = off.toInt
@@ -117,21 +119,22 @@ object Avi {
     }
     for {
       (w, h, nf, usec, ns) <- mainHdr
-      (handler, bpp, comp) <- vids
+      (handler, bpp, comp, sw, sh) <- vids
       (mOff, mBytes) <- movi
-    } yield (AviInfo(w, h, nf, usec, ns, handler, bpp, comp, mBytes),
-      mOff)
+    } yield (AviInfo(w, h, nf, usec, ns, handler, bpp, comp, mBytes,
+      sw, sh), mOff)
   }
 
   /** hdrl LIST body: the avih main header plus the FIRST 'vids'
     * stream's strh/strf pair (audio or extra streams are tolerated and
     * skipped — a real capture AVI interleaves them). */
   private def parseHdrl(payload: Array[Byte], start: Long, end: Long)
-      : (Option[(Int, Int, Int, Int, Int)], Option[(String, Int, Int)]) = {
+      : (Option[(Int, Int, Int, Int, Int)],
+         Option[(String, Int, Int, Int, Int)]) = {
     val b = le(payload)
     var off = start
     var mainHdr: Option[(Int, Int, Int, Int, Int)] = None
-    var vids: Option[(String, Int, Int)] = None
+    var vids: Option[(String, Int, Int, Int, Int)] = None
     while (off + 8 <= end) {
       val i = off.toInt
       val id = b.getInt(i)
@@ -157,15 +160,18 @@ object Avi {
   }
 
   /** strl LIST body: strh (stream kind + handler) and strf
-    * (BITMAPINFOHEADER for video). None when this stream is not
-    * 'vids' — the caller keeps scanning. */
+    * (BITMAPINFOHEADER for video, including its OWN dimensions — the
+    * frame decoder cross-checks them against the main header, and the
+    * biHeight SIGN carries the DIB row order). None when this stream
+    * is not 'vids' — the caller keeps scanning. */
   private def parseStrl(payload: Array[Byte], start: Long, end: Long)
-      : Option[(String, Int, Int)] = {
+      : Option[(String, Int, Int, Int, Int)] = {
     val b = le(payload)
     var off = start
     var isVids = false
     var handler = ""
-    var fmt: Option[(Int, Int)] = None // (bpp, compression)
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    // (bpp, compression, biWidth, biHeight)
     while (off + 8 <= end) {
       val i = off.toInt
       val id = b.getInt(i)
@@ -175,13 +181,16 @@ object Avi {
         isVids = b.getInt(i + 8) == VIDS
         handler = fourcc(b.getInt(i + 12))
       } else if (id == STRF && size >= 40 && isVids && fmt.isEmpty) {
-        // BITMAPINFOHEADER: biBitCount @14, biCompression @16
-        fmt = Some((b.getShort(i + 8 + 14) & 0xFFFF, b.getInt(i + 8 + 16)))
+        // BITMAPINFOHEADER: biWidth @4, biHeight @8 (signed — negative
+        // means top-down rows), biBitCount @14, biCompression @16
+        fmt = Some((b.getShort(i + 8 + 14) & 0xFFFF, b.getInt(i + 8 + 16),
+          b.getInt(i + 8 + 4), b.getInt(i + 8 + 8)))
       }
       off += 8L + size + (size & 1)
     }
-    if (isVids) fmt.map { case (bpp, comp) => (handler, bpp, comp) }
-    else None
+    if (isVids) fmt.map { case (bpp, comp, sw, sh) =>
+      (handler, bpp, comp, sw, sh)
+    } else None
   }
 
   /** REAL frame pixel decode: every `step`-th uncompressed-DIB video
@@ -202,19 +211,40 @@ object Avi {
     * collapsed to the grid triple — frame indices are implicit
     * (i·step) by the sequential walk. */
   def aviAllFramePixelGrids(payload: Array[Byte], maxFrames: Int,
-                            step: Int = 1): Seq[(Int, Int, Array[Int])] = {
-    if (maxFrames <= 0 || step <= 0) return Seq.empty
-    aviWithMovi(payload) match {
+                            step: Int = 1): Seq[(Int, Int, Array[Int])] =
+    aviInfoAndFrames(payload, maxFrames, step) match {
+      case Some((_, frames)) => frames
       case None => Seq.empty
+    }
+
+  /** The walk behind [[aviAllFramePixelGrids]], also yielding the
+    * parsed header facts — consumers that need BOTH (frame sampling
+    * with the header's own frame count) pay one header parse, not
+    * two. None when the payload is not a decodable uncompressed-DIB
+    * AVI at all; Some(info, Seq.empty) when the header parses but no
+    * frame decodes. */
+  def aviInfoAndFrames(payload: Array[Byte], maxFrames: Int,
+      step: Int = 1): Option[(AviInfo, Seq[(Int, Int, Array[Int])])] = {
+    if (maxFrames <= 0 || step <= 0) return None
+    aviWithMovi(payload) match {
+      case None => None
       case Some((info, mOff)) =>
         val w = info.width
+        // the strf BITMAPINFOHEADER carries its own dimensions: the
+        // SIGN of biHeight is the DIB row order (negative = top-down),
+        // and a width/extent disagreement with the main header means
+        // one of them lies — decline rather than guess which
+        // (the bmpPixelValues discipline)
+        val topDown = info.strfHeight < 0
         val h = info.height
         if (info.compression != 0 || info.bitsPerPixel != 24 ||
-            w <= 0 || h <= 0) return Seq.empty
+            w <= 0 || h <= 0 || info.strfWidth != w ||
+            math.abs(info.strfHeight.toLong) != h.toLong)
+          return Some((info, Seq.empty))
         val stride = (3L * w + 3) / 4 * 4
         val frameBytes = stride * h
         if (frameBytes > Int.MaxValue || 3L * w * h > Int.MaxValue)
-          return Seq.empty
+          return Some((info, Seq.empty))
         val b = le(payload)
         val out = Seq.newBuilder[(Int, Int, Array[Int])]
         var off = mOff
@@ -241,7 +271,8 @@ object Avi {
                   val px = new Array[Int](3 * w * h)
                   var vr = 0
                   while (vr < h) {
-                    val sr = h - 1 - vr // stored bottom-up
+                    // stored bottom-up unless strf flags top-down
+                    val sr = if (topDown) vr else h - 1 - vr
                     val base = (off + 8 + sr.toLong * stride).toInt
                     var x = 0
                     while (x < w) {
@@ -263,7 +294,7 @@ object Avi {
             off += 8L + size + (size & 1)
           }
         }
-        out.result()
+        Some((info, out.result()))
     }
   }
 
@@ -300,7 +331,11 @@ object Avi {
     out.putInt(40000)               // dwMicroSecPerFrame (25 fps)
       .putInt(frameBytes * 25)      // dwMaxBytesPerSec
       .putInt(0)                    // dwPaddingGranularity
-      .putInt(0x10)                 // dwFlags: AVIF_HASINDEX off, 0x10 = WASCAPTUREFILE (benign)
+      .putInt(0)                    // dwFlags: no idx1 chunk is emitted,
+                                    // so AVIF_HASINDEX (0x10) must NOT
+                                    // be claimed — a strict reader
+                                    // honoring the flag would reject
+                                    // the file
       .putInt(nFrames)              // dwTotalFrames
       .putInt(0)                    // dwInitialFrames
       .putInt(1)                    // dwStreams

@@ -93,7 +93,12 @@ object Containers {
     var factSamples = -1L
     var dataBytes = -1L
     var dataOff = -1
-    while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+    // keep walking past fmt+data while an ADPCM stream still owes its
+    // fact chunk — RIFF does not mandate fact-before-data, and exiting
+    // early would decline a decodable clip purely on chunk order
+    def needMore: Boolean = fmt.isEmpty || dataBytes < 0 ||
+      (fmt.exists(_._1 == FormatImaAdpcm) && factSamples < 0)
+    while (off + 8 <= payload.length && needMore) {
       val i = off.toInt
       val id = b.getInt(i)
       val size = b.getInt(i + 4)
@@ -353,7 +358,10 @@ object Containers {
       else math.max(3, samplesPerBlock)
     val spb = if (samplesPerBlock <= 0) spb0
       else if (spb0 % 2 == 0) spb0 + 1 else spb0
-    val blockAlign = 4 + spb / 2 // 4-byte header + ceil((spb-1)/2) codes
+    // never below 5: the parser's own imaFactsHold demands a block big
+    // enough for a header AND at least one data byte, so a 1-sample
+    // clip pads its lone block rather than emit an unparseable file
+    val blockAlign = math.max(5, 4 + spb / 2)
     val nBlocks = (samples.length + spb - 1) / spb
     val buf = new java.io.ByteArrayOutputStream()
     var idx = 0

@@ -298,8 +298,12 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions(_.flatMap { m =>
         val p = if (m.payload == null) Array.emptyByteArray else m.payload
-        val nf = Avi.parseAvi(p).map(_.totalFrames).getOrElse(0)
-        Avi.aviAllFramePixelGrids(p, maxFrames, stride).iterator
+        // ONE header parse serves both the frame count and the walk
+        val (nf, grids) = Avi.aviInfoAndFrames(p, maxFrames, stride) match {
+          case Some((info, g)) => (info.totalFrames, g)
+          case None => (0, Seq.empty[(Int, Int, Array[Int])])
+        }
+        grids.iterator
           .zipWithIndex.map { case ((_, _, vals), i) =>
             var s = 0L
             var mn = 255

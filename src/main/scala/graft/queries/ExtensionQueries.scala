@@ -4577,12 +4577,19 @@ object ExtensionQueries {
     Tables(s, dir, "documents")
       .where(col("doc_id") < 60)
       .select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(_.map { d =>
-        val sigs = IndexedSeq(sigClassWords((d % 10).toInt),
-          sigClassWords(10 + (d % 7).toInt))
-        (d, graft.multimodal.Avi.encodeAviGray(9, 8, 2,
-          (f, k) => dhashWalkGray(sigs(f), k)))
-      }).toDF("doc_id", "payload")
+      .mapPartitions(_.map(d => (d, classAviPayload(d))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** The ONE two-frame class-signature AVI construction both
+    * [[videoDedupPop]] and [[mediaCurationPop]] plant — their oracles
+    * assume the two populations stay structurally identical, so the
+    * synthesis must have a single definition. */
+  private def classAviPayload(d: Long): Array[Byte] = {
+    val sigs = IndexedSeq(sigClassWords((d % 10).toInt),
+      sigClassWords(10 + (d % 7).toInt))
+    graft.multimodal.Avi.encodeAviGray(9, 8, 2,
+      (f, k) => dhashWalkGray(sigs(f), k))
   }
 
   /** The MIXED-MODALITY population for the media-curation capstone:
@@ -4599,11 +4606,8 @@ object ExtensionQueries {
       .where(col("doc_id") < 60)
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.flatMap { d =>
-        val sigs = IndexedSeq(sigClassWords((d % 10).toInt),
-          sigClassWords(10 + (d % 7).toInt))
         Seq(
-          (d, graft.multimodal.Avi.encodeAviGray(9, 8, 2,
-            (f, k) => dhashWalkGray(sigs(f), k))),
+          (d, classAviPayload(d)),
           (d + 100000L, sigTargetImage(sigClassWords((d % 10).toInt))),
           (d + 200000L, audioTargetClip(sigClassWords((d % 10).toInt))))
       }).toDF("doc_id", "payload")

@@ -173,6 +173,10 @@ class AudioHashSpec extends AnyFunSuite {
       Seq(1L + 4 + 9 + 16, 25L + 36 + 49 + 64, 81L + 100))
     assert(AudioHash.windowEnergies(wav, 100).toSeq ===
       Seq(s.map(v => v.toLong * v).sum))
+    // a huge window literal must yield ONE full-clip window, not
+    // overflow the ceil into zero windows
+    assert(AudioHash.windowEnergies(wav, Int.MaxValue).toSeq ===
+      Seq(s.map(v => v.toLong * v).sum))
     assert(AudioHash.windowEnergies(wav, 0).isEmpty)
     assert(AudioHash.windowEnergies(null, 4).isEmpty)
     assert(AudioHash.windowEnergies("junk".getBytes("UTF-8"), 4).isEmpty)

@@ -142,6 +142,38 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.aviAllFramePixelGrids(good, 8) === Seq.empty)
   }
 
+  test("top-down DIB (negative strf biHeight) decodes un-flipped; dimension lies decline") {
+    val w = 6
+    val h = 5
+    val bottomUp = Avi.encodeAviGray(w, h, 1, (_, k) => 4 * k)
+    // flip the strf biHeight sign AND reverse the stored row order —
+    // the same visual image in top-down storage must decode to the
+    // same pixels
+    val strfBase = 12 + 12 + 8 + 56 + 12 + 8 + 56 + 8
+    val stride = (3 * w + 3) / 4 * 4
+    val moviData = 12 + 12 + 8 + 56 + 12 + 8 + 56 + 8 + 40 + 12 + 8
+    val topDown = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strfBase + 8, -h)
+    for (r <- 0 until h; c <- 0 until stride)
+      topDown(moviData + r * stride + c) =
+        bottomUp(moviData + (h - 1 - r) * stride + c)
+    val a = Avi.aviAllFramePixelGrids(bottomUp, 4)
+    val b = Avi.aviAllFramePixelGrids(topDown, 4)
+    assert(a.length === 1 && b.length === 1)
+    assert(a.head._3.toSeq === b.head._3.toSeq,
+      "top-down storage of the same image must decode identically")
+    // a strf/avih extent disagreement means one header lies — decline
+    val lying = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strfBase + 8, h + 1)
+    assert(Avi.aviAllFramePixelGrids(lying, 4) === Seq.empty)
+    val lyingW = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(lyingW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strfBase + 4, w + 1)
+    assert(Avi.aviAllFramePixelGrids(lyingW, 4) === Seq.empty)
+  }
+
   test("frameCutSignal marks exactly the frame-hash discontinuities") {
     val spark = SparkTestSession.spark
     import spark.implicits._
