@@ -76,4 +76,72 @@ class StreamingSigSeenSpec extends AnyFunSuite {
     assert(stateSet(state) === expected)
     assert(SigSeen.watermark(spark, state) === Some(1L))
   }
+
+  test("VIDEO payloads stream through the multi-signature fold; " +
+      "replay is a no-op and any-frame re-sights judge seen") {
+    import graft.multimodal.{Avi, ImageHash}
+    val dir = Files.createTempDirectory("graft_svid")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    val state = dir.resolve("state").toString
+    // realistic wire shape: crawl shards ship base64 payloads in JSONL;
+    // the fold hashes REAL AVI bytes after unbase64. Frames realize
+    // EXACT target dHashes via the ±14 walk (the gate fixtures'
+    // construction), so frame classes sit ≥ 32 bits apart.
+    def walkGray(sig: Long, k: Int): Int = {
+      val y = k / 9
+      val x = k % 9
+      var v = 128
+      var i = 0
+      while (i < x) {
+        v += (if (((sig >>> (63 - (y * 8 + i))) & 1L) == 1L) -14 else 14)
+        i += 1
+      }
+      v
+    }
+    def clip(sig0: Long, sig1: Long): String =
+      java.util.Base64.getEncoder.encodeToString(
+        Avi.encodeAviGray(9, 8, 2,
+          (f, k) => walkGray(if (f == 0) sig0 else sig1, k)))
+    val c1 = clip(0L, -1L)
+    val c3 = clip(0x0F0F0F0F0F0F0F0FL, 0xF0F0F0F0F0F0F0F0L)
+    Files.writeString(in.resolve("b1.jsonl"),
+      s"""{"doc_id":1,"p":"$c1"}""" + "\n")
+    // b2: doc 2 is a BYTE clone of doc 1 (every frame re-sighted —
+    // seen), doc 3 shares NO frame class (new)
+    Files.writeString(in.resolve("b2.jsonl"),
+      s"""{"doc_id":2,"p":"$c1"}""" + "\n" +
+      s"""{"doc_id":3,"p":"$c3"}""" + "\n")
+
+    def runStream(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, p STRING")
+        .option("maxFilesPerTrigger", 1).json(in.toString)
+        .writeStream
+        .foreachBatch { (mb: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.dedup.SigSeen.foldBatchMulti(mb, col("doc_id"),
+            ImageHash.frameDHash(unbase64(col("p")), 4), state, id)
+            .count()
+          ()
+        }
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runStream()
+    val after = stateSet(state)
+    runStream() // fresh query over the same checkpoint: no-op
+    assert(stateSet(state) === after)
+    // hand replay of batch 1 (at-least-once): annotation stable,
+    // state unchanged — doc 2 seen via its cloned frames at hamming 0
+    val mb = Seq((2L, c1), (3L, c3)).toDF("doc_id", "p")
+    val replay = graft.dedup.SigSeen.foldBatchMulti(mb, col("doc_id"),
+        ImageHash.frameDHash(unbase64(col("p")), 4), state, 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(replay.map(_._1) === Seq(2L, 3L))
+    assert(replay(0)._2 === "seen")
+    assert(replay(1)._2 === "new")
+    assert(stateSet(state) === after)
+  }
 }
