@@ -98,7 +98,7 @@ object Bench {
     // IMA ADPCM cross-codec audio
     "video_dedup", "video_dedup_incremental", "multimodal_video_frames",
     "audio_dedup_adpcm", "video_scenes", "audio_segments",
-    "media_curation_pipeline")
+    "media_curation_pipeline", "media_curation_incremental")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

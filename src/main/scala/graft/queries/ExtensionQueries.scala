@@ -1891,6 +1891,42 @@ object ExtensionQueries {
         .orderBy(col("format"))
     }),
 
+    // the capstone's INCREMENTAL twin — one MIXED month-2 crawl frame
+    // (image + audio + video batch 2, globally unique ids) classified
+    // by the real container parsers and routed into THREE standing
+    // SigSeen states under one batch stamp, the way corpus_build has
+    // its standing-UrlSeen twin. The replay is idempotent per state
+    // (watermark guard), and every status is the family arithmetic
+    // shifted by the id offset — fully restatable.
+    "media_curation_incremental" -> ((s, dir) => {
+      val stateRoot = mediaIncStateFor(s, dir)
+      val frame = shiftIds(sigSeenBatch(s, dir, 2), MediaIncImg)
+        .unionByName(shiftIds(audioSeenBatch(s, dir, 2), MediaIncAud))
+        .unionByName(shiftIds(videoSeenBatch(s, dir, 2), MediaIncVid))
+        .localCheckpoint(true) // classified AND routed three ways
+      val fmt = Multimodal.containerMeta(s, frame)
+        .toDF().select(col("doc_id"), col("format"))
+      val routed = frame.join(fmt, Seq("doc_id")).localCheckpoint(true)
+      def leg(format: String, out: DataFrame): DataFrame =
+        out.select(lit(format).as("modality"), col("doc_id"),
+          col("status"), col("first_doc"),
+          col("hamming").cast("long").as("hamming"))
+      leg("png", graft.dedup.SigSeen.foldBatch(
+          routed.where(col("format") === "png"),
+          col("doc_id"), ImageHash.dHash(col("payload")),
+          stateRoot + "/img", 2L))
+        .unionByName(leg("wav", graft.dedup.SigSeen.foldBatch(
+          routed.where(col("format") === "wav"),
+          col("doc_id"),
+          graft.multimodal.AudioHash.fingerprint(col("payload")),
+          stateRoot + "/aud", 2L)))
+        .unionByName(leg("avi", graft.dedup.SigSeen.foldBatchMulti(
+          routed.where(col("format") === "avi"),
+          col("doc_id"), ImageHash.frameDHash(col("payload")),
+          stateRoot + "/vid", 2L)))
+        .orderBy(col("doc_id"))
+    }),
+
     // scene-CUT detection over the frame stream: consecutive frame
     // dHash hamming above the radius marks a cut (within-scene motion
     // moves a few gradient signs; a cut rewrites the frame). Purely
@@ -4709,6 +4745,45 @@ object ExtensionQueries {
       ()
     })
 
+  /** One family's batch with the doc ids shifted into its OWN range —
+    * the mixed-modality frame needs globally unique ids, and a
+    * constant offset keeps every status restatable (the in-batch
+    * min-doc arithmetic shifts by the same constant). */
+  private def shiftIds(batch: DataFrame, offset: Long): DataFrame =
+    batch.select((col("doc_id") + lit(offset)).as("doc_id"),
+      col("payload"))
+
+  private val MediaIncImg = 1000000L
+  private val MediaIncAud = 2000000L
+  private val MediaIncVid = 3000000L
+
+  /** THREE standing signature states — image dHash, audio fingerprint,
+    * video multi-sig — under one root, each built from its family's
+    * two-batch population with ids shifted into the family's range:
+    * the rolling-media month-2 story where ONE mixed crawl frame
+    * advances every modality's state. The gate replays batch 2
+    * (idempotent by the watermark guard), exactly the single-family
+    * incremental gates' discipline. */
+  private val mediaIncStateFor = new IndexCache("graft_gate_mediainc",
+    (s, dir, path) => {
+      for (b <- 1 to 2) {
+        graft.dedup.SigSeen.foldBatch(
+          shiftIds(sigSeenBatch(s, dir, b), MediaIncImg),
+          col("doc_id"), ImageHash.dHash(col("payload")),
+          path + "/img", b.toLong)
+        graft.dedup.SigSeen.foldBatch(
+          shiftIds(audioSeenBatch(s, dir, b), MediaIncAud),
+          col("doc_id"),
+          graft.multimodal.AudioHash.fingerprint(col("payload")),
+          path + "/aud", b.toLong)
+        graft.dedup.SigSeen.foldBatchMulti(
+          shiftIds(videoSeenBatch(s, dir, b), MediaIncVid),
+          col("doc_id"), ImageHash.frameDHash(col("payload")),
+          path + "/vid", b.toLong)
+      }
+      ()
+    })
+
   /** Bounded WAV population for the audio-dedup gates: per doc < 300 a
     * 16-bit mono clip of 200 + id%50 pseudo-noise samples (id-seeded
     * stride, values in [-100, 100]), plus two plant families on ids
@@ -5894,6 +5969,45 @@ object ExtensionQueries {
         |UNION ALL
         |SELECT 'unknown', cast(u.c AS bigint), cast(0 AS bigint) FROM u
         |ORDER BY format""".stripMargin,
+
+    // the three family restatements under their id offsets, one frame:
+    // roles 0/1 re-sight batch-1 class c (state first_doc = offset +
+    // 2c), roles 2/3 share a never-seen class judged within the batch,
+    // video's two-frame docs are seen through their second frame
+    "media_curation_incremental" ->
+      """WITH b2 AS (
+        |  SELECT doc_id, (doc_id - 1) // 2 AS k FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id < 400),
+        |r AS (SELECT doc_id, k % 4 AS role, k % 10 AS c FROM b2),
+        |n AS (SELECT c, min(doc_id) AS nf FROM r WHERE role IN (2, 3)
+        |  GROUP BY c),
+        |fam AS (
+        |  SELECT r.doc_id,
+        |    CASE WHEN r.role IN (0, 1) THEN 'seen'
+        |         WHEN r.doc_id = n.nf THEN 'new'
+        |         ELSE 'dup_in_batch' END AS status,
+        |    CASE WHEN r.role IN (0, 1) THEN 2 * r.c ELSE n.nf END AS fd,
+        |    cast(CASE WHEN r.role = 0 THEN 0 WHEN r.role = 1 THEN 1
+        |      ELSE NULL END AS bigint) AS hamming
+        |  FROM r LEFT JOIN n USING (c)),
+        |dual AS (
+        |  SELECT doc_id, 'seen' AS status,
+        |    2 * (((doc_id - 401) // 2) % 10) AS fd,
+        |    cast(0 AS bigint) AS hamming
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id >= 401 AND doc_id < 440)
+        |SELECT 'png' AS modality, doc_id + 1000000 AS doc_id, status,
+        |  cast(fd + 1000000 AS bigint) AS first_doc, hamming FROM fam
+        |UNION ALL
+        |SELECT 'wav', doc_id + 2000000, status,
+        |  cast(fd + 2000000 AS bigint), hamming FROM fam
+        |UNION ALL
+        |SELECT 'avi', doc_id + 3000000, status,
+        |  cast(fd + 3000000 AS bigint), hamming FROM fam
+        |UNION ALL
+        |SELECT 'avi', doc_id + 3000000, status,
+        |  cast(fd + 3000000 AS bigint), hamming FROM dual
+        |ORDER BY doc_id""".stripMargin,
 
     // the single cut sits at frame 3 by construction (frames 0-2 one
     // exact class, 3-5 another ≥ 24 bits away; within-scene hamming 0)
