@@ -348,8 +348,27 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, p0) =>
+      .mapPartitions(_.map { case (id, p) => classifyOne(id, p) })
+  }
+
+  /** Narrow payload → format routing: (doc_id, payload, format) in ONE
+    * partition-local pass — the modality-router entry point. The
+    * format-and-payload JOIN alternative (containerMeta then join back
+    * on doc_id) ships every payload byte through a shuffle, the one
+    * cost this module's placement rules exist to avoid; here the
+    * payload never leaves its partition. */
+  def withFormat(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, p, classifyOne(id, p).format)
+      }).toDF("doc_id", "payload", "format")
+  }
+
+  /** The ONE classification cascade behind [[containerMeta]] and
+    * [[withFormat]]. */
+  private def classifyOne(id: Long, p0: Array[Byte]): ContainerInfo = {
           // null payload parses as nothing — classify "unknown", the
           // same degradation path as malformed bytes
           val p = if (p0 == null) Array.emptyByteArray else p0
@@ -397,8 +416,6 @@ object Multimodal {
               }
             }
           }
-        }
-      }
   }
 
   private val HexChars = "0123456789abcdef".toCharArray

@@ -1861,13 +1861,15 @@ object ExtensionQueries {
     // dual-consumer boundaries (population: classified AND routed;
     // classification: counted AND joined).
     "media_curation_pipeline" -> ((s, dir) => {
-      val media = mediaCurationPop(s, dir).localCheckpoint(true)
-      val meta = Multimodal.containerMeta(s, media)
-        .toDF().select(col("doc_id"), col("format"))
+      // classification is a NARROW projection (withFormat), never a
+      // join back on doc_id — that alternative ships every payload
+      // byte through a shuffle, the one cost the media plumbing
+      // exists to avoid. One checkpoint serves the count and the
+      // three routing consumers.
+      val routed = Multimodal.withFormat(s, mediaCurationPop(s, dir))
         .localCheckpoint(true)
-      val counts = meta.groupBy(col("format"))
+      val counts = routed.groupBy(col("format"))
         .agg(count(lit(1)).as("n_docs"))
-      val routed = media.join(meta, Seq("doc_id"))
       def pairsOf(fmt: String, pairs: DataFrame): DataFrame =
         pairs.agg(count(lit(1)).as("n_pairs"))
           .select(lit(fmt).as("format"), col("n_pairs"))
@@ -1903,10 +1905,9 @@ object ExtensionQueries {
       val frame = shiftIds(sigSeenBatch(s, dir, 2), MediaIncImg)
         .unionByName(shiftIds(audioSeenBatch(s, dir, 2), MediaIncAud))
         .unionByName(shiftIds(videoSeenBatch(s, dir, 2), MediaIncVid))
-        .localCheckpoint(true) // classified AND routed three ways
-      val fmt = Multimodal.containerMeta(s, frame)
-        .toDF().select(col("doc_id"), col("format"))
-      val routed = frame.join(fmt, Seq("doc_id")).localCheckpoint(true)
+      // narrow classification (no payload-shuffling join back), one
+      // checkpoint for the three routing consumers
+      val routed = Multimodal.withFormat(s, frame).localCheckpoint(true)
       def leg(format: String, out: DataFrame): DataFrame =
         out.select(lit(format).as("modality"), col("doc_id"),
           col("status"), col("first_doc"),

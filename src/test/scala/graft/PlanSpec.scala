@@ -400,6 +400,26 @@ class PlanSpec extends AnyFunSuite {
     assert(one === two, "two-shuffle form diverged from the repartition form")
   }
 
+  test("media payloads never cross an exchange (video dedup + curation router)") {
+    // the media scale contract: payload bytes decode where they rest;
+    // only ids + signatures/formats shuffle. In formatted mode every
+    // Exchange detail block lists its input attributes — none may
+    // carry the payload column.
+    for (gate <- Seq("video_dedup", "media_curation_pipeline")) {
+      val p = plan(SparkEntry.queries(gate)(spark, dir))
+      val blocks = p.split("\n\n")
+      val exchanges = blocks.filter(b =>
+        b.linesIterator.nextOption().exists(l =>
+          l.startsWith("(") &&
+            (l.contains(") Exchange") || l.contains(") BroadcastExchange"))))
+      assert(exchanges.nonEmpty,
+        s"$gate: expected exchange blocks\n" + p.take(800))
+      for (b <- exchanges)
+        assert(!b.contains("payload"),
+          s"$gate: an exchange ships payload bytes:\n$b")
+    }
+  }
+
   test("html/url kernels evaluate inside WholeStageCodegen") {
     val df = Tables(spark, dir, "documents")
       .select(graft.ops.HtmlExprs.htmlExtract(col("text")).as("t"),
