@@ -142,6 +142,31 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.aviAllFramePixelGrids(good, 8) === Seq.empty)
   }
 
+  test("property sweep: random shapes round-trip exactly (stride classes included)") {
+    // widths mod 4 ∈ {0,1,2,3} exercise every stride-padding class;
+    // deterministic xorshift so a failure reproduces
+    var seed = 0x5DEECE66DL
+    for (trial <- 0 until 60) {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      val w = 1 + (((seed >>> 3) & 0x7FFFFFFF) % 23).toInt
+      val h = 1 + (((seed >>> 13) & 0x7FFFFFFF) % 17).toInt
+      val nf = 1 + (((seed >>> 23) & 0x7FFFFFFF) % 5).toInt
+      val id = seed & 0xFFFF
+      val avi = Avi.encodeAviGray(w, h, nf,
+        (f, k) => (((id + f * 17 + k * 7) % 251) & 0xFF).toInt)
+      val info = Avi.parseAvi(avi)
+      assert(info.exists(a => a.width == w && a.height == h &&
+        a.totalFrames == nf), s"trial $trial ($w x $h x$nf) must parse")
+      val grids = Avi.aviAllFramePixelGrids(avi, maxFrames = 8)
+      assert(grids.length === math.min(nf, 8), s"trial $trial frame count")
+      for ((g, f) <- grids.zipWithIndex; k <- 0 until w * h) {
+        val expect = (((id + f * 17 + k * 7) % 251) & 0xFF).toInt
+        assert(g._3(3 * k) === expect,
+          s"trial $trial frame $f pixel $k: $w x $h stride class ${3 * w % 4}")
+      }
+    }
+  }
+
   test("top-down DIB (negative strf biHeight) decodes un-flipped; dimension lies decline") {
     val w = 6
     val h = 5
