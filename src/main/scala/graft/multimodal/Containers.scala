@@ -103,7 +103,13 @@ object Containers {
       val id = b.getInt(i)
       val size = b.getInt(i + 4)
       if (size < 0 || off + 8 + size > payload.length) return None
-      if (id == FMT_) {
+      // FIRST-wins for fmt/data/fact: the extended walk (needMore) can
+      // scan past the data chunk for ADPCM's fact, and a later
+      // duplicate fmt/data must not silently override the one the
+      // early-exit walk would have committed to — a dual-fmt file is
+      // malformed, and re-keying blockAlign after data would decode
+      // the committed bytes on the wrong stride
+      if (id == FMT_ && fmt.isEmpty) {
         if (size < 16) return None
         // wFormatTag must be a format whose duration math we can
         // stand behind: linear PCM, G.711 µ-law/A-law (8-bit
@@ -124,9 +130,12 @@ object Containers {
         blockAlign = b.getShort(i + 20) & 0xFFFF
         fmt = Some((tag, b.getShort(i + 10) & 0xFFFF,
           b.getInt(i + 12), bits))
-      } else if (id == FACT && size >= 4) {
+      } else if (id == FACT && size >= 4 && factSamples < 0) {
         factSamples = b.getInt(i + 8).toLong & 0xFFFFFFFFL
-      } else if (id == DATA) { dataBytes = size.toLong; dataOff = i + 8 }
+      } else if (id == DATA && dataBytes < 0) {
+        dataBytes = size.toLong
+        dataOff = i + 8
+      }
       off += 8L + size + (size & 1) // chunks pad to even offsets
     }
     fmt.collect { case (tag, ch, rate, bits) if dataBytes >= 0 &&
@@ -362,6 +371,12 @@ object Containers {
     // enough for a header AND at least one data byte, so a 1-sample
     // clip pads its lone block rather than emit an unparseable file
     val blockAlign = math.max(5, 4 + spb / 2)
+    // the header's wSamplesPerBlock states the block's CAPACITY — for
+    // the padded 1-sample minimum block that is 3, not 1, keeping the
+    // emitted fmt internally consistent for strict external readers
+    // (blockAlign == 4 + ceil((wSamplesPerBlock-1)/2)); the fact chunk
+    // still carries the true sample count
+    val headerSpb = (blockAlign - 4) * 2 + 1
     val nBlocks = (samples.length + spb - 1) / spb
     val buf = new java.io.ByteArrayOutputStream()
     var idx = 0
@@ -399,11 +414,11 @@ object Containers {
       .putShort(FormatImaAdpcm.toShort)
       .putShort(1.toShort)                 // mono
       .putInt(sampleRate)
-      .putInt((sampleRate.toLong * blockAlign / spb).toInt) // avg bytes/sec
+      .putInt((sampleRate.toLong * blockAlign / headerSpb).toInt) // avg bytes/sec
       .putShort(blockAlign.toShort)
       .putShort(4.toShort)                 // bits per sample
       .putShort(2.toShort)                 // cbSize
-      .putShort(spb.toShort)               // wSamplesPerBlock
+      .putShort(headerSpb.toShort)         // wSamplesPerBlock (capacity)
     out.putInt(FACT).putInt(4).putInt(samples.length)
     out.putInt(DATA).putInt(body.length).put(body)
     if (pad == 1) out.put(0.toByte)

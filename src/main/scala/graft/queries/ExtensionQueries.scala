@@ -1852,14 +1852,14 @@ object ExtensionQueries {
     // ── Media-curation capstone ──────────────────────────────────────
     // the modality ROUTER a mixed media crawl runs: one frame of
     // video + image + audio + non-media payloads, classified by the
-    // real container parsers (containerMeta), then each modality
-    // routed into ITS near-dup operator — any-frame AVI pairs, dHash
-    // image pairs, fingerprint audio pairs; unknown payloads join no
-    // pair. Summary = (format, n_docs, n_pairs), every number class
-    // arithmetic (the fixture controls every signature), so DuckDB
-    // replays the whole composition. localCheckpoint at both
-    // dual-consumer boundaries (population: classified AND routed;
-    // classification: counted AND joined).
+    // NARROW magic-byte router (Multimodal.withFormat — a projection,
+    // never a join), then each modality routed into ITS near-dup
+    // operator — any-frame AVI pairs, dHash image pairs, fingerprint
+    // audio pairs; unknown payloads join no pair. Summary =
+    // (format, n_docs, n_pairs), every number class arithmetic (the
+    // fixture controls every signature), so DuckDB replays the whole
+    // composition. ONE localCheckpoint where the classified frame
+    // feeds both the count and the three routing consumers.
     "media_curation_pipeline" -> ((s, dir) => {
       // classification is a NARROW projection (withFormat), never a
       // join back on doc_id — that alternative ships every payload
@@ -4533,8 +4533,10 @@ object ExtensionQueries {
 
   /** Gray value at flat pixel k of the [[sigTargetImage]] ±14 walk for
     * `sig` — the same construction exposed as a (sig, k) function so
-    * the ANIMATION fixture can realize a chosen dHash per FRAME. */
-  private def dhashWalkGray(sig: Long, k: Int): Int = {
+    * the ANIMATION fixture can realize a chosen dHash per FRAME.
+    * `private[graft]` so test fixtures (StreamingSigSeenSpec's AVI
+    * clips) build on the ONE walk convention instead of copying it. */
+  private[graft] def dhashWalkGray(sig: Long, k: Int): Int = {
     val y = k / 9
     val x = k % 9
     var v = 128

@@ -85,23 +85,14 @@ class StreamingSigSeenSpec extends AnyFunSuite {
     val state = dir.resolve("state").toString
     // realistic wire shape: crawl shards ship base64 payloads in JSONL;
     // the fold hashes REAL AVI bytes after unbase64. Frames realize
-    // EXACT target dHashes via the ±14 walk (the gate fixtures'
-    // construction), so frame classes sit ≥ 32 bits apart.
-    def walkGray(sig: Long, k: Int): Int = {
-      val y = k / 9
-      val x = k % 9
-      var v = 128
-      var i = 0
-      while (i < x) {
-        v += (if (((sig >>> (63 - (y * 8 + i))) & 1L) == 1L) -14 else 14)
-        i += 1
-      }
-      v
-    }
+    // EXACT target dHashes via the gate fixtures' shared ±14 walk
+    // (ExtensionQueries.dhashWalkGray), so frame classes sit ≥ 32
+    // bits apart.
     def clip(sig0: Long, sig1: Long): String =
       java.util.Base64.getEncoder.encodeToString(
         Avi.encodeAviGray(9, 8, 2,
-          (f, k) => walkGray(if (f == 0) sig0 else sig1, k)))
+          (f, k) => graft.queries.ExtensionQueries.dhashWalkGray(
+            if (f == 0) sig0 else sig1, k)))
     val c1 = clip(0L, -1L)
     val c3 = clip(0x0F0F0F0F0F0F0F0FL, 0xF0F0F0F0F0F0F0F0L)
     Files.writeString(in.resolve("b1.jsonl"),
