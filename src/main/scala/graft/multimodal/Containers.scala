@@ -104,11 +104,12 @@ object Containers {
       val size = b.getInt(i + 4)
       if (size < 0 || off + 8 + size > payload.length) return None
       // FIRST-wins for fmt/data/fact: the extended walk (needMore) can
-      // scan past the data chunk for ADPCM's fact, and a later
-      // duplicate fmt/data must not silently override the one the
-      // early-exit walk would have committed to — a dual-fmt file is
-      // malformed, and re-keying blockAlign after data would decode
-      // the committed bytes on the wrong stride
+      // scan past the data chunk for ADPCM's fact, so a later
+      // duplicate fmt/data is IGNORED, not adopted — the first chunk
+      // is the one the committed bytes were laid out for (the same
+      // chunk the early-exit PCM walk would have stopped at), and
+      // re-keying blockAlign after data would decode them on the
+      // wrong stride
       if (id == FMT_ && fmt.isEmpty) {
         if (size < 16) return None
         // wFormatTag must be a format whose duration math we can
@@ -350,7 +351,9 @@ object Containers {
     * chunk carrying the true sample count, and data blocks of
     * `samplesPerBlock` samples each — a 4-byte (sample0, stepIndex)
     * header plus two codes per byte, low nibble first, step index
-    * carried across blocks. Defaults to one block holding everything.
+    * carried across blocks. Defaults to one block holding everything,
+    * capped at 65533 samples per block (the largest a 16-bit
+    * nBlockAlign can state) — longer clips go multi-block.
     * A legitimate encoder (lossy like any ADPCM), and the fixture seam
     * for cross-codec dedup: on a waveform GENERATED by the decoder
     * state machine the quantizer reproduces every code exactly, so
@@ -363,7 +366,12 @@ object Containers {
     // sample count; an even spb would leave a pad nibble the decoder
     // of a NON-final block cannot tell from a code. The final block
     // may still be partial (the fact count trims it).
-    val spb0 = if (samplesPerBlock <= 0) samples.length
+    // the default caps at 65533 (odd): one block holding everything,
+    // until blockAlign would no longer fit the fmt chunk's 16-bit
+    // nBlockAlign/wSamplesPerBlock fields — putShort would silently
+    // wrap those for a ~131k-sample clip while the body kept the true
+    // stride, emitting a file whose own header mis-addresses it
+    val spb0 = if (samplesPerBlock <= 0) math.min(samples.length, 65533)
       else math.max(3, samplesPerBlock)
     val spb = if (samplesPerBlock <= 0) spb0
       else if (spb0 % 2 == 0) spb0 + 1 else spb0
@@ -371,6 +379,9 @@ object Containers {
     // enough for a header AND at least one data byte, so a 1-sample
     // clip pads its lone block rather than emit an unparseable file
     val blockAlign = math.max(5, 4 + spb / 2)
+    require(blockAlign <= 0xFFFF && (blockAlign - 4) * 2 + 1 <= 0xFFFF,
+      s"samplesPerBlock=$spb needs blockAlign=$blockAlign, which cannot " +
+        "be stated in the fmt chunk's 16-bit fields")
     // the header's wSamplesPerBlock states the block's CAPACITY — for
     // the padded 1-sample minimum block that is 3, not 1, keeping the
     // emitted fmt internally consistent for strict external readers
