@@ -310,6 +310,11 @@ object Avi {
                     fill: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0,
       s"encodeAviGray: bad shape ${width}x$height x$nFrames")
+    // strh's rcFrame states the dims in SIGNED 16-bit fields while
+    // avih/strf carry 32 bits — a wider frame would putShort-wrap
+    // rcFrame into a header that contradicts the other two
+    require(width <= 0x7FFF && height <= 0x7FFF,
+      s"encodeAviGray: ${width}x$height exceeds rcFrame's 16-bit fields")
     val stride = (3 * width + 3) / 4 * 4
     val frameBytes = stride * height
     require(frameBytes.toLong * nFrames < Int.MaxValue / 2,

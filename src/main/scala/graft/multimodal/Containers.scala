@@ -527,6 +527,12 @@ object Containers {
   def buildWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
                data: Array[Byte],
                formatTag: Int = FormatPcm): Array[Byte] = {
+    // the fmt chunk states channels and block align in 16-bit fields —
+    // a wider request would putShort-wrap into a header that
+    // mis-describes its own body (same class as the ADPCM block cap)
+    require(channels >= 1 && channels * (bitsPerSample / 8) <= 0xFFFF,
+      s"channels=$channels bits=$bitsPerSample cannot be stated in the " +
+        "fmt chunk's 16-bit fields")
     val pad = data.length & 1
     val out = ByteBuffer.allocate(44 + data.length + pad)
       .order(ByteOrder.LITTLE_ENDIAN)

@@ -140,6 +140,11 @@ class AviSpec extends AnyFunSuite {
     parsed.foreach { a => assert(a.width === 0x40000000) }
     // … but the pixel walk must decline, not allocate or wrap
     assert(Avi.aviAllFramePixelGrids(good, 8) === Seq.empty)
+    // and the BUILDER fails loudly on dims strh's signed-16-bit
+    // rcFrame cannot state, never emitting a self-contradicting header
+    intercept[IllegalArgumentException] {
+      Avi.encodeAviGray(40000, 1, 1, (_, _) => 0)
+    }
   }
 
   test("property sweep: random shapes round-trip exactly (stride classes included)") {

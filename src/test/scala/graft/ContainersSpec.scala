@@ -72,6 +72,11 @@ class ContainersSpec extends AnyFunSuite {
           blockAlign = ch * (bits / 8))),
         s"ch=$ch rate=$rate bits=$bits len=$dataLen")
     }
+    // a channel layout the fmt chunk's 16-bit fields cannot state must
+    // fail loudly at build, never putShort-wrap into a lying header
+    intercept[IllegalArgumentException] {
+      Containers.buildWav(30000, 8000, 24, Array[Byte](1))
+    }
   }
 
   test("WAV duration derives from the parsed byte rate") {
