@@ -107,7 +107,9 @@ object Avi {
       if (off + 8 + size > riffEnd) return None
       if (id == LIST && size >= 4) {
         val listType = b.getInt(i + 8)
-        if (listType == HDRL) {
+        // first-wins, like movi below and fmt/data/fact in parseWav: a
+        // duplicate hdrl LIST must not clobber an already-parsed header
+        if (listType == HDRL && mainHdr.isEmpty) {
           val r = parseHdrl(payload, off + 12, off + 8 + size)
           mainHdr = r._1
           vids = r._2

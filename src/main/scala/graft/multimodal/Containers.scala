@@ -160,7 +160,11 @@ object Containers {
     channels == 1 && rate > 0 && blockAlign >= 5 && factSamples >= 0 && {
       val nBlocks = (dataBytes + blockAlign - 1) / blockAlign
       val perBlock = (blockAlign - 4).toLong * 2 + 1
-      factSamples <= nBlocks * perBlock && factSamples <= (1L << 28)
+      // absolute cap sized to the per-row allocation it gates: 2^24
+      // samples = a 64 MB Array[Int] (≈ 6 min of 48 kHz mono), so even
+      // a hostile payload whose fact chunk maxes the ~2×dataBytes bound
+      // cannot force a near-GiB allocation in imaAdpcmSamples
+      factSamples <= nBlocks * perBlock && factSamples <= (1L << 24)
     }
 
   /** REAL sample decode: the data-chunk bytes of a [[parseWav]]-valid
@@ -214,7 +218,7 @@ object Containers {
     * count is satisfied declines too — never a short-read guess. */
   private def imaAdpcmSamples(payload: Array[Byte], off: Int,
                               w: WavInfo): Option[Array[Int]] = {
-    val total = w.factSamples.toInt // ≤ 2^28, imaFactsHold
+    val total = w.factSamples.toInt // ≤ 2^24, imaFactsHold
     val ba = w.blockAlign
     val out = new Array[Int](total)
     var s = 0
@@ -361,6 +365,18 @@ object Containers {
   def buildWavImaAdpcm(sampleRate: Int, samples: Array[Int],
                        samplesPerBlock: Int = 0): Array[Byte] = {
     require(samples.nonEmpty, "ADPCM build needs at least one sample")
+    // the block headers carry sample0 VERBATIM as int16 LE — an
+    // out-of-range value would silently truncate to its low 16 bits
+    // (the putShort-wrap class the other builders guard), emitting a
+    // file whose decode diverges arbitrarily from the input; a
+    // legitimate encoder fails loudly instead
+    require(samples.forall(s => s >= -32768 && s <= 32767),
+      "ADPCM build needs int16 samples in [-32768, 32767]")
+    // mirror the parser's absolute decode-allocation cap (imaFactsHold):
+    // a longer clip would build a file this library's own parseWav
+    // declines
+    require(samples.length <= (1 << 24),
+      s"ADPCM build caps at 2^24 samples, got ${samples.length}")
     // block capacity must be exact — (blockAlign−4) data bytes carry
     // 2 codes each, plus the header sample, so a block holds an ODD
     // sample count; an even spb would leave a pad nibble the decoder

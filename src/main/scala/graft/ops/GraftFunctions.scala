@@ -70,8 +70,16 @@ object GraftFunctions {
     // intended granularity on higher-rate audio
     "audio_window_energies" -> (two(_) { (payload, window) =>
       val w = window match {
+        // reject w <= 0 HERE, not downstream: windowEnergies would
+        // silently return an empty array for every row, so a SQL typo
+        // (0, or a negated constant) would read as "no decodable audio"
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-            org.apache.spark.sql.types.IntegerType) => v
+            org.apache.spark.sql.types.IntegerType) if v > 0 => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          throw new IllegalArgumentException(
+            "audio_window_energies(payload, windowSamples): windowSamples " +
+              s"must be positive, got $v")
         case other => throw new IllegalArgumentException(
           "audio_window_energies(payload, windowSamples): windowSamples " +
             s"must be an integer literal, got $other")

@@ -192,5 +192,18 @@ class AudioHashSpec extends AnyFunSuite {
       "SELECT audio_window_energies(payload, 4) AS e FROM awe")
       .head().getSeq[Long](0)
     assert(viaSql === Seq(30L, 174L, 181L))
+    // a zero/negative window is a SQL typo, not "no decodable audio" —
+    // it must fail loudly at plan time, never return empty arrays
+    for (w <- Seq(0, -4)) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT audio_window_energies(payload, $w) AS e FROM awe")
+          .head()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("must be positive")),
+        s"window=$w: $e")
+    }
   }
 }

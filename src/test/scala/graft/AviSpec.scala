@@ -147,6 +147,29 @@ class AviSpec extends AnyFunSuite {
     }
   }
 
+  test("a duplicate hdrl LIST cannot clobber the first header (first-wins)") {
+    // splice a second hdrl — a copy of the real one with a lying avih
+    // width — between the true hdrl and movi: the first header must
+    // win, matching the movi/fmt/data/fact first-wins discipline
+    val avi = Avi.encodeAviGray(6, 5, 2, fill(4L))
+    val le = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hdrlSize = le.getInt(16)
+    val hdrlLen = 8 + hdrlSize + (hdrlSize & 1)
+    val dup = java.util.Arrays.copyOfRange(avi, 12, 12 + hdrlLen)
+    // lie in the copy: avih width @ 12(LIST hdr + 'hdrl') + 8 + 32
+    java.nio.ByteBuffer.wrap(dup)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(52, 999)
+    val forged = avi.take(12 + hdrlLen) ++ dup ++ avi.drop(12 + hdrlLen)
+    java.nio.ByteBuffer.wrap(forged)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, le.getInt(4) + hdrlLen)
+    val got = Avi.parseAvi(forged)
+    assert(got.exists(_.width === 6), s"first hdrl must win: $got")
+    // and the frames still decode against the true header
+    assert(Avi.aviAllFramePixelGrids(forged, 8).length === 2)
+  }
+
   test("property sweep: random shapes round-trip exactly (stride classes included)") {
     // widths mod 4 ∈ {0,1,2,3} exercise every stride-padding class;
     // deterministic xorshift so a failure reproduces
