@@ -90,8 +90,64 @@ object Dedup {
         array_join(transform(slice(sig, bnd * r + 1, lit(r)),
           _.cast("string")), "|"))))
 
+  /** Content-class key for the exact-duplicate collapse: md5 of the
+    * SORTED shingle set. Byte-identical documents — and any documents
+    * with EQUAL shingle sets, whose Jaccard is exactly 1.0 — share a
+    * class. Injective over shingle sets at the string level: shingles
+    * are "_"-joined normalized `[a-z0-9]` tokens ([[shingles]] /
+    * [[graft.text.TextOps.normalized]]), so the space separator can
+    * never occur inside one. Null for a null kernel output (null
+    * text), which must never form a class — a null-text doc pairs with
+    * nothing, matching the banded path it bypasses. */
+  private[graft] def shingleClassKey(sh: Column): Column =
+    md5(array_join(array_sort(sh), " "))
+
+  /** The banded frame [[minhashPairs]] self-joins — one row per
+    * (content class, band), NEVER per document. Exposed as the seam
+    * for the duplicate-flood proportionality spec: the band join's
+    * input row count must stay O(distinct classes), whatever the
+    * duplicate multiplicity. `classes` is (cls, sh). */
+  private[graft] def bandedClasses(classes: DataFrame, k: Int,
+                                   bands: Int): DataFrame = {
+    val r = k / bands
+    classes
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("cls"), posexplode(bandKeys(col("sig"), bands, r)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandKey")
+  }
+
   /** Banded-LSH candidate pairs verified with exact Jaccard.
-    * @param docs   (id, text) source
+    *
+    * EXACT-DUPLICATE COLLAPSE (load-bearing at corpus scale): on a real
+    * crawl, exact duplicates dominate near-dup mass — m byte-identical
+    * boilerplate docs share every band key, so banding raw documents
+    * would emit m²/2 candidate pairs from one bucket BEFORE any verify
+    * could discard them: quadratic in duplicate multiplicity, the
+    * classic LSH job-killer. Instead, documents first collapse to one
+    * representative per content class ([[shingleClassKey]]: equal
+    * shingle sets ⇒ Jaccard exactly 1.0 ⇒ identical signature and
+    * bands); only class representatives band and verify — candidate
+    * volume is quadratic in *distinct* documents' collisions only —
+    * and cluster membership re-expands afterwards through the slim
+    * (doc, class) mapping: cross-class matches fan out |A|·|B| (the
+    * true output volume, reached through plain co-partitioned joins,
+    * not the band buckets), and within-class pairs emit directly with
+    * Jaccard 1.0. Output is identical to banding raw documents, since
+    * class members are interchangeable under set-Jaccard.
+    *
+    * Plan shape: ONE shingle-kernel pass (the keyed frame is
+    * checkpointed for its two consumers — the class aggregate and the
+    * membership mapping — the [[ngramJaccardPairs]] discipline), the
+    * class frame likewise (banding + both verify sides); the band join
+    * ships 16-byte class keys only and is merge-pinned (the exploded
+    * band frame must never broadcast); the expansion joins are
+    * merge-pinned too — the membership frame is one row per document,
+    * corpus-scale, and the static post-aggregate estimate would
+    * happily broadcast it at small SF.
+    *
+    * @param docs   (id, text) source; ids assumed duplicate-free (the
+    *               family-wide determinism contract)
     * @param bands  b bands of r = k/bands rows each; collision prob for
     *               similarity s is 1-(1-s^r)^b
     * @param threshold exact-Jaccard cutoff applied after verification
@@ -100,34 +156,77 @@ object Dedup {
                    k: Int = 24, bands: Int = 8,
                    threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val sigd = docs.select(id.as("doc_id"), shingles(text).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    // Band join ships IDS ONLY — the shingle payloads would otherwise be
-    // replicated through every band's shuffle. Payloads re-attach after
-    // the candidate pairs are deduplicated (two slim hash joins).
-    val banded = sigd.select(
-        col("doc_id"),
-        posexplode(bandKeys(col("sig"), bands, r)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandKey")
-    // merge-pinned: both sides canonicalize onto ONE banded-signature
-    // exchange (AQE ReusedExchange → the shingle+minhash kernel runs
-    // once), and the exploded band frame is never broadcast — the
-    // static size estimate would happily broadcast it at small SF, a
-    // plan that cannot survive corpus scale
-    val cands = banded.select(col("band"), col("bandKey"), col("doc_id").as("id_a"))
+    // LAZY checkpoints: the first consuming action materializes and
+    // caches each frame — eager would pay two extra full passes as
+    // their own jobs before any real work
+    val keyed = docs.select(id.as("doc_id"), shingles(text).as("sh"))
+      .withColumn("cls", shingleClassKey(col("sh")))
+      .localCheckpoint(false)
+    // first(sh) is deterministic IN VALUE under set-Jaccard: every
+    // member of a class carries the same shingle set (sorted-join
+    // equality), so signature, bands, and verify read identically
+    // whichever member's array is kept
+    val classes = keyed.where(col("cls").isNotNull)
+      .groupBy(col("cls"))
+      .agg(first(col("sh")).as("sh"))
+      .localCheckpoint(false)
+    val members = keyed.where(col("cls").isNotNull)
+      .select(col("doc_id"), col("cls"))
+    val banded = bandedClasses(classes, k, bands)
+    // merge-pinned: both sides canonicalize onto ONE banded-class
+    // exchange (AQE ReusedExchange → the minhash kernel runs once),
+    // and the exploded band frame is never broadcast
+    val cands = banded.select(col("band"), col("bandKey"), col("cls").as("cls_a"))
       .hint("merge")
-      .join(banded.select(col("band"), col("bandKey"), col("doc_id").as("id_b")),
+      .join(banded.select(col("band"), col("bandKey"), col("cls").as("cls_b")),
         Seq("band", "bandKey"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val payload = sigd.select(col("doc_id"), col("sh"))
-    verifiedPairs(cands,
-      payload.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-      payload.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-      threshold)
+      .where(col("cls_a") < col("cls_b"))
+      .select(col("cls_a"), col("cls_b"))
+      .dropDuplicates("cls_a", "cls_b")
+    // exact-Jaccard verify ONCE PER CLASS PAIR — m·n duplicate copies
+    // of a near-dup pair cost one verification, not m·n
+    val classPairs = cands
+      .join(classes.select(col("cls").as("cls_a"), col("sh").as("sh_a")),
+        Seq("cls_a"))
+      .join(classes.select(col("cls").as("cls_b"), col("sh").as("sh_b")),
+        Seq("cls_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("cls_a"), col("cls_b"), col("jaccard"))
+    // exact duplicates score Jaccard exactly 1.0 — a (pathological)
+    // threshold above that excludes them, decided at plan time
+    expandClassPairs(members, classPairs, "jaccard",
+      lit(1.0), keepWithin = threshold <= 1.0)
+  }
+
+  /** The membership re-expansion behind the collapsed near-dup fronts:
+    * verified CLASS pairs fan out to document pairs through the slim
+    * (doc_id, cls) mapping, and every ≥2-member class emits its own
+    * within-class pairs at the exact-duplicate score. Merge-pinned
+    * throughout — the membership frame is one row per document,
+    * corpus-scale, never broadcast; a viral class skews the expansion
+    * join, which is AQE-skew-split eligible, and its output is the
+    * true pair volume, not an artifact. */
+  private def expandClassPairs(members: DataFrame, classPairs: DataFrame,
+                               score: String, withinScore: Column,
+                               keepWithin: Boolean): DataFrame = {
+    // a document belongs to exactly ONE class, so a cross-class pair
+    // can never be a self-pair and no (id_a, id_b) arrives twice —
+    // the raw-banding dropDuplicates is no longer needed
+    val cross = classPairs
+      .join(members.select(col("cls").as("cls_a"), col("doc_id").as("__ma"))
+        .hint("merge"), Seq("cls_a"))
+      .join(members.select(col("cls").as("cls_b"), col("doc_id").as("__mb"))
+        .hint("merge"), Seq("cls_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(score))
+    if (!keepWithin) cross
+    else cross.unionByName(
+      members.select(col("cls"), col("doc_id").as("id_a"))
+        .hint("merge")
+        .join(members.select(col("cls"), col("doc_id").as("id_b")), Seq("cls"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), withinScore.as(score)))
   }
 
   // ── Incremental (cross-corpus) dedup ─────────────────────────────────
@@ -199,6 +298,16 @@ object Dedup {
     * Both sides band through ONE union-plan exchange (merge-pinned, same
     * rationale as [[minhashPairs]]); candidate pairs are ids-only and
     * shingle payloads re-attach just for the exact-Jaccard verify.
+    *
+    * Duplicate-multiplicity note: this front bands raw documents, NOT
+    * collapsed content classes like [[minhashPairs]] — here candidate
+    * volume is bounded by the OUTPUT volume (m existing copies × n
+    * batch copies is m·n candidates and m·n emitted pairs — there is
+    * no pre-verify blowup beyond what the caller asked for, unlike the
+    * self-pair front's m²/2-candidates-for-clustered-output shape).
+    * The avoidable cost under heavy duplication is re-verifying each
+    * class pair m·n times; collapse the batch with [[exactCanonical]]
+    * first if its duplicate mass is significant.
     * @return (id_a = batch id, id_b = existing id, jaccard)
     */
   def minhashPairsAcross(batch: DataFrame, existing: DataFrame,
@@ -1269,14 +1378,30 @@ object Dedup {
                    maxHamming: Int = 7,
                    wideTables: Option[Boolean] = None): DataFrame = {
     require(maxHamming <= 7, "radius > 7 needs a wider table design")
-    val sigd = docs.select(id.as("doc_id"), sig.as("sig"))
+    // EXACT-DUPLICATE COLLAPSE (the [[minhashPairs]] discipline, with
+    // the signature value itself as the content class): m byte-identical
+    // images/clips share one 64-bit signature, so chunking raw rows
+    // would emit m²/2 candidate pairs from every bucket — quadratic in
+    // duplicate multiplicity. Only DISTINCT signatures enter the
+    // pigeonhole tables; membership re-expands afterwards. The slim
+    // (doc_id, sig) frame is checkpointed: the sig column may carry an
+    // expensive media decode, and the frame feeds the distinct, the
+    // layout sampler, and the expansion joins — ONE decode pass.
+    val members = docs.select(id.as("doc_id"), sig.as("sig"))
+      // a null signature (undecodable payload) joins into no bucket
+      // and surfaces in no pair — drop it before it costs anything
+      .where(col("sig").isNotNull)
+      // LAZY: the first consuming action materializes and caches it —
+      // an eager checkpoint would pay one extra full pass as its own
+      // job, measurable on sub-second media gates
+      .localCheckpoint(false)
     val wide = wideTables.getOrElse {
       // r ≤ 3 always takes the 4×16-bit chunk layout (simhashKeys
       // ignores the flag there) — don't sample, and don't LOG a layout
       // that isn't the plan being run
       if (maxHamming <= 3) false
       else {
-        val chosen = chooseWideTables(sigd)
+        val chosen = chooseWideTables(members)
         // the sampled choice is a plan-shape decision — surface it, so a
         // run-to-run cost difference is attributable to a layout flip
         // instead of reading as an unexplained drift
@@ -1286,24 +1411,52 @@ object Dedup {
         chosen
       }
     }
-    val chunked = simhashKeys(sigd, maxHamming, wide)
-    val a = chunked.select(col("chunk"), col("ckey"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("ckey"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    // signatures are 8 bytes — carry them through the band join and
-    // verify BEFORE the pair dedup, so only true near-dups (not every
-    // bucket collision) reach the distinct shuffle. Merge-pinned so both
-    // sides reuse one chunked-signature exchange (simhash kernel runs
-    // once) and the exploded chunk frame is never broadcast.
-    a.hint("merge").join(b, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
+    val distinctSigs = members.select(col("sig")).distinct()
+    val chunked = simhashKeys(distinctSigs, maxHamming, wide)
+    val a = chunked.select(col("chunk"), col("ckey"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("sig").as("sig_b"))
+    // signatures are 8 bytes — carry them through the chunk join and
+    // verify BEFORE the pair dedup, so only true near-collisions (not
+    // every bucket collision) reach the distinct shuffle. Merge-pinned
+    // so both sides reuse one chunked-signature exchange and the
+    // exploded chunk frame is never broadcast. Exhaustiveness is
+    // unchanged: every signature PAIR within the radius still shares a
+    // clean table key; equal signatures (Hamming 0) bypass the tables
+    // entirely through the within-class expansion.
+    val nearSigPairs = a.hint("merge").join(b, Seq("chunk", "ckey"))
+      .where(col("sig_a") < col("sig_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
-      // min, not dropDuplicates: with ONE signature per id the values
-      // are identical anyway, and with multiple signatures per id (the
-      // animation frame-hash case) dropDuplicates would pick an
-      // arbitrary surviving frame pair's distance — min is the pair's
-      // actual best match and is shuffle-order-independent
+      .select(col("sig_a"), col("sig_b"), col("hamming"))
+      .dropDuplicates("sig_a", "sig_b")
+    // within-class (equal-signature) pairs ride the SAME expansion as a
+    // self sig-pair at Hamming 0, instead of a separate members
+    // self-join + union: the self pair fans out each unordered doc pair
+    // twice ((x,y) and (y,x) both reorient to x<y), and the min
+    // aggregate below collapses the twins — one fewer join over the
+    // corpus-scale membership frame
+    val sigPairs = nearSigPairs.unionByName(
+      distinctSigs.select(col("sig").as("sig_a"), col("sig").as("sig_b"),
+        lit(0).cast("integer").as("hamming")))
+    // cross-signature expansion: the class key IS the signature, and
+    // one DOCUMENT can carry several signatures (the animation
+    // frame-hash case) — exclude self-pairs explicitly (a clip with
+    // two frames within the radius is not a duplicate of itself).
+    // Merge-pinned: the membership frame is one row per signature per
+    // document, corpus-scale, never broadcast.
+    val expanded = sigPairs
+      .join(members.select(col("sig").as("sig_a"), col("doc_id").as("__ma"))
+        .hint("merge"), Seq("sig_a"))
+      .join(members.select(col("sig").as("sig_b"), col("doc_id").as("__mb"))
+        .hint("merge"), Seq("sig_b"))
+      .where(col("__ma") =!= col("__mb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+    // min, not dropDuplicates: with ONE signature per id the values
+    // are identical anyway, and with multiple signatures per id the
+    // best frame match should win; min also collapses the doubled
+    // within-class fan-out — shuffle-order-independent either way
+    expanded
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
   }
@@ -1330,7 +1483,7 @@ object Dedup {
     * grows). Distinct signatures make the choice a function of the
     * signature-space SHAPE, invariant under exact replication;
     * duplicate flood cost is bounded separately by the
-    * verify-before-dedup join design. */
+    * distinct-signature collapse in [[hammingPairs]]. */
   private[graft] def chooseWideTables(sigd: DataFrame): Boolean = {
     val sigs = sigd.select(col("sig"))
       .where(col("sig").isNotNull) // null text → null sig; never collect it

@@ -93,6 +93,57 @@ class StressProportionalitySpec extends AnyFunSuite {
     ()
   }
 
+  test("exact-duplicate floods collapse before banding: band input is " +
+      "O(distinct classes), the viral clique comes back whole") {
+    // always-on (cheap and fully deterministic, unlike the probabilistic
+    // clique legs): one doc replicated 1,000x — the 40%-boilerplate
+    // crawl shape — plus 50 distinct docs. Banding raw documents would
+    // feed 1050 x 8 rows into the band self-join and emit ~500k
+    // candidate pairs from ONE bucket before any verify; the collapse
+    // bands one representative per content class.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def freshText() =
+      Array.fill(30)(java.lang.Long.toString(rnd.nextLong().abs, 36))
+        .mkString(" ")
+    val viral = freshText()
+    val docs = ((0 until 1000).map(i => (i.toLong, viral)) ++
+      (0 until 50).map(d => (1000L + d, freshText()))).toDF("doc_id", "text")
+    // the exact frame minhashPairs self-joins (bandedClasses seam):
+    // one row per (content class, band) — 51 x 8, NOT 1050 x 8
+    val keyed = docs.select(col("doc_id"),
+        Dedup.shingles(col("text")).as("sh"))
+      .withColumn("cls", Dedup.shingleClassKey(col("sh")))
+    val classes = keyed.groupBy(col("cls")).agg(first(col("sh")).as("sh"))
+    assert(Dedup.bandedClasses(classes, k = 24, bands = 8).count() ===
+      51L * 8, "band-join input must be one row per class per band")
+    // the verified operator still returns the FULL viral clique, all
+    // at Jaccard exactly 1.0 — collapse changes cost, never rows
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"))
+      .where(col("id_a") < 1000 && col("id_b") < 1000)
+    assert(pairs.where(col("jaccard") === 1.0).count() === 1000L * 999 / 2)
+  }
+
+  test("signature floods collapse before chunking: chunk input is " +
+      "O(distinct signatures), Hamming-0 cliques come back whole") {
+    // always-on, deterministic: the hammingPairs twin of the leg above
+    // (the media dedup family — image/GIF/audio/video — all ride this
+    // front, so a re-encoded viral meme is exactly this shape)
+    import spark.implicits._
+    val sigs = ((0 until 1000).map(i => (i.toLong, 0x1234L)) ++
+      (0 until 50).map(d => (1000L + d, 0x7ABCD0000L + d.toLong * 1024)))
+      .toDF("doc_id", "sig")
+    val chunked = Dedup.simhashKeys(
+      sigs.select(col("sig")).distinct(), maxHamming = 7,
+      wideTables = false)
+    assert(chunked.count() === 51L * 8,
+      "chunk-join input must be one row per distinct signature per table")
+    val pairs = Dedup.hammingPairs(sigs, col("doc_id"), col("sig"),
+        maxHamming = 7, wideTables = Some(false))
+      .where(col("id_a") < 1000 && col("id_b") < 1000)
+    assert(pairs.where(col("hamming") === 0).count() === 1000L * 999 / 2)
+  }
+
   test("simhash block candidates stay proportional on the clique corpus") {
     assume(optedIn, "stress checks run under -Dgraft.stress=1")
     val n = 300
