@@ -73,9 +73,10 @@ object Dedup {
   // ── MinHash + LSH ────────────────────────────────────────────────────
 
   /** k-permutation MinHash signature: one xxhash64 per shingle, then k
-    * XOR-permutations `h ^ c_i` (bijective, overflow-free under ANSI
-    * arithmetic; c_i are SplitMix64-decorrelated constants). Runs as a
-    * native kernel — [[graft.ops.TextKernels.minhashSig]]. */
+    * per-permutation SplitMix64 re-mixes `mix64(h + c_i)` — a bare XOR
+    * family would leave the k argmins correlated and banding would
+    * systematically miss short-document pairs (see the kernel scaladoc,
+    * [[graft.ops.TextKernels.minhashSig]]). */
   def minhashSignature(shingleCol: Column, k: Int = 24): Column =
     TextExprs.minhashSig(shingleCol, k)
 

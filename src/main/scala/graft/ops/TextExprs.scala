@@ -70,8 +70,19 @@ object TextKernels {
     permCache.computeIfAbsent(k, (kk: Integer) =>
       Array.tabulate(kk)(permConstant))
 
-  /** k-permutation MinHash signature via XOR-permutations of one base
-    * xxhash64 per shingle — identical math to the declarative form. */
+  /** k-permutation MinHash signature: one base xxhash64 per shingle,
+    * re-mixed per permutation as SplitMix64(h + c_j).
+    *
+    * NOT a bare XOR family: `h ^ c_j` preserves most of the base
+    * hash's high-bit ORDERING, so across all k rows the argmin lands
+    * on nearly the same shingle — on a small shingle set whose global
+    * minimum happens to sit outside the intersection, EVERY row of the
+    * signature then differs and banding misses the pair at any band
+    * count (observed: two J ≥ 0.8 short-doc pairs missed identically
+    * at b = 8 and b = 12). The SplitMix64 finalizer re-mixes the sum,
+    * so the k argmins are near-independent and the per-band collision
+    * probability actually follows the s^r curve the banding math
+    * assumes. */
   def minhashSig(shingles: ArrayData, k: Int): GenericArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val cs = permConstants(k)
@@ -83,7 +94,7 @@ object TextKernels {
         val h = hash(t)
         var j = 0
         while (j < k) {
-          val p = h ^ cs(j)
+          val p = mix64(h + cs(j))
           if (p < mins(j)) mins(j) = p
           j += 1
         }

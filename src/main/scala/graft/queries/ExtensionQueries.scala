@@ -382,9 +382,17 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // k = 36 / bands = 12 (r stays 3): the library default (24, 8)
+    // carries a per-pair band-miss of (1−0.8³)⁸ ≈ 0.32% — ~1 expected
+    // miss in sf0.1's 256-pair population, the standing matrix
+    // exception since r10. Four more bands at the same row width cut
+    // the miss to 0.488¹² ≈ 0.018% (~0.05 expected pairs corpus-wide),
+    // clearing the exact oracle deterministically at every fixture SF
+    // without changing band selectivity (candidate volume per band is
+    // still the r = 3 collision curve).
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashPairs(Tables(s, dir, "documents"), col("doc_id"), col("text"),
-          k = 24, bands = 8, threshold = 0.8)
+          k = 36, bands = 12, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -5500,17 +5508,17 @@ object ExtensionQueries {
 
   val oracleSql: Map[String, String] = Map(
     // ── Invariant oracles for the approximate families ────────────────
-    // MinHash banding at (k=24, b=8, J≥0.8) has verified full recall on
-    // the DRIVER-GATE corpus (sf0.01: the exact-Jaccard tail then makes
-    // the output EQUAL to the exact all-pairs computation, which DuckDB
-    // recomputes from scratch here). Deterministic: fixed data +
-    // seedless xxhash. SF-CALIBRATED by nature: the per-pair band-miss
-    // probability at J=0.8 is (1−0.8³)⁸ ≈ 0.4% regardless of corpus
-    // size, so a larger fixture's bigger pair population carries ~1
-    // expected miss (measured: 254 of 256 at sf0.1) — the production-
-    // parameter LSH behaving exactly as the collision math predicts,
-    // not drift. The guaranteed-recall invariants live in the planted
-    // gates (dedup_simhash_recall, text_embed_dedup_recall, *_exactdups).
+    // MinHash banding at (k=36, b=12, J≥0.8) has verified full recall
+    // at EVERY fixture SF (the exact-Jaccard tail then makes the output
+    // EQUAL to the exact all-pairs computation, which DuckDB recomputes
+    // from scratch here). Deterministic: fixed data + seedless xxhash.
+    // The gate ran the library-default (24, 8) through r19, whose
+    // (1−0.8³)⁸ ≈ 0.32% per-pair band-miss carried ~1 expected miss in
+    // sf0.1's 256-pair population (the standing 254-of-256 matrix
+    // exception); twelve r=3 bands cut that to 0.488¹² ≈ 0.018% — ~0.05
+    // expected misses corpus-wide, measured 256/256. The
+    // guaranteed-recall invariants live in the planted gates
+    // (dedup_simhash_recall, text_embed_dedup_recall, *_exactdups).
     "dedup_minhash" ->
       s"""WITH $sh2Ctes,
          |common AS (
