@@ -848,9 +848,13 @@ object Warc {
     * plan already assumes) become an `isin` predicate the source
     * pushes down, so a 10-span request over a many-shard archive lists
     * and reads only the touched shards. A request set touching more
-    * files than the cap degrades to the full scan (logged), still
-    * join-filtered. Set `broadcastRequests = false` for a shuffle-hash
-    * plan when the request list itself is corpus-scale.
+    * files than the cap plans a broadcast left-semi join on the
+    * touched-file frame instead (logged) — a literal predicate that
+    * big stresses the analyzer; the semi-join keeps untouched shards
+    * from decoding without any driver-side list at all. Set
+    * `broadcastRequests = false` for a shuffle-hash plan when the
+    * request list itself is corpus-scale (the semi-join then shuffles
+    * instead of broadcasting, same slim ids).
     *
     * TOTAL over a stale index: a span inside a present file that no
     * longer decodes, a request whose file id is absent from `files`
@@ -894,10 +898,16 @@ object Warc {
     val req = if (broadcastRequests) broadcast(req0) else req0
     val filesSel =
       files.select(fileId.cast("long").as("file_id"), payload.as("p"))
-    // scan pruning: the touched-file list is one slim row per file
-    // (already assumed broadcast-scale); cap+1 collect detects an
-    // over-cap request set without counting it
-    val touched = req0.select(col("file_id"))
+    // scan pruning, two regimes: a SMALL touched-file set becomes an
+    // `isin` predicate the source pushes down (lists and reads only the
+    // touched shards); past `maxPruneFiles` a literal that big stresses
+    // the analyzer, so the filter becomes a left-semi join on the
+    // touched-file frame instead — no scan pushdown, but untouched
+    // shards still drop at the join without decoding a byte, and
+    // NOTHING collects to the driver. The cap+1 collect detects an
+    // over-cap set without counting it.
+    val touchedIds = req0.select(col("file_id"))
+    val touched = touchedIds
       .limit(maxPruneFiles + 1).collect().map(_.getLong(0))
     val pruned =
       if (touched.length <= maxPruneFiles)
@@ -905,8 +915,13 @@ object Warc {
       else {
         System.err.println(s"[graft] fetchSpans: request touches " +
           s"${touched.length}+ files (> maxPruneFiles=$maxPruneFiles) " +
-          "— falling back to the full archive scan")
-        filesSel
+          "— planning a semi-join filter instead of a literal predicate")
+        // one slim row per touched file — broadcast-scale by the same
+        // assumption the fetch join already makes; honor the caller's
+        // corpus-scale escape hatch
+        filesSel.join(
+          if (broadcastRequests) broadcast(touchedIds) else touchedIds,
+          Seq("file_id"), "left_semi")
       }
     val fetched = pruned
       .join(req, Seq("file_id"))

@@ -376,9 +376,19 @@ class WarcCdxSpec extends AnyFunSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
     assert(!plan.contains("PartitionFilters: []"), plan)
-    // over-cap request sets degrade to the full scan, same results
-    val full = Warc.fetchSpans(spark, pf, col("fid"), col("payload"),
-      want, maxPruneFiles = 0).collect()
+    // over-cap request sets plan a broadcast SEMI-JOIN filter — never
+    // a giant literal predicate, never the bare full scan (the code
+    // path is cap-relative: cap 0 here exercises exactly what a
+    // 50k-file request hits at the production cap)
+    val semi = Warc.fetchSpans(spark, pf, col("fid"), col("payload"),
+      want, maxPruneFiles = 0)
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(semiPlan.contains("LeftSemi"),
+      s"over-cap prune must be a semi-join:\n${semiPlan.take(2000)}")
+    assert(!semiPlan.contains("file_id#") ||
+      !semiPlan.contains(" IN ("),
+      s"over-cap prune must not be a literal IN filter:\n${semiPlan.take(2000)}")
+    val full = semi.collect()
     assert(full.count(_.getBoolean(3)) == 1)
   }
 
