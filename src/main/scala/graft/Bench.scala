@@ -98,7 +98,9 @@ object Bench {
     // IMA ADPCM cross-codec audio
     "video_dedup", "video_dedup_incremental", "multimodal_video_frames",
     "audio_dedup_adpcm", "video_scenes", "audio_segments",
-    "media_curation_pipeline", "media_curation_incremental")
+    "media_curation_pipeline", "media_curation_incremental",
+    // round 20: MJPEG-in-AVI (second real video codec, cross-codec dedup)
+    "video_dedup_crosscodec")
 
   /** The 19-query BASELINE.md subset — the driver's baseline
     * comparison. Re-emitted as its own stdout lines immediately before

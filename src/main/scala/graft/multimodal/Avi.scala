@@ -64,6 +64,9 @@ object Avi {
   private val STRF = 0x66727473
   private val MOVI = 0x69766f6d
   private val VIDS = 0x73646976
+  /** biCompression fourcc 'MJPG' — each movi '##dc' chunk is one plain
+    * JFIF payload (the de-facto MJPEG-in-AVI wire format). */
+  private val MJPG = 0x47504A4D
 
   private def fourcc(v: Int): String =
     new String(Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
@@ -239,9 +242,20 @@ object Avi {
         // (the bmpPixelValues discipline)
         val topDown = info.strfHeight < 0
         val h = info.height
-        if (info.compression != 0 || info.bitsPerPixel != 24 ||
-            w <= 0 || h <= 0 || info.strfWidth != w ||
+        if (w <= 0 || h <= 0 || info.strfWidth != w ||
             math.abs(info.strfHeight.toLong) != h.toLong)
+          return Some((info, Seq.empty))
+        // MJPEG route: compressed frames are plain JFIF payloads in
+        // '##dc' chunks — decode through the same javax.imageio JPEG
+        // reader the still-image path trusts ([[Images]]), with the
+        // header's dimensions cross-checked against every decoded
+        // frame (a frame disagreeing with its own container lies —
+        // decline rather than guess, the DIB discipline)
+        if (info.compression == MJPG)
+          return Some((info,
+            mjpegFrames(payload, mOff, info.moviBytes, w, h,
+              maxFrames, step)))
+        if (info.compression != 0 || info.bitsPerPixel != 24)
           return Some((info, Seq.empty))
         val stride = (3L * w + 3) / 4 * 4
         val frameBytes = stride * h
@@ -298,6 +312,53 @@ object Avi {
         }
         Some((info, out.result()))
     }
+  }
+
+  /** The movi walk behind the MJPEG route: every `step`-th '##dc'
+    * chunk's JFIF payload decoded to the (width, height, rgbUnits)
+    * grid shape. Skipped frames cost only offset arithmetic — the
+    * JPEG decode (the expensive part) runs only for sampled frames.
+    * A sampled chunk that is not a decodable JPEG, or whose decoded
+    * dimensions disagree with the header, ends the walk with the
+    * frames taken so far (truncation totality, as the DIB walk). */
+  private def mjpegFrames(payload: Array[Byte], mOff: Long,
+                          moviBytes: Long, w: Int, h: Int,
+                          maxFrames: Int, step: Int)
+      : Seq[(Int, Int, Array[Int])] = {
+    val b = le(payload)
+    val out = Seq.newBuilder[(Int, Int, Array[Int])]
+    var off = mOff
+    val end = mOff + moviBytes
+    var taken = 0
+    var walked = 0
+    var ok = true
+    while (ok && taken < maxFrames && off + 8 <= end &&
+        off + 8 <= payload.length) {
+      val i = off.toInt
+      val id = b.getInt(i)
+      val size = b.getInt(i + 4).toLong & 0xFFFFFFFFL
+      if (off + 8 + size > end || off + 8 + size > payload.length) {
+        ok = false
+      } else {
+        // compressed video frame chunks are '##dc'; anything else ends
+        // the walk (strictness parity with the DIB route)
+        if ((id >>> 16) == 0x6364 /* 'dc' */) {
+          if (walked % step == 0) {
+            val jpeg = java.util.Arrays.copyOfRange(payload,
+              (off + 8).toInt, (off + 8 + size).toInt)
+            Images.imagePixelGrid(jpeg) match {
+              case Some((gw, gh, px)) if gw == w && gh == h =>
+                out += ((gw, gh, px))
+                taken += 1
+              case _ => ok = false
+            }
+          }
+          walked += 1
+        } else ok = false
+        off += 8L + size + (size & 1)
+      }
+    }
+    out.result()
   }
 
   /** Build an uncompressed-DIB AVI from a per-frame grayscale fill —
@@ -393,6 +454,80 @@ object Avi {
         sr -= 1
       }
       f += 1
+    }
+    out.array()
+  }
+
+  /** [[encodeAviGray]]'s MJPEG twin: the SAME grayscale fill, each
+    * frame JPEG-encoded ([[Images.encodeJpegGrayPixels]]) into a
+    * '00dc' chunk, handler/biCompression 'MJPG'. A legitimate (lossy)
+    * encoder — the cross-codec dedup gates plant a clip through both
+    * builders and assert the perceptual signatures land within the
+    * Hamming radius, the [[Containers.buildWavImaAdpcm]] discipline
+    * applied to video. 25 fps, header layout otherwise identical to
+    * the DIB builder. */
+  def encodeAviMjpegGray(width: Int, height: Int, nFrames: Int,
+                         fill: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0,
+      s"encodeAviMjpegGray: bad shape ${width}x$height x$nFrames")
+    require(width <= 0x7FFF && height <= 0x7FFF,
+      s"encodeAviMjpegGray: ${width}x$height exceeds rcFrame's " +
+        "16-bit fields")
+    val frames = (0 until nFrames).map { f =>
+      Images.encodeJpegGrayPixels(width, height, k => fill(f, k))
+    }
+    val maxFrame = frames.map(_.length).max
+    val strfSize = 40
+    val strhSize = 56
+    val avihSize = 56
+    val strlSize = 4 + 8 + strhSize + 8 + strfSize
+    val hdrlSize = 4 + 8 + avihSize + 8 + strlSize
+    val moviSize = 4 + frames.map(p => 8 + p.length + (p.length & 1)).sum
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    require(riffSize.toLong + 8 < Int.MaxValue / 2,
+      s"encodeAviMjpegGray: fixture too large")
+    val out = ByteBuffer.allocate(8 + riffSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(RIFF).putInt(riffSize).putInt(AVI_)
+    out.putInt(LIST).putInt(hdrlSize).putInt(HDRL)
+    out.putInt(AVIH).putInt(avihSize)
+    out.putInt(40000)               // dwMicroSecPerFrame (25 fps)
+      .putInt(maxFrame * 25)        // dwMaxBytesPerSec
+      .putInt(0)                    // dwPaddingGranularity
+      .putInt(0)                    // dwFlags (no idx1 → no HASINDEX)
+      .putInt(nFrames)              // dwTotalFrames
+      .putInt(0)                    // dwInitialFrames
+      .putInt(1)                    // dwStreams
+      .putInt(maxFrame)             // dwSuggestedBufferSize
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    out.putInt(LIST).putInt(strlSize).putInt(STRL)
+    out.putInt(STRH).putInt(strhSize)
+    out.putInt(VIDS)
+      .putInt(MJPG)                 // fccHandler 'MJPG'
+      .putInt(0)
+      .putShort(0).putShort(0)
+      .putInt(0)
+      .putInt(1).putInt(25)
+      .putInt(0)
+      .putInt(nFrames)
+      .putInt(maxFrame)
+      .putInt(-1)
+      .putInt(0)
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)
+    out.putInt(STRF).putInt(strfSize)
+    out.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(MJPG)                 // biCompression 'MJPG'
+      .putInt(maxFrame)             // biSizeImage (largest frame)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    out.putInt(LIST).putInt(moviSize).putInt(MOVI)
+    frames.foreach { p =>
+      out.putInt(0x63643030) // '00dc'
+      out.putInt(p.length)
+      out.put(p)
+      if ((p.length & 1) == 1) out.put(0.toByte) // RIFF even padding
     }
     out.array()
   }

@@ -416,6 +416,48 @@ object Images {
     encode("jpg", width, height, _ => g)
   }
 
+  /** Per-PIXEL gray JPEG (r=g=b = `fill(pixelIdx)`, row-major
+    * top-down) at an explicit compression quality — the frame encoder
+    * behind the MJPEG-in-AVI fixture ([[Avi.encodeAviMjpegGray]]).
+    * Lossy like any JPEG: a fixture riding it must assert within a
+    * perceptual radius (the cross-codec discipline), never byte
+    * equality. The default 0.95 keeps quantization noise well inside
+    * a ±14-step gradient's sign margin (measured: the class-walk
+    * frame dHashes come back IDENTICAL to the DIB original at 0.95
+    * across 240 random-signature frames, vs Hamming up to 13 at the
+    * ImageIO default ~0.75 — smooth gradients survive, it is the
+    * quantization floor that moves). */
+  def encodeJpegGrayPixels(width: Int, height: Int, fill: Int => Int,
+                           quality: Float = 0.95f): Array[Byte] = {
+    require(width > 0 && height > 0, "image dimensions must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = fill(y * width + x) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** REAL image resize: decode, NEAREST-NEIGHBOR sample to the target
     * dimensions, re-encode as (lossless) PNG. Nearest-neighbor on
     * purpose: output pixel (x, y) is exactly input pixel

@@ -2025,6 +2025,30 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // CROSS-CODEC video dedup: the same clip planted as uncompressed
+    // DIB and as MJPEG (real per-frame JPEG decode through the movi
+    // '##dc' route) must pair at hamming exactly 0 — the
+    // audio_dedup_crosscodec discipline for video. The ±14 class-walk
+    // gradients carry a sign margin far above q=0.95 quantization
+    // noise, so the two containers' frame dHashes are equal by
+    // construction (pinned in AviSpec); twin pairs only, restated by
+    // the oracle from the plant arithmetic.
+    "video_dedup_crosscodec" -> ((s, dir) => {
+      import s.implicits._
+      val pop = Tables(s, dir, "documents")
+        .where(col("doc_id") < 60)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap(d => Seq(
+          (d, classAviPayload(d)),
+          (d + 1000000L, classAviMjpegPayload(d)))))
+        .toDF("doc_id", "payload")
+      ImageHash.animationNearDupPairs(pop, col("doc_id"), col("payload"),
+          maxHamming = 7, maxFrames = 4, wideTables = Some(false))
+        .where(col("id_b") === col("id_a") + lit(1000000L) &&
+          col("id_a") < lit(1000000L))
+        .orderBy(col("id_a"))
+    }),
+
     // the rolling-media fold over VIDEO frame signatures — the
     // gifSeenBatch population re-rendered as AVI clips folded into its
     // own standing SigSeen index (multi-signature fold: the two-frame
@@ -4639,6 +4663,18 @@ object ExtensionQueries {
       (f, k) => dhashWalkGray(sigs(f), k))
   }
 
+  /** [[classAviPayload]] re-encoded as MJPEG — byte-different payload,
+    * same class fill. The ±14 walk's gradient-sign margin dwarfs the
+    * q=0.95 JPEG quantization noise, so the per-frame dHashes decode
+    * IDENTICAL to the DIB original (pinned in AviSpec) and the
+    * cross-codec gate can assert hamming exactly 0. */
+  private def classAviMjpegPayload(d: Long): Array[Byte] = {
+    val sigs = IndexedSeq(sigClassWords((d % 10).toInt),
+      sigClassWords(10 + (d % 7).toInt))
+    graft.multimodal.Avi.encodeAviMjpegGray(9, 8, 2,
+      (f, k) => dhashWalkGray(sigs(f), k))
+  }
+
   /** The MIXED-MODALITY population for the media-curation capstone:
     * one frame with every media family a crawler actually lands —
     * video (the [[videoDedupPop]] two-frame class AVIs, ids < 60),
@@ -5955,6 +5991,14 @@ object ExtensionQueries {
         |  AND (a.doc_id % 10 = b.doc_id % 10 OR
         |       a.doc_id % 7 = b.doc_id % 7)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // cross-codec twins: every DIB clip pairs its MJPEG re-encode at
+    // hamming 0 (equal frame dHashes by the sign-margin construction)
+    "video_dedup_crosscodec" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM documents WHERE doc_id < 60
+        |ORDER BY id_a""".stripMargin,
 
     // the whole router replayed from class arithmetic: video pairs
     // share a frame-0 class (d%10) or frame-1 class (d%7); image and

@@ -251,21 +251,147 @@ class AviSpec extends AnyFunSuite {
     assert(none === 0L)
   }
 
-  test("compressed or non-24-bit streams decline the pixel walk") {
+  test("unsupported codecs and lying-MJPG streams decline the pixel walk") {
     val good = Avi.encodeAviGray(6, 5, 1, fill(1L))
     val strfBase = 12 + 12 + 8 + 56 + 12 + 8 + 56 + 8
-    // biCompression = 'MJPG'
+    // biCompression = 'MJPG' but the chunks are still DIB bits ('##db',
+    // not JFIF '##dc') — a header lying about its own stream must
+    // decline, never guess a decode
     val mjpg = good.clone()
     java.nio.ByteBuffer.wrap(mjpg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(strfBase + 16, 0x47504A4D)
     assert(Avi.aviAllFramePixelGrids(mjpg, 8) === Seq.empty,
-      "compressed codec must decline — no guessed decode")
+      "claimed-MJPG stream with DIB chunks must decline")
     assert(Avi.parseAvi(mjpg).exists(_.compression === 0x47504A4D),
       "metadata still classifies the compressed stream")
+    // a genuinely unsupported codec ('XVID') declines too
+    val xvid = good.clone()
+    java.nio.ByteBuffer.wrap(xvid).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strfBase + 16, 0x44495658)
+    assert(Avi.aviAllFramePixelGrids(xvid, 8) === Seq.empty,
+      "unsupported codec must decline — no guessed decode")
     // biBitCount = 8
     val pal = good.clone()
     java.nio.ByteBuffer.wrap(pal).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putShort(strfBase + 14, 8.toShort)
     assert(Avi.aviAllFramePixelGrids(pal, 8) === Seq.empty)
+  }
+
+  // ── MJPEG-in-AVI (second real video codec) ─────────────────────────
+
+  /** The 9×8 dHash class walk ([[graft.queries.ExtensionQueries
+    * .dhashWalkGray]] convention) — smooth ±14 gradients, the fill the
+    * cross-codec gates plant. */
+  private def walk(sig: Long)(k: Int): Int = {
+    val y = k / 9
+    val x = k % 9
+    var v = 128
+    var i = 0
+    while (i < x) {
+      v += (if (((sig >>> (63 - (y * 8 + i))) & 1L) == 1L) -14 else 14)
+      i += 1
+    }
+    v
+  }
+
+  test("MJPEG build→parse round-trips the header; frames decode through " +
+      "the JPEG reader") {
+    val mj = Avi.encodeAviMjpegGray(9, 8, 3, (f, k) => walk(f * 31L + 7)(k))
+    val got = Avi.parseAvi(mj)
+    assert(got.isDefined)
+    val a = got.get
+    assert(a.width === 9 && a.height === 8 && a.totalFrames === 3)
+    assert(a.handler === "MJPG")
+    assert(a.compression === 0x47504A4D)
+    val grids = Avi.aviAllFramePixelGrids(mj, maxFrames = 8)
+    assert(grids.length === 3)
+    for ((gw, gh, px) <- grids) {
+      assert(gw === 9 && gh === 8)
+      assert(px.length === 3 * 9 * 8)
+    }
+    // step sampling takes every 2nd frame
+    assert(Avi.aviAllFramePixelGrids(mj, maxFrames = 8, step = 2)
+      .length === 2)
+  }
+
+  test("cross-codec: the same clip as DIB and MJPEG lands identical " +
+      "frame dHashes and the same scene-cut signal") {
+    for (d <- 0 until 20) {
+      val s0 = 0x9E3779B97F4A7C15L * (d + 1)
+      val s1 = 0xC2B2AE3D27D4EB4FL * (d + 3)
+      def f(fr: Int, k: Int) = walk(if (fr == 0) s0 else s1)(k)
+      val dib = Avi.encodeAviGray(9, 8, 2, f)
+      val mj = Avi.encodeAviMjpegGray(9, 8, 2, f)
+      val hd = ImageHash.frameDHashes(dib, 8)
+      val hm = ImageHash.frameDHashes(mj, 8)
+      assert(hd.length === 2 && hm.length === 2)
+      // the ±14 sign margin dwarfs q=0.95 quantization noise — the
+      // perceptual signatures are not merely within radius, they are
+      // EQUAL (the cross-codec gate's hamming-0 assertion rides this)
+      assert(hd === hm, s"d=$d: $hd vs $hm")
+    }
+  }
+
+  test("MJPEG totality: truncations, bit flips, and a truncated JPEG " +
+      "frame decline gracefully, never throw") {
+    val good = Avi.encodeAviMjpegGray(9, 8, 2, (f, k) => walk(f + 1L)(k))
+    for (n <- Seq(0, 4, 11, 12, 20, 56, 100, good.length / 2,
+        good.length - 1)) {
+      val t = java.util.Arrays.copyOf(good, n)
+      Avi.parseAvi(t)
+      Avi.aviAllFramePixelGrids(t, 8)
+      ImageHash.frameDHashes(t, 8) // must not throw
+    }
+    var seed = 0x6A09E667F3BCC909L
+    for (_ <- 0 until 400) {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      val pos = ((seed >>> 1) % good.length).toInt
+      val m = good.clone()
+      m(pos) = (m(pos) ^ (1 << (seed & 7).toInt)).toByte
+      Avi.parseAvi(m)
+      Avi.aviAllFramePixelGrids(m, 8)
+      ImageHash.frameDHashes(m, 8) // total under any single-bit damage
+    }
+    // surgically truncate INSIDE the first JPEG frame chunk: shrink the
+    // chunk's declared size so the payload is a cut-off JFIF stream —
+    // the sampled decode fails and the walk ends with zero frames,
+    // never an ImageIO exception escaping the task
+    val b = java.nio.ByteBuffer.wrap(good)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hdrlSize = b.getInt(16)
+    val moviOff = 12 + 8 + hdrlSize + (hdrlSize & 1) + 12
+    val frameSize = b.getInt(moviOff + 4)
+    val cut = good.clone()
+    java.nio.ByteBuffer.wrap(cut).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(moviOff + 4, frameSize / 2)
+    assert(Avi.aviAllFramePixelGrids(cut, 8) === Seq.empty)
+  }
+
+  test("MJPEG property sweep: random shapes decode with exact " +
+      "dimensions and near-exact uniform fills") {
+    var seed = 0x243F6A8885A308D3L
+    def next(bound: Int): Int = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      (((seed >>> 1) % bound) + 1).toInt
+    }
+    for (_ <- 0 until 60) {
+      val w = next(24)
+      val h = next(20)
+      val nf = next(4)
+      val gray = next(120) * 2 // even values, the JPEG-exact class
+      val mj = Avi.encodeAviMjpegGray(w, h, nf, (f, _) => gray)
+      val info = Avi.parseAvi(mj)
+      assert(info.exists(a => a.width == w && a.height == h &&
+        a.totalFrames == nf), s"${w}x$h x$nf must parse")
+      val grids = Avi.aviAllFramePixelGrids(mj, maxFrames = 8)
+      assert(grids.length === math.min(nf, 8))
+      for ((gw, gh, px) <- grids) {
+        assert(gw === w && gh === h)
+        // uniform frames are pure DC energy: every decoded channel
+        // lands within quantization rounding of the fill
+        assert(px.forall(v => math.abs(v - gray) <= 2),
+          s"${w}x$h gray=$gray decoded outside ±2")
+      }
+    }
   }
 }
