@@ -133,6 +133,111 @@ class StreamingCrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("cutover + prune BETWEEN micro-batches: the next trigger folds " +
+      "into generation N+1, replay still no-ops after a kill in the " +
+      "maintenance window") {
+    val dir = Files.createTempDirectory("graft_crawl_cutover")
+    val in = dir.resolve("shards"); Files.createDirectory(in)
+    val cdx = dir.resolve("cdx").toString
+    val seen = dir.resolve("seen").toString
+    val sigs = dir.resolve("sigs").toString
+    val glob = in.toString + "/*/wet-*.warc.gz"
+    def drop(name: String, ids: Range): Unit = {
+      val docs = ids.map(i => (i.toLong, s"https://g.example/p/$i",
+        "2026-06-01T00:00:00Z", s"page $i"))
+        .toDF("doc_id", "uri", "date", "text")
+      Warc.wetExport(spark, docs, $"doc_id", $"uri", $"date", $"text",
+        in.resolve(name).toString, maxRecordsPerFile = 20, gzip = true)
+    }
+    // the plain loop — NO in-loop maintenance, so the explicit
+    // orchestrator-window cutover below is the ONLY generation mover
+    def runStream(): Unit = {
+      val q = spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, " +
+          "length LONG, content BINARY")
+        .load(glob)
+        .writeStream
+        .foreachBatch { (mb: org.apache.spark.sql.DataFrame, id: Long) =>
+          val held = mb.localCheckpoint(true)
+          CdxLog.append(spark, held, xxhash64(col("path")),
+            col("content"), cdx, id)
+          val recs = Warc.recordTable(spark, held,
+              xxhash64(col("path")), col("content"))
+            .localCheckpoint(true)
+          UrlSeen.foldBatch(
+            recs.select(xxhash64(col("record_id")).as("rid"),
+              col("target_uri")),
+            col("rid"), col("target_uri"), seen, id).count()
+          SigSeen.foldBatch(
+            recs.select(xxhash64(col("record_id")).as("rid"),
+              xxhash64(col("body")).as("sig")),
+            col("rid"), col("sig"), sigs, id).count()
+          ()
+        }
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+
+    drop("drop1", 0 until 30)
+    runStream()
+    val states = Seq(cdx, seen, sigs)
+    val genBefore = states.map(p =>
+      graft.core.DeltaLog.listing(spark, p).generation)
+
+    // ── the orchestrator's maintenance window, between triggers ──
+    CdxLog.compactInPlace(spark, cdx)
+    UrlSeen.compactInPlace(spark, seen)
+    SigSeen.compactInPlace(spark, sigs)
+    states.foreach(p => graft.core.DeltaLog.pruneGenerations(spark, p))
+    // the health surface reports the generation bump
+    val genAfter = states.map(p =>
+      graft.core.DeltaLog.listing(spark, p).generation)
+    assert(genAfter === genBefore.map(_ + 1),
+      s"cutover must bump every state's generation: $genBefore → $genAfter")
+    // watermarks survive the cutover — the next trigger's replay guard
+    // reads them from the NEW generation
+    assert(CdxLog.watermark(spark, cdx) === Some(0L))
+    assert(UrlSeen.watermark(spark, seen) === Some(0L))
+    assert(SigSeen.watermark(spark, sigs) === Some(0L))
+
+    // ── KILL between the cutover and the next trigger ──
+    // in-process a kill means: nothing in memory survives; the next
+    // trigger is a FRESH streaming query resolving every state and the
+    // stream checkpoint from disk alone — which is exactly what
+    // runStream() constructs. Nothing below references any pre-kill
+    // in-memory handle.
+    drop("drop2", 100 until 115)
+    runStream()
+    assert(CdxLog.read(spark, cdx).count() === 45)
+    assert(UrlSeen.read(spark, seen).count() === 45)
+    assert(SigSeen.read(spark, sigs).count() === 45)
+    assert(UrlSeen.watermark(spark, seen) === Some(1L))
+    // the fold landed as a delta of the POST-cutover generation, not a
+    // resurrected root or orphan dir
+    val postFold = states.map(p =>
+      graft.core.DeltaLog.listing(spark, p).generation)
+    assert(postFold === genAfter,
+      s"fold must append inside generation N+1: $genAfter → $postFold")
+
+    // replay the whole loop over the same checkpoint: no-op on all
+    // three states, still inside the new generation
+    val before = states.map(p => p match {
+      case `cdx` => CdxLog.read(spark, p).collect().map(_.toString).sorted
+      case `seen` => UrlSeen.read(spark, p).collect().map(_.toString).sorted
+      case _ => SigSeen.read(spark, p).collect().map(_.toString).sorted
+    })
+    runStream()
+    assert(CdxLog.read(spark, cdx).collect().map(_.toString).sorted
+      .sameElements(before(0)))
+    assert(UrlSeen.read(spark, seen).collect().map(_.toString).sorted
+      .sameElements(before(1)))
+    assert(SigSeen.read(spark, sigs).collect().map(_.toString).sorted
+      .sameElements(before(2)))
+  }
+
   test("crash BETWEEN folds: the whole-batch retry no-ops the " +
       "committed states and commits the missing one") {
     val dir = Files.createTempDirectory("graft_crawl_crash")
