@@ -296,19 +296,18 @@ object Dedup {
     * pairs — incremental near-dedup without re-pairing the existing
     * corpus against itself.
     *
-    * Both sides band through ONE union-plan exchange (merge-pinned, same
-    * rationale as [[minhashPairs]]); candidate pairs are ids-only and
-    * shingle payloads re-attach just for the exact-Jaccard verify.
-    *
-    * Duplicate-multiplicity note: this front bands raw documents, NOT
-    * collapsed content classes like [[minhashPairs]] — here candidate
-    * volume is bounded by the OUTPUT volume (m existing copies × n
-    * batch copies is m·n candidates and m·n emitted pairs — there is
-    * no pre-verify blowup beyond what the caller asked for, unlike the
-    * self-pair front's m²/2-candidates-for-clustered-output shape).
-    * The avoidable cost under heavy duplication is re-verifying each
-    * class pair m·n times; collapse the batch with [[exactCanonical]]
-    * first if its duplicate mass is significant.
+    * Both corpora collapse to SHARED content classes first (the
+    * [[minhashPairs]] exact-duplicate discipline — a class can hold
+    * docs from both sides); class representatives band through one
+    * exchange, verify once per class pair, and membership re-expands
+    * into cross-side document pairs afterwards: candidate and verify
+    * volume is linear in DISTINCT documents, where raw banding paid
+    * the m·n duplicate cross-product through the band buckets AND the
+    * Jaccard verify. Same-class cross-side pairs (an arriving exact
+    * re-crawl of a stored page — the dominant case) emit directly at
+    * Jaccard 1.0 without banding at all. Nothing requires the two id
+    * spaces to be disjoint; a batch id colliding with an existing id
+    * stays side-tagged throughout.
     * @return (id_a = batch id, id_b = existing id, jaccard)
     */
   def minhashPairsAcross(batch: DataFrame, existing: DataFrame,
@@ -316,39 +315,56 @@ object Dedup {
                          k: Int = 24, bands: Int = 8,
                          threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     val tagged = batch.select(id.as("doc_id"), text.as("__t"), lit(1).as("isNew"))
       .unionByName(existing.select(id.as("doc_id"), text.as("__t"), lit(0).as("isNew")))
-    val sigd = tagged
+    // one kernel pass over the union feeds the class aggregate and the
+    // side-tagged membership (lazy checkpoints — the minhashPairs note)
+    val keyed = tagged
       .select(col("doc_id"), col("isNew"), shingles(col("__t")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sigd.select(
-        col("doc_id"), col("isNew"),
-        posexplode(bandKeys(col("sig"), bands, r)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandKey")
-    val cands = banded.where(col("isNew") === 1)
-      .select(col("band"), col("bandKey"), col("doc_id").as("id_a"))
+      .withColumn("cls", shingleClassKey(col("sh")))
+      .localCheckpoint(false)
+    val classes = keyed.where(col("cls").isNotNull)
+      .groupBy(col("cls"))
+      .agg(first(col("sh")).as("sh"))
+      .localCheckpoint(false)
+    val members = keyed.where(col("cls").isNotNull)
+      .select(col("doc_id"), col("isNew"), col("cls"))
+    val banded = bandedClasses(classes, k, bands)
+    val cands = banded.select(col("band"), col("bandKey"), col("cls").as("cls_a"))
       .hint("merge")
-      .join(banded.where(col("isNew") === 0)
-        .select(col("band"), col("bandKey"), col("doc_id").as("id_b")),
+      .join(banded.select(col("band"), col("bandKey"), col("cls").as("cls_b")),
         Seq("band", "bandKey"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // payload joins are SIDE-SPLIT, not the bare union frame: nothing in
-    // the API requires the two corpora's id spaces to be disjoint, and a
-    // batch doc_id colliding with an existing doc_id would otherwise
-    // match BOTH payload rows — attaching the wrong side's shingles and
-    // emitting duplicate pairs with conflicting jaccard values. The
-    // filters sit after the shared union exchange, so the kernel still
-    // runs once.
-    val payload = sigd.select(col("doc_id"), col("isNew"), col("sh"))
-    verifiedPairs(cands,
-      payload.where(col("isNew") === 1)
-        .select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-      payload.where(col("isNew") === 0)
-        .select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-      threshold)
+      .where(col("cls_a") < col("cls_b"))
+      .select(col("cls_a"), col("cls_b"))
+      .dropDuplicates("cls_a", "cls_b")
+    val classPairs = cands
+      .join(classes.select(col("cls").as("cls_a"), col("sh").as("sh_a")),
+        Seq("cls_a"))
+      .join(classes.select(col("cls").as("cls_b"), col("sh").as("sh_b")),
+        Seq("cls_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("cls_a"), col("cls_b"), col("jaccard"))
+    def side(isNew: Int, as: String, idAs: String) =
+      members.where(col("isNew") === isNew)
+        .select(col("cls").as(as), col("doc_id").as(idAs))
+    // an unordered class pair expands in BOTH orientations (batch∈A ×
+    // existing∈B, batch∈B × existing∈A) — a doc lives in exactly one
+    // class, so the two legs and the within-class leg are disjoint and
+    // no output dedup is needed
+    val cross = classPairs
+      .join(side(1, "cls_a", "id_a").hint("merge"), Seq("cls_a"))
+      .join(side(0, "cls_b", "id_b").hint("merge"), Seq("cls_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val crossRev = classPairs
+      .join(side(1, "cls_b", "id_a").hint("merge"), Seq("cls_b"))
+      .join(side(0, "cls_a", "id_b").hint("merge"), Seq("cls_a"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val within = side(1, "cls", "id_a").hint("merge")
+      .join(side(0, "cls", "id_b"), Seq("cls"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    if (threshold <= 1.0) cross.unionByName(crossRev).unionByName(within)
+    else cross.unionByName(crossRev)
   }
 
   // ── Persistent MinHash LSH index ─────────────────────────────────────
@@ -588,18 +604,6 @@ object Dedup {
     }
   }
 
-  /** Exact-Jaccard verification of slim candidate pairs: re-attach each
-    * side's shingles and keep pairs at/above `threshold` — the shared
-    * tail of every MinHash candidate generator. */
-  private def verifiedPairs(cands: DataFrame, shA: DataFrame,
-                            shB: DataFrame, threshold: Double): DataFrame =
-    cands
-      .join(shA, Seq("id_a"))
-      .join(shB, Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-
   /** A MinHash index's driver-side resolution — stored params plus the
     * (possibly bucketed) band/shingle frames — separated from the query
     * so a repeated caller (a streaming micro-batch loop) pays the
@@ -646,32 +650,57 @@ object Dedup {
       resolveMinhashIndex(batch.sparkSession, path), threshold)
 
   /** [[queryMinhashIndex]] against an index resolved once up front —
-    * the repeated-caller form. */
+    * the repeated-caller form.
+    *
+    * The BATCH side collapses to content classes first (the
+    * [[minhashPairs]] exact-duplicate discipline): one class
+    * representative bands against the stored tables and verifies per
+    * (class, indexed doc), and batch membership re-expands afterwards
+    * — a crawl batch that is 40% boilerplate re-fetches pays the index
+    * join and the Jaccard verify once per DISTINCT document. (The
+    * stored side keeps its layout — its duplicate mass was the
+    * builder's input to collapse.) */
   def queryMinhashIndexResolved(batch: DataFrame, id: Column, text: Column,
                                 idx: ResolvedMinhashIndex,
                                 threshold: Double = 0.8): DataFrame = {
     val ResolvedMinhashIndex(k, bands, n, bandsTable, shinglesTable) = idx
     val r = k / bands
-    val bsig = batch.select(id.as("doc_id"), shingles(text, n).as("sh"))
+    val keyed = batch.select(id.as("doc_id"), shingles(text, n).as("sh"))
+      .withColumn("cls", shingleClassKey(col("sh")))
+      .localCheckpoint(false)
+    val classes = keyed.where(col("cls").isNotNull)
+      .groupBy(col("cls"))
+      .agg(first(col("sh")).as("sh"))
+      .localCheckpoint(false)
+    val members = keyed.where(col("cls").isNotNull)
+      .select(col("doc_id"), col("cls"))
+    val bb = classes
       .withColumn("sig", minhashSignature(col("sh"), k))
-    val bb = bsig
-      .select(col("doc_id").as("id_a"),
+      .select(col("cls"),
         explode(bandKeys(col("sig"), bands, r)).as("bandKey"))
+    // the candidate join runs on bandKey alone (the band index is
+    // folded into the hash), so the bucketed index side joins WITHOUT
+    // a shuffle — only the slim per-class band frame moves
     val cands = bb
       .join(bandsTable.select(col("bandKey"), col("doc_id").as("id_b")),
         Seq("bandKey"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifiedPairs(cands,
-      bsig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-      shinglesTable.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-      threshold)
-      // output-sized dedup: a replayed append leaves duplicated shingle
-      // rows in the store (see the appendToMinhashIndex atomicity note),
-      // and each would re-verify into a duplicate output pair — the
-      // collapsed rows are identical, so this keeps query results
-      // correct over a store awaiting compaction
-      .dropDuplicates("id_a", "id_b")
+      .select(col("cls"), col("id_b"))
+      .dropDuplicates("cls", "id_b")
+    val verified = cands
+      .join(classes.select(col("cls"), col("sh").as("sh_a")), Seq("cls"))
+      .join(shinglesTable.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      // class-level dedup ALSO heals a replayed append: duplicated
+      // stored shingle rows (see the appendToMinhashIndex atomicity
+      // note) re-verify into identical (cls, id_b) rows, collapsed
+      // here BEFORE the expansion instead of after it
+      .select(col("cls"), col("id_b"), col("jaccard"))
+      .dropDuplicates("cls", "id_b")
+    verified
+      .join(members.hint("merge"), Seq("cls"))
+      .select(col("doc_id").as("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */

@@ -487,7 +487,18 @@ object Ann {
     * signature Hamming prefilter → exact cosine ≥ threshold. The O(n²)
     * pair space is never materialized, and when the corpus is internally
     * correlated (hot buckets) the 8-byte-signature bit_count filter
-    * kills the flood before the pair-dedup shuffle and the vector math. */
+    * kills the flood before the pair-dedup shuffle and the vector math.
+    *
+    * Duplicate-multiplicity note: this front bands RAW rows — m
+    * byte-identical vectors share every band key, so a duplicate-heavy
+    * corpus pays the m²/2 candidate cross-product the minhash/Hamming
+    * fronts collapse away ([[graft.dedup.Dedup.minhashPairs]]). The
+    * Hamming prefilter cannot help (identical signatures). On such a
+    * corpus, collapse to one representative per identical vector (or
+    * per [[graft.dedup.Dedup.exactCanonical]] content class when
+    * vectors derive from text) BEFORE calling, and re-expand
+    * membership afterwards — identical vectors are cosine-1 pairs by
+    * construction. */
   def cosineNearDupPairs(corpus: DataFrame, id: Column, vec: Column,
                          threshold: Double = 0.95,
                          bands: Int = 8, bandBits: Int = 4,
