@@ -144,6 +144,32 @@ class StressProportionalitySpec extends AnyFunSuite {
     assert(pairs.where(col("hamming") === 0).count() === 1000L * 999 / 2)
   }
 
+  test("cross-corpus floods collapse: an exact re-crawl batch pairs " +
+      "through its content class, full recall at Jaccard 1.0") {
+    // always-on, deterministic: the minhashPairsAcross twin of the
+    // self-pair flood leg — a batch that is mostly byte-identical
+    // re-fetches of one stored page (the dominant rolling-crawl shape)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def freshText() =
+      Array.fill(30)(java.lang.Long.toString(rnd.nextLong().abs, 36))
+        .mkString(" ")
+    val texts = Vector.fill(40)(freshText())
+    val existing = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = ((0 until 500).map(i => (1000L + i, texts(0))) ++
+      (0 until 10).map(i => (2000L + i, freshText())))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAcross(batch, existing,
+      col("doc_id"), col("text"))
+    // every replicated fetch pairs with stored doc 0, all at exactly
+    // 1.0 — through the shared content class, no banding involved
+    assert(pairs.where(col("id_b") === 0 && col("jaccard") === 1.0)
+      .count() === 500)
+    // and the fresh docs pair with nothing (distinct random token sets)
+    assert(pairs.where(col("id_a") >= 2000L).count() === 0)
+  }
+
   test("simhash block candidates stay proportional on the clique corpus") {
     assume(optedIn, "stress checks run under -Dgraft.stress=1")
     val n = 300
