@@ -186,11 +186,15 @@ object Dedup {
       .dropDuplicates("cls_a", "cls_b")
     // exact-Jaccard verify ONCE PER CLASS PAIR — m·n duplicate copies
     // of a near-dup pair cost one verification, not m·n
+    // merge-pinned: the class frame is one row per DISTINCT document —
+    // corpus-scale — and the static post-checkpoint estimate would
+    // happily broadcast it at small SF, a plan that cannot survive
+    // production scale (the exactCanonical discipline)
     val classPairs = cands
-      .join(classes.select(col("cls").as("cls_a"), col("sh").as("sh_a")),
-        Seq("cls_a"))
-      .join(classes.select(col("cls").as("cls_b"), col("sh").as("sh_b")),
-        Seq("cls_b"))
+      .join(classes.select(col("cls").as("cls_a"), col("sh").as("sh_a"))
+        .hint("merge"), Seq("cls_a"))
+      .join(classes.select(col("cls").as("cls_b"), col("sh").as("sh_b"))
+        .hint("merge"), Seq("cls_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("cls_a"), col("cls_b"), col("jaccard"))
@@ -337,11 +341,15 @@ object Dedup {
       .where(col("cls_a") < col("cls_b"))
       .select(col("cls_a"), col("cls_b"))
       .dropDuplicates("cls_a", "cls_b")
+    // merge-pinned: the class frame is one row per DISTINCT document —
+    // corpus-scale — and the static post-checkpoint estimate would
+    // happily broadcast it at small SF, a plan that cannot survive
+    // production scale (the exactCanonical discipline)
     val classPairs = cands
-      .join(classes.select(col("cls").as("cls_a"), col("sh").as("sh_a")),
-        Seq("cls_a"))
-      .join(classes.select(col("cls").as("cls_b"), col("sh").as("sh_b")),
-        Seq("cls_b"))
+      .join(classes.select(col("cls").as("cls_a"), col("sh").as("sh_a"))
+        .hint("merge"), Seq("cls_a"))
+      .join(classes.select(col("cls").as("cls_b"), col("sh").as("sh_b"))
+        .hint("merge"), Seq("cls_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("cls_a"), col("cls_b"), col("jaccard"))

@@ -148,6 +148,15 @@ class PlanSpec extends AnyFunSuite {
       s"$q broadcasts its $key frame:\n${p.take(2000)}")
   }
 
+  test("collapsed dedup class frames never broadcast (verify joins stay " +
+      "sort-merge on cls)") {
+    // the content-class frame is one row per DISTINCT document —
+    // corpus-scale — and the static post-checkpoint estimate would
+    // happily broadcast it at small SF; the merge pin keeps the benched
+    // plan the production plan
+    assertKeyedJoinStaysSortMerge("dedup_minhash", "cls")
+  }
+
   test("LSH-family self-joins stay sort-merge (never broadcast the band frame)") {
     // the static size estimate would happily broadcast the exploded
     // band/chunk frames at small SF — a plan that recomputes the
