@@ -104,9 +104,13 @@ object ExtensionQueries {
     * final re-rank is exact in all five variants. */
   private def annInvariant(result: DataFrame, e: DataFrame,
                            k: Int): DataFrame =
-    result
+    // the RESULT side broadcasts (bounded at queries × k rows by
+    // construction); unpinned, the static estimate broadcast the
+    // EMBEDDINGS side instead — one row per corpus vector, a plan that
+    // cannot survive production scale
+    broadcast(broadcast(result)
       .join(e.select(col("vec_id").as("qid"), col("embedding").as("__qv")),
-        Seq("qid"))
+        Seq("qid")))
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("__cv")),
         Seq("cid"))
       .groupBy(col("qid"))
@@ -1169,11 +1173,15 @@ object ExtensionQueries {
       val pairs = Dedup.simhashPairs(planted, col("doc_id"), col("text"),
         maxHamming = 7, wideTables = Some(false))
       val keys = planted.select(col("doc_id"), md5(col("text")).as("__h"))
+      // shuffle-hash-pinned: the key frame is one md5 row per DOCUMENT —
+      // corpus-scale, never broadcast; hash-building the slim digests
+      // avoids sorting the pair frame (the rareShingleCommonCounts
+      // discipline)
       pairs
-        .join(keys.select(col("doc_id").as("id_a"), col("__h").as("__ha")),
-          Seq("id_a"))
-        .join(keys.select(col("doc_id").as("id_b"), col("__h").as("__hb")),
-          Seq("id_b"))
+        .join(keys.select(col("doc_id").as("id_a"), col("__h").as("__ha"))
+          .hint("shuffle_hash"), Seq("id_a"))
+        .join(keys.select(col("doc_id").as("id_b"), col("__h").as("__hb"))
+          .hint("shuffle_hash"), Seq("id_b"))
         .agg(
           sum((col("__ha") === col("__hb")).cast("int"))
             .as("n_exactdup_pairs"),
@@ -1226,7 +1234,9 @@ object ExtensionQueries {
       SemDedup.semanticDedup(e,
           col("vec_id"), col("embedding"), nClusters = 8, threshold = 0.3,
           maxIters = 64)
-        .join(e.select(col("vec_id").as("__v")),
+        // shuffle-hash-pinned: the id frame is one row per corpus
+        // vector — never broadcast; the slim single-column side builds
+        .join(e.select(col("vec_id").as("__v")).hint("shuffle_hash"),
           col("canonical_id") === col("__v"), "left")
         .select(col("doc_id"),
           (col("canonical_id") <= col("doc_id") && col("__v").isNotNull)
@@ -1703,8 +1713,12 @@ object ExtensionQueries {
         TextOps.fingerprint(col("text")).as("fp"),
         TextOps.rollingFingerprint(col("text")).as("rolling_fp"))
         .localCheckpoint(true)
+      // merge-pinned self-join: the fingerprint frame is one row per
+      // DOCUMENT — corpus-scale, never broadcast; both sides reuse one
+      // exchange
       val sameText = fps.select(col("__h"), col("doc_id").as("id_a"),
           col("fp").as("fp_a"), col("rolling_fp").as("rfp_a"))
+        .hint("merge")
         .join(fps.select(col("__h"), col("doc_id").as("id_b"),
           col("fp").as("fp_b"), col("rolling_fp").as("rfp_b")), Seq("__h"))
         .where(col("id_a") < col("id_b"))
@@ -1793,11 +1807,15 @@ object ExtensionQueries {
         col("embedding"), threshold = 0.9, bands = 10, bandBits = 6,
         meanSampleMod = 16)
       val keys = planted.select(col("doc_id"), md5(col("text")).as("__h"))
+      // shuffle-hash-pinned: the key frame is one md5 row per DOCUMENT —
+      // corpus-scale, never broadcast; hash-building the slim digests
+      // avoids sorting the pair frame (the rareShingleCommonCounts
+      // discipline)
       pairs
-        .join(keys.select(col("doc_id").as("id_a"), col("__h").as("__ha")),
-          Seq("id_a"))
-        .join(keys.select(col("doc_id").as("id_b"), col("__h").as("__hb")),
-          Seq("id_b"))
+        .join(keys.select(col("doc_id").as("id_a"), col("__h").as("__ha"))
+          .hint("shuffle_hash"), Seq("id_a"))
+        .join(keys.select(col("doc_id").as("id_b"), col("__h").as("__hb"))
+          .hint("shuffle_hash"), Seq("id_b"))
         .agg(
           sum((col("__ha") === col("__hb")).cast("int"))
             .as("n_exactdup_pairs"),
