@@ -10,14 +10,19 @@ import graft.text.TextOps
   * the 100 TB shape of the problem:
   *
   *  - exact:     hash-groupBy — one shuffle on the content hash.
-  *  - minhash:   shingle → k-permutation MinHash signature → banded LSH
-  *               bucket join → exact-Jaccard verify. Candidate generation
-  *               is a self-join on (band, bandKey) so only near-collisions
-  *               shuffle, never the O(n²) pair space.
+  *  - minhash:   shingle → exact-duplicate collapse to content classes →
+  *               k-permutation MinHash signature per class → banded LSH
+  *               bucket join → exact-Jaccard verify once per class pair →
+  *               membership re-expansion. Candidate generation is a
+  *               self-join on (band, bandKey) over class representatives,
+  *               so only near-collisions between DISTINCT documents
+  *               shuffle — never the O(n²) pair space, and never the
+  *               m²/2 duplicate-flood blowup either.
   *  - simhash:   64-bit sign-aggregated token hash → pigeonhole bucket
-  *               join (block-pair tables at radius 7, disjoint 16-bit
-  *               chunks at radius 3) → exact Hamming verify via
-  *               bit_count(xor).
+  *               join over DISTINCT signatures (block-pair tables at
+  *               radius 7, disjoint 16-bit chunks at radius 3) → exact
+  *               Hamming verify via bit_count(xor) → membership
+  *               re-expansion.
   *  - ngram:     exact Jaccard via inverted-index join on shingles with a
   *               document-frequency cutoff (hot shingles are dropped, the
   *               standard guard against quadratic bucket blowup).
