@@ -1784,12 +1784,11 @@ object ExtensionQueries {
     // keep that population non-empty at every SF; the full production
     // pair computation still runs (the flags aggregate over all pairs).
     "text_embed_dedup" -> ((s, dir) => {
-      // the near-dup operator consumes its input FOUR times (mean,
-      // banding, both payload joins) — by design, its joins ship ids
-      // only. A computed embedding column would re-run the hash-embed
-      // kernel per consumer (measured: 4 scans), so the caller
-      // materializes the slim (id, vec) frame once; the operator then
-      // reads blocks, not the kernel
+      // the near-dup operator class-collapses and lazily checkpoints
+      // its input internally (Ann.cosineNearDupPairs keyed frame), so
+      // the computed hash-embed kernel column evaluates ONCE — the
+      // caller no longer needs its own eager materialization (which
+      // paid one extra full pass as its own job)
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val planted = docs.unionByName(docs.where(col("doc_id") < 8)
@@ -1798,7 +1797,6 @@ object ExtensionQueries {
         .select(col("doc_id").as("vec_id"),
           graft.ops.TextExprs.hashEmbed(
             TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
-        .localCheckpoint(true)
       // meanSampleMod opts into the sampled centering mean — the 100 TB
       // path (a content-keyed 1/16 sample feeds the mean pass, stable
       // under corpus growth); the default is the exact mean so library
@@ -2317,13 +2315,13 @@ object ExtensionQueries {
           TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
         .where(size(col("toks")) > 0)
         .select(col("doc_id"), md5(array_join(col("toks"), "|")).as("key"))
-      // materialized once for the operator's four consumers — same
-      // rationale as text_embed_dedup above
+      // no caller-side materialization: the operator class-collapses
+      // and checkpoints internally, evaluating the hash-embed kernel
+      // once — same rationale as text_embed_dedup above
       val embedded = corpus
         .select(col("doc_id").as("vec_id"),
           graft.ops.TextExprs.hashEmbed(
             TextOps.tokens(TextOps.normalized(col("text"))), 64).as("embedding"))
-        .localCheckpoint(true)
       Ann.cosineNearDupPairs(embedded, col("vec_id"), col("embedding"),
           threshold = 0.9, bands = 10, bandBits = 6, meanSampleMod = 16)
         .join(streams.select(col("doc_id").as("id_a"), col("key").as("key_a")),

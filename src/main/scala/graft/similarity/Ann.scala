@@ -483,22 +483,76 @@ object Ann {
       math.ceil(planes * f + 2.5 * math.sqrt(planes * f * (1 - f))).toInt)
   }
 
+  /** Content-class key for the embedding-front exact-duplicate
+    * collapse: md5 of the canonical decimal rendering of the
+    * double-cast vector. Injective at the string level (',' cannot
+    * occur inside a double's rendering, and Spark's double→string cast
+    * is the shortest round-trip representation, injective over
+    * doubles), so two vectors share a class iff their double-cast
+    * arrays are identical — exactly the population whose signatures,
+    * band keys and pairwise cosine are indistinguishable. */
+  private[graft] def vecClassKey(v: Column): Column =
+    md5(array_join(transform(v, _.cast("string")), ","))
+
+  /** The banded frame [[cosineNearDupPairs]] self-joins — one row per
+    * (vector content class, band), NEVER per row. Exposed as the seam
+    * for the duplicate-flood proportionality spec (the
+    * [[graft.dedup.Dedup.bandedClasses]] discipline): the band join's
+    * input row count must stay O(distinct vectors), whatever the
+    * duplicate multiplicity. `classes` is (cls, v0: array<double>);
+    * returns (cls, sig, band, bkey). */
+  private[graft] def bandedVectorClasses(classes: DataFrame,
+                                              bands: Int, bandBits: Int,
+                                              centered: Boolean,
+                                              center: Array[Double])
+      : DataFrame = {
+    val planes = bands * bandBits
+    val mask = (1L << bandBits) - 1
+    val sigCol =
+      if (centered)
+        graft.ops.TextExprs.lshBitsPackedCentered(col("v0"), planes, center)
+      else graft.ops.TextExprs.lshBitsPacked(col("v0"), planes)
+    classes.select(col("cls"), sigCol.as("sig"))
+      .select(col("cls"), col("sig"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), bnd =>
+          call_function("shiftrightunsigned", col("sig"), bnd * bandBits)
+            .bitwiseAND(mask))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
   /** Embedding near-duplicate pairs: LSH buckets (all bands) → packed-
     * signature Hamming prefilter → exact cosine ≥ threshold. The O(n²)
     * pair space is never materialized, and when the corpus is internally
     * correlated (hot buckets) the 8-byte-signature bit_count filter
     * kills the flood before the pair-dedup shuffle and the vector math.
     *
-    * Duplicate-multiplicity note: this front bands RAW rows — m
-    * byte-identical vectors share every band key, so a duplicate-heavy
-    * corpus pays the m²/2 candidate cross-product the minhash/Hamming
-    * fronts collapse away ([[graft.dedup.Dedup.minhashPairs]]). The
-    * Hamming prefilter cannot help (identical signatures). On such a
-    * corpus, collapse to one representative per identical vector (or
-    * per [[graft.dedup.Dedup.exactCanonical]] content class when
-    * vectors derive from text) BEFORE calling, and re-expand
-    * membership afterwards — identical vectors are cosine-1 pairs by
-    * construction. */
+    * EXACT-DUPLICATE COLLAPSE (the [[graft.dedup.Dedup.minhashPairs]]
+    * discipline, closing the last raw-banding front): m byte-identical
+    * vectors share every band key AND every Hamming-prefilter bit, so
+    * banding raw rows would emit the m²/2 candidate cross-product from
+    * one bucket before any verify could intervene — quadratic in
+    * duplicate multiplicity, the classic LSH job-killer on a
+    * duplicate-heavy corpus. Instead rows first collapse to one
+    * representative per identical double-cast vector
+    * ([[vecClassKey]]); only class representatives band, prefilter and
+    * verify — candidate volume is quadratic in *distinct* vectors'
+    * collisions only — and membership re-expands afterwards through
+    * the slim (id, cls) mapping: cross-class matches fan out |A|·|B|
+    * (the true output volume, reached through plain co-partitioned
+    * joins, not the band buckets), and within-class pairs emit
+    * directly at the class's own verified self-cosine. Output is
+    * identical to banding raw rows: class members are interchangeable
+    * under signature, prefilter and cosine alike.
+    *
+    * Plan shape: ONE pass computes (id, v0, cls) (lazily checkpointed
+    * for its consumers — the centering mean, the class aggregate and
+    * the membership mapping); the class frame likewise (banding + the
+    * normalized verify payload); the band join ships 16-byte class
+    * keys only and is merge-pinned (the exploded band frame must never
+    * broadcast), and the expansion joins are merge-pinned too — the
+    * membership frame is one row per input row, corpus-scale, and the
+    * static post-checkpoint estimate would happily broadcast it at
+    * small SF, a plan that cannot survive production scale. */
   def cosineNearDupPairs(corpus: DataFrame, id: Column, vec: Column,
                          threshold: Double = 0.95,
                          bands: Int = 8, bandBits: Int = 4,
@@ -507,16 +561,48 @@ object Ann {
     val planes = bands * bandBits
     require(planes <= 64, "packed signature holds at most 64 planes")
     require(meanSampleMod >= 1, "meanSampleMod >= 1 (1 = exact mean)")
-    val mask = (1L << bandBits) - 1
     // EMPTY vectors are excluded up front: they have no cosine, and
     // their all-zero projections would share a signature with any
     // all-negative-projection real vector — a candidate pair whose
     // verify dot would then throw on the 0-vs-dim mismatch
     val live = corpus.where(size(vec) > 0)
+    // collapse FIRST: (id, v0, cls) in one cast+md5 pass, lazily
+    // checkpointed for its three consumers (the centering mean, the
+    // class aggregate, the membership mapping) — lazy so the first
+    // consuming action materializes it instead of paying an extra
+    // full pass as its own job
+    val keyed = live.select(id.as("id"), asDouble(vec).as("v0"))
+      .withColumn("__ck", vecClassKey(col("v0")))
+      .localCheckpoint(false)
+    // first(v0) is deterministic IN VALUE: every member of a class
+    // carries the identical double-cast array, so signature, bands and
+    // verify read the same whichever member's array is kept.
+    // `cls` — the key every downstream join rides — is the LONG
+    // min-member id, not the md5 digest: the band self-join's candidate
+    // stream is the hottest frame here (10 bands × 6-bit keys is
+    // n²/64-per-band at default parameters) and 32-char digest pairs
+    // measured ~2.3× slower through it than 8-byte longs (sort, compare
+    // and shuffle bytes alike). The digest exists only inside this
+    // aggregation and the membership join below.
+    val classes = keyed.groupBy(col("__ck"))
+      .agg(min(col("id")).as("cls"), first(col("v0")).as("v0"))
+      .localCheckpoint(false)
+    // membership re-keyed to the long surrogate: ONE merge-pinned
+    // digest join over slim (id, __ck) rows — corpus-scale, never
+    // broadcast — checkpointed because the expansion consumes it four
+    // times (cross a/b, within a/b) and the digest join must run once
+    val members = keyed.select(col("id"), col("__ck"))
+      .join(classes.select(col("__ck"), col("cls")).hint("merge"),
+        Seq("__ck"))
+      .select(col("id"), col("cls"))
+      .localCheckpoint(false)
     // Center the hyperplanes at the corpus mean: on an internally-
     // correlated corpus the raw sign bits all skew the same way (hot
     // buckets → quadratic join blowup). The mean is dim doubles — a
     // deliberate tiny driver materialization, same class as a broadcast.
+    // It is the CORPUS mean (multiplicity preserved — computed from
+    // `keyed`, never from the collapsed class frame), so the collapse
+    // cannot move the signatures of an existing corpus by one bit.
     // TRADEOFF: pairs sitting AT the mean have tiny centered vectors
     // whose sign bits decorrelate — near-dups in the densest part of
     // the corpus can be missed. Use centered=false when the corpus is
@@ -542,11 +628,12 @@ object Ann {
       // exact full-corpus mean.
       def meanOf(frame: DataFrame): Option[Array[Double]] = {
         val row = frame
-          .agg(graft.ops.VecSumAggregate.vecSum(asDouble(vec)).as("s"),
+          .agg(graft.ops.VecSumAggregate.vecSum(col("v0")).as("s"),
             // count only vectors that contribute to the sum — empty
             // arrays are skipped by vec_sum (posexplode parity), so
-            // counting them would deflate the mean
-            count(when(size(vec) > 0, 1)).as("n"))
+            // counting them would deflate the mean (keyed rows are all
+            // non-empty here; the guard keeps the parity explicit)
+            count(when(size(col("v0")) > 0, 1)).as("n"))
           .head()
         if (row.isNullAt(0) || row.getLong(1) == 0L) None
         else {
@@ -555,53 +642,89 @@ object Ann {
         }
       }
       val sampled =
-        if (meanSampleMod == 1) live
-        else live.where(
-          pmod(xxhash64(asDouble(vec)), lit(meanSampleMod)) === 0)
+        if (meanSampleMod == 1) keyed
+        else keyed.where(
+          pmod(xxhash64(col("v0")), lit(meanSampleMod)) === 0)
       // a tiny corpus can miss the sample entirely — fall back to exact
-      meanOf(sampled).orElse(meanOf(live)).getOrElse(Array.empty)
+      meanOf(sampled).orElse(meanOf(keyed)).getOrElse(Array.empty)
     }
-    val sigCol =
-      if (centered)
-        graft.ops.TextExprs.lshBitsPackedCentered(asDouble(vec), planes, center)
-      else graft.ops.TextExprs.lshBitsPacked(asDouble(vec), planes)
-    val packed = live.select(id.as("id"), sigCol.as("sig"))
-    val banded = packed.select(col("id"), col("sig"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), bnd =>
-          call_function("shiftrightunsigned", col("sig"), bnd * bandBits)
-            .bitwiseAND(mask))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val banded = bandedVectorClasses(classes, bands, bandBits, centered,
+      center)
     // Hamming prefilter only applies to UNcentered signatures (centered
     // bit-agreement no longer tracks the raw cosine); with centering the
     // balanced buckets already bound the candidate volume.
-    // merge-pinned self-joins: both sides reuse ONE banded-signature
-    // exchange (the LSH kernel runs once), and the exploded band frame
-    // is never broadcast — the static estimate would at small SF, a
-    // plan that cannot survive corpus scale
+    // merge-pinned self-joins: both sides reuse ONE banded-class
+    // exchange (the LSH kernel runs once per DISTINCT vector), and the
+    // exploded band frame is never broadcast — the static estimate
+    // would at small SF, a plan that cannot survive corpus scale
     val prefiltered =
       if (centered)
         // no Hamming prefilter on centered sigs (bit agreement no longer
         // tracks raw cosine) — so don't ship the dead sig columns either
-        banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+        banded.select(col("band"), col("bkey"), col("cls").as("cls_a"))
           .hint("merge")
-          .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+          .join(banded.select(col("band"), col("bkey"), col("cls").as("cls_b")),
             Seq("band", "bkey"))
-          .where(col("id_a") < col("id_b"))
+          .where(col("cls_a") < col("cls_b"))
       else {
         val bound = hammingBound(threshold, planes)
         banded.select(col("band"), col("bkey"),
-            col("id").as("id_a"), col("sig").as("sig_a"))
+            col("cls").as("cls_a"), col("sig").as("sig_a"))
           .hint("merge")
           .join(banded.select(col("band"), col("bkey"),
-            col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bkey"))
-          .where(col("id_a") < col("id_b"))
+            col("cls").as("cls_b"), col("sig").as("sig_b")), Seq("band", "bkey"))
+          .where(col("cls_a") < col("cls_b"))
           .where(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= bound)
       }
     val cands = prefiltered
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifyCosinePairs(cands,
-      live.select(id.as("id"), normalize(asDouble(vec)).as("v")), threshold)
+      .select(col("cls_a"), col("cls_b"))
+      .dropDuplicates("cls_a", "cls_b")
+    // normalize ONCE PER DISTINCT VECTOR; the exact-cosine verify runs
+    // once per class pair — m·n duplicate copies of a near-dup pair
+    // cost one dot product, not m·n. SHUFFLE-HASH-pinned with the class
+    // frame as build side (the dedup_simhash key-attach discipline):
+    // the candidate stream is the hottest frame here — wide-recall
+    // band geometry makes it far larger than the corpus — and a merge
+    // pin would SORT it twice, while a broadcast of the corpus-scale
+    // class frame cannot survive production scale. Hash-building the
+    // slim per-class payload streams the candidates unsorted.
+    val norm = classes.select(col("cls"), normalize(col("v0")).as("v"))
+    val classPairs = cands
+      .join(norm.select(col("cls").as("cls_a"), col("v").as("v_a"))
+        .hint("shuffle_hash"), Seq("cls_a"))
+      .join(norm.select(col("cls").as("cls_b"), col("v").as("v_b"))
+        .hint("shuffle_hash"), Seq("cls_b"))
+      .withColumn("sim", round(dot(col("v_a"), col("v_b")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("cls_a"), col("cls_b"), col("sim"))
+    // within-class pairs: identical vectors, scored through the SAME
+    // verify arithmetic — round(dot(v, v), 6) of the normalized
+    // representative is bit-for-bit what the raw-banding path computed
+    // for each member pair — and subject to the same threshold (NaN
+    // components, or a pathological threshold > the self-cosine, drop
+    // the class here exactly as the verify filter dropped its pairs)
+    val within = norm
+      .select(col("cls"), round(dot(col("v"), col("v")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+    // membership re-expansion (the Dedup.expandClassPairs shape):
+    // merge-pinned — the membership frame is one row per input row,
+    // corpus-scale, never broadcast; a viral class skews the expansion
+    // join, which is AQE-skew-split eligible, and its output is the
+    // true pair volume, not an artifact
+    val cross = classPairs
+      .join(members.select(col("cls").as("cls_a"), col("id").as("__ma"))
+        .hint("merge"), Seq("cls_a"))
+      .join(members.select(col("cls").as("cls_b"), col("id").as("__mb"))
+        .hint("merge"), Seq("cls_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("sim"))
+    cross.unionByName(
+      members.select(col("cls"), col("id").as("id_a"))
+        .hint("merge")
+        .join(members.select(col("cls"), col("id").as("id_b")), Seq("cls"))
+        .where(col("id_a") < col("id_b"))
+        .join(within.hint("merge"), Seq("cls"))
+        .select(col("id_a"), col("id_b"), col("sim")))
   }
 
   /** The exact-cosine verify tail shared by every near-dup front

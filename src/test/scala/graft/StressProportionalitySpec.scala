@@ -144,6 +144,45 @@ class StressProportionalitySpec extends AnyFunSuite {
     assert(pairs.where(col("hamming") === 0).count() === 1000L * 999 / 2)
   }
 
+  test("embedding-vector floods collapse before banding: band input is " +
+      "O(distinct vectors), the identical-vector clique comes back whole") {
+    // always-on, deterministic: the cosineNearDupPairs twin of the
+    // minhash/Hamming flood legs — the LAST raw-banding front closed.
+    // One vector replicated 1,000x (the re-embedded boilerplate shape)
+    // plus 50 distinct vectors: banding raw rows would feed 1050 x bands
+    // rows into the band self-join and emit ~500k candidates from ONE
+    // bucket (the Hamming prefilter cannot help — identical vectors
+    // have identical signatures); the collapse bands one representative
+    // per distinct vector.
+    import spark.implicits._
+    import graft.similarity.Ann
+    val rnd = new scala.util.Random(13)
+    def freshVec() = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+    val viral = freshVec()
+    val rows = ((0 until 1000).map(i => (i.toLong, viral)) ++
+      (0 until 50).map(d => (1000L + d, freshVec()))).toDF("vec_id", "vec")
+    // the exact frame cosineNearDupPairs self-joins (bandedVectorClasses
+    // seam): one row per (vector class, band) — 51 x 8, NOT 1050 x 8
+    val classes = rows
+      .select(col("vec_id"), col("vec").cast("array<double>").as("v0"))
+      .withColumn("cls", Ann.vecClassKey(col("v0")))
+      .groupBy(col("cls")).agg(first(col("v0")).as("v0"))
+    assert(Ann.bandedVectorClasses(classes, bands = 8, bandBits = 4,
+      centered = false, center = Array.empty).count() === 51L * 8,
+      "band-join input must be one row per distinct vector per band")
+    // the verified operator still returns the FULL viral clique, all at
+    // the exact self-cosine (1.0 for a real vector) — collapse changes
+    // cost, never rows; run BOTH signature modes (they band differently
+    // but the within-class path is mode-independent)
+    for (centered <- Seq(true, false)) {
+      val pairs = Ann.cosineNearDupPairs(rows, col("vec_id"), col("vec"),
+          threshold = 0.95, centered = centered)
+        .where(col("id_a") < 1000 && col("id_b") < 1000)
+      assert(pairs.where(col("sim") === 1.0).count() === 1000L * 999 / 2,
+        s"centered=$centered: the viral clique must come back whole")
+    }
+  }
+
   test("cross-corpus floods collapse: an exact re-crawl batch pairs " +
       "through its content class, full recall at Jaccard 1.0") {
     // always-on, deterministic: the minhashPairsAcross twin of the
