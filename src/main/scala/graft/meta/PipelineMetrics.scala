@@ -27,10 +27,12 @@ object PipelineMetrics {
     * exact by the same value-histogram trick the budget/binning
     * operators ride: one map-side-combined aggregation keyed on the
     * value (bounded by `maxLevels` — quantize continuous metrics to ppm
-    * first), then every requested quantile reads off the cumulative
-    * counts ON THE DRIVER. No sort, no window, no second scan; driver
-    * state is the bounded histogram. Null and cast-null values are
-    * excluded (a null has no rank).
+    * first), then every requested quantile reads off DISTRIBUTED
+    * cumulative counts over the bounded histogram (a per-group window
+    * whose input is capped by `maxLevels`). The driver receives only a
+    * one-row validation summary, never the histogram — the pre-r21
+    * driver-side lookup deserialized up to `maxLevels` rows per call.
+    * Null and cast-null values are excluded (a null has no rank).
     *
     * Semantics: discrete lower quantile over the value order — the
     * value at 0-based rank `ceil(p * n) - 1` (clamped to [0, n-1]),
@@ -42,16 +44,12 @@ object PipelineMetrics {
   def exactQuantiles(df: DataFrame, value: Column,
                      ps: Seq[Double],
                      maxLevels: Int = 1 << 20): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    quantilePs(ps) // validate BEFORE the early return: bad ps must be
-    // loud on an empty frame too, matching the per-group form
-    val levels = quantileHistogram(df, lit("__all"), value, maxLevels)
-      .map { case (_, v, n) => (v, n) }
-    if (levels.isEmpty)
-      return Seq.empty[(Double, Long, Long)].toDF("p", "value", "n")
-    graft.core.Refine.quantileValues(levels.sortBy(_._1), ps)
-      .toDF("p", "value", "n")
+    quantilePs(ps) // validate FIRST: bad ps must be loud on an empty
+    // frame too, matching the per-group form (empty input flows through
+    // the distributed lookup as zero rows)
+    quantileLookupDisc(
+        quantileHistogram(df, lit("__all"), value, maxLevels), ps)
+      .select(col("p"), col("value"), col("n"))
   }
 
   /** [[exactQuantiles]] computed SEPARATELY within every group from ONE
@@ -65,15 +63,10 @@ object PipelineMetrics {
   def exactQuantilesPerGroup(df: DataFrame, group: Column, value: Column,
                              ps: Seq[Double],
                              maxHistRows: Int = 1 << 20): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     quantilePs(ps)
-    quantileHistogram(df, group, value, maxHistRows)
-      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
-        graft.core.Refine.quantileValues(levels, ps)
-          .map { case (p, v, n) => (g, p, v, n) }
-      }.toDF("group", "p", "value", "n")
+    quantileLookupDisc(
+        quantileHistogram(df, group, value, maxHistRows), ps)
+      .select(col("g").as("group"), col("p"), col("value"), col("n"))
   }
 
   /** [[exactQuantiles]]' CONTINUOUS-interpolation twin — the
@@ -89,15 +82,10 @@ object PipelineMetrics {
   def exactQuantilesCont(df: DataFrame, value: Column,
                          ps: Seq[Double],
                          maxLevels: Int = 1 << 20): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     quantilePs(ps)
-    val levels = quantileHistogram(df, lit("__all"), value, maxLevels)
-      .map { case (_, v, n) => (v, n) }
-    if (levels.isEmpty)
-      return Seq.empty[(Double, Double, Long)].toDF("p", "value", "n")
-    graft.core.Refine.quantileValuesCont(levels.sortBy(_._1), ps)
-      .toDF("p", "value", "n")
+    quantileLookupCont(
+        quantileHistogram(df, lit("__all"), value, maxLevels), ps)
+      .select(col("p"), col("value"), col("n"))
   }
 
   /** [[exactQuantilesCont]] computed SEPARATELY within every group from
@@ -106,15 +94,10 @@ object PipelineMetrics {
   def exactQuantilesContPerGroup(df: DataFrame, group: Column, value: Column,
                                  ps: Seq[Double],
                                  maxHistRows: Int = 1 << 20): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     quantilePs(ps)
-    quantileHistogram(df, group, value, maxHistRows)
-      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
-        graft.core.Refine.quantileValuesCont(levels, ps)
-          .map { case (p, v, n) => (g, p, v, n) }
-      }.toDF("group", "p", "value", "n")
+    quantileLookupCont(
+        quantileHistogram(df, group, value, maxHistRows), ps)
+      .select(col("g").as("group"), col("p"), col("value"), col("n"))
   }
 
   /** EXACT WEIGHTED quantiles: the smallest value whose cumulative
@@ -160,15 +143,14 @@ object PipelineMetrics {
   def exactQuantilesWeightedPpm(df: DataFrame, value: Column, weight: Column,
                                 psPpm: Seq[Long],
                                 maxLevels: Int = 1 << 20): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     quantilePpms(psPpm)
-    val levels = quantileHistogram(df, lit("__all"), value, maxLevels, weight)
-      .map { case (_, v, w) => (v, w) }.filter(_._2 > 0L)
-    if (levels.isEmpty)
-      return Seq.empty[(Long, Long, Long)].toDF("p_ppm", "value", "n")
-    graft.core.Refine.quantileValuesPpm(levels.sortBy(_._1), psPpm)
-      .toDF("p_ppm", "value", "n")
+    // zero-weight levels are excluded BEFORE the cumulative walk (they
+    // cannot host a quantile), matching the driver form's filter
+    quantileLookupPpm(
+        quantileHistogram(df, lit("__all"), value, maxLevels, weight)
+          .where(col("n") > 0),
+        psPpm)
+      .select(col("p_ppm"), col("value"), col("n"))
   }
 
   /** [[exactQuantilesWeighted]] computed SEPARATELY within every group
@@ -201,16 +183,12 @@ object PipelineMetrics {
                                         value: Column, weight: Column,
                                         psPpm: Seq[Long],
                                         maxHistRows: Int = 1 << 20): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     quantilePpms(psPpm)
-    quantileHistogram(df, group, value, maxHistRows, weight)
-      .filter(_._3 > 0L)
-      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-        val levels = rows.map(r => (r._2, r._3)).sortBy(_._1)
-        graft.core.Refine.quantileValuesPpm(levels, psPpm)
-          .map { case (p, v, n) => (g, p, v, n) }
-      }.toDF("group", "p_ppm", "value", "n")
+    quantileLookupPpm(
+        quantileHistogram(df, group, value, maxHistRows, weight)
+          .where(col("n") > 0),
+        psPpm)
+      .select(col("g").as("group"), col("p_ppm"), col("value"), col("n"))
   }
 
   private def quantilePs(ps: Seq[Double]): Unit = {
@@ -250,9 +228,19 @@ object PipelineMetrics {
     * TRUNCATING — fails loudly instead of skewing the histogram (the
     * lossy flags ride the same pass), as does a negative weight. The
     * unweighted forms pass weight = 1, where the checks are vacuous. */
+  /** One (g, v, n) histogram row per distinct (group, value) — the
+    * single map-side-combined pass behind every exact-quantile flavor.
+    * Validation (the row cap, the fractional-value and negative-weight
+    * contracts) runs as ONE bounded action whose result is a 1-row
+    * summary: the driver never receives the histogram itself. (The
+    * pre-r21 form collected every level row to the driver — ~594k rows
+    * per call at sf0.1, measured as the dominant cost of the quantile
+    * gates, and pure driver-side deserialization at any scale.) The
+    * frame is lazily checkpointed: the validation action materializes
+    * it, and the distributed rank lookups below read cached blocks. */
   private def quantileHistogram(df: DataFrame, group: Column, value: Column,
                                 maxRows: Int,
-                                weight: Column = lit(1L)): Array[(String, Long, Long)] = {
+                                weight: Column = lit(1L)): DataFrame = {
     val gS = group.cast("string")
     val vL = value.try_cast("long")
     val wL = weight.try_cast("long")
@@ -262,17 +250,131 @@ object PipelineMetrics {
     val hist = df.where(gS.isNotNull && vL.isNotNull && wL.isNotNull)
       .groupBy(gS.as("g"), vL.as("v"))
       .agg(sum(wL).as("n"), max(lossy).as("lossy"), min(wL).as("wmin"))
-      .limit(maxRows + 1)
-      .collect()
-    require(hist.length <= maxRows,
+      .localCheckpoint(false)
+    val s = hist
+      .agg(count(lit(1)).as("rows"), max(col("lossy")).as("lossy"),
+        min(col("wmin")).as("wmin"))
+      .head()
+    require(s.getLong(0) <= maxRows,
       s"more than $maxRows distinct (group, value) rows — quantize " +
         "the metric (ppm convention) or raise the cap")
-    require(hist.forall(_.getInt(3) == 0),
+    require(s.isNullAt(1) || s.getInt(1) == 0,
       "fractional values would be TRUNCATED by the long cast — quantize " +
         "the metric first (ppm/cents convention)")
-    require(hist.forall(_.getLong(4) >= 0L),
+    require(s.isNullAt(2) || s.getLong(2) >= 0L,
       "negative weights break the cumulative order — weights must be >= 0")
-    hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hist.select(col("g"), col("v"), col("n"))
+  }
+
+  /** Per-group cumulative counts in value order plus the group total —
+    * the distributed replacement for [[graft.core.Refine]]'s driver-side
+    * scanLeft. The per-group window is bounded by the histogram cap
+    * (`maxRows`), so the sort inside it is never corpus-sized. */
+  private def cumLevels(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group totals come from a map-side-combined aggregate joined back
+    // (one row per group, broadcast-bounded by the histogram cap) — a
+    // second whole-partition window frame would re-walk the sorted
+    // histogram once more per group for the same number
+    val totals = hist.groupBy(col("g")).agg(sum(col("n")).as("__t"))
+    hist
+      .withColumn("cum", sum(col("n")).over(byV))
+      .join(broadcast(totals), Seq("g"))
+  }
+
+  /** Distributed `percentile_disc` lookup over a (g, v, n) histogram:
+    * one row per (group, requested p) — the value at 1-based rank
+    * `clamp(ceil(p * N), 1, N)`, i.e. the unique level with
+    * `cum - n < rank <= cum`. The rank arithmetic is the same
+    * double-multiply-then-ceil [[graft.core.Refine.quantileValues]]
+    * computes on the driver, evaluated per group in the executors.
+    * Output: (g, p, value, n) ordered by (g, caller index) — one row
+    * per REQUESTED p, duplicates kept. */
+  private def quantileLookupDisc(hist: DataFrame,
+                                 ps: Seq[Double]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val psDF = ps.zipWithIndex.toDF("p", "__i")
+    cumLevels(hist)
+      .join(broadcast(psDF))
+      .withColumn("r",
+        least(greatest(ceil(col("p") * col("__t")), lit(1L)), col("__t")))
+      .where(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
+      .orderBy(col("g"), col("__i"))
+      .select(col("g"), col("p"), col("v").as("value"), col("__t").as("n"))
+  }
+
+  /** Distributed continuous-interpolation lookup (`percentile_cont`):
+    * per (group, p) the fractional rank h = p·(N−1) selects the two
+    * clamped neighbor levels, interpolated `v_lo + frac·(v_hi − v_lo)`
+    * in exactly [[graft.core.Refine.quantileValuesCont]]'s double
+    * arithmetic. The tiny (group × p × 2) target frame broadcasts; the
+    * histogram streams once. Output: (g, p, value DOUBLE, n). */
+  private def quantileLookupCont(hist: DataFrame,
+                                 ps: Seq[Double]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val psDF = ps.zipWithIndex.toDF("p", "__i")
+    val totals = hist.groupBy(col("g")).agg(sum(col("n")).as("__t"))
+    val targets = totals.join(broadcast(psDF))
+      .withColumn("h", col("p") * (col("__t") - 1).cast("double"))
+      .withColumn("lo", floor(col("h")))
+      .withColumn("frac", col("h") - col("lo").cast("double"))
+      .select(col("g").as("__tg"), col("p"), col("__i"), col("__t"),
+        col("frac"),
+        explode(array(
+          struct(lit(0).as("which"), col("lo").as("rank0")),
+          struct(lit(1).as("which"), (col("lo") + 1).as("rank0")))).as("t"))
+      .select(col("__tg"), col("p"), col("__i"), col("__t"), col("frac"),
+        col("t.which").as("which"),
+        (least(greatest(col("t.rank0"), lit(0L)), col("__t") - 1) + 1)
+          .as("rr"))
+    cumLevels(hist)
+      // the cum side's own total is dropped — targets carry the one the
+      // interpolation needs, and duplicate names are ambiguous
+      .select(col("g"), col("v"), col("n"), col("cum"))
+      .join(broadcast(targets),
+        col("g") === col("__tg") &&
+          col("cum") >= col("rr") && col("cum") - col("n") < col("rr"))
+      .groupBy(col("g"), col("p"), col("__i"))
+      .agg(
+        min(when(col("which") === 0, col("v"))).as("v_lo"),
+        min(when(col("which") === 1, col("v"))).as("v_hi"),
+        first(col("frac")).as("frac"), first(col("__t")).as("__t"))
+      .orderBy(col("g"), col("__i"))
+      .select(col("g"), col("p"),
+        when(col("frac") === 0.0, col("v_lo").cast("double"))
+          .otherwise(col("v_lo").cast("double") +
+            col("frac") * (col("v_hi") - col("v_lo")).cast("double"))
+          .as("value"),
+        col("__t").as("n"))
+  }
+
+  /** Distributed integer-ppm rank lookup (the WEIGHTED house form):
+    * 1-based rank `clamp(ceil(N * ppm / 1e6), 1, N)` computed in pure
+    * Long arithmetic via `N = q·1e6 + rem` (so `rank = q·ppm +
+    * ceil(rem·ppm/1e6)` — both terms Long-safe at any corpus weight,
+    * matching [[graft.core.Refine.quantileValuesPpm]]'s BigInt result
+    * exactly). Zero-weight levels are excluded by the callers before
+    * the cumulative walk, as in the driver form. Output:
+    * (g, p_ppm, value, n). */
+  private def quantileLookupPpm(hist: DataFrame,
+                                psPpm: Seq[Long]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val psDF = psPpm.zipWithIndex.toDF("p_ppm", "__i")
+    cumLevels(hist)
+      .join(broadcast(psDF))
+      .withColumn("r", least(greatest(
+        expr("__t div 1000000") * col("p_ppm") +
+          expr("((__t % 1000000) * p_ppm + 999999) div 1000000"),
+        lit(1L)), col("__t")))
+      .where(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
+      .orderBy(col("g"), col("__i"))
+      .select(col("g"), col("p_ppm"), col("v").as("value"),
+        col("__t").as("n"))
   }
 
   /** Attach named counters to a frame without changing its rows. */
