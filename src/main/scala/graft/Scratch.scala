@@ -17,11 +17,36 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_STAGES=1: per-stage wall breakdown (submission →
+    // completion) with task counts — attributes a slow rep to its
+    // stages without the UI
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = for {
+              s <- si.submissionTime; c <- si.completionTime
+            } yield (c - s) / 1e3
+            val m = si.taskMetrics
+            val g = si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("Scratch"))
+              .getOrElse("").trim.take(80)
+            stages.add(f"[stage] ${si.stageId}%4d ${wall.getOrElse(-1.0)}%7.3f s " +
+              f"tasks=${si.numTasks}%4d run=${m.executorRunTime / 1e3}%7.3f " +
+              f"sr=${m.shuffleReadMetrics.totalBytesRead}%9d " +
+              f"sw=${m.shuffleWriteMetrics.bytesWritten}%9d $g")
+          }
+        })
+
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       println(f"[scratch] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      stages.forEach(s => println(s)); stages.clear()
     }
     spark.stop()
   }

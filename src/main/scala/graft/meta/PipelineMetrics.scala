@@ -274,14 +274,17 @@ object PipelineMetrics {
     import org.apache.spark.sql.expressions.Window
     val byV = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // group totals come from a map-side-combined aggregate joined back
-    // (one row per group, broadcast-bounded by the histogram cap) — a
-    // second whole-partition window frame would re-walk the sorted
-    // histogram once more per group for the same number
-    val totals = hist.groupBy(col("g")).agg(sum(col("n")).as("__t"))
+    // group totals ride a SECOND window over the same partitioning
+    // (whole-partition frame, no ordering requirement): both windows
+    // share one exchange and one sort, where the previous aggregate +
+    // broadcast-join form paid its own aggregation job and a broadcast
+    // build per call — measured as two extra serial stages per quantile
+    // gate at sf0.1 for the same number
+    val whole = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     hist
       .withColumn("cum", sum(col("n")).over(byV))
-      .join(broadcast(totals), Seq("g"))
+      .withColumn("__t", sum(col("n")).over(whole))
   }
 
   /** Distributed `percentile_disc` lookup over a (g, v, n) histogram:
@@ -302,6 +305,11 @@ object PipelineMetrics {
       .withColumn("r",
         least(greatest(ceil(col("p") * col("__t")), lit(1L)), col("__t")))
       .where(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
+      // lazily checkpoint the ≤ |groups|·|ps| matches BEFORE ordering:
+      // the orderBy's range partitioner SAMPLES its child, which would
+      // otherwise re-execute the whole window chain a second time
+      // (measured: two ~1 s single-task passes per call at sf0.1)
+      .localCheckpoint(false)
       .orderBy(col("g"), col("__i"))
       .select(col("g"), col("p"), col("v").as("value"), col("__t").as("n"))
   }
@@ -343,6 +351,9 @@ object PipelineMetrics {
         min(when(col("which") === 0, col("v"))).as("v_lo"),
         min(when(col("which") === 1, col("v"))).as("v_hi"),
         first(col("frac")).as("frac"), first(col("__t")).as("__t"))
+      // see quantileLookupDisc: break the orderBy sampler's
+      // re-execution of the window + join chain
+      .localCheckpoint(false)
       .orderBy(col("g"), col("__i"))
       .select(col("g"), col("p"),
         when(col("frac") === 0.0, col("v_lo").cast("double"))
@@ -372,6 +383,9 @@ object PipelineMetrics {
           expr("((__t % 1000000) * p_ppm + 999999) div 1000000"),
         lit(1L)), col("__t")))
       .where(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
+      // see quantileLookupDisc: break the orderBy sampler's
+      // re-execution of the window chain
+      .localCheckpoint(false)
       .orderBy(col("g"), col("__i"))
       .select(col("g"), col("p_ppm"), col("v").as("value"),
         col("__t").as("n"))
