@@ -123,6 +123,23 @@ object Dedup {
       .withColumnRenamed("col", "bandKey")
   }
 
+  /** Pin a candidate-join input exchange at the session's configured
+    * shuffle parallelism (an explicit-count repartition, which AQE will
+    * not coalesce). The exchange's INPUT is slim — a few bytes of key
+    * per class per band/chunk — but the self-join's OUTPUT is quadratic
+    * in bucket occupancy, so AQE's byte-based partition coalescing
+    * serializes the hottest operator of every banded front (measured on
+    * the embedding front at sf0.1: 530 KB of band keys coalesced to ONE
+    * partition and the whole candidate generation ran as a single
+    * 1.8 s task). Skew handling is unaffected in the case that matters:
+    * a hot bucket is one KEY, which AQE's skew split could never divide
+    * anyway. */
+  private[graft] def pinJoinParallelism(df: DataFrame,
+                                        keys: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      keys: _*)
+
   /** Banded-LSH candidate pairs verified with exact Jaccard.
     *
     * EXACT-DUPLICATE COLLAPSE (load-bearing at corpus scale): on a real
@@ -178,7 +195,8 @@ object Dedup {
       .localCheckpoint(false)
     val members = keyed.where(col("cls").isNotNull)
       .select(col("doc_id"), col("cls"))
-    val banded = bandedClasses(classes, k, bands)
+    val banded = pinJoinParallelism(bandedClasses(classes, k, bands),
+      col("band"), col("bandKey"))
     // merge-pinned: both sides canonicalize onto ONE banded-class
     // exchange (AQE ReusedExchange → the minhash kernel runs once),
     // and the exploded band frame is never broadcast
@@ -338,7 +356,8 @@ object Dedup {
       .localCheckpoint(false)
     val members = keyed.where(col("cls").isNotNull)
       .select(col("doc_id"), col("isNew"), col("cls"))
-    val banded = bandedClasses(classes, k, bands)
+    val banded = pinJoinParallelism(bandedClasses(classes, k, bands),
+      col("band"), col("bandKey"))
     val cands = banded.select(col("band"), col("bandKey"), col("cls").as("cls_a"))
       .hint("merge")
       .join(banded.select(col("band"), col("bandKey"), col("cls").as("cls_b")),
@@ -1455,6 +1474,12 @@ object Dedup {
       }
     }
     val distinctSigs = members.select(col("sig")).distinct()
+    // deliberately NOT pinJoinParallelism-pinned: the pigeonhole chunk
+    // join's output is bounded by the distinct-signature collapse and
+    // the radius filter, and the pin measured +0.4 s on dedup_simhash
+    // at sf0.1 (pure exchange/scheduling overhead on the sub-second
+    // media fronts) — at corpus scale the chunk exchange is wide on its
+    // own bytes
     val chunked = simhashKeys(distinctSigs, maxHamming, wide)
     val a = chunked.select(col("chunk"), col("ckey"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("sig").as("sig_b"))

@@ -587,13 +587,16 @@ object Ann {
     val classes = keyed.groupBy(col("__ck"))
       .agg(min(col("id")).as("cls"), first(col("v0")).as("v0"))
       .localCheckpoint(false)
-    // membership re-keyed to the long surrogate: ONE merge-pinned
-    // digest join over slim (id, __ck) rows — corpus-scale, never
-    // broadcast — checkpointed because the expansion consumes it four
-    // times (cross a/b, within a/b) and the digest join must run once
+    // membership re-keyed to the long surrogate: the class label IS
+    // min(id) over the digest group, so a single window over the slim
+    // (id, __ck) frame derives it in ONE exchange — no classes-side
+    // re-shuffle and no digest merge join (which measured as two extra
+    // serial stages per call). Corpus-scale, never broadcast;
+    // checkpointed because the expansion consumes it four times
+    // (cross a/b, within a/b) and the digest window must run once
     val members = keyed.select(col("id"), col("__ck"))
-      .join(classes.select(col("__ck"), col("cls")).hint("merge"),
-        Seq("__ck"))
+      .withColumn("cls", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__ck"))))
       .select(col("id"), col("cls"))
       .localCheckpoint(false)
     // Center the hyperplanes at the corpus mean: on an internally-
@@ -648,8 +651,22 @@ object Ann {
       // a tiny corpus can miss the sample entirely — fall back to exact
       meanOf(sampled).orElse(meanOf(keyed)).getOrElse(Array.empty)
     }
+    // the band exchange is pinned at the session's configured shuffle
+    // parallelism (repartition with an explicit count, which AQE will
+    // not coalesce): the exchange's INPUT is slim (8-byte keys per
+    // class per band), but the self-join's OUTPUT is quadratic in
+    // bucket occupancy, so AQE's byte-based partition coalescing
+    // serializes the hottest operator here — measured at sf0.1: the
+    // whole candidate generation ran as ONE task (1.8 s, ~30 M pair
+    // emissions on one core) because 530 KB of band keys coalesced to
+    // a single partition. Skew handling is unaffected in the case that
+    // matters: a hot bucket is one KEY, which AQE's skew split could
+    // never divide anyway.
+    val shuffleParts =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val banded = bandedVectorClasses(classes, bands, bandBits, centered,
       center)
+      .repartition(shuffleParts, col("band"), col("bkey"))
     // Hamming prefilter only applies to UNcentered signatures (centered
     // bit-agreement no longer tracks the raw cosine); with centering the
     // balanced buckets already bound the candidate volume.
