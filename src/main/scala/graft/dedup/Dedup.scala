@@ -140,6 +140,27 @@ object Dedup {
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       keys: _*)
 
+  /** Restore kernel parallelism over an under-split input: when the
+    * frame's physical partition count is under HALF the session's
+    * configured shuffle parallelism, hash-repartition it by `key`
+    * (deterministic placement — no sort-before-repartition pass, safe
+    * under task retry) so the shingle/signature kernels downstream run
+    * wide. A no-op at corpus scale, where inputs arrive in thousands
+    * of splits; it fires exactly in the guide's unsplittable-input
+    * case — one gzip member, a single-row-group parquet file — where
+    * one core would otherwise run the whole kernel pass (measured at
+    * sf0.1: the n-gram shingle stage was a single 1.2 s task because
+    * the corpus file has one row group). The partition probe reads the
+    * NON-adaptive physical plan, which builds its RDD lazily — safe
+    * for the scan-side frames this private helper wraps (an AQE plan's
+    * RDD would eagerly execute upstream stages). */
+  private def spreadScan(df: DataFrame, key: Column): DataFrame = {
+    val parts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val have = df.queryExecution.sparkPlan.execute().getNumPartitions
+    if (have * 2 >= parts) df else df.repartition(parts, key)
+  }
+
   /** Banded-LSH candidate pairs verified with exact Jaccard.
     *
     * EXACT-DUPLICATE COLLAPSE (load-bearing at corpus scale): on a real
@@ -182,7 +203,9 @@ object Dedup {
     // LAZY checkpoints: the first consuming action materializes and
     // caches each frame — eager would pay two extra full passes as
     // their own jobs before any real work
-    val keyed = docs.select(id.as("doc_id"), shingles(text).as("sh"))
+    val keyed = spreadScan(docs.select(id.as("doc_id"), text.as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"), shingles(col("__t")).as("sh"))
       .withColumn("cls", shingleClassKey(col("sh")))
       .localCheckpoint(false)
     // first(sh) is deterministic IN VALUE under set-Jaccard: every
@@ -346,7 +369,7 @@ object Dedup {
       .unionByName(existing.select(id.as("doc_id"), text.as("__t"), lit(0).as("isNew")))
     // one kernel pass over the union feeds the class aggregate and the
     // side-tagged membership (lazy checkpoints — the minhashPairs note)
-    val keyed = tagged
+    val keyed = spreadScan(tagged, col("doc_id"))
       .select(col("doc_id"), col("isNew"), shingles(col("__t")).as("sh"))
       .withColumn("cls", shingleClassKey(col("sh")))
       .localCheckpoint(false)
@@ -803,7 +826,9 @@ object Dedup {
   private[graft] def shinglePostings(docs: DataFrame, id: Column,
                                      text: Column, n: Int,
                                      maxDf: Int): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    val sh = spreadScan(docs.select(id.as("doc_id"), text.as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("__t"), n)).as("s"))
     // ONE pass over the shingle stream: df (count, map-side combined)
     // plus the posting list via the buffer-bounded collect — see the
     // plan-shape note above. The df filter and the null sentinel are
