@@ -165,25 +165,23 @@ object Pq {
     * expression over the literal codebook; no shuffle, no join. Raises
     * on a dimension-mismatched vector (see [[checkedDim]]). */
   def encode(vec: Column, model: Model): Column = {
-    val cents = centroidsLit(model)
     val v = checkedDim(Ann.normalize(Ann.asDouble(vec)),
       model.m * model.subdim, "Pq.encode")
-    // null-gated for the same reason as subVectors: transform() runs
-    // over the sequence, so a bare null vector would encode as [0,0,…]
-    // instead of null codes
-    when(v.isNotNull,
-      transform(sequence(lit(0), lit(model.m - 1)), i => {
-        val sv = slice(v, i * model.subdim + 1, lit(model.subdim))
-        val subCents = element_at(cents, i + 1)
-        array_min(transform(sequence(lit(1), size(subCents)), j =>
-          struct(l2dist2(sv, element_at(subCents, j)).as("d"),
-            (j - 1).as("j"))))
-          .getField("j")
-      }))
+    // ONE codegen kernel call per row (null in → null codes via the
+    // expression's null gate). The previous higher-order-function form
+    // interpreted m·k nested lambdas with a struct allocation per
+    // (subspace, centroid) per row — measured as a 2.2 s single-task
+    // stage on the PQ gates at sf0.1; the kernel reproduces its
+    // argmin/tie/NaN semantics exactly (TextKernels.pqEncode scaladoc,
+    // PqSpec "kernel encode matches the expression form").
+    graft.ops.TextExprs.pqEncode(v, model.centroids, model.subdim)
   }
 
   /** Per-query ADC table: `qtab(sub)(cluster) = q_sub · centroid` —
     * computed as a column on the (tiny) query side. */
+  private[graft] def queryTableForTest(qvec: Column, model: Model): Column =
+    queryTable(qvec, model)
+
   private def queryTable(qvec: Column, model: Model): Column = {
     val cents = centroidsLit(model)
     val qv = Ann.normalize(Ann.asDouble(qvec))
@@ -194,10 +192,12 @@ object Pq {
   }
 
   /** ADC score of a codes array against a query table: one table lookup
-    * per subspace, summed — m array accesses per corpus row. */
+    * per subspace, summed — m array accesses per corpus row, as one
+    * codegen kernel call (the zip_with/aggregate form interpreted its
+    * lambdas per candidate row; null-poisoning semantics preserved —
+    * TextKernels.pqAdcScore scaladoc). */
   private def adcScore(codes: Column, qtab: Column): Column =
-    aggregate(zip_with(codes, qtab, (code, tbl) => element_at(tbl, code + 1)),
-      lit(0.0), _ + _)
+    graft.ops.TextExprs.pqAdcScore(codes, qtab)
 
   /** Persist a codebook as parquet (sub, cluster, centroid) rows. */
   def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,

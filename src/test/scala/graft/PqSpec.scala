@@ -172,4 +172,51 @@ class PqSpec extends AnyFunSuite {
     }
     assert(run() === run())
   }
+
+  test("kernel encode matches the expression form it replaced") {
+    // r21 optimization guard: Pq.encode/adcScore moved from interpreted
+    // higher-order-function trees to codegen kernels. This leg replays
+    // the OLD construction (slice + element_at + array_min-over-structs
+    // argmin, zip_with/aggregate ADC sum) column-for-column against the
+    // kernels on the real corpus — argmin value, tie and null semantics
+    // must be bit-identical.
+    val (q, c) = qc
+    val mdl = Pq.train(c, col("cid"), col("cvec"), dim = 64, m = 8, k = 16)
+    val cents = typedlit(mdl.centroids)
+    def sq(x: org.apache.spark.sql.Column) = x * x
+    def l2dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => sq(x - y)), lit(0.0), _ + _)
+    val v = Ann.normalize(Ann.asDouble(col("cvec")))
+    val oldCodes = when(v.isNotNull,
+      transform(sequence(lit(0), lit(mdl.m - 1)), i => {
+        val sv = slice(v, i * mdl.subdim + 1, lit(mdl.subdim))
+        val subCents = element_at(cents, i + 1)
+        array_min(transform(sequence(lit(1), size(subCents)), j =>
+          struct(l2dist2(sv, element_at(subCents, j)).as("d"),
+            (j - 1).as("j"))))
+          .getField("j")
+      }))
+    val both = c.select(col("cid"),
+      Pq.encode(col("cvec"), mdl).as("newc"), oldCodes.as("oldc"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"codes diverge for cid=${r.get(0)}")
+    }
+    // ADC totals: old zip_with/aggregate vs kernel over the same codes
+    // and query tables, all (query × corpus) pairs
+    val coded = c.select(col("cid"), Pq.encode(col("cvec"), mdl).as("codes"))
+    val qt = q.select(col("qid"),
+      graft.similarity.Pq.queryTableForTest(col("qvec"), mdl).as("qtab"))
+    val scored = coded.crossJoin(qt).select(
+      graft.ops.TextExprs.pqAdcScore(col("codes"), col("qtab")).as("news"),
+      aggregate(zip_with(col("codes"), col("qtab"),
+        (code, tbl) => element_at(tbl, code + 1)), lit(0.0), _ + _).as("olds"))
+      .collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    }
+  }
 }
