@@ -504,6 +504,59 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Symmetric int8 quantization of a double vector as ONE kernel call
+    * — the declarative form evaluated five interpreted lambda passes
+    * per row and re-derived the scale subexpression per ELEMENT
+    * (measured: ~0.6 s per pass over 2000 embeddings at sf0.1, twice
+    * per gate run). Semantics are the [[graft.similarity.Quantize]]
+    * column form's, replicated bit-for-bit (QuantizeSpec A/B-replays
+    * the old construction): max ignores nulls and treats NaN as
+    * greatest; null scale (no elements) or zero scale → all-zero codes
+    * over the element count; otherwise q_i = cast-to-int of
+    * least(127, greatest(-127, round(v_i/scale))) with Spark's
+    * HALF_UP double rounding, where a null element lands at −127
+    * (round(null) is null and greatest skips it) and NaN/∞ saturate
+    * at ±127. A null VECTOR returns (0.0, null codes) — the row is
+    * never null, matching struct(coalesce(scale, 0), q). */
+  def quantizeInt8(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    if (vec == null) return new GenericInternalRow(Array[Any](0.0, null))
+    val n = vec.numElements()
+    var hasMax = false
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val a = math.abs(vec.getDouble(i))
+        if (!hasMax || java.lang.Double.compare(a, amax) > 0) {
+          amax = a; hasMax = true
+        }
+      }
+      i += 1
+    }
+    val scale = amax / 127.0
+    if (!hasMax || scale == 0.0)
+      return new GenericInternalRow(Array[Any](0.0,
+        new GenericArrayData(new Array[Int](n))))
+    val out = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      if (vec.isNullAt(j)) out(j) = -127
+      else {
+        val x = vec.getDouble(j) / scale
+        val r =
+          if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+          else java.math.BigDecimal.valueOf(x)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        val g = if (java.lang.Double.isNaN(r)) r else math.max(-127.0, r)
+        val l = if (java.lang.Double.isNaN(g)) 127.0 else math.min(127.0, g)
+        out(j) = l.toInt
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](scale, new GenericArrayData(out)))
+  }
+
   /** PQ codes for a NORMALIZED vector against a per-subspace codebook:
     * codes(i) = argmin_j Σ_d (v[i·subdim+d] − cents(i)(j)(d))², with
     * the exact semantics of the higher-order-function form it replaces
@@ -843,6 +896,34 @@ case class RollingMinExpr(child: Expression, window: Int) extends KernelUnaryExp
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+// Non-nullable struct result over a nullable child: a null vector maps
+// to (0.0, null codes), NOT a null row — the Quantize column form's
+// struct(coalesce(scale, 0), q) contract — so this bypasses
+// nullSafeCodeGen and emits its own null-passing call.
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false),
+      nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "quantize_int8"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    TextKernels.quantizeInt8(
+      if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      InternalRow ${ev.value} = graft.ops.TextKernels.quantizeInt8(
+        ${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 // centroids as nested Seq, NOT Array — the LshBitsPackedCenteredExpr
 // content-equality rationale: two encode expressions built from the
 // same (persisted) model must semanticEquals or CSE/ReusedExchange is
@@ -1080,6 +1161,7 @@ object TextExprs {
   def pqEncode(vec: Column, centroids: Seq[Seq[Seq[Double]]],
                subdim: Int): Column =
     c(PqEncodeExpr(e(vec), centroids, subdim))
+  def quantizeInt8(vec: Column): Column = c(QuantizeInt8Expr(e(vec)))
   def pqAdcScore(codes: Column, qtab: Column): Column =
     c(PqAdcScoreExpr(e(codes), e(qtab)))
 }
