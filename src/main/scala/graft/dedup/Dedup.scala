@@ -154,7 +154,7 @@ object Dedup {
     * NON-adaptive physical plan, which builds its RDD lazily — safe
     * for the scan-side frames this private helper wraps (an AQE plan's
     * RDD would eagerly execute upstream stages). */
-  private def spreadScan(df: DataFrame, key: Column): DataFrame = {
+  private[graft] def spreadScan(df: DataFrame, key: Column): DataFrame = {
     val parts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val have = df.queryExecution.sparkPlan.execute().getNumPartitions
@@ -1013,7 +1013,9 @@ object Dedup {
     * @return (doc_id, n_spans, n_dup, dup_ppm) */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
                       n: Int = 5): DataFrame = {
-    val base = docs.select(id.as("doc_id"), shingles(text, n).as("shs"))
+    val base = spreadScan(docs.select(id.as("doc_id"), text.as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"), shingles(col("__t"), n).as("shs"))
     // size() counts the kernel's distinct spans without exploding; the
     // filter drops exactly the rows explode() would have dropped (null
     // kernel output — size(null) is null, never > 0; the kernel never
@@ -1102,7 +1104,8 @@ object Dedup {
                             minDf: Long = 2L): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")
     require(minDf >= 2, s"minDf < 2 would remove unique spans, got $minDf")
-    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val base = spreadScan(docs.select(id.as("doc_id"), text.as("__text")),
+      col("doc_id"))
     val rawToks = TextOps.tokens(col("__text"))
     // native positional span-hash kernel (one pass, each token
     // normalized once) — the declarative per-position slice+concat_ws

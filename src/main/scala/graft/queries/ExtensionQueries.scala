@@ -2708,7 +2708,11 @@ object ExtensionQueries {
       val merges = bpeMergesFor(s, dir)
       val toks = TextOps.tokens(TextOps.normalized(col("text")))
       val bpe = TextOps.bpeTokens(col("text"), merges)
-      Tables(s, dir, "documents")
+      // spread the under-split scan: the BPE kernel pass measured as
+      // two 0.7 s single-task stages (the orderBy sampler re-executes
+      // the narrow chain) — Dedup.spreadScan is a no-op at corpus scale
+      Dedup.spreadScan(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"),
           size(toks).cast("long").as("n_words"),
           TextOps.bpeTokenCount(col("text"), Nil).cast("long").as("n_chars"),
@@ -2735,7 +2739,10 @@ object ExtensionQueries {
       val toks = TextOps.tokens(TextOps.normalized(col("text")))
       val a = TextOps.bpeTokens(col("text"), merges)
       val b = TextOps.bpeTokens(col("text"), loaded)
-      Tables(s, dir, "documents")
+      // spread: the bpe_encode rationale (two tables' worth of BPE
+      // kernel work on one task otherwise)
+      Dedup.spreadScan(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"),
           size(toks).cast("long").as("n_words"),
           when(a === b, 1).otherwise(0).as("ok_identical"),

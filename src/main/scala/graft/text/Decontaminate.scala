@@ -42,8 +42,13 @@ object Decontaminate {
 
   private def annotate(train: DataFrame, hits: DataFrame, id: Column,
                        text: Column, n: Int, minHits: Int): DataFrame = {
-    train
-      .select(id.as("doc_id"), size(Dedup.shingles(text, n)).as("n_grams"))
+    // spread an under-split corpus scan before the shingle kernel (a
+    // no-op at corpus scale — Dedup.spreadScan scaladoc); the identical
+    // projection in hitCounts canonicalizes to the SAME exchange, so
+    // the text shuffles once for both kernel passes
+    Dedup.spreadScan(train.select(id.as("doc_id"), text.as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"), size(Dedup.shingles(col("__t"), n)).as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
@@ -58,8 +63,10 @@ object Decontaminate {
     * full scan at 100 TB — see the training_pipeline gate query). */
   def hitCounts(train: DataFrame, bench: DataFrame, id: Column, text: Column,
                 n: Int = 5, broadcastBench: Boolean = true): DataFrame = {
-    val trainGrams = train
-      .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
+    val trainGrams =
+      Dedup.spreadScan(train.select(id.as("doc_id"), text.as("__t")),
+          col("doc_id"))
+        .select(col("doc_id"), explode(Dedup.shingles(col("__t"), n)).as("g"))
     val benchGrams0 = benchGramSet(bench, text, n)
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     // shingles are distinct per doc, so count(*) counts DISTINCT shared grams
@@ -131,8 +138,10 @@ object Decontaminate {
                              bloom: Array[Byte], id: Column, text: Column,
                              n: Int = 5): DataFrame = {
     import graft.ops.BloomOps
-    val trainGrams = train
-      .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("g"))
+    val trainGrams =
+      Dedup.spreadScan(train.select(id.as("doc_id"), text.as("__t")),
+          col("doc_id"))
+        .select(col("doc_id"), explode(Dedup.shingles(col("__t"), n)).as("g"))
       .where(BloomOps.mightContain(bloom, col("g")))
     // exact verify over the survivors — NOT broadcast: this path exists
     // precisely because the bench gram set is too big for that
