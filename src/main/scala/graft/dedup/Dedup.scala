@@ -1477,6 +1477,11 @@ object Dedup {
     // (doc_id, sig) frame is checkpointed: the sig column may carry an
     // expensive media decode, and the frame feeds the distinct, the
     // layout sampler, and the expansion joins — ONE decode pass.
+    // deliberately NOT spreadScan-spread: measured wall-neutral on
+    // dedup_simhash at sf0.1 (the chunk join + expansion tail dominate,
+    // and the shuffled-text kernel pass costs more task overhead than
+    // the serial scan it replaces); the media fronts arrive pre-decoded
+    // and multi-partition anyway
     val members = docs.select(id.as("doc_id"), sig.as("sig"))
       // a null signature (undecodable payload) joins into no bucket
       // and surfaces in no pair — drop it before it costs anything

@@ -4217,8 +4217,15 @@ object ExtensionQueries {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.ingest.Warc
     import graft.ingest.Warc.WarcSpecRec
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // spread the under-split scan BEFORE the shard synthesis: the
+    // fixture checkpoint inherits this partitioning, so every warc/web
+    // gate's byte-level record walk runs wide instead of as the
+    // single task the one-row-group documents file would give it
+    // (measured: warc_cdx_fetch spent 2×0.9 s in one task). Memoized —
+    // the repartition is paid once per JVM+dir.
+    Dedup.spreadScan(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source")),
+        col("doc_id"))
       .as[(Long, String, String, String)]
       .mapPartitions(_.map { case (id, text0, lang, source) =>
         val text = if (text0 == null) "" else text0
@@ -4251,8 +4258,9 @@ object ExtensionQueries {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.ingest.Warc
     import graft.ingest.Warc.WarcSpecRec
-    Tables(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+    Dedup.spreadScan(Tables(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val date = Web.date(id)
         def http(status: Int, reason: String, loc: Option[String],
@@ -4318,8 +4326,9 @@ object ExtensionQueries {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.ingest.Warc
     import graft.ingest.Warc.WarcSpecRec
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    Dedup.spreadScan(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def hex(t: String): String = {
@@ -4361,9 +4370,9 @@ object ExtensionQueries {
   private def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Containers
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-        col("text"))
+    Dedup.spreadScan(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("text")), col("doc_id"))
       .as[(Long, Long, String)]
       .mapPartitions(_.map { case (id, nChars, text) =>
         val payload =
@@ -4399,8 +4408,9 @@ object ExtensionQueries {
   private def syntheticAnimations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Images
-    Tables(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    Dedup.spreadScan(Tables(s, dir, "documents")
+        .select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (4 + id % 5).toInt
         val h = (3 + id % 4).toInt
@@ -4421,8 +4431,9 @@ object ExtensionQueries {
   private def syntheticVideos(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Avi
-    Tables(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    Dedup.spreadScan(Tables(s, dir, "documents")
+        .select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (6 + id % 5).toInt
         val h = (5 + id % 4).toInt
@@ -4446,8 +4457,9 @@ object ExtensionQueries {
     val brs = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
       256, 320)
     val rates = Array(44100, 48000, 32000)
-    Tables(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    Dedup.spreadScan(Tables(s, dir, "documents")
+        .select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val payload =
           if (id % 2 == 0)
@@ -4487,8 +4499,9 @@ object ExtensionQueries {
   private def syntheticImages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Images
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    Dedup.spreadScan(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+        col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         val payload =
