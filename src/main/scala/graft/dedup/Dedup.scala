@@ -123,22 +123,92 @@ object Dedup {
       .withColumnRenamed("col", "bandKey")
   }
 
-  /** Pin a candidate-join input exchange at the session's configured
-    * shuffle parallelism (an explicit-count repartition, which AQE will
-    * not coalesce). The exchange's INPUT is slim — a few bytes of key
-    * per class per band/chunk — but the self-join's OUTPUT is quadratic
-    * in bucket occupancy, so AQE's byte-based partition coalescing
-    * serializes the hottest operator of every banded front (measured on
-    * the embedding front at sf0.1: 530 KB of band keys coalesced to ONE
-    * partition and the whole candidate generation ran as a single
-    * 1.8 s task). Skew handling is unaffected in the case that matters:
-    * a hot bucket is one KEY, which AQE's skew split could never divide
-    * anyway. */
+  /** The session's resolved shuffle parallelism — the already-parsed
+    * Int, not a `.toInt` of the raw conf string (which a vendor
+    * runtime can set to e.g. "auto" and NumberFormatException inside
+    * every banded front). */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Catalyst's size estimate of `df` from the optimized logical plan
+    * (file bytes at the scan, scaled through projections, propagated
+    * through localCheckpoints) — estimation only, never executes. A
+    * frame whose stats cannot be computed estimates as unbounded, so
+    * the width clamp below degrades to the full configured
+    * parallelism, never to a serialized plan.
+    *
+    * A frame whose leaves are all MATERIALIZED localCheckpoints (the
+    * mid-pipeline shape of the lifecycle gates) reports its TRUE
+    * cached size from the block manager instead: the Catalyst
+    * estimate above a checkpoint inherits the pre-checkpoint
+    * pipeline's guesses, which explode-heavy chains (WARC record
+    * walks) inflate by orders of magnitude — measured: a few-hundred-
+    * KB selected-corpus checkpoint estimated at 2.9 GB, pinning its
+    * downstream kernel spread at full width. */
+  private def planBytes(df: DataFrame): BigInt = scala.util.Try {
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val rddIds = leaves.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    val cached =
+      if (rddIds.isEmpty || rddIds.length != leaves.length) Nil
+      else {
+        val ids = rddIds.toSet
+        df.sparkSession.sparkContext.getRDDStorageInfo.toSeq
+          .filter(i => ids.contains(i.id) && i.numCachedPartitions > 0)
+      }
+    if (cached.length == rddIds.length && cached.nonEmpty)
+      BigInt(cached.map(i => i.memSize + i.diskSize).sum)
+    else plan.stats.sizeInBytes
+  }.getOrElse(BigInt(Long.MaxValue))
+
+  /** Width for a restore-parallelism repartition: the configured
+    * shuffle parallelism CLAMPED by a bytes-per-partition floor
+    * (`spark.graft.spread.partitionBytesFloor`, default 64 KB of
+    * Catalyst-estimated input per partition) and floored at `atLeast`.
+    * At corpus scale the byte estimate exceeds parallelism × floor by
+    * orders of magnitude, so the clamp is inert and the width is the
+    * session's scale knob, exactly as before; the floor exists for toy
+    * inputs, where fanning a few-hundred-KB frame out to every core
+    * makes EVERY downstream stage pay per-task scheduling overhead
+    * that dwarfs its work (measured at sf0.1/local[32]: the ~50-stage
+    * lifecycle gates doubled, and the banded dedup fronts ran 2.6×
+    * faster on 8 cores than 32). The floor is deliberately far below
+    * the 128 MB scan default: these widths feed CPU-bound kernel
+    * passes over compressed columnar bytes, where tens of KB of
+    * parquet are hundreds of ms of kernel work. */
+  private[graft] def scaledWidth(df: DataFrame, atLeast: Int): Int = {
+    val parts = shufflePartitions(df)
+    val floor = BigInt(df.sparkSession.conf
+      .get("spark.graft.spread.partitionBytesFloor", "65536").toLong.max(1L))
+    val byBytes = ((planBytes(df) + floor - 1) / floor)
+      .min(BigInt(parts)).toInt
+    val w = math.min(parts, math.max(byBytes, atLeast))
+    if (sys.env.contains("SPARK_GRAFT_WIDTH_DEBUG"))
+      System.err.println(s"[scaledWidth] bytes=${planBytes(df)} " +
+        s"atLeast=$atLeast -> $w\n" +
+        df.queryExecution.logical.treeString.linesIterator.take(8)
+          .mkString("\n"))
+    w
+  }
+
+  /** Pin a candidate-join input exchange at an explicit partition
+    * count (which AQE will not coalesce). The exchange's INPUT is slim
+    * — a few bytes of key per class per band/chunk — but the
+    * self-join's OUTPUT is quadratic in bucket occupancy, so AQE's
+    * byte-based partition coalescing serializes the hottest operator
+    * of every banded front (measured on the embedding front at sf0.1:
+    * 530 KB of band keys coalesced to ONE partition and the whole
+    * candidate generation ran as a single 1.8 s task). The count is
+    * the session's configured shuffle parallelism, width-clamped by
+    * [[scaledWidth]] (floored at 2 — the pin must always out-run the
+    * coalesce-to-one it exists to prevent). Skew handling is
+    * unaffected in the case that matters: a hot bucket is one KEY,
+    * which AQE's skew split could never divide anyway. */
   private[graft] def pinJoinParallelism(df: DataFrame,
                                         keys: Column*): DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      keys: _*)
+    df.repartition(scaledWidth(df, 2), keys: _*)
 
   /** Restore kernel parallelism over an under-split input: when the
     * frame's physical partition count is under HALF the session's
@@ -150,15 +220,21 @@ object Dedup {
     * case — one gzip member, a single-row-group parquet file — where
     * one core would otherwise run the whole kernel pass (measured at
     * sf0.1: the n-gram shingle stage was a single 1.2 s task because
-    * the corpus file has one row group). The partition probe reads the
-    * NON-adaptive physical plan, which builds its RDD lazily — safe
-    * for the scan-side frames this private helper wraps (an AQE plan's
-    * RDD would eagerly execute upstream stages). */
+    * the corpus file has one row group). The width is [[scaledWidth]]-
+    * clamped (floored at double the input's current count, so a spread
+    * that fires always at least doubles parallelism). The partition
+    * probe reads the NON-adaptive physical plan, which builds its RDD
+    * lazily — safe for the scan-shaped frames the gates pass; a
+    * caller-supplied derived frame whose unprepared plan cannot build
+    * an RDD (e.g. a bare broadcast join) skips the spread instead of
+    * crashing planning. */
   private[graft] def spreadScan(df: DataFrame, key: Column): DataFrame = {
-    val parts =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val have = df.queryExecution.sparkPlan.execute().getNumPartitions
-    if (have * 2 >= parts) df else df.repartition(parts, key)
+    val parts = shufflePartitions(df)
+    val have = scala.util.Try(
+      df.queryExecution.sparkPlan.execute().getNumPartitions)
+      .getOrElse(parts)
+    if (have * 2 >= parts) df
+    else df.repartition(scaledWidth(df, have * 2), key)
   }
 
   /** Banded-LSH candidate pairs verified with exact Jaccard.

@@ -652,6 +652,59 @@ object TextKernels {
     new GenericArrayData(v)
   }
 
+  /** Raw-bits payload for the embedding-front content class key: the
+    * vector's non-null elements as big-endian `doubleToLongBits`
+    * bytes, md5-digested by the caller. Same equivalence classes as
+    * digesting the canonical decimal rendering (the previous key), at
+    * a fraction of the cost — no per-element shortest-round-trip
+    * string formatting, no join buffer: `doubleToLongBits` is
+    * injective over doubles up to NaN canonicalization (all NaNs
+    * collapse to one bit pattern, exactly as every NaN rendered
+    * "NaN"), distinguishes -0.0 from 0.0 (as "-0.0" vs "0.0" did),
+    * and null elements are skipped (as `array_join` skipped them). */
+  def vecClassBits(vec: ArrayData): Array[Byte] = {
+    val n = vec.numElements()
+    val bb = java.nio.ByteBuffer.allocate(8 * n)
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i))
+        bb.putLong(java.lang.Double.doubleToLongBits(vec.getDouble(i)))
+      i += 1
+    }
+    if (bb.position() == bb.capacity()) bb.array()
+    else java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Nearest-centroid argmax for the Lloyd loop: dot(v, c_j) computed
+    * left-to-right ([[vecDot]] parity), ranked under Spark's double
+    * total order (NaN greatest, -0.0 < 0.0 — `Double.compare`), ties
+    * to the HIGHEST cluster id — bit-for-bit the
+    * `max(struct(sim, cluster))` the crossJoin + groupBy(cid) plan
+    * computed, in one kernel call with no exchange. `ids` ascending;
+    * `>=` keeps the later (higher) id on ties. Dimension mismatches
+    * throw (the [[vecDot]] schema-drift contract). */
+  def ivfAssign(vec: ArrayData, ids: Array[Int],
+                cents: Array[Array[Double]]): Int = {
+    require(cents.length > 0, "ivfAssign: empty centroid set")
+    val v = vec.toDoubleArray()
+    var best = 0.0
+    var bestC = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      require(v.length == c.length,
+        s"vector dimension mismatch: ${v.length} vs ${c.length}")
+      var acc = 0.0
+      var d = 0
+      while (d < v.length) { acc += v(d) * c(d); d += 1 }
+      if (j == 0 || java.lang.Double.compare(acc, best) >= 0) {
+        best = acc; bestC = ids(j)
+      }
+      j += 1
+    }
+    bestC
+  }
+
   /** Feature-hashing ("hashing trick") text embedding: tokens →
     * L2-normalized signed-count vector of dimension `dim`. Bucket =
     * hash mod dim; sign = one hash bit (debiases collisions). Connects
@@ -1030,6 +1083,41 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+// ids/cents are Seqs, not Arrays, for the LshBitsPackedCenteredExpr
+// content-equality reason: two semantically-equal plans must
+// semanticEquals or CSE/ReusedExchange dedup is lost
+case class IvfAssignExpr(child: Expression, ids: Seq[Int],
+                         cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(ids.length == cents.length && ids.nonEmpty,
+    "ivf_assign needs one id per centroid, at least one")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_assign"
+  // row-invariant reference objects, built once per task
+  @transient private lazy val idArr: Array[Int] = ids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.ivfAssign(in.asInstanceOf[ArrayData], idArr, centArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idRef = ctx.addReferenceObj("ivfIds", idArr, "int[]")
+    val cRef = ctx.addReferenceObj("ivfCents", centArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.ivfAssign($c, $idRef, $cRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class VecClassBitsExpr(child: Expression) extends KernelUnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vec_class_bits"
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.vecClassBits(in.asInstanceOf[ArrayData])
+  override protected def kernelCall(c: String): String =
+    s"graft.ops.TextKernels.vecClassBits($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class L2NormalizeExpr(child: Expression) extends KernelUnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "l2_normalize"
@@ -1152,6 +1240,9 @@ object TextExprs {
   def sentences(text: Column): Column = c(SentencesExpr(e(text)))
   def hashEmbed(tokens: Column, dim: Int): Column = c(HashEmbedExpr(e(tokens), dim))
   def l2normalize(vec: Column): Column = c(L2NormalizeExpr(e(vec)))
+  def vecClassBits(vec: Column): Column = c(VecClassBitsExpr(e(vec)))
+  def ivfAssign(vec: Column, ids: Seq[Int], cents: Seq[Seq[Double]]): Column =
+    c(IvfAssignExpr(e(vec), ids, cents))
   def vecDot(a: Column, b: Column): Column = c(VecDotExpr(e(a), e(b)))
   def lshBitsPackedCentered(vec: Column, planes: Int, center: Array[Double]): Column =
     c(LshBitsPackedCenteredExpr(e(vec), planes,

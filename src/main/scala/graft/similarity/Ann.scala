@@ -224,39 +224,55 @@ object Ann {
     import spark.implicits._
     val seeds = train.orderBy(col("cid")).limit(nClusters)
       .select(col("v")).collect().map(_.getSeq[Double](0))
-    var centroids = seeds.zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq
-      .toDF("cluster", "centroid")
-    def assignTo(rows: DataFrame, cents: DataFrame): DataFrame =
-      rows.crossJoin(broadcast(cents))
-        .select(col("cid"), col("v"),
-          struct(dot(col("v"), col("centroid")).as("sim"), col("cluster")).as("sc"))
-        .groupBy(col("cid"))
-        .agg(max(col("sc")).getField("cluster").as("cluster"),
-          first(col("v")).as("v"))
+    // the centroid set lives as driver arrays between rounds (k×dim
+    // doubles — the same tiny-materialization class as the former
+    // per-round broadcast + eager checkpoint), feeding the ivf_assign
+    // argmax kernel: each Lloyd round is ONE job — scan the training
+    // checkpoint, assign per row with no exchange (the kernel
+    // reproduces max(struct(dot, cluster)) bit-for-bit), and reduce to
+    // k rows through the map-side-combined decimal vector sum. The
+    // crossJoin + groupBy(cid) re-shuffle of every training vector,
+    // the posexplode mean and the per-round broadcast/checkpoint jobs
+    // are gone.
+    var ids: Array[Int] = seeds.indices.toArray
+    var cents: Array[Array[Double]] = seeds.map(_.toArray).toArray
     for (_ <- 0 until iters) {
-      val assign = assignTo(train, centroids)
-      centroids = assign
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        // decimal-exact mean (not avg(double)): fp partial sums merge in
-        // shuffle-fetch order and would make centroids bit-unstable
-        // run-to-run; normalized components are |x| <= 1, so
-        // decimal(38,18) has 20 integer digits of headroom
-        .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("m"))
+      // decimal-exact mean (not avg(double)): fp partial sums merge in
+      // shuffle-fetch order and would make centroids bit-unstable
+      // run-to-run; normalized components are |x| <= 1, so
+      // decimal(38,18) has 20 integer digits of headroom. Same cast
+      // rounding, exact sum, and decimal-over-count division as the
+      // sum(cast(...))/count form this replaces.
+      val next = train
+        .select(graft.ops.TextExprs
+            .ivfAssign(col("v"), ids.toSeq, cents.map(_.toSeq).toSeq)
+            .as("cluster"),
+          col("v"))
         .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        // k×dim doubles — checkpoint so each Lloyd round starts from a
-        // materialized frame instead of replaying every prior round
-        .localCheckpoint(true)
+        .agg(graft.ops.VecSumAggregate.vecSumDecimal(col("v")).as("s"),
+          // count only vectors the posexplode mean would have counted —
+          // empty arrays emit no rows there (none survive the size>0
+          // gate upstream; the guard keeps the parity explicit)
+          count(when(size(col("v")) > 0, 1)).as("n"))
+        .select(col("cluster"),
+          transform(col("s"), e => (e / col("n")).cast("double"))
+            .as("centroid"))
+        .collect()
+        .sortBy(_.getInt(0))
+      ids = next.map(_.getInt(0))
+      cents = next.map(_.getSeq[Double](1).toArray)
     }
+    val centroids = ids.zip(cents.map(_.toSeq)).toSeq
+      .toDF("cluster", "centroid")
     // FINAL assignment of the FULL corpus against the FINAL centroids —
     // the in-loop assignment covered only the training sample, and
     // probes ranked by the new centroids must match the inverted-list
-    // membership
-    (assignTo(normed, centroids).select(col("cid"), col("cluster")), centroids)
+    // membership. A pure kernel projection: no exchange, no broadcast.
+    (normed.select(col("cid"),
+      graft.ops.TextExprs
+        .ivfAssign(col("v"), ids.toSeq, cents.map(_.toSeq).toSeq)
+        .as("cluster")),
+      centroids)
   }
 
   /** The `nprobe` best clusters per query: (qid, cluster) ranked by
@@ -484,15 +500,18 @@ object Ann {
   }
 
   /** Content-class key for the embedding-front exact-duplicate
-    * collapse: md5 of the canonical decimal rendering of the
-    * double-cast vector. Injective at the string level (',' cannot
-    * occur inside a double's rendering, and Spark's double→string cast
-    * is the shortest round-trip representation, injective over
-    * doubles), so two vectors share a class iff their double-cast
-    * arrays are identical — exactly the population whose signatures,
-    * band keys and pairwise cosine are indistinguishable. */
+    * collapse: md5 of the vector's raw element bits
+    * ([[graft.ops.TextKernels.vecClassBits]] — big-endian
+    * `doubleToLongBits`, one codegen kernel call). Injective at the
+    * byte level (fixed 8-byte chunks, NaN canonicalized, -0.0 ≠ 0.0),
+    * so two vectors share a class iff their double-cast arrays are
+    * identical — exactly the population whose signatures, band keys
+    * and pairwise cosine are indistinguishable. Same equivalence
+    * classes as the previous key (md5 of the canonical decimal
+    * rendering), without the per-element shortest-round-trip string
+    * formatting that dominated the collapse's constant factor. */
   private[graft] def vecClassKey(v: Column): Column =
-    md5(array_join(transform(v, _.cast("string")), ","))
+    md5(graft.ops.TextExprs.vecClassBits(v))
 
   /** The banded frame [[cosineNearDupPairs]] self-joins — one row per
     * (vector content class, band), NEVER per row. Exposed as the seam
@@ -544,15 +563,16 @@ object Ann {
     * identical to banding raw rows: class members are interchangeable
     * under signature, prefilter and cosine alike.
     *
-    * Plan shape: ONE pass computes (id, v0, cls) (lazily checkpointed
-    * for its consumers — the centering mean, the class aggregate and
-    * the membership mapping); the class frame likewise (banding + the
-    * normalized verify payload); the band join ships 16-byte class
-    * keys only and is merge-pinned (the exploded band frame must never
-    * broadcast), and the expansion joins are merge-pinned too — the
-    * membership frame is one row per input row, corpus-scale, and the
-    * static post-checkpoint estimate would happily broadcast it at
-    * small SF, a plan that cannot survive production scale. */
+    * Plan shape: ONE digest exchange + window computes (id, v0, cls),
+    * lazily checkpointed for every consumer — the centering mean, the
+    * class frame (the id == cls representatives: banding + the
+    * normalized verify payload) and the membership mapping; the band
+    * join ships slim class keys only and is merge-pinned (the exploded
+    * band frame must never broadcast), and the expansion joins are
+    * merge-pinned too — the membership frame is one row per input row,
+    * corpus-scale, and the static post-checkpoint estimate would
+    * happily broadcast it at small SF, a plan that cannot survive
+    * production scale. */
   def cosineNearDupPairs(corpus: DataFrame, id: Column, vec: Column,
                          threshold: Double = 0.95,
                          bands: Int = 8, bandBits: Int = 4,
@@ -566,45 +586,41 @@ object Ann {
     // all-negative-projection real vector — a candidate pair whose
     // verify dot would then throw on the 0-vs-dim mismatch
     val live = corpus.where(size(vec) > 0)
-    // collapse FIRST: (id, v0, cls) in one cast+md5 pass, lazily
-    // checkpointed for its three consumers (the centering mean, the
-    // class aggregate, the membership mapping) — lazy so the first
-    // consuming action materializes it instead of paying an extra
-    // full pass as its own job
-    val keyed = live.select(id.as("id"), asDouble(vec).as("v0"))
+    // collapse FIRST: (id, v0, cls) through ONE digest exchange — the
+    // min-member id over the digest window IS the class label, the
+    // representative row (id == cls) carries v0 for the class frame,
+    // and every other row is pure membership. One window pass replaces
+    // the previous class aggregate + membership window (two separate
+    // full-frame exchanges over the same digest key) and the single
+    // lazy checkpoint serves all three consumers (the centering mean,
+    // the class frame, the membership mapping).
+    // `cls` — the key every downstream join rides — is the min-member
+    // id, not the md5 digest: the band self-join's candidate stream is
+    // the hottest frame here (10 bands × 6-bit keys is n²/64-per-band
+    // at default parameters) and 32-char digest pairs measured ~2.3×
+    // slower through it than 8-byte longs (sort, compare and shuffle
+    // bytes alike). The digest never leaves this window.
+    val annotated = live.select(id.as("id"), asDouble(vec).as("v0"))
       .withColumn("__ck", vecClassKey(col("v0")))
-      .localCheckpoint(false)
-    // first(v0) is deterministic IN VALUE: every member of a class
-    // carries the identical double-cast array, so signature, bands and
-    // verify read the same whichever member's array is kept.
-    // `cls` — the key every downstream join rides — is the LONG
-    // min-member id, not the md5 digest: the band self-join's candidate
-    // stream is the hottest frame here (10 bands × 6-bit keys is
-    // n²/64-per-band at default parameters) and 32-char digest pairs
-    // measured ~2.3× slower through it than 8-byte longs (sort, compare
-    // and shuffle bytes alike). The digest exists only inside this
-    // aggregation and the membership join below.
-    val classes = keyed.groupBy(col("__ck"))
-      .agg(min(col("id")).as("cls"), first(col("v0")).as("v0"))
-      .localCheckpoint(false)
-    // membership re-keyed to the long surrogate: the class label IS
-    // min(id) over the digest group, so a single window over the slim
-    // (id, __ck) frame derives it in ONE exchange — no classes-side
-    // re-shuffle and no digest merge join (which measured as two extra
-    // serial stages per call). Corpus-scale, never broadcast;
-    // checkpointed because the expansion consumes it four times
-    // (cross a/b, within a/b) and the digest window must run once
-    val members = keyed.select(col("id"), col("__ck"))
       .withColumn("cls", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__ck"))))
-      .select(col("id"), col("cls"))
+      .select(col("id"), col("v0"), col("cls"))
       .localCheckpoint(false)
+    // the (id == cls) representative's v0 is the value the previous
+    // first(v0) aggregate kept: every member of a class carries the
+    // identical double-cast array, so signature, bands and verify read
+    // the same whichever member's array is used. (An all-null-id class
+    // has no representative row; its pairs were unreachable anyway —
+    // every downstream equi-join drops null cls keys.)
+    val classes = annotated.where(col("id") === col("cls"))
+      .select(col("cls"), col("v0"))
+    val members = annotated.select(col("id"), col("cls"))
     // Center the hyperplanes at the corpus mean: on an internally-
     // correlated corpus the raw sign bits all skew the same way (hot
     // buckets → quadratic join blowup). The mean is dim doubles — a
     // deliberate tiny driver materialization, same class as a broadcast.
     // It is the CORPUS mean (multiplicity preserved — computed from
-    // `keyed`, never from the collapsed class frame), so the collapse
+    // `annotated`, never from the collapsed class frame), so the collapse
     // cannot move the signatures of an existing corpus by one bit.
     // TRADEOFF: pairs sitting AT the mean have tiny centered vectors
     // whose sign bits decorrelate — near-dups in the densest part of
@@ -645,28 +661,28 @@ object Ann {
         }
       }
       val sampled =
-        if (meanSampleMod == 1) keyed
-        else keyed.where(
+        if (meanSampleMod == 1) annotated
+        else annotated.where(
           pmod(xxhash64(col("v0")), lit(meanSampleMod)) === 0)
       // a tiny corpus can miss the sample entirely — fall back to exact
-      meanOf(sampled).orElse(meanOf(keyed)).getOrElse(Array.empty)
+      meanOf(sampled).orElse(meanOf(annotated)).getOrElse(Array.empty)
     }
-    // the band exchange is pinned at the session's configured shuffle
-    // parallelism (repartition with an explicit count, which AQE will
-    // not coalesce): the exchange's INPUT is slim (8-byte keys per
-    // class per band), but the self-join's OUTPUT is quadratic in
-    // bucket occupancy, so AQE's byte-based partition coalescing
-    // serializes the hottest operator here — measured at sf0.1: the
-    // whole candidate generation ran as ONE task (1.8 s, ~30 M pair
-    // emissions on one core) because 530 KB of band keys coalesced to
-    // a single partition. Skew handling is unaffected in the case that
+    // the band exchange is pinned at an explicit partition count
+    // (which AQE will not coalesce): the exchange's INPUT is slim
+    // (8-byte keys per class per band), but the self-join's OUTPUT is
+    // quadratic in bucket occupancy, so AQE's byte-based partition
+    // coalescing serializes the hottest operator here — measured at
+    // sf0.1: the whole candidate generation ran as ONE task (1.8 s,
+    // ~30 M pair emissions on one core) because 530 KB of band keys
+    // coalesced to a single partition. The count is
+    // Dedup.pinJoinParallelism's size-clamped width — the session's
+    // shuffle parallelism at scale, a bytes-floored fraction of it on
+    // toy inputs. Skew handling is unaffected in the case that
     // matters: a hot bucket is one KEY, which AQE's skew split could
     // never divide anyway.
-    val shuffleParts =
-      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val banded = bandedVectorClasses(classes, bands, bandBits, centered,
-      center)
-      .repartition(shuffleParts, col("band"), col("bkey"))
+    val banded = graft.dedup.Dedup.pinJoinParallelism(
+      bandedVectorClasses(classes, bands, bandBits, centered, center),
+      col("band"), col("bkey"))
     // Hamming prefilter only applies to UNcentered signatures (centered
     // bit-agreement no longer tracks the raw cosine); with centering the
     // balanced buckets already bound the candidate volume.
