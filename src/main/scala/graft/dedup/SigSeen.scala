@@ -105,7 +105,10 @@ object SigSeen {
     val spark = batch.sparkSession
     val canon = batch.select(id.cast("long").as("doc_id"), sig.as("sig"))
       .where(col("sig").isNotNull)
-      .localCheckpoint(true) // consumed by the match build AND annotation
+      // consumed by the match build AND annotation; LAZY — the fold's
+      // first action materializes it (the UrlSeen.foldBatch stage-diet
+      // discipline: no dedicated checkpoint job per fold)
+      .localCheckpoint(false)
     val batchMin = canon.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("batch_first"))
     // monotone-fold guard: the UrlSeen contract verbatim, against ONE
@@ -137,7 +140,9 @@ object SigSeen {
       .agg(min(struct(col("hamming"), col("first_seen_batch"),
           col("first_doc"))).as("m"),
         max((col("ssig") === col("sig")).cast("int")).as("exact"))
-      .localCheckpoint(true) // ≤ one row per distinct batch signature
+      // ≤ one row per distinct batch signature; LAZY — the delta
+      // write (or on replay the annotation) materializes it once
+      .localCheckpoint(false)
     if (!replay) {
       batchMin.join(matches.where(col("exact") === 1).select(col("sig")),
           Seq("sig"), "left_anti")

@@ -96,7 +96,11 @@ object UrlSeen {
     val canon = batch.select(id.cast("long").as("doc_id"),
         graft.ops.HtmlExprs.urlNormalize(url).as("url_canon"))
       .where(col("url_canon").isNotNull)
-      .localCheckpoint(true) // consumed by the delta write AND annotation
+      // consumed by the delta write AND annotation; LAZY — the delta
+      // write (the fold's first action) materializes it, the
+      // annotation reads the cache: one serial job fewer per fold in
+      // the stage-count-bound lifecycle gates
+      .localCheckpoint(false)
     val batchMin = canon.groupBy(col("url_canon"))
       .agg(min(col("doc_id")).as("batch_first"))
     // ONE log resolution serves the guard, both state reads, and the

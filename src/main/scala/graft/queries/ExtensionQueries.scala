@@ -343,7 +343,10 @@ object ExtensionQueries {
         .select(col("doc_id"), col("host"), col("main"),
           graft.ops.TextExprs.gopherStats(col("main")).getField("pass")
             .cast("long").as("gopher_pass"))
-        .localCheckpoint(true)
+        // LAZY: the first consumer materializes it inside its own job —
+        // an eager checkpoint here was one more serial job in a gate
+        // that is stage-count-bound (~50 sub-0.3 s stages)
+        .localCheckpoint(false)
       val modeled = graft.text.BatchScore.score(s, gated, col("doc_id"),
           col("main"), batchSize = 53)
         .select(col("id").as("doc_id"), col("score_ppm").as("model_ppm"))
@@ -391,7 +394,10 @@ object ExtensionQueries {
           concat(col("split"), lit(":"), col("lang")),
           struct(col("doc_id"), col("chunk_idx")), col("n_tokens"),
           budget = 256)
-        .localCheckpoint(true) // consumed by the export AND the summary
+        // consumed by the export AND the summary; LAZY — the export
+        // action immediately below materializes it, the summary reads
+        // the cache (one serial job fewer than an eager checkpoint)
+        .localCheckpoint(false)
       val out = java.nio.file.Files
         .createTempDirectory("graft_corpus_gate").toString
       graft.ingest.Jsonl.export(s, packed,
@@ -2101,7 +2107,9 @@ object ExtensionQueries {
         .unionByName(shiftIds(videoSeenBatch(s, dir, 2), MediaIncVid))
       // narrow classification (no payload-shuffling join back), one
       // checkpoint for the three routing consumers
-      val routed = Multimodal.withFormat(s, frame).localCheckpoint(true)
+      // LAZY: the first routing leg's fold materializes it, the other
+      // two read the cache (no dedicated checkpoint job)
+      val routed = Multimodal.withFormat(s, frame).localCheckpoint(false)
       def leg(format: String, out: DataFrame): DataFrame =
         out.select(lit(format).as("modality"), col("doc_id"),
           col("status"), col("first_doc"),
@@ -4061,12 +4069,20 @@ object ExtensionQueries {
           col("doc_id"), col("payload"))
         .where(col("warc_type") === "response")
         .select(col("file_id").as("doc_id"), col("target_uri"))
-        .localCheckpoint(true) // consumed by BOTH folds
+        // consumed by BOTH folds; LAZY — fold 0's delta write (the
+        // first action) materializes it
+        .localCheckpoint(false)
+      // fold 0 is called for its STATE side effect (the delta write
+      // runs eagerly inside foldBatch); its annotation frame is
+      // discarded, so forcing it with a count() was a whole wasted job
       graft.dedup.UrlSeen.foldBatch(uris.where(col("doc_id") % 3 =!= 2),
-        col("doc_id"), col("target_uri"), state, 0L).count()
+        col("doc_id"), col("target_uri"), state, 0L)
       val ann = graft.dedup.UrlSeen.foldBatch(uris, col("doc_id"),
           col("target_uri"), state, 1L)
-        .localCheckpoint(true) // consumed by the counts AND the filter
+        // consumed by the counts AND the filter; LAZY — the gate's
+        // single output action materializes it once, both consumers
+        // read the cache
+        .localCheckpoint(false)
       val counts = ann.agg(
         sum(when(col("status") === "seen", 1L).otherwise(0L))
           .cast("long").as("n_seen"),
@@ -4096,8 +4112,10 @@ object ExtensionQueries {
     "corpus_rebuild_archive" -> ((s, dir) => {
       val state = java.nio.file.Files
         .createTempDirectory("graft_rebuild_state").toString
+      // syntheticWarc is already a memoized localCheckpoint — the
+      // index append and the fetch read that cache directly
+      // (re-checkpointing it copied the whole fixture every run)
       val crawl = syntheticWarc(s, dir)
-        .localCheckpoint(true) // consumed by the index append AND fetch
       graft.ingest.CdxLog.append(s, crawl, col("doc_id"), col("payload"),
         state, 0L)
       val want = graft.ingest.CdxLog.read(s, state)
