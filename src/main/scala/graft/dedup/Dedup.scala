@@ -1583,13 +1583,17 @@ object Dedup {
       }
     }
     val distinctSigs = members.select(col("sig")).distinct()
-    // deliberately NOT pinJoinParallelism-pinned: the pigeonhole chunk
-    // join's output is bounded by the distinct-signature collapse and
-    // the radius filter, and the pin measured +0.4 s on dedup_simhash
-    // at sf0.1 (pure exchange/scheduling overhead on the sub-second
-    // media fronts) — at corpus scale the chunk exchange is wide on its
-    // own bytes
-    val chunked = simhashKeys(distinctSigs, maxHamming, wide)
+    // pinned at the SIZE-CLAMPED width (round 22): the always-full-
+    // width pin measured +0.4 s here at sf0.1 (pure exchange overhead
+    // on the sub-second media fronts — that attempt is why round 21
+    // declined it), but AQE's byte-based coalescing still serialized
+    // the chunk join + radius verify into ONE task (measured: 0.4 s on
+    // a 730 KB exchange). The scaledWidth pin keeps toy inputs at a
+    // handful of partitions and is the session's full parallelism at
+    // corpus scale.
+    val chunked = pinJoinParallelism(
+      simhashKeys(distinctSigs, maxHamming, wide),
+      col("chunk"), col("ckey"))
     val a = chunked.select(col("chunk"), col("ckey"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("sig").as("sig_b"))
     // signatures are 8 bytes — carry them through the chunk join and

@@ -1174,8 +1174,15 @@ object ExtensionQueries {
       // non-vacuous at SFs whose corpus has no natural exact dups.
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val planted = docs.unionByName(docs.where(col("doc_id") < 8)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      // spread BEFORE the simhash kernel: the union of two one-row-
+      // group scans is 2 effective tasks, so the token-shingle kernel
+      // pass ran as two ~0.5 s tasks (hammingPairs itself can't spread
+      // — its generic input may carry media payloads that must never
+      // cross an exchange; here the spread moves source TEXT)
+      val planted = Dedup.spreadScan(
+        docs.unionByName(docs.where(col("doc_id") < 8)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))),
+        col("doc_id"))
       val pairs = Dedup.simhashPairs(planted, col("doc_id"), col("text"),
         maxHamming = 7, wideTables = Some(false))
       val keys = planted.select(col("doc_id"), md5(col("text")).as("__h"))
@@ -1710,8 +1717,12 @@ object ExtensionQueries {
     "text_fingerprint" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val planted = docs.unionByName(docs.where(col("doc_id") < 8)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      // spread the one-row-group union so the rolling-hash kernel pass
+      // runs wide (the dedup_simhash discipline)
+      val planted = Dedup.spreadScan(
+        docs.unionByName(docs.where(col("doc_id") < 8)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))),
+        col("doc_id"))
       // ONE kernel pass: the frame feeds the doc count and both sides
       // of the violation join — unmaterialized, the rolling-hash
       // kernel would run three times (measured +0.5 s at sf0.1)
@@ -1797,8 +1808,12 @@ object ExtensionQueries {
       // paid one extra full pass as its own job)
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val planted = docs.unionByName(docs.where(col("doc_id") < 8)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      // spread the one-row-group union so the hash-embed kernel pass
+      // runs wide (the dedup_simhash discipline)
+      val planted = Dedup.spreadScan(
+        docs.unionByName(docs.where(col("doc_id") < 8)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))),
+        col("doc_id"))
       val embedded = planted
         .select(col("doc_id").as("vec_id"),
           graft.ops.TextExprs.hashEmbed(
