@@ -178,10 +178,22 @@ object Dedup {
     * the 128 MB scan default: these widths feed CPU-bound kernel
     * passes over compressed columnar bytes, where tens of KB of
     * parquet are hundreds of ms of kernel work. */
-  private[graft] def scaledWidth(df: DataFrame, atLeast: Int): Int = {
+  private[graft] def scaledWidth(df: DataFrame, atLeast: Int): Int =
+    scaledWidth(df, atLeast, 0L)
+
+  /** [[scaledWidth]] with an explicit bytes-per-partition floor —
+    * for call sites whose per-byte work differs structurally from the
+    * kernel passes the conf default is tuned for (e.g. the quantile
+    * prefix-sum, where a partition is a cheap sort+cumsum, not a
+    * hash-heavy shingle walk). `floorBytes <= 0` reads the conf. */
+  private[graft] def scaledWidth(df: DataFrame, atLeast: Int,
+                                 floorBytes: Long): Int = {
     val parts = shufflePartitions(df)
-    val floor = BigInt(df.sparkSession.conf
-      .get("spark.graft.spread.partitionBytesFloor", "65536").toLong.max(1L))
+    val floor = BigInt(
+      if (floorBytes > 0L) floorBytes
+      else df.sparkSession.conf
+        .get("spark.graft.spread.partitionBytesFloor", "65536")
+        .toLong.max(1L))
     val byBytes = ((planBytes(df) + floor - 1) / floor)
       .min(BigInt(parts)).toInt
     val w = math.min(parts, math.max(byBytes, atLeast))

@@ -269,22 +269,70 @@ object PipelineMetrics {
   /** Per-group cumulative counts in value order plus the group total —
     * the distributed replacement for [[graft.core.Refine]]'s driver-side
     * scanLeft. The per-group window is bounded by the histogram cap
-    * (`maxRows`), so the sort inside it is never corpus-sized. */
+    * (`maxRows`), so the sort inside it is never corpus-sized.
+    *
+    * Above a size threshold the cumulative walk runs as a two-level
+    * prefix sum (round 22): the single `partitionBy(g)` window put the
+    * WHOLE histogram of a one-group gate through one task (measured at
+    * sf0.1: 594k levels, a 1.2 s single-task sort+cumsum — the
+    * dominant stage of every unweighted quantile gate). Instead the
+    * levels range-partition by (g, v), each partition cumsums its own
+    * slice, and a tiny per-(group, partition) totals frame — W×|groups|
+    * rows — provides the additive offsets and group totals through one
+    * broadcast. The cumulative count of a level is a sum of the same
+    * Longs in the same value order whatever the partition boundaries,
+    * so the output is bit-identical to the single-window form; small
+    * histograms (the incremental gates' bounded state) keep the single
+    * window and pay zero extra exchanges. */
   private def cumLevels(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byV = Window.partitionBy(col("g")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // group totals ride a SECOND window over the same partitioning
-    // (whole-partition frame, no ordering requirement): both windows
-    // share one exchange and one sort, where the previous aggregate +
-    // broadcast-join form paid its own aggregation job and a broadcast
-    // build per call — measured as two extra serial stages per quantile
-    // gate at sf0.1 for the same number
-    val whole = Window.partitionBy(col("g"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    hist
-      .withColumn("cum", sum(col("n")).over(byV))
-      .withColumn("__t", sum(col("n")).over(whole))
+    // cumsum work is cheap per byte (no kernel hashing), so the width
+    // uses a 4 MB floor rather than the spread conf default
+    val w = graft.dedup.Dedup.scaledWidth(hist, 1, 4L << 20)
+    if (w <= 2) {
+      val byV = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // group totals ride a SECOND window over the same partitioning
+      // (whole-partition frame, no ordering requirement): both windows
+      // share one exchange and one sort, where the previous aggregate +
+      // broadcast-join form paid its own aggregation job and a
+      // broadcast build per call — measured as two extra serial stages
+      // per quantile gate at sf0.1 for the same number
+      val whole = Window.partitionBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cum", sum(col("n")).over(byV))
+        .withColumn("__t", sum(col("n")).over(whole))
+    } else {
+      // consumed by the partition-totals build AND the cum pass — lazy
+      // checkpoint so the range exchange runs once
+      val ranged = hist.repartitionByRange(w, col("g"), col("v"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(false)
+      val off = Window.partitionBy(col("g")).orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = Window.partitionBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offsets = ranged.groupBy(col("g"), col("__pid"))
+        .agg(sum(col("n")).as("__pn"))
+        .withColumn("__off", coalesce(sum(col("__pn")).over(off), lit(0L)))
+        .withColumn("__t", sum(col("__pn")).over(tot))
+        .select(col("g").as("__og"), col("__pid").as("__opid"),
+          col("__off"), col("__t"))
+      val byVInPart = Window.partitionBy(col("g"), col("__pid"))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        // pin the window's clustering exchange at w — AQE's byte-based
+        // coalescing would otherwise fold the slim level rows back
+        // into a couple of partitions and re-serialize the cumsum
+        .repartition(w, col("g"), col("__pid"))
+        .withColumn("__c", sum(col("n")).over(byVInPart))
+        .join(broadcast(offsets),
+          col("g") === col("__og") && col("__pid") === col("__opid"))
+        .withColumn("cum", col("__off") + col("__c"))
+        .select(col("g"), col("v"), col("n"), col("cum"), col("__t"))
+    }
   }
 
   /** Distributed `percentile_disc` lookup over a (g, v, n) histogram:

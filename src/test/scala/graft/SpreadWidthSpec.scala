@@ -68,6 +68,26 @@ class SpreadWidthSpec extends AnyFunSuite {
     assert(out.count() === 1)
   }
 
+  test("distributed quantile prefix-sum matches brute-force ranks on a " +
+    "histogram large enough to leave the single-window path") {
+    import spark.implicits._
+    // ~300k distinct levels (the sf0.1 shape that serialized a 1.2 s
+    // single-task window) — the cached histogram crosses the 4 MB/part
+    // floor, so cumLevels takes the two-level prefix-sum branch
+    val n = 300000
+    val df = spark.range(n)
+      .select(((col("id") * 2654435761L) % 97000).as("v"))
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = graft.meta.PipelineMetrics.exactQuantiles(df, col("v"), ps)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    val sorted = (0L until n).map(i => (i * 2654435761L) % 97000).sorted
+    val expected = ps.map { p =>
+      val r = math.min(math.max(math.ceil(p * n).toLong, 1L), n.toLong)
+      (p, sorted((r - 1).toInt), n.toLong)
+    }
+    assert(got === expected)
+  }
+
   test("vec class key: raw-bits kernel keeps the rendered-string key's " +
     "equivalence classes on hostile vectors") {
     import spark.implicits._
