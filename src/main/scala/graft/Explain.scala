@@ -37,8 +37,14 @@ object Explain {
     // adaptive plan — AQE stage reuse (e.g. deduplicated identical
     // shuffles) only shows post-execution
     val (flags, qs) = names.partition(_.startsWith("-"))
-    require(flags.forall(Set("-exec", "-noaqe")), s"unknown flag in $flags")
+    require(flags.forall(Set("-exec", "-noaqe", "-ckpt")),
+      s"unknown flag in $flags")
     val exec = flags.contains("-exec")
+    // "-ckpt": also print the PRE-checkpoint plan of every mid-query
+    // localCheckpoint (graft.core.PlanTrace) — a checkpoint truncates
+    // the visible plan, so the main dump alone under-counts exchanges
+    if (flags.contains("-ckpt"))
+      sys.props("graft.explain.checkpoints") = "1"
     for (n <- qs) {
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)

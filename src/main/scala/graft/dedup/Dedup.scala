@@ -295,7 +295,8 @@ object Dedup {
         col("doc_id"))
       .select(col("doc_id"), shingles(col("__t")).as("sh"))
       .withColumn("cls", shingleClassKey(col("sh")))
-      .localCheckpoint(false)
+      .transform(graft.core.PlanTrace.checkpoint(_, eager = false,
+        "minhash shingle classes (doc_id, sh, cls)"))
     // first(sh) is deterministic IN VALUE under set-Jaccard: every
     // member of a class carries the same shingle set (sorted-join
     // equality), so signature, bands, and verify read identically
@@ -1577,7 +1578,8 @@ object Dedup {
       // LAZY: the first consuming action materializes and caches it —
       // an eager checkpoint would pay one extra full pass as its own
       // job, measurable on sub-second media gates
-      .localCheckpoint(false)
+      .transform(graft.core.PlanTrace.checkpoint(_, eager = false,
+        "hamming members (doc_id, sig)"))
     val wide = wideTables.getOrElse {
       // r ≤ 3 always takes the 4×16-bit chunk layout (simhashKeys
       // ignores the flag there) — don't sample, and don't LOG a layout

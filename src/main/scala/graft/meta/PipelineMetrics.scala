@@ -250,7 +250,8 @@ object PipelineMetrics {
     val hist = df.where(gS.isNotNull && vL.isNotNull && wL.isNotNull)
       .groupBy(gS.as("g"), vL.as("v"))
       .agg(sum(wL).as("n"), max(lossy).as("lossy"), min(wL).as("wmin"))
-      .localCheckpoint(false)
+      .transform(graft.core.PlanTrace.checkpoint(_, eager = false,
+        "quantile histogram"))
     val s = hist
       .agg(count(lit(1)).as("rows"), max(col("lossy")).as("lossy"),
         min(col("wmin")).as("wmin"))
@@ -308,7 +309,8 @@ object PipelineMetrics {
       // checkpoint so the range exchange runs once
       val ranged = hist.repartitionByRange(w, col("g"), col("v"))
         .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(false)
+        .transform(graft.core.PlanTrace.checkpoint(_, eager = false,
+          "quantile prefix-sum range partitions"))
       val off = Window.partitionBy(col("g")).orderBy(col("__pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val tot = Window.partitionBy(col("g"))
@@ -357,7 +359,8 @@ object PipelineMetrics {
       // the orderBy's range partitioner SAMPLES its child, which would
       // otherwise re-execute the whole window chain a second time
       // (measured: two ~1 s single-task passes per call at sf0.1)
-      .localCheckpoint(false)
+      .transform(graft.core.PlanTrace.checkpoint(_, eager = false,
+        "disc rank matches (pre-sort)"))
       .orderBy(col("g"), col("__i"))
       .select(col("g"), col("p"), col("v").as("value"), col("__t").as("n"))
   }
@@ -401,7 +404,8 @@ object PipelineMetrics {
         first(col("frac")).as("frac"), first(col("__t")).as("__t"))
       // see quantileLookupDisc: break the orderBy sampler's
       // re-execution of the window + join chain
-      .localCheckpoint(false)
+      .transform(graft.core.PlanTrace.checkpoint(_, eager = false,
+        "cont rank matches (pre-sort)"))
       .orderBy(col("g"), col("__i"))
       .select(col("g"), col("p"),
         when(col("frac") === 0.0, col("v_lo").cast("double"))
@@ -433,7 +437,8 @@ object PipelineMetrics {
       .where(col("cum") >= col("r") && col("cum") - col("n") < col("r"))
       // see quantileLookupDisc: break the orderBy sampler's
       // re-execution of the window chain
-      .localCheckpoint(false)
+      .transform(graft.core.PlanTrace.checkpoint(_, eager = false,
+        "ppm rank matches (pre-sort)"))
       .orderBy(col("g"), col("__i"))
       .select(col("g"), col("p_ppm"), col("v").as("value"),
         col("__t").as("n"))

@@ -602,10 +602,15 @@ object TextKernels {
   }
 
   /** ADC score of a codes array against a per-query table:
-    * Σ_i qtab(i)(codes(i)), left-to-right. Null-poisoned exactly like
-    * the zip_with/aggregate form it replaces: a length mismatch, a
-    * null element, or an out-of-range code yields a NULL total (never
-    * a partial sum). Returns a boxed Double so null survives codegen. */
+    * Σ_i qtab(i)(codes(i)), left-to-right. Null-poisoned like the
+    * zip_with/aggregate form it replaces for the [[pqEncode]] contract
+    * (codes in [0, k)): a length mismatch, a null element, or an
+    * out-of-range code yields a NULL total (never a partial sum).
+    * NOTE the parity claim is scoped to codes >= 0 — the old
+    * element_at form THREW on code -1 and indexed from the array END
+    * for code <= -2, values unreachable from pqEncode but different
+    * from this kernel's NULL. Returns a boxed Double so null survives
+    * codegen. */
   def pqAdcScore(codes: ArrayData, qtab: ArrayData): java.lang.Double = {
     val m = codes.numElements()
     if (m != qtab.numElements()) return null

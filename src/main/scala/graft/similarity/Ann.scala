@@ -605,7 +605,8 @@ object Ann {
       .withColumn("cls", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__ck"))))
       .select(col("id"), col("v0"), col("cls"))
-      .localCheckpoint(false)
+      .transform(graft.core.PlanTrace.checkpoint(_, eager = false,
+        "embedding class collapse (id, v0, cls)"))
     // the (id == cls) representative's v0 is the value the previous
     // first(v0) aggregate kept: every member of a class carries the
     // identical double-cast array, so signature, bands and verify read
