@@ -240,13 +240,13 @@ object Dedup {
     * caller-supplied derived frame whose unprepared plan cannot build
     * an RDD (e.g. a bare broadcast join) skips the spread instead of
     * crashing planning. */
-  private[graft] def spreadScan(df: DataFrame, key: Column): DataFrame = {
+  private[graft] def spreadScan(df: DataFrame, keys: Column*): DataFrame = {
     val parts = shufflePartitions(df)
     val have = scala.util.Try(
       df.queryExecution.sparkPlan.execute().getNumPartitions)
       .getOrElse(parts)
     if (have * 2 >= parts) df
-    else df.repartition(scaledWidth(df, have * 2), key)
+    else df.repartition(scaledWidth(df, have * 2), keys: _*)
   }
 
   /** Banded-LSH candidate pairs verified with exact Jaccard.

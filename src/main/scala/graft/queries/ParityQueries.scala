@@ -41,6 +41,22 @@ object ParityQueries {
       col("l_returnflag").as("columnName"),
       concat_ws(",", col("l_linenumber"), dec(col("l_quantity"))).as("cellValue"))
 
+  /** [[liKv]] spread by the pack keys for the groupBy(rowKey,
+    * columnName) gates: the one-row-group lineitem scan serializes the
+    * pack aggregation into a few tasks, so the kv frame
+    * under-split-spreads on EXACTLY the aggregation keys — the
+    * explicit exchange replaces (not adds to) the groupBy's own
+    * (HashPartitioning(rowKey, columnName) satisfies the aggregation's
+    * clustered distribution), keeping the PlanSpec single-shuffle KV
+    * lifecycle: one pack exchange + the display sort, at toy SF and at
+    * scale alike (where the spread is a no-op and the groupBy plans
+    * its own exchange as before). Pack partials concatenate rather
+    * than reduce, so shuffling raw kv rows moves the same bytes the
+    * partial-agg buffers did. */
+  private def liKvSpread(li: DataFrame): DataFrame =
+    graft.dedup.Dedup.spreadScan(liKv(li),
+      col("rowKey"), col("columnName"))
+
   private val liKvSql =
     """SELECT cast(l_orderkey AS varchar) AS rowKey,
       |       l_returnflag AS columnName,
@@ -64,7 +80,7 @@ object ParityQueries {
 
     // Pack aggregation (A1+A2+A4): many rows → one ordered cell payload
     "pack_cells" -> ((s, dir) => {
-      liKv(Tables(s, dir, "lineitem"))
+      liKvSpread(Tables(s, dir, "lineitem"))
         .groupBy(col("rowKey"), col("columnName"))
         .agg(
           count(lit(1)).as("n"),
@@ -75,7 +91,7 @@ object ParityQueries {
     // Full packed-cell format: n | payload (count prefix, Utils.scala:56)
     // — the native TypedImperativeAggregate form (PackAggregate)
     "pack_concat" -> ((s, dir) => {
-      liKv(Tables(s, dir, "lineitem"))
+      liKvSpread(Tables(s, dir, "lineitem"))
         .groupBy(col("rowKey"), col("columnName"))
         .agg(graft.ops.PackAggregate.packAggNative(col("cellValue"), delim = "|")
           .as("cell"))
@@ -84,7 +100,7 @@ object ParityQueries {
 
     // Round-trip: pack → unpack ≡ source projection (Utils.scala:377-402)
     "unpack_cells" -> ((s, dir) => {
-      val kv = liKv(Tables(s, dir, "lineitem"))
+      val kv = liKvSpread(Tables(s, dir, "lineitem"))
         .groupBy(col("rowKey"), col("columnName"))
         .agg(KvOps.packAgg(col("cellValue"), delim = "|").as("value"))
       KvOps.unpackCells(kv, delim = "|")
@@ -94,7 +110,7 @@ object ParityQueries {
 
     // Count-prefix strip (F10) + cell count (A4)
     "strip_prefix" -> ((s, dir) => {
-      liKv(Tables(s, dir, "lineitem"))
+      liKvSpread(Tables(s, dir, "lineitem"))
         .groupBy(col("rowKey"), col("columnName"))
         .agg(KvOps.packAgg(col("cellValue"), delim = "|").as("cell"))
         .select(

@@ -174,14 +174,16 @@ class PlanSpec extends AnyFunSuite {
     // the (cluster, id) assignment is one row per corpus document; the
     // static post-aggregate estimate would broadcast it at small SF — a
     // plan that cannot survive corpus scale. Centroids, by contrast,
-    // MUST broadcast (k x dim doubles riding the assignment cross).
-    // Asserted on the pairs front (semdedup_exactdups runs it at the
-    // production cluster count): the canonical variant checkpoints
+    // ride the assignment as the ivf_assign kernel's driver-held
+    // reference arrays (round 22 — previously a broadcast cross join):
+    // the corpus-side assignment is a pure projection, no exchange, no
+    // join. Asserted on the pairs front (semdedup_exactdups runs it at
+    // the production cluster count): the canonical variant checkpoints
     // eagerly, so its final plan is a leaf with the joins already run.
     val p = physical(SparkEntry.queries("semdedup_exactdups")(spark, dir))
     assertPlanKeyedSortMerge("semdedup_exactdups", "cluster", p)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "centroid assignment lost its broadcast")
+    assert(p.contains("ivf_assign"),
+      "centroid assignment should be the no-exchange argmax kernel")
   }
 
   test("containment derives both orientations from one common-counts pass") {
